@@ -1,0 +1,68 @@
+package graft
+
+import graft.core.Pipeline
+import graft.io.ImageTable
+import graft.operators._
+import graft.temporal.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The flagship end-to-end job (BASELINE.json north_star): point-in-time
+  * feature construction over the image+caption table.
+  *
+  * events (image_id, event_ts, target)
+  *   AS-OF JOIN snapshots (image_id, feature_ts, caption_at, phash_at, feat)
+  *   JOIN images metadata (w, h, fmt, caption, phash — bytes PRUNED:
+  *        the binary payload never enters the shuffle; verify with
+  *        .explain that the scan's ReadSchema excludes `bytes`)
+  *   |> fitted transformer pipeline:
+  *        MeanImputer(w,h) -> CappingTransformer(q feat) ->
+  *        OneHotEncoding(fmt) -> MeanResponse(caption word vs target) ->
+  *        DateDifference(feature_ts -> event_ts staleness)
+  *
+  * The transform stage is ONE codegen'd projection; the only shuffles
+  * are the as-of join's hash exchange on image_id and the metadata
+  * join (broadcast at these sizes).
+  */
+object Flagship {
+
+  def features(spark: SparkSession, nImages: Long,
+      eventsPerImage: Int, hotFraction: Double = 0.0,
+      hotEntities: Seq[String] = Seq.empty): DataFrame = {
+    val imgs = ImageTable.images(spark, nImages)
+    val evs = ImageTable.events(spark, nImages, eventsPerImage,
+      hotFraction = hotFraction)
+    val snaps = ImageTable.snapshots(spark, nImages)
+
+    // point-in-time attach of the latest snapshot per event
+    val pit = AsOfJoin.join(evs, snaps, entity = "image_id",
+      leftTs = "event_ts", rightTs = "feature_ts",
+      rightValueCols = Seq("caption_at", "phash_at", "feat"),
+      hotEntities = hotEntities)
+
+    // metadata join — never touches `bytes`, so column pruning keeps
+    // the binary payload out of the exchange entirely
+    val meta = imgs.select("image_id", "w", "h", "fmt", "caption")
+      .withColumn("caption_word", split(col("caption"), " ").getItem(0))
+    val joined = pit.join(broadcast(meta), Seq("image_id"), "left")
+      // manufactured nulls so the imputers have work
+      .withColumn("w", when(col("event_id") % 17 === 0, lit(null))
+        .otherwise(col("w")))
+      .withColumn("h", when(col("event_id") % 23 === 0, lit(null))
+        .otherwise(col("h")))
+
+    val pipe = Pipeline(
+      "impute_w" -> new MeanImputer(Seq("w", "h")),
+      "cap_feat" -> new CappingTransformer(
+        quantiles = Map("feat" -> (Some(0.01), Some(0.99)))),
+      "onehot_fmt" -> new OneHotEncodingTransformer(Seq("fmt")),
+      "enc_caption" -> new MeanResponseTransformer(
+        Seq("caption_word"), "target", prior = 10.0,
+        unseenLevelHandling = Some(Right("mean"))),
+      "staleness" -> new DateDifferenceTransformer(
+        "matched_ts", "event_ts", Some("staleness_h"), "h"))
+
+    pipe.fit(joined.filter(col("matched_ts").isNotNull))
+    pipe.transform(joined)
+  }
+}

@@ -1,0 +1,543 @@
+package graft
+
+import graft.core.Pipeline
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core-transformer queries over the driver's TPC-H-ish parquet, with
+  * bit-exactness discipline vs the DuckDB oracles:
+  *   - means/medians/modes computed over integer-valued doubles (sums
+  *     are exact in any order -> bit-identical across engines);
+  *   - decimal-cast sums where inputs have 2 decimals;
+  *   - quantile interpolation arithmetic replicated with the same
+  *     IEEE op order in SQL;
+  *   - round(6) only where a transcendental makes ulp drift possible.
+  */
+object QueriesCore {
+
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** lineitem with deterministically manufactured nulls in l_quantity. */
+  private def liWithNulls(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem").withColumn("q",
+      when(col("l_linenumber") % 7 === 0, lit(null))
+        .otherwise(col("l_quantity")))
+  private val liWithNullsSql =
+    """SELECT *, CASE WHEN l_linenumber % 7 = 0 THEN NULL
+      |            ELSE l_quantity END AS q FROM lineitem""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_mean_impute" -> ((s, dir) => {
+      val df = liWithNulls(s, dir)
+      val t = new MeanImputer(Seq("q")).fit(df)
+      t.transform(df)
+        .select(col("l_orderkey"), col("l_linenumber"), col("q"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q02_median_impute" -> ((s, dir) => {
+      val df = liWithNulls(s, dir)
+      val t = new MedianImputer(Seq("q")).fit(df)
+      t.transform(df)
+        .select(col("l_orderkey"), col("l_linenumber"), col("q"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q03_mode_impute" -> ((s, dir) => {
+      val df = tbl(s, dir, "orders").withColumn("prio",
+        when(col("o_orderkey") % 13 === 0, lit(null))
+          .otherwise(col("o_orderpriority")))
+      val t = new ModeImputer(Seq("prio")).fit(df)
+      t.transform(df).select(col("o_orderkey"), col("prio"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q04_null_indicator" -> ((s, dir) => {
+      val df = liWithNulls(s, dir)
+      new NullIndicator(Seq("q")).transform(df)
+        .select(col("l_orderkey"), col("l_linenumber"), col("q_nulls"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q05_arbitrary_impute" -> ((s, dir) => {
+      val df = tbl(s, dir, "events").withColumn("v",
+        when(col("event_id") % 11 === 0, lit(null))
+          .otherwise(col("value")))
+      new ArbitraryImputer(Seq("v"), -1.0d).transform(df)
+        .select(col("event_id"), col("v")).orderBy("event_id")
+    }),
+
+    "q06_capping_quantile" -> ((s, dir) => {
+      val df = tbl(s, dir, "lineitem")
+      val t = new CappingTransformer(quantiles =
+        Map("l_quantity" -> (Some(0.05), Some(0.95)))).fit(df)
+      t.transform(df)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q07_out_of_range_null" -> ((s, dir) => {
+      val df = tbl(s, dir, "lineitem")
+      val t = new OutOfRangeNullTransformer(cappingValues =
+        Map("l_quantity" -> (Some(5.0), Some(45.0))))
+      t.transform(df)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q08_group_rare_levels" -> ((s, dir) => {
+      val df = tbl(s, dir, "part")
+      val t = new GroupRareLevelsTransformer(Seq("p_brand"),
+        cutOffPercent = 0.04).fit(df)
+      t.transform(df).select(col("p_partkey"), col("p_brand"))
+        .orderBy("p_partkey")
+    }),
+
+    "q09_mean_response" -> ((s, dir) => {
+      // integral response => exact sums => bit-identical encodings
+      val df = tbl(s, dir, "customer")
+        .withColumn("resp", floor(col("c_acctbal")).cast("double"))
+      val t = new MeanResponseTransformer(Seq("c_mktsegment"), "resp",
+        prior = 5.0).fit(df)
+      t.transform(df).select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    "q10_one_hot" -> ((s, dir) => {
+      val df = tbl(s, dir, "orders")
+      val t = new OneHotEncodingTransformer(Seq("o_orderstatus")).fit(df)
+      t.transform(df).select(col("o_orderkey"),
+          col("o_orderstatus_F"), col("o_orderstatus_O"),
+          col("o_orderstatus_P"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q11_mapping" -> ((s, dir) => {
+      val df = tbl(s, dir, "lineitem")
+      val t = new MappingTransformer(Map("l_returnflag" -> Map(
+        Option("A") -> "accepted", Option("N") -> "none",
+        Option("R") -> "returned")))
+      t.transform(df)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q12_datetime_info" -> ((s, dir) => {
+      val df = tbl(s, dir, "events")
+      new DatetimeInfoExtractor(Seq("ts")).transform(df)
+        .select(col("event_id"), col("ts_timeofday"), col("ts_timeofmonth"),
+          col("ts_timeofyear"), col("ts_dayofweek"))
+        .orderBy("event_id")
+    }),
+
+    "q13_date_difference" -> ((s, dir) => {
+      val df = tbl(s, dir, "lineitem").join(
+        tbl(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      new DateDifferenceTransformer("o_orderdate", "l_shipdate",
+        Some("ship_delay_days"), "D").transform(df)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("ship_delay_days"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q14_between_dates" -> ((s, dir) => {
+      val df = tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("upper_ts",
+          col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      new BetweenDatesTransformer("o_orderdate", "l_shipdate", "upper_ts",
+        "shipped_within_30d").transform(df)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("shipped_within_30d"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q15_datetime_components" -> ((s, dir) => {
+      val df = tbl(s, dir, "events")
+      new DatetimeComponentExtractor(Seq("ts"),
+        Seq("hour", "day", "month", "year")).transform(df)
+        .select(col("event_id"), col("ts_hour"), col("ts_day"),
+          col("ts_month"), col("ts_year"))
+        .orderBy("event_id")
+    }),
+
+    "q16_sinusoid" -> ((s, dir) => {
+      val df = tbl(s, dir, "events")
+      new DatetimeSinusoidCalculator(Seq("ts"), Seq("sin", "cos"),
+        Map("ts" -> "month"), Map("ts" -> 12.0)).transform(df)
+        .select(col("event_id"),
+          round(col("sin_12_month_ts"), 6).as("sin_month"),
+          round(col("cos_12_month_ts"), 6).as("cos_month"))
+        .orderBy("event_id")
+    }),
+
+    "q17_difference" -> ((s, dir) => {
+      val df = tbl(s, dir, "lineitem")
+      new DifferenceTransformer("l_extendedprice", "l_tax",
+        Some("price_minus_tax")).transform(df)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("price_minus_tax"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q18_ratio" -> ((s, dir) => {
+      val df = tbl(s, dir, "lineitem")
+        .withColumn("d", when(col("l_linenumber") % 5 === 0, 0.0)
+          .otherwise(col("l_tax")))
+      new RatioTransformer("l_discount", "d", Some("disc_tax_ratio"))
+        .transform(df)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("disc_tax_ratio"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q19_agg_rows_over_column" -> ((s, dir) => {
+      val df = tbl(s, dir, "lineitem")
+      new AggregateRowsOverColumnTransformer(Seq("l_quantity"),
+        Seq("min", "max", "mean", "sum", "median", "count"),
+        key = "l_orderkey").transform(df)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity_min"), col("l_quantity_max"),
+          col("l_quantity_mean"), col("l_quantity_sum"),
+          col("l_quantity_median"), col("l_quantity_count"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q20_agg_columns_over_row" -> ((s, dir) => {
+      val df = tbl(s, dir, "lineitem")
+      new AggregateColumnsOverRowTransformer(
+        Seq("l_quantity", "l_discount", "l_tax"),
+        Seq("min", "max", "sum", "mean")).transform(df)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity_l_discount_l_tax_min"),
+          col("l_quantity_l_discount_l_tax_max"),
+          col("l_quantity_l_discount_l_tax_sum"),
+          col("l_quantity_l_discount_l_tax_mean"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q21_lowercase" -> ((s, dir) => {
+      val df = tbl(s, dir, "customer")
+      new LowerCaseTransformer(Seq("c_mktsegment")).transform(df)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    "q22_remove_chars" -> ((s, dir) => {
+      val df = tbl(s, dir, "customer")
+      new RemoveCharactersTransformer(Seq("c_name"),
+        Seq("0", "#")).transform(df)
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    "q23_string_contains" -> ((s, dir) => {
+      val df = tbl(s, dir, "orders")
+      new StringContainsTransformer(Seq("o_orderpriority"),
+        Left("HIGH")).transform(df)
+        .select(col("o_orderkey"), col("o_orderpriority_contains_HIGH"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q24_extract_components" -> ((s, dir) => {
+      val df = tbl(s, dir, "customer")
+      new ExtractStringComponentsTransformer(Seq("c_name"), "#", 2)
+        .transform(df)
+        .select(col("c_custkey"),
+          col("c_name_split_by_#_entry_0").as("name_part0"),
+          col("c_name_split_by_#_entry_1").as("name_part1"))
+        .orderBy("c_custkey")
+    }),
+
+    "q25_compare_columns" -> ((s, dir) => {
+      val df = tbl(s, dir, "lineitem").withColumn("d",
+        when(col("l_linenumber") % 6 === 0, lit(null))
+          .otherwise(col("l_discount")))
+      new CompareTwoColumnsTransformer("d", "l_tax", ">",
+        Some("disc_gt_tax")).transform(df)
+        .select(col("l_orderkey"), col("l_linenumber"), col("disc_gt_tax"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q26_when_then_otherwise" -> ((s, dir) => {
+      val df = tbl(s, dir, "orders")
+        .withColumn("is_f", col("o_orderstatus") === "F")
+        .withColumn("zeroed", lit(-1.0))
+      new WhenThenOtherwiseTransformer(Seq("o_totalprice"),
+        "is_f", "zeroed").transform(df)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q27_misc" -> ((s, dir) => {
+      val df = tbl(s, dir, "orders")
+      val p = Pipeline(
+        "rename" -> new RenameColumnsTransformer(
+          Map("o_totalprice" -> "price_copy")),
+        "set" -> new SetValueTransformer(Seq("o_orderpriority"), "fixed"),
+        "cast" -> new ColumnDtypeSetter(Seq("o_custkey"), "Int32"))
+      p.fit(df)
+      p.transform(df)
+        .select(col("o_orderkey"), col("price_copy"),
+          col("o_orderpriority"), col("o_custkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q28_onedkmeans" -> ((s, dir) => {
+      val df = tbl(s, dir, "customer")
+      val t = new OneDKmeansTransformer("c_acctbal", "bal_bin", k = 4)
+        .fit(df)
+      t.transform(df).select(col("c_custkey"), col("bal_bin"))
+        .orderBy("c_custkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_mean_impute" ->
+      s"""WITH t AS ($liWithNullsSql)
+         |SELECT l_orderkey, l_linenumber,
+         |       COALESCE(q, (SELECT AVG(q) FROM t)) AS q
+         |FROM t ORDER BY 1, 2""".stripMargin,
+
+    "q02_median_impute" ->
+      s"""WITH t AS ($liWithNullsSql),
+         |g AS (SELECT q AS v, COUNT(*) AS w FROM t
+         |      WHERE q IS NOT NULL GROUP BY 1),
+         |c AS (SELECT v,
+         |        SUM(w) OVER (ORDER BY v) * 1.0 / (SELECT SUM(w) FROM g)
+         |          AS frac FROM g),
+         |med AS (SELECT MIN(v) AS m FROM c WHERE frac >= 0.5)
+         |SELECT l_orderkey, l_linenumber,
+         |       COALESCE(q, (SELECT m FROM med)) AS q
+         |FROM t ORDER BY 1, 2""".stripMargin,
+
+    "q03_mode_impute" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |       ELSE o_orderpriority END AS prio FROM orders),
+        |m AS (SELECT prio AS v FROM t WHERE prio IS NOT NULL
+        |      GROUP BY 1 ORDER BY COUNT(*) DESC, v DESC LIMIT 1)
+        |SELECT o_orderkey, COALESCE(prio, (SELECT v FROM m)) AS prio
+        |FROM t ORDER BY 1""".stripMargin,
+
+    "q04_null_indicator" ->
+      s"""WITH t AS ($liWithNullsSql)
+         |SELECT l_orderkey, l_linenumber, q IS NULL AS q_nulls
+         |FROM t ORDER BY 1, 2""".stripMargin,
+
+    "q05_arbitrary_impute" ->
+      """SELECT event_id,
+        |  COALESCE(CASE WHEN event_id % 11 = 0 THEN NULL
+        |                ELSE value END, -1.0) AS v
+        |FROM events ORDER BY 1""".stripMargin,
+
+    // Interpolated weighted quantile with the SAME IEEE op order as
+    // graft.core.Stats.weightedQuantiles: v_lo + (q-f_lo)/(f_hi-f_lo)*(v_hi-v_lo)
+    "q06_capping_quantile" ->
+      """WITH g AS (SELECT l_quantity AS v, COUNT(*) AS w
+        |           FROM lineitem GROUP BY 1),
+        |c AS (SELECT v,
+        |        SUM(w) OVER (ORDER BY v) * 1.0 / (SELECT SUM(w) FROM g)
+        |          AS f FROM g),
+        |qlo AS (SELECT
+        |   MAX(CASE WHEN f <= 0.05 THEN f END) AS f_lo,
+        |   MAX(CASE WHEN f <= 0.05 THEN v END) AS v_lo,
+        |   MIN(CASE WHEN f >= 0.05 THEN f END) AS f_hi,
+        |   MIN(CASE WHEN f >= 0.05 THEN v END) AS v_hi FROM c),
+        |qhi AS (SELECT
+        |   MAX(CASE WHEN f <= 0.95 THEN f END) AS f_lo,
+        |   MAX(CASE WHEN f <= 0.95 THEN v END) AS v_lo,
+        |   MIN(CASE WHEN f >= 0.95 THEN f END) AS f_hi,
+        |   MIN(CASE WHEN f >= 0.95 THEN v END) AS v_hi FROM c),
+        |lo AS (SELECT CASE
+        |   WHEN f_lo IS NULL THEN v_hi
+        |   WHEN f_hi IS NULL OR f_hi = f_lo THEN v_lo
+        |   ELSE v_lo + (0.05 - f_lo)/(f_hi - f_lo)*(v_hi - v_lo)
+        |   END AS cap FROM qlo),
+        |hi AS (SELECT CASE
+        |   WHEN f_lo IS NULL THEN v_hi
+        |   WHEN f_hi IS NULL OR f_hi = f_lo THEN v_lo
+        |   ELSE v_lo + (0.95 - f_lo)/(f_hi - f_lo)*(v_hi - v_lo)
+        |   END AS cap FROM qhi)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity IS NULL THEN NULL
+        |       ELSE LEAST(GREATEST(l_quantity, (SELECT cap FROM lo)),
+        |                  (SELECT cap FROM hi)) END AS l_quantity
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
+    "q07_out_of_range_null" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity >= 5.0 AND l_quantity <= 45.0
+        |       THEN l_quantity END AS l_quantity
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
+    "q08_group_rare_levels" ->
+      """WITH shares AS (
+        |  SELECT p_brand AS lvl,
+        |         COUNT(*) * 1.0 / (SELECT COUNT(*) FROM part) AS s
+        |  FROM part WHERE p_brand IS NOT NULL GROUP BY 1)
+        |SELECT p_partkey,
+        |  CASE WHEN p_brand IS NULL THEN NULL
+        |       WHEN p_brand IN (SELECT lvl FROM shares WHERE s >= 0.04)
+        |       THEN p_brand ELSE 'rare' END AS p_brand
+        |FROM part ORDER BY 1""".stripMargin,
+
+    "q09_mean_response" ->
+      """WITH t AS (SELECT c_custkey, c_mktsegment,
+        |  CAST(FLOOR(c_acctbal) AS DOUBLE) AS resp FROM customer),
+        |gm AS (SELECT SUM(resp)/COUNT(*) AS g FROM t),
+        |enc AS (SELECT c_mktsegment AS lvl,
+        |          (SUM(resp) + 5.0 * (SELECT g FROM gm))
+        |            / (COUNT(*) + 5.0) AS e
+        |        FROM t GROUP BY 1)
+        |SELECT c_custkey,
+        |  (SELECT e FROM enc WHERE lvl = t.c_mktsegment) AS c_mktsegment
+        |FROM t ORDER BY 1""".stripMargin,
+
+    "q10_one_hot" ->
+      """SELECT o_orderkey,
+        |  o_orderstatus = 'F' AS "o_orderstatus_F",
+        |  o_orderstatus = 'O' AS "o_orderstatus_O",
+        |  o_orderstatus = 'P' AS "o_orderstatus_P"
+        |FROM orders ORDER BY 1""".stripMargin,
+
+    "q11_mapping" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE l_returnflag WHEN 'A' THEN 'accepted'
+        |       WHEN 'N' THEN 'none' WHEN 'R' THEN 'returned'
+        |       ELSE l_returnflag END AS l_returnflag
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
+    "q12_datetime_info" ->
+      """SELECT event_id,
+        |  CASE WHEN hour(ts) < 6 THEN 'night'
+        |       WHEN hour(ts) < 12 THEN 'morning'
+        |       WHEN hour(ts) < 18 THEN 'afternoon'
+        |       ELSE 'evening' END AS ts_timeofday,
+        |  CASE WHEN day(ts) <= 10 THEN 'start'
+        |       WHEN day(ts) <= 20 THEN 'middle'
+        |       ELSE 'end' END AS ts_timeofmonth,
+        |  CASE WHEN month(ts) IN (3,4,5) THEN 'spring'
+        |       WHEN month(ts) IN (6,7,8) THEN 'summer'
+        |       WHEN month(ts) IN (9,10,11) THEN 'autumn'
+        |       ELSE 'winter' END AS ts_timeofyear,
+        |  CASE isodow(ts) WHEN 1 THEN 'monday' WHEN 2 THEN 'tuesday'
+        |       WHEN 3 THEN 'wednesday' WHEN 4 THEN 'thursday'
+        |       WHEN 5 THEN 'friday' WHEN 6 THEN 'saturday'
+        |       ELSE 'sunday' END AS ts_dayofweek
+        |FROM events ORDER BY 1""".stripMargin,
+
+    "q13_date_difference" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(date_diff('day', date_trunc('day', o_orderdate),
+        |                 date_trunc('day', l_shipdate)) AS DOUBLE)
+        |    AS ship_delay_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q14_between_dates" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  (o_orderdate <= l_shipdate AND
+        |   l_shipdate <= o_orderdate + INTERVAL 30 DAY)
+        |    AS shipped_within_30d
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q15_datetime_components" ->
+      """SELECT event_id,
+        |  CAST(hour(ts) AS FLOAT) AS ts_hour,
+        |  CAST(day(ts) AS FLOAT) AS ts_day,
+        |  CAST(month(ts) AS FLOAT) AS ts_month,
+        |  CAST(year(ts) AS FLOAT) AS ts_year
+        |FROM events ORDER BY 1""".stripMargin,
+
+    "q16_sinusoid" ->
+      """SELECT event_id,
+        |  ROUND(SIN(month(ts) * (2 * PI() / 12.0)), 6) AS sin_month,
+        |  ROUND(COS(month(ts) * (2 * PI() / 12.0)), 6) AS cos_month
+        |FROM events ORDER BY 1""".stripMargin,
+
+    "q17_difference" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice - l_tax AS price_minus_tax
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
+    "q18_ratio" ->
+      """WITH t AS (SELECT *, CASE WHEN l_linenumber % 5 = 0 THEN 0.0
+        |                          ELSE l_tax END AS d FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN d != 0 THEN l_discount / d END AS disc_tax_ratio
+        |FROM t ORDER BY 1, 2""".stripMargin,
+
+    "q19_agg_rows_over_column" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  MIN(l_quantity) OVER w AS l_quantity_min,
+        |  MAX(l_quantity) OVER w AS l_quantity_max,
+        |  AVG(l_quantity) OVER w AS l_quantity_mean,
+        |  SUM(l_quantity) OVER w AS l_quantity_sum,
+        |  MEDIAN(l_quantity) OVER w AS l_quantity_median,
+        |  COUNT(l_quantity) OVER w AS l_quantity_count
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q20_agg_columns_over_row" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  LEAST(l_quantity, l_discount, l_tax)
+        |    AS l_quantity_l_discount_l_tax_min,
+        |  GREATEST(l_quantity, l_discount, l_tax)
+        |    AS l_quantity_l_discount_l_tax_max,
+        |  0.0 + l_quantity + l_discount + l_tax
+        |    AS l_quantity_l_discount_l_tax_sum,
+        |  (0.0 + l_quantity + l_discount + l_tax) / 3
+        |    AS l_quantity_l_discount_l_tax_mean
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
+    "q21_lowercase" ->
+      """SELECT c_custkey, LOWER(c_mktsegment) AS c_mktsegment
+        |FROM customer ORDER BY 1""".stripMargin,
+
+    "q22_remove_chars" ->
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[0#]', '', 'g') AS c_name
+        |FROM customer ORDER BY 1""".stripMargin,
+
+    "q23_string_contains" ->
+      """SELECT o_orderkey,
+        |  contains(o_orderpriority, 'HIGH')
+        |    AS "o_orderpriority_contains_HIGH"
+        |FROM orders ORDER BY 1""".stripMargin,
+
+    "q24_extract_components" ->
+      """SELECT c_custkey,
+        |  CASE WHEN len(string_split(c_name, '#')) > 0
+        |       THEN string_split(c_name, '#')[1] END AS name_part0,
+        |  CASE WHEN len(string_split(c_name, '#')) > 1
+        |       THEN string_split(c_name, '#')[2] END AS name_part1
+        |FROM customer ORDER BY 1""".stripMargin,
+
+    "q25_compare_columns" ->
+      """WITH t AS (SELECT *, CASE WHEN l_linenumber % 6 = 0 THEN NULL
+        |                          ELSE l_discount END AS d FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN d IS NOT NULL AND l_tax IS NOT NULL
+        |       THEN d > l_tax END AS disc_gt_tax
+        |FROM t ORDER BY 1, 2""".stripMargin,
+
+    "q26_when_then_otherwise" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F' THEN -1.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY 1""".stripMargin,
+
+    "q27_misc" ->
+      """SELECT o_orderkey, o_totalprice AS price_copy,
+        |  'fixed' AS o_orderpriority,
+        |  CAST(o_custkey AS INTEGER) AS o_custkey
+        |FROM orders ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,200 @@
+package graft
+
+import graft.temporal.{AsOfJoin, WindowOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Temporal / windowed feature ops over the events table
+  * (BASELINE.json north_rule extensions, SURVEY.md §2.11).
+  * Left side = all events; right side = purchase events (a
+  * feature-history table).
+  */
+object QueriesTemporal {
+
+  import QueriesCore.tbl
+
+  private def purchases(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events").filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_asof_join" -> ((s, dir) => {
+      AsOfJoin.join(tbl(s, dir, "events"), purchases(s, dir),
+        entity = "user_id", leftTs = "ts", rightTs = "ts",
+        rightValueCols = Seq("purchase_value"))
+        .select(col("event_id"), col("purchase_value"), col("matched_ts"))
+        .orderBy("event_id")
+    }),
+
+    "q31_asof_join_strict" -> ((s, dir) => {
+      AsOfJoin.join(tbl(s, dir, "events"), purchases(s, dir),
+        entity = "user_id", leftTs = "ts", rightTs = "ts",
+        rightValueCols = Seq("purchase_value"), strict = true)
+        .select(col("event_id"), col("purchase_value"), col("matched_ts"))
+        .orderBy("event_id")
+    }),
+
+    "q32_asof_join_tolerance" -> ((s, dir) => {
+      AsOfJoin.join(tbl(s, dir, "events"), purchases(s, dir),
+        entity = "user_id", leftTs = "ts", rightTs = "ts",
+        rightValueCols = Seq("purchase_value"),
+        toleranceSeconds = Some(86400))
+        .select(col("event_id"), col("purchase_value"), col("matched_ts"))
+        .orderBy("event_id")
+    }),
+
+    "q33_asof_join_broadcast" -> ((s, dir) => {
+      AsOfJoin.join(tbl(s, dir, "events"), purchases(s, dir),
+        entity = "user_id", leftTs = "ts", rightTs = "ts",
+        rightValueCols = Seq("purchase_value"), broadcastRight = true)
+        .select(col("event_id"), col("purchase_value"), col("matched_ts"))
+        .orderBy("event_id")
+    }),
+
+    "q34_forward_fill" -> ((s, dir) => {
+      val df = tbl(s, dir, "events").withColumn("v",
+        when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value")))
+      WindowOps.forwardFill(df, "user_id", "ts", Seq("v"))
+        .select(col("event_id"), col("v_ffill")).orderBy("event_id")
+    }),
+
+    "q35_backfill" -> ((s, dir) => {
+      val df = tbl(s, dir, "events").withColumn("v",
+        when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value")))
+      WindowOps.backFill(df, "user_id", "ts", Seq("v"))
+        .select(col("event_id"), col("v_bfill")).orderBy("event_id")
+    }),
+
+    "q36_lag_lead" -> ((s, dir) => {
+      WindowOps.lagLead(tbl(s, dir, "events"), "user_id", "ts",
+        Seq("value"), k = 2)
+        .select(col("event_id"), col("value_lag2"), col("value_lead2"))
+        .orderBy("event_id")
+    }),
+
+    "q37_rolling_rows" -> ((s, dir) => {
+      WindowOps.rollingRows(tbl(s, dir, "events"), "user_id", "ts",
+        Seq("value"), k = 5, aggs = Seq("min", "max", "count"))
+        .select(col("event_id"), col("value_roll5_min"),
+          col("value_roll5_max"), col("value_roll5_count"))
+        .orderBy("event_id")
+    }),
+
+    "q38_rolling_range" -> ((s, dir) => {
+      WindowOps.rollingRange(tbl(s, dir, "events"), "user_id", "ts",
+        Seq("value"), seconds = 3600, aggs = Seq("min", "max", "count"))
+        .select(col("event_id"), col("value_rng3600s_min"),
+          col("value_rng3600s_max"), col("value_rng3600s_count"))
+        .orderBy("event_id")
+    }),
+
+    "q39_sessionize" -> ((s, dir) => {
+      WindowOps.sessionize(tbl(s, dir, "events"), "user_id", "ts",
+        gapSeconds = 1800)
+        .select(col("event_id"), col("session_id")).orderBy("event_id")
+    })
+  )
+
+  private val purchasesSql =
+    """SELECT user_id, ts, value AS purchase_value
+      |FROM events WHERE event_type = 'purchase'""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q30_asof_join" ->
+      s"""SELECT l.event_id, r.purchase_value,
+         |       r.ts AS matched_ts
+         |FROM events l ASOF LEFT JOIN ($purchasesSql) r
+         |ON l.user_id = r.user_id AND l.ts >= r.ts
+         |ORDER BY 1""".stripMargin,
+
+    "q31_asof_join_strict" ->
+      s"""SELECT l.event_id, r.purchase_value,
+         |       r.ts AS matched_ts
+         |FROM events l ASOF LEFT JOIN ($purchasesSql) r
+         |ON l.user_id = r.user_id AND l.ts > r.ts
+         |ORDER BY 1""".stripMargin,
+
+    "q32_asof_join_tolerance" ->
+      s"""WITH j AS (
+         |  SELECT l.event_id, l.ts AS lts, r.purchase_value,
+         |         r.ts AS matched_ts
+         |  FROM events l ASOF LEFT JOIN ($purchasesSql) r
+         |  ON l.user_id = r.user_id AND l.ts >= r.ts)
+         |SELECT event_id,
+         |  CASE WHEN matched_ts IS NOT NULL AND
+         |            date_diff('microsecond', matched_ts, lts)
+         |              <= 86400000000 THEN purchase_value END
+         |    AS purchase_value,
+         |  CASE WHEN matched_ts IS NOT NULL AND
+         |            date_diff('microsecond', matched_ts, lts)
+         |              <= 86400000000 THEN matched_ts END AS matched_ts
+         |FROM j ORDER BY 1""".stripMargin,
+
+    "q33_asof_join_broadcast" ->
+      s"""SELECT l.event_id, r.purchase_value,
+         |       r.ts AS matched_ts
+         |FROM events l ASOF LEFT JOIN ($purchasesSql) r
+         |ON l.user_id = r.user_id AND l.ts >= r.ts
+         |ORDER BY 1""".stripMargin,
+
+    "q34_forward_fill" ->
+      """WITH t AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id,
+        |  COALESCE(v, LAST_VALUE(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS v_ffill
+        |FROM t ORDER BY 1""".stripMargin,
+
+    "q35_backfill" ->
+      """WITH t AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id,
+        |  COALESCE(v, FIRST_VALUE(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS v_bfill
+        |FROM t ORDER BY 1""".stripMargin,
+
+    "q36_lag_lead" ->
+      """SELECT event_id,
+        |  LAG(value, 2) OVER w AS value_lag2,
+        |  LEAD(value, 2) OVER w AS value_lead2
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |ORDER BY 1""".stripMargin,
+
+    "q37_rolling_rows" ->
+      """SELECT event_id,
+        |  MIN(value) OVER w AS value_roll5_min,
+        |  MAX(value) OVER w AS value_roll5_max,
+        |  COUNT(value) OVER w AS value_roll5_count
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY 1""".stripMargin,
+
+    "q38_rolling_range" ->
+      """SELECT event_id,
+        |  MIN(value) OVER w AS value_rng3600s_min,
+        |  MAX(value) OVER w AS value_rng3600s_max,
+        |  COUNT(value) OVER w AS value_rng3600s_count
+        |FROM events WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY 1""".stripMargin,
+
+    "q39_sessionize" ->
+      """WITH t AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         IS NULL
+        |    OR date_diff('microsecond',
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+        |       > 1800000000
+        |  THEN 1 ELSE 0 END AS is_new FROM events)
+        |SELECT event_id,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |FROM t ORDER BY 1""".stripMargin
+  )
+}

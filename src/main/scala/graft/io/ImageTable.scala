@@ -1,0 +1,107 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The image+caption table of BASELINE.json input_hint:
+  * (image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+  *  caption:string, phash:int64)
+  * plus the event/snapshot side tables driving the as-of join.
+  *
+  * Everything is synthesised DETERMINISTICALLY from (seed, id) with
+  * codegen'd expressions — `spark.range` partitions the id space, so
+  * generation itself scales linearly with cores and no data ever
+  * originates on the driver. No external data.
+  *
+  * `bytes` is an opaque binary payload (pseudo-random, size w*h
+  * dependent). Real PNG/JPEG encoding for the PSNR validation path
+  * lives in graft.validate.PixelCheck (test-side, javax.imageio) —
+  * the distributed plumbing (schema, partitioning, binary-column
+  * discipline) is identical for real payloads.
+  */
+object ImageTable {
+
+  /** Deterministic 64-bit mix of (seed, id, salt). */
+  private def h(seed: Long, salt: String, idCol: org.apache.spark.sql.Column) =
+    xxhash64(lit(seed), lit(salt), idCol)
+
+  private val Formats = Seq("png", "jpeg", "webp")
+  private val CaptionWords = Seq("sunset", "mountain", "river", "city",
+    "forest", "portrait", "abstract", "ocean", "desert", "night")
+
+  /** The base image table. Payload bytes scale with w*h (small by
+    * default so tests stay fast; pass pixel sizes up for bench realism).
+    */
+  def images(spark: SparkSession, n: Long, seed: Long = 42,
+      minDim: Int = 8, maxDim: Int = 32): DataFrame = {
+    val dimSpan = maxDim - minDim + 1
+    val df = spark.range(0, n)
+      .withColumn("image_id", format_string("img_%010d", col("id")))
+      .withColumn("w",
+        (pmod(h(seed, "w", col("id")), lit(dimSpan)) + minDim).cast("int"))
+      .withColumn("h",
+        (pmod(h(seed, "h", col("id")), lit(dimSpan)) + minDim).cast("int"))
+      .withColumn("fmt",
+        element_at(typedLit(Formats),
+          (pmod(h(seed, "f", col("id")), lit(Formats.size)) + 1).cast("int")))
+      .withColumn("caption", concat_ws(" ",
+        element_at(typedLit(CaptionWords),
+          (pmod(h(seed, "c1", col("id")), lit(10)) + 1).cast("int")),
+        element_at(typedLit(CaptionWords),
+          (pmod(h(seed, "c2", col("id")), lit(10)) + 1).cast("int")),
+        format_string("no%d", col("id"))))
+      .withColumn("phash", h(seed, "p", col("id")))
+      // pseudo-random payload ~ w*h bytes: sha512 hex chunks -> unhex
+      .withColumn("bytes", unhex(repeat(
+        sha2(concat(lit("px"), col("id").cast("string")), 512),
+        // each sha512 hex repeat contributes 64 bytes
+        (ceil(col("w") * col("h") / lit(128.0)) + 1).cast("int"))))
+      .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    df
+  }
+
+  /** Event stream: eventsPerImage rows per image, increasing event_ts,
+    * with a synthetic engagement target. `hotFraction` of all events is
+    * concentrated on entity img_0000000000 to exercise skew handling.
+    */
+  def events(spark: SparkSession, nImages: Long, perImage: Int,
+      seed: Long = 42, hotFraction: Double = 0.0): DataFrame = {
+    val n = nImages * perImage
+    val nHot = (n * hotFraction).toLong
+    spark.range(0, n)
+      .withColumn("image_id",
+        when(col("id") < nHot, format_string("img_%010d", lit(0L)))
+          .otherwise(format_string("img_%010d", col("id") % nImages)))
+      .withColumn("event_ts", timestamp_micros(
+        lit(1704067200000000L) + // 2024-01-01
+          col("id") * 1000000L +
+          pmod(h(seed, "et", col("id")), lit(999983L))))
+      .withColumn("target",
+        (pmod(h(seed, "tg", col("id")), lit(1000L))).cast("double"))
+      .select("id", "image_id", "event_ts", "target")
+      .withColumnRenamed("id", "event_id")
+  }
+
+  /** Caption/feature snapshots: per image, `snaps` historical versions
+    * with feature_ts interleaved before/around the event range so the
+    * as-of join exercises past, same-instant and future rows.
+    */
+  def snapshots(spark: SparkSession, nImages: Long, snaps: Int = 3,
+      seed: Long = 42): DataFrame = {
+    spark.range(0, nImages * snaps)
+      .withColumn("image_id", format_string("img_%010d",
+        col("id") % nImages))
+      .withColumn("snap_no", (col("id") / nImages).cast("int"))
+      .withColumn("feature_ts", timestamp_micros(
+        lit(1704067200000000L) - 86400000000L + // starts 1 day before
+          col("snap_no") * 43200000000L + // every 12h
+          (col("id") % nImages) * 997L +
+          pmod(h(seed, "ft", col("id")), lit(99991L))))
+      .withColumn("caption_at", concat_ws("-",
+        lit("cap"), col("image_id"), col("snap_no").cast("string")))
+      .withColumn("phash_at", h(seed, "ph", col("id")))
+      .withColumn("feat",
+        (pmod(h(seed, "fv", col("id")), lit(10000L))).cast("double") / 100.0)
+      .select("image_id", "feature_ts", "caption_at", "phash_at", "feat")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.core.Transformer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Aggregation transformers (reference tubular/aggregations.py). */
+object Aggregations {
+  val RowOverColumnAggs = Seq("min", "max", "mean", "sum", "median", "count")
+  val ColumnsOverRowAggs = Seq("min", "max", "mean", "sum")
+}
+
+/** Attach per-group aggregates to every row:
+  * `agg(col) OVER (PARTITION BY key)` -> `{col}_{agg}`
+  * (tubular/aggregations.py:219-444).
+  *
+  * One hash Exchange on the key; all requested aggregates share that
+  * single Window spec so Catalyst plans ONE shuffle + one Window node.
+  * Exact median uses percentile within the window (tiny groups);
+  * switch to a groupBy+broadcast-join for very wide groups.
+  */
+class AggregateRowsOverColumnTransformer(
+    val columns: Seq[String],
+    val aggregations: Seq[String],
+    val key: String
+) extends Transformer {
+  aggregations.foreach(a =>
+    require(Aggregations.RowOverColumnAggs.contains(a),
+      s"unknown aggregation $a"))
+
+  override def columnsCheck(df: DataFrame): Unit = {
+    super.columnsCheck(df)
+    if (!df.columns.contains(key))
+      throw new IllegalArgumentException(
+        s"$classname: key column $key not in DataFrame " +
+          "(tubular/aggregations.py:436-438)")
+  }
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] = {
+    requireNumeric(df, columns)
+    val w = Window.partitionBy(col(key))
+    columns.flatMap { c =>
+      aggregations.map { a =>
+        val e = a match {
+          case "min" => min(col(c)).over(w)
+          case "max" => max(col(c)).over(w)
+          case "mean" => avg(col(c)).over(w)
+          case "sum" => sum(col(c)).over(w)
+          case "median" =>
+            expr(s"percentile($c, 0.5)").over(w)
+          case "count" => count(col(c)).over(w)
+        }
+        s"${c}_$a" -> e
+      }
+    }
+  }
+  override def featureNamesOut: Seq[String] =
+    columns.flatMap(c => aggregations.map(a => s"${c}_$a"))
+  override def initParams: Map[String, Any] = Map(
+    "columns" -> columns, "aggregations" -> aggregations, "key" -> key)
+}
+
+/** Horizontal (row-wise) aggregates across columns ->
+  * `{c1}_{c2}_..._{agg}` (tubular/aggregations.py:448-614).
+  * Polars horizontal semantics: nulls are IGNORED (not propagated).
+  */
+class AggregateColumnsOverRowTransformer(
+    val columns: Seq[String],
+    val aggregations: Seq[String]
+) extends Transformer {
+  aggregations.foreach(a =>
+    require(Aggregations.ColumnsOverRowAggs.contains(a),
+      s"unknown aggregation $a (median/count deliberately excluded, " +
+        "tubular/functions/aggregations.py:10-19)"))
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] = {
+    requireNumeric(df, columns)
+    val prefix = columns.mkString("_")
+    val arr = array(columns.map(c => col(c).cast("double")): _*)
+    val nonNull = filter(arr, x => x.isNotNull)
+    aggregations.map { a =>
+      val e = a match {
+        case "min" => array_min(nonNull)
+        case "max" => array_max(nonNull)
+        case "sum" =>
+          when(size(nonNull) > 0,
+            aggregate(nonNull, lit(0.0), (acc, x) => acc + x))
+        case "mean" =>
+          when(size(nonNull) > 0,
+            aggregate(nonNull, lit(0.0), (acc, x) => acc + x) /
+              size(nonNull))
+      }
+      s"${prefix}_$a" -> e
+    }
+  }
+  override def featureNamesOut: Seq[String] =
+    aggregations.map(a => s"${columns.mkString("_")}_$a")
+  override def initParams: Map[String, Any] =
+    Map("columns" -> columns, "aggregations" -> aggregations)
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.core.{Stats, Transformer, Weights}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+/** Capping / out-of-range-null (reference tubular/capping.py).
+  *
+  * Bounds are either user-supplied (`cappingValues`) or fitted as exact
+  * weighted quantiles with np.interp semantics
+  * (tubular/capping.py:335-452 — see graft.core.Stats.weightedQuantiles).
+  * Either bound may be None (one-sided).
+  */
+abstract class BaseCapping(
+    val cappingValues: Map[String, (Option[Double], Option[Double])],
+    val quantiles: Map[String, (Option[Double], Option[Double])],
+    val weightsColumn: Option[String]
+) extends Transformer {
+
+  require(cappingValues.isEmpty ^ quantiles.isEmpty,
+    s"$classname: exactly one of cappingValues / quantiles must be given")
+  cappingValues.foreach { case (c, (lo, hi)) =>
+    for (l <- lo; h <- hi)
+      require(l <= h, s"$classname: $c lower cap $l > upper cap $h")
+    require(lo.isDefined || hi.isDefined, s"$classname: $c has no caps")
+  }
+  quantiles.foreach { case (c, (lo, hi)) =>
+    (lo.toSeq ++ hi.toSeq).foreach(q =>
+      require(q >= 0 && q <= 1, s"$classname: $c quantile $q not in [0,1]"))
+    require(lo.isDefined || hi.isDefined, s"$classname: $c has no quantiles")
+  }
+
+  val columns: Seq[String] =
+    (if (cappingValues.nonEmpty) cappingValues else quantiles).keys.toSeq
+
+  override def needsFit: Boolean = quantiles.nonEmpty
+
+  /** Learned (or given) per-column [lo, hi]. */
+  var fittedCaps: Map[String, (Option[Double], Option[Double])] = cappingValues
+
+  override def fit(df: DataFrame): this.type = {
+    super.fit(df)
+    requireNumeric(df, columns)
+    if (quantiles.nonEmpty) {
+      val rows = Weights.fitRows(df, weightsColumn)
+      val w = Weights.weightCol(weightsColumn)
+      fittedCaps = quantiles.map { case (c, (qLo, qHi)) =>
+        val qs = qLo.toSeq ++ qHi.toSeq
+        val vals = Stats.weightedQuantiles(rows, c, w, qs)
+        val lo = qLo.map(_ => vals.head.getOrElse(
+          throw new IllegalStateException(
+            s"$classname: no valid rows fitting quantile caps for $c")))
+        val hi = qHi.map(_ => vals.last.getOrElse(
+          throw new IllegalStateException(
+            s"$classname: no valid rows fitting quantile caps for $c")))
+        c -> (lo, hi)
+      }
+    }
+    this
+  }
+
+  override def fitParams: Map[String, Any] = Map(
+    "capping_values" -> fittedCaps.map { case (c, (lo, hi)) =>
+      c -> Seq(lo.map(Double.box).orNull, hi.map(Double.box).orNull) })
+  override def restoreFit(fit: Map[String, Any]): this.type = {
+    fittedCaps = fit("capping_values")
+      .asInstanceOf[Map[String, Seq[Any]]]
+      .map { case (c, s) =>
+        c -> (Option(s(0)).map(_.asInstanceOf[Double]),
+              Option(s(1)).map(_.asInstanceOf[Double]))
+      }
+    super.restoreFit(fit)
+  }
+
+  override def initParams: Map[String, Any] = Map(
+    "capping_values" -> cappingValues.map { case (c, (lo, hi)) =>
+      c -> Seq(lo.map(Double.box).orNull, hi.map(Double.box).orNull) },
+    "quantiles" -> quantiles.map { case (c, (lo, hi)) =>
+      c -> Seq(lo.map(Double.box).orNull, hi.map(Double.box).orNull) },
+    "weights_column" -> weightsColumn.orNull)
+}
+
+/** Clip to [lo, hi]; nulls pass through (polars clip semantics,
+  * tubular/functions/capping.py:28-52).
+  */
+class CappingTransformer(
+    cappingValues: Map[String, (Option[Double], Option[Double])] = Map.empty,
+    quantiles: Map[String, (Option[Double], Option[Double])] = Map.empty,
+    weightsColumn: Option[String] = None
+) extends BaseCapping(cappingValues, quantiles, weightsColumn) {
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    columns.map { c =>
+      val (lo, hi) = fittedCaps(c)
+      val dt = df.schema(c).dataType
+      var e = col(c).cast("double")
+      // greatest/least skip nulls, so guard: clip(null) stays null
+      lo.foreach(l => e = greatest(e, lit(l)))
+      hi.foreach(h => e = least(e, lit(h)))
+      val outType = dt match {
+        case FloatType | DoubleType => dt
+        case _ => DoubleType // integral columns widen to fit float caps
+      }
+      c -> when(col(c).isNull, lit(null)).otherwise(e).cast(outType)
+    }
+}
+
+/** Values outside [lo, hi] -> null; survivors cast to float
+  * (tubular/capping.py:717-978, tubular/functions/capping.py:56-106).
+  */
+class OutOfRangeNullTransformer(
+    cappingValues: Map[String, (Option[Double], Option[Double])] = Map.empty,
+    quantiles: Map[String, (Option[Double], Option[Double])] = Map.empty,
+    weightsColumn: Option[String] = None
+) extends BaseCapping(cappingValues, quantiles, weightsColumn) {
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    columns.map { c =>
+      val (lo, hi) = fittedCaps(c)
+      val inRange = (lo, hi) match {
+        case (Some(l), Some(h)) => col(c) >= l && col(c) <= h
+        case (Some(l), None) => col(c) >= l
+        case (None, Some(h)) => col(c) <= h
+        case _ => lit(true)
+      }
+      c -> when(col(c).isNotNull && inRange, col(c)).cast(DoubleType)
+    }
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.core.{Stats, Transformer, Weights}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Imputers (reference tubular/imputers.py).
+  *
+  * Fit = one distributed aggregation job collecting per-column scalars;
+  * transform = `coalesce(col, lit(v))` folded into a single projection,
+  * so a whole imputer pipeline stays inside one codegen stage.
+  */
+abstract class BaseImputer extends Transformer {
+  override def needsFit: Boolean = true
+
+  /** column -> learned impute value (tubular/imputers.py fit state). */
+  var imputeValues: Map[String, Any] = Map.empty
+
+  /** Fit-failure guard (tubular/imputers.py:169-183). */
+  protected def checkFitOk(): Unit = {
+    val bad = imputeValues.collect { case (c, null) => c }
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"$classname: fit produced null impute value for " +
+          bad.mkString(", ") + " (all rows null or invalid-weight?)")
+  }
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    columns.map { c =>
+      c -> coalesce(col(c), lit(imputeValues(c))).cast(df.schema(c).dataType)
+    }
+
+  override def fitParams: Map[String, Any] =
+    Map("impute_values_" -> imputeValues)
+  override def restoreFit(fit: Map[String, Any]): this.type = {
+    imputeValues = fit("impute_values_").asInstanceOf[Map[String, Any]]
+    super.restoreFit(fit)
+  }
+}
+
+/** Constant imputation, type-dispatched
+  * (tubular/imputers.py:726-869).
+  */
+class ArbitraryImputer(
+    val columns: Seq[String],
+    val imputeValue: Any
+) extends BaseImputer {
+  override def needsFit: Boolean = false
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    columns.map { c =>
+      val dt = df.schema(c).dataType
+      (imputeValue, dt) match {
+        case (_: String, t) if !(t == StringType || t == NullType) =>
+          throw new IllegalArgumentException(
+            s"$classname: string impute value for non-string column $c ($t)")
+        case (_: Boolean, t) if !(t == BooleanType || t == NullType) =>
+          throw new IllegalArgumentException(
+            s"$classname: boolean impute value for non-boolean column $c ($t)")
+        case (v, t) if v.isInstanceOf[Number] &&
+            !(t.isInstanceOf[NumericType] || t == NullType) =>
+          throw new IllegalArgumentException(
+            s"$classname: numeric impute value for non-numeric column $c ($t)")
+        case _ => ()
+      }
+      val filled = coalesce(col(c), lit(imputeValue))
+      c -> (if (dt == NullType) filled else filled.cast(dt))
+    }
+
+  override def initParams: Map[String, Any] =
+    Map("columns" -> columns, "impute_value" -> imputeValue)
+}
+
+/** Weighted-mean imputation (tubular/imputers.py:1149-1228). */
+class MeanImputer(
+    val columns: Seq[String],
+    val weightsColumn: Option[String] = None
+) extends BaseImputer {
+
+  override def fit(df: DataFrame): this.type = {
+    super.fit(df)
+    requireNumeric(df, columns)
+    val rows = Weights.fitRows(df, weightsColumn)
+    val w = Weights.weightCol(weightsColumn)
+    val aggs = columns.map(c => Stats.weightedMean(col(c), w).as(c))
+    val res = rows.agg(aggs.head, aggs.tail: _*).head()
+    imputeValues = columns.map(c => c -> res.getAs[Any](c)).toMap
+    checkFitOk()
+    this
+  }
+
+  override def initParams: Map[String, Any] =
+    Map("columns" -> columns, "weights_column" -> weightsColumn.orNull)
+}
+
+/** Weighted-median imputation: min value whose cumulative weight
+  * fraction >= 0.5 (tubular/imputers.py:962-1056, tubular/_stats.py:5-51).
+  */
+class MedianImputer(
+    val columns: Seq[String],
+    val weightsColumn: Option[String] = None
+) extends BaseImputer {
+
+  override def fit(df: DataFrame): this.type = {
+    super.fit(df)
+    requireNumeric(df, columns)
+    val rows = Weights.fitRows(df, weightsColumn)
+    val w = Weights.weightCol(weightsColumn)
+    imputeValues = columns.map { c =>
+      c -> Stats.weightedMedianValue(rows, c, w).map(_.asInstanceOf[Any]).orNull
+    }.toMap
+    checkFitOk()
+    this
+  }
+
+  override def initParams: Map[String, Any] =
+    Map("columns" -> columns, "weights_column" -> weightsColumn.orNull)
+}
+
+/** Modal imputation; ties resolved to the LARGEST value
+  * (tubular/imputers.py:1324-1422, tie-break at :1399-1417).
+  */
+class ModeImputer(
+    val columns: Seq[String],
+    val weightsColumn: Option[String] = None
+) extends BaseImputer {
+
+  override def fit(df: DataFrame): this.type = {
+    super.fit(df)
+    val rows = Weights.fitRows(df, weightsColumn)
+    val w = Weights.weightCol(weightsColumn)
+    imputeValues = columns.map { c =>
+      val top = rows
+        .filter(col(c).isNotNull)
+        .groupBy(col(c))
+        .agg(sum(w.cast("double")).as("__w"))
+        .orderBy(col("__w").desc, col(c).desc)
+        .limit(1)
+        .collect()
+      c -> (if (top.isEmpty) null else top(0).get(0))
+    }.toMap
+    checkFitOk()
+    this
+  }
+
+  override def initParams: Map[String, Any] =
+    Map("columns" -> columns, "weights_column" -> weightsColumn.orNull)
+}
+
+/** Adds `{col}_nulls: Boolean` flag columns
+  * (tubular/imputers.py:1426-1556).
+  */
+class NullIndicator(val columns: Seq[String]) extends Transformer {
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    columns.map(c => s"${c}_nulls" -> col(c).isNull)
+  override def featureNamesOut: Seq[String] = columns.map(c => s"${c}_nulls")
+  override def initParams: Map[String, Any] = Map("columns" -> columns)
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.core.Transformer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Misc transformers (reference tubular/misc.py). */
+
+/** Set columns to a constant (tubular/misc.py:29-182). */
+class SetValueTransformer(
+    val columns: Seq[String],
+    val value: Any
+) extends Transformer {
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    columns.map(c => c -> lit(value))
+  override def initParams: Map[String, Any] =
+    Map("columns" -> columns, "value" -> value)
+}
+
+/** COPY a column under a new name (original kept); errors if the new
+  * name already exists (tubular/misc.py:186-423, guard at :410-415).
+  */
+class RenameColumnsTransformer(
+    val renames: Map[String, String] // old -> new
+) extends Transformer {
+  val columns: Seq[String] = renames.keys.toSeq
+  override def columnsCheck(df: DataFrame): Unit = {
+    super.columnsCheck(df)
+    val clash = renames.values.filter(df.columns.contains)
+    if (clash.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$classname: new names ${clash.mkString(", ")} already exist " +
+          "(tubular/misc.py:410-415)")
+  }
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    renames.toSeq.map { case (o, n) => n -> col(o) }
+  override def featureNamesOut: Seq[String] = renames.values.toSeq
+  override def initParams: Map[String, Any] = Map("mappings" -> renames)
+}
+
+/** Cast columns to a named dtype (tubular/misc.py:427-584). */
+class ColumnDtypeSetter(
+    val columns: Seq[String],
+    val dtype: String
+) extends Transformer {
+  private val Allowed: Map[String, DataType] = Map(
+    "Float64" -> DoubleType, "Float32" -> FloatType,
+    "Int64" -> LongType, "Int32" -> IntegerType,
+    "Int16" -> ShortType, "Int8" -> ByteType,
+    "Boolean" -> BooleanType, "String" -> StringType,
+    "Categorical" -> StringType) // no categorical dtype in Spark (§1.3)
+  require(Allowed.contains(dtype), s"unknown dtype $dtype")
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    columns.map(c => c -> col(c).cast(Allowed(dtype)))
+  override def initParams: Map[String, Any] =
+    Map("columns" -> columns, "dtype" -> dtype)
+}

@@ -1,0 +1,314 @@
+package graft.operators
+
+import graft.core.{Stats, Transformer, Weights}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+/** Categorical encoders (reference tubular/nominal.py).
+  *
+  * Fit passes are distributed groupBy aggregations; learned
+  * level->value maps come back to the driver as small dicts and are
+  * folded into the transform projection as literal maps — they ship to
+  * executors with the serialized plan (the "broadcast hash map" of the
+  * north star), so the transform itself is map-only.
+  */
+
+/** Group rare levels under one name
+  * (tubular/nominal.py:47-513).
+  * Fit: weight share per level; share < cutOffPercent => rare.
+  * Transform: non-member -> rareLevelName; nulls pass through; with
+  * unseenLevelsToRare=false, unseen levels also pass through.
+  */
+class GroupRareLevelsTransformer(
+    val columns: Seq[String],
+    val cutOffPercent: Double = 0.01,
+    val rareLevelName: String = "rare",
+    val weightsColumn: Option[String] = None,
+    val unseenLevelsToRare: Boolean = true,
+    val recordRareLevels: Boolean = true
+) extends Transformer {
+  require(cutOffPercent > 0 && cutOffPercent < 1,
+    s"cut_off_percent must be in (0,1), got $cutOffPercent")
+  override def needsFit: Boolean = true
+
+  var nonRareLevels: Map[String, Seq[String]] = Map.empty
+  var rareLevelsRecord: Map[String, Seq[String]] = Map.empty
+  var trainingLevels: Map[String, Seq[String]] = Map.empty
+
+  override def fit(df: DataFrame): this.type = {
+    super.fit(df)
+    requireStringLike(df, columns)
+    val rows = Weights.fitRows(df, weightsColumn)
+    val w = Weights.weightCol(weightsColumn).cast("double")
+    columns.foreach { c =>
+      // one distributed agg per column; share = sum(w|level)/sum(w)
+      val byLevel = rows.filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("lvl"))
+        .agg(sum(w).as("lw"))
+        .collect()
+      val total = rows.agg(sum(w)).head().getDouble(0)
+      val (common, rare) = byLevel.partition(
+        r => r.getDouble(1) / total >= cutOffPercent)
+      nonRareLevels += c -> common.map(_.getString(0)).toSeq.sorted
+      if (recordRareLevels)
+        rareLevelsRecord += c -> rare.map(_.getString(0)).toSeq.sorted
+      if (!unseenLevelsToRare)
+        trainingLevels += c -> byLevel.map(_.getString(0)).toSeq.sorted
+    }
+    this
+  }
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    columns.map { c =>
+      val keep = col(c).isNull ||
+        col(c).isin(nonRareLevels(c): _*) ||
+        (if (!unseenLevelsToRare)
+           !col(c).isin(trainingLevels(c): _*)
+         else lit(false))
+      c -> when(keep, col(c)).otherwise(lit(rareLevelName))
+    }
+
+  override def initParams: Map[String, Any] = Map(
+    "columns" -> columns, "cut_off_percent" -> cutOffPercent,
+    "rare_level_name" -> rareLevelName,
+    "weights_column" -> weightsColumn.orNull,
+    "unseen_levels_to_rare" -> unseenLevelsToRare,
+    "record_rare_levels" -> recordRareLevels)
+  override def fitParams: Map[String, Any] = Map(
+    "non_rare_levels" -> nonRareLevels,
+    "rare_levels_record_" -> rareLevelsRecord,
+    "training_data_levels" -> trainingLevels)
+  override def restoreFit(fit: Map[String, Any]): this.type = {
+    nonRareLevels =
+      fit("non_rare_levels").asInstanceOf[Map[String, Seq[String]]]
+    rareLevelsRecord =
+      fit("rare_levels_record_").asInstanceOf[Map[String, Seq[String]]]
+    trainingLevels =
+      fit("training_data_levels").asInstanceOf[Map[String, Seq[String]]]
+    super.restoreFit(fit)
+  }
+}
+
+/** Target (mean-response) encoding with additive-prior smoothing
+  * (tubular/nominal.py:517-1423):
+  *   enc(level) = (sum(w*y | level) + prior * globalMean)
+  *                / (sum(w | level) + prior)
+  * Unseen levels at transform -> `unseenLevelHandling`:
+  *   Left(number) or Right("mean"|"median"|"min"|"max") of the encoded
+  *   training column; None -> error on unseen (reference raises).
+  * Multi-level response: one encoded column per response level,
+  * `{col}_{level}`, with y binarised per level
+  * (tubular/nominal.py:896-941).
+  */
+class MeanResponseTransformer(
+    val columns: Seq[String],
+    val responseColumn: String,
+    val prior: Double = 0,
+    val weightsColumn: Option[String] = None,
+    val unseenLevelHandling: Option[Either[Double, String]] = None,
+    val level: Seq[String] = Seq.empty, // non-empty => multi-level
+    val returnType: String = "double" // reference Float32/Float64
+) extends Transformer {
+  require(prior >= 0, s"prior must be >= 0, got $prior")
+  unseenLevelHandling.foreach {
+    case Right(s) => require(Seq("mean", "median", "min", "max").contains(s))
+    case _ => ()
+  }
+  override def needsFit: Boolean = true
+
+  /** encodedColumn -> (stringLevel -> encoding) */
+  var mappings: Map[String, Map[String, Double]] = Map.empty
+  var unseenEncoding: Map[String, Double] = Map.empty
+  var encodedColumns: Seq[String] = Seq.empty
+
+  private def yExprs: Seq[(String, Column)] =
+    if (level.isEmpty) Seq("" -> col(responseColumn).cast("double"))
+    else level.map(l =>
+      s"_$l" -> when(col(responseColumn).cast("string") === l, 1.0)
+        .otherwise(0.0))
+
+  override def fit(df: DataFrame): this.type = {
+    super.fit(df)
+    if (!df.columns.contains(responseColumn))
+      throw new IllegalArgumentException(
+        s"$classname: response column $responseColumn not in DataFrame")
+    val nNullY = df.filter(col(responseColumn).isNull).limit(1).count()
+    if (nNullY > 0)
+      throw new IllegalArgumentException(
+        s"$classname: response column $responseColumn contains nulls " +
+          "(tubular/nominal.py:1070-1072)")
+    val rows = Weights.fitRows(df, weightsColumn)
+    val w = Weights.weightCol(weightsColumn).cast("double")
+
+    val ys = yExprs
+    // global weighted means, one distributed agg
+    val gmAggs = ys.map { case (sfx, y) =>
+      (sum(w * y) / sum(w)).as(s"gm$sfx") }
+    val gmRow = rows.agg(gmAggs.head, gmAggs.tail: _*).head()
+    val globalMeans = ys.zipWithIndex.map {
+      case ((sfx, _), i) => sfx -> gmRow.getDouble(i) }.toMap
+
+    mappings = Map.empty
+    encodedColumns = Seq.empty
+    columns.foreach { c =>
+      // one groupBy per input column computes ALL response levels at once
+      val aggs = ys.flatMap { case (sfx, y) =>
+        Seq(sum(w * y).as(s"wy$sfx"), sum(w).as(s"ww$sfx")) }
+      val grouped = rows
+        .filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("lvl"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      ys.foreach { case (sfx, _) =>
+        val enc = s"$c$sfx"
+        encodedColumns :+= enc
+        mappings += enc -> grouped.map { r =>
+          val lvl = r.getAs[String]("lvl")
+          val wy = r.getAs[Double](s"wy$sfx")
+          val ww = r.getAs[Double](s"ww$sfx")
+          lvl -> (wy + prior * globalMeans(sfx)) / (ww + prior)
+        }.toMap
+      }
+    }
+
+    // unseen-level fallback from the ENCODED training column
+    // (tubular/nominal.py:1240-1311)
+    unseenEncoding = unseenLevelHandling match {
+      case None => Map.empty
+      case Some(Left(v)) => encodedColumns.map(_ -> v).toMap
+      case Some(Right(stat)) =>
+        encodedColumns.flatMap { enc =>
+          val srcCol = columns.find(c => enc.startsWith(c)).get
+          val m = mappings(enc)
+          val mapped = mapExpr(col(srcCol), m)
+          stat match {
+            case "median" =>
+              val tmp = rows.filter(col(srcCol).isNotNull)
+                .select(mapped.as("__enc"),
+                  w.as("__w"))
+              Stats.weightedMedianValue(tmp, "__enc", col("__w"))
+                .map(enc -> _)
+            case "mean" =>
+              Some(enc -> rows.agg(
+                (sum(w * mapped) / sum(when(mapped.isNotNull, w)))).head()
+                .getDouble(0))
+            case "min" =>
+              Some(enc -> rows.agg(min(mapped)).head().getDouble(0))
+            case "max" =>
+              Some(enc -> rows.agg(max(mapped)).head().getDouble(0))
+          }
+        }.toMap
+    }
+    this
+  }
+
+  /** literal-map lookup; keys not in map -> null (then fallback). */
+  private def mapExpr(c: Column, m: Map[String, Double]): Column =
+    if (m.isEmpty) lit(null).cast("double")
+    else element_at(typedLit(m), c.cast("string"))
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] = {
+    val ys = yExprs
+    columns.flatMap { c =>
+      ys.map { case (sfx, _) =>
+        val enc = s"$c$sfx"
+        val looked = mapExpr(col(c), mappings(enc))
+        val withUnseen = unseenEncoding.get(enc) match {
+          case Some(u) =>
+            when(col(c).isNotNull && looked.isNull, lit(u)).otherwise(looked)
+          case None => looked
+        }
+        val outT = if (returnType == "float") FloatType else DoubleType
+        enc -> withUnseen.cast(outT)
+      }
+    }
+  }
+
+  override def featureNamesOut: Seq[String] = encodedColumns
+
+  override def initParams: Map[String, Any] = Map(
+    "columns" -> columns, "response_column" -> responseColumn,
+    "prior" -> prior, "weights_column" -> weightsColumn.orNull,
+    "unseen_level_handling" -> (unseenLevelHandling match {
+      case None => null
+      case Some(Left(v)) => v
+      case Some(Right(s)) => s
+    }),
+    "level" -> level, "return_type" -> returnType)
+  override def fitParams: Map[String, Any] = Map(
+    "mappings" -> mappings,
+    "unseen_levels_encoding_dict" -> unseenEncoding,
+    "encoded_columns" -> encodedColumns)
+  override def restoreFit(fit: Map[String, Any]): this.type = {
+    mappings = fit("mappings").asInstanceOf[Map[String, Map[String, Double]]]
+    unseenEncoding =
+      fit("unseen_levels_encoding_dict").asInstanceOf[Map[String, Double]]
+    encodedColumns = fit("encoded_columns").asInstanceOf[Seq[String]]
+    super.restoreFit(fit)
+  }
+}
+
+/** One-hot as plain boolean columns `{col}{sep}{level}`
+  * (tubular/nominal.py:1427-1843). Levels learned sorted, capped at
+  * 100; null input row -> null dummies (equality with null).
+  */
+class OneHotEncodingTransformer(
+    val columns: Seq[String],
+    val separator: String = "_",
+    val wantedValues: Map[String, Seq[String]] = Map.empty,
+    val dropOriginal: Boolean = false
+) extends Transformer {
+  override def needsFit: Boolean = true
+
+  var categories: Map[String, Seq[String]] = Map.empty
+
+  override def fit(df: DataFrame): this.type = {
+    super.fit(df)
+    requireStringLike(df, columns)
+    categories =
+      if (wantedValues.nonEmpty) wantedValues
+      else {
+        // single distributed agg for all columns
+        val aggs = columns.map(c =>
+          collect_set(col(c).cast("string")).as(c))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        columns.map { c =>
+          val lv = row.getAs[scala.collection.Seq[String]](c).toSeq.sorted
+          if (lv.isEmpty)
+            throw new IllegalStateException(
+              s"$classname: column $c has no non-null levels")
+          if (lv.size > 100)
+            throw new IllegalArgumentException(
+              s"$classname: column $c has ${lv.size} levels (>100 cap, " +
+                "tubular/nominal.py:1714-1720)")
+          c -> lv
+        }.toMap
+      }
+    this
+  }
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    columns.flatMap { c =>
+      categories(c).map(l =>
+        s"$c$separator$l" -> (col(c).cast("string") === lit(l)))
+    }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val out = super.transform(df)
+    if (dropOriginal) out.drop(columns: _*) else out
+  }
+
+  override def featureNamesOut: Seq[String] =
+    columns.flatMap(c => categories(c).map(l => s"$c$separator$l"))
+
+  override def initParams: Map[String, Any] = Map(
+    "columns" -> columns, "separator" -> separator,
+    "wanted_values" -> wantedValues, "drop_original" -> dropOriginal)
+  override def fitParams: Map[String, Any] =
+    Map("categories_" -> categories)
+  override def restoreFit(fit: Map[String, Any]): this.type = {
+    categories = fit("categories_").asInstanceOf[Map[String, Seq[String]]]
+    super.restoreFit(fit)
+  }
+}

@@ -1,0 +1,190 @@
+package graft.temporal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Point-in-time (as-of) join: for each left row (entity, ts), attach
+  * the latest right row with right.entity == left.entity and
+  * right.ts <= left.ts (strict < available for leakage-free label
+  * generation). Not present in the reference (tubular has no joins —
+  * only the internal row-index zip at tubular/base.py:450-462); mandated
+  * by BASELINE.json north_rule.
+  *
+  * == Strategies ==
+  *
+  * `union` (default, scales to arbitrary right-side size):
+  * tag both sides, union, then one
+  * `Window.partitionBy(entity).orderBy(ts, side)` with a
+  * last(_, ignoreNulls) running carry-forward. Exactly ONE hash
+  * exchange on entity + one sort (ts, side) — Spark's own
+  * sort-merge-join machinery couldn't do an inequality-latest join in
+  * fewer shuffles. All right-hand value columns ride the same window
+  * spec, so Catalyst plans a single Window node.
+  *
+  * `broadcast` (small right side): right side is grouped per entity
+  * into a ts-sorted array of structs, broadcast-hash-joined, and probed
+  * with `filter(arr, r -> r.ts <= l.ts)[-1]` — zero shuffle on the
+  * (huge) left side. Use when the right side fits the broadcast
+  * threshold (dimension-style feature tables).
+  *
+  * == Skew ==
+  *
+  * Hot entities (celebrity keys) overload one reducer in the union
+  * strategy. `saltBuckets = n` splits each LEFT row of a hot entity
+  * into one of n sub-partitions by hashing its ts, and REPLICATES the
+  * hot entities' right rows into every sub-partition, preserving
+  * correctness (each sub-partition sees the full right history).
+  * Cold entities keep salt 0 — no blow-up. AQE skew-join handling
+  * remains on as a backstop.
+  */
+object AsOfJoin {
+
+  /** @param leftTs / rightTs   timestamp column names
+    * @param rightValueCols     right columns to carry (defaults: all but
+    *                           entity/ts)
+    * @param strict             true => right.ts <  left.ts (no same-instant
+    *                           reads); false => <=
+    * @param toleranceSeconds   optional max staleness; older matches -> null
+    * @param hotEntities        explicit skew keys to salt (empty => no salting)
+    * @param saltBuckets        sub-partitions per hot entity
+    */
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      entity: String,
+      leftTs: String = "ts",
+      rightTs: String = "ts",
+      rightValueCols: Seq[String] = Seq.empty,
+      strict: Boolean = false,
+      toleranceSeconds: Option[Long] = None,
+      broadcastRight: Boolean = false,
+      hotEntities: Seq[String] = Seq.empty,
+      saltBuckets: Int = 8): DataFrame = {
+
+    val valueCols =
+      if (rightValueCols.nonEmpty) rightValueCols
+      else right.columns.filterNot(c => c == entity || c == rightTs).toSeq
+
+    if (broadcastRight)
+      joinBroadcast(left, right, entity, leftTs, rightTs, valueCols,
+        strict, toleranceSeconds)
+    else
+      joinUnion(left, right, entity, leftTs, rightTs, valueCols,
+        strict, toleranceSeconds, hotEntities, saltBuckets)
+  }
+
+  private val MatchedTs = "__asof_matched_ts"
+
+  private def joinUnion(
+      left: DataFrame, right: DataFrame, entity: String,
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      strict: Boolean, toleranceSeconds: Option[Long],
+      hotEntities: Seq[String], saltBuckets: Int): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    // side ordering at equal ts decides <= vs < :
+    //   <=  : right (0) sorts BEFORE left (1) -> same-instant rows visible
+    //   <   : right (2) sorts AFTER  left (1) -> same-instant rows invisible
+    val rightSide = if (strict) 2 else 0
+
+    val salted = hotEntities.nonEmpty && saltBuckets > 1
+    val hotSet = hotEntities.toSet
+
+    val leftSalt: Column =
+      if (!salted) lit(0)
+      else when(col(entity).isin(hotEntities: _*),
+        pmod(xxhash64(col(leftTs)), lit(saltBuckets)).cast("int"))
+        .otherwise(lit(0))
+
+    val rightStruct = struct(
+      (valueCols.map(col) :+ col(rightTs).as(MatchedTs)): _*)
+    val rightStructType =
+      right.select(rightStruct.as("__r")).schema("__r").dataType
+    val leftStruct = struct(leftCols.map(col): _*)
+    val leftStructType =
+      left.select(leftStruct.as("__l")).schema("__l").dataType
+
+    val taggedLeft = left.select(
+      col(entity).as("__e"),
+      col(leftTs).as("__t"),
+      lit(1).as("__side"),
+      leftSalt.as("__salt"),
+      leftStruct.as("__l"),
+      lit(null).cast(rightStructType).as("__r"))
+
+    val rightBase = right.select(
+      col(entity).as("__e"),
+      col(rightTs).as("__t"),
+      lit(rightSide).as("__side"),
+      rightStruct.as("__r"))
+    // replicate hot-entity right rows into every salt bucket
+    val taggedRight = (if (salted)
+      rightBase.withColumn("__salt",
+        explode(when(col("__e").isin(hotEntities: _*),
+          typedLit((0 until saltBuckets).toSeq))
+          .otherwise(typedLit(Seq(0)))))
+    else rightBase.withColumn("__salt", lit(0)))
+      .withColumn("__l", lit(null).cast(leftStructType))
+      .select("__e", "__t", "__side", "__salt", "__l", "__r")
+
+    val unioned = taggedLeft
+      .select("__e", "__t", "__side", "__salt", "__l", "__r")
+      .unionByName(taggedRight)
+
+    val w = Window.partitionBy(col("__e"), col("__salt"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("__rv", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    finish(carried, leftCols, valueCols, leftTs, toleranceSeconds)
+  }
+
+  private def joinBroadcast(
+      left: DataFrame, right: DataFrame, entity: String,
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      strict: Boolean, toleranceSeconds: Option[Long]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val rightArr = right
+      .groupBy(col(entity).as("__e"))
+      .agg(sort_array(collect_list(struct(
+        (col(rightTs).as(MatchedTs) +: valueCols.map(col)): _*)))
+        .as("__hist"))
+
+    val joined = left
+      .select(struct(leftCols.map(col): _*).as("__l"),
+        col(entity).as("__le"), col(leftTs).as("__lt"))
+      .join(broadcast(rightArr), col("__le") === col("__e"), "left")
+
+    val cmp: (Column, Column) => Column =
+      if (strict) (a, b) => a < b else (a, b) => a <= b
+    val eligible = filter(col("__hist"),
+      r => cmp(r.getField(MatchedTs), col("__lt")))
+    val carried = joined.withColumn("__rv",
+      when(size(eligible) > 0, element_at(eligible, -1)))
+
+    finish(carried, leftCols, valueCols, leftTs, toleranceSeconds)
+  }
+
+  private def finish(
+      carried: DataFrame, leftCols: Seq[String], valueCols: Seq[String],
+      leftTs: String, toleranceSeconds: Option[Long]): DataFrame = {
+    val withinTol: Column = toleranceSeconds match {
+      case Some(tol) =>
+        col("__rv").isNotNull &&
+          (unix_micros(col("__l").getField(leftTs).cast("timestamp")) -
+            unix_micros(col("__rv").getField(MatchedTs).cast("timestamp"))
+            <= tol * 1000000L)
+      case None => col("__rv").isNotNull
+    }
+    val out = leftCols.map(c => col("__l").getField(c).as(c)) ++
+      valueCols.map(c =>
+        when(withinTol, col("__rv").getField(c)).as(c)) :+
+      when(withinTol, col("__rv").getField(MatchedTs))
+        .as("matched_ts")
+    carried.select(out: _*)
+  }
+}

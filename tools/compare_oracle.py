@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL
+in DuckDB over the sf parquet tables and compare against the Verify
+parquet dumps (columns sorted by name, rows sorted, exact equality)."""
+import sys, json, glob, os
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = []
+for name in sorted(os.listdir(out_dir)):
+    d = f"{out_dir}/{name}"
+    if not os.path.isdir(d):
+        continue
+    files = glob.glob(f"{d}/*.parquet")
+    if not files:
+        print(f"{name}: NO PARQUET"); fails.append(name); continue
+    got = con.execute(f"SELECT * FROM '{files[0]}'").fetchdf()
+    if name not in oracle:
+        print(f"{name}: rows-only ({len(got)} rows)",
+              "OK" if len(got) > 0 else "EMPTY!")
+        if len(got) == 0: fails.append(name)
+        continue
+    try:
+        exp = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"{name}: ORACLE SQL ERROR: {e}"); fails.append(name); continue
+    ok = True
+    if sorted(got.columns) != sorted(exp.columns):
+        print(f"{name}: COLUMN MISMATCH {sorted(got.columns)} vs {sorted(exp.columns)}")
+        ok = False
+    elif len(got) != len(exp):
+        print(f"{name}: ROWCOUNT {len(got)} vs {len(exp)}")
+        ok = False
+    else:
+        g = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+        e = exp[sorted(exp.columns)].sort_values(sorted(exp.columns)).reset_index(drop=True)
+        for c in sorted(got.columns):
+            gc, ec = g[c], e[c]
+            if str(gc.dtype) != str(ec.dtype):
+                print(f"{name}: dtype diff col {c}: {gc.dtype} vs {ec.dtype}")
+            neq = ~((gc == ec) | (gc.isna() & ec.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                print(f"{name}: VALUE DIFF col {c} at row {i}: got={gc[i]!r} exp={ec[i]!r} ({int(neq.sum())} diffs)")
+                ok = False
+    print(f"{name}: {'OK' if ok else 'FAIL'} ({len(got)} rows)")
+    if not ok: fails.append(name)
+
+print("\n=== SUMMARY:", "ALL OK" if not fails else f"FAILURES: {fails}")
+sys.exit(1 if fails else 0)
