@@ -122,8 +122,8 @@ object AsOfJoin {
     val taggedRight = (if (salted)
       rightBase.withColumn("__salt",
         explode(when(col("__e").isin(hotEntities: _*),
-          typedLit((0 until saltBuckets).toSeq))
-          .otherwise(typedLit(Seq(0)))))
+          typedLit((0 until saltBuckets).toList))
+          .otherwise(typedLit(List(0)))))
     else rightBase.withColumn("__salt", lit(0)))
       .withColumn("__l", lit(null).cast(leftStructType))
       .select("__e", "__t", "__side", "__salt", "__l", "__r")

@@ -1,0 +1,106 @@
+package graft
+
+import graft.temporal.AsOfJoin
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** As-of join correctness incl. the temporal-leakage oracle
+  * (BASELINE.json north_rule: "zero temporal leakage") and strategy
+  * equivalence (union/window vs broadcast vs salted).
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def left() = df("e STRING, ts TIMESTAMP, lv BIGINT", Seq(
+    Row("a", ts("2024-01-01 10:00:00"), 1L),
+    Row("a", ts("2024-01-01 12:00:00"), 2L),
+    Row("a", ts("2024-01-01 14:00:00"), 3L),
+    Row("b", ts("2024-01-01 10:00:00"), 4L),
+    Row("c", ts("2024-01-01 10:00:00"), 5L)))
+
+  private def right() = df("e STRING, ts TIMESTAMP, f DOUBLE", Seq(
+    Row("a", ts("2024-01-01 09:00:00"), 1.0),
+    Row("a", ts("2024-01-01 12:00:00"), 2.0), // same instant as a left row
+    Row("a", ts("2024-01-01 13:00:00"), 3.0),
+    Row("b", ts("2024-01-01 11:00:00"), 4.0))) // only AFTER b's event
+
+  test("latest right row at-or-before each left ts (<=)") {
+    val out = AsOfJoin.join(left(), right(), "e").orderBy("lv")
+    assert(column(out, "f") == Seq(1.0, 2.0, 3.0, null, null))
+  }
+
+  test("strict < skips same-instant rows") {
+    val out = AsOfJoin.join(left(), right(), "e", strict = true)
+      .orderBy("lv")
+    assert(column(out, "f") == Seq(1.0, 1.0, 3.0, null, null))
+  }
+
+  test("tolerance nulls stale matches") {
+    val out = AsOfJoin.join(left(), right(), "e",
+      toleranceSeconds = Some(3600)).orderBy("lv")
+    // lv=1 matched 09:00 (1h) ok; lv=2 matched 12:00 (0) ok; lv=3 13:00 (1h) ok
+    assert(column(out, "f") == Seq(1.0, 2.0, 3.0, null, null))
+    val tight = AsOfJoin.join(left(), right(), "e",
+      toleranceSeconds = Some(1800)).orderBy("lv")
+    assert(column(tight, "f") == Seq(null, 2.0, null, null, null))
+  }
+
+  test("temporal leakage oracle: no matched_ts after left ts, ever") {
+    val strategies = Seq(
+      AsOfJoin.join(left(), right(), "e"),
+      AsOfJoin.join(left(), right(), "e", broadcastRight = true),
+      AsOfJoin.join(left(), right(), "e",
+        hotEntities = Seq("a"), saltBuckets = 4))
+    strategies.foreach { out =>
+      val leaks = out.filter(col("matched_ts") > col("ts")).count()
+      assert(leaks == 0, "leaked future rows")
+    }
+    val strict = AsOfJoin.join(left(), right(), "e", strict = true)
+    assert(strict.filter(col("matched_ts") >= col("ts")).count() == 0)
+  }
+
+  test("broadcast strategy == union strategy") {
+    val a = AsOfJoin.join(left(), right(), "e").orderBy("lv")
+    val b = AsOfJoin.join(left(), right(), "e", broadcastRight = true)
+      .orderBy("lv")
+    assert(a.collect().toSeq == b.collect().toSeq)
+  }
+
+  test("salted hot entities == unsalted result") {
+    val base = AsOfJoin.join(left(), right(), "e").orderBy("lv")
+    val salted = AsOfJoin.join(left(), right(), "e",
+      hotEntities = Seq("a", "b"), saltBuckets = 3).orderBy("lv")
+    assert(base.collect().toSeq == salted.collect().toSeq)
+  }
+
+  test("salted equivalence on a bigger randomized-shape table") {
+    val spark0 = spark
+    import spark0.implicits._
+    val l = spark.range(0, 2000)
+      .select(concat(lit("e"), (col("id") % 7).cast("string")).as("e"),
+        timestamp_micros(lit(1700000000000000L) +
+          xxhash64(col("id")) % 100000000L).as("ts"),
+        col("id").as("lv"))
+    val r = spark.range(0, 500)
+      .select(concat(lit("e"), (col("id") % 7).cast("string")).as("e"),
+        timestamp_micros(lit(1700000000000000L) +
+          xxhash64(col("id"), lit(1)) % 100000000L).as("ts"),
+        (col("id") * 2).cast("double").as("f"))
+    val base = AsOfJoin.join(l, r, "e").orderBy("lv").collect().toSeq
+    val salted = AsOfJoin.join(l, r, "e",
+      hotEntities = Seq("e0", "e1"), saltBuckets = 5)
+      .orderBy("lv").collect().toSeq
+    val bcast = AsOfJoin.join(l, r, "e", broadcastRight = true)
+      .orderBy("lv").collect().toSeq
+    assert(base == salted)
+    assert(base == bcast)
+  }
+
+  test("left row count is always preserved") {
+    val out = AsOfJoin.join(left(), right(), "e",
+      hotEntities = Seq("a"), saltBuckets = 4)
+    assert(out.count() == 5)
+  }
+}

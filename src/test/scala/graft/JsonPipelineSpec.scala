@@ -1,0 +1,78 @@
+package graft
+
+import graft.core.{Json, Pipeline}
+import graft.operators._
+import org.apache.spark.sql.Row
+
+/** JSON round-trip: {classname, init, fit} envelope, registry rebuild,
+  * transform-only blocking (reference tubular/base.py:246-337,
+  * tubular/_utils.py:251-272, tubular/pipeline.py:10-113).
+  */
+class JsonPipelineSpec extends SparkSpec {
+
+  private def frame() = df("a DOUBLE, b STRING, y DOUBLE", Seq(
+    Row(1.0, "x", 10.0), Row(null, "y", 20.0), Row(3.0, "x", 30.0),
+    Row(9.0, null, 40.0)))
+
+  test("fitted transformer JSON round-trip preserves transform output") {
+    val t = new MeanImputer(Seq("a")).fit(frame())
+    val json = Json.transformerToJson(t)
+    assert(json.contains("\"classname\":\"MeanImputer\""))
+    val t2 = Json.transformerFromJson(json)
+    assert(t2.transform(frame()).collect().toSeq ==
+      t.transform(frame()).collect().toSeq)
+  }
+
+  test("reloaded transformer blocks fit") {
+    val t = new MeanImputer(Seq("a")).fit(frame())
+    val t2 = Json.transformerFromJson(Json.transformerToJson(t))
+    assertThrows[IllegalStateException] { t2.fit(frame()) }
+  }
+
+  test("every registered classname survives a default round-trip") {
+    // spot-check a diverse subset with fitted state
+    val transformers: Seq[graft.core.Transformer] = Seq(
+      new ArbitraryImputer(Seq("a"), 0.5),
+      new MedianImputer(Seq("a")).fit(frame()),
+      new ModeImputer(Seq("b")).fit(frame()),
+      new CappingTransformer(
+        quantiles = Map("a" -> (Some(0.1), Some(0.9)))).fit(frame()),
+      new GroupRareLevelsTransformer(Seq("b"), cutOffPercent = 0.4)
+        .fit(frame()),
+      new MeanResponseTransformer(Seq("b"), "y",
+        unseenLevelHandling = Some(Left(-1.0))).fit(frame()),
+      new OneHotEncodingTransformer(Seq("b")).fit(frame()),
+      new MappingTransformer(Map("b" -> Map(Option("x") -> "X",
+        (None: Option[String]) -> "was_null"))),
+      new RatioTransformer("a", "y"),
+      new LowerCaseTransformer(Seq("b")),
+      new SetValueTransformer(Seq("b"), "k"))
+    transformers.foreach { t =>
+      val json = Json.transformerToJson(t)
+      val t2 = Json.transformerFromJson(json)
+      assert(t2.transform(frame()).collect().toSeq ==
+        t.transform(frame()).collect().toSeq,
+        s"round-trip mismatch for ${t.classname}")
+    }
+  }
+
+  test("pipeline fit -> json -> reload -> identical transform") {
+    val p = Pipeline(
+      "impute" -> new MeanImputer(Seq("a")),
+      "onehot" -> new OneHotEncodingTransformer(Seq("b")),
+      "enc" -> new MeanResponseTransformer(Seq("b"), "y",
+        unseenLevelHandling = Some(Right("mean"))))
+    p.fit(frame())
+    val expected = p.transform(frame()).collect().toSeq
+    val p2 = Pipeline.fromJson(p.toJson)
+    assert(p2.transform(frame()).collect().toSeq == expected)
+    assertThrows[IllegalStateException] { p2.steps.head._2.fit(frame()) }
+  }
+
+  test("mapping with null key maps nulls") {
+    val t = new MappingTransformer(Map("b" -> Map(
+      Option("x") -> "X", (None: Option[String]) -> "was_null")))
+    val out = t.transform(frame()).orderBy("y")
+    assert(column(out, "b") == Seq("X", "y", "X", "was_null"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.Row
+
+/** Golden values from the reference's own pytest fixtures
+  * (/root/reference/tests/nominal/test_MeanResponseTransformer.py:35-172).
+  */
+class NominalSpec extends SparkSpec {
+
+  // a = response 1..6, b = levels a..f, multi_level_response 3 levels
+  private def mrFrame() = df(
+    "a DOUBLE, b STRING, mlr STRING", Seq(
+      Row(1.0, "a", "blue"), Row(2.0, "b", "blue"),
+      Row(3.0, "c", "yellow"), Row(4.0, "d", "yellow"),
+      Row(5.0, "e", "green"), Row(6.0, "f", "green")))
+
+  test("MeanResponse prior=0 learns per-level means (reference golden)") {
+    val t = new MeanResponseTransformer(Seq("b"), "a").fit(mrFrame())
+    assert(t.mappings("b") == Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0,
+      "d" -> 4.0, "e" -> 5.0, "f" -> 6.0))
+    val out = t.transform(mrFrame())
+    assert(column(out, "b") == Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+  }
+
+  test("MeanResponse multi-level binarises y per level (golden)") {
+    val t = new MeanResponseTransformer(Seq("b"), "mlr",
+      level = Seq("blue", "yellow", "green")).fit(mrFrame())
+    assert(t.mappings("b_blue") == Map("a" -> 1.0, "b" -> 1.0, "c" -> 0.0,
+      "d" -> 0.0, "e" -> 0.0, "f" -> 0.0))
+    assert(t.mappings("b_yellow") == Map("a" -> 0.0, "b" -> 0.0,
+      "c" -> 1.0, "d" -> 1.0, "e" -> 0.0, "f" -> 0.0))
+    assert(t.mappings("b_green") == Map("a" -> 0.0, "b" -> 0.0, "c" -> 0.0,
+      "d" -> 0.0, "e" -> 1.0, "f" -> 1.0))
+    assert(t.featureNamesOut ==
+      Seq("b_blue", "b_yellow", "b_green"))
+  }
+
+  test("MeanResponse prior smoothing formula") {
+    // prior=6: enc(a) = (1 + 6*3.5)/(1+6) = 22/7
+    val t = new MeanResponseTransformer(Seq("b"), "a", prior = 6.0)
+      .fit(mrFrame())
+    assert(math.abs(t.mappings("b")("a") - 22.0 / 7) < 1e-12)
+  }
+
+  test("MeanResponse unseen-level handling (reference goldens)") {
+    def fit(u: Either[Double, String]) =
+      new MeanResponseTransformer(Seq("b"), "a",
+        unseenLevelHandling = Some(u)).fit(mrFrame())
+    assert(fit(Right("mean")).unseenEncoding("b") == 3.5)
+    assert(fit(Right("median")).unseenEncoding("b") == 3.0)
+    assert(fit(Right("max")).unseenEncoding("b") == 6.0)
+    assert(fit(Right("min")).unseenEncoding("b") == 1.0)
+    assert(fit(Left(22.0)).unseenEncoding("b") == 22.0)
+    // transform applies the fallback to unseen levels only
+    val t = fit(Right("mean"))
+    val unseen = df("a DOUBLE, b STRING, mlr STRING",
+      Seq(Row(0.0, "ZZZ", "blue"), Row(0.0, "a", "blue"),
+        Row(0.0, null, "blue")))
+    assert(column(t.transform(unseen), "b") == Seq(3.5, 1.0, null))
+  }
+
+  test("MeanResponse rejects null response") {
+    val d = df("a DOUBLE, b STRING, mlr STRING",
+      Seq(Row(null, "a", "x")))
+    assertThrows[IllegalArgumentException] {
+      new MeanResponseTransformer(Seq("b"), "a").fit(d)
+    }
+  }
+
+  test("GroupRareLevels groups below cutoff, nulls pass") {
+    val d = df("c STRING", Seq(
+      Row("x"), Row("x"), Row("x"), Row("x"), Row("x"),
+      Row("y"), Row("y"), Row("y"),
+      Row("z"), Row(null)))
+    // shares over ALL weight incl null row: x=.5 y=.3 z=.1
+    val t = new GroupRareLevelsTransformer(Seq("c"),
+      cutOffPercent = 0.25).fit(d)
+    assert(t.nonRareLevels("c") == Seq("x", "y"))
+    val out = t.transform(d)
+    assert(column(out, "c") == Seq("x", "x", "x", "x", "x",
+      "y", "y", "y", "rare", null))
+  }
+
+  test("GroupRareLevels unseenLevelsToRare=false passes unseen through") {
+    val d = df("c STRING", Seq(Row("x"), Row("x"), Row("x"), Row("z")))
+    val t = new GroupRareLevelsTransformer(Seq("c"),
+      cutOffPercent = 0.5, unseenLevelsToRare = false).fit(d)
+    val out = t.transform(df("c STRING", Seq(Row("x"), Row("z"),
+      Row("NEW"))))
+    assert(column(out, "c") == Seq("x", "rare", "NEW"))
+  }
+
+  test("OneHot learns sorted levels; null row -> null dummies") {
+    val d = df("c STRING", Seq(Row("b"), Row("a"), Row(null)))
+    val t = new OneHotEncodingTransformer(Seq("c")).fit(d)
+    assert(t.categories("c") == Seq("a", "b"))
+    val out = t.transform(d)
+    assert(column(out, "c_a") == Seq(false, true, null))
+    assert(column(out, "c_b") == Seq(true, false, null))
+  }
+
+  test("OneHot >100 levels rejected") {
+    val d = df("c STRING", (1 to 101).map(i => Row(s"v$i")))
+    assertThrows[IllegalArgumentException] {
+      new OneHotEncodingTransformer(Seq("c")).fit(d)
+    }
+  }
+}

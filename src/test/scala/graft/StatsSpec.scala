@@ -1,0 +1,65 @@
+package graft
+
+import graft.core.Stats
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Pins Stats.weightedQuantiles to the reference's own doctest goldens
+  * (/root/reference/tubular/capping.py:380-420) and weightedMedian to
+  * tubular/_stats.py semantics.
+  */
+class StatsSpec extends SparkSpec {
+
+  private val qs =
+    Seq(0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+
+  private def quantiles(vals: Seq[Double], ws: Seq[Double]): Seq[Double] = {
+    val d = df("a DOUBLE, w DOUBLE",
+      vals.zip(ws).map { case (v, w) => Row(v, w) })
+    Stats.weightedQuantiles(d, "a", col("w"), qs).map(_.get)
+  }
+
+  private def round1(xs: Seq[Double]): Seq[Double] =
+    xs.map(x => math.rint(x * 10) / 10)
+
+  test("doctest: unit weights [1,2,3]") {
+    assert(round1(quantiles(Seq(1, 2, 3), Seq(1, 1, 1))) ==
+      Seq(1.0, 1.0, 1.0, 1.0, 1.2, 1.5, 1.8, 2.1, 2.4, 2.7, 3.0))
+  }
+
+  test("doctest: weights [0,1,0] collapse to the weighted value") {
+    assert(round1(quantiles(Seq(1, 2, 3), Seq(0, 1, 0))) ==
+      Seq.fill(11)(2.0))
+  }
+
+  test("doctest: weights [1,1,0]") {
+    assert(round1(quantiles(Seq(1, 2, 3), Seq(1, 1, 0))) ==
+      Seq(1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.2, 1.4, 1.6, 1.8, 2.0))
+  }
+
+  test("doctest: five unit-weight values") {
+    assert(round1(quantiles(Seq(1, 2, 3, 4, 5), Seq(1, 1, 1, 1, 1))) ==
+      Seq(1.0, 1.0, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0, 4.5, 5.0))
+  }
+
+  test("doctest: alternating zero weights") {
+    val d = df("a DOUBLE, w DOUBLE",
+      Seq(Row(1.0, 1.0), Row(2.0, 0.0), Row(3.0, 1.0), Row(4.0, 0.0),
+        Row(5.0, 1.0)))
+    val got = Stats.weightedQuantiles(d, "a", col("w"),
+      Seq(0.0, 0.5, 1.0)).map(_.get)
+    assert(round1(got) == Seq(1.0, 2.0, 5.0))
+  }
+
+  test("empty input -> None per quantile") {
+    val d = df("a DOUBLE, w DOUBLE", Seq.empty)
+    assert(Stats.weightedQuantiles(d, "a", col("w"), Seq(0.5)) == Seq(None))
+  }
+
+  test("weighted median = min value with cum-weight-frac >= 0.5") {
+    val d = df("a DOUBLE, w DOUBLE",
+      Seq(Row(1.0, 1.0), Row(2.0, 1.0), Row(3.0, 1.0), Row(4.0, 1.0)))
+    // fracs .25 .5 .75 1.0 -> first >= .5 is 2.0 (NOT interpolated 2.5)
+    assert(Stats.weightedMedianValue(d, "a", col("w")).get == 2.0)
+  }
+}

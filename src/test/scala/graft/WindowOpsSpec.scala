@@ -1,0 +1,70 @@
+package graft
+
+import graft.temporal.WindowOps
+import org.apache.spark.sql.Row
+import java.sql.Timestamp
+
+class WindowOpsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def frame() = df("e STRING, ts TIMESTAMP, v DOUBLE", Seq(
+    Row("a", ts("2024-01-01 10:00:00"), 1.0),
+    Row("a", ts("2024-01-01 10:10:00"), null),
+    Row("a", ts("2024-01-01 10:20:00"), 3.0),
+    Row("a", ts("2024-01-01 12:00:00"), null),
+    Row("b", ts("2024-01-01 10:00:00"), null),
+    Row("b", ts("2024-01-01 10:05:00"), 7.0)))
+
+  test("forwardFill carries last non-null; leading null stays") {
+    val out = WindowOps.forwardFill(frame(), "e", "ts", Seq("v"))
+      .orderBy("e", "ts")
+    assert(column(out, "v_ffill") == Seq(1.0, 1.0, 3.0, 3.0, null, 7.0))
+  }
+
+  test("backFill takes next non-null; trailing null stays") {
+    val out = WindowOps.backFill(frame(), "e", "ts", Seq("v"))
+      .orderBy("e", "ts")
+    assert(column(out, "v_bfill") == Seq(1.0, 3.0, 3.0, null, 7.0, 7.0))
+  }
+
+  test("lagLead shift within entity") {
+    val out = WindowOps.lagLead(frame(), "e", "ts", Seq("v"), k = 1)
+      .orderBy("e", "ts")
+    assert(column(out, "v_lag1") == Seq(null, 1.0, null, 3.0, null, null))
+    assert(column(out, "v_lead1") == Seq(null, 3.0, null, null, 7.0, null))
+  }
+
+  test("rollingRows window of k rows") {
+    val out = WindowOps.rollingRows(frame(), "e", "ts", Seq("v"), k = 2,
+      aggs = Seq("sum", "count")).orderBy("e", "ts")
+    assert(column(out, "v_roll2_sum") == Seq(1.0, 1.0, 3.0, 3.0, null, 7.0))
+    assert(column(out, "v_roll2_count") == Seq(1L, 1L, 1L, 1L, 0L, 1L))
+  }
+
+  test("rollingRange trailing time window") {
+    val out = WindowOps.rollingRange(frame(), "e", "ts", Seq("v"),
+      seconds = 1200, aggs = Seq("sum")).orderBy("e", "ts")
+    // third a-row sees rows at 10:00..10:20 -> 1+3; fourth sees only itself
+    assert(column(out, "v_rng1200s_sum") ==
+      Seq(1.0, 1.0, 4.0, null, null, 7.0))
+  }
+
+  test("sessionize splits on gap > threshold") {
+    val out = WindowOps.sessionize(frame(), "e", "ts", gapSeconds = 1800)
+      .orderBy("e", "ts")
+    assert(column(out, "session_id") == Seq(1L, 1L, 1L, 2L, 1L, 1L))
+  }
+
+  test("stacked window ops reuse ONE exchange") {
+    val chained = WindowOps.sessionize(
+      WindowOps.lagLead(
+        WindowOps.forwardFill(frame(), "e", "ts", Seq("v")),
+        "e", "ts", Seq("v"), 1),
+      "e", "ts", 1800)
+    val plan = chained.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+  }
+}
