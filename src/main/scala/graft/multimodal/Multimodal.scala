@@ -1,0 +1,122 @@
+package graft.multimodal
+
+import graft.validate.PixelCheck
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video-as-binary) column processing.
+  *
+  * Payloads stay opaque `binary` columns with typed metadata alongside
+  * (input_hint schema). Decode / feature-extract / resize run as
+  * `mapPartitions` over the typed rows — the Scala analogue of the
+  * mapInPandas batch-UDF shape: one decoder instance per partition,
+  * rows streamed through it, output schema declared up front.
+  *
+  * The heavy codec is pluggable: `ImageIoDecoder` is a real JVM decoder
+  * (javax.imageio — PNG/JPEG); `StubDecoder` is the clearly-marked
+  * deterministic fake for formats whose codecs aren't in this
+  * container (webp/audio/video). The Spark-side plumbing — schema,
+  * partitioning, batch shape — is identical and is what the tests pin.
+  */
+object Multimodal {
+
+  /** Per-payload decode result: tiny numeric features, never pixels —
+    * pixel buffers die inside the partition, only features shuffle.
+    */
+  case class ImageFeatures(
+      decodedW: Int, decodedH: Int, meanLuma: Double, ok: Boolean)
+
+  trait Decoder extends Serializable {
+    def decode(bytes: Array[Byte], fmt: String,
+        declaredW: Int, declaredH: Int): ImageFeatures
+  }
+
+  /** Real decoder for formats javax.imageio knows (png, jpeg). */
+  object ImageIoDecoder extends Decoder {
+    def decode(bytes: Array[Byte], fmt: String, declaredW: Int,
+        declaredH: Int): ImageFeatures = fmt match {
+      case "png" | "jpeg" | "jpg" =>
+        val img = PixelCheck.decode(bytes)
+        if (img == null) ImageFeatures(-1, -1, Double.NaN, ok = false)
+        else {
+          var luma = 0.0
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              luma += 0.299 * ((p >> 16) & 0xff) +
+                0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(img.getWidth, img.getHeight,
+            luma / (img.getWidth.toLong * img.getHeight), ok = true)
+        }
+      case other => StubDecoder.decode(bytes, other, declaredW, declaredH)
+    }
+  }
+
+  /** STUB: deterministic fake for codecs absent from this container
+    * (webp, audio, video frames). Produces stable pseudo-features from
+    * the payload bytes so downstream plumbing is fully testable; swap
+    * in a real codec via the Decoder trait in production.
+    */
+  object StubDecoder extends Decoder {
+    def decode(bytes: Array[Byte], fmt: String, declaredW: Int,
+        declaredH: Int): ImageFeatures = {
+      var h = 1125899906842597L
+      var i = 0
+      val n = math.min(bytes.length, 256)
+      while (i < n) { h = 31 * h + bytes(i); i += 1 }
+      ImageFeatures(declaredW, declaredH,
+        math.abs(h % 256000L) / 1000.0, ok = bytes.nonEmpty)
+    }
+  }
+
+  private val FeatureFields = Seq(
+    StructField("decoded_w", IntegerType),
+    StructField("decoded_h", IntegerType),
+    StructField("mean_luma", DoubleType),
+    StructField("decode_ok", BooleanType))
+
+  /** Attach decode features to an image table
+    * (bytes/fmt/w/h per input_hint). The batch shape: one decoder per
+    * partition, streaming iterator, no pixel buffers escape.
+    */
+  def withDecodeFeatures(df: DataFrame, decoder: Decoder): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ FeatureFields)
+    val bytesIdx = inSchema.fieldIndex("bytes")
+    val fmtIdx = inSchema.fieldIndex("fmt")
+    val wIdx = inSchema.fieldIndex("w")
+    val hIdx = inSchema.fieldIndex("h")
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val f = decoder.decode(r.getAs[Array[Byte]](bytesIdx),
+          r.getString(fmtIdx), r.getInt(wIdx), r.getInt(hIdx))
+        Row.fromSeq(r.toSeq ++
+          Seq(f.decodedW, f.decodedH, f.meanLuma, f.ok))
+      }
+    }
+  }
+
+  /** Payload-level metadata extracted WITHOUT decode (pure projection):
+    * size, magic-byte sniffing, truncation guard. This is the cheap
+    * 100 TB-scan path — full decode only runs on rows that pass.
+    */
+  def payloadMeta(df: DataFrame): DataFrame = {
+    val b = col("bytes")
+    df.withColumns(Map(
+      "payload_bytes" -> length(b),
+      "sniffed_fmt" ->
+        when(substring(hex(b), 1, 16) === "89504E470D0A1A0A", "png")
+          .when(substring(hex(b), 1, 4) === "FFD8", "jpeg")
+          .otherwise("unknown"),
+      "bytes_per_pixel" ->
+        length(b).cast("double") / (col("w") * col("h"))))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID (stopword heuristic), quality scoring, token counting,
+  * document fingerprinting. All pure codegen'd projections — at 100 TB
+  * these run as map-only stages over the parquet scan with the text
+  * column pruned-in and nothing else.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: letter runs, single digits, single
+    * punctuation marks each count as one token (regex kept RE2-safe so
+    * external engines can reproduce it).
+    */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword
+    * language-ID heuristic. Deterministic, dependency-free.
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "den", "ist", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "que"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "zai", "you", "he"))
+
+  /** Languages in deterministic priority order for argmax tie-breaks. */
+  val Langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  def stopwordHits(text: Column, lang: String): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords(lang): _*)))
+
+  /** Language with the most stopword hits; ties -> first in `Langs`
+    * order; zero hits everywhere -> "unknown".
+    */
+  def langId(text: Column): Column = {
+    // deterministic argmax: first language (in Langs order) whose score
+    // equals the row max; all-zero -> "unknown"
+    val maxScore = greatest(Langs.map(l => stopwordHits(text, l)): _*)
+    Langs.reverse.foldLeft(lit("unknown")) { case (acc, l) =>
+      when(stopwordHits(text, l) === maxScore && maxScore > 0, lit(l))
+        .otherwise(acc)
+    }
+  }
+
+  /** Quality-score components + composite
+    * (length / punctuation ratio / stopword ratio / mean token length).
+    * Every arithmetic step is fixed-order IEEE so external engines can
+    * reproduce it bit-for-bit.
+    */
+  def qualityExprs(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text).cast("double")
+    val nTok = tokenCount(text).cast("double")
+    val punct = size(regexp_extract_all(text,
+      lit("[^a-zA-Z0-9 ]"), lit(0))).cast("double")
+    val stops = Langs.map(l => stopwordHits(text, l))
+      .reduce(_ + _).cast("double")
+    val punctRatio = punct / nChars
+    val stopRatio = stops / nTok
+    val meanTokLen = (nChars - (nTok - lit(1.0))) / nTok
+    val lengthScore = least(nChars / lit(500.0), lit(1.0))
+    val composite = lit(0.4) * lengthScore +
+      lit(0.3) * least(stopRatio * lit(5.0), lit(1.0)) +
+      lit(0.2) * least(meanTokLen / lit(8.0), lit(1.0)) +
+      lit(0.1) * (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0)))
+    Seq(
+      "n_chars_q" -> nChars,
+      "n_tokens" -> nTok,
+      "punct_ratio" -> punctRatio,
+      "stopword_ratio" -> stopRatio,
+      "mean_token_len" -> meanTokLen,
+      "quality" -> composite)
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalised lowercased
+    * text (stable across engines), plus a 64-bit xxhash64 variant for
+    * cheap joins/sharding.
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(lower(text), lit(" +"), lit(" ")))
+
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(lower(text), lit(" +"), lit(" ")))
+}

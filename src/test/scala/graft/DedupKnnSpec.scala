@@ -1,0 +1,105 @@
+package graft
+
+import graft.ann.Knn
+import graft.dedup.Dedup
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class DedupKnnSpec extends SparkSpec {
+
+  private def docs() = df("doc_id BIGINT, text STRING", Seq(
+    Row(1L, "the quick brown fox jumps over the lazy dog today"),
+    Row(2L, "the quick brown fox jumps over the lazy dog today"), // exact dup
+    Row(3L, "quick brown fox jumps over the lazy dog today"), // near dup
+    Row(4L, "completely different content about spark engines"),
+    Row(5L, "short")))
+
+  test("exact dedup keeps smallest id per content group") {
+    val out = Dedup.exact(docs(), Seq("text"), "doc_id")
+    assert(column(out.orderBy("doc_id"), "doc_id") ==
+      Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("shingles: n-grams, distinct, short text -> empty") {
+    val first = docs().filter(col("doc_id") === 1)
+      .select(Dedup.shingles(col("text"), 3).as("s"))
+      .head().getSeq[String](0)
+    assert(first.contains("the quick brown"))
+    assert(first.contains("over the lazy"))
+    val short = docs().filter(col("doc_id") === 5)
+      .select(Dedup.shingles(col("text"), 3).as("s")).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("minhash LSH finds exact and near duplicates") {
+    val pairs = Dedup.minhashNearDups(docs(), "doc_id", "text", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0),
+        r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("identical text -> identical simhash; different text differs") {
+    val out = docs().select(Dedup.simhash64(col("text")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(out(0) == out(1))
+    assert(out(0) != out(3))
+  }
+
+  test("quantized cosine is exact for known vectors") {
+    val d = df("id BIGINT, v ARRAY<FLOAT>", Seq(
+      Row(1L, Seq(1.0f, 0.0f)), Row(2L, Seq(0.0f, 1.0f)),
+      Row(3L, Seq(1.0f, 1.0f))))
+    val q = d.select(col("id"), Dedup.quantize(col("v")).as("q"))
+    val pairs = q.as("a").crossJoin(q.as("b"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        Dedup.cosineQ(col("a.q"), col("b.q")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(pairs((1L, 1L)) == 1.0)
+    assert(pairs((1L, 2L)) == 0.0)
+    assert(math.abs(pairs((1L, 3L)) - 1.0 / math.sqrt(2)) < 1e-9)
+  }
+
+  /** Clustered vectors: 5 cluster directions + small per-id noise —
+    * the regime LSH is built for (random uniform vectors have
+    * near-orthogonal neighbors and defeat any hyperplane scheme).
+    */
+  private def vecs(n: Int) = {
+    spark.range(0, n).select(col("id"),
+      transform(sequence(lit(0), lit(15)),
+        i => ((pmod(xxhash64(col("id") % 5, i), lit(2000)).cast("double")
+          / 1000.0 - 1.0) +
+          (pmod(xxhash64(col("id"), i), lit(200)).cast("double")
+            / 1000.0 - 0.1)).cast("float")).as("embedding"))
+  }
+
+  test("brute-force top-k: self is rank 1 with cosine 1") {
+    val e = vecs(100)
+    val out = Knn.bruteForceTopK(e, e.filter(col("id") < 3), "id",
+      "embedding", "id", 5)
+    val r1 = out.filter(col("rank") === 1).orderBy("query_id")
+      .collect()
+    r1.foreach { r =>
+      assert(r.getAs[Long]("query_id") == r.getAs[Long]("item_id"))
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-12)
+    }
+  }
+
+  test("LSH top-k hits >= 40% recall vs brute force at k=10") {
+    val e = vecs(300)
+    val q = e.filter(col("id") < 5)
+    def keyset(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "item_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = keyset(Knn.bruteForceTopK(e, q, "id", "embedding", "id", 10))
+    val lsh = keyset(Knn.lshTopK(e, q, "id", "embedding", "id", 10))
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.4, s"LSH recall $recall too low")
+    // and LSH never invents higher-cosine results than brute force allows:
+    // every LSH pair at rank r has cosine <= brute-force rank-r cosine
+    assert(lsh.subsetOf(keyset(
+      Knn.bruteForceTopK(e, q, "id", "embedding", "id", 300))))
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.text.TextOps
+import graft.validate.PixelCheck
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class TextMultimodalSpec extends SparkSpec {
+
+  test("langId scores stopword hits; deterministic tie-break; unknown") {
+    val d = df("text STRING", Seq(
+      Row("the cat and the dog is in a house"), // en
+      Row("el perro y la casa es un lugar"), // es
+      Row("zzz qqq xxx"), // no hits
+      Row("the el") // 1-1 tie -> first in Langs order among winners
+    ))
+    val out = d.select(TextOps.langId(col("text")).as("l")).collect()
+      .map(_.getString(0)).toSeq
+    assert(out(0) == "en")
+    assert(out(1) == "es")
+    assert(out(2) == "unknown")
+    assert(out(3) == "en") // en before es in priority order
+  }
+
+  test("token counts: whitespace and bpe-ish") {
+    val d = df("text STRING", Seq(Row("hello world 42 foo-bar!")))
+    val out = d.select(TextOps.tokenCount(col("text")).as("ws"),
+      TextOps.bpeishCount(col("text")).as("bp")).head()
+    assert(out.getInt(0) == 4)
+    // hello|world|4|2|foo|-|bar|! = 8
+    assert(out.getInt(1) == 8)
+  }
+
+  test("quality composite stays in [0,1] and penalises junk") {
+    val d = df("text STRING", Seq(
+      Row("the quick brown fox is a good and long document of the it"),
+      Row("!!! ??? ### $$$")))
+    val out = d.select(TextOps.qualityExprs(col("text"))
+      .find(_._1 == "quality").get._2.as("q")).collect()
+      .map(_.getDouble(0))
+    assert(out.forall(q => q >= 0 && q <= 1))
+    assert(out(0) > out(1))
+  }
+
+  test("fingerprint is whitespace/case normalised") {
+    val d = df("a STRING, b STRING", Seq(
+      Row("Hello   World", "hello world")))
+    val r = d.select(TextOps.fingerprintMd5(col("a")).as("fa"),
+      TextOps.fingerprintMd5(col("b")).as("fb")).head()
+    assert(r.getString(0) == r.getString(1))
+  }
+
+  test("payloadMeta sniffs real PNG/JPEG magic bytes, no decode") {
+    val img = PixelCheck.toImage(PixelCheck.syntheticPixels(1L, 8, 8), 8, 8)
+    val png = PixelCheck.encode(img, "png")
+    val jpg = PixelCheck.encode(img, "jpeg")
+    val d = df("image_id STRING, bytes BINARY, w INT, h INT", Seq(
+      Row("a", png, 8, 8), Row("b", jpg, 8, 8),
+      Row("c", Array[Byte](1, 2, 3), 8, 8)))
+    val out = Multimodal.payloadMeta(d).orderBy("image_id")
+    assert(column(out, "sniffed_fmt") == Seq("png", "jpeg", "unknown"))
+  }
+
+  test("mapPartitions decode: real ImageIO features on encoded PNG") {
+    val img = PixelCheck.toImage(PixelCheck.syntheticPixels(2L, 12, 7),
+      12, 7)
+    val png = PixelCheck.encode(img, "png")
+    val d = df("image_id STRING, bytes BINARY, w INT, h INT, fmt STRING",
+      Seq(Row("a", png, 12, 7, "png")))
+    val out = Multimodal.withDecodeFeatures(d, Multimodal.ImageIoDecoder)
+      .head()
+    assert(out.getAs[Int]("decoded_w") == 12)
+    assert(out.getAs[Int]("decoded_h") == 7)
+    assert(out.getAs[Boolean]("decode_ok"))
+    assert(out.getAs[Double]("mean_luma") > 0)
+  }
+
+  test("stub decoder is deterministic and schema-stable") {
+    val d = df("image_id STRING, bytes BINARY, w INT, h INT, fmt STRING",
+      Seq(Row("a", Array[Byte](9, 9, 9), 4, 4, "webp")))
+    val a = Multimodal.withDecodeFeatures(d, Multimodal.StubDecoder)
+      .collect().toSeq
+    val b = Multimodal.withDecodeFeatures(d, Multimodal.StubDecoder)
+      .collect().toSeq
+    assert(a == b)
+    assert(a.head.getAs[Int]("decoded_w") == 4)
+  }
+}
