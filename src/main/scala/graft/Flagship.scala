@@ -62,6 +62,14 @@ object Flagship {
       "staleness" -> new DateDifferenceTransformer(
         "matched_ts", "event_ts", Some("staleness_h"), "h"))
 
+    // The pipeline's fit passes each re-execute their input plan; persist
+    // the joined table once so the as-of join + generation run a single
+    // time instead of once per fit barrier (same move a production job
+    // makes before a multi-pass fit over a 100 TB table: cache/checkpoint
+    // the PIT-joined features input).
+    // (Cache stays registered so the caller's action also reads it;
+    // drop it with spark.catalog.clearCache() when done.)
+    joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pipe.fit(joined.filter(col("matched_ts").isNotNull))
     pipe.transform(joined)
   }

@@ -68,10 +68,9 @@ object QueriesData {
 
     "q43_dedup_simhash" -> ((s, dir) => {
       // rows-only (xxhash64 not available to the oracle)
-      val d = docsWithDups(s, dir)
-      d.select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+      Dedup.simhashes(docsWithDups(s, dir), "doc_id", "text")
         .groupBy("simhash").agg(count(lit(1)).as("n"),
-          min("doc_id").as("keep_id"))
+          min("__id").as("keep_id"))
         .filter(col("n") > 1)
         .orderBy("keep_id")
     }),
@@ -148,6 +147,24 @@ object QueriesData {
         .select(col("image_id"), col("decoded_w"), col("decoded_h"),
           col("mean_luma"), col("decode_ok"))
         .orderBy("image_id")
+    }),
+
+    "q53_snapshot_lineage" -> ((s, dir) => {
+      // checkpointed snapshot write + snapshot-scoped read-back:
+      // per-bucket row counts come from the STORED data, so the oracle
+      // also certifies the store round-trip
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_q53").toString
+      val d = tbl(s, dir, "documents")
+      val bucket = pmod(col("doc_id"), lit(16)).cast("int")
+      graft.io.SnapshotStore.write(d, root, bucket, maxBucketsPerRun = 9)
+      graft.io.SnapshotStore.write(d, root, bucket) // resume run
+      require(graft.io.SnapshotStore.verify(s, root).isEmpty,
+        "lineage verify failed")
+      graft.io.SnapshotStore.read(s, root)
+        .groupBy(pmod(col("doc_id"), lit(16)).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("bucket")
     })
   )
 
@@ -265,6 +282,11 @@ object QueriesData {
     "q50_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp_md5
-        |FROM documents ORDER BY 1""".stripMargin
+        |FROM documents ORDER BY 1""".stripMargin,
+
+    "q53_snapshot_lineage" ->
+      """SELECT CAST(doc_id % 16 AS INTEGER) AS bucket,
+        |       COUNT(*) AS n_rows
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -48,28 +48,55 @@ object Dedup {
     array((0 until numHashes).map(seed =>
       array_min(transform(shingleArr, s => xxhash64(s, lit(seed))))): _*)
 
-  /** LSH candidate pairs: split the signature into `bands`, bucket on
-    * (band index, hash of the band slice), self-join buckets. Returns
-    * (id_a, id_b) with id_a < id_b, distinct.
+  /** Per-document MinHash signature table `(id, mh0..mh{numHashes-1})`,
+    * computed RELATIONALLY: explode shingles to rows, then one
+    * `groupBy(id)` carrying `numHashes` small codegen'd
+    * `min(xxhash64(shingle, seed))` aggregates.
+    *
+    * Why not a single projection with nested lambdas: higher-order
+    * functions are interpreted (no whole-stage codegen, no
+    * subexpression elimination inside the lambda), and a
+    * 32-seed-inlined expression tree compiles to a pathologically large
+    * plan. The explode + hash-aggregate shape keeps every expression
+    * tiny and codegen'd, and partial aggregation collapses each map
+    * partition to one row per id BEFORE the exchange — the shuffle
+    * carries signatures, not shingles.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32): DataFrame = {
+    val shingleRows = df
+      .filter(size(split(col(textCol), " ")) >= shingleSize)
+      .select(col(idCol).as("__id"),
+        explode(shingles(col(textCol), shingleSize)).as("__s"))
+    val mins = (0 until numHashes).map(seed =>
+      min(xxhash64(col("__s"), lit(seed))).as(s"mh$seed"))
+    shingleRows.groupBy(col("__id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: hash each `rows`-wide signature band to a
+    * bucket, self-join on (band, bucket). Returns (id_a, id_b),
+    * id_a < id_b, distinct. The self-join's two sides alias the SAME
+    * pre-partitioned plan, so Spark reuses one shuffle (ReusedExchange)
+    * instead of computing the signatures twice.
     */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8)
       : DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignature(shingles(col(textCol), shingleSize),
+    val sigs = minhashSignatures(df, idCol, textCol, shingleSize,
       numHashes)
-    val withSig = df.select(col(idCol).as("__id"), sig.as("__sig"))
-      .filter(size(col("__sig")) > 0 && !array_contains(
-        transform(col("__sig"), x => x.isNull), true))
-    val banded = withSig.select(col("__id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("__sig"), b * rows + 1, rows).cast("string"))
-            .as("bh"))): _*)).as("bucket"))
+    val bandCols = (0 until bands).map { b =>
+      val slice = (b * rows until (b + 1) * rows).map(s => col(s"mh$s"))
+      struct(lit(b).as("band"),
+        xxhash64(slice: _*).as("bh"))
+    }
+    val banded = sigs
+      .select(col("__id"), explode(array(bandCols: _*)).as("bucket"))
       .select(col("__id"), col("bucket.band"), col("bucket.bh"))
-    val a = banded.withColumnRenamed("__id", "id_a")
-    val b = banded.withColumnRenamed("__id", "id_b")
+      .repartition(col("band"), col("bh"))
+    val a = banded.select(col("__id").as("id_a"), col("band"), col("bh"))
+    val b = banded.select(col("__id").as("id_b"), col("band"), col("bh"))
     a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -90,9 +117,16 @@ object Dedup {
         .withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("__jid", "id_b")
         .withColumnRenamed("__sh", "sh_b"), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      // verification is CPU-bound (interpreted set intersection), and
+      // AQE coalesces/broadcasts by DATA size, which would funnel all
+      // pairs into one task on modest inputs — spread pairs explicitly
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      // |union| = |a|+|b|-|inter| (shingle arrays are distinct sets):
+      // one set operation instead of two
+      .withColumn("__i",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", col("__i") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -112,26 +146,60 @@ object Dedup {
       col("__sh").as("sh_b"))
     a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
+      // same AQE-vs-CPU consideration as minhashNearDups: pair
+      // verification must not collapse onto one task
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .withColumn("__i",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        (col("__i") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("__i")))
           .as("jaccard"))
   }
 
   /** 64-bit SimHash of whitespace tokens: bit k of the signature is the
-    * sign of sum(+/-1 over tokens by their xxhash64 bit k). Projection
-    * only (the 64 bit-sums ride one `aggregate` over the token array).
+    * sign of sum(+/-1 over tokens by their xxhash64 bit k).
+    *
+    * ONE pass over the token array: a single aggregate() carries a
+    * 64-slot vote vector, each token hashed exactly once (bound via the
+    * single-element transform trick — interpreted lambdas get no
+    * subexpression elimination, so naive per-bit aggregates would
+    * re-split and re-hash 64 times).
     */
+  /** Per-document SimHash table `(id, simhash)`, computed relationally
+    * like [[minhashSignatures]]: explode tokens, ONE groupBy(id) with 64
+    * codegen'd bit-vote sums (xxhash64(token) is shared across the 64
+    * update expressions by codegen subexpression elimination), then a
+    * small projection folds votes into the 64-bit signature. Map-side
+    * combine keeps the shuffle at one 64-int row per id per partition.
+    */
+  def simhashes(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tokRows = df.select(col(idCol).as("__id"),
+      explode(split(col(textCol), " ")).as("__t"))
+    val h = xxhash64(col("__t"))
+    val votes = (0 until 64).map(k =>
+      sum(when(shiftright(h, k).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$k"))
+    val agged = tokRows.groupBy(col("__id")).agg(votes.head, votes.tail: _*)
+    val bits = (0 until 64).map(k =>
+      when(col(s"v$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
+    agged.select(col("__id"), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
   def simhash64(text: Column): Column = {
-    val toks = split(text, " ")
-    val bits = (0 until 64).map { k =>
-      val votes = aggregate(toks, lit(0),
-        (acc, t) => acc +
-          when(shiftright(xxhash64(t), k).bitwiseAND(1) === 1, 1)
-            .otherwise(-1))
-      when(votes > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
+    val ks = sequence(lit(0), lit(63))
+    val votes = aggregate(split(text, " "),
+      array_repeat(lit(0), 64),
+      (acc, t) => element_at(transform(array(xxhash64(t)), h =>
+        zip_with(acc, ks, (a, k) =>
+          a + when(call_function("shiftright", h, k)
+            .bitwiseAND(1) === 1, 1).otherwise(-1))), 1))
+    aggregate(
+      zip_with(votes, ks, (v, k) =>
+        when(v > 0, call_function("shiftleft", lit(1L), k))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
   /** Embedding near-dup pairs via quantized cosine within blocks.

@@ -1,0 +1,183 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, Path}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style snapshotted, checkpointed, lineage-tracked table store
+  * (BASELINE.json north_rule: "resumable from checkpoint with
+  * per-partition lineage + metrics"; emulation rationale in SURVEY.md
+  * §7.5 — no Iceberg jars ship in /opt/spark/jars).
+  *
+  * Layout (append-only data files + versioned manifests, like Iceberg):
+  * {{{
+  *   <root>/runs/run=<snap>/__bucket=<k>/part-*.parquet   (immutable)
+  *   <root>/snapshots/v<snap>.manifest.jsonl
+  * }}}
+  * Each manifest line is one bucket's lineage:
+  * `{"bucket":k,"rows":n,"xxh":h,"path":"..."}` where `xxh` is the
+  * order-independent content fingerprint `bit_xor(xxhash64(row))`.
+  *
+  * == Resumability ==
+  * `write` computes the incoming per-bucket lineage with ONE distributed
+  * aggregation, diffs it against the previous snapshot, and writes only
+  * buckets whose (rows, xxh) changed — completed buckets are skipped and
+  * their immutable files are carried into the new manifest by reference.
+  * `maxBucketsPerRun` bounds a run (checkpoint granularity): a job killed
+  * between runs restarts with no lost or duplicated work.
+  *
+  * == Snapshot-scoped reads ==
+  * `read(root, snapshot=Some(v))` sees exactly the files v's manifest
+  * lists; later writes append new run dirs and never mutate old ones, so
+  * time travel holds. `verify` recomputes per-bucket rows/xxh from
+  * storage and compares to the manifest (per-partition metrics check).
+  *
+  * At cluster scale: the lineage agg is a map-side-combined hash
+  * aggregate (tiny result, nBuckets rows); the data write is one shuffle-
+  * free pass partitioned by the bucket expression; manifests are
+  * driver-side kilobytes.
+  */
+object SnapshotStore {
+
+  final case class BucketLineage(bucket: Int, rows: Long, xxh: Long,
+      path: String)
+  final case class WriteResult(snapshot: Int, written: Seq[Int],
+      carried: Seq[Int], remaining: Seq[Int])
+
+  /** Default bucketing: stable hash of a key column. */
+  def byKey(keyCol: String, nBuckets: Int): Column =
+    pmod(xxhash64(col(keyCol)), lit(nBuckets)).cast("int")
+
+  private val B = "__bucket"
+
+  /** Per-bucket (rows, content-hash) of `df` under `bucketExpr` —
+    * one distributed agg, bit_xor is order-independent and overflow-free
+    * (ANSI-safe, unlike a sum of hashes).
+    */
+  private def lineageOf(df: DataFrame, bucketExpr: Column)
+      : Map[Int, (Long, Long)] = {
+    df.withColumn(B, bucketExpr)
+      .groupBy(col(B))
+      .agg(count(lit(1)).as("rows"),
+        expr(s"bit_xor(xxhash64(struct(${df.columns.filterNot(_ == B).mkString(",")})))")
+          .as("xxh"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+  }
+
+  private def snapshotIds(root: String): Seq[Int] = {
+    val dir = Paths.get(root, "snapshots")
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".manifest.jsonl") =>
+        s.stripPrefix("v").stripSuffix(".manifest.jsonl").toInt }
+      .toSeq.sorted
+  }
+
+  def latestSnapshot(root: String): Option[Int] = snapshotIds(root).lastOption
+
+  private val Line =
+    """\{"bucket":(-?\d+),"rows":(\d+),"xxh":(-?\d+),"path":"([^"]*)"\}""".r
+
+  def manifest(root: String, snapshot: Int): Seq[BucketLineage] = {
+    val p = Paths.get(root, "snapshots", s"v$snapshot.manifest.jsonl")
+    Files.readAllLines(p).asScala.toSeq.collect {
+      case Line(b, r, x, path) =>
+        BucketLineage(b.toInt, r.toLong, x.toLong, path)
+    }
+  }
+
+  private def writeManifest(root: String, snapshot: Int,
+      entries: Seq[BucketLineage]): Unit = {
+    val dir = Paths.get(root, "snapshots")
+    Files.createDirectories(dir)
+    val body = entries.sortBy(_.bucket).map { e =>
+      s"""{"bucket":${e.bucket},"rows":${e.rows},"xxh":${e.xxh},"path":"${e.path}"}"""
+    }.mkString("", "\n", "\n")
+    Files.writeString(dir.resolve(s"v$snapshot.manifest.jsonl"), body)
+  }
+
+  /** Write (or resume writing) `df` as the next snapshot of the table at
+    * `root`. Buckets whose lineage matches the previous snapshot are
+    * carried by reference; at most `maxBucketsPerRun` changed buckets are
+    * written this run (the rest stay `remaining` for the next call).
+    */
+  def write(df: DataFrame, root: String, bucketExpr: Column,
+      maxBucketsPerRun: Int = Int.MaxValue): WriteResult = {
+    val incoming = lineageOf(df, bucketExpr)
+    val prev: Map[Int, BucketLineage] =
+      latestSnapshot(root) match {
+        case Some(v) => manifest(root, v).map(e => e.bucket -> e).toMap
+        case None => Map.empty
+      }
+    val carried = incoming.keys.toSeq.sorted.filter { b =>
+      prev.get(b).exists(p => (p.rows, p.xxh) == incoming(b))
+    }
+    val pending = incoming.keys.toSeq.sorted.filterNot(carried.contains)
+    val chosen = pending.take(maxBucketsPerRun)
+    val remaining = pending.drop(maxBucketsPerRun)
+
+    val snap = latestSnapshot(root).getOrElse(0) + 1
+    val runDir = s"$root/runs/run=$snap"
+    if (chosen.nonEmpty) {
+      df.withColumn(B, bucketExpr)
+        .filter(col(B).isin(chosen: _*))
+        .write.partitionBy(B).mode("append").parquet(runDir)
+    }
+    val entries =
+      carried.map(b => prev(b).copy(rows = incoming(b)._1,
+        xxh = incoming(b)._2)) ++
+      chosen.map(b => BucketLineage(b, incoming(b)._1, incoming(b)._2,
+        s"$runDir/$B=$b"))
+    writeManifest(root, snap, entries)
+    WriteResult(snap, chosen, carried, remaining)
+  }
+
+  /** Snapshot-scoped read: exactly the files the manifest lists. The
+    * bucket partition column is re-attached from the directory layout.
+    */
+  def read(spark: SparkSession, root: String,
+      snapshot: Option[Int] = None): DataFrame = {
+    val v = snapshot.orElse(latestSnapshot(root)).getOrElse(
+      throw new IllegalStateException(s"no snapshots at $root"))
+    val paths = manifest(root, v).map(_.path)
+    spark.read.option("basePath", s"$root/runs").parquet(paths: _*)
+      .drop("run").drop(B)
+  }
+
+  /** Per-partition metrics check: recompute each listed bucket's
+    * (rows, xxh) from storage and diff against the manifest. Empty
+    * result = lineage verified.
+    */
+  def verify(spark: SparkSession, root: String,
+      snapshot: Option[Int] = None): Seq[(Int, String)] = {
+    val v = snapshot.orElse(latestSnapshot(root)).get
+    val entries = manifest(root, v)
+    val (present, gone) = entries.partition(e =>
+      Files.isDirectory(Paths.get(e.path)))
+    if (present.isEmpty)
+      return gone.map(e => e.bucket -> "missing in storage")
+    val paths = present.map(_.path)
+    val df = spark.read.option("basePath", s"$root/runs")
+      .parquet(paths: _*).drop("run")
+    val dataCols = df.columns.filterNot(_ == B)
+    val actual = df.groupBy(col(B))
+      .agg(count(lit(1)).as("rows"),
+        expr(s"bit_xor(xxhash64(struct(${dataCols.mkString(",")})))").as("xxh"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    gone.map(e => e.bucket -> "missing in storage") ++
+    present.flatMap { e =>
+      actual.get(e.bucket) match {
+        case None => Some(e.bucket -> "missing in storage")
+        case Some((r, x)) if r != e.rows =>
+          Some(e.bucket -> s"rows ${e.rows} != $r")
+        case Some((_, x)) if x != e.xxh =>
+          Some(e.bucket -> s"xxh ${e.xxh} != $x")
+        case _ => None
+      }
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.io.ImageTable
+import graft.temporal.AsOfJoin
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Physical-plan discipline checks (SURVEY.md §4, §7.4 "binary payload
+  * discipline"): the opaque `bytes` payload must never be read — let
+  * alone shuffled — unless an operator touches it, and the metadata
+  * join must broadcast.
+  */
+class PlanDisciplineSpec extends SparkSpec {
+
+  private lazy val imgPath: String = {
+    val p = Files.createTempDirectory("plan_imgs").toString + "/imgs"
+    ImageTable.images(spark, 500).write.mode("overwrite").parquet(p)
+    p
+  }
+
+  test("metadata projection prunes bytes out of the parquet scan") {
+    val imgs = spark.read.parquet(imgPath)
+    val q = imgs.select("image_id", "w", "h", "fmt")
+      .filter(col("fmt") === "png")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema"), scan)
+    assert(!scan.contains("bytes"),
+      s"binary payload leaked into the scan:\n$scan")
+    // the fmt filter must reach the scan as a pushed filter
+    assert(scan.contains("PushedFilters: [IsNotNull(fmt), EqualTo(fmt,png)]")
+      || scan.contains("EqualTo(fmt,png)"), scan)
+  }
+
+  test("as-of join + metadata join never reads bytes; meta join broadcasts") {
+    val imgs = spark.read.parquet(imgPath)
+    val evs = ImageTable.events(spark, 500, 3)
+    val snaps = ImageTable.snapshots(spark, 500)
+    val pit = AsOfJoin.join(evs, snaps, entity = "image_id",
+      leftTs = "event_ts", rightTs = "feature_ts")
+    val meta = imgs.select("image_id", "w", "h", "fmt", "caption")
+    val out = pit.join(broadcast(meta), Seq("image_id"), "left")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("bytes"),
+      s"binary payload entered the feature plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // exactly one hash exchange: the as-of union window on image_id
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("payload query reads bytes only when asked") {
+    val imgs = spark.read.parquet(imgPath)
+    val q = imgs.select(col("image_id"), length(col("bytes")).as("len"))
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("bytes"), scan)
+  }
+}

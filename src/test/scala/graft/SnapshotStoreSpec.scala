@@ -1,0 +1,94 @@
+package graft
+
+import graft.io.SnapshotStore
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Checkpoint / lineage / snapshot semantics (north_rule: resumable
+  * from checkpoint with per-partition lineage + metrics).
+  */
+class SnapshotStoreSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("snapstore").toString
+
+  private def docs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"doc text $i ${"x" * (i % 13)}"))
+      .toDF("doc_id", "text")
+  }
+
+  test("two-run checkpointed write covers all buckets exactly once") {
+    val root = freshRoot()
+    val d = docs(1000)
+    val bucket = SnapshotStore.byKey("doc_id", 16)
+
+    val r1 = SnapshotStore.write(d, root, bucket, maxBucketsPerRun = 7)
+    assert(r1.written.size === 7)
+    assert(r1.carried.isEmpty)
+    assert(r1.remaining.size === 9)
+
+    // "crash" happened here; resume writes ONLY the remaining buckets
+    val r2 = SnapshotStore.write(d, root, bucket)
+    assert(r2.carried.toSet === r1.written.toSet)
+    assert(r2.written.size === 9)
+    assert(r2.remaining.isEmpty)
+
+    val back = SnapshotStore.read(spark, root)
+    assert(back.count() === 1000)
+    assert(back.columns.toSet === Set("doc_id", "text"))
+    assert(back.select(sum("doc_id")).head.getLong(0) === 499500L)
+    assert(SnapshotStore.verify(spark, root).isEmpty)
+  }
+
+  test("unchanged rewrite writes nothing; changed bucket rewrites alone") {
+    val root = freshRoot()
+    val d = docs(500)
+    val bucket = SnapshotStore.byKey("doc_id", 8)
+    SnapshotStore.write(d, root, bucket)
+
+    val r2 = SnapshotStore.write(d, root, bucket)
+    assert(r2.written.isEmpty && r2.carried.size === 8)
+
+    // mutate one row -> exactly that row's bucket is dirty
+    val d2 = d.withColumn("text",
+      when(col("doc_id") === 123L, lit("CHANGED")).otherwise(col("text")))
+    val r3 = SnapshotStore.write(d2, root, bucket)
+    assert(r3.written.size === 1)
+    val changed = SnapshotStore.read(spark, root)
+      .filter(col("doc_id") === 123L).select("text").head.getString(0)
+    assert(changed === "CHANGED")
+    assert(SnapshotStore.verify(spark, root).isEmpty)
+  }
+
+  test("snapshot-scoped read: old snapshot unaffected by later writes") {
+    val root = freshRoot()
+    val d = docs(200)
+    val bucket = SnapshotStore.byKey("doc_id", 4)
+    val r1 = SnapshotStore.write(d, root, bucket)
+
+    val d2 = d.withColumn("text", concat(col("text"), lit("!v2")))
+    val r2 = SnapshotStore.write(d2, root, bucket)
+    assert(r2.snapshot > r1.snapshot)
+
+    val oldRead = SnapshotStore.read(spark, root, Some(r1.snapshot))
+    assert(oldRead.filter(col("text").endsWith("!v2")).count() === 0)
+    val newRead = SnapshotStore.read(spark, root)
+    assert(newRead.filter(col("text").endsWith("!v2")).count() === 200)
+    assert(SnapshotStore.verify(spark, root, Some(r1.snapshot)).isEmpty)
+  }
+
+  test("verify detects tampered storage") {
+    val root = freshRoot()
+    val d = docs(100)
+    val r = SnapshotStore.write(d, root, SnapshotStore.byKey("doc_id", 4))
+    // tamper: delete one bucket's files
+    val victim = SnapshotStore.manifest(root, r.snapshot).head
+    val dir = java.nio.file.Paths.get(victim.path)
+    Files.list(dir).iterator().forEachRemaining(p => Files.delete(p))
+    Files.delete(dir)
+    val bad = SnapshotStore.verify(spark, root)
+    assert(bad.nonEmpty)
+    assert(bad.exists(_._1 == victim.bucket))
+  }
+}
