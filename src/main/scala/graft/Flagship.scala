@@ -28,7 +28,8 @@ object Flagship {
 
   def features(spark: SparkSession, nImages: Long,
       eventsPerImage: Int, hotFraction: Double = 0.0,
-      hotEntities: Seq[String] = Seq.empty): DataFrame = {
+      hotEntities: Seq[String] = Seq.empty,
+      cacheFitInput: Boolean = true): DataFrame = {
     val imgs = ImageTable.images(spark, nImages)
     val evs = ImageTable.events(spark, nImages, eventsPerImage,
       hotFraction = hotFraction)
@@ -69,8 +70,31 @@ object Flagship {
     // the PIT-joined features input).
     // (Cache stays registered so the caller's action also reads it;
     // drop it with spark.catalog.clearCache() when done.)
-    joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (cacheFitInput)
+      joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pipe.fit(joined.filter(col("matched_ts").isNotNull))
     pipe.transform(joined)
+  }
+
+  /** Decode-dominated variant: the feature table joined back to the
+    * image payloads, with per-image decode features extracted via the
+    * mapPartitions batch path. This is the shape of a real image
+    * training-data job (codec CPU dominates), and the job used for the
+    * two-parallelism scaling evidence — per-row compute scales with
+    * cores, unlike shuffle bytes, which on a single box share one
+    * memory subsystem.
+    */
+  def featuresWithDecode(spark: SparkSession, nImages: Long,
+      eventsPerImage: Int, minDim: Int = 256, maxDim: Int = 384,
+      payloadCapBytes: Int = 4096): DataFrame = {
+    val feats = features(spark, nImages, eventsPerImage)
+      .groupBy("image_id")
+      .agg(count(lit(1)).as("n_events"), avg("target").as("mean_target"))
+    val imgs = ImageTable.images(spark, nImages, minDim = minDim,
+      maxDim = maxDim, payloadCapBytes = payloadCapBytes)
+    val decoded = multimodal.Multimodal.withDecodeFeatures(
+      imgs, multimodal.Multimodal.SyntheticPixelDecoder)
+      .select("image_id", "decoded_w", "decoded_h", "mean_luma")
+    decoded.join(feats, Seq("image_id"), "left")
   }
 }

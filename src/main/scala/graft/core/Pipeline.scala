@@ -18,10 +18,63 @@ class Pipeline(val steps: Seq[(String, Transformer)]) extends Serializable {
   require(steps.map(_._1).distinct.size == steps.size,
     "duplicate step names")
 
+  /** Fit with FIT-PASS FUSION.
+    *
+    * Steps are grouped into maximal runs of mutually independent
+    * transformers — a step joins the current run iff its fit inputs
+    * (`fitInputCols`) are untouched by the columns earlier run members
+    * write (`writtenCols`; unknown output names end the run). Within a
+    * run every `AggFittable` contributes its aggregation expressions to
+    * ONE fused `df.agg(...)` job; remaining members fit sequentially
+    * against the same input. Transform application order is unchanged,
+    * so results are identical to the sequential protocol — but a
+    * pipeline of k independent agg-fit transformers scans the (100 TB)
+    * input once instead of k times.
+    */
   def fit(df: DataFrame): this.type = {
-    steps.foldLeft(df) { case (cur, (_, t)) =>
-      t.fit(cur)
-      t.transform(cur)
+    var cur = df
+    var i = 0
+    val n = steps.size
+    while (i < n) {
+      // maximal independent run [i, j)
+      var j = i
+      var written = Set.empty[String]
+      var open = true
+      while (j < n && open &&
+          steps(j)._2.fitInputCols.forall(!written.contains(_))) {
+        steps(j)._2.writtenCols match {
+          case Some(ws) => written ++= ws
+          case None => open = false // unknown outputs: include, then stop
+        }
+        j += 1
+      }
+      if (j == i) j = i + 1 // lone step whose inputs a predecessor wrote
+
+      val run = steps.slice(i, j).map(_._2)
+      val (fusable, sequential) = run.partition {
+        case t: AggFittable => t.needsFit && !t.isFitted
+        case _ => false
+      }
+      val aggParts = fusable.map { t =>
+        t.baseFitChecks(cur) // transform-only + columns, as standalone fit
+        t.asInstanceOf[AggFittable] -> t.asInstanceOf[AggFittable]
+          .fitAggExprs(cur)
+      }
+      val (zeroWidth, withExprs) = aggParts.partition(_._2.isEmpty)
+      zeroWidth.foreach { case (t, _) => t.absorbAggRow(null, 0) }
+      if (withExprs.nonEmpty) {
+        val aliased = withExprs.flatMap(_._2).zipWithIndex
+          .map { case (e, k) => e.as(s"__fused$k") }
+        val row = cur.agg(aliased.head, aliased.tail: _*).head()
+        var off = 0
+        withExprs.foreach { case (t, exprs) =>
+          t.absorbAggRow(row, off)
+          off += exprs.size
+        }
+      }
+      sequential.foreach(_.fit(cur))
+      cur = run.foldLeft(cur)((d, t) => t.transform(d))
+      i = j
     }
     this
   }

@@ -20,6 +20,14 @@ object Stats {
     sum(when(x.isNotNull, w.cast("double") * x.cast("double"))) /
       sum(when(x.isNotNull, w.cast("double")))
 
+  /** Weighted mean with the weight-validity predicate folded into the
+    * aggregate (instead of a pre-filter), so several fits can share one
+    * unfiltered scan (AggFittable fusion).
+    */
+  def weightedMeanWhere(x: Column, w: Column, valid: Column): Column =
+    sum(when(valid && x.isNotNull, w.cast("double") * x.cast("double"))) /
+      sum(when(valid && x.isNotNull, w.cast("double")))
+
   /** Weighted median: minimum value whose cumulative weight fraction
     * (ordered by value) reaches 0.5 (tubular/_stats.py:5-51).
     * Distributed: groupBy(value) collapses duplicates first, so the

@@ -38,14 +38,33 @@ abstract class Transformer extends Serializable {
   protected var transformOnly: Boolean = false
   def markTransformOnly(): this.type = { transformOnly = true; this }
 
-  /** Distributed fit pass. Default: column validation only.
-    * Stateful transformers override and call super first.
+  /** Columns read during fit (inputs plus any response/weight columns).
+    * Pipeline fit-pass fusion uses this to decide whether a step may fit
+    * against the same input frame as the steps before it.
     */
-  def fit(df: DataFrame): this.type = {
+  def fitInputCols: Seq[String] = columns
+
+  /** Columns this transformer writes/adds, if enumerable BEFORE fit;
+    * None (e.g. one-hot without wanted_values — output names depend on
+    * learned levels) makes the step a fusion barrier.
+    */
+  def writtenCols: Option[Seq[String]] = Some(featureNamesOut)
+
+  /** Shared preconditions of every fit path (also invoked by
+    * Pipeline's fused-fit path).
+    */
+  final def baseFitChecks(df: DataFrame): Unit = {
     if (transformOnly)
       throw new IllegalStateException(
         s"$classname: fit is blocked on a transformer loaded from JSON")
     columnsCheck(df)
+  }
+
+  /** Distributed fit pass. Default: column validation only.
+    * Stateful transformers override and call super first.
+    */
+  def fit(df: DataFrame): this.type = {
+    baseFitChecks(df)
     fittedFlag = true
     this
   }
@@ -144,4 +163,22 @@ abstract class Transformer extends Serializable {
     fittedFlag = true
     this
   }
+}
+
+/** A fit that is ONE global aggregation: the transformer contributes
+  * expressions to a fused `df.agg(...)` and absorbs its slice of the
+  * single collected row. Pipeline uses this to fit several independent
+  * transformers in ONE scan of the input — at 100 TB each avoided fit
+  * pass is a full table scan saved.
+  */
+trait AggFittable { self: Transformer =>
+  /** Aggregation expressions (validation included); may be empty when
+    * this instance needs no data (e.g. user-supplied levels).
+    */
+  def fitAggExprs(df: DataFrame): Seq[Column]
+
+  /** Consume `fitAggExprs.size` values starting at `offset` of the
+    * fused row; must set all fitted state and the fitted flag.
+    */
+  def absorbAggRow(row: org.apache.spark.sql.Row, offset: Int): Unit
 }

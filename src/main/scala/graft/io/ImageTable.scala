@@ -33,7 +33,8 @@ object ImageTable {
     * default so tests stay fast; pass pixel sizes up for bench realism).
     */
   def images(spark: SparkSession, n: Long, seed: Long = 42,
-      minDim: Int = 8, maxDim: Int = 32): DataFrame = {
+      minDim: Int = 8, maxDim: Int = 32,
+      payloadCapBytes: Int = Int.MaxValue): DataFrame = {
     val dimSpan = maxDim - minDim + 1
     val df = spark.range(0, n)
       .withColumn("image_id", format_string("img_%010d", col("id")))
@@ -54,8 +55,11 @@ object ImageTable {
       // pseudo-random payload ~ w*h bytes: sha512 hex chunks -> unhex
       .withColumn("bytes", unhex(repeat(
         sha2(concat(lit("px"), col("id").cast("string")), 512),
-        // each sha512 hex repeat contributes 64 bytes
-        (ceil(col("w") * col("h") / lit(128.0)) + 1).cast("int"))))
+        // each sha512 hex repeat contributes 64 bytes; payloadCapBytes
+        // bounds generation cost for benches whose decoder only reads a
+        // seed prefix
+        (ceil(least(col("w") * col("h"), lit(payloadCapBytes)) /
+          lit(128.0)) + 1).cast("int"))))
       .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
     df
   }

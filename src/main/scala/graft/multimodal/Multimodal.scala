@@ -76,6 +76,35 @@ object Multimodal {
     }
   }
 
+  /** SYNTHETIC-DECODE stand-in for scale benchmarks: does the same
+    * O(w·h) per-pixel arithmetic a real codec+luma pass does, from a
+    * deterministic xorshift pixel stream seeded by the payload — no
+    * allocation, no memory traffic beyond the payload prefix. Real
+    * image pipelines are decode-dominated; this reproduces that CPU
+    * profile where the container has no codec for the format.
+    */
+  object SyntheticPixelDecoder extends Decoder {
+    def decode(bytes: Array[Byte], fmt: String, declaredW: Int,
+        declaredH: Int): ImageFeatures = {
+      var s = 1125899906842597L
+      var i = 0
+      val n = math.min(bytes.length, 64)
+      while (i < n) { s = 31 * s + bytes(i); i += 1 }
+      if (s == 0) s = 1
+      var luma = 0.0
+      var p = 0
+      val total = declaredW.toLong * declaredH
+      while (p < total) {
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+        luma += 0.299 * (s & 0xff) + 0.587 * ((s >>> 8) & 0xff) +
+          0.114 * ((s >>> 16) & 0xff)
+        p += 1
+      }
+      ImageFeatures(declaredW, declaredH,
+        if (total > 0) luma / total else Double.NaN, ok = bytes.nonEmpty)
+    }
+  }
+
   private val FeatureFields = Seq(
     StructField("decoded_w", IntegerType),
     StructField("decoded_h", IntegerType),
@@ -84,12 +113,18 @@ object Multimodal {
 
   /** Attach decode features to an image table
     * (bytes/fmt/w/h per input_hint). The batch shape: one decoder per
-    * partition, streaming iterator, no pixel buffers escape.
+    * partition, streaming iterator, no pixel buffers escape — and the
+    * PAYLOAD DOES NOT PASS THROUGH: re-serialising the binary column
+    * into every output row is a pure memcpy tax (it saturates memory
+    * bandwidth long before the decode math saturates cores). The output
+    * keeps every non-payload column + the four feature columns.
     */
   def withDecodeFeatures(df: DataFrame, decoder: Decoder): DataFrame = {
     val inSchema = df.schema
-    val outSchema = StructType(inSchema.fields ++ FeatureFields)
     val bytesIdx = inSchema.fieldIndex("bytes")
+    val keptIdx = inSchema.fields.indices.filterNot(_ == bytesIdx)
+    val outSchema = StructType(
+      keptIdx.map(inSchema.fields) ++ FeatureFields)
     val fmtIdx = inSchema.fieldIndex("fmt")
     val wIdx = inSchema.fieldIndex("w")
     val hIdx = inSchema.fieldIndex("h")
@@ -98,7 +133,7 @@ object Multimodal {
       it.map { r =>
         val f = decoder.decode(r.getAs[Array[Byte]](bytesIdx),
           r.getString(fmtIdx), r.getInt(wIdx), r.getInt(hIdx))
-        Row.fromSeq(r.toSeq ++
+        Row.fromSeq(keptIdx.map(r.get) ++
           Seq(f.decodedW, f.decodedH, f.meanLuma, f.ok))
       }
     }

@@ -36,6 +36,8 @@ abstract class BaseCapping(
 
   override def needsFit: Boolean = quantiles.nonEmpty
 
+  override def fitInputCols: Seq[String] = columns ++ weightsColumn
+
   /** Learned (or given) per-column [lo, hi]. */
   var fittedCaps: Map[String, (Option[Double], Option[Double])] = cappingValues
 

@@ -76,17 +76,35 @@ class ArbitraryImputer(
 class MeanImputer(
     val columns: Seq[String],
     val weightsColumn: Option[String] = None
-) extends BaseImputer {
+) extends BaseImputer with graft.core.AggFittable {
+
+  override def fitInputCols: Seq[String] = columns ++ weightsColumn
+
+  override def fitAggExprs(df: DataFrame): Seq[Column] = {
+    requireNumeric(df, columns)
+    val valid = weightsColumn.map { wc =>
+      Weights.checkNumeric(df, wc)
+      Weights.validFilter(col(wc))
+    }.getOrElse(lit(true))
+    val w = Weights.weightCol(weightsColumn)
+    columns.map(c => Stats.weightedMeanWhere(col(c), w, valid))
+  }
+
+  override def absorbAggRow(row: org.apache.spark.sql.Row,
+      offset: Int): Unit = {
+    imputeValues = columns.zipWithIndex.map { case (c, i) =>
+      c -> row.getAs[Any](offset + i)
+    }.toMap
+    checkFitOk()
+    fittedFlag = true
+  }
 
   override def fit(df: DataFrame): this.type = {
-    super.fit(df)
-    requireNumeric(df, columns)
-    val rows = Weights.fitRows(df, weightsColumn)
-    val w = Weights.weightCol(weightsColumn)
-    val aggs = columns.map(c => Stats.weightedMean(col(c), w).as(c))
-    val res = rows.agg(aggs.head, aggs.tail: _*).head()
-    imputeValues = columns.map(c => c -> res.getAs[Any](c)).toMap
-    checkFitOk()
+    baseFitChecks(df)
+    val exprs = fitAggExprs(df).zipWithIndex.map { case (e, i) =>
+      e.as(s"__agg$i")
+    }
+    absorbAggRow(df.agg(exprs.head, exprs.tail: _*).head(), 0)
     this
   }
 
@@ -101,6 +119,8 @@ class MedianImputer(
     val columns: Seq[String],
     val weightsColumn: Option[String] = None
 ) extends BaseImputer {
+
+  override def fitInputCols: Seq[String] = columns ++ weightsColumn
 
   override def fit(df: DataFrame): this.type = {
     super.fit(df)
@@ -125,6 +145,8 @@ class ModeImputer(
     val columns: Seq[String],
     val weightsColumn: Option[String] = None
 ) extends BaseImputer {
+
+  override def fitInputCols: Seq[String] = columns ++ weightsColumn
 
   override def fit(df: DataFrame): this.type = {
     super.fit(df)

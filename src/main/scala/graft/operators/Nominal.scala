@@ -32,6 +32,8 @@ class GroupRareLevelsTransformer(
     s"cut_off_percent must be in (0,1), got $cutOffPercent")
   override def needsFit: Boolean = true
 
+  override def fitInputCols: Seq[String] = columns ++ weightsColumn
+
   var nonRareLevels: Map[String, Seq[String]] = Map.empty
   var rareLevelsRecord: Map[String, Seq[String]] = Map.empty
   var trainingLevels: Map[String, Seq[String]] = Map.empty
@@ -116,6 +118,16 @@ class MeanResponseTransformer(
     case _ => ()
   }
   override def needsFit: Boolean = true
+
+  override def fitInputCols: Seq[String] =
+    columns ++ Seq(responseColumn) ++ weightsColumn
+
+  /** Encoded-column names are init-derived (multi-level uses the given
+    * `level` list), so they are enumerable pre-fit.
+    */
+  override def writtenCols: Option[Seq[String]] = Some(
+    if (level.isEmpty) columns
+    else columns.flatMap(c => level.map(l => s"${c}_$l")))
 
   /** encodedColumn -> (stringLevel -> encoding) */
   var mappings: Map[String, Map[String, Double]] = Map.empty
@@ -258,33 +270,50 @@ class OneHotEncodingTransformer(
     val separator: String = "_",
     val wantedValues: Map[String, Seq[String]] = Map.empty,
     val dropOriginal: Boolean = false
-) extends Transformer {
+) extends Transformer with graft.core.AggFittable {
   override def needsFit: Boolean = true
 
   var categories: Map[String, Seq[String]] = Map.empty
 
-  override def fit(df: DataFrame): this.type = {
-    super.fit(df)
+  /** Output names depend on LEARNED levels -> fusion barrier, unless
+    * the user pinned wanted_values.
+    */
+  override def writtenCols: Option[Seq[String]] =
+    if (wantedValues.nonEmpty || categories.nonEmpty) Some(featureNamesOut)
+    else None
+
+  override def fitAggExprs(df: DataFrame): Seq[Column] = {
     requireStringLike(df, columns)
+    if (wantedValues.nonEmpty) Seq.empty
+    else columns.map(c => collect_set(col(c).cast("string")))
+  }
+
+  override def absorbAggRow(row: org.apache.spark.sql.Row,
+      offset: Int): Unit = {
     categories =
       if (wantedValues.nonEmpty) wantedValues
-      else {
-        // single distributed agg for all columns
-        val aggs = columns.map(c =>
-          collect_set(col(c).cast("string")).as(c))
-        val row = df.agg(aggs.head, aggs.tail: _*).head()
-        columns.map { c =>
-          val lv = row.getAs[scala.collection.Seq[String]](c).toSeq.sorted
-          if (lv.isEmpty)
-            throw new IllegalStateException(
-              s"$classname: column $c has no non-null levels")
-          if (lv.size > 100)
-            throw new IllegalArgumentException(
-              s"$classname: column $c has ${lv.size} levels (>100 cap, " +
-                "tubular/nominal.py:1714-1720)")
-          c -> lv
-        }.toMap
-      }
+      else columns.zipWithIndex.map { case (c, i) =>
+        val lv = row.getAs[scala.collection.Seq[String]](offset + i)
+          .toSeq.sorted
+        if (lv.isEmpty)
+          throw new IllegalStateException(
+            s"$classname: column $c has no non-null levels")
+        if (lv.size > 100)
+          throw new IllegalArgumentException(
+            s"$classname: column $c has ${lv.size} levels (>100 cap, " +
+              "tubular/nominal.py:1714-1720)")
+        c -> lv
+      }.toMap
+    fittedFlag = true
+  }
+
+  override def fit(df: DataFrame): this.type = {
+    baseFitChecks(df)
+    val exprs = fitAggExprs(df).zipWithIndex.map { case (e, i) =>
+      e.as(s"__agg$i")
+    }
+    if (exprs.isEmpty) absorbAggRow(null, 0)
+    else absorbAggRow(df.agg(exprs.head, exprs.tail: _*).head(), 0)
     this
   }
 

@@ -1,0 +1,59 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.io.ImageTable
+import graft.temporal.AsOfJoin
+
+/** Stage-level scaling probe (dev tool). args: cpus n stage */
+object FlagProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = args(0).toInt
+    val n = args(1).toLong
+    val stage = if (args.length > 2) args(2) else "flagship"
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.eventLog.enabled", "true")
+      .config("spark.eventLog.dir", "/tmp/sparklogs")
+      .config("spark.eventLog.compress", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      val rows = stage match {
+        case "gen" =>
+          ImageTable.events(spark, n, 5).agg(sum(length(col("image_id"))))
+            .head(); n * 5
+        case "asof" =>
+          val evs = ImageTable.events(spark, n, 5)
+          val snaps = ImageTable.snapshots(spark, n)
+          AsOfJoin.join(evs, snaps, "image_id", "event_ts", "feature_ts",
+            Seq("caption_at", "phash_at", "feat"))
+            .agg(sum(col("phash_at")), sum(col("feat"))).head(); n * 5
+        case "decode3" =>
+          val imgs = ImageTable.images(spark, n)
+            .withColumn("w", lit(192)).withColumn("h", lit(192))
+          graft.multimodal.Multimodal.withDecodeFeatures(imgs,
+            graft.multimodal.Multimodal.SyntheticPixelDecoder)
+            .agg(avg(col("mean_luma"))).head(); n
+        case "decode" =>
+          val imgs = ImageTable.images(spark, n, minDim = 48, maxDim = 96)
+          graft.multimodal.Multimodal.withDecodeFeatures(imgs,
+            graft.multimodal.Multimodal.SyntheticPixelDecoder)
+            .agg(avg(col("mean_luma"))).head(); n
+        case "flagnc" =>
+          val r = graft.Flagship.features(spark, n, 5,
+            cacheFitInput = false).count(); r
+        case "flagdecode" =>
+          val r = graft.Flagship.featuresWithDecode(spark, n, 5)
+            .agg(sum(col("mean_luma"))).head(); spark.catalog.clearCache(); n
+        case _ =>
+          val r = graft.Flagship.features(spark, n, 5).count()
+          spark.catalog.clearCache(); r
+      }
+      println(f"[probe] stage=$stage cpus=$cpus rep$i rows=$rows sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    spark.stop()
+  }
+}
