@@ -1,0 +1,113 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Tagged
+import graft.temporal.WindowOps
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming ops vs their batch counterparts. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming sessionization matches batch gap sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val df = input.toDF().toDF("e", "ts", "v")
+    val sessions = StreamingOps.sessionizeStream(df, "e", "ts",
+      gap = "30 minutes", valueCol = Some("v"))
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess").outputMode("complete").start()
+    try {
+      val rows = Seq(
+        ("a", ts("2024-01-01 10:00:00"), 1.0),
+        ("a", ts("2024-01-01 10:10:00"), 2.0),
+        ("a", ts("2024-01-01 10:20:00"), 3.0),
+        ("a", ts("2024-01-01 12:00:00"), 4.0), // gap > 30min: new session
+        ("b", ts("2024-01-01 10:00:00"), 5.0),
+        ("b", ts("2024-01-01 10:05:00"), 6.0))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("sess")
+        .orderBy("e", "session_start")
+        .collect().map(r => (r.getString(0), r.getLong(3), r.getDouble(4)))
+        .toSeq
+      // batch oracle: same gaps -> sessions (a: 3 events then 1; b: 2)
+      assert(got == Seq(("a", 3L, 6.0), ("a", 1L, 4.0), ("b", 2L, 11.0)))
+
+      // batch sessionize agrees on session membership
+      val batch = WindowOps.sessionize(
+        spark.createDataFrame(rows.map(r => Row(r._1, r._2, r._3)).asJavaish,
+          df.schema), "e", "ts", gapSeconds = 1800)
+        .groupBy("e", "session_id").count()
+        .orderBy("e", "session_id")
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+      assert(batch == Seq(("a", 3L), ("a", 1L), ("b", 2L)))
+    } finally q.stop()
+  }
+
+  private implicit class SeqRowOps(s: Seq[Row]) {
+    def asJavaish: java.util.List[Row] = {
+      import scala.jdk.CollectionConverters._
+      s.asJava
+    }
+  }
+
+  test("streaming as-of enrich carries latest feature across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tagged]
+    val enriched = StreamingOps.asOfEnrichStream(input.toDS())
+    val q = enriched.writeStream.format("memory")
+      .queryName("enr").outputMode("append").start()
+    try {
+      // batch 1: one feature, one event after it, one event before it
+      input.addData(
+        Tagged("a", ts("2024-01-01 10:00:00"), 0, Some(1.5), None),
+        Tagged("a", ts("2024-01-01 09:00:00"), 1, None, Some(100.0)),
+        Tagged("a", ts("2024-01-01 11:00:00"), 1, None, Some(200.0)))
+      q.processAllAvailable()
+      // batch 2: newer feature, then event; old-entity state must carry
+      input.addData(
+        Tagged("a", ts("2024-01-01 12:00:00"), 0, Some(2.5), None),
+        Tagged("a", ts("2024-01-01 13:00:00"), 1, None, Some(300.0)),
+        Tagged("b", ts("2024-01-01 13:00:00"), 1, None, Some(400.0)))
+      q.processAllAvailable()
+      val got = spark.table("enr").orderBy("ts", "entity")
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))
+        .toSeq
+      assert(got == Seq(
+        ("a", 100.0, None),        // event before any feature
+        ("a", 200.0, Some(1.5)),   // first feature carried
+        ("a", 300.0, Some(2.5)),   // state updated across batches
+        ("b", 400.0, None)))       // unseen entity
+    } finally q.stop()
+  }
+
+  test("streaming rolling window aggregates per entity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val df = input.toDF().toDF("e", "ts", "v")
+    val rolled = StreamingOps.rollingWindowStream(df, "e", "ts",
+      windowLen = "1 hour", slide = "30 minutes", valueCol = "v")
+    val q = rolled.writeStream.format("memory")
+      .queryName("roll").outputMode("complete").start()
+    try {
+      input.addData(
+        ("a", ts("2024-01-01 10:00:00"), 1.0),
+        ("a", ts("2024-01-01 10:20:00"), 3.0))
+      q.processAllAvailable()
+      val byWindow = spark.table("roll").orderBy("window_start")
+        .collect().map(r => (r.getLong(3), r.getDouble(4))).toSeq
+      // both events land in the 09:30 and 10:00 windows
+      assert(byWindow == Seq((2L, 4.0), (2L, 4.0)))
+    } finally q.stop()
+  }
+}
