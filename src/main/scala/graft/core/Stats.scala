@@ -40,21 +40,58 @@ object Stats {
 
   def weightedMedianValue(
       df: DataFrame, value: String, weight: Column): Option[Double] = {
-    val grouped = df
-      .filter(col(value).isNotNull)
+    val (fv, cleanup) = cumFractions(df, value, weight, minWeightExcl = false)
+    try {
+      val hit = fv.filter(col("f") >= 0.5).agg(min(col("v"))).head()
+      if (hit.isNullAt(0)) None else Some(hit.getDouble(0))
+    } finally cleanup()
+  }
+
+  /** Distributed cumulative weight fraction per distinct value:
+    * `(v, f)` with `f = cumsum(w ordered by v) / sum(w)`.
+    *
+    * Scale shape (no global single-partition window):
+    *   1. groupBy(v) collapses duplicates (map-side combine);
+    *   2. repartitionByRange(v) — range partitions are ascending in v;
+    *   3. per-partition totals (tiny collect) become broadcast prefix
+    *      offsets;
+    *   4. a Window.partitionBy(partition id).orderBy(v) running sum +
+    *      the partition's offset = the global cumulative sum, with
+    *      every stage distributed.
+    */
+  private[graft] def cumFractions(df: DataFrame, value: String,
+      weight: Column, minWeightExcl: Boolean)
+      : (DataFrame, () => Unit) = {
+    val base = df.filter(col(value).isNotNull &&
+      (if (minWeightExcl) weight =!= 0 else lit(true)))
       .groupBy(col(value).cast("double").as("v"))
       .agg(sum(weight.cast("double")).as("w"))
-    val wTot = Window.orderBy(col("v"))
+    val parts = math.max(1,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val ranged = base
+      .repartitionByRange(parts, col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-partition totals -> ascending-pid prefix offsets (range
+    // partitioning is order-preserving across partition ids)
+    val partTotals = ranged.groupBy(col("__pid"))
+      .agg(sum(col("w")).as("pw"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+      .sortBy(_._1)
+    val total = partTotals.map(_._2).sum
+    val offsets = partTotals
+      .scanLeft((0, 0.0)) { case ((_, acc), (pid, pw)) => (pid, acc + pw) }
+      .sliding(2).collect { case Array((_, acc), (pid, _)) => pid -> acc }
+      .toMap
+    val offCol =
+      if (offsets.isEmpty) lit(0.0)
+      else coalesce(
+        element_at(typedLit(offsets), col("__pid")), lit(0.0))
+    val wPart = Window.partitionBy(col("__pid")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val hit = grouped
-      .select(col("v"),
-        (sum(col("w")).over(wTot) / sum(col("w")).over(all)).as("frac"))
-      .filter(col("frac") >= 0.5)
-      .agg(min(col("v")))
-      .head()
-    if (hit.isNullAt(0)) None else Some(hit.getDouble(0))
+    val fv = ranged.select(col("v"),
+      ((sum(col("w")).over(wPart) + offCol) / lit(total)).as("f"))
+    (fv, () => { ranged.unpersist(false); () })
   }
 
   /** Exact weighted quantiles with np.interp semantics
@@ -63,28 +100,18 @@ object Stats {
     * linearly interpolated between bracketing (f_i, v_i) pairs, clamped
     * to the first/last value outside [f_1, 1].
     *
-    * Scale note: duplicates collapse via groupBy(value) before the
-    * global cumulative window, so the windowed stage sees distinct
-    * values only. For extreme-cardinality columns callers can pre-round
-    * or switch to percentile_approx; correctness tests use this exact
-    * path.
+    * Scale note: duplicates collapse via groupBy(value), and the
+    * cumulative sum runs as range-partitioned per-partition prefix sums
+    * with broadcast offsets (see cumFractions) — no single-partition
+    * stage anywhere, so the exact path holds at full cardinality.
     */
   def weightedQuantiles(
       df: DataFrame, value: String, weight: Column,
       quantiles: Seq[Double]): Seq[Option[Double]] = {
     require(quantiles.forall(q => q >= 0 && q <= 1),
       s"quantiles must be in [0,1], got $quantiles")
-    val grouped = df
-      .filter(col(value).isNotNull && weight =!= 0)
-      .groupBy(col(value).cast("double").as("v"))
-      .agg(sum(weight.cast("double")).as("w"))
-    val cum = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val fv = grouped
-      .select(col("v"),
-        (sum(col("w")).over(cum) / sum(col("w")).over(all)).as("f"))
+    val (fv, cleanup) = cumFractions(df, value, weight,
+      minWeightExcl = true)
     // For each quantile, pull only the two bracketing rows (distributed
     // min/max aggregations) instead of collecting the whole CDF.
     val aggs = quantiles.zipWithIndex.flatMap { case (q, i) =>
@@ -94,7 +121,9 @@ object Stats {
         min(when(col("f") >= q, col("f"))).as(s"f_hi_$i"),
         min(when(col("f") >= q, col("v"))).as(s"v_hi_$i"))
     }
-    val row = fv.agg(aggs.head, aggs.tail: _*).head()
+    val row =
+      try fv.agg(aggs.head, aggs.tail: _*).head()
+      finally cleanup()
     quantiles.indices.map { i =>
       val fLo = Option(row.getAs[java.lang.Double](s"f_lo_$i")).map(_.toDouble)
       val vLo = Option(row.getAs[java.lang.Double](s"v_lo_$i")).map(_.toDouble)

@@ -56,6 +56,47 @@ class StatsSpec extends SparkSpec {
     assert(Stats.weightedQuantiles(d, "a", col("w"), Seq(0.5)) == Seq(None))
   }
 
+  test("distributed cum-frac: high-cardinality quantiles match brute force") {
+    import spark.implicits._
+    // 5000 distinct values spread over every shuffle partition, integer
+    // weights -> exact arithmetic; brute-force np.interp oracle on the
+    // driver must match the distributed prefix-sum path bit-for-bit
+    val n = 5000
+    val vals = (0 until n).map(i => (((i * 2654435761L) % n).toDouble,
+      (i % 7 + 1).toDouble))
+    val d = vals.toDF("x", "wt").repartition(32)
+    val qs = Seq(0.01, 0.25, 0.5, 0.9, 0.99)
+    val got = Stats.weightedQuantiles(d, "x", col("wt"), qs)
+
+    val sorted = vals.sortBy(_._1)
+    val total = sorted.map(_._2).sum
+    val cum = sorted.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val expected = qs.map { q =>
+      val iHi = cum.indexWhere(_ >= q)
+      val iLo = cum.lastIndexWhere(_ <= q)
+      if (iLo < 0) sorted(iHi)._1
+      else if (iHi < 0) sorted(iLo)._1
+      else if (cum(iHi) == cum(iLo)) sorted(iLo)._1
+      else sorted(iLo)._1 + (q - cum(iLo)) / (cum(iHi) - cum(iLo)) *
+        (sorted(iHi)._1 - sorted(iLo)._1)
+    }
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g.isDefined && math.abs(g.get - e) < 1e-9, s"got $g want $e")
+    }
+  }
+
+  test("cum-frac plan has no single-partition global window") {
+    import spark.implicits._
+    val d = (1 to 100).map(i => (i.toDouble, 1.0)).toDF("x", "wt")
+    val (fv, cleanup) = Stats.cumFractions(d, "x", col("wt"),
+      minWeightExcl = true)
+    try {
+      val plan = fv.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"single-partition stage in cum-frac plan:\n$plan")
+    } finally cleanup()
+  }
+
   test("weighted median = min value with cum-weight-frac >= 0.5") {
     val d = df("a DOUBLE, w DOUBLE",
       Seq(Row(1.0, 1.0), Row(2.0, 1.0), Row(3.0, 1.0), Row(4.0, 1.0)))
