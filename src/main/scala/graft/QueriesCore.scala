@@ -175,6 +175,19 @@ object QueriesCore {
         .orderBy("event_id")
     }),
 
+    "q29_to_datetime" -> ((s, dir) => {
+      // round-trip: date -> dd/MM/yyyy string -> ToDatetime parse;
+      // output re-formatted to string so the oracle compare is
+      // timestamp-dialect-proof
+      val df = tbl(s, dir, "orders")
+        .withColumn("ds", date_format(col("o_orderdate"), "dd/MM/yyyy"))
+      new ToDatetimeTransformer(Seq("ds"), Some("dd/MM/yyyy"))
+        .transform(df)
+        .select(col("o_orderkey"),
+          date_format(col("ds"), "yyyy-MM-dd HH:mm:ss").as("parsed"))
+        .orderBy("o_orderkey")
+    }),
+
     "q17_difference" -> ((s, dir) => {
       val df = tbl(s, dir, "lineitem")
       new DifferenceTransformer("l_extendedprice", "l_tax",
@@ -460,6 +473,12 @@ object QueriesCore {
         |  ROUND(SIN(month(ts) * (2 * PI() / 12.0)), 6) AS sin_month,
         |  ROUND(COS(month(ts) * (2 * PI() / 12.0)), 6) AS cos_month
         |FROM events ORDER BY 1""".stripMargin,
+
+    "q29_to_datetime" ->
+      """SELECT o_orderkey,
+        |  strftime(strptime(strftime(o_orderdate, '%d/%m/%Y'),
+        |                    '%d/%m/%Y'), '%Y-%m-%d %H:%M:%S') AS parsed
+        |FROM orders ORDER BY 1""".stripMargin,
 
     "q17_difference" ->
       """SELECT l_orderkey, l_linenumber,
