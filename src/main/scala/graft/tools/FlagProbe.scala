@@ -10,6 +10,8 @@ object FlagProbe {
     val cpus = args(0).toInt
     val n = args(1).toLong
     val stage = if (args.length > 2) args(2) else "flagship"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/tmp/sparklogs"))
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
