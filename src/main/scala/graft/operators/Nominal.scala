@@ -43,20 +43,28 @@ class GroupRareLevelsTransformer(
     requireStringLike(df, columns)
     val rows = Weights.fitRows(df, weightsColumn)
     val w = Weights.weightCol(weightsColumn).cast("double")
+    // ONE melt + groupBy job for ALL columns (share =
+    // sum(w|col,level)/sum(w)); the reference loops one agg per column
+    // — at 100 TB that's k full scans vs 2 here
+    val total = rows.agg(sum(w)).head().getDouble(0)
+    val pair = explode(array(columns.map(c =>
+      struct(lit(c).as("c"), col(c).cast("string").as("lvl"))): _*))
+    val byColLevel = rows
+      .select(pair.as("p"), w.as("__w"))
+      .filter(col("p.lvl").isNotNull)
+      .groupBy(col("p.c").as("c"), col("p.lvl").as("lvl"))
+      .agg(sum(col("__w")).as("lw"))
+      .collect()
+      .groupBy(_.getString(0))
     columns.foreach { c =>
-      // one distributed agg per column; share = sum(w|level)/sum(w)
-      val byLevel = rows.filter(col(c).isNotNull)
-        .groupBy(col(c).cast("string").as("lvl"))
-        .agg(sum(w).as("lw"))
-        .collect()
-      val total = rows.agg(sum(w)).head().getDouble(0)
+      val byLevel = byColLevel.getOrElse(c, Array.empty)
       val (common, rare) = byLevel.partition(
-        r => r.getDouble(1) / total >= cutOffPercent)
-      nonRareLevels += c -> common.map(_.getString(0)).toSeq.sorted
+        r => r.getDouble(2) / total >= cutOffPercent)
+      nonRareLevels += c -> common.map(_.getString(1)).toSeq.sorted
       if (recordRareLevels)
-        rareLevelsRecord += c -> rare.map(_.getString(0)).toSeq.sorted
+        rareLevelsRecord += c -> rare.map(_.getString(1)).toSeq.sorted
       if (!unseenLevelsToRare)
-        trainingLevels += c -> byLevel.map(_.getString(0)).toSeq.sorted
+        trainingLevels += c -> byLevel.map(_.getString(1)).toSeq.sorted
     }
     this
   }
@@ -163,15 +171,24 @@ class MeanResponseTransformer(
 
     mappings = Map.empty
     encodedColumns = Seq.empty
+    // ONE melt + groupBy job for ALL input columns x response levels
+    // (the reference runs one groupBy per column —
+    // tubular/nominal.py:1128-1164; at scale that's k full scans)
+    val pair = explode(array(columns.map(c =>
+      struct(lit(c).as("c"), col(c).cast("string").as("lvl"))): _*))
+    val melted = rows.select(pair.as("p") +: w.as("__w") +:
+      ys.map { case (sfx, y) => y.as(s"__y$sfx") }: _*)
+      .filter(col("p.lvl").isNotNull)
+    val aggs = ys.flatMap { case (sfx, _) =>
+      Seq(sum(col("__w") * col(s"__y$sfx")).as(s"wy$sfx"),
+        sum(col("__w")).as(s"ww$sfx")) }
+    val byCol = melted
+      .groupBy(col("p.c").as("c"), col("p.lvl").as("lvl"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .groupBy(_.getString(0))
     columns.foreach { c =>
-      // one groupBy per input column computes ALL response levels at once
-      val aggs = ys.flatMap { case (sfx, y) =>
-        Seq(sum(w * y).as(s"wy$sfx"), sum(w).as(s"ww$sfx")) }
-      val grouped = rows
-        .filter(col(c).isNotNull)
-        .groupBy(col(c).cast("string").as("lvl"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
+      val grouped = byCol.getOrElse(c, Array.empty)
       ys.foreach { case (sfx, _) =>
         val enc = s"$c$sfx"
         encodedColumns :+= enc
