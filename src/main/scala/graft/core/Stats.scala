@@ -47,6 +47,67 @@ object Stats {
     } finally cleanup()
   }
 
+  /** Weighted medians of SEVERAL columns in one distributed pass:
+    * melt to (column, value, weight) rows, run the keyed cumulative
+    * fraction, take min v with f >= 0.5 per column. One job for k
+    * columns instead of k jobs.
+    */
+  def weightedMediansMelted(df: DataFrame, columns: Seq[String],
+      weight: Column): Map[String, Option[Double]] = {
+    val pair = explode(array(columns.map(c =>
+      struct(lit(c).as("k"), col(c).cast("double").as("v"))): _*))
+    val pairs = df.select(pair.as("p"), weight.cast("double").as("w"))
+      .filter(col("p.v").isNotNull)
+      .select(col("p.k").as("k"), col("p.v").as("v"), col("w"))
+    val (fv, cleanup) = keyedCumFractions(pairs)
+    try {
+      val hits = fv.filter(col("f") >= 0.5)
+        .groupBy(col("k")).agg(min(col("v")).as("med"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      columns.map(c => c -> hits.get(c)).toMap
+    } finally cleanup()
+  }
+
+  /** Keyed variant of [[cumFractions]]: input (k, v, w) rows; output
+    * (k, v, f) with f the cumulative weight fraction WITHIN key k,
+    * ordered by v. Same range-partition + per-partition prefix + offset
+    * shape, with (key, partition) offsets and per-key totals broadcast
+    * as literal maps.
+    */
+  private[graft] def keyedCumFractions(pairs: DataFrame)
+      : (DataFrame, () => Unit) = {
+    val parts = math.max(1,
+      pairs.sparkSession.sessionState.conf.numShufflePartitions)
+    val ranged = pairs
+      .groupBy(col("k"), col("v")).agg(sum(col("w")).as("w"))
+      .repartitionByRange(parts, col("k"), col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partTotals = ranged.groupBy(col("k"), col("__pid"))
+      .agg(sum(col("w")).as("pw"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    val totals = partTotals.groupBy(_._1)
+      .map { case (k, a) => k -> a.map(_._3).sum }
+    val offsets = partTotals.groupBy(_._1).toSeq.flatMap { case (k, a) =>
+      val sorted = a.sortBy(_._2)
+      sorted.map(_._2).zip(
+        sorted.map(_._3).scanLeft(0.0)(_ + _).init)
+        .map { case (pid, off) => s"$k#$pid" -> off }.toSeq
+    }.toMap
+    if (partTotals.isEmpty)
+      return (ranged.select(col("k"), col("v"), lit(0.0).as("f")),
+        () => { ranged.unpersist(false); () })
+    val offCol = coalesce(element_at(typedLit(offsets),
+      concat_ws("#", col("k"), col("__pid"))), lit(0.0))
+    val totCol = element_at(typedLit(totals), col("k"))
+    val wPart = Window.partitionBy(col("k"), col("__pid"))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fv = ranged.select(col("k"), col("v"),
+      ((sum(col("w")).over(wPart) + offCol) / totCol).as("f"))
+    (fv, () => { ranged.unpersist(false); () })
+  }
+
   /** Distributed cumulative weight fraction per distinct value:
     * `(v, f)` with `f = cumsum(w ordered by v) / sum(w)`.
     *

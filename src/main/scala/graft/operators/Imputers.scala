@@ -127,8 +127,11 @@ class MedianImputer(
     requireNumeric(df, columns)
     val rows = Weights.fitRows(df, weightsColumn)
     val w = Weights.weightCol(weightsColumn)
+    // all columns in ONE melted distributed pass (reference collects
+    // once per column, tubular/imputers.py:1019-1032)
+    val medians = Stats.weightedMediansMelted(rows, columns, w)
     imputeValues = columns.map { c =>
-      c -> Stats.weightedMedianValue(rows, c, w).map(_.asInstanceOf[Any]).orNull
+      c -> medians(c).map(_.asInstanceOf[Any]).orNull
     }.toMap
     checkFitOk()
     this
