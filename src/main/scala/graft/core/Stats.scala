@@ -39,13 +39,8 @@ object Stats {
   }
 
   def weightedMedianValue(
-      df: DataFrame, value: String, weight: Column): Option[Double] = {
-    val (fv, cleanup) = cumFractions(df, value, weight, minWeightExcl = false)
-    try {
-      val hit = fv.filter(col("f") >= 0.5).agg(min(col("v"))).head()
-      if (hit.isNullAt(0)) None else Some(hit.getDouble(0))
-    } finally cleanup()
-  }
+      df: DataFrame, value: String, weight: Column): Option[Double] =
+    weightedMediansMelted(df, Seq(value), weight)(value)
 
   /** Weighted medians of SEVERAL columns in one distributed pass:
     * melt to (column, value, weight) rows, run the keyed cumulative
@@ -68,11 +63,14 @@ object Stats {
     } finally cleanup()
   }
 
-  /** Keyed variant of [[cumFractions]]: input (k, v, w) rows; output
-    * (k, v, f) with f the cumulative weight fraction WITHIN key k,
-    * ordered by v. Same range-partition + per-partition prefix + offset
-    * shape, with (key, partition) offsets and per-key totals broadcast
-    * as literal maps.
+  /** Distributed keyed cumulative fractions: input (k, v, w) rows;
+    * output (k, v, f) with f the cumulative weight fraction WITHIN key
+    * k, ordered by v. No single-partition stage anywhere:
+    *   1. groupBy(k, v) collapses duplicates (map-side combine);
+    *   2. repartitionByRange(k, v) — partitions ascend in (k, v);
+    *   3. per-(key, partition) totals (tiny collect) become broadcast
+    *      prefix offsets + per-key totals;
+    *   4. Window.partitionBy(k, pid).orderBy(v) running sum + offset.
     */
   private[graft] def keyedCumFractions(pairs: DataFrame)
       : (DataFrame, () => Unit) = {
@@ -108,52 +106,60 @@ object Stats {
     (fv, () => { ranged.unpersist(false); () })
   }
 
-  /** Distributed cumulative weight fraction per distinct value:
-    * `(v, f)` with `f = cumsum(w ordered by v) / sum(w)`.
-    *
-    * Scale shape (no global single-partition window):
-    *   1. groupBy(v) collapses duplicates (map-side combine);
-    *   2. repartitionByRange(v) — range partitions are ascending in v;
-    *   3. per-partition totals (tiny collect) become broadcast prefix
-    *      offsets;
-    *   4. a Window.partitionBy(partition id).orderBy(v) running sum +
-    *      the partition's offset = the global cumulative sum, with
-    *      every stage distributed.
+  /** Exact weighted quantiles of SEVERAL columns in one distributed
+    * pass (np.interp semantics as [[weightedQuantiles]]): melt to
+    * (column, value, weight), keyed cumulative fractions, then ONE
+    * bracket aggregation for every (column, quantile).
     */
-  private[graft] def cumFractions(df: DataFrame, value: String,
-      weight: Column, minWeightExcl: Boolean)
-      : (DataFrame, () => Unit) = {
-    val base = df.filter(col(value).isNotNull &&
-      (if (minWeightExcl) weight =!= 0 else lit(true)))
-      .groupBy(col(value).cast("double").as("v"))
-      .agg(sum(weight.cast("double")).as("w"))
-    val parts = math.max(1,
-      df.sparkSession.sessionState.conf.numShufflePartitions)
-    val ranged = base
-      .repartitionByRange(parts, col("v"))
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-partition totals -> ascending-pid prefix offsets (range
-    // partitioning is order-preserving across partition ids)
-    val partTotals = ranged.groupBy(col("__pid"))
-      .agg(sum(col("w")).as("pw"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1))
-      .sortBy(_._1)
-    val total = partTotals.map(_._2).sum
-    val offsets = partTotals
-      .scanLeft((0, 0.0)) { case ((_, acc), (pid, pw)) => (pid, acc + pw) }
-      .sliding(2).collect { case Array((_, acc), (pid, _)) => pid -> acc }
-      .toMap
-    val offCol =
-      if (offsets.isEmpty) lit(0.0)
-      else coalesce(
-        element_at(typedLit(offsets), col("__pid")), lit(0.0))
-    val wPart = Window.partitionBy(col("__pid")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fv = ranged.select(col("v"),
-      ((sum(col("w")).over(wPart) + offCol) / lit(total)).as("f"))
-    (fv, () => { ranged.unpersist(false); () })
+  def weightedQuantilesMelted(df: DataFrame,
+      perCol: Map[String, Seq[Double]], weight: Column)
+      : Map[String, Seq[Option[Double]]] = {
+    require(perCol.values.flatten.forall(q => q >= 0 && q <= 1),
+      s"quantiles must be in [0,1], got $perCol")
+    val cols = perCol.keys.toSeq.sorted
+    val pair = explode(array(cols.map(c =>
+      struct(lit(c).as("k"), col(c).cast("double").as("v"))): _*))
+    val pairs = df.filter(weight.cast("double") =!= 0)
+      .select(pair.as("p"), weight.cast("double").as("__mw"))
+      .filter(col("p.v").isNotNull)
+      .select(col("p.k").as("k"), col("p.v").as("v"),
+        col("__mw").as("w"))
+    val (fv, cleanup) = keyedCumFractions(pairs)
+    val slots = cols.flatMap(c => perCol(c).indices.map(i => (c, i)))
+    val aggs = slots.zipWithIndex.flatMap { case ((c, i), s) =>
+      val q = perCol(c)(i)
+      val in = col("k") === c
+      Seq(
+        max(when(in && col("f") <= q, col("f"))).as(s"f_lo_$s"),
+        max(when(in && col("f") <= q, col("v"))).as(s"v_lo_$s"),
+        min(when(in && col("f") >= q, col("f"))).as(s"f_hi_$s"),
+        min(when(in && col("f") >= q, col("v"))).as(s"v_hi_$s"))
+    }
+    val row =
+      try fv.agg(aggs.head, aggs.tail: _*).head()
+      finally cleanup()
+    val bySlot = slots.zipWithIndex.map { case ((c, i), s) =>
+      (c, i) -> interp(perCol(c)(i),
+        Option(row.getAs[java.lang.Double](s"f_lo_$s")).map(_.toDouble),
+        Option(row.getAs[java.lang.Double](s"v_lo_$s")).map(_.toDouble),
+        Option(row.getAs[java.lang.Double](s"f_hi_$s")).map(_.toDouble),
+        Option(row.getAs[java.lang.Double](s"v_hi_$s")).map(_.toDouble))
+    }.toMap
+    cols.map(c => c -> perCol(c).indices.map(i => bySlot((c, i)))).toMap
   }
+
+  /** np.interp bracket resolution (tubular/capping.py:440-448). */
+  private def interp(q: Double, fLo: Option[Double], vLo: Option[Double],
+      fHi: Option[Double], vHi: Option[Double]): Option[Double] =
+    (fLo, vLo, fHi, vHi) match {
+      case (None, None, None, None) => None // no valid rows
+      case (None, _, _, Some(v)) => Some(v) // q below first cum frac
+      case (_, Some(v), None, _) => Some(v) // q above last (==1) frac
+      case (Some(fl), Some(vl), Some(fh), Some(vh)) =>
+        if (fh == fl) Some(vl)
+        else Some(vl + (q - fl) / (fh - fl) * (vh - vl))
+      case _ => None
+    }
 
   /** Exact weighted quantiles with np.interp semantics
     * (tubular/capping.py:335-452): cumulative weight fraction
@@ -168,37 +174,6 @@ object Stats {
     */
   def weightedQuantiles(
       df: DataFrame, value: String, weight: Column,
-      quantiles: Seq[Double]): Seq[Option[Double]] = {
-    require(quantiles.forall(q => q >= 0 && q <= 1),
-      s"quantiles must be in [0,1], got $quantiles")
-    val (fv, cleanup) = cumFractions(df, value, weight,
-      minWeightExcl = true)
-    // For each quantile, pull only the two bracketing rows (distributed
-    // min/max aggregations) instead of collecting the whole CDF.
-    val aggs = quantiles.zipWithIndex.flatMap { case (q, i) =>
-      Seq(
-        max(when(col("f") <= q, col("f"))).as(s"f_lo_$i"),
-        max(when(col("f") <= q, col("v"))).as(s"v_lo_$i"),
-        min(when(col("f") >= q, col("f"))).as(s"f_hi_$i"),
-        min(when(col("f") >= q, col("v"))).as(s"v_hi_$i"))
-    }
-    val row =
-      try fv.agg(aggs.head, aggs.tail: _*).head()
-      finally cleanup()
-    quantiles.indices.map { i =>
-      val fLo = Option(row.getAs[java.lang.Double](s"f_lo_$i")).map(_.toDouble)
-      val vLo = Option(row.getAs[java.lang.Double](s"v_lo_$i")).map(_.toDouble)
-      val fHi = Option(row.getAs[java.lang.Double](s"f_hi_$i")).map(_.toDouble)
-      val vHi = Option(row.getAs[java.lang.Double](s"v_hi_$i")).map(_.toDouble)
-      (fLo, vLo, fHi, vHi) match {
-        case (None, None, None, None) => None // no valid rows
-        case (None, _, _, Some(v)) => Some(v) // q below first cum frac
-        case (_, Some(v), None, _) => Some(v) // q above last (==1) frac
-        case (Some(fl), Some(vl), Some(fh), Some(vh)) =>
-          if (fh == fl) Some(vl)
-          else Some(vl + (quantiles(i) - fl) / (fh - fl) * (vh - vl))
-        case _ => None
-      }
-    }
-  }
+      quantiles: Seq[Double]): Seq[Option[Double]] =
+    weightedQuantilesMelted(df, Map(value -> quantiles), weight)(value)
 }

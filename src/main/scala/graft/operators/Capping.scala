@@ -47,9 +47,12 @@ abstract class BaseCapping(
     if (quantiles.nonEmpty) {
       val rows = Weights.fitRows(df, weightsColumn)
       val w = Weights.weightCol(weightsColumn)
+      // all columns' quantiles in ONE melted distributed pass
+      val perCol = quantiles.map { case (c, (qLo, qHi)) =>
+        c -> (qLo.toSeq ++ qHi.toSeq) }
+      val fitted = Stats.weightedQuantilesMelted(rows, perCol, w)
       fittedCaps = quantiles.map { case (c, (qLo, qHi)) =>
-        val qs = qLo.toSeq ++ qHi.toSeq
-        val vals = Stats.weightedQuantiles(rows, c, w, qs)
+        val vals = fitted(c)
         val lo = qLo.map(_ => vals.head.getOrElse(
           throw new IllegalStateException(
             s"$classname: no valid rows fitting quantile caps for $c")))

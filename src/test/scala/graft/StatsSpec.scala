@@ -87,9 +87,9 @@ class StatsSpec extends SparkSpec {
 
   test("cum-frac plan has no single-partition global window") {
     import spark.implicits._
-    val d = (1 to 100).map(i => (i.toDouble, 1.0)).toDF("x", "wt")
-    val (fv, cleanup) = Stats.cumFractions(d, "x", col("wt"),
-      minWeightExcl = true)
+    val pairs = (1 to 100).map(i => ("x", i.toDouble, 1.0))
+      .toDF("k", "v", "w")
+    val (fv, cleanup) = Stats.keyedCumFractions(pairs)
     try {
       val plan = fv.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange SinglePartition"),
