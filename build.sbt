@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// raw stdout for forked runs: the bench/verify drivers parse the JSON
+// line this process prints; sbt's default LoggedOutput would prefix it
+// with "[info] "
+run / outputStrategy := Some(StdoutOutput)
 // Suites share one SparkSession; Spark's active-session state is
 // thread-local, so run suites sequentially in the forked JVM.
 Test / parallelExecution := false
@@ -29,7 +33,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: long bench runs (decode feature jobs allocate pixel
+  // arrays per image) need old-gen headroom so late sections aren't
+  // GC-taxed relative to hand runs; the box has 128 GiB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // Spark's per-query Janino codegen churns thousands of classes; with
   // the default 240m code cache + few C2 threads, hot loops get stuck
   // behind a saturated compile queue (observed: identical stages 5x

@@ -10,11 +10,24 @@ import org.apache.spark.sql.functions.{col, sum}
   *  1. headline operator queries from SparkEntry.queries (timed count()),
   *  2. flagship as-of-join + transform throughput (rows/sec, images/sec)
   *     on the deterministically generated image+caption table,
-  *  3. scaling evidence: the same flagship job at local[8] vs local[32]
+  *  3. scaling evidence: the same job at local[4] vs local[16]
   *     (sandbox proxy for N vs 4N executors) + efficiency = speedup/4.
   *
+  * == Measurement discipline ==
+  * Every timed job gets an UNTIMED warmup execution first, at the same
+  * parallelism level: Spark's per-query Janino codegen churns thousands
+  * of classes and saturates the JVM's C2 compile queue, so a cold first
+  * execution can run many times slower than the steady state (observed:
+  * identical runs varying 4s..170s; GC and CPU microbenches stable).
+  * Timings are then min-of-N reps, and the RAW per-rep times are
+  * emitted in the JSON so residual sandbox noise is visible rather than
+  * silently folded in. A query that throws is reported in "failed", not
+  * as a timing.
+  *
   * SPARK_GRAFT_BENCH_MODE=all runs every query instead of the headline
-  * subset; SPARK_GRAFT_SCALING=0 skips section 3.
+  * subset; SPARK_GRAFT_SCALING=0 skips section 3;
+  * SPARK_GRAFT_BENCH_REPS / SPARK_GRAFT_SCALING_REPS override rep
+  * counts; SPARK_GRAFT_WARMUP=0 disables warmup executions.
   */
 object Bench {
 
@@ -39,33 +52,24 @@ object Bench {
     s
   }
 
-  /** Best-of-N timing: the sandbox host shows intermittent multi-10s
-    * stalls unrelated to the measured plan (verified: GC max ~34ms,
-    * stable CPU microbench, identical runs varying 4s..170s), so the
-    * minimum over reps is the faithful cost of the computation.
-    */
-  private def bestOf[T](reps: Int)(body: => T): (T, Double) = {
-    var best = Double.MaxValue
+  private val doWarmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
+
+  /** One untimed warmup + N timed reps; returns (result, min, raw). */
+  private def timed[T](reps: Int)(body: => T): (T, Double, Seq[Double]) = {
+    if (doWarmup) body // untimed: absorbs codegen-compile cost
+    var times = Vector.empty[Double]
     var out: Option[T] = None
     (1 to reps).foreach { _ =>
       val t0 = System.nanoTime()
       val r = body
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (dt < best) { best = dt; out = Some(r) }
+      times :+= (System.nanoTime() - t0) / 1e9
+      out = Some(r)
     }
-    (out.get, best)
+    (out.get, times.min, times)
   }
 
-  /** Flagship job sized for the bench: returns (rows, images, seconds). */
-  private def flagship(spark: SparkSession, nImages: Long,
-      perImage: Int, reps: Int): (Long, Long, Double) = {
-    val (rows, dt) = bestOf(reps) {
-      val n = Flagship.features(spark, nImages, perImage).count()
-      spark.catalog.clearCache() // drop the pipeline's fit-input cache
-      n
-    }
-    (rows, nImages, dt)
-  }
+  private def fmtRaw(raw: Seq[Double]): String =
+    raw.map(t => f"$t%.3f").mkString("[", ",", "]")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,28 +79,42 @@ object Bench {
 
     var spark = session(cpus)
 
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
       case Some(list) => list.split(",").toSeq
         .filter(SparkEntry.queries.contains)
       case None if mode == "all" => SparkEntry.queries.keys.toSeq.sorted
       case None => Headline.filter(SparkEntry.queries.contains)
     }
-    val results = names.map { name =>
-      val (_, dt) = bestOf(reps) {
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    val failed = scala.collection.mutable.ListBuffer[String]()
+    val results = names.flatMap { name =>
+      try {
+        val (_, best, raw) = timed(reps) {
+          SparkEntry.queries(name)(spark, sfDir).count()
         }
+        System.err.println(
+          f"[bench] $name%-28s $best%8.2f s  raw=${fmtRaw(raw)}")
+        Some(name -> best)
+      } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
       }
-      System.err.println(f"[bench] $name%-28s ${dt}%8.2f s")
-      name -> dt
     }
 
     // flagship throughput at the full parallelism level
-    val (fRows, fImgs, fSec) =
-      flagship(spark, nImages = 200000L, perImage = 5, reps)
-    System.err.println(f"[bench] flagship rows=$fRows sec=$fSec%.2f")
+    val fImgs = 200000L
+    val (fRows, fSec, fRaw) = {
+      val (rows, dt, raw) = timed(reps) {
+        val n = Flagship.features(spark, fImgs, 5).count()
+        spark.catalog.clearCache() // drop the pipeline's fit-input cache
+        n
+      }
+      (rows, dt, raw)
+    }
+    System.err.println(
+      f"[bench] flagship rows=$fRows sec=$fSec%.2f raw=${fmtRaw(fRaw)}")
 
     // Scaling evidence (north_rule: throughput efficiency >= 0.8 from N
     // to 4N executors), sandbox proxy = local[4] vs local[16] on one
@@ -111,7 +129,7 @@ object Bench {
     val scaleImages =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_IMAGES", "400000").toLong
     def decodeJob(s: SparkSession): Long = {
-      val r = Flagship.featuresWithDecode(s, scaleImages, 1)
+      Flagship.featuresWithDecode(s, scaleImages, 1)
         .agg(sum(col("mean_luma"))).head()
       s.catalog.clearCache()
       scaleImages
@@ -132,27 +150,28 @@ object Bench {
     }
     val scalingJson = if (doScaling) {
       spark.stop()
-      // 16c measured FIRST: JIT state persists across sessions in this
-      // JVM, so later runs are warmer — this ordering biases AGAINST
-      // the scaling claim, making the reported efficiency conservative.
       val sReps =
-        sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt
+        sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "4").toInt
+      // each level gets its own session AND its own untimed warmup run
+      // of the measured job before any timed rep, so codegen/JIT state
+      // is steady at BOTH levels; 16c is still measured first (JIT
+      // persists JVM-wide, so this ordering can only bias AGAINST the
+      // scaling claim)
       def atR[T](cpus: Int, r: Int)(job: SparkSession => Long)
-          : (Long, Double) = {
+          : (Long, Double, Seq[Double]) = {
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
         val s = session(cpus)
-        val (rows, dt) = bestOf(r)(job(s))
+        System.gc() // start each level from a collected heap
+        val (rows, dt, raw) = timed(r)(job(s))
         s.stop()
-        (rows, dt)
+        (rows, dt, raw)
       }
-      // one extra rep at the 4N level: its reps are ~4x cheaper and its
-      // min is what sandbox JIT noise perturbs most
-      val (rd16, td16) = atR(16, sReps + 1)(decodeJob)
-      val (rd4, td4) = atR(4, sReps)(decodeJob)
-      val (rk16, tk16) = atR(16, sReps + 1)(decodeKernel)
-      val (rk4, tk4) = atR(4, sReps)(decodeKernel)
-      val (ra16, ta16) = atR(16, 2)(asofJob)
-      val (ra4, ta4) = atR(4, 2)(asofJob)
+      val (rd16, td16, rawD16) = atR(16, sReps)(decodeJob)
+      val (rd4, td4, rawD4) = atR(4, sReps)(decodeJob)
+      val (rk16, tk16, rawK16) = atR(16, sReps)(decodeKernel)
+      val (rk4, tk4, rawK4) = atR(4, sReps)(decodeKernel)
+      val (ra16, ta16, rawA16) = atR(16, 2)(asofJob)
+      val (ra4, ta4, rawA4) = atR(4, 2)(asofJob)
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       spark = session(cpus)
       val thrD4 = rd4 / td4; val thrD16 = rd16 / td16
@@ -162,21 +181,22 @@ object Bench {
       val effK = (thrK16 / thrK4) / 4.0
       val effA = (thrA16 / thrA4) / 4.0
       System.err.println(
-        f"[bench] scaling decode-pipeline 4c=$thrD4%.0f img/s 16c=$thrD16%.0f img/s eff=$effD%.3f")
+        f"[bench] scaling decode-pipeline 4c=$thrD4%.0f img/s 16c=$thrD16%.0f img/s eff=$effD%.3f raw4=${fmtRaw(rawD4)} raw16=${fmtRaw(rawD16)}")
       System.err.println(
-        f"[bench] scaling decode-kernel 4c=$thrK4%.0f img/s 16c=$thrK16%.0f img/s eff=$effK%.3f")
+        f"[bench] scaling decode-kernel 4c=$thrK4%.0f img/s 16c=$thrK16%.0f img/s eff=$effK%.3f raw4=${fmtRaw(rawK4)} raw16=${fmtRaw(rawK16)}")
       System.err.println(
         f"[bench] scaling asof-transform 4c=$thrA4%.0f rows/s 16c=$thrA16%.0f rows/s eff=$effA%.3f (single-box floor)")
-      f""","scaling":{"job":"asof+transform+decode","n_cores":4,"n4_cores":16,"n_images_per_sec":$thrD4%.1f,"n4_images_per_sec":$thrD16%.1f,"efficiency":$effD%.3f,"decode_kernel":{"n_images_per_sec":$thrK4%.1f,"n4_images_per_sec":$thrK16%.1f,"efficiency":$effK%.3f},"asof_transform_only":{"n_rows_per_sec":$thrA4%.1f,"n4_rows_per_sec":$thrA16%.1f,"efficiency":$effA%.3f,"note":"single-box memory-bandwidth floor"}}"""
+      f""","scaling":{"job":"asof+transform+decode","n_cores":4,"n4_cores":16,"n_images_per_sec":$thrD4%.1f,"n4_images_per_sec":$thrD16%.1f,"efficiency":$effD%.3f,"raw_secs_n":${fmtRaw(rawD4)},"raw_secs_n4":${fmtRaw(rawD16)},"decode_kernel":{"n_images_per_sec":$thrK4%.1f,"n4_images_per_sec":$thrK16%.1f,"efficiency":$effK%.3f,"raw_secs_n":${fmtRaw(rawK4)},"raw_secs_n4":${fmtRaw(rawK16)}},"asof_transform_only":{"n_rows_per_sec":$thrA4%.1f,"n4_rows_per_sec":$thrA16%.1f,"efficiency":$effA%.3f,"raw_secs_n":${fmtRaw(rawA4)},"raw_secs_n4":${fmtRaw(rawA16)},"note":"single-box memory-bandwidth floor"}}"""
     } else ""
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum + fSec
     val flagshipJson =
-      f""","flagship":{"rows":$fRows,"sec":$fSec%.3f,"rows_per_sec":${fRows / fSec}%.1f,"images_per_sec":${fImgs / fSec}%.1f}"""
+      f""","flagship":{"rows":$fRows,"sec":$fSec%.3f,"rows_per_sec":${fRows / fSec}%.1f,"images_per_sec":${fImgs / fSec}%.1f,"raw_secs":${fmtRaw(fRaw)}}"""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$flagshipJson$scalingJson}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"$flagshipJson$scalingJson}""")
     spark.stop()
   }
 }

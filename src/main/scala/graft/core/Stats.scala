@@ -33,11 +33,6 @@ object Stats {
     * Distributed: groupBy(value) collapses duplicates first, so the
     * global cumulative window runs over distinct values only.
     */
-  def weightedMedian(df: DataFrame, value: String, weight: Column): Column = {
-    // returned as a literal column after a distributed job + tiny collect
-    lit(weightedMedianValue(df, value, weight).orNull)
-  }
-
   def weightedMedianValue(
       df: DataFrame, value: String, weight: Column): Option[Double] =
     weightedMediansMelted(df, Seq(value), weight)(value)

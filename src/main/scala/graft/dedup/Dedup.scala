@@ -157,15 +157,6 @@ object Dedup {
           .as("jaccard"))
   }
 
-  /** 64-bit SimHash of whitespace tokens: bit k of the signature is the
-    * sign of sum(+/-1 over tokens by their xxhash64 bit k).
-    *
-    * ONE pass over the token array: a single aggregate() carries a
-    * 64-slot vote vector, each token hashed exactly once (bound via the
-    * single-element transform trick — interpreted lambdas get no
-    * subexpression elimination, so naive per-bit aggregates would
-    * re-split and re-hash 64 times).
-    */
   /** Per-document SimHash table `(id, simhash)`, computed relationally
     * like [[minhashSignatures]]: explode tokens, ONE groupBy(id) with 64
     * codegen'd bit-vote sums (xxhash64(token) is shared across the 64
@@ -185,21 +176,6 @@ object Dedup {
     val bits = (0 until 64).map(k =>
       when(col(s"v$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
     agged.select(col("__id"), bits.reduce(_.bitwiseOR(_)).as("simhash"))
-  }
-
-  def simhash64(text: Column): Column = {
-    val ks = sequence(lit(0), lit(63))
-    val votes = aggregate(split(text, " "),
-      array_repeat(lit(0), 64),
-      (acc, t) => element_at(transform(array(xxhash64(t)), h =>
-        zip_with(acc, ks, (a, k) =>
-          a + when(call_function("shiftright", h, k)
-            .bitwiseAND(1) === 1, 1).otherwise(-1))), 1))
-    aggregate(
-      zip_with(votes, ks, (v, k) =>
-        when(v > 0, call_function("shiftleft", lit(1L), k))
-          .otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
   /** Embedding near-dup pairs via quantized cosine within blocks.

@@ -51,39 +51,67 @@ object SnapshotStore {
 
   private val B = "__bucket"
 
-  /** Per-bucket (rows, content-hash) of `df` under `bucketExpr` —
+  /** Per-bucket (rows, content-hash) of an already-bucketed frame —
     * one distributed agg, bit_xor is order-independent and overflow-free
     * (ANSI-safe, unlike a sum of hashes).
     */
-  private def lineageOf(df: DataFrame, bucketExpr: Column)
-      : Map[Int, (Long, Long)] = {
-    df.withColumn(B, bucketExpr)
+  private def lineageOf(bucketed: DataFrame): Map[Int, (Long, Long)] = {
+    bucketed
       .groupBy(col(B))
       .agg(count(lit(1)).as("rows"),
-        expr(s"bit_xor(xxhash64(struct(${df.columns.filterNot(_ == B).mkString(",")})))")
+        expr(s"bit_xor(xxhash64(struct(${bucketed.columns.filterNot(_ == B).mkString(",")})))")
           .as("xxh"))
       .collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
   }
 
-  private def snapshotIds(root: String): Seq[Int] = {
+  /** Snapshot ids on disk. Incomplete (mid-checkpoint) snapshots are
+    * excluded unless asked for: a manifest written by a
+    * `maxBucketsPerRun`-truncated run lists only the buckets verified so
+    * far, and exposing it as "latest" would hand readers a partial
+    * table (Iceberg never exposes partial commits).
+    */
+  private def snapshotIds(root: String,
+      includeIncomplete: Boolean = false): Seq[Int] = {
     val dir = Paths.get(root, "snapshots")
     if (!Files.isDirectory(dir)) Seq.empty
     else Files.list(dir).iterator().asScala
       .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".manifest.jsonl") =>
-        s.stripPrefix("v").stripSuffix(".manifest.jsonl").toInt }
+      .collect {
+        case s if s.startsWith("v") && s.endsWith(".manifest.jsonl") =>
+          s.stripPrefix("v").stripSuffix(".manifest.jsonl").toInt
+        case s if includeIncomplete && s.startsWith("v") &&
+            s.endsWith(s".manifest$Incomplete.jsonl") =>
+          s.stripPrefix("v").stripSuffix(s".manifest$Incomplete.jsonl").toInt
+      }
       .toSeq.sorted
   }
 
+  private val Incomplete = ".incomplete"
+
+  /** Latest COMPLETE snapshot — what readers see by default. */
   def latestSnapshot(root: String): Option[Int] = snapshotIds(root).lastOption
+
+  /** Latest snapshot including mid-checkpoint ones — what `write` resumes
+    * from (so a rerun skips buckets the truncated run already wrote).
+    */
+  def latestAnySnapshot(root: String): Option[Int] =
+    snapshotIds(root, includeIncomplete = true).lastOption
+
+  def isIncomplete(root: String, snapshot: Int): Boolean =
+    Files.exists(Paths.get(root, "snapshots",
+      s"v$snapshot.manifest$Incomplete.jsonl"))
 
   private val Line =
     """\{"bucket":(-?\d+),"rows":(\d+),"xxh":(-?\d+),"path":"([^"]*)"\}""".r
 
   def manifest(root: String, snapshot: Int): Seq[BucketLineage] = {
-    val p = Paths.get(root, "snapshots", s"v$snapshot.manifest.jsonl")
+    val complete = Paths.get(root, "snapshots", s"v$snapshot.manifest.jsonl")
+    val p =
+      if (Files.exists(complete)) complete
+      else Paths.get(root, "snapshots",
+        s"v$snapshot.manifest$Incomplete.jsonl")
     Files.readAllLines(p).asScala.toSeq.collect {
       case Line(b, r, x, path) =>
         BucketLineage(b.toInt, r.toLong, x.toLong, path)
@@ -91,13 +119,14 @@ object SnapshotStore {
   }
 
   private def writeManifest(root: String, snapshot: Int,
-      entries: Seq[BucketLineage]): Unit = {
+      entries: Seq[BucketLineage], incomplete: Boolean): Unit = {
     val dir = Paths.get(root, "snapshots")
     Files.createDirectories(dir)
     val body = entries.sortBy(_.bucket).map { e =>
       s"""{"bucket":${e.bucket},"rows":${e.rows},"xxh":${e.xxh},"path":"${e.path}"}"""
     }.mkString("", "\n", "\n")
-    Files.writeString(dir.resolve(s"v$snapshot.manifest.jsonl"), body)
+    val suffix = if (incomplete) Incomplete else ""
+    Files.writeString(dir.resolve(s"v$snapshot.manifest$suffix.jsonl"), body)
   }
 
   /** Write (or resume writing) `df` as the next snapshot of the table at
@@ -107,33 +136,45 @@ object SnapshotStore {
     */
   def write(df: DataFrame, root: String, bucketExpr: Column,
       maxBucketsPerRun: Int = Int.MaxValue): WriteResult = {
-    val incoming = lineageOf(df, bucketExpr)
-    val prev: Map[Int, BucketLineage] =
-      latestSnapshot(root) match {
-        case Some(v) => manifest(root, v).map(e => e.bucket -> e).toMap
-        case None => Map.empty
+    // persist the bucketed projection so the lineage agg and the file
+    // write observe ONE execution of the input plan — a
+    // non-deterministic input (rand, unstable sampling) would otherwise
+    // record lineage that disagrees with the stored files
+    val bucketed = df.withColumn(B, bucketExpr)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val incoming = lineageOf(bucketed)
+      // resume from the latest manifest INCLUDING incomplete ones: a
+      // truncated run's buckets are already on disk and must be skipped
+      val prev: Map[Int, BucketLineage] =
+        latestAnySnapshot(root) match {
+          case Some(v) => manifest(root, v).map(e => e.bucket -> e).toMap
+          case None => Map.empty
+        }
+      val carried = incoming.keys.toSeq.sorted.filter { b =>
+        prev.get(b).exists(p => (p.rows, p.xxh) == incoming(b))
       }
-    val carried = incoming.keys.toSeq.sorted.filter { b =>
-      prev.get(b).exists(p => (p.rows, p.xxh) == incoming(b))
-    }
-    val pending = incoming.keys.toSeq.sorted.filterNot(carried.contains)
-    val chosen = pending.take(maxBucketsPerRun)
-    val remaining = pending.drop(maxBucketsPerRun)
+      val pending = incoming.keys.toSeq.sorted.filterNot(carried.contains)
+      val chosen = pending.take(maxBucketsPerRun)
+      val remaining = pending.drop(maxBucketsPerRun)
 
-    val snap = latestSnapshot(root).getOrElse(0) + 1
-    val runDir = s"$root/runs/run=$snap"
-    if (chosen.nonEmpty) {
-      df.withColumn(B, bucketExpr)
-        .filter(col(B).isin(chosen: _*))
-        .write.partitionBy(B).mode("append").parquet(runDir)
-    }
-    val entries =
-      carried.map(b => prev(b).copy(rows = incoming(b)._1,
-        xxh = incoming(b)._2)) ++
-      chosen.map(b => BucketLineage(b, incoming(b)._1, incoming(b)._2,
-        s"$runDir/$B=$b"))
-    writeManifest(root, snap, entries)
-    WriteResult(snap, chosen, carried, remaining)
+      val snap = latestAnySnapshot(root).getOrElse(0) + 1
+      val runDir = s"$root/runs/run=$snap"
+      if (chosen.nonEmpty) {
+        bucketed
+          .filter(col(B).isin(chosen: _*))
+          .write.partitionBy(B).mode("append").parquet(runDir)
+      }
+      val entries =
+        carried.map(b => prev(b).copy(rows = incoming(b)._1,
+          xxh = incoming(b)._2)) ++
+        chosen.map(b => BucketLineage(b, incoming(b)._1, incoming(b)._2,
+          s"$runDir/$B=$b"))
+      // a truncated run publishes an INCOMPLETE manifest: readers skip
+      // it by default (latestSnapshot/read), the next write resumes it
+      writeManifest(root, snap, entries, incomplete = remaining.nonEmpty)
+      WriteResult(snap, chosen, carried, remaining)
+    } finally bucketed.unpersist(false)
   }
 
   /** Snapshot-scoped read: exactly the files the manifest lists. The

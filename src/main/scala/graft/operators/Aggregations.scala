@@ -41,20 +41,54 @@ class AggregateRowsOverColumnTransformer(
     requireNumeric(df, columns)
     val w = Window.partitionBy(col(key))
     columns.flatMap { c =>
-      aggregations.map { a =>
+      aggregations.filterNot(_ == "median").map { a =>
         val e = a match {
           case "min" => min(col(c)).over(w)
           case "max" => max(col(c)).over(w)
           case "mean" => avg(col(c)).over(w)
           case "sum" => sum(col(c)).over(w)
-          case "median" =>
-            expr(s"percentile($c, 0.5)").over(w)
           case "count" => count(col(c)).over(w)
         }
         s"${c}_$a" -> e
       }
     }
   }
+
+  /** Median goes through groupBy + join-back, NOT `percentile OVER
+    * (PARTITION BY key)`: an unbounded-window exact percentile buffers
+    * every column of every row of a key inside one task, so one hot key
+    * with 10^8 rows OOMs an executor at scale. The groupBy aggregate
+    * buffers only the numeric values (partial-aggregated map-side) and
+    * the join back runs on the same hash partitioning the window
+    * aggregates already established, so no extra exchange of the big
+    * side. Join is null-safe (`<=>`) to keep the window semantics of a
+    * null key forming its own group.
+    */
+  override def transform(df: DataFrame): DataFrame = {
+    if (!isFitted)
+      throw new IllegalStateException(
+        s"$classname: transform called before fit")
+    columnsCheck(df)
+    requireNumeric(df, columns)
+    val base = project(df, transformExprs(df))
+    if (!aggregations.contains("median")) return base
+    val medAggs = columns.map(c =>
+      expr(s"percentile(`$c`, 0.5)").as(s"__med_$c"))
+    val meds = df.select(col(key).as("__medkey") +:
+        columns.map(c => col(c)): _*)
+      .groupBy(col("__medkey"))
+      .agg(medAggs.head, medAggs.tail: _*)
+    val joined = base.join(meds, col(key) <=> col("__medkey"), "left")
+    // reproduce project()'s output order exactly: existing columns (in
+    // place), then appended agg columns interleaved per (column, agg)
+    val medFor = columns.map(c => s"${c}_median" -> s"__med_$c").toMap
+    val allOut = featureNamesOut
+    val finalOrder = df.columns.toSeq ++ allOut.filterNot(df.columns.contains)
+    joined.select(finalOrder.map { n =>
+      medFor.get(n).map(m => col(m).as(n)).getOrElse(col(n))
+    }: _*)
+  }
+
   override def featureNamesOut: Seq[String] =
     columns.flatMap(c => aggregations.map(a => s"${c}_$a"))
   override def initParams: Map[String, Any] = Map(

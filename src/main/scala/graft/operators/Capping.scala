@@ -107,7 +107,13 @@ class CappingTransformer(
         case FloatType | DoubleType => dt
         case _ => DoubleType // integral columns widen to fit float caps
       }
-      c -> when(col(c).isNull, lit(null)).otherwise(e).cast(outType)
+      // NaN passes through un-clipped (polars clip semantics,
+      // tubular/functions/capping.py:46-52): Spark's greatest/least
+      // order NaN as the LARGEST value, so without the guard a NaN
+      // input would cap to the upper bound instead of staying NaN
+      c -> when(col(c).isNull, lit(null))
+        .when(isnan(col(c).cast("double")), col(c).cast("double"))
+        .otherwise(e).cast(outType)
     }
 }
 
@@ -123,10 +129,16 @@ class OutOfRangeNullTransformer(
   override def transformExprs(df: DataFrame): Seq[(String, Column)] =
     columns.map { c =>
       val (lo, hi) = fittedCaps(c)
+      // NaN pinned to the reference's IEEE comparisons
+      // (tubular/functions/capping.py:79-104): both-sided `>= lo AND
+      // <= hi` nulls NaN; one-sided `< lo` / `> hi` KEEPS NaN (IEEE
+      // comparisons with NaN are false). Spark instead totally orders
+      // NaN as largest, so the one-sided cases need an explicit guard.
+      val nan = isnan(col(c).cast("double"))
       val inRange = (lo, hi) match {
-        case (Some(l), Some(h)) => col(c) >= l && col(c) <= h
-        case (Some(l), None) => col(c) >= l
-        case (None, Some(h)) => col(c) <= h
+        case (Some(l), Some(h)) => !nan && col(c) >= l && col(c) <= h
+        case (Some(l), None) => nan || col(c) >= l
+        case (None, Some(h)) => nan || col(c) <= h
         case _ => lit(true)
       }
       c -> when(col(c).isNotNull && inRange, col(c)).cast(DoubleType)

@@ -155,16 +155,28 @@ class ModeImputer(
     super.fit(df)
     val rows = Weights.fitRows(df, weightsColumn)
     val w = Weights.weightCol(weightsColumn)
-    imputeValues = columns.map { c =>
+    imputeValues = Map.empty
+    // ONE melted groupBy job per distinct column dtype (not per column —
+    // k same-typed columns share a single scan; the melt keeps the
+    // original value type so the tie-break and learned value stay
+    // typed). Tie -> largest value (tubular/imputers.py:1399-1417):
+    // max(struct(weight, value)) orders by weight then value, both
+    // ascending, which is exactly argmax-weight-then-max-value.
+    columns.groupBy(c => df.schema(c).dataType).foreach { case (_, cs) =>
+      val pair = explode(array(cs.map(c =>
+        struct(lit(c).as("k"), col(c).as("v"))): _*))
       val top = rows
-        .filter(col(c).isNotNull)
-        .groupBy(col(c))
-        .agg(sum(w.cast("double")).as("__w"))
-        .orderBy(col("__w").desc, col(c).desc)
-        .limit(1)
+        .select(pair.as("p"), w.cast("double").as("__w"))
+        .filter(col("p.v").isNotNull)
+        .groupBy(col("p.k").as("k"), col("p.v").as("v"))
+        .agg(sum(col("__w")).as("lw"))
+        .groupBy(col("k"))
+        .agg(max(struct(col("lw"), col("v"))).as("m"))
+        .select(col("k"), col("m.v"))
         .collect()
-      c -> (if (top.isEmpty) null else top(0).get(0))
-    }.toMap
+        .map(r => r.getString(0) -> r.get(1)).toMap
+      imputeValues ++= cs.map(c => c -> top.getOrElse(c, null))
+    }
     checkFitOk()
     this
   }

@@ -49,13 +49,20 @@ class GroupRareLevelsTransformer(
     val total = rows.agg(sum(w)).head().getDouble(0)
     val pair = explode(array(columns.map(c =>
       struct(lit(c).as("c"), col(c).cast("string").as("lvl"))): _*))
-    val byColLevel = rows
+    // collect guarded by the level cap: limit(cap+1) bounds the driver
+    // transfer, so a mistaken ID column errors cleanly instead of OOMing
+    val cap = graft.core.Limits.maxFitLevels(rows.sparkSession)
+    val collected = rows
       .select(pair.as("p"), w.as("__w"))
       .filter(col("p.lvl").isNotNull)
       .groupBy(col("p.c").as("c"), col("p.lvl").as("lvl"))
       .agg(sum(col("__w")).as("lw"))
+      .limit(cap + 1)
       .collect()
-      .groupBy(_.getString(0))
+    if (collected.length > cap)
+      graft.core.Limits.levelCapError(classname, cap,
+        s"across columns ${columns.mkString(", ")}")
+    val byColLevel = collected.groupBy(_.getString(0))
     columns.foreach { c =>
       val byLevel = byColLevel.getOrElse(c, Array.empty)
       val (common, rare) = byLevel.partition(
@@ -182,11 +189,16 @@ class MeanResponseTransformer(
     val aggs = ys.flatMap { case (sfx, _) =>
       Seq(sum(col("__w") * col(s"__y$sfx")).as(s"wy$sfx"),
         sum(col("__w")).as(s"ww$sfx")) }
-    val byCol = melted
+    val cap = graft.core.Limits.maxFitLevels(rows.sparkSession)
+    val grouped = melted
       .groupBy(col("p.c").as("c"), col("p.lvl").as("lvl"))
       .agg(aggs.head, aggs.tail: _*)
+      .limit(cap + 1)
       .collect()
-      .groupBy(_.getString(0))
+    if (grouped.length > cap)
+      graft.core.Limits.levelCapError(classname, cap,
+        s"across columns ${columns.mkString(", ")}")
+    val byCol = grouped.groupBy(_.getString(0))
     columns.foreach { c =>
       val grouped = byCol.getOrElse(c, Array.empty)
       ys.foreach { case (sfx, _) =>
@@ -202,32 +214,39 @@ class MeanResponseTransformer(
     }
 
     // unseen-level fallback from the ENCODED training column
-    // (tubular/nominal.py:1240-1311)
+    // (tubular/nominal.py:1240-1311). (sourceCol, encName) pairs are
+    // carried explicitly — recovering the source from the encoded name
+    // by string prefix mis-binds when one column name prefixes another
+    // (e.g. columns "a" and "a_b"). All encoded columns are fitted in
+    // ONE job (a single fused agg, or one melted keyed-median pass).
     unseenEncoding = unseenLevelHandling match {
       case None => Map.empty
       case Some(Left(v)) => encodedColumns.map(_ -> v).toMap
       case Some(Right(stat)) =>
-        encodedColumns.flatMap { enc =>
-          val srcCol = columns.find(c => enc.startsWith(c)).get
-          val m = mappings(enc)
-          val mapped = mapExpr(col(srcCol), m)
-          stat match {
-            case "median" =>
-              val tmp = rows.filter(col(srcCol).isNotNull)
-                .select(mapped.as("__enc"),
-                  w.as("__w"))
-              Stats.weightedMedianValue(tmp, "__enc", col("__w"))
-                .map(enc -> _)
-            case "mean" =>
-              Some(enc -> rows.agg(
-                (sum(w * mapped) / sum(when(mapped.isNotNull, w)))).head()
-                .getDouble(0))
-            case "min" =>
-              Some(enc -> rows.agg(min(mapped)).head().getDouble(0))
-            case "max" =>
-              Some(enc -> rows.agg(max(mapped)).head().getDouble(0))
-          }
-        }.toMap
+        val encPairs: Seq[(String, String)] =
+          columns.flatMap(c => ys.map { case (sfx, _) => (c, s"$c$sfx") })
+        stat match {
+          case "median" =>
+            val tmp = rows.select(
+              encPairs.map { case (src, enc) =>
+                mapExpr(col(src), mappings(enc)).as(enc) } :+
+                w.as("__w"): _*)
+            Stats.weightedMediansMelted(tmp, encPairs.map(_._2), col("__w"))
+              .collect { case (enc, Some(v)) => enc -> v }
+          case s =>
+            val aggs = encPairs.map { case (src, enc) =>
+              val mapped = mapExpr(col(src), mappings(enc))
+              (s match {
+                case "mean" => sum(w * mapped) / sum(when(mapped.isNotNull, w))
+                case "min" => min(mapped)
+                case "max" => max(mapped)
+              }).as(enc)
+            }
+            val r = rows.agg(aggs.head, aggs.tail: _*).head()
+            encPairs.zipWithIndex.flatMap { case ((_, enc), i) =>
+              Option(r.getAs[java.lang.Double](i)).map(enc -> _.toDouble)
+            }.toMap
+        }
     }
     this
   }
@@ -293,16 +312,28 @@ class OneHotEncodingTransformer(
   var categories: Map[String, Seq[String]] = Map.empty
 
   /** Output names depend on LEARNED levels -> fusion barrier, unless
-    * the user pinned wanted_values.
+    * the user pinned wanted_values. Pre-fit with wanted_values the
+    * names come from the init param (categories is still empty then —
+    * Pipeline.fit consults writtenCols while planning fusion runs).
     */
   override def writtenCols: Option[Seq[String]] =
-    if (wantedValues.nonEmpty || categories.nonEmpty) Some(featureNamesOut)
+    if (categories.nonEmpty) Some(featureNamesOut)
+    else if (wantedValues.nonEmpty)
+      Some(columns.flatMap(c =>
+        wantedValues.getOrElse(c, Seq.empty).map(l => s"$c$separator$l")))
     else None
 
   override def fitAggExprs(df: DataFrame): Seq[Column] = {
     requireStringLike(df, columns)
     if (wantedValues.nonEmpty) Seq.empty
-    else columns.map(c => collect_set(col(c).cast("string")))
+    else columns.flatMap(c => Seq(
+      // cardinality sentinel in the SAME fused agg: a mistaken ID
+      // column errors cleanly from the approx count instead of blowing
+      // the collect_set buffer / driver row
+      approx_count_distinct(col(c).cast("string")),
+      // slice caps the transferred row at 102 entries — enough to
+      // detect >100 exactly, bounded no matter the true cardinality
+      slice(sort_array(collect_set(col(c).cast("string"))), 1, 102)))
   }
 
   override def absorbAggRow(row: org.apache.spark.sql.Row,
@@ -310,14 +341,19 @@ class OneHotEncodingTransformer(
     categories =
       if (wantedValues.nonEmpty) wantedValues
       else columns.zipWithIndex.map { case (c, i) =>
-        val lv = row.getAs[scala.collection.Seq[String]](offset + i)
+        val approx = row.getLong(offset + 2 * i)
+        if (approx > 1000) // far above the cap even with HLL error
+          throw new IllegalArgumentException(
+            s"$classname: column $c has ~$approx levels (>100 cap, " +
+              "tubular/nominal.py:1714-1720)")
+        val lv = row.getAs[scala.collection.Seq[String]](offset + 2 * i + 1)
           .toSeq.sorted
         if (lv.isEmpty)
           throw new IllegalStateException(
             s"$classname: column $c has no non-null levels")
-        if (lv.size > 100)
+        if (lv.size > 100) // exact: slice kept 102 entries, so >100 shows
           throw new IllegalArgumentException(
-            s"$classname: column $c has ${lv.size} levels (>100 cap, " +
+            s"$classname: column $c has >100 levels (>100 cap, " +
               "tubular/nominal.py:1714-1720)")
         c -> lv
       }.toMap

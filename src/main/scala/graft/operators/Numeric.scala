@@ -76,7 +76,8 @@ class OneDKmeansTransformer(
       .limit(1).count()
     if (nBad > 0)
       throw new IllegalArgumentException(
-        s"$classname: nulls/NaNs in $column (tubular/numeric.py:430-436)")
+        s"$classname: X should not contain missing values. " +
+          "(tubular/numeric.py:430-436)")
     val x = df.select(col(column).cast("double").as("x"))
     // deterministic seeds: k interior quantiles (exact percentile)
     val probs = (1 to k).map(i => (2.0 * i - 1) / (2 * k))

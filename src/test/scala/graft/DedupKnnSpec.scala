@@ -41,10 +41,10 @@ class DedupKnnSpec extends SparkSpec {
   }
 
   test("identical text -> identical simhash; different text differs") {
-    val out = docs().select(Dedup.simhash64(col("text")).as("h"))
-      .collect().map(_.getLong(0))
-    assert(out(0) == out(1))
-    assert(out(0) != out(3))
+    val byId = Dedup.simhashes(docs(), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) == byId(2L))
+    assert(byId(1L) != byId(4L))
   }
 
   test("quantized cosine is exact for known vectors") {

@@ -52,8 +52,8 @@ class PipelineFusionSpec extends SparkSpec {
     val out = pipe.transform(d).orderBy("y", "a")
     // means: a = (1+3+5)/3 = 3.0, b = 4.0
     assert(column(out, "a") == Seq(3.0, 5.0, 1.0, 3.0))
-    assert(column(out, "b") == Seq(2.0, 6.0, 4.0, 3.0)
-      || column(out, "b").contains(4.0)) // b null filled with 4.0
+    // b mean over non-null = (2+4+6)/3 = 4.0; null (row a=1,y=1) filled
+    assert(column(out, "b") == Seq(2.0, 6.0, 4.0, 4.0))
     assert(out.columns.contains("fmt_png"))
   }
 

@@ -78,6 +78,35 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.verify(spark, root, Some(r1.snapshot)).isEmpty)
   }
 
+  test("mid-checkpoint snapshot is not exposed to readers") {
+    val root = freshRoot()
+    val d = docs(300)
+    val bucket = SnapshotStore.byKey("doc_id", 8)
+    val r1 = SnapshotStore.write(d, root, bucket, maxBucketsPerRun = 3)
+    assert(r1.remaining.nonEmpty)
+    // the truncated run's manifest is marked incomplete: no complete
+    // snapshot exists yet, so default reads refuse rather than serving
+    // a partial table
+    assert(SnapshotStore.isIncomplete(root, r1.snapshot))
+    assert(SnapshotStore.latestSnapshot(root).isEmpty)
+    intercept[IllegalStateException] { SnapshotStore.read(spark, root) }
+    val r2 = SnapshotStore.write(d, root, bucket)
+    assert(r2.remaining.isEmpty)
+    assert(SnapshotStore.latestSnapshot(root) === Some(r2.snapshot))
+    assert(SnapshotStore.read(spark, root).count() === 300)
+    assert(SnapshotStore.verify(spark, root).isEmpty)
+  }
+
+  test("non-deterministic input: lineage agrees with stored files") {
+    val root = freshRoot()
+    // rand() would be re-evaluated between the lineage agg and the file
+    // write without the persist inside write(); verify() would then flag
+    // every bucket
+    val d = docs(200).withColumn("r", rand())
+    SnapshotStore.write(d, root, SnapshotStore.byKey("doc_id", 4))
+    assert(SnapshotStore.verify(spark, root).isEmpty)
+  }
+
   test("verify detects tampered storage") {
     val root = freshRoot()
     val d = docs(100)
