@@ -28,6 +28,18 @@ object QueriesCore {
     """SELECT *, CASE WHEN l_linenumber % 7 = 0 THEN NULL
       |            ELSE l_quantity END AS q FROM lineitem""".stripMargin
 
+  /** liWithNulls plus a weight column with deliberate INVALID (negative)
+    * weights — the weighted-fit oracles must show those rows filtered.
+    */
+  private def liWeighted(s: SparkSession, dir: String): DataFrame =
+    liWithNulls(s, dir).withColumn("wt",
+      when(col("l_linenumber") % 4 === 0, -1.0)
+        .when(col("l_linenumber") % 3 === 0, 2.0).otherwise(1.0))
+  private val liWeightedSql =
+    s"""SELECT *, CASE WHEN l_linenumber % 4 = 0 THEN -1.0
+       |            WHEN l_linenumber % 3 = 0 THEN 2.0
+       |            ELSE 1.0 END AS wt FROM ($liWithNullsSql) b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_mean_impute" -> ((s, dir) => {
       val df = liWithNulls(s, dir)
@@ -306,6 +318,80 @@ object QueriesCore {
         .fit(df)
       t.transform(df).select(col("c_custkey"), col("bal_bin"))
         .orderBy("c_custkey")
+    }),
+
+    "q54_kmeans_digitize" -> ((s, dir) => {
+      // the transform half of OneDKmeans (np.digitize right=True) with
+      // PINNED bins — fully oracle-expressible, complementing q28 whose
+      // k-means fit is not SQL-reproducible
+      val df = tbl(s, dir, "customer")
+      val t = new OneDKmeansTransformer("c_acctbal", "bal_bin", k = 5)
+      t.restoreFit(Map("bins" -> Seq(0.0, 2500.0, 5000.0, 7500.0)))
+      t.transform(df).select(col("c_custkey"), col("bal_bin"))
+        .orderBy("c_custkey")
+    }),
+
+    "q55_weighted_mean_impute" -> ((s, dir) => {
+      // weighted fit path end-to-end: invalid (negative) weights must
+      // be filtered from the fit (Weights.validFilter), valid weights
+      // scale the mean
+      val df = liWeighted(s, dir)
+      val t = new MeanImputer(Seq("q"), weightsColumn = Some("wt")).fit(df)
+      t.transform(df)
+        .select(col("l_orderkey"), col("l_linenumber"), col("q"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q56_weighted_median_impute" -> ((s, dir) => {
+      val df = liWeighted(s, dir)
+      val t = new MedianImputer(Seq("q"), weightsColumn = Some("wt")).fit(df)
+      t.transform(df)
+        .select(col("l_orderkey"), col("l_linenumber"), col("q"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q57_weighted_mode_impute" -> ((s, dir) => {
+      val df = tbl(s, dir, "orders")
+        .withColumn("prio",
+          when(col("o_orderkey") % 13 === 0, lit(null))
+            .otherwise(col("o_orderpriority")))
+        .withColumn("wt",
+          when(col("o_orderkey") % 5 === 0, -3.0)
+            .when(col("o_orderkey") % 2 === 0, 2.0).otherwise(1.0))
+      val t = new ModeImputer(Seq("prio"), weightsColumn = Some("wt")).fit(df)
+      t.transform(df).select(col("o_orderkey"), col("prio"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q58_mean_response_multilevel" -> ((s, dir) => {
+      // multi-level response: one encoded column per response level,
+      // y binarised per level (tubular/nominal.py:896-941)
+      val df = tbl(s, dir, "customer")
+        .withColumn("resp",
+          when(pmod(col("c_nationkey"), lit(3)) === 0, "low")
+            .when(pmod(col("c_nationkey"), lit(3)) === 1, "mid")
+            .otherwise("high"))
+      val t = new MeanResponseTransformer(Seq("c_mktsegment"), "resp",
+        level = Seq("low", "mid")).fit(df)
+      t.transform(df)
+        .select(col("c_custkey"), col("c_mktsegment_low"),
+          col("c_mktsegment_mid"))
+        .orderBy("c_custkey")
+    }),
+
+    "q59_mean_response_unseen" -> ((s, dir) => {
+      // unseen-level median fallback (tubular/nominal.py:1240-1311):
+      // fit on a subset of levels, transform the full table — unseen
+      // levels take the weighted median of the encoded training column
+      val base = tbl(s, dir, "customer")
+        .withColumn("f", concat_ws("#", col("c_mktsegment"),
+          pmod(col("c_nationkey"), lit(7)).cast("int").cast("string")))
+        .withColumn("resp", floor(col("c_acctbal")).cast("double"))
+      val fitDf = base.filter(pmod(col("c_nationkey"), lit(7)) < 5)
+      val t = new MeanResponseTransformer(Seq("f"), "resp",
+        unseenLevelHandling = Some(Right("median"))).fit(fitDf)
+      t.transform(base).select(col("c_custkey"), col("f"))
+        .orderBy("c_custkey")
     })
   )
 
@@ -557,6 +643,86 @@ object QueriesCore {
       """SELECT o_orderkey, o_totalprice AS price_copy,
         |  'fixed' AS o_orderpriority,
         |  CAST(o_custkey AS INTEGER) AS o_custkey
-        |FROM orders ORDER BY 1""".stripMargin
+        |FROM orders ORDER BY 1""".stripMargin,
+
+    // np.digitize(x, bins, right=True) with pinned bins [0,2500,5000,7500]
+    "q54_kmeans_digitize" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal <= 0.0 THEN 0
+        |       WHEN c_acctbal <= 2500.0 THEN 1
+        |       WHEN c_acctbal <= 5000.0 THEN 2
+        |       WHEN c_acctbal <= 7500.0 THEN 3
+        |       ELSE 4 END AS bal_bin
+        |FROM customer ORDER BY 1""".stripMargin,
+
+    "q55_weighted_mean_impute" ->
+      s"""WITH t AS ($liWeightedSql),
+         |m AS (SELECT SUM(wt * q) / SUM(wt) AS v FROM t
+         |      WHERE q IS NOT NULL AND wt > 0)
+         |SELECT l_orderkey, l_linenumber,
+         |       COALESCE(q, (SELECT v FROM m)) AS q
+         |FROM t ORDER BY 1, 2""".stripMargin,
+
+    "q56_weighted_median_impute" ->
+      s"""WITH t AS ($liWeightedSql),
+         |g AS (SELECT q AS v, SUM(wt) AS w FROM t
+         |      WHERE q IS NOT NULL AND wt > 0 GROUP BY 1),
+         |c AS (SELECT v,
+         |        SUM(w) OVER (ORDER BY v) * 1.0 / (SELECT SUM(w) FROM g)
+         |          AS frac FROM g),
+         |med AS (SELECT MIN(v) AS m FROM c WHERE frac >= 0.5)
+         |SELECT l_orderkey, l_linenumber,
+         |       COALESCE(q, (SELECT m FROM med)) AS q
+         |FROM t ORDER BY 1, 2""".stripMargin,
+
+    "q57_weighted_mode_impute" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |       ELSE o_orderpriority END AS prio,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN -3.0
+        |       WHEN o_orderkey % 2 = 0 THEN 2.0
+        |       ELSE 1.0 END AS wt FROM orders),
+        |m AS (SELECT prio AS v FROM t
+        |      WHERE prio IS NOT NULL AND wt > 0
+        |      GROUP BY 1 ORDER BY SUM(wt) DESC, v DESC LIMIT 1)
+        |SELECT o_orderkey, COALESCE(prio, (SELECT v FROM m)) AS prio
+        |FROM t ORDER BY 1""".stripMargin,
+
+    "q58_mean_response_multilevel" ->
+      """WITH t AS (SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN CAST(c_nationkey % 3 AS INTEGER) = 0 THEN 'low'
+        |       WHEN CAST(c_nationkey % 3 AS INTEGER) = 1 THEN 'mid'
+        |       ELSE 'high' END AS resp FROM customer),
+        |encl AS (SELECT c_mktsegment AS lvl,
+        |  SUM(CASE WHEN resp = 'low' THEN 1.0 ELSE 0.0 END) / SUM(1.0)
+        |    AS e FROM t GROUP BY 1),
+        |encm AS (SELECT c_mktsegment AS lvl,
+        |  SUM(CASE WHEN resp = 'mid' THEN 1.0 ELSE 0.0 END) / SUM(1.0)
+        |    AS e FROM t GROUP BY 1)
+        |SELECT c_custkey,
+        |  (SELECT e FROM encl WHERE lvl = t.c_mktsegment)
+        |    AS c_mktsegment_low,
+        |  (SELECT e FROM encm WHERE lvl = t.c_mktsegment)
+        |    AS c_mktsegment_mid
+        |FROM t ORDER BY 1""".stripMargin,
+
+    "q59_mean_response_unseen" ->
+      """WITH base AS (SELECT c_custkey, c_nationkey,
+        |  c_mktsegment || '#' ||
+        |    CAST(CAST(c_nationkey % 7 AS INTEGER) AS VARCHAR) AS f,
+        |  CAST(FLOOR(c_acctbal) AS DOUBLE) AS resp FROM customer),
+        |fit AS (SELECT * FROM base WHERE c_nationkey % 7 < 5),
+        |enc AS (SELECT f AS lvl, SUM(resp) / SUM(1.0) AS e
+        |        FROM fit GROUP BY 1),
+        |rowenc AS (SELECT enc.e FROM fit JOIN enc ON fit.f = enc.lvl),
+        |g AS (SELECT e AS v, COUNT(*) AS w FROM rowenc GROUP BY 1),
+        |c AS (SELECT v,
+        |        SUM(w) OVER (ORDER BY v) * 1.0 / (SELECT SUM(w) FROM g)
+        |          AS frac FROM g),
+        |med AS (SELECT MIN(v) AS m FROM c WHERE frac >= 0.5)
+        |SELECT c_custkey,
+        |  COALESCE((SELECT e FROM enc WHERE lvl = base.f),
+        |           (SELECT m FROM med)) AS f
+        |FROM base ORDER BY 1""".stripMargin
   )
 }

@@ -41,6 +41,26 @@ object QueriesData {
       .withColumn("doc_id", col("doc_id") + 1000000L))
   }
 
+  /** Deterministic image table with REAL magic bytes prepended for
+    * png/jpeg rows (so sniffing is meaningful), materialised to a fixed
+    * parquet path and read back — BOTH engines then see identical
+    * bytes, flipping the multimodal queries from rows-only to
+    * value-exact oracles.
+    */
+  private def oracleImages(s: SparkSession, n: Long,
+      path: String): DataFrame = {
+    val pngMagic = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47,
+      0x0D, 0x0A, 0x1A, 0x0A)
+    val jpegMagic = Array[Byte](0xFF.toByte, 0xD8.toByte)
+    ImageTable.images(s, n)
+      .withColumn("bytes",
+        when(col("fmt") === "png", concat(lit(pngMagic), col("bytes")))
+          .when(col("fmt") === "jpeg", concat(lit(jpegMagic), col("bytes")))
+          .otherwise(col("bytes")))
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> ((s, dir) => {
       Dedup.exact(docsWithExact(s, dir), Seq("text"), "doc_id")
@@ -131,18 +151,23 @@ object QueriesData {
     }),
 
     "q51_multimodal_meta" -> ((s, dir) => {
-      // payload metadata without decode — pure projection over binary
-      val imgs = ImageTable.images(s, 500)
+      // payload metadata without decode — pure projection over binary.
+      // The generated table is WRITTEN to a fixed parquet path first so
+      // the DuckDB oracle reads the exact same input (it can't see
+      // in-session generators).
+      val imgs = oracleImages(s, 500, "/tmp/graft_oracle_images_q51")
       Multimodal.payloadMeta(imgs)
-        .select(col("image_id"), col("payload_bytes"),
-          col("sniffed_fmt"), round(col("bytes_per_pixel"), 6)
-            .as("bytes_per_pixel"))
+        .select(col("image_id"), col("payload_bytes").cast("long")
+            .as("payload_bytes"),
+          col("sniffed_fmt"), col("bytes_per_pixel"))
         .orderBy("image_id")
     }),
 
     "q52_multimodal_decode" -> ((s, dir) => {
-      // mapPartitions decode plumbing with the stub decoder
-      val imgs = ImageTable.images(s, 200)
+      // mapPartitions decode plumbing with the stub decoder (whose spec
+      // is deliberately SQL-reproducible — see Multimodal.StubDecoder);
+      // same parquet round-trip as q51 so the oracle sees the input
+      val imgs = oracleImages(s, 200, "/tmp/graft_oracle_images_q52")
       Multimodal.withDecodeFeatures(imgs, Multimodal.StubDecoder)
         .select(col("image_id"), col("decoded_w"), col("decoded_h"),
           col("mean_luma"), col("decode_ok"))
@@ -287,6 +312,33 @@ object QueriesData {
     "q53_snapshot_lineage" ->
       """SELECT CAST(doc_id % 16 AS INTEGER) AS bucket,
         |       COUNT(*) AS n_rows
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the parquet under /tmp is written by the q51 query itself before
+    // this SQL runs (Verify dumps first, the oracle compares after)
+    "q51_multimodal_meta" ->
+      """SELECT image_id,
+        |  octet_length(bytes) AS payload_bytes,
+        |  CASE WHEN substring(hex(bytes), 1, 16) = '89504E470D0A1A0A'
+        |         THEN 'png'
+        |       WHEN substring(hex(bytes), 1, 4) = 'FFD8' THEN 'jpeg'
+        |       ELSE 'unknown' END AS sniffed_fmt,
+        |  CAST(octet_length(bytes) AS DOUBLE) / (w * h)
+        |    AS bytes_per_pixel
+        |FROM read_parquet('/tmp/graft_oracle_images_q51/*.parquet')
+        |ORDER BY 1""".stripMargin,
+
+    // StubDecoder spec: md5 over the UPPERCASE hex of the first 256
+    // payload bytes, first 4 digest bytes as big-endian int, % 256000
+    // / 1000.0 (see Multimodal.StubDecoder scaladoc)
+    "q52_multimodal_decode" ->
+      """SELECT image_id,
+        |  w AS decoded_w, h AS decoded_h,
+        |  CAST('0x' || substring(
+        |      md5(substring(hex(bytes), 1, 512)), 1, 8) AS BIGINT)
+        |    % 256000 / 1000.0 AS mean_luma,
+        |  octet_length(bytes) > 0 AS decode_ok
+        |FROM read_parquet('/tmp/graft_oracle_images_q52/*.parquet')
+        |ORDER BY 1""".stripMargin
   )
 }

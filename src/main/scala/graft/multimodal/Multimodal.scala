@@ -63,16 +63,32 @@ object Multimodal {
     * (webp, audio, video frames). Produces stable pseudo-features from
     * the payload bytes so downstream plumbing is fully testable; swap
     * in a real codec via the Decoder trait in production.
+    *
+    * The spec is deliberately cross-engine reproducible so the driver's
+    * SQL oracle can recompute it:
+    *   luma = int(md5(upperhex(first 256 payload bytes))[:4 bytes])
+    *          % 256000 / 1000.0
+    * (DuckDB: CAST('0x'||substring(md5(substring(hex(bytes),1,512)),1,8)
+    *  AS BIGINT) % 256000 / 1000.0)
     */
   object StubDecoder extends Decoder {
     def decode(bytes: Array[Byte], fmt: String, declaredW: Int,
         declaredH: Int): ImageFeatures = {
-      var h = 1125899906842597L
-      var i = 0
       val n = math.min(bytes.length, 256)
-      while (i < n) { h = 31 * h + bytes(i); i += 1 }
+      val sb = new java.lang.StringBuilder(n * 2)
+      var i = 0
+      while (i < n) {
+        sb.append("0123456789ABCDEF".charAt((bytes(i) >> 4) & 0xf))
+        sb.append("0123456789ABCDEF".charAt(bytes(i) & 0xf))
+        i += 1
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sb.toString.getBytes(
+          java.nio.charset.StandardCharsets.US_ASCII))
+      val v = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+        ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
       ImageFeatures(declaredW, declaredH,
-        math.abs(h % 256000L) / 1000.0, ok = bytes.nonEmpty)
+        (v % 256000L) / 1000.0, ok = bytes.nonEmpty)
     }
   }
 
