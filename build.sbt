@@ -41,6 +41,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the default 240m code cache + few C2 threads, hot loops get stuck
   // behind a saturated compile queue (observed: identical stages 5x
   // slower on repeat). Bigger cache + more compiler threads fix it.
-  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:ReservedCodeCacheSize=1g",
   "-XX:CICompilerCount=8",
 )

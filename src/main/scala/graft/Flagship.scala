@@ -26,10 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object Flagship {
 
-  def features(spark: SparkSession, nImages: Long,
+  /** The PIT-joined, metadata-enriched input frame (pipeline fit/
+    * transform input). No fit state, no caching — pure plan.
+    */
+  def joinedInput(spark: SparkSession, nImages: Long,
       eventsPerImage: Int, hotFraction: Double = 0.0,
-      hotEntities: Seq[String] = Seq.empty,
-      cacheFitInput: Boolean = true): DataFrame = {
+      hotEntities: Seq[String] = Seq.empty): DataFrame = {
     val imgs = ImageTable.images(spark, nImages)
     val evs = ImageTable.events(spark, nImages, eventsPerImage,
       hotFraction = hotFraction)
@@ -45,24 +47,49 @@ object Flagship {
     // the binary payload out of the exchange entirely
     val meta = imgs.select("image_id", "w", "h", "fmt", "caption")
       .withColumn("caption_word", split(col("caption"), " ").getItem(0))
-    val joined = pit.join(broadcast(meta), Seq("image_id"), "left")
+    pit.join(broadcast(meta), Seq("image_id"), "left")
       // manufactured nulls so the imputers have work
       .withColumn("w", when(col("event_id") % 17 === 0, lit(null))
         .otherwise(col("w")))
       .withColumn("h", when(col("event_id") % 23 === 0, lit(null))
         .otherwise(col("h")))
+  }
 
-    val pipe = Pipeline(
-      "impute_w" -> new MeanImputer(Seq("w", "h")),
-      "cap_feat" -> new CappingTransformer(
-        quantiles = Map("feat" -> (Some(0.01), Some(0.99)))),
-      "onehot_fmt" -> new OneHotEncodingTransformer(Seq("fmt")),
-      "enc_caption" -> new MeanResponseTransformer(
-        Seq("caption_word"), "target", prior = 10.0,
-        unseenLevelHandling = Some(Right("mean"))),
-      "staleness" -> new DateDifferenceTransformer(
-        "matched_ts", "event_ts", Some("staleness_h"), "h"))
+  /** The flagship transformer pipeline, unfitted. */
+  def pipelineDef(): Pipeline = Pipeline(
+    "impute_w" -> new MeanImputer(Seq("w", "h")),
+    "cap_feat" -> new CappingTransformer(
+      quantiles = Map("feat" -> (Some(0.01), Some(0.99)))),
+    "onehot_fmt" -> new OneHotEncodingTransformer(Seq("fmt")),
+    "enc_caption" -> new MeanResponseTransformer(
+      Seq("caption_word"), "target", prior = 10.0,
+      unseenLevelHandling = Some(Right("mean"))),
+    "staleness" -> new DateDifferenceTransformer(
+      "matched_ts", "event_ts", Some("staleness_h"), "h"))
 
+  /** Fit the flagship pipeline once and return it — the one-time cost a
+    * production job pays before transforming arbitrarily many batches.
+    * The fit input is persisted for the duration of the fit passes and
+    * dropped before returning.
+    */
+  def fitPipeline(spark: SparkSession, nImages: Long,
+      eventsPerImage: Int): Pipeline = {
+    val joined = joinedInput(spark, nImages, eventsPerImage)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pipe = pipelineDef()
+      pipe.fit(joined.filter(col("matched_ts").isNotNull))
+      pipe
+    } finally { joined.unpersist(false); () }
+  }
+
+  def features(spark: SparkSession, nImages: Long,
+      eventsPerImage: Int, hotFraction: Double = 0.0,
+      hotEntities: Seq[String] = Seq.empty,
+      cacheFitInput: Boolean = true): DataFrame = {
+    val joined = joinedInput(spark, nImages, eventsPerImage,
+      hotFraction, hotEntities)
+    val pipe = pipelineDef()
     // The pipeline's fit passes each re-execute their input plan; persist
     // the joined table once so the as-of join + generation run a single
     // time instead of once per fit barrier (same move a production job
@@ -86,8 +113,17 @@ object Flagship {
     */
   def featuresWithDecode(spark: SparkSession, nImages: Long,
       eventsPerImage: Int, minDim: Int = 256, maxDim: Int = 384,
-      payloadCapBytes: Int = 4096): DataFrame = {
-    val feats = features(spark, nImages, eventsPerImage)
+      payloadCapBytes: Int = 4096,
+      prefit: Option[Pipeline] = None): DataFrame = {
+    // with a pre-fitted pipeline (the amortized production shape) the
+    // job is generation + as-of join + transform + decode + agg, no fit
+    // barriers; without one, features() fits in-line as before
+    val transformed = prefit match {
+      case Some(pipe) =>
+        pipe.transform(joinedInput(spark, nImages, eventsPerImage))
+      case None => features(spark, nImages, eventsPerImage)
+    }
+    val feats = transformed
       .groupBy("image_id")
       .agg(count(lit(1)).as("n_events"), avg("target").as("mean_target"))
     val imgs = ImageTable.images(spark, nImages, minDim = minDim,

@@ -124,6 +124,17 @@ object QueriesData {
         .orderBy("query_id", "rank")
     }),
 
+    "q60_knn_ivf" -> ((s, dir) => {
+      // rows-only: Lloyd-refined centroids aren't SQL-reproducible;
+      // recall is measured against brute force in DedupKnnSpec
+      val e = tbl(s, dir, "embeddings")
+      Knn.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("rank"), col("item_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q47_lang_id" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))

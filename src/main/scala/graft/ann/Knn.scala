@@ -54,6 +54,99 @@ object Knn {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** IVF (inverted-file) top-k — the classic coarse-quantizer ANN:
+    *  1. nlist centroids from a deterministic corpus sample, refined by
+    *     `iters` Lloyd steps run RELATIONALLY (assignment is a
+    *     broadcast-centroid argmin projection; the centroid update is
+    *     posexplode(vector) -> groupBy(cluster, dim).avg — nothing but
+    *     scans and one tiny agg per iteration, no driver math over data);
+    *  2. every corpus vector lands in exactly ONE inverted list
+    *     (vs LSH's `tables` copies — IVF shuffles each vector once);
+    *  3. a query probes its `nprobe` nearest centroids and exact-reranks
+    *     only those lists.
+    * At 100 TB the corpus-side cost is one centroid-assignment scan and
+    * a single hash exchange on the list id; queries are broadcast.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+
+    // deterministic seed centroids: the nlist corpus vectors with the
+    // smallest xxhash64(id) — a pseudo-random sample without rand()
+    var centroids: Array[Array[Double]] = corpus
+      .select(col(vecCol), xxhash64(col(idCol).cast("string")).as("__h"))
+      .orderBy(col("__h")).limit(nlist)
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+
+    def nearestCentroid(vec: Column, cs: Array[Array[Double]]): Column = {
+      // argmin over squared L2: per-centroid dot is an interpreted
+      // aggregate() but runs once per (row, centroid) — bounded by nlist
+      val dists = cs.zipWithIndex.map { case (c, i) =>
+        val d = aggregate(
+          zip_with(vec, typedLit(c.toSeq),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0d), (acc, v) => acc + v)
+        struct(d.as("d"), lit(i).as("i"))
+      }
+      // struct ordering = (distance, index) -> argmin with ties to the
+      // lower index. Type coercion may rename struct fields, so re-cast
+      // to a pinned schema before field access.
+      array_min(array(dists: _*))
+        .cast("struct<d:double,i:int>").getField("i")
+    }
+
+    (1 to iters).foreach { _ =>
+      val cs = centroids
+      val assigned = corpus.select(
+        nearestCentroid(col(vecCol), cs).as("__c"),
+        posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      val updated = assigned
+        .groupBy(col("__c"), col("__d"))
+        .agg(avg(col("__x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        updated.get(c) match {
+          case Some(rows) =>
+            val m = Array.ofDim[Double](dims)
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+            m
+          case None => centroids(c) // empty list keeps its seed
+        }
+      }.toArray
+    }
+
+    val cs = centroids
+    val lists = corpus.select(col(idCol).as("item_id"),
+      nearestCentroid(col(vecCol), cs).as("__list"),
+      Dedup.quantize(col(vecCol)).as("__cq"))
+    // probe lists per query: nprobe nearest centroids
+    val probes = queries.select(col(queryIdCol).as("query_id"),
+      Dedup.quantize(col(vecCol)).as("__qq"),
+      array_sort(array(cs.zipWithIndex.map { case (c, i) =>
+        val d = aggregate(
+          zip_with(col(vecCol), typedLit(c.toSeq),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0d), (acc, v) => acc + v)
+        struct(d.as("d"), lit(i).as("i"))
+      }: _*)).as("__pl"))
+      .select(col("query_id"), col("__qq"),
+        explode(slice(col("__pl"), 1, nprobe)).as("__p"))
+      .select(col("query_id"), col("__qq"),
+        col("__p").cast("struct<d:double,i:int>").getField("i")
+          .as("__list"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("item_id"))
+    lists.join(broadcast(probes), Seq("__list"))
+      .select(col("query_id"), col("item_id"),
+        Dedup.cosineQ(col("__cq"), col("__qq")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH top-k: candidates share any of `tables` signature buckets
     * (each table uses a disjoint bit range), exact cosine re-rank per
     * query, top-k. Recall < 1 by construction; verified against

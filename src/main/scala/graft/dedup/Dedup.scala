@@ -31,6 +31,13 @@ object Dedup {
   /** Word shingles (n-grams of whitespace tokens) as an array column.
     * Texts shorter than n tokens get an empty shingle set (sequence()
     * would otherwise run DOWNWARD for start > stop).
+    *
+    * NOTE: fine for small frames/tests, but the lambda is INTERPRETED
+    * and `split(text)` re-evaluates per element (no CSE inside HOF
+    * lambdas), i.e. O(tokens^3) characters touched per document — a
+    * single 3k-token document costs minutes. Every hot path below goes
+    * through [[shingleRowsOf]]/[[shingleSetsOf]] instead, which are
+    * fully codegen'd and linear.
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
@@ -40,18 +47,50 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature: for each of `numHashes` seeds, the min
-    * xxhash64(shingle, seed). Pure projection — computed where the data
-    * lives, nothing shuffles.
+  /** `(__id, __s)` shingle ROWS, fully relational: posexplode tokens
+    * (split evaluated ONCE per document, generate is codegen'd), then a
+    * window `lead` per offset within the document builds each n-gram.
+    * Work is O(total_tokens * n) characters — no interpreted lambdas,
+    * no quadratic re-splitting. One exchange on `__id` (the window),
+    * which downstream per-id aggregations then reuse.
+    * Duplicate shingles are kept (min-hash is dup-insensitive; set
+    * consumers dedup via collect_set in [[shingleSetsOf]]).
     */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(seed =>
-      array_min(transform(shingleArr, s => xxhash64(s, lit(seed))))): _*)
+  private[graft] def shingleRowsOf(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), " ")).as(Seq("__pos", "__t")))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    val parts = (0 until n).map(k =>
+      if (k == 0) col("__t") else lead(col("__t"), k).over(w))
+    toks
+      .select(col("__id"), parts.last.isNotNull.as("__full"),
+        concat_ws(" ", parts: _*).as("__s"))
+      .filter(col("__full"))
+      .select(col("__id"), col("__s"))
+  }
+
+  /** `(__id, __sh)` distinct shingle SETS per document (for exact
+    * Jaccard verification) — [[shingleRowsOf]] + a map-side-combined
+    * collect_set on the partitioning the window already established.
+    */
+  private[graft] def shingleSetsOf(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    shingleRowsOf(df, idCol, textCol, n)
+      .groupBy(col("__id"))
+      .agg(collect_set(col("__s")).as("__sh"))
 
   /** Per-document MinHash signature table `(id, mh0..mh{numHashes-1})`,
     * computed RELATIONALLY: explode shingles to rows, then one
-    * `groupBy(id)` carrying `numHashes` small codegen'd
-    * `min(xxhash64(shingle, seed))` aggregates.
+    * `groupBy(id)` carrying `numHashes` small codegen'd min aggregates.
+    *
+    * Each shingle STRING is hashed exactly once (`xxhash64(shingle)`);
+    * the `numHashes` signature slots re-hash that fixed-width 64-bit
+    * value with the slot seed (`xxhash64(u, seed)` over 8 bytes), which
+    * costs a few mixing rounds instead of a full string hash — the
+    * string-hash-per-seed variant spent ~32x the CPU here and was the
+    * slowest query in the bench.
     *
     * Why not a single projection with nested lambdas: higher-order
     * functions are interpreted (no whole-stage codegen, no
@@ -64,13 +103,11 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 32): DataFrame = {
-    val shingleRows = df
-      .filter(size(split(col(textCol), " ")) >= shingleSize)
-      .select(col(idCol).as("__id"),
-        explode(shingles(col(textCol), shingleSize)).as("__s"))
+    val rows = shingleRowsOf(df, idCol, textCol, shingleSize)
+      .select(col("__id"), xxhash64(col("__s")).as("__u"))
     val mins = (0 until numHashes).map(seed =>
-      min(xxhash64(col("__s"), lit(seed))).as(s"mh$seed"))
-    shingleRows.groupBy(col("__id")).agg(mins.head, mins.tail: _*)
+      min(xxhash64(col("__u"), lit(seed))).as(s"mh$seed"))
+    rows.groupBy(col("__id")).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs: hash each `rows`-wide signature band to a
@@ -110,12 +147,11 @@ object Dedup {
       bands: Int = 8): DataFrame = {
     val cands = lshCandidates(df, idCol, textCol, shingleSize,
       numHashes, bands)
-    val sh = df.select(col(idCol).as("__jid"),
-      shingles(col(textCol), shingleSize).as("__sh"))
+    val sh = shingleSetsOf(df, idCol, textCol, shingleSize)
     cands
-      .join(sh.withColumnRenamed("__jid", "id_a")
+      .join(sh.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed("__jid", "id_b")
+      .join(sh.withColumnRenamed("__id", "id_b")
         .withColumnRenamed("__sh", "sh_b"), Seq("id_b"))
       // verification is CPU-bound (interpreted set intersection), and
       // AQE coalesces/broadcasts by DATA size, which would funnel all
@@ -138,8 +174,8 @@ object Dedup {
     */
   def blockedJaccard(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 3): DataFrame = {
-    val sh = df.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
-      shingles(col(textCol), n).as("__sh"))
+    val sh = df.select(col(blockCol).as("__blk"), col(idCol).as("__id"))
+      .join(shingleSetsOf(df, idCol, textCol, n), Seq("__id"))
     val a = sh.select(col("__blk"), col("__id").as("id_a"),
       col("__sh").as("sh_a"))
     val b = sh.select(col("__blk"), col("__id").as("id_b"),

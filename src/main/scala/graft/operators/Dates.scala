@@ -64,7 +64,17 @@ object Dates {
   }
 }
 
-/** Parse strings to timestamps (tubular/dates.py:710-885). */
+/** Parse strings to timestamps (tubular/dates.py:710-885).
+  *
+  * Formatless parity note (pinned in DatesSpec): the reference warns
+  * and lets polars/pandas INFER the format (tubular/dates.py:781-787);
+  * here the formatless path is Spark's ANSI `to_timestamp`, which
+  * accepts ISO-style `yyyy-MM-dd[ HH:mm:ss]` and RAISES on anything
+  * else. Day-first or exotic strings the reference might happen to
+  * infer must be given an explicit `format` — silent inference of
+  * ambiguous formats is a correctness hazard at 100 TB, so requiring
+  * the format (and failing loudly otherwise) is deliberate, not a gap.
+  */
 class ToDatetimeTransformer(
     val columns: Seq[String],
     val format: Option[String] = None

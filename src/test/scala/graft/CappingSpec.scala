@@ -55,4 +55,36 @@ class CappingSpec extends SparkSpec {
       cappingValues = Map("a" -> (Some(2.0), Some(8.0))))
     assert(column(t.transform(d), "a") == Seq(null, 5.0, null, null))
   }
+
+  test("capping: NaN passes through un-clipped (polars clip golden)") {
+    // polars clip leaves NaN alone; Spark's least/greatest order NaN as
+    // LARGEST, so an unguarded plan caps NaN to the upper bound
+    val d = df("a DOUBLE",
+      Seq(Row(1.0), Row(Double.NaN), Row(9.0), Row(null)))
+    val t = new CappingTransformer(
+      cappingValues = Map("a" -> (Some(2.0), Some(8.0))))
+    val got = column(t.transform(d), "a")
+    assert(got(0) == 2.0)
+    assert(got(1).asInstanceOf[Double].isNaN, s"NaN was clipped: $got")
+    assert(got(2) == 8.0)
+    assert(got(3) == null)
+  }
+
+  test("OutOfRangeNull NaN: both-sided nulls, one-sided keeps (IEEE)") {
+    // reference tubular/functions/capping.py:79-104: both-sided uses
+    // `>= lo AND <= hi` (NaN fails -> null); one-sided uses `< lo` /
+    // `> hi` (IEEE NaN comparisons are false -> NaN KEPT)
+    val d = df("a DOUBLE", Seq(Row(Double.NaN)))
+    val both = new OutOfRangeNullTransformer(
+      cappingValues = Map("a" -> (Some(2.0), Some(8.0))))
+    assert(column(both.transform(d), "a") == Seq(null))
+    val loOnly = new OutOfRangeNullTransformer(
+      cappingValues = Map("a" -> (Some(2.0), None)))
+    assert(column(loOnly.transform(d), "a")
+      .head.asInstanceOf[Double].isNaN)
+    val hiOnly = new OutOfRangeNullTransformer(
+      cappingValues = Map("a" -> (None, Some(8.0))))
+    assert(column(hiOnly.transform(d), "a")
+      .head.asInstanceOf[Double].isNaN)
+  }
 }

@@ -88,6 +88,23 @@ class DatesSpec extends SparkSpec {
     assert(column(out, "s") == Seq(ts("2020-01-02 00:00:00")))
   }
 
+  test("ToDatetime formatless: ISO parses, ambiguous day-first raises") {
+    // pinned divergence from the reference (tubular/dates.py:781-787):
+    // polars INFERS formats after a warning; here formatless = Spark's
+    // ANSI to_timestamp (ISO only), anything else needs an explicit
+    // format and fails LOUDLY — see ToDatetimeTransformer scaladoc
+    val ok = df("s STRING", Seq(
+      Row("2020-01-02 03:04:05"), Row("2020-01-02")))
+    val out = new ToDatetimeTransformer(Seq("s")).transform(ok)
+    assert(column(out, "s") == Seq(
+      ts("2020-01-02 03:04:05"), ts("2020-01-02 00:00:00")))
+    val bad = df("s STRING", Seq(Row("02/01/2020")))
+    val e = intercept[Exception] {
+      new ToDatetimeTransformer(Seq("s")).transform(bad).collect()
+    }
+    assert(e.getMessage.contains("CAST_INVALID_INPUT"), e.getMessage)
+  }
+
   test("Sinusoid output naming + value") {
     val d = df("t TIMESTAMP", Seq(Row(ts("2024-03-01 00:00:00"))))
     val out = new DatetimeSinusoidCalculator(Seq("t"), Seq("sin"),

@@ -106,4 +106,56 @@ class NominalSpec extends SparkSpec {
       new OneHotEncodingTransformer(Seq("c")).fit(d)
     }
   }
+
+  test("OneHot huge cardinality fails cleanly from the approx sentinel") {
+    // a mistaken ID column: the approx_count_distinct guard (same fused
+    // agg) errors before the driver materialises anything unbounded —
+    // the transferred set is sliced to 102 entries regardless
+    val d = df("c STRING", (1 to 5000).map(i => Row(s"id_$i")))
+    val e = intercept[IllegalArgumentException] {
+      new OneHotEncodingTransformer(Seq("c")).fit(d)
+    }
+    assert(e.getMessage.contains(">100 cap"), e.getMessage)
+  }
+
+  test("level-map fits enforce the driver-side cardinality cap cleanly") {
+    spark.conf.set("graft.maxFitLevels", "10")
+    try {
+      val d = df("c STRING, y DOUBLE",
+        (1 to 50).map(i => Row(s"lvl_$i", i.toDouble)))
+      val e1 = intercept[IllegalArgumentException] {
+        new GroupRareLevelsTransformer(Seq("c")).fit(d)
+      }
+      assert(e1.getMessage.contains("learned levels"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        new MeanResponseTransformer(Seq("c"), "y").fit(d)
+      }
+      assert(e2.getMessage.contains("learned levels"), e2.getMessage)
+    } finally spark.conf.unset("graft.maxFitLevels")
+  }
+
+  test("MeanResponse unseen fallback binds prefix-colliding columns") {
+    // columns "b" and "b_x": recovering the source column from the
+    // encoded name by string prefix would mis-bind; the fit carries
+    // (source, encoded) pairs explicitly
+    val d = df("b STRING, b_x STRING, y DOUBLE", Seq(
+      Row("a", "p", 1.0), Row("a", "q", 3.0), Row("c", "q", 5.0)))
+    val t = new MeanResponseTransformer(Seq("b", "b_x"), "y",
+      unseenLevelHandling = Some(Right("max"))).fit(d)
+    // b: a->2.0, c->5.0 (max fallback 5.0); b_x: p->1.0, q->4.0 (max 4.0)
+    assert(t.unseenEncoding("b") == 5.0)
+    assert(t.unseenEncoding("b_x") == 4.0)
+    val out = t.transform(df("b STRING, b_x STRING, y DOUBLE",
+      Seq(Row("NEW", "NEW", 0.0))))
+    assert(column(out, "b") == Seq(5.0))
+    assert(column(out, "b_x") == Seq(4.0))
+  }
+
+  test("OneHot with wanted_values enumerates writtenCols before fit") {
+    // regression: writtenCols pre-fit used to hit the empty categories
+    // map and crash Pipeline.fit's fusion planning
+    val t = new OneHotEncodingTransformer(Seq("c"),
+      wantedValues = Map("c" -> Seq("a", "b")))
+    assert(t.writtenCols == Some(Seq("c_a", "c_b")))
+  }
 }

@@ -95,6 +95,32 @@ class PipelineFusionSpec extends SparkSpec {
     assert(im.imputeValues("a") == 3.0)
   }
 
+  test("one-hot WITH wanted values fuses instead of crashing pre-fit") {
+    // regression: writtenCols consulted during fusion planning used to
+    // call categories() on the still-empty map when wanted_values was
+    // set but fit hadn't run
+    val d = frame()
+    val pipe = Pipeline(
+      "oh" -> new OneHotEncodingTransformer(Seq("fmt"),
+        wantedValues = Map("fmt" -> Seq("png", "jpeg"))),
+      "im" -> new MeanImputer(Seq("a")))
+    pipe.fit(d)
+    val out = pipe.transform(d)
+    assert(out.columns.contains("fmt_png"))
+    assert(out.columns.contains("fmt_jpeg"))
+    assert(pipe.steps(1)._2.asInstanceOf[MeanImputer]
+      .imputeValues("a") == 3.0)
+  }
+
+  test("ModeImputer fits all same-typed columns in one job") {
+    val d = df("a STRING, b STRING", Seq(
+      Row("x", "p"), Row("x", "q"), Row("y", "q"), Row(null, null)))
+    val im = new ModeImputer(Seq("a", "b"))
+    val jobs = countJobs(im.fit(d))
+    assert(jobs == 1, s"expected 1 melted fit job for 2 columns, got $jobs")
+    assert(im.imputeValues == Map("a" -> "x", "b" -> "q"))
+  }
+
   test("fused pipeline JSON round-trip still transforms identically") {
     val d = frame()
     val pipe = Pipeline(

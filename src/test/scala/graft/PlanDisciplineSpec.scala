@@ -54,4 +54,27 @@ class PlanDisciplineSpec extends SparkSpec {
     val scan = q.queryExecution.executedPlan.toString
     assert(scan.contains("bytes"), scan)
   }
+
+  test("window-median never plans percentile over an unbounded window") {
+    // an exact percentile OVER (PARTITION BY key) buffers every row of
+    // a key in one task — the fix routes median through groupBy + join
+    import org.apache.spark.sql.Row
+    val d = df("k BIGINT, v DOUBLE", Seq(
+      Row(1L, 1.0), Row(1L, 2.0), Row(1L, 3.0), Row(2L, 5.0)))
+    val t = new graft.operators.AggregateRowsOverColumnTransformer(
+      Seq("v"), Seq("min", "median", "count"), key = "k")
+    val out = t.transform(d)
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    windows.foreach { w =>
+      val s = w.windowExpressions.map(_.toString).mkString(";")
+      assert(!s.toLowerCase.contains("percentile"),
+        s"exact percentile still runs inside a Window:\n$s")
+    }
+    // and the values are still right (median of {1,2,3} = 2, {5} = 5)
+    val got = out.orderBy("k", "v").collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("v_median"))).distinct.toSeq
+    assert(got == Seq((1L, 2.0), (2L, 5.0)))
+  }
 }
