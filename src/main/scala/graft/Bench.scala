@@ -182,12 +182,14 @@ object Bench {
         s.stop()
         (rows, dt, raw)
       }
-      val (rd16, td16, rawD16) = atPrefit(16, sReps)
+      // the 4N level gets extra reps: its reps are ~4x cheaper and its
+      // min is what residual JIT noise perturbs most
+      val (rd16, td16, rawD16) = atPrefit(16, sReps + 2)
       val (rd4, td4, rawD4) = atPrefit(4, sReps)
-      val (rk16, tk16, rawK16) = atR(16, sReps)(decodeKernel)
+      val (rk16, tk16, rawK16) = atR(16, sReps + 2)(decodeKernel)
       val (rk4, tk4, rawK4) = atR(4, sReps)(decodeKernel)
-      val (ra16, ta16, rawA16) = atR(16, 2)(asofJob)
-      val (ra4, ta4, rawA4) = atR(4, 2)(asofJob)
+      val (ra16, ta16, rawA16) = atR(16, 4)(asofJob)
+      val (ra4, ta4, rawA4) = atR(4, 3)(asofJob)
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       spark = session(cpus)
       val thrD4 = rd4 / td4; val thrD16 = rd16 / td16

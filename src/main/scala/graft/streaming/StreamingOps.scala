@@ -56,6 +56,23 @@ object StreamingOps {
         col("w.end").as("window_end"), col("n_events"),
         col(s"${valueCol}_sum"), col(s"${valueCol}_avg"))
 
+  /** Streaming exact dedup — the incremental counterpart of
+    * `Dedup.exact`: key = xxhash64 of the content columns, state scoped
+    * by the watermark (`dropDuplicatesWithinWatermark`), so the state
+    * store holds ONE 8-byte hash per document inside the lateness
+    * horizon instead of growing unboundedly. At ingest scale the
+    * horizon is the dedup contract: duplicates farther apart than the
+    * watermark are the batch `Dedup.exact` backfill's job (same
+    * lambda-architecture split as the as-of enrich below).
+    */
+  def dedupStream(docs: DataFrame, ts: String, contentCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__content_key", xxhash64(contentCols.map(col): _*))
+      .withWatermark(ts, watermark)
+      .dropDuplicatesWithinWatermark("__content_key")
+      .drop("__content_key")
+
   // ---- streaming as-of enrich ------------------------------------------
 
   /** A tagged record on the unioned feature/event stream:

@@ -90,6 +90,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps first occurrence within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val deduped = StreamingOps.dedupStream(df, "ts", Seq("text"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "the same doc"),
+        (2L, ts("2024-01-01 10:01:00"), "the same doc"), // dup content
+        (3L, ts("2024-01-01 10:02:00"), "another doc"))
+      q.processAllAvailable()
+      // dup arriving in a LATER batch within the watermark also drops
+      input.addData((4L, ts("2024-01-01 10:03:00"), "another doc"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming rolling window aggregates per entity") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
