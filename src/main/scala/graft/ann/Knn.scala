@@ -81,27 +81,32 @@ object Knn {
       .collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
 
-    def nearestCentroid(vec: Column, cs: Array[Array[Double]]): Column = {
-      // argmin over squared L2: per-centroid dot is an interpreted
-      // aggregate() but runs once per (row, centroid) — bounded by nlist
-      val dists = cs.zipWithIndex.map { case (c, i) =>
-        val d = aggregate(
-          zip_with(vec, typedLit(c.toSeq),
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0d), (acc, v) => acc + v)
-        struct(d.as("d"), lit(i).as("i"))
+    // Per-centroid squared distance in QUANTIZED integer units:
+    // argmin ||x-c||^2 == argmin (|c|^2 - 2 x.c) since |x|^2 is
+    // constant per row — so the whole assignment is nlist codegen'd
+    // integer dot products (graft.functions.DotProductQ), no
+    // interpreted per-element lambdas in the per-row hot loop.
+    def centroidDists(qvec: Column,
+        cs: Array[Array[Double]]): Seq[Column] =
+      cs.zipWithIndex.map { case (c, i) =>
+        val cq = c.map(x => math.round(x * 1000))
+        val norm2 = cq.map(v => v * v).sum
+        struct(
+          (lit(norm2) - lit(2L) * graft.functions.DotProductQ
+            .dotQ(qvec, typedLit(cq.toSeq))).as("d"),
+          lit(i).as("i"))
       }
-      // struct ordering = (distance, index) -> argmin with ties to the
-      // lower index. Type coercion may rename struct fields, so re-cast
-      // to a pinned schema before field access.
-      array_min(array(dists: _*))
-        .cast("struct<d:double,i:int>").getField("i")
-    }
+
+    def nearestCentroid(qvec: Column, cs: Array[Array[Double]]): Column =
+      // struct ordering = (distance, index) -> argmin, ties to the
+      // lower index; re-cast pins field names across type coercion
+      array_min(array(centroidDists(qvec, cs): _*))
+        .cast("struct<d:bigint,i:int>").getField("i")
 
     (1 to iters).foreach { _ =>
       val cs = centroids
       val assigned = corpus.select(
-        nearestCentroid(col(vecCol), cs).as("__c"),
+        nearestCentroid(Dedup.quantize(col(vecCol)), cs).as("__c"),
         posexplode(col(vecCol)).as(Seq("__d", "__x")))
       val updated = assigned
         .groupBy(col("__c"), col("__d"))
@@ -120,23 +125,21 @@ object Knn {
     }
 
     val cs = centroids
-    val lists = corpus.select(col(idCol).as("item_id"),
-      nearestCentroid(col(vecCol), cs).as("__list"),
-      Dedup.quantize(col(vecCol)).as("__cq"))
+    val lists = corpus
+      .select(col(idCol).as("item_id"),
+        Dedup.quantize(col(vecCol)).as("__cq"))
+      .select(col("item_id"), col("__cq"),
+        nearestCentroid(col("__cq"), cs).as("__list"))
     // probe lists per query: nprobe nearest centroids
-    val probes = queries.select(col(queryIdCol).as("query_id"),
-      Dedup.quantize(col(vecCol)).as("__qq"),
-      array_sort(array(cs.zipWithIndex.map { case (c, i) =>
-        val d = aggregate(
-          zip_with(col(vecCol), typedLit(c.toSeq),
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0d), (acc, v) => acc + v)
-        struct(d.as("d"), lit(i).as("i"))
-      }: _*)).as("__pl"))
+    val probes = queries
+      .select(col(queryIdCol).as("query_id"),
+        Dedup.quantize(col(vecCol)).as("__qq"))
+      .select(col("query_id"), col("__qq"),
+        array_sort(array(centroidDists(col("__qq"), cs): _*)).as("__pl"))
       .select(col("query_id"), col("__qq"),
         explode(slice(col("__pl"), 1, nprobe)).as("__p"))
       .select(col("query_id"), col("__qq"),
-        col("__p").cast("struct<d:double,i:int>").getField("i")
+        col("__p").cast("struct<d:bigint,i:int>").getField("i")
           .as("__list"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("item_id"))

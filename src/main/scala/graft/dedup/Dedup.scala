@@ -239,15 +239,16 @@ object Dedup {
     transform(vec, x => round(x.cast("double") * 1000).cast("long"))
 
   /** Cosine over quantized vectors: integer dot / (sqrt * sqrt) —
-    * exact integer sums, deterministic IEEE tail.
+    * exact integer sums, deterministic IEEE tail. The dot products run
+    * through the codegen'd [[graft.functions.DotProductQ]] (a custom
+    * Catalyst expression), not interpreted HOF lambdas: this loop runs
+    * once per CANDIDATE PAIR x dims in every re-rank stage.
     */
   def cosineQ(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0L), (acc, v) => acc + v).cast("double")
-    val na = aggregate(transform(a, x => x * x), lit(0L),
-      (acc, v) => acc + v).cast("double")
-    val nb = aggregate(transform(b, x => x * x), lit(0L),
-      (acc, v) => acc + v).cast("double")
+    import graft.functions.DotProductQ.dotQ
+    val dot = dotQ(a, b).cast("double")
+    val na = dotQ(a, a).cast("double")
+    val nb = dotQ(b, b).cast("double")
     dot / (sqrt(na) * sqrt(nb))
   }
 }

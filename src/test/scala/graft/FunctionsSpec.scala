@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.DotProductQ
+import graft.functions.DotProductQ.dotQ
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType}
+
+/** The custom codegen'd Catalyst expression DotProductQ: value parity
+  * between the generated-code path (default execution) and the
+  * interpreted `nullSafeEval` path (direct Literal eval), nulls, length
+  * mismatch, and whole-stage-codegen participation.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  private def lits(xs: Seq[Long]) =
+    Literal.create(xs, ArrayType(LongType))
+
+  test("interpreted eval: dot product, min-length, wrap semantics") {
+    assert(DotProductQ(lits(Seq(1L, 2L, 3L)), lits(Seq(4L, 5L, 6L)))
+      .eval(null) == 32L)
+    // shorter side bounds the loop
+    assert(DotProductQ(lits(Seq(1L, 2L, 3L)), lits(Seq(10L)))
+      .eval(null) == 10L)
+    assert(DotProductQ(lits(Seq.empty[Long]), lits(Seq(1L)))
+      .eval(null) == 0L)
+  }
+
+  test("codegen path agrees with interpreted eval; nulls -> null") {
+    val d = df("a ARRAY<BIGINT>, b ARRAY<BIGINT>", Seq(
+      Row(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      Row(Seq(-7L, 8L), Seq(9L, -1L)),
+      Row(null, Seq(1L)),
+      Row(Seq(1L), null)))
+    val got = column(d.select(dotQ(col("a"), col("b")).as("d")), "d")
+    assert(got == Seq(32L, -71L, null, null))
+  }
+
+  test("dotQ stays inside WholeStageCodegen (no interpreted HOFs)") {
+    // non-literal input so the projection can't constant-fold away
+    val d = spark.range(1, 4).selectExpr("array(id, id * 2) AS a")
+    val q = d.select(dotQ(col("a"), col("a")).as("n2"))
+    val plan = q.queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks an operator inside WholeStageCodegen
+    assert(plan.linesIterator.exists(l =>
+      l.contains("dot_q") && l.trim.startsWith("*")), plan)
+    assert(column(q.orderBy("n2"), "n2") == Seq(5L, 20L, 45L))
+  }
+
+  test("cosineQ built on dotQ matches hand-computed cosine") {
+    import graft.dedup.Dedup
+    val d = df("x ARRAY<FLOAT>, y ARRAY<FLOAT>", Seq(
+      Row(Seq(1.0f, 0.0f), Seq(1.0f, 1.0f))))
+    val c = d.select(Dedup.cosineQ(Dedup.quantize(col("x")),
+      Dedup.quantize(col("y"))).as("c"))
+    val got = column(c, "c").head.asInstanceOf[Double]
+    assert(math.abs(got - 1.0 / math.sqrt(2)) < 1e-9)
+  }
+}
