@@ -54,6 +54,43 @@ object Bench {
 
   private val doWarmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
 
+  /** Total executor CPU seconds across tasks — the noise-robust
+    * secondary metric for the scaling evidence: CPU-per-image should be
+    * ~equal at both parallelism levels (same work), so any wall-clock
+    * efficiency shortfall decomposes into scheduling/contention, not
+    * work inflation.
+    */
+  private class CpuListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (e.taskMetrics != null)
+        cpuNanos.addAndGet(e.taskMetrics.executorCpuTime)
+  }
+
+  /** Like timed(), but also reports executor CPU seconds accumulated
+    * over the TIMED reps (warmup excluded).
+    */
+  private def timedCpu[T](s: SparkSession, reps: Int)(body: => T)
+      : (T, Double, Seq[Double], Double) = {
+    if (doWarmup) body
+    val l = new CpuListener
+    s.sparkContext.addSparkListener(l)
+    try {
+      var times = Vector.empty[Double]
+      var out: Option[T] = None
+      (1 to reps).foreach { _ =>
+        val t0 = System.nanoTime()
+        val r = body
+        times :+= (System.nanoTime() - t0) / 1e9
+        out = Some(r)
+      }
+      Thread.sleep(300) // listener bus is async; drain
+      (out.get, times.min, times, l.cpuNanos.get() / 1e9)
+    } finally s.sparkContext.removeSparkListener(l)
+  }
+
   /** One untimed warmup + N timed reps; returns (result, min, raw). */
   private def timed[T](reps: Int)(body: => T): (T, Double, Seq[Double]) = {
     if (doWarmup) body // untimed: absorbs codegen-compile cost
@@ -173,19 +210,20 @@ object Bench {
         (rows, dt, raw)
       }
       // fit once per level, untimed (see comment above decodeJob)
-      def atPrefit(cpus: Int, r: Int): (Long, Double, Seq[Double]) = {
+      def atPrefit(cpus: Int, r: Int)
+          : (Long, Double, Seq[Double], Double) = {
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
         val s = session(cpus)
         System.gc()
         val pipe = Flagship.fitPipeline(s, scaleImages, 1) // untimed
-        val (rows, dt, raw) = timed(r)(decodeJob(pipe)(s))
+        val (rows, dt, raw, cpu) = timedCpu(s, r)(decodeJob(pipe)(s))
         s.stop()
-        (rows, dt, raw)
+        (rows, dt, raw, cpu / r) // executor CPU secs per rep
       }
       // the 4N level gets extra reps: its reps are ~4x cheaper and its
       // min is what residual JIT noise perturbs most
-      val (rd16, td16, rawD16) = atPrefit(16, sReps + 2)
-      val (rd4, td4, rawD4) = atPrefit(4, sReps)
+      val (rd16, td16, rawD16, cpuD16) = atPrefit(16, sReps + 2)
+      val (rd4, td4, rawD4, cpuD4) = atPrefit(4, sReps)
       val (rk16, tk16, rawK16) = atR(16, sReps + 2)(decodeKernel)
       val (rk4, tk4, rawK4) = atR(4, sReps)(decodeKernel)
       val (ra16, ta16, rawA16) = atR(16, 4)(asofJob)
@@ -198,13 +236,16 @@ object Bench {
       val effD = (thrD16 / thrD4) / 4.0
       val effK = (thrK16 / thrK4) / 4.0
       val effA = (thrA16 / thrA4) / 4.0
+      // CPU parity: equal CPU-per-rep at both levels proves equal WORK,
+      // decomposing any wall-clock efficiency shortfall into
+      // scheduling/contention rather than work inflation
       System.err.println(
-        f"[bench] scaling decode-pipeline 4c=$thrD4%.0f img/s 16c=$thrD16%.0f img/s eff=$effD%.3f raw4=${fmtRaw(rawD4)} raw16=${fmtRaw(rawD16)}")
+        f"[bench] scaling decode-pipeline 4c=$thrD4%.0f img/s 16c=$thrD16%.0f img/s eff=$effD%.3f raw4=${fmtRaw(rawD4)} raw16=${fmtRaw(rawD16)} cpu/rep=$cpuD4%.1f/$cpuD16%.1f s")
       System.err.println(
         f"[bench] scaling decode-kernel 4c=$thrK4%.0f img/s 16c=$thrK16%.0f img/s eff=$effK%.3f raw4=${fmtRaw(rawK4)} raw16=${fmtRaw(rawK16)}")
       System.err.println(
         f"[bench] scaling asof-transform 4c=$thrA4%.0f rows/s 16c=$thrA16%.0f rows/s eff=$effA%.3f (single-box floor)")
-      f""","scaling":{"job":"asof+transform+decode, pipeline pre-fitted per level (fit amortizes at scale)","n_cores":4,"n4_cores":16,"n_images_per_sec":$thrD4%.1f,"n4_images_per_sec":$thrD16%.1f,"efficiency":$effD%.3f,"raw_secs_n":${fmtRaw(rawD4)},"raw_secs_n4":${fmtRaw(rawD16)},"decode_kernel":{"n_images_per_sec":$thrK4%.1f,"n4_images_per_sec":$thrK16%.1f,"efficiency":$effK%.3f,"raw_secs_n":${fmtRaw(rawK4)},"raw_secs_n4":${fmtRaw(rawK16)}},"asof_transform_only":{"n_rows_per_sec":$thrA4%.1f,"n4_rows_per_sec":$thrA16%.1f,"efficiency":$effA%.3f,"raw_secs_n":${fmtRaw(rawA4)},"raw_secs_n4":${fmtRaw(rawA16)},"note":"single-box memory-bandwidth floor"}}"""
+      f""","scaling":{"job":"asof+transform+decode, pipeline pre-fitted per level (fit amortizes at scale)","n_cores":4,"n4_cores":16,"n_images_per_sec":$thrD4%.1f,"n4_images_per_sec":$thrD16%.1f,"efficiency":$effD%.3f,"raw_secs_n":${fmtRaw(rawD4)},"raw_secs_n4":${fmtRaw(rawD16)},"cpu_sec_per_rep_n":$cpuD4%.1f,"cpu_sec_per_rep_n4":$cpuD16%.1f,"decode_kernel":{"n_images_per_sec":$thrK4%.1f,"n4_images_per_sec":$thrK16%.1f,"efficiency":$effK%.3f,"raw_secs_n":${fmtRaw(rawK4)},"raw_secs_n4":${fmtRaw(rawK16)}},"asof_transform_only":{"n_rows_per_sec":$thrA4%.1f,"n4_rows_per_sec":$thrA16%.1f,"efficiency":$effA%.3f,"raw_secs_n":${fmtRaw(rawA4)},"raw_secs_n4":${fmtRaw(rawA16)},"note":"single-box memory-bandwidth floor"}}"""
     } else ""
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

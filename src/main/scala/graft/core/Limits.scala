@@ -21,6 +21,17 @@ object Limits {
     spark.conf.getOption("graft.maxFitLevels")
       .map(_.toInt).getOrElse(1000000)
 
+  /** Above this many learned levels, encoders switch the transform from
+    * a literal-map lookup to a broadcast join: Spark's map literals
+    * (`ArrayBasedMapData`) are searched LINEARLY per row, so a 100k-level
+    * `element_at` costs O(levels) per input row, while a broadcast hash
+    * join is O(1) per row and still shuffle-free. Runtime-tunable:
+    * `spark.conf.set("graft.maxLiteralMapSize", n)`.
+    */
+  def maxLiteralMapSize(spark: SparkSession): Int =
+    spark.conf.getOption("graft.maxLiteralMapSize")
+      .map(_.toInt).getOrElse(10000)
+
   /** Clean error for a blown cap. */
   def levelCapError(classname: String, cap: Int, what: String): Nothing =
     throw new IllegalArgumentException(

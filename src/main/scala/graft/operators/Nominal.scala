@@ -256,21 +256,64 @@ class MeanResponseTransformer(
     if (m.isEmpty) lit(null).cast("double")
     else element_at(typedLit(m), c.cast("string"))
 
+  /** unseen fallback + output cast around a raw looked-up encoding. */
+  private def finishEnc(src: Column, looked: Column, enc: String): Column = {
+    val withUnseen = unseenEncoding.get(enc) match {
+      case Some(u) =>
+        when(src.isNotNull && looked.isNull, lit(u)).otherwise(looked)
+      case None => looked
+    }
+    val outT = if (returnType == "float") FloatType else DoubleType
+    withUnseen.cast(outT)
+  }
+
   override def transformExprs(df: DataFrame): Seq[(String, Column)] = {
     val ys = yExprs
     columns.flatMap { c =>
       ys.map { case (sfx, _) =>
         val enc = s"$c$sfx"
-        val looked = mapExpr(col(c), mappings(enc))
-        val withUnseen = unseenEncoding.get(enc) match {
-          case Some(u) =>
-            when(col(c).isNotNull && looked.isNull, lit(u)).otherwise(looked)
-          case None => looked
-        }
-        val outT = if (returnType == "float") FloatType else DoubleType
-        enc -> withUnseen.cast(outT)
+        enc -> finishEnc(col(c), mapExpr(col(c), mappings(enc)), enc)
       }
     }
+  }
+
+  /** Big level maps transform via BROADCAST JOIN instead of a literal
+    * map: Spark's map literals are linear-searched per row
+    * (ArrayBasedMapData), so a 100k-level `element_at` costs O(levels)
+    * per input row; a broadcast hash join is O(1) per row and still
+    * shuffle-free on the big side. Threshold:
+    * `graft.maxLiteralMapSize` (default 10000). Small maps keep the
+    * single-projection path so whole pipelines stay one codegen stage.
+    */
+  override def transform(df: DataFrame): DataFrame = {
+    if (!isFitted)
+      throw new IllegalStateException(
+        s"$classname: transform called before fit")
+    columnsCheck(df)
+    val threshold = graft.core.Limits.maxLiteralMapSize(df.sparkSession)
+    if (!mappings.values.exists(_.size > threshold))
+      return project(df, transformExprs(df))
+    val spark = df.sparkSession
+    val ys = yExprs
+    var joined = df
+    val tmpCols = scala.collection.mutable.Buffer[String]()
+    val exprs: Seq[(String, Column)] = columns.flatMap { c =>
+      ys.map { case (sfx, _) =>
+        val enc = s"$c$sfx"
+        val m = mappings(enc)
+        val looked =
+          if (m.size > threshold) {
+            val vcol = s"__mrv_$enc"
+            tmpCols += vcol
+            val lookup = spark.createDataFrame(m.toSeq).toDF("__mrk", vcol)
+            joined = joined.join(broadcast(lookup),
+              col(c).cast("string") === col("__mrk"), "left").drop("__mrk")
+            col(vcol)
+          } else mapExpr(col(c), m)
+        enc -> finishEnc(col(c), looked, enc)
+      }
+    }
+    project(joined, exprs).drop(tmpCols.toSeq: _*)
   }
 
   override def featureNamesOut: Seq[String] = encodedColumns

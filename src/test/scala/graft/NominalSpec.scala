@@ -151,6 +151,24 @@ class NominalSpec extends SparkSpec {
     assert(column(out, "b_x") == Seq(4.0))
   }
 
+  test("MeanResponse big level maps transform via broadcast join") {
+    spark.conf.set("graft.maxLiteralMapSize", "2")
+    try {
+      val t = new MeanResponseTransformer(Seq("b"), "a",
+        unseenLevelHandling = Some(Right("max"))).fit(mrFrame())
+      val input = df("a DOUBLE, b STRING, mlr STRING", Seq(
+        Row(0.0, "c", "x"), Row(0.0, "NEW", "x"), Row(0.0, null, "x")))
+      val out = t.transform(input)
+      // same values as the literal-map path: c -> 3.0, unseen -> max
+      // 6.0, null passes through
+      assert(column(out, "b") == Seq(3.0, 6.0, null))
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"big-map transform must not shuffle the input:\n$plan")
+    } finally spark.conf.unset("graft.maxLiteralMapSize")
+  }
+
   test("OneHot with wanted_values enumerates writtenCols before fit") {
     // regression: writtenCols pre-fit used to hit the empty categories
     // map and crash Pipeline.fit's fusion planning
