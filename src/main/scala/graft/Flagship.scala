@@ -114,7 +114,8 @@ object Flagship {
   def featuresWithDecode(spark: SparkSession, nImages: Long,
       eventsPerImage: Int, minDim: Int = 256, maxDim: Int = 384,
       payloadCapBytes: Int = 4096,
-      prefit: Option[Pipeline] = None): DataFrame = {
+      prefit: Option[Pipeline] = None,
+      decodePartitions: Int = 0): DataFrame = {
     // with a pre-fitted pipeline (the amortized production shape) the
     // job is generation + as-of join + transform + decode + agg, no fit
     // barriers; without one, features() fits in-line as before
@@ -127,7 +128,8 @@ object Flagship {
       .groupBy("image_id")
       .agg(count(lit(1)).as("n_events"), avg("target").as("mean_target"))
     val imgs = ImageTable.images(spark, nImages, minDim = minDim,
-      maxDim = maxDim, payloadCapBytes = payloadCapBytes)
+      maxDim = maxDim, payloadCapBytes = payloadCapBytes,
+      numPartitions = decodePartitions)
     val decoded = multimodal.Multimodal.withDecodeFeatures(
       imgs, multimodal.Multimodal.SyntheticPixelDecoder)
       .select("image_id", "decoded_w", "decoded_h", "mean_luma")

@@ -34,9 +34,15 @@ object ImageTable {
     */
   def images(spark: SparkSession, n: Long, seed: Long = 42,
       minDim: Int = 8, maxDim: Int = 32,
-      payloadCapBytes: Int = Int.MaxValue): DataFrame = {
+      payloadCapBytes: Int = Int.MaxValue,
+      numPartitions: Int = 0): DataFrame = {
     val dimSpan = maxDim - minDim + 1
-    val df = spark.range(0, n)
+    // decode-style consumers should pass numPartitions >> cores: per-row
+    // cost varies with w*h (up to ~(maxDim/minDim)^2), and with exactly
+    // one task per core the job ends at the slowest task — finer splits
+    // smooth the stragglers
+    val df = (if (numPartitions > 0) spark.range(0, n, 1, numPartitions)
+      else spark.range(0, n))
       .withColumn("image_id", format_string("img_%010d", col("id")))
       .withColumn("w",
         (pmod(h(seed, "w", col("id")), lit(dimSpan)) + minDim).cast("int"))

@@ -1,0 +1,45 @@
+package graft
+
+import graft.io.BucketedTable
+import org.apache.spark.sql.functions._
+
+/** Co-location contract: two tables bucketed the same way join and
+  * aggregate on the bucket key with NO Exchange — the scan satisfies
+  * the hash distribution (what Iceberg bucket transforms give a real
+  * cluster).
+  */
+class BucketedTableSpec extends SparkSpec {
+
+  test("bucketed-bucketed join and groupBy plan with zero exchanges") {
+    import spark.implicits._
+    val events = (0L until 1000L)
+      .map(i => (s"img_${i % 100}", i, i * 2.0)).toDF("image_id", "n", "v")
+    val meta = (0L until 100L)
+      .map(i => (s"img_$i", s"fmt_${i % 3}")).toDF("image_id", "fmt")
+    BucketedTable.write(events, "bt_events", "image_id", 8)
+    BucketedTable.write(meta, "bt_meta", "image_id", 8)
+
+    val e = BucketedTable.read(spark, "bt_events")
+    val m = BucketedTable.read(spark, "bt_meta")
+
+    // disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = e.join(m, Seq("image_id"))
+      val jPlan = joined.queryExecution.executedPlan.toString
+      assert(!jPlan.contains("Exchange hashpartitioning"),
+        s"co-located join still shuffles:\n$jPlan")
+      assert(joined.count() == 1000)
+
+      val agg = e.groupBy("image_id").agg(sum("v").as("sv"))
+      val aPlan = agg.queryExecution.executedPlan.toString
+      assert(!aPlan.contains("Exchange hashpartitioning"),
+        s"bucketed aggregation still shuffles:\n$aPlan")
+      assert(agg.count() == 100)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bt_events")
+      spark.sql("DROP TABLE IF EXISTS bt_meta")
+    }
+  }
+}

@@ -25,6 +25,11 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // managed tables (BucketedTableSpec) land in a temp warehouse,
+      // never in the repo working directory
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse")
+          .toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
