@@ -23,10 +23,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * WholeStageCodegen; the interpreted `nullSafeEval` path matches it
   * exactly.
   *
-  * Semantics: null if either array is null; summation over the shorter
-  * length (inputs are produced by `Dedup.quantize`, which never emits
-  * null elements); 64-bit wrap-around like Java `long` arithmetic —
+  * Semantics are an exact drop-in for the HOF formulation (so the
+  * [[graft.plans.RewriteHofDotProduct]] optimizer rule can substitute
+  * it): null if either array is null, if the lengths differ (zip_with
+  * pads the shorter side with null, poisoning the sum), or if any
+  * element is null; 64-bit wrap-around like Java `long` arithmetic —
   * quantized embedding products are ~1e12 x dims, far from overflow.
+  * Element null checks compile away when both array types declare
+  * `containsNull = false` (the `Dedup.quantize` output shape).
   */
 case class DotProductQ(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -39,15 +43,28 @@ case class DotProductQ(left: Expression, right: Expression)
         s"dot_q expects two array<bigint> inputs, got $l and $r")
     }
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_q"
+
+  private def elementsNullable: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0L
     var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     acc
   }
 
@@ -57,13 +74,22 @@ case class DotProductQ(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val elemNullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemNullCheck
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

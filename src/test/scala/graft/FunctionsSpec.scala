@@ -17,13 +17,14 @@ class FunctionsSpec extends SparkSpec {
   private def lits(xs: Seq[Long]) =
     Literal.create(xs, ArrayType(LongType))
 
-  test("interpreted eval: dot product, min-length, wrap semantics") {
+  test("interpreted eval: dot product, ragged -> null (HOF parity)") {
     assert(DotProductQ(lits(Seq(1L, 2L, 3L)), lits(Seq(4L, 5L, 6L)))
       .eval(null) == 32L)
-    // shorter side bounds the loop
+    // ragged lengths poison the HOF formulation (zip_with pads with
+    // null) — dot_q matches so RewriteHofDotProduct is a drop-in
     assert(DotProductQ(lits(Seq(1L, 2L, 3L)), lits(Seq(10L)))
-      .eval(null) == 10L)
-    assert(DotProductQ(lits(Seq.empty[Long]), lits(Seq(1L)))
+      .eval(null) == null)
+    assert(DotProductQ(lits(Seq.empty[Long]), lits(Seq.empty[Long]))
       .eval(null) == 0L)
   }
 

@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.DotProductQ
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** GraftExtensions must register against a stock SparkSession the way a
+  * cluster would load it (`spark.sql.extensions=graft.GraftExtensions`):
+  * `dot_q` callable from SQL, and the interpreted
+  * `aggregate(zip_with(...))` dot-product pattern rewritten to the
+  * codegen'd kernel with identical results — including the HOF's null
+  * semantics on ragged lengths and null elements.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  /** A second SparkSession over the SAME SparkContext, with extensions
+    * applied — exactly what `withExtensions` does at cluster startup.
+    * The shared suite session is restored afterwards.
+    */
+  private def withExtSession[T](f: SparkSession => T): T = {
+    val shared = spark // force the shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions()(_))
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    try f(ext)
+    finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
+  test("dot_q is callable from SQL via injectFunction") {
+    withExtSession { s =>
+      val r = s.sql(
+        "SELECT dot_q(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+        .head().getLong(0)
+      assert(r == 32L)
+    }
+  }
+
+  test("HOF dot product is rewritten to the codegen'd kernel") {
+    withExtSession { s =>
+      // range (not a local Seq) so ConvertToLocalRelation can't fold
+      // the projection away before we can inspect it
+      val d = s.range(1, 3)
+        .selectExpr("array(id, id + 1L, id * 3L) AS a",
+          "array(4L, 5L, id) AS b")
+      val hof = d.select(expr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+        .as("d"))
+      val optimized = hof.queryExecution.optimizedPlan
+      assert(optimized.expressions.exists(
+        _.exists(_.isInstanceOf[DotProductQ])),
+        s"HOF pattern not rewritten:\n$optimized")
+      assert(hof.collect().map(_.getLong(0)).toSeq == Seq(17L, 35L))
+    }
+  }
+
+  test("rewrite preserves HOF null semantics (ragged + null element)") {
+    withExtSession { s =>
+      val d = s.sql(
+        """SELECT * FROM VALUES
+          |  (array(1L, 2L), array(3L)),
+          |  (array(1L, CAST(NULL AS BIGINT)), array(3L, 4L)),
+          |  (CAST(NULL AS ARRAY<BIGINT>), array(3L)),
+          |  (array(2L, 3L), array(4L, 5L)) AS t(a, b)""".stripMargin)
+      val q = "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+      val got = d.selectExpr(s"$q AS d").collect()
+        .map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+      assert(got == Seq(null, null, null, 23L))
+      // and the plain session (no rule) agrees value-for-value
+      val ref = spark.sql(
+        """SELECT * FROM VALUES
+          |  (array(1L, 2L), array(3L)),
+          |  (array(1L, CAST(NULL AS BIGINT)), array(3L, 4L)),
+          |  (CAST(NULL AS ARRAY<BIGINT>), array(3L)),
+          |  (array(2L, 3L), array(4L, 5L)) AS t(a, b)""".stripMargin)
+        .selectExpr(s"$q AS d").collect()
+        .map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+      assert(got == ref)
+    }
+  }
+}
