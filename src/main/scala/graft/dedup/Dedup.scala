@@ -200,19 +200,28 @@ object Dedup {
     * small projection folds votes into the 64-bit signature. Map-side
     * combine keeps the shuffle at one 64-int row per id per partition.
     */
-  def simhashes(df: DataFrame, idCol: String, textCol: String)
+  def simhashes(df: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column = xxhash64(_), nBits: Int = 64)
       : DataFrame = {
+    require(nBits >= 1 && nBits <= 64, s"nBits must be 1..64, got $nBits")
     val tokRows = df.select(col(idCol).as("__id"),
       explode(split(col(textCol), " ")).as("__t"))
-    val h = xxhash64(col("__t"))
-    val votes = (0 until 64).map(k =>
+    val h = tokenHash(col("__t"))
+    val votes = (0 until nBits).map(k =>
       sum(when(shiftright(h, k).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"v$k"))
     val agged = tokRows.groupBy(col("__id")).agg(votes.head, votes.tail: _*)
-    val bits = (0 until 64).map(k =>
+    val bits = (0 until nBits).map(k =>
       when(col(s"v$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
     agged.select(col("__id"), bits.reduce(_.bitwiseOR(_)).as("simhash"))
   }
+
+  /** 60-bit md5-derived token hash (top 15 hex digits): a few times
+    * the CPU of xxhash64, but reproducible in any SQL engine — the
+    * oracle-checkable [[simhashes]] variant.
+    */
+  def md5Hash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
   /** Embedding near-dup pairs via quantized cosine within blocks.
     * Embeddings are quantized to int (round(x*1000)) so dot products

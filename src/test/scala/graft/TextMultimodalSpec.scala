@@ -86,4 +86,46 @@ class TextMultimodalSpec extends SparkSpec {
     assert(a == b)
     assert(a.head.getAs[Int]("decoded_w") == 4)
   }
+
+  /** Brute-force winnowing reference: k-gram base-131 polynomial
+    * hashes, min per window of w, distinct.
+    */
+  private def winnowRef(s: String, k: Int, w: Int): Set[Long] = {
+    val hs = s.sliding(k).filter(_.length == k)
+      .map(_.foldLeft(0L)((acc, c) => acc * 131L + (c.toInt % 512)))
+      .toVector
+    if (hs.length < w) Set.empty
+    else hs.sliding(w).map(_.min).toSet
+  }
+
+  test("winnowing fingerprints match brute-force reference") {
+    val texts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "pack my box with five dozen liquor jugs",
+      2L -> "short", // < k: no grams at all
+      3L -> "aaaaaaaaaaaa") // repeated chars -> heavy fp collisions
+    val d = df("doc_id BIGINT, text STRING",
+      texts.map { case (i, t) => Row(i, t) })
+    val out = TextOps.winnowFingerprints(d, "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    texts.foreach { case (i, t) =>
+      assert(out.getOrElse(i, Set.empty[Long]) == winnowRef(t, 8, 4),
+        s"doc $i fingerprints diverge from reference")
+    }
+  }
+
+  test("winnowing guarantee: shared substring >= k+w-1 shares a fingerprint") {
+    // both docs contain the same 16-char run (>= k + w - 1 = 11)
+    val marker = "zqxjkvbwpfmgu#7!"
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, s"left padding text $marker and a tail here"),
+      Row(2L, s"completely different prefix $marker other suffix")))
+    val fp = TextOps.winnowFingerprints(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val f1 = fp.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fp.filter(_._1 == 2L).map(_._2).toSet
+    assert((f1 & f2).nonEmpty,
+      "documents sharing a >= k+w-1 substring must share a fingerprint")
+  }
 }
