@@ -195,6 +195,22 @@ object QueriesData {
         .orderBy("image_id")
     }),
 
+    "q62_phash_neardup" -> ((s, dir) => {
+      // image dedup over the phash column ONLY — payload bytes never
+      // enter the plan. Near-dups injected deterministically: every
+      // 10th image re-appears with phash bits 0 and 8 flipped
+      // (Hamming distance 2); banded join must recover exactly those
+      val imgs = oracleImages(s, 500, "/tmp/graft_oracle_images_q62")
+      val base = imgs.select(col("image_id"), col("phash"))
+      val dups = base
+        .filter(expr("CAST(substring(image_id, 5) AS BIGINT) % 10 = 0"))
+        .select(concat(col("image_id"), lit("_d")).as("image_id"),
+          col("phash").bitwiseXOR(lit(257L)).as("phash"))
+      Multimodal.phashNearDups(base.unionByName(dups),
+        "image_id", "phash", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q52_multimodal_decode" -> ((s, dir) => {
       // mapPartitions decode plumbing with the stub decoder (whose spec
       // is deliberately SQL-reproducible — see Multimodal.StubDecoder);
@@ -435,6 +451,21 @@ object QueriesData {
         |    AS bytes_per_pixel
         |FROM read_parquet('/tmp/graft_oracle_images_q51/*.parquet')
         |ORDER BY 1""".stripMargin,
+
+    // same dup injection as the Spark side; bit_count over
+    // two's-complement xor is engine-portable
+    "q62_phash_neardup" ->
+      """WITH base AS (SELECT image_id, phash
+        |  FROM read_parquet('/tmp/graft_oracle_images_q62/*.parquet')),
+        |t AS (SELECT * FROM base
+        |      UNION ALL
+        |      SELECT image_id || '_d', xor(phash, 257) FROM base
+        |      WHERE CAST(substring(image_id, 5) AS BIGINT) % 10 = 0)
+        |SELECT a.image_id AS id_a, b.image_id AS id_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        |FROM t a JOIN t b ON a.image_id < b.image_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
 
     // StubDecoder spec: md5 over the UPPERCASE hex of the first 256
     // payload bytes, first 4 digest bytes as big-endian int, % 256000

@@ -170,4 +170,50 @@ object Multimodal {
       "bytes_per_pixel" ->
         length(b).cast("double") / (col("w") * col("h"))))
   }
+
+  /** Image near-duplicates by perceptual-hash Hamming distance — the
+    * image-side counterpart of the text dedup family, run WITHOUT
+    * touching payloads: only the int64 `phash` column moves.
+    *
+    * Scale shape: split each 64-bit phash into `bands` equal bit
+    * bands; by pigeonhole two hashes within Hamming distance
+    * `bands - 1` share at least one unchanged band, so a self-join on
+    * (band index, band bits) finds every pair with distance <= maxDist
+    * (required: maxDist < bands) while only colliding hashes meet.
+    * Exact `bit_count(a XOR b)` verifies candidates. One exchange on
+    * the band key; no all-pairs term anywhere — the same
+    * band-bucket-verify blueprint as the MinHash LSH dedup
+    * ([[graft.dedup.Dedup.minhashNearDups]]).
+    *
+    * Arithmetic-shift + mask band extraction and two's-complement
+    * bit_count are engine-portable (DuckDB-oracle-checked, q62).
+    */
+  def phashNearDups(df: DataFrame, idCol: String, phashCol: String,
+      maxDist: Int, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    require(maxDist >= 0 && maxDist < bands,
+      s"pigeonhole guarantee needs maxDist < bands, got $maxDist/$bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val bandCols = (0 until bands).map { i =>
+      struct(lit(i).as("band"),
+        shiftright(col(phashCol), i * width).bitwiseAND(mask).as("bits"))
+    }
+    val banded = df
+      .select(col(idCol).as("__id"), col(phashCol).as("__p"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("__id"), col("__p"), col("b.band"), col("b.bits"))
+      .repartition(col("band"), col("bits"))
+    val a = banded.select(col("__id").as("id_a"), col("__p").as("p_a"),
+      col("band"), col("bits"))
+    val b = banded.select(col("__id").as("id_b"), col("__p").as("p_b"),
+      col("band"), col("bits"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("p_a").bitwiseXOR(col("p_b"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
 }

@@ -115,6 +115,23 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("phash near-dups: banded hamming join finds all pairs <= maxDist") {
+    // A=all zero; B at distance 3 (flips confined to band 0);
+    // C at distance 4 spread across all four bands (no shared band —
+    // correctly not even a candidate, and beyond maxDist anyway);
+    // D at distance 1 (top bit, band 3)
+    val hashes = df("image_id STRING, phash BIGINT", Seq(
+      Row("a", 0L),
+      Row("b", 7L),
+      Row("c", 1L | (1L << 16) | (1L << 32) | (1L << 48)),
+      Row("d", Long.MinValue)))
+    val out = Multimodal.phashNearDups(hashes, "image_id", "phash",
+      maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    assert(out == Set(("a", "b", 3), ("a", "d", 1)))
+  }
+
   test("winnowing guarantee: shared substring >= k+w-1 shares a fingerprint") {
     // both docs contain the same 16-char run (>= k + w - 1 = 11)
     val marker = "zqxjkvbwpfmgu#7!"
