@@ -38,7 +38,8 @@ object Bench {
     "q30_asof_join", "q33_asof_join_broadcast", "q37_rolling_rows",
     "q39_sessionize", "q40_dedup_exact", "q41_dedup_minhash_lsh",
     "q45_knn_bruteforce", "q47_lang_id", "q49_token_count",
-    "q52_multimodal_decode")
+    "q52_multimodal_decode", "q61_winnow_fingerprint",
+    "q62_phash_neardup")
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -47,6 +48,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // dogfood the production registration path (dot_q SQL function +
+      // HOF dot-product rewrite)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -55,6 +55,36 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(scan.contains("bytes"), scan)
   }
 
+  test("phash near-dup never reads payload bytes from the scan") {
+    val imgs = spark.read.parquet(imgPath)
+    val q = graft.multimodal.Multimodal.phashNearDups(
+      imgs, "image_id", "phash", maxDist = 3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("bytes"),
+      s"image dedup must move only the phash column:\n$plan")
+  }
+
+  test("winnowing windows share one exchange per document set") {
+    // parquet-backed input (a range input would satisfy the window
+    // distribution via RangePartitioning and hide the exchange)
+    val p = Files.createTempDirectory("plan_docs").toString + "/docs"
+    spark.range(0, 50)
+      .selectExpr("id AS doc_id",
+        "repeat(concat('tok', CAST(id AS STRING), ' '), 30) AS text")
+      .write.mode("overwrite").parquet(p)
+    val q = graft.text.TextOps.winnowFingerprints(
+      spark.read.parquet(p), "doc_id", "text")
+    val plan = q.queryExecution.executedPlan.toString
+    // char window + gram window + winnow window all partition by
+    // doc_id: exactly ONE hash exchange on doc_id may appear (the
+    // final distinct adds its own on (doc_id, fp))
+    val docExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(doc_id") &&
+        !l.contains("fp"))
+    assert(docExchanges == 1,
+      s"expected one doc_id exchange, got $docExchanges:\n$plan")
+  }
+
   test("window-median never plans percentile over an unbounded window") {
     // an exact percentile OVER (PARTITION BY key) buffers every row of
     // a key in one task — the fix routes median through groupBy + join
