@@ -189,6 +189,69 @@ object SnapshotStore {
       .drop("run").drop(B)
   }
 
+  final case class ExpireResult(expiredSnapshots: Seq[Int],
+      deletedBucketDirs: Seq[String])
+
+  /** Iceberg-style snapshot expiry: drop all but the last `keepLast`
+    * COMPLETE snapshots (incomplete manifests newer than the newest
+    * complete one are kept — they are the resume target of an
+    * in-flight checkpointed write), then garbage-collect every bucket
+    * directory no surviving manifest references.
+    *
+    * Retention is computed from REFERENCED PATHS, not run ids: a run
+    * directory can be partially live (some of its buckets carried by
+    * reference into newer manifests), so the deletion unit is the
+    * bucket dir. Data files stay immutable until the last manifest
+    * referencing them expires — exactly Iceberg's
+    * `expire_snapshots` contract. Driver-side metadata work only; no
+    * Spark jobs.
+    */
+  def expireSnapshots(root: String, keepLast: Int): ExpireResult = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val complete = snapshotIds(root)
+    val all = snapshotIds(root, includeIncomplete = true)
+    val keptComplete = complete.takeRight(keepLast)
+    val newestComplete = complete.lastOption.getOrElse(Int.MinValue)
+    val kept = all.filter(v =>
+      keptComplete.contains(v) ||
+        (v > newestComplete && isIncomplete(root, v)))
+    val expired = all.filterNot(kept.contains)
+    if (expired.isEmpty) return ExpireResult(Seq.empty, Seq.empty)
+
+    val live: Set[String] =
+      kept.flatMap(v => manifest(root, v).map(_.path)).toSet
+    // every bucket dir on disk that no kept manifest references
+    val runsDir = Paths.get(root, "runs")
+    val orphans: Seq[Path] =
+      if (!Files.isDirectory(runsDir)) Seq.empty
+      else Files.list(runsDir).iterator().asScala
+        .filter(Files.isDirectory(_))
+        .flatMap(run => Files.list(run).iterator().asScala)
+        .filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith(s"$B="))
+        .filterNot(d => live.contains(d.toString))
+        .toSeq
+    orphans.foreach(deleteRecursively)
+    // drop now-empty run dirs and the expired manifests
+    if (Files.isDirectory(runsDir))
+      Files.list(runsDir).iterator().asScala
+        .filter(d => Files.isDirectory(d) &&
+          !Files.list(d).iterator().hasNext)
+        .foreach(Files.delete(_))
+    expired.foreach { v =>
+      Seq(s"v$v.manifest.jsonl", s"v$v.manifest$Incomplete.jsonl")
+        .map(Paths.get(root, "snapshots", _))
+        .foreach(Files.deleteIfExists(_))
+    }
+    ExpireResult(expired, orphans.map(_.toString))
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.delete(p)
+  }
+
   /** Per-partition metrics check: recompute each listed bucket's
     * (rows, xxh) from storage and diff against the manifest. Empty
     * result = lineage verified.

@@ -107,6 +107,45 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.verify(spark, root).isEmpty)
   }
 
+  test("expireSnapshots keeps the last N, GCs only unreferenced buckets") {
+    val root = freshRoot()
+    val bucket = SnapshotStore.byKey("doc_id", 8)
+    import spark.implicits._
+    // v1: base; v2: one bucket's rows changed (7 carried by reference);
+    // v3: identical to v2 (all carried)
+    val base = docs(400)
+    SnapshotStore.write(base, root, bucket)
+    val changed = base
+      .withColumn("text", when(col("doc_id") === 0L, lit("CHANGED"))
+        .otherwise(col("text")))
+    val r2 = SnapshotStore.write(changed, root, bucket)
+    assert(r2.written.size === 1)
+    val r3 = SnapshotStore.write(changed, root, bucket)
+    assert(r3.written.isEmpty && r3.carried.size === 8)
+
+    val res = SnapshotStore.expireSnapshots(root, keepLast = 1)
+    assert(res.expiredSnapshots === Seq(1, 2))
+    // v1's superseded copy of the changed bucket is the ONLY orphan:
+    // the 7 carried buckets are still referenced by v3 and must survive
+    assert(res.deletedBucketDirs.size === 1)
+    assert(res.deletedBucketDirs.head.contains("run=1"))
+
+    // latest read + lineage verify still intact after GC
+    assert(SnapshotStore.latestSnapshot(root) === Some(3))
+    val back = SnapshotStore.read(spark, root)
+    assert(back.count() === 400)
+    assert(back.filter(col("text") === "CHANGED").count() === 1)
+    assert(SnapshotStore.verify(spark, root).isEmpty)
+    // time travel to an expired snapshot now fails cleanly
+    intercept[Exception] {
+      SnapshotStore.read(spark, root, snapshot = Some(1)).count()
+    }
+    // idempotent: nothing left to expire
+    val res2 = SnapshotStore.expireSnapshots(root, keepLast = 1)
+    assert(res2.expiredSnapshots.isEmpty &&
+      res2.deletedBucketDirs.isEmpty)
+  }
+
   test("verify detects tampered storage") {
     val root = freshRoot()
     val d = docs(100)
