@@ -392,8 +392,51 @@ object QueriesCore {
         unseenLevelHandling = Some(Right("median"))).fit(fitDf)
       t.transform(base).select(col("c_custkey"), col("f"))
         .orderBy("c_custkey")
+    }),
+
+    "q63_scaling" -> ((s, dir) => {
+      // all three sklearn scaler modes in one pass (fit fused per
+      // transformer: one agg scan each; transform is in-place)
+      val df = tbl(s, dir, "lineitem")
+      val std = new ScalingTransformer(Seq("l_quantity"), "standard")
+        .fit(df)
+      val mm = new ScalingTransformer(Seq("l_extendedprice"), "min_max")
+        .fit(df)
+      val ma = new ScalingTransformer(Seq("l_discount"), "max_abs")
+        .fit(df)
+      ma.transform(mm.transform(std.transform(df)))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 6).as("q_std"),
+          round(col("l_extendedprice"), 6).as("price_mm"),
+          round(col("l_discount"), 6).as("disc_ma"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q64_log" -> ((s, dir) => {
+      val df = tbl(s, dir, "lineitem")
+      val t = new LogTransformer(Seq("l_quantity"), base = None) // ln
+      val t10 = new LogTransformer(Seq("l_extendedprice"),
+        base = Some(10.0), suffix = "log10")
+      t10.transform(t.transform(df))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity_log"), 6).as("q_ln"),
+          round(col("l_extendedprice_log10"), 6).as("price_log10"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q65_cut" -> ((s, dir) => {
+      val df = tbl(s, dir, "lineitem")
+      cutQ65.transform(df)
+        .select(col("l_orderkey"), col("l_linenumber"), col("disc_bin"))
+        .orderBy("l_orderkey", "l_linenumber")
     })
   )
+
+  /** Shared by the q65 query and its oracle so the interval-label
+    * literals are identical by construction.
+    */
+  private lazy val cutQ65 = new CutTransformer("l_discount", "disc_bin",
+    bins = Seq(0.0, 0.02, 0.05, 0.08, 0.1), includeLowest = true)
 
   val oracles: Map[String, String] = Map(
     "q01_mean_impute" ->
@@ -723,6 +766,41 @@ object QueriesCore {
         |SELECT c_custkey,
         |  COALESCE((SELECT e FROM enc WHERE lvl = base.f),
         |           (SELECT m FROM med)) AS f
-        |FROM base ORDER BY 1""".stripMargin
+        |FROM base ORDER BY 1""".stripMargin,
+
+    // sklearn parity mirrored exactly: standard uses POPULATION std
+    // computed as sqrt(avg(x^2) - avg(x)^2) — the same scalar formula
+    // the driver-side fit derives from its fused aggregates
+    "q63_scaling" ->
+      """WITH s AS (SELECT avg(l_quantity) AS m,
+        |                  avg(l_quantity * l_quantity) AS m2,
+        |                  min(l_extendedprice) AS mn,
+        |                  max(l_extendedprice) AS mx,
+        |                  max(abs(l_discount)) AS ma
+        |           FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  ROUND((l_quantity - m) / sqrt(m2 - m * m), 6) AS q_std,
+        |  ROUND((l_extendedprice - mn) / (mx - mn), 6) AS price_mm,
+        |  ROUND(l_discount / ma, 6) AS disc_ma
+        |FROM lineitem CROSS JOIN s
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q64_log" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(ln(l_quantity), 6) AS q_ln,
+        |  ROUND(ln(l_extendedprice) / ln(10.0), 6) AS price_log10
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
+    "q65_cut" -> {
+      val cases = cutQ65.bins.sliding(2).zipWithIndex.map {
+        case (Seq(lo, hi), i) =>
+          val lower =
+            if (i == 0) s"l_discount >= $lo" else s"l_discount > $lo"
+          s"WHEN $lower AND l_discount <= $hi THEN '${cutQ65.intervalLabels(i)}'"
+      }.mkString(" ")
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CASE $cases ELSE NULL END AS disc_bin
+         |FROM lineitem ORDER BY 1, 2""".stripMargin
+    }
   )
 }

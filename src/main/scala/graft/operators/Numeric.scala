@@ -138,3 +138,185 @@ class OneDKmeansTransformer(
     super.restoreFit(fit)
   }
 }
+
+/** Log transform -> new `{col}_{suffix}` columns
+  * (tubular/numeric.py:856-1001; deprecated there, resurrected here —
+  * log features are everyday feature engineering).
+  *
+  * `base=None` -> natural log (log1p when addOne); otherwise divided by
+  * ln(base). Non-positive inputs (<= -1 with addOne) raise — enforced
+  * IN the projection via `assert_true`, so the transform stays a
+  * single codegen'd map stage with no validation pre-pass; the error
+  * surfaces on the first offending row (reference raises eagerly,
+  * tubular/numeric.py:973-993).
+  */
+class LogTransformer(
+    val columns: Seq[String],
+    val base: Option[Double] = None,
+    val addOne: Boolean = false,
+    val suffix: String = "log"
+) extends Transformer {
+  require(base.forall(_ > 0), s"base must be positive, got $base")
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] = {
+    requireNumeric(df, columns)
+    columns.map { c =>
+      val x = col(c).cast("double")
+      val lim = if (addOne) -1.0 else 0.0
+      val raw = if (addOne) log1p(x) else log(x)
+      val scaled = base.map(b => raw / math.log(b)).getOrElse(raw)
+      val guarded = when(
+        assert_true(x.isNull || x > lim,
+          lit(s"$classname: values less than or equal to $lim in " +
+            s"column $c, make greater than $lim before using transform"))
+          .isNull,
+        scaled)
+      s"${c}_$suffix" -> guarded
+    }
+  }
+  override def featureNamesOut: Seq[String] =
+    columns.map(c => s"${c}_$suffix")
+  override def initParams: Map[String, Any] = Map(
+    "columns" -> columns, "base" -> base.orNull, "add_1" -> addOne,
+    "suffix" -> suffix)
+}
+
+/** Fixed-edge binning — pd.cut semantics with explicit bin edges
+  * (tubular/numeric.py:1004-1261 delegates to pd.cut; deprecated
+  * there). Value in `(bins(i), bins(i+1)]` when `right` (else
+  * `[bins(i), bins(i+1))`); outside any bin -> null; `includeLowest`
+  * closes the first interval's outer edge. Labels default to pandas
+  * interval notation built from the given edges — driver-side
+  * literals, so external engines reproduce them verbatim. The
+  * transform is one codegen'd `when` chain (edges are small).
+  */
+class CutTransformer(
+    val column: String,
+    val newColumnName: String,
+    val bins: Seq[Double],
+    val right: Boolean = true,
+    val includeLowest: Boolean = false,
+    val labels: Option[Seq[String]] = None
+) extends Transformer {
+  require(bins.size >= 2, s"need >= 2 bin edges, got ${bins.size}")
+  require(bins == bins.sorted && bins.distinct == bins,
+    "bin edges must be strictly increasing")
+  require(labels.forall(_.size == bins.size - 1),
+    s"labels must have ${bins.size - 1} entries")
+  val columns: Seq[String] = Seq(column)
+
+  /** pandas-style interval labels for the given edges. */
+  def intervalLabels: Seq[String] = labels.getOrElse(
+    bins.sliding(2).zipWithIndex.map { case (Seq(lo, hi), i) =>
+      val first = i == 0
+      if (right) s"${if (first && includeLowest) "[" else "("}$lo, $hi]"
+      else s"[$lo, $hi)"
+    }.toSeq)
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] = {
+    requireNumeric(df, columns)
+    val x = col(column).cast("double")
+    val ls = intervalLabels
+    val e = bins.sliding(2).zipWithIndex.foldLeft(
+      lit(null).cast("string")) { case (acc, (Seq(lo, hi), i)) =>
+      val inLower =
+        if (right)
+          if (i == 0 && includeLowest) x >= lo else x > lo
+        else x >= lo
+      val inUpper = if (right) x <= hi else x < hi
+      when(inLower && inUpper, lit(ls(i))).otherwise(acc)
+    }
+    Seq(newColumnName -> e)
+  }
+  override def featureNamesOut: Seq[String] = Seq(newColumnName)
+  override def initParams: Map[String, Any] = Map(
+    "column" -> column, "new_column_name" -> newColumnName,
+    "bins" -> bins, "right" -> right,
+    "include_lowest" -> includeLowest,
+    "labels" -> labels.orNull)
+}
+
+/** Min-max / max-abs / standard scaling with sklearn parity
+  * (tubular/numeric.py:1264-1426 wraps sklearn.preprocessing;
+  * deprecated there, resurrected as a fused-fit operator).
+  *
+  * sklearn semantics preserved: StandardScaler uses the POPULATION
+  * standard deviation (ddof=0) and any zero scale (constant column)
+  * divides by 1 instead (_handle_zeros_in_scale). Columns are scaled
+  * IN PLACE. Fit is AggFittable: all columns in one aggregation scan,
+  * fusable with other fits in a Pipeline.
+  */
+class ScalingTransformer(
+    val columns: Seq[String],
+    val scalerType: String
+) extends Transformer with graft.core.AggFittable {
+  require(Seq("min_max", "max_abs", "standard").contains(scalerType),
+    s"scaler_type should be one of min_max, max_abs, standard " +
+      s"(tubular/numeric.py:1358-1362), got $scalerType")
+  override def needsFit: Boolean = true
+
+  // per column: (offset, scale); transform = (x - offset) / scale
+  var fitted: Map[String, (Double, Double)] = Map.empty
+
+  private def nonZero(s: Double): Double =
+    if (s == 0.0 || s.isNaN) 1.0 else s
+
+  override def fitAggExprs(df: DataFrame): Seq[Column] = {
+    requireNumeric(df, columns)
+    columns.flatMap { c =>
+      val x = col(c).cast("double")
+      scalerType match {
+        case "min_max" => Seq(min(x), max(x))
+        case "max_abs" => Seq(max(abs(x)))
+        case "standard" => Seq(avg(x), avg(x * x))
+      }
+    }
+  }
+
+  override def absorbAggRow(row: org.apache.spark.sql.Row,
+      offset: Int): Unit = {
+    val width = if (scalerType == "max_abs") 1 else 2
+    fitted = columns.zipWithIndex.map { case (c, i) =>
+      val base = offset + i * width
+      val os = scalerType match {
+        case "min_max" =>
+          val (mn, mx) = (row.getDouble(base), row.getDouble(base + 1))
+          (mn, nonZero(mx - mn))
+        case "max_abs" => (0.0, nonZero(row.getDouble(base)))
+        case "standard" =>
+          val (m, m2) = (row.getDouble(base), row.getDouble(base + 1))
+          (m, nonZero(math.sqrt(m2 - m * m)))
+      }
+      c -> os
+    }.toMap
+    fittedFlag = true
+  }
+
+  override def fit(df: DataFrame): this.type = {
+    baseFitChecks(df)
+    val exprs = fitAggExprs(df).zipWithIndex.map { case (e, i) =>
+      e.as(s"__agg$i")
+    }
+    absorbAggRow(df.agg(exprs.head, exprs.tail: _*).head(), 0)
+    this
+  }
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] = {
+    requireNumeric(df, columns)
+    columns.map { c =>
+      val (o, s) = fitted(c)
+      c -> ((col(c).cast("double") - lit(o)) / lit(s))
+    }
+  }
+  override def initParams: Map[String, Any] = Map(
+    "columns" -> columns, "scaler_type" -> scalerType)
+  override def fitParams: Map[String, Any] = Map(
+    "offsets" -> columns.map(c => fitted(c)._1),
+    "scales" -> columns.map(c => fitted(c)._2))
+  override def restoreFit(fit: Map[String, Any]): this.type = {
+    val os = fit("offsets").asInstanceOf[Seq[Double]]
+    val ss = fit("scales").asInstanceOf[Seq[Double]]
+    fitted = columns.lazyZip(os.lazyZip(ss).map((a, b) => (a, b))).toMap
+    super.restoreFit(fit)
+  }
+}

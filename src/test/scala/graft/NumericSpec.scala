@@ -107,3 +107,79 @@ class NumericSpec extends SparkSpec {
       s"our bins ${t.bins} worse than reference golden")
   }
 }
+
+/** Resurrected-deprecated numeric transformers: Scaling (sklearn
+  * parity incl. population std and zero-variance handling), Log
+  * (guarded projection), Cut (pd.cut interval semantics).
+  */
+class ScalingLogCutSpec extends SparkSpec {
+  import graft.operators.{CutTransformer, LogTransformer,
+    ScalingTransformer}
+  import org.apache.spark.sql.functions._
+
+  private def d3 = df("a DOUBLE, b DOUBLE", Seq(
+    Row(1.0, 5.0), Row(2.0, 5.0), Row(3.0, 5.0), Row(6.0, 5.0)))
+
+  test("standard scaling uses population std; constant column -> 0") {
+    val t = new ScalingTransformer(Seq("a", "b"), "standard").fit(d3)
+    val out = t.transform(d3).orderBy("a").collect()
+    // mean 3, population std = sqrt(avg(x^2)-9) = sqrt(12.5-9)=sqrt(3.5)
+    val s = math.sqrt(3.5)
+    val expA = Seq(1.0, 2.0, 3.0, 6.0).map(x => (x - 3.0) / s)
+    out.map(_.getDouble(0)).zip(expA).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12) }
+    // zero variance: sklearn _handle_zeros_in_scale -> divide by 1
+    assert(out.map(_.getDouble(1)).toSeq == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("min_max and max_abs match sklearn formulas") {
+    val mm = new ScalingTransformer(Seq("a"), "min_max").fit(d3)
+    assert(mm.transform(d3).orderBy("a").collect().map(_.getDouble(0))
+      .toSeq == Seq(0.0, 0.2, 0.4, 1.0))
+    val neg = df("a DOUBLE", Seq(Row(-4.0), Row(2.0)))
+    val ma = new ScalingTransformer(Seq("a"), "max_abs").fit(neg)
+    assert(ma.transform(neg).orderBy("a").collect().map(_.getDouble(0))
+      .toSeq == Seq(-1.0, 0.5))
+  }
+
+  test("log: natural, base, add_1; non-positive raises in-projection") {
+    val d = df("a DOUBLE", Seq(Row(1.0), Row(java.lang.Math.E)))
+    val t = new LogTransformer(Seq("a"))
+    val got = t.transform(d).orderBy("a").collect()
+      .map(_.getAs[Double]("a_log")).toSeq
+    assert(math.abs(got(0) - 0.0) < 1e-12 &&
+      math.abs(got(1) - 1.0) < 1e-12)
+    val t2 = new LogTransformer(Seq("a"), base = Some(10.0),
+      addOne = true, suffix = "l10p1")
+    val g2 = t2.transform(df("a DOUBLE", Seq(Row(9.0)))).head()
+      .getAs[Double]("a_l10p1")
+    assert(math.abs(g2 - 1.0) < 1e-12) // log10(9+1)
+    val bad = df("a DOUBLE", Seq(Row(0.0)))
+    intercept[Exception] { t.transform(bad).collect() }
+  }
+
+  test("cut: pd.cut semantics — right, include_lowest, out-of-range null") {
+    val d = df("x DOUBLE", Seq(
+      Row(0.0), Row(1.0), Row(1.5), Row(2.0), Row(5.0)))
+    val t = new CutTransformer("x", "bin", bins = Seq(0.0, 1.0, 2.0),
+      includeLowest = true)
+    val got = t.transform(d).orderBy("x").collect()
+      .map(r => Option(r.getString(1)).orNull).toSeq
+    assert(got == Seq("[0.0, 1.0]", "[0.0, 1.0]", "(1.0, 2.0]",
+      "(1.0, 2.0]", null))
+    // right=false flips interval closure; custom labels pass through
+    val t2 = new CutTransformer("x", "bin", bins = Seq(0.0, 1.0, 2.0),
+      right = false, labels = Some(Seq("lo", "hi")))
+    val g2 = t2.transform(d).orderBy("x").collect()
+      .map(r => Option(r.getString(1)).orNull).toSeq
+    assert(g2 == Seq("lo", "hi", "hi", null, null))
+  }
+
+  test("scaling fit restores from JSON-style fit params") {
+    val t = new ScalingTransformer(Seq("a"), "min_max").fit(d3)
+    val t2 = new ScalingTransformer(Seq("a"), "min_max")
+      .restoreFit(t.fitParams)
+    assert(t2.transform(d3).orderBy("a").collect().map(_.getDouble(0))
+      .toSeq == Seq(0.0, 0.2, 0.4, 1.0))
+  }
+}
