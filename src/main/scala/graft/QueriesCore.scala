@@ -429,8 +429,60 @@ object QueriesCore {
       cutQ65.transform(df)
         .select(col("l_orderkey"), col("l_linenumber"), col("disc_bin"))
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q66_pca_transform" -> ((s, dir) => {
+      // PCA transform with PINNED components (the q54 pattern): the
+      // eigensolve isn't SQL-reproducible, but the fitted projection
+      // is an exact linear map both engines compute identically; the
+      // FIT is pinned to the reference sklearn golden in
+      // TwoColInteractionPcaSpec
+      val df = tbl(s, dir, "lineitem")
+      val t = new PCATransformer(
+        Seq("l_quantity", "l_extendedprice", "l_discount"), 2)
+      t.restoreFit(Map("means" -> pcaQ66Means,
+        "components" -> pcaQ66Comps))
+      t.transform(df)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("pca_0"), 6).as("pca_0"),
+          round(col("pca_1"), 6).as("pca_1"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q67_two_column_ops" -> ((s, dir) => {
+      val df = tbl(s, dir, "lineitem")
+        .withColumn("a", col("l_extendedprice") - lit(2000.0))
+      val m = new TwoColumnOperatorTransformer("mod", "a",
+        "l_quantity", "a_mod_q")
+      val p = new TwoColumnOperatorTransformer("pow", "l_discount",
+        "l_tax", "disc_pow_tax")
+      p.transform(m.transform(df))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("a_mod_q"), 6).as("a_mod_q"),
+          round(col("disc_pow_tax"), 6).as("disc_pow_tax"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q68_interaction" -> ((s, dir) => {
+      val df = tbl(s, dir, "lineitem")
+      // reference naming uses spaces ("a b"); alias for the parquet dump
+      new InteractionTransformer(
+        Seq("l_quantity", "l_discount", "l_tax"), 2, 3)
+        .transform(df)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity l_discount"), 6).as("q_disc"),
+          round(col("l_quantity l_tax"), 6).as("q_tax"),
+          round(col("l_discount l_tax"), 6).as("disc_tax"),
+          round(col("l_quantity l_discount l_tax"), 6).as("q_disc_tax"))
+        .orderBy("l_orderkey", "l_linenumber")
     })
   )
+
+  /** q66's pinned PCA state, shared with the oracle so literals match. */
+  private val pcaQ66Means = Seq(25.5, 38000.0, 0.05)
+  private val pcaQ66Comps = Seq(
+    Seq(0.8, 0.6, 0.0),
+    Seq(-0.6, 0.8, 0.1))
 
   /** Shared by the q65 query and its oracle so the interval-label
     * literals are identical by construction.
@@ -801,6 +853,34 @@ object QueriesCore {
       s"""SELECT l_orderkey, l_linenumber,
          |  CASE $cases ELSE NULL END AS disc_bin
          |FROM lineitem ORDER BY 1, 2""".stripMargin
-    }
+    },
+
+    "q66_pca_transform" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      def comp(k: Int): String = cols.zipWithIndex.map { case (c, j) =>
+        s"($c - ${pcaQ66Means(j)}) * ${pcaQ66Comps(k)(j)}"
+      }.mkString(" + ")
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ROUND(${comp(0)}, 6) AS pca_0,
+         |  ROUND(${comp(1)}, 6) AS pca_1
+         |FROM lineitem ORDER BY 1, 2""".stripMargin
+    },
+
+    // Python-sign mod spelled out the same way the operator computes it
+    "q67_two_column_ops" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(
+        |    fmod(fmod(l_extendedprice - 2000.0, l_quantity) + l_quantity,
+        |         l_quantity), 6) AS a_mod_q,
+        |  ROUND(pow(l_discount, l_tax), 6) AS disc_pow_tax
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
+    "q68_interaction" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(l_quantity * l_discount, 6) AS q_disc,
+        |  ROUND(l_quantity * l_tax, 6) AS q_tax,
+        |  ROUND(l_discount * l_tax, 6) AS disc_tax,
+        |  ROUND(l_quantity * l_discount * l_tax, 6) AS q_disc_tax
+        |FROM lineitem ORDER BY 1, 2""".stripMargin
   )
 }

@@ -320,3 +320,170 @@ class ScalingTransformer(
     super.restoreFit(fit)
   }
 }
+
+/** Binary arithmetic between two columns -> new column
+  * (tubular/numeric.py:1116-1261 wraps pandas add/sub/mul/div/mod/pow;
+  * deprecated there). Pandas parity notes: double division by zero
+  * yields +/-Infinity (Java double semantics, same as numpy), and
+  * `mod` follows Python sign semantics (result takes the DIVISOR's
+  * sign), which differs from Java `%` — implemented as
+  * `((a % b) + b) % b`.
+  */
+class TwoColumnOperatorTransformer(
+    val method: String,
+    val columnA: String,
+    val columnB: String,
+    val newColumnName: String
+) extends Transformer {
+  private val Ops = Seq("add", "sub", "mul", "div", "mod", "pow")
+  require(Ops.contains(method),
+    s"method must be one of ${Ops.mkString(", ")}, got $method")
+  val columns: Seq[String] = Seq(columnA, columnB)
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] = {
+    requireNumeric(df, columns)
+    val a = col(columnA).cast("double")
+    val b = col(columnB).cast("double")
+    // zero divisors handled explicitly with numpy/pandas results
+    // (x/0 -> +/-Inf, 0/0 and mod-by-0 -> NaN) — ANSI mode would raise
+    val e = method match {
+      case "add" => a + b
+      case "sub" => a - b
+      case "mul" => a * b
+      case "div" => when(b === 0.0,
+          when(a > 0, lit(Double.PositiveInfinity))
+            .when(a < 0, lit(Double.NegativeInfinity))
+            .otherwise(lit(Double.NaN)))
+        .otherwise(a / b)
+      case "mod" => when(b === 0.0, lit(Double.NaN))
+        .otherwise(((a % b) + b) % b)
+      case "pow" => pow(a, b)
+    }
+    Seq(newColumnName -> e)
+  }
+  override def featureNamesOut: Seq[String] = Seq(newColumnName)
+  override def initParams: Map[String, Any] = Map(
+    "pd_method_name" -> method, "columns" -> columns,
+    "new_column_name" -> newColumnName)
+}
+
+/** Interaction features: products of every column combination with
+  * degree in [minDegree, maxDegree]
+  * (tubular/numeric.py:1430-1624, sklearn PolynomialFeatures
+  * interaction_only semantics; deprecated there). Output column names
+  * are the combination joined with a space, exactly like the
+  * reference. One codegen'd projection regardless of combination
+  * count.
+  */
+class InteractionTransformer(
+    val columns: Seq[String],
+    val minDegree: Int = 2,
+    val maxDegree: Int = 2
+) extends Transformer {
+  require(minDegree >= 2,
+    s"min_degree must be equal or greater than 2, got $minDegree " +
+      "(tubular/numeric.py:1541-1543)")
+  require(maxDegree >= minDegree,
+    "max_degree must be equal or greater than min_degree")
+  require(maxDegree <= columns.size,
+    "max_degree must be equal or lower than number of columns")
+
+  private def combos: Seq[Seq[String]] =
+    (minDegree to maxDegree).flatMap(columns.combinations(_))
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] = {
+    requireNumeric(df, columns)
+    combos.map(cs =>
+      cs.mkString(" ") -> cs.map(col(_).cast("double")).reduce(_ * _))
+  }
+  override def featureNamesOut: Seq[String] = combos.map(_.mkString(" "))
+  override def initParams: Map[String, Any] = Map(
+    "columns" -> columns, "min_degree" -> minDegree,
+    "max_degree" -> maxDegree)
+}
+
+/** PCA (tubular/numeric.py:1628-1860 wraps sklearn.decomposition.PCA;
+  * deprecated there, resurrected distributed).
+  *
+  * Fit runs TWO aggregation scans, no row ever leaves the cluster:
+  * pass 1 collects per-column means; pass 2 the centered second
+  * moments sum((x_i - m_i)(x_j - m_j)) for i <= j — d(d+1)/2 scalars
+  * (exactly sklearn's centered-SVD arithmetic: sample covariance,
+  * ddof=1, no E[xy]-E[x]E[y] cancellation). The d x d eigensolve runs
+  * on the driver (breeze eigSym — d is a column count, tiny);
+  * components are ordered by descending eigenvalue with sklearn's
+  * svd_flip sign convention (largest-|coefficient| positive), pinned
+  * against the reference's pytest golden. Transform is one codegen'd
+  * projection: pca_k = sum_j (x_j - m_j) * component_k(j).
+  */
+class PCATransformer(
+    val columns: Seq[String],
+    val nComponents: Int = 2,
+    val prefix: String = "pca_"
+) extends Transformer {
+  require(nComponents >= 1 && nComponents <= columns.size,
+    s"n_components must be in 1..${columns.size}, got $nComponents")
+  override def needsFit: Boolean = true
+
+  var means: Seq[Double] = Seq.empty
+  var components: Seq[Seq[Double]] = Seq.empty // nComponents rows of d
+
+  override def fit(df: DataFrame): this.type = {
+    baseFitChecks(df)
+    requireNumeric(df, columns)
+    val d = columns.size
+    val xs = columns.map(c => col(c).cast("double"))
+    val meanRow = df.agg(avg(xs.head).as("m0"),
+      xs.tail.zipWithIndex.map { case (x, i) =>
+        avg(x).as(s"m${i + 1}") } :+ count(lit(1)).as("n"): _*).head()
+    means = (0 until d).map(meanRow.getDouble)
+    val n = meanRow.getLong(d)
+    require(n >= 2, s"$classname: need >= 2 rows to fit, got $n")
+    val pairs = for { i <- 0 until d; j <- i until d } yield (i, j)
+    val momExprs = pairs.map { case (i, j) =>
+      sum((xs(i) - lit(means(i))) * (xs(j) - lit(means(j))))
+        .as(s"s${i}_$j")
+    }
+    val momRow = df.agg(momExprs.head, momExprs.tail: _*).head()
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+    pairs.zipWithIndex.foreach { case ((i, j), k) =>
+      val v = momRow.getDouble(k) / (n - 1)
+      cov(i, j) = v
+      cov(j, i) = v
+    }
+    val eig = breeze.linalg.eigSym(cov)
+    // breeze returns ascending eigenvalues; take the top nComponents
+    val order = (0 until d).sortBy(i => -eig.eigenvalues(i))
+      .take(nComponents)
+    components = order.map { e =>
+      val v = (0 until d).map(eig.eigenvectors(_, e))
+      // sklearn svd_flip: the largest-|.| coefficient is positive
+      val flip = if (v(v.indices.maxBy(i => math.abs(v(i)))) < 0) -1.0
+        else 1.0
+      v.map(_ * flip)
+    }
+    fittedFlag = true
+    this
+  }
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] = {
+    requireNumeric(df, columns)
+    components.zipWithIndex.map { case (comp, k) =>
+      s"$prefix$k" -> columns.zipWithIndex.map { case (c, j) =>
+        (col(c).cast("double") - lit(means(j))) * lit(comp(j))
+      }.reduce(_ + _)
+    }
+  }
+  override def featureNamesOut: Seq[String] =
+    components.indices.map(k => s"$prefix$k")
+  override def initParams: Map[String, Any] = Map(
+    "columns" -> columns, "n_components" -> nComponents,
+    "pca_column_prefix" -> prefix)
+  override def fitParams: Map[String, Any] = Map(
+    "means" -> means, "components" -> components)
+  override def restoreFit(fit: Map[String, Any]): this.type = {
+    means = fit("means").asInstanceOf[Seq[Double]]
+    components = fit("components").asInstanceOf[Seq[Seq[Double]]]
+    super.restoreFit(fit)
+  }
+}

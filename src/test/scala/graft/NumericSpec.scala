@@ -183,3 +183,95 @@ class ScalingLogCutSpec extends SparkSpec {
       .toSeq == Seq(0.0, 0.2, 0.4, 1.0))
   }
 }
+
+/** TwoColumnOperator / Interaction / PCA — the remaining deprecated
+  * reference transformers, resurrected. PCA is pinned against the
+  * reference pytest golden
+  * (/root/reference/tests/numeric/test_PCATransformer.py:126-180,
+  * columns [a,b,c], n_components=2, svd_solver=full).
+  */
+class TwoColInteractionPcaSpec extends SparkSpec {
+  import graft.operators.{InteractionTransformer, PCATransformer,
+    TwoColumnOperatorTransformer}
+  import org.apache.spark.sql.functions._
+
+  test("two-column operator: add/div/pow and Python-sign mod") {
+    val d = df("a DOUBLE, b DOUBLE", Seq(Row(7.0, 2.0), Row(-7.0, 2.0)))
+    def run(m: String) =
+      new TwoColumnOperatorTransformer(m, "a", "b", "o")
+        .transform(d).orderBy(col("a").desc).collect()
+        .map(_.getAs[Double]("o")).toSeq
+    assert(run("add") == Seq(9.0, -5.0))
+    assert(run("mul") == Seq(14.0, -14.0))
+    assert(run("pow") == Seq(49.0, 49.0))
+    // Python mod: -7 % 2 == 1 (sign of divisor), unlike Java's -1
+    assert(run("mod") == Seq(1.0, 1.0))
+    // double division by zero -> Infinity, like pandas/numpy
+    val z = df("a DOUBLE, b DOUBLE", Seq(Row(3.0, 0.0)))
+    assert(new TwoColumnOperatorTransformer("div", "a", "b", "o")
+      .transform(z).head().getAs[Double]("o").isPosInfinity)
+  }
+
+  test("interaction: all degree-2..3 combos, reference naming") {
+    val d = df("a DOUBLE, b DOUBLE, c DOUBLE", Seq(Row(2.0, 3.0, 5.0)))
+    val t = new InteractionTransformer(Seq("a", "b", "c"), 2, 3)
+    assert(t.featureNamesOut ==
+      Seq("a b", "a c", "b c", "a b c"))
+    val r = t.transform(d).head()
+    assert(r.getAs[Double]("a b") == 6.0)
+    assert(r.getAs[Double]("a c") == 10.0)
+    assert(r.getAs[Double]("b c") == 15.0)
+    assert(r.getAs[Double]("a b c") == 30.0)
+    intercept[IllegalArgumentException] {
+      new InteractionTransformer(Seq("a", "b"), 1, 2)
+    }
+  }
+
+  private val pcaA = Seq(34.48, 21.71, 32.83, 1.08, 32.93, 4.74, 2.76,
+    75.7, 14.08, 61.31)
+  private val pcaB = Seq(12.03, 20.32, 24.12, 24.18, 68.99, 0.0, 0.0,
+    59.46, 11.02, 60.68)
+  private val pcaC = Seq(17.06, 12.25, 19.15, 29.73, 1.98, 8.23, 15.22,
+    20.59, 3.82, 39.73)
+  private val golden0 = Seq(-7.0285210087721985, -10.570772171093276,
+    0.7141476951788178, -19.755517377029697, 30.46293987797488,
+    -37.27200224865943, -37.718068808834694, 55.636246999483866,
+    -23.564287941836838, 49.095834983588574)
+  private val golden1 = Seq(-14.719057085223534, 0.6588448890236053,
+    -6.504809368610448, 8.411936495027216, 30.75596190514493,
+    -0.8912674725933973, -2.647964525208776, -9.600190936709105,
+    2.6606364975891146, -8.124090398439629)
+
+  test("PCA matches the sklearn reference golden (full solver)") {
+    val rows = pcaA.indices.map(i => Row(i.toLong, pcaA(i), pcaB(i),
+      pcaC(i)))
+    val d = df("id BIGINT, a DOUBLE, b DOUBLE, c DOUBLE", rows)
+    val t = new PCATransformer(Seq("a", "b", "c"), nComponents = 2)
+      .fit(d)
+    val out = t.transform(d).orderBy("id").collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(math.abs(r.getAs[Double]("pca_0") - golden0(i)) < 1e-6,
+        s"pca_0 row $i: ${r.getAs[Double]("pca_0")} vs ${golden0(i)}")
+      assert(math.abs(r.getAs[Double]("pca_1") - golden1(i)) < 1e-6,
+        s"pca_1 row $i")
+    }
+    // components are orthonormal
+    val c0 = t.components(0); val c1 = t.components(1)
+    def dot(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    assert(math.abs(dot(c0, c0) - 1.0) < 1e-12)
+    assert(math.abs(dot(c1, c1) - 1.0) < 1e-12)
+    assert(math.abs(dot(c0, c1)) < 1e-12)
+  }
+
+  test("PCA restoreFit reproduces the fitted transform") {
+    val rows = pcaA.indices.map(i => Row(i.toLong, pcaA(i), pcaB(i),
+      pcaC(i)))
+    val d = df("id BIGINT, a DOUBLE, b DOUBLE, c DOUBLE", rows)
+    val t = new PCATransformer(Seq("a", "b", "c"), 2).fit(d)
+    val t2 = new PCATransformer(Seq("a", "b", "c"), 2)
+      .restoreFit(t.fitParams)
+    assert(t2.transform(d).orderBy("id").collect().toSeq ==
+      t.transform(d).orderBy("id").collect().toSeq)
+  }
+}
