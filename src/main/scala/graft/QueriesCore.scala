@@ -478,6 +478,53 @@ object QueriesCore {
     })
   )
 
+  /** resurrected-deprecated operator queries (merged into [[queries]]
+    * via [[allQueries]]). */
+  private val deprecatedSetQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_ordinal_nominal_codes" -> ((s, dir) => {
+      val d = tbl(s, dir, "customer")
+        .withColumn("seg2", col("c_mktsegment"))
+      val o = new OrdinalEncoderTransformer(
+        Seq("c_mktsegment"), "c_acctbal").fit(d)
+      val n = new NominalToIntegerTransformer(Seq("seg2")).fit(d)
+      n.transform(o.transform(d))
+        .select(col("c_custkey"), col("c_mktsegment"), col("seg2"))
+        .orderBy("c_custkey")
+    }),
+
+    "q70_cross_column_adjust" -> ((s, dir) => {
+      val d = tbl(s, dir, "lineitem")
+      val m = new CrossColumnMultiplyTransformer("l_extendedprice", Seq(
+        "l_returnflag" -> Seq("A" -> 1.1, "R" -> 0.9)))
+      val a = new CrossColumnAddTransformer("l_extendedprice", Seq(
+        "l_linestatus" -> Seq("O" -> 5.0)))
+      a.transform(m.transform(d))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 6).as("adj_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q71_leapyear_eq_concat" -> ((s, dir) => {
+      val d = tbl(s, dir, "lineitem")
+        .withColumn("lo", to_date(col("l_shipdate")))
+        .withColumn("hi",
+          date_add(to_date(col("l_shipdate")),
+            pmod(col("l_partkey"), lit(1500)).cast("int")))
+      val age = new DateDiffLeapYearTransformer("lo", "hi", "age")
+      val eq = new EqualityChecker("l_returnflag", "l_linestatus", "same")
+      val cat = new StringConcatenator(
+        Seq("l_returnflag", "l_linestatus"), "rf_ls", separator = "|")
+      cat.transform(eq.transform(age.transform(d)))
+        .select(col("l_orderkey"), col("l_linenumber"), col("age"),
+          col("same"), col("rf_ls"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }))
+
+  /** Every QueriesCore query, including the resurrected set. */
+  val allQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ deprecatedSetQueries
+
   /** q66's pinned PCA state, shared with the oracle so literals match. */
   private val pcaQ66Means = Seq(25.5, 38000.0, 0.05)
   private val pcaQ66Comps = Seq(
@@ -881,6 +928,53 @@ object QueriesCore {
         |  ROUND(l_quantity * l_tax, 6) AS q_tax,
         |  ROUND(l_discount * l_tax, 6) AS disc_tax,
         |  ROUND(l_quantity * l_discount * l_tax, 6) AS q_disc_tax
-        |FROM lineitem ORDER BY 1, 2""".stripMargin
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
+    // ordinal rank = row_number over ascending mean response (segment
+    // means are continuous — no ties to break); nominal codes = sorted
+    // level order from 0
+    "q69_ordinal_nominal_codes" ->
+      """WITH m AS (SELECT c_mktsegment AS lvl, avg(c_acctbal) AS mean
+        |           FROM customer GROUP BY 1),
+        |r AS (SELECT lvl,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY mean) AS INTEGER)
+        |          AS ord,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY lvl) - 1 AS INTEGER)
+        |          AS code
+        |      FROM m)
+        |SELECT c_custkey, r.ord AS c_mktsegment, r.code AS seg2
+        |FROM customer JOIN r ON customer.c_mktsegment = r.lvl
+        |ORDER BY 1""".stripMargin,
+
+    // sequential np.where chain: multiply by return-flag rule(s), then
+    // add the line-status rule on the ALREADY-adjusted value
+    "q70_cross_column_adjust" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(
+        |    (CASE WHEN l_returnflag = 'A' THEN l_extendedprice * 1.1
+        |          WHEN l_returnflag = 'R' THEN l_extendedprice * 0.9
+        |          ELSE l_extendedprice END)
+        |    + (CASE WHEN l_linestatus = 'O' THEN 5.0 ELSE 0.0 END),
+        |    6) AS adj_price
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
+    "q71_leapyear_eq_concat" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    l_linestatus,
+        |    CAST(l_shipdate AS DATE) AS lo,
+        |    CAST(l_shipdate AS DATE)
+        |      + CAST(l_partkey % 1500 AS INTEGER) AS hi
+        |  FROM lineitem),
+        |e AS (SELECT *,
+        |    year(lo) * 10000 + month(lo) * 100 + day(lo) AS e0,
+        |    year(hi) * 10000 + month(hi) * 100 + day(hi) AS e1
+        |  FROM t)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(CASE WHEN e1 < e0 THEN -FLOOR((e0 - e1) / 10000.0)
+        |            ELSE FLOOR((e1 - e0) / 10000.0) END AS INTEGER)
+        |    AS age,
+        |  l_returnflag = l_linestatus AS same,
+        |  l_returnflag || '|' || l_linestatus AS rf_ls
+        |FROM e ORDER BY 1, 2""".stripMargin
   )
 }

@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesCore.queries ++ QueriesTemporal.queries ++ QueriesData.queries
+    QueriesCore.allQueries ++ QueriesTemporal.queries ++
+      QueriesData.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.

@@ -1,0 +1,274 @@
+package graft.operators
+
+import graft.core.{Transformer, Weights}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The remaining deprecated reference transformers, resurrected
+  * Spark-first (the numeric set lives in Numeric.scala). The only
+  * reference classes intentionally NOT ported are the pandas-method
+  * passthroughs (`DataFrameMethodTransformer`,
+  * `SeriesStrMethodTransformer`, `SeriesDtMethodTransformer`,
+  * tubular/base.py / strings.py / dates.py): their semantics are
+  * "call an arbitrary pandas method", which has no engine-independent
+  * meaning — each concrete use maps to a plain Column expression here.
+  */
+
+/** Ordinal encoding by ascending mean response: the level with the
+  * lowest weighted mean response encodes to 1, the next to 2, ...
+  * (tubular/nominal.py:1855-2088; deprecated there). Nulls are left
+  * untransformed, level count is capped at 127 (reference int8 cap,
+  * nominal.py:2024-2028). Fit is ONE melted groupBy for all columns
+  * (the reference loops one groupBy per column).
+  */
+class OrdinalEncoderTransformer(
+    val columns: Seq[String],
+    val responseColumn: String,
+    val weightsColumn: Option[String] = None
+) extends Transformer {
+  override def needsFit: Boolean = true
+  override def fitInputCols: Seq[String] =
+    columns ++ Seq(responseColumn) ++ weightsColumn
+
+  var mappings: Map[String, Map[String, Int]] = Map.empty
+
+  override def fit(df: DataFrame): this.type = {
+    super.fit(df)
+    requireStringLike(df, columns)
+    if (df.filter(col(responseColumn).isNull).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"$classname: y has null values (tubular/nominal.py:2002-2004)")
+    val rows = Weights.fitRows(df, weightsColumn)
+    val w = Weights.weightCol(weightsColumn).cast("double")
+    val pair = explode(array(columns.map(c =>
+      struct(lit(c).as("c"), col(c).cast("string").as("lvl"))): _*))
+    val perLevel = rows
+      .select(pair.as("p"), w.as("__w"),
+        col(responseColumn).cast("double").as("__y"))
+      .filter(col("p.lvl").isNotNull)
+      .groupBy(col("p.c").as("c"), col("p.lvl").as("lvl"))
+      .agg((sum(col("__w") * col("__y")) / sum(col("__w"))).as("m"))
+      .collect()
+    mappings = columns.map { c =>
+      val levels = perLevel.filter(_.getString(0) == c)
+        .map(r => r.getString(1) -> r.getDouble(2))
+        .sortBy(_._2)
+      if (levels.length > 127)
+        throw new IllegalArgumentException(
+          s"$classname: column $c has too many levels to encode " +
+            "(tubular/nominal.py:2024-2028)")
+      c -> levels.zipWithIndex.map { case ((l, _), i) => l -> (i + 1) }
+        .toMap
+    }.toMap
+    this
+  }
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    columns.map { c =>
+      val m = typedLit(mappings(c))
+      c -> when(col(c).isNotNull,
+        element_at(m, col(c).cast("string"))).cast("int")
+    }
+  override def initParams: Map[String, Any] = Map(
+    "columns" -> columns, "response_column" -> responseColumn,
+    "weights_column" -> weightsColumn.orNull)
+  override def fitParams: Map[String, Any] = Map("mappings" -> mappings)
+  override def restoreFit(fit: Map[String, Any]): this.type = {
+    mappings = fit("mappings").asInstanceOf[Map[String, Map[String, Int]]]
+    super.restoreFit(fit)
+  }
+}
+
+/** Level -> integer codes starting at `startEncoding`
+  * (tubular/nominal.py:2091-2243; deprecated there). DOCUMENTED
+  * DIVERGENCE: the reference numbers levels in pandas first-appearance
+  * order, which has no stable meaning for a distributed table; levels
+  * are numbered in SORTED order here (deterministic under any
+  * partitioning). 127-level cap as in the reference.
+  */
+class NominalToIntegerTransformer(
+    val columns: Seq[String],
+    val startEncoding: Int = 0
+) extends Transformer {
+  override def needsFit: Boolean = true
+
+  var mappings: Map[String, Map[String, Int]] = Map.empty
+
+  override def fit(df: DataFrame): this.type = {
+    super.fit(df)
+    val pair = explode(array(columns.map(c =>
+      struct(lit(c).as("c"), col(c).cast("string").as("lvl"))): _*))
+    val levels = df.select(pair.as("p"))
+      .filter(col("p.lvl").isNotNull)
+      .groupBy(col("p.c").as("c"), col("p.lvl").as("lvl")).agg(count(lit(1)))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    mappings = columns.map { c =>
+      val ls = levels.filter(_._1 == c).map(_._2).sorted
+      if (ls.length > 127)
+        throw new IllegalArgumentException(
+          s"$classname: column $c has too many levels to encode")
+      c -> ls.zipWithIndex.map { case (l, i) =>
+        l -> (i + startEncoding) }.toMap
+    }.toMap
+    this
+  }
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    columns.map { c =>
+      val m = typedLit(mappings(c))
+      c -> when(col(c).isNotNull,
+        element_at(m, col(c).cast("string"))).cast("int")
+    }
+  override def initParams: Map[String, Any] = Map(
+    "columns" -> columns, "start_encoding" -> startEncoding)
+  override def fitParams: Map[String, Any] = Map("mappings" -> mappings)
+  override def restoreFit(fit: Map[String, Any]): this.type = {
+    mappings = fit("mappings").asInstanceOf[Map[String, Map[String, Int]]]
+    super.restoreFit(fit)
+  }
+}
+
+/** Shared shape of the cross-column adjusters
+  * (tubular/mapping.py:558-1107; deprecated there): rewrite
+  * `adjustColumn` based on the values of OTHER columns. `rules` is an
+  * ordered list of (conditionColumn, level -> value); rules apply
+  * sequentially like the reference's chained `np.where`, so later
+  * rules see (and can override or compound) earlier results.
+  */
+sealed abstract class BaseCrossColumnTransformer(
+    val adjustColumn: String,
+    val rules: Seq[(String, Seq[(String, Double)])]
+) extends Transformer {
+  val columns: Seq[String] = rules.map(_._1).distinct
+
+  protected def combine(acc: Column, value: Double): Column
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] = {
+    requireNumeric(df, Seq(adjustColumn))
+    val adjusted = rules.foldLeft(col(adjustColumn).cast("double")) {
+      case (acc, (c, levelValues)) =>
+        levelValues.foldLeft(acc) { case (a, (level, v)) =>
+          when(col(c).cast("string") === level, combine(a, v))
+            .otherwise(a)
+        }
+    }
+    Seq(adjustColumn -> adjusted)
+  }
+  override def columnsCheck(df: DataFrame): Unit = {
+    super.columnsCheck(df)
+    if (!df.columns.contains(adjustColumn))
+      throw new IllegalArgumentException(
+        s"$classname: variable $adjustColumn is not in X")
+  }
+  override def initParams: Map[String, Any] = Map(
+    "adjust_column" -> adjustColumn, "mappings" -> rules)
+}
+
+/** Replace `adjustColumn` with a mapped constant where a condition
+  * column hits a level (tubular/mapping.py:685-830).
+  */
+class CrossColumnMappingTransformer(adjustColumn: String,
+    rules: Seq[(String, Seq[(String, Double)])])
+  extends BaseCrossColumnTransformer(adjustColumn, rules) {
+  override protected def combine(acc: Column, v: Double): Column = lit(v)
+}
+
+/** Multiply `adjustColumn` where a condition column hits a level;
+  * multiple matching rules compound (tubular/mapping.py:908-1008).
+  */
+class CrossColumnMultiplyTransformer(adjustColumn: String,
+    rules: Seq[(String, Seq[(String, Double)])])
+  extends BaseCrossColumnTransformer(adjustColumn, rules) {
+  override protected def combine(acc: Column, v: Double): Column =
+    acc * lit(v)
+}
+
+/** Add to `adjustColumn` where a condition column hits a level;
+  * multiple matching rules compound (tubular/mapping.py:1012-1107).
+  */
+class CrossColumnAddTransformer(adjustColumn: String,
+    rules: Seq[(String, Seq[(String, Double)])])
+  extends BaseCrossColumnTransformer(adjustColumn, rules) {
+  override protected def combine(acc: Column, v: Double): Column =
+    acc + lit(v)
+}
+
+/** Whole-year difference with correct leap-day handling
+  * (tubular/dates.py:1973-2120): dates encode as yyyymmdd integers and
+  * the difference floor-divides by 10000 — "age of columns(0) at
+  * columns(1)", negative when the upper date precedes the lower.
+  * `missingReplacement` fills null results.
+  */
+class DateDiffLeapYearTransformer(
+    val columnLower: String,
+    val columnUpper: String,
+    val newColumnName: String,
+    val missingReplacement: Option[Int] = None
+) extends Transformer {
+  val columns: Seq[String] = Seq(columnLower, columnUpper)
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] = {
+    requireConsistentDatetime(df, columns)
+    def enc(c: String): Column =
+      year(col(c)).cast("long") * 10000 +
+        month(col(c)).cast("long") * 100 + dayofmonth(col(c)).cast("long")
+    val (c0, c1) = (enc(columnLower), enc(columnUpper))
+    val diff = when(c1 < c0, -floorDiv(c0 - c1))
+      .otherwise(floorDiv(c1 - c0)).cast("int")
+    val filled = missingReplacement
+      .map(r => coalesce(diff, lit(r))).getOrElse(diff)
+    Seq(newColumnName -> filled)
+  }
+  // ANSI-safe integer floor-division of a non-negative yyyymmdd delta
+  private def floorDiv(x: Column): Column = floor(x / lit(10000.0))
+
+  override def featureNamesOut: Seq[String] = Seq(newColumnName)
+  override def initParams: Map[String, Any] = Map(
+    "columns" -> columns, "new_column_name" -> newColumnName,
+    "missing_replacement" -> missingReplacement.map(Int.box).orNull)
+}
+
+/** Boolean equality of two columns -> new column
+  * (tubular/comparison.py:458-560; deprecated there). Nulls compare
+  * unequal (pandas `==` semantics); note Spark treats NaN == NaN as
+  * true where pandas does not — numeric-NaN inputs are the one
+  * documented divergence.
+  */
+class EqualityChecker(
+    val columnA: String,
+    val columnB: String,
+    val newColumnName: String,
+    val dropOriginal: Boolean = false
+) extends Transformer {
+  val columns: Seq[String] = Seq(columnA, columnB)
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    Seq(newColumnName -> coalesce(col(columnA) === col(columnB),
+      lit(false)))
+  override def transform(df: DataFrame): DataFrame = {
+    val out = super.transform(df)
+    if (dropOriginal) out.drop(columnA, columnB) else out
+  }
+  override def featureNamesOut: Seq[String] = Seq(newColumnName)
+  override def initParams: Map[String, Any] = Map(
+    "columns" -> columns, "new_col_name" -> newColumnName,
+    "drop_original" -> dropOriginal)
+}
+
+/** Concatenate columns as strings with a separator -> new column
+  * (tubular/strings.py:953-1050; deprecated there). DOCUMENTED
+  * DIVERGENCE: pandas renders missing values as the literal "nan";
+  * here nulls are skipped by `concat_ws` (the SQL convention).
+  */
+class StringConcatenator(
+    val columns: Seq[String],
+    val newColumnName: String,
+    val separator: String = " "
+) extends Transformer {
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    Seq(newColumnName ->
+      concat_ws(separator, columns.map(col(_).cast("string")): _*))
+  override def featureNamesOut: Seq[String] = Seq(newColumnName)
+  override def initParams: Map[String, Any] = Map(
+    "columns" -> columns, "new_column" -> newColumnName,
+    "separator" -> separator)
+}

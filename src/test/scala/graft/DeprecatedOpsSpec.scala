@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** The non-numeric resurrected deprecated transformers: ordinal
+  * encoding, nominal-to-integer, cross-column adjusters, leap-year
+  * date diff, equality, string concatenation.
+  */
+class DeprecatedOpsSpec extends SparkSpec {
+
+  test("ordinal encodes levels by ascending mean response; nulls stay null") {
+    val d = df("c STRING, y DOUBLE", Seq(
+      Row("hi", 10.0), Row("hi", 12.0),   // mean 11 -> rank 3
+      Row("lo", 1.0), Row("lo", 3.0),     // mean 2  -> rank 1
+      Row("mid", 5.0), Row("mid", 7.0),   // mean 6  -> rank 2
+      Row(null, 100.0)))
+    val t = new OrdinalEncoderTransformer(Seq("c"), "y").fit(d)
+    assert(t.mappings("c") == Map("lo" -> 1, "mid" -> 2, "hi" -> 3))
+    val got = t.transform(d).groupBy("c").agg(first("c")).collect()
+    val enc = t.transform(d).select("c").distinct().collect()
+      .map(r => if (r.isNullAt(0)) null else r.getInt(0)).toSet
+    assert(enc == Set(1, 2, 3, null))
+  }
+
+  test("ordinal: weighted means flip the order; null response rejected") {
+    val d = df("c STRING, y DOUBLE, w DOUBLE", Seq(
+      Row("a", 10.0, 1.0), Row("a", 0.0, 9.0),   // weighted mean 1
+      Row("b", 2.0, 1.0)))                       // mean 2
+    val t = new OrdinalEncoderTransformer(Seq("c"), "y", Some("w")).fit(d)
+    assert(t.mappings("c") == Map("a" -> 1, "b" -> 2))
+    val bad = df("c STRING, y DOUBLE", Seq(Row("a", null)))
+    intercept[IllegalArgumentException] {
+      new OrdinalEncoderTransformer(Seq("c"), "y").fit(bad)
+    }
+  }
+
+  test("nominal-to-integer: sorted levels from start_encoding") {
+    val d = df("c STRING", Seq(Row("z"), Row("a"), Row("m"), Row("a")))
+    val t = new NominalToIntegerTransformer(Seq("c"), startEncoding = 5)
+      .fit(d)
+    assert(t.mappings("c") == Map("a" -> 5, "m" -> 6, "z" -> 7))
+  }
+
+  test("cross-column adjusters: sequential rules override and compound") {
+    val d = df("seg STRING, flag STRING, v DOUBLE", Seq(
+      Row("gold", "y", 10.0), Row("gold", "n", 10.0),
+      Row("base", "y", 10.0), Row("base", "n", 10.0)))
+    val mul = new CrossColumnMultiplyTransformer("v", Seq(
+      "seg" -> Seq("gold" -> 2.0),
+      "flag" -> Seq("y" -> 10.0)))
+    val gotM = mul.transform(d).orderBy("seg", "flag").collect()
+      .map(_.getDouble(2)).toSeq
+    // base/n: 10; base/y: 100 (compound flag); gold/n: 20; gold/y: 200
+    assert(gotM == Seq(10.0, 100.0, 20.0, 200.0))
+
+    val add = new CrossColumnAddTransformer("v", Seq(
+      "seg" -> Seq("gold" -> 5.0), "flag" -> Seq("y" -> 0.5)))
+    assert(add.transform(d).orderBy("seg", "flag").collect()
+      .map(_.getDouble(2)).toSeq == Seq(10.0, 10.5, 15.0, 15.5))
+
+    val map = new CrossColumnMappingTransformer("v", Seq(
+      "seg" -> Seq("gold" -> 1.0), "flag" -> Seq("y" -> 2.0)))
+    // later rule overrides: gold/y -> 2 (flag rule is last)
+    assert(map.transform(d).orderBy("seg", "flag").collect()
+      .map(_.getDouble(2)).toSeq == Seq(10.0, 2.0, 1.0, 2.0))
+  }
+
+  test("leap-year date diff: whole years, leap-day exact, negatives") {
+    val d = df("lo DATE, hi DATE", Seq(
+      Row(java.sql.Date.valueOf("2000-02-29"),
+        java.sql.Date.valueOf("2001-02-28")),  // 0 full years
+      Row(java.sql.Date.valueOf("2000-02-29"),
+        java.sql.Date.valueOf("2001-03-01")),  // 1
+      Row(java.sql.Date.valueOf("1990-06-15"),
+        java.sql.Date.valueOf("2020-06-14")),  // 29
+      Row(java.sql.Date.valueOf("2020-01-01"),
+        java.sql.Date.valueOf("2010-06-30")))) // -9 (reversed)
+    val t = new DateDiffLeapYearTransformer("lo", "hi", "age")
+    assert(t.transform(d).collect().map(_.getAs[Int]("age")).toSeq ==
+      Seq(0, 1, 29, -9))
+  }
+
+  test("equality checker and string concatenator") {
+    val d = df("a STRING, b STRING", Seq(
+      Row("x", "x"), Row("x", "y"), Row(null, "x"), Row(null, null)))
+    val eq = new EqualityChecker("a", "b", "same")
+    assert(eq.transform(d).collect().map(_.getAs[Boolean]("same")).toSeq
+      == Seq(true, false, false, false))
+    val cat = new StringConcatenator(Seq("a", "b"), "ab", separator = "-")
+    assert(cat.transform(d).collect().map(_.getAs[String]("ab")).toSeq
+      == Seq("x-x", "x-y", "x", ""))
+  }
+}
