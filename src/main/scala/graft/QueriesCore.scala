@@ -519,6 +519,15 @@ object QueriesCore {
         .select(col("l_orderkey"), col("l_linenumber"), col("age"),
           col("same"), col("rf_ls"))
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q72_nearest_mean_response" -> ((s, dir) => {
+      val d = liWithNulls(s, dir)
+      val t = new NearestMeanResponseImputer(Seq("q"),
+        "l_extendedprice").fit(d)
+      t.transform(d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("q"))
+        .orderBy("l_orderkey", "l_linenumber")
     }))
 
   /** Every QueriesCore query, including the resurrected set. */
@@ -975,6 +984,21 @@ object QueriesCore {
         |    AS age,
         |  l_returnflag = l_linestatus AS same,
         |  l_returnflag || '|' || l_linestatus AS rf_ls
-        |FROM e ORDER BY 1, 2""".stripMargin
+        |FROM e ORDER BY 1, 2""".stripMargin,
+
+    // nearest-mean-response: value whose mean response is closest to
+    // the null rows' mean response (ties -> smallest value)
+    "q72_nearest_mean_response" ->
+      s"""WITH t AS ($liWithNullsSql),
+         |nm AS (SELECT avg(l_extendedprice) AS nm FROM t
+         |       WHERE q IS NULL),
+         |best AS (SELECT v FROM (
+         |    SELECT q AS v, avg(l_extendedprice) AS m FROM t
+         |    WHERE q IS NOT NULL GROUP BY 1)
+         |  CROSS JOIN nm
+         |  ORDER BY abs(m - nm), v LIMIT 1)
+         |SELECT l_orderkey, l_linenumber,
+         |  COALESCE(q, (SELECT v FROM best)) AS q
+         |FROM t ORDER BY 1, 2""".stripMargin
   )
 }

@@ -194,3 +194,63 @@ class NullIndicator(val columns: Seq[String]) extends Transformer {
   override def featureNamesOut: Seq[String] = columns.map(c => s"${c}_nulls")
   override def initParams: Map[String, Any] = Map("columns" -> columns)
 }
+
+/** Impute each column's nulls with the VALUE whose mean response is
+  * nearest to the mean response of the null rows
+  * (tubular/imputers.py:1568-1720; deprecated there, resurrected).
+  *
+  * Scale shape: everything is relational — per-column null-row
+  * response means come from ONE melted aggregation, per-(column,
+  * value) response means from a second, and the nearest value per
+  * column from a `min_by` over that (the level set never reaches the
+  * driver, so a 10^7-cardinality column cannot OOM anything; the
+  * reference materialises the whole per-level table). Columns with no
+  * nulls at fit get no impute value and pass through, like the
+  * reference (warning -> no-op). DOCUMENTED DIVERGENCE: the reference
+  * breaks mean-response ties by nondeterministic groupby order; ties
+  * break by smallest value here.
+  */
+class NearestMeanResponseImputer(
+    val columns: Seq[String],
+    val responseColumn: String
+) extends BaseImputer {
+  override def fitInputCols: Seq[String] = columns :+ responseColumn
+
+  override def fit(df: DataFrame): this.type = {
+    baseFitChecks(df)
+    requireNumeric(df, columns :+ responseColumn)
+    if (df.filter(col(responseColumn).isNull).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"$classname: y has null values (tubular/imputers.py:1640-1643)")
+    val pair = explode(array(columns.map(c =>
+      struct(lit(c).as("c"), col(c).cast("double").as("v"))): _*))
+    val melted = df.select(pair.as("p"),
+      col(responseColumn).cast("double").as("__y"))
+      .select(col("p.c").as("c"), col("p.v").as("v"), col("__y"))
+    // mean response of the null rows, per column (tiny result)
+    val nullMeans = melted.filter(col("v").isNull)
+      .groupBy("c").agg(avg(col("__y")).as("nm"))
+    // nearest value = min_by over per-(column, value) means; ties ->
+    // smallest value via the (diff, value) struct ordering
+    val nearest = melted.filter(col("v").isNotNull)
+      .groupBy("c", "v").agg(avg(col("__y")).as("m"))
+      .join(nullMeans, Seq("c"))
+      .groupBy("c")
+      .agg(min(struct(abs(col("m") - col("nm")).as("d"),
+        col("v").as("v"))).as("best"))
+      .select(col("c"), col("best.v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    imputeValues = columns.flatMap(c => nearest.get(c).map(c -> _)).toMap
+    fittedFlag = true
+    this
+  }
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    columns.filter(imputeValues.contains).map { c =>
+      c -> coalesce(col(c), lit(imputeValues(c)))
+        .cast(df.schema(c).dataType)
+    }
+
+  override def initParams: Map[String, Any] =
+    Map("columns" -> columns, "response_column" -> responseColumn)
+}

@@ -92,4 +92,23 @@ class DeprecatedOpsSpec extends SparkSpec {
     assert(cat.transform(d).collect().map(_.getAs[String]("ab")).toSeq
       == Seq("x-x", "x-y", "x", ""))
   }
+
+  test("nearest-mean-response imputer: distributed argmin, no-null no-op") {
+    val d = df("a DOUBLE, b DOUBLE, y DOUBLE", Seq(
+      Row(1.0, 7.0, 10.0),   // a=1: mean y 10
+      Row(2.0, 7.0, 50.0),   // a=2: mean y 50
+      Row(3.0, 7.0, 100.0),  // a=3: mean y 100
+      Row(null, 7.0, 55.0),  // null mean 55 -> nearest a level: 2
+      Row(null, 7.0, 55.0)))
+    val t = new NearestMeanResponseImputer(Seq("a", "b"), "y").fit(d)
+    assert(t.imputeValues == Map("a" -> 2.0)) // b has no nulls -> absent
+    val out = t.transform(d)
+    assert(out.filter(col("a").isNull).count() == 0)
+    assert(out.filter(col("a") === 2.0).count() == 3)
+    // null response rejected
+    intercept[IllegalArgumentException] {
+      new NearestMeanResponseImputer(Seq("a"), "y")
+        .fit(df("a DOUBLE, y DOUBLE", Seq(Row(null, null))))
+    }
+  }
 }
