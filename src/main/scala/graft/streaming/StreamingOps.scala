@@ -127,4 +127,87 @@ object StreamingOps {
     carry.foreach(state.update)
     out.result().iterator
   }
+
+  // ---- streaming image near-dup (phash) --------------------------------
+
+  case class PhashImage(imageId: String, ts: Timestamp, phash: Long)
+  case class PhashPair(idA: String, idB: String, hamming: Int)
+  case class BandedImage(band: Int, bits: Long, imageId: String,
+      phash: Long, ts: Timestamp)
+  case class BucketState(ids: List[(String, Long)])
+
+  private def bandBits(phash: Long, band: Int, width: Int): Long = {
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    (phash >> (band * width)) & mask
+  }
+
+  /** Streaming counterpart of
+    * [[graft.multimodal.Multimodal.phashNearDups]]: each image explodes
+    * to its `bands` (band, bits) keys; per key, group state holds the
+    * images seen inside the event-time horizon and every arrival emits
+    * its near-dup pairs (exact bit_count verify) immediately.
+    *
+    * Exactly-once across bands WITHOUT a second dedup shuffle: both
+    * phashes are known inside a bucket, so a pair is emitted only from
+    * the FIRST band on which the two hashes agree — every other shared
+    * bucket recomputes the same band index and stays silent (the batch
+    * operator uses `distinct()` for this; streams shouldn't pay that
+    * extra stateful stage).
+    *
+    * State is bounded two ways: event-time timeout clears buckets
+    * `horizon` past the watermark (same contract as [[dedupStream]] —
+    * older near-dups are the batch operator's backfill job), and
+    * `maxPerBucket` ring-evicts pathological hot buckets.
+    */
+  def phashNearDupStream(imgs: Dataset[PhashImage], maxDist: Int,
+      bands: Int = 4, watermark: String = "10 minutes",
+      horizonMs: Long = 10L * 60 * 1000, maxPerBucket: Int = 1024)
+      : Dataset[PhashPair] = {
+    require(bands >= 1 && 64 % bands == 0 && maxDist < bands,
+      s"need maxDist < bands and bands | 64, got $maxDist/$bands")
+    import imgs.sparkSession.implicits._
+    val width = 64 / bands
+    imgs
+      .flatMap(i => (0 until bands).map(b =>
+        BandedImage(b, bandBits(i.phash, b, width), i.imageId, i.phash,
+          i.ts)))
+      // watermark AFTER the typed flatMap: the object-serialization
+      // boundary would otherwise drop the event-time marker the
+      // EventTimeTimeout needs
+      .withWatermark("ts", watermark)
+      .groupByKey(r => (r.band, r.bits))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), rows: Iterator[BandedImage],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.map(_.ids).getOrElse(Nil)
+            val out = Seq.newBuilder[PhashPair]
+            var maxTs = 0L
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.imageId))
+              .foreach { r =>
+                maxTs = math.max(maxTs, r.ts.getTime)
+                if (!seen.exists(_._1 == r.imageId)) {
+                  seen.foreach { case (oid, oph) =>
+                    val d = java.lang.Long.bitCount(r.phash ^ oph)
+                    val first = (0 until bands).find(b =>
+                      bandBits(r.phash, b, width) ==
+                        bandBits(oph, b, width))
+                    if (d <= maxDist && first.contains(key._1)) {
+                      val (a, b) =
+                        if (oid < r.imageId) (oid, r.imageId)
+                        else (r.imageId, oid)
+                      out += PhashPair(a, b, d)
+                    }
+                  }
+                  seen = ((r.imageId, r.phash) :: seen).take(maxPerBucket)
+                }
+              }
+            state.update(BucketState(seen))
+            state.setTimeoutTimestamp(maxTs + horizonMs)
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -133,4 +133,38 @@ class StreamingSpec extends SparkSpec {
       assert(byWindow == Seq((2L, 4.0), (2L, 4.0)))
     } finally q.stop()
   }
+
+  test("streaming phash near-dup matches batch; one pair per match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.PhashImage]
+    val pairs = StreamingOps.phashNearDupStream(input.toDS(), maxDist = 3)
+    val q = pairs.writeStream.format("memory")
+      .queryName("phash_pairs").outputMode("append").start()
+    try {
+      // b = a with 2 low bits flipped (several shared bands — must
+      // still emit exactly once); c far from both; d = b exactly
+      // (distance 0, shares ALL bands)
+      input.addData(
+        StreamingOps.PhashImage("a", ts("2024-01-01 10:00:00"), 0L),
+        StreamingOps.PhashImage("b", ts("2024-01-01 10:00:01"), 3L),
+        StreamingOps.PhashImage("c", ts("2024-01-01 10:00:02"), -1L))
+      q.processAllAvailable()
+      // second batch: state must carry across batches
+      input.addData(
+        StreamingOps.PhashImage("d", ts("2024-01-01 10:00:03"), 3L))
+      q.processAllAvailable()
+      val got = spark.table("phash_pairs").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(got == Set(("a", "b", 2), ("a", "d", 2), ("b", "d", 0)))
+
+      // batch operator agrees on the same corpus
+      val batch = graft.multimodal.Multimodal.phashNearDups(
+        Seq(("a", 0L), ("b", 3L), ("c", -1L), ("d", 3L))
+          .toDF("image_id", "phash"), "image_id", "phash", maxDist = 3)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+        .toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
 }
