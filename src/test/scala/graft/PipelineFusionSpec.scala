@@ -132,4 +132,17 @@ class PipelineFusionSpec extends SparkSpec {
     val b = re.transform(d).orderBy("y", "a").collect().toSeq
     assert(a == b)
   }
+
+  test("resurrected ScalingTransformer fuses with sibling agg fits") {
+    val d = frame()
+    val pipe = Pipeline(
+      "im_a" -> new MeanImputer(Seq("a")),
+      "sc" -> new ScalingTransformer(Seq("y"), "min_max"))
+    val jobs = countJobs(pipe.fit(d))
+    assert(jobs == 1, s"expected 1 fused fit job, got $jobs")
+    val out = pipe.transform(d).orderBy("y", "a")
+    // y in {0,1} -> min_max is identity here; a imputed with 3.0
+    assert(column(out, "y") == Seq(0.0, 0.0, 1.0, 1.0))
+    assert(column(out, "a") == Seq(3.0, 5.0, 1.0, 3.0))
+  }
 }
