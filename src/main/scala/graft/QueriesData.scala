@@ -147,6 +147,29 @@ object QueriesData {
         .orderBy("query_id", "rank")
     }),
 
+    "q73_curation_funnel" -> ((s, dir) => {
+      // the end-to-end training-data curation funnel every LLM corpus
+      // goes through, as ONE composed plan: exact dedup (normalized
+      // fingerprint) -> language ID -> quality gate -> token stats.
+      // All stages are map/window stages over one scan; the only
+      // exchange is the dedup window's hash partition on the
+      // fingerprint
+      val d = docsWithExact(s, dir)
+        .withColumn("fp", TextOps.fingerprintMd5(col("text")))
+      val deduped = Dedup.exact(d, Seq("fp"), "doc_id")
+      val scored = deduped
+        .withColumn("lang_pred", TextOps.langId(col("text")))
+        .withColumn("quality",
+          TextOps.qualityExprs(col("text")).last._2)
+      scored
+        .filter(col("lang_pred") =!= "unknown" && col("quality") >= 0.5)
+        .select(col("doc_id"), col("lang_pred"),
+          round(col("quality"), 6).as("quality"),
+          TextOps.tokenCount(col("text")).as("ws_tokens"),
+          TextOps.bpeishCount(col("text")).as("bpeish_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "q47_lang_id" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
@@ -368,6 +391,47 @@ object QueriesData {
       s"""WITH t AS (SELECT doc_id, text, $maxExpr AS m FROM documents)
          |SELECT doc_id, $chain AS lang_pred
          |FROM t ORDER BY 1""".stripMargin
+    },
+
+    // the whole funnel replayed in SQL: dedup on the SAME normalized
+    // fingerprint, then language/quality/token stages, same gates
+    "q73_curation_funnel" -> {
+      val maxExpr = TextOps.Langs.map(langHitsSql)
+        .mkString("GREATEST(", ", ", ")")
+      val chain = TextOps.Langs.reverse.foldLeft("'unknown'") {
+        (acc, l) =>
+          s"CASE WHEN ${langHitsSql(l)} = m AND m > 0 THEN '$l' ELSE $acc END"
+      }
+      val stopsAll = TextOps.Langs.map(langHitsSql).mkString(" + ")
+      s"""WITH corpus AS (SELECT * FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text, lang, source, n_chars
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |dd AS (SELECT doc_id, text FROM corpus
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY md5(regexp_replace(lower(text), ' +', ' ', 'g'))
+         |    ORDER BY doc_id) = 1),
+         |t AS (SELECT doc_id, text, $maxExpr AS m,
+         |  CAST(len(text) AS DOUBLE) AS nc,
+         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+         |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+         |       AS DOUBLE) AS punct,
+         |  CAST($stopsAll AS DOUBLE) AS stops
+         |  FROM dd),
+         |s AS (SELECT doc_id, text, $chain AS lang_pred,
+         |  0.4 * LEAST(nc / 500.0, 1.0) +
+         |  0.3 * LEAST((stops / nt) * 5.0, 1.0) +
+         |  0.2 * LEAST(((nc - (nt - 1.0)) / nt) / 8.0, 1.0) +
+         |  0.1 * (1.0 - LEAST((punct / nc) * 10.0, 1.0)) AS quality
+         |  FROM t)
+         |SELECT doc_id, lang_pred, ROUND(quality, 6) AS quality,
+         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS INTEGER)
+         |      AS bpeish_tokens
+         |FROM s
+         |WHERE lang_pred <> 'unknown' AND quality >= 0.5
+         |ORDER BY 1""".stripMargin
     },
 
     "q48_quality_score" -> {
