@@ -67,10 +67,21 @@ object Knn {
     * At 100 TB the corpus-side cost is one centroid-assignment scan and
     * a single hash exchange on the list id; queries are broadcast.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, queryIdCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
+  /** Fitted IVF coarse quantizer — tiny driver-side state (nlist x
+    * dims doubles), JSON-serialisable like every other fitted state in
+    * the engine.
+    */
+  final case class IvfModel(centroids: Array[Array[Double]])
+
+  /** Lloyd-refined centroids from a deterministic corpus sample — the
+    * BUILD half of IVF, run once and amortized over every query batch.
+    * Each iteration is relational: assignment is nlist codegen'd
+    * integer dot products per row, the centroid update one
+    * posexplode + groupBy(cluster, dim) avg; only nlist x dims scalars
+    * ever reach the driver.
+    */
+  def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, iters: Int = 2): IvfModel = {
     val dims = corpus.select(size(col(vecCol))).head().getInt(0)
 
     // deterministic seed centroids: the nlist corpus vectors with the
@@ -80,28 +91,6 @@ object Knn {
       .orderBy(col("__h")).limit(nlist)
       .collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-
-    // Per-centroid squared distance in QUANTIZED integer units:
-    // argmin ||x-c||^2 == argmin (|c|^2 - 2 x.c) since |x|^2 is
-    // constant per row — so the whole assignment is nlist codegen'd
-    // integer dot products (graft.functions.DotProductQ), no
-    // interpreted per-element lambdas in the per-row hot loop.
-    def centroidDists(qvec: Column,
-        cs: Array[Array[Double]]): Seq[Column] =
-      cs.zipWithIndex.map { case (c, i) =>
-        val cq = c.map(x => math.round(x * 1000))
-        val norm2 = cq.map(v => v * v).sum
-        struct(
-          (lit(norm2) - lit(2L) * graft.functions.DotProductQ
-            .dotQ(qvec, typedLit(cq.toSeq))).as("d"),
-          lit(i).as("i"))
-      }
-
-    def nearestCentroid(qvec: Column, cs: Array[Array[Double]]): Column =
-      // struct ordering = (distance, index) -> argmin, ties to the
-      // lower index; re-cast pins field names across type coercion
-      array_min(array(centroidDists(qvec, cs): _*))
-        .cast("struct<d:bigint,i:int>").getField("i")
 
     (1 to iters).foreach { _ =>
       val cs = centroids
@@ -123,14 +112,28 @@ object Knn {
         }
       }.toArray
     }
+    IvfModel(centroids)
+  }
 
-    val cs = centroids
-    val lists = corpus
+  /** Inverted lists: every corpus vector lands in exactly ONE list
+    * (vs LSH's `tables` copies). Columns: (item_id, __cq, __list).
+    */
+  def ivfLists(model: IvfModel, corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    corpus
       .select(col(idCol).as("item_id"),
         Dedup.quantize(col(vecCol)).as("__cq"))
       .select(col("item_id"), col("__cq"),
-        nearestCentroid(col("__cq"), cs).as("__list"))
-    // probe lists per query: nprobe nearest centroids
+        nearestCentroid(col("__cq"), model.centroids).as("__list"))
+
+  /** QUERY half: each query probes its nprobe nearest centroids and
+    * exact-reranks only those lists. Queries broadcast; the corpus-side
+    * lists are reusable across arbitrarily many query batches.
+    */
+  def ivfQuery(model: IvfModel, lists: DataFrame, queries: DataFrame,
+      queryIdCol: String, vecCol: String, k: Int, nprobe: Int = 4)
+      : DataFrame = {
+    val cs = model.centroids
     val probes = queries
       .select(col(queryIdCol).as("query_id"),
         Dedup.quantize(col(vecCol)).as("__qq"))
@@ -149,6 +152,65 @@ object Knn {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Persist a built index: inverted lists go through
+    * [[graft.io.SnapshotStore]] (checkpointed, lineage-verified,
+    * resumable — an interrupted index build restarts where it
+    * stopped), centroids as a small driver-side file.
+    */
+  def ivfSave(model: IvfModel, lists: DataFrame, root: String)
+      : graft.io.SnapshotStore.WriteResult = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "ivf_centroids.txt"),
+      model.centroids.map(_.mkString(",")).mkString("\n"))
+    graft.io.SnapshotStore.write(lists, s"$root/lists",
+      pmod(col("__list"), lit(16)).cast("int"))
+  }
+
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, root: String)
+      : (IvfModel, DataFrame) = {
+    val cs = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "ivf_centroids.txt"))
+      .split("\n").map(_.split(",").map(_.toDouble))
+    (IvfModel(cs), graft.io.SnapshotStore.read(spark, s"$root/lists"))
+  }
+
+  /** One-shot IVF top-k (build + lists + query in a single call) —
+    * the bench/oracle entry point; production splits the halves via
+    * ivfBuild/ivfLists/ivfSave/ivfLoad/ivfQuery.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val model = ivfBuild(corpus, idCol, vecCol, nlist, iters)
+    ivfQuery(model, ivfLists(model, corpus, idCol, vecCol), queries,
+      queryIdCol, vecCol, k, nprobe)
+  }
+
+  /** Per-centroid squared distance in QUANTIZED integer units:
+    * argmin ||x-c||^2 == argmin (|c|^2 - 2 x.c) since |x|^2 is
+    * constant per row — so the whole assignment is nlist codegen'd
+    * integer dot products (graft.functions.DotProductQ), no
+    * interpreted per-element lambdas in the per-row hot loop.
+    */
+  private def centroidDists(qvec: Column,
+      cs: Array[Array[Double]]): Seq[Column] =
+    cs.zipWithIndex.map { case (c, i) =>
+      val cq = c.map(x => math.round(x * 1000))
+      val norm2 = cq.map(v => v * v).sum
+      struct(
+        (lit(norm2) - lit(2L) * graft.functions.DotProductQ
+          .dotQ(qvec, typedLit(cq.toSeq))).as("d"),
+        lit(i).as("i"))
+    }
+
+  private def nearestCentroid(qvec: Column,
+      cs: Array[Array[Double]]): Column =
+    // struct ordering = (distance, index) -> argmin, ties to the
+    // lower index; re-cast pins field names across type coercion
+    array_min(array(centroidDists(qvec, cs): _*))
+      .cast("struct<d:bigint,i:int>").getField("i")
 
   /** LSH top-k: candidates share any of `tables` signature buckets
     * (each table uses a disjoint bit range), exact cosine re-rank per

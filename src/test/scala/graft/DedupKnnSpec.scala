@@ -134,4 +134,28 @@ class DedupKnnSpec extends SparkSpec {
     assert(lsh.subsetOf(keyset(
       Knn.bruteForceTopK(e, q, "id", "embedding", "id", 300))))
   }
+
+  test("IVF save/load round-trip: persisted index answers identically") {
+    val e = vecs(300)
+    val q = e.filter(col("id") < 5)
+    val model = Knn.ivfBuild(e, "id", "embedding", nlist = 8)
+    val lists = Knn.ivfLists(model, e, "id", "embedding")
+    val direct = Knn.ivfQuery(model, lists, q, "id", "embedding", k = 10)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf").toString
+    Knn.ivfSave(model, lists, root)
+    assert(graft.io.SnapshotStore.verify(spark, s"$root/lists").isEmpty,
+      "persisted inverted lists failed lineage verify")
+    val (m2, lists2) = Knn.ivfLoad(spark, root)
+    assert(m2.centroids.map(_.toSeq).toSeq ==
+      model.centroids.map(_.toSeq).toSeq)
+    val loaded = Knn.ivfQuery(m2, lists2, q, "id", "embedding", k = 10)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(loaded == direct,
+      "loaded index must answer exactly like the in-memory one")
+  }
 }
