@@ -88,6 +88,26 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q74_range_join" -> ((s, dir) => {
+      // point-in-interval range join: ~1% of events open a 2h campaign
+      // window keyed by user cohort; every event inside a window
+      // attaches to it. Bucketized equi-join — the naive BETWEEN
+      // formulation is a nested loop (plan-asserted in RangeJoinSpec)
+      import graft.temporal.RangeJoin
+      val ev = tbl(s, dir, "events")
+        .withColumn("k", pmod(col("user_id"), lit(20)))
+      val iv = ev.filter(col("event_id") % 97 === 0)
+        .select(col("k"), col("event_id").as("iid"),
+          col("ts").as("s0"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("e0"))
+      RangeJoin.pointInInterval(
+        ev.select(col("k"), col("event_id"), col("ts"), col("value")),
+        iv, Seq("k"), "ts", "s0", "e0", bucketSeconds = 7200)
+        .select(col("event_id"), col("iid"),
+          round(col("value"), 6).as("value"))
+        .orderBy("event_id", "iid")
+    }),
+
     "q39_sessionize" -> ((s, dir) => {
       WindowOps.sessionize(tbl(s, dir, "events"), "user_id", "ts",
         gapSeconds = 1800)
@@ -182,6 +202,17 @@ object QueriesTemporal {
         |  ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY 1""".stripMargin,
+
+    "q74_range_join" ->
+      """WITH ev AS (SELECT user_id % 20 AS k, event_id, ts, value
+        |            FROM events),
+        |iv AS (SELECT k, event_id AS iid, ts AS s0,
+        |              ts + INTERVAL 2 HOUR AS e0
+        |       FROM ev WHERE event_id % 97 = 0)
+        |SELECT ev.event_id, iv.iid, ROUND(ev.value, 6) AS value
+        |FROM ev JOIN iv ON ev.k = iv.k
+        |  AND ev.ts >= iv.s0 AND ev.ts <= iv.e0
+        |ORDER BY 1, 2""".stripMargin,
 
     "q39_sessionize" ->
       """WITH t AS (SELECT event_id, user_id, ts,
