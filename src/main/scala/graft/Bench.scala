@@ -266,25 +266,31 @@ object Bench {
     // wall-clock effect in the driver's own harness.
     val skewJson =
       if (sys.env.getOrElse("SPARK_GRAFT_SKEW", "1") == "1") {
-        // the hot entity must dominate wall-clock for the comparison
-        // to measure salting rather than noise: 50% of 4M events land
-        // on ONE key -> a ~2M-row single-task window sort unsalted
-        val nImg = 200000L; val perImg = 20
-        def skewRun(salted: Boolean): (Double, Seq[Double]) = {
+        // the hot entity must DOMINATE wall-clock for the comparison to
+        // measure salting rather than JIT drift: 90% of 8M events land
+        // on ONE key -> a ~7M-row single-task window sort unsalted vs
+        // saltBuckets parallel sorts salted. Reps INTERLEAVE the two
+        // variants (U,S,U,S,...) so JVM warm-up drift cannot
+        // systematically favor either side; min per variant.
+        val nImg = 200000L; val perImg = 40
+        def runOnce(salted: Boolean): Double = {
           val hot = if (salted) Seq("img_0000000000") else Seq.empty
-          val (_, dt, raw) = timed(2) {
-            Flagship.joinedInput(spark, nImg, perImg,
-              hotFraction = 0.5, hotEntities = hot)
-              .agg(sum(col("feat"))).head()
-            1L
-          }
-          (dt, raw)
+          val t0 = System.nanoTime()
+          Flagship.joinedInput(spark, nImg, perImg,
+            hotFraction = 0.9, hotEntities = hot)
+            .agg(sum(col("feat"))).head()
+          (System.nanoTime() - t0) / 1e9
         }
-        val (tU, rawU) = skewRun(salted = false)
-        val (tS, rawS) = skewRun(salted = true)
+        if (doWarmup) { runOnce(salted = true); runOnce(salted = false) }
+        val raw = (1 to 3).flatMap(_ =>
+          Seq(false -> runOnce(salted = false),
+            true -> runOnce(salted = true)))
+        val rawU = raw.collect { case (false, t) => t }
+        val rawS = raw.collect { case (true, t) => t }
+        val (tU, tS) = (rawU.min, rawS.min)
         System.err.println(
-          f"[bench] skew hot=50%% unsalted=$tU%.2f s salted=$tS%.2f s speedup=${tU / tS}%.2fx rawU=${fmtRaw(rawU)} rawS=${fmtRaw(rawS)}")
-        f""","skew":{"hot_fraction":0.5,"events":${nImg * perImg},"unsalted_sec":$tU%.3f,"salted_sec":$tS%.3f,"speedup":${tU / tS}%.2f,"raw_unsalted":${fmtRaw(rawU)},"raw_salted":${fmtRaw(rawS)}}"""
+          f"[bench] skew hot=90%% unsalted=$tU%.2f s salted=$tS%.2f s speedup=${tU / tS}%.2fx rawU=${fmtRaw(rawU)} rawS=${fmtRaw(rawS)}")
+        f""","skew":{"hot_fraction":0.9,"events":${nImg * perImg},"unsalted_sec":$tU%.3f,"salted_sec":$tS%.3f,"speedup":${tU / tS}%.2f,"raw_unsalted":${fmtRaw(rawU)},"raw_salted":${fmtRaw(rawS)}}"""
       } else ""
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
