@@ -108,6 +108,27 @@ object QueriesTemporal {
         .orderBy("event_id", "iid")
     }),
 
+    "q75_interval_overlap" -> ((s, dir) => {
+      // interval-overlap join between two derived campaign tables:
+      // bucket-tiled equi-join, pair emitted from the first shared
+      // bucket only (exactly-once without a distinct)
+      import graft.temporal.RangeJoin
+      val ev = tbl(s, dir, "events")
+        .withColumn("k", pmod(col("user_id"), lit(20)))
+      val a = ev.filter(col("event_id") % 97 === 0)
+        .select(col("k"), col("event_id").as("aid"),
+          col("ts").as("s1"),
+          (col("ts") + expr("INTERVAL 3 HOURS")).as("e1"))
+      val b = ev.filter(col("event_id") % 89 === 0)
+        .select(col("k"), col("event_id").as("bid"),
+          col("ts").as("s2"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("e2"))
+      RangeJoin.intervalOverlap(a, b, Seq("k"), "s1", "e1", "s2", "e2",
+        bucketSeconds = 7200)
+        .select(col("aid"), col("bid"))
+        .orderBy("aid", "bid")
+    }),
+
     "q39_sessionize" -> ((s, dir) => {
       WindowOps.sessionize(tbl(s, dir, "events"), "user_id", "ts",
         gapSeconds = 1800)
@@ -212,6 +233,18 @@ object QueriesTemporal {
         |SELECT ev.event_id, iv.iid, ROUND(ev.value, 6) AS value
         |FROM ev JOIN iv ON ev.k = iv.k
         |  AND ev.ts >= iv.s0 AND ev.ts <= iv.e0
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q75_interval_overlap" ->
+      """WITH ev AS (SELECT user_id % 20 AS k, event_id, ts FROM events),
+        |a AS (SELECT k, event_id AS aid, ts AS s1,
+        |             ts + INTERVAL 3 HOUR AS e1
+        |      FROM ev WHERE event_id % 97 = 0),
+        |b AS (SELECT k, event_id AS bid, ts AS s2,
+        |             ts + INTERVAL 2 HOUR AS e2
+        |      FROM ev WHERE event_id % 89 = 0)
+        |SELECT a.aid, b.bid
+        |FROM a JOIN b ON a.k = b.k AND a.s1 <= b.e2 AND b.s2 <= a.e1
         |ORDER BY 1, 2""".stripMargin,
 
     "q39_sessionize" ->

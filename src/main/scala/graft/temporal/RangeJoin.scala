@@ -57,4 +57,46 @@ object RangeJoin {
       .filter(col(ts) >= col(start) && col(ts) <= col(end))
       .drop("__bkt")
   }
+
+  /** Interval-overlap join: pairs of intervals (same keys) with
+    * `[s1,e1] ∩ [s2,e2] ≠ ∅`. Same tiling as [[pointInInterval]], but
+    * two overlapping intervals share EVERY bucket of their overlap —
+    * the pair is emitted only from the FIRST shared bucket
+    * (`max(bucket(s1), bucket(s2))`), so the join is exactly-once with
+    * no distinct/shuffle-dedup stage (the same trick the streaming
+    * phash dedup uses across bands).
+    *
+    * `left`/`right` must expose the same key columns; start/end column
+    * names may differ per side. Self-joins: alias the frame and pass
+    * an id filter downstream.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      bucketSeconds: Long,
+      maxBucketsPerInterval: Int = 10000): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val w = lit(bucketSeconds)
+    def bucketOf(c: Column): Column =
+      floor(unix_timestamp(c) / w).cast("long")
+    def tiled(df: DataFrame, s: String, e: String): DataFrame = {
+      val span = (bucketOf(col(e)) - bucketOf(col(s)) + 1).cast("int")
+      df.withColumn("__bkt", explode(
+        when(assert_true(span <= maxBucketsPerInterval,
+          lit(s"interval exceeds $maxBucketsPerInterval buckets — " +
+            "raise bucketSeconds or cap interval lengths")).isNull,
+          sequence(bucketOf(col(s)), bucketOf(col(e))))))
+    }
+    tiled(left, leftStart, leftEnd)
+      .join(tiled(right, rightStart, rightEnd), keyCols :+ "__bkt")
+      .filter(col(leftStart) <= col(rightEnd) &&
+        col(rightStart) <= col(leftEnd))
+      // exactly-once: only the first bucket both intervals cover emits
+      .filter(col("__bkt") ===
+        greatest(bucketOf(col(leftStart)), bucketOf(col(rightStart))))
+      .drop("__bkt")
+  }
 }

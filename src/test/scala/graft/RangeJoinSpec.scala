@@ -80,4 +80,35 @@ class RangeJoinSpec extends SparkSpec {
         bucketSeconds = 60, maxBucketsPerInterval = 1000).count()
     }
   }
+
+  test("interval overlap: brute-force parity, exactly-once, no nested loop") {
+    val a = df("k BIGINT, aid BIGINT, s TIMESTAMP, e TIMESTAMP", Seq(
+      Row(1L, 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+      Row(1L, 2L, ts("2024-01-01 11:59:59"), ts("2024-01-01 20:00:00")),
+      Row(1L, 3L, ts("2024-01-02 00:00:00"), ts("2024-01-02 01:00:00")),
+      Row(2L, 4L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"))))
+    val b = df("k BIGINT, bid BIGINT, s2 TIMESTAMP, e2 TIMESTAMP", Seq(
+      // long interval overlapping aid 1 and 2 across MANY buckets —
+      // must still emit each pair once
+      Row(1L, 10L, ts("2024-01-01 09:00:00"), ts("2024-01-01 23:00:00")),
+      Row(1L, 11L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00")),
+      Row(1L, 12L, ts("2024-01-03 00:00:00"), ts("2024-01-03 01:00:00")),
+      Row(2L, 13L, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:30:00"))))
+    val got = RangeJoin.intervalOverlap(a, b, Seq("k"),
+      "s", "e", "s2", "e2", bucketSeconds = 900)
+    val pairs = got.select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = a.join(b, a("k") === b("k") &&
+        col("s") <= col("e2") && col("s2") <= col("e"))
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.length == pairs.toSet.size,
+      s"duplicate pairs emitted: ${pairs.toSeq.sorted}")
+    assert(pairs.toSet == brute)
+    // boundary touch counts as overlap (aid 1 x bid 11 at 12:00:00)
+    assert(pairs.toSet.contains((1L, 11L)))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }
