@@ -39,7 +39,8 @@ object Bench {
     "q39_sessionize", "q40_dedup_exact", "q41_dedup_minhash_lsh",
     "q45_knn_bruteforce", "q47_lang_id", "q49_token_count",
     "q52_multimodal_decode", "q61_winnow_fingerprint",
-    "q62_phash_neardup", "q73_curation_funnel", "q74_range_join")
+    "q62_phash_neardup", "q73_curation_funnel", "q74_range_join",
+    "q75_interval_overlap")
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

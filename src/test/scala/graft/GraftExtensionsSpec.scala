@@ -84,4 +84,25 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(got == ref)
     }
   }
+
+  test("rewrite does NOT fire on non-long arrays or different shapes") {
+    withExtSession { s =>
+      // double arrays: HOF must stay (dot_q is integer-only)
+      val d = s.range(1, 3)
+        .selectExpr("array(CAST(id AS DOUBLE)) AS a",
+          "array(2.0D) AS b")
+      val q = d.selectExpr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v) AS d")
+      assert(!q.queryExecution.optimizedPlan.expressions.exists(
+        _.exists(_.isInstanceOf[DotProductQ])),
+        "rule must not rewrite double-typed aggregates")
+      assert(q.collect().map(_.getDouble(0)).toSeq == Seq(2.0, 4.0))
+      // a sum (not a dot product) over long arrays must also survive
+      val sumQ = s.range(1, 3).selectExpr("array(id, id) AS a")
+        .selectExpr("aggregate(a, 0L, (acc, v) -> acc + v) AS d")
+      assert(!sumQ.queryExecution.optimizedPlan.expressions.exists(
+        _.exists(_.isInstanceOf[DotProductQ])))
+      assert(sumQ.collect().map(_.getLong(0)).toSeq == Seq(2L, 4L))
+    }
+  }
 }
