@@ -210,4 +210,33 @@ object StreamingOps {
           }
       }
   }
+
+  // ---- streaming range join ---------------------------------------------
+
+  /** Streaming counterpart of
+    * [[graft.temporal.RangeJoin.pointInInterval]]: events attach to the
+    * campaign/validity intervals they fall inside, incrementally, as a
+    * native stream-stream inner join. Both sides carry watermarks and
+    * the join condition bounds `ts` within `maxIntervalSeconds` of the
+    * interval's start — the two facts Spark needs to age out buffered
+    * state instead of holding both streams forever (the unbounded
+    * inequality join is rejected by the engine for exactly that
+    * reason). `maxIntervalSeconds` is the streaming analogue of the
+    * batch operator's `maxBucketsPerInterval` guard: intervals longer
+    * than it simply stop matching at the horizon, they cannot grow
+    * state.
+    */
+  def rangeJoinStream(events: DataFrame, intervals: DataFrame,
+      keyCols: Seq[String], ts: String, start: String, end: String,
+      maxIntervalSeconds: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(maxIntervalSeconds > 0, "maxIntervalSeconds must be positive")
+    val e = events.withWatermark(ts, watermark)
+    val i = intervals.withWatermark(start, watermark)
+    val cond = keyCols.map(k => e(k) === i(k)).reduce(_ && _) &&
+      e(ts) >= i(start) && e(ts) <= i(end) &&
+      e(ts) <= i(start) +
+        expr(s"INTERVAL $maxIntervalSeconds SECONDS")
+    keyCols.foldLeft(e.join(i, cond, "inner"))((d, k) => d.drop(i(k)))
+  }
 }

@@ -167,4 +167,46 @@ class StreamingSpec extends SparkSpec {
       assert(batch == got)
     } finally q.stop()
   }
+
+  test("streaming range join matches batch point-in-interval") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evIn = MemoryStream[(Long, Long, Timestamp)]
+    val ivIn = MemoryStream[(Long, Long, Timestamp, Timestamp)]
+    val ev = evIn.toDF().toDF("k", "eid", "ts")
+    val iv = ivIn.toDF().toDF("k", "iid", "s", "e")
+    val joined = StreamingOps.rangeJoinStream(ev, iv, Seq("k"),
+      "ts", "s", "e", maxIntervalSeconds = 7200)
+      .select("eid", "iid")
+    val q = joined.writeStream.format("memory")
+      .queryName("rj").outputMode("append").start()
+    try {
+      val events = Seq(
+        (1L, 1L, ts("2024-01-01 10:30:00")),
+        (1L, 2L, ts("2024-01-01 13:00:00")),
+        (2L, 3L, ts("2024-01-01 10:30:00")))
+      val intervals = Seq(
+        (1L, 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+        (1L, 11L, ts("2024-01-01 10:15:00"), ts("2024-01-01 10:45:00")),
+        (2L, 12L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")))
+      evIn.addData(events: _*)
+      ivIn.addData(intervals: _*)
+      q.processAllAvailable()
+      val got = spark.table("rj").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // eid 1 in both k=1 intervals; eid 2 after both; eid 3 before 12
+      assert(got == Set((1L, 10L), (1L, 11L)))
+
+      // batch operator agrees on the same data
+      val evB = df("k BIGINT, eid BIGINT, ts TIMESTAMP",
+        events.map(t => Row(t._1, t._2, t._3)))
+      val ivB = df("k BIGINT, iid BIGINT, s TIMESTAMP, e TIMESTAMP",
+        intervals.map(t => Row(t._1, t._2, t._3, t._4)))
+      val batch = graft.temporal.RangeJoin.pointInInterval(
+        evB, ivB, Seq("k"), "ts", "s", "e", bucketSeconds = 3600)
+        .select("eid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
 }
