@@ -1,7 +1,9 @@
 package graft
 
 import graft.ann.Knn
-import graft.dedup.Dedup
+import graft.dedup.{Components, Dedup}
+import graft.operators.GroupOps
+import graft.text.Sharding
 import graft.multimodal.Multimodal
 import graft.text.TextOps
 import graft.io.ImageTable
@@ -245,6 +247,65 @@ object QueriesData {
         .orderBy("image_id")
     }),
 
+    "q76_neardup_components" -> ((s, dir) => {
+      // duplicate-pair graph -> duplicate CLUSTERS: edges are the q42
+      // n-gram-Jaccard pairs, components via min-label propagation +
+      // pointer jumping; the oracle recomputes the same closure with a
+      // recursive CTE. Injected dups chain (id ~ id+1e6 per seed doc),
+      // and seeds sharing near-identical text merge transitively.
+      val d = docsWithDups(s, dir).withColumn("blk", col("doc_id") % 50)
+      val edges = Dedup.blockedJaccard(d, "doc_id", "text", "blk")
+        .filter(col("jaccard") >= 0.5)
+      Components.connectedComponents(edges, "id_a", "id_b")
+        .orderBy("id")
+    }),
+
+    "q77_topk_per_group" -> ((s, dir) => {
+      // top-5 longest docs per source through the bounded-heap
+      // top_k_by aggregate (map-side partial agg, no per-group sort);
+      // score = n_chars (integral -> drift-free), ties -> smaller id
+      GroupOps.topKPerGroup(tbl(s, dir, "documents"),
+        Seq("source"), "n_chars", "doc_id", k = 5)
+        .orderBy("source", "rank")
+    }),
+
+    "q78_pack_shards" -> ((s, dir) => {
+      // token-budget corpus sharding in doc_id order: exclusive
+      // range-partitioned cumulative token count, shard = floor(/2000)
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      Sharding.packShards(d, "doc_id", "n_tok", budget = 2000L)
+        .orderBy("doc_id")
+    }),
+
+    "q79_stratified_sample" -> ((s, dir) => {
+      // deterministic per-language sampling via the Knuth
+      // multiplicative hash — engine-independent, seedless, stable
+      // across runs and cluster sizes; dyadic rates are exact in int64
+      Sharding.stratifiedSample(tbl(s, dir, "documents"),
+        "lang", "doc_id",
+        Map("en" -> 0.5, "zh" -> 0.25, "es" -> 0.125, "de" -> 1.0))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    "q80_group_zscore" -> ((s, dir) => {
+      // per-group standardization as agg + join-back (NOT a window:
+      // a hot group would buffer in one task); population std,
+      // zero-variance -> divide by 1 (sklearn parity)
+      GroupOps.standardizeByGroup(
+        tbl(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice")),
+        "l_returnflag", Seq("l_quantity", "l_extendedprice"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"),
+          round(col("l_quantity_z"), 6).as("q_z"),
+          round(col("l_extendedprice_z"), 6).as("price_z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "q53_snapshot_lineage" -> ((s, dir) => {
       // checkpointed snapshot write + snapshot-scoped read-back:
       // per-bucket row counts come from the STORED data, so the oracle
@@ -291,6 +352,79 @@ object QueriesData {
   }
 
   val oracles: Map[String, String] = Map(
+    "q76_neardup_components" ->
+      s"""WITH RECURSIVE t AS ($docsWithDupsSql),
+         |sh AS (SELECT doc_id % 50 AS blk, doc_id,
+         |  list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+         |    THEN list_transform(
+         |      range(0, len(string_split(text,' ')) - 2),
+         |      i -> array_to_string(
+         |        string_split(text,' ')[i+1:i+3], ' '))
+         |    ELSE [] END) AS s
+         |  FROM t),
+         |e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.s, b.s)))
+         |             AS DOUBLE) >= 0.5),
+         |u AS (SELECT ia AS a, ib AS b FROM e
+         |      UNION SELECT ib, ia FROM e),
+         |cc(id, comp) AS (
+         |  SELECT a, a FROM u
+         |  UNION
+         |  SELECT u.a, cc.comp FROM u JOIN cc ON u.b = cc.id)
+         |SELECT id, MIN(comp) AS component FROM cc
+         |GROUP BY id ORDER BY id""".stripMargin,
+
+    "q77_topk_per_group" ->
+      """WITH r AS (SELECT source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rank,
+        |  CAST(n_chars AS DOUBLE) AS score, doc_id AS id
+        |  FROM documents)
+        |SELECT source, rank, score, id FROM r
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    "q78_pack_shards" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cum_before
+        |  FROM d)
+        |SELECT doc_id, n_tok, cum_before,
+        |  CAST(FLOOR(CAST(cum_before AS DOUBLE) / 2000) AS BIGINT)
+        |    AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q79_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 <
+        |  CASE lang WHEN 'en' THEN 2147483648
+        |            WHEN 'zh' THEN 1073741824
+        |            WHEN 'es' THEN 536870912
+        |            WHEN 'de' THEN 4294967296
+        |            ELSE -1 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q80_group_zscore" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  ROUND((l_quantity -
+        |      AVG(l_quantity) OVER (PARTITION BY l_returnflag)) /
+        |    (CASE WHEN COALESCE(STDDEV_POP(l_quantity)
+        |        OVER (PARTITION BY l_returnflag), 0) = 0 THEN 1
+        |      ELSE STDDEV_POP(l_quantity)
+        |        OVER (PARTITION BY l_returnflag) END), 6) AS q_z,
+        |  ROUND((l_extendedprice -
+        |      AVG(l_extendedprice) OVER (PARTITION BY l_returnflag)) /
+        |    (CASE WHEN COALESCE(STDDEV_POP(l_extendedprice)
+        |        OVER (PARTITION BY l_returnflag), 0) = 0 THEN 1
+        |      ELSE STDDEV_POP(l_extendedprice)
+        |        OVER (PARTITION BY l_returnflag) END), 6) AS price_z
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
     "q40_dedup_exact" ->
       """WITH t AS (SELECT * FROM documents
         |  UNION ALL

@@ -1,0 +1,101 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over a duplicate-pair graph — the step that
+  * turns near-dup PAIRS (from MinHash-LSH, SimHash, phash banding,
+  * n-gram Jaccard) into duplicate CLUSTERS with one canonical
+  * representative each. At corpus scale a duplicate family is rarely a
+  * single pair: page A ~ B, B ~ C, A !~ C under the threshold — pair
+  * dedup keeps one of {A,B} and one of {B,C} and still ships two
+  * near-identical documents to training. Component-level dedup keeps
+  * exactly one.
+  *
+  * Algorithm: iterative min-label propagation WITH pointer jumping.
+  * Each round, a node's label becomes the min of
+  *   (its label, its neighbors' labels, its label's label).
+  * Neighbor propagation alone needs O(diameter) rounds (a path graph
+  * degenerates to O(n)); the label-of-label "jump" halves pointer
+  * chains every round, giving O(log n) rounds on any graph — the same
+  * doubling that powers the MapReduce CC algorithms (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14).
+  *
+  * Scale shape per round: two equi-joins + one min-groupBy, ALL
+  * hash-partitioned on node id — no broadcast of the label table, no
+  * driver-side graph. Lineage is truncated every round with an eager
+  * `localCheckpoint` (iterative plans otherwise grow exponentially and
+  * re-execute from the source each round); on a real cluster with an
+  * HDFS checkpoint dir, `sparkContext.setCheckpointDir` + `checkpoint`
+  * is the durable equivalent.
+  *
+  * Convergence detection is exact and cheap: labels only ever
+  * decrease, so the component assignment is stable exactly when no
+  * row's label changed — one anti-condition count on the already
+  * co-partitioned (old, new) join.
+  */
+object Components {
+
+  /** Connected components of the undirected graph given as an edge
+    * list. Returns one row per node: (`id`, `component`) with
+    * `component` = the minimum node id in the component. Isolated
+    * nodes (absent from `edges`) are absent from the output.
+    *
+    * Ids must be integral (cast to long internally).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int = 40): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    // both directions once; duplicate pairs collapse (min is
+    // idempotent but distinct keeps the per-round join small)
+    val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = und.select(col("u").as("id")).distinct()
+        .withColumn("comp", col("id"))
+        .localCheckpoint(true)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        // neighbor messages: for edge (u,v), u hears v's label
+        val viaEdges = und.join(labels, und("v") === labels("id"))
+          .select(und("u").as("id"), col("comp"))
+        // pointer jump: my label's label
+        val l2 = labels.select(col("id").as("jid"), col("comp").as("jcomp"))
+        val viaJump = labels.join(l2, col("comp") === col("jid"))
+          .select(col("id"), col("jcomp").as("comp"))
+        val next = labels.unionByName(viaEdges).unionByName(viaJump)
+          .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+          .localCheckpoint(true)
+        val changed = next.join(labels.withColumnRenamed("comp", "old"),
+            "id")
+          .filter(col("comp") =!= col("old")).count()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxIter rounds")
+      labels.select(col("id"), col("comp").as("component"))
+    } finally { und.unpersist(false); () }
+  }
+
+  /** Component-level dedup: keep each row whose id is its component's
+    * canonical representative (the minimum id), plus every row that is
+    * in no duplicate pair at all. `edges` are duplicate pairs over
+    * `idCol` values (e.g. the output of [[Dedup.minHashNearDups]] /
+    * [[graft.multimodal.Multimodal.phashNearDups]]).
+    */
+  def dedupByComponents(df: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val comp = connectedComponents(edges, srcCol, dstCol)
+      .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
+    df.join(comp, df(idCol) === col("__cc_id"), "left")
+      .filter(col("__cc_comp").isNull || col("__cc_comp") === df(idCol))
+      .drop("__cc_id", "__cc_comp")
+  }
+}

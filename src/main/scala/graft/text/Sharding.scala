@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus sharding and sampling for training-data preparation:
+  * token-budget shard assignment (which shard does each document's
+  * token stream land in when the corpus is written as fixed-budget
+  * shards?) and deterministic stratified sampling (reproducible
+  * per-stratum rates with no RNG state).
+  */
+object Sharding {
+
+  /** Global EXCLUSIVE cumulative sum of `valueCol` in `orderCol`
+    * order, with no single-partition stage: range-repartition on the
+    * order key, per-partition totals (one tiny collect, |partitions|
+    * rows) become broadcast prefix offsets, then a per-partition
+    * window does the local running sum. Same two-phase shape as
+    * [[graft.core.Stats.keyedCumFractions]].
+    *
+    * `orderCol` must be unique (it is the deterministic total order).
+    */
+  private[graft] def exclusiveCumSum(df: DataFrame, orderCol: String,
+      valueCol: String, outCol: String): DataFrame = {
+    val parts = math.max(1,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val ranged = df
+      .repartitionByRange(parts, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partTotals = ranged.groupBy(col("__pid"))
+        .agg(sum(col(valueCol).cast("long")).as("t"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy(_._1)
+      val offsets: Map[Int, Long] = partTotals.map(_._1)
+        .zip(partTotals.map(_._2).scanLeft(0L)(_ + _).init).toMap
+      val offCol =
+        if (offsets.isEmpty) lit(0L)
+        else coalesce(
+          element_at(typedLit(offsets), col("__pid")), lit(0L))
+      val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ranged
+        .withColumn(outCol,
+          coalesce(sum(col(valueCol).cast("long")).over(w), lit(0L))
+            + offCol)
+        .drop("__pid")
+        // materialize before unpersist (caller sees a plain frame)
+        .localCheckpoint(true)
+    } finally { ranged.unpersist(false); () }
+  }
+
+  /** Contiguous token-budget sharding: documents are laid out in
+    * `orderCol` order (must be unique — the deterministic corpus
+    * order) and cut into shards of `budget` tokens;
+    * `shard = floor(tokens_before_this_doc / budget)`. A document
+    * whose tokens straddle a boundary belongs to the shard where it
+    * STARTS (standard sequence-packing writer behavior: the writer
+    * splits the token stream, the index records the starting shard).
+    *
+    * Adds `cum_before` (exclusive running token count) and `shard`.
+    */
+  def packShards(df: DataFrame, orderCol: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"shard budget must be positive, got $budget")
+    exclusiveCumSum(df, orderCol, tokenCol, "cum_before")
+      .withColumn("shard",
+        floor(col("cum_before") / lit(budget)).cast("long"))
+  }
+
+  /** Deterministic stratified sampling: keep a row iff
+    * `mix(id) < rate(stratum) * 2^32`, where `mix` is a Knuth
+    * multiplicative hash on the unique integral `idCol`. No RNG state,
+    * no seed plumbing: the same row is kept in every run, on every
+    * cluster size, in any engine that has 64-bit integer arithmetic
+    * (the oracle reproduces it in plain SQL). Sampling error is
+    * O(1/sqrt(n)) per stratum like any hash sample; rates are exact in
+    * expectation.
+    *
+    * Unlisted strata are dropped (rate 0).
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1),
+      s"rates must be in [0,1]: $rates")
+    val m = lit(4294967296L) // 2^32
+    val mixed = pmod(col(idCol).cast("long") * lit(2654435761L), m)
+    val thresh = element_at(typedLit(rates.map { case (k, r) =>
+      k -> math.round(r * 4294967296.0)
+    }), col(stratumCol))
+    df.filter(thresh.isNotNull && mixed < thresh)
+  }
+
+  /** The mixed hash as a column (exposed for tests/oracles). */
+  def mixHash(id: Column): Column =
+    pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+}

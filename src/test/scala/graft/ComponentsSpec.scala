@@ -1,0 +1,71 @@
+package graft
+
+import graft.dedup.Components
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkSpec {
+
+  private def edgesDf(pairs: Seq[(Long, Long)]) =
+    df("a BIGINT, b BIGINT", pairs.map(p => Row(p._1, p._2)))
+
+  /** Reference union-find, the test oracle. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccMap(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edgesDf(pairs), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two separate components, min id as representative") {
+    val got = ccMap(Seq((5L, 3L), (3L, 9L), (20L, 21L)))
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("path graph converges via pointer jumping (log rounds)") {
+    // a 200-node path would need 200 neighbor-propagation rounds;
+    // with jumps it must finish inside the default maxIter=40
+    val path = (1L until 200L).map(i => (i, i + 1))
+    val got = ccMap(path)
+    assert(got.size == 200 && got.values.forall(_ == 1L))
+  }
+
+  test("self loops and duplicate/reversed edges are harmless") {
+    val got = ccMap(Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 2L),
+      (1L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("random graphs match union-find") {
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 2 + rnd.nextInt(59)
+      val pairs = Seq.fill(1 + rnd.nextInt(80))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      if (pairs.nonEmpty)
+        assert(ccMap(pairs) == unionFind(pairs), s"seed=$seed")
+    }
+  }
+
+  test("dedupByComponents keeps representatives + untouched rows") {
+    val data = df("id BIGINT, v STRING", Seq(
+      Row(1L, "a"), Row(2L, "b"), Row(3L, "c"), Row(4L, "d"),
+      Row(5L, "e")))
+    // 1~2~3 one cluster; 4,5 untouched
+    val out = Components.dedupByComponents(data, "id",
+      edgesDf(Seq((2L, 1L), (2L, 3L))), "a", "b")
+    assert(column(out.orderBy("id"), "id") == Seq(1L, 4L, 5L))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.GroupOps
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class GroupOpsSpec extends SparkSpec {
+
+  private def scored() = df("g STRING, id BIGINT, s DOUBLE", Seq(
+    Row("a", 1L, 10.0), Row("a", 2L, 30.0), Row("a", 3L, 20.0),
+    Row("a", 4L, 30.0), // tie with id=2 -> smaller id ranks first
+    Row("b", 5L, 1.0),
+    Row("c", 6L, 5.0), Row("c", 7L, null)))
+
+  test("topKPerGroup: desc score, ties -> smaller id, short groups") {
+    val out = GroupOps.topKPerGroup(scored(), Seq("g"), "s", "id", 2)
+      .orderBy("g", "rank")
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getDouble(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      ("a", 1, 30.0, 2L), ("a", 2, 30.0, 4L),
+      ("b", 1, 1.0, 5L),
+      ("c", 1, 5.0, 6L))) // null score skipped
+  }
+
+  test("topKPerGroup matches the window formulation on random data") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i => Row(s"g${rnd.nextInt(8)}", i.toLong,
+      rnd.nextInt(40).toDouble))
+    val d = df("g STRING, id BIGINT, s DOUBLE", rows)
+    val got = GroupOps.topKPerGroup(d, Seq("g"), "s", "id", 5)
+      .select("g", "rank", "score", "id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("s").desc, col("id"))
+    val exp = d.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("g"), col("rank"), col("s"), col("id")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(got == exp)
+  }
+
+  test("topKPerGroup plans as partial hash agg, no Window/Sort of rows") {
+    val plan = GroupOps.topKPerGroup(scored(), Seq("g"), "s", "id", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "must not use a window")
+    // ObjectHashAggregate partial + final = map-side combine: the
+    // shuffle carries bounded per-group heaps, not rows
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+  }
+
+  test("standardizeByGroup: z-scores, zero-variance group -> 0") {
+    val d = df("k STRING, x DOUBLE", Seq(
+      Row("a", 1.0), Row("a", 2.0), Row("a", 3.0),
+      Row("b", 7.0), Row("b", 7.0)))
+    val out = GroupOps.standardizeByGroup(d, "k", Seq("x"))
+      .orderBy("k", "x")
+    val z = column(out, "x_z").map(_.asInstanceOf[Double])
+    val sd = math.sqrt(2.0 / 3.0) // population std of {1,2,3}
+    assert(math.abs(z(0) - (-1.0 / sd)) < 1e-12)
+    assert(math.abs(z(1)) < 1e-12)
+    assert(math.abs(z(2) - (1.0 / sd)) < 1e-12)
+    assert(z(3) == 0.0 && z(4) == 0.0) // zero variance -> 0, not NaN
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.text.Sharding
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class ShardingSpec extends SparkSpec {
+
+  test("packShards: exclusive cumsum + starting-shard assignment") {
+    val d = df("id BIGINT, tok BIGINT", Seq(
+      Row(1L, 400L), Row(2L, 700L), Row(3L, 100L), Row(4L, 900L),
+      Row(5L, 50L)))
+    val out = Sharding.packShards(d, "id", "tok", budget = 1000L)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // cum_before: 0, 400, 1100, 1200, 2100
+    assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 400L, 0L),
+      (3L, 1100L, 1L), (4L, 1200L, 1L), (5L, 2100L, 2L)))
+  }
+
+  test("packShards is partition-count invariant (two-phase cumsum)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 1000L).map(i => Row(i, rnd.nextInt(50).toLong))
+    def run(parts: Int) = {
+      val d = df("id BIGINT, tok BIGINT", rows).repartition(parts)
+      Sharding.packShards(d, "id", "tok", budget = 500L)
+        .select("id", "cum_before", "shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(run(1) == run(7))
+  }
+
+  test("packShards plans with NO single-partition exchange") {
+    val d = df("id BIGINT, tok BIGINT",
+      (1L to 100L).map(i => Row(i, 10L)))
+    val plan = Sharding.exclusiveCumSum(d, "id", "tok", "c")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan.take(800))
+  }
+
+  test("stratifiedSample: deterministic, dyadic rates exact, " +
+      "unlisted strata dropped") {
+    val rows = (1L to 4000L).map(i =>
+      Row(i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
+    val d = df("id BIGINT, lang STRING", rows)
+    val out = Sharding.stratifiedSample(d, "lang", "id",
+      Map("en" -> 0.5, "de" -> 1.0))
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("xx"))
+    assert(byLang("de") == 1334) // rate 1.0 keeps every row
+    val en = byLang("en").toDouble / 1333.0
+    assert(en > 0.4 && en < 0.6, s"en rate $en")
+    // determinism: same rows kept on re-run
+    val a = column(out.orderBy("id"), "id")
+    val b = column(Sharding.stratifiedSample(d, "lang", "id",
+      Map("en" -> 0.5, "de" -> 1.0)).orderBy("id"), "id")
+    assert(a == b)
+  }
+}
