@@ -1,10 +1,11 @@
 package graft
 
-import graft.functions.DotProductQ
+import graft.functions.{DotProductQ, TopKBy}
 import graft.plans.RewriteHofDotProduct
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression,
+  ExpressionInfo, Literal}
 
 /** Spark-native registration point for graft's Catalyst extensions.
   *
@@ -29,6 +30,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           s"dot_q expects 2 arguments, got ${args.length}")
         DotProductQ(args(0), args(1))
+      }))
+    // top_k_by(score double, id bigint, k const int) -> bounded-heap
+    // top-k aggregate (array<struct<score,id>>), usable from plain SQL
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_by"),
+      new ExpressionInfo(classOf[TopKBy].getName, "top_k_by"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"top_k_by expects 3 arguments, got ${args.length}")
+        val k = args(2) match {
+          case Literal(v: Int, _) => v
+          case Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"top_k_by: k must be an integer literal, got $other")
+        }
+        TopKBy(args(0), args(1), k)
       }))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }

@@ -105,4 +105,29 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(sumQ.collect().map(_.getLong(0)).toSeq == Seq(2L, 4L))
     }
   }
+
+  test("top_k_by is callable from SQL via injectFunction") {
+    withExtSession { s =>
+      s.range(0, 100).selectExpr("id % 3 AS g",
+          "CAST(id % 7 AS DOUBLE) AS score", "id")
+        .createOrReplaceTempView("tk")
+      val rows = s.sql(
+        """SELECT g, e.score, e.id
+          |FROM (SELECT g, top_k_by(score, id, 2) AS t
+          |      FROM tk GROUP BY g)
+          |LATERAL VIEW explode(t) AS e
+          |ORDER BY g, e.score DESC, e.id""".stripMargin).collect()
+      assert(rows.length == 6)
+      // group 0: ids 0,3,..,99; score = id%7; max score 6 at smallest
+      // id with id%3==0 and id%7==6 -> 6, then 27
+      val g0 = rows.filter(_.getLong(0) == 0L)
+        .map(r => (r.getDouble(1), r.getLong(2))).toSeq
+      assert(g0 == Seq((6.0, 6L), (6.0, 27L)))
+      // non-literal k must be rejected cleanly
+      val e = intercept[Exception](
+        s.sql("SELECT top_k_by(score, id, id) FROM tk").collect())
+      assert(e.getMessage.contains("integer literal") ||
+        e.getMessage.contains("top_k_by"))
+    }
+  }
 }

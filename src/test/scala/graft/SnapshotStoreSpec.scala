@@ -146,6 +146,43 @@ class SnapshotStoreSpec extends SparkSpec {
       res2.deletedBucketDirs.isEmpty)
   }
 
+  test("changedBuckets/readChanges: incremental read sees only " +
+      "changed buckets") {
+    import spark.implicits._
+    val root = freshRoot()
+    val bucket = SnapshotStore.byKey("doc_id", 8)
+    val v1 = SnapshotStore.write(docs(400), root, bucket).snapshot
+
+    // change exactly one document -> exactly its bucket is dirty
+    val d2 = docs(400).withColumn("text",
+      when(col("doc_id") === 123L, lit("CHANGED")).otherwise(col("text")))
+    val v2 = SnapshotStore.write(d2, root, bucket).snapshot
+    val dirtyBucket = spark.range(1)
+      .select(pmod(xxhash64(lit(123L)), lit(8)).cast("int").as("b"))
+      .head.getInt(0)
+    assert(SnapshotStore.changedBuckets(root, Some(v1), v2) ===
+      Seq(dirtyBucket))
+
+    // incremental read returns the changed bucket's rows ONLY, and
+    // contains the changed document
+    val inc = SnapshotStore.readChanges(spark, root, Some(v1), v2)
+    assert(inc.filter(col("text") === "CHANGED").count() === 1)
+    val full = SnapshotStore.read(spark, root, Some(v2))
+      .withColumn("b", SnapshotStore.byKey("doc_id", 8))
+    assert(inc.count() ===
+      full.filter(col("b") === dirtyBucket).count())
+
+    // no change between identical snapshots -> empty frame, schema kept
+    val v3 = SnapshotStore.write(d2, root, bucket).snapshot
+    assert(SnapshotStore.changedBuckets(root, Some(v2), v3).isEmpty)
+    val none = SnapshotStore.readChanges(spark, root, Some(v2), v3)
+    assert(none.count() === 0 &&
+      none.columns.toSet === Set("doc_id", "text"))
+
+    // cold start (from=None): everything is a change
+    assert(SnapshotStore.changedBuckets(root, None, v2).size === 8)
+  }
+
   test("verify detects tampered storage") {
     val root = freshRoot()
     val d = docs(100)

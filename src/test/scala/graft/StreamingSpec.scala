@@ -209,4 +209,32 @@ class StreamingSpec extends SparkSpec {
       assert(batch == got)
     } finally q.stop()
   }
+
+  test("top_k_by aggregates incrementally over a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the bounded-heap TypedImperativeAggregate must survive the state
+    // store's serialize/merge cycle: feed batches whose later elements
+    // displace earlier leaders, compare with the batch result
+    val input = MemoryStream[(String, Long, Double)]
+    val agg = input.toDF().toDF("g", "id", "s")
+      .groupBy("g")
+      .agg(graft.functions.TopKBy.topKBy(col("s"), col("id"), 2)
+        .as("topk"))
+    val q = agg.writeStream.format("memory").queryName("tks")
+      .outputMode("complete").start()
+    try {
+      input.addData(("a", 1L, 5.0), ("a", 2L, 9.0), ("b", 3L, 1.0))
+      q.processAllAvailable()
+      input.addData(("a", 4L, 9.0), ("a", 5L, 20.0), ("b", 6L, 0.5))
+      q.processAllAvailable()
+      val got = spark.table("tks").orderBy("g")
+        .collect().map(r => (r.getString(0),
+          r.getSeq[Row](1).map(e => (e.getDouble(0), e.getLong(1)))))
+        .toSeq
+      assert(got == Seq(
+        ("a", Seq((20.0, 5L), (9.0, 2L))), // id 2 beats id 4 on the tie
+        ("b", Seq((1.0, 3L), (0.5, 6L)))))
+    } finally q.stop()
+  }
 }
