@@ -289,6 +289,37 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    "q81_multimodal_resize" -> ((s, dir) => {
+      // stub resize to 8x8 through the mapPartitions batch path; the
+      // NN source-index spec is plain integer arithmetic over the
+      // payload bytes, so the oracle recomputes checksum/mean from
+      // hex(bytes) in SQL. Payload never passes through the output.
+      val imgs = oracleImages(s, 200, "/tmp/graft_oracle_images_q81")
+      Multimodal.withResizeFeatures(imgs, Multimodal.StubResizer,
+        targetW = 8, targetH = 8)
+        .select(col("image_id"), col("resized_w"), col("resized_h"),
+          col("resized_checksum"),
+          round(col("resized_mean"), 6).as("resized_mean"),
+          col("resize_ok"))
+        .orderBy("image_id")
+    }),
+
+    "q82_frame_sample" -> ((s, dir) => {
+      // video-as-binary: treat each payload as 4 fixed-length frames,
+      // RELATIONALLY slice every 2nd frame (posexplode + substr stay
+      // in codegen; no batch path until the codec), stub-decode each
+      // frame. Oracle recomputes the slice + md5 luma in SQL.
+      val imgs = oracleImages(s, 120, "/tmp/graft_oracle_images_q82")
+        .withColumn("n_frames", lit(4))
+      val frames = Multimodal.sampleFrames(imgs,
+        frameLenCol = floor(length(col("bytes")) / 4),
+        nFramesCol = col("n_frames"), everyK = 2)
+      Multimodal.withDecodeFeatures(frames, Multimodal.StubDecoder)
+        .select(col("image_id"), col("frame_idx"),
+          col("mean_luma"), col("decode_ok"))
+        .orderBy("image_id", "frame_idx")
+    }),
+
     "q80_group_zscore" -> ((s, dir) => {
       // per-group standardization as agg + join-back (NOT a window:
       // a hot group would buffer in one task); population std,
@@ -408,6 +439,39 @@ object QueriesData {
         |            WHEN 'de' THEN 4294967296
         |            ELSE -1 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q81_multimodal_resize" ->
+      """WITH t AS (SELECT image_id, w, h, octet_length(bytes) AS len,
+        |    hex(bytes) AS hx
+        |  FROM read_parquet('/tmp/graft_oracle_images_q81/*.parquet')),
+        |px AS (SELECT image_id, len,
+        |  CAST('0x' || substring(hx,
+        |    2 * CAST(((((i // 8) * h) // 8) * w +
+        |              ((i % 8) * w) // 8) % len AS BIGINT) + 1, 2)
+        |    AS BIGINT) AS v
+        |  FROM t, (SELECT unnest(range(0, 64)) AS i)),
+        |s AS (SELECT image_id, CAST(SUM(v) AS BIGINT) AS cks
+        |  FROM px GROUP BY image_id)
+        |SELECT image_id, CAST(8 AS INTEGER) AS resized_w,
+        |  CAST(8 AS INTEGER) AS resized_h, cks AS resized_checksum,
+        |  ROUND(cks / 64.0, 6) AS resized_mean,
+        |  TRUE AS resize_ok
+        |FROM s ORDER BY image_id""".stripMargin,
+
+    "q82_frame_sample" ->
+      """WITH t AS (SELECT image_id, hex(bytes) AS hx,
+        |    CAST(octet_length(bytes) // 4 AS INTEGER) AS flen
+        |  FROM read_parquet('/tmp/graft_oracle_images_q82/*.parquet')),
+        |f AS (SELECT image_id, fi.frame_idx, flen,
+        |    substring(hx, fi.frame_idx * flen * 2 + 1, flen * 2)
+        |      AS fhx
+        |  FROM t, (VALUES (0), (2)) fi(frame_idx))
+        |SELECT image_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST('0x' || substring(
+        |      md5(substring(fhx, 1, 512)), 1, 8) AS BIGINT)
+        |    % 256000 / 1000.0 AS mean_luma,
+        |  flen > 0 AS decode_ok
+        |FROM f ORDER BY 1, 2""".stripMargin,
 
     "q80_group_zscore" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,

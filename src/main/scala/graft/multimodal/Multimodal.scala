@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import graft.validate.PixelCheck
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -169,6 +169,142 @@ object Multimodal {
           .otherwise("unknown"),
       "bytes_per_pixel" ->
         length(b).cast("double") / (col("w") * col("h"))))
+  }
+
+  /** Per-payload resize result: target dims, mean + checksum of the
+    * resized gray plane. Like [[ImageFeatures]], only scalars leave
+    * the partition — the resized pixel buffer dies inside it.
+    */
+  case class ResizeFeatures(w: Int, h: Int, mean: Double,
+      checksum: Long, ok: Boolean)
+
+  trait Resizer extends Serializable {
+    def resize(bytes: Array[Byte], fmt: String, declaredW: Int,
+        declaredH: Int, targetW: Int, targetH: Int): ResizeFeatures
+  }
+
+  /** Real resizer for formats javax.imageio decodes: nearest-neighbor
+    * sample of the decoded luma plane at the target grid. (NN, not
+    * bilinear, so the spec can recompute it exactly.)
+    */
+  object ImageIoResizer extends Resizer {
+    def resize(bytes: Array[Byte], fmt: String, declaredW: Int,
+        declaredH: Int, targetW: Int, targetH: Int): ResizeFeatures =
+      fmt match {
+        case "png" | "jpeg" | "jpg" =>
+          val img = PixelCheck.decode(bytes)
+          if (img == null)
+            ResizeFeatures(-1, -1, Double.NaN, -1L, ok = false)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < targetH) {
+              val sy = y * h / targetH
+              var x = 0
+              while (x < targetW) {
+                val p = img.getRGB(x * w / targetW, sy)
+                sum += math.round(0.299 * ((p >> 16) & 0xff) +
+                  0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff))
+                x += 1
+              }
+              y += 1
+            }
+            ResizeFeatures(targetW, targetH,
+              sum.toDouble / (targetW.toLong * targetH), sum, ok = true)
+          }
+        case other =>
+          StubResizer.resize(bytes, other, declaredW, declaredH,
+            targetW, targetH)
+      }
+  }
+
+  /** STUB resizer for codec-less formats, cross-engine reproducible
+    * like [[StubDecoder]]: output pixel (x, y) nearest-neighbor-maps
+    * to declared source index
+    * `s = (y*declH/targetH)*declW + (x*declW/targetW)` (integer
+    * division) and reads the UNSIGNED payload byte at `s % len`. The
+    * oracle recomputes checksum/mean from `hex(bytes)` in SQL.
+    */
+  object StubResizer extends Resizer {
+    def resize(bytes: Array[Byte], fmt: String, declaredW: Int,
+        declaredH: Int, targetW: Int, targetH: Int): ResizeFeatures = {
+      if (bytes.isEmpty || declaredW <= 0 || declaredH <= 0)
+        return ResizeFeatures(-1, -1, Double.NaN, -1L, ok = false)
+      var sum = 0L
+      var y = 0
+      while (y < targetH) {
+        val sy = y * declaredH / targetH
+        var x = 0
+        while (x < targetW) {
+          val s = sy.toLong * declaredW + x * declaredW / targetW
+          sum += bytes((s % bytes.length).toInt) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      ResizeFeatures(targetW, targetH,
+        sum.toDouble / (targetW.toLong * targetH), sum, ok = true)
+    }
+  }
+
+  /** Attach resize features (same mapPartitions batch shape as
+    * [[withDecodeFeatures]]; payload does not pass through).
+    */
+  def withResizeFeatures(df: DataFrame, resizer: Resizer,
+      targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0,
+      s"target dims must be positive, got ${targetW}x$targetH")
+    val inSchema = df.schema
+    val bytesIdx = inSchema.fieldIndex("bytes")
+    val keptIdx = inSchema.fields.indices.filterNot(_ == bytesIdx)
+    val outSchema = StructType(keptIdx.map(inSchema.fields) ++ Seq(
+      StructField("resized_w", IntegerType),
+      StructField("resized_h", IntegerType),
+      StructField("resized_mean", DoubleType),
+      StructField("resized_checksum", LongType),
+      StructField("resize_ok", BooleanType)))
+    val fmtIdx = inSchema.fieldIndex("fmt")
+    val wIdx = inSchema.fieldIndex("w")
+    val hIdx = inSchema.fieldIndex("h")
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val f = resizer.resize(r.getAs[Array[Byte]](bytesIdx),
+          r.getString(fmtIdx), r.getInt(wIdx), r.getInt(hIdx),
+          targetW, targetH)
+        Row.fromSeq(keptIdx.map(r.get) ++
+          Seq(f.w, f.h, f.mean, f.checksum, f.ok))
+      }
+    }
+  }
+
+  /** Frame sampling for video-as-binary payloads: the payload is
+    * `n_frames` fixed-length frames back to back; keep every k-th
+    * frame as its own image-shaped row (frame_idx, bytes = the slice,
+    * fmt/w/h carried) ready for [[withDecodeFeatures]] /
+    * [[withResizeFeatures]].
+    *
+    * DELIBERATELY RELATIONAL, not mapPartitions: `posexplode` over the
+    * sampled indices and `substring` on the binary column are both
+    * codegen'd projections, so sampling never leaves whole-stage
+    * codegen and the full payload is read once per row from the scan —
+    * only the kept slices survive the projection. The heavy per-frame
+    * codec is the only part that needs the batch path downstream.
+    */
+  def sampleFrames(df: DataFrame, frameLenCol: Column,
+      nFramesCol: Column, everyK: Int): DataFrame = {
+    require(everyK >= 1, s"everyK must be >= 1, got $everyK")
+    val idxs = sequence(lit(0),
+      greatest(nFramesCol.cast("int") - 1, lit(0)), lit(everyK))
+    df.withColumn("__flen", frameLenCol.cast("int"))
+      .withColumn("frame_idx", explode(
+        when(nFramesCol > 0, idxs)
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("bytes",
+        col("bytes").substr(col("frame_idx") * col("__flen") + 1,
+          col("__flen")))
+      .drop("__flen")
   }
 
   /** Image near-duplicates by perceptual-hash Hamming distance — the

@@ -87,6 +87,75 @@ class TextMultimodalSpec extends SparkSpec {
     assert(a.head.getAs[Int]("decoded_w") == 4)
   }
 
+  test("ImageIoResizer: NN resize of a lossless PNG matches an " +
+      "independent per-pixel computation") {
+    val (w, h) = (12, 8)
+    val px = PixelCheck.syntheticPixels(5L, w, h)
+    val img = PixelCheck.toImage(px, w, h)
+    val png = PixelCheck.encode(img, "png")
+    val (tw, th) = (5, 3)
+    // independent NN reference over the ORIGINAL pixel array
+    var expSum = 0L
+    for (y <- 0 until th; x <- 0 until tw) {
+      val p = px(y * h / th * w + x * w / tw)
+      expSum += math.round(0.299 * ((p >> 16) & 0xff) +
+        0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff))
+    }
+    val d = df("image_id STRING, bytes BINARY, w INT, h INT, fmt STRING",
+      Seq(Row("a", png, w, h, "png")))
+    val out = Multimodal.withResizeFeatures(d,
+      Multimodal.ImageIoResizer, tw, th).head()
+    assert(out.getAs[Int]("resized_w") == tw)
+    assert(out.getAs[Int]("resized_h") == th)
+    assert(out.getAs[Long]("resized_checksum") == expSum)
+    assert(out.getAs[Boolean]("resize_ok"))
+    // payload must not pass through
+    assert(!Multimodal.withResizeFeatures(d,
+      Multimodal.ImageIoResizer, tw, th).columns.contains("bytes"))
+  }
+
+  test("stub resizer: NN source-index spec, empty payload fails clean") {
+    val bytes = Array.tabulate[Byte](24)(i => i.toByte)
+    val d = df("image_id STRING, bytes BINARY, w INT, h INT, fmt STRING",
+      Seq(Row("a", bytes, 6, 4, "webp"),
+        Row("b", Array.empty[Byte], 6, 4, "webp")))
+    val out = Multimodal.withResizeFeatures(d, Multimodal.StubResizer,
+      2, 2).orderBy("image_id").collect()
+    // out pixel (x,y) -> src (x*6/2, y*4/2) -> idx y*2*6 + x*3
+    val exp = Seq((0, 0), (1, 0), (0, 1), (1, 1)).map { case (x, y) =>
+      bytes((y * 4 / 2 * 6 + x * 6 / 2) % 24) & 0xff
+    }.sum
+    assert(out(0).getAs[Long]("resized_checksum") == exp.toLong)
+    assert(!out(1).getAs[Boolean]("resize_ok"))
+  }
+
+  test("sampleFrames: relational slicing, every k-th frame, codegen") {
+    val payload = Array.tabulate[Byte](20)(i => i.toByte) // 4 frames x 5
+    val d = df("image_id STRING, bytes BINARY, w INT, h INT, " +
+      "fmt STRING, n_frames INT",
+      Seq(Row("v", payload, 5, 1, "rawgray", 4)))
+    val frames = Multimodal.sampleFrames(d,
+      frameLenCol = length(col("bytes")) / 4,
+      nFramesCol = col("n_frames"), everyK = 2)
+    val got = frames.orderBy("frame_idx").collect()
+      .map(r => (r.getAs[Int]("frame_idx"),
+        r.getAs[Array[Byte]]("bytes").toSeq))
+    assert(got.toSeq == Seq(
+      (0, (0 until 5).map(_.toByte)),
+      (2, (10 until 15).map(_.toByte))))
+    // the sampling never leaves whole-stage codegen (no mapPartitions
+    // until the codec): the plan up to the explode is codegen'd and
+    // contains no SerializeFromObject/MapPartitions node
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions"), plan.take(500))
+    // zero frames -> zero rows, no error
+    val none = Multimodal.sampleFrames(
+      d.withColumn("n_frames", lit(0)),
+      frameLenCol = length(col("bytes")) / 4,
+      nFramesCol = col("n_frames"), everyK = 2)
+    assert(none.count() == 0)
+  }
+
   /** Brute-force winnowing reference: k-gram base-131 polynomial
     * hashes, min per window of w, distinct.
     */
