@@ -320,6 +320,28 @@ object QueriesData {
         .orderBy("image_id", "frame_idx")
     }),
 
+    "q83_dedup_end_to_end" -> ((s, dir) => {
+      // the full near-dup path composed: MinHash-LSH candidate pairs
+      // -> exact-Jaccard verify -> connected components -> keep one
+      // canonical doc per CLUSTER (plus all untouched docs). The
+      // oracle recomputes survivors from the EXHAUSTIVE all-pairs
+      // truth + a recursive-CTE closure, so this certifies recall of
+      // the banded LSH AND the component dedup in one signal.
+      val d = docsWithDups(s, dir)
+      val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+        threshold = 0.5)
+      Components.dedupByComponents(d, "doc_id", pairs, "id_a", "id_b")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    "q84_sample_exact_count" -> ((s, dir) => {
+      // exactly 7 docs per language, smallest-mixHash rule, through
+      // the bounded-heap top_k_by aggregate (no per-stratum sort)
+      Sharding.sampleExactPerStratum(tbl(s, dir, "documents"),
+        "lang", "doc_id", n = 7)
+        .orderBy("lang", "doc_id")
+    }),
+
     "q80_group_zscore" -> ((s, dir) => {
       // per-group standardization as agg + join-back (NOT a window:
       // a hot group would buffer in one task); population std,
@@ -472,6 +494,41 @@ object QueriesData {
         |    % 256000 / 1000.0 AS mean_luma,
         |  flen > 0 AS decode_ok
         |FROM f ORDER BY 1, 2""".stripMargin,
+
+    "q83_dedup_end_to_end" ->
+      s"""WITH RECURSIVE t AS ($docsWithDupsSql),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+         |    THEN list_transform(
+         |      range(0, len(string_split(text,' ')) - 2),
+         |      i -> array_to_string(
+         |        string_split(text,' ')[i+1:i+3], ' '))
+         |    ELSE [] END) AS s
+         |  FROM t),
+         |e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.s, b.s)))
+         |             AS DOUBLE) >= 0.5),
+         |u AS (SELECT ia AS a, ib AS b FROM e
+         |      UNION SELECT ib, ia FROM e),
+         |cc(id, comp) AS (
+         |  SELECT a, a FROM u
+         |  UNION
+         |  SELECT u.a, cc.comp FROM u JOIN cc ON u.b = cc.id),
+         |m AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id)
+         |SELECT t.doc_id FROM t LEFT JOIN m ON t.doc_id = m.id
+         |WHERE m.id IS NULL OR m.comp = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
+    "q84_sample_exact_count" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
+        |    AS rn
+        |  FROM documents)
+        |SELECT lang, doc_id FROM r WHERE rn <= 7
+        |ORDER BY lang, doc_id""".stripMargin,
 
     "q80_group_zscore" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,

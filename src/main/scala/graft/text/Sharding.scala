@@ -96,4 +96,28 @@ object Sharding {
   /** The mixed hash as a column (exposed for tests/oracles). */
   def mixHash(id: Column): Column =
     pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+
+  /** EXACT-COUNT deterministic stratified sample: the `n` rows with
+    * the smallest [[mixHash]] per stratum — a uniform sample of
+    * exactly `min(n, |stratum|)` rows, reproducible anywhere (the
+    * rate-based [[stratifiedSample]] is exact only in expectation).
+    *
+    * Runs through the bounded-heap [[graft.functions.TopKBy]]
+    * aggregate: ONE hash aggregation, shuffle carries ≤ n entries per
+    * (stratum, partition) — never a per-stratum sort, never the
+    * stratum's rows. Ties (hash collisions) break toward the smaller
+    * id, like the oracle's `ORDER BY hash, id`.
+    */
+  def sampleExactPerStratum(df: DataFrame, stratumCol: String,
+      idCol: String, n: Int): DataFrame = {
+    // TopKBy keeps the LARGEST scores; negate the hash to keep the
+    // smallest (ties still resolve toward the smaller id)
+    val score = -mixHash(col(idCol)).cast("double")
+    df.groupBy(col(stratumCol))
+      .agg(graft.functions.TopKBy.topKBy(score,
+        col(idCol).cast("long"), n).as("__s"))
+      .select(col(stratumCol),
+        explode(col("__s")).as("__e"))
+      .select(col(stratumCol), col("__e.id").as(idCol))
+  }
 }

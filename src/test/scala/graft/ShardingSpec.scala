@@ -38,6 +38,29 @@ class ShardingSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan.take(800))
   }
 
+  test("sampleExactPerStratum: exact counts, matches the sort rule, " +
+      "short strata") {
+    val rows = (1L to 900L).map(i =>
+      Row(i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
+    val d = df("id BIGINT, lang STRING", rows)
+    val out = Sharding.sampleExactPerStratum(d, "lang", "id", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out.groupBy(_._1).view.mapValues(_.size).toMap ==
+      Map("en" -> 10, "de" -> 10, "xx" -> 10))
+    // reference: sort by (mixHash, id), take 10 per stratum
+    val exp = d.withColumn("h", Sharding.mixHash(col("id")))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (l, a) =>
+        a.sortBy(t => (t._3, t._2)).take(10).map(t => (l, t._2))
+      }.toSet
+    assert(out == exp)
+    // stratum smaller than n -> the whole stratum
+    val tiny = df("id BIGINT, lang STRING",
+      Seq(Row(1L, "a"), Row(2L, "a"), Row(3L, "b")))
+    assert(Sharding.sampleExactPerStratum(tiny, "lang", "id", 5)
+      .count() == 3)
+  }
+
   test("stratifiedSample: deterministic, dyadic rates exact, " +
       "unlisted strata dropped") {
     val rows = (1L to 4000L).map(i =>
