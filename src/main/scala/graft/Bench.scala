@@ -40,7 +40,9 @@ object Bench {
     "q45_knn_bruteforce", "q47_lang_id", "q49_token_count",
     "q52_multimodal_decode", "q61_winnow_fingerprint",
     "q62_phash_neardup", "q73_curation_funnel", "q74_range_join",
-    "q75_interval_overlap")
+    "q75_interval_overlap", "q77_topk_per_group",
+    "q81_multimodal_resize", "q83_dedup_end_to_end",
+    "q85_asof_forward", "q86_tfidf")
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -342,6 +342,17 @@ object QueriesData {
         .orderBy("lang", "doc_id")
     }),
 
+    "q86_tfidf" -> ((s, dir) => {
+      // classic sparse relevance weights: one token explode, two
+      // map-side-combined aggs, vocab-side join; minTf prunes the
+      // unit-count tail before the join
+      TextOps.tfidf(tbl(s, dir, "documents"), "doc_id", "text",
+        minTf = 3)
+        .select(col("doc_id"), col("term"), col("tf"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "term")
+    }),
+
     "q80_group_zscore" -> ((s, dir) => {
       // per-group standardization as agg + join-back (NOT a window:
       // a hot group would buffer in one task); population std,
@@ -529,6 +540,22 @@ object QueriesData {
         |  FROM documents)
         |SELECT lang, doc_id FROM r WHERE rn <= 7
         |ORDER BY lang, doc_id""".stripMargin,
+
+    "q86_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf,
+        |  ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6)
+        |    AS tfidf
+        |FROM tf, n
+        |JOIN dfreq ON tf.term = dfreq.term
+        |WHERE tf.tf >= 3
+        |ORDER BY 1, 2""".stripMargin,
 
     "q80_group_zscore" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,

@@ -34,6 +34,17 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q85_asof_forward" -> ((s, dir) => {
+      // earliest FUTURE purchase per event (time-to-next-event label
+      // generation) — same one-exchange union+window plan as the
+      // backward join, frame flipped to (currentRow, following)
+      AsOfJoin.joinForward(tbl(s, dir, "events"), purchases(s, dir),
+        entity = "user_id", leftTs = "ts", rightTs = "ts",
+        rightValueCols = Seq("purchase_value"))
+        .select(col("event_id"), col("purchase_value"), col("matched_ts"))
+        .orderBy("event_id")
+    }),
+
     "q32_asof_join_tolerance" -> ((s, dir) => {
       AsOfJoin.join(tbl(s, dir, "events"), purchases(s, dir),
         entity = "user_id", leftTs = "ts", rightTs = "ts",
@@ -153,6 +164,13 @@ object QueriesTemporal {
          |       r.ts AS matched_ts
          |FROM events l ASOF LEFT JOIN ($purchasesSql) r
          |ON l.user_id = r.user_id AND l.ts > r.ts
+         |ORDER BY 1""".stripMargin,
+
+    "q85_asof_forward" ->
+      s"""SELECT l.event_id, r.purchase_value,
+         |       r.ts AS matched_ts
+         |FROM events l ASOF LEFT JOIN ($purchasesSql) r
+         |ON l.user_id = r.user_id AND l.ts <= r.ts
          |ORDER BY 1""".stripMargin,
 
     "q32_asof_join_tolerance" ->

@@ -68,10 +68,48 @@ object AsOfJoin {
 
     if (broadcastRight)
       joinBroadcast(left, right, entity, leftTs, rightTs, valueCols,
-        strict, toleranceSeconds)
+        strict, toleranceSeconds, forward = false)
     else
       joinUnion(left, right, entity, leftTs, rightTs, valueCols,
-        strict, toleranceSeconds, hotEntities, saltBuckets)
+        strict, toleranceSeconds, hotEntities, saltBuckets,
+        forward = false)
+  }
+
+  /** FORWARD as-of join: for each left row, the EARLIEST right row
+    * with right.ts >= left.ts (strict: >) within the entity — the
+    * time-mirrored dual of [[join]], for "time-to-next-event" /
+    * future-label generation. Identical strategies and skew handling;
+    * the union plan is still ONE exchange + one sort, with the window
+    * frame flipped to (currentRow, unboundedFollowing) and a
+    * first(ignoreNulls) carry-BACKWARD. `toleranceSeconds` bounds how
+    * far in the FUTURE the match may be.
+    *
+    * Leakage note: this operator reads future rows BY DESIGN (labels),
+    * the exact thing [[join]] must never do for features — keep their
+    * outputs in separate columns/pipelines.
+    */
+  def joinForward(
+      left: DataFrame,
+      right: DataFrame,
+      entity: String,
+      leftTs: String = "ts",
+      rightTs: String = "ts",
+      rightValueCols: Seq[String] = Seq.empty,
+      strict: Boolean = false,
+      toleranceSeconds: Option[Long] = None,
+      broadcastRight: Boolean = false,
+      hotEntities: Seq[String] = Seq.empty,
+      saltBuckets: Int = 8): DataFrame = {
+    val valueCols =
+      if (rightValueCols.nonEmpty) rightValueCols
+      else right.columns.filterNot(c => c == entity || c == rightTs).toSeq
+    if (broadcastRight)
+      joinBroadcast(left, right, entity, leftTs, rightTs, valueCols,
+        strict, toleranceSeconds, forward = true)
+    else
+      joinUnion(left, right, entity, leftTs, rightTs, valueCols,
+        strict, toleranceSeconds, hotEntities, saltBuckets,
+        forward = true)
   }
 
   private val MatchedTs = "__asof_matched_ts"
@@ -80,13 +118,20 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame, entity: String,
       leftTs: String, rightTs: String, valueCols: Seq[String],
       strict: Boolean, toleranceSeconds: Option[Long],
-      hotEntities: Seq[String], saltBuckets: Int): DataFrame = {
+      hotEntities: Seq[String], saltBuckets: Int,
+      forward: Boolean): DataFrame = {
 
     val leftCols = left.columns.toSeq
-    // side ordering at equal ts decides <= vs < :
-    //   <=  : right (0) sorts BEFORE left (1) -> same-instant rows visible
-    //   <   : right (2) sorts AFTER  left (1) -> same-instant rows invisible
-    val rightSide = if (strict) 2 else 0
+    // side ordering at equal ts decides whether same-instant right rows
+    // fall INSIDE the window frame:
+    //   backward <= : right (0) BEFORE left (1) -> visible
+    //   backward <  : right (2) AFTER  left (1) -> invisible
+    //   forward  >= : right (2) AFTER  left (1) -> visible (frame looks
+    //                 forward from the current row)
+    //   forward  >  : right (0) BEFORE left (1) -> invisible
+    val rightSide =
+      if (forward) { if (strict) 0 else 2 }
+      else { if (strict) 2 else 0 }
 
     val salted = hotEntities.nonEmpty && saltBuckets > 1
     val hotSet = hotEntities.toSet
@@ -132,20 +177,28 @@ object AsOfJoin {
       .select("__e", "__t", "__side", "__salt", "__l", "__r")
       .unionByName(taggedRight)
 
-    val w = Window.partitionBy(col("__e"), col("__salt"))
+    val base = Window.partitionBy(col("__e"), col("__salt"))
       .orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (w, carry) =
+      if (forward)
+        (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("__r"), ignoreNulls = true))
+      else
+        (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("__r"), ignoreNulls = true))
     val carried = unioned
-      .withColumn("__rv", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__rv", carry.over(w))
       .filter(col("__side") === 1)
 
-    finish(carried, leftCols, valueCols, leftTs, toleranceSeconds)
+    finish(carried, leftCols, valueCols, leftTs, toleranceSeconds,
+      forward)
   }
 
   private def joinBroadcast(
       left: DataFrame, right: DataFrame, entity: String,
       leftTs: String, rightTs: String, valueCols: Seq[String],
-      strict: Boolean, toleranceSeconds: Option[Long]): DataFrame = {
+      strict: Boolean, toleranceSeconds: Option[Long],
+      forward: Boolean): DataFrame = {
 
     val leftCols = left.columns.toSeq
     val rightArr = right
@@ -159,25 +212,38 @@ object AsOfJoin {
         col(entity).as("__le"), col(leftTs).as("__lt"))
       .join(broadcast(rightArr), col("__le") === col("__e"), "left")
 
-    val cmp: (Column, Column) => Column =
-      if (strict) (a, b) => a < b else (a, b) => a <= b
+    val cmp: (Column, Column) => Column = (forward, strict) match {
+      case (false, false) => (a, b) => a <= b
+      case (false, true)  => (a, b) => a < b
+      case (true, false)  => (a, b) => a >= b
+      case (true, true)   => (a, b) => a > b
+    }
     val eligible = filter(col("__hist"),
       r => cmp(r.getField(MatchedTs), col("__lt")))
+    // history is ts-ascending: backward takes the LAST eligible
+    // (latest past), forward the FIRST (earliest future)
     val carried = joined.withColumn("__rv",
-      when(size(eligible) > 0, element_at(eligible, -1)))
+      when(size(eligible) > 0,
+        element_at(eligible, if (forward) 1 else -1)))
 
-    finish(carried, leftCols, valueCols, leftTs, toleranceSeconds)
+    finish(carried, leftCols, valueCols, leftTs, toleranceSeconds,
+      forward)
   }
 
   private def finish(
       carried: DataFrame, leftCols: Seq[String], valueCols: Seq[String],
-      leftTs: String, toleranceSeconds: Option[Long]): DataFrame = {
+      leftTs: String, toleranceSeconds: Option[Long],
+      forward: Boolean = false): DataFrame = {
     val withinTol: Column = toleranceSeconds match {
       case Some(tol) =>
-        col("__rv").isNotNull &&
-          (unix_micros(col("__l").getField(leftTs).cast("timestamp")) -
-            unix_micros(col("__rv").getField(MatchedTs).cast("timestamp"))
-            <= tol * 1000000L)
+        val staleness =
+          if (forward)
+            unix_micros(col("__rv").getField(MatchedTs).cast("timestamp")) -
+              unix_micros(col("__l").getField(leftTs).cast("timestamp"))
+          else
+            unix_micros(col("__l").getField(leftTs).cast("timestamp")) -
+              unix_micros(col("__rv").getField(MatchedTs).cast("timestamp"))
+        col("__rv").isNotNull && (staleness <= tol * 1000000L)
       case None => col("__rv").isNotNull
     }
     val out = leftCols.map(c => col("__l").getField(c).as(c)) ++

@@ -144,4 +144,31 @@ object TextOps {
       .select(col("doc_id"), col("fp"))
       .distinct()
   }
+
+  /** TF-IDF term scores: `tfidf(d, t) = tf(d, t) * ln(N / df(t))` —
+    * the classic retrieval/curation relevance weight (e.g. keeping
+    * documents rich in domain terms, or building sparse retrieval
+    * features next to the dense ANN path).
+    *
+    * Scale shape: ONE explode of the token stream feeds two map-side-
+    * combined aggregations — per-(doc, term) counts and per-term
+    * document frequencies — joined back on `term`. The vocabulary side
+    * is |terms| rows (Zipf-small next to the corpus), so AQE
+    * broadcasts it; N is a driver scalar. No per-document state, no
+    * window. `minTf` prunes the long unit-count tail BEFORE the join.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String,
+      minTf: Int = 1): DataFrame = {
+    val n = df.count()
+    val toks = df.select(col(idCol).as("__id"),
+      explode(tokens(col(textCol))).as("__t"))
+    val tf = toks.groupBy(col("__id"), col("__t"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__df")) // tf rows are distinct (doc, term)
+    tf.filter(col("tf") >= minTf)
+      .join(dfreq, "__t")
+      .select(col("__id").as(idCol), col("__t").as("term"), col("tf"),
+        (col("tf") * log(lit(n.toDouble) / col("__df"))).as("tfidf"))
+  }
 }

@@ -26,6 +26,17 @@ class AsOfJoinPropertySpec extends SparkSpec {
         cands.sortBy(_.ts).lastOption.map(r => (r.ts, r.v))
     }.toMap
 
+  /** forward dual: earliest right.ts >= (or >) left.ts within tol */
+  private def modelFwd(ls: Seq[L], rs: Seq[R], strict: Boolean,
+      tol: Option[Long]): Map[(String, Long), Option[(Long, Double)]] =
+    ls.map { l =>
+      val cands = rs.filter(r => r.e == l.e &&
+        (if (strict) r.ts > l.ts else r.ts >= l.ts) &&
+        tol.forall(t => r.ts - l.ts <= t))
+      (l.e, l.ts) ->
+        cands.sortBy(_.ts).headOption.map(r => (r.ts, r.v))
+    }.toMap
+
   private def runCase(seed: Int): Unit = {
     val rnd = new scala.util.Random(seed)
     val nEnt = 1 + rnd.nextInt(5)
@@ -50,7 +61,10 @@ class AsOfJoinPropertySpec extends SparkSpec {
       .withColumn("rts", timestamp_seconds(col("rts")))
 
     val expected = model(ls, rs, strict, tol)
-    def check(out: org.apache.spark.sql.DataFrame, label: String): Unit = {
+    val expectedFwd = modelFwd(ls, rs, strict, tol)
+    def checkAgainst(
+        exp: Map[(String, Long), Option[(Long, Double)]])(
+        out: org.apache.spark.sql.DataFrame, label: String): Unit = {
       val got = out.collect().map { row =>
         val e = row.getAs[String]("e")
         val lt = row.getAs[java.sql.Timestamp]("lts").getTime / 1000
@@ -60,10 +74,12 @@ class AsOfJoinPropertySpec extends SparkSpec {
       }
       assert(got.length == ls.length, s"$label seed=$seed row count")
       got.foreach { case (k, v) =>
-        assert(v == expected(k).map(_._2),
-          s"$label seed=$seed at $k: got $v expected ${expected(k)}")
+        assert(v == exp(k).map(_._2),
+          s"$label seed=$seed at $k: got $v expected ${exp(k)}")
       }
     }
+    val check = checkAgainst(expected) _
+    val checkFwd = checkAgainst(expectedFwd) _
 
     check(AsOfJoin.join(lDf, rDf, "e", "lts", "rts", Seq("v"),
       strict = strict, toleranceSeconds = tol), "union")
@@ -73,6 +89,14 @@ class AsOfJoinPropertySpec extends SparkSpec {
     check(AsOfJoin.join(lDf, rDf, "e", "lts", "rts", Seq("v"),
       strict = strict, toleranceSeconds = tol,
       hotEntities = Seq("e0"), saltBuckets = 3), "salted")
+    checkFwd(AsOfJoin.joinForward(lDf, rDf, "e", "lts", "rts", Seq("v"),
+      strict = strict, toleranceSeconds = tol), "fwd-union")
+    checkFwd(AsOfJoin.joinForward(lDf, rDf, "e", "lts", "rts", Seq("v"),
+      strict = strict, toleranceSeconds = tol,
+      broadcastRight = true), "fwd-broadcast")
+    checkFwd(AsOfJoin.joinForward(lDf, rDf, "e", "lts", "rts", Seq("v"),
+      strict = strict, toleranceSeconds = tol,
+      hotEntities = Seq("e0"), saltBuckets = 3), "fwd-salted")
   }
 
   test("random as-of joins: all variants match the brute-force model") {

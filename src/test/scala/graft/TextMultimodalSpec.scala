@@ -87,6 +87,27 @@ class TextMultimodalSpec extends SparkSpec {
     assert(a.head.getAs[Int]("decoded_w") == 4)
   }
 
+  test("tfidf: hand-computed golden, minTf prunes before the join") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "a a b"), Row(2L, "a c"), Row(3L, "c c c")))
+    val out = TextOps.tfidf(d, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // N=3; df: a->2, b->1, c->2 (values within an ulp: Spark's
+    // intrinsified log can differ from StrictMath in the last bit)
+    def e(tf: Long, df: Long) = tf * math.log(3.0 / df)
+    val exp = Map(
+      (1L, "a") -> ((2L, e(2, 2))), (1L, "b") -> ((1L, e(1, 1))),
+      (2L, "a") -> ((1L, e(1, 2))), (2L, "c") -> ((1L, e(1, 2))),
+      (3L, "c") -> ((3L, e(3, 2))))
+    assert(out.keySet == exp.keySet)
+    exp.foreach { case (k, (tf, v)) =>
+      assert(out(k)._1 == tf && math.abs(out(k)._2 - v) < 1e-12, s"$k")
+    }
+    val pruned = TextOps.tfidf(d, "doc_id", "text", minTf = 2)
+    assert(pruned.count() == 2) // only (1,a) and (3,c)
+  }
+
   test("ImageIoResizer: NN resize of a lossless PNG matches an " +
       "independent per-pixel computation") {
     val (w, h) = (12, 8)
