@@ -56,6 +56,67 @@ object StreamingOps {
         col("w.end").as("window_end"), col("n_events"),
         col(s"${valueCol}_sum"), col(s"${valueCol}_avg"))
 
+  /** Event-time windowed top-k on a stream ("trending items"):
+    * watermark + tumbling window + the bounded-heap
+    * [[graft.functions.TopKBy]] aggregate. State per (window, group)
+    * is the k-entry heap — bytes, not rows — and the aggregate's
+    * serialize/merge cycle is exactly what incremental batches
+    * exercise (spec-pinned). Append mode: a window's top-k finalizes
+    * when the watermark passes, like any windowed agg.
+    *
+    * Output: group, window start/end, `rank`/`score`/`id` exploded.
+    */
+  def windowedTopKStream(events: DataFrame, groupCol: String,
+      ts: String, scoreCol: String, idCol: String, k: Int,
+      windowLen: String, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(ts, watermark)
+      .groupBy(window(col(ts), windowLen).as("w"), col(groupCol))
+      .agg(graft.functions.TopKBy.topKBy(col(scoreCol).cast("double"),
+        col(idCol).cast("long"), k).as("__topk"))
+      .select(col(groupCol), col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        posexplode(col("__topk")).as(Seq("__pos", "__e")))
+      .select(col(groupCol), col("window_start"), col("window_end"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.score").as("score"), col("__e.id").as("id"))
+
+  /** Stream -> snapshot-store sink: materialize a stream into the
+    * Iceberg-style [[graft.io.SnapshotStore]] via foreachBatch. Each
+    * micro-batch becomes one snapshot of the UNION of everything seen
+    * so far for its buckets; unchanged buckets are carried by
+    * reference (lineage diff), so a quiet bucket costs zero writes.
+    * Combined with `readChanges`, downstream jobs incrementally
+    * process exactly the buckets each batch touched. foreachBatch
+    * re-delivery on failure recovery is absorbed by the lineage diff:
+    * a replayed identical batch carries every bucket and writes
+    * nothing.
+    *
+    * NOTE: `append(batch)` must make the batch's rows part of the
+    * table (default: union with the previous snapshot's content,
+    * which re-reads prior buckets — fine for modest tables; at scale
+    * pass an append function that merges against your upsert keys).
+    */
+  def snapshotSink(stream: DataFrame, root: String,
+      bucketExpr: org.apache.spark.sql.Column,
+      queryName: String = "graft-snapshot-sink")
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val prev = graft.io.SnapshotStore.latestSnapshot(root)
+          .map(v => graft.io.SnapshotStore.read(s, root, Some(v)))
+        val full = prev match {
+          case Some(p) => p.unionByName(batch)
+          case None => batch
+        }
+        graft.io.SnapshotStore.write(full, root, bucketExpr)
+        ()
+      }
+
   /** Streaming exact dedup — the incremental counterpart of
     * `Dedup.exact`: key = xxhash64 of the content columns, state scoped
     * by the watermark (`dropDuplicatesWithinWatermark`), so the state

@@ -210,6 +210,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed top-k stream finalizes per window in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double, Long)]
+    val out = StreamingOps.windowedTopKStream(
+      input.toDF().toDF("g", "ts", "s", "id"),
+      "g", "ts", "s", "id", k = 2, windowLen = "10 minutes",
+      watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wtk")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ("a", ts("2024-01-01 10:01:00"), 3.0, 1L),
+        ("a", ts("2024-01-01 10:02:00"), 9.0, 2L),
+        ("a", ts("2024-01-01 10:03:00"), 5.0, 3L))
+      q.processAllAvailable()
+      // advance watermark past the 10:00-10:10 window
+      input.addData(("a", ts("2024-01-01 10:30:00"), 1.0, 4L))
+      q.processAllAvailable()
+      input.addData(("a", ts("2024-01-01 11:00:00"), 1.0, 5L))
+      q.processAllAvailable()
+      val rows = spark.table("wtk")
+        .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+        .orderBy("rank")
+        .collect().map(r => (r.getAs[Int]("rank"),
+          r.getAs[Double]("score"), r.getAs[Long]("id"))).toSeq
+      assert(rows == Seq((1, 9.0, 2L), (2, 5.0, 3L)))
+    } finally q.stop()
+  }
+
+  test("snapshotSink: micro-batches become lineage-diffed snapshots") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("snapsink").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.snapshotSink(
+      input.toDF().toDF("doc_id", "text"), root,
+      graft.io.SnapshotStore.byKey("doc_id", 4))
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("snapsink-ckpt").toString)
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      val v1 = graft.io.SnapshotStore.latestSnapshot(root).get
+      assert(graft.io.SnapshotStore.read(spark, root).count() == 2)
+
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      val v2 = graft.io.SnapshotStore.latestSnapshot(root).get
+      assert(v2 > v1)
+      assert(graft.io.SnapshotStore.read(spark, root).count() == 3)
+      // incremental read between the stream's snapshots sees only the
+      // bucket batch 2 touched
+      val changed = graft.io.SnapshotStore
+        .changedBuckets(root, Some(v1), v2)
+      assert(changed.size == 1)
+      val inc = graft.io.SnapshotStore
+        .readChanges(spark, root, Some(v1), v2)
+      assert(inc.filter(col("doc_id") === 3L).count() == 1)
+      // lineage verifies against storage
+      assert(graft.io.SnapshotStore.verify(spark, root).isEmpty)
+    } finally q.stop()
+  }
+
   test("top_k_by aggregates incrementally over a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
