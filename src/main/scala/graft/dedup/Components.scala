@@ -23,11 +23,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape per round: two equi-joins + one min-groupBy, ALL
   * hash-partitioned on node id — no broadcast of the label table, no
-  * driver-side graph. Lineage is truncated every round with an eager
-  * `localCheckpoint` (iterative plans otherwise grow exponentially and
-  * re-execute from the source each round); on a real cluster with an
-  * HDFS checkpoint dir, `sparkContext.setCheckpointDir` + `checkpoint`
-  * is the durable equivalent.
+  * driver-side graph. Lineage is truncated every round (iterative
+  * plans otherwise grow exponentially and re-execute from the source
+  * each round): if the cluster has a reliable checkpoint dir
+  * (`sparkContext.setCheckpointDir`, HDFS/S3), rounds use durable
+  * `checkpoint` — executor loss mid-computation recovers from the
+  * last round instead of restarting the whole iteration; otherwise
+  * eager `localCheckpoint` (executor-local blocks, fine for
+  * single-box runs).
   *
   * Convergence detection is exact and cheap: labels only ever
   * decrease, so the component assignment is stable exactly when no
@@ -54,10 +57,13 @@ object Components {
     val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ckpt: DataFrame => DataFrame =
+      if (edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        _.checkpoint(true)
+      else _.localCheckpoint(true)
     try {
-      var labels = und.select(col("u").as("id")).distinct()
-        .withColumn("comp", col("id"))
-        .localCheckpoint(true)
+      var labels = ckpt(und.select(col("u").as("id")).distinct()
+        .withColumn("comp", col("id")))
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
@@ -68,9 +74,9 @@ object Components {
         val l2 = labels.select(col("id").as("jid"), col("comp").as("jcomp"))
         val viaJump = labels.join(l2, col("comp") === col("jid"))
           .select(col("id"), col("jcomp").as("comp"))
-        val next = labels.unionByName(viaEdges).unionByName(viaJump)
-          .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-          .localCheckpoint(true)
+        val next = ckpt(labels.unionByName(viaEdges)
+          .unionByName(viaJump)
+          .groupBy(col("id")).agg(min(col("comp")).as("comp")))
         val changed = next.join(labels.withColumnRenamed("comp", "old"),
             "id")
           .filter(col("comp") =!= col("old")).count()

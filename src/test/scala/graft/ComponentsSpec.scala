@@ -59,6 +59,29 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("non-convergence inside maxIter fails loudly, not silently") {
+    val path = (1L until 50L).map(i => (i, i + 1))
+    val e = intercept[IllegalArgumentException] {
+      Components.connectedComponents(edgesDf(path), "a", "b",
+        maxIter = 2)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
+  test("reliable checkpoint dir is used when configured") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val got = ccMap(Seq((5L, 3L), (3L, 9L)))
+      assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
+      // durable round states actually landed in the checkpoint dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0)
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("dedupByComponents keeps representatives + untouched rows") {
     val data = df("id BIGINT, v STRING", Seq(
       Row(1L, "a"), Row(2L, "b"), Row(3L, "c"), Row(4L, "d"),
