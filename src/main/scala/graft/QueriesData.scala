@@ -353,6 +353,18 @@ object QueriesData {
         .orderBy("doc_id", "term")
     }),
 
+    "q87_group_quantile_cap" -> ((s, dir) => {
+      // per-group winsorizing: clip to each l_returnflag group's exact
+      // [p5, p95] (np.interp semantics) — distributed grouped quantile
+      // fit + caps joined back on the key, nothing collected
+      GroupOps.capByGroupQuantiles(
+        tbl(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_quantity")),
+        "l_returnflag", "l_quantity", loQ = 0.05, hiQ = 0.95)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "q80_group_zscore" -> ((s, dir) => {
       // per-group standardization as agg + join-back (NOT a window:
       // a hot group would buffer in one task); population std,
@@ -555,6 +567,41 @@ object QueriesData {
         |FROM tf, n
         |JOIN dfreq ON tf.term = dfreq.term
         |WHERE tf.tf >= 3
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q87_group_quantile_cap" ->
+      """WITH g AS (SELECT l_returnflag AS k, l_quantity AS v,
+        |    COUNT(*) AS w
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT k, v,
+        |    SUM(w) OVER (PARTITION BY k ORDER BY v) * 1.0 /
+        |      SUM(w) OVER (PARTITION BY k) AS f
+        |  FROM g),
+        |b AS (SELECT k,
+        |  MAX(CASE WHEN f <= 0.05 THEN f END) AS flo_l,
+        |  MAX(CASE WHEN f <= 0.05 THEN v END) AS vlo_l,
+        |  MIN(CASE WHEN f >= 0.05 THEN f END) AS fhi_l,
+        |  MIN(CASE WHEN f >= 0.05 THEN v END) AS vhi_l,
+        |  MAX(CASE WHEN f <= 0.95 THEN f END) AS flo_h,
+        |  MAX(CASE WHEN f <= 0.95 THEN v END) AS vlo_h,
+        |  MIN(CASE WHEN f >= 0.95 THEN f END) AS fhi_h,
+        |  MIN(CASE WHEN f >= 0.95 THEN v END) AS vhi_h
+        |  FROM c GROUP BY k),
+        |caps AS (SELECT k,
+        |  CASE WHEN flo_l IS NULL THEN vhi_l
+        |       WHEN fhi_l IS NULL OR fhi_l = flo_l THEN vlo_l
+        |       ELSE vlo_l + (0.05 - flo_l)/(fhi_l - flo_l)
+        |            * (vhi_l - vlo_l) END AS lo,
+        |  CASE WHEN flo_h IS NULL THEN vhi_h
+        |       WHEN fhi_h IS NULL OR fhi_h = flo_h THEN vlo_h
+        |       ELSE vlo_h + (0.95 - flo_h)/(fhi_h - flo_h)
+        |            * (vhi_h - vlo_h) END AS hi
+        |  FROM b)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  CASE WHEN l.l_quantity IS NULL THEN NULL
+        |       ELSE LEAST(GREATEST(l.l_quantity, caps.lo), caps.hi)
+        |       END AS l_quantity
+        |FROM lineitem l LEFT JOIN caps ON l.l_returnflag = caps.k
         |ORDER BY 1, 2""".stripMargin,
 
     "q80_group_zscore" ->

@@ -156,6 +156,68 @@ object Stats {
       case _ => None
     }
 
+  /** PER-GROUP exact weighted quantiles, same np.interp semantics as
+    * [[weightedQuantiles]] but keyed by a data column with the result
+    * staying DISTRIBUTED — one row per (group, q), never collected
+    * (group cardinality is data-sized, unlike the bounded column list
+    * of the melted fits).
+    *
+    * Shape: groupBy(key, value) collapses duplicates (map-side
+    * combine), one Window partitioning on key computes cumulative
+    * fractions (buffering bounded by DISTINCT values per group, not
+    * rows — the collapse runs first), one groupBy(key) computes every
+    * quantile's brackets in a single agg, then interp is a projection.
+    * All exchanges hash on the group key.
+    */
+  def groupedWeightedQuantiles(df: DataFrame, keyCol: String,
+      valueCol: String, weight: Column, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      s"quantiles must be in [0,1], got $qs")
+    val pairs = df
+      .filter(weight.cast("double") =!= 0)
+      .select(col(keyCol).as("k"),
+        col(valueCol).cast("double").as("v"),
+        weight.cast("double").as("w"))
+      // NaN is excluded from the FIT (it would sort as the largest
+      // value and poison the upper brackets); the capping transform
+      // passes NaN through untouched, so fit+transform stay coherent
+      .filter(col("v").isNotNull && !isnan(col("v")))
+      .groupBy(col("k"), col("v")).agg(sum(col("w")).as("w"))
+    val wOrd = Window.partitionBy(col("k")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("k"))
+    val fv = pairs.select(col("k"), col("v"),
+      (sum(col("w")).over(wOrd) / sum(col("w")).over(wAll)).as("f"))
+    val aggs = qs.zipWithIndex.flatMap { case (q, i) =>
+      Seq(
+        max(when(col("f") <= q, col("f"))).as(s"flo_$i"),
+        max(when(col("f") <= q, col("v"))).as(s"vlo_$i"),
+        min(when(col("f") >= q, col("f"))).as(s"fhi_$i"),
+        min(when(col("f") >= q, col("v"))).as(s"vhi_$i"))
+    }
+    val brackets = fv.groupBy(col("k")).agg(aggs.head, aggs.tail: _*)
+    val slots = qs.zipWithIndex.map { case (q, i) =>
+      struct(lit(q).as("q"),
+        interpCol(q, col(s"flo_$i"), col(s"vlo_$i"), col(s"fhi_$i"),
+          col(s"vhi_$i")).as("quantile"))
+    }
+    brackets
+      .select(col("k").as(keyCol),
+        explode(array(slots: _*)).as("__s"))
+      .select(col(keyCol), col("__s.q").as("q"),
+        col("__s.quantile").as("quantile"))
+  }
+
+  /** [[interp]] as a Column projection (same case order). */
+  private def interpCol(q: Double, fLo: Column, vLo: Column,
+      fHi: Column, vHi: Column): Column =
+    when(fLo.isNull && vLo.isNull && fHi.isNull && vHi.isNull,
+      lit(null).cast("double"))
+      .when(fLo.isNull, vHi)
+      .when(fHi.isNull, vLo)
+      .when(fHi === fLo, vLo)
+      .otherwise(vLo + (lit(q) - fLo) / (fHi - fLo) * (vHi - vLo))
+
   /** Exact weighted quantiles with np.interp semantics
     * (tubular/capping.py:335-452): cumulative weight fraction
     * f_i = cumsum(w)/sum(w) over values sorted ascending; quantile q is

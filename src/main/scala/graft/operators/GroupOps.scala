@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TopKBy
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-group operators that deliberately avoid the window formulation:
@@ -63,5 +63,36 @@ object GroupOps {
         (col(c) - col(s"__mu_$c")) / safeSd)
     }
     out.drop(columns.flatMap(c => Seq(s"__mu_$c", s"__sd_$c")): _*)
+  }
+
+  /** Per-group quantile capping: clip `valueCol` to the group's exact
+    * weighted [loQ, hiQ] quantiles (np.interp semantics, same as the
+    * global `CappingTransformer` fit) — per-domain p1/p99 winsorizing
+    * where one global cap would be wrong. NaN passes through unclipped
+    * and null stays null (polars clip parity, like `Capping.scala`);
+    * rows whose group has no non-null values keep their value.
+    *
+    * Shape: [[graft.core.Stats.groupedWeightedQuantiles]] (exchanges
+    * on the group key only) + an equi-join of the |groups|-row caps
+    * side back on the key — AQE broadcasts it in practice.
+    */
+  def capByGroupQuantiles(df: DataFrame, keyCol: String,
+      valueCol: String, loQ: Double, hiQ: Double,
+      weight: Column = lit(1)): DataFrame = {
+    require(loQ <= hiQ, s"loQ $loQ must be <= hiQ $hiQ")
+    val caps = graft.core.Stats.groupedWeightedQuantiles(
+      df, keyCol, valueCol, weight, Seq(loQ, hiQ))
+      .groupBy(col(keyCol).as("__ck"))
+      .agg(max(when(col("q") === loQ, col("quantile"))).as("__lo"),
+        max(when(col("q") === hiQ, col("quantile"))).as("__hi"))
+    val v = col(valueCol).cast("double")
+    df.join(caps, df(keyCol) === col("__ck"), "left")
+      .withColumn(valueCol,
+        when(v.isNull, lit(null).cast("double"))
+          .when(isnan(v), v) // NaN orders largest in Spark; guard it
+          .otherwise(
+            least(greatest(v, coalesce(col("__lo"), v)),
+              coalesce(col("__hi"), v))))
+      .drop("__ck", "__lo", "__hi")
   }
 }

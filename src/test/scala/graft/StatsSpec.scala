@@ -85,6 +85,46 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("grouped quantiles match the melted single-group path per key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 600).map { i =>
+      (s"g${i % 5}", rnd.nextInt(100).toDouble, (i % 3 + 1).toDouble)
+    }
+    val d = rows.toDF("k", "x", "wt").repartition(16)
+    val qs = Seq(0.05, 0.5, 0.95)
+    val got = Stats.groupedWeightedQuantiles(d, "k", "x", col("wt"), qs)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    (0 until 5).foreach { g =>
+      val sub = d.filter(col("k") === s"g$g")
+      val exp = Stats.weightedQuantiles(sub, "x", col("wt"), qs)
+      qs.zip(exp).foreach { case (q, e) =>
+        assert(math.abs(got((s"g$g", q)) - e.get) < 1e-12,
+          s"g$g q=$q")
+      }
+    }
+  }
+
+  test("capByGroupQuantiles: group caps applied; NaN/null pass through") {
+    import graft.operators.GroupOps
+    val d = df("k STRING, v DOUBLE",
+      ((1 to 100).map(i => Row("a", i.toDouble)) ++
+        Seq(Row("a", Double.NaN), Row("a", null),
+          Row("b", 5.0))))
+    val out = GroupOps.capByGroupQuantiles(d, "k", "v", 0.1, 0.9)
+    val aVals = out.filter(col("k") === "a" && !isnan(col("v")) &&
+      col("v").isNotNull).select("v").collect().map(_.getDouble(0))
+    // np.interp p10/p90 of 1..100 (unit weights): brackets at
+    // f=i/100 -> p10 = 10.0, p90 = 90.0 exactly
+    assert(aVals.min == 10.0 && aVals.max == 90.0)
+    assert(out.filter(isnan(col("v"))).count() == 1) // NaN untouched
+    assert(out.filter(col("v").isNull).count() == 1) // null stays null
+    // singleton group: p10 = p90 = the value itself
+    assert(out.filter(col("k") === "b").head().getDouble(1) == 5.0)
+  }
+
   test("cum-frac plan has no single-partition global window") {
     import spark.implicits._
     val pairs = (1 to 100).map(i => ("x", i.toDouble, 1.0))
