@@ -365,6 +365,32 @@ object QueriesData {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    "q88_group_robust_scale" -> ((s, dir) => {
+      // outlier-insensitive per-group scaling: (x - median)/IQR with
+      // exact np.interp quantiles, sklearn RobustScaler parity
+      GroupOps.robustScaleByGroup(
+        tbl(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_quantity")),
+        "l_returnflag", "l_quantity")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"),
+          round(col("l_quantity_rs"), 6).as("q_rs"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q89_group_pct_rank" -> ((s, dir) => {
+      // rank-normalization feature: per-group ECDF via cume_dist
+      GroupOps.percentileRankByGroup(
+        tbl(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_quantity")),
+        "l_returnflag", "l_quantity")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity_pct"), 6).as("q_pct"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "q80_group_zscore" -> ((s, dir) => {
       // per-group standardization as agg + join-back (NOT a window:
       // a hot group would buffer in one task); population std,
@@ -603,6 +629,56 @@ object QueriesData {
         |       END AS l_quantity
         |FROM lineitem l LEFT JOIN caps ON l.l_returnflag = caps.k
         |ORDER BY 1, 2""".stripMargin,
+
+    "q88_group_robust_scale" ->
+      """WITH g AS (SELECT l_returnflag AS k, l_quantity AS v,
+        |    COUNT(*) AS w
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT k, v,
+        |    SUM(w) OVER (PARTITION BY k ORDER BY v) * 1.0 /
+        |      SUM(w) OVER (PARTITION BY k) AS f
+        |  FROM g),
+        |b AS (SELECT k,
+        |  MAX(CASE WHEN f <= 0.25 THEN f END) AS flo1,
+        |  MAX(CASE WHEN f <= 0.25 THEN v END) AS vlo1,
+        |  MIN(CASE WHEN f >= 0.25 THEN f END) AS fhi1,
+        |  MIN(CASE WHEN f >= 0.25 THEN v END) AS vhi1,
+        |  MAX(CASE WHEN f <= 0.5 THEN f END) AS flo2,
+        |  MAX(CASE WHEN f <= 0.5 THEN v END) AS vlo2,
+        |  MIN(CASE WHEN f >= 0.5 THEN f END) AS fhi2,
+        |  MIN(CASE WHEN f >= 0.5 THEN v END) AS vhi2,
+        |  MAX(CASE WHEN f <= 0.75 THEN f END) AS flo3,
+        |  MAX(CASE WHEN f <= 0.75 THEN v END) AS vlo3,
+        |  MIN(CASE WHEN f >= 0.75 THEN f END) AS fhi3,
+        |  MIN(CASE WHEN f >= 0.75 THEN v END) AS vhi3
+        |  FROM c GROUP BY k),
+        |s AS (SELECT k,
+        |  CASE WHEN flo1 IS NULL THEN vhi1
+        |       WHEN fhi1 IS NULL OR fhi1 = flo1 THEN vlo1
+        |       ELSE vlo1 + (0.25 - flo1)/(fhi1 - flo1)
+        |            * (vhi1 - vlo1) END AS q1,
+        |  CASE WHEN flo2 IS NULL THEN vhi2
+        |       WHEN fhi2 IS NULL OR fhi2 = flo2 THEN vlo2
+        |       ELSE vlo2 + (0.5 - flo2)/(fhi2 - flo2)
+        |            * (vhi2 - vlo2) END AS med,
+        |  CASE WHEN flo3 IS NULL THEN vhi3
+        |       WHEN fhi3 IS NULL OR fhi3 = flo3 THEN vlo3
+        |       ELSE vlo3 + (0.75 - flo3)/(fhi3 - flo3)
+        |            * (vhi3 - vlo3) END AS q3
+        |  FROM b)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  CASE WHEN l.l_quantity IS NULL THEN NULL
+        |       ELSE ROUND((l.l_quantity - s.med) /
+        |         (CASE WHEN s.q3 - s.q1 = 0 THEN 1
+        |               ELSE s.q3 - s.q1 END), 6) END AS q_rs
+        |FROM lineitem l LEFT JOIN s ON l.l_returnflag = s.k
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q89_group_pct_rank" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(CUME_DIST() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity), 6) AS q_pct
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
 
     "q80_group_zscore" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,

@@ -95,4 +95,47 @@ object GroupOps {
               coalesce(col("__hi"), v))))
       .drop("__ck", "__lo", "__hi")
   }
+
+  /** Per-group robust scaling: `(x - median_g) / IQR_g` with exact
+    * np.interp quantiles (sklearn `RobustScaler` parity, grouped) —
+    * the outlier-insensitive alternative to [[standardizeByGroup]].
+    * Zero IQR divides by 1; NaN/null pass through.
+    */
+  def robustScaleByGroup(df: DataFrame, keyCol: String,
+      valueCol: String, suffix: String = "_rs",
+      weight: Column = lit(1)): DataFrame = {
+    val qs = graft.core.Stats.groupedWeightedQuantiles(
+      df, keyCol, valueCol, weight, Seq(0.25, 0.5, 0.75))
+      .groupBy(col(keyCol).as("__ck"))
+      .agg(max(when(col("q") === 0.5, col("quantile"))).as("__med"),
+        (max(when(col("q") === 0.75, col("quantile"))) -
+          max(when(col("q") === 0.25, col("quantile")))).as("__iqr"))
+    val v = col(valueCol).cast("double")
+    val safeIqr = when(col("__iqr").isNull || col("__iqr") === 0.0,
+      lit(1.0)).otherwise(col("__iqr"))
+    df.join(qs, df(keyCol) === col("__ck"), "left")
+      .withColumn(s"$valueCol$suffix",
+        when(v.isNull || isnan(v), v)
+          .otherwise((v - coalesce(col("__med"), lit(0.0))) / safeIqr))
+      .drop("__ck", "__med", "__iqr")
+  }
+
+  /** Per-group percentile rank (ECDF value in (0, 1]): the rank-
+    * normalization feature transform — `cume_dist` over the group,
+    * ordered by value. Uses the window directly: ECDF is inherently a
+    * per-group ranking, and cume_dist streams the sorted partition.
+    */
+  def percentileRankByGroup(df: DataFrame, keyCol: String,
+      valueCol: String, suffix: String = "_pct"): DataFrame = {
+    val out = s"$valueCol$suffix"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(valueCol))
+    // null rows are EXCLUDED from the ECDF (they'd shift both rank
+    // and denominator, and engines disagree on null sort order) and
+    // re-attached with a null rank
+    df.filter(col(valueCol).isNotNull)
+      .withColumn(out, cume_dist().over(w))
+      .unionByName(df.filter(col(valueCol).isNull)
+        .withColumn(out, lit(null).cast("double")))
+  }
 }

@@ -51,6 +51,36 @@ class GroupOpsSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan.take(500))
   }
 
+  test("robustScaleByGroup: (x-median)/IQR, zero-IQR -> x-median") {
+    val d = df("k STRING, x DOUBLE",
+      ((1 to 100).map(i => Row("a", i.toDouble)) ++
+        Seq(Row("b", 3.0), Row("b", 3.0))))
+    val out = GroupOps.robustScaleByGroup(d, "k", "x")
+    // 1..100 unit weights: q25=25.something? brackets i/100: f=0.25 at
+    // i=25 exactly -> q1=25, med=50, q3=75, IQR=50
+    val a = out.filter(col("k") === "a" && col("x") === 50.0)
+      .head().getAs[Double]("x_rs")
+    assert(a == 0.0)
+    val a100 = out.filter(col("k") === "a" && col("x") === 100.0)
+      .head().getAs[Double]("x_rs")
+    assert(a100 == 1.0) // (100-50)/50
+    // constant group: IQR 0 -> divide by 1 -> 0
+    assert(out.filter(col("k") === "b").collect()
+      .forall(_.getAs[Double]("x_rs") == 0.0))
+  }
+
+  test("percentileRankByGroup: ECDF over non-nulls, nulls get null") {
+    val d = df("k STRING, x DOUBLE", Seq(
+      Row("a", 10.0), Row("a", 20.0), Row("a", 30.0), Row("a", 40.0),
+      Row("a", null)))
+    val out = GroupOps.percentileRankByGroup(d, "k", "x")
+    val ranks = out.filter(col("x").isNotNull).orderBy("x")
+      .collect().map(_.getAs[Double]("x_pct")).toSeq
+    assert(ranks == Seq(0.25, 0.5, 0.75, 1.0)) // nulls excluded
+    assert(out.filter(col("x").isNull).head().isNullAt(
+      out.columns.indexOf("x_pct")))
+  }
+
   test("standardizeByGroup: z-scores, zero-variance group -> 0") {
     val d = df("k STRING, x DOUBLE", Seq(
       Row("a", 1.0), Row("a", 2.0), Row("a", 3.0),
