@@ -41,9 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"top_k_by expects 3 arguments, got ${args.length}")
         val k = args(2) match {
           case Literal(v: Int, _) => v
-          case Literal(v: Long, _) => v.toInt
+          case Literal(v: Long, _)
+              if v >= 1 && v <= Int.MaxValue => v.toInt
           case other => throw new IllegalArgumentException(
-            s"top_k_by: k must be an integer literal, got $other")
+            "top_k_by: k must be an integer literal in " +
+              s"[1, ${Int.MaxValue}], got $other")
         }
         TopKBy(args(0), args(1), k)
       }))

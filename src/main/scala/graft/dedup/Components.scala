@@ -32,6 +32,15 @@ import org.apache.spark.sql.functions._
   * eager `localCheckpoint` (executor-local blocks, fine for
   * single-box runs).
   *
+  * Checkpoint storage of superseded rounds is reclaimed by Spark's
+  * ContextCleaner once the driver drops the previous round's
+  * reference (each round rebinds `labels`): persisted blocks are
+  * always cleaned; durable checkpoint FILES are cleaned when the
+  * cluster sets `spark.cleaner.referenceTracking.cleanCheckpoints=
+  * true` — recommended for long-lived applications running many
+  * component jobs, else O(rounds) label-table copies persist in the
+  * checkpoint dir until application exit.
+  *
   * Convergence detection is exact and cheap: labels only ever
   * decrease, so the component assignment is stable exactly when no
   * row's label changed — one anti-condition count on the already

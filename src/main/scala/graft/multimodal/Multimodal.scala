@@ -147,7 +147,10 @@ object Multimodal {
     implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { it =>
       it.map { r =>
-        val f = decoder.decode(r.getAs[Array[Byte]](bytesIdx),
+        // null payload behaves like an empty one: ok=false, no NPE
+        val bytes = Option(r.getAs[Array[Byte]](bytesIdx))
+          .getOrElse(Array.emptyByteArray)
+        val f = decoder.decode(bytes,
           r.getString(fmtIdx), r.getInt(wIdx), r.getInt(hIdx))
         Row.fromSeq(keptIdx.map(r.get) ++
           Seq(f.decodedW, f.decodedH, f.meanLuma, f.ok))
@@ -237,7 +240,7 @@ object Multimodal {
         val sy = y * declaredH / targetH
         var x = 0
         while (x < targetW) {
-          val s = sy.toLong * declaredW + x * declaredW / targetW
+          val s = sy.toLong * declaredW + x.toLong * declaredW / targetW
           sum += bytes((s % bytes.length).toInt) & 0xff
           x += 1
         }
@@ -270,7 +273,9 @@ object Multimodal {
     implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { it =>
       it.map { r =>
-        val f = resizer.resize(r.getAs[Array[Byte]](bytesIdx),
+        val bytes = Option(r.getAs[Array[Byte]](bytesIdx))
+          .getOrElse(Array.emptyByteArray)
+        val f = resizer.resize(bytes,
           r.getString(fmtIdx), r.getInt(wIdx), r.getInt(hIdx),
           targetW, targetH)
         Row.fromSeq(keptIdx.map(r.get) ++

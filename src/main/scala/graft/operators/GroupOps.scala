@@ -48,21 +48,23 @@ object GroupOps {
     */
   def standardizeByGroup(df: DataFrame, keyCol: String,
       columns: Seq[String], suffix: String = "_z"): DataFrame = {
-    val stats = df.groupBy(col(keyCol)).agg(
-      columns.flatMap(c => Seq(
-        avg(col(c)).as(s"__mu_$c"),
-        stddev_pop(col(c)).as(s"__sd_$c"))).head,
-      columns.flatMap(c => Seq(
-        avg(col(c)).as(s"__mu_$c"),
-        stddev_pop(col(c)).as(s"__sd_$c"))).tail: _*)
-    val joined = df.join(stats, Seq(keyCol))
+    require(columns.nonEmpty, "standardizeByGroup: no columns given")
+    val aggs = columns.flatMap(c => Seq(
+      avg(col(c)).as(s"__mu_$c"),
+      stddev_pop(col(c)).as(s"__sd_$c")))
+    val stats = df.groupBy(col(keyCol).as("__zk"))
+      .agg(aggs.head, aggs.tail: _*)
+    // null-safe key match: a null-key group has stats too, and an
+    // inner EqualTo join would silently DROP its rows
+    val joined = df.join(stats, df(keyCol) <=> col("__zk"), "left")
     val out = columns.foldLeft(joined) { (d, c) =>
       val sd = col(s"__sd_$c")
       val safeSd = when(sd.isNull || sd === 0.0, lit(1.0)).otherwise(sd)
       d.withColumn(s"$c$suffix",
         (col(c) - col(s"__mu_$c")) / safeSd)
     }
-    out.drop(columns.flatMap(c => Seq(s"__mu_$c", s"__sd_$c")): _*)
+    out.drop("__zk")
+      .drop(columns.flatMap(c => Seq(s"__mu_$c", s"__sd_$c")): _*)
   }
 
   /** Per-group quantile capping: clip `valueCol` to the group's exact
@@ -86,7 +88,7 @@ object GroupOps {
       .agg(max(when(col("q") === loQ, col("quantile"))).as("__lo"),
         max(when(col("q") === hiQ, col("quantile"))).as("__hi"))
     val v = col(valueCol).cast("double")
-    df.join(caps, df(keyCol) === col("__ck"), "left")
+    df.join(caps, df(keyCol) <=> col("__ck"), "left")
       .withColumn(valueCol,
         when(v.isNull, lit(null).cast("double"))
           .when(isnan(v), v) // NaN orders largest in Spark; guard it
@@ -113,7 +115,7 @@ object GroupOps {
     val v = col(valueCol).cast("double")
     val safeIqr = when(col("__iqr").isNull || col("__iqr") === 0.0,
       lit(1.0)).otherwise(col("__iqr"))
-    df.join(qs, df(keyCol) === col("__ck"), "left")
+    df.join(qs, df(keyCol) <=> col("__ck"), "left")
       .withColumn(s"$valueCol$suffix",
         when(v.isNull || isnan(v), v)
           .otherwise((v - coalesce(col("__med"), lit(0.0))) / safeIqr))

@@ -87,15 +87,18 @@ object StreamingOps {
     * so far for its buckets; unchanged buckets are carried by
     * reference (lineage diff), so a quiet bucket costs zero writes.
     * Combined with `readChanges`, downstream jobs incrementally
-    * process exactly the buckets each batch touched. foreachBatch
-    * re-delivery on failure recovery is absorbed by the lineage diff:
-    * a replayed identical batch carries every bucket and writes
-    * nothing.
+    * process exactly the buckets each batch touched.
     *
-    * NOTE: `append(batch)` must make the batch's rows part of the
-    * table (default: union with the previous snapshot's content,
-    * which re-reads prior buckets — fine for modest tables; at scale
-    * pass an append function that merges against your upsert keys).
+    * Exactly-once across failure recovery: foreachBatch can REPLAY a
+    * batch whose snapshot already committed (crash after the manifest
+    * write but before the stream offsets commit). A committed batchId
+    * marker under `<root>/_stream_commits` makes the replay a no-op —
+    * the lineage diff alone cannot, because unioning an
+    * already-absorbed batch again would double its rows.
+    *
+    * NOTE: the default materialization unions the previous snapshot's
+    * content, re-reading prior buckets — fine for modest tables; at
+    * scale merge against your upsert keys instead.
     */
   def snapshotSink(stream: DataFrame, root: String,
       bucketExpr: org.apache.spark.sql.Column,
@@ -105,17 +108,42 @@ object StreamingOps {
     stream.writeStream
       .queryName(queryName)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val prev = graft.io.SnapshotStore.latestSnapshot(root)
-          .map(v => graft.io.SnapshotStore.read(s, root, Some(v)))
-        val full = prev match {
-          case Some(p) => p.unionByName(batch)
-          case None => batch
-        }
-        graft.io.SnapshotStore.write(full, root, bucketExpr)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        snapshotSinkBatch(batch, batchId, root, bucketExpr)
       }
+
+  /** One sink micro-batch (exposed for tests): idempotent per batchId
+    * via a write-ahead intent marker. Before writing, the batch
+    * records the base snapshot it builds on; a replay finds the
+    * marker and skips IF a newer snapshot exists (the write
+    * committed), or redoes the write if not (crash before commit).
+    * Both crash windows — before and after the manifest write — are
+    * covered; single-writer per root, like any streaming sink.
+    */
+  private[graft] def snapshotSinkBatch(batch: DataFrame, batchId: Long,
+      root: String, bucketExpr: org.apache.spark.sql.Column): Unit = {
+    val commits = java.nio.file.Paths.get(root, "_stream_commits")
+    val marker = commits.resolve(s"batch-$batchId")
+    val latest = graft.io.SnapshotStore.latestSnapshot(root)
+    if (java.nio.file.Files.exists(marker)) {
+      val base = java.nio.file.Files.readString(marker).trim.toInt
+      if (latest.exists(_ > base)) return // write committed; replay no-op
+      // else: crashed between intent and commit — redo below
+    } else {
+      java.nio.file.Files.createDirectories(commits)
+      java.nio.file.Files.writeString(marker,
+        latest.getOrElse(0).toString)
+    }
+    val s = batch.sparkSession
+    val prev = latest
+      .map(v => graft.io.SnapshotStore.read(s, root, Some(v)))
+    val full = prev match {
+      case Some(p) => p.unionByName(batch)
+      case None => batch
+    }
+    graft.io.SnapshotStore.write(full, root, bucketExpr)
+    ()
+  }
 
   /** Streaming exact dedup — the incremental counterpart of
     * `Dedup.exact`: key = xxhash64 of the content columns, state scoped

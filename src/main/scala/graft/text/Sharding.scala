@@ -30,8 +30,10 @@ object Sharding {
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // null values count as 0 (and a partition of only-null values
+      // must not NPE the driver-side unboxing)
       val partTotals = ranged.groupBy(col("__pid"))
-        .agg(sum(col(valueCol).cast("long")).as("t"))
+        .agg(sum(coalesce(col(valueCol).cast("long"), lit(0L))).as("t"))
         .collect().map(r => (r.getInt(0), r.getLong(1)))
         .sortBy(_._1)
       val offsets: Map[Int, Long] = partTotals.map(_._1)
@@ -44,8 +46,8 @@ object Sharding {
         .rowsBetween(Window.unboundedPreceding, -1)
       ranged
         .withColumn(outCol,
-          coalesce(sum(col(valueCol).cast("long")).over(w), lit(0L))
-            + offCol)
+          coalesce(sum(coalesce(col(valueCol).cast("long"), lit(0L)))
+            .over(w), lit(0L)) + offCol)
         .drop("__pid")
         // materialize before unpersist (caller sees a plain frame)
         .localCheckpoint(true)

@@ -51,6 +51,22 @@ class GroupOpsSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan.take(500))
   }
 
+  test("null group keys: rows kept and standardized/capped like any " +
+      "other group") {
+    val d = df("k STRING, x DOUBLE", Seq(
+      Row(null, 1.0), Row(null, 2.0), Row(null, 3.0), Row("a", 7.0)))
+    val z = GroupOps.standardizeByGroup(d, "k", Seq("x"))
+    assert(z.count() == 4) // null-key rows NOT dropped
+    val zs = z.filter(col("k").isNull).orderBy("x")
+      .collect().map(_.getAs[Double]("x_z"))
+    assert(math.abs(zs(1)) < 1e-12 && zs(0) < 0 && zs(2) > 0)
+    val capped = GroupOps.capByGroupQuantiles(d, "k", "x", 0.0, 0.5)
+    assert(capped.count() == 4)
+    // null group's p50 (np.interp over {1,2,3}) caps the 3.0 down
+    assert(capped.filter(col("k").isNull).agg(max("x")).head()
+      .getDouble(0) < 3.0)
+  }
+
   test("robustScaleByGroup: (x-median)/IQR, zero-IQR -> x-median") {
     val d = df("k STRING, x DOUBLE",
       ((1 to 100).map(i => Row("a", i.toDouble)) ++

@@ -276,6 +276,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshotSink batch replay is a no-op (write-ahead marker)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("snapsink-replay").toString
+    val bucket = graft.io.SnapshotStore.byKey("doc_id", 4)
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    StreamingOps.snapshotSinkBatch(b0, 0L, root, bucket)
+    assert(graft.io.SnapshotStore.read(spark, root).count() == 2)
+    // foreachBatch re-delivery of an already-committed batch: the
+    // lineage diff alone would union b0 AGAIN (doubling rows); the
+    // intent marker must short-circuit it
+    StreamingOps.snapshotSinkBatch(b0, 0L, root, bucket)
+    assert(graft.io.SnapshotStore.read(spark, root).count() == 2)
+    // an intent marker WITHOUT a committed snapshot (crash between
+    // marker and manifest) redoes the write
+    val commits = java.nio.file.Paths.get(root, "_stream_commits")
+    java.nio.file.Files.writeString(commits.resolve("batch-1"),
+      graft.io.SnapshotStore.latestSnapshot(root).get.toString)
+    StreamingOps.snapshotSinkBatch(
+      Seq((3L, "c")).toDF("doc_id", "text"), 1L, root, bucket)
+    assert(graft.io.SnapshotStore.read(spark, root).count() == 3)
+  }
+
   test("top_k_by aggregates incrementally over a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
