@@ -391,6 +391,30 @@ object QueriesData {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    "q90_hashing_encoder" -> ((s, dir) => {
+      // hashing-trick encoder: stateless, no vocabulary, works at
+      // any cardinality (the web-scale complement to one-hot's
+      // 100-level cap); md5 path is engine-portable
+      val t = new graft.operators.HashingEncoderTransformer(
+        Seq("source", "lang"), nFeatures = 64, signed = true)
+      t.transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("source_hash"), col("source_sign"),
+          col("lang_hash"), col("lang_sign"))
+        .orderBy("doc_id")
+    }),
+
+    "q91_quantile_binner" -> ((s, dir) => {
+      // pd.qcut-style quantile binning: exact np.interp edges fitted
+      // distributed, digitize(right=True) transform
+      val d = tbl(s, dir, "lineitem")
+      val t = new graft.operators.QuantileBinnerTransformer(
+        Seq("l_quantity"), nBins = 4).fit(d)
+      t.transform(d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity_qbin"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "q80_group_zscore" -> ((s, dir) => {
       // per-group standardization as agg + join-back (NOT a window:
       // a hot group would buffer in one task); population std,
@@ -629,6 +653,47 @@ object QueriesData {
         |       END AS l_quantity
         |FROM lineitem l LEFT JOIN caps ON l.l_returnflag = caps.k
         |ORDER BY 1, 2""".stripMargin,
+
+    "q90_hashing_encoder" ->
+      """SELECT doc_id,
+        |  CAST(CAST('0x' || substring(md5(source), 1, 15) AS BIGINT)
+        |    % 64 AS INTEGER) AS source_hash,
+        |  CAST(CASE WHEN CAST('0x' || substring(md5(source), 17, 1)
+        |      AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS INTEGER)
+        |    AS source_sign,
+        |  CAST(CAST('0x' || substring(md5(lang), 1, 15) AS BIGINT)
+        |    % 64 AS INTEGER) AS lang_hash,
+        |  CAST(CASE WHEN CAST('0x' || substring(md5(lang), 17, 1)
+        |      AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS INTEGER)
+        |    AS lang_sign
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q91_quantile_binner" ->
+      """WITH g AS (SELECT l_quantity AS v, COUNT(*) AS w
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+        |c AS (SELECT v,
+        |    SUM(w) OVER (ORDER BY v) * 1.0 /
+        |      (SELECT SUM(w) FROM g) AS f
+        |  FROM g),
+        |qv(q) AS (VALUES (0.25), (0.5), (0.75)),
+        |b AS (SELECT q,
+        |  MAX(CASE WHEN f <= q THEN f END) AS flo,
+        |  MAX(CASE WHEN f <= q THEN v END) AS vlo,
+        |  MIN(CASE WHEN f >= q THEN f END) AS fhi,
+        |  MIN(CASE WHEN f >= q THEN v END) AS vhi
+        |  FROM c CROSS JOIN qv GROUP BY q),
+        |e AS (SELECT q,
+        |  CASE WHEN flo IS NULL THEN vhi
+        |       WHEN fhi IS NULL OR fhi = flo THEN vlo
+        |       ELSE vlo + (q - flo)/(fhi - flo) * (vhi - vlo)
+        |       END AS edge
+        |  FROM b)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity IS NULL THEN NULL
+        |       ELSE CAST((SELECT COUNT(*) FROM e
+        |                  WHERE l_quantity > e.edge) AS INTEGER)
+        |       END AS l_quantity_qbin
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
 
     "q88_group_robust_scale" ->
       """WITH g AS (SELECT l_returnflag AS k, l_quantity AS v,

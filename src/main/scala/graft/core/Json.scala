@@ -103,6 +103,15 @@ object Json {
 
   /** classname -> builder from parsed init map. */
   val registry: Map[String, Map[String, Any] => Transformer] = Map(
+    "QuantileBinnerTransformer" -> (i => {
+      val p = new P(i)
+      new QuantileBinnerTransformer(p.strs("columns"),
+        p.int("n_bins"), p.strOpt("weights_column"),
+        p.str("suffix")) }),
+    "HashingEncoderTransformer" -> (i => {
+      val p = new P(i)
+      new HashingEncoderTransformer(p.strs("columns"),
+        p.int("n_features"), p.str("hash"), p.bool("signed")) }),
     "ArbitraryImputer" -> (i => {
       val p = new P(i); new ArbitraryImputer(p.strs("columns"),
         p.raw("impute_value")) }),

@@ -437,3 +437,66 @@ class OneHotEncodingTransformer(
     super.restoreFit(fit)
   }
 }
+
+/** Hashing-trick categorical encoder (sklearn `FeatureHasher` /
+  * Vowpal-Wabbit style): `{c}_hash = hash(value) mod nFeatures`, with
+  * an optional ±1 `{c}_sign` from an independent hash bit (the
+  * classic collision-bias canceller). STATELESS — no fit, no level
+  * vocabulary, no cardinality cap: this is the encoder that still
+  * works when one-hot's 100-level limit and the level-map collects
+  * are off the table (10^8-cardinality URL/domain/id columns at
+  * corpus scale). Null encodes to null.
+  *
+  * `hashName`:
+  *  - "md5" (default): bucket from the first 15 hex chars of
+  *    md5(value) — engine-portable (the DuckDB oracle reproduces it
+  *    digit-for-digit, q90);
+  *  - "xxhash64": Spark's codegen'd 64-bit hash — fastest, for
+  *    production pipelines that never leave Spark.
+  */
+class HashingEncoderTransformer(
+    val columns: Seq[String],
+    val nFeatures: Int,
+    val hashName: String = "md5",
+    val signed: Boolean = false
+) extends Transformer {
+  require(nFeatures > 0, s"n_features must be positive, got $nFeatures")
+  require(Seq("md5", "xxhash64").contains(hashName),
+    s"hash must be md5 or xxhash64, got $hashName")
+
+  private def bucket(c: Column): Column = hashName match {
+    case "md5" =>
+      pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(nFeatures.toLong))
+    case _ => pmod(xxhash64(c.cast("string")), lit(nFeatures.toLong))
+  }
+
+  /** Independent bit: md5 tail (or a salted xxhash64), LSB -> ±1. */
+  private def sign(c: Column): Column = {
+    val bit = hashName match {
+      case "md5" =>
+        conv(substring(md5(c.cast("string")), 17, 1), 16, 10)
+          .cast("long") % 2
+      case _ => pmod(xxhash64(c.cast("string"), lit("sign")), lit(2L))
+    }
+    when(bit === 0, 1).otherwise(-1)
+  }
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    columns.flatMap { c =>
+      val base = Seq(s"${c}_hash" ->
+        when(col(c).isNull, lit(null).cast("int"))
+          .otherwise(bucket(col(c)).cast("int")))
+      if (signed) base :+ (s"${c}_sign" ->
+        when(col(c).isNull, lit(null).cast("int"))
+          .otherwise(sign(col(c)).cast("int")))
+      else base
+    }
+
+  override def featureNamesOut: Seq[String] =
+    columns.flatMap(c => Seq(s"${c}_hash") ++
+      (if (signed) Seq(s"${c}_sign") else Seq.empty))
+  override def initParams: Map[String, Any] = Map(
+    "columns" -> columns, "n_features" -> nFeatures,
+    "hash" -> hashName, "signed" -> signed)
+}

@@ -487,3 +487,74 @@ class PCATransformer(
     super.restoreFit(fit)
   }
 }
+
+/** Quantile binning — pd.qcut / sklearn `KBinsDiscretizer
+  * (strategy="quantile")` semantics over the engine's exact
+  * distributed weighted quantiles: fit learns `nBins - 1` interior
+  * np.interp quantile edges per column (one melted pass for ALL
+  * columns, range-partitioned prefix sums — no single-partition
+  * stage), transform is `np.digitize(x, edges, right=True)` as a
+  * codegen'd `when` chain: bucket = index of first edge >= x, values
+  * above the last edge -> nBins - 1. Null stays null. Not in the
+  * reference (its Cut needs user edges, OneDKmeans learns k-means
+  * bins); standard feature engineering at corpus scale.
+  */
+class QuantileBinnerTransformer(
+    val columns: Seq[String],
+    val nBins: Int,
+    val weightsColumn: Option[String] = None,
+    val suffix: String = "qbin"
+) extends Transformer {
+  require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+
+  override def needsFit: Boolean = true
+  var edges: Map[String, Seq[Double]] = Map.empty
+
+  override def fitInputCols: Seq[String] = columns ++ weightsColumn
+
+  override def fit(df: DataFrame): this.type = {
+    baseFitChecks(df)
+    requireNumeric(df, columns)
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val rows = graft.core.Weights.fitRows(df, weightsColumn)
+    val w = graft.core.Weights.weightCol(weightsColumn)
+    val fitted = graft.core.Stats.weightedQuantilesMelted(
+      rows, columns.map(_ -> qs.toSeq).toMap, w)
+    edges = columns.map { c =>
+      val es = fitted(c).map(_.getOrElse(throw new IllegalStateException(
+        s"$classname: no quantiles learned for $c (all null?)")))
+      c -> es
+    }.toMap
+    fittedFlag = true
+    this
+  }
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] = {
+    require(isFitted, s"$classname: fit before transform")
+    columns.map { c =>
+      val x = col(c).cast("double")
+      val chain = edges(c).zipWithIndex
+        .foldRight(lit(nBins - 1): Column) {
+          case ((e, i), acc) => when(x <= e, i).otherwise(acc)
+        }
+      s"${c}_$suffix" -> when(x.isNull, lit(null).cast("int"))
+        .otherwise(chain.cast("int"))
+    }
+  }
+
+  override def featureNamesOut: Seq[String] =
+    columns.map(c => s"${c}_$suffix")
+  override def initParams: Map[String, Any] = Map(
+    "columns" -> columns, "n_bins" -> nBins,
+    "weights_column" -> weightsColumn.orNull, "suffix" -> suffix)
+  override def fitParams: Map[String, Any] = Map("edges" -> edges)
+  override def restoreFit(fit: Map[String, Any]): this.type = {
+    edges = fit("edges").asInstanceOf[Map[String, Seq[Any]]]
+      .map { case (k, v) => k -> v.map {
+        case d: Double => d
+        case l: Long => l.toDouble
+        case x => x.toString.toDouble
+      } }
+    super.restoreFit(fit)
+  }
+}

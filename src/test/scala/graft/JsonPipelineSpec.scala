@@ -46,7 +46,10 @@ class JsonPipelineSpec extends SparkSpec {
         (None: Option[String]) -> "was_null"))),
       new RatioTransformer("a", "y"),
       new LowerCaseTransformer(Seq("b")),
-      new SetValueTransformer(Seq("b"), "k"))
+      new SetValueTransformer(Seq("b"), "k"),
+      new QuantileBinnerTransformer(Seq("y"), nBins = 2).fit(frame()),
+      new HashingEncoderTransformer(Seq("b"), nFeatures = 16,
+        signed = true))
     transformers.foreach { t =>
       val json = Json.transformerToJson(t)
       val t2 = Json.transformerFromJson(json)

@@ -1,8 +1,10 @@
 package graft
 
 import graft.core.Json
-import graft.operators.OneDKmeansTransformer
+import graft.operators.{HashingEncoderTransformer, OneDKmeansTransformer,
+  QuantileBinnerTransformer}
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 
 /** OneDKmeansTransformer vs the reference pytest goldens
   * (/root/reference/tests/numeric/test_OneDKmeansTransformer.py:60-252,
@@ -273,5 +275,45 @@ class TwoColInteractionPcaSpec extends SparkSpec {
       .restoreFit(t.fitParams)
     assert(t2.transform(d).orderBy("id").collect().toSeq ==
       t.transform(d).orderBy("id").collect().toSeq)
+  }
+
+  test("QuantileBinner: np.interp edges, digitize right=True, nulls") {
+    // 1..100 unit weights: edges at p25/p50/p75 = 25, 50, 75 exactly
+    val d = df("x DOUBLE",
+      (1 to 100).map(i => Row(i.toDouble)) :+ Row(null))
+    val t = new QuantileBinnerTransformer(Seq("x"), nBins = 4).fit(d)
+    assert(t.edges("x") == Seq(25.0, 50.0, 75.0))
+    val out = t.transform(d)
+    def bin(v: Double) = out.filter(col("x") === v)
+      .head().getAs[Int]("x_qbin")
+    assert(bin(25.0) == 0) // right=True: x <= edge -> earlier bin
+    assert(bin(26.0) == 1 && bin(50.0) == 1)
+    assert(bin(75.0) == 2 && bin(76.0) == 3 && bin(100.0) == 3)
+    assert(out.filter(col("x").isNull).head()
+      .isNullAt(out.columns.indexOf("x_qbin")))
+    // weighted: weight 0 rows are excluded from the fit
+    val dw = df("x DOUBLE, w DOUBLE",
+      ((1 to 10).map(i => Row(i.toDouble, 1.0)) :+ Row(1000.0, 0.0)))
+    val tw = new QuantileBinnerTransformer(Seq("x"), 2,
+      weightsColumn = Some("w")).fit(dw)
+    assert(tw.edges("x").head < 11.0)
+  }
+
+  test("HashingEncoder: stateless, in-range, null-safe, both hashes") {
+    val d = df("b STRING", Seq(Row("alpha"), Row("beta"), Row(null)))
+    Seq("md5", "xxhash64").foreach { h =>
+      val t = new HashingEncoderTransformer(Seq("b"), nFeatures = 8,
+        hashName = h, signed = true)
+      assert(t.isFitted) // stateless: born fitted, no fit needed
+      val out = t.transform(d).collect()
+      out.filter(!_.isNullAt(1)).foreach { r =>
+        val v = r.getAs[Int]("b_hash")
+        assert(v >= 0 && v < 8, s"$h bucket $v")
+        assert(math.abs(r.getAs[Int]("b_sign")) == 1)
+      }
+      assert(out.count(_.isNullAt(1)) == 1) // null -> null
+      // deterministic across invocations
+      assert(t.transform(d).collect().toSeq == out.toSeq)
+    }
   }
 }
