@@ -415,6 +415,19 @@ object QueriesData {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    "q92_pq_codes" -> ((s, dir) => {
+      // PQ encode with a PINNED codebook (fit itself is Lloyd's, not
+      // SQL-reproducible — spec-pinned instead): per-subspace argmin
+      // over quantized integer distances, a pure projection the
+      // oracle recomputes with list arithmetic
+      Knn.pqCodes(PinnedPq.model, tbl(s, dir, "embeddings"),
+        "vec_id", "embedding")
+        .select(col("item_id").as("vec_id"),
+          element_at(col("codes"), 1).as("code_0"),
+          element_at(col("codes"), 2).as("code_1"))
+        .orderBy("vec_id")
+    }),
+
     "q80_group_zscore" -> ((s, dir) => {
       // per-group standardization as agg + join-back (NOT a window:
       // a hot group would buffer in one task); population std,
@@ -450,6 +463,37 @@ object QueriesData {
         .orderBy("bucket")
     })
   )
+
+  /** Pinned 2x4 PQ codebook for the q92 oracle: distances are exact
+    * quantized-integer arithmetic, reproducible in SQL.
+    */
+  private object PinnedPq {
+    val cents: Array[Array[Double]] = Array(
+      Array.fill(32)(0.0),
+      Array.fill(32)(0.5),
+      Array.fill(32)(-0.5),
+      Array.tabulate(32)(i => if (i % 2 == 0) 0.25 else -0.25))
+    val model: Knn.PqModel =
+      Knn.PqModel(2, 32, Array(cents, cents))
+
+    /** DuckDB argmin over the same integer distance formula. */
+    def argminSql(lo: Int, hi: Int): String = {
+      val sub = s"list_transform(embedding[$lo:$hi], " +
+        "x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+      val dists = cents.map { c =>
+        val cq = c.map(x => math.round(x * 1000))
+        val n2 = cq.map(v => v * v).sum
+        val lst = cq.mkString("[", ",", "]")
+        s"($n2 - 2 * list_sum(list_transform(list_zip($sub, $lst)," +
+          " x -> x[1] * x[2])))"
+      }
+      // index of the minimum, ties -> lower index (strict < later)
+      (1 until 4).foldLeft("0") { (acc, i) =>
+        s"CASE WHEN ${dists(i)} < LEAST(${dists.take(i).mkString(",")})" +
+          s" THEN $i ELSE $acc END"
+      }
+    }
+  }
 
   /** Exhaustive top-10-by-cosine truth over the quantized embeddings
     * (q45's oracle). */
@@ -744,6 +788,12 @@ object QueriesData {
         |  ROUND(CUME_DIST() OVER (PARTITION BY l_returnflag
         |    ORDER BY l_quantity), 6) AS q_pct
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
+    "q92_pq_codes" ->
+      s"""SELECT vec_id,
+         |  CAST(${PinnedPq.argminSql(1, 32)} AS INTEGER) AS code_0,
+         |  CAST(${PinnedPq.argminSql(33, 64)} AS INTEGER) AS code_1
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q80_group_zscore" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,

@@ -248,4 +248,144 @@ object Knn {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  // ---- product quantization (PQ) ----------------------------------
+
+  /** Fitted PQ codebook: `m` subspaces x `ksub` centroids of `dsub`
+    * dims each — the memory-compression half of web-scale ANN: a
+    * 64-dim float vector (256 B) becomes `m` byte codes, so a corpus'
+    * candidate scan touches codes + a per-query lookup table instead
+    * of raw vectors. Driver-side state is m x ksub x dsub doubles.
+    */
+  final case class PqModel(m: Int, dsub: Int,
+      centroids: Array[Array[Array[Double]]])
+
+  /** Per-subspace Lloyd's, fully relational like [[ivfBuild]]: one
+    * explode to (subspace, subvector) rows, assignment = a codegen'd
+    * argmin switched on the subspace id, centroid update = ONE
+    * groupBy(sub, cluster, dim) avg for ALL subspaces — m codebooks
+    * train in the same pair of jobs per iteration, not m passes.
+    * Seeds: the ksub smallest-xxhash corpus vectors, sliced per
+    * subspace (deterministic — no rand()).
+    */
+  def pqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, ksub: Int = 8, iters: Int = 2): PqModel = {
+    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val dsub = dims / m
+    val seedRows = corpus
+      .select(col(vecCol), xxhash64(col(idCol).cast("string")).as("__h"))
+      .orderBy(col("__h")).limit(ksub).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(m)(i =>
+      seedRows.map(_.slice(i * dsub, (i + 1) * dsub)))
+
+    (1 to iters).foreach { _ =>
+      val cs = cents
+      val subCols = (0 until m).map(i => struct(lit(i).as("s"),
+        slice(col(vecCol), i * dsub + 1, dsub).as("v")))
+      val sub = corpus.select(explode(array(subCols: _*)).as("p"))
+        .select(col("p.s").as("s"), col("p.v").as("v"))
+      val subq = Dedup.quantize(col("v"))
+      val assign = (0 until m).foldLeft(lit(-1): Column) {
+        case (acc, i) =>
+          when(col("s") === i, nearestCentroid(subq, cs(i)))
+            .otherwise(acc)
+      }
+      val assigned = sub.select(col("s"), assign.as("c"),
+        posexplode(col("v")).as(Seq("d", "x")))
+      val updated = assigned.groupBy(col("s"), col("c"), col("d"))
+        .agg(avg(col("x")).as("mv"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+      cents = Array.tabulate(m) { i =>
+        Array.tabulate(ksub) { c =>
+          updated.get((i, c)) match {
+            case Some(rows) =>
+              val v = Array.ofDim[Double](dsub)
+              rows.foreach(r => v(r.getInt(2)) = r.getDouble(3))
+              v
+            case None => cents(i)(c) // empty cell keeps its seed
+          }
+        }
+      }
+    }
+    PqModel(m, dsub, cents)
+  }
+
+  /** Encode: each vector -> `m` codebook indices. PURE PROJECTION —
+    * per subspace a codegen'd argmin over `ksub` literal centroids;
+    * the corpus never shuffles and the output is the compressed
+    * representation downstream scans carry.
+    */
+  def pqCodes(model: PqModel, corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("item_id"),
+      array((0 until model.m).map(i => nearestCentroid(
+        Dedup.quantize(slice(col(vecCol), i * model.dsub + 1,
+          model.dsub)), model.centroids(i))): _*).as("codes"))
+
+  /** ADC (asymmetric distance computation) top-k over codes: the
+    * query keeps its exact subvectors, items contribute only their
+    * codes — score = approximate cosine from per-subspace
+    * (query . centroid[code]) inner products plus the codebook's own
+    * reconstructed norm. The corpus side carries m small ints per
+    * item; queries (with their literal m x ksub lookup structure)
+    * broadcast.
+    */
+  def pqTopK(model: PqModel, codes: DataFrame, queries: DataFrame,
+      queryIdCol: String, vecCol: String, k: Int): DataFrame = {
+    val tables: Seq[Seq[Seq[Long]]] = model.centroids.toSeq.map(
+      _.toSeq.map(_.toSeq.map(x => math.round(x * 1000))))
+    import graft.functions.DotProductQ.dotQ
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      Dedup.quantize(col(vecCol)).as("__qq"))
+    val joined = codes.crossJoin(broadcast(q))
+    val subScores = (0 until model.m).map { i =>
+      val cent = element_at(typedLit(tables(i)),
+        element_at(col("codes"), i + 1) + 1)
+      val qsub = slice(col("__qq"), i * model.dsub + 1, model.dsub)
+      (dotQ(cent, qsub).as(s"__ip_$i"),
+        dotQ(cent, cent).as(s"__nn_$i"))
+    }
+    val ip = subScores.map(_._1.cast("double") * 1.0)
+      .reduce(_ + _)
+    val n2 = subScores.map(_._2.cast("double") * 1.0)
+      .reduce(_ + _)
+    val qn2 = dotQ(col("__qq"), col("__qq")).cast("double")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_pq").desc, col("item_id"))
+    joined
+      .select(col("query_id"), col("item_id"),
+        (ip / (sqrt(n2) * sqrt(qn2))).as("cosine_pq"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** PQ search with exact re-rank — the production shape: ADC over
+    * codes shortlists `shortlist` candidates per query (the corpus
+    * scan touches ONLY m-byte codes), then just the shortlist joins
+    * back to raw vectors for an exact cosine top-k. ADC alone cannot
+    * rank items that share a quantization cell (identical codes =>
+    * identical score); the re-rank restores exact order at
+    * O(shortlist) vector reads per query instead of O(corpus).
+    */
+  def pqTopKRerank(model: PqModel, codes: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      queryIdCol: String, k: Int, shortlist: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    val cands = pqTopK(model, codes, queries, queryIdCol, vecCol,
+      shortlist).select(col("query_id"), col("item_id"))
+    val c = corpus.select(col(idCol).as("item_id"),
+      Dedup.quantize(col(vecCol)).as("__cq"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      Dedup.quantize(col(vecCol)).as("__qq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("item_id"))
+    cands.join(c, Seq("item_id")).join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("item_id"),
+        Dedup.cosineQ(col("__cq"), col("__qq")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -158,4 +158,58 @@ class DedupKnnSpec extends SparkSpec {
     assert(loaded == direct,
       "loaded index must answer exactly like the in-memory one")
   }
+
+  test("PQ: codes match a driver-side reference argmin; ADC recall") {
+    val e = vecs(300)
+    val model = Knn.pqBuild(e, "id", "embedding", m = 4, ksub = 8,
+      iters = 2)
+    assert(model.centroids.length == 4 &&
+      model.centroids.forall(_.length == 8))
+
+    // codes parity: recompute the per-subspace argmin on the driver
+    // over the same quantized arithmetic
+    val raw = e.select(col("id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000)))
+      .toMap
+    val got = Knn.pqCodes(model, e, "id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    raw.foreach { case (id, qv) =>
+      val exp = (0 until 4).map { i =>
+        val sub = qv.slice(i * model.dsub, (i + 1) * model.dsub)
+        val dists = model.centroids(i).map { c =>
+          val cq = c.map(x => math.round(x * 1000))
+          cq.map(v => v * v).sum - 2L *
+            cq.zip(sub).map { case (a, b) => a * b }.sum
+        }
+        dists.indexOf(dists.min)
+      }
+      assert(got(id) == exp, s"codes mismatch for id $id")
+    }
+
+    // ADC alone cannot rank within a quantization cell (same codes =>
+    // same score), but it MUST retrieve the right neighborhood: every
+    // ADC top-10 item belongs to the query's cluster (id % 5)
+    val q = e.filter(col("id") < 5)
+    val codes = Knn.pqCodes(model, e, "id", "embedding")
+    val adc = Knn.pqTopK(model, codes, q, "id", "embedding", 10)
+      .select("query_id", "item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(adc.nonEmpty)
+    val clusterHits = adc.count { case (qi, ii) => qi % 5 == ii % 5 }
+    info(f"PQ ADC cluster purity = ${clusterHits.toDouble / adc.length}%.2f")
+    assert(clusterHits.toDouble / adc.length >= 0.9,
+      "ADC shortlist left the query's cluster")
+
+    // the production path: ADC shortlist + exact re-rank ~ brute force
+    def keyset(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "item_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = keyset(Knn.bruteForceTopK(e, q, "id", "embedding", "id", 10))
+    val rr = keyset(Knn.pqTopKRerank(model, codes, e, q, "id",
+      "embedding", "id", k = 10, shortlist = 64))
+    val recall = (bf & rr).size.toDouble / bf.size
+    info(f"PQ+rerank recall@10 = $recall%.2f (m=4, ksub=8, shortlist=64)")
+    assert(recall >= 0.9, s"PQ rerank recall $recall too low")
+  }
 }
