@@ -428,6 +428,29 @@ object QueriesData {
         .orderBy("vec_id")
     }),
 
+    "q93_incremental_dedup" -> ((s, dir) => {
+      // incremental ingestion: index the corpus once, then dedup a
+      // new batch against it via the STORED band rows (corpus is
+      // never re-signatured; its text is read only for candidate
+      // ids). Oracle = exhaustive all-pairs truth over the union,
+      // restricted to pairs touching the batch.
+      val corpus = tbl(s, dir, "documents")
+      val batch = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mhidx_q93").toString
+      graft.dedup.MinhashIndex.build(
+        corpus.select(col("doc_id"), col("text")), "doc_id", "text",
+        root)
+      graft.dedup.MinhashIndex.batchNearDups(batch,
+        corpus.select(col("doc_id"), col("text")), "doc_id", "text",
+        root, threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "q80_group_zscore" -> ((s, dir) => {
       // per-group standardization as agg + join-back (NOT a window:
       // a hot group would buffer in one task); population std,
@@ -788,6 +811,27 @@ object QueriesData {
         |  ROUND(CUME_DIST() OVER (PARTITION BY l_returnflag
         |    ORDER BY l_quantity), 6) AS q_pct
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
+    "q93_incremental_dedup" ->
+      s"""WITH t AS ($docsWithDupsSql),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+         |    THEN list_transform(
+         |      range(0, len(string_split(text,' ')) - 2),
+         |      i -> array_to_string(
+         |        string_split(text,' ')[i+1:i+3], ' '))
+         |    ELSE [] END) AS s
+         |  FROM t)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.s, b.s)))
+         |             AS DOUBLE), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE b.doc_id >= 1000000
+         |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(a.s, b.s)))
+         |           AS DOUBLE) >= 0.5
+         |ORDER BY 1, 2""".stripMargin,
 
     "q92_pq_codes" ->
       s"""SELECT vec_id,

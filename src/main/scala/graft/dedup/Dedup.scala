@@ -116,7 +116,11 @@ object Dedup {
     * pre-partitioned plan, so Spark reuses one shuffle (ReusedExchange)
     * instead of computing the signatures twice.
     */
-  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+  /** `(__id, band, bh)` LSH band-bucket rows — the per-document index
+    * entries both the one-shot self-join and the persisted incremental
+    * index ([[MinhashIndex]]) are built from.
+    */
+  def bandRows(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8)
       : DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -128,9 +132,16 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(slice: _*).as("bh"))
     }
-    val banded = sigs
+    sigs
       .select(col("__id"), explode(array(bandCols: _*)).as("bucket"))
       .select(col("__id"), col("bucket.band"), col("bucket.bh"))
+  }
+
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8)
+      : DataFrame = {
+    val banded =
+      bandRows(df, idCol, textCol, shingleSize, numHashes, bands)
       .repartition(col("band"), col("bh"))
     val a = banded.select(col("__id").as("id_a"), col("band"), col("bh"))
     val b = banded.select(col("__id").as("id_b"), col("band"), col("bh"))
@@ -147,7 +158,17 @@ object Dedup {
       bands: Int = 8): DataFrame = {
     val cands = lshCandidates(df, idCol, textCol, shingleSize,
       numHashes, bands)
-    val sh = shingleSetsOf(df, idCol, textCol, shingleSize)
+    verifyJaccard(cands, df, idCol, textCol, threshold, shingleSize)
+  }
+
+  /** Exact shingle-Jaccard verification of candidate pairs against a
+    * `(id, text)` source; shared by the one-shot near-dup path and the
+    * incremental index.
+    */
+  def verifyJaccard(cands: DataFrame, texts: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleSize: Int)
+      : DataFrame = {
+    val sh = shingleSetsOf(texts, idCol, textCol, shingleSize)
     cands
       .join(sh.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
@@ -156,7 +177,8 @@ object Dedup {
       // verification is CPU-bound (interpreted set intersection), and
       // AQE coalesces/broadcasts by DATA size, which would funnel all
       // pairs into one task on modest inputs — spread pairs explicitly
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .repartition(
+        texts.sparkSession.sessionState.conf.numShufflePartitions)
       // |union| = |a|+|b|-|inter| (shingle arrays are distinct sets):
       // one set operation instead of two
       .withColumn("__i",

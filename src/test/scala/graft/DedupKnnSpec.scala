@@ -159,6 +159,57 @@ class DedupKnnSpec extends SparkSpec {
       "loaded index must answer exactly like the in-memory one")
   }
 
+  test("MinhashIndex: incremental batch dedup == one-shot over union") {
+    import graft.dedup.MinhashIndex
+    val corpus = df("doc_id BIGINT, text STRING", (1L to 40L).map(i =>
+      Row(i, s"document number $i about topic ${i % 7} with shared " +
+        s"words and unique token token$i suffix tail words here")))
+    // batch: near-dups of corpus docs (drop first word), an internal
+    // dup pair, and fresh docs
+    val batch = df("doc_id BIGINT, text STRING",
+      (1L to 5L).map(i => Row(100L + i,
+        s"number $i about topic ${i % 7} with shared " +
+          s"words and unique token token$i suffix tail words here")) ++
+        Seq(Row(200L, "completely fresh content alpha beta gamma " +
+          "delta epsilon zeta eta theta"),
+          Row(201L, "completely fresh content alpha beta gamma " +
+            "delta epsilon zeta eta theta iota"),
+          Row(202L, "nothing like anything else entirely novel " +
+            "words qq ww ee rr tt yy uu")))
+    val root = java.nio.file.Files
+      .createTempDirectory("mhidx").toString
+    MinhashIndex.build(corpus, "doc_id", "text", root)
+
+    val inc = MinhashIndex.batchNearDups(batch, corpus, "doc_id",
+      "text", root, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: one-shot near-dups over corpus+batch, restricted
+    // to pairs touching the batch
+    val oneShot = Dedup.minhashNearDups(
+      corpus.unionByName(batch), "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a > 100L || b > 100L }.toSet
+    assert(inc == oneShot, s"inc=$inc oneShot=$oneShot")
+    assert(inc.exists { case (a, b) => a <= 40L && b > 100L },
+      "must find batch-vs-corpus dups via the stored index")
+    assert(inc.contains((200L, 201L)),
+      "must find batch-internal dups")
+
+    // absorb survivors; next batch sees them through the index
+    MinhashIndex.appendBatch(batch.filter(col("doc_id") === 202L),
+      "doc_id", "text", root)
+    val batch3 = df("doc_id BIGINT, text STRING", Seq(
+      Row(300L, "nothing like anything else entirely novel " +
+        "words qq ww ee rr tt yy zz")))
+    val inc3 = MinhashIndex.batchNearDups(batch3,
+      corpus.unionByName(batch), "doc_id", "text", root, 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(inc3.map(_._2).contains(202L) || inc3.map(_._1).contains(202L),
+      s"appended doc must be findable: $inc3")
+  }
+
   test("PQ: codes match a driver-side reference argmin; ADC recall") {
     val e = vecs(300)
     val model = Knn.pqBuild(e, "id", "embedding", m = 4, ksub = 8,
