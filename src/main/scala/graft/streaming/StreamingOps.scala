@@ -145,6 +145,76 @@ object StreamingOps {
     ()
   }
 
+  /** Streaming NEAR-dup ingestion against the persisted
+    * [[graft.dedup.MinhashIndex]]: each micro-batch runs
+    * `batchNearDups` (batch-only signatures + one band join against
+    * the stored corpus rows + candidate-restricted verification),
+    * drops batch docs that near-duplicate the corpus or a smaller-id
+    * batch sibling, emits survivors via `emit`, and absorbs them into
+    * the index — so the NEXT batch dedups against them too. The
+    * replay marker makes recovery re-delivery a no-op (same
+    * write-ahead pattern as [[snapshotSink]]).
+    *
+    * This is the full ingestion story composed: streaming arrival,
+    * LSH candidate generation off a checkpointed index, exact
+    * verification, and index growth — with the corpus never
+    * re-signatured.
+    */
+  def dedupIngestSink(stream: DataFrame, corpusText: DataFrame,
+      idCol: String, textCol: String, indexRoot: String,
+      threshold: Double, emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream
+      .queryName("graft-dedup-ingest")
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val commits = java.nio.file.Paths.get(indexRoot,
+          "_ingest_commits")
+        val marker = commits.resolve(s"batch-$batchId")
+        if (!java.nio.file.Files.exists(marker)) {
+          // verification corpus = the base corpus + every previously
+          // absorbed survivor (their text lives in the index root, so
+          // the caller's corpus frame can stay immutable)
+          val textsRoot = s"$indexRoot/texts"
+          val storedTexts = graft.io.SnapshotStore
+            .latestSnapshot(textsRoot)
+            .map(_ => graft.io.SnapshotStore.read(s, textsRoot))
+          val base = corpusText
+            .select(col(idCol).cast("long").as(idCol), col(textCol))
+          val fullCorpus = storedTexts
+            .map(base.unionByName(_)).getOrElse(base)
+          val pairs = graft.dedup.MinhashIndex.batchNearDups(
+            batch, fullCorpus, idCol, textCol, indexRoot, threshold)
+          // ids are monotone across ingestion (new batch > everything
+          // absorbed before): a batch doc dies if it pairs with the
+          // corpus or with a SMALLER batch sibling (id_a < id_b, so
+          // the doomed side is always id_b when id_b is in the batch)
+          val minBatchId =
+            batch.agg(min(col(idCol).cast("long"))).head().getLong(0)
+          val doomed = pairs
+            .filter(col("id_b") >= minBatchId)
+            .select(col("id_b").as("__dead")).distinct()
+          val survivors = batch.join(doomed,
+            batch(idCol).cast("long") === col("__dead"), "left_anti")
+            .persist()
+          emit(survivors)
+          val survText = survivors
+            .select(col(idCol).cast("long").as(idCol), col(textCol))
+          graft.io.SnapshotStore.write(
+            storedTexts.map(_.unionByName(survText)).getOrElse(survText),
+            textsRoot,
+            pmod(xxhash64(col(idCol)), lit(16)).cast("int"))
+          graft.dedup.MinhashIndex.appendBatch(survText,
+            idCol, textCol, indexRoot)
+          survivors.unpersist(false)
+          java.nio.file.Files.createDirectories(commits)
+          java.nio.file.Files.writeString(marker, "")
+        }
+        ()
+      }
+
   /** Streaming exact dedup — the incremental counterpart of
     * `Dedup.exact`: key = xxhash64 of the content columns, state scoped
     * by the watermark (`dropDuplicatesWithinWatermark`), so the state

@@ -276,6 +276,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupIngestSink: streaming near-dup ingestion against the " +
+      "persisted index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (1L to 20L).map(i => (i,
+      s"corpus document $i on subject ${i % 4} sharing many words " +
+        s"plus token$i marker suffix end")).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("ingest-idx").toString
+    graft.dedup.MinhashIndex.build(corpus, "doc_id", "text", root)
+
+    val emitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupIngestSink(
+      input.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text",
+      root, threshold = 0.5,
+      emit = d => emitted ++= d.select("doc_id").collect()
+        .map(_.getLong(0)))
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("ingest-ckpt").toString)
+      .start()
+    try {
+      // batch 1: a near-dup of corpus doc 3 (dropped first word) + a
+      // fresh doc
+      input.addData(
+        (101L, "document 3 on subject 3 sharing many words " +
+          "plus token3 marker suffix end"),
+        (102L, "totally new content aa bb cc dd ee ff gg hh ii jj"))
+      q.processAllAvailable()
+      assert(emitted.toSet == Set(102L),
+        s"dup of corpus must die, fresh survives: $emitted")
+      // batch 2: near-dup of the batch-1 SURVIVOR (found via the
+      // index growth, not the base corpus) + fresh
+      input.addData(
+        (201L, "totally new content aa bb cc dd ee ff gg hh ii kk"),
+        (202L, "another unrelated thing zz yy xx ww vv uu tt ss"))
+      q.processAllAvailable()
+      assert(emitted.toSet == Set(102L, 202L),
+        s"dup of an absorbed survivor must die: $emitted")
+    } finally q.stop()
+  }
+
   test("snapshotSink batch replay is a no-op (write-ahead marker)") {
     import spark.implicits._
     val root = java.nio.file.Files
