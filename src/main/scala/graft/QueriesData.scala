@@ -451,6 +451,31 @@ object QueriesData {
         .orderBy("id_a", "id_b")
     }),
 
+    "q94_decontamination" -> ((s, dir) => {
+      // benchmark decontamination: eval docs are substrings of corpus
+      // docs (first 20 chars dropped) — winnowing's guarantee (shared
+      // substring >= k+w-1 shares a fingerprint) makes every true
+      // contamination pair detectable; join carries int64 fps only
+      val corpus = tbl(s, dir, "documents")
+      val test = corpus.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("substring(text, 21)").as("text"))
+      TextOps.contamination(corpus, test, "doc_id", "text",
+        minShared = 3)
+        .orderBy("corpus_id", "test_id")
+    }),
+
+    "q95_repetition_scores" -> ((s, dir) => {
+      // Gopher-style within-doc repetition: duplicated-token fraction
+      // (pure projection) + top bigram share (one shingle pass)
+      val r = TextOps.repetitionScores(
+        tbl(s, dir, "documents"), "doc_id", "text")
+      r.select(col("doc_id"),
+        round(col("dup_word_ratio"), 6).as("dup_word_ratio"),
+        round(col("top_bigram_ratio"), 6).as("top_bigram_ratio"))
+        .orderBy("doc_id")
+    }),
+
     "q80_group_zscore" -> ((s, dir) => {
       // per-group standardization as agg + join-back (NOT a window:
       // a hot group would buffer in one task); population std,
@@ -486,6 +511,35 @@ object QueriesData {
         .orderBy("bucket")
     })
   )
+
+  /** q61's winnowing pipeline as SQL over ANY (doc_id, text) source —
+    * shared by the q61 and q94 oracles (k=8, w=4).
+    */
+  private def winnowSql(src: String): String =
+    s"""(WITH pos AS (
+       |  SELECT doc_id, text,
+       |         unnest(range(1, length(text) - 6)) AS i
+       |  FROM ($src)
+       |), grams AS (
+       |  SELECT doc_id, i,
+       |      CAST(ascii(substring(text, CAST(i     AS INTEGER), 1)) % 512 AS BIGINT) * 662062621900811
+       |    + CAST(ascii(substring(text, CAST(i + 1 AS INTEGER), 1)) % 512 AS BIGINT) * 5053913144281
+       |    + CAST(ascii(substring(text, CAST(i + 2 AS INTEGER), 1)) % 512 AS BIGINT) * 38579489651
+       |    + CAST(ascii(substring(text, CAST(i + 3 AS INTEGER), 1)) % 512 AS BIGINT) * 294499921
+       |    + CAST(ascii(substring(text, CAST(i + 4 AS INTEGER), 1)) % 512 AS BIGINT) * 2248091
+       |    + CAST(ascii(substring(text, CAST(i + 5 AS INTEGER), 1)) % 512 AS BIGINT) * 17161
+       |    + CAST(ascii(substring(text, CAST(i + 6 AS INTEGER), 1)) % 512 AS BIGINT) * 131
+       |    + CAST(ascii(substring(text, CAST(i + 7 AS INTEGER), 1)) % 512 AS BIGINT) AS h
+       |  FROM pos
+       |), mins AS (
+       |  SELECT doc_id,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+       |    lead(h, 3) OVER (PARTITION BY doc_id ORDER BY i) AS lastw
+       |  FROM grams
+       |)
+       |SELECT DISTINCT doc_id, fp FROM mins
+       |WHERE lastw IS NOT NULL)""".stripMargin
 
   /** Pinned 2x4 PQ codebook for the q92 oracle: distances are exact
     * quantized-integer arithmetic, reproducible in SQL.
@@ -811,6 +865,37 @@ object QueriesData {
         |  ROUND(CUME_DIST() OVER (PARTITION BY l_returnflag
         |    ORDER BY l_quantity), 6) AS q_pct
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
+    "q94_decontamination" ->
+      s"""SELECT c.doc_id AS corpus_id, t.doc_id AS test_id,
+         |  count(*) AS shared_fps
+         |FROM ${winnowSql("SELECT doc_id, text FROM documents")} c
+         |JOIN ${winnowSql("SELECT doc_id + 2000000 AS doc_id, " +
+            "text[21:] AS text FROM documents WHERE doc_id % 25 = 0")} t
+         |ON c.fp = t.fp
+         |GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q95_repetition_scores" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |base AS (SELECT doc_id,
+        |  ROUND(1 - len(list_distinct(ts)) * 1.0 / len(ts), 6)
+        |    AS dup_word_ratio
+        |  FROM tok),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(ts) >= 2 THEN
+        |    list_transform(range(0, len(ts) - 1),
+        |      i -> array_to_string(ts[i+1:i+2], ' '))
+        |    ELSE [] END) AS g
+        |  FROM tok),
+        |cnt AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY 1, 2),
+        |top AS (SELECT doc_id,
+        |  ROUND(MAX(n) * 1.0 / SUM(n), 6) AS top_bigram_ratio
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT b.doc_id, b.dup_word_ratio,
+        |  COALESCE(t.top_bigram_ratio, 0.0) AS top_bigram_ratio
+        |FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+        |ORDER BY 1""".stripMargin,
 
     "q93_incremental_dedup" ->
       s"""WITH t AS ($docsWithDupsSql),

@@ -145,6 +145,56 @@ object TextOps {
       .distinct()
   }
 
+  /** Benchmark decontamination: which corpus documents share local
+    * substring fingerprints with an evaluation set? Both sides run
+    * [[winnowFingerprints]] (MOSS winnowing: any shared substring of
+    * length >= k + w - 1 GUARANTEES a shared fingerprint — no missed
+    * contamination above that length), the tiny (id, fp) tables join
+    * on the fingerprint, and pairs with >= `minShared` hits are
+    * flagged. Scale shape: the corpus-side cost is one fingerprint
+    * pass; the join carries int64 fingerprints, never text; the eval
+    * set is benchmark-sized, so its side broadcasts.
+    */
+  def contamination(corpus: DataFrame, testSet: DataFrame,
+      idCol: String, textCol: String, k: Int = 8, w: Int = 4,
+      minShared: Long = 1L): DataFrame = {
+    val c = winnowFingerprints(corpus, idCol, textCol, k, w)
+      .withColumnRenamed("doc_id", "corpus_id")
+    val t = winnowFingerprints(testSet, idCol, textCol, k, w)
+      .withColumnRenamed("doc_id", "test_id")
+    c.join(t, Seq("fp"))
+      .groupBy(col("corpus_id"), col("test_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
+  /** Within-document repetition scores (Gopher-style quality rules):
+    *  - `dup_word_ratio`: fraction of tokens that are repeats of an
+    *    earlier token (1 - distinct/total), a pure projection;
+    *  - `top_bigram_ratio`: the most frequent bigram's share of all
+    *    bigrams — boilerplate and generated spam push it toward 1.
+    * One shingle pass + a per-doc max_by aggregation; short docs
+    * (< 2 tokens) get a 0 bigram ratio.
+    */
+  def repetitionScores(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = df.select(col(idCol),
+      (lit(1.0) - size(array_distinct(toks)).cast("double") /
+        size(toks)).as("dup_word_ratio"))
+    val grams = graft.dedup.Dedup
+      .shingleRowsOf(df, idCol, textCol, 2)
+    val top = grams.groupBy(col("__id"), col("__s"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("__id"))
+      .agg((max(col("n")).cast("double") / sum(col("n")))
+        .as("top_bigram_ratio"))
+    base.join(top, base(idCol) === top("__id"), "left")
+      .select(col(idCol), col("dup_word_ratio"),
+        coalesce(col("top_bigram_ratio"), lit(0.0))
+          .as("top_bigram_ratio"))
+  }
+
   /** TF-IDF term scores: `tfidf(d, t) = tf(d, t) * ln(N / df(t))` —
     * the classic retrieval/curation relevance weight (e.g. keeping
     * documents rich in domain terms, or building sparse retrieval

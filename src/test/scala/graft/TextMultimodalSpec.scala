@@ -87,6 +87,34 @@ class TextMultimodalSpec extends SparkSpec {
     assert(a.head.getAs[Int]("decoded_w") == 4)
   }
 
+  test("contamination: substring of a corpus doc is flagged; " +
+      "unrelated text is not") {
+    val corpus = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      Row(2L, "unrelated corpus entry with other words entirely here")))
+    val test = df("doc_id BIGINT, text STRING", Seq(
+      Row(10L, "brown fox jumps over the lazy"), // substring of doc 1
+      Row(11L, "zzz qqq completely disjoint vvv")))
+    val pairs = TextOps.contamination(corpus, test, "doc_id", "text")
+      .select("corpus_id", "test_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 10L)), s"missed contamination: $pairs")
+    assert(!pairs.exists(_._2 == 11L), "false positive on disjoint doc")
+  }
+
+  test("repetitionScores: duplicated tokens and top-bigram share") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "spam spam spam spam"), // all same token
+      Row(2L, "all words here are different ones"),
+      Row(3L, "x"))) // single token: no bigrams
+    val got = TextOps.repetitionScores(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got(0)._2 == 0.75 && got(0)._3 == 1.0) // 1-1/4; one bigram
+    assert(got(1)._2 == 0.0)
+    assert(got(2)._3 == 0.0) // no bigrams -> 0, not null
+  }
+
   test("tfidf: hand-computed golden, minTf prunes before the join") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       Row(1L, "a a b"), Row(2L, "a c"), Row(3L, "c c c")))
