@@ -277,6 +277,8 @@ object Knn {
       .select(col(vecCol), xxhash64(col(idCol).cast("string")).as("__h"))
       .orderBy(col("__h")).limit(ksub).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(seedRows.length == ksub,
+      s"pqBuild needs >= ksub=$ksub corpus vectors, got ${seedRows.length}")
     var cents: Array[Array[Array[Double]]] = Array.tabulate(m)(i =>
       seedRows.map(_.slice(i * dsub, (i + 1) * dsub)))
 
@@ -305,7 +307,7 @@ object Knn {
               val v = Array.ofDim[Double](dsub)
               rows.foreach(r => v(r.getInt(2)) = r.getDouble(3))
               v
-            case None => cents(i)(c) // empty cell keeps its seed
+            case None => cents(i)(c) // empty cell: previous centroid
           }
         }
       }

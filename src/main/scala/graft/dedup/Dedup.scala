@@ -110,13 +110,8 @@ object Dedup {
     rows.groupBy(col("__id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH candidate pairs: hash each `rows`-wide signature band to a
-    * bucket, self-join on (band, bucket). Returns (id_a, id_b),
-    * id_a < id_b, distinct. The self-join's two sides alias the SAME
-    * pre-partitioned plan, so Spark reuses one shuffle (ReusedExchange)
-    * instead of computing the signatures twice.
-    */
-  /** `(__id, band, bh)` LSH band-bucket rows — the per-document index
+  /** `(__id, band, bh)` LSH band-bucket rows: each `rows`-wide
+    * signature band hashed to a bucket — the per-document index
     * entries both the one-shot self-join and the persisted incremental
     * index ([[MinhashIndex]]) are built from.
     */
@@ -137,6 +132,11 @@ object Dedup {
       .select(col("__id"), col("bucket.band"), col("bucket.bh"))
   }
 
+  /** LSH candidate pairs: self-join the band rows on (band, bucket).
+    * Returns (id_a, id_b), id_a < id_b, distinct. The self-join's two
+    * sides alias the SAME pre-partitioned plan, so Spark reuses one
+    * shuffle (ReusedExchange) instead of computing signatures twice.
+    */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8)
       : DataFrame = {

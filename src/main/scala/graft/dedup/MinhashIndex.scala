@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   * corpus text ONLY for the matched candidate ids (a semi-join-
   * restricted scan, not a corpus pass).
   *
+  * Cost honesty: the EXPENSIVE corpus work — shingling, hashing,
+  * signatures over text — is batch-only forever. `appendBatch`'s
+  * band-table maintenance, however, merges the full stored band table
+  * (a few dozen small ints per document, ~100-1000x lighter than the
+  * text) through the lineage-diffed snapshot write; per-append cost is
+  * O(stored band rows). For very high append frequency, batch the
+  * appends or extend SnapshotStore with a bucket-delta append.
+  *
   * The arithmetic is identical to the one-shot [[Dedup]] path (same
   * signatures, same banding), so indexed incremental dedup returns
   * EXACTLY the pairs a from-scratch run over corpus+batch would
@@ -45,11 +53,28 @@ object MinhashIndex {
     Params(s, n, b)
   }
 
+  /** Ids must be integral: a silent cast of string/UUID ids would
+    * null them out and make every join quietly return nothing.
+    */
+  private def requireIntegralId(docs: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val ok = docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok,
+      s"MinhashIndex requires an integral id column, got $idCol: " +
+        s"${docs.schema(idCol).dataType}" +
+        " (hash non-numeric ids to int64 first, e.g. xxhash64)")
+  }
+
   private def bandRowsOf(docs: DataFrame, idCol: String,
-      textCol: String, p: Params): DataFrame =
+      textCol: String, p: Params): DataFrame = {
+    requireIntegralId(docs, idCol)
     Dedup.bandRows(docs, idCol, textCol, p.shingleSize, p.numHashes,
       p.bands)
       .select(col("__id").cast("long").as("id"), col("band"), col("bh"))
+  }
 
   /** Build the index from an initial corpus (one signature pass). */
   def build(docs: DataFrame, idCol: String, textCol: String,
@@ -72,8 +97,11 @@ object MinhashIndex {
   def appendBatch(batch: DataFrame, idCol: String, textCol: String,
       root: String): SnapshotStore.WriteResult = {
     val p = params(root)
+    // distinct: a replayed append (failure recovery) converges to the
+    // same state instead of duplicating the batch's band rows
     val merged = bands(batch.sparkSession, root)
       .unionByName(bandRowsOf(batch, idCol, textCol, p))
+      .distinct()
     SnapshotStore.write(merged, bandsRoot(root), bucketExpr)
   }
 

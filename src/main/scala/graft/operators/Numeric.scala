@@ -516,7 +516,13 @@ class QuantileBinnerTransformer(
     baseFitChecks(df)
     requireNumeric(df, columns)
     val qs = (1 until nBins).map(_.toDouble / nBins)
-    val rows = graft.core.Weights.fitRows(df, weightsColumn)
+    // NaN is excluded from the fit (it sorts largest and would shift
+    // every edge) and propagates as null in transform — pd.qcut parity
+    val noNan = columns.foldLeft(df) { (d, c) =>
+      d.withColumn(c, when(isnan(col(c).cast("double")),
+        lit(null).cast("double")).otherwise(col(c).cast("double")))
+    }
+    val rows = graft.core.Weights.fitRows(noNan, weightsColumn)
     val w = graft.core.Weights.weightCol(weightsColumn)
     val fitted = graft.core.Stats.weightedQuantilesMelted(
       rows, columns.map(_ -> qs.toSeq).toMap, w)
@@ -537,8 +543,8 @@ class QuantileBinnerTransformer(
         .foldRight(lit(nBins - 1): Column) {
           case ((e, i), acc) => when(x <= e, i).otherwise(acc)
         }
-      s"${c}_$suffix" -> when(x.isNull, lit(null).cast("int"))
-        .otherwise(chain.cast("int"))
+      s"${c}_$suffix" -> when(x.isNull || isnan(x),
+        lit(null).cast("int")).otherwise(chain.cast("int"))
     }
   }
 

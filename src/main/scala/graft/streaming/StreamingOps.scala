@@ -151,9 +151,18 @@ object StreamingOps {
     * the stored corpus rows + candidate-restricted verification),
     * drops batch docs that near-duplicate the corpus or a smaller-id
     * batch sibling, emits survivors via `emit`, and absorbs them into
-    * the index — so the NEXT batch dedups against them too. The
-    * replay marker makes recovery re-delivery a no-op (same
-    * write-ahead pattern as [[snapshotSink]]).
+    * the index — so the NEXT batch dedups against them too.
+    *
+    * A write-ahead intent marker (same pattern as [[snapshotSink]])
+    * makes a fully-committed batch's replay a no-op; a MID-batch
+    * crash redoes the batch and converges to the same index state
+    * (the band/text merges are dedup-safe), with `emit` delivered
+    * at-least-once — point it at an idempotent downstream, the
+    * standard foreachBatch contract. Ids must be MONOTONE across
+    * ingestion (every batch id greater than everything absorbed
+    * before) — enforced against a tracked high-water mark, because
+    * the keep-the-smaller-id rule depends on it. Empty micro-batches
+    * are no-ops.
     *
     * This is the full ingestion story composed: streaming arrival,
     * LSH candidate generation off a checkpointed index, exact
@@ -169,51 +178,100 @@ object StreamingOps {
       .queryName("graft-dedup-ingest")
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val commits = java.nio.file.Paths.get(indexRoot,
-          "_ingest_commits")
-        val marker = commits.resolve(s"batch-$batchId")
-        if (!java.nio.file.Files.exists(marker)) {
-          // verification corpus = the base corpus + every previously
-          // absorbed survivor (their text lives in the index root, so
-          // the caller's corpus frame can stay immutable)
-          val textsRoot = s"$indexRoot/texts"
-          val storedTexts = graft.io.SnapshotStore
-            .latestSnapshot(textsRoot)
-            .map(_ => graft.io.SnapshotStore.read(s, textsRoot))
-          val base = corpusText
-            .select(col(idCol).cast("long").as(idCol), col(textCol))
-          val fullCorpus = storedTexts
-            .map(base.unionByName(_)).getOrElse(base)
-          val pairs = graft.dedup.MinhashIndex.batchNearDups(
-            batch, fullCorpus, idCol, textCol, indexRoot, threshold)
-          // ids are monotone across ingestion (new batch > everything
-          // absorbed before): a batch doc dies if it pairs with the
-          // corpus or with a SMALLER batch sibling (id_a < id_b, so
-          // the doomed side is always id_b when id_b is in the batch)
-          val minBatchId =
-            batch.agg(min(col(idCol).cast("long"))).head().getLong(0)
-          val doomed = pairs
-            .filter(col("id_b") >= minBatchId)
-            .select(col("id_b").as("__dead")).distinct()
-          val survivors = batch.join(doomed,
-            batch(idCol).cast("long") === col("__dead"), "left_anti")
-            .persist()
-          emit(survivors)
-          val survText = survivors
-            .select(col(idCol).cast("long").as(idCol), col(textCol))
-          graft.io.SnapshotStore.write(
-            storedTexts.map(_.unionByName(survText)).getOrElse(survText),
-            textsRoot,
-            pmod(xxhash64(col(idCol)), lit(16)).cast("int"))
-          graft.dedup.MinhashIndex.appendBatch(survText,
-            idCol, textCol, indexRoot)
-          survivors.unpersist(false)
-          java.nio.file.Files.createDirectories(commits)
-          java.nio.file.Files.writeString(marker, "")
-        }
-        ()
+        dedupIngestBatch(batch, batchId, corpusText, idCol, textCol,
+          indexRoot, threshold, emit)
       }
+
+  /** One ingestion micro-batch (exposed for tests). */
+  private[graft] def dedupIngestBatch(batch: DataFrame, batchId: Long,
+      corpusText: DataFrame, idCol: String, textCol: String,
+      indexRoot: String, threshold: Double,
+      emit: DataFrame => Unit): Unit = {
+    val s = batch.sparkSession
+    val commits = java.nio.file.Paths.get(indexRoot, "_ingest_commits")
+    val marker = commits.resolve(s"batch-$batchId")
+    val bandsRoot = s"$indexRoot/bands"
+    val latestBands = graft.io.SnapshotStore.latestSnapshot(bandsRoot)
+    if (java.nio.file.Files.exists(marker)) {
+      val base = java.nio.file.Files.readString(marker).trim.toInt
+      if (latestBands.exists(_ > base)) {
+        // committed; replay no-op — but refresh the high-water mark
+        // in case the crash hit between appendBatch and the hwm write
+        if (!batch.isEmpty) {
+          val mx = batch.agg(max(col(idCol).cast("long")))
+            .head().getLong(0)
+          val hp = java.nio.file.Paths.get(indexRoot, "max_id.txt")
+          val cur = if (java.nio.file.Files.exists(hp))
+            java.nio.file.Files.readString(hp).trim.toLong
+          else Long.MinValue
+          if (mx > cur)
+            java.nio.file.Files.writeString(hp, mx.toString)
+        }
+        return
+      }
+      // else: crashed mid-batch — redo (merges below are dedup-safe)
+    } else {
+      java.nio.file.Files.createDirectories(commits)
+      java.nio.file.Files.writeString(marker,
+        latestBands.getOrElse(0).toString)
+    }
+    if (batch.isEmpty) {
+      // commit the empty batch by bumping nothing: rewrite the marker
+      // as already-satisfied (base -1 so any snapshot counts as done)
+      java.nio.file.Files.writeString(marker, "-1")
+      return
+    }
+    // verification corpus = the base corpus + every previously
+    // absorbed survivor (their text lives in the index root, so the
+    // caller's corpus frame can stay immutable)
+    val textsRoot = s"$indexRoot/texts"
+    val storedTexts = graft.io.SnapshotStore.latestSnapshot(textsRoot)
+      .map(_ => graft.io.SnapshotStore.read(s, textsRoot))
+    val base = corpusText
+      .select(col(idCol).cast("long").as(idCol), col(textCol))
+    val fullCorpus = storedTexts
+      .map(base.unionByName(_).dropDuplicates(idCol)).getOrElse(base)
+    // enforce the monotone-id contract the keep-smaller-id rule
+    // needs: batch ids must exceed the tracked high-water mark
+    val minBatchId =
+      batch.agg(min(col(idCol).cast("long"))).head().getLong(0)
+    val hwmPath = java.nio.file.Paths.get(indexRoot, "max_id.txt")
+    val hwm: Long =
+      if (java.nio.file.Files.exists(hwmPath))
+        java.nio.file.Files.readString(hwmPath).trim.toLong
+      else { // first batch: one-time corpus max
+        val r = fullCorpus.agg(max(col(idCol))).head()
+        if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+      }
+    require(minBatchId > hwm,
+      s"dedupIngestSink: batch ids must be monotone — batch min " +
+        s"$minBatchId <= absorbed max $hwm")
+    val pairs = graft.dedup.MinhashIndex.batchNearDups(
+      batch, fullCorpus, idCol, textCol, indexRoot, threshold)
+    // a batch doc dies if it pairs with the corpus or with a SMALLER
+    // batch sibling (id_a < id_b, so with monotone ids the doomed
+    // side is always id_b when id_b is in the batch)
+    val doomed = pairs
+      .filter(col("id_b") >= minBatchId)
+      .select(col("id_b").as("__dead")).distinct()
+    val survivors = batch.join(doomed,
+      batch(idCol).cast("long") === col("__dead"), "left_anti")
+      .persist()
+    emit(survivors) // at-least-once on mid-batch crash redo
+    val survText = survivors
+      .select(col(idCol).cast("long").as(idCol), col(textCol))
+    graft.io.SnapshotStore.write(
+      storedTexts.map(_.unionByName(survText).dropDuplicates(idCol))
+        .getOrElse(survText),
+      textsRoot, pmod(xxhash64(col(idCol)), lit(16)).cast("int"))
+    graft.dedup.MinhashIndex.appendBatch(survText,
+      idCol, textCol, indexRoot)
+    val maxBatchId =
+      batch.agg(max(col(idCol).cast("long"))).head().getLong(0)
+    java.nio.file.Files.writeString(hwmPath, maxBatchId.toString)
+    survivors.unpersist(false)
+    ()
+  }
 
   /** Streaming exact dedup — the incremental counterpart of
     * `Dedup.exact`: key = xxhash64 of the content columns, state scoped

@@ -297,6 +297,14 @@ class TwoColInteractionPcaSpec extends SparkSpec {
     val tw = new QuantileBinnerTransformer(Seq("x"), 2,
       weightsColumn = Some("w")).fit(dw)
     assert(tw.edges("x").head < 11.0)
+    // NaN: excluded from the fit (edges unmoved) and null in transform
+    val dn = df("x DOUBLE",
+      (1 to 100).map(i => Row(i.toDouble)) ++
+        Seq.fill(10)(Row(Double.NaN)))
+    val tn = new QuantileBinnerTransformer(Seq("x"), 4).fit(dn)
+    assert(tn.edges("x") == Seq(25.0, 50.0, 75.0))
+    assert(tn.transform(dn).filter(isnan(col("x")))
+      .collect().forall(_.isNullAt(1)))
   }
 
   test("HashingEncoder: stateless, in-range, null-safe, both hashes") {
