@@ -479,6 +479,20 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    "q96_oof_target_encoding" -> ((s, dir) => {
+      // leakage-free target encoding: each row encoded from the OTHER
+      // 4 folds' statistics only (the tabular counterpart of the
+      // as-of join's no-future-reads rule); integral response ->
+      // bit-exact sums
+      GroupOps.oofMeanResponse(
+        tbl(s, dir, "customer")
+          .withColumn("resp", floor(col("c_acctbal")).cast("double")),
+        "c_mktsegment", "resp", "c_custkey", folds = 5, prior = 5.0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("oof_enc"), 6).as("oof_enc"))
+        .orderBy("c_custkey")
+    }),
+
     "q80_group_zscore" -> ((s, dir) => {
       // per-group standardization as agg + join-back (NOT a window:
       // a hot group would buffer in one task); population std,
@@ -926,6 +940,27 @@ object QueriesData {
          |  CAST(${PinnedPq.argminSql(1, 32)} AS INTEGER) AS code_0,
          |  CAST(${PinnedPq.argminSql(33, 64)} AS INTEGER) AS code_1
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q96_oof_target_encoding" ->
+      """WITH d AS (SELECT c_custkey, c_mktsegment,
+        |    FLOOR(c_acctbal) AS y,
+        |    CAST(((c_custkey * 2654435761) % 4294967296) % 5
+        |      AS INTEGER) AS f
+        |  FROM customer),
+        |s AS (SELECT c_mktsegment AS k, f, SUM(y) AS fs,
+        |    COUNT(*) AS fc
+        |  FROM d GROUP BY 1, 2),
+        |t AS (SELECT k, SUM(fs) AS ts, CAST(SUM(fc) AS BIGINT) AS tc
+        |  FROM s GROUP BY 1),
+        |g AS (SELECT SUM(y) * 1.0 / COUNT(y) AS m FROM d)
+        |SELECT d.c_custkey, d.c_mktsegment,
+        |  ROUND((t.ts - COALESCE(s.fs, 0) + 5.0 * g.m) /
+        |        (t.tc - COALESCE(s.fc, 0) + 5.0), 6) AS oof_enc
+        |FROM d
+        |JOIN t ON d.c_mktsegment = t.k
+        |CROSS JOIN g
+        |LEFT JOIN s ON d.c_mktsegment = s.k AND d.f = s.f
+        |ORDER BY 1""".stripMargin,
 
     "q80_group_zscore" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,

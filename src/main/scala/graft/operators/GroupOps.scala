@@ -122,6 +122,64 @@ object GroupOps {
       .drop("__ck", "__med", "__iqr")
   }
 
+  /** LEAKAGE-FREE target encoding: out-of-fold mean response. Plain
+    * target encoding lets every row see its own label through the
+    * level statistic — the tabular cousin of the temporal leakage the
+    * as-of join guards against. Here each row is encoded from the
+    * OTHER K-1 folds only:
+    *
+    *   enc(row) = (sum_y(level) - sum_y(level, fold(row))
+    *               + prior * global_mean)
+    *            / (cnt(level) - cnt(level, fold(row)) + prior)
+    *
+    * with fold(row) = mixHash(id) % folds (seedless, deterministic,
+    * engine-reproducible — the same sampling hash as
+    * [[graft.text.Sharding]]). An empty out-of-fold slice (level lives
+    * in one fold only) falls back to the smoothed prior.
+    *
+    * Shape: ONE groupBy(level, fold) aggregation (map-side combined;
+    * |levels| x folds rows) + an equi-join back — level totals come
+    * from a window over the tiny stats side, never over the data.
+    */
+  def oofMeanResponse(df: DataFrame, keyCol: String,
+      responseCol: String, idCol: String, folds: Int,
+      prior: Double = 0.0, outCol: String = "oof_enc"): DataFrame = {
+    require(folds >= 2, s"need >= 2 folds, got $folds")
+    require(prior >= 0, s"prior must be >= 0, got $prior")
+    val fold = pmod(graft.text.Sharding.mixHash(col(idCol)),
+      lit(folds.toLong)).cast("int")
+    val y = col(responseCol).cast("double")
+    val globalMean = df.agg(
+      (sum(when(y.isNotNull, y)) / count(when(y.isNotNull, lit(1))))
+        .as("m")).head().getDouble(0)
+    val stats = df
+      .select(col(keyCol).as("__k"), fold.as("__f"), y.as("__y"))
+      .filter(col("__y").isNotNull)
+      .groupBy(col("__k"), col("__f"))
+      .agg(sum(col("__y")).as("__fs"), count(lit(1)).as("__fc"))
+    // totals joined on the KEY alone (a row whose own fold holds no
+    // stats must still see its level's totals), fold slice on
+    // (key, fold); both sides are |levels|-ish rows -> broadcast
+    val totals = stats.groupBy(col("__k"))
+      .agg(sum(col("__fs")).as("__ts"), sum(col("__fc")).as("__tc"))
+    val foldStats = stats.select(col("__k").as("__k2"),
+      col("__f"), col("__fs"), col("__fc"))
+    val joined = df
+      .join(totals, df(keyCol) <=> col("__k"), "left")
+      .join(foldStats,
+        df(keyCol) <=> col("__k2") && fold === col("__f"), "left")
+    val oofSum = coalesce(col("__ts"), lit(0.0)) -
+      coalesce(col("__fs"), lit(0.0))
+    val oofCnt = coalesce(col("__tc"), lit(0L)) -
+      coalesce(col("__fc"), lit(0L))
+    joined
+      .withColumn(outCol,
+        when(oofCnt + lit(prior) === 0, lit(null).cast("double"))
+          .otherwise((oofSum + lit(prior) * lit(globalMean)) /
+            (oofCnt + lit(prior))))
+      .drop("__k", "__k2", "__f", "__fs", "__fc", "__ts", "__tc")
+  }
+
   /** Per-group percentile rank (ECDF value in (0, 1]): the rank-
     * normalization feature transform — `cume_dist` over the group,
     * ordered by value. Uses the window directly: ECDF is inherently a

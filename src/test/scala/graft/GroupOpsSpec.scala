@@ -67,6 +67,42 @@ class GroupOpsSpec extends SparkSpec {
       .getDouble(0) < 3.0)
   }
 
+  test("oofMeanResponse: leakage oracle — a row's own response " +
+      "never reaches its encoding") {
+    val rows = (1L to 60L).map(i =>
+      Row(i, if (i % 2 == 0) "a" else "b", (i % 7).toDouble))
+    val d = df("id BIGINT, k STRING, y DOUBLE", rows)
+    def encOf(frame: org.apache.spark.sql.DataFrame) =
+      GroupOps.oofMeanResponse(frame, "k", "y", "id", folds = 4,
+        prior = 0.0)
+        .select("id", "oof_enc").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    val base = encOf(d)
+    // perturb row 10's response massively; with prior=0 its OWN
+    // encoding must not move (out-of-fold only), while same-level
+    // rows in OTHER folds must see the change
+    val perturbed = encOf(d.withColumn("y",
+      when(col("id") === 10L, lit(1e6)).otherwise(col("y"))))
+    assert(perturbed(10L) == base(10L),
+      "row 10's own encoding leaked its response")
+    val fold10 = (10L * 2654435761L % 4294967296L % 4).toInt
+    val otherFoldSameLevel = (1L to 60L).find(i => i % 2 == 0 &&
+      i != 10L && (i * 2654435761L % 4294967296L % 4).toInt != fold10)
+      .get
+    assert(perturbed(otherFoldSameLevel) != base(otherFoldSameLevel),
+      "other folds must observe the perturbation")
+    // hand-check one value: enc = (level_sum - own_fold_sum) /
+    // (level_cnt - own_fold_cnt)
+    val aRows = rows.filter(_.getString(1) == "a")
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val f10 = aRows.filter { case (i, _) =>
+      (i * 2654435761L % 4294967296L % 4).toInt == fold10 }
+    val exp = (aRows.map(_._2).sum - f10.map(_._2).sum) /
+      (aRows.size - f10.size)
+    assert(math.abs(base(10L) - exp) < 1e-12)
+  }
+
   test("robustScaleByGroup: (x-median)/IQR, zero-IQR -> x-median") {
     val d = df("k STRING, x DOUBLE",
       ((1 to 100).map(i => Row("a", i.toDouble)) ++
