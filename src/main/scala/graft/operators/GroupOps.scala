@@ -137,21 +137,42 @@ object GroupOps {
     * [[graft.text.Sharding]]). An empty out-of-fold slice (level lives
     * in one fold only) falls back to the smoothed prior.
     *
-    * Shape: ONE groupBy(level, fold) aggregation (map-side combined;
-    * |levels| x folds rows) + an equi-join back — level totals come
-    * from a window over the tiny stats side, never over the data.
+    * Shape: one map-side-combined groupBy(level, fold) aggregation
+    * (|levels| x folds rows), a second tiny aggregation collapsing it
+    * to level totals, and two left joins back onto the data — totals
+    * on the key alone, the fold slice on (key, fold) — both joined
+    * sides are stats-sized, so AQE broadcasts them. The prior's
+    * global mean costs one scan, computed only when `prior > 0`.
+    *
+    * The id column must be integral and non-null: a null fold would
+    * break the own-fold subtraction and silently reintroduce the
+    * leakage this operator exists to prevent, so that is rejected,
+    * not guessed around.
     */
   def oofMeanResponse(df: DataFrame, keyCol: String,
       responseCol: String, idCol: String, folds: Int,
       prior: Double = 0.0, outCol: String = "oof_enc"): DataFrame = {
     require(folds >= 2, s"need >= 2 folds, got $folds")
     require(prior >= 0, s"prior must be >= 0, got $prior")
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"oofMeanResponse needs an integral id column, got $idCol: " +
+          s"$dt (hash non-numeric ids to int64 first)")
+    }
     val fold = pmod(graft.text.Sharding.mixHash(col(idCol)),
       lit(folds.toLong)).cast("int")
     val y = col(responseCol).cast("double")
-    val globalMean = df.agg(
-      (sum(when(y.isNotNull, y)) / count(when(y.isNotNull, lit(1))))
-        .as("m")).head().getDouble(0)
+    val globalMean =
+      if (prior == 0) 0.0 // multiplied by 0 — skip the scan
+      else {
+        val r = df.agg((sum(when(y.isNotNull, y)) /
+          count(when(y.isNotNull, lit(1)))).as("m")).head()
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      }
     val stats = df
       .select(col(keyCol).as("__k"), fold.as("__f"), y.as("__y"))
       .filter(col("__y").isNotNull)
@@ -167,7 +188,7 @@ object GroupOps {
     val joined = df
       .join(totals, df(keyCol) <=> col("__k"), "left")
       .join(foldStats,
-        df(keyCol) <=> col("__k2") && fold === col("__f"), "left")
+        df(keyCol) <=> col("__k2") && fold <=> col("__f"), "left")
     val oofSum = coalesce(col("__ts"), lit(0.0)) -
       coalesce(col("__fs"), lit(0.0))
     val oofCnt = coalesce(col("__tc"), lit(0L)) -
