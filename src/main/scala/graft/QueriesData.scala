@@ -493,6 +493,22 @@ object QueriesData {
         .orderBy("c_custkey")
     }),
 
+    "q97_ivf_query_pinned" -> ((s, dir) => {
+      // IVF QUERY path with a PINNED coarse quantizer (the Lloyd fit
+      // itself stays spec-pinned, like q54/q92): list assignment,
+      // nprobe probing and exact rerank are all integer/quantized
+      // arithmetic the oracle recomputes — flips the IVF search from
+      // rows-only to value-exact
+      val e = tbl(s, dir, "embeddings")
+      val model = Knn.IvfModel(PinnedIvf.cents)
+      val lists = Knn.ivfLists(model, e, "vec_id", "embedding")
+      Knn.ivfQuery(model, lists, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(col("query_id"), col("rank"), col("item_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q80_group_zscore" -> ((s, dir) => {
       // per-group standardization as agg + join-back (NOT a window:
       // a hot group would buffer in one task); population std,
@@ -557,6 +573,31 @@ object QueriesData {
        |)
        |SELECT DISTINCT doc_id, fp FROM mins
        |WHERE lastw IS NOT NULL)""".stripMargin
+
+  /** Pinned 4-centroid IVF coarse quantizer over the 64-dim
+    * embeddings (q97): assignment/probing distances are quantized
+    * integers, SQL-reproducible like [[PinnedPq]].
+    */
+  private object PinnedIvf {
+    val cents: Array[Array[Double]] = Array(
+      Array.fill(64)(0.0),
+      Array.fill(64)(0.5),
+      Array.fill(64)(-0.5),
+      Array.tabulate(64)(i => if (i % 2 == 0) 0.25 else -0.25))
+
+    /** SQL list of [dist, idx] pairs vs the quantized embedding. */
+    def distListSql: String = {
+      val sub = "list_transform(embedding, " +
+        "x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+      cents.zipWithIndex.map { case (c, i) =>
+        val cq = c.map(x => math.round(x * 1000))
+        val n2 = cq.map(v => v * v).sum
+        val lst = cq.mkString("[", ",", "]")
+        s"[$n2 - 2 * list_sum(list_transform(list_zip($sub, $lst)," +
+          s" x -> x[1] * x[2])), $i]"
+      }.mkString("[", ", ", "]")
+    }
+  }
 
   /** Pinned 2x4 PQ codebook for the q92 oracle: distances are exact
     * quantized-integer arithmetic, reproducible in SQL.
@@ -934,6 +975,32 @@ object QueriesData {
          |      CAST(len(list_distinct(list_concat(a.s, b.s)))
          |           AS DOUBLE) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
+
+    "q97_ivf_query_pinned" ->
+      s"""WITH q0 AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+         |      AS v,
+         |    ${PinnedIvf.distListSql} AS dl
+         |  FROM embeddings),
+         |a AS (SELECT vec_id, v, list_sort(dl)[1][2] AS lst FROM q0),
+         |p AS (SELECT vec_id AS query_id, v AS qv,
+         |    list_transform(list_sort(dl)[1:2], x -> x[2]) AS pl
+         |  FROM q0 WHERE vec_id < 5),
+         |s AS (SELECT p.query_id, a.vec_id AS item_id,
+         |    CAST(list_sum(list_transform(list_zip(a.v, p.qv),
+         |      x -> x[1] * x[2])) AS DOUBLE) /
+         |    (SQRT(CAST(list_sum(list_transform(a.v, x -> x * x))
+         |       AS DOUBLE)) *
+         |     SQRT(CAST(list_sum(list_transform(p.qv, x -> x * x))
+         |       AS DOUBLE))) AS cosine
+         |  FROM p JOIN a ON list_contains(p.pl, a.lst)),
+         |r AS (SELECT query_id, item_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, item_id) AS INTEGER) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, item_id, ROUND(cosine, 6) AS cosine
+         |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
 
     "q92_pq_codes" ->
       s"""SELECT vec_id,
