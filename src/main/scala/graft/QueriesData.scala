@@ -509,6 +509,20 @@ object QueriesData {
         .orderBy("query_id", "rank")
     }),
 
+    "q98_lsh_query_pinned" -> ((s, dir) => {
+      // LSH search with PINNED hyperplanes (the codegen'd quantized
+      // dot product makes the sign bits exact integer decisions the
+      // oracle reproduces) — banded bucket join + exact rerank,
+      // value-exact like the IVF/PQ pinned-model oracles
+      val e = tbl(s, dir, "embeddings")
+      Knn.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", "vec_id", k = 5, bitsPerTable = 2, tables = 4,
+        pinnedPlanes = Some(PinnedLsh.planes))
+        .select(col("query_id"), col("rank"), col("item_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q80_group_zscore" -> ((s, dir) => {
       // per-group standardization as agg + join-back (NOT a window:
       // a hot group would buffer in one task); population std,
@@ -597,6 +611,22 @@ object QueriesData {
           s" x -> x[1] * x[2])), $i]"
       }.mkString("[", ", ", "]")
     }
+  }
+
+  /** Pinned 8-hyperplane LSH model for q98 (4 tables x 2 bits over
+    * 64 dims): sign bits from integer dot products, SQL-reproducible.
+    */
+  private object PinnedLsh {
+    val planes: Array[Array[Long]] = Array.tabulate(8)(b =>
+      Array.tabulate(64)(i => ((i * (b + 3) + b * 7) % 21 - 10).toLong))
+
+    /** SQL signature expression over quantized list column `v`. */
+    def sigSql: String =
+      planes.zipWithIndex.map { case (p, b) =>
+        val lst = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_sum(list_transform(list_zip(v, $lst)," +
+          s" x -> x[1] * x[2])) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
   }
 
   /** Pinned 2x4 PQ codebook for the q92 oracle: distances are exact
@@ -975,6 +1005,37 @@ object QueriesData {
          |      CAST(len(list_distinct(list_concat(a.s, b.s)))
          |           AS DOUBLE) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
+
+    "q98_lsh_query_pinned" ->
+      s"""WITH v0 AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+         |      AS v
+         |  FROM embeddings),
+         |sg AS (SELECT vec_id, v, ${PinnedLsh.sigSql} AS sig FROM v0),
+         |b AS (SELECT vec_id, v, t.t AS tbl,
+         |    (sig >> (t.t * 2)) & 3 AS bkt
+         |  FROM sg, (VALUES (0), (1), (2), (3)) t(t)),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id,
+         |    c.vec_id AS item_id
+         |  FROM b c JOIN b q ON c.tbl = q.tbl AND c.bkt = q.bkt
+         |  WHERE q.vec_id < 5),
+         |s AS (SELECT cand.query_id, cand.item_id,
+         |    CAST(list_sum(list_transform(list_zip(cv.v, qv.v),
+         |      x -> x[1] * x[2])) AS DOUBLE) /
+         |    (SQRT(CAST(list_sum(list_transform(cv.v, x -> x * x))
+         |       AS DOUBLE)) *
+         |     SQRT(CAST(list_sum(list_transform(qv.v, x -> x * x))
+         |       AS DOUBLE))) AS cosine
+         |  FROM cand
+         |  JOIN v0 cv ON cand.item_id = cv.vec_id
+         |  JOIN v0 qv ON cand.query_id = qv.vec_id),
+         |r AS (SELECT query_id, item_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, item_id) AS INTEGER) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, item_id, ROUND(cosine, 6) AS cosine
+         |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
 
     "q97_ivf_query_pinned" ->
       s"""WITH q0 AS (SELECT vec_id,

@@ -54,6 +54,22 @@ object Knn {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** Signature from EXPLICIT integer hyperplanes (a pinned model):
+    * bit b = sign(quantized(v) . planes(b)) through the codegen'd
+    * [[graft.functions.DotProductQ]] — exact integer arithmetic any
+    * engine reproduces, which is what gives the LSH search a
+    * value-exact oracle (q98).
+    */
+  def hyperplaneSigPinned(vecQ: Column,
+      planes: Array[Array[Long]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, b) =>
+      val dot = graft.functions.DotProductQ
+        .dotQ(vecQ, typedLit(p.toSeq))
+      when(dot > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_)): Column
+  }
+
   /** IVF (inverted-file) top-k — the classic coarse-quantizer ANN:
     *  1. nlist centroids from a deterministic corpus sample, refined by
     *     `iters` Lloyd steps run RELATIONALLY (assignment is a
@@ -219,9 +235,16 @@ object Knn {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, queryIdCol: String, k: Int,
-      bitsPerTable: Int = 8, tables: Int = 4): DataFrame = {
+      bitsPerTable: Int = 8, tables: Int = 4,
+      pinnedPlanes: Option[Array[Array[Long]]] = None): DataFrame = {
+    pinnedPlanes.foreach(p => require(p.length == bitsPerTable * tables,
+      s"pinned planes: need ${bitsPerTable * tables}, got ${p.length}"))
     def buckets(d: DataFrame, id: String): DataFrame = {
-      val sig = hyperplaneSig(col(vecCol), bitsPerTable * tables)
+      val sig = pinnedPlanes match {
+        case Some(p) =>
+          hyperplaneSigPinned(Dedup.quantize(col(vecCol)), p)
+        case None => hyperplaneSig(col(vecCol), bitsPerTable * tables)
+      }
       d.select(col(id), col(vecCol), sig.as("__sig"))
         .select(col(id), col(vecCol), explode(array((0 until tables).map {
           t =>
