@@ -523,6 +523,25 @@ object QueriesData {
         .orderBy("query_id", "rank")
     }),
 
+    "q99_vocabulary" -> ((s, dir) => {
+      // dense frequency-ranked vocab ids WITHOUT a single-partition
+      // window (two-phase range-partitioned global rank)
+      TextOps.vocabulary(tbl(s, dir, "documents"), "text",
+        minCount = 5L)
+        .orderBy("id")
+    }),
+
+    "q100_hard_negatives" -> ((s, dir) => {
+      // contrastive-training negative mining: the rank-11..20 band —
+      // similar but not nearest — per query
+      val e = tbl(s, dir, "embeddings")
+      Knn.hardNegatives(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", "vec_id", skipTop = 10, take = 10)
+        .select(col("query_id"), col("rank"), col("item_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q80_group_zscore" -> ((s, dir) => {
       // per-group standardization as agg + join-back (NOT a window:
       // a hot group would buffer in one task); population std,
@@ -660,26 +679,29 @@ object QueriesData {
     }
   }
 
-  /** Exhaustive top-10-by-cosine truth over the quantized embeddings
-    * (q45's oracle). */
-  private val knnTopkTruthSql =
-    """WITH q AS (SELECT vec_id,
-      |  list_transform(embedding,
-      |    x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      |  FROM embeddings),
-      |s AS (SELECT qq.vec_id AS query_id, c.vec_id AS item_id,
-      |  CAST(list_sum(list_transform(list_zip(c.v, qq.v),
-      |    x -> x[1]*x[2])) AS DOUBLE) /
-      |  (SQRT(CAST(list_sum(list_transform(c.v, x -> x*x))
-      |        AS DOUBLE)) *
-      |   SQRT(CAST(list_sum(list_transform(qq.v, x -> x*x))
-      |        AS DOUBLE))) AS cosine
-      |  FROM q c, (SELECT * FROM q WHERE vec_id < 5) qq),
-      |r AS (SELECT query_id, item_id, cosine,
-      |  CAST(row_number() OVER (PARTITION BY query_id
-      |    ORDER BY cosine DESC, item_id) AS INTEGER) AS rank FROM s)
-      |SELECT query_id, rank, item_id, ROUND(cosine, 6) AS cosine
-      |FROM r WHERE rank <= 10 ORDER BY 1, 2""".stripMargin
+  /** Exhaustive rank-band-by-cosine truth over the quantized
+    * embeddings (q45 ranks <= 10; q100 the 11..20 negatives band). */
+  private def knnRankBandSql(loExcl: Int, hiIncl: Int): String =
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding,
+       |    x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |s AS (SELECT qq.vec_id AS query_id, c.vec_id AS item_id,
+       |  CAST(list_sum(list_transform(list_zip(c.v, qq.v),
+       |    x -> x[1]*x[2])) AS DOUBLE) /
+       |  (SQRT(CAST(list_sum(list_transform(c.v, x -> x*x))
+       |        AS DOUBLE)) *
+       |   SQRT(CAST(list_sum(list_transform(qq.v, x -> x*x))
+       |        AS DOUBLE))) AS cosine
+       |  FROM q c, (SELECT * FROM q WHERE vec_id < 5) qq),
+       |r AS (SELECT query_id, item_id, cosine,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, item_id) AS INTEGER) AS rank FROM s)
+       |SELECT query_id, rank, item_id, ROUND(cosine, 6) AS cosine
+       |FROM r WHERE rank > $loExcl AND rank <= $hiIncl
+       |ORDER BY 1, 2""".stripMargin
+
+  private val knnTopkTruthSql = knnRankBandSql(0, 10)
 
   private def langHitsSql(l: String): String = {
     val words = TextOps.Stopwords(l).map(w => s"'$w'").mkString(",")
@@ -1005,6 +1027,18 @@ object QueriesData {
          |      CAST(len(list_distinct(list_concat(a.s, b.s)))
          |           AS DOUBLE) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
+
+    "q100_hard_negatives" -> knnRankBandSql(10, 20),
+
+    "q99_vocabulary" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS count FROM t GROUP BY 1
+        |  HAVING count(*) >= 5)
+        |SELECT term, count,
+        |  CAST(row_number() OVER (ORDER BY count DESC, term) - 1
+        |    AS BIGINT) AS id
+        |FROM c ORDER BY id""".stripMargin,
 
     "q98_lsh_query_pinned" ->
       s"""WITH v0 AS (SELECT vec_id,

@@ -272,6 +272,24 @@ object Knn {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * documents ranked just BELOW the top `skipTop` neighbors — similar
+    * enough to be informative negatives, far enough to (probably) be
+    * true negatives. Ranks are exact here (brute force); at corpus
+    * scale feed the ADC/IVF shortlist into the same rank-band filter.
+    * Output: (query_id, rank, item_id, cosine), skipTop < rank <=
+    * skipTop + take.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      skipTop: Int, take: Int): DataFrame = {
+    require(skipTop >= 1 && take >= 1,
+      s"need skipTop, take >= 1; got $skipTop, $take")
+    bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol,
+      skipTop + take)
+      .filter(col("rank") > skipTop)
+  }
+
   // ---- product quantization (PQ) ----------------------------------
 
   /** Fitted PQ codebook: `m` subspaces x `ksub` centroids of `dsub`

@@ -195,6 +195,56 @@ object TextOps {
           .as("top_bigram_ratio"))
   }
 
+  /** Corpus vocabulary with DENSE frequency-ranked ids:
+    * `(term, count, id)` where id = 0 for the most frequent term,
+    * ordered by (count desc, term asc) — the tokenizer-building step
+    * of an NLP pipeline.
+    *
+    * The obvious formulation — `row_number() OVER (ORDER BY count
+    * DESC)` — is a SINGLE-PARTITION window: the whole vocabulary
+    * funnels through one task. Here the global rank is a two-phase
+    * range-partitioned exclusive count, the same shape as
+    * [[graft.text.Sharding.exclusiveCumSum]]: repartitionByRange on
+    * the sort key, per-partition term counts (one |partitions|-row
+    * collect) become broadcast rank offsets, and a per-partition
+    * window hands out local ranks. Scale-safe at any vocabulary size;
+    * plan-asserted single-partition-free.
+    */
+  def vocabulary(df: DataFrame, textCol: String, minCount: Long = 1L)
+      : DataFrame = {
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("count"))
+      .filter(col("count") >= minCount)
+    val parts = math.max(1,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val ranged = counts
+      .repartitionByRange(parts, col("count").desc, col("term"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partSizes = ranged.groupBy(col("__pid"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val offsets: Map[Int, Long] = partSizes.map(_._1)
+        .zip(partSizes.map(_._2).scanLeft(0L)(_ + _).init).toMap
+      val offCol =
+        if (offsets.isEmpty) lit(0L)
+        else coalesce(element_at(typedLit(offsets), col("__pid")),
+          lit(0L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__pid"))
+        .orderBy(col("count").desc, col("term"))
+      ranged
+        .withColumn("id",
+          row_number().over(w).cast("long") - 1L + offCol)
+        .drop("__pid")
+        // pin the ranks before the source cache is released (range
+        // boundaries must not be recomputed under the caller)
+        .localCheckpoint(true)
+    } finally { ranged.unpersist(false); () }
+  }
+
   /** TF-IDF term scores: `tfidf(d, t) = tf(d, t) * ln(N / df(t))` —
     * the classic retrieval/curation relevance weight (e.g. keeping
     * documents rich in domain terms, or building sparse retrieval

@@ -115,6 +115,26 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(2)._3 == 0.0) // no bigrams -> 0, not null
   }
 
+  test("vocabulary: dense freq-ranked ids, no single-partition stage") {
+    val rnd = new scala.util.Random(13)
+    val words = (0 until 40).map(i => s"w$i")
+    val d = df("doc_id BIGINT, text STRING", (1L to 200L).map(i =>
+      Row(i, Seq.fill(8)(words(rnd.nextInt(
+        1 + rnd.nextInt(40)))).mkString(" "))))
+    val got = TextOps.vocabulary(d, "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // reference: global sort
+    val exp = got.map(t => (t._1, t._2)).sortBy { case (t, c) => (-c, t) }
+      .zipWithIndex.map { case ((t, c), i) => (t, c, i.toLong) }
+    assert(got.sortBy(_._3).toSeq == exp.toSeq)
+    assert(got.map(_._3).sorted.toSeq ==
+      (0L until got.length.toLong).toSeq, "ids must be dense")
+    // the id assignment must not funnel through one partition
+    val plan = TextOps.vocabulary(d, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan.take(600))
+  }
+
   test("tfidf: hand-computed golden, minTf prunes before the join") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       Row(1L, "a a b"), Row(2L, "a c"), Row(3L, "c c c")))
