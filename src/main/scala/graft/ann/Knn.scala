@@ -239,27 +239,31 @@ object Knn {
       pinnedPlanes: Option[Array[Array[Long]]] = None): DataFrame = {
     pinnedPlanes.foreach(p => require(p.length == bitsPerTable * tables,
       s"pinned planes: need ${bitsPerTable * tables}, got ${p.length}"))
+    // quantize ONCE behind a projection boundary; the sig bits and the
+    // rerank both read __q instead of re-evaluating the interpreted
+    // quantize HOF per plane
     def buckets(d: DataFrame, id: String): DataFrame = {
+      val withQ = d.select(col(id), col(vecCol),
+        Dedup.quantize(col(vecCol)).as("__q"))
       val sig = pinnedPlanes match {
-        case Some(p) =>
-          hyperplaneSigPinned(Dedup.quantize(col(vecCol)), p)
+        case Some(p) => hyperplaneSigPinned(col("__q"), p)
         case None => hyperplaneSig(col(vecCol), bitsPerTable * tables)
       }
-      d.select(col(id), col(vecCol), sig.as("__sig"))
-        .select(col(id), col(vecCol), explode(array((0 until tables).map {
+      withQ.select(col(id), col("__q"), sig.as("__sig"))
+        .select(col(id), col("__q"), explode(array((0 until tables).map {
           t =>
             struct(lit(t).as("tbl"),
               shiftright(col("__sig"), t * bitsPerTable)
                 .bitwiseAND((1L << bitsPerTable) - 1).as("bkt"))
         }: _*)).as("b"))
-        .select(col(id), col(vecCol), col("b.tbl"), col("b.bkt"))
+        .select(col(id), col("__q"), col("b.tbl"), col("b.bkt"))
     }
     val c = buckets(corpus, idCol)
       .select(col(idCol).as("item_id"), col("tbl"), col("bkt"),
-        Dedup.quantize(col(vecCol)).as("__cq"))
+        col("__q").as("__cq"))
     val q = buckets(queries, queryIdCol)
       .select(col(queryIdCol).as("query_id"), col("tbl"), col("bkt"),
-        Dedup.quantize(col(vecCol)).as("__qq"))
+        col("__q").as("__qq"))
     val cands = c.join(broadcast(q), Seq("tbl", "bkt"))
       .select(col("query_id"), col("item_id"), col("__cq"), col("__qq"))
       .dropDuplicates("query_id", "item_id")

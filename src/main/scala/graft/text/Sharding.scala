@@ -23,35 +23,52 @@ object Sharding {
     */
   private[graft] def exclusiveCumSum(df: DataFrame, orderCol: String,
       valueCol: String, outCol: String): DataFrame = {
+    val (frame, cleanup) = exclusiveCumSumRaw(df, Seq(col(orderCol)),
+      col(valueCol), outCol)
+    // materialize before unpersist (caller sees a plain frame whose
+    // range boundaries can never be recomputed differently)
+    try frame.localCheckpoint(true) finally cleanup()
+  }
+
+  /** The two-phase machinery itself, generalized to ANY sort-order key
+    * list and value expression, PRE-checkpoint: returns the ranked
+    * frame plus a cleanup callback — the caller must materialize
+    * (e.g. `localCheckpoint(true)`) before invoking cleanup, or the
+    * range boundaries could be re-sampled under it. Shared by
+    * [[packShards]] and [[graft.text.TextOps.vocabulary]] (dense rank
+    * = exclusive cumulative count of ones); the no-single-partition
+    * plan property is asserted on THIS frame in ShardingSpec, where
+    * the plan is still visible (a checkpointed frame's executed plan
+    * is just the RDD scan).
+    */
+  private[graft] def exclusiveCumSumRaw(df: DataFrame,
+      orderCols: Seq[Column], valueCol: Column, outCol: String)
+      : (DataFrame, () => Unit) = {
     val parts = math.max(1,
       df.sparkSession.sessionState.conf.numShufflePartitions)
     val ranged = df
-      .repartitionByRange(parts, col(orderCol))
+      .repartitionByRange(parts, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // null values count as 0 (and a partition of only-null values
-      // must not NPE the driver-side unboxing)
-      val partTotals = ranged.groupBy(col("__pid"))
-        .agg(sum(coalesce(col(valueCol).cast("long"), lit(0L))).as("t"))
-        .collect().map(r => (r.getInt(0), r.getLong(1)))
-        .sortBy(_._1)
-      val offsets: Map[Int, Long] = partTotals.map(_._1)
-        .zip(partTotals.map(_._2).scanLeft(0L)(_ + _).init).toMap
-      val offCol =
-        if (offsets.isEmpty) lit(0L)
-        else coalesce(
-          element_at(typedLit(offsets), col("__pid")), lit(0L))
-      val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      ranged
-        .withColumn(outCol,
-          coalesce(sum(coalesce(col(valueCol).cast("long"), lit(0L)))
-            .over(w), lit(0L)) + offCol)
-        .drop("__pid")
-        // materialize before unpersist (caller sees a plain frame)
-        .localCheckpoint(true)
-    } finally { ranged.unpersist(false); () }
+    // null values count as 0 (and a partition of only-null values
+    // must not NPE the driver-side unboxing)
+    val v = coalesce(valueCol.cast("long"), lit(0L))
+    val partTotals = ranged.groupBy(col("__pid"))
+      .agg(sum(v).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets: Map[Int, Long] = partTotals.map(_._1)
+      .zip(partTotals.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(
+        element_at(typedLit(offsets), col("__pid")), lit(0L))
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val out = ranged
+      .withColumn(outCol, coalesce(sum(v).over(w), lit(0L)) + offCol)
+      .drop("__pid")
+    (out, () => { ranged.unpersist(false); () })
   }
 
   /** Contiguous token-budget sharding: documents are laid out in

@@ -216,33 +216,11 @@ object TextOps {
       .select(explode(tokens(col(textCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("count"))
       .filter(col("count") >= minCount)
-    val parts = math.max(1,
-      df.sparkSession.sessionState.conf.numShufflePartitions)
-    val ranged = counts
-      .repartitionByRange(parts, col("count").desc, col("term"))
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val partSizes = ranged.groupBy(col("__pid"))
-        .agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      val offsets: Map[Int, Long] = partSizes.map(_._1)
-        .zip(partSizes.map(_._2).scanLeft(0L)(_ + _).init).toMap
-      val offCol =
-        if (offsets.isEmpty) lit(0L)
-        else coalesce(element_at(typedLit(offsets), col("__pid")),
-          lit(0L))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__pid"))
-        .orderBy(col("count").desc, col("term"))
-      ranged
-        .withColumn("id",
-          row_number().over(w).cast("long") - 1L + offCol)
-        .drop("__pid")
-        // pin the ranks before the source cache is released (range
-        // boundaries must not be recomputed under the caller)
-        .localCheckpoint(true)
-    } finally { ranged.unpersist(false); () }
+    // dense rank = exclusive cumulative count of ones in the target
+    // order — the shared two-phase machinery does the rest
+    val (ranked, cleanup) = graft.text.Sharding.exclusiveCumSumRaw(
+      counts, Seq(col("count").desc, col("term")), lit(1L), "id")
+    try ranked.localCheckpoint(true) finally cleanup()
   }
 
   /** TF-IDF term scores: `tfidf(d, t) = tf(d, t) * ln(N / df(t))` —

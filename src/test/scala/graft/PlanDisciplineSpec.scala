@@ -48,6 +48,18 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("forward as-of join also plans exactly one hash exchange") {
+    val evs = ImageTable.events(spark, 500, 3)
+    val snaps = ImageTable.snapshots(spark, 500)
+    val fwd = AsOfJoin.joinForward(evs, snaps, entity = "image_id",
+      leftTs = "event_ts", rightTs = "feature_ts")
+    val plan = fwd.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    // the frame flip must not introduce a sort beyond the window's own
+    assert(!plan.contains("SinglePartition"), plan.take(600))
+  }
+
   test("payload query reads bytes only when asked") {
     val imgs = spark.read.parquet(imgPath)
     val q = imgs.select(col("image_id"), length(col("bytes")).as("len"))

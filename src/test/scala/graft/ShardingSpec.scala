@@ -30,12 +30,22 @@ class ShardingSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
-  test("packShards plans with NO single-partition exchange") {
+  test("two-phase cumsum plans with NO single-partition exchange " +
+      "(asserted PRE-checkpoint, where the plan is visible)") {
     val d = df("id BIGINT, tok BIGINT",
       (1L to 100L).map(i => Row(i, 10L)))
-    val plan = Sharding.exclusiveCumSum(d, "id", "tok", "c")
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("SinglePartition"), plan.take(800))
+    // single-key path (packShards' shape)
+    val (f1, c1) = Sharding.exclusiveCumSumRaw(d, Seq(col("id")),
+      col("tok"), "c")
+    val p1 = f1.queryExecution.executedPlan.toString
+    assert(!p1.contains("SinglePartition"), p1.take(800))
+    c1()
+    // multi-sort-key path (vocabulary's dense-rank shape)
+    val (f2, c2) = Sharding.exclusiveCumSumRaw(d,
+      Seq(col("tok").desc, col("id")), lit(1L), "rank")
+    val p2 = f2.queryExecution.executedPlan.toString
+    assert(!p2.contains("SinglePartition"), p2.take(800))
+    c2()
   }
 
   test("sampleExactPerStratum: exact counts, matches the sort rule, " +

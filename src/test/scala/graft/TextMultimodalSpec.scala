@@ -129,10 +129,9 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.sortBy(_._3).toSeq == exp.toSeq)
     assert(got.map(_._3).sorted.toSeq ==
       (0L until got.length.toLong).toSeq, "ids must be dense")
-    // the id assignment must not funnel through one partition
-    val plan = TextOps.vocabulary(d, "text")
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("SinglePartition"), plan.take(600))
+    // (the no-single-partition property of the underlying rank is
+    // asserted pre-checkpoint in ShardingSpec, where the plan is
+    // visible — a checkpointed frame's plan is just the RDD scan)
   }
 
   test("tfidf: hand-computed golden, minTf prunes before the join") {
