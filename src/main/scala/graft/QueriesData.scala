@@ -542,6 +542,15 @@ object QueriesData {
         .orderBy("query_id", "rank")
     }),
 
+    "q101_cluster_histogram" -> ((s, dir) => {
+      // dedup quality report: distribution of duplicate-cluster sizes
+      val d = docsWithDups(s, dir).withColumn("blk", col("doc_id") % 50)
+      val edges = Dedup.blockedJaccard(d, "doc_id", "text", "blk")
+        .filter(col("jaccard") >= 0.5)
+      Components.clusterSizeHistogram(edges, "id_a", "id_b")
+        .orderBy("cluster_size")
+    }),
+
     "q80_group_zscore" -> ((s, dir) => {
       // per-group standardization as agg + join-back (NOT a window:
       // a hot group would buffer in one task); population std,
@@ -1029,6 +1038,33 @@ object QueriesData {
          |ORDER BY 1, 2""".stripMargin,
 
     "q100_hard_negatives" -> knnRankBandSql(10, 20),
+
+    "q101_cluster_histogram" ->
+      s"""WITH RECURSIVE t AS ($docsWithDupsSql),
+         |sh AS (SELECT doc_id % 50 AS blk, doc_id,
+         |  list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+         |    THEN list_transform(
+         |      range(0, len(string_split(text,' ')) - 2),
+         |      i -> array_to_string(
+         |        string_split(text,' ')[i+1:i+3], ' '))
+         |    ELSE [] END) AS s
+         |  FROM t),
+         |e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.s, b.s)))
+         |             AS DOUBLE) >= 0.5),
+         |u AS (SELECT ia AS a, ib AS b FROM e
+         |      UNION SELECT ib, ia FROM e),
+         |cc(id, comp) AS (
+         |  SELECT a, a FROM u
+         |  UNION
+         |  SELECT u.a, cc.comp FROM u JOIN cc ON u.b = cc.id),
+         |m AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+         |cs AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM m GROUP BY comp)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q99_vocabulary" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term

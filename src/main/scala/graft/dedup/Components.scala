@@ -99,6 +99,19 @@ object Components {
     } finally { und.unpersist(false); () }
   }
 
+  /** Duplicate-cluster size histogram — the dedup QUALITY REPORT:
+    * how many clusters of 2, of 3, ... does the corpus contain?
+    * (Cluster-size mass is what decides whether near-dup removal is
+    * worth a pipeline stage.) Two tiny aggregations over the
+    * component table; singleton docs (no pairs) are not represented.
+    */
+  def clusterSizeHistogram(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    connectedComponents(edges, srcCol, dstCol)
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** Component-level dedup: keep each row whose id is its component's
     * canonical representative (the minimum id), plus every row that is
     * in no duplicate pair at all. `edges` are duplicate pairs over
