@@ -273,6 +273,33 @@ object StreamingOps {
     ()
   }
 
+  /** Streaming benchmark-decontamination gate: drop ingested docs that
+    * share >= `minShared` winnowing fingerprints with a STATIC eval
+    * set. Runs per micro-batch via foreachBatch (winnowing's per-doc
+    * character windows aren't expressible as a streaming-native
+    * window), calling the batch [[graft.text.TextOps.contamination]]
+    * against the (benchmark-sized, effectively broadcast) eval frame;
+    * clean docs flow to `emit`. Stateless across batches — no marker
+    * needed, re-delivery just re-emits the same clean set
+    * (at-least-once like any foreachBatch emission).
+    */
+  def decontaminateStream(stream: DataFrame, testSet: DataFrame,
+      idCol: String, textCol: String, minShared: Long,
+      emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream
+      .queryName("graft-decontaminate")
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dirty = graft.text.TextOps.contamination(
+          batch, testSet, idCol, textCol, minShared = minShared)
+          .select(col("corpus_id").as("__dirty")).distinct()
+        emit(batch.join(dirty,
+          batch(idCol).cast("long") === col("__dirty"), "left_anti"))
+        ()
+      }
+
   /** Streaming exact dedup — the incremental counterpart of
     * `Dedup.exact`: key = xxhash64 of the content columns, state scoped
     * by the watermark (`dropDuplicatesWithinWatermark`), so the state

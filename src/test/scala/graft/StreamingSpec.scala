@@ -318,6 +318,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateStream drops eval-overlapping docs, passes clean") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val testSet = Seq(
+      (900L, "the secret benchmark question about unusual topics " +
+        "that must never appear in training data"))
+      .toDF("doc_id", "text")
+    val emitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), testSet, "doc_id", "text",
+      minShared = 3, emit = d => emitted ++= d.select("doc_id")
+        .collect().map(_.getLong(0)))
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("decon-ckpt").toString)
+      .start()
+    try {
+      input.addData(
+        // contaminated: contains the benchmark text verbatim
+        (1L, "prefix words then the secret benchmark question about " +
+          "unusual topics that must never appear in training data"),
+        (2L, "a perfectly ordinary clean document about cooking " +
+          "rice and vegetables slowly"))
+      q.processAllAvailable()
+      assert(emitted.toSet == Set(2L), s"got $emitted")
+    } finally q.stop()
+  }
+
   test("snapshotSink batch replay is a no-op (write-ahead marker)") {
     import spark.implicits._
     val root = java.nio.file.Files
