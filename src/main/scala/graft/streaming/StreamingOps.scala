@@ -292,11 +292,14 @@ object StreamingOps {
       .queryName("graft-decontaminate")
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // corpus_id keeps the batch id's native type — no cast, which
+        // would silently null out non-numeric ids and let their
+        // contaminated docs through
         val dirty = graft.text.TextOps.contamination(
           batch, testSet, idCol, textCol, minShared = minShared)
           .select(col("corpus_id").as("__dirty")).distinct()
         emit(batch.join(dirty,
-          batch(idCol).cast("long") === col("__dirty"), "left_anti"))
+          batch(idCol) === col("__dirty"), "left_anti"))
         ()
       }
 
