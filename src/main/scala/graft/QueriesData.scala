@@ -551,6 +551,15 @@ object QueriesData {
         .orderBy("cluster_size")
     }),
 
+    "q102_corpus_report" -> ((s, dir) => {
+      // one-row per-snapshot data-quality summary over the corpus
+      // with injected exact dups (so dup_rate is non-trivial)
+      TextOps.corpusReport(docsWithExact(s, dir), "text", "lang")
+        .select(col("n_docs"), col("total_tokens"), col("n_langs"),
+          round(col("dup_rate"), 6).as("dup_rate"),
+          round(col("lang_entropy"), 6).as("lang_entropy"))
+    }),
+
     "q80_group_zscore" -> ((s, dir) => {
       // per-group standardization as agg + join-back (NOT a window:
       // a hot group would buffer in one task); population std,
@@ -1038,6 +1047,24 @@ object QueriesData {
          |ORDER BY 1, 2""".stripMargin,
 
     "q100_hard_negatives" -> knnRankBandSql(10, 20),
+
+    "q102_corpus_report" ->
+      """WITH t AS (SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |l AS (SELECT lang, count(*) AS n FROM t GROUP BY 1),
+        |e AS (SELECT ln(CAST(SUM(n) AS DOUBLE)) -
+        |    SUM(n * ln(CAST(n AS DOUBLE))) / SUM(n) AS h
+        |  FROM l)
+        |SELECT count(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |    AS total_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  ROUND(1 - count(DISTINCT text) * 1.0 / count(*), 6)
+        |    AS dup_rate,
+        |  ROUND((SELECT h FROM e), 6) AS lang_entropy
+        |FROM t""".stripMargin,
 
     "q101_cluster_histogram" ->
       s"""WITH RECURSIVE t AS ($docsWithDupsSql),

@@ -223,6 +223,34 @@ object TextOps {
     try ranked.localCheckpoint(true) finally cleanup()
   }
 
+  /** One-row corpus report card — the per-snapshot data-quality
+    * summary: document and token volume, language spread (count +
+    * Shannon entropy of the language distribution), and the exact
+    * duplicate-text rate. Two tiny aggregations (language histogram +
+    * global counters) over one corpus scan each; every figure is
+    * engine-reproducible (q102).
+    */
+  def corpusReport(df: DataFrame, textCol: String, langCol: String)
+      : DataFrame = {
+    val langs = df.groupBy(col(langCol)).agg(count(lit(1)).as("n"))
+    val entropy = langs
+      .agg(sum(col("n")).as("tot"),
+        sum(col("n").cast("double") *
+          log(col("n").cast("double"))).as("nl"))
+      .select(
+        // H = ln(tot) - sum(n ln n)/tot (exact rearrangement — one
+        // pass, no per-row p = n/tot division)
+        (log(col("tot").cast("double")) - col("nl") / col("tot"))
+          .as("lang_entropy"))
+    val base = df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col(textCol)).cast("long")).as("total_tokens"),
+      countDistinct(col(langCol)).as("n_langs"),
+      (lit(1.0) - countDistinct(col(textCol)).cast("double") /
+        count(lit(1))).as("dup_rate"))
+    base.crossJoin(entropy)
+  }
+
   /** TF-IDF term scores: `tfidf(d, t) = tf(d, t) * ln(N / df(t))` —
     * the classic retrieval/curation relevance weight (e.g. keeping
     * documents rich in domain terms, or building sparse retrieval
