@@ -281,27 +281,36 @@ object StreamingOps {
     * against the (benchmark-sized, effectively broadcast) eval frame;
     * clean docs flow to `emit`. Stateless across batches — no marker
     * needed, re-delivery just re-emits the same clean set
-    * (at-least-once like any foreachBatch emission).
+    * (at-least-once like any foreachBatch emission). The eval set is
+    * fingerprinted ONCE at stream construction and cached — not once
+    * per micro-batch. Null-id docs: winnowing merges them into one
+    * pseudo-document (over-flagging, the conservative direction) and
+    * the null-safe anti-join still drops them when flagged.
     */
   def decontaminateStream(stream: DataFrame, testSet: DataFrame,
       idCol: String, textCol: String, minShared: Long,
-      emit: DataFrame => Unit)
+      emit: DataFrame => Unit,
+      queryName: String = "graft-decontaminate")
       : org.apache.spark.sql.streaming.DataStreamWriter[
-        org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Row] = {
+    val testFps = graft.text.TextOps
+      .winnowFingerprints(testSet, idCol, textCol)
+      .withColumnRenamed("doc_id", "test_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     stream.writeStream
-      .queryName("graft-decontaminate")
+      .queryName(queryName)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // corpus_id keeps the batch id's native type — no cast, which
-        // would silently null out non-numeric ids and let their
-        // contaminated docs through
-        val dirty = graft.text.TextOps.contamination(
-          batch, testSet, idCol, textCol, minShared = minShared)
+        // corpus_id keeps the batch id's native type — a cast would
+        // null out non-numeric ids; <=> catches null ids too
+        val dirty = graft.text.TextOps.contaminationWithFps(
+          batch, testFps, idCol, textCol, minShared = minShared)
           .select(col("corpus_id").as("__dirty")).distinct()
         emit(batch.join(dirty,
-          batch(idCol) === col("__dirty"), "left_anti"))
+          batch(idCol) <=> col("__dirty"), "left_anti"))
         ()
       }
+  }
 
   /** Streaming exact dedup — the incremental counterpart of
     * `Dedup.exact`: key = xxhash64 of the content columns, state scoped

@@ -157,12 +157,23 @@ object TextOps {
     */
   def contamination(corpus: DataFrame, testSet: DataFrame,
       idCol: String, textCol: String, k: Int = 8, w: Int = 4,
+      minShared: Long = 1L): DataFrame =
+    contaminationWithFps(corpus,
+      winnowFingerprints(testSet, idCol, textCol, k, w)
+        .withColumnRenamed("doc_id", "test_id"),
+      idCol, textCol, k, w, minShared)
+
+  /** [[contamination]] against PRE-COMPUTED eval fingerprints
+    * `(test_id, fp)` — for repeated checks (e.g. the streaming gate,
+    * which would otherwise re-fingerprint the unchanged eval set
+    * every micro-batch: cache `winnowFingerprints(testSet)` once).
+    */
+  def contaminationWithFps(corpus: DataFrame, testFps: DataFrame,
+      idCol: String, textCol: String, k: Int = 8, w: Int = 4,
       minShared: Long = 1L): DataFrame = {
     val c = winnowFingerprints(corpus, idCol, textCol, k, w)
       .withColumnRenamed("doc_id", "corpus_id")
-    val t = winnowFingerprints(testSet, idCol, textCol, k, w)
-      .withColumnRenamed("doc_id", "test_id")
-    c.join(t, Seq("fp"))
+    c.join(testFps, Seq("fp"))
       .groupBy(col("corpus_id"), col("test_id"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
@@ -233,11 +244,15 @@ object TextOps {
   def corpusReport(df: DataFrame, textCol: String, langCol: String)
       : DataFrame = {
     val langs = df.groupBy(col(langCol)).agg(count(lit(1)).as("n"))
-    val entropy = langs
+    // n_langs rides the histogram agg for free; keeping it out of the
+    // corpus-side agg leaves that with ONE distinct aggregate (text),
+    // so no 3-way Expand multiplies the main scan
+    val langSide = langs
       .agg(sum(col("n")).as("tot"),
         sum(col("n").cast("double") *
-          log(col("n").cast("double"))).as("nl"))
-      .select(
+          log(col("n").cast("double"))).as("nl"),
+        count(lit(1)).as("n_langs"))
+      .select(col("n_langs"),
         // H = ln(tot) - sum(n ln n)/tot (exact rearrangement — one
         // pass, no per-row p = n/tot division)
         (log(col("tot").cast("double")) - col("nl") / col("tot"))
@@ -245,10 +260,9 @@ object TextOps {
     val base = df.agg(
       count(lit(1)).as("n_docs"),
       sum(tokenCount(col(textCol)).cast("long")).as("total_tokens"),
-      countDistinct(col(langCol)).as("n_langs"),
       (lit(1.0) - countDistinct(col(textCol)).cast("double") /
         count(lit(1))).as("dup_rate"))
-    base.crossJoin(entropy)
+    base.crossJoin(langSide)
   }
 
   /** TF-IDF term scores: `tfidf(d, t) = tf(d, t) * ln(N / df(t))` —
