@@ -134,6 +134,20 @@ class TextMultimodalSpec extends SparkSpec {
     // visible — a checkpointed frame's plan is just the RDD scan)
   }
 
+  test("corpusReport: hand-computed golden") {
+    val d = df("doc_id BIGINT, text STRING, lang STRING", Seq(
+      Row(1L, "a b c", "en"), Row(2L, "a b c", "en"), // exact dup
+      Row(3L, "d e", "de"), Row(4L, "f", "en")))
+    val r = TextOps.corpusReport(d, "text", "lang").head()
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("total_tokens") == 9L) // 3+3+2+1
+    assert(r.getAs[Long]("n_langs") == 2L)
+    assert(math.abs(r.getAs[Double]("dup_rate") - 0.25) < 1e-12)
+    // H = -(3/4 ln 3/4 + 1/4 ln 1/4)
+    val h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(r.getAs[Double]("lang_entropy") - h) < 1e-12)
+  }
+
   test("tfidf: hand-computed golden, minTf prunes before the join") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       Row(1L, "a a b"), Row(2L, "a c"), Row(3L, "c c c")))
