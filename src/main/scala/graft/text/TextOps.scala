@@ -260,8 +260,10 @@ object TextOps {
     val base = df.agg(
       count(lit(1)).as("n_docs"),
       sum(tokenCount(col(textCol)).cast("long")).as("total_tokens"),
+      // nullif-guarded: an empty corpus reports a null rate instead
+      // of an ANSI divide-by-zero
       (lit(1.0) - countDistinct(col(textCol)).cast("double") /
-        count(lit(1))).as("dup_rate"))
+        nullif(count(lit(1)), lit(0L))).as("dup_rate"))
     base.crossJoin(langSide)
   }
 

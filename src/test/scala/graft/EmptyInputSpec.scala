@@ -1,0 +1,75 @@
+package graft
+
+import graft.dedup.{Components, Dedup}
+import graft.operators.GroupOps
+import graft.text.{Sharding, TextOps}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Empty-in behavior of the round-2 operators — the reference's
+  * empty-frame contract (tests/base_tests.py) extended to the engine
+  * ops: no crashes, schema preserved, empty (or a well-defined
+  * degenerate row) out.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private def emptyDocs() =
+    df("doc_id BIGINT, text STRING, lang STRING", Seq.empty)
+
+  test("connected components of an empty edge list") {
+    val e = df("a BIGINT, b BIGINT", Seq.empty)
+    assert(Components.connectedComponents(e, "a", "b").count() == 0)
+    val data = df("id BIGINT, v STRING", Seq(Row(1L, "x")))
+    // no edges -> everything survives
+    assert(Components.dedupByComponents(data, "id", e, "a", "b")
+      .count() == 1)
+  }
+
+  test("topK / standardize / robust-scale / pct-rank on empty input") {
+    val d = df("g STRING, id BIGINT, s DOUBLE", Seq.empty)
+    assert(GroupOps.topKPerGroup(d, Seq("g"), "s", "id", 3)
+      .count() == 0)
+    val e = df("k STRING, x DOUBLE", Seq.empty)
+    assert(GroupOps.standardizeByGroup(e, "k", Seq("x")).count() == 0)
+    assert(GroupOps.robustScaleByGroup(e, "k", "x").count() == 0)
+    assert(GroupOps.percentileRankByGroup(e, "k", "x").count() == 0)
+    assert(GroupOps.capByGroupQuantiles(e, "k", "x", 0.1, 0.9)
+      .count() == 0)
+  }
+
+  test("oofMeanResponse on empty input (prior 0 and > 0)") {
+    val d = df("id BIGINT, k STRING, y DOUBLE", Seq.empty)
+    assert(GroupOps.oofMeanResponse(d, "k", "y", "id", 4).count() == 0)
+    assert(GroupOps.oofMeanResponse(d, "k", "y", "id", 4, prior = 2.0)
+      .count() == 0)
+  }
+
+  test("sharding ops on empty input") {
+    val d = df("id BIGINT, tok BIGINT", Seq.empty)
+    assert(Sharding.packShards(d, "id", "tok", 100L).count() == 0)
+    val s = df("id BIGINT, lang STRING", Seq.empty)
+    assert(Sharding.stratifiedSample(s, "lang", "id",
+      Map("en" -> 0.5)).count() == 0)
+    assert(Sharding.sampleExactPerStratum(s, "lang", "id", 3)
+      .count() == 0)
+  }
+
+  test("text ops on empty input") {
+    assert(TextOps.tfidf(emptyDocs(), "doc_id", "text").count() == 0)
+    assert(TextOps.vocabulary(emptyDocs(), "text").count() == 0)
+    assert(TextOps.repetitionScores(emptyDocs(), "doc_id", "text")
+      .count() == 0)
+    assert(TextOps.contamination(emptyDocs(), emptyDocs(),
+      "doc_id", "text").count() == 0)
+    // report on an empty corpus: one row, zero counts, null-ish stats
+    val r = TextOps.corpusReport(emptyDocs(), "text", "lang").head()
+    assert(r.getAs[Long]("n_docs") == 0L)
+    assert(r.getAs[Long]("n_langs") == 0L)
+  }
+
+  test("minhash near-dups / bandRows on empty input") {
+    assert(Dedup.minhashNearDups(emptyDocs(), "doc_id", "text", 0.5)
+      .count() == 0)
+    assert(Dedup.bandRows(emptyDocs(), "doc_id", "text").count() == 0)
+  }
+}
