@@ -26,6 +26,12 @@ final class TopKBuffer(val k: Int) {
   val heap = scala.collection.mutable.PriorityQueue.empty(worstFirst)
 
   def insert(score: Double, id: Long): Unit = {
+    // NaN is skipped like null: Scala's total-order Ordering ranks NaN
+    // greatest, so a NaN entry would become a permanent "worst kept"
+    // head that every later comparison (`score > ws`, `score == ws`)
+    // loses against — silently rejecting better elements. The window
+    // formulation the oracle uses never ranks NaN either.
+    if (score.isNaN) return
     if (heap.size < k) heap.enqueue((score, id))
     else {
       val (ws, wi) = heap.head
@@ -43,8 +49,9 @@ final class TopKBuffer(val k: Int) {
 /** `top_k_by(score, id, k)` — per-group top-k as a Catalyst
   * `TypedImperativeAggregate` returning
   * `array<struct<score:double, id:bigint>>` sorted by (score desc,
-  * id asc), exactly `min(k, group size)` entries; null scores/ids are
-  * skipped (SQL aggregate convention).
+  * id asc), exactly `min(k, group size)` entries; null scores/ids and
+  * NaN scores are skipped (SQL aggregate convention; NaN would poison
+  * the heap's total-order comparisons — see [[TopKBuffer.insert]]).
   *
   * Why an aggregate and not a window: the idiomatic
   * `row_number() OVER (PARTITION BY g ORDER BY s DESC) <= k` shuffles

@@ -17,8 +17,9 @@ object Aggregations {
   *
   * One hash Exchange on the key; all requested aggregates share that
   * single Window spec so Catalyst plans ONE shuffle + one Window node.
-  * Exact median uses percentile within the window (tiny groups);
-  * switch to a groupBy+broadcast-join for very wide groups.
+  * Exact median goes through a groupBy + broadcast join-back instead
+  * (see [[transform]]): an in-window percentile would buffer whole
+  * groups in single tasks.
   */
 class AggregateRowsOverColumnTransformer(
     val columns: Seq[String],
@@ -78,7 +79,11 @@ class AggregateRowsOverColumnTransformer(
         columns.map(c => col(c)): _*)
       .groupBy(col("__medkey"))
       .agg(medAggs.head, medAggs.tail: _*)
-    val joined = base.join(meds, col(key) <=> col("__medkey"), "left")
+    // the medians side is |groups| rows — broadcast it so the join
+    // adds NO exchange/sort on the big side (the window aggregates'
+    // hash partitioning is the only shuffle in the whole transform)
+    val joined = base.join(broadcast(meds),
+      col(key) <=> col("__medkey"), "left")
     // reproduce project()'s output order exactly: existing columns (in
     // place), then appended agg columns interleaved per (column, agg)
     val medFor = columns.map(c => s"${c}_median" -> s"__med_$c").toMap

@@ -27,8 +27,11 @@ object GroupOps {
     val agg = df.groupBy(groupCols.map(col): _*)
       .agg(TopKBy.topKBy(col(scoreCol).cast("double"),
         col(idCol).cast("long"), k).as("__topk"))
+    // posexplode_OUTER: a group whose scores are all null/NaN has an
+    // empty top-k array but must still appear in the output (with null
+    // rank/score/id) — plain posexplode would silently drop the group
     agg.select(groupCols.map(col) :+
-        posexplode(col("__topk")).as(Seq("__pos", "__e")): _*)
+        posexplode_outer(col("__topk")).as(Seq("__pos", "__e")): _*)
       .select(groupCols.map(col) ++ Seq(
         (col("__pos") + 1).cast("int").as("rank"),
         col("__e.score").as("score"),
@@ -202,20 +205,47 @@ object GroupOps {
   }
 
   /** Per-group percentile rank (ECDF value in (0, 1]): the rank-
-    * normalization feature transform — `cume_dist` over the group,
-    * ordered by value. Uses the window directly: ECDF is inherently a
-    * per-group ranking, and cume_dist streams the sorted partition.
+    * normalization feature transform — `cume_dist` semantics
+    * (#{rows with value <= x} / #{rows in group}) WITHOUT the
+    * `cume_dist() OVER (PARTITION BY key ORDER BY value)` window,
+    * which sorts every row of a group inside one task — a hot group
+    * (one domain with 10^8 rows) funnels through a single sort.
+    *
+    * Shape (the [[graft.core.Stats.groupedWeightedQuantiles]] collapse
+    * trick): one map-side-combined groupBy(key, value) count collapses
+    * each group to its DISTINCT values; a running sum + total over that
+    * collapsed frame yields the ECDF per (key, value); an equi-join on
+    * (key, value) attaches it back. The windows buffer |distinct
+    * values| rows per key — bounded by value cardinality, not group
+    * size — and the join-back hash-partitions raw rows on BOTH key and
+    * value, so a hot key spreads across its value range instead of
+    * landing in one task.
     */
   def percentileRankByGroup(df: DataFrame, keyCol: String,
       valueCol: String, suffix: String = "_pct"): DataFrame = {
     val out = s"$valueCol$suffix"
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col(valueCol))
+    val wordr = org.apache.spark.sql.expressions.Window
     // null rows are EXCLUDED from the ECDF (they'd shift both rank
     // and denominator, and engines disagree on null sort order) and
     // re-attached with a null rank
-    df.filter(col(valueCol).isNotNull)
-      .withColumn(out, cume_dist().over(w))
+    val nonNull = df.filter(col(valueCol).isNotNull)
+    val counts = nonNull
+      .groupBy(col(keyCol).as("__pk"), col(valueCol).as("__pv"))
+      .agg(count(lit(1)).as("__pn"))
+    val wCum = wordr.partitionBy(col("__pk")).orderBy(col("__pv"))
+      .rowsBetween(wordr.unboundedPreceding, wordr.currentRow)
+    val wTot = wordr.partitionBy(col("__pk"))
+    val ecdf = counts
+      .withColumn(out,
+        sum(col("__pn")).over(wCum).cast("double") /
+          sum(col("__pn")).over(wTot))
+      .select(col("__pk"), col("__pv"), col(out))
+    nonNull
+      // <=> on the key: a null key forms its own group, like the
+      // window's PARTITION BY did; plain === on the value (non-null)
+      .join(ecdf, nonNull(keyCol) <=> col("__pk") &&
+        nonNull(valueCol) === col("__pv"))
+      .drop("__pk", "__pv")
       .unionByName(df.filter(col(valueCol).isNull)
         .withColumn(out, lit(null).cast("double")))
   }

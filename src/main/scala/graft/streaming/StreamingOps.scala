@@ -260,12 +260,18 @@ object StreamingOps {
     emit(survivors) // at-least-once on mid-batch crash redo
     val survText = survivors
       .select(col(idCol).cast("long").as(idCol), col(textCol))
-    graft.io.SnapshotStore.write(
-      storedTexts.map(_.unionByName(survText).dropDuplicates(idCol))
-        .getOrElse(survText),
-      textsRoot, pmod(xxhash64(col(idCol)), lit(16)).cast("int"))
-    graft.dedup.MinhashIndex.appendBatch(survText,
-      idCol, textCol, indexRoot)
+    // an all-doomed batch leaves the index UNTOUCHED: writing an
+    // empty survivors frame would publish a snapshot with zero
+    // buckets (no runs/ data for a later read to infer schema from)
+    // while absorbing nothing — skip both writes instead
+    if (!survivors.isEmpty) {
+      graft.io.SnapshotStore.write(
+        storedTexts.map(_.unionByName(survText).dropDuplicates(idCol))
+          .getOrElse(survText),
+        textsRoot, pmod(xxhash64(col(idCol)), lit(16)).cast("int"))
+      graft.dedup.MinhashIndex.appendBatch(survText,
+        idCol, textCol, indexRoot)
+    }
     val maxBatchId =
       batch.agg(max(col(idCol).cast("long"))).head().getLong(0)
     java.nio.file.Files.writeString(hwmPath, maxBatchId.toString)

@@ -104,17 +104,25 @@ object Sharding {
       rates: Map[String, Double]): DataFrame = {
     require(rates.values.forall(r => r >= 0 && r <= 1),
       s"rates must be in [0,1]: $rates")
-    val m = lit(4294967296L) // 2^32
-    val mixed = pmod(col(idCol).cast("long") * lit(2654435761L), m)
     val thresh = element_at(typedLit(rates.map { case (k, r) =>
       k -> math.round(r * 4294967296.0)
     }), col(stratumCol))
-    df.filter(thresh.isNotNull && mixed < thresh)
+    df.filter(thresh.isNotNull && mixHash(col(idCol)) < thresh)
   }
 
-  /** The mixed hash as a column (exposed for tests/oracles). */
+  /** The mixed hash as a column (exposed for tests/oracles).
+    *
+    * The id is masked to 31 bits BEFORE the Knuth multiply so the
+    * product tops out at (2^31 - 1) * 2654435761 < 2^63: without the
+    * mask, ids >= ~3.46e9 overflow int64 — Spark wraps silently but an
+    * ANSI engine (the DuckDB oracle) raises, breaking the "same rows
+    * kept in any engine" contract exactly at large id ranges. Ids must
+    * be non-null integral; null ids hash to null and are dropped by
+    * the sampling filter (document ids, not guessed rows).
+    */
   def mixHash(id: Column): Column =
-    pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+    pmod(pmod(id.cast("long"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
 
   /** EXACT-COUNT deterministic stratified sample: the `n` rows with
     * the smallest [[mixHash]] per stratum — a uniform sample of

@@ -261,8 +261,13 @@ object TextOps {
       count(lit(1)).as("n_docs"),
       sum(tokenCount(col(textCol)).cast("long")).as("total_tokens"),
       // nullif-guarded: an empty corpus reports a null rate instead
-      // of an ANSI divide-by-zero
-      (lit(1.0) - countDistinct(col(textCol)).cast("double") /
+      // of an ANSI divide-by-zero. Distinct over md5(text), NOT the
+      // raw text: the distinct aggregation's exchange then carries
+      // 16-byte digests instead of whole documents — at corpus scale
+      // that is the one heavy shuffle in an otherwise metadata-sized
+      // report. md5 is oracle-reproducible; collision risk ~n^2/2^128
+      // is negligible and accepted.
+      (lit(1.0) - countDistinct(md5(col(textCol))).cast("double") /
         nullif(count(lit(1)), lit(0L))).as("dup_rate"))
     base.crossJoin(langSide)
   }

@@ -23,6 +23,25 @@ class GroupOpsSpec extends SparkSpec {
       ("c", 1, 5.0, 6L))) // null score skipped
   }
 
+  test("topKPerGroup: NaN scores skipped, heap not poisoned; " +
+      "all-null group still emitted") {
+    // NaN arrives FIRST: under a total-order comparison it would fill
+    // a heap slot and (NaN > x, NaN == x both false) permanently
+    // reject every later better element — the fixed heap skips it
+    val d = df("g STRING, id BIGINT, s DOUBLE", Seq(
+      Row("a", 1L, Double.NaN), Row("a", 2L, Double.NaN),
+      Row("a", 3L, 5.0), Row("a", 4L, 7.0), Row("a", 5L, 6.0),
+      Row("n", 8L, Double.NaN), Row("n", 9L, null)))
+    val out = GroupOps.topKPerGroup(d, Seq("g"), "s", "id", 2)
+      .orderBy("g", "rank").collect()
+    val a = out.filter(_.getString(0) == "a")
+      .map(r => (r.getInt(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(a == Seq((1, 7.0, 4L), (2, 6.0, 5L)))
+    // group with only null/NaN scores: one row, null rank/score/id
+    val n = out.filter(_.getString(0) == "n")
+    assert(n.length == 1 && n(0).isNullAt(1) && n(0).isNullAt(2))
+  }
+
   test("topKPerGroup matches the window formulation on random data") {
     val rnd = new scala.util.Random(7)
     val rows = (1 to 500).map(i => Row(s"g${rnd.nextInt(8)}", i.toLong,
@@ -131,6 +150,50 @@ class GroupOpsSpec extends SparkSpec {
     assert(ranks == Seq(0.25, 0.5, 0.75, 1.0)) // nulls excluded
     assert(out.filter(col("x").isNull).head().isNullAt(
       out.columns.indexOf("x_pct")))
+  }
+
+  test("percentileRankByGroup: ties share the cume_dist value and " +
+      "it matches the window formulation") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map(i =>
+      Row(s"g${rnd.nextInt(4)}", rnd.nextInt(12).toDouble))
+    val d = df("k STRING, x DOUBLE", rows)
+    val got = GroupOps.percentileRankByGroup(d, "k", "x")
+      .groupBy("k", "x").agg(first("x_pct").as("p"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("x")
+    val exp = d.withColumn("p", cume_dist().over(w))
+      .groupBy("k", "x").agg(first("p").as("p"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    assert(got == exp)
+  }
+
+  test("percentileRankByGroup plans no rank window over raw rows") {
+    // the scale contract: every Window must sit ABOVE the
+    // groupBy(key, value) collapse — its partition buffers distinct
+    // values, never the group's rows — and no cume_dist remains
+    val d = df("k STRING, x DOUBLE", Seq(
+      Row("a", 1.0), Row("a", 1.0), Row("a", 2.0), Row("b", 5.0)))
+    val plan = GroupOps.percentileRankByGroup(d, "k", "x")
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the collapsed-frame windows")
+    windows.foreach { w =>
+      val s = w.windowExpressions.map(_.toString).mkString(";")
+      assert(!s.toLowerCase.contains("cume_dist"),
+        s"cume_dist still runs over raw rows:\n$s")
+      val aggsBelow = w.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggsBelow.nonEmpty,
+        s"window must consume the (key, value) aggregate:\n$w")
+    }
   }
 
   test("standardizeByGroup: z-scores, zero-variance group -> 0") {

@@ -318,6 +318,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupIngestSink: an ALL-DOOMED batch leaves the index intact " +
+      "and the next batch still processes") {
+    // regression: an empty survivors frame used to publish a
+    // zero-bucket texts snapshot whose later read crashed with a
+    // missing basePath — the sink must skip the writes instead
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (1L to 10L).map(i => (i,
+      s"corpus document $i on subject ${i % 3} sharing many words " +
+        s"plus token$i marker suffix end")).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("ingest-doomed").toString
+    graft.dedup.MinhashIndex.build(corpus, "doc_id", "text", root)
+    val emitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupIngestSink(
+      input.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text",
+      root, threshold = 0.5,
+      emit = d => emitted ++= d.select("doc_id").collect()
+        .map(_.getLong(0)))
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("ingest-doomed-ckpt").toString)
+      .start()
+    try {
+      // batch 1: ONLY near-dups of corpus docs -> zero survivors
+      input.addData(
+        (101L, "document 3 on subject 0 sharing many words " +
+          "plus token3 marker suffix end"),
+        (102L, "document 5 on subject 2 sharing many words " +
+          "plus token5 marker suffix end"))
+      q.processAllAvailable()
+      assert(emitted.isEmpty, s"all dups must die: $emitted")
+      // batch 2 must still dedup + absorb normally
+      input.addData(
+        (201L, "totally new content aa bb cc dd ee ff gg hh ii jj"),
+        (202L, "document 7 on subject 1 sharing many words " +
+          "plus token7 marker suffix end"))
+      q.processAllAvailable()
+      assert(emitted.toSet == Set(201L),
+        s"fresh survives, dup dies after a doomed batch: $emitted")
+    } finally q.stop()
+  }
+
   test("decontaminateStream drops eval-overlapping docs, passes clean") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
