@@ -313,9 +313,15 @@ object QueriesCore {
     }),
 
     "q28_onedkmeans" -> ((s, dir) => {
+      // PINNED bins (k=4): the Lloyd fit's floating-point averages are
+      // not SQL-reproducible, so the driver query restores a
+      // deterministic fitted state and exercises the digitize
+      // transform value-exactly; the FIT path itself is covered by
+      // NumericSpec's reference pytest goldens (incl. null/NaN
+      // rejection). Distinct bins from q54 (different k and edges).
       val df = tbl(s, dir, "customer")
       val t = new OneDKmeansTransformer("c_acctbal", "bal_bin", k = 4)
-        .fit(df)
+      t.restoreFit(Map("bins" -> Seq(-1000.0, 3000.0, 7000.0)))
       t.transform(df).select(col("c_custkey"), col("bal_bin"))
         .orderBy("c_custkey")
     }),
@@ -795,6 +801,15 @@ object QueriesCore {
         |  'fixed' AS o_orderpriority,
         |  CAST(o_custkey AS INTEGER) AS o_custkey
         |FROM orders ORDER BY 1""".stripMargin,
+
+    // np.digitize(x, bins, right=True) with pinned bins [-1000,3000,7000]
+    "q28_onedkmeans" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal <= -1000.0 THEN 0
+        |       WHEN c_acctbal <= 3000.0 THEN 1
+        |       WHEN c_acctbal <= 7000.0 THEN 2
+        |       ELSE 3 END AS bal_bin
+        |FROM customer ORDER BY 1""".stripMargin,
 
     // np.digitize(x, bins, right=True) with pinned bins [0,2500,5000,7500]
     "q54_kmeans_digitize" ->

@@ -125,11 +125,12 @@ object QueriesData {
     }),
 
     "q46_knn_lsh" -> ((s, dir) => {
-      // rows-only BY DESIGN: the sf0.01 embeddings are near-random
-      // (true top-10 cosines ~0.24-0.4), where hyperplane LSH recall
-      // is probabilistic at any bucket width short of brute force —
-      // an exact-equality oracle would certify nothing but luck.
-      // Recall is measured against brute force in DedupKnnSpec (0.96)
+      // the DEFAULT lshTopK call: planes come from Knn.defaultPlanes
+      // (deterministic seed -> integer literals), so the whole search
+      // — signature bits, banded bucket join, exact rerank — is
+      // integer/quantized arithmetic the oracle recomputes from the
+      // SAME plane values. Value-exact; recall vs brute force is
+      // measured separately in DedupKnnSpec.
       val e = tbl(s, dir, "embeddings")
       Knn.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id",
         "embedding", "vec_id", k = 10)
@@ -139,11 +140,17 @@ object QueriesData {
     }),
 
     "q60_knn_ivf" -> ((s, dir) => {
-      // rows-only: Lloyd-refined centroids aren't SQL-reproducible;
-      // recall is measured against brute force in DedupKnnSpec
+      // IVF with a PINNED 8-centroid coarse quantizer (q97's shape at
+      // different nlist/nprobe/k): list assignment, probing and exact
+      // rerank are quantized-integer arithmetic the oracle recomputes.
+      // The Lloyd FIT itself (ivfBuild) is floating-point and not
+      // SQL-reproducible — it is covered by DedupKnnSpec's recall and
+      // pinned-golden tests instead.
       val e = tbl(s, dir, "embeddings")
-      Knn.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id",
-        "embedding", "vec_id", k = 10)
+      val model = Knn.IvfModel(PinnedIvf8.cents)
+      val lists = Knn.ivfLists(model, e, "vec_id", "embedding")
+      Knn.ivfQuery(model, lists, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, nprobe = 3)
         .select(col("query_id"), col("rank"), col("item_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
@@ -438,10 +445,18 @@ object QueriesData {
       val batch = corpus.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           expr("substring(text, instr(text, ' ') + 1)").as("text"))
-      // fixed per-sf path + build-once: bench reps and repeated
+      // fixed per-CONTENT path + build-once: bench reps and repeated
       // verify runs REUSE the stored index instead of re-signaturing
-      // the corpus (and don't leak temp dirs)
-      val root = s"/tmp/graft_mhidx_q93_${dir.hashCode.toHexString}"
+      // the corpus. Keyed on an order-independent corpus fingerprint
+      // (one cheap hash scan), NOT the directory path: changed data at
+      // the same path (or a path hashCode collision) must invalidate
+      // the cache rather than silently verify a stale index.
+      val fp = corpus
+        // XOR-fold: order-independent and cannot overflow (a SUM of
+        // int64 hashes trips ANSI overflow)
+        .agg(expr("bit_xor(xxhash64(doc_id, text))").as("fp"))
+        .head().getLong(0)
+      val root = s"/tmp/graft_mhidx_q93_${java.lang.Long.toHexString(fp)}"
       if (graft.io.SnapshotStore.latestSnapshot(s"$root/bands").isEmpty)
         graft.dedup.MinhashIndex.build(
           corpus.select(col("doc_id"), col("text")), "doc_id", "text",
@@ -599,7 +614,7 @@ object QueriesData {
   /** q61's winnowing pipeline as SQL over ANY (doc_id, text) source —
     * shared by the q61 and q94 oracles (k=8, w=4).
     */
-  private def winnowSql(src: String): String =
+  private[graft] def winnowSql(src: String): String =
     s"""(WITH pos AS (
        |  SELECT doc_id, text,
        |         unnest(range(1, length(text) - 6)) AS i
@@ -625,6 +640,100 @@ object QueriesData {
        |SELECT DISTINCT doc_id, fp FROM mins
        |WHERE lastw IS NOT NULL)""".stripMargin
 
+  /** SQL list of [dist, idx] pairs vs the quantized `embedding`
+    * column for a centroid set (the IVF assignment's argmin input).
+    */
+  private def ivfDistListSql(cents: Array[Array[Double]]): String = {
+    val sub = "list_transform(embedding, " +
+      "x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    cents.zipWithIndex.map { case (c, i) =>
+      val cq = c.map(x => math.round(x * 1000))
+      val n2 = cq.map(v => v * v).sum
+      val lst = cq.mkString("[", ",", "]")
+      s"[$n2 - 2 * list_sum(list_transform(list_zip($sub, $lst)," +
+        s" x -> x[1] * x[2])), $i]"
+    }.mkString("[", ", ", "]")
+  }
+
+  /** SQL signature expression over a quantized list column `v` for a
+    * hyperplane set: bit b = sign(v . planes(b)), exactly
+    * [[graft.ann.Knn.hyperplaneSigPinned]]'s integer decision.
+    */
+  private def lshSigSql(planes: Array[Array[Long]]): String =
+    planes.zipWithIndex.map { case (p, b) =>
+      val lst = p.mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip(v, $lst)," +
+        s" x -> x[1] * x[2])) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** The full IVF query-path oracle (assignment -> nprobe probing ->
+    * exact cosine rerank) for any pinned centroid set — q97 and q60.
+    */
+  private def ivfOracleSql(cents: Array[Array[Double]], nprobe: Int,
+      k: Int): String =
+    s"""WITH q0 AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+       |      AS v,
+       |    ${ivfDistListSql(cents)} AS dl
+       |  FROM embeddings),
+       |a AS (SELECT vec_id, v, list_sort(dl)[1][2] AS lst FROM q0),
+       |p AS (SELECT vec_id AS query_id, v AS qv,
+       |    list_transform(list_sort(dl)[1:$nprobe], x -> x[2]) AS pl
+       |  FROM q0 WHERE vec_id < 5),
+       |s AS (SELECT p.query_id, a.vec_id AS item_id,
+       |    CAST(list_sum(list_transform(list_zip(a.v, p.qv),
+       |      x -> x[1] * x[2])) AS DOUBLE) /
+       |    (SQRT(CAST(list_sum(list_transform(a.v, x -> x * x))
+       |       AS DOUBLE)) *
+       |     SQRT(CAST(list_sum(list_transform(p.qv, x -> x * x))
+       |       AS DOUBLE))) AS cosine
+       |  FROM p JOIN a ON list_contains(p.pl, a.lst)),
+       |r AS (SELECT query_id, item_id, cosine,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, item_id) AS INTEGER) AS rank
+       |  FROM s)
+       |SELECT query_id, rank, item_id, ROUND(cosine, 6) AS cosine
+       |FROM r WHERE rank <= $k ORDER BY 1, 2""".stripMargin
+
+  /** The full LSH search oracle (signature -> banded bucket join ->
+    * exact cosine rerank) for any pinned plane set — q98 and q46.
+    */
+  private def lshOracleSql(planes: Array[Array[Long]],
+      bitsPerTable: Int, tables: Int, k: Int): String = {
+    val mask = (1L << bitsPerTable) - 1
+    val vals = (0 until tables).map(t => s"($t)").mkString(", ")
+    s"""WITH v0 AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+       |      AS v
+       |  FROM embeddings),
+       |sg AS (SELECT vec_id, v, ${lshSigSql(planes)} AS sig FROM v0),
+       |b AS (SELECT vec_id, v, t.t AS tbl,
+       |    (sig >> (t.t * $bitsPerTable)) & $mask AS bkt
+       |  FROM sg, (VALUES $vals) t(t)),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id,
+       |    c.vec_id AS item_id
+       |  FROM b c JOIN b q ON c.tbl = q.tbl AND c.bkt = q.bkt
+       |  WHERE q.vec_id < 5),
+       |s AS (SELECT cand.query_id, cand.item_id,
+       |    CAST(list_sum(list_transform(list_zip(cv.v, qv.v),
+       |      x -> x[1] * x[2])) AS DOUBLE) /
+       |    (SQRT(CAST(list_sum(list_transform(cv.v, x -> x * x))
+       |       AS DOUBLE)) *
+       |     SQRT(CAST(list_sum(list_transform(qv.v, x -> x * x))
+       |       AS DOUBLE))) AS cosine
+       |  FROM cand
+       |  JOIN v0 cv ON cand.item_id = cv.vec_id
+       |  JOIN v0 qv ON cand.query_id = qv.vec_id),
+       |r AS (SELECT query_id, item_id, cosine,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, item_id) AS INTEGER) AS rank
+       |  FROM s)
+       |SELECT query_id, rank, item_id, ROUND(cosine, 6) AS cosine
+       |FROM r WHERE rank <= $k ORDER BY 1, 2""".stripMargin
+  }
+
   /** Pinned 4-centroid IVF coarse quantizer over the 64-dim
     * embeddings (q97): assignment/probing distances are quantized
     * integers, SQL-reproducible like [[PinnedPq]].
@@ -635,19 +744,14 @@ object QueriesData {
       Array.fill(64)(0.5),
       Array.fill(64)(-0.5),
       Array.tabulate(64)(i => if (i % 2 == 0) 0.25 else -0.25))
+  }
 
-    /** SQL list of [dist, idx] pairs vs the quantized embedding. */
-    def distListSql: String = {
-      val sub = "list_transform(embedding, " +
-        "x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
-      cents.zipWithIndex.map { case (c, i) =>
-        val cq = c.map(x => math.round(x * 1000))
-        val n2 = cq.map(v => v * v).sum
-        val lst = cq.mkString("[", ",", "]")
-        s"[$n2 - 2 * list_sum(list_transform(list_zip($sub, $lst)," +
-          s" x -> x[1] * x[2])), $i]"
-      }.mkString("[", ", ", "]")
-    }
+  /** Pinned 8-centroid IVF quantizer for q60 (nlist=8, nprobe=3):
+    * denser than [[PinnedIvf]], so probing genuinely skips lists.
+    */
+  private object PinnedIvf8 {
+    val cents: Array[Array[Double]] = Array.tabulate(8)(c =>
+      Array.tabulate(64)(i => (((i * (c + 2) + c * 5) % 17) - 8) / 8.0))
   }
 
   /** Pinned 8-hyperplane LSH model for q98 (4 tables x 2 bits over
@@ -656,14 +760,6 @@ object QueriesData {
   private object PinnedLsh {
     val planes: Array[Array[Long]] = Array.tabulate(8)(b =>
       Array.tabulate(64)(i => ((i * (b + 3) + b * 7) % 21 - 10).toLong))
-
-    /** SQL signature expression over quantized list column `v`. */
-    def sigSql: String =
-      planes.zipWithIndex.map { case (p, b) =>
-        val lst = p.mkString("[", ",", "]")
-        s"(CASE WHEN list_sum(list_transform(list_zip(v, $lst)," +
-          s" x -> x[1] * x[2])) > 0 THEN ${1L << b} ELSE 0 END)"
-      }.mkString(" + ")
   }
 
   /** Pinned 2x4 PQ codebook for the q92 oracle: distances are exact
@@ -776,7 +872,7 @@ object QueriesData {
 
     "q79_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE (doc_id * 2654435761) % 4294967296 <
+        |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 <
         |  CASE lang WHEN 'en' THEN 2147483648
         |            WHEN 'zh' THEN 1073741824
         |            WHEN 'es' THEN 536870912
@@ -846,7 +942,8 @@ object QueriesData {
     "q84_sample_exact_count" ->
       """WITH r AS (SELECT lang, doc_id,
         |  row_number() OVER (PARTITION BY lang
-        |    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
+        |    ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+        |      doc_id)
         |    AS rn
         |  FROM documents)
         |SELECT lang, doc_id FROM r WHERE rn <= 7
@@ -1061,7 +1158,7 @@ object QueriesData {
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
         |    AS total_tokens,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-        |  ROUND(1 - count(DISTINCT text) * 1.0 / count(*), 6)
+        |  ROUND(1 - count(DISTINCT md5(text)) * 1.0 / count(*), 6)
         |    AS dup_rate,
         |  ROUND((SELECT h FROM e), 6) AS lang_entropy
         |FROM t""".stripMargin,
@@ -1104,61 +1201,18 @@ object QueriesData {
         |FROM c ORDER BY id""".stripMargin,
 
     "q98_lsh_query_pinned" ->
-      s"""WITH v0 AS (SELECT vec_id,
-         |    list_transform(embedding,
-         |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))
-         |      AS v
-         |  FROM embeddings),
-         |sg AS (SELECT vec_id, v, ${PinnedLsh.sigSql} AS sig FROM v0),
-         |b AS (SELECT vec_id, v, t.t AS tbl,
-         |    (sig >> (t.t * 2)) & 3 AS bkt
-         |  FROM sg, (VALUES (0), (1), (2), (3)) t(t)),
-         |cand AS (SELECT DISTINCT q.vec_id AS query_id,
-         |    c.vec_id AS item_id
-         |  FROM b c JOIN b q ON c.tbl = q.tbl AND c.bkt = q.bkt
-         |  WHERE q.vec_id < 5),
-         |s AS (SELECT cand.query_id, cand.item_id,
-         |    CAST(list_sum(list_transform(list_zip(cv.v, qv.v),
-         |      x -> x[1] * x[2])) AS DOUBLE) /
-         |    (SQRT(CAST(list_sum(list_transform(cv.v, x -> x * x))
-         |       AS DOUBLE)) *
-         |     SQRT(CAST(list_sum(list_transform(qv.v, x -> x * x))
-         |       AS DOUBLE))) AS cosine
-         |  FROM cand
-         |  JOIN v0 cv ON cand.item_id = cv.vec_id
-         |  JOIN v0 qv ON cand.query_id = qv.vec_id),
-         |r AS (SELECT query_id, item_id, cosine,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, item_id) AS INTEGER) AS rank
-         |  FROM s)
-         |SELECT query_id, rank, item_id, ROUND(cosine, 6) AS cosine
-         |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
+      lshOracleSql(PinnedLsh.planes, bitsPerTable = 2, tables = 4,
+        k = 5),
+
+    "q46_knn_lsh" ->
+      lshOracleSql(graft.ann.Knn.defaultPlanes(32, 64),
+        bitsPerTable = 8, tables = 4, k = 10),
 
     "q97_ivf_query_pinned" ->
-      s"""WITH q0 AS (SELECT vec_id,
-         |    list_transform(embedding,
-         |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))
-         |      AS v,
-         |    ${PinnedIvf.distListSql} AS dl
-         |  FROM embeddings),
-         |a AS (SELECT vec_id, v, list_sort(dl)[1][2] AS lst FROM q0),
-         |p AS (SELECT vec_id AS query_id, v AS qv,
-         |    list_transform(list_sort(dl)[1:2], x -> x[2]) AS pl
-         |  FROM q0 WHERE vec_id < 5),
-         |s AS (SELECT p.query_id, a.vec_id AS item_id,
-         |    CAST(list_sum(list_transform(list_zip(a.v, p.qv),
-         |      x -> x[1] * x[2])) AS DOUBLE) /
-         |    (SQRT(CAST(list_sum(list_transform(a.v, x -> x * x))
-         |       AS DOUBLE)) *
-         |     SQRT(CAST(list_sum(list_transform(p.qv, x -> x * x))
-         |       AS DOUBLE))) AS cosine
-         |  FROM p JOIN a ON list_contains(p.pl, a.lst)),
-         |r AS (SELECT query_id, item_id, cosine,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, item_id) AS INTEGER) AS rank
-         |  FROM s)
-         |SELECT query_id, rank, item_id, ROUND(cosine, 6) AS cosine
-         |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
+      ivfOracleSql(PinnedIvf.cents, nprobe = 2, k = 5),
+
+    "q60_knn_ivf" ->
+      ivfOracleSql(PinnedIvf8.cents, nprobe = 3, k = 10),
 
     "q92_pq_codes" ->
       s"""SELECT vec_id,
@@ -1169,7 +1223,8 @@ object QueriesData {
     "q96_oof_target_encoding" ->
       """WITH d AS (SELECT c_custkey, c_mktsegment,
         |    FLOOR(c_acctbal) AS y,
-        |    CAST(((c_custkey * 2654435761) % 4294967296) % 5
+        |    CAST((((c_custkey % 2147483648) * 2654435761)
+        |      % 4294967296) % 5
         |      AS INTEGER) AS f
         |  FROM customer),
         |s AS (SELECT c_mktsegment AS k, f, SUM(y) AS fs,

@@ -15,11 +15,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.allQueries ++ QueriesTemporal.queries ++
-      QueriesData.queries
+      QueriesData.queries ++ QueriesStreaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
-    QueriesCore.oracles ++ QueriesTemporal.oracles ++ QueriesData.oracles
+    QueriesCore.oracles ++ QueriesTemporal.oracles ++
+      QueriesData.oracles ++ QueriesStreaming.oracles
 }

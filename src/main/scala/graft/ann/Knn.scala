@@ -37,22 +37,27 @@ object Knn {
       .filter(col("rank") <= k)
   }
 
-  /** Random-hyperplane signature: bit b = sign(v . h_b) where
-    * h_b[i] = (xxhash64(b, i) mod 2001 - 1000) — deterministic
-    * pseudo-hyperplanes, no stored model.
+  /** Deterministic integer hyperplanes from a seed (splitmix64 mix of
+    * (seed, bit, dim), folded to [-1000, 1000]) — generated ONCE on
+    * the driver and embedded as literals, so every signature bit is a
+    * codegen'd [[graft.functions.DotProductQ]] integer dot product.
+    *
+    * This replaced a per-row `aggregate(zip_with(...))` HOF variant
+    * that recomputed hash-derived plane terms inside an interpreted
+    * lambda per row per bit — same math, but outside codegen and
+    * invisible to the RewriteHofDotProduct rule. Driver-side plane
+    * state is nBits x dims longs (a few KB), exactly the bounded
+    * fitted-model shape every other operator uses.
     */
-  def hyperplaneSig(vec: Column, nBits: Int): Column = {
-    val bits = (0 until nBits).map { b =>
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") *
-            (pmod(xxhash64(lit(b), i), lit(2001)) - lit(1000))
-              .cast("double")),
-        lit(0.0d), (acc, v) => acc + v)
-      when(dot > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  def defaultPlanes(nBits: Int, dims: Int,
+      seed: Long = 0x5DEECE66DL): Array[Array[Long]] =
+    Array.tabulate(nBits)(b => Array.tabulate(dims) { i =>
+      var z = seed + (b.toLong * dims + i + 1) * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      java.lang.Math.floorMod(z, 2001L) - 1000L
+    })
 
   /** Signature from EXPLICIT integer hyperplanes (a pinned model):
     * bit b = sign(quantized(v) . planes(b)) through the codegen'd
@@ -232,23 +237,31 @@ object Knn {
     * (each table uses a disjoint bit range), exact cosine re-rank per
     * query, top-k. Recall < 1 by construction; verified against
     * bruteForceTopK in tests.
+    *
+    * Planes default to [[defaultPlanes]] (deterministic from a fixed
+    * seed), so the default call is reproducible in any engine and
+    * ALWAYS takes the codegen'd pinned signature path — there is no
+    * interpreted fallback.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, queryIdCol: String, k: Int,
       bitsPerTable: Int = 8, tables: Int = 4,
       pinnedPlanes: Option[Array[Array[Long]]] = None): DataFrame = {
-    pinnedPlanes.foreach(p => require(p.length == bitsPerTable * tables,
-      s"pinned planes: need ${bitsPerTable * tables}, got ${p.length}"))
+    val planes = pinnedPlanes.getOrElse {
+      // one bounded driver action: the vector width (planes are
+      // nBits x dims literals, the same fitted-model scale as IVF/PQ)
+      val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+      defaultPlanes(bitsPerTable * tables, dims)
+    }
+    require(planes.length == bitsPerTable * tables,
+      s"planes: need ${bitsPerTable * tables}, got ${planes.length}")
     // quantize ONCE behind a projection boundary; the sig bits and the
     // rerank both read __q instead of re-evaluating the interpreted
     // quantize HOF per plane
     def buckets(d: DataFrame, id: String): DataFrame = {
-      val withQ = d.select(col(id), col(vecCol),
+      val withQ = d.select(col(id),
         Dedup.quantize(col(vecCol)).as("__q"))
-      val sig = pinnedPlanes match {
-        case Some(p) => hyperplaneSigPinned(col("__q"), p)
-        case None => hyperplaneSig(col(vecCol), bitsPerTable * tables)
-      }
+      val sig = hyperplaneSigPinned(col("__q"), planes)
       withQ.select(col(id), col("__q"), sig.as("__sig"))
         .select(col(id), col("__q"), explode(array((0 until tables).map {
           t =>
