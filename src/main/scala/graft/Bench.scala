@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions.{col, sum}
   * SPARK_GRAFT_BENCH_MODE=all runs every query instead of the headline
   * subset; SPARK_GRAFT_SCALING=0 skips section 3;
   * SPARK_GRAFT_BENCH_REPS / SPARK_GRAFT_SCALING_REPS override rep
-  * counts; SPARK_GRAFT_WARMUP=0 disables warmup executions.
+  * counts; SPARK_GRAFT_WARMUP=0 disables warmup executions;
+  * SPARK_GRAFT_SF1=0 skips the 10x-scale block
+  * (SPARK_GRAFT_SF1_REPS overrides its rep count).
   */
 object Bench {
 
@@ -296,6 +298,64 @@ object Bench {
         f""","skew":{"hot_fraction":0.9,"events":${nImg * perImg},"unsalted_sec":$tU%.3f,"salted_sec":$tS%.3f,"speedup":${tU / tS}%.2f,"raw_unsalted":${fmtRaw(rawU)},"raw_salted":${fmtRaw(rawS)}}"""
       } else ""
 
+    // sf1 block: one order of magnitude above the sf0.1 headline run,
+    // evidence that the curves hold a decade up — flagship at 10x rows
+    // plus the two heaviest dedup kernels (LSH near-dup + end-to-end
+    // components dedup) over a 10x corpus. The corpus is derived
+    // DETERMINISTICALLY from the configured sfDir's documents: each of
+    // the 10 copies gets a distinct alphabet rotation via translate(),
+    // which preserves intra-copy near-dup structure exactly (token
+    // equality is invariant under a bijective char map) while keeping
+    // copies token-disjoint — a verbatim 10x copy would instead give
+    // every doc 9 exact clones and quadratically explode the pair
+    // workload, benchmarking a different (and unrealistic) problem.
+    // Input generation runs inside the timed body, like the flagship.
+    val sf1Json =
+      if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1") {
+        import org.apache.spark.sql.functions.{explode, lit, translate, when}
+        val alpha = "abcdefghijklmnopqrstuvwxyz"
+        def rot(k: Int) = alpha.drop(k) + alpha.take(k)
+        val copies = 10
+        def scaledDocs = {
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("doc_id"), col("text"))
+          docs
+            .withColumn("__k", explode(lit((0 until copies).toArray)))
+            .select(
+              (col("doc_id") + col("__k").cast("long") * 100000000L)
+                .as("doc_id"),
+              (0 until copies).foldLeft(lit(null).cast("string")) {
+                (acc, k) =>
+                  when(col("__k") === k,
+                    translate(col("text"), alpha, rot(k))).otherwise(acc)
+              }.as("text"))
+        }
+        val r1 = sys.env.getOrElse("SPARK_GRAFT_SF1_REPS", "2").toInt
+        val fImgs10 = fImgs * 10
+        val (fr, ft, fRaw10) = timed(r1) {
+          val n = Flagship.features(spark, fImgs10, 5).count()
+          spark.catalog.clearCache(); n
+        }
+        val (nPairs, lt, lRaw) = timed(r1) {
+          graft.dedup.Dedup.minhashNearDups(scaledDocs, "doc_id",
+            "text", threshold = 0.5).count()
+        }
+        val (nKeep, et, eRaw) = timed(r1) {
+          val d = scaledDocs
+          val pairs = graft.dedup.Dedup.minhashNearDups(d, "doc_id",
+            "text", threshold = 0.5)
+          graft.dedup.Components.dedupByComponents(d, "doc_id", pairs,
+            "id_a", "id_b").count()
+        }
+        System.err.println(
+          f"[bench] sf1 flagship rows=$fr sec=$ft%.2f (${fr / ft}%.0f rows/s) raw=${fmtRaw(fRaw10)}")
+        System.err.println(
+          f"[bench] sf1 minhash pairs=$nPairs sec=$lt%.2f raw=${fmtRaw(lRaw)}")
+        System.err.println(
+          f"[bench] sf1 dedup-e2e kept=$nKeep sec=$et%.2f raw=${fmtRaw(eRaw)}")
+        f""","sf1":{"base":"$sfDir x10","flagship":{"rows":$fr,"sec":$ft%.3f,"rows_per_sec":${fr / ft}%.1f,"raw_secs":${fmtRaw(fRaw10)}},"minhash":{"pairs":$nPairs,"sec":$lt%.3f,"raw_secs":${fmtRaw(lRaw)}},"dedup_e2e":{"kept":$nKeep,"sec":$et%.3f,"raw_secs":${fmtRaw(eRaw)}}}"""
+      } else ""
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -303,7 +363,7 @@ object Bench {
     val flagshipJson =
       f""","flagship":{"rows":$fRows,"sec":$fSec%.3f,"rows_per_sec":${fRows / fSec}%.1f,"images_per_sec":${fImgs / fSec}%.1f,"raw_secs":${fmtRaw(fRaw)}}"""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"$flagshipJson$skewJson$scalingJson}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"$flagshipJson$skewJson$scalingJson$sf1Json}""")
     spark.stop()
   }
 }

@@ -66,8 +66,11 @@ class OrdinalEncoderTransformer(
   override def transformExprs(df: DataFrame): Seq[(String, Column)] =
     columns.map { c =>
       val m = typedLit(mappings(c))
+      // category universe in CODE order (rank 1..n) on the schema
+      val ordered = mappings(c).toSeq.sortBy(_._2).map(_._1)
       c -> when(col(c).isNotNull,
         element_at(m, col(c).cast("string"))).cast("int")
+        .as(c, graft.core.CategoryMetadata.of(c, ordered))
     }
   override def initParams: Map[String, Any] = Map(
     "columns" -> columns, "response_column" -> responseColumn,
@@ -116,8 +119,10 @@ class NominalToIntegerTransformer(
   override def transformExprs(df: DataFrame): Seq[(String, Column)] =
     columns.map { c =>
       val m = typedLit(mappings(c))
+      val ordered = mappings(c).toSeq.sortBy(_._2).map(_._1)
       c -> when(col(c).isNotNull,
         element_at(m, col(c).cast("string"))).cast("int")
+        .as(c, graft.core.CategoryMetadata.of(c, ordered))
     }
   override def initParams: Map[String, Any] = Map(
     "columns" -> columns, "start_encoding" -> startEncoding)

@@ -273,6 +273,8 @@ class MeanResponseTransformer(
       ys.map { case (sfx, _) =>
         val enc = s"$c$sfx"
         enc -> finishEnc(col(c), mapExpr(col(c), mappings(enc)), enc)
+          .as(enc, graft.core.CategoryMetadata.of(c,
+            mappings(enc).keys.toSeq.sorted))
       }
     }
   }
@@ -311,6 +313,8 @@ class MeanResponseTransformer(
             col(vcol)
           } else mapExpr(col(c), m)
         enc -> finishEnc(col(c), looked, enc)
+          .as(enc, graft.core.CategoryMetadata.of(c,
+            m.keys.toSeq.sorted))
       }
     }
     project(joined, exprs).drop(tmpCols.toSeq: _*)
@@ -415,8 +419,13 @@ class OneHotEncodingTransformer(
 
   override def transformExprs(df: DataFrame): Seq[(String, Column)] =
     columns.flatMap { c =>
-      categories(c).map(l =>
-        s"$c$separator$l" -> (col(c).cast("string") === lit(l)))
+      // each dummy carries the FULL learned category universe of its
+      // source column in StructField.metadata (SURVEY §1.3)
+      val md = graft.core.CategoryMetadata.of(c, categories(c))
+      categories(c).map { l =>
+        val n = s"$c$separator$l"
+        n -> (col(c).cast("string") === lit(l)).as(n, md)
+      }
     }
 
   override def transform(df: DataFrame): DataFrame = {

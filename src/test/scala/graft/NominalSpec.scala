@@ -176,4 +176,37 @@ class NominalSpec extends SparkSpec {
       wantedValues = Map("c" -> Seq("a", "b")))
     assert(t.writtenCols == Some(Seq("c_a", "c_b")))
   }
+
+  test("encoders stamp the category universe into StructField " +
+      "metadata; it survives a parquet round-trip") {
+    import graft.core.CategoryMetadata
+    // SURVEY §1.3: the reference's Categorical dtype carries its
+    // category set (tubular/nominal.py:487-507) — a consumer must be
+    // able to recover the level universe from the OUTPUT SCHEMA alone
+    val d = mrFrame()
+    val oh = new OneHotEncodingTransformer(Seq("b")).fit(d)
+    val ohOut = oh.transform(d)
+    val f = ohOut.schema("b_c")
+    assert(CategoryMetadata.categories(f) ==
+      Some(Seq("a", "b", "c", "d", "e", "f")))
+    assert(CategoryMetadata.sourceColumn(f) == Some("b"))
+
+    val mr = new MeanResponseTransformer(Seq("b"), "a").fit(d)
+    val mrOut = mr.transform(d)
+    assert(CategoryMetadata.categories(mrOut.schema("b")) ==
+      Some(Seq("a", "b", "c", "d", "e", "f")))
+
+    val ord = new OrdinalEncoderTransformer(Seq("b"), "a").fit(d)
+    // ordinal: categories listed in CODE order (rank by mean response)
+    assert(CategoryMetadata.categories(ord.transform(d).schema("b")) ==
+      Some(Seq("a", "b", "c", "d", "e", "f")))
+
+    // the stamp must land on the WRITTEN schema, not just the plan
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_catmeta").toString + "/t"
+    ohOut.write.mode("overwrite").parquet(p)
+    val back = spark.read.parquet(p)
+    assert(CategoryMetadata.categories(back.schema("b_a")) ==
+      Some(Seq("a", "b", "c", "d", "e", "f")))
+  }
 }
