@@ -103,6 +103,205 @@ object QueriesStreaming {
       clean.toSeq.sorted.toDF("doc_id")
     }),
 
+    "q106_stream_sessionize" -> ((s, dir) => {
+      // native session_window sessionization run as a REAL stream:
+      // events fed in 3 time-ordered micro-batches, a far-future dummy
+      // row pushes the watermark so every real session finalizes in
+      // append mode. Oracle = the batch gap-sessionization semantics
+      // (new session at gap >= 30min — session windows [t, t+gap)
+      // merge only when they OVERLAP, so an exactly-gap step splits).
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = tbl(s, dir, "events")
+        .select(col("user_id").cast("long"),
+          col("ts").cast("timestamp"), col("value"))
+      val rows = ev.collect().map(r => (r.getLong(0),
+        r.getTimestamp(1), r.getDouble(2))).sortBy(_._2.getTime).toSeq
+      val maxTs = rows.map(_._2.getTime).max
+      val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val stream = input.toDF().toDF("user_id", "ts", "value")
+      val sink = s"q106_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.sessionizeStream(stream, "user_id", "ts",
+        gap = "30 minutes", watermark = "1 second",
+        valueCol = Some("value"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val sz = math.max(1, (rows.length + 2) / 3)
+        rows.grouped(sz).foreach { chunk =>
+          input.addData(chunk: _*); q.processAllAvailable()
+        }
+        input.addData((-1L,
+          new java.sql.Timestamp(maxTs + 30L * 86400 * 1000), 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"), round(col("value_sum"), 6).as("value_sum"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    "q107_stream_rolling" -> ((s, dir) => {
+      // sliding event-time windows (1h length, 30min slide) on a stream;
+      // every event lands in exactly 2 windows. Oracle rebuilds the
+      // same epoch-aligned window grid in SQL.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = tbl(s, dir, "events")
+        .select(col("user_id").cast("long"),
+          col("ts").cast("timestamp"), col("value"))
+      val rows = ev.collect().map(r => (r.getLong(0),
+        r.getTimestamp(1), r.getDouble(2))).sortBy(_._2.getTime).toSeq
+      val maxTs = rows.map(_._2.getTime).max
+      val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val stream = input.toDF().toDF("user_id", "ts", "value")
+      val sink = s"q107_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.rollingWindowStream(stream, "user_id", "ts",
+        windowLen = "1 hour", slide = "30 minutes", valueCol = "value",
+        watermark = "1 second")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val sz = math.max(1, (rows.length + 2) / 3)
+        rows.grouped(sz).foreach { chunk =>
+          input.addData(chunk: _*); q.processAllAvailable()
+        }
+        input.addData((-1L,
+          new java.sql.Timestamp(maxTs + 30L * 86400 * 1000), 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          col("window_start").cast("timestamp_ntz").as("window_start"),
+          col("window_end").cast("timestamp_ntz").as("window_end"),
+          col("n_events"), round(col("value_sum"), 6).as("value_sum"),
+          round(col("value_avg"), 6).as("value_avg"))
+        .orderBy("user_id", "window_start")
+    }),
+
+    "q108_stream_windowed_topk" -> ((s, dir) => {
+      // "trending items": tumbling 1h windows x event_type, top-3 by
+      // value through the bounded-heap top_k_by aggregate — the
+      // serialize/merge cycle the incremental state store exercises.
+      // Oracle = the row_number window formulation per (type, window).
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = tbl(s, dir, "events")
+        .select(col("event_type"), col("ts").cast("timestamp"),
+          col("value"), col("event_id").cast("long"))
+      val rows = ev.collect().map(r => (r.getString(0),
+        r.getTimestamp(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(_._2.getTime).toSeq
+      val maxTs = rows.map(_._2.getTime).max
+      val input =
+        MemoryStream[(String, java.sql.Timestamp, Double, Long)]
+      val stream = input.toDF()
+        .toDF("event_type", "ts", "value", "event_id")
+      val sink = s"q108_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.windowedTopKStream(stream, "event_type",
+        "ts", "value", "event_id", k = 3, windowLen = "1 hour",
+        watermark = "1 second")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val sz = math.max(1, (rows.length + 2) / 3)
+        rows.grouped(sz).foreach { chunk =>
+          input.addData(chunk: _*); q.processAllAvailable()
+        }
+        input.addData(("__wm_dummy",
+          new java.sql.Timestamp(maxTs + 30L * 86400 * 1000), 0.0, -1L))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).filter(col("event_type") =!= "__wm_dummy")
+        .select(col("event_type"),
+          col("window_start").cast("timestamp_ntz").as("window_start"),
+          col("window_end").cast("timestamp_ntz").as("window_end"),
+          col("rank"), round(col("score"), 6).as("score"), col("id"))
+        .orderBy("event_type", "window_start", "rank")
+    }),
+
+    "q109_stream_asof_enrich" -> ((s, dir) => {
+      // the streaming point-in-time enrich (flatMapGroupsWithState
+      // carry of the latest feature) fed feature+event streams in two
+      // TIME-SPLIT micro-batches — batch-2 events must see batch-1
+      // features through group state. Oracle = the batch ASOF join
+      // (features win ties), leakage-free by construction.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.streaming.StreamingOps.Tagged
+      val ev = tbl(s, dir, "events")
+        .select(col("user_id").cast("string").as("entity"),
+          col("ts").cast("timestamp"), col("value"), col("event_type"))
+        .collect()
+      val tagged = ev.flatMap { r =>
+        val base = Seq(Tagged(r.getString(0), r.getTimestamp(1), 1,
+          None, Some(r.getDouble(2))))
+        if (r.getString(3) == "purchase")
+          Tagged(r.getString(0), r.getTimestamp(1), 0,
+            Some(r.getDouble(2)), None) +: base
+        else base
+      }.sortBy(t => (t.ts.getTime, t.side)).toSeq
+      // strict time split: same-ts rows stay in one batch
+      val midTs = tagged(tagged.length / 2).ts.getTime
+      val (b1, b2) = tagged.partition(_.ts.getTime < midTs)
+      val input = MemoryStream[Tagged]
+      val sink = s"q109_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.asOfEnrichStream(input.toDS())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        input.addData(b1: _*); q.processAllAvailable()
+        input.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+        .select(col("entity"), col("ts").cast("timestamp_ntz").as("ts"),
+          round(col("payload"), 6).as("payload"),
+          round(col("featureAtOrBefore"), 6).as("feature_value"),
+          col("featureTs").cast("timestamp_ntz").as("feature_ts"))
+        .orderBy("entity", "ts")
+    }),
+
+    "q110_stream_phash" -> ((s, dir) => {
+      // streaming banded phash near-dup over the q62 image corpus
+      // (every 10th phash re-appears with 2 bits flipped): the pair
+      // SET is deterministic — each qualifying pair emits exactly once
+      // from the first shared band when its second member arrives.
+      // maxDist(3) < bands(4) pigeonholes every true pair into a
+      // shared bucket, so the oracle is the exhaustive Hamming truth.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.streaming.StreamingOps.PhashImage
+      val path = "/tmp/graft_phash_q110"
+      val base = graft.io.ImageTable.images(s, 500)
+        .select(col("image_id"), col("phash"))
+      base.unionByName(base
+          .filter(expr("CAST(substring(image_id, 5) AS BIGINT) % 10 = 0"))
+          .select(concat(col("image_id"), lit("_d")).as("image_id"),
+            col("phash").bitwiseXOR(lit(257L)).as("phash")))
+        .write.mode("overwrite").parquet(path)
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      val rows = s.read.parquet(path).collect()
+        .map(r => PhashImage(r.getString(0), t0, r.getLong(1)))
+        .sortBy(_.imageId).toSeq
+      val input = MemoryStream[PhashImage]
+      val sink = s"q110_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.phashNearDupStream(input.toDS(), maxDist = 3)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      drive(input, q, rows, nChunks = 3)
+      s.table(sink)
+        .select(col("idA").as("id_a"), col("idB").as("id_b"),
+          col("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "q105_stream_dedup_ingest" -> ((s, dir) => {
       // the full ingestion story: corpus indexed once, then the q93
       // near-dup batch (every 10th doc, first word dropped, id + 1e6)
@@ -160,6 +359,72 @@ object QueriesStreaming {
       |FROM documents WHERE doc_id % 10 = 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q106_stream_sessionize" ->
+      """WITH o AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         IS NULL
+        |    OR date_diff('microsecond',
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+        |       >= 1800000000
+        |  THEN 1 ELSE 0 END AS brk FROM events),
+        |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  ROUND(SUM(value), 6) AS value_sum
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q107_stream_rolling" ->
+      """WITH w AS (SELECT user_id, value,
+        |    (epoch_us(ts) // 1800000000 - k.k) * 1800000000 AS ws
+        |  FROM events, (VALUES (0), (1)) k(k))
+        |SELECT user_id,
+        |  make_timestamp(ws) AS window_start,
+        |  make_timestamp(ws + 3600000000) AS window_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  ROUND(SUM(value), 6) AS value_sum,
+        |  ROUND(AVG(value), 6) AS value_avg
+        |FROM w GROUP BY user_id, ws
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q108_stream_windowed_topk" ->
+      """WITH w AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS wi, value, event_id
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, wi, value, event_id,
+        |  row_number() OVER (PARTITION BY event_type, wi
+        |    ORDER BY value DESC, event_id) AS rank FROM w)
+        |SELECT event_type,
+        |  make_timestamp(wi * 3600000000) AS window_start,
+        |  make_timestamp((wi + 1) * 3600000000) AS window_end,
+        |  CAST(rank AS INTEGER) AS rank,
+        |  ROUND(value, 6) AS score, event_id AS id
+        |FROM r WHERE rank <= 3
+        |ORDER BY 1, 2, 4""".stripMargin,
+
+    "q109_stream_asof_enrich" ->
+      """SELECT CAST(l.user_id AS VARCHAR) AS entity, l.ts,
+        |  ROUND(l.value, 6) AS payload,
+        |  ROUND(r.purchase_value, 6) AS feature_value,
+        |  r.ts AS feature_ts
+        |FROM events l ASOF LEFT JOIN
+        |  (SELECT user_id, ts, value AS purchase_value
+        |   FROM events WHERE event_type = 'purchase') r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q110_stream_phash" ->
+      """WITH t AS (SELECT image_id, phash
+        |  FROM read_parquet('/tmp/graft_phash_q110/*.parquet'))
+        |SELECT a.image_id AS id_a, b.image_id AS id_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        |FROM t a JOIN t b ON a.image_id < b.image_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
+
     "q103_stream_dedup_exact" ->
       """WITH t AS (SELECT * FROM documents
         |  UNION ALL

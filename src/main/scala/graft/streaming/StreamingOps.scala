@@ -347,9 +347,21 @@ object StreamingOps {
       featureAtOrBefore: Option[Double], featureTs: Option[Timestamp])
 
   /** Per-entity carry state (public: the state encoder's generated code
-    * must reach the constructor).
+    * must reach the constructor). `featureTs` is epoch MICROSECONDS:
+    * `Timestamp.getTime` is millisecond-truncated, and both the
+    * ordering and the emitted feature_ts must keep Spark's native
+    * microsecond precision (a µs-level tie mis-sorts at ms grain).
     */
   case class CarryState(featureTs: Long, value: Double)
+
+  private def toMicros(ts: Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Streaming point-in-time enrich — the incremental counterpart of
     * AsOfJoin: per entity, keep the LATEST feature snapshot seen so far
@@ -374,16 +386,16 @@ object StreamingOps {
 
   private def enrichGroup(entity: String, rows: Iterator[Tagged],
       state: GroupState[CarryState]): Iterator[Enriched] = {
-    val sorted = rows.toSeq.sortBy(t => (t.ts.getTime, t.side))
+    val sorted = rows.toSeq.sortBy(t => (toMicros(t.ts), t.side))
     var carry = state.getOption
     val out = Seq.newBuilder[Enriched]
     sorted.foreach { t =>
       if (t.side == 0) {
-        if (carry.forall(_.featureTs <= t.ts.getTime))
-          carry = Some(CarryState(t.ts.getTime, t.value.get))
+        if (carry.forall(_.featureTs <= toMicros(t.ts)))
+          carry = Some(CarryState(toMicros(t.ts), t.value.get))
       } else {
         out += Enriched(entity, t.ts, t.payload.getOrElse(Double.NaN),
-          carry.map(_.value), carry.map(c => new Timestamp(c.featureTs)))
+          carry.map(_.value), carry.map(c => fromMicros(c.featureTs)))
       }
     }
     carry.foreach(state.update)
