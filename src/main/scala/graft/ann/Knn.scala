@@ -217,7 +217,7 @@ object Knn {
     */
   private def centroidDists(qvec: Column,
       cs: Array[Array[Double]]): Seq[Column] =
-    cs.zipWithIndex.map { case (c, i) =>
+    cs.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       val cq = c.map(x => math.round(x * 1000))
       val norm2 = cq.map(v => v * v).sum
       struct(

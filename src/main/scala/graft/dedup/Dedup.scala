@@ -28,25 +28,6 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word shingles (n-grams of whitespace tokens) as an array column.
-    * Texts shorter than n tokens get an empty shingle set (sequence()
-    * would otherwise run DOWNWARD for start > stop).
-    *
-    * NOTE: fine for small frames/tests, but the lambda is INTERPRETED
-    * and `split(text)` re-evaluates per element (no CSE inside HOF
-    * lambdas), i.e. O(tokens^3) characters touched per document — a
-    * single 3k-token document costs minutes. Every hot path below goes
-    * through [[shingleRowsOf]]/[[shingleSetsOf]] instead, which are
-    * fully codegen'd and linear.
-    */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
-
   /** `(__id, __s)` shingle ROWS, fully relational: posexplode tokens
     * (split evaluated ONCE per document, generate is codegen'd), then a
     * window `lead` per offset within the document builds each n-gram.

@@ -129,6 +129,9 @@ object SnapshotStore {
     Files.writeString(dir.resolve(s"v$snapshot.manifest$suffix.jsonl"), body)
   }
 
+  private def schemaPath(root: String, snapshot: Int): Path =
+    Paths.get(root, "snapshots", s"v$snapshot.schema.ddl")
+
   /** Write (or resume writing) `df` as the next snapshot of the table at
     * `root`. Buckets whose lineage matches the previous snapshot are
     * carried by reference; at most `maxBucketsPerRun` changed buckets are
@@ -170,6 +173,12 @@ object SnapshotStore {
           xxh = incoming(b)._2)) ++
         chosen.map(b => BucketLineage(b, incoming(b)._1, incoming(b)._2,
           s"$runDir/$B=$b"))
+      // schema travels with every snapshot (BEFORE the manifest — the
+      // manifest is the commit point): an EMPTY table state (zero
+      // buckets, no parquet files to infer from) must still read back
+      // as a typed empty frame, not crash on a missing basePath
+      Files.createDirectories(Paths.get(root, "snapshots"))
+      Files.writeString(schemaPath(root, snap), df.schema.toDDL)
       // a truncated run publishes an INCOMPLETE manifest: readers skip
       // it by default (latestSnapshot/read), the next write resumes it
       writeManifest(root, snap, entries, incomplete = remaining.nonEmpty)
@@ -185,6 +194,19 @@ object SnapshotStore {
     val v = snapshot.orElse(latestSnapshot(root)).getOrElse(
       throw new IllegalStateException(s"no snapshots at $root"))
     val paths = manifest(root, v).map(_.path)
+    if (paths.isEmpty) {
+      // a legitimately empty snapshot (e.g. the table's content is
+      // currently zero rows): no files exist to infer a schema from —
+      // reconstruct the typed empty frame from the stored DDL
+      val sp = schemaPath(root, v)
+      if (!Files.exists(sp))
+        throw new IllegalStateException(
+          s"snapshot v$v at $root is empty and carries no schema file")
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          Files.readString(sp)))
+    }
     spark.read.option("basePath", s"$root/runs").parquet(paths: _*)
       .drop("run").drop(B)
   }
@@ -277,7 +299,8 @@ object SnapshotStore {
           !Files.list(d).iterator().hasNext)
         .foreach(Files.delete(_))
     expired.foreach { v =>
-      Seq(s"v$v.manifest.jsonl", s"v$v.manifest$Incomplete.jsonl")
+      Seq(s"v$v.manifest.jsonl", s"v$v.manifest$Incomplete.jsonl",
+        s"v$v.schema.ddl")
         .map(Paths.get(root, "snapshots", _))
         .foreach(Files.deleteIfExists(_))
     }

@@ -20,14 +20,27 @@ class DedupKnnSpec extends SparkSpec {
       Seq(1L, 3L, 4L, 5L))
   }
 
+  /** Independent REFERENCE shingle implementation (interpreted HOF,
+    * O(tokens^3) — test-only; the engine's relational
+    * shingleRowsOf/shingleSetsOf are the production path and are
+    * cross-checked against this).
+    */
+  private def refShingles(text: org.apache.spark.sql.Column, n: Int) = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   test("shingles: n-grams, distinct, short text -> empty") {
     val first = docs().filter(col("doc_id") === 1)
-      .select(Dedup.shingles(col("text"), 3).as("s"))
+      .select(refShingles(col("text"), 3).as("s"))
       .head().getSeq[String](0)
     assert(first.contains("the quick brown"))
     assert(first.contains("over the lazy"))
     val short = docs().filter(col("doc_id") === 5)
-      .select(Dedup.shingles(col("text"), 3).as("s")).head().getSeq[String](0)
+      .select(refShingles(col("text"), 3).as("s")).head().getSeq[String](0)
     assert(short.isEmpty)
   }
 
@@ -36,7 +49,7 @@ class DedupKnnSpec extends SparkSpec {
       .distinct().collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     val arr = docs().select(col("doc_id"),
-        explode(Dedup.shingles(col("text"), 3)).as("s"))
+        explode(refShingles(col("text"), 3)).as("s"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(rel == arr)
     val sets = Dedup.shingleSetsOf(docs(), "doc_id", "text", 3)

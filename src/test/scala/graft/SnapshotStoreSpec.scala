@@ -41,6 +41,28 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.verify(spark, root).isEmpty)
   }
 
+  test("empty table states read back as typed empty frames") {
+    // regression class: a zero-bucket snapshot has no parquet files to
+    // infer a schema from — the per-snapshot schema DDL reconstructs
+    // the typed empty frame instead of crashing on a missing basePath
+    val root = freshRoot()
+    val bucket = SnapshotStore.byKey("doc_id", 16)
+    // 1. a store whose FIRST snapshot is empty
+    SnapshotStore.write(docs(0), root, bucket)
+    val empty = SnapshotStore.read(spark, root)
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq === Seq("doc_id", "text"))
+    // 2. content arrives, then the table legitimately empties again
+    SnapshotStore.write(docs(100), root, bucket)
+    assert(SnapshotStore.read(spark, root).count() === 100)
+    SnapshotStore.write(docs(0), root, bucket)
+    val emptied = SnapshotStore.read(spark, root)
+    assert(emptied.count() === 0)
+    assert(emptied.columns.toSeq === Seq("doc_id", "text"))
+    // time travel still sees the non-empty middle snapshot
+    assert(SnapshotStore.read(spark, root, Some(2)).count() === 100)
+  }
+
   test("unchanged rewrite writes nothing; changed bucket rewrites alone") {
     val root = freshRoot()
     val d = docs(500)

@@ -90,6 +90,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("as-of enrich carries MICROSECOND feature timestamps exactly") {
+    // regression (caught by the q109 oracle): the carry state stored
+    // Timestamp.getTime (epoch millis), truncating Spark-native µs on
+    // emit and mis-sorting same-millisecond records
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def us(base: String, micros: Int): java.sql.Timestamp = {
+      val t = ts(base)
+      t.setNanos(micros * 1000); t
+    }
+    val input = MemoryStream[Tagged]
+    val q = StreamingOps.asOfEnrichStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("enr_us").outputMode("append").start()
+    try {
+      input.addData(
+        // two features 88µs apart INSIDE the same millisecond: the
+        // later one must win for the later event, and its emitted ts
+        // must keep the µs digits
+        Tagged("a", us("2024-01-01 10:00:00", 81000), 0, Some(1.0), None),
+        Tagged("a", us("2024-01-01 10:00:00", 81088), 0, Some(2.0), None),
+        Tagged("a", us("2024-01-01 10:00:00", 81044), 1, None, Some(10.0)),
+        Tagged("a", us("2024-01-01 10:00:01", 0), 1, None, Some(20.0)))
+      q.processAllAvailable()
+      val got = spark.table("enr_us").orderBy("ts").collect().map(r =>
+        (Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.getTimestamp(4)).map(_.getNanos)))
+      assert(got(0) == ((Some(1.0), Some(81000000))),
+        s"mid-ms event must see only the earlier feature: ${got.toSeq}")
+      assert(got(1) == ((Some(2.0), Some(81088000))),
+        s"later event must carry the 88-µs-later feature: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps first occurrence within watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
