@@ -215,7 +215,10 @@ object Json {
     "AggregateRowsOverColumnTransformer" -> (i => {
       val p = new P(i)
       new AggregateRowsOverColumnTransformer(p.strs("columns"),
-        p.strs("aggregations"), p.str("key")) }),
+        p.strs("aggregations"), p.str("key"),
+        // absent in pre-round-3 dumps -> the default (true)
+        if (i.contains("broadcast_stats")) p.bool("broadcast_stats")
+        else true) }),
     "AggregateColumnsOverRowTransformer" -> (i => {
       val p = new P(i)
       new AggregateColumnsOverRowTransformer(p.strs("columns"),

@@ -3,7 +3,6 @@ package graft.operators
 import graft.core.Transformer
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Aggregation transformers (reference tubular/aggregations.py). */
 object Aggregations {
@@ -12,19 +11,32 @@ object Aggregations {
 }
 
 /** Attach per-group aggregates to every row:
-  * `agg(col) OVER (PARTITION BY key)` -> `{col}_{agg}`
+  * `agg(col) OVER (PARTITION BY key)` semantics -> `{col}_{agg}`
   * (tubular/aggregations.py:219-444).
   *
-  * One hash Exchange on the key; all requested aggregates share that
-  * single Window spec so Catalyst plans ONE shuffle + one Window node.
-  * Exact median goes through a groupBy + broadcast join-back instead
-  * (see [[transform]]): an in-window percentile would buffer whole
-  * groups in single tasks.
+  * NOT a window: every requested aggregate (median included) is a
+  * per-key SCALAR, so the whole transform is ONE map-side-combined
+  * `groupBy(key)` over the numeric columns plus an equi-join of the
+  * |groups|-row stats side back onto the data. The big side never
+  * shuffles for a window and never buffers a group in one task — the
+  * unbounded-frame window formulation both exchanges AND sorts every
+  * row of every key (an in-window exact percentile additionally
+  * buffers whole groups: one 10^8-row hot key OOMs an executor).
+  *
+  * `broadcastStats` (default true) broadcast-hints the stats side:
+  * one row per key, so for any realistic grouping key it is dimension-
+  * sized and the join adds ZERO exchange on the data side. Set it
+  * false for a pathological key whose cardinality approaches the row
+  * count (per-key stats are near-meaningless there, but the option
+  * exists) — the join then shuffles both sides instead of forcing an
+  * OOM-sized broadcast. Join is null-safe (`<=>`) so a null key forms
+  * its own group, like PARTITION BY did.
   */
 class AggregateRowsOverColumnTransformer(
     val columns: Seq[String],
     val aggregations: Seq[String],
-    val key: String
+    val key: String,
+    val broadcastStats: Boolean = true
 ) extends Transformer {
   aggregations.foreach(a =>
     require(Aggregations.RowOverColumnAggs.contains(a),
@@ -38,66 +50,53 @@ class AggregateRowsOverColumnTransformer(
           "(tubular/aggregations.py:436-438)")
   }
 
-  override def transformExprs(df: DataFrame): Seq[(String, Column)] = {
-    requireNumeric(df, columns)
-    val w = Window.partitionBy(col(key))
-    columns.flatMap { c =>
-      aggregations.filterNot(_ == "median").map { a =>
-        val e = a match {
-          case "min" => min(col(c)).over(w)
-          case "max" => max(col(c)).over(w)
-          case "mean" => avg(col(c)).over(w)
-          case "sum" => sum(col(c)).over(w)
-          case "count" => count(col(c)).over(w)
-        }
-        s"${c}_$a" -> e
-      }
-    }
-  }
+  // transform is join-shaped, not a projection — exprs never used
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    throw new UnsupportedOperationException(
+      s"$classname transforms via aggregate + join, not a projection")
 
-  /** Median goes through groupBy + join-back, NOT `percentile OVER
-    * (PARTITION BY key)`: an unbounded-window exact percentile buffers
-    * every column of every row of a key inside one task, so one hot key
-    * with 10^8 rows OOMs an executor at scale. The groupBy aggregate
-    * buffers only the numeric values (partial-aggregated map-side) and
-    * the join back runs on the same hash partitioning the window
-    * aggregates already established, so no extra exchange of the big
-    * side. Join is null-safe (`<=>`) to keep the window semantics of a
-    * null key forming its own group.
-    */
   override def transform(df: DataFrame): DataFrame = {
     if (!isFitted)
       throw new IllegalStateException(
         s"$classname: transform called before fit")
     columnsCheck(df)
     requireNumeric(df, columns)
-    val base = project(df, transformExprs(df))
-    if (!aggregations.contains("median")) return base
-    val medAggs = columns.map(c =>
-      expr(s"percentile(`$c`, 0.5)").as(s"__med_$c"))
-    val meds = df.select(col(key).as("__medkey") +:
+    val aggExprs = columns.flatMap { c =>
+      aggregations.map { a =>
+        val e = a match {
+          case "min" => min(col(c))
+          case "max" => max(col(c))
+          case "mean" => avg(col(c))
+          case "sum" => sum(col(c))
+          case "count" => count(col(c))
+          case "median" => expr(s"percentile(`$c`, 0.5)")
+        }
+        e.as(s"__agg_${c}_$a")
+      }
+    }
+    val stats = df.select(col(key).as("__aggkey") +:
         columns.map(c => col(c)): _*)
-      .groupBy(col("__medkey"))
-      .agg(medAggs.head, medAggs.tail: _*)
-    // the medians side is |groups| rows — broadcast it so the join
-    // adds NO exchange/sort on the big side (the window aggregates'
-    // hash partitioning is the only shuffle in the whole transform)
-    val joined = base.join(broadcast(meds),
-      col(key) <=> col("__medkey"), "left")
+      .groupBy(col("__aggkey"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    val statsSide = if (broadcastStats) broadcast(stats) else stats
+    val joined = df.join(statsSide, col(key) <=> col("__aggkey"), "left")
     // reproduce project()'s output order exactly: existing columns (in
-    // place), then appended agg columns interleaved per (column, agg)
-    val medFor = columns.map(c => s"${c}_median" -> s"__med_$c").toMap
-    val allOut = featureNamesOut
-    val finalOrder = df.columns.toSeq ++ allOut.filterNot(df.columns.contains)
+    // place, replaced if an output name collides), then appended agg
+    // columns interleaved per (column, agg)
+    val outFor = columns.flatMap(c => aggregations.map(a =>
+      s"${c}_$a" -> s"__agg_${c}_$a")).toMap
+    val finalOrder =
+      df.columns.toSeq ++ featureNamesOut.filterNot(df.columns.contains)
     joined.select(finalOrder.map { n =>
-      medFor.get(n).map(m => col(m).as(n)).getOrElse(col(n))
+      outFor.get(n).map(m => col(m).as(n)).getOrElse(col(n))
     }: _*)
   }
 
   override def featureNamesOut: Seq[String] =
     columns.flatMap(c => aggregations.map(a => s"${c}_$a"))
   override def initParams: Map[String, Any] = Map(
-    "columns" -> columns, "aggregations" -> aggregations, "key" -> key)
+    "columns" -> columns, "aggregations" -> aggregations, "key" -> key,
+    "broadcast_stats" -> broadcastStats)
 }
 
 /** Horizontal (row-wise) aggregates across columns ->

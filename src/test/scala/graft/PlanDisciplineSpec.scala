@@ -97,9 +97,13 @@ class PlanDisciplineSpec extends SparkSpec {
       s"expected one doc_id exchange, got $docExchanges:\n$plan")
   }
 
-  test("window-median never plans percentile over an unbounded window") {
-    // an exact percentile OVER (PARTITION BY key) buffers every row of
-    // a key in one task — the fix routes median through groupBy + join
+  test("rows-over-column aggregates plan as agg + broadcast join, " +
+      "never a window") {
+    // per-key scalars need no window: the unbounded-frame formulation
+    // exchanges AND sorts every row of every key (and an in-window
+    // exact percentile buffers whole groups in single tasks). The
+    // transform must be one groupBy + a broadcast join-back with ZERO
+    // exchange on the data side.
     import org.apache.spark.sql.Row
     val d = df("k BIGINT, v DOUBLE", Seq(
       Row(1L, 1.0), Row(1L, 2.0), Row(1L, 3.0), Row(2L, 5.0)))
@@ -109,11 +113,9 @@ class PlanDisciplineSpec extends SparkSpec {
     val windows = out.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
-    windows.foreach { w =>
-      val s = w.windowExpressions.map(_.toString).mkString(";")
-      assert(!s.toLowerCase.contains("percentile"),
-        s"exact percentile still runs inside a Window:\n$s")
-    }
+    assert(windows.isEmpty, s"no window expected:\n$windows")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
     // and the values are still right (median of {1,2,3} = 2, {5} = 5)
     val got = out.orderBy("k", "v").collect()
       .map(r => (r.getLong(0), r.getAs[Double]("v_median"))).distinct.toSeq
