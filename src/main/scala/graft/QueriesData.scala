@@ -160,9 +160,9 @@ object QueriesData {
       // the end-to-end training-data curation funnel every LLM corpus
       // goes through, as ONE composed plan: exact dedup (normalized
       // fingerprint) -> language ID -> quality gate -> token stats.
-      // All stages are map/window stages over one scan; the only
-      // exchange is the dedup window's hash partition on the
-      // fingerprint
+      // The dedup is a map-side-combined fingerprint agg + id
+      // semi-join (hot-content safe); everything after it is pure
+      // projection over the surviving rows
       val d = docsWithExact(s, dir)
         .withColumn("fp", TextOps.fingerprintMd5(col("text")))
       val deduped = Dedup.exact(d, Seq("fp"), "doc_id")

@@ -18,14 +18,27 @@ import org.apache.spark.sql.expressions.Window
 object Dedup {
 
   /** Exact dedup by content columns, keeping the smallest `idCol` per
-    * duplicate group (one hash exchange).
+    * duplicate group.
+    *
+    * NOT `row_number() OVER (PARTITION BY content)`: web corpora have
+    * massively hot content keys (empty pages, boilerplate, license
+    * headers — one text duplicated 10^7 times), and a window buffers
+    * and sorts each content group inside ONE task. This is ONE
+    * map-side-combined aggregation instead: `min_by(struct(*), id)`
+    * keeps the smallest-id candidate row per content per map
+    * partition, so the exchange carries at most |distinct contents| x
+    * |partitions| rows however hot a key is, and no join, sort, or
+    * second pass exists at all. Content equality is exact (the agg
+    * groups on the real columns, not a hash). Ids must be unique and
+    * non-null — the keep-the-smallest-id contract is meaningless
+    * otherwise.
     */
   def exact(df: DataFrame, contentCols: Seq[String], idCol: String)
       : DataFrame = {
-    val w = Window.partitionBy(contentCols.map(col): _*)
-      .orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val allCols = df.columns.toSeq
+    df.groupBy(contentCols.map(col): _*)
+      .agg(min_by(struct(allCols.map(col): _*), col(idCol)).as("__row"))
+      .select(allCols.map(c => col(s"__row.`$c`").as(c)): _*)
   }
 
   /** `(__id, __s)` shingle ROWS, fully relational: posexplode tokens

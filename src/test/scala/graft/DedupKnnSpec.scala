@@ -20,6 +20,27 @@ class DedupKnnSpec extends SparkSpec {
       Seq(1L, 3L, 4L, 5L))
   }
 
+  test("exact dedup: hot content key collapses map-side, no window") {
+    // one text duplicated 10k times (the boilerplate/empty-page case):
+    // the plan must be a partial-aggregated groupBy + semi join — a
+    // PARTITION BY content window would buffer the whole hot group in
+    // one task
+    val hot = spark.range(0, 10000)
+      .selectExpr("id AS doc_id",
+        "CASE WHEN id % 100 = 7 THEN concat('unique ', id) " +
+          "ELSE 'same boilerplate text' END AS text")
+    val out = Dedup.exact(hot, Seq("text"), "doc_id")
+    assert(out.count() === 101) // 100 uniques + 1 boilerplate survivor
+    assert(out.filter(col("text") === "same boilerplate text")
+      .head().getLong(0) === 0L) // smallest id survives
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window crept back in:\n$plan")
+    // partial agg before the exchange = map-side combine of hot keys
+    // (min_by over a struct buffers via SortAggregate — the sort is a
+    // local per-partition sort, NOT a per-group single-task buffer)
+    assert(plan.contains("partial_min_by"), plan.take(900))
+  }
+
   /** Independent REFERENCE shingle implementation (interpreted HOF,
     * O(tokens^3) — test-only; the engine's relational
     * shingleRowsOf/shingleSetsOf are the production path and are
