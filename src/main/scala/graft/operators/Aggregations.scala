@@ -115,19 +115,23 @@ class AggregateColumnsOverRowTransformer(
   override def transformExprs(df: DataFrame): Seq[(String, Column)] = {
     requireNumeric(df, columns)
     val prefix = columns.mkString("_")
-    val arr = array(columns.map(c => col(c).cast("double")): _*)
-    val nonNull = filter(arr, x => x.isNotNull)
+    // fully codegen'd null-ignoring horizontal folds: least/greatest
+    // skip nulls natively, sum/mean fold coalesce(c, 0) with an
+    // explicit non-null count — no interpreted `aggregate()` lambda in
+    // what is a per-row hot path (HOF lambdas run outside whole-stage
+    // codegen)
+    val cs = columns.map(c => col(c).cast("double"))
+    val nNonNull = cs.map(c =>
+      when(c.isNotNull, lit(1)).otherwise(lit(0))).reduce(_ + _)
+    val sumNN = cs.map(c => coalesce(c, lit(0.0))).reduce(_ + _)
     aggregations.map { a =>
       val e = a match {
-        case "min" => array_min(nonNull)
-        case "max" => array_max(nonNull)
-        case "sum" =>
-          when(size(nonNull) > 0,
-            aggregate(nonNull, lit(0.0), (acc, x) => acc + x))
-        case "mean" =>
-          when(size(nonNull) > 0,
-            aggregate(nonNull, lit(0.0), (acc, x) => acc + x) /
-              size(nonNull))
+        case "min" =>
+          if (cs.size == 1) cs.head else least(cs: _*)
+        case "max" =>
+          if (cs.size == 1) cs.head else greatest(cs: _*)
+        case "sum" => when(nNonNull > 0, sumNN)
+        case "mean" => when(nNonNull > 0, sumNN / nNonNull)
       }
       s"${prefix}_$a" -> e
     }

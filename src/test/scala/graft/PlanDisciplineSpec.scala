@@ -97,6 +97,34 @@ class PlanDisciplineSpec extends SparkSpec {
       s"expected one doc_id exchange, got $docExchanges:\n$plan")
   }
 
+  test("columns-over-row horizontal aggregates stay codegen'd and " +
+      "null-ignoring") {
+    import org.apache.spark.sql.Row
+    val d = df("a DOUBLE, b DOUBLE, c DOUBLE", Seq(
+      Row(1.0, 2.0, 6.0), Row(null, 4.0, 2.0), Row(null, null, null)))
+    val t = new graft.operators.AggregateColumnsOverRowTransformer(
+      Seq("a", "b", "c"), Seq("min", "max", "sum", "mean"))
+    val out = t.transform(d)
+    val rows = out.orderBy(col("a").asc_nulls_last, col("b").asc_nulls_last)
+      .collect()
+    def g(r: Row, n: String): Option[Double] =
+      Option(r.getAs[Any](n)).map(_.asInstanceOf[Double])
+    assert(g(rows(0), "a_b_c_min") == Some(1.0) &&
+      g(rows(0), "a_b_c_max") == Some(6.0) &&
+      g(rows(0), "a_b_c_sum") == Some(9.0) &&
+      g(rows(0), "a_b_c_mean") == Some(3.0))
+    assert(g(rows(1), "a_b_c_min") == Some(2.0) && // nulls ignored
+      g(rows(1), "a_b_c_sum") == Some(6.0) &&
+      g(rows(1), "a_b_c_mean") == Some(3.0))
+    assert(g(rows(2), "a_b_c_sum").isEmpty &&      // all-null -> null
+      g(rows(2), "a_b_c_mean").isEmpty)
+    // no interpreted higher-order lambda: the projection must sit
+    // inside WholeStageCodegen
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("lambdafunction"),
+      s"interpreted HOF left in the horizontal fold:\n$plan")
+  }
+
   test("rows-over-column aggregates plan as agg + broadcast join, " +
       "never a window") {
     // per-key scalars need no window: the unbounded-frame formulation
