@@ -557,6 +557,21 @@ object QueriesData {
         .orderBy("query_id", "rank")
     }),
 
+    "q111_ivfpq_query_pinned" -> ((s, dir) => {
+      // IVF-PQ composed index (FAISS IVFPQ shape) under PINNED
+      // models: coarse assignment, nprobe probing, ADC scoring over
+      // m-byte codes and the exact shortlist rerank are ALL
+      // integer/IEEE-deterministic arithmetic the oracle recomputes —
+      // the full production ANN path, value-exact
+      val e = tbl(s, dir, "embeddings")
+      Knn.ivfPqTopK(Knn.IvfModel(PinnedIvf8.cents), PinnedPq.model,
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        "vec_id", k = 5, nprobe = 3, shortlist = 12)
+        .select(col("query_id"), col("rank"), col("item_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q101_cluster_histogram" -> ((s, dir) => {
       // dedup quality report: distribution of duplicate-cluster sizes
       val d = docsWithDups(s, dir).withColumn("blk", col("doc_id") % 50)
@@ -695,6 +710,71 @@ object QueriesData {
        |  FROM s)
        |SELECT query_id, rank, item_id, ROUND(cosine, 6) AS cosine
        |FROM r WHERE rank <= $k ORDER BY 1, 2""".stripMargin
+
+  /** The full IVF-PQ search oracle (coarse assignment -> nprobe
+    * probing -> ADC over pinned PQ codes -> shortlist -> exact
+    * rerank) — q111. Subspace layout mirrors [[PinnedPq.model]]
+    * (m = 2 subspaces of 32 dims, 4 centroids each); every arithmetic
+    * step is integer or order-mirrored IEEE double, so DuckDB
+    * reproduces the shortlist cut AND the final ranks bit-for-bit.
+    */
+  private def ivfPqOracleSql(ivfCents: Array[Array[Double]],
+      nprobe: Int, shortlist: Int, k: Int): String = {
+    val centsQ = PinnedPq.cents.map(_.map(x => math.round(x * 1000)))
+    val centArr = centsQ.map(_.mkString("[", ",", "]"))
+      .mkString("[", ", ", "]")
+    val nnArr = centsQ.map(c => c.map(v => v * v).sum)
+      .mkString("[", ",", "]")
+    def ip(i: Int): String = {
+      val lo = i * 32 + 1; val hi = (i + 1) * 32
+      s"list_sum(list_transform(list_zip(($centArr)[a.c$i + 1], " +
+        s"p.qv[$lo:$hi]), x -> x[1] * x[2]))"
+    }
+    def nn(i: Int): String = s"($nnArr)[a.c$i + 1]"
+    s"""WITH q0 AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+       |      AS v,
+       |    ${ivfDistListSql(ivfCents)} AS dl,
+       |    CAST(${PinnedPq.argminSql(1, 32)} AS INTEGER) AS c0,
+       |    CAST(${PinnedPq.argminSql(33, 64)} AS INTEGER) AS c1
+       |  FROM embeddings),
+       |a AS (SELECT vec_id, v, list_sort(dl)[1][2] AS lst, c0, c1
+       |  FROM q0),
+       |p AS (SELECT vec_id AS query_id, v AS qv,
+       |    list_transform(list_sort(dl)[1:$nprobe], x -> x[2]) AS pl
+       |  FROM q0 WHERE vec_id < 5),
+       |adc AS (SELECT p.query_id, a.vec_id AS item_id, p.qv,
+       |    CASE WHEN (CAST(${nn(0)} AS DOUBLE) +
+       |               CAST(${nn(1)} AS DOUBLE)) = 0.0
+       |        OR CAST(list_sum(list_transform(p.qv, x -> x * x))
+       |             AS DOUBLE) = 0.0 THEN 0.0
+       |    ELSE
+       |    (CAST(${ip(0)} AS DOUBLE) + CAST(${ip(1)} AS DOUBLE)) /
+       |    (SQRT(CAST(${nn(0)} AS DOUBLE) + CAST(${nn(1)} AS DOUBLE)) *
+       |     SQRT(CAST(list_sum(list_transform(p.qv, x -> x * x))
+       |       AS DOUBLE))) END AS cosine_pq
+       |  FROM p JOIN a ON list_contains(p.pl, a.lst)),
+       |sl AS (SELECT query_id, item_id, qv,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine_pq DESC, item_id) AS srank
+       |  FROM adc),
+       |s AS (SELECT sl.query_id, sl.item_id,
+       |    CAST(list_sum(list_transform(list_zip(a.v, sl.qv),
+       |      x -> x[1] * x[2])) AS DOUBLE) /
+       |    (SQRT(CAST(list_sum(list_transform(a.v, x -> x * x))
+       |       AS DOUBLE)) *
+       |     SQRT(CAST(list_sum(list_transform(sl.qv, x -> x * x))
+       |       AS DOUBLE))) AS cosine
+       |  FROM sl JOIN a ON sl.item_id = a.vec_id
+       |  WHERE sl.srank <= $shortlist),
+       |r AS (SELECT query_id, item_id, cosine,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, item_id) AS INTEGER) AS rank
+       |  FROM s)
+       |SELECT query_id, rank, item_id, ROUND(cosine, 6) AS cosine
+       |FROM r WHERE rank <= $k ORDER BY 1, 2""".stripMargin
+  }
 
   /** The full LSH search oracle (signature -> banded bucket join ->
     * exact cosine rerank) for any pinned plane set — q98 and q46.
@@ -1144,6 +1224,10 @@ object QueriesData {
          |ORDER BY 1, 2""".stripMargin,
 
     "q100_hard_negatives" -> knnRankBandSql(10, 20),
+
+    "q111_ivfpq_query_pinned" ->
+      ivfPqOracleSql(PinnedIvf8.cents, nprobe = 3, shortlist = 12,
+        k = 5),
 
     "q102_corpus_report" ->
       """WITH t AS (SELECT * FROM documents

@@ -395,29 +395,60 @@ object Knn {
     */
   def pqTopK(model: PqModel, codes: DataFrame, queries: DataFrame,
       queryIdCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      Dedup.quantize(col(vecCol)).as("__qq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_pq").desc, col("item_id"))
+    codes.crossJoin(broadcast(q))
+      .select(col("query_id"), col("item_id"),
+        adcCosine(model).as("cosine_pq"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** ADC approximate cosine over columns `codes` and `__qq`: per
+    * subspace the item contributes centroid[code] (a literal lookup
+    * table), the query its exact quantized subvector — every term a
+    * codegen'd [[graft.functions.DotProductQ]]. The item side of the
+    * scan never touches raw vectors.
+    */
+  private def adcCosine(model: PqModel): Column = {
     val tables: Seq[Seq[Seq[Long]]] = model.centroids.toSeq.map(
       _.toSeq.map(_.toSeq.map(x => math.round(x * 1000))))
     import graft.functions.DotProductQ.dotQ
-    val q = queries.select(col(queryIdCol).as("query_id"),
-      Dedup.quantize(col(vecCol)).as("__qq"))
-    val joined = codes.crossJoin(broadcast(q))
     val subScores = (0 until model.m).map { i =>
       val cent = element_at(typedLit(tables(i)),
         element_at(col("codes"), i + 1) + 1)
       val qsub = slice(col("__qq"), i * model.dsub + 1, model.dsub)
-      (dotQ(cent, qsub).as(s"__ip_$i"),
-        dotQ(cent, cent).as(s"__nn_$i"))
+      (dotQ(cent, qsub), dotQ(cent, cent))
     }
-    val ip = subScores.map(_._1.cast("double") * 1.0)
-      .reduce(_ + _)
-    val n2 = subScores.map(_._2.cast("double") * 1.0)
-      .reduce(_ + _)
-    val qn2 = dotQ(col("__qq"), col("__qq")).cast("double")
+    val ip = subScores.map(_._1.cast("double") * 1.0).reduce(_ + _)
+    val n2 = subScores.map(_._2.cast("double") * 1.0).reduce(_ + _)
+    val qn2 = graft.functions.DotProductQ
+      .dotQ(col("__qq"), col("__qq")).cast("double")
+    // a vector whose every subspace lands on an all-zero centroid
+    // reconstructs to 0 — define its similarity as 0 (deterministic,
+    // oracle-mirrored) rather than divide by zero under ANSI mode
+    when(n2 === 0.0 || qn2 === 0.0, lit(0.0))
+      .otherwise(ip / (sqrt(n2) * sqrt(qn2)))
+  }
+
+  /** Exact cosine top-k over a (query_id, item_id) candidate set —
+    * the shared rerank tail: only candidates join back to raw
+    * vectors, queries broadcast.
+    */
+  private def rerankExact(cands: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      queryIdCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("item_id"),
+      Dedup.quantize(col(vecCol)).as("__cq"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      Dedup.quantize(col(vecCol)).as("__qq"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_pq").desc, col("item_id"))
-    joined
+      .orderBy(col("cosine").desc, col("item_id"))
+    cands.join(c, Seq("item_id")).join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("item_id"),
-        (ip / (sqrt(n2) * sqrt(qn2))).as("cosine_pq"))
+        Dedup.cosineQ(col("__cq"), col("__qq")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -436,16 +467,72 @@ object Knn {
     require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
     val cands = pqTopK(model, codes, queries, queryIdCol, vecCol,
       shortlist).select(col("query_id"), col("item_id"))
-    val c = corpus.select(col(idCol).as("item_id"),
-      Dedup.quantize(col(vecCol)).as("__cq"))
-    val q = queries.select(col(queryIdCol).as("query_id"),
-      Dedup.quantize(col(vecCol)).as("__qq"))
+    rerankExact(cands, corpus, queries, idCol, vecCol, queryIdCol, k)
+  }
+
+  // ---- IVF-PQ (coarse quantizer + product-quantized lists) --------
+
+  /** Combined IVF-PQ index — THE production web-scale ANN layout
+    * (FAISS's IVFPQ, Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011): every corpus vector is ONE row
+    * (item_id, __list, codes) — its coarse inverted-list id plus its
+    * m-byte PQ code. One projection pass builds it (no shuffle: both
+    * assignments are codegen'd argmins over literal centroids); the
+    * search scan then touches `m` small ints per candidate instead of
+    * the raw vector, and only inside the probed lists.
+    *
+    * Persist through [[graft.io.SnapshotStore]] exactly like
+    * [[ivfSave]] (the frame is columnar-small: id + 2 ints + m bytes).
+    */
+  def ivfPqIndex(ivf: IvfModel, pq: PqModel, corpus: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("item_id"),
+      nearestCentroid(Dedup.quantize(col(vecCol)), ivf.centroids)
+        .as("__list"),
+      array((0 until pq.m).map(i => nearestCentroid(
+        Dedup.quantize(slice(col(vecCol), i * pq.dsub + 1, pq.dsub)),
+        pq.centroids(i))): _*).as("codes"))
+
+  /** IVF-PQ top-k: probe `nprobe` lists, ADC-score ONLY their code
+    * rows (never the raw vectors), shortlist, exact-rerank the
+    * shortlist against raw vectors. The three scale levers compose:
+    *  - IVF cuts the candidate scan to nprobe/nlist of the corpus;
+    *  - PQ cuts the bytes per scanned candidate to m codes;
+    *  - the rerank touches raw vectors for `shortlist` rows per query.
+    * At 100 TB the corpus-side work is one broadcast-probe join over
+    * the (tiny-rowed) index plus point lookups for the rerank —
+    * the raw-vector table is never scanned in full.
+    *
+    * `index` defaults to a fresh [[ivfPqIndex]] build; production
+    * passes the persisted one ([[ivfSave]]/[[ivfLoad]] machinery).
+    */
+  def ivfPqTopK(ivf: IvfModel, pq: PqModel, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      queryIdCol: String, k: Int, nprobe: Int = 4,
+      shortlist: Int = 64, index: Option[DataFrame] = None)
+      : DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    val idx = index.getOrElse(
+      ivfPqIndex(ivf, pq, corpus, idCol, vecCol))
+    val cs = ivf.centroids
+    val probes = queries
+      .select(col(queryIdCol).as("query_id"),
+        Dedup.quantize(col(vecCol)).as("__qq"))
+      .select(col("query_id"), col("__qq"),
+        array_sort(array(centroidDists(col("__qq"), cs): _*)).as("__pl"))
+      .select(col("query_id"), col("__qq"),
+        explode(slice(col("__pl"), 1, nprobe)).as("__p"))
+      .select(col("query_id"), col("__qq"),
+        col("__p").cast("struct<d:bigint,i:int>").getField("i")
+          .as("__list"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("item_id"))
-    cands.join(c, Seq("item_id")).join(broadcast(q), Seq("query_id"))
+      .orderBy(col("cosine_pq").desc, col("item_id"))
+    val cands = idx.join(broadcast(probes), Seq("__list"))
       .select(col("query_id"), col("item_id"),
-        Dedup.cosineQ(col("__cq"), col("__qq")).as("cosine"))
+        adcCosine(pq).as("cosine_pq"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .filter(col("rank") <= shortlist)
+      .select(col("query_id"), col("item_id"))
+    rerankExact(cands, corpus, queries, idCol, vecCol, queryIdCol, k)
   }
 }

@@ -297,4 +297,45 @@ class DedupKnnSpec extends SparkSpec {
     info(f"PQ+rerank recall@10 = $recall%.2f (m=4, ksub=8, shortlist=64)")
     assert(recall >= 0.9, s"PQ rerank recall $recall too low")
   }
+
+  test("IVF-PQ: composed index recall; degenerate settings == brute " +
+      "force exactly") {
+    val e = vecs(300)
+    val q = e.filter(col("id") < 5)
+    def keyset(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "item_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Knn.ivfBuild(e, "id", "embedding", nlist = 8, iters = 2)
+    val pq = Knn.pqBuild(e, "id", "embedding", m = 4, ksub = 8,
+      iters = 2)
+    // the index rows carry NO raw vectors — by schema the ADC scan
+    // cannot touch embeddings, only (item_id, __list, codes)
+    val idx = Knn.ivfPqIndex(ivf, pq, e, "id", "embedding")
+    assert(idx.columns.toSeq == Seq("item_id", "__list", "codes"))
+    val bf = keyset(Knn.bruteForceTopK(e, q, "id", "embedding", "id",
+      10))
+    val got = keyset(Knn.ivfPqTopK(ivf, pq, e, q, "id", "embedding",
+      "id", 10, nprobe = 4, shortlist = 64, index = Some(idx)))
+    val recall = (bf & got).size.toDouble / bf.size
+    info(f"IVF-PQ recall@10 = $recall%.2f " +
+      "(nlist=8 nprobe=4 m=4 shortlist=64)")
+    assert(recall >= 0.7, s"IVF-PQ recall $recall too low")
+    // only true corpus items with exact cosines can be returned
+    assert(got.subsetOf(keyset(
+      Knn.bruteForceTopK(e, q, "id", "embedding", "id", 300))))
+    // probe every list + shortlist the whole corpus => the approximate
+    // machinery passes everything through and the exact rerank must
+    // reproduce brute force BIT-FOR-BIT (ranks and cosines)
+    val all = Knn.ivfPqTopK(ivf, pq, e, q, "id", "embedding", "id",
+      10, nprobe = 8, shortlist = 300)
+      .select("query_id", "rank", "item_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val bfFull = Knn.bruteForceTopK(e, q, "id", "embedding", "id", 10)
+      .select("query_id", "rank", "item_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(all == bfFull,
+      "degenerate IVF-PQ diverged from brute force")
+  }
 }
