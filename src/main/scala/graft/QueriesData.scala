@@ -483,6 +483,24 @@ object QueriesData {
         .orderBy("corpus_id", "test_id")
     }),
 
+    "q112_decontam_bloom" -> ((s, dir) => {
+      // decontamination through the BLOOM pre-filter path: a sketch
+      // of the eval fingerprints runs inside the corpus fingerprint
+      // scan (codegen'd BloomMightContainQ), so only possible matches
+      // reach the join — result IDENTICAL to the exact path, which is
+      // exactly what the oracle certifies
+      val corpus = tbl(s, dir, "documents")
+      val test = corpus.filter(col("doc_id") % 20 === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          expr("substring(text, 11)").as("text"))
+      val testFps = TextOps
+        .winnowFingerprints(test, "doc_id", "text", 8, 4)
+        .withColumnRenamed("doc_id", "test_id")
+      TextOps.contaminationBloom(corpus, testFps, "doc_id", "text",
+        minShared = 2)
+        .orderBy("corpus_id", "test_id")
+    }),
+
     "q95_repetition_scores" -> ((s, dir) => {
       // Gopher-style within-doc repetition: duplicated-token fraction
       // (pure projection) + top bigram share (one shingle pass)
@@ -1179,6 +1197,16 @@ object QueriesData {
             "text[21:] AS text FROM documents WHERE doc_id % 25 = 0")} t
          |ON c.fp = t.fp
          |GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q112_decontam_bloom" ->
+      s"""SELECT c.doc_id AS corpus_id, t.doc_id AS test_id,
+         |  count(*) AS shared_fps
+         |FROM ${winnowSql("SELECT doc_id, text FROM documents")} c
+         |JOIN ${winnowSql("SELECT doc_id + 3000000 AS doc_id, " +
+            "text[11:] AS text FROM documents WHERE doc_id % 20 = 3")} t
+         |ON c.fp = t.fp
+         |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY 1, 2""".stripMargin,
 
     "q95_repetition_scores" ->

@@ -179,6 +179,37 @@ object TextOps {
       .filter(col("shared_fps") >= minShared)
   }
 
+  /** [[contaminationWithFps]] with a BLOOM pre-filter on the corpus
+    * side — same output, different scale shape. The plain path ships
+    * EVERY corpus fingerprint into the join (even broadcast-joined,
+    * that's a probe per fingerprint into a full hash relation); here a
+    * bloom filter over the eval fingerprints (built by one distributed
+    * aggregation, a few bits per key — ~12 MB for 10M fps at 1% fpp,
+    * broadcast-able when the eval set itself no longer is) runs INSIDE
+    * the corpus fingerprint scan via the codegen'd
+    * [[graft.functions.BloomMightContainQ]], so only fingerprints that
+    * POSSIBLY match (true hits + fpp noise) reach the join at all.
+    * No false negatives by construction, false positives die in the
+    * exact join — the result is IDENTICAL to [[contaminationWithFps]]
+    * (spec-asserted, and q112 shares q94's value-exact oracle shape).
+    */
+  def contaminationBloom(corpus: DataFrame, testFps: DataFrame,
+      idCol: String, textCol: String, k: Int = 8, w: Int = 4,
+      minShared: Long = 1L, fpp: Double = 0.01): DataFrame = {
+    // bounded driver actions: the eval-set size, then the sketch
+    // itself (one treeAggregate; the filter is bits-per-key small)
+    val nFps = math.max(testFps.count(), 1L)
+    val bloom = testFps.stat.bloomFilter("fp", nFps, fpp)
+    val c = winnowFingerprints(corpus, idCol, textCol, k, w)
+      .withColumnRenamed("doc_id", "corpus_id")
+      .filter(graft.functions.BloomMightContainQ
+        .mightContainLong(bloom, col("fp")))
+    c.join(testFps, Seq("fp"))
+      .groupBy(col("corpus_id"), col("test_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Within-document repetition scores (Gopher-style quality rules):
     *  - `dup_word_ratio`: fraction of tokens that are repeats of an
     *    earlier token (1 - distinct/total), a pure projection;

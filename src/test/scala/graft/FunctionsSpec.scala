@@ -49,6 +49,39 @@ class FunctionsSpec extends SparkSpec {
     assert(column(q.orderBy("n2"), "n2") == Seq(5L, 20L, 45L))
   }
 
+  test("bloom might-contain: no false negatives, nulls propagate, " +
+      "probe stays codegen'd") {
+    import graft.functions.BloomMightContainQ
+    val members = (1L to 500L).map(_ * 7919L)
+    val fps = df("fp BIGINT", members.map(Row(_)))
+    val bloom = fps.stat.bloomFilter("fp", 500L, 0.01)
+    // every true member passes — the property decontamination leans on
+    val m = df("k BIGINT", members.map(Row(_)))
+      .select(BloomMightContainQ.mightContainLong(bloom, col("k"))
+        .as("hit"))
+    assert(column(m, "hit").forall(_ == true))
+    // null key -> null, not a crash or a false claim
+    val n = df("k BIGINT", Seq(Row(null)))
+      .select(BloomMightContainQ.mightContainLong(bloom, col("k"))
+        .as("hit"))
+    assert(column(n, "hit") == Seq(null))
+    // non-members: ~fpp survive; the overwhelming majority must not
+    // (deterministic for a fixed filter + probe set)
+    val probe = df("k BIGINT", (1L to 1000L).map(i => Row(i * 7919L + 3)))
+      .select(BloomMightContainQ.mightContainLong(bloom, col("k"))
+        .as("hit"))
+    val hits = column(probe, "hit").count(_ == true)
+    assert(hits < 50, s"bloom false-positive rate implausible: $hits/1000")
+    // and the probe compiles into WholeStageCodegen like dot_q
+    val d = spark.range(1, 100)
+      .select(BloomMightContainQ
+        .mightContainLong(bloom, col("id")).as("hit"))
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("bloom_might_contain_q") && l.trim.startsWith("*")),
+      plan)
+  }
+
   test("cosineQ built on dotQ matches hand-computed cosine") {
     import graft.dedup.Dedup
     val d = df("x ARRAY<FLOAT>, y ARRAY<FLOAT>", Seq(

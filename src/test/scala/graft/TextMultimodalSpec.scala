@@ -102,6 +102,34 @@ class TextMultimodalSpec extends SparkSpec {
     assert(!pairs.exists(_._2 == 11L), "false positive on disjoint doc")
   }
 
+  test("contaminationBloom: identical output to the exact path") {
+    // vocab-sampled corpus with planted substrings so true pairs,
+    // bloom-filtered fingerprints and clean docs all occur
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 50).map(i => s"tok$i")
+    val corpusRows = (0 until 80).map { i =>
+      Row(i.toLong, (0 until 25).map(_ =>
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val corpus = df("doc_id BIGINT, text STRING", corpusRows)
+    val test = corpus.filter(col("doc_id") % 8 === 0)
+      .select((col("doc_id") + 1000L).as("doc_id"),
+        expr("substring(text, 12)").as("text"))
+    val testFps = TextOps
+      .winnowFingerprints(test, "doc_id", "text", 8, 4)
+      .withColumnRenamed("doc_id", "test_id")
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("corpus_id", "test_id", "shared_fps").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = key(TextOps.contaminationWithFps(
+      corpus, testFps, "doc_id", "text"))
+    val bloom = key(TextOps.contaminationBloom(
+      corpus, testFps, "doc_id", "text"))
+    assert(exact.nonEmpty, "degenerate fixture: no contamination")
+    assert(bloom == exact,
+      s"bloom path diverged: ${bloom.diff(exact)} vs ${exact.diff(bloom)}")
+  }
+
   test("repetitionScores: duplicated tokens and top-bigram share") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       Row(1L, "spam spam spam spam"), // all same token
