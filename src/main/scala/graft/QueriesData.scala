@@ -702,7 +702,7 @@ object QueriesData {
   /** The full IVF query-path oracle (assignment -> nprobe probing ->
     * exact cosine rerank) for any pinned centroid set — q97 and q60.
     */
-  private def ivfOracleSql(cents: Array[Array[Double]], nprobe: Int,
+  private[graft] def ivfOracleSql(cents: Array[Array[Double]], nprobe: Int,
       k: Int): String =
     s"""WITH q0 AS (SELECT vec_id,
        |    list_transform(embedding,
@@ -836,7 +836,7 @@ object QueriesData {
     * embeddings (q97): assignment/probing distances are quantized
     * integers, SQL-reproducible like [[PinnedPq]].
     */
-  private object PinnedIvf {
+  private[graft] object PinnedIvf {
     val cents: Array[Array[Double]] = Array(
       Array.fill(64)(0.0),
       Array.fill(64)(0.5),

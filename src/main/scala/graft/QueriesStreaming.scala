@@ -346,6 +346,42 @@ object QueriesStreaming {
         input.addData(b2: _*); q.processAllAvailable()
       } finally q.stop()
       survivors.toSeq.sorted.toDF("doc_id")
+    }),
+
+    "q113_stream_ann_enrich" -> ((s, dir) => {
+      // stateless streaming similarity enrichment: query vectors
+      // arrive in 2 micro-batches and probe a STATIC pinned-model IVF
+      // index. No cross-batch state exists, so chunking cannot change
+      // the answer — the streamed union must equal the batch IVF
+      // search value-exactly (q97's oracle)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val e = tbl(s, dir, "embeddings")
+      val model = graft.ann.Knn.IvfModel(QueriesData.PinnedIvf.cents)
+      val lists = graft.ann.Knn.ivfLists(model, e, "vec_id",
+        "embedding")
+      val rows = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1).toSeq
+      val input = MemoryStream[(Long, Seq[Float])]
+      val stream = input.toDF().toDF("vec_id", "embedding")
+      val out = scala.collection.mutable
+        .ArrayBuffer[(Long, Int, Long, Double)]()
+      val q = StreamingOps.annEnrichStream(stream, model, lists,
+        "vec_id", "embedding", k = 5, nprobe = 2,
+        emit = b => {
+          out ++= b.select(col("query_id").cast("long"), col("rank"),
+              col("item_id").cast("long"), col("cosine"))
+            .collect().map(r => (r.getLong(0), r.getInt(1),
+              r.getLong(2), r.getDouble(3)))
+          ()
+        }).start()
+      drive(input, q, rows, nChunks = 2)
+      out.toSeq.sortBy(t => (t._1, t._2))
+        .toDF("query_id", "rank", "item_id", "cosine")
+        .select(col("query_id"), col("rank"), col("item_id"),
+          round(col("cosine"), 6).as("cosine"))
     })
   )
 
@@ -359,6 +395,10 @@ object QueriesStreaming {
       |FROM documents WHERE doc_id % 10 = 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q113_stream_ann_enrich" ->
+      QueriesData.ivfOracleSql(QueriesData.PinnedIvf.cents,
+        nprobe = 2, k = 5),
+
     "q106_stream_sessionize" ->
       """WITH o AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)

@@ -318,6 +318,38 @@ object StreamingOps {
       }
   }
 
+  /** Streaming similarity enrichment: each incoming query vector gets
+    * its exact-reranked top-k neighbors from a STATIC IVF index (the
+    * fitted model + inverted lists, built once by `Knn.ivfBuild`/
+    * `ivfLists` or loaded via `ivfLoad` from a SnapshotStore-persisted
+    * index). Stateless across batches — the index is fitted state, not
+    * stream state — so there is no watermark and re-delivery just
+    * re-emits the same neighbors (at-least-once like any foreachBatch
+    * emission). The inverted lists are persisted ONCE at stream
+    * construction, not re-scanned per micro-batch; per batch the work
+    * is the probe projection + one join against the cached lists —
+    * the per-event cost a feature-enrichment stream needs at ingest
+    * scale.
+    */
+  def annEnrichStream(stream: DataFrame,
+      model: graft.ann.Knn.IvfModel, lists: DataFrame,
+      queryIdCol: String, vecCol: String, k: Int, nprobe: Int,
+      emit: DataFrame => Unit,
+      queryName: String = "graft-ann-enrich")
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    val idx = lists
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(graft.ann.Knn.ivfQuery(model, idx, batch, queryIdCol,
+          vecCol, k, nprobe))
+        ()
+      }
+  }
+
   /** Streaming exact dedup — the incremental counterpart of
     * `Dedup.exact`: key = xxhash64 of the content columns, state scoped
     * by the watermark (`dropDuplicatesWithinWatermark`), so the state

@@ -473,4 +473,54 @@ class StreamingSpec extends SparkSpec {
         ("b", Seq((1.0, 3L), (0.5, 6L)))))
     } finally q.stop()
   }
+
+  test("annEnrichStream: chunking-invariant and equal to the batch " +
+      "IVF query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ann.Knn
+    // clustered corpus (5 directions + noise) like DedupKnnSpec
+    val corpus = spark.range(0, 200).select(col("id"),
+      transform(sequence(lit(0), lit(15)),
+        i => ((pmod(xxhash64(col("id") % 5, i), lit(2000))
+          .cast("double") / 1000.0 - 1.0) +
+          (pmod(xxhash64(col("id"), i), lit(200)).cast("double")
+            / 1000.0 - 0.1)).cast("float")).as("embedding"))
+    val model = Knn.ivfBuild(corpus, "id", "embedding", nlist = 8,
+      iters = 2)
+    val lists = Knn.ivfLists(model, corpus, "id", "embedding")
+    val queries = corpus.filter(col("id") < 6)
+    val want = Knn.ivfQuery(model, lists, queries, "id", "embedding",
+      k = 5, nprobe = 4)
+      .select("query_id", "rank", "item_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val rows = queries.select(col("id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    def run(nChunks: Int): Set[(Long, Int, Long, Double)] = {
+      val input = MemoryStream[(Long, Seq[Float])]
+      val out = scala.collection.mutable
+        .ArrayBuffer[(Long, Int, Long, Double)]()
+      val q = StreamingOps.annEnrichStream(
+        input.toDF().toDF("id", "embedding"), model, lists, "id",
+        "embedding", k = 5, nprobe = 4,
+        emit = b => {
+          out ++= b.select("query_id", "rank", "item_id", "cosine")
+            .collect().map(r => (r.getLong(0), r.getInt(1),
+              r.getLong(2), r.getDouble(3)))
+          ()
+        }, queryName = s"ann-enrich-$nChunks").start()
+      try {
+        val sz = math.max(1, (rows.length + nChunks - 1) / nChunks)
+        rows.grouped(sz).foreach { chunk =>
+          input.addData(chunk: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      out.toSet
+    }
+    val one = run(1)
+    val three = run(3)
+    assert(one == want, "single-batch stream diverged from batch IVF")
+    assert(three == want, "chunked stream diverged from batch IVF")
+  }
 }
