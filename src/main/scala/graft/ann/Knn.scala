@@ -197,6 +197,42 @@ object Knn {
     (IvfModel(cs), graft.io.SnapshotStore.read(spark, s"$root/lists"))
   }
 
+  /** Persist a built IVF-PQ index: the (item_id, __list, codes) rows
+    * go through [[graft.io.SnapshotStore]] (checkpointed,
+    * lineage-verified, resumable), both models as small driver-side
+    * files — the same split as [[ivfSave]]: bounded fitted state on
+    * the driver, data-sized state in the snapshotted store.
+    */
+  def ivfPqSave(ivf: IvfModel, pq: PqModel, index: DataFrame,
+      root: String): graft.io.SnapshotStore.WriteResult = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "ivf_centroids.txt"),
+      ivf.centroids.map(_.mkString(",")).mkString("\n"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "pq_codebook.txt"),
+      s"${pq.m} ${pq.dsub}\n" +
+        pq.centroids.flatten.map(_.mkString(",")).mkString("\n"))
+    graft.io.SnapshotStore.write(index, s"$root/ivfpq_index",
+      pmod(col("__list"), lit(16)).cast("int"))
+  }
+
+  def ivfPqLoad(spark: org.apache.spark.sql.SparkSession, root: String)
+      : (IvfModel, PqModel, DataFrame) = {
+    val ivfCs = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "ivf_centroids.txt"))
+      .split("\n").map(_.split(",").map(_.toDouble))
+    val pqLines = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "pq_codebook.txt")).split("\n")
+    val Array(m, dsub) = pqLines.head.split(" ").map(_.toInt)
+    val flat = pqLines.tail.map(_.split(",").map(_.toDouble))
+    val ksub = flat.length / m
+    val cents = Array.tabulate(m)(i =>
+      flat.slice(i * ksub, (i + 1) * ksub))
+    (IvfModel(ivfCs), PqModel(m, dsub, cents),
+      graft.io.SnapshotStore.read(spark, s"$root/ivfpq_index"))
+  }
+
   /** One-shot IVF top-k (build + lists + query in a single call) —
     * the bench/oracle entry point; production splits the halves via
     * ivfBuild/ivfLists/ivfSave/ivfLoad/ivfQuery.

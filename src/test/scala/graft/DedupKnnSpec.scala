@@ -193,6 +193,37 @@ class DedupKnnSpec extends SparkSpec {
       "loaded index must answer exactly like the in-memory one")
   }
 
+  test("IVF-PQ save/load round-trip: persisted index answers " +
+      "identically") {
+    val e = vecs(300)
+    val q = e.filter(col("id") < 5)
+    val ivf = Knn.ivfBuild(e, "id", "embedding", nlist = 8)
+    val pq = Knn.pqBuild(e, "id", "embedding", m = 4, ksub = 8)
+    val idx = Knn.ivfPqIndex(ivf, pq, e, "id", "embedding")
+    def run(i: Knn.IvfModel, p: Knn.PqModel,
+        x: org.apache.spark.sql.DataFrame) =
+      Knn.ivfPqTopK(i, p, e, q, "id", "embedding", "id", 10,
+        nprobe = 4, shortlist = 64, index = Some(x))
+        .select("query_id", "rank", "item_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq.sorted
+    val direct = run(ivf, pq, idx)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq").toString
+    Knn.ivfPqSave(ivf, pq, idx, root)
+    assert(graft.io.SnapshotStore
+      .verify(spark, s"$root/ivfpq_index").isEmpty,
+      "persisted IVF-PQ index failed lineage verify")
+    val (ivf2, pq2, idx2) = Knn.ivfPqLoad(spark, root)
+    assert(ivf2.centroids.map(_.toSeq).toSeq ==
+      ivf.centroids.map(_.toSeq).toSeq)
+    assert(pq2.m == pq.m && pq2.dsub == pq.dsub &&
+      pq2.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
+        pq.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(run(ivf2, pq2, idx2) == direct,
+      "loaded IVF-PQ index must answer exactly like the in-memory one")
+  }
+
   test("MinhashIndex: incremental batch dedup == one-shot over union") {
     import graft.dedup.MinhashIndex
     val corpus = df("doc_id BIGINT, text STRING", (1L to 40L).map(i =>
