@@ -197,8 +197,14 @@ object TextOps {
       idCol: String, textCol: String, k: Int = 8, w: Int = 4,
       minShared: Long = 1L, fpp: Double = 0.01): DataFrame = {
     // bounded driver actions: the eval-set size, then the sketch
-    // itself (one treeAggregate; the filter is bits-per-key small)
-    val nFps = math.max(testFps.count(), 1L)
+    // itself (one treeAggregate; the filter is bits-per-key small).
+    // Empty eval set: nothing can be contaminated — and Spark's
+    // stat.bloomFilter NPEs on an empty frame — so short-circuit to
+    // the (empty) exact-path result with the right schema
+    val nFps = testFps.count()
+    if (nFps == 0L)
+      return contaminationWithFps(corpus.limit(0), testFps, idCol,
+        textCol, k, w, minShared)
     val bloom = testFps.stat.bloomFilter("fp", nFps, fpp)
     val c = winnowFingerprints(corpus, idCol, textCol, k, w)
       .withColumnRenamed("doc_id", "corpus_id")

@@ -72,4 +72,41 @@ class EmptyInputSpec extends SparkSpec {
       .count() == 0)
     assert(Dedup.bandRows(emptyDocs(), "doc_id", "text").count() == 0)
   }
+
+  test("bloom decontamination on empty corpus / empty eval set") {
+    val fps = df("test_id BIGINT, fp BIGINT", Seq.empty)
+    // empty eval set: a degenerate bloom rejects everything — nothing
+    // is contaminated, nothing crashes
+    val docs = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "some ordinary document text that is long enough here")))
+    assert(TextOps.contaminationBloom(docs, fps, "doc_id", "text")
+      .count() == 0)
+    // empty corpus against a real eval set
+    val test = df("doc_id BIGINT, text STRING", Seq(
+      Row(9L, "some ordinary document text that is long enough here")))
+    val realFps = TextOps.winnowFingerprints(test, "doc_id", "text")
+      .withColumnRenamed("doc_id", "test_id")
+    assert(TextOps.contaminationBloom(
+      df("doc_id BIGINT, text STRING", Seq.empty), realFps,
+      "doc_id", "text").count() == 0)
+  }
+
+  test("IVF-PQ search with empty query set and pinned models") {
+    import graft.ann.Knn
+    val cents = Array(Array.fill(4)(0.5), Array.fill(4)(-0.5))
+    val ivf = Knn.IvfModel(cents)
+    val pq = Knn.PqModel(2, 2,
+      Array(Array(Array(0.5, 0.5), Array(-0.5, -0.5)),
+        Array(Array(0.5, 0.5), Array(-0.5, -0.5))))
+    val corpus = df("id BIGINT, embedding ARRAY<FLOAT>", Seq(
+      Row(1L, Seq(0.5f, 0.5f, 0.5f, 0.5f))))
+    val noQueries = df("id BIGINT, embedding ARRAY<FLOAT>", Seq.empty)
+    assert(Knn.ivfPqTopK(ivf, pq, corpus, noQueries, "id",
+      "embedding", "id", k = 1, nprobe = 1, shortlist = 1)
+      .count() == 0)
+    // and an empty corpus still answers (zero hits) for a real query
+    assert(Knn.ivfPqTopK(ivf, pq, noQueries, corpus, "id",
+      "embedding", "id", k = 1, nprobe = 1, shortlist = 1)
+      .count() == 0)
+  }
 }
