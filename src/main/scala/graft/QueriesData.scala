@@ -590,6 +590,20 @@ object QueriesData {
         .orderBy("query_id", "rank")
     }),
 
+    "q114_embedding_dedup_e2e" -> ((s, dir) => {
+      // the multimodal counterpart of q83: SEMANTIC dedup over the
+      // embedding space — blocked cosine near-dup pairs -> connected
+      // components -> one canonical vector per cluster (plus all
+      // untouched vectors). The oracle closes the same pair graph
+      // with a recursive CTE, so LSH-free blocked recall AND the
+      // component dedup are certified in one signal
+      val e = tbl(s, dir, "embeddings").withColumn("blk", col("label"))
+      val pairs = Dedup.embeddingNearDups(e, "vec_id", "embedding",
+        "blk", threshold = 0.25)
+      Components.dedupByComponents(e, "vec_id", pairs, "id_a", "id_b")
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+
     "q101_cluster_histogram" -> ((s, dir) => {
       // dedup quality report: distribution of duplicate-cluster sizes
       val d = docsWithDups(s, dir).withColumn("blk", col("doc_id") % 50)
@@ -1459,6 +1473,30 @@ object QueriesData {
         |  FROM q a JOIN q b ON a.blk = b.blk AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
         |FROM p WHERE cosine >= 0.25 ORDER BY 1, 2""".stripMargin,
+
+    "q114_embedding_dedup_e2e" ->
+      """WITH RECURSIVE q AS (SELECT label AS blk, vec_id,
+        |  list_transform(embedding,
+        |    x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |e AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM q a JOIN q b ON a.blk = b.blk AND a.vec_id < b.vec_id
+        |  WHERE CAST(list_sum(list_transform(list_zip(a.v, b.v),
+        |      x -> x[1]*x[2])) AS DOUBLE) /
+        |    (SQRT(CAST(list_sum(list_transform(a.v, x -> x*x))
+        |          AS DOUBLE)) *
+        |     SQRT(CAST(list_sum(list_transform(b.v, x -> x*x))
+        |          AS DOUBLE))) >= 0.25),
+        |u AS (SELECT ia AS a, ib AS b FROM e
+        |      UNION SELECT ib, ia FROM e),
+        |cc(id, comp) AS (
+        |  SELECT a, a FROM u
+        |  UNION
+        |  SELECT u.a, cc.comp FROM u JOIN cc ON u.b = cc.id),
+        |m AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id)
+        |SELECT q.vec_id FROM q LEFT JOIN m ON q.vec_id = m.id
+        |WHERE m.id IS NULL OR m.comp = q.vec_id
+        |ORDER BY q.vec_id""".stripMargin,
 
     "q45_knn_bruteforce" -> knnTopkTruthSql,
 
