@@ -227,6 +227,27 @@ object QueriesData {
         .orderBy("image_id")
     }),
 
+    "q115_payload_audit" -> ((s, dir) => {
+      // REAL-codec distributed payload-integrity audit (the
+      // BASELINE.json per-row invariant): imagesReal encodes actual
+      // PNG/JPEG payloads of the deterministic render executor-side;
+      // auditPayloads decodes them back per partition and asserts
+      // png = exact pixels, jpeg = PSNR >= 40 dB; caption equality is
+      // re-asserted relationally against the regenerated expectation.
+      // The driver oracle then certifies every row passed: any decode
+      // drift, payload corruption or caption mangling hash-mismatches.
+      val path = "/tmp/graft_oracle_images_q115"
+      ImageTable.imagesReal(s, 400).write.mode("overwrite").parquet(path)
+      val imgs = s.read.parquet(path)
+      Multimodal.auditPayloads(imgs, seed = 42)
+        .withColumn("caption_ok",
+          col("caption") === ImageTable.expectedCaption(42,
+            expr("CAST(substring(image_id, 5) AS BIGINT)")))
+        .select(col("image_id"), col("fmt"), col("decoded_w"),
+          col("decoded_h"), col("pixels_ok"), col("caption_ok"))
+        .orderBy("image_id")
+    }),
+
     "q62_phash_neardup" -> ((s, dir) => {
       // image dedup over the phash column ONLY — payload bytes never
       // enter the plan. Near-dups injected deterministically: every
@@ -1609,6 +1630,15 @@ object QueriesData {
         |  CAST(octet_length(bytes) AS DOUBLE) / (w * h)
         |    AS bytes_per_pixel
         |FROM read_parquet('/tmp/graft_oracle_images_q51/*.parquet')
+        |ORDER BY 1""".stripMargin,
+
+    // the invariant IS the oracle: every row must decode at declared
+    // dims with passing pixels and an intact caption — any false or
+    // mismatched dimension on the Spark side hash-mismatches here
+    "q115_payload_audit" ->
+      """SELECT image_id, fmt, w AS decoded_w, h AS decoded_h,
+        |  TRUE AS pixels_ok, TRUE AS caption_ok
+        |FROM read_parquet('/tmp/graft_oracle_images_q115/*.parquet')
         |ORDER BY 1""".stripMargin,
 
     // same dup injection as the Spark side; bit_count over

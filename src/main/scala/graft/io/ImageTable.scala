@@ -29,6 +29,25 @@ object ImageTable {
   private val CaptionWords = Seq("sunset", "mountain", "river", "city",
     "forest", "portrait", "abstract", "ocean", "desert", "night")
 
+  /** The caption expression of [[images]], exposed so an audit can
+    * regenerate the EXPECTED caption for an id and assert exact
+    * equality against the carried caption column (BASELINE.json:
+    * "exact caption equality at every entity×timestamp").
+    */
+  def expectedCaption(seed: Long,
+      idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws(" ",
+      element_at(typedLit(CaptionWords),
+        (pmod(h(seed, "c1", idCol), lit(10)) + 1).cast("int")),
+      element_at(typedLit(CaptionWords),
+        (pmod(h(seed, "c2", idCol), lit(10)) + 1).cast("int")),
+      format_string("no%d", idCol))
+
+  /** Per-image pixel seed shared by the encode ([[imagesReal]]) and
+    * audit ([[graft.multimodal.Multimodal.auditPayloads]]) sides.
+    */
+  def pixelSeed(seed: Long, id: Long): Long = seed * 1000003L + id
+
   /** The base image table. Payload bytes scale with w*h (small by
     * default so tests stay fast; pass pixel sizes up for bench realism).
     */
@@ -68,6 +87,51 @@ object ImageTable {
           lit(128.0)) + 1).cast("int"))))
       .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
     df
+  }
+
+  /** [[images]] with REAL codec payloads: `bytes` is an actual PNG or
+    * JPEG encoding (javax.imageio, executor-side) of the deterministic
+    * [[graft.validate.PixelCheck.syntheticPixels]] render for
+    * ([[pixelSeed]], w, h). webp rows fall back to jpeg — the container
+    * has no webp codec — and `fmt` records what was actually encoded,
+    * so downstream sniffing/decoding stays truthful.
+    *
+    * Encoding runs in `mapPartitions` over the range-partitioned id
+    * space: one ImageIO pipeline per partition, no pixel buffer or
+    * payload ever on the driver — the same binary-column discipline as
+    * the decode path, just pointed the other way.
+    */
+  def imagesReal(spark: SparkSession, n: Long, seed: Long = 42,
+      minDim: Int = 8, maxDim: Int = 32,
+      numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    val base = images(spark, n, seed, minDim, maxDim,
+      numPartitions = numPartitions)
+      .withColumn("fmt",
+        when(col("fmt") === "webp", lit("jpeg")).otherwise(col("fmt")))
+      .withColumn("__id",
+        expr("CAST(substring(image_id, 5) AS BIGINT)"))
+    val schema = base.drop("__id").schema
+    val idIdx = base.schema.fieldIndex("__id")
+    val bIdx = base.schema.fieldIndex("bytes")
+    val wIdx = base.schema.fieldIndex("w")
+    val hIdx = base.schema.fieldIndex("h")
+    val fIdx = base.schema.fieldIndex("fmt")
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    base.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val w = r.getInt(wIdx); val hh = r.getInt(hIdx)
+        val px = graft.validate.PixelCheck.syntheticPixels(
+          pixelSeed(seed, id), w, hh)
+        val bytes = graft.validate.PixelCheck.encode(
+          graft.validate.PixelCheck.toImage(px, w, hh), r.getString(fIdx))
+        Row.fromSeq(r.toSeq.zipWithIndex.collect {
+          case (_, `bIdx`) => bytes
+          case (v, i) if i != idIdx => v
+        })
+      }
+    }
   }
 
   /** Event stream: eventsPerImage rows per image, increasing event_ts,

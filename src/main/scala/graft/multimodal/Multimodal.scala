@@ -174,6 +174,72 @@ object Multimodal {
         length(b).cast("double") / (col("w") * col("h"))))
   }
 
+  /** Distributed payload-integrity audit: the BASELINE.json per-row
+    * invariant ("decoded-pixel allclose; PSNR >= 40 dB for lossy
+    * formats") as a first-class operator, not a local spec.
+    *
+    * For each row of a real-codec table
+    * ([[graft.io.ImageTable.imagesReal]] shape), the partition decodes
+    * `bytes` with javax.imageio, re-renders the EXPECTED deterministic
+    * pixels for (pixelSeed(seed, id), w, h), and emits scalars only:
+    *   - decoded_w / decoded_h  — actual decoded dimensions
+    *   - psnr_db                — decoded vs expected (Infinity = exact)
+    *   - pixels_ok              — png: exact pixel equality (allclose
+    *                              at tolerance 0); jpeg: PSNR >= minPsnrDb
+    * Decode failures / null payloads / dimension mismatches audit
+    * `false`, never throw — at 10^12 rows a corrupt payload is a row
+    * you quarantine, not a job you kill. Pixel buffers and payloads die
+    * inside the partition; the shuffle carries 4 scalars per row.
+    */
+  def auditPayloads(df: DataFrame, seed: Long,
+      minPsnrDb: Double = 40.0): DataFrame = {
+    val inSchema = df.schema
+    val bytesIdx = inSchema.fieldIndex("bytes")
+    val keptIdx = inSchema.fields.indices.filterNot(_ == bytesIdx)
+    val outSchema = StructType(keptIdx.map(inSchema.fields) ++ Seq(
+      StructField("decoded_w", IntegerType),
+      StructField("decoded_h", IntegerType),
+      StructField("psnr_db", DoubleType),
+      StructField("pixels_ok", BooleanType)))
+    val idIdx = inSchema.fieldIndex("image_id")
+    val fmtIdx = inSchema.fieldIndex("fmt")
+    val wIdx = inSchema.fieldIndex("w")
+    val hIdx = inSchema.fieldIndex("h")
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val kept = keptIdx.map(r.get)
+        val audit: Seq[Any] =
+          try {
+            val bytes = Option(r.getAs[Array[Byte]](bytesIdx))
+              .getOrElse(Array.emptyByteArray)
+            val img = if (bytes.isEmpty) null else PixelCheck.decode(bytes)
+            if (img == null) Seq(-1, -1, Double.NaN, false)
+            else {
+              val w = r.getInt(wIdx); val hh = r.getInt(hIdx)
+              val id = r.getString(idIdx).substring(4).toLong
+              if (img.getWidth != w || img.getHeight != hh)
+                Seq(img.getWidth, img.getHeight, Double.NaN, false)
+              else {
+                val expected = PixelCheck.toImage(
+                  PixelCheck.syntheticPixels(
+                    graft.io.ImageTable.pixelSeed(seed, id), w, hh), w, hh)
+                val p = PixelCheck.psnr(expected, img)
+                val ok = r.getString(fmtIdx) match {
+                  case "png" => p.isPosInfinity
+                  case _ => p >= minPsnrDb
+                }
+                Seq(img.getWidth, img.getHeight, p, ok)
+              }
+            }
+          } catch {
+            case _: Exception => Seq(-1, -1, Double.NaN, false)
+          }
+        Row.fromSeq(kept ++ audit)
+      }
+    }
+  }
+
   /** Per-payload resize result: target dims, mean + checksum of the
     * resized gray plane. Like [[ImageFeatures]], only scalars leave
     * the partition — the resized pixel buffer dies inside it.

@@ -47,7 +47,15 @@ object PixelCheck {
     img
   }
 
-  /** Encode to png or jpeg (quality 0.9) bytes. */
+  /** Encode to png or jpeg bytes.
+    *
+    * JPEG writes quality 0.95 with 4:4:4 chroma (no subsampling): the
+    * JDK writer's default 4:2:0 halves chroma resolution, which on
+    * small color-gradient images caps PSNR near 28-36 dB REGARDLESS of
+    * quality (q=1.0 still min 28.9 dB over the synthetic sweep) —
+    * under the BASELINE 40 dB floor the payloads must meet. With 4:4:4
+    * at 0.95 the same sweep measures min 42.4 dB.
+    */
   def encode(img: BufferedImage, fmt: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     fmt match {
@@ -58,8 +66,28 @@ object PixelCheck {
         writer.setOutput(ios)
         val p = writer.getDefaultWriteParam
         p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
-        p.setCompressionQuality(0.9f)
-        writer.write(null, new IIOImage(img, null, null), p)
+        p.setCompressionQuality(0.95f)
+        // force 4:4:4: set every SOF componentSpec sampling factor to 1
+        val typ = javax.imageio.ImageTypeSpecifier
+          .createFromBufferedImageType(BufferedImage.TYPE_INT_RGB)
+        val meta = writer.getDefaultImageMetadata(typ, p)
+        val fmtName = "javax_imageio_jpeg_image_1.0"
+        val tree = meta.getAsTree(fmtName)
+          .asInstanceOf[org.w3c.dom.Element]
+        val sofs = tree.getElementsByTagName("sof")
+        if (sofs.getLength > 0) {
+          val comps = sofs.item(0).asInstanceOf[org.w3c.dom.Element]
+            .getElementsByTagName("componentSpec")
+          var i = 0
+          while (i < comps.getLength) {
+            val c = comps.item(i).asInstanceOf[org.w3c.dom.Element]
+            c.setAttribute("HsamplingFactor", "1")
+            c.setAttribute("VsamplingFactor", "1")
+            i += 1
+          }
+          meta.setFromTree(fmtName, tree)
+        }
+        writer.write(null, new IIOImage(img, null, meta), p)
         writer.dispose(); ios.close()
       case other =>
         throw new IllegalArgumentException(s"unsupported format $other")

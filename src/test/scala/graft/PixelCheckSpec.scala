@@ -48,4 +48,61 @@ class PixelCheckSpec extends SparkSpec {
     val s2 = ImageTable.snapshots(spark, 30).collect().toSeq
     assert(s1 == s2)
   }
+
+  test("imagesReal payloads are real codecs and the distributed audit " +
+      "passes every row") {
+    val audited = graft.multimodal.Multimodal.auditPayloads(
+      ImageTable.imagesReal(spark, 60), seed = 42).collect()
+    assert(audited.length == 60)
+    audited.foreach { r =>
+      assert(r.getAs[Boolean]("pixels_ok"),
+        s"row ${r.getAs[String]("image_id")} failed: $r")
+      assert(r.getAs[Int]("decoded_w") == r.getAs[Int]("w"))
+      assert(r.getAs[Int]("decoded_h") == r.getAs[Int]("h"))
+      val p = r.getAs[Double]("psnr_db")
+      if (r.getAs[String]("fmt") == "png") assert(p.isPosInfinity)
+      else assert(p >= 40.0, s"jpeg PSNR $p < 40")
+    }
+    // both codecs actually exercised
+    val fmts = audited.map(_.getAs[String]("fmt")).toSet
+    assert(fmts == Set("png", "jpeg"))
+  }
+
+  test("audit flags corruption, truncation and null payloads " +
+      "without throwing") {
+    import org.apache.spark.sql.Row
+    val base = ImageTable.imagesReal(spark, 8).collect()
+    val schema = ImageTable.imagesReal(spark, 1).schema
+    val bIdx = schema.fieldIndex("bytes")
+    def mut(r: Row, f: Array[Byte] => Array[Byte]): Row =
+      Row.fromSeq(r.toSeq.updated(bIdx,
+        f(r.getAs[Array[Byte]](bIdx))))
+    val corrupted = Seq(
+      // wrong pixels: valid png of DIFFERENT content (shift the id ->
+      // different seed) — decodes fine, fails allclose
+      mut(base(0), _ => {
+        val img = PixelCheck.toImage(
+          PixelCheck.syntheticPixels(999L,
+            base(0).getAs[Int]("w"), base(0).getAs[Int]("h")),
+          base(0).getAs[Int]("w"), base(0).getAs[Int]("h"))
+        PixelCheck.encode(img, base(0).getAs[String]("fmt"))
+      }),
+      mut(base(1), b => b.take(b.length / 2)), // truncated stream
+      mut(base(2), _ => null), // null payload
+      mut(base(3), _ => Array[Byte](1, 2, 3))) // garbage
+    val audited = graft.multimodal.Multimodal.auditPayloads(
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            corrupted ++ base.drop(4)).asJava), schema),
+      seed = 42).collect()
+    val idIdx = schema.fieldIndex("image_id")
+    val byId = audited.map(r =>
+      r.getAs[String]("image_id") -> r.getAs[Boolean]("pixels_ok")).toMap
+    corrupted.foreach { r => // mutated rows are schemaless: positional
+      assert(!byId(r.getString(idIdx)),
+        s"corrupt ${r.getString(idIdx)} passed")
+    }
+    assert(base.drop(4).forall(r => byId(r.getString(idIdx))))
+  }
 }
