@@ -41,6 +41,26 @@ object QueriesCore {
        |            ELSE 1.0 END AS wt FROM ($liWithNullsSql) b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_hist_quantile_sketch" -> ((s, dir) => {
+      // the bounded-shuffle quantile FIT path (graft.core.Sketch):
+      // fixed-bin histogram quantiles, value-exact vs a DuckDB oracle
+      // that recomputes the identical deterministic rule — bin =
+      // min(floor((v-min)/width), bins-1), linear interpolation within
+      // the hit bin of the cumulative histogram
+      val li = tbl(s, dir, "lineitem")
+      val probs = Seq(0.1, 0.5, 0.9, 0.99)
+      val r = graft.core.Sketch.histQuantilesMelted(li,
+        Map("l_quantity" -> probs, "l_extendedprice" -> probs),
+        lit(1.0), bins = 256)
+      val rows = for {
+        c <- Seq("l_extendedprice", "l_quantity"); i <- probs.indices
+      } yield (c, probs(i), r(c)(i).get)
+      import s.implicits._
+      rows.toDF("col_name", "prob", "q_approx")
+        .withColumn("q_approx", round(col("q_approx"), 6))
+        .orderBy("col_name", "prob")
+    }),
+
     "q01_mean_impute" -> ((s, dir) => {
       val df = liWithNulls(s, dir)
       val t = new MeanImputer(Seq("q")).fit(df)
@@ -553,6 +573,45 @@ object QueriesCore {
     bins = Seq(0.0, 0.02, 0.05, 0.08, 0.1), includeLowest = true)
 
   val oracles: Map[String, String] = Map(
+    // the sketch rule recomputed verbatim: same bin assignment, same
+    // cumulative order (by bin), same clamped interpolation. cum sums
+    // run in bin order on both sides so the doubles match; round(6)
+    // absorbs aggregate-order ulp drift in the totals
+    "q116_hist_quantile_sketch" ->
+      """WITH v AS (
+        |  SELECT 'l_extendedprice' AS k, l_extendedprice AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'l_quantity', l_quantity
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |mm AS (SELECT k, min(v) AS mn, max(v) AS mx,
+        |         (max(v) - min(v)) / 256 AS width FROM v GROUP BY k),
+        |hist AS (
+        |  SELECT v.k,
+        |    CAST(CASE WHEN width = 0 THEN 0
+        |      ELSE least(floor((v - mn) / width), 255) END AS INT) AS b,
+        |    CAST(count(*) AS DOUBLE) AS cw
+        |  FROM v JOIN mm ON v.k = mm.k GROUP BY 1, 2),
+        |cum AS (SELECT k, b, cw,
+        |    sum(cw) OVER (PARTITION BY k ORDER BY b) AS cum
+        |  FROM hist),
+        |tot AS (SELECT k, sum(cw) AS w FROM hist GROUP BY k),
+        |p AS (SELECT CAST(prob AS DOUBLE) AS prob
+        |  FROM (VALUES (0.1), (0.5), (0.9), (0.99)) t(prob)),
+        |tgt AS (SELECT mm.k, p.prob, p.prob * tot.w AS target,
+        |    mm.mn, mm.width
+        |  FROM mm JOIN tot ON mm.k = tot.k CROSS JOIN p),
+        |hit AS (SELECT t.k, t.prob, t.mn, t.width, t.target,
+        |    min(c.b) AS b
+        |  FROM tgt t JOIN cum c ON c.k = t.k AND c.cum >= t.target
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT h.k AS col_name, h.prob,
+        |  ROUND(h.mn + (h.b + greatest(least(
+        |    (h.target - (c.cum - c.cw)) / c.cw, 1.0), 0.0)) * h.width,
+        |    6) AS q_approx
+        |FROM hit h JOIN cum c ON c.k = h.k AND c.b = h.b
+        |ORDER BY 1, 2""".stripMargin,
+
     "q01_mean_impute" ->
       s"""WITH t AS ($liWithNullsSql)
          |SELECT l_orderkey, l_linenumber,

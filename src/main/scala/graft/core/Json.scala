@@ -77,6 +77,8 @@ object Json {
       case l: Long => l.toInt; case i: Int => i
       case x => x.toString.toInt
     }
+    def intOpt(k: String): Option[Int] =
+      init.get(k).flatMap(Option(_)).map(_ => int(k))
     def bool(k: String): Boolean = init(k).asInstanceOf[Boolean]
     def strs(k: String): Seq[String] =
       init(k).asInstanceOf[Seq[Any]].map(String.valueOf)
@@ -128,11 +130,13 @@ object Json {
     "CappingTransformer" -> (i => {
       val p = new P(i)
       new CappingTransformer(capsOf(p.map("capping_values")),
-        capsOf(p.map("quantiles")), p.strOpt("weights_column")) }),
+        capsOf(p.map("quantiles")), p.strOpt("weights_column"),
+        p.intOpt("histogram_bins")) }),
     "OutOfRangeNullTransformer" -> (i => {
       val p = new P(i)
       new OutOfRangeNullTransformer(capsOf(p.map("capping_values")),
-        capsOf(p.map("quantiles")), p.strOpt("weights_column")) }),
+        capsOf(p.map("quantiles")), p.strOpt("weights_column"),
+        p.intOpt("histogram_bins")) }),
     "GroupRareLevelsTransformer" -> (i => {
       val p = new P(i)
       new GroupRareLevelsTransformer(p.strs("columns"),

@@ -1,0 +1,106 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-bin histogram quantile sketch — the bounded-shuffle scale
+  * path for distributed quantile FITS.
+  *
+  * The exact melted machinery ([[Stats.weightedQuantilesMelted]],
+  * np.interp parity, tubular/capping.py:335-452) range-partitions every
+  * (column, value) row: correct at any scale, but the shuffle carries
+  * the full data volume. At 10^12 rows a capper/binner fit does not
+  * need np.interp exactness — it needs a deterministic approximation
+  * with a PROVEN error bound and a map-side-combinable aggregation
+  * state. A fixed-bin histogram is exactly that (and is mergeable: bin
+  * counts add, so partial histograms combine associatively — the same
+  * property KLL/t-digest sketches buy, here with a deterministic,
+  * SQL-reproducible rule instead of sketch-internal randomness):
+  *
+  *   pass 1: per-column (min, max, total) — one map-side-combined agg,
+  *           |columns| output rows;
+  *   pass 2: bin = min(floor((v - min) / width), bins-1) with
+  *           width = (max - min) / bins; groupBy (column, bin) sums
+  *           weights — the shuffle carries at most
+  *           |columns| x bins x |partitions| PARTIAL rows regardless of
+  *           input size, collapsing to <= |columns| x bins.
+  *
+  * The quantile readout interpolates linearly WITHIN the target bin of
+  * the cumulative histogram: target = q * W; in the first bin whose
+  * cumulative weight reaches it, value = min + (bin + frac) * width
+  * with frac = (target - cumBefore) / binWeight. The result is within
+  * ONE BIN WIDTH of the exact weighted quantile (error <= (max - min) /
+  * bins — SketchSpec asserts the bound against the exact machinery),
+  * deterministic, and engine-reproducible: the DuckDB oracle recomputes
+  * it from the same definition (q116).
+  *
+  * Nulls and NaN are excluded like the exact path; zero weights are
+  * dropped; a constant column (width 0) returns that constant; an empty
+  * fit returns None per quantile.
+  */
+object Sketch {
+
+  def histQuantilesMelted(df: DataFrame,
+      perCol: Map[String, Seq[Double]], weight: Column,
+      bins: Int = 1024): Map[String, Seq[Option[Double]]] = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(perCol.values.flatten.forall(q => q >= 0 && q <= 1),
+      s"quantiles must be in [0,1], got $perCol")
+    val cols = perCol.keys.toSeq.sorted
+    val pair = explode(array(cols.map(c =>
+      struct(lit(c).as("k"), col(c).cast("double").as("v"))): _*))
+    val pairs = df.filter(weight.cast("double") =!= 0)
+      .select(pair.as("p"), weight.cast("double").as("__w"))
+      .filter(col("p.v").isNotNull && !isnan(col("p.v")))
+      .select(col("p.k").as("k"), col("p.v").as("v"),
+        col("__w").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1 — bounded collect: one row per fitted column
+      val mm = pairs.groupBy(col("k"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+        .toMap
+      if (mm.isEmpty)
+        return perCol.map { case (c, qs) => c -> qs.map(_ => None) }
+      val mnCol = element_at(
+        typedLit(mm.map { case (k, (mn, _)) => k -> mn }), col("k"))
+      val widthOf = mm.map { case (k, (mn, mx)) => k -> ((mx - mn) / bins) }
+      val wCol = element_at(typedLit(widthOf), col("k"))
+      // pass 2 — bounded collect: <= |columns| x bins rows of fit state
+      val hist = pairs
+        .withColumn("b",
+          when(wCol === 0d, lit(0))
+            .otherwise(least(
+              floor((col("v") - mnCol) / wCol), lit(bins - 1L)))
+            .cast("int"))
+        .groupBy(col("k"), col("b")).agg(sum(col("w")).as("cw"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+      perCol.map { case (c, qs) =>
+        c -> (mm.get(c) match {
+          case None => qs.map(_ => None) // no valid rows for this column
+          case Some((mn, _)) =>
+            val byBin = hist.getOrElse(c, Array.empty)
+              .map(t => (t._2, t._3)).sortBy(_._1)
+            val total = byBin.map(_._2).sum
+            val width = widthOf(c)
+            qs.map { q =>
+              val target = q * total
+              var cum = 0.0
+              val hit = byBin.find { case (_, cnt) =>
+                cum += cnt; cum >= target
+              }
+              hit.map { case (b, cnt) =>
+                val frac = if (cnt == 0) 0.0
+                  else ((target - (cum - cnt)) / cnt).max(0.0).min(1.0)
+                mn + (b + frac) * width
+              }
+            }
+        })
+      }
+    } finally { pairs.unpersist(false); () }
+  }
+}

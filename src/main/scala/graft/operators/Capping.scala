@@ -15,7 +15,14 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
 abstract class BaseCapping(
     val cappingValues: Map[String, (Option[Double], Option[Double])],
     val quantiles: Map[String, (Option[Double], Option[Double])],
-    val weightsColumn: Option[String]
+    val weightsColumn: Option[String],
+    /** When set, quantile fits use the fixed-bin histogram sketch
+      * ([[graft.core.Sketch]]) with this bin count instead of the exact
+      * np.interp machinery: the fit shuffle then carries <= |columns| x
+      * bins x |partitions| partial rows regardless of input size (error
+      * <= column range / bins) — the 10^12-row fit path. None = exact.
+      */
+    val histogramBins: Option[Int] = None
 ) extends Transformer {
 
   require(cappingValues.isEmpty ^ quantiles.isEmpty,
@@ -50,7 +57,11 @@ abstract class BaseCapping(
       // all columns' quantiles in ONE melted distributed pass
       val perCol = quantiles.map { case (c, (qLo, qHi)) =>
         c -> (qLo.toSeq ++ qHi.toSeq) }
-      val fitted = Stats.weightedQuantilesMelted(rows, perCol, w)
+      val fitted = histogramBins match {
+        case Some(b) => graft.core.Sketch
+          .histQuantilesMelted(rows, perCol, w, b)
+        case None => Stats.weightedQuantilesMelted(rows, perCol, w)
+      }
       fittedCaps = quantiles.map { case (c, (qLo, qHi)) =>
         val vals = fitted(c)
         val lo = qLo.map(_ => vals.head.getOrElse(
@@ -83,7 +94,8 @@ abstract class BaseCapping(
       c -> Seq(lo.map(Double.box).orNull, hi.map(Double.box).orNull) },
     "quantiles" -> quantiles.map { case (c, (lo, hi)) =>
       c -> Seq(lo.map(Double.box).orNull, hi.map(Double.box).orNull) },
-    "weights_column" -> weightsColumn.orNull)
+    "weights_column" -> weightsColumn.orNull,
+    "histogram_bins" -> histogramBins.map(Int.box).orNull)
 }
 
 /** Clip to [lo, hi]; nulls pass through (polars clip semantics,
@@ -92,8 +104,10 @@ abstract class BaseCapping(
 class CappingTransformer(
     cappingValues: Map[String, (Option[Double], Option[Double])] = Map.empty,
     quantiles: Map[String, (Option[Double], Option[Double])] = Map.empty,
-    weightsColumn: Option[String] = None
-) extends BaseCapping(cappingValues, quantiles, weightsColumn) {
+    weightsColumn: Option[String] = None,
+    histogramBins: Option[Int] = None
+) extends BaseCapping(cappingValues, quantiles, weightsColumn,
+    histogramBins) {
 
   override def transformExprs(df: DataFrame): Seq[(String, Column)] =
     columns.map { c =>
@@ -123,8 +137,10 @@ class CappingTransformer(
 class OutOfRangeNullTransformer(
     cappingValues: Map[String, (Option[Double], Option[Double])] = Map.empty,
     quantiles: Map[String, (Option[Double], Option[Double])] = Map.empty,
-    weightsColumn: Option[String] = None
-) extends BaseCapping(cappingValues, quantiles, weightsColumn) {
+    weightsColumn: Option[String] = None,
+    histogramBins: Option[Int] = None
+) extends BaseCapping(cappingValues, quantiles, weightsColumn,
+    histogramBins) {
 
   override def transformExprs(df: DataFrame): Seq[(String, Column)] =
     columns.map { c =>

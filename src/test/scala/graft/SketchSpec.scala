@@ -1,0 +1,89 @@
+package graft
+
+import graft.core.{Sketch, Stats}
+import graft.operators.CappingTransformer
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Histogram quantile sketch: error bound vs the exact machinery,
+  * determinism / partition invariance (mergeability), edge cases, and
+  * the capper's sketch-fit path with JSON round-trip.
+  */
+class SketchSpec extends SparkSpec {
+
+  private def rng(seed: Long, n: Int): Seq[Double] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(n)(r.nextDouble() * 200 - 100)
+  }
+
+  test("sketch quantiles are within one bin width of exact, " +
+      "weighted and unweighted") {
+    val n = 2000
+    val xs = rng(1, n); val ys = rng(2, n)
+    val ws = rng(3, n).map(w => math.abs(w) % 5 + 0.5)
+    val d = df("x double, y double, w double",
+      (0 until n).map(i => Row(xs(i), ys(i), ws(i))))
+    val probs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val perCol = Map("x" -> probs, "y" -> probs)
+    for (wc <- Seq(lit(1.0), col("w")); bins <- Seq(64, 1024)) {
+      val exact = Stats.weightedQuantilesMelted(d, perCol, wc)
+      val approx = Sketch.histQuantilesMelted(d, perCol, wc, bins)
+      for (c <- Seq("x", "y")) {
+        val bound = 200.0 / bins // data range is [-100, 100]
+        probs.indices.foreach { i =>
+          val e = exact(c)(i).get; val a = approx(c)(i).get
+          assert(math.abs(a - e) <= bound + 1e-9,
+            s"col=$c p=${probs(i)} bins=$bins exact=$e approx=$a")
+        }
+      }
+    }
+  }
+
+  test("sketch is deterministic and partition-invariant (mergeable " +
+      "bin counts)") {
+    val n = 1500
+    val xs = rng(7, n)
+    val d = df("x double", xs.map(Row(_)))
+    val perCol = Map("x" -> Seq(0.1, 0.5, 0.9))
+    val parts = Seq(1, 3, 16).map(p =>
+      Sketch.histQuantilesMelted(d.repartition(p), perCol, lit(1.0), 256))
+    assert(parts.distinct.size == 1,
+      s"results differ across partition counts: $parts")
+  }
+
+  test("constant column, nulls, NaN, zero weights, empty input") {
+    val d = df("x double, w double", Seq(
+      Row(5.0, 1.0), Row(5.0, 2.0), Row(null, 1.0),
+      Row(Double.NaN, 1.0), Row(7.0, 0.0)))
+    val r = Sketch.histQuantilesMelted(
+      d, Map("x" -> Seq(0.0, 0.5, 1.0)), col("w"), 128)
+    // only the two weight>0, non-null, non-NaN rows (both 5.0) count
+    assert(r("x") == Seq(Some(5.0), Some(5.0), Some(5.0)))
+    val empty = Sketch.histQuantilesMelted(
+      d.filter(col("x") > 100), Map("x" -> Seq(0.5)), lit(1.0), 128)
+    assert(empty("x") == Seq(None))
+  }
+
+  test("capper sketch fit: caps within bound of exact fit; JSON " +
+      "round-trip preserves histogram_bins") {
+    val n = 3000
+    val xs = rng(11, n)
+    val d = df("v double", xs.map(Row(_)))
+    val q = Map("v" -> (Some(0.05): Option[Double],
+      Some(0.95): Option[Double]))
+    val exact = new CappingTransformer(quantiles = q).fit(d)
+    val sk = new CappingTransformer(quantiles = q,
+      histogramBins = Some(512)).fit(d)
+    val bound = (xs.max - xs.min) / 512
+    val (el, eh) = exact.fittedCaps("v"); val (sl, sh) = sk.fittedCaps("v")
+    assert(math.abs(sl.get - el.get) <= bound + 1e-9)
+    assert(math.abs(sh.get - eh.get) <= bound + 1e-9)
+    // JSON round-trip: histogram_bins survives init serialization and
+    // the restored transformer re-fits through the sketch path
+    val json = graft.core.Json.transformerToJson(sk)
+    val back = graft.core.Json.transformerFromJson(json)
+      .asInstanceOf[CappingTransformer]
+    assert(back.histogramBins == Some(512))
+    assert(back.fittedCaps == sk.fittedCaps) // fitted state carried
+  }
+}
