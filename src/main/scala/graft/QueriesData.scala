@@ -227,6 +227,16 @@ object QueriesData {
         .orderBy("image_id")
     }),
 
+    "q117_hashed_tf" -> ((s, dir) => {
+      // stateless feature-hashing vectorizer (hashing trick, signed):
+      // no vocabulary fit, one explode + one map-side-combined groupBy.
+      // 128 buckets force real collisions so the +-1 cancellation path
+      // is exercised, not just the happy path
+      TextOps.hashedTfVector(tbl(s, dir, "documents"), "doc_id", "text",
+        numFeatures = 128, signed = true, hashName = "md5")
+        .orderBy("doc_id", "bucket")
+    }),
+
     "q115_payload_audit" -> ((s, dir) => {
       // REAL-codec distributed payload-integrity audit (the
       // BASELINE.json per-row invariant): imagesReal encodes actual
@@ -1631,6 +1641,16 @@ object QueriesData {
         |    AS bytes_per_pixel
         |FROM read_parquet('/tmp/graft_oracle_images_q51/*.parquet')
         |ORDER BY 1""".stripMargin,
+
+    "q117_hashed_tf" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)
+        |    % 128 AS INTEGER) AS bucket,
+        |  CAST(sum(CASE WHEN CAST('0x' || substring(md5(t), 17, 1)
+        |      AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS tf
+        |FROM toks GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the invariant IS the oracle: every row must decode at declared
     // dims with passing pixels and an intact caption — any false or

@@ -335,4 +335,52 @@ object TextOps {
       .select(col("__id").as(idCol), col("__t").as("term"), col("tf"),
         (col("tf") * log(lit(n.toDouble) / col("__df"))).as("tfidf"))
   }
+
+  /** Feature-hashing sparse term-frequency vectors (the hashing trick:
+    * sklearn HashingVectorizer / Spark MLlib HashingTF shape, emitted
+    * as COO rows `(id, bucket, tf)`).
+    *
+    * The at-scale complement of [[tfidf]]/[[vocabulary]]: NO fitted
+    * vocabulary state at all — bucket = hash(term) mod numFeatures is
+    * stateless, so the op is a single explode + one map-side-combined
+    * groupBy, embarrassingly scalable and immune to vocabulary growth.
+    * `signed` enables the collision-unbiasing ±1 second hash
+    * (Weinberger et al. 2009): colliding terms then cancel in
+    * expectation instead of inflating the bucket. Buckets whose signed
+    * counts cancel to exactly 0 are still emitted (their presence is
+    * information; filter `tf != 0` downstream if not).
+    *
+    * `hashName` md5 is engine-reproducible (DuckDB oracle, q117);
+    * xxhash64 is the cheap codegen'd default — same rule as
+    * [[graft.operators.HashingEncoderTransformer]].
+    */
+  def hashedTfVector(df: DataFrame, idCol: String, textCol: String,
+      numFeatures: Int, signed: Boolean = false,
+      hashName: String = "xxhash64"): DataFrame = {
+    require(numFeatures > 0,
+      s"numFeatures must be positive, got $numFeatures")
+    require(Seq("md5", "xxhash64").contains(hashName),
+      s"hash must be md5 or xxhash64, got $hashName")
+    val t = col("__t")
+    val bucket = (hashName match {
+      case "md5" =>
+        pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
+          lit(numFeatures.toLong))
+      case _ => pmod(xxhash64(t), lit(numFeatures.toLong))
+    }).cast("int")
+    val sgn =
+      if (!signed) lit(1L)
+      else {
+        val bit = hashName match {
+          case "md5" =>
+            conv(substring(md5(t), 17, 1), 16, 10).cast("long") % 2
+          case _ => pmod(xxhash64(t, lit("sign")), lit(2L))
+        }
+        when(bit === 0, 1L).otherwise(-1L)
+      }
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol), bucket.as("bucket"), sgn.as("__s"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__s")).as("tf"))
+  }
 }

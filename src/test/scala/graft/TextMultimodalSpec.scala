@@ -197,6 +197,35 @@ class TextMultimodalSpec extends SparkSpec {
     assert(pruned.count() == 2) // only (1,a) and (3,c)
   }
 
+  test("hashedTfVector: brute-force parity (xxhash64 default), " +
+      "signed cancellation, no vocabulary state") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "a a b"), Row(2L, "a c c"), Row(3L, "d")))
+    val n = 16
+    val out = TextOps.hashedTfVector(d, "doc_id", "text", n)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    // brute force with the same engine hash
+    val hashOf = d.sparkSession
+      .sql(("SELECT t, CAST(pmod(xxhash64(t), %d) AS INT) FROM " +
+        "(VALUES ('a'), ('b'), ('c'), ('d')) v(t)").format(n))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val exp = Seq(1L -> "a", 1L -> "a", 1L -> "b", 2L -> "a",
+      2L -> "c", 2L -> "c", 3L -> "d")
+      .groupBy { case (id, t) => (id, hashOf(t)) }
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(out == exp)
+    // signed: two colliding terms with opposite signs cancel to 0 but
+    // the bucket row is still emitted
+    val signed = TextOps.hashedTfVector(d, "doc_id", "text",
+      numFeatures = 1, signed = true, hashName = "md5")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // bucket 0 holds everything; |tf| <= token count per doc
+    assert(signed.keySet == Set(1L, 2L, 3L))
+    assert(math.abs(signed(1L)) <= 3 && math.abs(signed(2L)) <= 3 &&
+      math.abs(signed(3L)) <= 1)
+  }
+
   test("ImageIoResizer: NN resize of a lossless PNG matches an " +
       "independent per-pixel computation") {
     val (w, h) = (12, 8)
