@@ -227,6 +227,21 @@ object QueriesData {
         .orderBy("image_id")
     }),
 
+    "q118_zorder_layout" -> ((s, dir) => {
+      // Z-order (Morton) layout keys: deterministic bit math over
+      // range-bucketized (l_quantity, l_extendedprice) — the
+      // multi-dimensional file-pruning sort key, value-exact vs an
+      // oracle that re-derives every interleaved bit in SQL
+      val li = QueriesCore.tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice")
+      graft.io.Layout.zorder(li,
+        Seq("l_quantity", "l_extendedprice"), bits = 8)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("__z").as("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "q117_hashed_tf" -> ((s, dir) => {
       // stateless feature-hashing vectorizer (hashing trick, signed):
       // no vocabulary fit, one explode + one map-side-combined groupBy.
@@ -1641,6 +1656,25 @@ object QueriesData {
         |    AS bytes_per_pixel
         |FROM read_parquet('/tmp/graft_oracle_images_q51/*.parquet')
         |ORDER BY 1""".stripMargin,
+
+    "q118_zorder_layout" -> {
+      val terms = (0 until 8).flatMap(l => Seq(
+        s"(((bq >> $l) & 1) << ${2 * l})",
+        s"(((be >> $l) & 1) << ${2 * l + 1})")).mkString(" | ")
+      s"""WITH mm AS (SELECT
+         |    min(l_quantity) AS mnq, max(l_quantity) AS mxq,
+         |    min(l_extendedprice) AS mne, max(l_extendedprice) AS mxe
+         |  FROM lineitem),
+         |b AS (SELECT l_orderkey, l_linenumber,
+         |    least(greatest(CAST(floor((l_quantity - mnq) /
+         |      ((mxq - mnq) / 256)) AS BIGINT), 0), 255) AS bq,
+         |    least(greatest(CAST(floor((l_extendedprice - mne) /
+         |      ((mxe - mne) / 256)) AS BIGINT), 0), 255) AS be
+         |  FROM lineitem, mm)
+         |SELECT l_orderkey, l_linenumber,
+         |  CAST($terms AS BIGINT) AS z
+         |FROM b ORDER BY 1, 2""".stripMargin
+    },
 
     "q117_hashed_tf" ->
       """WITH toks AS (SELECT doc_id,

@@ -109,4 +109,16 @@ class EmptyInputSpec extends SparkSpec {
       "embedding", "id", k = 1, nprobe = 1, shortlist = 1)
       .count() == 0)
   }
+
+  test("hashed TF / payload audit / histogram sketch on empty input") {
+    assert(TextOps.hashedTfVector(emptyDocs(), "doc_id", "text", 16)
+      .count() == 0)
+    val imgs = df("image_id STRING, bytes BINARY, w INT, h INT, " +
+      "fmt STRING, caption STRING, phash BIGINT", Seq.empty)
+    assert(graft.multimodal.Multimodal.auditPayloads(imgs, seed = 42)
+      .count() == 0)
+    val r = graft.core.Sketch.histQuantilesMelted(
+      df("x DOUBLE", Seq.empty), Map("x" -> Seq(0.5)), lit(1.0), 64)
+    assert(r("x") == Seq(None))
+  }
 }
