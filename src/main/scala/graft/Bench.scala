@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, sum}
+import org.apache.spark.sql.functions.{col, sum, when}
 
 /** Per-round benchmark (driver contract): prints ONE JSON line
   * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
@@ -195,6 +195,26 @@ object Bench {
     }
     // the embarrassingly parallel portion alone (per-image decode +
     // feature agg): the cleanest executor-scaling proxy
+    // REAL-codec round trip (javax.imageio): encode the deterministic
+    // render to actual PNG/JPEG bytes, decode back, PSNR-audit vs the
+    // re-rendered expectation — the q115 operator at bench scale. This
+    // is genuine codec CPU (not the synthetic profile), and the image-
+    // payload analogue of the executor-scaling claim: per-image codec
+    // work parallelises the way a real cluster's decode stage does.
+    val realCodecImages =
+      sys.env.getOrElse("SPARK_GRAFT_REAL_CODEC_IMAGES", "60000").toLong
+    def realCodecJob(s: SparkSession): Long = {
+      val imgs = graft.io.ImageTable.imagesReal(s, realCodecImages,
+        minDim = 48, maxDim = 96,
+        numPartitions = s.sparkContext.defaultParallelism * 4)
+      val ok = graft.multimodal.Multimodal
+        .auditPayloads(imgs, seed = 42)
+        .agg(sum(when(col("pixels_ok"), 1L).otherwise(0L))).head()
+        .getLong(0)
+      require(ok == realCodecImages,
+        s"payload audit failed: $ok/$realCodecImages passed")
+      realCodecImages
+    }
     def decodeKernel(s: SparkSession): Long = {
       // tasks >> cores: per-image decode cost varies ~(dimHi/dimLo)^2,
       // and a single task-wave ends at its slowest task
@@ -241,6 +261,8 @@ object Bench {
       val (rd4, td4, rawD4, cpuD4) = atPrefit(4, sReps)
       val (rk16, tk16, rawK16) = atR(16, sReps + 2)(decodeKernel)
       val (rk4, tk4, rawK4) = atR(4, sReps)(decodeKernel)
+      val (rc16, tc16, rawC16) = atR(16, sReps)(realCodecJob)
+      val (rc4, tc4, rawC4) = atR(4, math.max(2, sReps - 1))(realCodecJob)
       val (ra16, ta16, rawA16) = atR(16, 4)(asofJob)
       val (ra4, ta4, rawA4) = atR(4, 3)(asofJob)
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -248,9 +270,11 @@ object Bench {
       val thrD4 = rd4 / td4; val thrD16 = rd16 / td16
       val thrK4 = rk4 / tk4; val thrK16 = rk16 / tk16
       val thrA4 = ra4 / ta4; val thrA16 = ra16 / ta16
+      val thrC4 = rc4 / tc4; val thrC16 = rc16 / tc16
       val effD = (thrD16 / thrD4) / 4.0
       val effK = (thrK16 / thrK4) / 4.0
       val effA = (thrA16 / thrA4) / 4.0
+      val effC = (thrC16 / thrC4) / 4.0
       // CPU parity: equal CPU-per-rep at both levels proves equal WORK,
       // decomposing any wall-clock efficiency shortfall into
       // scheduling/contention rather than work inflation
@@ -259,8 +283,10 @@ object Bench {
       System.err.println(
         f"[bench] scaling decode-kernel 4c=$thrK4%.0f img/s 16c=$thrK16%.0f img/s eff=$effK%.3f raw4=${fmtRaw(rawK4)} raw16=${fmtRaw(rawK16)}")
       System.err.println(
+        f"[bench] scaling real-codec 4c=$thrC4%.0f img/s 16c=$thrC16%.0f img/s eff=$effC%.3f raw4=${fmtRaw(rawC4)} raw16=${fmtRaw(rawC16)}")
+      System.err.println(
         f"[bench] scaling asof-transform 4c=$thrA4%.0f rows/s 16c=$thrA16%.0f rows/s eff=$effA%.3f (single-box floor)")
-      f""","scaling":{"job":"asof+transform+decode, pipeline pre-fitted per level (fit amortizes at scale)","n_cores":4,"n4_cores":16,"n_images_per_sec":$thrD4%.1f,"n4_images_per_sec":$thrD16%.1f,"efficiency":$effD%.3f,"raw_secs_n":${fmtRaw(rawD4)},"raw_secs_n4":${fmtRaw(rawD16)},"cpu_sec_per_rep_n":$cpuD4%.1f,"cpu_sec_per_rep_n4":$cpuD16%.1f,"decode_kernel":{"n_images_per_sec":$thrK4%.1f,"n4_images_per_sec":$thrK16%.1f,"efficiency":$effK%.3f,"raw_secs_n":${fmtRaw(rawK4)},"raw_secs_n4":${fmtRaw(rawK16)}},"asof_transform_only":{"n_rows_per_sec":$thrA4%.1f,"n4_rows_per_sec":$thrA16%.1f,"efficiency":$effA%.3f,"raw_secs_n":${fmtRaw(rawA4)},"raw_secs_n4":${fmtRaw(rawA16)},"note":"single-box memory-bandwidth floor"}}"""
+      f""","scaling":{"job":"asof+transform+decode, pipeline pre-fitted per level (fit amortizes at scale)","n_cores":4,"n4_cores":16,"n_images_per_sec":$thrD4%.1f,"n4_images_per_sec":$thrD16%.1f,"efficiency":$effD%.3f,"raw_secs_n":${fmtRaw(rawD4)},"raw_secs_n4":${fmtRaw(rawD16)},"cpu_sec_per_rep_n":$cpuD4%.1f,"cpu_sec_per_rep_n4":$cpuD16%.1f,"decode_kernel":{"n_images_per_sec":$thrK4%.1f,"n4_images_per_sec":$thrK16%.1f,"efficiency":$effK%.3f,"raw_secs_n":${fmtRaw(rawK4)},"raw_secs_n4":${fmtRaw(rawK16)}},"real_codec":{"job":"javax.imageio encode+decode+PSNR audit (q115 operator), ${realCodecImages} images 48-96px","n_images_per_sec":$thrC4%.1f,"n4_images_per_sec":$thrC16%.1f,"efficiency":$effC%.3f,"raw_secs_n":${fmtRaw(rawC4)},"raw_secs_n4":${fmtRaw(rawC16)}},"asof_transform_only":{"n_rows_per_sec":$thrA4%.1f,"n4_rows_per_sec":$thrA16%.1f,"efficiency":$effA%.3f,"raw_secs_n":${fmtRaw(rawA4)},"raw_secs_n4":${fmtRaw(rawA16)},"note":"single-box memory-bandwidth floor"}}"""
     } else ""
 
     // Skew resilience: concentrate 30% of all events on ONE entity.

@@ -119,17 +119,29 @@ object ImageTable {
     val fIdx = base.schema.fieldIndex("fmt")
     implicit val enc = org.apache.spark.sql.Encoders.row(schema)
     base.mapPartitions { it =>
-      it.map { r =>
+      // ONE codec per partition: writer + param + 4:4:4 metadata reused
+      // across every image (per-image registry lookups and DOM metadata
+      // rebuilds are codec overhead AND cross-thread contention)
+      val codec = new graft.validate.PixelCheck.Codec
+      val mapped = it.map { r =>
         val id = r.getLong(idIdx)
         val w = r.getInt(wIdx); val hh = r.getInt(hIdx)
         val px = graft.validate.PixelCheck.syntheticPixels(
           pixelSeed(seed, id), w, hh)
-        val bytes = graft.validate.PixelCheck.encode(
+        val bytes = codec.encode(
           graft.validate.PixelCheck.toImage(px, w, hh), r.getString(fIdx))
         Row.fromSeq(r.toSeq.zipWithIndex.collect {
           case (_, `bIdx`) => bytes
           case (v, i) if i != idIdx => v
         })
+      }
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = mapped.hasNext
+          if (!h) codec.close()
+          h
+        }
+        def next(): Row = mapped.next()
       }
     }
   }

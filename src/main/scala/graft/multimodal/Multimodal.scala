@@ -207,13 +207,16 @@ object Multimodal {
     val hIdx = inSchema.fieldIndex("h")
     implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { it =>
-      it.map { r =>
+      // one codec per partition: per-format readers reused across rows
+      val codec = new PixelCheck.Codec
+      val mapped = it.map { r =>
         val kept = keptIdx.map(r.get)
         val audit: Seq[Any] =
           try {
             val bytes = Option(r.getAs[Array[Byte]](bytesIdx))
               .getOrElse(Array.emptyByteArray)
-            val img = if (bytes.isEmpty) null else PixelCheck.decode(bytes)
+            val img = if (bytes.isEmpty) null
+              else codec.decode(bytes, r.getString(fmtIdx))
             if (img == null) Seq(-1, -1, Double.NaN, false)
             else {
               val w = r.getInt(wIdx); val hh = r.getInt(hIdx)
@@ -236,6 +239,14 @@ object Multimodal {
             case _: Exception => Seq(-1, -1, Double.NaN, false)
           }
         Row.fromSeq(kept ++ audit)
+      }
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = mapped.hasNext
+          if (!h) codec.close()
+          h
+        }
+        def next(): Row = mapped.next()
       }
     }
   }

