@@ -149,4 +149,37 @@ class PlanDisciplineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getAs[Double]("v_median"))).distinct.toSeq
     assert(got == Seq((1L, 2.0), (2L, 5.0)))
   }
+
+  test("z-order key is a codegen'd projection; layout adds exactly " +
+      "one range exchange") {
+    val imgs = spark.read.parquet(imgPath)
+      .select(col("image_id"), col("w"), col("h"))
+    val q = graft.io.Layout.zorder(imgs, Seq("w", "h"), bits = 8)
+    val plan = q.queryExecution.executedPlan.toString
+    // the interleave fold must stay inside codegen (no interpreted
+    // lambdas), and the only exchange is the range repartition
+    assert(!plan.contains("lambdafunction"), plan)
+    val range = "Exchange rangepartitioning".r.findAllIn(plan).size
+    val hash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(range == 1 && hash == 0,
+      s"expected 1 range / 0 hash exchanges, got $range/$hash:\n$plan")
+  }
+
+  test("hashed TF vectorizer plans one exchange with map-side " +
+      "partial aggregation") {
+    val p = Files.createTempDirectory("plan_htf").toString + "/docs"
+    spark.range(0, 50)
+      .selectExpr("id AS doc_id",
+        "repeat(concat('tok', CAST(id % 7 AS STRING), ' '), 20) AS text")
+      .write.mode("overwrite").parquet(p)
+    val q = graft.text.TextOps.hashedTfVector(
+      spark.read.parquet(p), "doc_id", "text", 64)
+    val plan = q.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    // partial_sum before the exchange = map-side combine: the shuffle
+    // carries <= |docs| x numFeatures rows, not one row per token
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      s"no map-side partial aggregation:\n$plan")
+  }
 }
