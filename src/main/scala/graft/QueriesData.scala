@@ -227,6 +227,17 @@ object QueriesData {
         .orderBy("image_id")
     }),
 
+    "q119_unigram_surprisal" -> ((s, dir) => {
+      // perplexity-style quality signal: self-scored unigram LM,
+      // avg -ln p(term) per document — round(6) absorbs aggregate-
+      // order ulp drift in the per-doc mean
+      TextOps.unigramSurprisal(tbl(s, dir, "documents"),
+        "doc_id", "text")
+        .select(col("doc_id"), round(col("surprisal"), 6)
+          .as("surprisal"))
+        .orderBy("doc_id")
+    }),
+
     "q118_zorder_layout" -> ((s, dir) => {
       // Z-order (Morton) layout keys: deterministic bit math over
       // range-bucketized (l_quantity, l_extendedprice) — the
@@ -1656,6 +1667,17 @@ object QueriesData {
         |    AS bytes_per_pixel
         |FROM read_parquet('/tmp/graft_oracle_images_q51/*.parquet')
         |ORDER BY 1""".stripMargin,
+
+    "q119_unigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS t FROM documents),
+        |lm AS (SELECT t, CAST(count(*) AS DOUBLE) AS c
+        |  FROM toks GROUP BY t),
+        |tot AS (SELECT sum(c) AS s FROM lm)
+        |SELECT toks.doc_id,
+        |  ROUND(avg(-ln(lm.c / tot.s)), 6) AS surprisal
+        |FROM toks JOIN lm ON toks.t = lm.t CROSS JOIN tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q118_zorder_layout" -> {
       val terms = (0 until 8).flatMap(l => Seq(

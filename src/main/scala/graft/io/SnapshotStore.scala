@@ -186,6 +186,84 @@ object SnapshotStore {
     } finally bucketed.unpersist(false)
   }
 
+  /** Iceberg `rewrite_data_files`-style storage maintenance: rewrite
+    * the CURRENT snapshot's files — optionally Z-order-clustered
+    * within each bucket — and publish the result as a NEW snapshot
+    * with IDENTICAL content and bucket lineage. Old snapshots stay
+    * readable (append-only runs; reclaim with [[expireSnapshots]]).
+    *
+    * Content preservation is PROVEN, not assumed: the rewritten
+    * frame's per-bucket (rows, xxh) lineage is recomputed and must
+    * equal the source manifest's (bit_xor of row hashes is
+    * order-independent, so re-clustering cannot change it); any
+    * mismatch deletes the new files and aborts before a manifest is
+    * published — the commit point is never reached.
+    *
+    * `layoutCols` non-empty sorts rows inside each bucket by the
+    * Z-order key of those columns ([[Layout.zValue]], sorted as an
+    * expression — no column is added, content stays bit-identical), so
+    * parquet row-group min/max stats become tight hyper-rectangles and
+    * multi-dimensional filters prune at the row-group level. Empty
+    * `layoutCols` is plain compaction (small files of a bucket merge
+    * into one sorted write per partition).
+    */
+  def rewriteSnapshot(spark: SparkSession, root: String,
+      layoutCols: Seq[String] = Seq.empty, bits: Int = 10)
+      : WriteResult = {
+    val v = latestSnapshot(root).getOrElse(
+      throw new IllegalStateException(s"no snapshots at $root"))
+    val entries = manifest(root, v)
+    val snap = latestAnySnapshot(root).getOrElse(0) + 1
+    if (entries.isEmpty) { // empty table state: carry the schema over
+      Files.writeString(schemaPath(root, snap),
+        Files.readString(schemaPath(root, v)))
+      writeManifest(root, snap, Seq.empty, incomplete = false)
+      return WriteResult(snap, Seq.empty, Seq.empty, Seq.empty)
+    }
+    val df0 = spark.read.option("basePath", s"$root/runs")
+      .parquet(entries.map(_.path): _*).drop("run")
+    val sortKeys: Seq[Column] =
+      if (layoutCols.isEmpty) Seq(col(B))
+      else {
+        val aggs = layoutCols.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"__mn_$c"),
+          max(col(c).cast("double")).as(s"__mx_$c")))
+        val r = df0.agg(aggs.head, aggs.tail: _*).head()
+        val ranges = layoutCols.indices.map { i =>
+          (Option(r.getAs[java.lang.Double](2 * i))
+             .map(_.toDouble).getOrElse(0.0),
+           Option(r.getAs[java.lang.Double](2 * i + 1))
+             .map(_.toDouble).getOrElse(0.0))
+        }
+        Seq(col(B), Layout.zValue(layoutCols.map(col), ranges, bits))
+      }
+    val clustered = df0.repartition(col(B))
+      .sortWithinPartitions(sortKeys: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val runDir = s"$root/runs/run=$snap"
+      clustered.write.partitionBy(B).mode("append").parquet(runDir)
+      val rewritten = lineageOf(clustered)
+      val prev = entries.map(e => e.bucket -> e).toMap
+      val mismatch = rewritten.keySet.union(prev.keySet).filter { b =>
+        prev.get(b).map(e => (e.rows, e.xxh)) != rewritten.get(b)
+      }
+      if (mismatch.nonEmpty) {
+        deleteRecursively(Paths.get(runDir))
+        throw new IllegalStateException(
+          s"rewrite changed content of buckets $mismatch — aborted, " +
+            "no manifest published")
+      }
+      Files.writeString(schemaPath(root, snap),
+        df0.drop(B).schema.toDDL)
+      writeManifest(root, snap,
+        entries.map(e => e.copy(path = s"$runDir/$B=${e.bucket}")),
+        incomplete = false)
+      WriteResult(snap, entries.map(_.bucket).sorted, Seq.empty,
+        Seq.empty)
+    } finally { clustered.unpersist(false); () }
+  }
+
   /** Snapshot-scoped read: exactly the files the manifest lists. The
     * bucket partition column is re-attached from the directory layout.
     */

@@ -336,6 +336,46 @@ object TextOps {
         (col("tf") * log(lit(n.toDouble) / col("__df"))).as("tfidf"))
   }
 
+  /** Unigram language-model surprisal — the CCNet/Gopher-family
+    * perplexity quality signal with a relational unigram LM standing in
+    * for the 5-gram KenLM (the wiring — train counts, score corpus,
+    * rank by average negative log-probability — is identical; swap the
+    * LM table to upgrade the model):
+    *
+    *   score(doc) = avg over tokens of -ln(count(term) / total)
+    *
+    * Low = fluent/common language, high = junk or vocabulary the LM
+    * never saw — the classic keep/drop curation signal.
+    *
+    * `lm` defaults to the corpus itself (self-scored); pass a
+    * (term, cnt) frame to score against a reference LM — unseen terms
+    * then cost -ln(0.5 / total) (continuity-corrected, deterministic).
+    *
+    * Scale shape: identical to [[tfidf]] — one token explode feeds a
+    * map-side-combined LM count agg (Zipf-small, AQE broadcasts it), an
+    * equi-join back on term, one per-doc aggregation. No model state
+    * outside the LM table; value-exact q119.
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+      lm: Option[DataFrame] = None): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+      explode(tokens(col(textCol))).as("__t"))
+    val model = lm match {
+      case Some(m) => m.select(col("term").as("__t"),
+        col("cnt").cast("double").as("__c"))
+      case None => toks.groupBy(col("__t"))
+        .agg(count(lit(1)).cast("double").as("__c"))
+    }
+    // null-safe: an empty corpus/LM fits total=1 and scores no rows
+    val totalRow = model.agg(sum(col("__c"))).head()
+    val total = if (totalRow.isNullAt(0)) 1.0 else totalRow.getDouble(0)
+    toks.join(model, Seq("__t"), "left")
+      .groupBy(col("__id"))
+      .agg(avg(-log(coalesce(col("__c"), lit(0.5)) / lit(total)))
+        .as("surprisal"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Feature-hashing sparse term-frequency vectors (the hashing trick:
     * sklearn HashingVectorizer / Spark MLlib HashingTF shape, emitted
     * as COO rows `(id, bucket, tf)`).

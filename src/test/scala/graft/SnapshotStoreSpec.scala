@@ -218,4 +218,53 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(bad.nonEmpty)
     assert(bad.exists(_._1 == victim.bucket))
   }
+
+  test("rewriteSnapshot: z-clustered rewrite preserves content and " +
+      "lineage; old snapshot still readable; verify passes") {
+    import spark.implicits._
+    val root = freshRoot()
+    val rnd = new scala.util.Random(3)
+    val d = (0 until 2000).map(i => (i.toLong,
+      rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+      .toDF("id", "x", "y")
+    val r1 = SnapshotStore.write(d, root, SnapshotStore.byKey("id", 8))
+    val before = SnapshotStore.manifest(root, r1.snapshot)
+
+    val r2 = SnapshotStore.rewriteSnapshot(spark, root,
+      layoutCols = Seq("x", "y"), bits = 8)
+    assert(r2.snapshot == r1.snapshot + 1)
+    assert(r2.written.size == 8 && r2.remaining.isEmpty)
+
+    // identical lineage, new file locations
+    val after = SnapshotStore.manifest(root, r2.snapshot)
+    assert(after.map(e => (e.bucket, e.rows, e.xxh)).sortBy(_._1) ==
+      before.map(e => (e.bucket, e.rows, e.xxh)).sortBy(_._1))
+    assert(after.map(_.path).toSet.intersect(
+      before.map(_.path).toSet).isEmpty)
+
+    // identical content; storage verifies; time travel intact
+    val a = SnapshotStore.read(spark, root).orderBy("id").collect()
+    val b = SnapshotStore.read(spark, root, Some(r1.snapshot))
+      .orderBy("id").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(SnapshotStore.verify(spark, root).isEmpty)
+
+    // and the rewrite actually clustered: within each new bucket file,
+    // contiguous chunks cover small (x, y) boxes vs the unsorted write
+    def avgBox(rows: Seq[(Double, Double)]): Double =
+      rows.grouped(50).filter(_.size == 50).map { g =>
+        (g.map(_._1).max - g.map(_._1).min) *
+          (g.map(_._2).max - g.map(_._2).min)
+      }.toSeq.sum / math.max(1, rows.size / 50)
+    val newFile = after.head.path
+    val clustered = spark.read.parquet(newFile)
+      .select("x", "y").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    val oldFile = before.head.path
+    val unsorted = spark.read.parquet(oldFile)
+      .select("x", "y").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(avgBox(clustered) < avgBox(unsorted) / 2,
+      s"clustered ${avgBox(clustered)} vs unsorted ${avgBox(unsorted)}")
+  }
 }

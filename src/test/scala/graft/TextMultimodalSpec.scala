@@ -197,6 +197,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(pruned.count() == 2) // only (1,a) and (3,c)
   }
 
+  test("unigramSurprisal: hand-computed self-LM, external LM with " +
+      "unseen smoothing") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "a a b"), Row(2L, "a c")))
+    // counts: a=3, b=1, c=1; total=5
+    val out = TextOps.unigramSurprisal(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def nl(c: Double) = -math.log(c / 5.0)
+    assert(math.abs(out(1L) - (2 * nl(3) + nl(1)) / 3) < 1e-12)
+    assert(math.abs(out(2L) - (nl(3) + nl(1)) / 2) < 1e-12)
+    // external LM missing 'c': unseen costs -ln(0.5/total)
+    val lm = df("term STRING, cnt BIGINT", Seq(Row("a", 8L), Row("b", 2L)))
+    val ext = TextOps.unigramSurprisal(d, "doc_id", "text", Some(lm))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def nlE(c: Double) = -math.log(c / 10.0)
+    assert(math.abs(ext(2L) - (nlE(8) + nlE(0.5)) / 2) < 1e-12)
+  }
+
   test("hashedTfVector: brute-force parity (xxhash64 default), " +
       "signed cancellation, no vocabulary state") {
     val d = df("doc_id BIGINT, text STRING", Seq(
