@@ -44,7 +44,10 @@ object Bench {
     "q62_phash_neardup", "q73_curation_funnel", "q74_range_join",
     "q75_interval_overlap", "q77_topk_per_group",
     "q81_multimodal_resize", "q83_dedup_end_to_end",
-    "q85_asof_forward", "q86_tfidf")
+    "q85_asof_forward", "q86_tfidf", "q93_incremental_dedup",
+    "q111_ivfpq_query_pinned", "q115_payload_audit",
+    "q116_hist_quantile_sketch", "q117_hashed_tf",
+    "q118_zorder_layout", "q119_unigram_surprisal")
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
