@@ -227,6 +227,24 @@ object QueriesData {
         .orderBy("image_id")
     }),
 
+    "q120_payload_quarantine" -> ((s, dir) => {
+      // the image-ingest quality gate end to end: real-codec table
+      // with every 25th payload deterministically truncated -> the
+      // distributed audit -> quarantine split. The oracle knows
+      // exactly which ids were corrupted, so the audit's decode
+      // verdicts (not just the happy path) are value-checked
+      val path = "/tmp/graft_oracle_images_q120"
+      ImageTable.imagesReal(s, 300)
+        .withColumn("bytes",
+          when(expr("CAST(substring(image_id, 5) AS BIGINT) % 25 = 0"),
+            expr("substring(bytes, 1, 3)")) // truncated stream
+            .otherwise(col("bytes")))
+        .write.mode("overwrite").parquet(path)
+      Multimodal.auditPayloads(s.read.parquet(path), seed = 42)
+        .filter(col("pixels_ok"))
+        .select("image_id").orderBy("image_id")
+    }),
+
     "q119_unigram_surprisal" -> ((s, dir) => {
       // perplexity-style quality signal: self-scored unigram LM,
       // avg -ln p(term) per document — round(6) absorbs aggregate-
@@ -1666,6 +1684,14 @@ object QueriesData {
         |  CAST(octet_length(bytes) AS DOUBLE) / (w * h)
         |    AS bytes_per_pixel
         |FROM read_parquet('/tmp/graft_oracle_images_q51/*.parquet')
+        |ORDER BY 1""".stripMargin,
+
+    // the corrupted ids are known by construction; the audit must keep
+    // exactly the complement
+    "q120_payload_quarantine" ->
+      """SELECT image_id
+        |FROM read_parquet('/tmp/graft_oracle_images_q120/*.parquet')
+        |WHERE CAST(substring(image_id, 5) AS BIGINT) % 25 != 0
         |ORDER BY 1""".stripMargin,
 
     "q119_unigram_surprisal" ->

@@ -523,4 +523,43 @@ class StreamingSpec extends SparkSpec {
     assert(one == want, "single-batch stream diverged from batch IVF")
     assert(three == want, "chunked stream diverged from batch IVF")
   }
+
+  test("payload audit gates a stream: corrupt images quarantined per " +
+      "micro-batch, verdicts match the batch audit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = graft.io.ImageTable.imagesReal(spark, 40).collect()
+    val bIdx = base.head.schema.fieldIndex("bytes")
+    val idIdx = base.head.schema.fieldIndex("image_id")
+    // corrupt every 5th payload (truncate) before streaming
+    val rows = base.zipWithIndex.map { case (r, i) =>
+      val bytes = r.getAs[Array[Byte]](bIdx)
+      (r.getString(idIdx),
+        if (i % 5 == 0) bytes.take(3) else bytes,
+        r.getInt(2), r.getInt(3), r.getString(4), r.getString(5),
+        r.getLong(6))
+    }.toSeq
+    val input =
+      MemoryStream[(String, Array[Byte], Int, Int, String, String, Long)]
+    val df = input.toDF().toDF("image_id", "bytes", "w", "h", "fmt",
+      "caption", "phash")
+    // the audit is a stateless mapPartitions: it runs unchanged on a
+    // streaming frame, so the SAME operator is the ingest gate
+    val gated = graft.multimodal.Multimodal
+      .auditPayloads(df, seed = 42)
+      .filter(col("pixels_ok")).select("image_id")
+    val q = gated.writeStream.format("memory")
+      .queryName("audit_gate").outputMode("append").start()
+    try {
+      rows.grouped(15).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val kept = spark.table("audit_gate")
+        .collect().map(_.getString(0)).toSet
+      val expected = rows.zipWithIndex
+        .collect { case (r, i) if i % 5 != 0 => r._1 }.toSet
+      assert(kept == expected,
+        s"missing=${expected -- kept} extra=${kept -- expected}")
+    } finally q.stop()
+  }
 }
