@@ -227,6 +227,19 @@ object QueriesData {
         .orderBy("image_id")
     }),
 
+    "q121_grouped_hist_sketch" -> ((s, dir) => {
+      // per-group histogram quantiles, fully distributed readout
+      // (nothing collected): window buffering bounded by bins per key,
+      // immune to all-distinct hot keys
+      graft.core.Sketch.groupedHistQuantiles(
+        QueriesCore.tbl(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice",
+        Seq(0.25, 0.5, 0.95), bins = 256)
+        .select(col("l_returnflag"), col("prob"),
+          round(col("value"), 6).as("value"))
+        .orderBy("l_returnflag", "prob")
+    }),
+
     "q120_payload_quarantine" -> ((s, dir) => {
       // the image-ingest quality gate end to end: real-codec table
       // with every 25th payload deterministically truncated -> the
@@ -1685,6 +1698,36 @@ object QueriesData {
         |    AS bytes_per_pixel
         |FROM read_parquet('/tmp/graft_oracle_images_q51/*.parquet')
         |ORDER BY 1""".stripMargin,
+
+    // per-key recomputation of the sketch rule (same bin assignment,
+    // same bin-ordered cumulative sums, same clamped interpolation)
+    "q121_grouped_hist_sketch" ->
+      """WITH v AS (SELECT l_returnflag AS k, l_extendedprice AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |mm AS (SELECT k, min(v) AS mn, max(v) AS mx,
+        |    (max(v) - min(v)) / 256 AS width,
+        |    CAST(count(*) AS DOUBLE) AS tot FROM v GROUP BY k),
+        |hist AS (SELECT v.k,
+        |    CAST(CASE WHEN width = 0 THEN 0
+        |      ELSE least(floor((v - mn) / width), 255) END AS INT) AS b,
+        |    CAST(count(*) AS DOUBLE) AS cw
+        |  FROM v JOIN mm ON v.k = mm.k GROUP BY 1, 2),
+        |cum AS (SELECT k, b, cw,
+        |    sum(cw) OVER (PARTITION BY k ORDER BY b) AS cum FROM hist),
+        |p AS (SELECT CAST(prob AS DOUBLE) AS prob
+        |  FROM (VALUES (0.25), (0.5), (0.95)) t(prob)),
+        |tgt AS (SELECT mm.k, p.prob, p.prob * mm.tot AS target,
+        |    mm.mn, mm.width FROM mm CROSS JOIN p),
+        |hit AS (SELECT t.k, t.prob, t.mn, t.width, t.target,
+        |    min(c.b) AS b
+        |  FROM tgt t JOIN cum c ON c.k = t.k AND c.cum >= t.target
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT h.k AS l_returnflag, h.prob,
+        |  ROUND(h.mn + (h.b + greatest(least(
+        |    (h.target - (c.cum - c.cw)) / c.cw, 1.0), 0.0)) * h.width,
+        |    6) AS value
+        |FROM hit h JOIN cum c ON c.k = h.k AND c.b = h.b
+        |ORDER BY 1, 2""".stripMargin,
 
     // the corrupted ids are known by construction; the audit must keep
     // exactly the complement

@@ -103,4 +103,71 @@ object Sketch {
       }
     } finally { pairs.unpersist(false); () }
   }
+
+  /** Per-GROUP histogram quantiles, fully distributed end to end — the
+    * scale companion to [[Stats.groupedWeightedQuantiles]] (which
+    * bounds window buffering by |distinct values| per key; this bounds
+    * it by `bins` per key, immune even to all-distinct hot keys), and
+    * unlike [[histQuantilesMelted]] NOTHING is collected: the result
+    * stays a DataFrame of (key, prob, value) rows.
+    *
+    *   1. one map-side-combined groupBy(key) for (min, max, total);
+    *   2. join-back (|keys| rows — AQE broadcasts), bin assignment;
+    *   3. one map-side-combined groupBy(key, bin) weight sum;
+    *   4. running-sum window over <= bins rows per key;
+    *   5. per (key, prob): the first bin whose cumulative weight
+    *      reaches prob x total wins (min_by over the bin index), value
+    *      interpolated within it — same rule as the melted sketch, so
+    *      the q121 oracle recomputes it in SQL.
+    *
+    * Null/NaN values and zero weights are excluded; a key with no
+    * valid rows is absent from the output.
+    */
+  def groupedHistQuantiles(df: DataFrame, keyCol: String,
+      valueCol: String, probs: Seq[Double], bins: Int = 1024,
+      weight: Column = lit(1.0)): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(probs.nonEmpty && probs.forall(q => q >= 0 && q <= 1),
+      s"quantiles must be in [0,1], got $probs")
+    val valid = df
+      .select(col(keyCol).as("__k"),
+        col(valueCol).cast("double").as("__v"),
+        weight.cast("double").as("__w"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__w") =!= 0)
+    // mm keyed as __k2 so the join-back can be NULL-SAFE (<=>): a null
+    // key is a legitimate group, exactly as a window's PARTITION BY
+    // treats it
+    val mm = valid.groupBy(col("__k").as("__k2"))
+      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+        sum(col("__w")).as("__tot"))
+      .withColumn("__width", (col("__mx") - col("__mn")) / bins)
+    val hist = valid
+      .join(mm, col("__k") <=> col("__k2")).drop("__k2")
+      .withColumn("__b",
+        when(col("__width") === 0d, lit(0))
+          .otherwise(least(
+            floor((col("__v") - col("__mn")) / col("__width")),
+            lit(bins - 1L)))
+          .cast("int"))
+      .groupBy(col("__k"), col("__b")).agg(sum(col("__w")).as("__cw"))
+    val w = org.apache.spark.sql.expressions.Window
+    val wCum = w.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val cum = hist.withColumn("__cum", sum(col("__cw")).over(wCum))
+    cum.join(mm, col("__k") <=> col("__k2")).drop("__k2")
+      .withColumn("prob", explode(typedLit(probs)))
+      .withColumn("__target", col("prob") * col("__tot"))
+      .filter(col("__cum") >= col("__target"))
+      .groupBy(col("__k"), col("prob"))
+      .agg(min_by(
+        struct(col("__b"), col("__cw"), col("__cum"), col("__mn"),
+          col("__width"), col("__target")), col("__b")).as("__hit"))
+      .select(col("__k").as(keyCol), col("prob"),
+        (col("__hit.__mn") + (col("__hit.__b") +
+          greatest(least((col("__hit.__target") -
+            (col("__hit.__cum") - col("__hit.__cw"))) /
+            col("__hit.__cw"), lit(1.0)), lit(0.0))) *
+          col("__hit.__width")).as("value"))
+  }
 }

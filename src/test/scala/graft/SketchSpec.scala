@@ -64,6 +64,47 @@ class SketchSpec extends SparkSpec {
     assert(empty("x") == Seq(None))
   }
 
+  test("groupedHistQuantiles: per-key parity with the melted sketch, " +
+      "error bound vs exact, null-key group kept, weighted") {
+    val n = 900
+    val r = new scala.util.Random(13)
+    val rows = (0 until n).map { i =>
+      Row(if (i % 10 == 0) null else s"k${i % 3}",
+        r.nextDouble() * 50, r.nextDouble() * 3 + 0.5)
+    }
+    val d = df("k STRING, v DOUBLE, w DOUBLE", rows)
+    val probs = Seq(0.1, 0.5, 0.9)
+    val out = Sketch.groupedHistQuantiles(d, "k", "v", probs,
+      bins = 128, weight = col("w"))
+      .collect()
+      .map(x => (Option(x.getString(0)), x.getDouble(1)) -> x.getDouble(2))
+      .toMap
+    // every key (including the null key) x prob present
+    assert(out.keySet ==
+      (Seq(None, Some("k0"), Some("k1"), Some("k2"))
+        .flatMap(k => probs.map(p => (k, p)))).toSet)
+    // per-key parity with the melted sketch on that key's slice
+    for (k <- Seq(Some("k0"), Some("k1"), None)) {
+      val slice = k match {
+        case Some(s) => d.filter(col("k") === s)
+        case None => d.filter(col("k").isNull)
+      }
+      val melted = Sketch.histQuantilesMelted(slice,
+        Map("v" -> probs), col("w"), 128)("v")
+      probs.indices.foreach { i =>
+        assert(math.abs(out((k, probs(i))) - melted(i).get) < 1e-12,
+          s"key=$k p=${probs(i)}")
+      }
+      // and within one bin width of the exact weighted quantile
+      val exact = Stats.weightedQuantilesMelted(slice,
+        Map("v" -> probs), col("w"))("v")
+      probs.indices.foreach { i =>
+        assert(math.abs(out((k, probs(i))) - exact(i).get) <=
+          50.0 / 128 + 1e-9, s"key=$k p=${probs(i)} vs exact")
+      }
+    }
+  }
+
   test("capper sketch fit: caps within bound of exact fit; JSON " +
       "round-trip preserves histogram_bins") {
     val n = 3000
