@@ -52,6 +52,11 @@ object PipelineJob {
     val nBuckets = intArg("--buckets", 64)
     val maxBuckets = intArg("--max-buckets", Int.MaxValue)
     val doVerify = args.contains("--verify")
+    // maintenance mode: rewrite the current snapshot's storage
+    // (optionally Z-order-clustered) instead of producing features
+    val doRewrite = args.contains("--rewrite")
+    val zorderCols: Seq[String] = args.sliding(2).collectFirst {
+      case Array("--zorder", v) => v.split(",").toSeq }.getOrElse(Seq.empty)
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
@@ -63,6 +68,18 @@ object PipelineJob {
     val spark = (if (sys.props.contains("spark.master")) builder
       else builder.master(s"local[$cpus]")).getOrCreate()
     try {
+      if (doRewrite) {
+        val res = SnapshotStore.rewriteSnapshot(spark, root,
+          layoutCols = zorderCols)
+        val verifyErrors =
+          if (doVerify) SnapshotStore.verify(spark, root) else Seq.empty
+        println(
+          s"""{"job":"rewrite","snapshot":${res.snapshot}""" +
+          s""","buckets":${res.written.size}""" +
+          s""","zorder":"${zorderCols.mkString(",")}"""" +
+          s""","verify_errors":${verifyErrors.size}}""")
+        return
+      }
       // fit once; persist fitted state next to the data it produced.
       // A fitted pipeline is bounded driver state (maps/scalars), so
       // the JSON is small regardless of input size.
