@@ -121,9 +121,13 @@ object ImageTable {
     base.mapPartitions { it =>
       // ONE codec per partition: writer + param + 4:4:4 metadata reused
       // across every image (per-image registry lookups and DOM metadata
-      // rebuilds are codec overhead AND cross-thread contention)
+      // rebuilds are codec overhead AND cross-thread contention).
+      // Cleanup via the task-completion listener, which fires even when
+      // the iterator is abandoned early (limit, take, task kill)
       val codec = new graft.validate.PixelCheck.Codec
-      val mapped = it.map { r =>
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => codec.close()))
+      it.map { r =>
         val id = r.getLong(idIdx)
         val w = r.getInt(wIdx); val hh = r.getInt(hIdx)
         val px = graft.validate.PixelCheck.syntheticPixels(
@@ -134,14 +138,6 @@ object ImageTable {
           case (_, `bIdx`) => bytes
           case (v, i) if i != idIdx => v
         })
-      }
-      new Iterator[Row] {
-        def hasNext: Boolean = {
-          val h = mapped.hasNext
-          if (!h) codec.close()
-          h
-        }
-        def next(): Row = mapped.next()
       }
     }
   }

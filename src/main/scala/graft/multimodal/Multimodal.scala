@@ -207,9 +207,13 @@ object Multimodal {
     val hIdx = inSchema.fieldIndex("h")
     implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { it =>
-      // one codec per partition: per-format readers reused across rows
+      // one codec per partition: per-format readers reused across rows;
+      // cleanup via the task-completion listener (fires even when the
+      // iterator is abandoned early)
       val codec = new PixelCheck.Codec
-      val mapped = it.map { r =>
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => codec.close()))
+      it.map { r =>
         val kept = keptIdx.map(r.get)
         val audit: Seq[Any] =
           try {
@@ -239,14 +243,6 @@ object Multimodal {
             case _: Exception => Seq(-1, -1, Double.NaN, false)
           }
         Row.fromSeq(kept ++ audit)
-      }
-      new Iterator[Row] {
-        def hasNext: Boolean = {
-          val h = mapped.hasNext
-          if (!h) codec.close()
-          h
-        }
-        def next(): Row = mapped.next()
       }
     }
   }

@@ -120,5 +120,8 @@ class EmptyInputSpec extends SparkSpec {
     val r = graft.core.Sketch.histQuantilesMelted(
       df("x DOUBLE", Seq.empty), Map("x" -> Seq(0.5)), lit(1.0), 64)
     assert(r("x") == Seq(None))
+    assert(graft.core.Sketch.groupedHistQuantiles(
+      df("k STRING, x DOUBLE", Seq.empty), "k", "x", Seq(0.5))
+      .count() == 0)
   }
 }
