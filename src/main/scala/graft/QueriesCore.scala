@@ -547,6 +547,45 @@ object QueriesCore {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    "q122_series_str_method" -> ((s, dir) => {
+      // whitelisted SeriesStrMethodTransformer chain: upper, len,
+      // regex contains (the pandas default), python slice
+      val d = tbl(s, dir, "documents")
+      val chain = Seq(
+        new SeriesStrMethodTransformer("src_upper", "upper",
+          Seq("source")),
+        new SeriesStrMethodTransformer("src_len", "len", Seq("source")),
+        new SeriesStrMethodTransformer("has_pat", "contains",
+          Seq("text"), Map("pat" -> "the .{3}")),
+        new SeriesStrMethodTransformer("sliced", "slice", Seq("text"),
+          Map("start" -> 3, "stop" -> 17)))
+      chain.foldLeft(d)((acc, t) => t.transform(acc))
+        .select(col("doc_id"), col("src_upper"), col("src_len"),
+          col("has_pat"), col("sliced"))
+        .orderBy("doc_id")
+    }),
+
+    "q123_series_dt_method" -> ((s, dir) => {
+      // whitelisted SeriesDtMethodTransformer chain incl. the pinned
+      // pandas divergences: Monday=0 weekday, proleptic leap rule
+      val d = tbl(s, dir, "lineitem")
+        .withColumn("sd", to_date(col("l_shipdate")))
+      val chain = Seq(
+        new SeriesDtMethodTransformer("ship_year", "year", Seq("sd")),
+        new SeriesDtMethodTransformer("ship_wd", "dayofweek",
+          Seq("sd")),
+        new SeriesDtMethodTransformer("ship_q", "quarter", Seq("sd")),
+        new SeriesDtMethodTransformer("ship_dim", "days_in_month",
+          Seq("sd")),
+        new SeriesDtMethodTransformer("ship_leap", "is_leap_year",
+          Seq("sd")))
+      chain.foldLeft(d)((acc, t) => t.transform(acc))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("ship_year"), col("ship_wd"), col("ship_q"),
+          col("ship_dim"), col("ship_leap"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "q72_nearest_mean_response" -> ((s, dir) => {
       val d = liWithNulls(s, dir)
       val t = new NearestMeanResponseImputer(Seq("q"),
@@ -573,6 +612,26 @@ object QueriesCore {
     bins = Seq(0.0, 0.02, 0.05, 0.08, 0.1), includeLowest = true)
 
   val oracles: Map[String, String] = Map(
+    "q122_series_str_method" ->
+      """SELECT doc_id, upper(source) AS src_upper,
+        |  CAST(length(source) AS INT) AS src_len,
+        |  regexp_matches(text, 'the .{3}') AS has_pat,
+        |  substring(text, 4, 14) AS sliced
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // isodow: Monday=1 -> pandas weekday = isodow - 1
+    "q123_series_dt_method" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS ship_year,
+        |  CAST(isodow(CAST(l_shipdate AS DATE)) - 1 AS INT) AS ship_wd,
+        |  CAST(quarter(CAST(l_shipdate AS DATE)) AS INT) AS ship_q,
+        |  CAST(day(last_day(CAST(l_shipdate AS DATE))) AS INT)
+        |    AS ship_dim,
+        |  (year(CAST(l_shipdate AS DATE)) % 4 = 0
+        |    AND year(CAST(l_shipdate AS DATE)) % 100 != 0)
+        |    OR year(CAST(l_shipdate AS DATE)) % 400 = 0 AS ship_leap
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
     // the sketch rule recomputed verbatim: same bin assignment, same
     // cumulative order (by bin), same clamped interpolation. cum sums
     // run in bin order on both sides so the doubles match; round(6)

@@ -105,6 +105,16 @@ object Json {
 
   /** classname -> builder from parsed init map. */
   val registry: Map[String, Map[String, Any] => Transformer] = Map(
+    "SeriesStrMethodTransformer" -> (i => {
+      val p = new P(i)
+      new SeriesStrMethodTransformer(p.str("new_column_name"),
+        p.str("pd_method_name"), p.strs("columns"),
+        i.get("pd_method_kwargs").map(_.asInstanceOf[Map[String, Any]])
+          .getOrElse(Map.empty)) }),
+    "SeriesDtMethodTransformer" -> (i => {
+      val p = new P(i)
+      new SeriesDtMethodTransformer(p.str("new_column_name"),
+        p.str("pd_method_name"), p.strs("columns")) }),
     "QuantileBinnerTransformer" -> (i => {
       val p = new P(i)
       new QuantileBinnerTransformer(p.strs("columns"),

@@ -277,3 +277,129 @@ class StringConcatenator(
     "columns" -> columns, "new_column" -> newColumnName,
     "separator" -> separator)
 }
+
+/** Whitelisted re-expression of the reference's reflective
+  * `SeriesStrMethodTransformer` (tubular/strings.py:812 — calls an
+  * arbitrary `pd.Series.str` method by name). Reflection has no
+  * engine-independent meaning, so instead each SUPPORTED method name
+  * maps to the Catalyst expression with pandas semantics; an
+  * unsupported name fails at construction (the reference defers the
+  * failure to transform time — ours is earlier and typed). The
+  * reference marks this class `jsonable = False`; ours registers
+  * anyway (the whitelist makes init serialisable).
+  *
+  * Methods: lower, upper, title, strip, lstrip, rstrip, len,
+  * contains(pat, regex=true), startswith(pat), endswith(pat),
+  * replace(pat, repl, regex=false), slice(start, stop).
+  */
+class SeriesStrMethodTransformer(
+    val newColumnName: String,
+    val pdMethodName: String,
+    val columns: Seq[String],
+    val pdMethodKwargs: Map[String, Any] = Map.empty
+) extends Transformer {
+  require(columns.size == 1,
+    s"$classname: exactly one column expected, got $columns")
+  private def kwStr(k: String): String =
+    pdMethodKwargs.getOrElse(k, throw new IllegalArgumentException(
+      s"$classname: $pdMethodName requires kwarg '$k'")).toString
+  private def kwBool(k: String, dflt: Boolean): Boolean =
+    pdMethodKwargs.get(k).map(_.toString.toBoolean).getOrElse(dflt)
+  private def kwInt(k: String): Int = kwStr(k).toDouble.toInt
+
+  /** Build eagerly: unsupported methods / missing kwargs fail at init. */
+  private val exprOf: Column => Column = pdMethodName match {
+    case "lower" => lower(_)
+    case "upper" => upper(_)
+    case "title" => initcap(_)
+    case "strip" => trim(_)
+    case "lstrip" => ltrim(_)
+    case "rstrip" => rtrim(_)
+    case "len" => length(_)
+    case "contains" =>
+      val pat = kwStr("pat")
+      if (kwBool("regex", dflt = true)) (c: Column) => c.rlike(pat)
+      else (c: Column) => c.contains(pat)
+    case "startswith" =>
+      val pat = kwStr("pat"); (c: Column) => c.startsWith(pat)
+    case "endswith" =>
+      val pat = kwStr("pat"); (c: Column) => c.endsWith(pat)
+    case "replace" =>
+      val pat = kwStr("pat"); val repl = kwStr("repl")
+      if (kwBool("regex", dflt = false))
+        (c: Column) => regexp_replace(c, pat, repl)
+      else (c: Column) => { // literal: pandas replace(regex=False)
+        org.apache.spark.sql.functions.replace(c, lit(pat), lit(repl))
+      }
+    case "slice" =>
+      // python s[start:stop], non-negative indices (pandas str.slice)
+      val start = kwInt("start"); val stop = kwInt("stop")
+      require(start >= 0 && stop >= start,
+        s"$classname: slice supports 0 <= start <= stop")
+      (c: Column) => substring(c, start + 1, stop - start)
+    case other => throw new IllegalArgumentException(
+      s"$classname: unsupported pd.Series.str method '$other' " +
+        "(whitelist: lower upper title strip lstrip rstrip len " +
+        "contains startswith endswith replace slice)")
+  }
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    Seq(newColumnName -> exprOf(col(columns.head).cast("string")))
+  override def featureNamesOut: Seq[String] = Seq(newColumnName)
+  override def initParams: Map[String, Any] = Map(
+    "new_column_name" -> newColumnName,
+    "pd_method_name" -> pdMethodName,
+    "columns" -> columns,
+    "pd_method_kwargs" -> pdMethodKwargs)
+}
+
+/** Whitelisted re-expression of the reference's reflective
+  * `SeriesDtMethodTransformer` (tubular/dates.py:2131) — same design
+  * as [[SeriesStrMethodTransformer]], with pandas `.dt` accessor
+  * parity pinned where Spark's calendar functions differ:
+  * `dayofweek` is Monday=0 (Spark's is Sunday=1), `dayofyear`,
+  * `quarter`, `days_in_month`, `is_leap_year` (proleptic Gregorian
+  * rule), `date` truncation.
+  */
+class SeriesDtMethodTransformer(
+    val newColumnName: String,
+    val pdMethodName: String,
+    val columns: Seq[String]
+) extends Transformer {
+  require(columns.size == 1,
+    s"$classname: exactly one column expected, got $columns")
+
+  private val exprOf: Column => Column = pdMethodName match {
+    case "year" => year(_)
+    case "month" => month(_)
+    case "day" => dayofmonth(_)
+    case "hour" => hour(_)
+    case "minute" => minute(_)
+    case "second" => second(_)
+    case "dayofweek" | "weekday" =>
+      // pandas: Monday=0..Sunday=6; Spark dayofweek: Sunday=1..Sat=7
+      (c: Column) => pmod(dayofweek(c) + lit(5), lit(7))
+    case "dayofyear" => dayofyear(_)
+    case "quarter" => quarter(_)
+    case "days_in_month" | "daysinmonth" =>
+      (c: Column) => dayofmonth(last_day(c))
+    case "is_leap_year" =>
+      (c: Column) => {
+        val y = year(c)
+        (y % 4 === 0 && y % 100 =!= 0) || y % 400 === 0
+      }
+    case "date" => to_date(_)
+    case other => throw new IllegalArgumentException(
+      s"$classname: unsupported pd.Series.dt method '$other' " +
+        "(whitelist: year month day hour minute second dayofweek " +
+        "dayofyear quarter days_in_month is_leap_year date)")
+  }
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    Seq(newColumnName -> exprOf(col(columns.head)))
+  override def featureNamesOut: Seq[String] = Seq(newColumnName)
+  override def initParams: Map[String, Any] = Map(
+    "new_column_name" -> newColumnName,
+    "pd_method_name" -> pdMethodName,
+    "columns" -> columns)
+}

@@ -111,4 +111,62 @@ class DeprecatedOpsSpec extends SparkSpec {
         .fit(df("a DOUBLE, y DOUBLE", Seq(Row(null, null))))
     }
   }
+
+  test("SeriesStrMethodTransformer: whitelisted pandas str methods, " +
+      "unsupported fails at init, JSON round-trip") {
+    val d = df("s STRING", Seq(Row("  Hello World  "), Row(null),
+      Row("a-b-c")))
+    def out(m: String, kw: Map[String, Any] = Map.empty): Seq[Any] =
+      column(new SeriesStrMethodTransformer("o", m, Seq("s"), kw)
+        .transform(d), "o")
+    assert(out("lower") == Seq("  hello world  ", null, "a-b-c"))
+    assert(out("strip") == Seq("Hello World", null, "a-b-c"))
+    assert(out("len") == Seq(15, null, 5))
+    assert(out("title") == Seq("  Hello World  ", null, "A-b-c"))
+    // pandas contains defaults to REGEX
+    assert(out("contains", Map("pat" -> "H.llo")) ==
+      Seq(true, null, false))
+    assert(out("contains", Map("pat" -> "H.llo", "regex" -> false)) ==
+      Seq(false, null, false))
+    // pandas replace defaults to LITERAL
+    assert(out("replace", Map("pat" -> "-", "repl" -> "_")) ==
+      Seq("  Hello World  ", null, "a_b_c"))
+    assert(out("slice", Map("start" -> 2, "stop" -> 7)) ==
+      Seq("Hello", null, "b-c"))
+    intercept[IllegalArgumentException] {
+      new SeriesStrMethodTransformer("o", "get_dummies", Seq("s"))
+    }
+    val back = graft.core.Json.transformerFromJson(
+      graft.core.Json.transformerToJson(
+      new SeriesStrMethodTransformer("o", "contains", Seq("s"),
+        Map("pat" -> "a", "regex" -> false))))
+    assert(column(back.transform(d), "o") == Seq(false, null, true))
+  }
+
+  test("SeriesDtMethodTransformer: pandas dt accessor parity " +
+      "(Monday=0 weekday, leap years, days_in_month)") {
+    val d = df("ts TIMESTAMP", Seq(
+      Row(java.sql.Timestamp.valueOf("2024-01-01 10:30:45")), // Monday
+      Row(java.sql.Timestamp.valueOf("2023-02-05 00:00:00")), // Sunday
+      Row(null)))
+    def out(m: String): Seq[Any] =
+      column(new SeriesDtMethodTransformer("o", m, Seq("ts"))
+        .transform(d), "o")
+    assert(out("year") == Seq(2024, 2023, null))
+    assert(out("dayofweek") == Seq(0, 6, null)) // pandas Monday=0
+    assert(out("quarter") == Seq(1, 1, null))
+    assert(out("days_in_month") == Seq(31, 28, null))
+    assert(out("is_leap_year") == Seq(true, false, null))
+    assert(out("date") == Seq(java.sql.Date.valueOf("2024-01-01"),
+      java.sql.Date.valueOf("2023-02-05"), null))
+    // century rule: 1900 not a leap year, 2000 is
+    val c = df("ts TIMESTAMP", Seq(
+      Row(java.sql.Timestamp.valueOf("1900-06-01 00:00:00")),
+      Row(java.sql.Timestamp.valueOf("2000-06-01 00:00:00"))))
+    assert(column(new SeriesDtMethodTransformer("o", "is_leap_year",
+      Seq("ts")).transform(c), "o") == Seq(false, true))
+    intercept[IllegalArgumentException] {
+      new SeriesDtMethodTransformer("o", "tz_convert", Seq("ts"))
+    }
+  }
 }
