@@ -227,6 +227,29 @@ object QueriesData {
         .orderBy("image_id")
     }),
 
+    "q124_ahash_transcode" -> ((s, dir) => {
+      // pixels -> perceptual hash, closed loop: every 10th payload is
+      // TRANSCODED to a bit-different container (lossless PNG of the
+      // decoded pixels); the computed aHash must be IDENTICAL for each
+      // twin pair — decode + block-average + threshold are functions
+      // of the pixel matrix alone, not the container
+      val base = ImageTable.imagesReal(s, 150)
+      val dups = Multimodal.transcode(
+        base.filter(expr("CAST(substring(image_id, 5) AS BIGINT) % 10 = 0")),
+        "png")
+        .withColumn("image_id", concat(col("image_id"), lit("_d")))
+      val hashed = Multimodal.averageHash(base.unionByName(dups))
+        .select(col("image_id"), col("ahash"), col("ahash_ok"))
+      val twins = hashed.filter(col("image_id").endsWith("_d"))
+        .select(expr("substring(image_id, 1, 14)").as("image_id"),
+          col("ahash").as("ahash_d"), col("ahash_ok").as("ok_d"))
+      hashed.join(twins, "image_id")
+        .select(col("image_id"),
+          (col("ahash") === col("ahash_d") && col("ahash_ok") &&
+            col("ok_d")).as("hash_invariant"))
+        .orderBy("image_id")
+    }),
+
     "q121_grouped_hist_sketch" -> ((s, dir) => {
       // per-group histogram quantiles, fully distributed readout
       // (nothing collected): window buffering bounded by bins per key,
@@ -1697,6 +1720,14 @@ object QueriesData {
         |  CAST(octet_length(bytes) AS DOUBLE) / (w * h)
         |    AS bytes_per_pixel
         |FROM read_parquet('/tmp/graft_oracle_images_q51/*.parquet')
+        |ORDER BY 1""".stripMargin,
+
+    // the twins are known by construction; the engine must report the
+    // pixel-derived hash equal across containers for every one
+    "q124_ahash_transcode" ->
+      """SELECT printf('img_%010d', i) AS image_id,
+        |  TRUE AS hash_invariant
+        |FROM range(0, 150) t(i) WHERE i % 10 = 0
         |ORDER BY 1""".stripMargin,
 
     // per-key recomputation of the sketch rule (same bin assignment,

@@ -247,6 +247,126 @@ object Multimodal {
     }
   }
 
+  /** Perceptual hash COMPUTED FROM PIXELS (aHash, 64-bit): decode the
+    * payload, block-average the luma plane onto an 8x8 grid (cell
+    * (i,j) averages rows [i*h/8, (i+1)*h/8) x cols [j*w/8, (j+1)*w/8)
+    * — deterministic integer bounds, no resampling kernel), threshold
+    * each cell against the grid mean, pack row-major into an int64
+    * (bit 63 = top-left). Closes the loop the `phash` column leaves
+    * open: pixels -> hash -> [[phashNearDups]] banded dedup, all
+    * engine-side. Two payloads with IDENTICAL decoded pixels hash
+    * identically regardless of container format (q124 exploits this
+    * for a value-exact oracle).
+    *
+    * Same partition discipline as the audit: one codec per partition,
+    * payload and pixels die inside it, 1 long + ok flag leave.
+    */
+  def averageHash(df: DataFrame): DataFrame = {
+    val inSchema = df.schema
+    val bytesIdx = inSchema.fieldIndex("bytes")
+    val fmtIdx = inSchema.fieldIndex("fmt")
+    val keptIdx = inSchema.fields.indices.filterNot(_ == bytesIdx)
+    val outSchema = StructType(keptIdx.map(inSchema.fields) ++ Seq(
+      StructField("ahash", LongType),
+      StructField("ahash_ok", BooleanType)))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      val codec = new PixelCheck.Codec
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => codec.close()))
+      it.map { r =>
+        val kept = keptIdx.map(r.get)
+        val hash: Seq[Any] =
+          try {
+            val bytes = Option(r.getAs[Array[Byte]](bytesIdx))
+              .getOrElse(Array.emptyByteArray)
+            val img = if (bytes.isEmpty) null
+              else codec.decode(bytes, r.getString(fmtIdx))
+            if (img == null) Seq(0L, false)
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              val cells = new Array[Double](64)
+              var i = 0
+              while (i < 8) {
+                val y0 = i * h / 8; val y1 = math.max((i + 1) * h / 8, y0 + 1)
+                var j = 0
+                while (j < 8) {
+                  val x0 = j * w / 8
+                  val x1 = math.max((j + 1) * w / 8, x0 + 1)
+                  var s = 0.0; var n = 0
+                  var y = y0
+                  while (y < math.min(y1, h)) {
+                    var x = x0
+                    while (x < math.min(x1, w)) {
+                      val p = img.getRGB(x, y)
+                      s += 0.299 * ((p >> 16) & 0xff) +
+                        0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+                      n += 1; x += 1
+                    }
+                    y += 1
+                  }
+                  cells(i * 8 + j) = if (n > 0) s / n else 0.0
+                  j += 1
+                }
+                i += 1
+              }
+              val mean = cells.sum / 64
+              var bits = 0L
+              var k = 0
+              while (k < 64) {
+                if (cells(k) > mean) bits |= (1L << (63 - k))
+                k += 1
+              }
+              Seq(bits, true)
+            }
+          } catch { case _: Exception => Seq(0L, false) }
+        Row.fromSeq(kept ++ hash)
+      }
+    }
+  }
+
+  /** Transcode payloads: decode and re-encode into `targetFmt`
+    * (png = lossless: the decoded pixel matrix is preserved exactly,
+    * so pixel-derived features — [[averageHash]], PSNR audits — are
+    * invariant under the container change; jpeg = lossy re-encode).
+    * Undecodable payloads pass through UNCHANGED with `fmt` intact —
+    * quarantine first ([[auditPayloads]]) if that matters. Same
+    * partition discipline as every codec op here.
+    */
+  def transcode(df: DataFrame, targetFmt: String): DataFrame = {
+    require(Seq("png", "jpeg").contains(targetFmt),
+      s"unsupported target format $targetFmt")
+    val inSchema = df.schema
+    val bytesIdx = inSchema.fieldIndex("bytes")
+    val fmtIdx = inSchema.fieldIndex("fmt")
+    implicit val enc = org.apache.spark.sql.Encoders.row(inSchema)
+    df.mapPartitions { it =>
+      val codec = new PixelCheck.Codec
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => codec.close()))
+      it.map { r =>
+        val out =
+          try {
+            val bytes = Option(r.getAs[Array[Byte]](bytesIdx))
+              .getOrElse(Array.emptyByteArray)
+            val img = if (bytes.isEmpty) null
+              else codec.decode(bytes, r.getString(fmtIdx))
+            if (img == null) None
+            else Some((codec.encode(img, targetFmt), targetFmt))
+          } catch { case _: Exception => None }
+        out match {
+          case None => r
+          case Some((bytes, fmt)) =>
+            Row.fromSeq(r.toSeq.zipWithIndex.map {
+              case (_, `bytesIdx`) => bytes
+              case (_, `fmtIdx`) => fmt
+              case (v, _) => v
+            })
+        }
+      }
+    }
+  }
+
   /** Per-payload resize result: target dims, mean + checksum of the
     * resized gray plane. Like [[ImageFeatures]], only scalars leave
     * the partition — the resized pixel buffer dies inside it.

@@ -68,6 +68,28 @@ class PixelCheckSpec extends SparkSpec {
     assert(fmts == Set("png", "jpeg"))
   }
 
+  test("averageHash: container-invariant (png transcode twin hashes " +
+      "equal), diverse across images, corrupt payloads flagged") {
+    import graft.multimodal.Multimodal
+    val base = ImageTable.imagesReal(spark, 30)
+    val transcoded = Multimodal.transcode(base, "png")
+    val h1 = Multimodal.averageHash(base)
+      .select("image_id", "ahash", "ahash_ok").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val h2 = Multimodal.averageHash(transcoded)
+      .select("image_id", "ahash", "ahash_ok").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(h1.values.forall(_._2) && h2.values.forall(_._2))
+    assert(h1 == h2, "aHash must be a function of pixels, not container")
+    // hashes aren't degenerate: more than one distinct value
+    assert(h1.values.map(_._1).toSet.size > 1)
+    // corrupt payload -> ok=false, no throw
+    val bad = Multimodal.averageHash(
+      base.limit(1).withColumn("bytes", lit(Array[Byte](9, 9))))
+      .select("ahash_ok").head().getBoolean(0)
+    assert(!bad)
+  }
+
   test("audit flags corruption, truncation and null payloads " +
       "without throwing") {
     import org.apache.spark.sql.Row
