@@ -285,9 +285,22 @@ object Knn {
       pinnedPlanes: Option[Array[Array[Long]]] = None): DataFrame = {
     val planes = pinnedPlanes.getOrElse {
       // one bounded driver action: the vector width (planes are
-      // nBits x dims literals, the same fitted-model scale as IVF/PQ)
-      val dims = corpus.select(size(col(vecCol))).head().getInt(0)
-      defaultPlanes(bitsPerTable * tables, dims)
+      // nBits x dims literals, the same fitted-model scale as IVF/PQ).
+      // Null-safe + empty-safe: an empty or all-null-vector corpus has
+      // no width to learn and no possible hits — answer empty with the
+      // output schema instead of crashing (EmptyInputSpec contract)
+      val dimsRow = corpus
+        .select(size(col(vecCol)).as("__d"))
+        .filter(col("__d").isNotNull && col("__d") > 0)
+        .limit(1).collect()
+      if (dimsRow.isEmpty)
+        return queries.select(col(queryIdCol).as("query_id"))
+          .filter(lit(false))
+          .withColumn("item_id",
+            lit(null).cast(corpus.schema(idCol).dataType))
+          .withColumn("cosine", lit(0.0))
+          .withColumn("rank", lit(0))
+      defaultPlanes(bitsPerTable * tables, dimsRow.head.getInt(0))
     }
     require(planes.length == bitsPerTable * tables,
       s"planes: need ${bitsPerTable * tables}, got ${planes.length}")

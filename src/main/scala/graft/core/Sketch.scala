@@ -154,11 +154,22 @@ object Sketch {
     val w = org.apache.spark.sql.expressions.Window
     val wCum = w.partitionBy(col("__k")).orderBy(col("__b"))
       .rowsBetween(w.unboundedPreceding, w.currentRow)
-    val cum = hist.withColumn("__cum", sum(col("__cw")).over(wCum))
+    val cum = hist
+      .withColumn("__cum", sum(col("__cw")).over(wCum))
+      // last-bin marker: __tot sums raw rows while __cum sums per-bin
+      // partials in bin order — with fractional weights the two
+      // association orders can differ by an ulp, leaving the final
+      // __cum a hair below prob * __tot at prob = 1.0 and silently
+      // dropping that (key, prob) row. The last bin always qualifies:
+      // by construction it holds the key's maximum cumulative weight.
+      .withColumn("__blast",
+        col("__b") === max(col("__b")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__k"))))
     cum.join(mm, col("__k") <=> col("__k2")).drop("__k2")
       .withColumn("prob", explode(typedLit(probs)))
       .withColumn("__target", col("prob") * col("__tot"))
-      .filter(col("__cum") >= col("__target"))
+      .filter(col("__cum") >= col("__target") || col("__blast"))
       .groupBy(col("__k"), col("prob"))
       .agg(min_by(
         struct(col("__b"), col("__cw"), col("__cum"), col("__mn"),

@@ -105,8 +105,13 @@ object ImageTable {
       minDim: Int = 8, maxDim: Int = 32,
       numPartitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.Row
+    // payloadCapBytes = 1: the base table's synthetic sha512 payload is
+    // replaced wholesale by the codec bytes below — generating ~w*h
+    // bytes of it per row would be pure wasted CPU inside every
+    // real-codec job (and inside the codec-scaling bench it would
+    // contaminate)
     val base = images(spark, n, seed, minDim, maxDim,
-      numPartitions = numPartitions)
+      payloadCapBytes = 1, numPartitions = numPartitions)
       .withColumn("fmt",
         when(col("fmt") === "webp", lit("jpeg")).otherwise(col("fmt")))
       .withColumn("__id",

@@ -62,6 +62,25 @@ object Layout {
     interleave(cols.zip(ranges).map { case (c, (mn, mx)) =>
       bucketize(c, mn, mx, bits) }, bits)
 
+  /** Per-column (min, max) ranges in one tiny agg — shared by
+    * [[zorder]] and [[SnapshotStore.rewriteSnapshot]] so the range
+    * rule cannot drift between the two layout paths. All-null /
+    * empty columns range to (0, 0) (every row buckets to 0).
+    */
+  def rangesOf(df: DataFrame, cols: Seq[String])
+      : Seq[(Double, Double)] = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.map { i =>
+      (Option(r.getAs[java.lang.Double](2 * i)).map(_.toDouble)
+         .getOrElse(0.0),
+       Option(r.getAs[java.lang.Double](2 * i + 1)).map(_.toDouble)
+         .getOrElse(0.0))
+    }
+  }
+
   /** Cluster `df` by the Z-order of `cols`: one tiny (min, max) agg
     * per column, then range-repartition + intra-partition sort on the
     * z-value, so each output file covers a compact hyper-rectangle.
@@ -70,16 +89,7 @@ object Layout {
     */
   def zorder(df: DataFrame, cols: Seq[String], bits: Int = 12,
       numPartitions: Int = 0): DataFrame = {
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"__mn_$c"),
-      max(col(c).cast("double")).as(s"__mx_$c")))
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
-    val ranges = cols.indices.map { i =>
-      (Option(r.getAs[java.lang.Double](2 * i)).map(_.toDouble)
-         .getOrElse(0.0),
-       Option(r.getAs[java.lang.Double](2 * i + 1)).map(_.toDouble)
-         .getOrElse(0.0))
-    }
+    val ranges = rangesOf(df, cols)
     val z = zValue(cols.map(col), ranges, bits)
     val withZ = df.withColumn("__z", z)
     val parts =

@@ -212,6 +212,15 @@ object SnapshotStore {
       : WriteResult = {
     val v = latestSnapshot(root).getOrElse(
       throw new IllegalStateException(s"no snapshots at $root"))
+    // refuse while a truncated checkpoint is pending: rewriting the
+    // last COMPLETE snapshot above an incomplete one would bury the
+    // incomplete run's resume lineage (the next write resumes from
+    // latestAnySnapshot) and orphan its already-written buckets
+    latestAnySnapshot(root).foreach { any =>
+      if (any != v) throw new IllegalStateException(
+        s"snapshot v$any at $root is an incomplete checkpoint — " +
+          "finish the write (resume it) before rewriting storage")
+    }
     val entries = manifest(root, v)
     val snap = latestAnySnapshot(root).getOrElse(0) + 1
     if (entries.isEmpty) { // empty table state: carry the schema over
@@ -224,19 +233,8 @@ object SnapshotStore {
       .parquet(entries.map(_.path): _*).drop("run")
     val sortKeys: Seq[Column] =
       if (layoutCols.isEmpty) Seq(col(B))
-      else {
-        val aggs = layoutCols.flatMap(c => Seq(
-          min(col(c).cast("double")).as(s"__mn_$c"),
-          max(col(c).cast("double")).as(s"__mx_$c")))
-        val r = df0.agg(aggs.head, aggs.tail: _*).head()
-        val ranges = layoutCols.indices.map { i =>
-          (Option(r.getAs[java.lang.Double](2 * i))
-             .map(_.toDouble).getOrElse(0.0),
-           Option(r.getAs[java.lang.Double](2 * i + 1))
-             .map(_.toDouble).getOrElse(0.0))
-        }
-        Seq(col(B), Layout.zValue(layoutCols.map(col), ranges, bits))
-      }
+      else Seq(col(B), Layout.zValue(layoutCols.map(col),
+        Layout.rangesOf(df0, layoutCols), bits))
     val clustered = df0.repartition(col(B))
       .sortWithinPartitions(sortKeys: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

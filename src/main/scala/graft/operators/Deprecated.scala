@@ -311,10 +311,16 @@ class SeriesStrMethodTransformer(
   private val exprOf: Column => Column = pdMethodName match {
     case "lower" => lower(_)
     case "upper" => upper(_)
+    // DOCUMENTED DIVERGENCE: pandas str.title() capitalises after ANY
+    // non-letter ('a-b-c' -> 'A-B-C'); initcap breaks on whitespace
+    // only ('A-b-c'). Pinned in DeprecatedOpsSpec.
     case "title" => initcap(_)
-    case "strip" => trim(_)
-    case "lstrip" => ltrim(_)
-    case "rstrip" => rtrim(_)
+    // pandas strip() removes ALL whitespace (\t, \n, ...); Spark's
+    // trim family removes spaces only — use regexp for parity
+    case "strip" =>
+      (c: Column) => regexp_replace(c, "^\\s+|\\s+$", "")
+    case "lstrip" => (c: Column) => regexp_replace(c, "^\\s+", "")
+    case "rstrip" => (c: Column) => regexp_replace(c, "\\s+$", "")
     case "len" => length(_)
     case "contains" =>
       val pat = kwStr("pat")

@@ -122,7 +122,17 @@ class DeprecatedOpsSpec extends SparkSpec {
     assert(out("lower") == Seq("  hello world  ", null, "a-b-c"))
     assert(out("strip") == Seq("Hello World", null, "a-b-c"))
     assert(out("len") == Seq(15, null, 5))
+    // documented divergence: pandas title() gives 'A-B-C' (any
+    // non-letter is a word boundary); initcap breaks on whitespace
     assert(out("title") == Seq("  Hello World  ", null, "A-b-c"))
+    // pandas strip() removes ALL whitespace, not just spaces
+    val tabs = df("s STRING", Seq(Row("\thello\n"), Row(" x\t")))
+    def outT(m: String): Seq[Any] =
+      column(new SeriesStrMethodTransformer("o", m, Seq("s"))
+        .transform(tabs), "o")
+    assert(outT("strip") == Seq("hello", "x"))
+    assert(outT("lstrip") == Seq("hello\n", "x\t"))
+    assert(outT("rstrip") == Seq("\thello", " x"))
     // pandas contains defaults to REGEX
     assert(out("contains", Map("pat" -> "H.llo")) ==
       Seq(true, null, false))

@@ -124,4 +124,32 @@ class EmptyInputSpec extends SparkSpec {
       df("k STRING, x DOUBLE", Seq.empty), "k", "x", Seq(0.5))
       .count() == 0)
   }
+
+  test("lshTopK with default planes: empty / all-null-vector corpus " +
+      "answers empty instead of crashing") {
+    import graft.ann.Knn
+    val queries = df("id BIGINT, embedding ARRAY<FLOAT>", Seq(
+      Row(1L, Seq(0.5f, 0.5f))))
+    val empty = df("id BIGINT, embedding ARRAY<FLOAT>", Seq.empty)
+    assert(Knn.lshTopK(empty, queries, "id", "embedding", "id", k = 3)
+      .count() == 0)
+    val allNull = df("id BIGINT, embedding ARRAY<FLOAT>",
+      Seq(Row(2L, null)))
+    assert(Knn.lshTopK(allNull, queries, "id", "embedding", "id",
+      k = 3).count() == 0)
+  }
+
+  test("grouped sketch emits the prob=1.0 row even when fractional " +
+      "weights leave the cumulative sum an ulp short") {
+    // w = 0.1 sums associate differently raw-side vs bin-side; the
+    // last-bin fallback must keep (key, 1.0) in the output
+    val rows = (0 until 1000).map(i => Row("k", i / 999.0, 0.1))
+    val out = graft.core.Sketch.groupedHistQuantiles(
+      df("k STRING, v DOUBLE, w DOUBLE", rows), "k", "v",
+      Seq(0.5, 1.0), bins = 64,
+      weight = org.apache.spark.sql.functions.col("w"))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set(0.5, 1.0))
+    assert(math.abs(out(1.0) - 1.0) <= 1.0 / 64 + 1e-9)
+  }
 }

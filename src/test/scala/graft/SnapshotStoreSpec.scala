@@ -267,4 +267,24 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(avgBox(clustered) < avgBox(unsorted) / 2,
       s"clustered ${avgBox(clustered)} vs unsorted ${avgBox(unsorted)}")
   }
+
+  test("rewriteSnapshot refuses while an incomplete checkpoint is " +
+      "pending (would bury its resume lineage)") {
+    val root = freshRoot()
+    val d = docs(400)
+    SnapshotStore.write(d, root, SnapshotStore.byKey("doc_id", 8))
+    // changed data, truncated write -> incomplete manifest on top
+    SnapshotStore.write(
+      d.withColumn("text", concat(col("text"), lit("!"))),
+      root, SnapshotStore.byKey("doc_id", 8), maxBucketsPerRun = 3)
+    val e = intercept[IllegalStateException] {
+      SnapshotStore.rewriteSnapshot(spark, root)
+    }
+    assert(e.getMessage.contains("incomplete checkpoint"))
+    // finishing the write re-enables maintenance
+    SnapshotStore.write(
+      d.withColumn("text", concat(col("text"), lit("!"))),
+      root, SnapshotStore.byKey("doc_id", 8))
+    assert(SnapshotStore.rewriteSnapshot(spark, root).written.size == 8)
+  }
 }
