@@ -12,6 +12,8 @@
 #   tools/submit.sh graft.tools.EntrySmoke
 #   tools/submit.sh graft.Verify /root/testdata/sf0.01 /tmp/verify_out
 #   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 tools/submit.sh graft.Bench
+#   tools/submit.sh graft.PipelineJob /tmp/store --images 3000 --buckets 16
+#   tools/submit.sh graft.PipelineJob /tmp/store --rewrite --zorder w,h --verify
 set -euo pipefail
 CLASS="${1:?usage: tools/submit.sh <main-class> [args...]}"
 shift
