@@ -545,4 +545,75 @@ object StreamingOps {
         expr(s"INTERVAL $maxIntervalSeconds SECONDS")
     keyCols.foldLeft(e.join(i, cond, "inner"))((d, k) => d.drop(i(k)))
   }
+
+  // ---- streaming per-group quantile sketch ------------------------------
+
+  case class QRow(key: String, value: Double)
+  case class QuantEstimate(key: String, prob: Double, value: Double,
+    total: Double)
+
+  /** Running per-key quantiles over an unbounded stream with BOUNDED
+    * state — the streaming face of [[graft.core.Sketch]]: fixed-bin
+    * histogram counts merge ASSOCIATIVELY, so each micro-batch folds
+    * its rows into a `bins`-double array per key (state never grows
+    * with data, only with keys) and emits the key's refreshed quantile
+    * estimates (update semantics).
+    *
+    * Ranges are EXPLICIT and fixed up front — every batch must bin
+    * identically for the merge to mean anything (same contract as
+    * [[graft.io.Layout.zValue]]; pass table-level ranges, out-of-range
+    * values clamp to the edge bins). Error <= (mx - mn) / bins, same
+    * readout rule as the batch sketch (target = p * total, linear
+    * interpolation inside the hit bin, last-nonempty-bin fallback).
+    * NaN values are skipped like the batch path; feed non-null rows.
+    */
+  def groupedQuantileSketchStream(rows: Dataset[QRow],
+      probs: Seq[Double], mn: Double, mx: Double,
+      bins: Int = 256): Dataset[QuantEstimate] = {
+    import rows.sparkSession.implicits._
+    require(bins >= 1 && mx >= mn, s"bad sketch config: [$mn,$mx]/$bins")
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"quantiles must be in [0,1], got $probs")
+    val width = (mx - mn) / bins
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[QRow],
+         state: GroupState[Array[Double]]) =>
+          val counts = state.getOption.getOrElse(new Array[Double](bins))
+          it.foreach { r =>
+            if (!r.value.isNaN) {
+              val b =
+                if (width == 0) 0
+                else math.min(math.max(
+                  math.floor((r.value - mn) / width).toLong, 0L),
+                  bins - 1L).toInt
+              counts(b) += 1.0
+            }
+          }
+          state.update(counts)
+          val total = counts.sum
+          if (total == 0) Iterator.empty
+          else probs.iterator.map { p =>
+            val target = p * total
+            var cum = 0.0; var hit = -1; var cw = 0.0; var cumAt = 0.0
+            var last = -1
+            var b = 0
+            while (b < bins) {
+              if (counts(b) > 0) {
+                cum += counts(b); last = b
+                if (hit < 0 && cum >= target) {
+                  hit = b; cw = counts(b); cumAt = cum
+                }
+              }
+              b += 1
+            }
+            if (hit < 0) { hit = last; cw = counts(last); cumAt = cum }
+            val frac =
+              if (cw == 0) 0.0
+              else math.min(math.max((target - (cumAt - cw)) / cw, 0.0), 1.0)
+            QuantEstimate(key, p, mn + (hit + frac) * width, total)
+          }
+      }
+  }
 }

@@ -524,6 +524,75 @@ class StreamingSpec extends SparkSpec {
     assert(three == want, "chunked stream diverged from batch IVF")
   }
 
+  test("streaming grouped quantile sketch: chunked stream's final " +
+      "estimates equal the one-shot fold (associative bin merge) and " +
+      "track the exact quantile within a bin width") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{QRow, QuantEstimate}
+    val rnd = new scala.util.Random(17)
+    val data = (0 until 1200).map(i =>
+      QRow(s"k${i % 3}", rnd.nextDouble() * 10))
+    val (mn, mx, bins) = (0.0, 10.0, 200)
+    val probs = Seq(0.1, 0.5, 0.9)
+
+    // brute-force mirror of the documented rule
+    def mirror(vs: Seq[Double], p: Double): Double = {
+      val width = (mx - mn) / bins
+      val counts = new Array[Double](bins)
+      vs.foreach { v =>
+        val b = math.min(math.max(
+          math.floor((v - mn) / width).toLong, 0L), bins - 1L).toInt
+        counts(b) += 1.0
+      }
+      val target = p * counts.sum
+      var cum = 0.0
+      val hit = counts.indices.find { b =>
+        cum += counts(b); counts(b) > 0 && cum >= target
+      }.get
+      val frac = math.min(math.max(
+        (target - (cum - counts(hit))) / counts(hit), 0.0), 1.0)
+      mn + (hit + frac) * width
+    }
+
+    def run(nChunks: Int): Map[(String, Double), Double] = {
+      val input = MemoryStream[QRow]
+      val latest = scala.collection.mutable
+        .Map[(String, Double), Double]()
+      val q = graft.streaming.StreamingOps
+        .groupedQuantileSketchStream(input.toDS(), probs, mn, mx, bins)
+        .writeStream.outputMode("update")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[QuantEstimate], _: Long) =>
+          b.collect().foreach(e =>
+            latest((e.key, e.prob)) = e.value)
+          ()
+        }.queryName(s"qsketch$nChunks").start()
+      try {
+        val sz = math.max(1, (data.length + nChunks - 1) / nChunks)
+        data.grouped(sz).foreach { c =>
+          input.addData(c: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      latest.toMap
+    }
+
+    val one = run(1)
+    val four = run(4)
+    assert(one == four, "bin merge must be chunk-invariant")
+    val byKey = data.groupBy(_.key)
+    for (k <- byKey.keys; p <- probs) {
+      val vs = byKey(k).map(_.value)
+      assert(math.abs(one((k, p)) - mirror(vs, p)) < 1e-12,
+        s"key=$k p=$p diverged from the documented rule")
+      // and the estimate brackets the exact empirical quantile
+      val exact = vs.sorted.apply(
+        math.min((p * vs.size).toInt, vs.size - 1))
+      assert(math.abs(one((k, p)) - exact) <= (mx - mn) / bins + 0.06,
+        s"key=$k p=$p est=${one((k, p))} exact=$exact")
+    }
+  }
+
   test("payload audit gates a stream: corrupt images quarantined per " +
       "micro-batch, verdicts match the batch audit") {
     import spark.implicits._
