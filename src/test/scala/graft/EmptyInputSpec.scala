@@ -125,6 +125,14 @@ class EmptyInputSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("transcode / averageHash on empty input") {
+    val imgs = df("image_id STRING, bytes BINARY, w INT, h INT, " +
+      "fmt STRING, caption STRING, phash BIGINT", Seq.empty)
+    assert(graft.multimodal.Multimodal.transcode(imgs, "png")
+      .count() == 0)
+    assert(graft.multimodal.Multimodal.averageHash(imgs).count() == 0)
+  }
+
   test("lshTopK with default planes: empty / all-null-vector corpus " +
       "answers empty instead of crashing") {
     import graft.ann.Knn
