@@ -39,6 +39,41 @@ object QueriesStreaming {
     } finally q.stop()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_stream_quantile_sketch" -> ((s, dir) => {
+      // running per-user quantiles over a REAL 3-micro-batch stream:
+      // bounded per-key bin state merges associatively across batches,
+      // so the final update per key equals the one-shot sketch — the
+      // oracle recomputes the fixed-range rule (mn=0, mx=500, 128
+      // bins) over the whole events table in SQL
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val probs = Seq(0.5, 0.9)
+      val rows = tbl(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id").cast("string"),
+          col("value").cast("double"))
+        .collect()
+        .map(r => StreamingOps.QRow(r.getString(0), r.getDouble(1)))
+        .sortBy(r => (r.key, r.value)).toSeq
+      val input = MemoryStream[StreamingOps.QRow]
+      val latest = scala.collection.mutable
+        .Map[(String, Double), Double]()
+      val q = StreamingOps.groupedQuantileSketchStream(
+        input.toDS(), probs, mn = 0.0, mx = 500.0, bins = 128)
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            StreamingOps.QuantEstimate], _: Long) =>
+          b.collect().foreach(e => latest((e.key, e.prob)) = e.value)
+          ()
+        }.queryName("q125").start()
+      drive(input, q, rows, nChunks = 3)
+      latest.toSeq
+        .map { case ((k, p), v) => (k, p, v) }
+        .toDF("key", "prob", "value")
+        .withColumn("value", round(col("value"), 6))
+        .orderBy("key", "prob")
+    }),
+
     "q103_stream_dedup_exact" -> ((s, dir) => {
       // exact-dup corpus (every 7th doc duplicated, the q40 corpus)
       // streamed through dedupStream in 3 micro-batches: the content
@@ -395,6 +430,34 @@ object QueriesStreaming {
       |FROM documents WHERE doc_id % 10 = 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // one-shot recomputation of the fixed-range sketch rule the stream
+    // folded incrementally: identical binning, bin-ordered cumulative
+    // sums, clamped interpolation
+    "q125_stream_quantile_sketch" ->
+      """WITH v AS (SELECT CAST(user_id AS VARCHAR) AS k, value AS v
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |hist AS (SELECT k,
+        |    CAST(least(greatest(floor((v - 0) / (500.0 / 128)), 0),
+        |      127) AS INT) AS b,
+        |    CAST(count(*) AS DOUBLE) AS cw
+        |  FROM v GROUP BY 1, 2),
+        |cum AS (SELECT k, b, cw,
+        |    sum(cw) OVER (PARTITION BY k ORDER BY b) AS cum FROM hist),
+        |tot AS (SELECT k, sum(cw) AS w FROM hist GROUP BY k),
+        |p AS (SELECT CAST(prob AS DOUBLE) AS prob
+        |  FROM (VALUES (0.5), (0.9)) t(prob)),
+        |tgt AS (SELECT tot.k, p.prob, p.prob * tot.w AS target
+        |  FROM tot CROSS JOIN p),
+        |hit AS (SELECT t.k, t.prob, t.target, min(c.b) AS b
+        |  FROM tgt t JOIN cum c ON c.k = t.k AND c.cum >= t.target
+        |  GROUP BY 1, 2, 3)
+        |SELECT h.k AS key, h.prob,
+        |  ROUND((h.b + greatest(least(
+        |    (h.target - (c.cum - c.cw)) / c.cw, 1.0), 0.0)) *
+        |    (500.0 / 128), 6) AS value
+        |FROM hit h JOIN cum c ON c.k = h.k AND c.b = h.b
+        |ORDER BY 1, 2""".stripMargin,
+
     "q113_stream_ann_enrich" ->
       QueriesData.ivfOracleSql(QueriesData.PinnedIvf.cents,
         nprobe = 2, k = 5),
