@@ -750,6 +750,102 @@ object QueriesData {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    "q126_ngram_span_dedup" -> ((s, dir) => {
+      // Lee et al.-style exact-substring dedup, relationally: maximal
+      // duplicated 8-token spans over a corpus with known suffix twins
+      // (every 10th doc re-appears minus its first token, so the
+      // shared tail is duplicated BY CONSTRUCTION and both twins must
+      // report the mirrored span). Oracle recomputes gram hashes,
+      // global counts and the island merge in SQL.
+      graft.text.SpanDedup.duplicatedSpans(
+        docsWithDups(s, dir), "doc_id", "text", n = 8)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    "q127_span_dedup_clean" -> ((s, dir) => {
+      // the cut-the-spans-out variant: every token covered by a
+      // duplicated 8-gram window is dropped and the text re-joined;
+      // fully-duplicated docs survive as empty strings (one row per
+      // input doc, including the twins)
+      graft.text.SpanDedup.removeDuplicatedSpans(
+        docsWithDups(s, dir), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    "q128_cms_heavy_hitters" -> ((s, dir) => {
+      // Count-Min sketch heavy hitters: 4x512 counter matrix over the
+      // token stream (bounded shuffle regardless of corpus size),
+      // point-queried for every distinct token; top-25 by estimate
+      // with the exact count alongside (est >= true always — CMS only
+      // over-counts). Oracle recomputes the same matrix + min-readout.
+      val toks = tbl(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      val counters = graft.core.Sketch.cmsCounters(
+        toks, "token", depth = 4, width = 512)
+      val est = graft.core.Sketch.cmsEstimate(
+        counters, toks, "token", depth = 4, width = 512)
+      val truth = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("true_cnt"))
+      est.join(truth, col("item") === col("token"))
+        .select(col("token"), col("est"), col("true_cnt"))
+        .orderBy(col("est").desc, col("token"))
+        .limit(25)
+    }),
+
+    "q129_dataset_split" -> ((s, dir) => {
+      // deterministic salted-hash train/val/test split: ids never
+      // migrate between splits as the corpus grows (unlike
+      // randomSplit), reproducible in any engine with md5
+      Sharding.hashSplit(tbl(s, dir, "documents"), "doc_id", "r3",
+        Seq("train" -> 80, "val" -> 90, "test" -> 100))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    "q130_weighted_sample" -> ((s, dir) => {
+      // Efraimidis–Spirakis weighted sampling without replacement,
+      // 20 docs per language weighted by n_chars, through the
+      // bounded-heap top-k aggregate; oracle ranks the same
+      // deterministic keys with a row_number window
+      Sharding.weightedSamplePerGroup(tbl(s, dir, "documents"),
+        "lang", "doc_id", "n_chars", k = 20, salt = "ws")
+        .select(col("lang"), col("rank"), col("doc_id"))
+        .orderBy("lang", "rank")
+    }),
+
+    "q131_pii_scrub" -> ((s, dir) => {
+      // PII scrubbing (C4/Dolma-style curation pass) over a corpus
+      // with deterministically injected emails/phones/IPs — pure
+      // codegen'd projection, RE2-safe patterns so the oracle's regex
+      // engine finds the SAME matches
+      val d = tbl(s, dir, "documents")
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact "),
+            format_string("user%d@example.com", col("doc_id")),
+            lit(" or "),
+            format_string("555-867-%04d", pmod(col("doc_id"), lit(10000))),
+            lit(" at "),
+            format_string("10.0.%d.%d", pmod(col("doc_id"), lit(256)),
+              pmod(col("doc_id"), lit(100)))))
+          .otherwise(col("text")))
+      TextOps.scrubPii(d, "text")
+        .select(col("doc_id"), col("n_redactions"), col("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    "q132_mixture_sample" -> ((s, dir) => {
+      // data mixing (Pile/Dolma): down-sample per language toward a
+      // 30k-token budget at en 0.5 / de 0.3 / zh 0.2; keep rates and
+      // thresholds computed INSIDE the plan (no driver fit), rows
+      // kept by the deterministic mixHash filter
+      TextOps.mixtureSample(tbl(s, dir, "documents"), "lang",
+        "doc_id", "n_chars",
+        Map("en" -> 0.5, "de" -> 0.3, "zh" -> 0.2),
+        tokenBudget = 30000L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "q53_snapshot_lineage" -> ((s, dir) => {
       // checkpointed snapshot write + snapshot-scoped read-back:
       // per-bucket row counts come from the STORED data, so the oracle
@@ -768,6 +864,32 @@ object QueriesData {
         .orderBy("bucket")
     })
   )
+
+  /** The CMS heavy-hitter readout (4x512 counter matrix over the
+    * documents token stream, min-over-rows estimates, top-25 by
+    * estimate with the exact count alongside) — shared by the q128
+    * batch oracle and q133's streaming-equivalence oracle: the
+    * stream-built counters must reproduce EXACTLY this.
+    */
+  private[graft] val cmsTop25Sql: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |buk AS (SELECT d, CAST(CAST('0x' || substring(
+      |      md5(CAST(d AS VARCHAR) || ':' || token), 1, 15)
+      |      AS BIGINT) % 512 AS INTEGER) AS b
+      |  FROM tok, (SELECT unnest(range(0, 4)) AS d) dd),
+      |cnt AS (SELECT d, b, count(*) AS cnt FROM buk GROUP BY d, b),
+      |probes AS (SELECT DISTINCT token FROM tok),
+      |pb AS (SELECT token, d, CAST(CAST('0x' || substring(
+      |      md5(CAST(d AS VARCHAR) || ':' || token), 1, 15)
+      |      AS BIGINT) % 512 AS INTEGER) AS b
+      |  FROM probes, (SELECT unnest(range(0, 4)) AS d) dd),
+      |est AS (SELECT token, min(cnt) AS est
+      |  FROM pb JOIN cnt USING (d, b) GROUP BY token),
+      |tc AS (SELECT token, count(*) AS true_cnt FROM tok
+      |  GROUP BY token)
+      |SELECT token, est, true_cnt FROM est JOIN tc USING (token)
+      |ORDER BY est DESC, token LIMIT 25""".stripMargin
 
   /** q61's winnowing pipeline as SQL over ANY (doc_id, text) source —
     * shared by the q61 and q94 oracles (k=8, w=4).
@@ -1843,6 +1965,139 @@ object QueriesData {
         |    % 256000 / 1000.0 AS mean_luma,
         |  octet_length(bytes) > 0 AS decode_ok
         |FROM read_parquet('/tmp/graft_oracle_images_q52/*.parquet')
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    // gram hash = md5 folded to 60 bits over the space-joined 8-token
+    // window; duplicated = count >= 2 corpus-wide; islands merge when
+    // the next start is within n tokens of the previous
+    "q126_ngram_span_dedup" ->
+      s"""WITH t AS ($docsWithDupsSql),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM t),
+         |grams AS (SELECT doc_id,
+         |    unnest(range(0, len(ts) - 7)) AS pos,
+         |    unnest(list_transform(range(0, len(ts) - 7),
+         |      i -> CAST('0x' || substring(
+         |        md5(array_to_string(ts[i+1:i+8], ' ')), 1, 15)
+         |        AS BIGINT))) AS g
+         |  FROM tok),
+         |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+         |st AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+         |brk AS (SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER
+         |        (PARTITION BY doc_id ORDER BY pos) <= 8
+         |      THEN 0 ELSE 1 END AS b
+         |  FROM st),
+         |isl AS (SELECT doc_id, pos, SUM(b) OVER
+         |    (PARTITION BY doc_id ORDER BY pos
+         |     ROWS UNBOUNDED PRECEDING) AS isl
+         |  FROM brk)
+         |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+         |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end
+         |FROM isl GROUP BY doc_id, isl
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q127_span_dedup_clean" ->
+      s"""WITH t AS ($docsWithDupsSql),
+         |tok0 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM t),
+         |toks AS (SELECT doc_id, unnest(range(0, len(ts))) AS pos,
+         |    unnest(ts) AS tk FROM tok0),
+         |grams AS (SELECT doc_id,
+         |    unnest(range(0, len(ts) - 7)) AS pos,
+         |    unnest(list_transform(range(0, len(ts) - 7),
+         |      i -> CAST('0x' || substring(
+         |        md5(array_to_string(ts[i+1:i+8], ' ')), 1, 15)
+         |        AS BIGINT))) AS g
+         |  FROM tok0),
+         |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+         |st AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+         |cov AS (SELECT DISTINCT doc_id, pos + off AS pos
+         |  FROM st, (SELECT unnest(range(0, 8)) AS off) o),
+         |kept AS (SELECT k.doc_id, count(*) AS nk,
+         |    array_to_string(list(tk ORDER BY pos), ' ') AS ct
+         |  FROM toks k ANTI JOIN cov c
+         |    ON k.doc_id = c.doc_id AND k.pos = c.pos
+         |  GROUP BY k.doc_id)
+         |SELECT t2.doc_id,
+         |  CAST(len(ts) - COALESCE(nk, 0) AS BIGINT)
+         |    AS n_tokens_removed,
+         |  COALESCE(ct, '') AS clean_text
+         |FROM tok0 t2 LEFT JOIN kept USING (doc_id)
+         |ORDER BY 1""".stripMargin,
+
+    // same 4x512 counter matrix + min-over-rows readout; est can only
+    // over-count, so ORDER BY est DESC, token is deterministic
+    "q128_cms_heavy_hitters" -> cmsTop25Sql,
+
+    "q129_dataset_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train'
+        |       WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |    CAST('0x' || substring(
+        |      md5(CAST(doc_id AS VARCHAR) || '#r3'), 1, 15)
+        |      AS BIGINT) % 100 AS b
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // same injected-PII corpus; counts before replacement, replacement
+    // order email -> ip -> phone, 'g' = replace-all (Spark's default)
+    "q131_pii_scrub" -> {
+      val email = TextOps.EmailPattern
+      val phone = TextOps.PhonePattern
+      val ip = TextOps.Ipv4Pattern
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 0 THEN text || ' contact ' ||
+         |    printf('user%d@example.com', doc_id) || ' or ' ||
+         |    printf('555-867-%04d', doc_id % 10000) || ' at ' ||
+         |    printf('10.0.%d.%d', doc_id % 256, doc_id % 100)
+         |  ELSE text END AS text FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email'))
+         |    + len(regexp_extract_all(text, '$phone'))
+         |    + len(regexp_extract_all(text, '$ip')) AS BIGINT)
+         |    AS n_redactions,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$ip', '<IP>', 'g'),
+         |    '$phone', '<PHONE>', 'g') AS clean_text
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    // identical IEEE steps: share and budget forced to DOUBLE (DuckDB
+    // decimal literals would otherwise divide differently), keep rule
+    // mixHash(id) < floor(min(1, budget*share/tokens) * 2^32)
+    "q132_mixture_sample" ->
+      """WITH tot AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS tok
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+        |sh AS (SELECT lang, tok,
+        |    CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
+        |      WHEN 'zh' THEN 0.2 END AS DOUBLE) AS share
+        |  FROM tot)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN sh ON d.lang = sh.lang
+        |WHERE share IS NOT NULL AND
+        |  ((d.doc_id % 2147483648) * 2654435761) % 4294967296 <
+        |  floor(least(CAST(1.0 AS DOUBLE),
+        |    CAST(30000 AS DOUBLE) * share / CAST(tok AS DOUBLE))
+        |    * CAST(4294967296 AS DOUBLE))
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // same deterministic A-ES keys (u exact in both engines; ln is the
+    // one libm step — keys rounded to 9dp before ranking so a 1-ulp
+    // disagreement cannot flip an order except at a measure-zero
+    // rounding boundary), ranked by the window the aggregate replaces
+    "q130_weighted_sample" ->
+      """WITH w AS (SELECT lang, doc_id,
+        |    round(ln((CAST('0x' || substring(
+        |        md5(CAST(doc_id AS VARCHAR) || '#ws'), 1, 15)
+        |        AS BIGINT) + 1) / 1152921504606846976.0)
+        |      / n_chars, 9) AS key
+        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars > 0),
+        |r AS (SELECT lang, doc_id, row_number() OVER
+        |    (PARTITION BY lang ORDER BY key DESC, doc_id) AS rank
+        |  FROM w)
+        |SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id
+        |FROM r WHERE rank <= 20
+        |ORDER BY lang, rank""".stripMargin
   )
 }

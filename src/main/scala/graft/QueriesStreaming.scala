@@ -74,6 +74,48 @@ object QueriesStreaming {
         .orderBy("key", "prob")
     }),
 
+    "q133_stream_cms" -> ((s, dir) => {
+      // Count-Min counters built BY THE STREAM: the 4x512 matrix is an
+      // associatively-merged streaming aggregation (update mode,
+      // bounded state regardless of stream length — the whole point of
+      // a sketch on a stream), fed the documents corpus in 3 real
+      // micro-batches. The final counters point-query every distinct
+      // token and must reproduce q128's one-shot batch readout
+      // value-exactly (same oracle SQL).
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1).toSeq
+      val input = MemoryStream[(Long, String)]
+      val toks = input.toDF().toDF("doc_id", "text")
+        .select(explode(split(col("text"), " ")).as("token"))
+      val latest = scala.collection.mutable.Map[(Int, Int), Long]()
+      val q = graft.core.Sketch.cmsCounters(toks, "token",
+        depth = 4, width = 512)
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(r =>
+            latest((r.getInt(0), r.getInt(1))) = r.getLong(2))
+          ()
+        }.queryName("q133").start()
+      drive(input, q, rows, nChunks = 3)
+      val counters = latest.toSeq
+        .map { case ((d, b), cnt) => (d, b, cnt) }
+        .toDF("d", "b", "cnt")
+      val batchToks = tbl(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      val truth = batchToks.groupBy(col("token"))
+        .agg(count(lit(1)).as("true_cnt"))
+      graft.core.Sketch.cmsEstimate(counters, batchToks, "token",
+        depth = 4, width = 512)
+        .join(truth, col("item") === col("token"))
+        .select(col("token"), col("est"), col("true_cnt"))
+        .orderBy(col("est").desc, col("token"))
+        .limit(25)
+    }),
+
     "q103_stream_dedup_exact" -> ((s, dir) => {
       // exact-dup corpus (every 7th doc duplicated, the q40 corpus)
       // streamed through dedupStream in 3 micro-batches: the content
@@ -430,6 +472,10 @@ object QueriesStreaming {
       |FROM documents WHERE doc_id % 10 = 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the stream-built CMS counters must reproduce the one-shot batch
+    // readout exactly — literally q128's oracle
+    "q133_stream_cms" -> QueriesData.cmsTop25Sql,
+
     // one-shot recomputation of the fixed-range sketch rule the stream
     // folded incrementally: identical binning, bin-ordered cumulative
     // sums, clamped interpolation

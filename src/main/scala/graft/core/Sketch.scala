@@ -181,4 +181,64 @@ object Sketch {
             col("__hit.__cw"), lit(1.0)), lit(0.0))) *
           col("__hit.__width")).as("value"))
   }
+
+  // ---------------------------------------------------------------
+  // Count-Min sketch (Cormode & Muthukrishnan 2005): depth x width
+  // counter matrix; estimate(x) = min over rows d of
+  // counter[d][h_d(x)]. Always OVER-estimates (collisions only add),
+  // error <= 2N/width with prob 1 - 2^-depth. The counter build is ONE
+  // map-side-combined groupBy whose exchange carries at most
+  // depth x width x |partitions| partial rows REGARDLESS of input
+  // size — the heavy-hitter scale path when exact per-item counts
+  // (|distinct| exchange rows) are too many.
+  // ---------------------------------------------------------------
+
+  /** Engine-portable 60-bit hash (md5 folded, the
+    * [[graft.dedup.Dedup.md5Hash60]] rule inlined here so `core` does
+    * not depend on `dedup`): DuckDB mirrors it as
+    * `CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)`.
+    */
+  private def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Row-d bucket of `item`: depth-salted portable hash mod width. */
+  def cmsBucket(item: Column, d: Int, width: Int): Column =
+    pmod(portableHash60(concat(lit(d), lit(":"), item)), lit(width))
+      .cast("int")
+
+  /** Build the CMS counter table `(d, b, cnt)` over (weighted) items.
+    * Output is <= depth x width rows — bounded fit state. Null items
+    * are skipped (SQL aggregate convention).
+    */
+  def cmsCounters(df: DataFrame, itemCol: String, depth: Int,
+      width: Int, weight: Column = lit(1L)): DataFrame = {
+    require(depth >= 1 && width >= 1,
+      s"cms needs depth >= 1, width >= 1, got depth=$depth width=$width")
+    df.filter(col(itemCol).isNotNull)
+      .select(explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"),
+          cmsBucket(col(itemCol), d, width).as("b"),
+          weight.cast("long").as("__w"))): _*)).as("e"))
+      .groupBy(col("e.d").as("d"), col("e.b").as("b"))
+      .agg(sum(col("e.__w")).as("cnt"))
+  }
+
+  /** Point-query the sketch for each DISTINCT candidate item:
+    * `(item, est)` with `est = min_d cnt[d][h_d(item)]` (0 when a row's
+    * bucket was never touched). `counters` is tiny (<= depth x width
+    * rows) so its side of the join broadcasts.
+    */
+  def cmsEstimate(counters: DataFrame, candidates: DataFrame,
+      itemCol: String, depth: Int, width: Int): DataFrame = {
+    val probes = candidates.filter(col(itemCol).isNotNull)
+      .select(col(itemCol).as("item")).distinct()
+      .select(col("item"), explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"),
+          cmsBucket(col("item"), d, width).as("b"))): _*)).as("e"))
+      .select(col("item"), col("e.d").as("d"), col("e.b").as("b"))
+    probes
+      .join(broadcast(counters), Seq("d", "b"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

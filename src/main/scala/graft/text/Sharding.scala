@@ -147,4 +147,84 @@ object Sharding {
         explode(col("__s")).as("__e"))
       .select(col(stratumCol), col("__e.id").as(idCol))
   }
+
+  /** Engine-portable 60-bit hash of an arbitrary (string-castable)
+    * column: md5 folded to 15 hex digits — the
+    * [[graft.dedup.Dedup.md5Hash60]] rule. DuckDB mirror:
+    * `CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)`.
+    */
+  private def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic dataset split (train/val/test): assign each row to
+    * the first label whose cumulative-percent cut exceeds
+    * `md5(id # salt) mod 100`. Pure salted-hash projection — no RNG,
+    * no shuffle, no state: the same row lands in the same split on
+    * every run, at any cluster size, in any engine with md5 (the
+    * leakage property that matters: an id can NEVER migrate between
+    * train and test when the corpus grows, unlike fraction-based
+    * `randomSplit`). The salt gives independent re-splits.
+    *
+    * `cuts` are (label, cumulative percent) with the last at 100,
+    * e.g. `Seq("train" -> 80, "val" -> 90, "test" -> 100)`. Null ids
+    * are assigned null (surface them, don't guess).
+    */
+  def hashSplit(df: DataFrame, idCol: String, salt: String,
+      cuts: Seq[(String, Int)]): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100 &&
+      cuts.map(_._2) == cuts.map(_._2).sorted &&
+      cuts.forall(_._2 > 0),
+      s"cuts must be increasing cumulative percents ending at 100: $cuts")
+    val bucket = pmod(
+      md5Hash60(concat(col(idCol).cast("string"), lit("#"), lit(salt))),
+      lit(100L))
+    val assign = cuts.foldRight(lit(null).cast("string")) {
+      case ((label, cut), rest) =>
+        when(bucket < cut, lit(label)).otherwise(rest)
+    }
+    df.withColumn("split",
+      when(col(idCol).isNull, lit(null).cast("string"))
+        .otherwise(assign))
+  }
+
+  /** Weighted sampling WITHOUT replacement, k per group — the
+    * Efraimidis–Spirakis A-ES scheme made deterministic: each row
+    * draws `u = (md5Hash60(id # salt) + 1) / 2^60` (uniform in (0,1],
+    * exact in any engine — the +1 avoids ln(0) and the divisor is a
+    * power of two so the quotient is exact), keys it as
+    * `ln(u) / w`, and the k LARGEST keys per group win. This samples
+    * each row with probability proportional to its weight among the
+    * survivors, without replacement — the standard distributed
+    * weighted reservoir rule.
+    *
+    * Runs through the bounded-heap [[graft.functions.TopKBy]]: one
+    * map-side-combined aggregation, shuffle carries <= k entries per
+    * (group, partition), no per-group sort — the same scale shape as
+    * [[sampleExactPerStratum]].
+    *
+    * The key is ROUNDED to 9 decimals before ranking: `ln` is the one
+    * step libm implementations may disagree on by 1 ulp, and rounding
+    * makes the cross-engine flip probability ~1e-10 per row (ties
+    * break toward the smaller id in both this aggregate and the
+    * oracle's `ORDER BY key DESC, id`). Rows with null/non-positive
+    * weight or null id are excluded — a zero-weight row must never be
+    * sampled, and an unweighable row is a data error to surface
+    * upstream, not a silent keep.
+    */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String,
+      idCol: String, weightCol: String, k: Int,
+      salt: String = "es"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (md5Hash60(concat(col(idCol).cast("string"), lit("#"),
+      lit(salt))) + 1L).cast("double") / lit(1152921504606846976.0)
+    val key = round(log(u) / col(weightCol).cast("double"), 9)
+    df.filter(col(idCol).isNotNull &&
+        col(weightCol).cast("double") > 0)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKBy.topKBy(key,
+        col(idCol).cast("long"), k).as("__s"))
+      .select(col(groupCol), posexplode(col("__s")).as(Seq("__p", "__e")))
+      .select(col(groupCol), (col("__p") + 1).cast("int").as("rank"),
+        col("__e.id").as(idCol), col("__e.score").as("key"))
+  }
 }

@@ -1,0 +1,139 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Exact substring (duplicated n-gram span) deduplication, the
+  * "ExactSubstr" method of Lee et al. 2022, *Deduplicating Training
+  * Data Makes Language Models Better* — at token granularity: any
+  * n-token window that occurs >= `minCount` times ANYWHERE in the
+  * corpus (across documents or repeated within one) marks its token
+  * span as duplicated; overlapping/adjacent marked windows merge into
+  * maximal spans, which can then be reported or cut out of the text.
+  *
+  * The paper runs a suffix array over the concatenated corpus on one
+  * big machine; that shape does not distribute. This is the
+  * relational re-expression: the same duplicated-window relation is
+  * computable as (n-gram rows) -> (global count) -> (join back), all
+  * hash-partitioned — the standard fixed-length-window approximation
+  * of suffix-array substring dedup (a duplicated substring of length
+  * >= n tokens is ALWAYS caught; shorter ones are deliberately below
+  * the threshold, exactly like the paper's min-match-length of 50
+  * BPE tokens).
+  *
+  * Scale shape (100 TB):
+  *   - n-gram rows reuse the [[graft.dedup.Dedup.shingleRowsOf]]
+  *     posexplode + window-lead pattern — one exchange on doc_id,
+  *     window buffering bounded by document length (a per-DOC window,
+  *     immune to hot-KEY skew: documents are bounded, keys are not);
+  *   - the duplicate-gram table is a map-side-combined count over
+  *     int64 gram hashes (never gram text) with an early
+  *     `count >= minCount` filter — its exchange carries
+  *     |distinct grams| x |partitions| at most, and the surviving
+  *     dup-gram set is tiny (true duplication is rare);
+  *   - the join back to (doc, pos) is an equi-join on the int64 hash;
+  *   - span merge is a per-doc lag/sum window over the few marked
+  *     positions — bounded by marked windows per document.
+  *
+  * Gram identity is `md5` folded to 60 bits
+  * ([[graft.dedup.Dedup.md5Hash60]]) so external engines reproduce it
+  * exactly; 60-bit collisions at corpus scale are ~n^2/2^61 — document
+  * the false-merge risk rather than shuffling gram strings.
+  */
+object SpanDedup {
+
+  /** `(doc_id, pos, gram_hash)` rows: the n-token window starting at
+    * token `pos` (0-based), hashed. One exchange on doc_id.
+    */
+  private[graft] def gramRows(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"span dedup needs n >= 2, got $n")
+    val toks = df.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__t")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("__pos"))
+    val parts = (0 until n).map(k =>
+      if (k == 0) col("__t") else lead(col("__t"), k).over(w))
+    toks.select(col("doc_id"), col("__pos"),
+        parts.last.isNotNull.as("__full"),
+        Dedup.md5Hash60(concat_ws(" ", parts: _*)).as("__g"))
+      .filter(col("__full"))
+      .select(col("doc_id"), col("__pos"), col("__g"))
+  }
+
+  /** `(doc_id, pos)` start positions of duplicated n-gram windows:
+    * windows whose gram occurs >= `minCount` times corpus-wide.
+    */
+  private[graft] def dupStarts(df: DataFrame, idCol: String,
+      textCol: String, n: Int, minCount: Long): DataFrame = {
+    val grams = gramRows(df, idCol, textCol, n)
+    val dup = grams.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount)
+      .select(col("__g"))
+    grams.join(dup, "__g").select(col("doc_id"), col("__pos"))
+  }
+
+  /** Maximal duplicated token spans per document:
+    * `(doc_id, span_start, span_end)` (0-based token indices, both
+    * inclusive), where overlapping OR adjacent duplicated windows
+    * (next start within `n` tokens of the previous start) merge into
+    * one span. All windows are length n, so starts alone decide
+    * mergeability — no max-end bookkeeping needed.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minCount: Long = 2L): DataFrame = {
+    val starts = dupStarts(df, idCol, textCol, n, minCount)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("__pos"))
+    starts
+      // first row of a doc: lag is null -> comparison null -> break
+      .withColumn("__brk",
+        when(col("__pos") - lag(col("__pos"), 1).over(w) <= n, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("__isl", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("__pos")).cast("long").as("span_start"),
+        (max(col("__pos")) + n - 1).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** The corpus with duplicated spans CUT OUT: every token covered by
+    * a duplicated n-gram window is dropped and the remaining tokens
+    * re-joined with single spaces. Output:
+    * `(doc_id, n_tokens_removed, clean_text)` — one row per input
+    * document (a fully-duplicated document survives with
+    * `clean_text = ''`).
+    *
+    * Coverage expansion explodes each marked start into its n covered
+    * positions (bounded n-fold blowup of the TINY dup-start set, not
+    * of the corpus); the anti-join drops covered tokens; per-doc
+    * reassembly sorts the surviving (pos, token) pairs inside one
+    * array — bounded by document length.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String,
+      textCol: String, n: Int, minCount: Long = 2L): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__t")))
+    val covered = dupStarts(df, idCol, textCol, n, minCount)
+      .select(col("doc_id"),
+        explode(sequence(col("__pos"), col("__pos") + n - 1))
+          .as("__pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "__pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__t")))),
+          e => e.getField("__t"))).as("clean_text"))
+    df.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("__total"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("__total") - coalesce(col("__kept"), lit(0L)))
+          .as("n_tokens_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+}

@@ -423,4 +423,75 @@ object TextOps {
       .groupBy(col(idCol), col("bucket"))
       .agg(sum(col("__s")).as("tf"))
   }
+
+  /** PII scrubbing patterns (emails, North-American-style phone
+    * numbers, IPv4 addresses) — deliberately RE2-safe (no backrefs,
+    * no lookaround) so any regex engine (Java here, RE2 in the DuckDB
+    * oracle, RE2 in most stream processors) produces the SAME matches.
+    * Curation pipelines (C4, Dolma) run exactly this kind of pass
+    * before training.
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhonePattern = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  val Ipv4Pattern = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+
+  /** Scrub PII: count then replace every email / phone / IPv4 match
+    * with a typed placeholder. Pure codegen'd projection — a map-only
+    * stage at any scale, no shuffle, no state. Replacement order is
+    * email -> ip -> phone (the three patterns cannot overlap, but the
+    * order is pinned anyway so engines can't diverge on pathological
+    * inputs). Output adds `n_redactions` and `clean_text`; null text
+    * yields null both.
+    */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = (size(regexp_extract_all(t, lit(EmailPattern), lit(0))) +
+      size(regexp_extract_all(t, lit(PhonePattern), lit(0))) +
+      size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))))
+      .cast("long")
+    val cleaned = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+    df.withColumn("n_redactions",
+        when(t.isNull, lit(null).cast("long")).otherwise(n))
+      .withColumn("clean_text", cleaned)
+  }
+
+  /** Fully relational MIXTURE sampling: down-sample each stratum so
+    * the kept corpus approaches `tokenBudget` tokens split by
+    * `targetShares` (e.g. en 0.5 / de 0.3 / zh 0.2 — the Pile/Dolma
+    * data-mixing step). Per-stratum keep rate =
+    * `min(1, budget * share / stratum_tokens)`, applied with the
+    * deterministic [[Sharding.mixHash]] row filter.
+    *
+    * NOTHING is collected: the |strata|-row token totals join back
+    * broadcast-style and the threshold `floor(rate * 2^32)` is
+    * computed inside the plan with IEEE-exact steps (*, /, min,
+    * floor), so any engine reproduces the exact row set. Strata
+    * absent from `targetShares` are dropped (share 0). A stratum
+    * smaller than its target keeps ALL its rows (rate caps at 1) —
+    * mixture shortfall is reported by the downstream report, not
+    * silently rebalanced.
+    */
+  def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
+      tokenCol: String, targetShares: Map[String, Double],
+      tokenBudget: Long): DataFrame = {
+    require(targetShares.nonEmpty &&
+      targetShares.values.forall(s => s >= 0 && s <= 1),
+      s"shares must be in [0,1]: $targetShares")
+    val share = element_at(typedLit(targetShares), col(stratumCol))
+    val totals = df
+      .filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).as("__st"))
+      .agg(sum(col(tokenCol).cast("long")).as("__tok"))
+    val thresh = floor(least(lit(1.0),
+      (lit(tokenBudget.toDouble) * share) /
+        col("__tok").cast("double")) * lit(4294967296.0))
+    df.join(broadcast(totals), col(stratumCol) === col("__st"))
+      .filter(share.isNotNull &&
+        Sharding.mixHash(col(idCol)) < thresh)
+      .drop("__st", "__tok")
+  }
 }

@@ -147,6 +147,24 @@ class EmptyInputSpec extends SparkSpec {
       k = 3).count() == 0)
   }
 
+  test("span dedup / cms / split / weighted sample on empty input") {
+    val d = emptyDocs()
+    assert(graft.text.SpanDedup.duplicatedSpans(d, "doc_id", "text", 8)
+      .count() == 0)
+    assert(graft.text.SpanDedup
+      .removeDuplicatedSpans(d, "doc_id", "text", 8).count() == 0)
+    val noItems = df("item STRING", Seq.empty)
+    val counters = graft.core.Sketch.cmsCounters(noItems, "item", 4, 64)
+    assert(counters.count() == 0)
+    assert(graft.core.Sketch.cmsEstimate(counters, noItems, "item",
+      4, 64).count() == 0)
+    assert(graft.text.Sharding.hashSplit(d, "doc_id", "s",
+      Seq("train" -> 100)).count() == 0)
+    assert(graft.text.Sharding.weightedSamplePerGroup(
+      df("g STRING, id BIGINT, w DOUBLE", Seq.empty),
+      "g", "id", "w", 5).count() == 0)
+  }
+
   test("grouped sketch emits the prob=1.0 row even when fractional " +
       "weights leave the cumulative sum an ulp short") {
     // w = 0.1 sums associate differently raw-side vs bin-side; the

@@ -1,0 +1,223 @@
+package graft
+
+import graft.core.Sketch
+import graft.text.{Sharding, SpanDedup}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-3 corpus ops: exact-substring (n-gram span)
+  * dedup, Count-Min heavy hitters, deterministic dataset split and
+  * weighted sampling.
+  */
+class SpanDedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) =
+    df("doc_id BIGINT, text STRING",
+      rows.map { case (i, t) => Row(i, t) })
+
+  test("duplicatedSpans: cross-doc duplicate marks the mirrored span " +
+      "in BOTH docs; unique docs absent") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // 10 tokens
+    val d = docs(
+      1L -> s"a b c $shared x y",
+      2L -> s"p q $shared",
+      3L -> "totally unique text with no repeated windows at all")
+    val out = SpanDedup.duplicatedSpans(d, "doc_id", "text", n = 8)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: shared = tokens 3..12 -> dup 8-windows start at 3,4,5
+    //        (window must sit fully inside the shared run) -> span 3..12
+    // doc 2: shared = tokens 2..11 -> span 2..11
+    assert(out.toSeq == Seq((1L, 3L, 12L), (2L, 2L, 11L)))
+  }
+
+  test("duplicatedSpans: WITHIN-doc repetition counts (corpus-wide " +
+      "count >= 2 includes one doc repeating itself)") {
+    val run = (1 to 8).map(i => s"w$i").mkString(" ")
+    val d = docs(7L -> s"$run mid1 mid2 mid3 $run")
+    val out = SpanDedup.duplicatedSpans(d, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the 8-token run appears twice: starts 0 and 11 -> two spans
+    // (gap 11 > n, so they do NOT merge)
+    assert(out.toSet == Set((7L, 0L, 7L), (7L, 11L, 18L)))
+  }
+
+  test("duplicatedSpans: overlapping and adjacent windows merge into " +
+      "one maximal span") {
+    // doc 1 and 2 share a 12-token run: dup windows start at
+    // 0..4 in doc 1 -> consecutive starts (gap 1 <= n) merge to 0..11
+    val shared = (1 to 12).map(i => s"m$i").mkString(" ")
+    val d = docs(1L -> shared, 2L -> s"$shared tail1 tail2")
+    val out = SpanDedup.duplicatedSpans(d, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == Set((1L, 0L, 11L), (2L, 0L, 11L)))
+  }
+
+  test("removeDuplicatedSpans: covered tokens cut, text re-joined, " +
+      "fully-duplicated doc survives as empty string") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d = docs(
+      1L -> s"a b c $shared x y",
+      2L -> shared, // fully covered
+      3L -> "totally unique text with no repeated windows at all")
+    val out = SpanDedup
+      .removeDuplicatedSpans(d, "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, "a b c x y"),
+      (2L, 10L, ""),
+      (3L, 0L, "totally unique text with no repeated windows at all")))
+  }
+
+  test("removeDuplicatedSpans is consistent with duplicatedSpans " +
+      "coverage on a generated corpus") {
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until 30).map(j => s"t${(i * 7 + j * 3) % 50}")
+        .mkString(" "))
+    }
+    val d = docs(base: _*)
+    val spans = SpanDedup.duplicatedSpans(d, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val removed = SpanDedup
+      .removeDuplicatedSpans(d, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val covByDoc = spans.groupBy(_._1).view
+      .mapValues(_.map { case (_, a, b) => b - a + 1 }.sum).toMap
+    assert(base.forall { case (id, _) =>
+      removed(id) == covByDoc.getOrElse(id, 0L) })
+  }
+
+  test("cms: estimate >= true count always, exact when width kills " +
+      "collisions, and null items are skipped") {
+    val items = df("item STRING",
+      (Seq.fill(50)("hot") ++ (1 to 30).map(i => s"cold$i") ++
+        Seq(null)).map(Row(_)))
+    val narrow = Sketch.cmsCounters(items, "item", depth = 4, width = 8)
+    val estN = Sketch.cmsEstimate(narrow, items, "item", 4, 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = items.filter(col("item").isNotNull)
+      .groupBy("item").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(truth.forall { case (k, n) => estN(k) >= n })
+    // total counter mass per row d == total items (sanity of the matrix)
+    val mass = narrow.groupBy("d").agg(sum("cnt").as("m"))
+      .collect().map(r => r.getLong(1)).toSet
+    assert(mass == Set(80L))
+    val wide = Sketch.cmsCounters(items, "item", depth = 4, width = 1 << 16)
+    val estW = Sketch.cmsEstimate(wide, items, "item", 4, 1 << 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estW == truth) // no collisions at this width
+  }
+
+  test("hashSplit: total, deterministic, subset-invariant, " +
+      "null id -> null split") {
+    val d = df("doc_id BIGINT", ((1L to 1000L).map(Row(_)) :+
+      Row(null)))
+    val cuts = Seq("train" -> 80, "val" -> 90, "test" -> 100)
+    val out = Sharding.hashSplit(d, "doc_id", "s1", cuts)
+    val byId = out.collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0)) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(byId(null.asInstanceOf[Any]) == null)
+    val counts = out.filter(col("split").isNotNull)
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000L)
+    // hash split is close to the requested proportions
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 50 && counts("val") < 150)
+    // subset invariance: the same id gets the same split in a
+    // half-sized corpus (randomSplit CANNOT promise this)
+    val half = Sharding.hashSplit(
+      d.filter(col("doc_id") <= 500), "doc_id", "s1", cuts)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(half.forall { case (id, s) => byId(id) == s })
+    // a different salt reshuffles at least some assignments
+    val resalted = Sharding.hashSplit(d, "doc_id", "s2", cuts)
+      .filter(col("doc_id").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(resalted.exists { case (id, s) => byId(id) != s })
+  }
+
+  test("scrubPii: counts + typed placeholders, clean rows untouched, " +
+      "null text stays null") {
+    import graft.text.TextOps
+    val d = df("id BIGINT, text STRING", Seq(
+      Row(1L, "mail a.b-c%d@ex-ample.co.uk or x@y.io now"),
+      Row(2L, "call 555-867-5309 or 555.867.0001 from 10.0.0.1"),
+      Row(3L, "nothing sensitive here"),
+      Row(4L, null)))
+    val out = TextOps.scrubPii(d, "text").orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
+    assert(out(0) == ((1L, 2L, "mail <EMAIL> or <EMAIL> now")))
+    assert(out(1) == ((2L, 3L, "call <PHONE> or <PHONE> from <IP>")))
+    assert(out(2) == ((3L, 0L, "nothing sensitive here")))
+    assert(out(3) == ((4L, -1L, null)))
+  }
+
+  test("mixtureSample: keep rates honor budget*share/tokens, cap at " +
+      "1 for under-represented strata, unlisted strata dropped") {
+    import graft.text.TextOps
+    val rows = (1L to 600L).map { i =>
+      val g = if (i <= 400) "big" else if (i <= 590) "small" else "out"
+      Row(g, i, 100L)
+    }
+    val d = df("g STRING, id BIGINT, tok BIGINT", rows)
+    // budget 20000 at big 0.5 / small 0.5:
+    //   big: 400 docs x 100 tok = 40000 -> rate 10000/40000 = 0.25
+    //   small: 190 x 100 = 19000 -> rate 10000/19000 -> capped? no, 0.526
+    val out = TextOps.mixtureSample(d, "g", "id", "tok",
+      Map("big" -> 0.5, "small" -> 0.5), tokenBudget = 20000L)
+    val counts = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("out"))
+    // hash-sample tolerance ~ 3 sigma
+    assert(math.abs(counts("big") - 100L) < 40)
+    assert(math.abs(counts("small") - 100L) < 40)
+    // a stratum smaller than its target keeps EVERYTHING (rate 1)
+    val tiny = TextOps.mixtureSample(d, "g", "id", "tok",
+      Map("small" -> 1.0), tokenBudget = 1000000L)
+    assert(tiny.count() == 190L)
+    // determinism: same call -> same rows
+    assert(out.collect().map(_.getLong(1)).toSet ==
+      TextOps.mixtureSample(d, "g", "id", "tok",
+        Map("big" -> 0.5, "small" -> 0.5), 20000L)
+        .collect().map(_.getLong(1)).toSet)
+  }
+
+  test("weightedSamplePerGroup: exactly min(k,|group|) distinct ids, " +
+      "non-positive/null weights never sampled, matches the window " +
+      "formulation") {
+    val rows = (1L to 300L).map { i =>
+      Row(s"g${i % 3}", i, (i % 7 + 1).toDouble)
+    } ++ Seq(Row("g0", 1001L, 0.0), Row("g0", 1002L, -5.0),
+      Row("g0", 1003L, null), Row("tiny", 2001L, 3.0))
+    val d = df("g STRING, id BIGINT, w DOUBLE", rows)
+    val out = Sharding.weightedSamplePerGroup(d, "g", "id", "w", k = 10)
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val perGroup = got.groupBy(_._1)
+    assert(perGroup("g0").length == 10 &&
+      perGroup("tiny").toSeq == Seq(("tiny", 1, 2001L)))
+    assert(got.map(_._3).distinct.length == got.length) // no replacement
+    assert(!got.exists(t => t._3 >= 1001L && t._3 <= 1003L))
+    // equivalence with the row_number-over-key window
+    val u = (expr("conv(substring(md5(concat(cast(id as string), " +
+      "'#', 'es')), 1, 15), 16, 10)").cast("long") + 1L)
+      .cast("double") / lit(1152921504606846976.0)
+    val key = round(log(u) / col("w"), 9)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("__key").desc, col("id"))
+    val expected = d
+      .filter(col("id").isNotNull && col("w") > 0)
+      .withColumn("__key", key)
+      .withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= 10)
+      .select(col("g"), col("__rn").cast("int"), col("id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSet == expected.toSet)
+  }
+}
