@@ -47,7 +47,9 @@ object Bench {
     "q85_asof_forward", "q86_tfidf", "q93_incremental_dedup",
     "q111_ivfpq_query_pinned", "q115_payload_audit",
     "q116_hist_quantile_sketch", "q117_hashed_tf",
-    "q118_zorder_layout", "q119_unigram_surprisal")
+    "q118_zorder_layout", "q119_unigram_surprisal",
+    "q126_ngram_span_dedup", "q127_span_dedup_clean",
+    "q128_cms_heavy_hitters", "q132_mixture_sample")
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -780,16 +780,8 @@ object QueriesData {
       // over-counts). Oracle recomputes the same matrix + min-readout.
       val toks = tbl(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
-      val counters = graft.core.Sketch.cmsCounters(
-        toks, "token", depth = 4, width = 512)
-      val est = graft.core.Sketch.cmsEstimate(
-        counters, toks, "token", depth = 4, width = 512)
-      val truth = toks.groupBy(col("token"))
-        .agg(count(lit(1)).as("true_cnt"))
-      est.join(truth, col("item") === col("token"))
-        .select(col("token"), col("est"), col("true_cnt"))
-        .orderBy(col("est").desc, col("token"))
-        .limit(25)
+      cmsTop25(s, dir, graft.core.Sketch.cmsCounters(
+        toks, "token", depth = 4, width = 512))
     }),
 
     "q129_dataset_split" -> ((s, dir) => {
@@ -865,11 +857,29 @@ object QueriesData {
     })
   )
 
-  /** The CMS heavy-hitter readout (4x512 counter matrix over the
-    * documents token stream, min-over-rows estimates, top-25 by
-    * estimate with the exact count alongside) — shared by the q128
-    * batch oracle and q133's streaming-equivalence oracle: the
-    * stream-built counters must reproduce EXACTLY this.
+  /** The CMS heavy-hitter READOUT over a given counter table — shared
+    * by q128 (batch-built counters) and q133 (stream-built counters)
+    * so the two queries cannot drift: point-query every distinct
+    * documents token, attach exact counts, top-25 by (est desc,
+    * token).
+    */
+  private[graft] def cmsTop25(s: SparkSession, dir: String,
+      counters: DataFrame): DataFrame = {
+    val toks = tbl(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+    val truth = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("true_cnt"))
+    graft.core.Sketch.cmsEstimate(counters, toks, "token",
+      depth = 4, width = 512)
+      .join(truth, col("item") === col("token"))
+      .select(col("token"), col("est"), col("true_cnt"))
+      .orderBy(col("est").desc, col("token"))
+      .limit(25)
+  }
+
+  /** The SQL mirror of [[cmsTop25]] over batch counters — shared by
+    * the q128 batch oracle and q133's streaming-equivalence oracle:
+    * the stream-built counters must reproduce EXACTLY this.
     */
   private[graft] val cmsTop25Sql: String =
     """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
@@ -878,7 +888,8 @@ object QueriesData {
       |      md5(CAST(d AS VARCHAR) || ':' || token), 1, 15)
       |      AS BIGINT) % 512 AS INTEGER) AS b
       |  FROM tok, (SELECT unnest(range(0, 4)) AS d) dd),
-      |cnt AS (SELECT d, b, count(*) AS cnt FROM buk GROUP BY d, b),
+      |cnt AS (SELECT d, b, CAST(count(*) AS DOUBLE) AS cnt
+      |  FROM buk GROUP BY d, b),
       |probes AS (SELECT DISTINCT token FROM tok),
       |pb AS (SELECT token, d, CAST(CAST('0x' || substring(
       |      md5(CAST(d AS VARCHAR) || ':' || token), 1, 15)
@@ -2039,7 +2050,9 @@ object QueriesData {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
-    // same injected-PII corpus; counts before replacement, replacement
+    // same injected-PII corpus; STAGED counting (each pattern counted
+    // on the previous stage's replaced text, so n_redactions ==
+    // placeholders inserted even for nested matches), replacement
     // order email -> ip -> phone, 'g' = replace-all (Spark's default)
     "q131_pii_scrub" -> {
       val email = TextOps.EmailPattern
@@ -2050,17 +2063,20 @@ object QueriesData {
          |    printf('user%d@example.com', doc_id) || ' or ' ||
          |    printf('555-867-%04d', doc_id % 10000) || ' at ' ||
          |    printf('10.0.%d.%d', doc_id % 256, doc_id % 100)
-         |  ELSE text END AS text FROM documents)
+         |  ELSE text END AS text FROM documents),
+         |s1 AS (SELECT doc_id, text,
+         |    regexp_replace(text, '$email', '<EMAIL>', 'g') AS t1
+         |  FROM t),
+         |s2 AS (SELECT doc_id, text, t1,
+         |    regexp_replace(t1, '$ip', '<IP>', 'g') AS t2
+         |  FROM s1)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$email'))
-         |    + len(regexp_extract_all(text, '$phone'))
-         |    + len(regexp_extract_all(text, '$ip')) AS BIGINT)
+         |    + len(regexp_extract_all(t1, '$ip'))
+         |    + len(regexp_extract_all(t2, '$phone')) AS BIGINT)
          |    AS n_redactions,
-         |  regexp_replace(regexp_replace(regexp_replace(text,
-         |    '$email', '<EMAIL>', 'g'),
-         |    '$ip', '<IP>', 'g'),
-         |    '$phone', '<PHONE>', 'g') AS clean_text
-         |FROM t ORDER BY doc_id""".stripMargin
+         |  regexp_replace(t2, '$phone', '<PHONE>', 'g') AS clean_text
+         |FROM s2 ORDER BY doc_id""".stripMargin
     },
 
     // identical IEEE steps: share and budget forced to DOUBLE (DuckDB

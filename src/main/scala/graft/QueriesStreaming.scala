@@ -91,29 +91,22 @@ object QueriesStreaming {
       val input = MemoryStream[(Long, String)]
       val toks = input.toDF().toDF("doc_id", "text")
         .select(explode(split(col("text"), " ")).as("token"))
-      val latest = scala.collection.mutable.Map[(Int, Int), Long]()
+      val latest = scala.collection.mutable.Map[(Int, Int), Double]()
       val q = graft.core.Sketch.cmsCounters(toks, "token",
         depth = 4, width = 512)
         .writeStream.outputMode("update")
         .foreachBatch { (b: DataFrame, _: Long) =>
           b.collect().foreach(r =>
-            latest((r.getInt(0), r.getInt(1))) = r.getLong(2))
+            latest((r.getInt(0), r.getInt(1))) = r.getDouble(2))
           ()
         }.queryName("q133").start()
       drive(input, q, rows, nChunks = 3)
       val counters = latest.toSeq
         .map { case ((d, b), cnt) => (d, b, cnt) }
         .toDF("d", "b", "cnt")
-      val batchToks = tbl(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("token"))
-      val truth = batchToks.groupBy(col("token"))
-        .agg(count(lit(1)).as("true_cnt"))
-      graft.core.Sketch.cmsEstimate(counters, batchToks, "token",
-        depth = 4, width = 512)
-        .join(truth, col("item") === col("token"))
-        .select(col("token"), col("est"), col("true_cnt"))
-        .orderBy(col("est").desc, col("token"))
-        .limit(25)
+      // the one shared readout (QueriesData.cmsTop25): q133 must
+      // reproduce q128 exactly, so the readout is literally q128's
+      QueriesData.cmsTop25(s, dir, counters)
     }),
 
     "q103_stream_dedup_exact" -> ((s, dir) => {

@@ -193,22 +193,19 @@ object Sketch {
   // (|distinct| exchange rows) are too many.
   // ---------------------------------------------------------------
 
-  /** Engine-portable 60-bit hash (md5 folded, the
-    * [[graft.dedup.Dedup.md5Hash60]] rule inlined here so `core` does
-    * not depend on `dedup`): DuckDB mirrors it as
-    * `CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)`.
+  /** Row-d bucket of `item`: depth-salted portable hash
+    * ([[Hashing.md5Hash60]]) mod width.
     */
-  private def portableHash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
-  /** Row-d bucket of `item`: depth-salted portable hash mod width. */
   def cmsBucket(item: Column, d: Int, width: Int): Column =
-    pmod(portableHash60(concat(lit(d), lit(":"), item)), lit(width))
+    pmod(Hashing.md5Hash60(concat(lit(d), lit(":"), item)), lit(width))
       .cast("int")
 
   /** Build the CMS counter table `(d, b, cnt)` over (weighted) items.
     * Output is <= depth x width rows — bounded fit state. Null items
-    * are skipped (SQL aggregate convention).
+    * are skipped (SQL aggregate convention). Counters sum the weight
+    * as DOUBLE (`cnt: double`) so fractional weights count exactly —
+    * a silent cast-to-long would truncate 0.5-weight rows to zero and
+    * invert the sketch's over-count-only guarantee.
     */
   def cmsCounters(df: DataFrame, itemCol: String, depth: Int,
       width: Int, weight: Column = lit(1L)): DataFrame = {
@@ -218,15 +215,15 @@ object Sketch {
       .select(explode(array((0 until depth).map(d =>
         struct(lit(d).as("d"),
           cmsBucket(col(itemCol), d, width).as("b"),
-          weight.cast("long").as("__w"))): _*)).as("e"))
+          weight.cast("double").as("__w"))): _*)).as("e"))
       .groupBy(col("e.d").as("d"), col("e.b").as("b"))
       .agg(sum(col("e.__w")).as("cnt"))
   }
 
   /** Point-query the sketch for each DISTINCT candidate item:
-    * `(item, est)` with `est = min_d cnt[d][h_d(item)]` (0 when a row's
-    * bucket was never touched). `counters` is tiny (<= depth x width
-    * rows) so its side of the join broadcasts.
+    * `(item, est)` with `est = min_d cnt[d][h_d(item)]` (0.0 when a
+    * row's bucket was never touched). `counters` is tiny (<= depth x
+    * width rows) so its side of the join broadcasts.
     */
   def cmsEstimate(counters: DataFrame, candidates: DataFrame,
       itemCol: String, depth: Int, width: Int): DataFrame = {
@@ -239,6 +236,6 @@ object Sketch {
     probes
       .join(broadcast(counters), Seq("d", "b"), "left")
       .groupBy(col("item"))
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .agg(min(coalesce(col("cnt").cast("double"), lit(0.0))).as("est"))
   }
 }

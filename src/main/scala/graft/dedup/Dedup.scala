@@ -234,10 +234,11 @@ object Dedup {
 
   /** 60-bit md5-derived token hash (top 15 hex digits): a few times
     * the CPU of xxhash64, but reproducible in any SQL engine — the
-    * oracle-checkable [[simhashes]] variant.
+    * oracle-checkable [[simhashes]] variant. The fold rule lives in
+    * [[graft.core.Hashing.md5Hash60]] (one definition for every
+    * portable-hash consumer); this name stays as the dedup-side API.
     */
-  def md5Hash60(t: Column): Column =
-    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+  def md5Hash60(t: Column): Column = graft.core.Hashing.md5Hash60(t)
 
   /** Embedding near-dup pairs via quantized cosine within blocks.
     * Embeddings are quantized to int (round(x*1000)) so dot products

@@ -148,13 +148,7 @@ object Sharding {
       .select(col(stratumCol), col("__e.id").as(idCol))
   }
 
-  /** Engine-portable 60-bit hash of an arbitrary (string-castable)
-    * column: md5 folded to 15 hex digits — the
-    * [[graft.dedup.Dedup.md5Hash60]] rule. DuckDB mirror:
-    * `CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)`.
-    */
-  private def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  import graft.core.Hashing.md5Hash60
 
   /** Deterministic dataset split (train/val/test): assign each row to
     * the first label whose cumulative-percent cut exceeds
@@ -171,10 +165,15 @@ object Sharding {
     */
   def hashSplit(df: DataFrame, idCol: String, salt: String,
       cuts: Seq[(String, Int)]): DataFrame = {
+    // STRICTLY increasing: a duplicated cut (80/80/100 for a meant
+    // 80/90/100) would make its label unreachable and silently ship an
+    // empty split — reject the typo at construction
     require(cuts.nonEmpty && cuts.last._2 == 100 &&
-      cuts.map(_._2) == cuts.map(_._2).sorted &&
-      cuts.forall(_._2 > 0),
-      s"cuts must be increasing cumulative percents ending at 100: $cuts")
+      cuts.forall(_._2 > 0) &&
+      cuts.map(_._2).sliding(2).forall(p =>
+        p.length < 2 || p(0) < p(1)),
+      s"cuts must be STRICTLY increasing cumulative percents ending " +
+        s"at 100: $cuts")
     val bucket = pmod(
       md5Hash60(concat(col(idCol).cast("string"), lit("#"), lit(salt))),
       lit(100L))
@@ -210,6 +209,12 @@ object Sharding {
     * weight or null id are excluded — a zero-weight row must never be
     * sampled, and an unweighable row is a data error to surface
     * upstream, not a silent keep.
+    *
+    * `idCol` must be UNIQUE INTEGRAL (the bounded-heap carries ids as
+    * int64 — the same contract as [[sampleExactPerStratum]] and
+    * [[graft.dedup.Dedup.exact]]): a fractional id would collapse
+    * under the cast and re-appear at two ranks, breaking the
+    * without-replacement guarantee.
     */
   def weightedSamplePerGroup(df: DataFrame, groupCol: String,
       idCol: String, weightCol: String, k: Int,

@@ -435,25 +435,25 @@ object TextOps {
   val PhonePattern = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
   val Ipv4Pattern = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
 
-  /** Scrub PII: count then replace every email / phone / IPv4 match
-    * with a typed placeholder. Pure codegen'd projection — a map-only
-    * stage at any scale, no shuffle, no state. Replacement order is
-    * email -> ip -> phone (the three patterns cannot overlap, but the
-    * order is pinned anyway so engines can't diverge on pathological
-    * inputs). Output adds `n_redactions` and `clean_text`; null text
-    * yields null both.
+  /** Scrub PII: replace every email / IPv4 / phone match (in that
+    * pinned order) with a typed placeholder. Each stage COUNTS on the
+    * previous stage's output, so `n_redactions` equals the number of
+    * placeholders actually inserted even when patterns nest — an
+    * email like `555-867-5309@corp.example.com` contains a
+    * phone-shaped substring, but it is redacted ONCE (as an email)
+    * and counted once. Pure codegen'd projection — a map-only stage
+    * at any scale, no shuffle, no state. Output adds `n_redactions`
+    * and `clean_text`; null text yields null both.
     */
   def scrubPii(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
+    val afterEmail = regexp_replace(t, EmailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Pattern, "<IP>")
+    val cleaned = regexp_replace(afterIp, PhonePattern, "<PHONE>")
     val n = (size(regexp_extract_all(t, lit(EmailPattern), lit(0))) +
-      size(regexp_extract_all(t, lit(PhonePattern), lit(0))) +
-      size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))))
+      size(regexp_extract_all(afterEmail, lit(Ipv4Pattern), lit(0))) +
+      size(regexp_extract_all(afterIp, lit(PhonePattern), lit(0))))
       .cast("long")
-    val cleaned = regexp_replace(
-      regexp_replace(
-        regexp_replace(t, EmailPattern, "<EMAIL>"),
-        Ipv4Pattern, "<IP>"),
-      PhonePattern, "<PHONE>")
     df.withColumn("n_redactions",
         when(t.isNull, lit(null).cast("long")).otherwise(n))
       .withColumn("clean_text", cleaned)

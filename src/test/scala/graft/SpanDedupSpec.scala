@@ -95,19 +95,26 @@ class SpanDedupSpec extends SparkSpec {
         Seq(null)).map(Row(_)))
     val narrow = Sketch.cmsCounters(items, "item", depth = 4, width = 8)
     val estN = Sketch.cmsEstimate(narrow, items, "item", 4, 8)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val truth = items.filter(col("item").isNotNull)
       .groupBy("item").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(truth.forall { case (k, n) => estN(k) >= n })
     // total counter mass per row d == total items (sanity of the matrix)
     val mass = narrow.groupBy("d").agg(sum("cnt").as("m"))
-      .collect().map(r => r.getLong(1)).toSet
-    assert(mass == Set(80L))
+      .collect().map(r => r.getDouble(1)).toSet
+    assert(mass == Set(80.0))
     val wide = Sketch.cmsCounters(items, "item", depth = 4, width = 1 << 16)
     val estW = Sketch.cmsEstimate(wide, items, "item", 4, 1 << 16)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(estW == truth) // no collisions at this width
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(estW == truth.view.mapValues(_.toDouble).toMap) // no collisions
+    // fractional weights count exactly (double counters — a long cast
+    // would truncate 0.5 to 0 and invert the over-count guarantee)
+    val frac = Sketch.cmsCounters(items, "item", 4, 1 << 16,
+      weight = lit(0.5))
+    val estF = Sketch.cmsEstimate(frac, items, "item", 4, 1 << 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(estF("hot") == 25.0 && estF("cold1") == 0.5)
   }
 
   test("hashSplit: total, deterministic, subset-invariant, " +
@@ -147,7 +154,10 @@ class SpanDedupSpec extends SparkSpec {
       Row(1L, "mail a.b-c%d@ex-ample.co.uk or x@y.io now"),
       Row(2L, "call 555-867-5309 or 555.867.0001 from 10.0.0.1"),
       Row(3L, "nothing sensitive here"),
-      Row(4L, null)))
+      Row(4L, null),
+      // nested: the email CONTAINS a phone-shaped substring — it must
+      // be redacted once (as the email) and counted once
+      Row(5L, "ping 555-867-5309@corp.example.com ok")))
     val out = TextOps.scrubPii(d, "text").orderBy("id").collect()
       .map(r => (r.getLong(0),
         if (r.isNullAt(2)) -1L else r.getLong(2),
@@ -156,6 +166,7 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(1) == ((2L, 3L, "call <PHONE> or <PHONE> from <IP>")))
     assert(out(2) == ((3L, 0L, "nothing sensitive here")))
     assert(out(3) == ((4L, -1L, null)))
+    assert(out(4) == ((5L, 1L, "ping <EMAIL> ok")))
   }
 
   test("mixtureSample: keep rates honor budget*share/tokens, cap at " +
