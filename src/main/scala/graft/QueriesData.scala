@@ -838,6 +838,19 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    "q134_dsir_sample" -> ((s, dir) => {
+      // DSIR data selection: pick the 50 raw docs whose hashed-unigram
+      // distribution best matches the 'src0' target slice, by
+      // Gumbel-top-k over exact integer micro-unit importance scores
+      // (no driver fit anywhere — the 256-row ratio table is computed
+      // in-plan and broadcast)
+      val docs = tbl(s, dir, "documents")
+      graft.text.Dsir.dsirSample(docs,
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", width = 256, k = 50)
+        .orderBy("rank")
+    }),
+
     "q53_snapshot_lineage" -> ((s, dir) => {
       // checkpointed snapshot write + snapshot-scoped read-back:
       // per-bucket row counts come from the STORED data, so the oracle
@@ -2097,6 +2110,50 @@ object QueriesData {
         |    CAST(30000 AS DOUBLE) * share / CAST(tok AS DOUBLE))
         |    * CAST(4294967296 AS DOUBLE))
         |ORDER BY d.doc_id""".stripMargin,
+
+    // identical integer micro-unit scoring: add-1-smoothed hashed-
+    // unigram log-ratios snapped to round(x*1e6) BIGINT (per-doc sums
+    // are then exact integer sums in any engine), Gumbel term from the
+    // same md5-derived u, rank = row_number over (key desc, doc_id)
+    "q134_dsir_sample" ->
+      """WITH tgt AS (SELECT text FROM documents WHERE source = 'src0'),
+        |ttok AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM tgt),
+        |tb AS (SELECT CAST(CAST('0x' || substring(md5(tok), 1, 15)
+        |      AS BIGINT) % 256 AS INTEGER) AS b, count(*) AS tn
+        |  FROM ttok GROUP BY 1),
+        |stok AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sb AS (SELECT CAST(CAST('0x' || substring(md5(tok), 1, 15)
+        |      AS BIGINT) % 256 AS INTEGER) AS b, count(*) AS sn
+        |  FROM stok GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM ttok) AS T,
+        |    (SELECT count(*) FROM stok) AS S),
+        |ratio AS (SELECT r.b,
+        |    CAST(round((ln((COALESCE(tn, 0) + 1) /
+        |        CAST(T + 256 AS DOUBLE)) -
+        |      ln((COALESCE(sn, 0) + 1) /
+        |        CAST(S + 256 AS DOUBLE))) * 1e6) AS BIGINT) AS lr
+        |  FROM range(0, 256) r(b)
+        |  LEFT JOIN tb ON r.b = tb.b
+        |  LEFT JOIN sb ON r.b = sb.b, tot),
+        |dsc AS (SELECT doc_id, CAST(SUM(lr) AS BIGINT) AS score_micro
+        |  FROM (SELECT doc_id, CAST(CAST('0x' ||
+        |        substring(md5(tok), 1, 15) AS BIGINT) % 256
+        |        AS INTEGER) AS b
+        |    FROM (SELECT doc_id, unnest(string_split(text, ' '))
+        |        AS tok FROM documents)) x
+        |  JOIN ratio ON x.b = ratio.b GROUP BY doc_id),
+        |ky AS (SELECT doc_id, score_micro,
+        |    score_micro + CAST(round(-ln(-ln(
+        |      (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+        |        || '#dsir'), 1, 15) AS BIGINT) + 1)
+        |      / 1152921504606846976.0)) * 1e6) AS BIGINT) AS key
+        |  FROM dsc),
+        |r AS (SELECT doc_id, score_micro, row_number() OVER
+        |    (ORDER BY key DESC, doc_id) AS rank FROM ky)
+        |SELECT CAST(rank AS INTEGER) AS rank, doc_id, score_micro
+        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
     // same deterministic A-ES keys (u exact in both engines; ln is the
     // one libm step — keys rounded to 9dp before ranking so a 1-ulp

@@ -163,6 +163,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.text.Sharding.weightedSamplePerGroup(
       df("g STRING, id BIGINT, w DOUBLE", Seq.empty),
       "g", "id", "w", 5).count() == 0)
+    // DSIR: empty source yields an empty sample; the ratio table stays
+    // total (width rows of pure smoothing mass) on empty corpora
+    assert(graft.text.Dsir.importanceTable(d, d, "text", 16)
+      .count() == 16)
+    assert(graft.text.Dsir.dsirSample(d, d, "doc_id", "text", 16, 5)
+      .count() == 0)
   }
 
   test("grouped sketch emits the prob=1.0 row even when fractional " +

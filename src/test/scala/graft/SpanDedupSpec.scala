@@ -199,6 +199,35 @@ class SpanDedupSpec extends SparkSpec {
         .collect().map(_.getLong(1)).toSet)
   }
 
+  test("dsir: importance table is total (width rows) and the sample " +
+      "prefers target-shaped documents decisively") {
+    import graft.text.Dsir
+    // population A speaks the target's vocabulary; population B does
+    // not appear in the target at all
+    val aText = (1 to 50).map(i => s"alpha${i % 7}").mkString(" ")
+    val bText = (1 to 50).map(i => s"zulu${i % 7}").mkString(" ")
+    val source = df("doc_id BIGINT, text STRING",
+      ((1L to 30L).map(i => Row(i, aText)) ++
+        (31L to 60L).map(i => Row(i, bText))))
+    val target = df("doc_id BIGINT, text STRING",
+      Seq(Row(100L, aText), Row(101L, aText)))
+    val table = Dsir.importanceTable(target, source, "text", 64)
+    assert(table.count() == 64)
+    // the Gumbel noise (±~2e7 micro) is far below the ~2e8-micro gap
+    // between an A doc and a B doc, so the top 30 are EXACTLY the A docs
+    val out = Dsir.dsirSample(source, target, "doc_id", "text",
+      width = 64, k = 30).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 30)
+    assert(out.forall(_._2 <= 30L))
+    assert(out.map(_._1).sorted.toSeq == (1 to 30))
+    // every A doc shares one text -> one exact integer score
+    assert(out.map(_._3).distinct.length == 1)
+    // k beyond the corpus returns everything
+    assert(Dsir.dsirSample(source, target, "doc_id", "text", 64,
+      k = 500).count() == 60)
+  }
+
   test("weightedSamplePerGroup: exactly min(k,|group|) distinct ids, " +
       "non-positive/null weights never sampled, matches the window " +
       "formulation") {
