@@ -838,6 +838,40 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    "q135_flat_image_gate" -> ((s, dir) => {
+      // low-information image filter end to end: real-codec table with
+      // every 20th payload replaced by a constant-gray PNG (the blank-
+      // thumbnail/placeholder junk class), lumaStats decode pass, gate
+      // on near-zero pixel variance. The oracle knows the flattened
+      // ids by construction, so the operator's DECODED VERDICTS are
+      // value-checked (normal synthetic renders have std_luma >> 2)
+      val base = ImageTable.imagesReal(s, 300)
+      val schema = base.schema
+      implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+      val idIdx = schema.fieldIndex("image_id")
+      val bIdx = schema.fieldIndex("bytes")
+      val fIdx = schema.fieldIndex("fmt")
+      val wIdx = schema.fieldIndex("w")
+      val hIdx = schema.fieldIndex("h")
+      val flattened = base.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getString(idIdx).drop(4).toLong
+          if (id % 20 == 0) {
+            val w = r.getInt(wIdx); val h = r.getInt(hIdx)
+            val px = Array.fill(w * h)(0xFF808080)
+            val bytes = graft.validate.PixelCheck.encode(
+              graft.validate.PixelCheck.toImage(px, w, h), "png")
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq.updated(bIdx, bytes).updated(fIdx, "png"))
+          } else r
+        }
+      }
+      Multimodal.lumaStats(flattened, flatStd = 2.0)
+        .filter(col("flat"))
+        .select("image_id")
+        .orderBy("image_id")
+    }),
+
     "q134_dsir_sample" -> ((s, dir) => {
       // DSIR data selection: pick the 50 raw docs whose hashed-unigram
       // distribution best matches the 'src0' target slice, by
@@ -2110,6 +2144,13 @@ object QueriesData {
         |    CAST(30000 AS DOUBLE) * share / CAST(tok AS DOUBLE))
         |    * CAST(4294967296 AS DOUBLE))
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the flattened ids are known by construction; everything else
+    // must pass the gate (pseudo-random renders have std_luma >> 2)
+    "q135_flat_image_gate" ->
+      """SELECT printf('img_%010d', i) AS image_id
+        |FROM range(0, 300) t(i) WHERE i % 20 = 0
+        |ORDER BY 1""".stripMargin,
 
     // identical integer micro-unit scoring: add-1-smoothed hashed-
     // unigram log-ratios snapped to round(x*1e6) BIGINT (per-doc sums

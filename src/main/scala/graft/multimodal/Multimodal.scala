@@ -325,6 +325,71 @@ object Multimodal {
     }
   }
 
+  /** Low-information image gate: decode each payload and compute
+    * per-image luma statistics — `mean_luma`, population `std_luma` —
+    * plus `flat` (std <= `flatStd`: near-constant images — blank
+    * thumbnails, tracking pixels, solid placeholders — the classic
+    * junk an image-caption curation pass drops) and `luma_ok` (decode
+    * verdict; undecodable/null payloads report `flat = false` — they
+    * are the QUARANTINE gate's business ([[auditPayloads]]), not this
+    * filter's).
+    *
+    * Same discipline as every codec op here: mapPartitions with a
+    * partition-reused [[graft.validate.PixelCheck.Codec]], payload
+    * bytes die inside the partition (dropped from the output schema),
+    * fixed row-major accumulation so the doubles are deterministic.
+    */
+  def lumaStats(df: DataFrame, flatStd: Double = 2.0): DataFrame = {
+    val inSchema = df.schema
+    val bytesIdx = inSchema.fieldIndex("bytes")
+    val fmtIdx = inSchema.fieldIndex("fmt")
+    val keptIdx = inSchema.fields.indices.filterNot(_ == bytesIdx)
+    val outSchema = StructType(keptIdx.map(inSchema.fields) ++ Seq(
+      StructField("mean_luma", DoubleType),
+      StructField("std_luma", DoubleType),
+      StructField("flat", BooleanType),
+      StructField("luma_ok", BooleanType)))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      val codec = new PixelCheck.Codec
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => codec.close()))
+      it.map { r =>
+        val kept = keptIdx.map(r.get)
+        val stats: Seq[Any] =
+          try {
+            val bytes = Option(r.getAs[Array[Byte]](bytesIdx))
+              .getOrElse(Array.emptyByteArray)
+            val img = if (bytes.isEmpty) null
+              else codec.decode(bytes, r.getString(fmtIdx))
+            if (img == null) Seq(0.0, 0.0, false, false)
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              var s = 0.0; var s2 = 0.0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  val l = 0.299 * ((p >> 16) & 0xff) +
+                    0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+                  s += l; s2 += l * l
+                  x += 1
+                }
+                y += 1
+              }
+              val n = (w.toLong * h).toDouble
+              val mean = s / n
+              val v = math.max(s2 / n - mean * mean, 0.0)
+              val std = math.sqrt(v)
+              Seq(mean, std, std <= flatStd, true)
+            }
+          } catch { case _: Exception => Seq(0.0, 0.0, false, false) }
+        Row.fromSeq(kept ++ stats)
+      }
+    }
+  }
+
   /** Transcode payloads: decode and re-encode into `targetFmt`
     * (png = lossless: the decoded pixel matrix is preserved exactly,
     * so pixel-derived features — [[averageHash]], PSNR audits — are

@@ -127,4 +127,50 @@ class PixelCheckSpec extends SparkSpec {
     }
     assert(base.drop(4).forall(r => byId(r.getString(idIdx))))
   }
+
+  test("lumaStats: constant image flat (std 0), real renders not " +
+      "flat, corrupt/null payloads report luma_ok=false, flat=false") {
+    import org.apache.spark.sql.Row
+    val base = ImageTable.imagesReal(spark, 6).collect()
+    val schema = ImageTable.imagesReal(spark, 1).schema
+    val bIdx = schema.fieldIndex("bytes")
+    val fIdx = schema.fieldIndex("fmt")
+    def withBytes(r: Row, b: Array[Byte], fmt: String): Row =
+      Row.fromSeq(r.toSeq.updated(bIdx, b).updated(fIdx, fmt))
+    val w0 = base(0).getAs[Int]("w"); val h0 = base(0).getAs[Int]("h")
+    val flatPng = PixelCheck.encode(
+      PixelCheck.toImage(Array.fill(w0 * h0)(0xFF3366AA), w0, h0),
+      "png")
+    val rows = Seq(
+      withBytes(base(0), flatPng, "png"),
+      withBytes(base(1), Array[Byte](9, 9, 9), "png"), // garbage
+      withBytes(base(2), null, "png")) ++ base.drop(3)
+    val out = graft.multimodal.Multimodal.lumaStats(
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        schema), flatStd = 2.0)
+      .collect()
+      .map(r => r.getAs[String]("image_id") ->
+        ((r.getAs[Double]("mean_luma"), r.getAs[Double]("std_luma"),
+          r.getAs[Boolean]("flat"), r.getAs[Boolean]("luma_ok"))))
+      .toMap
+    val idIdx = schema.fieldIndex("image_id")
+    val (fm, fs, ff, fok) = out(rows(0).getString(idIdx))
+    // the one-pass variance of a constant image is zero up to the
+    // E[X^2]-E[X]^2 cancellation's accumulation noise
+    assert(fok && ff && fs < 1e-3 && math.abs(fm - (0.299 * 0x33 +
+      0.587 * 0x66 + 0.114 * 0xAA)) < 1e-6)
+    Seq(1, 2).foreach { i =>
+      val (_, _, fl, ok) = out(rows(i).getString(idIdx))
+      assert(!ok && !fl)
+    }
+    base.drop(3).foreach { r =>
+      val (_, std, fl, ok) = out(r.getString(idIdx))
+      assert(ok && !fl && std > 10.0)
+    }
+    // the output schema must not carry payload bytes
+    assert(!graft.multimodal.Multimodal.lumaStats(
+      ImageTable.imagesReal(spark, 1)).columns.contains("bytes"))
+  }
 }
