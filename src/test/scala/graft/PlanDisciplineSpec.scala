@@ -182,4 +182,54 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(plan.contains("partial_sum") || plan.contains("Partial"),
       s"no map-side partial aggregation:\n$plan")
   }
+
+  private lazy val docPath: String = {
+    val p = Files.createTempDirectory("plan_docs").toString + "/docs"
+    spark.range(0, 80)
+      .selectExpr("id AS doc_id",
+        "repeat(concat('w', CAST(id % 9 AS STRING), ' '), 30) AS text")
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  test("span dedup: equi-joins only (no BNLJ/cartesian), dup-gram " +
+      "count is map-side combined, no single-partition stage") {
+    val q = graft.text.SpanDedup.duplicatedSpans(
+      spark.read.parquet(docPath), "doc_id", "text", 8)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("SinglePartition"), plan.take(800))
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"no map-side combine on the gram counts:\n$plan")
+  }
+
+  test("CMS counter build is ONE map-side-combined exchange (bounded " +
+      "by depth x width partials regardless of input rows)") {
+    val toks = spark.read.parquet(docPath)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val q = graft.core.Sketch.cmsCounters(toks, "token", 4, 64)
+    val plan = q.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      s"no map-side partial aggregation:\n$plan")
+  }
+
+  test("mixture sample: totals join back broadcast, data side never " +
+      "exchanges") {
+    val q = graft.text.TextOps.mixtureSample(
+      spark.read.parquet(docPath)
+        .selectExpr("doc_id", "CAST(doc_id % 3 AS STRING) AS lang",
+          "text", "30 AS n_tok"),
+      "lang", "doc_id", "n_tok", Map("0" -> 0.5, "1" -> 0.5), 500L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // the only exchanges feed the |strata|-row totals aggregation and
+    // its broadcast — the raw-rows side must not hash-exchange, so any
+    // hashpartitioning exchanges must sit under the aggregate side
+    // (bounded rows), which shows as at most one exchange total here
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"data side exchanged:\n$plan")
+  }
 }
