@@ -42,7 +42,7 @@ object PipelineJob {
     require(args.nonEmpty,
       "usage: PipelineJob <storeRoot> [--images N] " +
         "[--events-per-image K] [--buckets B] [--max-buckets M] " +
-        "[--verify]")
+        "[--verify] [--rewrite [--zorder col1,col2]]")
     val root = args(0)
     def intArg(flag: String, dflt: Int): Int =
       args.sliding(2).collectFirst {
@@ -57,6 +57,12 @@ object PipelineJob {
     val doRewrite = args.contains("--rewrite")
     val zorderCols: Seq[String] = args.sliding(2).collectFirst {
       case Array("--zorder", v) => v.split(",").toSeq }.getOrElse(Seq.empty)
+    // --zorder only means something to the rewrite path; silently
+    // ignoring it would let a user believe their features were
+    // clustered when the normal pipeline ran instead
+    require(zorderCols.isEmpty || doRewrite,
+      "--zorder requires --rewrite (Z-order clustering is a storage " +
+        "rewrite, not a pipeline option)")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()

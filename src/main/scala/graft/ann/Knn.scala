@@ -103,15 +103,25 @@ object Knn {
     */
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, iters: Int = 2): IvfModel = {
-    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    val dimsRow = corpus.select(size(col(vecCol)).as("__d"))
+      .filter(col("__d").isNotNull && col("__d") > 0)
+      .limit(1).collect()
+    require(dimsRow.nonEmpty,
+      "ivfBuild needs a non-empty corpus with non-null vectors " +
+        "(an inverted-file index over nothing has no meaning — " +
+        "query paths answer empty via ivfTopK)")
+    val dims = dimsRow.head.getInt(0)
 
     // deterministic seed centroids: the nlist corpus vectors with the
-    // smallest xxhash64(id) — a pseudo-random sample without rand()
+    // smallest xxhash64(id) — a pseudo-random sample without rand().
+    // The cast normalizes array<float> AND array<double> inputs (every
+    // query path accepts both via Dedup.quantize).
     var centroids: Array[Array[Double]] = corpus
-      .select(col(vecCol), xxhash64(col(idCol).cast("string")).as("__h"))
+      .select(col(vecCol).cast("array<double>").as(vecCol),
+        xxhash64(col(idCol).cast("string")).as("__h"))
       .orderBy(col("__h")).limit(nlist)
       .collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .map(_.getSeq[Double](0).toArray)
 
     (1 to iters).foreach { _ =>
       val cs = centroids
@@ -151,20 +161,30 @@ object Knn {
     * exact-reranks only those lists. Queries broadcast; the corpus-side
     * lists are reusable across arbitrarily many query batches.
     */
-  def ivfQuery(model: IvfModel, lists: DataFrame, queries: DataFrame,
-      queryIdCol: String, vecCol: String, k: Int, nprobe: Int = 4)
-      : DataFrame = {
-    val cs = model.centroids
-    val probes = queries
+  /** `(query_id, __qq, __list)` probe rows: each query's quantized
+    * vector exploded to its `nprobe` nearest centroid lists — the ONE
+    * probe-selection rule shared by [[ivfQuery]] and [[ivfPqTopK]]
+    * (drifting copies would silently desynchronize IVF and IVF-PQ
+    * probing).
+    */
+  private def probesOf(model: IvfModel, queries: DataFrame,
+      queryIdCol: String, vecCol: String, nprobe: Int): DataFrame =
+    queries
       .select(col(queryIdCol).as("query_id"),
         Dedup.quantize(col(vecCol)).as("__qq"))
       .select(col("query_id"), col("__qq"),
-        array_sort(array(centroidDists(col("__qq"), cs): _*)).as("__pl"))
+        array_sort(array(
+          centroidDists(col("__qq"), model.centroids): _*)).as("__pl"))
       .select(col("query_id"), col("__qq"),
         explode(slice(col("__pl"), 1, nprobe)).as("__p"))
       .select(col("query_id"), col("__qq"),
         col("__p").cast("struct<d:bigint,i:int>").getField("i")
           .as("__list"))
+
+  def ivfQuery(model: IvfModel, lists: DataFrame, queries: DataFrame,
+      queryIdCol: String, vecCol: String, k: Int, nprobe: Int = 4)
+      : DataFrame = {
+    val probes = probesOf(model, queries, queryIdCol, vecCol, nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("item_id"))
     lists.join(broadcast(probes), Seq("__list"))
@@ -240,6 +260,18 @@ object Knn {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, queryIdCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    // empty/all-null corpus: no index to build, no possible hits —
+    // answer empty with the output schema (EmptyInputSpec contract,
+    // same as lshTopK) instead of crashing inside the build
+    if (corpus.select(size(col(vecCol)).as("__d"))
+        .filter(col("__d").isNotNull && col("__d") > 0)
+        .limit(1).collect().isEmpty)
+      return queries.select(col(queryIdCol).as("query_id"))
+        .filter(lit(false))
+        .withColumn("item_id",
+          lit(null).cast(corpus.schema(idCol).dataType))
+        .withColumn("cosine", lit(0.0))
+        .withColumn("rank", lit(0))
     val model = ivfBuild(corpus, idCol, vecCol, nlist, iters)
     ivfQuery(model, ivfLists(model, corpus, idCol, vecCol), queries,
       queryIdCol, vecCol, k, nprobe)
@@ -377,13 +409,19 @@ object Knn {
     */
   def pqBuild(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 4, ksub: Int = 8, iters: Int = 2): PqModel = {
-    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    val dimsRow = corpus.select(size(col(vecCol)).as("__d"))
+      .filter(col("__d").isNotNull && col("__d") > 0)
+      .limit(1).collect()
+    require(dimsRow.nonEmpty,
+      "pqBuild needs a non-empty corpus with non-null vectors")
+    val dims = dimsRow.head.getInt(0)
     require(dims % m == 0, s"m=$m must divide dims=$dims")
     val dsub = dims / m
     val seedRows = corpus
-      .select(col(vecCol), xxhash64(col(idCol).cast("string")).as("__h"))
+      .select(col(vecCol).cast("array<double>").as(vecCol),
+        xxhash64(col(idCol).cast("string")).as("__h"))
       .orderBy(col("__h")).limit(ksub).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .map(_.getSeq[Double](0).toArray)
     require(seedRows.length == ksub,
       s"pqBuild needs >= ksub=$ksub corpus vectors, got ${seedRows.length}")
     var cents: Array[Array[Array[Double]]] = Array.tabulate(m)(i =>
@@ -563,17 +601,7 @@ object Knn {
     require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
     val idx = index.getOrElse(
       ivfPqIndex(ivf, pq, corpus, idCol, vecCol))
-    val cs = ivf.centroids
-    val probes = queries
-      .select(col(queryIdCol).as("query_id"),
-        Dedup.quantize(col(vecCol)).as("__qq"))
-      .select(col("query_id"), col("__qq"),
-        array_sort(array(centroidDists(col("__qq"), cs): _*)).as("__pl"))
-      .select(col("query_id"), col("__qq"),
-        explode(slice(col("__pl"), 1, nprobe)).as("__p"))
-      .select(col("query_id"), col("__qq"),
-        col("__p").cast("struct<d:bigint,i:int>").getField("i")
-          .as("__list"))
+    val probes = probesOf(ivf, queries, queryIdCol, vecCol, nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_pq").desc, col("item_id"))
     val cands = idx.join(broadcast(probes), Seq("__list"))

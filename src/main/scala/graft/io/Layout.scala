@@ -69,9 +69,17 @@ object Layout {
     */
   def rangesOf(df: DataFrame, cols: Seq[String])
       : Seq[(Double, Double)] = {
+    // NaN must not reach min/max: Spark orders NaN greatest, so one
+    // NaN row would make mx (hence width) NaN and silently bucket the
+    // WHOLE dimension to 0 — the clustering the maintenance job was
+    // run for would quietly not happen
+    def noNan(c: String) = {
+      val d = col(c).cast("double")
+      when(isnan(d), lit(null).cast("double")).otherwise(d)
+    }
     val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"__mn_$c"),
-      max(col(c).cast("double")).as(s"__mx_$c")))
+      min(noNan(c)).as(s"__mn_$c"),
+      max(noNan(c)).as(s"__mx_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     cols.indices.map { i =>
       (Option(r.getAs[java.lang.Double](2 * i)).map(_.toDouble)

@@ -131,8 +131,7 @@ object StreamingOps {
       // else: crashed between intent and commit — redo below
     } else {
       java.nio.file.Files.createDirectories(commits)
-      java.nio.file.Files.writeString(marker,
-        latest.getOrElse(0).toString)
+      writeAtomic(marker, latest.getOrElse(0).toString)
     }
     val s = batch.sparkSession
     val prev = latest
@@ -187,11 +186,24 @@ object StreamingOps {
       corpusText: DataFrame, idCol: String, textCol: String,
       indexRoot: String, threshold: Double,
       emit: DataFrame => Unit): Unit = {
+    // the batch feeds several actions below (emptiness, min/max agg,
+    // signatures, the survivors join) — evaluate the source once
+    batch.persist()
+    try dedupIngestBatchImpl(batch, batchId, corpusText, idCol,
+      textCol, indexRoot, threshold, emit)
+    finally { batch.unpersist(false); () }
+  }
+
+  private def dedupIngestBatchImpl(batch: DataFrame, batchId: Long,
+      corpusText: DataFrame, idCol: String, textCol: String,
+      indexRoot: String, threshold: Double,
+      emit: DataFrame => Unit): Unit = {
     val s = batch.sparkSession
     val commits = java.nio.file.Paths.get(indexRoot, "_ingest_commits")
     val marker = commits.resolve(s"batch-$batchId")
     val bandsRoot = s"$indexRoot/bands"
     val latestBands = graft.io.SnapshotStore.latestSnapshot(bandsRoot)
+    val hwmPath = java.nio.file.Paths.get(indexRoot, "max_id.txt")
     if (java.nio.file.Files.exists(marker)) {
       val base = java.nio.file.Files.readString(marker).trim.toInt
       if (latestBands.exists(_ > base)) {
@@ -200,25 +212,22 @@ object StreamingOps {
         if (!batch.isEmpty) {
           val mx = batch.agg(max(col(idCol).cast("long")))
             .head().getLong(0)
-          val hp = java.nio.file.Paths.get(indexRoot, "max_id.txt")
-          val cur = if (java.nio.file.Files.exists(hp))
-            java.nio.file.Files.readString(hp).trim.toLong
+          val cur = if (java.nio.file.Files.exists(hwmPath))
+            java.nio.file.Files.readString(hwmPath).trim.toLong
           else Long.MinValue
-          if (mx > cur)
-            java.nio.file.Files.writeString(hp, mx.toString)
+          if (mx > cur) writeAtomic(hwmPath, mx.toString)
         }
         return
       }
       // else: crashed mid-batch — redo (merges below are dedup-safe)
     } else {
       java.nio.file.Files.createDirectories(commits)
-      java.nio.file.Files.writeString(marker,
-        latestBands.getOrElse(0).toString)
+      writeAtomic(marker, latestBands.getOrElse(0).toString)
     }
     if (batch.isEmpty) {
       // commit the empty batch by bumping nothing: rewrite the marker
       // as already-satisfied (base -1 so any snapshot counts as done)
-      java.nio.file.Files.writeString(marker, "-1")
+      writeAtomic(marker, "-1")
       return
     }
     // verification corpus = the base corpus + every previously
@@ -233,16 +242,27 @@ object StreamingOps {
       .map(base.unionByName(_).dropDuplicates(idCol)).getOrElse(base)
     // enforce the monotone-id contract the keep-smaller-id rule
     // needs: batch ids must exceed the tracked high-water mark
-    val minBatchId =
-      batch.agg(min(col(idCol).cast("long"))).head().getLong(0)
-    val hwmPath = java.nio.file.Paths.get(indexRoot, "max_id.txt")
+    val mm = batch.agg(min(col(idCol).cast("long")),
+      max(col(idCol).cast("long"))).head()
+    val minBatchId = mm.getLong(0)
+    val maxBatchId = mm.getLong(1)
+    val hwmExists = java.nio.file.Files.exists(hwmPath)
     val hwm: Long =
-      if (java.nio.file.Files.exists(hwmPath))
+      if (hwmExists)
         java.nio.file.Files.readString(hwmPath).trim.toLong
       else { // first batch: one-time corpus max
         val r = fullCorpus.agg(max(col(idCol))).head()
         if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
       }
+    if (hwmExists && hwm >= maxBatchId) {
+      // the hwm is written LAST, so hwm >= this batch's max means a
+      // previous attempt fully absorbed it but the bands snapshot
+      // never advanced — the legitimate ALL-DOOMED batch (no
+      // survivors = no publish). Without this exit, the replay of a
+      // committed all-doomed batch would fail the monotonicity
+      // require below forever and wedge the stream.
+      return
+    }
     require(minBatchId > hwm,
       s"dedupIngestSink: batch ids must be monotone — batch min " +
         s"$minBatchId <= absorbed max $hwm")
@@ -272,10 +292,22 @@ object StreamingOps {
       graft.dedup.MinhashIndex.appendBatch(survText,
         idCol, textCol, indexRoot)
     }
-    val maxBatchId =
-      batch.agg(max(col(idCol).cast("long"))).head().getLong(0)
-    java.nio.file.Files.writeString(hwmPath, maxBatchId.toString)
+    writeAtomic(hwmPath, maxBatchId.toString)
     survivors.unpersist(false)
+    ()
+  }
+
+  /** Crash-safe small-file write: the recovery markers and high-water
+    * mark are REPLAY decision inputs, so a torn write (truncate
+    * happened, bytes didn't) must be impossible — write a sibling tmp
+    * then atomically move it over the target.
+    */
+  private def writeAtomic(p: java.nio.file.Path, s: String): Unit = {
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, s)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
@@ -426,8 +458,15 @@ object StreamingOps {
         if (carry.forall(_.featureTs <= toMicros(t.ts)))
           carry = Some(CarryState(toMicros(t.ts), t.value.get))
       } else {
+        // a LATE event (older than the carried feature) must not see
+        // that future feature — the zero-leakage contract. Only-latest
+        // state cannot recover the older feature that was overwritten,
+        // so the late event enriches to None; the batch AsOfJoin is
+        // the documented backfill path for late data.
+        val eligible = carry.filter(_.featureTs <= toMicros(t.ts))
         out += Enriched(entity, t.ts, t.payload.getOrElse(Double.NaN),
-          carry.map(_.value), carry.map(c => fromMicros(c.featureTs)))
+          eligible.map(_.value),
+          eligible.map(c => fromMicros(c.featureTs)))
       }
     }
     carry.foreach(state.update)
@@ -440,7 +479,8 @@ object StreamingOps {
   case class PhashPair(idA: String, idB: String, hamming: Int)
   case class BandedImage(band: Int, bits: Long, imageId: String,
       phash: Long, ts: Timestamp)
-  case class BucketState(ids: List[(String, Long)])
+  case class BucketState(ids: List[(String, Long)],
+    maxTs: Long = 0L)
 
   private def bandBits(phash: Long, band: Int, width: Int): Long = {
     val mask = if (width == 64) -1L else (1L << width) - 1
@@ -463,7 +503,12 @@ object StreamingOps {
     * State is bounded two ways: event-time timeout clears buckets
     * `horizon` past the watermark (same contract as [[dedupStream]] —
     * older near-dups are the batch operator's backfill job), and
-    * `maxPerBucket` ring-evicts pathological hot buckets.
+    * `maxPerBucket` ring-evicts pathological hot buckets. The ring cap
+    * trades completeness for bounded state: a pair whose FIRST shared
+    * band sits in an over-capacity bucket that evicted one side is not
+    * re-emitted by the other shared buckets (they defer to the first
+    * band by design) — beyond-capacity collisions are the batch
+    * operator's backfill job, like late data.
     */
   def phashNearDupStream(imgs: Dataset[PhashImage], maxDist: Int,
       bands: Int = 4, watermark: String = "10 minutes",
@@ -490,7 +535,11 @@ object StreamingOps {
           else {
             var seen = state.getOption.map(_.ids).getOrElse(Nil)
             val out = Seq.newBuilder[PhashPair]
-            var maxTs = 0L
+            // the timeout must never REGRESS: a late-but-valid row
+            // alone in a batch has a small max ts, and re-arming from
+            // it would evict newer state early — carry the bucket's
+            // historical max
+            var maxTs = state.getOption.map(_.maxTs).getOrElse(0L)
             rows.toSeq.sortBy(r => (r.ts.getTime, r.imageId))
               .foreach { r =>
                 maxTs = math.max(maxTs, r.ts.getTime)
@@ -510,7 +559,7 @@ object StreamingOps {
                   seen = ((r.imageId, r.phash) :: seen).take(maxPerBucket)
                 }
               }
-            state.update(BucketState(seen))
+            state.update(BucketState(seen, maxTs))
             state.setTimeoutTimestamp(maxTs + horizonMs)
             out.result().iterator
           }

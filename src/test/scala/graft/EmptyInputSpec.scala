@@ -147,6 +147,25 @@ class EmptyInputSpec extends SparkSpec {
       k = 3).count() == 0)
   }
 
+  test("ivfTopK: empty corpus answers empty (same contract as " +
+      "lshTopK); builds accept array<double> vectors") {
+    import graft.ann.Knn
+    val queries = df("id BIGINT, embedding ARRAY<FLOAT>", Seq(
+      Row(1L, Seq(0.5f, 0.5f))))
+    val empty = df("id BIGINT, embedding ARRAY<FLOAT>", Seq.empty)
+    assert(Knn.ivfTopK(empty, queries, "id", "embedding", "id",
+      k = 3, nlist = 2, nprobe = 1).count() == 0)
+    // array<double> corpus: the seed collect used to ClassCastException
+    val dbl = df("id BIGINT, embedding ARRAY<DOUBLE>",
+      (1L to 8L).map(i => Row(i, Seq(i.toDouble, (9 - i).toDouble))))
+    val qd = df("id BIGINT, embedding ARRAY<DOUBLE>",
+      Seq(Row(100L, Seq(8.0, 1.0))))
+    val top = Knn.ivfTopK(dbl, qd, "id", "embedding", "id",
+      k = 1, nlist = 2, nprobe = 2)
+      .collect().map(r => r.getAs[Long]("item_id"))
+    assert(top.length == 1 && top.head == 8L)
+  }
+
   test("span dedup / cms / split / weighted sample on empty input") {
     val d = emptyDocs()
     assert(graft.text.SpanDedup.duplicatedSpans(d, "doc_id", "text", 8)

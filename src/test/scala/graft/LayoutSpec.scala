@@ -36,6 +36,14 @@ class LayoutSpec extends SparkSpec {
     assert(const.forall(_ == 0L))
   }
 
+  test("rangesOf ignores NaN: one NaN row must not collapse the " +
+      "dimension (NaN max -> NaN width -> every bucket 0)") {
+    val d = df("a DOUBLE, b DOUBLE", Seq(
+      Row(1.0, 10.0), Row(5.0, 20.0), Row(Double.NaN, 30.0)))
+    val r = Layout.rangesOf(d, Seq("a", "b"))
+    assert(r == Seq((1.0, 5.0), (10.0, 30.0)))
+  }
+
   test("z-order clustering tightens per-chunk bounding boxes vs " +
       "natural order") {
     val rnd = new scala.util.Random(5)

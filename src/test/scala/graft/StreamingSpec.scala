@@ -90,6 +90,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("as-of enrich never leaks a FUTURE feature to a late event") {
+    // regression: a cross-batch late event (older than the carried
+    // feature) used to be enriched with that future feature — a
+    // point-in-time violation the batch AsOfJoin would never commit
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tagged]
+    val q = StreamingOps.asOfEnrichStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("enr_late").outputMode("append").start()
+    try {
+      input.addData(
+        Tagged("a", ts("2024-01-01 10:00:00"), 0, Some(1.5), None))
+      q.processAllAvailable()
+      // batch 2: an event from BEFORE the carried feature
+      input.addData(
+        Tagged("a", ts("2024-01-01 09:00:00"), 1, None, Some(100.0)),
+        Tagged("a", ts("2024-01-01 11:00:00"), 1, None, Some(200.0)))
+      q.processAllAvailable()
+      val got = spark.table("enr_late").orderBy("ts").collect()
+        .map(r => (r.getDouble(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))
+        .toSeq
+      assert(got == Seq(
+        (100.0, None),      // late event: future feature withheld
+        (200.0, Some(1.5))))
+    } finally q.stop()
+  }
+
+  test("dedupIngestBatch: replay of a committed ALL-DOOMED batch is " +
+      "a no-op, not a monotonicity violation") {
+    // regression: the hwm advanced but no bands snapshot was
+    // published, so a replay (standard at-least-once re-delivery)
+    // took the redo path and failed `minBatchId > hwm` forever
+    import spark.implicits._
+    val corpus = (1L to 6L).map(i => (i,
+      s"corpus document $i sharing many words plus token$i end"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("ingest-replay").toString
+    graft.dedup.MinhashIndex.build(corpus, "doc_id", "text", root)
+    val doomed = Seq(
+      (101L, "document 3 sharing many words plus token3 end"))
+      .toDF("doc_id", "text")
+    val emitted = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(b: org.apache.spark.sql.DataFrame): Unit =
+      StreamingOps.dedupIngestBatch(b, 0L, corpus, "doc_id", "text",
+        root, threshold = 0.5,
+        emit = d => emitted ++= d.select("doc_id").collect()
+          .map(_.getLong(0)))
+    run(doomed)
+    run(doomed) // replay with the SAME batchId — must not throw
+    assert(emitted.isEmpty)
+    // and the stream continues: a later fresh batch absorbs normally
+    val fresh = Seq(
+      (201L, "totally new content aa bb cc dd ee ff gg hh"))
+      .toDF("doc_id", "text")
+    StreamingOps.dedupIngestBatch(fresh, 1L, corpus, "doc_id",
+      "text", root, threshold = 0.5,
+      emit = d => emitted ++= d.select("doc_id").collect()
+        .map(_.getLong(0)))
+    assert(emitted.toSet == Set(201L))
+  }
+
   test("as-of enrich carries MICROSECOND feature timestamps exactly") {
     // regression (caught by the q109 oracle): the carry state stored
     // Timestamp.getTime (epoch millis), truncating Spark-native µs on
