@@ -46,8 +46,17 @@ object Stats {
       weight: Column): Map[String, Option[Double]] = {
     val pair = explode(array(columns.map(c =>
       struct(lit(c).as("k"), col(c).cast("double").as("v"))): _*))
-    val pairs = df.select(pair.as("p"), weight.cast("double").as("w"))
-      .filter(col("p.v").isNotNull)
+    // same hygiene as the quantile path: zero/null weights are
+    // dropped (all-zero weights would make f = 0/0 = NaN, which
+    // Spark's NaN-greatest ordering lets PASS f >= 0.5, returning
+    // min(v) instead of None; a null weight would NPE the partition
+    // totals collect), and NaN values are excluded like nulls (NaN
+    // sorts greatest, shifting every fraction and poisoning the
+    // bracket — groupedWeightedQuantiles filters it for the same
+    // reason)
+    val pairs = df.filter(weight.cast("double") =!= 0)
+      .select(pair.as("p"), weight.cast("double").as("w"))
+      .filter(col("p.v").isNotNull && !isnan(col("p.v")))
       .select(col("p.k").as("k"), col("p.v").as("v"), col("w"))
     val (fv, cleanup) = keyedCumFractions(pairs)
     try {
@@ -116,7 +125,10 @@ object Stats {
       struct(lit(c).as("k"), col(c).cast("double").as("v"))): _*))
     val pairs = df.filter(weight.cast("double") =!= 0)
       .select(pair.as("p"), weight.cast("double").as("__mw"))
-      .filter(col("p.v").isNotNull)
+      // NaN excluded like null (NaN sorts GREATEST, so it would both
+      // shift every cumulative fraction and win the v_hi bracket —
+      // the grouped path filters it for the same reason)
+      .filter(col("p.v").isNotNull && !isnan(col("p.v")))
       .select(col("p.k").as("k"), col("p.v").as("v"),
         col("__mw").as("w"))
     val (fv, cleanup) = keyedCumFractions(pairs)

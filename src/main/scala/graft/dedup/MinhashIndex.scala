@@ -36,8 +36,10 @@ object MinhashIndex {
 
   private val NBuckets = 16
   private def bandsRoot(root: String) = s"$root/bands"
-  private def bucketExpr = pmod(xxhash64(col("id")), lit(NBuckets))
-    .cast("int")
+  // the store's documented default bucketing — via byKey so a future
+  // hashing tweak there can't silently diverge from this index
+  private def bucketExpr =
+    graft.io.SnapshotStore.byKey("id", NBuckets)
 
   private def writeParams(root: String, p: Params): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
@@ -114,6 +116,10 @@ object MinhashIndex {
     */
   def batchNearDups(batch: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, root: String, threshold: Double): DataFrame = {
+    // the batch side is guarded inside bandRowsOf; the corpus text
+    // side is cast below and would silently null out non-integral ids
+    // (dropping every batch-vs-corpus pair from the output)
+    requireIntegralId(corpus, idCol)
     val p = params(root)
     // all three uses below join on (band, bh) off this one
     // repartition, so Spark plans a single signature computation +

@@ -51,6 +51,23 @@ object SnapshotStore {
 
   private val B = "__bucket"
 
+  /** `Files.list` with the stream CLOSED (it holds a directory fd —
+    * leaving it to GC leaks descriptors in a long-lived driver doing
+    * periodic write/expire cycles).
+    */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  /** The row-content hash expression shared by [[lineageOf]] and
+    * [[verify]] — names BACKQUOTED so columns needing quoting
+    * (spaces, dashes, reserved words) don't break the parse.
+    */
+  private def rowHashExpr(dataCols: Seq[String]): Column =
+    expr(s"bit_xor(xxhash64(struct(" +
+      dataCols.map(c => s"`$c`").mkString(",") + ")))")
+
   /** Per-bucket (rows, content-hash) of an already-bucketed frame —
     * one distributed agg, bit_xor is order-independent and overflow-free
     * (ANSI-safe, unlike a sum of hashes).
@@ -59,7 +76,7 @@ object SnapshotStore {
     bucketed
       .groupBy(col(B))
       .agg(count(lit(1)).as("rows"),
-        expr(s"bit_xor(xxhash64(struct(${bucketed.columns.filterNot(_ == B).mkString(",")})))")
+        rowHashExpr(bucketed.columns.toSeq.filterNot(_ == B))
           .as("xxh"))
       .collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
@@ -76,7 +93,7 @@ object SnapshotStore {
       includeIncomplete: Boolean = false): Seq[Int] = {
     val dir = Paths.get(root, "snapshots")
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
+    else listDir(dir).iterator
       .map(_.getFileName.toString)
       .collect {
         case s if s.startsWith("v") && s.endsWith(".manifest.jsonl") =>
@@ -139,6 +156,13 @@ object SnapshotStore {
     */
   def write(df: DataFrame, root: String, bucketExpr: Column,
       maxBucketsPerRun: Int = Int.MaxValue): WriteResult = {
+    // "__bucket" would be silently OVERWRITTEN by withColumn and "run"
+    // collides with the run=<snap> partition directory at read time —
+    // fail loud instead of corrupting or wedging the table
+    require(!df.columns.contains(B) && !df.columns.contains("run"),
+      s"column names '$B' and 'run' are reserved by SnapshotStore " +
+        s"(found: ${df.columns.filter(c => c == B || c == "run")
+          .mkString(",")})")
     // persist the bucketed projection so the lineage agg and the file
     // write observe ONE execution of the input plan — a
     // non-deterministic input (rand, unstable sampling) would otherwise
@@ -163,6 +187,7 @@ object SnapshotStore {
 
       val snap = latestAnySnapshot(root).getOrElse(0) + 1
       val runDir = s"$root/runs/run=$snap"
+      dropStaleRunDir(root, snap)
       if (chosen.nonEmpty) {
         bucketed
           .filter(col(B).isin(chosen: _*))
@@ -240,6 +265,7 @@ object SnapshotStore {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val runDir = s"$root/runs/run=$snap"
+      dropStaleRunDir(root, snap)
       clustered.write.partitionBy(B).mode("append").parquet(runDir)
       val rewritten = lineageOf(clustered)
       val prev = entries.map(e => e.bucket -> e).toMap
@@ -354,25 +380,28 @@ object SnapshotStore {
     val expired = all.filterNot(kept.contains)
     if (expired.isEmpty) return ExpireResult(Seq.empty, Seq.empty)
 
-    val live: Set[String] =
-      kept.flatMap(v => manifest(root, v).map(_.path)).toSet
+    // compare NORMALIZED paths: manifest paths are string-built
+    // (s"$root/runs/...") while Files.list yields normalized ones — an
+    // unnormalized root (trailing slash, ./ prefix) would otherwise
+    // classify EVERY live bucket dir as an orphan and delete the data
+    // the kept manifests reference
+    val live: Set[String] = kept.flatMap(v => manifest(root, v)
+      .map(e => Paths.get(e.path).normalize().toString)).toSet
     // every bucket dir on disk that no kept manifest references
     val runsDir = Paths.get(root, "runs")
     val orphans: Seq[Path] =
       if (!Files.isDirectory(runsDir)) Seq.empty
-      else Files.list(runsDir).iterator().asScala
+      else listDir(runsDir)
         .filter(Files.isDirectory(_))
-        .flatMap(run => Files.list(run).iterator().asScala)
+        .flatMap(run => listDir(run))
         .filter(d => Files.isDirectory(d) &&
           d.getFileName.toString.startsWith(s"$B="))
-        .filterNot(d => live.contains(d.toString))
-        .toSeq
+        .filterNot(d => live.contains(d.normalize().toString))
     orphans.foreach(deleteRecursively)
     // drop now-empty run dirs and the expired manifests
     if (Files.isDirectory(runsDir))
-      Files.list(runsDir).iterator().asScala
-        .filter(d => Files.isDirectory(d) &&
-          !Files.list(d).iterator().hasNext)
+      listDir(runsDir)
+        .filter(d => Files.isDirectory(d) && listDir(d).isEmpty)
         .foreach(Files.delete(_))
     expired.foreach { v =>
       Seq(s"v$v.manifest.jsonl", s"v$v.manifest$Incomplete.jsonl",
@@ -384,9 +413,21 @@ object SnapshotStore {
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.delete(p)
+  }
+
+  /** Snapshot ids come from MANIFESTS (the commit point), so a run
+    * directory already on disk for a brand-new snapshot id is always
+    * the leftover of a crashed attempt that wrote parquet but never
+    * committed. `mode("append")` next to it would silently DUPLICATE
+    * every chosen bucket's rows (the manifest's lineage is computed
+    * from the in-memory frame, so nothing would catch it) — delete the
+    * stale files before writing.
+    */
+  private def dropStaleRunDir(root: String, snap: Int): Unit = {
+    val p = Paths.get(root, "runs", s"run=$snap")
+    if (Files.exists(p)) deleteRecursively(p)
   }
 
   /** Per-partition metrics check: recompute each listed bucket's
@@ -407,7 +448,7 @@ object SnapshotStore {
     val dataCols = df.columns.filterNot(_ == B)
     val actual = df.groupBy(col(B))
       .agg(count(lit(1)).as("rows"),
-        expr(s"bit_xor(xxhash64(struct(${dataCols.mkString(",")})))").as("xxh"))
+        rowHashExpr(dataCols.toSeq).as("xxh"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     gone.map(e => e.bucket -> "missing in storage") ++
     present.flatMap { e =>

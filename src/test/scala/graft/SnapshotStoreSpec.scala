@@ -287,4 +287,54 @@ class SnapshotStoreSpec extends SparkSpec {
       root, SnapshotStore.byKey("doc_id", 8))
     assert(SnapshotStore.rewriteSnapshot(spark, root).written.size == 8)
   }
+
+  test("crashed attempt's leftover run dir is dropped, not appended " +
+      "to (no silent row duplication on retry)") {
+    val root = freshRoot()
+    val d = docs(200)
+    val bucket = SnapshotStore.byKey("doc_id", 4)
+    // simulate a crash AFTER the parquet write, BEFORE the manifest
+    // (the documented commit point): do a full write, then delete its
+    // manifest + schema so only the data files remain
+    SnapshotStore.write(d, root, bucket)
+    Files.delete(java.nio.file.Paths.get(root,
+      "snapshots", "v1.manifest.jsonl"))
+    Files.delete(java.nio.file.Paths.get(root,
+      "snapshots", "v1.schema.ddl"))
+    // the retry must NOT append next to the stale files
+    val r = SnapshotStore.write(d, root, bucket)
+    assert(r.snapshot == 1)
+    assert(SnapshotStore.read(spark, root).count() == 200)
+    assert(SnapshotStore.verify(spark, root).isEmpty)
+  }
+
+  test("reserved column names are rejected up front") {
+    import spark.implicits._
+    val root = freshRoot()
+    val bad1 = Seq((1L, 0)).toDF("doc_id", "__bucket")
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotStore.write(bad1, root, SnapshotStore.byKey("doc_id", 2))
+    }
+    assert(e1.getMessage.contains("reserved"))
+    val bad2 = Seq((1L, 3)).toDF("doc_id", "run")
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotStore.write(bad2, root, SnapshotStore.byKey("doc_id", 2))
+    }
+    assert(e2.getMessage.contains("reserved"))
+  }
+
+  test("expireSnapshots with an unnormalized root (trailing slash) " +
+      "does not GC live buckets") {
+    val root = freshRoot() + "/" // unnormalized on purpose
+    val d = docs(100)
+    val bucket = SnapshotStore.byKey("doc_id", 4)
+    SnapshotStore.write(d, root, bucket)
+    SnapshotStore.write(
+      d.withColumn("text", concat(col("text"), lit("!"))),
+      root, bucket)
+    SnapshotStore.expireSnapshots(root, keepLast = 1)
+    // the kept snapshot must still be fully readable and verified
+    assert(SnapshotStore.read(spark, root).count() == 100)
+    assert(SnapshotStore.verify(spark, root).isEmpty)
+  }
 }

@@ -56,6 +56,27 @@ class StatsSpec extends SparkSpec {
     assert(Stats.weightedQuantiles(d, "a", col("w"), Seq(0.5)) == Seq(None))
   }
 
+  test("NaN values and zero/null weights are excluded from melted " +
+      "medians/quantiles (NaN sorts greatest and would poison the " +
+      "fractions; all-zero weights must yield None, not min(v))") {
+    val d = df("a DOUBLE, w DOUBLE", Seq(
+      Row(1.0, 1.0), Row(2.0, 1.0), Row(Double.NaN, 1.0),
+      Row(3.0, 0.0), Row(4.0, null)))
+    // NaN row dropped, zero/null-weight rows dropped -> {1,2}: min v
+    // with cumulative fraction >= 0.5 is 1.0 (f(1.0) = 0.5 exactly).
+    // With the NaN kept, fractions shift (1/3, 2/3) AND the NaN row
+    // itself would win the f >= 0.5 brackets
+    assert(Stats.weightedMediansMelted(d, Seq("a"), col("w")) ==
+      Map("a" -> Some(1.0)))
+    assert(Stats.weightedQuantiles(d, "a", col("w"), Seq(1.0)) ==
+      Seq(Some(2.0)))
+    // every weight zero -> None (f = 0/0 = NaN used to PASS f >= 0.5)
+    val zeros = df("a DOUBLE, w DOUBLE", Seq(
+      Row(1.0, 0.0), Row(2.0, 0.0)))
+    assert(Stats.weightedMediansMelted(zeros, Seq("a"), col("w")) ==
+      Map("a" -> None))
+  }
+
   test("distributed cum-frac: high-cardinality quantiles match brute force") {
     import spark.implicits._
     // 5000 distinct values spread over every shuffle partition, integer
