@@ -1575,7 +1575,7 @@ object QueriesData {
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
         |    AS total_tokens,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-        |  ROUND(1 - count(DISTINCT md5(text)) * 1.0 / count(*), 6)
+        |  ROUND(1 - count(DISTINCT md5(text)) * 1.0 / count(text), 6)
         |    AS dup_rate,
         |  ROUND((SELECT h FROM e), 6) AS lang_entropy
         |FROM t""".stripMargin,

@@ -147,11 +147,20 @@ object Multimodal {
     implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { it =>
       it.map { r =>
-        // null payload behaves like an empty one: ok=false, no NPE
-        val bytes = Option(r.getAs[Array[Byte]](bytesIdx))
-          .getOrElse(Array.emptyByteArray)
-        val f = decoder.decode(bytes,
-          r.getString(fmtIdx), r.getInt(wIdx), r.getInt(hIdx))
+        // null payload behaves like an empty one; a decoder exception
+        // (truncated-after-valid-magic stream, null w/h) is a ROW you
+        // quarantine (ok=false), not a job you kill — the same per-row
+        // discipline as auditPayloads/averageHash/lumaStats
+        val f =
+          try {
+            val bytes = Option(r.getAs[Array[Byte]](bytesIdx))
+              .getOrElse(Array.emptyByteArray)
+            decoder.decode(bytes,
+              r.getString(fmtIdx), r.getInt(wIdx), r.getInt(hIdx))
+          } catch {
+            case _: Exception =>
+              ImageFeatures(-1, -1, Double.NaN, ok = false)
+          }
         Row.fromSeq(keptIdx.map(r.get) ++
           Seq(f.decodedW, f.decodedH, f.meanLuma, f.ok))
       }
@@ -531,11 +540,19 @@ object Multimodal {
     implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { it =>
       it.map { r =>
-        val bytes = Option(r.getAs[Array[Byte]](bytesIdx))
-          .getOrElse(Array.emptyByteArray)
-        val f = resizer.resize(bytes,
-          r.getString(fmtIdx), r.getInt(wIdx), r.getInt(hIdx),
-          targetW, targetH)
+        // per-row quarantine, same doctrine as withDecodeFeatures: a
+        // resizer exception must flag the row, not kill the job
+        val f =
+          try {
+            val bytes = Option(r.getAs[Array[Byte]](bytesIdx))
+              .getOrElse(Array.emptyByteArray)
+            resizer.resize(bytes,
+              r.getString(fmtIdx), r.getInt(wIdx), r.getInt(hIdx),
+              targetW, targetH)
+          } catch {
+            case _: Exception =>
+              ResizeFeatures(0, 0, Double.NaN, 0L, ok = false)
+          }
         Row.fromSeq(keptIdx.map(r.get) ++
           Seq(f.w, f.h, f.mean, f.checksum, f.ok))
       }

@@ -134,7 +134,6 @@ object AsOfJoin {
       else { if (strict) 2 else 0 }
 
     val salted = hotEntities.nonEmpty && saltBuckets > 1
-    val hotSet = hotEntities.toSet
 
     val leftSalt: Column =
       if (!salted) lit(0)
@@ -158,11 +157,21 @@ object AsOfJoin {
       leftStruct.as("__l"),
       lit(null).cast(rightStructType).as("__r"))
 
-    val rightBase = right.select(
-      col(entity).as("__e"),
-      col(rightTs).as("__t"),
-      lit(rightSide).as("__side"),
-      rightStruct.as("__r"))
+    // SQL equi-join semantics, matching the broadcast strategy (whose
+    // join condition nulls out on either): a NULL-entity right row
+    // never matches anything, and a NULL-timestamp right row is
+    // unordered dirty data. Without this filter the NULL-ts row sorts
+    // FIRST in the window (a minus-infinity pseudo-match carried into
+    // every otherwise-unmatched left row with matched_ts NULL —
+    // breaking the "matched_ts IS NULL iff no match" invariant), and
+    // NULL entities would match each other through the partition.
+    val rightBase = right
+      .filter(col(entity).isNotNull && col(rightTs).isNotNull)
+      .select(
+        col(entity).as("__e"),
+        col(rightTs).as("__t"),
+        lit(rightSide).as("__side"),
+        rightStruct.as("__r"))
     // replicate hot-entity right rows into every salt bucket
     val taggedRight = (if (salted)
       rightBase.withColumn("__salt",

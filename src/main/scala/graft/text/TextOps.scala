@@ -115,7 +115,13 @@ object TextOps {
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(k >= 2 && w >= 1, s"need k >= 2, w >= 1, got k=$k w=$w")
+    // k caps at 8: the polynomial's max sum 511 * sum(131^j, j<8) is
+    // ~3.4e17 (safe); at k=9 it exceeds Long.MaxValue — ANSI mode
+    // would kill the scan with ARITHMETIC_OVERFLOW, and at k>=10 the
+    // power table itself wraps negative, silently breaking the
+    // "reproducible in any engine" contract
+    require(k >= 2 && k <= 8 && w >= 1,
+      s"need 2 <= k <= 8 (int64 overflow above), w >= 1, got k=$k w=$w")
     val chars = df.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), "")).as(Seq("__pos", "__c")))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("__pos"))
@@ -303,9 +309,12 @@ object TextOps {
       // 16-byte digests instead of whole documents — at corpus scale
       // that is the one heavy shuffle in an otherwise metadata-sized
       // report. md5 is oracle-reproducible; collision risk ~n^2/2^128
-      // is negligible and accepted.
+      // is negligible and accepted. The denominator counts NON-NULL
+      // texts (countDistinct skips the null md5, so dividing by the
+      // raw row count would report every null-text doc as a
+      // duplicate).
       (lit(1.0) - countDistinct(md5(col(textCol))).cast("double") /
-        nullif(count(lit(1)), lit(0L))).as("dup_rate"))
+        nullif(count(col(textCol)), lit(0L))).as("dup_rate"))
     base.crossJoin(langSide)
   }
 
@@ -464,7 +473,9 @@ object TextOps {
     * `targetShares` (e.g. en 0.5 / de 0.3 / zh 0.2 — the Pile/Dolma
     * data-mixing step). Per-stratum keep rate =
     * `min(1, budget * share / stratum_tokens)`, applied with the
-    * deterministic [[Sharding.mixHash]] row filter.
+    * deterministic [[Sharding.mixHash]] row filter. `idCol` must be
+    * integral (the mixHash contract): a string id would null under
+    * the cast and silently drop every row.
     *
     * NOTHING is collected: the |strata|-row token totals join back
     * broadcast-style and the threshold `floor(rate * 2^32)` is
@@ -481,6 +492,13 @@ object TextOps {
     require(targetShares.nonEmpty &&
       targetShares.values.forall(s => s >= 0 && s <= 1),
       s"shares must be in [0,1]: $targetShares")
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType).contains(idType),
+      s"mixtureSample requires an integral id column, got $idCol: " +
+        s"$idType (hash non-numeric ids to int64 first)")
     val share = element_at(typedLit(targetShares), col(stratumCol))
     val totals = df
       .filter(col(stratumCol).isNotNull)

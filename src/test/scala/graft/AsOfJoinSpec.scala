@@ -98,6 +98,37 @@ class AsOfJoinSpec extends SparkSpec {
     assert(base == bcast)
   }
 
+  test("dirty right rows (null entity / null ts) never match, and " +
+      "both strategies agree on it") {
+    // regression: a null right-ts row sorted FIRST in the union
+    // window and became a minus-infinity pseudo-match (value columns
+    // populated, matched_ts null); null entities matched each other
+    // through the window partition while the broadcast equi-join
+    // never matches null — the strategies diverged
+    val dirtyRight = df("e STRING, ts TIMESTAMP, f DOUBLE", Seq(
+      Row("a", ts("2024-01-01 09:00:00"), 1.0),
+      Row("b", null, 99.0), // null ts
+      Row(null, ts("2024-01-01 08:00:00"), 77.0))) // null entity
+    val dirtyLeft = left().unionByName(
+      df("e STRING, ts TIMESTAMP, lv BIGINT", Seq(
+        Row(null, ts("2024-01-01 10:00:00"), 6L))))
+    val union = AsOfJoin.join(dirtyLeft, dirtyRight, "e")
+      .orderBy("lv")
+    val bcast = AsOfJoin.join(dirtyLeft, dirtyRight, "e",
+      broadcastRight = true).orderBy("lv")
+    assert(column(union, "f") == column(bcast, "f"))
+    // b never matches (its only right row has a null ts) and the
+    // null-entity left row never matches the null-entity right row
+    val byLv = union.collect()
+      .map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(byLv(4L).isEmpty && byLv(6L).isEmpty)
+    // the matched_ts-iff-matched invariant holds everywhere
+    val broken = union.filter(
+      (col("f").isNotNull && col("matched_ts").isNull) ||
+      (col("f").isNull && col("matched_ts").isNotNull)).count()
+    assert(broken == 0)
+  }
+
   test("left row count is always preserved") {
     val out = AsOfJoin.join(left(), right(), "e",
       hotEntities = Seq("a"), saltBuckets = 4)

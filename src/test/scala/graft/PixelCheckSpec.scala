@@ -128,6 +128,35 @@ class PixelCheckSpec extends SparkSpec {
     assert(base.drop(4).forall(r => byId(r.getString(idIdx))))
   }
 
+  test("withDecodeFeatures/withResizeFeatures quarantine a payload " +
+      "that throws inside the codec (truncated after a valid magic)") {
+    import org.apache.spark.sql.Row
+    val base = ImageTable.imagesReal(spark, 4).collect()
+    val schema = ImageTable.imagesReal(spark, 1).schema
+    val bIdx = schema.fieldIndex("bytes")
+    // keep a valid magic header so the decoder ENGAGES then throws
+    val rows = Seq(Row.fromSeq(base(0).toSeq.updated(bIdx,
+      base(0).getAs[Array[Byte]](bIdx).take(12)))) ++ base.drop(1)
+    val d = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+    val dec = graft.multimodal.Multimodal.withDecodeFeatures(
+      d, graft.multimodal.Multimodal.ImageIoDecoder)
+      .collect().map(r => r.getAs[String]("image_id") ->
+        r.getAs[Boolean]("decode_ok")).toMap
+    assert(!dec(base(0).getAs[String]("image_id")))
+    assert(base.drop(1).forall(r =>
+      dec(r.getAs[String]("image_id"))))
+    val res = graft.multimodal.Multimodal.withResizeFeatures(
+      d, graft.multimodal.Multimodal.ImageIoResizer, 8, 8)
+      .collect().map(r => r.getAs[String]("image_id") ->
+        r.getAs[Boolean]("resize_ok")).toMap
+    assert(!res(base(0).getAs[String]("image_id")))
+    assert(base.drop(1).forall(r =>
+      res(r.getAs[String]("image_id"))))
+  }
+
   test("lumaStats: constant image flat (std 0), real renders not " +
       "flat, corrupt/null payloads report luma_ok=false, flat=false") {
     import org.apache.spark.sql.Row
