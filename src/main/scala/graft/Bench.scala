@@ -343,7 +343,8 @@ object Bench {
     // Input generation runs inside the timed body, like the flagship.
     val sf1Json =
       if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1") {
-        import org.apache.spark.sql.functions.{explode, lit, translate, when}
+        import org.apache.spark.sql.functions.{explode, expr, lit,
+          translate, when}
         val alpha = "abcdefghijklmnopqrstuvwxyz"
         def rot(k: Int) = alpha.drop(k) + alpha.take(k)
         val copies = 10
@@ -378,13 +379,27 @@ object Bench {
           graft.dedup.Components.dedupByComponents(d, "doc_id", pairs,
             "id_a", "id_b").count()
         }
+        // exact-substring span dedup at 10x: the q126 suffix-twin
+        // construction over the rotated corpus (every 10th doc's tail
+        // re-appears, so duplicated 8-gram spans exist by construction
+        // in every copy)
+        val (nSpans, st, sRaw) = timed(r1) {
+          val d = scaledDocs
+          val twins = d.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000000L).as("doc_id"),
+              expr("substring(text, instr(text, ' ') + 1)").as("text"))
+          graft.text.SpanDedup.duplicatedSpans(
+            d.unionByName(twins), "doc_id", "text", 8).count()
+        }
         System.err.println(
           f"[bench] sf1 flagship rows=$fr sec=$ft%.2f (${fr / ft}%.0f rows/s) raw=${fmtRaw(fRaw10)}")
         System.err.println(
           f"[bench] sf1 minhash pairs=$nPairs sec=$lt%.2f raw=${fmtRaw(lRaw)}")
         System.err.println(
           f"[bench] sf1 dedup-e2e kept=$nKeep sec=$et%.2f raw=${fmtRaw(eRaw)}")
-        f""","sf1":{"base":"$sfDir x10","flagship":{"rows":$fr,"sec":$ft%.3f,"rows_per_sec":${fr / ft}%.1f,"raw_secs":${fmtRaw(fRaw10)}},"minhash":{"pairs":$nPairs,"sec":$lt%.3f,"raw_secs":${fmtRaw(lRaw)}},"dedup_e2e":{"kept":$nKeep,"sec":$et%.3f,"raw_secs":${fmtRaw(eRaw)}}}"""
+        System.err.println(
+          f"[bench] sf1 span-dedup spans=$nSpans sec=$st%.2f raw=${fmtRaw(sRaw)}")
+        f""","sf1":{"base":"$sfDir x10","flagship":{"rows":$fr,"sec":$ft%.3f,"rows_per_sec":${fr / ft}%.1f,"raw_secs":${fmtRaw(fRaw10)}},"minhash":{"pairs":$nPairs,"sec":$lt%.3f,"raw_secs":${fmtRaw(lRaw)}},"dedup_e2e":{"kept":$nKeep,"sec":$et%.3f,"raw_secs":${fmtRaw(eRaw)}},"span_dedup":{"spans":$nSpans,"sec":$st%.3f,"raw_secs":${fmtRaw(sRaw)}}}"""
       } else ""
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
