@@ -872,6 +872,27 @@ object QueriesData {
         .orderBy("image_id")
     }),
 
+    "q136_dhash_transcode" -> ((s, dir) => {
+      // gradient hash closed loop, the q124 construction: lossless
+      // transcode twins must dHash identically (the hash reads pixel
+      // gradients, not container bytes)
+      val base = ImageTable.imagesReal(s, 150)
+      val dups = Multimodal.transcode(
+        base.filter(expr("CAST(substring(image_id, 5) AS BIGINT) % 10 = 0")),
+        "png")
+        .withColumn("image_id", concat(col("image_id"), lit("_d")))
+      val hashed = Multimodal.differenceHash(base.unionByName(dups))
+        .select(col("image_id"), col("dhash"), col("dhash_ok"))
+      val twins = hashed.filter(col("image_id").endsWith("_d"))
+        .select(expr("substring(image_id, 1, 14)").as("image_id"),
+          col("dhash").as("dhash_d"), col("dhash_ok").as("ok_d"))
+      hashed.join(twins, "image_id")
+        .select(col("image_id"),
+          (col("dhash") === col("dhash_d") && col("dhash_ok") &&
+            col("ok_d")).as("hash_invariant"))
+        .orderBy("image_id")
+    }),
+
     "q134_dsir_sample" -> ((s, dir) => {
       // DSIR data selection: pick the 50 raw docs whose hashed-unigram
       // distribution best matches the 'src0' target slice, by
@@ -948,6 +969,25 @@ object QueriesData {
       |  GROUP BY token)
       |SELECT token, est, true_cnt FROM est JOIN tc USING (token)
       |ORDER BY est DESC, token LIMIT 25""".stripMargin
+
+  /** The A-ES weighted-sample readout (20 docs per lang weighted by
+    * n_chars, salt "ws") — shared by the q130 batch oracle and q137's
+    * streaming-equivalence oracle: the stream's merged top-k state
+    * must reproduce EXACTLY this.
+    */
+  private[graft] val weightedSampleSql: String =
+    """WITH w AS (SELECT lang, doc_id,
+      |    round(ln((CAST('0x' || substring(
+      |        md5(CAST(doc_id AS VARCHAR) || '#ws'), 1, 15)
+      |        AS BIGINT) + 1) / 1152921504606846976.0)
+      |      / n_chars, 9) AS key
+      |  FROM documents WHERE doc_id IS NOT NULL AND n_chars > 0),
+      |r AS (SELECT lang, doc_id, row_number() OVER
+      |    (PARTITION BY lang ORDER BY key DESC, doc_id) AS rank
+      |  FROM w)
+      |SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id
+      |FROM r WHERE rank <= 20
+      |ORDER BY lang, rank""".stripMargin
 
   /** q61's winnowing pipeline as SQL over ANY (doc_id, text) source —
     * shared by the q61 and q94 oracles (k=8, w=4).
@@ -2145,6 +2185,13 @@ object QueriesData {
         |    * CAST(4294967296 AS DOUBLE))
         |ORDER BY d.doc_id""".stripMargin,
 
+    // twins known by construction, same contract as q124
+    "q136_dhash_transcode" ->
+      """SELECT printf('img_%010d', i) AS image_id,
+        |  TRUE AS hash_invariant
+        |FROM range(0, 150) t(i) WHERE i % 10 = 0
+        |ORDER BY 1""".stripMargin,
+
     // the flattened ids are known by construction; everything else
     // must pass the gate (pseudo-random renders have std_luma >> 2)
     "q135_flat_image_gate" ->
@@ -2200,18 +2247,6 @@ object QueriesData {
     // one libm step — keys rounded to 9dp before ranking so a 1-ulp
     // disagreement cannot flip an order except at a measure-zero
     // rounding boundary), ranked by the window the aggregate replaces
-    "q130_weighted_sample" ->
-      """WITH w AS (SELECT lang, doc_id,
-        |    round(ln((CAST('0x' || substring(
-        |        md5(CAST(doc_id AS VARCHAR) || '#ws'), 1, 15)
-        |        AS BIGINT) + 1) / 1152921504606846976.0)
-        |      / n_chars, 9) AS key
-        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars > 0),
-        |r AS (SELECT lang, doc_id, row_number() OVER
-        |    (PARTITION BY lang ORDER BY key DESC, doc_id) AS rank
-        |  FROM w)
-        |SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id
-        |FROM r WHERE rank <= 20
-        |ORDER BY lang, rank""".stripMargin
+    "q130_weighted_sample" -> weightedSampleSql
   )
 }

@@ -109,6 +109,50 @@ object QueriesStreaming {
       QueriesData.cmsTop25(s, dir, counters)
     }),
 
+    "q137_stream_weighted_sample" -> ((s, dir) => {
+      // a RUNNING weighted sample without replacement: the bounded-
+      // heap top_k_by is an associative mergeable aggregate, so as a
+      // streaming groupBy aggregation (update mode, <= k entries of
+      // state per language forever) its post-stream state must equal
+      // the one-shot batch sample — q130's oracle, verbatim. Keys are
+      // the SAME deterministic A-ES keys (Sharding.esKey).
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = tbl(s, dir, "documents")
+        .select(col("lang"), col("doc_id").cast("long"),
+          col("n_chars").cast("int"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .sortBy(_._2).toSeq
+      val input = MemoryStream[(String, Long, Int)]
+      val stream = input.toDF().toDF("lang", "doc_id", "n_chars")
+        .filter(col("doc_id").isNotNull &&
+          col("n_chars").cast("double") > 0)
+      val agg = stream.groupBy(col("lang"))
+        .agg(graft.functions.TopKBy.topKBy(
+          graft.text.Sharding.esKey(col("doc_id"), col("n_chars"),
+            salt = "ws"),
+          col("doc_id"), 20).as("__s"))
+      val latest = scala.collection.mutable
+        .Map[String, Seq[(Int, Long)]]()
+      val q = agg.writeStream.outputMode("update")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach { r =>
+            val entries = r.getSeq[org.apache.spark.sql.Row](1)
+              .zipWithIndex
+              .map { case (e, i) => (i + 1, e.getLong(1)) }
+            latest(r.getString(0)) = entries
+          }
+          ()
+        }.queryName("q137").start()
+      drive(input, q, rows, nChunks = 3)
+      latest.toSeq
+        .flatMap { case (lang, es) =>
+          es.map { case (rank, id) => (lang, rank, id) } }
+        .toDF("lang", "rank", "doc_id")
+        .orderBy("lang", "rank")
+    }),
+
     "q103_stream_dedup_exact" -> ((s, dir) => {
       // exact-dup corpus (every 7th doc duplicated, the q40 corpus)
       // streamed through dedupStream in 3 micro-batches: the content
@@ -468,6 +512,10 @@ object QueriesStreaming {
     // the stream-built CMS counters must reproduce the one-shot batch
     // readout exactly — literally q128's oracle
     "q133_stream_cms" -> QueriesData.cmsTop25Sql,
+
+    // the stream's merged top-k state must equal the one-shot batch
+    // weighted sample — literally q130's oracle
+    "q137_stream_weighted_sample" -> QueriesData.weightedSampleSql,
 
     // one-shot recomputation of the fixed-range sketch rule the stream
     // folded incrementally: identical binning, bin-ordered cumulative

@@ -334,6 +334,86 @@ object Multimodal {
     }
   }
 
+  /** Gradient perceptual hash (dHash, 64-bit): decode, block-average
+    * the luma plane onto an 8x9 grid (same deterministic integer
+    * bounds as [[averageHash]], 9 columns), then bit (i,j) = cell
+    * (i,j) > cell (i,j+1) — each bit encodes a horizontal GRADIENT
+    * sign instead of a global-mean comparison, so only LOCAL luma
+    * relations matter: smooth illumination changes (vignettes,
+    * exposure ramps) that move the global mean flip aHash bits near
+    * the mean but leave neighbor comparisons alone — the standard
+    * reason image pipelines pair the two hashes.
+    * Container-invariant like aHash (a function of the
+    * pixel matrix alone — q136 proves it on lossless transcode
+    * twins); same partition discipline (one codec per partition,
+    * pixels die inside it).
+    */
+  def differenceHash(df: DataFrame): DataFrame = {
+    val inSchema = df.schema
+    val bytesIdx = inSchema.fieldIndex("bytes")
+    val fmtIdx = inSchema.fieldIndex("fmt")
+    val keptIdx = inSchema.fields.indices.filterNot(_ == bytesIdx)
+    val outSchema = StructType(keptIdx.map(inSchema.fields) ++ Seq(
+      StructField("dhash", LongType),
+      StructField("dhash_ok", BooleanType)))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      val codec = new PixelCheck.Codec
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => codec.close()))
+      it.map { r =>
+        val kept = keptIdx.map(r.get)
+        val hash: Seq[Any] =
+          try {
+            val bytes = Option(r.getAs[Array[Byte]](bytesIdx))
+              .getOrElse(Array.emptyByteArray)
+            val img = if (bytes.isEmpty) null
+              else codec.decode(bytes, r.getString(fmtIdx))
+            if (img == null) Seq(0L, false)
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              val cells = new Array[Double](72) // 8 rows x 9 cols
+              var i = 0
+              while (i < 8) {
+                val y0 = i * h / 8
+                val y1 = math.max((i + 1) * h / 8, y0 + 1)
+                var j = 0
+                while (j < 9) {
+                  val x0 = j * w / 9
+                  val x1 = math.max((j + 1) * w / 9, x0 + 1)
+                  var s = 0.0; var n = 0
+                  var y = y0
+                  while (y < math.min(y1, h)) {
+                    var x = x0
+                    while (x < math.min(x1, w)) {
+                      val p = img.getRGB(x, y)
+                      s += 0.299 * ((p >> 16) & 0xff) +
+                        0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+                      n += 1; x += 1
+                    }
+                    y += 1
+                  }
+                  cells(i * 9 + j) = if (n > 0) s / n else 0.0
+                  j += 1
+                }
+                i += 1
+              }
+              var bits = 0L
+              var k = 0
+              while (k < 64) {
+                val i0 = k / 8; val j0 = k % 8
+                if (cells(i0 * 9 + j0) > cells(i0 * 9 + j0 + 1))
+                  bits |= (1L << (63 - k))
+                k += 1
+              }
+              Seq(bits, true)
+            }
+          } catch { case _: Exception => Seq(0L, false) }
+        Row.fromSeq(kept ++ hash)
+      }
+    }
+  }
+
   /** Low-information image gate: decode each payload and compute
     * per-image luma statistics — `mean_luma`, population `std_luma` —
     * plus `flat` (std <= `flatStd`: near-constant images — blank

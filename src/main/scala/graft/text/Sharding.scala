@@ -216,13 +216,23 @@ object Sharding {
     * under the cast and re-appear at two ranks, breaking the
     * without-replacement guarantee.
     */
+  /** The deterministic A-ES sampling key (`round(ln(u)/w, 9)` with u
+    * exact from the salted id hash) — shared by the batch
+    * [[weightedSamplePerGroup]] and its streaming twin (q137), which
+    * must rank by the IDENTICAL key to converge to the batch answer.
+    */
+  def esKey(id: Column, weight: Column,
+      salt: String = "es"): Column = {
+    val u = (md5Hash60(concat(id.cast("string"), lit("#"),
+      lit(salt))) + 1L).cast("double") / lit(1152921504606846976.0)
+    round(log(u) / weight.cast("double"), 9)
+  }
+
   def weightedSamplePerGroup(df: DataFrame, groupCol: String,
       idCol: String, weightCol: String, k: Int,
       salt: String = "es"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val u = (md5Hash60(concat(col(idCol).cast("string"), lit("#"),
-      lit(salt))) + 1L).cast("double") / lit(1152921504606846976.0)
-    val key = round(log(u) / col(weightCol).cast("double"), 9)
+    val key = esKey(col(idCol), col(weightCol), salt)
     df.filter(col(idCol).isNotNull &&
         col(weightCol).cast("double") > 0)
       .groupBy(col(groupCol))

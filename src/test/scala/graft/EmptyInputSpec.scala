@@ -131,6 +131,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.multimodal.Multimodal.transcode(imgs, "png")
       .count() == 0)
     assert(graft.multimodal.Multimodal.averageHash(imgs).count() == 0)
+    assert(graft.multimodal.Multimodal.differenceHash(imgs)
+      .count() == 0)
+    assert(graft.multimodal.Multimodal.lumaStats(imgs).count() == 0)
   }
 
   test("lshTopK with default planes: empty / all-null-vector corpus " +
