@@ -1,0 +1,24 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** Shared id-column contract checks. Operators that carry ids through
+  * the bounded-heap [[graft.functions.TopKBy]] (or any int64 fold)
+  * cast the id to long; a silent cast of a string/decimal id nulls it
+  * out and the aggregate then SKIPS every row — the output quietly
+  * empties instead of erroring. Reject the type up front.
+  */
+object Ids {
+
+  def requireIntegral(df: DataFrame, idCol: String, op: String): Unit = {
+    val t = df.schema(idCol).dataType
+    val ok = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok,
+      s"$op requires an integral id column, got $idCol: $t " +
+        "(hash non-numeric ids to int64 first, e.g. xxhash64)")
+  }
+}

@@ -188,9 +188,7 @@ object Json {
       val p = new P(i)
       new DateDifferenceTransformer(p.str("column_lower"),
         p.str("column_upper"), p.strOpt("new_column_name"),
-        p.str("units"),
-        i.get("custom_days").flatMap(Option(_)).map(x => new P(i)
-          .int("custom_days"))) }),
+        p.str("units"), p.intOpt("custom_days")) }),
     "BetweenDatesTransformer" -> (i => {
       val p = new P(i)
       new BetweenDatesTransformer(p.str("column_lower"),
@@ -279,7 +277,12 @@ object Json {
       case JString(s) => s
       case _ => throw new IllegalArgumentException("missing classname")
     }
-    val init = fromJValue(parsed \ "init").asInstanceOf[Map[String, Any]]
+    val init = fromJValue(parsed \ "init") match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case _ => throw new IllegalArgumentException(
+        s"missing or non-object 'init' for $classname " +
+          "(a builder fed null would NPE opaquely)")
+    }
     val fit = fromJValue(parsed \ "fit") match {
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
       case _ => Map.empty[String, Any]

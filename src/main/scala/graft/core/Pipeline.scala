@@ -48,7 +48,8 @@ class Pipeline(val steps: Seq[(String, Transformer)]) extends Serializable {
         }
         j += 1
       }
-      if (j == i) j = i + 1 // lone step whose inputs a predecessor wrote
+      // (j > i always: `written` is empty on the run's first
+      // iteration, so the inner while admits at least one step)
 
       val run = steps.slice(i, j).map(_._2)
       val (fusable, sequential) = run.partition {

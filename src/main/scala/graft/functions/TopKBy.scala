@@ -32,11 +32,17 @@ final class TopKBuffer(val k: Int) {
     // loses against — silently rejecting better elements. The window
     // formulation the oracle uses never ranks NaN either.
     if (score.isNaN) return
-    if (heap.size < k) heap.enqueue((score, id))
+    // canonicalize -0.0 to +0.0: SQL ordering treats them EQUAL
+    // (tie -> smaller id), but Scala's total-order Ordering inside
+    // the heap/sort ranks -0.0 below 0.0 — without this, insert's
+    // primitive == sees a tie while sorted() does not, and the
+    // smaller id can lose the documented tie-break
+    val s = if (score == 0.0) 0.0 else score
+    if (heap.size < k) heap.enqueue((s, id))
     else {
       val (ws, wi) = heap.head
-      if (score > ws || (score == ws && id < wi)) {
-        heap.dequeue(); heap.enqueue((score, id))
+      if (s > ws || (s == ws && id < wi)) {
+        heap.dequeue(); heap.enqueue((s, id))
       }
     }
   }

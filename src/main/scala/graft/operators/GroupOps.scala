@@ -24,6 +24,7 @@ object GroupOps {
     */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],
       scoreCol: String, idCol: String, k: Int): DataFrame = {
+    graft.core.Ids.requireIntegral(df, idCol, "topKPerGroup")
     val agg = df.groupBy(groupCols.map(col): _*)
       .agg(TopKBy.topKBy(col(scoreCol).cast("double"),
         col(idCol).cast("long"), k).as("__topk"))
@@ -147,10 +148,13 @@ object GroupOps {
     * sides are stats-sized, so AQE broadcasts them. The prior's
     * global mean costs one scan, computed only when `prior > 0`.
     *
-    * The id column must be integral and non-null: a null fold would
-    * break the own-fold subtraction and silently reintroduce the
-    * leakage this operator exists to prevent, so that is rejected,
-    * not guessed around.
+    * The id column must be integral (type-checked below) AND
+    * non-null. The non-null half is the CALLER's contract — a value
+    * scan to enforce it would cost a pass: null-id rows all hash to
+    * a null fold, which the null-safe joins route into one shared
+    * pseudo-fold, skewing the out-of-fold statistics without error.
+    * Feed synthetic ids (monotonically_increasing_id) if the data has
+    * none.
     */
   def oofMeanResponse(df: DataFrame, keyCol: String,
       responseCol: String, idCol: String, folds: Int,

@@ -55,16 +55,18 @@ object Dsir {
     val all = spark.range(width).select(col("id").cast("int").as("b"))
     val t = bucketCounts(target).withColumnRenamed("__n", "__tn")
     val s0 = bucketCounts(source).withColumnRenamed("__n", "__sn")
+    // totals come from the bucket-count tables themselves (every token
+    // lands in exactly one bucket, so sum(counts) == token total) —
+    // re-exploding the full corpora for a count would double the
+    // table-build cost for nothing
     val withTotals = all
       .join(broadcast(t), Seq("b"), "left")
       .join(broadcast(s0), Seq("b"), "left")
       .na.fill(0L, Seq("__tn", "__sn"))
       .crossJoin(broadcast(
-        target.select(explode(split(col(textCol), " ")).as("__t"))
-          .agg(count(lit(1)).as("__T"))))
+        t.agg(coalesce(sum(col("__tn")), lit(0L)).as("__T"))))
       .crossJoin(broadcast(
-        source.select(explode(split(col(textCol), " ")).as("__t"))
-          .agg(count(lit(1)).as("__S"))))
+        s0.agg(coalesce(sum(col("__sn")), lit(0L)).as("__S"))))
     val logr =
       log((col("__tn") + 1).cast("double") /
         (col("__T") + width).cast("double")) -
@@ -84,6 +86,7 @@ object Dsir {
       textCol: String, width: Int, k: Int,
       salt: String = "dsir"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    graft.core.Ids.requireIntegral(source, idCol, "dsirSample")
     val ratios = importanceTable(target, source, textCol, width)
     val docScores = source
       .filter(col(idCol).isNotNull)

@@ -137,6 +137,7 @@ object Sharding {
     */
   def sampleExactPerStratum(df: DataFrame, stratumCol: String,
       idCol: String, n: Int): DataFrame = {
+    graft.core.Ids.requireIntegral(df, idCol, "sampleExactPerStratum")
     // TopKBy keeps the LARGEST scores; negate the hash to keep the
     // smallest (ties still resolve toward the smaller id)
     val score = -mixHash(col(idCol)).cast("double")
@@ -232,6 +233,7 @@ object Sharding {
       idCol: String, weightCol: String, k: Int,
       salt: String = "es"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    graft.core.Ids.requireIntegral(df, idCol, "weightedSamplePerGroup")
     val key = esKey(col(idCol), col(weightCol), salt)
     df.filter(col(idCol).isNotNull &&
         col(weightCol).cast("double") > 0)

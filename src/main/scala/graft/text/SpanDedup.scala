@@ -42,6 +42,10 @@ import graft.dedup.Dedup
   * ([[graft.dedup.Dedup.md5Hash60]]) so external engines reproduce it
   * exactly; 60-bit collisions at corpus scale are ~n^2/2^61 — document
   * the false-merge risk rather than shuffling gram strings.
+  *
+  * Doc ids must be UNIQUE (the per-doc window contract: two rows
+  * sharing an id would interleave their token positions in one
+  * window partition and produce phantom grams).
   */
 object SpanDedup {
 
@@ -128,9 +132,18 @@ object SpanDedup {
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("__pos"), col("__t")))),
           e => e.getField("__t"))).as("clean_text"))
+      .withColumnRenamed("doc_id", "__kd")
+    // NULL-SAFE join back (<=>): the window partitioning above treats
+    // a null doc_id as one group, so the accounting must too — a
+    // plain === would never match it and silently report the doc
+    // fully removed. Null TEXT contributes no tokens: total 0,
+    // clean "" (the split of a null text is null, whose size is not a
+    // count).
     df.select(col(idCol).as("doc_id"),
-        size(split(col(textCol), " ")).cast("long").as("__total"))
-      .join(kept, Seq("doc_id"), "left")
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(split(col(textCol), " ")).cast("long"))
+          .as("__total"))
+      .join(kept, col("doc_id") <=> col("__kd"), "left")
       .select(col("doc_id"),
         (col("__total") - coalesce(col("__kept"), lit(0L)))
           .as("n_tokens_removed"),

@@ -492,13 +492,7 @@ object TextOps {
     require(targetShares.nonEmpty &&
       targetShares.values.forall(s => s >= 0 && s <= 1),
       s"shares must be in [0,1]: $targetShares")
-    val idType = df.schema(idCol).dataType
-    require(Seq(org.apache.spark.sql.types.ByteType,
-      org.apache.spark.sql.types.ShortType,
-      org.apache.spark.sql.types.IntegerType,
-      org.apache.spark.sql.types.LongType).contains(idType),
-      s"mixtureSample requires an integral id column, got $idCol: " +
-        s"$idType (hash non-numeric ids to int64 first)")
+    graft.core.Ids.requireIntegral(df, idCol, "mixtureSample")
     val share = element_at(typedLit(targetShares), col(stratumCol))
     val totals = df
       .filter(col(stratumCol).isNotNull)

@@ -70,6 +70,47 @@ class SpanDedupSpec extends SparkSpec {
       (3L, 0L, "totally unique text with no repeated windows at all")))
   }
 
+  test("removeDuplicatedSpans: null doc_id and null text are " +
+      "accounted, not reported fully-removed") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(null, "alpha beta gamma"),
+      Row(2L, null),
+      Row(3L, "plain unique text")))
+    val out = SpanDedup.removeDuplicatedSpans(d, "doc_id", "text", 8)
+      .collect()
+      .map(r => ((if (r.isNullAt(0)) -1L else r.getLong(0)),
+        r.getLong(1), r.getString(2))).toSet
+    assert(out == Set(
+      (-1L, 0L, "alpha beta gamma"), // null id: nothing removed
+      (2L, 0L, ""),                  // null text: 0 tokens, not -1
+      (3L, 0L, "plain unique text")))
+  }
+
+  test("string ids are rejected up front by the TopKBy-carried " +
+      "samplers instead of silently emptying") {
+    val d = df("g STRING, id STRING, w DOUBLE",
+      Seq(Row("a", "doc-1", 1.0)))
+    val e = intercept[IllegalArgumentException] {
+      Sharding.weightedSamplePerGroup(d, "g", "id", "w", 5)
+    }
+    assert(e.getMessage.contains("integral id"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.GroupOps.topKPerGroup(d, Seq("g"), "w", "id", 5)
+    }
+    assert(e2.getMessage.contains("integral id"))
+  }
+
+  test("TopKBuffer: -0.0 and 0.0 tie (SQL semantics), smaller id wins") {
+    val b = new graft.functions.TopKBuffer(2)
+    b.insert(0.0, 7L)
+    b.insert(-0.0, 3L)
+    b.insert(-1.0, 1L)
+    // both zeros kept (k=2), ordered by the id tie-break — without
+    // -0.0 canonicalization the heap's total order ranked -0.0 below
+    // 0.0 and id 7 outranked id 3
+    assert(b.sorted.toSeq == Seq((0.0, 3L), (0.0, 7L)))
+  }
+
   test("removeDuplicatedSpans is consistent with duplicatedSpans " +
       "coverage on a generated corpus") {
     val base = (0 until 40).map { i =>
