@@ -40,7 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 3,
           s"top_k_by expects 3 arguments, got ${args.length}")
         val k = args(2) match {
-          case Literal(v: Int, _) => v
+          case Literal(v: Int, _) if v >= 1 => v
           case Literal(v: Long, _)
               if v >= 1 && v <= Int.MaxValue => v.toInt
           case other => throw new IllegalArgumentException(

@@ -93,6 +93,14 @@ abstract class Transformer extends Serializable {
     */
   protected def project(
       df: DataFrame, exprs: Seq[(String, Column)]): DataFrame = {
+    // duplicate output names would either be dropped silently
+    // (toMap last-wins on a replacement) or appended as two
+    // same-named columns that break every later reference with
+    // AMBIGUOUS_REFERENCE — a transformer emitting one is a bug to
+    // surface here, not downstream
+    val dup = exprs.map(_._1).diff(exprs.map(_._1).distinct).distinct
+    require(dup.isEmpty,
+      s"$classname: duplicate output columns ${dup.mkString(", ")}")
     val existing = df.columns
     val replace = exprs.toMap
     val kept = existing.map(c =>

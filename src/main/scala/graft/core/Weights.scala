@@ -12,8 +12,6 @@ import org.apache.spark.sql.types.NumericType
   */
 object Weights {
 
-  val UnitWeightName = "__graft_unit_weight__"
-
   /** Weight expression: the named column, or a unit literal. */
   def weightCol(weightsColumn: Option[String]): Column =
     weightsColumn.map(col).getOrElse(lit(1).cast("tinyint"))

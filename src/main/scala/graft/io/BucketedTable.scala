@@ -20,10 +20,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketedTable {
 
-  /** Write `df` as a bucketed+sorted managed parquet table. */
+  /** Write `df` as a bucketed+sorted managed parquet table.
+    *
+    * The explicit repartition on the bucket key matters twice over:
+    * without it every input partition writes its own file into every
+    * bucket (P x nBuckets small files), and Spark only reports
+    * per-bucket SORT order to the scan when a bucket holds AT MOST
+    * one file — so the sortBy would be metadata the join planner
+    * ignores and sort-merge joins would re-sort both sides anyway.
+    * One file per bucket makes the sort elimination real.
+    */
   def write(df: DataFrame, table: String, key: String,
       nBuckets: Int): Unit =
-    df.write.mode("overwrite").format("parquet")
+    df.repartition(nBuckets, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, key).sortBy(key)
       .saveAsTable(table)
 

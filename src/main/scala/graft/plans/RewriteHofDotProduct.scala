@@ -1,6 +1,7 @@
 package graft.plans
 
 import graft.functions.DotProductQ
+import org.apache.spark.sql.catalyst.expressions.EvalMode
 import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate,
   Expression, LambdaFunction, Literal, Multiply, NamedExpression,
   NamedLambdaVariable, ZipWith}
@@ -59,11 +60,18 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
-            ZipWith(l, r, LambdaFunction(Multiply(mx, my, _), zArgs, _)),
+            ZipWith(l, r,
+              LambdaFunction(Multiply(mx, my, mMode), zArgs, _)),
             Literal(0L, LongType),
-            LambdaFunction(Add(ax, ay, _), aArgs, _),
+            LambdaFunction(Add(ax, ay, aMode), aArgs, _),
             finish)
-          if isLongArray(l) && isLongArray(r) &&
+          // TRY arithmetic is excluded: try_multiply/try_add promise
+          // null-on-overflow, which the wraparound kernel cannot
+          // honor. ANSI is rewritten with the documented caveat (the
+          // kernel wraps where ANSI would raise — quantized embedding
+          // dot products cannot overflow int64 by construction).
+          if mMode != EvalMode.TRY && aMode != EvalMode.TRY &&
+            isLongArray(l) && isLongArray(r) &&
             usesBothArgs(mx, my, zArgs) && usesBothArgs(ax, ay, aArgs) &&
             isIdentity(finish) =>
         DotProductQ(l, r)
