@@ -24,11 +24,15 @@ object BucketedTable {
     *
     * The explicit repartition on the bucket key matters twice over:
     * without it every input partition writes its own file into every
-    * bucket (P x nBuckets small files), and Spark only reports
-    * per-bucket SORT order to the scan when a bucket holds AT MOST
-    * one file — so the sortBy would be metadata the join planner
-    * ignores and sort-merge joins would re-sort both sides anyway.
-    * One file per bucket makes the sort elimination real.
+    * bucket (P x nBuckets small files at scale), and Spark only
+    * reports per-bucket SORT order to the scan when a bucket holds AT
+    * MOST one file. Note the sort-order report additionally sits
+    * behind `spark.sql.legacy.bucketedTableScan.outputOrdering`
+    * (default FALSE since Spark 3.0 — reporting it forces
+    * single-threaded per-bucket reads, usually a bad trade): the
+    * EXCHANGE elimination is unconditional, the SORT elimination is
+    * opt-in via that conf, and this writer's one-file-per-bucket
+    * layout is what makes the opt-in actually legal.
     */
   def write(df: DataFrame, table: String, key: String,
       nBuckets: Int): Unit =

@@ -30,6 +30,21 @@ class BucketedTableSpec extends SparkSpec {
       assert(!jPlan.contains("Exchange hashpartitioning"),
         s"co-located join still shuffles:\n$jPlan")
       assert(joined.count() == 1000)
+      // SORT elimination is opt-in (the scan reports bucket sort order
+      // only under the legacy conf, and only legally because the
+      // writer lays out ONE file per bucket) — with it on, the SMJ
+      // must skip its sorts too
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      try {
+        val j2 = e.join(m, Seq("image_id"))
+        val p2 = j2.queryExecution.executedPlan.toString
+        assert(p2.contains("SortMergeJoin"), p2)
+        assert(!p2.contains("Sort "),
+          s"one-file-per-bucket sort order ignored, SMJ re-sorts:\n$p2")
+        assert(j2.count() == 1000)
+      } finally spark.conf.unset(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering")
 
       val agg = e.groupBy("image_id").agg(sum("v").as("sv"))
       val aPlan = agg.queryExecution.executedPlan.toString
