@@ -872,6 +872,19 @@ object QueriesData {
         .orderBy("image_id")
     }),
 
+    "q138_source_report" -> ((s, dir) => {
+      // per-source quality dashboard: volume, dup rate, mean composite
+      // quality, declared-vs-detected language agreement — the table a
+      // mixture designer reads before setting q132's weights
+      TextOps.sourceReportCard(tbl(s, dir, "documents"),
+        "source", "text", "lang")
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          round(col("dup_rate"), 6).as("dup_rate"),
+          round(col("mean_quality"), 6).as("mean_quality"),
+          round(col("lang_agreement"), 6).as("lang_agreement"))
+        .orderBy("source")
+    }),
+
     "q136_dhash_transcode" -> ((s, dir) => {
       // gradient hash closed loop, the q124 construction: lossless
       // transcode twins must dHash identically (the hash reads pixel
@@ -2184,6 +2197,42 @@ object QueriesData {
         |    CAST(30000 AS DOUBLE) * share / CAST(tok AS DOUBLE))
         |    * CAST(4294967296 AS DOUBLE))
         |ORDER BY d.doc_id""".stripMargin,
+
+    // per-source regrouping of the q48 quality rule + q47 langId
+    // chain + the corpusReport dup-rate rule; float means rounded 6dp
+    // (aggregation-order ulp drift)
+    "q138_source_report" -> {
+      val maxExpr = TextOps.Langs.map(langHitsSql)
+        .mkString("GREATEST(", ", ", ")")
+      val chain = TextOps.Langs.reverse.foldLeft("'unknown'") {
+        (acc, l) =>
+          s"CASE WHEN ${langHitsSql(l)} = m AND m > 0 " +
+            s"THEN '$l' ELSE $acc END"
+      }
+      val stopsAll = TextOps.Langs.map(langHitsSql).mkString(" + ")
+      s"""WITH t AS (SELECT source, lang, text, $maxExpr AS m,
+         |  CAST(len(text) AS DOUBLE) AS nc,
+         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+         |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+         |       AS DOUBLE) AS punct,
+         |  CAST($stopsAll AS DOUBLE) AS stops
+         |  FROM documents),
+         |q AS (SELECT source, lang, text, $chain AS lang_pred,
+         |  0.4 * LEAST(nc / 500.0, 1.0) +
+         |  0.3 * LEAST((stops / nt) * 5.0, 1.0) +
+         |  0.2 * LEAST(((nc - (nt - 1.0)) / nt) / 8.0, 1.0) +
+         |  0.1 * (1.0 - LEAST((punct / nc) * 10.0, 1.0)) AS quality,
+         |  CAST(nt AS BIGINT) AS ntok
+         |  FROM t)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+         |  ROUND(1 - count(DISTINCT md5(text)) * 1.0 / count(text), 6)
+         |    AS dup_rate,
+         |  ROUND(AVG(quality), 6) AS mean_quality,
+         |  ROUND(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)
+         |    * 1.0 / count(*), 6) AS lang_agreement
+         |FROM q GROUP BY source ORDER BY source""".stripMargin
+    },
 
     // twins known by construction, same contract as q124
     "q136_dhash_transcode" ->

@@ -318,6 +318,31 @@ object TextOps {
     base.crossJoin(langSide)
   }
 
+  /** Per-SOURCE report card — the per-domain quality dashboard a
+    * mixture designer reads before setting [[mixtureSample]] weights:
+    * one row per source with volume (docs, tokens), exact duplicate
+    * rate (md5-hashed texts, non-null denominator — the
+    * [[corpusReport]] rule per group), mean composite quality, and
+    * `lang_agreement` (the share of docs whose detected [[langId]]
+    * matches the source's declared language column — a mislabeled or
+    * crawled-dirty source scores low). One map-side-combined groupBy;
+    * output is |sources| rows.
+    */
+  def sourceReportCard(df: DataFrame, sourceCol: String,
+      textCol: String, langCol: String): DataFrame = {
+    val t = col(textCol)
+    val quality = qualityExprs(t).toMap.apply("quality")
+    df.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(t).cast("long")).as("total_tokens"),
+        (lit(1.0) - countDistinct(md5(t)).cast("double") /
+          nullif(count(t), lit(0L))).as("dup_rate"),
+        avg(quality).as("mean_quality"),
+        (sum(when(langId(t) === col(langCol), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("lang_agreement"))
+  }
+
   /** TF-IDF term scores: `tfidf(d, t) = tf(d, t) * ln(N / df(t))` —
     * the classic retrieval/curation relevance weight (e.g. keeping
     * documents rich in domain terms, or building sparse retrieval

@@ -191,6 +191,9 @@ class EmptyInputSpec extends SparkSpec {
       .count() == 16)
     assert(graft.text.Dsir.dsirSample(d, d, "doc_id", "text", 16, 5)
       .count() == 0)
+    val noSrc = df("source STRING, lang STRING, text STRING", Seq.empty)
+    assert(graft.text.TextOps.sourceReportCard(noSrc,
+      "source", "text", "lang").count() == 0)
   }
 
   test("grouped sketch emits the prob=1.0 row even when fractional " +
