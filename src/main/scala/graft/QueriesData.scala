@@ -872,6 +872,16 @@ object QueriesData {
         .orderBy("image_id")
     }),
 
+    "q139_duplication_ratio" -> ((s, dir) => {
+      // the novelty quality signal over the suffix-twin corpus:
+      // fraction of each doc's 8-token windows duplicated corpus-wide
+      graft.text.SpanDedup.duplicationRatio(
+        docsWithDups(s, dir), "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+          round(col("dup_ratio"), 6).as("dup_ratio"))
+        .orderBy("doc_id")
+    }),
+
     "q138_source_report" -> ((s, dir) => {
       // per-source quality dashboard: volume, dup rate, mean composite
       // quality, declared-vs-detected language agreement — the table a
@@ -2197,6 +2207,30 @@ object QueriesData {
         |    CAST(30000 AS DOUBLE) * share / CAST(tok AS DOUBLE))
         |    * CAST(4294967296 AS DOUBLE))
         |ORDER BY d.doc_id""".stripMargin,
+
+    // same gram/count rules as q126; integer counts, exact division,
+    // rounded 6dp like every ratio oracle
+    "q139_duplication_ratio" ->
+      s"""WITH t AS ($docsWithDupsSql),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM t),
+         |grams AS (SELECT doc_id,
+         |    unnest(range(0, len(ts) - 7)) AS pos,
+         |    unnest(list_transform(range(0, len(ts) - 7),
+         |      i -> CAST('0x' || substring(
+         |        md5(array_to_string(ts[i+1:i+8], ' ')), 1, 15)
+         |        AS BIGINT))) AS g
+         |  FROM tok),
+         |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+         |tot AS (SELECT doc_id, count(*) AS n_windows
+         |  FROM grams GROUP BY doc_id),
+         |dc AS (SELECT doc_id, count(*) AS n_dup
+         |  FROM grams JOIN dup USING (g) GROUP BY doc_id)
+         |SELECT t2.doc_id, t2.n_windows,
+         |  COALESCE(dc.n_dup, 0) AS n_dup_windows,
+         |  ROUND(COALESCE(dc.n_dup, 0) * 1.0 / t2.n_windows, 6)
+         |    AS dup_ratio
+         |FROM tot t2 LEFT JOIN dc USING (doc_id)
+         |ORDER BY 1""".stripMargin,
 
     // per-source regrouping of the q48 quality rule + q47 langId
     // chain + the corpusReport dup-rate rule; float means rounded 6dp

@@ -104,6 +104,32 @@ object SpanDedup {
       .select(col("doc_id"), col("span_start"), col("span_end"))
   }
 
+  /** Per-document duplication ratio — the RefinedWeb-style novelty
+    * quality signal: what fraction of a document's n-token windows
+    * occur >= `minCount` times corpus-wide? Boilerplate-heavy and
+    * templated pages score high; a curation pass thresholds on it
+    * (where [[removeDuplicatedSpans]] CUTS, this MEASURES). One row
+    * per document with >= 1 window: `(doc_id, n_windows,
+    * n_dup_windows, dup_ratio)`; documents shorter than n tokens
+    * have no windows and are absent (nothing to measure).
+    */
+  def duplicationRatio(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minCount: Long = 2L): DataFrame = {
+    val totals = gramRows(df, idCol, textCol, n)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"))
+    val dups = dupStarts(df, idCol, textCol, n, minCount)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"))
+      .withColumnRenamed("doc_id", "__dd")
+    totals
+      .join(dups, col("doc_id") <=> col("__dd"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        (coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
+          col("n_windows")).as("dup_ratio"))
+  }
+
   /** The corpus with duplicated spans CUT OUT: every token covered by
     * a duplicated n-gram window is dropped and the remaining tokens
     * re-joined with single spaces. Output:

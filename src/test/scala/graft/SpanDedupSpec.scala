@@ -53,6 +53,25 @@ class SpanDedupSpec extends SparkSpec {
     assert(out.toSet == Set((1L, 0L, 11L), (2L, 0L, 11L)))
   }
 
+  test("duplicationRatio: full-tail twin scores 1.0, partial overlap " +
+      "in (0,1), unique doc 0.0, short docs absent") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d = docs(
+      1L -> s"a b c $shared",    // 6 of 6 windows? no: 13 tokens -> 6 windows, 3 dup
+      2L -> shared,              // 3 windows, all dup -> 1.0
+      3L -> "totally unique text with no repeated windows at all",
+      4L -> "too short")
+    val out = SpanDedup.duplicationRatio(d, "doc_id", "text", 8)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(!out.contains(4L)) // 2 tokens: no windows
+    assert(out(2L) == ((3L, 3L, 1.0)))
+    val (w1, d1, r1) = out(1L)
+    assert(w1 == 6L && d1 == 3L && r1 == 0.5)
+    assert(out(3L)._3 == 0.0)
+  }
+
   test("removeDuplicatedSpans: covered tokens cut, text re-joined, " +
       "fully-duplicated doc survives as empty string") {
     val shared = (1 to 10).map(i => s"s$i").mkString(" ")
