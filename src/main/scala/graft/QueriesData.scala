@@ -986,8 +986,8 @@ object QueriesData {
       |      md5(CAST(d AS VARCHAR) || ':' || token), 1, 15)
       |      AS BIGINT) % 512 AS INTEGER) AS b
       |  FROM probes, (SELECT unnest(range(0, 4)) AS d) dd),
-      |est AS (SELECT token, min(cnt) AS est
-      |  FROM pb JOIN cnt USING (d, b) GROUP BY token),
+      |est AS (SELECT token, min(COALESCE(cnt, CAST(0 AS DOUBLE))) AS est
+      |  FROM pb LEFT JOIN cnt USING (d, b) GROUP BY token),
       |tc AS (SELECT token, count(*) AS true_cnt FROM tok
       |  GROUP BY token)
       |SELECT token, est, true_cnt FROM est JOIN tc USING (token)

@@ -454,7 +454,12 @@ object Multimodal {
             if (img == null) Seq(0.0, 0.0, false, false)
             else {
               val w = img.getWidth; val h = img.getHeight
-              var s = 0.0; var s2 = 0.0
+              // Welford's online update, fixed row-major order: the
+              // single-pass s2/n - mean^2 form cancels catastrophically
+              // on large images (mean^2 ~1.6e4 vs variance ~4 at the
+              // flat threshold) and can flip the flat verdict; Welford
+              // is the same O(wh) cost and numerically stable
+              var n = 0L; var mean = 0.0; var m2 = 0.0
               var y = 0
               while (y < h) {
                 var x = 0
@@ -462,15 +467,15 @@ object Multimodal {
                   val p = img.getRGB(x, y)
                   val l = 0.299 * ((p >> 16) & 0xff) +
                     0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
-                  s += l; s2 += l * l
+                  n += 1
+                  val d = l - mean
+                  mean += d / n
+                  m2 += d * (l - mean)
                   x += 1
                 }
                 y += 1
               }
-              val n = (w.toLong * h).toDouble
-              val mean = s / n
-              val v = math.max(s2 / n - mean * mean, 0.0)
-              val std = math.sqrt(v)
+              val std = if (n > 0) math.sqrt(math.max(m2 / n, 0.0)) else 0.0
               Seq(mean, std, std <= flatStd, true)
             }
           } catch { case _: Exception => Seq(0.0, 0.0, false, false) }

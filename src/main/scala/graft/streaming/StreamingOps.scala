@@ -204,7 +204,12 @@ object StreamingOps {
     val bandsRoot = s"$indexRoot/bands"
     val latestBands = graft.io.SnapshotStore.latestSnapshot(bandsRoot)
     val hwmPath = java.nio.file.Paths.get(indexRoot, "max_id.txt")
-    if (java.nio.file.Files.exists(marker)) {
+    // whether this batchId was ever attempted before: the all-doomed
+    // replay exit below is ONLY legitimate on a redo — a FRESH batch
+    // whose ids sit at/below the high-water mark is a source contract
+    // violation (id reset) that must keep failing loudly
+    val markerPreExisted = java.nio.file.Files.exists(marker)
+    if (markerPreExisted) {
       val base = java.nio.file.Files.readString(marker).trim.toInt
       if (latestBands.exists(_ > base)) {
         // committed; replay no-op — but refresh the high-water mark
@@ -254,13 +259,16 @@ object StreamingOps {
         val r = fullCorpus.agg(max(col(idCol))).head()
         if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
       }
-    if (hwmExists && hwm >= maxBatchId) {
-      // the hwm is written LAST, so hwm >= this batch's max means a
-      // previous attempt fully absorbed it but the bands snapshot
-      // never advanced — the legitimate ALL-DOOMED batch (no
-      // survivors = no publish). Without this exit, the replay of a
-      // committed all-doomed batch would fail the monotonicity
-      // require below forever and wedge the stream.
+    if (markerPreExisted && hwmExists && hwm >= maxBatchId) {
+      // REDO of a known batchId (marker pre-existed) where the hwm —
+      // written LAST — already covers this batch's max: a previous
+      // attempt fully absorbed it but the bands snapshot never
+      // advanced — the legitimate ALL-DOOMED batch (no survivors = no
+      // publish). Without this exit, the replay of a committed
+      // all-doomed batch would fail the monotonicity require below
+      // forever and wedge the stream. A FRESH batch (no marker) with
+      // ids at/below the hwm falls through to that require instead:
+      // silent drop would mask an id-reset contract violation.
       return
     }
     require(minBatchId > hwm,
@@ -479,6 +487,13 @@ object StreamingOps {
   case class PhashPair(idA: String, idB: String, hamming: Int)
   case class BandedImage(band: Int, bits: Long, imageId: String,
       phash: Long, ts: Timestamp)
+  /** STATE-SCHEMA COMPATIBILITY: `maxTs` was added after the first
+    * release of [[phashNearDupStream]]. flatMapGroupsWithState state
+    * encoders are schema-sensitive, so a checkpoint written by the
+    * pre-`maxTs` build cannot deserialize under this one — restarting
+    * an old stream on this version needs a FRESH checkpoint directory
+    * (state v2; treat any future field change here the same way).
+    */
   case class BucketState(ids: List[(String, Long)],
     maxTs: Long = 0L)
 

@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.dedup.Dedup
 
@@ -29,6 +30,18 @@ import graft.dedup.Dedup
   *     posexplode + window-lead pattern — one exchange on doc_id,
   *     window buffering bounded by document length (a per-DOC window,
   *     immune to hot-KEY skew: documents are bounded, keys are not);
+  *   - the gram frame is computed ONCE per operator call and persisted
+  *     (MEMORY_AND_DISK) for the duration of the query: the
+  *     posexplode + window + md5 gram pass is the dominant cost of the
+  *     whole operator family, and every public op here consumes the
+  *     gram relation at least twice (global count + join back).
+  *     Without the persist, exchange reuse would still share the
+  *     shuffle WRITE, but the window sort + per-window md5 would run
+  *     once per consumer. The cache registers with the session's
+  *     CacheManager and stays until `spark.catalog.clearCache()` (the
+  *     same contract as [[graft.Flagship.features]]'s fit-input
+  *     cache) — a production job drops it after materializing its
+  *     output;
   *   - the duplicate-gram table is a map-side-combined count over
   *     int64 gram hashes (never gram text) with an early
   *     `count >= minCount` filter — its exchange carries
@@ -49,14 +62,21 @@ import graft.dedup.Dedup
   */
 object SpanDedup {
 
-  /** `(doc_id, pos, gram_hash)` rows: the n-token window starting at
-    * token `pos` (0-based), hashed. One exchange on doc_id.
+  /** `(doc_id, __pos, __t)` token rows: one posexplode projection,
+    * no shuffle.
     */
-  private[graft] def gramRows(df: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
-    require(n >= 2, s"span dedup needs n >= 2, got $n")
-    val toks = df.select(col(idCol).as("doc_id"),
+  private[graft] def tokenRows(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), " ")).as(Seq("__pos", "__t")))
+
+  /** `(doc_id, pos, gram_hash)` windows over a token frame (the
+    * expensive pass: one exchange on doc_id + per-doc window + md5
+    * per window).
+    */
+  private[graft] def gramRowsFromToks(toks: DataFrame, n: Int)
+      : DataFrame = {
+    require(n >= 2, s"span dedup needs n >= 2, got $n")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("__pos"))
     val parts = (0 until n).map(k =>
       if (k == 0) col("__t") else lead(col("__t"), k).over(w))
@@ -67,12 +87,19 @@ object SpanDedup {
       .select(col("doc_id"), col("__pos"), col("__g"))
   }
 
-  /** `(doc_id, pos)` start positions of duplicated n-gram windows:
-    * windows whose gram occurs >= `minCount` times corpus-wide.
+  /** `(doc_id, pos, gram_hash)` rows: the n-token window starting at
+    * token `pos` (0-based), hashed. One exchange on doc_id.
     */
-  private[graft] def dupStarts(df: DataFrame, idCol: String,
-      textCol: String, n: Int, minCount: Long): DataFrame = {
-    val grams = gramRows(df, idCol, textCol, n)
+  private[graft] def gramRows(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    gramRowsFromToks(tokenRows(df, idCol, textCol), n)
+
+  /** `(doc_id, pos)` start positions of duplicated n-gram windows
+    * given an (ideally persisted) gram frame: windows whose gram
+    * occurs >= `minCount` times corpus-wide.
+    */
+  private[graft] def dupStartsFromGrams(grams: DataFrame,
+      minCount: Long): DataFrame = {
     val dup = grams.groupBy(col("__g"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minCount)
@@ -89,7 +116,9 @@ object SpanDedup {
     */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int, minCount: Long = 2L): DataFrame = {
-    val starts = dupStarts(df, idCol, textCol, n, minCount)
+    val grams = gramRows(df, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val starts = dupStartsFromGrams(grams, minCount)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("__pos"))
     starts
       // first row of a doc: lag is null -> comparison null -> break
@@ -112,13 +141,20 @@ object SpanDedup {
     * per document with >= 1 window: `(doc_id, n_windows,
     * n_dup_windows, dup_ratio)`; documents shorter than n tokens
     * have no windows and are absent (nothing to measure).
+    *
+    * ONE gram pass serves all three aggregates (per-doc totals, the
+    * global dup-gram count, and the join-back) via the persisted gram
+    * frame — totals and dup starts are derived reads of the cache,
+    * not fresh posexplode+window scans.
     */
   def duplicationRatio(df: DataFrame, idCol: String, textCol: String,
       n: Int, minCount: Long = 2L): DataFrame = {
-    val totals = gramRows(df, idCol, textCol, n)
+    val grams = gramRows(df, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = grams
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"))
-    val dups = dupStarts(df, idCol, textCol, n, minCount)
+    val dups = dupStartsFromGrams(grams, minCount)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_windows"))
       .withColumnRenamed("doc_id", "__dd")
@@ -137,17 +173,22 @@ object SpanDedup {
     * document (a fully-duplicated document survives with
     * `clean_text = ''`).
     *
-    * Coverage expansion explodes each marked start into its n covered
-    * positions (bounded n-fold blowup of the TINY dup-start set, not
-    * of the corpus); the anti-join drops covered tokens; per-doc
-    * reassembly sorts the surviving (pos, token) pairs inside one
-    * array — bounded by document length.
+    * The token explode is computed once and persisted: the gram
+    * windows AND the kept-token reassembly both derive from it (the
+    * gram frame is additionally persisted — it is read twice by the
+    * dup-start derivation). Coverage expansion explodes each marked
+    * start into its n covered positions (bounded n-fold blowup of the
+    * TINY dup-start set, not of the corpus); the anti-join drops
+    * covered tokens; per-doc reassembly sorts the surviving
+    * (pos, token) pairs inside one array — bounded by document length.
     */
   def removeDuplicatedSpans(df: DataFrame, idCol: String,
       textCol: String, n: Int, minCount: Long = 2L): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
-      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__t")))
-    val covered = dupStarts(df, idCol, textCol, n, minCount)
+    val toks = tokenRows(df, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val grams = gramRowsFromToks(toks, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val covered = dupStartsFromGrams(grams, minCount)
       .select(col("doc_id"),
         explode(sequence(col("__pos"), col("__pos") + n - 1))
           .as("__pos"))

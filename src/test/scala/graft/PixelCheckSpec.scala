@@ -186,9 +186,10 @@ class PixelCheckSpec extends SparkSpec {
       .toMap
     val idIdx = schema.fieldIndex("image_id")
     val (fm, fs, ff, fok) = out(rows(0).getString(idIdx))
-    // the one-pass variance of a constant image is zero up to the
-    // E[X^2]-E[X]^2 cancellation's accumulation noise
-    assert(fok && ff && fs < 1e-3 && math.abs(fm - (0.299 * 0x33 +
+    // Welford accumulation: a constant image's deviation term is
+    // exactly zero at every step, so std is exactly 0.0 (the old
+    // E[X^2]-E[X]^2 form only reached ~1e-3 through cancellation)
+    assert(fok && ff && fs == 0.0 && math.abs(fm - (0.299 * 0x33 +
       0.587 * 0x66 + 0.114 * 0xAA)) < 1e-6)
     Seq(1, 2).foreach { i =>
       val (_, _, fl, ok) = out(rows(i).getString(idIdx))

@@ -204,6 +204,37 @@ class PlanDisciplineSpec extends SparkSpec {
       s"no map-side combine on the gram counts:\n$plan")
   }
 
+  test("span dedup duplicationRatio: ONE gram scan feeds all " +
+      "aggregates (totals + dup count + join-back read the persisted " +
+      "gram frame; no Generate outside the cache)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    spark.catalog.clearCache()
+    val q = graft.text.SpanDedup.duplicationRatio(
+      spark.read.parquet(docPath), "doc_id", "text", 8)
+    // count nodes WITHOUT descending into the cached relation: every
+    // consumer must be an InMemoryTableScan of the gram cache, and
+    // the expensive posexplode (Generate) must live ONLY inside it
+    def count(p: SparkPlan)(f: SparkPlan => Boolean): Int = p match {
+      case _: InMemoryTableScanExec => if (f(p)) 1 else 0
+      case n => (if (f(n)) 1 else 0) + n.children.map(count(_)(f)).sum
+    }
+    val plan = q.queryExecution.sparkPlan
+    val scans = count(plan)(_.isInstanceOf[InMemoryTableScanExec])
+    val gens = count(plan)(_.isInstanceOf[GenerateExec])
+    assert(scans >= 3, s"expected >=3 cache reads, got $scans:\n$plan")
+    assert(gens == 0,
+      s"gram posexplode recomputed outside the cache:\n$plan")
+    // and the values still agree with a from-scratch recompute
+    val viaCache = q.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spark.catalog.clearCache()
+    assert(viaCache.nonEmpty)
+    assert(viaCache.exists(_._3 > 0),
+      "fixture has duplicated windows by construction")
+  }
+
   test("CMS counter build is ONE map-side-combined exchange (bounded " +
       "by depth x width partials regardless of input rows)") {
     val toks = spark.read.parquet(docPath)

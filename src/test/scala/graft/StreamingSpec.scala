@@ -152,6 +152,20 @@ class StreamingSpec extends SparkSpec {
       emit = d => emitted ++= d.select("doc_id").collect()
         .map(_.getLong(0)))
     assert(emitted.toSet == Set(201L))
+
+    // but a FRESH batchId whose ids sit at/below the high-water mark
+    // is an id-reset contract violation and must still fail LOUDLY —
+    // the all-doomed replay exit only applies to redos of a KNOWN
+    // batchId (regression: the guard used to fire for fresh batches
+    // too, silently dropping them with no emit and no error)
+    val reset = Seq(
+      (150L, "reset id content zz yy xx ww vv uu tt ss"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      StreamingOps.dedupIngestBatch(reset, 2L, corpus, "doc_id",
+        "text", root, threshold = 0.5, emit = _ => ())
+    }
+    assert(ex.getMessage.contains("monotone"))
   }
 
   test("as-of enrich carries MICROSECOND feature timestamps exactly") {
