@@ -31,17 +31,20 @@ object Flagship {
     */
   def joinedInput(spark: SparkSession, nImages: Long,
       eventsPerImage: Int, hotFraction: Double = 0.0,
-      hotEntities: Seq[String] = Seq.empty): DataFrame = {
+      hotEntities: Seq[String] = Seq.empty,
+      autoSaltShare: Option[Double] = None): DataFrame = {
     val imgs = ImageTable.images(spark, nImages)
     val evs = ImageTable.events(spark, nImages, eventsPerImage,
       hotFraction = hotFraction)
     val snaps = ImageTable.snapshots(spark, nImages)
 
-    // point-in-time attach of the latest snapshot per event
+    // point-in-time attach of the latest snapshot per event; skew
+    // handling either from an explicit hot list or (autoSaltShare) the
+    // sampled runtime detection pass
     val pit = AsOfJoin.join(evs, snaps, entity = "image_id",
       leftTs = "event_ts", rightTs = "feature_ts",
       rightValueCols = Seq("caption_at", "phash_at", "feat"),
-      hotEntities = hotEntities)
+      hotEntities = hotEntities, autoSaltShare = autoSaltShare)
 
     // metadata join — never touches `bytes`, so column pruning keeps
     // the binary payload out of the exchange entirely

@@ -37,8 +37,66 @@ import org.apache.spark.sql.expressions.Window
   * correctness (each sub-partition sees the full right history).
   * Cold entities keep salt 0 — no blow-up. AQE skew-join handling
   * remains on as a backstop.
+  *
+  * A 100 TB job discovers its skew at RUNTIME, not config time:
+  * `autoSaltShare = Some(s)` runs [[detectHotEntities]] — a sampled,
+  * column-pruned key-frequency pass — before planning and promotes
+  * every key holding >= s of the (sampled) left rows into the salt
+  * set, so no operator needs a hand-maintained celebrity list.
   */
 object AsOfJoin {
+
+  /** Sampled left-side hot-key detection: returns the entity keys
+    * holding at least `rowShare` of the (sampled) rows, heaviest
+    * first, capped at `maxKeys`.
+    *
+    * Scale shape: the scan is column-pruned to the entity column and
+    * row-sampled (deterministic under the fixed seed, so the count
+    * pass and the frequency pass see the SAME sample); the groupBy is
+    * map-side combined, and only keys above the share threshold — at
+    * most 1/rowShare of them, ~50 for the 2% default — survive to the
+    * driver-side `collect`. Two light jobs over one pruned column.
+    *
+    * Statistics: a key holding share p of n sampled rows lands within
+    * +-sqrt(p/n) of p (binomial std) — at the default 2% threshold,
+    * 100k sampled rows resolve shares to +-0.04%, far tighter than
+    * the decision boundary needs. Keys just AT the threshold may
+    * flip either way; salting is a performance hint, so either
+    * outcome is correct (result equivalence is spec-asserted for
+    * salted vs unsalted).
+    *
+    * @param sampleFraction  <= 0 or >= 1 disables sampling (exact
+    *                        counts; still one bounded-exchange pass)
+    */
+  def detectHotEntities(
+      df: DataFrame,
+      entity: String,
+      rowShare: Double = 0.02,
+      sampleFraction: Double = 1.0,
+      maxKeys: Int = 64,
+      seed: Long = 42L): Seq[String] = {
+    require(rowShare > 0.0 && rowShare <= 1.0,
+      s"as-of auto-salt: rowShare must be in (0, 1], got $rowShare")
+    val keys = df.select(col(entity).cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+    val sampled =
+      if (sampleFraction > 0.0 && sampleFraction < 1.0)
+        keys.sample(withReplacement = false, sampleFraction, seed)
+      else keys
+    // deterministic sample (fixed seed, per-partition Bernoulli): the
+    // two passes below see identical rows
+    val total = sampled.count()
+    if (total == 0L) return Seq.empty
+    val floor = math.max(1L, math.ceil(rowShare * total).toLong)
+    sampled.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= floor)
+      .orderBy(col("__n").desc, col("__k"))
+      .limit(maxKeys)
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+  }
 
   /** @param leftTs / rightTs   timestamp column names
     * @param rightValueCols     right columns to carry (defaults: all but
@@ -46,8 +104,13 @@ object AsOfJoin {
     * @param strict             true => right.ts <  left.ts (no same-instant
     *                           reads); false => <=
     * @param toleranceSeconds   optional max staleness; older matches -> null
-    * @param hotEntities        explicit skew keys to salt (empty => no salting)
+    * @param hotEntities        explicit skew keys to salt (empty => no salting
+    *                           unless autoSaltShare is set)
     * @param saltBuckets        sub-partitions per hot entity
+    * @param autoSaltShare      when set and hotEntities is empty, run
+    *                           [[detectHotEntities]] on the left side and
+    *                           salt every key holding >= this row share
+    * @param autoSaltSample     sample fraction for the detection pass
     */
   def join(
       left: DataFrame,
@@ -60,7 +123,9 @@ object AsOfJoin {
       toleranceSeconds: Option[Long] = None,
       broadcastRight: Boolean = false,
       hotEntities: Seq[String] = Seq.empty,
-      saltBuckets: Int = 8): DataFrame = {
+      saltBuckets: Int = 8,
+      autoSaltShare: Option[Double] = None,
+      autoSaltSample: Double = 0.05): DataFrame = {
 
     val valueCols =
       if (rightValueCols.nonEmpty) rightValueCols
@@ -69,11 +134,29 @@ object AsOfJoin {
     if (broadcastRight)
       joinBroadcast(left, right, entity, leftTs, rightTs, valueCols,
         strict, toleranceSeconds, forward = false)
-    else
+    else {
+      val hot = resolveHot(left, entity, hotEntities, autoSaltShare,
+        autoSaltSample)
       joinUnion(left, right, entity, leftTs, rightTs, valueCols,
-        strict, toleranceSeconds, hotEntities, saltBuckets,
+        strict, toleranceSeconds, hot, saltBuckets,
         forward = false)
+    }
   }
+
+  /** hotEntities wins when given; otherwise autoSaltShare triggers the
+    * sampled detection pass (broadcast strategy never salts — it has
+    * no shuffle to skew).
+    */
+  private def resolveHot(left: DataFrame, entity: String,
+      hotEntities: Seq[String], autoSaltShare: Option[Double],
+      autoSaltSample: Double): Seq[String] =
+    if (hotEntities.nonEmpty) hotEntities
+    else autoSaltShare match {
+      case Some(share) =>
+        detectHotEntities(left, entity, rowShare = share,
+          sampleFraction = autoSaltSample)
+      case None => Seq.empty
+    }
 
   /** FORWARD as-of join: for each left row, the EARLIEST right row
     * with right.ts >= left.ts (strict: >) within the entity — the
@@ -99,17 +182,22 @@ object AsOfJoin {
       toleranceSeconds: Option[Long] = None,
       broadcastRight: Boolean = false,
       hotEntities: Seq[String] = Seq.empty,
-      saltBuckets: Int = 8): DataFrame = {
+      saltBuckets: Int = 8,
+      autoSaltShare: Option[Double] = None,
+      autoSaltSample: Double = 0.05): DataFrame = {
     val valueCols =
       if (rightValueCols.nonEmpty) rightValueCols
       else right.columns.filterNot(c => c == entity || c == rightTs).toSeq
     if (broadcastRight)
       joinBroadcast(left, right, entity, leftTs, rightTs, valueCols,
         strict, toleranceSeconds, forward = true)
-    else
+    else {
+      val hot = resolveHot(left, entity, hotEntities, autoSaltShare,
+        autoSaltSample)
       joinUnion(left, right, entity, leftTs, rightTs, valueCols,
-        strict, toleranceSeconds, hotEntities, saltBuckets,
+        strict, toleranceSeconds, hot, saltBuckets,
         forward = true)
+    }
   }
 
   private val MatchedTs = "__asof_matched_ts"

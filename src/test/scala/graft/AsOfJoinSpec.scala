@@ -98,6 +98,85 @@ class AsOfJoinSpec extends SparkSpec {
     assert(base == bcast)
   }
 
+  test("detectHotEntities: sampled key-frequency pass promotes " +
+      "exactly the keys above the row-share threshold") {
+    // 10k rows: "hot" holds 60%, "warm" 25%, 15 cold keys ~1% each
+    val keys = spark.range(0, 10000).select(
+      when(col("id") < 6000, lit("hot"))
+        .when(col("id") < 8500, lit("warm"))
+        .otherwise(concat(lit("cold"), (col("id") % 15).cast("string")))
+        .as("e"),
+      col("id").as("ts"))
+    val exact = AsOfJoin.detectHotEntities(keys, "e", rowShare = 0.10)
+    assert(exact == Seq("hot", "warm")) // heaviest first
+    // a 5% sample still resolves a 60/25% key against a 10% threshold
+    val sampled = AsOfJoin.detectHotEntities(keys, "e",
+      rowShare = 0.10, sampleFraction = 0.05)
+    assert(sampled == Seq("hot", "warm"))
+    // determinism: the fixed seed makes repeat calls identical
+    assert(sampled == AsOfJoin.detectHotEntities(keys, "e",
+      rowShare = 0.10, sampleFraction = 0.05))
+    // maxKeys caps the list at the heaviest keys
+    assert(AsOfJoin.detectHotEntities(keys, "e", rowShare = 0.10,
+      maxKeys = 1) == Seq("hot"))
+    // nothing above 70% -> empty; empty input -> empty
+    assert(AsOfJoin.detectHotEntities(keys, "e", rowShare = 0.70).isEmpty)
+    assert(AsOfJoin.detectHotEntities(
+      keys.filter(lit(false)), "e").isEmpty)
+    // null keys are ignored, not promoted
+    val withNulls = keys.select(
+      when(col("e") === "warm", lit(null)).otherwise(col("e")).as("e"),
+      col("ts"))
+    assert(AsOfJoin.detectHotEntities(withNulls, "e", rowShare = 0.10)
+      == Seq("hot"))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.detectHotEntities(keys, "e", rowShare = 0.0)
+    }
+  }
+
+  test("auto-salted join (runtime hot-key detection, no explicit " +
+      "list) == unsalted result") {
+    val l = spark.range(0, 2000)
+      .select(
+        // 80% of left rows on ONE entity, rest spread over 6
+        when(col("id") % 5 =!= 0, lit("e0"))
+          .otherwise(concat(lit("e"),
+            (col("id") % 7).cast("string"))).as("e"),
+        timestamp_micros(lit(1700000000000000L) +
+          xxhash64(col("id")) % 100000000L).as("ts"),
+        col("id").as("lv"))
+    val r = spark.range(0, 500)
+      .select(concat(lit("e"), (col("id") % 7).cast("string")).as("e"),
+        timestamp_micros(lit(1700000000000000L) +
+          xxhash64(col("id"), lit(1)) % 100000000L).as("ts"),
+        (col("id") * 2).cast("double").as("f"))
+    // the detection pass must actually find the hot key...
+    assert(AsOfJoin.detectHotEntities(l, "e", rowShare = 0.1)
+      == Seq("e0"))
+    // ...and the auto-salted plan must produce the unsalted answer
+    val base = AsOfJoin.join(l, r, "e").orderBy("lv").collect().toSeq
+    val auto = AsOfJoin.join(l, r, "e",
+      autoSaltShare = Some(0.1), autoSaltSample = 1.0)
+      .orderBy("lv").collect().toSeq
+    val autoSampled = AsOfJoin.join(l, r, "e",
+      autoSaltShare = Some(0.1), autoSaltSample = 0.25)
+      .orderBy("lv").collect().toSeq
+    val autoForward = AsOfJoin.joinForward(l, r, "e",
+      autoSaltShare = Some(0.1), autoSaltSample = 1.0)
+      .orderBy("lv").collect().toSeq
+    val baseForward = AsOfJoin.joinForward(l, r, "e")
+      .orderBy("lv").collect().toSeq
+    assert(base == auto)
+    assert(base == autoSampled)
+    assert(baseForward == autoForward)
+    // an explicit hot list takes precedence over detection (no
+    // detection job runs: equivalence is the observable contract)
+    val explicitWins = AsOfJoin.join(l, r, "e",
+      hotEntities = Seq("e0"), autoSaltShare = Some(0.1))
+      .orderBy("lv").collect().toSeq
+    assert(base == explicitWins)
+  }
+
   test("dirty right rows (null entity / null ts) never match, and " +
       "both strategies agree on it") {
     // regression: a null right-ts row sorted FIRST in the union
