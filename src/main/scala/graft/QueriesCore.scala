@@ -586,6 +586,38 @@ object QueriesCore {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    "q140_df_method" -> ((s, dir) => {
+      // whitelisted DataFrameMethodTransformer chain covering both
+      // method families: row-wise skipna reductions (axis=1) over a
+      // nullable column, element-wise scalar arithmetic incl. the
+      // Python mod sign rule on negatives, and chaining (qm30 feeds
+      // qmod/qabs)
+      val d = liWithNulls(s, dir)
+      val chain = Seq(
+        new DataFrameMethodTransformer(Seq("s_qt"), "sum",
+          Seq("q", "l_tax"), Map("axis" -> 1)),
+        new DataFrameMethodTransformer(Seq("m_qq"), "mean",
+          Seq("q", "l_quantity"), Map("axis" -> 1)),
+        new DataFrameMethodTransformer(Seq("mn_qd"), "min",
+          Seq("q", "l_discount"), Map("axis" -> 1)),
+        new DataFrameMethodTransformer(Seq("half_price"), "div",
+          Seq("l_extendedprice"), Map("other" -> 2)),
+        new DataFrameMethodTransformer(Seq("qm30"), "sub",
+          Seq("l_quantity"), Map("other" -> 30)),
+        new DataFrameMethodTransformer(Seq("qmod"), "mod",
+          Seq("qm30"), Map("other" -> 7)),
+        new DataFrameMethodTransformer(Seq("qabs"), "abs",
+          Seq("qm30")))
+      chain.foldLeft(d)((acc, t) => t.transform(acc))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("s_qt"), 6).as("s_qt"),
+          round(col("m_qq"), 6).as("m_qq"),
+          round(col("mn_qd"), 6).as("mn_qd"),
+          round(col("half_price"), 6).as("half_price"),
+          col("qmod"), col("qabs"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "q72_nearest_mean_response" -> ((s, dir) => {
       val d = liWithNulls(s, dir)
       val t = new NearestMeanResponseImputer(Seq("q"),
@@ -612,6 +644,22 @@ object QueriesCore {
     bins = Seq(0.0, 0.02, 0.05, 0.08, 0.1), includeLowest = true)
 
   val oracles: Map[String, String] = Map(
+    // only q is nullable in liWithNulls, so pandas skipna reductions
+    // reduce to COALESCE forms; ((x % 7) + 7) % 7 mirrors the Python
+    // mod sign rule for the positive divisor
+    "q140_df_method" ->
+      s"""WITH t AS ($liWithNullsSql)
+         |SELECT l_orderkey, l_linenumber,
+         |  ROUND(COALESCE(q, 0) + l_tax, 6) AS s_qt,
+         |  ROUND((COALESCE(q, 0) + l_quantity) /
+         |    (CASE WHEN q IS NULL THEN 1 ELSE 2 END), 6) AS m_qq,
+         |  ROUND(CASE WHEN q IS NULL THEN l_discount
+         |    ELSE least(q, l_discount) END, 6) AS mn_qd,
+         |  ROUND(l_extendedprice / 2, 6) AS half_price,
+         |  (((l_quantity - 30) % 7) + 7) % 7 AS qmod,
+         |  abs(l_quantity - 30) AS qabs
+         |FROM t ORDER BY 1, 2""".stripMargin,
+
     "q122_series_str_method" ->
       """SELECT doc_id, upper(source) AS src_upper,
         |  CAST(length(source) AS INT) AS src_len,

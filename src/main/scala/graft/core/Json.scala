@@ -105,6 +105,12 @@ object Json {
 
   /** classname -> builder from parsed init map. */
   val registry: Map[String, Map[String, Any] => Transformer] = Map(
+    "DataFrameMethodTransformer" -> (i => {
+      val p = new P(i)
+      new DataFrameMethodTransformer(p.strs("new_column_names"),
+        p.str("pd_method_name"), p.strs("columns"),
+        i.get("pd_method_kwargs").map(_.asInstanceOf[Map[String, Any]])
+          .getOrElse(Map.empty)) }),
     "SeriesStrMethodTransformer" -> (i => {
       val p = new P(i)
       new SeriesStrMethodTransformer(p.str("new_column_name"),

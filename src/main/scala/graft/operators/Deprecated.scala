@@ -5,13 +5,16 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The remaining deprecated reference transformers, resurrected
-  * Spark-first (the numeric set lives in Numeric.scala). The only
-  * reference classes intentionally NOT ported are the pandas-method
-  * passthroughs (`DataFrameMethodTransformer`,
+  * Spark-first (the numeric set lives in Numeric.scala). The three
+  * reflective pandas-method passthroughs (`DataFrameMethodTransformer`,
   * `SeriesStrMethodTransformer`, `SeriesDtMethodTransformer`,
-  * tubular/base.py / strings.py / dates.py): their semantics are
-  * "call an arbitrary pandas method", which has no engine-independent
-  * meaning — each concrete use maps to a plain Column expression here.
+  * tubular/base.py / strings.py / dates.py) are re-expressed as TYPED
+  * WHITELISTS: "call an arbitrary pandas method" has no
+  * engine-independent meaning, so each supported method name maps to
+  * the Catalyst expression with pandas semantics and unsupported names
+  * fail at construction (the reference defers failure to transform
+  * time — ours is earlier and typed). This closes the reference
+  * registry 141/141.
   */
 
 /** Ordinal encoding by ascending mean response: the level with the
@@ -408,4 +411,121 @@ class SeriesDtMethodTransformer(
     "new_column_name" -> newColumnName,
     "pd_method_name" -> pdMethodName,
     "columns" -> columns)
+}
+
+/** Whitelisted re-expression of the reference's reflective
+  * `DataFrameMethodTransformer` (tubular/base.py:643-800 — applies an
+  * arbitrary `pd.DataFrame` method to the selected sub-frame:
+  * `X[new_column_names] = X[columns].method(**kwargs)`). Two bounded
+  * method families cover every concrete use in the reference's own
+  * tests (tests/base/test_DataFrameMethodTransformer.py: `sum` with
+  * `axis=1`, `div` with `other=2`):
+  *
+  *   - row-wise reductions with kwarg `axis=1` — `sum`, `min`, `max`,
+  *     `mean` — ONE new column; pandas `skipna=True` semantics: nulls
+  *     are ignored; an all-null row sums to 0.0 and min/max/mean to
+  *     null (Spark's `least`/`greatest` and null-safe arithmetic give
+  *     exactly this);
+  *   - element-wise arithmetic with a scalar kwarg `other` — `add`,
+  *     `sub`, `mul`, `div`, `pow`, `mod` — plus unary `abs`: one new
+  *     column PER input column (`newColumnNames.size == columns.size`),
+  *     null in -> null out. `mod` follows the Python/pandas sign rule
+  *     (result takes the DIVISOR's sign: `-3 % 2 == 1`), not Java's.
+  *
+  * Everything is a plain codegen'd projection — a pipeline of these
+  * fuses into the same single map-only stage as every other
+  * transformer. Outputs are DoubleType (pandas float64 promotion).
+  */
+class DataFrameMethodTransformer(
+    val newColumnNames: Seq[String],
+    val pdMethodName: String,
+    val columns: Seq[String],
+    val pdMethodKwargs: Map[String, Any] = Map.empty
+) extends Transformer {
+  require(columns.nonEmpty, s"$classname: columns must be non-empty")
+
+  private def kwNum(k: String): Double =
+    pdMethodKwargs.getOrElse(k, throw new IllegalArgumentException(
+      s"$classname: $pdMethodName requires kwarg '$k'"))
+      .toString.toDouble
+  private def kwIntOpt(k: String): Option[Int] =
+    pdMethodKwargs.get(k).map(_.toString.toDouble.toInt)
+
+  private val reductions = Set("sum", "min", "max", "mean")
+  private val elementwiseBinary =
+    Set("add", "sub", "mul", "div", "pow", "mod")
+
+  private def d(c: String): Column = col(c).cast("double")
+
+  /** Built eagerly: unsupported methods / wrong arity / missing
+    * kwargs fail at init, like the reference's getattr probe (but
+    * typed instead of reflective).
+    */
+  private val outputExprs: Seq[Column] = pdMethodName match {
+    case m if reductions(m) =>
+      require(kwIntOpt("axis").contains(1),
+        s"$classname: $m requires kwarg axis=1 (row-wise over the " +
+          "selected columns; axis=0 would be a fit-time aggregate, " +
+          "not a row transform)")
+      require(newColumnNames.size == 1,
+        s"$classname: $m(axis=1) produces exactly one column, got " +
+          s"new_column_names=$newColumnNames")
+      val cols = columns.map(d)
+      val expr = m match {
+        // pandas skipna: nulls drop out; all-null row -> sum 0.0,
+        // min/max/mean null
+        case "sum" =>
+          cols.map(coalesce(_, lit(0.0))).reduce(_ + _)
+        case "min" => least(cols: _*)
+        case "max" => greatest(cols: _*)
+        case "mean" =>
+          val n = cols.map(c =>
+            when(c.isNotNull, lit(1.0)).otherwise(lit(0.0)))
+            .reduce(_ + _)
+          when(n > 0,
+            cols.map(coalesce(_, lit(0.0))).reduce(_ + _) / n)
+      }
+      Seq(expr)
+    case m if elementwiseBinary(m) =>
+      val other = kwNum("other")
+      require(newColumnNames.size == columns.size,
+        s"$classname: element-wise $m writes one column per input " +
+          s"column (${columns.size}), got " +
+          s"new_column_names=$newColumnNames")
+      val op: Column => Column = m match {
+        case "add" => _ + other
+        case "sub" => _ - other
+        case "mul" => _ * other
+        case "div" => _ / other
+        case "pow" => pow(_, other)
+        // Python sign rule (result follows the divisor): r = a % n,
+        // then r + n when r's nonzero sign differs from n's
+        // (-3 % 2 == 1, 3 % -2 == -1). Spark's pmod is NOT this — it
+        // only lifts negative remainders, so pmod(3, -2) stays 1.
+        case "mod" => c => {
+          val r = c % other
+          val needsShift = if (other < 0) r > 0 else r < 0
+          when(needsShift, r + other).otherwise(r)
+        }
+      }
+      columns.map(c => op(d(c)))
+    case "abs" =>
+      require(newColumnNames.size == columns.size,
+        s"$classname: abs writes one column per input column " +
+          s"(${columns.size}), got new_column_names=$newColumnNames")
+      columns.map(c => abs(d(c)))
+    case other => throw new IllegalArgumentException(
+      s"$classname: unsupported pd.DataFrame method '$other' " +
+        "(whitelist: sum min max mean [axis=1]; " +
+        "add sub mul div pow mod [other=scalar]; abs)")
+  }
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    newColumnNames.zip(outputExprs)
+  override def featureNamesOut: Seq[String] = newColumnNames
+  override def initParams: Map[String, Any] = Map(
+    "new_column_names" -> newColumnNames,
+    "pd_method_name" -> pdMethodName,
+    "columns" -> columns,
+    "pd_method_kwargs" -> pdMethodKwargs)
 }

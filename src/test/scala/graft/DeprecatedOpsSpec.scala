@@ -153,6 +153,65 @@ class DeprecatedOpsSpec extends SparkSpec {
     assert(column(back.transform(d), "o") == Seq(false, null, true))
   }
 
+  test("DataFrameMethodTransformer: row-wise skipna reductions, " +
+      "element-wise scalar arithmetic, Python mod signs, init " +
+      "failures, JSON round-trip") {
+    import graft.operators.DataFrameMethodTransformer
+    val d = df("a DOUBLE, b DOUBLE", Seq(
+      Row(1.0, 2.0), Row(null, 5.0), Row(null, null), Row(-3.0, 0.5)))
+    def red(m: String): Seq[Any] =
+      column(new DataFrameMethodTransformer(Seq("o"), m,
+        Seq("a", "b"), Map("axis" -> 1)).transform(d), "o")
+    // pandas skipna=True: nulls drop out; all-null row -> sum 0.0,
+    // min/max/mean null
+    assert(red("sum") == Seq(3.0, 5.0, 0.0, -2.5))
+    assert(red("min") == Seq(1.0, 5.0, null, -3.0))
+    assert(red("max") == Seq(2.0, 5.0, null, 0.5))
+    assert(red("mean") == Seq(1.5, 5.0, null, -1.25))
+    def ew(m: String, other: Double, in: Seq[String] = Seq("a"))
+        : Seq[Any] =
+      column(new DataFrameMethodTransformer(in.map(_ + "_o"), m, in,
+        Map("other" -> other)).transform(d), in.head + "_o")
+    assert(ew("add", 10) == Seq(11.0, null, null, 7.0))
+    assert(ew("sub", 1) == Seq(0.0, null, null, -4.0))
+    assert(ew("mul", 2) == Seq(2.0, null, null, -6.0))
+    assert(ew("div", 2) == Seq(0.5, null, null, -1.5))
+    assert(ew("pow", 2) == Seq(1.0, null, null, 9.0))
+    // Python sign rule: -3 % 2 == 1, 1 % -2 == -1, -3 % -2 == -1
+    assert(ew("mod", 2) == Seq(1.0, null, null, 1.0))
+    assert(ew("mod", -2) == Seq(-1.0, null, null, -1.0))
+    assert(column(new DataFrameMethodTransformer(Seq("ao", "bo"),
+      "abs", Seq("a", "b")).transform(d), "ao") ==
+      Seq(1.0, null, null, 3.0))
+    // element-wise writes one output per input column
+    val two = new DataFrameMethodTransformer(Seq("ao", "bo"), "div",
+      Seq("a", "b"), Map("other" -> 2.0)).transform(d)
+    assert(column(two, "bo") == Seq(1.0, 2.5, null, 0.25))
+    // init failures: unsupported method, wrong arity, missing kwargs
+    intercept[IllegalArgumentException] {
+      new DataFrameMethodTransformer(Seq("o"), "pivot", Seq("a"))
+    }
+    intercept[IllegalArgumentException] { // reduction needs axis=1
+      new DataFrameMethodTransformer(Seq("o"), "sum", Seq("a", "b"))
+    }
+    intercept[IllegalArgumentException] { // reduction -> ONE output
+      new DataFrameMethodTransformer(Seq("o", "p"), "sum",
+        Seq("a", "b"), Map("axis" -> 1))
+    }
+    intercept[IllegalArgumentException] { // element-wise arity
+      new DataFrameMethodTransformer(Seq("o"), "div", Seq("a", "b"),
+        Map("other" -> 2))
+    }
+    intercept[IllegalArgumentException] { // missing `other`
+      new DataFrameMethodTransformer(Seq("o"), "div", Seq("a"))
+    }
+    val back = graft.core.Json.transformerFromJson(
+      graft.core.Json.transformerToJson(
+        new DataFrameMethodTransformer(Seq("o"), "sum", Seq("a", "b"),
+          Map("axis" -> 1))))
+    assert(column(back.transform(d), "o") == Seq(3.0, 5.0, 0.0, -2.5))
+  }
+
   test("SeriesDtMethodTransformer: pandas dt accessor parity " +
       "(Monday=0 weekday, leap years, days_in_month)") {
     val d = df("ts TIMESTAMP", Seq(
