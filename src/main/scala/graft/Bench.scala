@@ -3,33 +3,55 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, sum, when}
 
-/** Per-round benchmark (driver contract): prints ONE JSON line
-  * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
+/** Per-round benchmark (driver contract): prints ONE LEAN JSON line
+  * {"metric":...,"value":N,"unit":"sec","queries":{...},...} as the
+  * VERY LAST stdout line.
   *
-  * Three sections:
-  *  1. headline operator queries from SparkEntry.queries (timed count()),
-  *  2. flagship as-of-join + transform throughput (rows/sec, images/sec)
-  *     on the deterministically generated image+caption table,
-  *  3. scaling evidence: the same job at local[4] vs local[16]
+  * == Artifact discipline (round-3 verdict) ==
+  * The driver snapshots only the last ~2000 chars of output, so the
+  * machine line must stay under ~1850 chars AND be printed last:
+  *  - raw per-rep times, job descriptions, and counts live on stderr
+  *    `[bench]` lines only;
+  *  - per-query seconds are 2-decimal; throughputs are integers;
+  *  - the scaling sub-objects use short keys (n / n4 / eff / cpu_n /
+  *    cpu_n4) with units in the parent key name (`*_img_s`,
+  *    `*_rows_s`);
+  *  - a length guard re-emits queries at 1 decimal if the line would
+  *    overflow, and warns on stderr.
+  *
+  * == Ordering (round-3 verdict) ==
+  * The flagship is measured FIRST, right after its own warmups, and
+  * the sf1 flagship immediately after while the code path is hot: in
+  * round 3 they ran after ~150 query executions had churned the
+  * codegen/JIT state and the driver's snapshot regressed 1.9x against
+  * the same binary measured in isolation.
+  *
+  * == Sections ==
+  *  1. flagship as-of-join + transform throughput (sf0.1 then sf1),
+  *  2. headline operator queries from SparkEntry.queries (timed
+  *     count(); caches cleared between reps so persisted frames are
+  *     honestly recomputed),
+  *  3. skew: hot-key as-of join unsalted vs explicitly salted vs
+  *     AUTO-salted (runtime hot-key detection, no explicit list),
+  *  4. sf1 dedup kernels (minhash, end-to-end, span dedup),
+  *  5. scaling evidence: the same jobs at local[4] vs local[16]
   *     (sandbox proxy for N vs 4N executors) + efficiency = speedup/4.
   *
   * == Measurement discipline ==
-  * Every timed job gets an UNTIMED warmup execution first, at the same
+  * Every timed job gets UNTIMED warmup execution(s) first, at the same
   * parallelism level: Spark's per-query Janino codegen churns thousands
   * of classes and saturates the JVM's C2 compile queue, so a cold first
   * execution can run many times slower than the steady state (observed:
   * identical runs varying 4s..170s; GC and CPU microbenches stable).
-  * Timings are then min-of-N reps, and the RAW per-rep times are
-  * emitted in the JSON so residual sandbox noise is visible rather than
-  * silently folded in. A query that throws is reported in "failed", not
-  * as a timing.
+  * Timings are then min-of-N reps, with raw per-rep times on stderr.
+  * A query that throws is reported in "failed", not as a timing.
   *
   * SPARK_GRAFT_BENCH_MODE=all runs every query instead of the headline
-  * subset; SPARK_GRAFT_SCALING=0 skips section 3;
+  * subset; SPARK_GRAFT_SCALING=0 skips section 5;
   * SPARK_GRAFT_BENCH_REPS / SPARK_GRAFT_SCALING_REPS override rep
   * counts; SPARK_GRAFT_WARMUP=0 disables warmup executions;
-  * SPARK_GRAFT_SF1=0 skips the 10x-scale block
-  * (SPARK_GRAFT_SF1_REPS overrides its rep count).
+  * SPARK_GRAFT_SF1=0 skips the 10x-scale blocks
+  * (SPARK_GRAFT_SF1_REPS overrides their rep count).
   */
 object Bench {
 
@@ -127,10 +149,44 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "headline")
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
+    val doSf1 = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1"
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val sf1Reps = sys.env.getOrElse("SPARK_GRAFT_SF1_REPS", "2").toInt
 
     var spark = session(cpus)
 
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // ---- section 1: flagship FIRST (see ordering note above) ----
+    // two untimed warmups: the first pays parquet-footer/codegen/JIT
+    // first-touch, the second runs while C2 drains its queue; timed
+    // reps then sample the steady state this library actually has
+    val fImgs = 200000L
+    def flagshipBody(): Long = {
+      val n = Flagship.features(spark, fImgs, 5).count()
+      spark.catalog.clearCache() // drop the pipeline's fit-input cache
+      n
+    }
+    if (doWarmup) flagshipBody() // timed() adds the second warmup
+    // reps+4: ~5s each; the min has to outvote sandbox stalls that
+    // hit single reps (observed same-binary run-to-run spread 3.6-7.7s)
+    val (fRows, fSec, fRaw) = timed(reps + 4)(flagshipBody())
+    System.err.println(
+      f"[bench] flagship rows=$fRows sec=$fSec%.2f (${fRows / fSec}%.0f rows/s) raw=${fmtRaw(fRaw)}")
+
+    // sf1 flagship immediately after, code path hot: 10x rows through
+    // the identical plan — the amortization evidence
+    val sf1Flagship: Option[(Long, Double)] =
+      if (doSf1) {
+        val fImgs10 = fImgs * 10
+        val (fr, ft, fRaw10) = timed(math.max(3, sf1Reps)) {
+          val n = Flagship.features(spark, fImgs10, 5).count()
+          spark.catalog.clearCache(); n
+        }
+        System.err.println(
+          f"[bench] sf1 flagship rows=$fr sec=$ft%.2f (${fr / ft}%.0f rows/s) raw=${fmtRaw(fRaw10)}")
+        Some((fr, ft))
+      } else None
+
+    // ---- section 2: headline operator queries ----
     val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
       case Some(list) => list.split(",").toSeq
         .filter(SparkEntry.queries.contains)
@@ -141,7 +197,12 @@ object Bench {
     val results = names.flatMap { name =>
       try {
         val (_, best, raw) = timed(reps) {
-          SparkEntry.queries(name)(spark, sfDir).count()
+          val n = SparkEntry.queries(name)(spark, sfDir).count()
+          // ops that persist intermediates (span dedup, flagship-style
+          // fits) must recompute honestly on every rep, not read their
+          // own cache back
+          spark.catalog.clearCache()
+          n
         }
         System.err.println(
           f"[bench] $name%-28s $best%8.2f s  raw=${fmtRaw(raw)}")
@@ -154,36 +215,126 @@ object Bench {
       }
     }
 
-    // flagship throughput at the full parallelism level (one extra rep:
-    // it's the headline number and residual sandbox stalls hit single
-    // reps hard — raw times expose any spread)
-    val fImgs = 200000L
-    val (fRows, fSec, fRaw) = {
-      val (rows, dt, raw) = timed(reps + 1) {
-        val n = Flagship.features(spark, fImgs, 5).count()
-        spark.catalog.clearCache() // drop the pipeline's fit-input cache
-        n
-      }
-      (rows, dt, raw)
-    }
-    System.err.println(
-      f"[bench] flagship rows=$fRows sec=$fSec%.2f raw=${fmtRaw(fRaw)}")
+    // ---- section 3: skew resilience ----
+    // Hot-key as-of join: 90% of 8M events on ONE entity. Unsalted,
+    // that entity's window partition sorts in a single task (the
+    // classic straggler); salting splits it. Three variants
+    // INTERLEAVED (U,S,A,U,S,A,...) so JIT drift can't favor any:
+    //   salted = explicit hot list; auto = runtime detection
+    //   (detectHotEntities sampled pass INSIDE the timed body — the
+    //   detection job is part of the auto path's honest cost).
+    // Result equivalence is spec-asserted (AsOfJoinSpec).
+    val skewJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_SKEW", "1") == "1") {
+        val nImg = 200000L; val perImg = 40
+        sealed trait V
+        case object U extends V; case object S extends V
+        case object A extends V
+        def runOnce(v: V): Double = {
+          val (hot, auto) = v match {
+            case U => (Seq.empty[String], None)
+            case S => (Seq("img_0000000000"), None)
+            case A => (Seq.empty[String], Some(0.05))
+          }
+          val t0 = System.nanoTime()
+          Flagship.joinedInput(spark, nImg, perImg,
+            hotFraction = 0.9, hotEntities = hot,
+            autoSaltShare = auto)
+            .agg(sum(col("feat"))).head()
+          (System.nanoTime() - t0) / 1e9
+        }
+        if (doWarmup) { runOnce(S); runOnce(U); runOnce(A) }
+        val raw = (1 to 3).flatMap(_ =>
+          Seq[(V, Double)](U -> runOnce(U), S -> runOnce(S),
+            A -> runOnce(A)))
+        val rawU = raw.collect { case (U, t) => t }
+        val rawS = raw.collect { case (S, t) => t }
+        val rawA = raw.collect { case (A, t) => t }
+        val (tU, tS, tA) = (rawU.min, rawS.min, rawA.min)
+        System.err.println(
+          f"[bench] skew hot=90%% unsalted=$tU%.2f s salted=$tS%.2f s auto=$tA%.2f s speedup=${tU / tS}%.2fx auto_speedup=${tU / tA}%.2fx rawU=${fmtRaw(rawU)} rawS=${fmtRaw(rawS)} rawA=${fmtRaw(rawA)}")
+        f""","skew":{"hot_fraction":0.9,"events":${nImg * perImg},"unsalted_sec":$tU%.2f,"salted_sec":$tS%.2f,"speedup":${tU / tS}%.2f,"auto_sec":$tA%.2f,"auto_speedup":${tU / tA}%.2f}"""
+      } else ""
 
-    // Scaling evidence (north_rule: throughput efficiency >= 0.8 from N
-    // to 4N executors), sandbox proxy = local[4] vs local[16] on one
-    // box. The measured job is the DECODE-DOMINATED image pipeline
-    // (as-of join + transform + per-image decode features): codec CPU
+    // ---- section 4: sf1 dedup kernels ----
+    // One order of magnitude above the sf0.1 headline run. The corpus
+    // is derived DETERMINISTICALLY from sfDir's documents: each of the
+    // 10 copies gets a distinct alphabet rotation via translate(),
+    // which preserves intra-copy near-dup structure exactly (token
+    // equality is invariant under a bijective char map) while keeping
+    // copies token-disjoint — a verbatim 10x copy would give every doc
+    // 9 exact clones and quadratically explode the pair workload,
+    // benchmarking a different (and unrealistic) problem. Input
+    // generation runs inside the timed body, like the flagship.
+    val sf1Json =
+      if (doSf1) {
+        import org.apache.spark.sql.functions.{explode, expr, lit,
+          translate, when}
+        val alpha = "abcdefghijklmnopqrstuvwxyz"
+        def rot(k: Int) = alpha.drop(k) + alpha.take(k)
+        val copies = 10
+        def scaledDocs = {
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("doc_id"), col("text"))
+          docs
+            .withColumn("__k", explode(lit((0 until copies).toArray)))
+            .select(
+              (col("doc_id") + col("__k").cast("long") * 100000000L)
+                .as("doc_id"),
+              (0 until copies).foldLeft(lit(null).cast("string")) {
+                (acc, k) =>
+                  when(col("__k") === k,
+                    translate(col("text"), alpha, rot(k))).otherwise(acc)
+              }.as("text"))
+        }
+        val (nPairs, lt, lRaw) = timed(sf1Reps) {
+          graft.dedup.Dedup.minhashNearDups(scaledDocs, "doc_id",
+            "text", threshold = 0.5).count()
+        }
+        val (nKeep, et, eRaw) = timed(sf1Reps) {
+          val d = scaledDocs
+          val pairs = graft.dedup.Dedup.minhashNearDups(d, "doc_id",
+            "text", threshold = 0.5)
+          graft.dedup.Components.dedupByComponents(d, "doc_id", pairs,
+            "id_a", "id_b").count()
+        }
+        // exact-substring span dedup at 10x: the q126 suffix-twin
+        // construction over the rotated corpus (every 10th doc's tail
+        // re-appears, so duplicated 8-gram spans exist by construction
+        // in every copy)
+        val (nSpans, st, sRaw) = timed(sf1Reps) {
+          val d = scaledDocs
+          val twins = d.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000000L).as("doc_id"),
+              expr("substring(text, instr(text, ' ') + 1)").as("text"))
+          val n = graft.text.SpanDedup.duplicatedSpans(
+            d.unionByName(twins), "doc_id", "text", 8).count()
+          spark.catalog.clearCache() // honest recompute per rep
+          n
+        }
+        val (fr, ft) = sf1Flagship.get
+        System.err.println(
+          f"[bench] sf1 minhash pairs=$nPairs sec=$lt%.2f raw=${fmtRaw(lRaw)}")
+        System.err.println(
+          f"[bench] sf1 dedup-e2e kept=$nKeep sec=$et%.2f raw=${fmtRaw(eRaw)}")
+        System.err.println(
+          f"[bench] sf1 span-dedup spans=$nSpans sec=$st%.2f raw=${fmtRaw(sRaw)}")
+        f""","sf1":{"flagship":{"rows":$fr,"sec":$ft%.2f,"rows_per_sec":${fr / ft}%.0f},"minhash":{"pairs":$nPairs,"sec":$lt%.2f},"dedup_e2e":{"kept":$nKeep,"sec":$et%.2f},"span_dedup":{"spans":$nSpans,"sec":$st%.2f}}"""
+      } else ""
+
+    // ---- section 5: scaling evidence ----
+    // (north_rule: throughput efficiency >= 0.8 from N to 4N
+    // executors), sandbox proxy = local[4] vs local[16] on one box.
+    // The measured job is the DECODE-DOMINATED image pipeline (as-of
+    // join + transform + per-image decode features): codec CPU
     // dominates real image training-data jobs and parallelises the way
-    // executors do. The pure as-of/transform job is ALSO reported: on a
-    // single box its sort/shuffle/cache stages share one memory
+    // executors do. The pure as-of/transform job is ALSO reported: on
+    // a single box its sort/shuffle/cache stages share one memory
     // subsystem across all "executors", so its single-box ratio is a
-    // floor, not the cluster expectation (each real executor brings its
-    // own memory bandwidth and disks).
-    // Decode dims model the stated workload (256-512px training
-    // images); the fitted pipeline is built ONCE per level, untimed —
-    // fit is a bounded one-time cost that amortizes over every batch at
-    // 100 TB, while the TIMED job is the full per-batch path:
-    // generation + as-of join + fitted transform + decode + agg.
+    // floor, not the cluster expectation. Decode dims model the stated
+    // workload (256-512px training images); the fitted pipeline is
+    // built ONCE per level, untimed — fit is a bounded one-time cost
+    // that amortizes over every batch at 100 TB.
     val scaleImages =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_IMAGES", "250000").toLong
     val (dimLo, dimHi) = (384, 512)
@@ -198,16 +349,15 @@ object Bench {
       val r = Flagship.features(s, scaleImages, 5).count()
       s.catalog.clearCache(); r
     }
-    // the embarrassingly parallel portion alone (per-image decode +
-    // feature agg): the cleanest executor-scaling proxy
     // REAL-codec round trip (javax.imageio): encode the deterministic
     // render to actual PNG/JPEG bytes, decode back, PSNR-audit vs the
-    // re-rendered expectation — the q115 operator at bench scale. This
-    // is genuine codec CPU (not the synthetic profile), and the image-
-    // payload analogue of the executor-scaling claim: per-image codec
-    // work parallelises the way a real cluster's decode stage does.
+    // re-rendered expectation — the q115 operator at bench scale,
+    // genuine codec CPU. 120k images (round-4: doubled from 60k so the
+    // per-job fixed overhead — session/plan/scheduler, ~0.5-1s — stops
+    // eating the 4N level's ~4x-shorter wall-clock and the ratio
+    // measures the codec, not the harness).
     val realCodecImages =
-      sys.env.getOrElse("SPARK_GRAFT_REAL_CODEC_IMAGES", "60000").toLong
+      sys.env.getOrElse("SPARK_GRAFT_REAL_CODEC_IMAGES", "120000").toLong
     def realCodecJob(s: SparkSession): Long = {
       val imgs = graft.io.ImageTable.imagesReal(s, realCodecImages,
         minDim = 48, maxDim = 96,
@@ -249,7 +399,17 @@ object Bench {
         s.stop()
         (rows, dt, raw)
       }
-      // fit once per level, untimed (see comment above decodeJob)
+      // CPU-parity variant: executor CPU secs per rep alongside
+      def atCpu(cpus: Int, r: Int)(job: SparkSession => Long)
+          : (Long, Double, Seq[Double], Double) = {
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        val s = session(cpus)
+        System.gc()
+        val (rows, dt, raw, cpu) = timedCpu(s, r)(job(s))
+        s.stop()
+        (rows, dt, raw, cpu / r)
+      }
+      // fit once per level, untimed (see section comment)
       def atPrefit(cpus: Int, r: Int)
           : (Long, Double, Seq[Double], Double) = {
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -266,8 +426,9 @@ object Bench {
       val (rd4, td4, rawD4, cpuD4) = atPrefit(4, sReps)
       val (rk16, tk16, rawK16) = atR(16, sReps + 2)(decodeKernel)
       val (rk4, tk4, rawK4) = atR(4, sReps)(decodeKernel)
-      val (rc16, tc16, rawC16) = atR(16, sReps)(realCodecJob)
-      val (rc4, tc4, rawC4) = atR(4, math.max(2, sReps - 1))(realCodecJob)
+      val (rc16, tc16, rawC16, cpuC16) = atCpu(16, sReps)(realCodecJob)
+      val (rc4, tc4, rawC4, cpuC4) =
+        atCpu(4, math.max(2, sReps - 1))(realCodecJob)
       val (ra16, ta16, rawA16) = atR(16, 4)(asofJob)
       val (ra4, ta4, rawA4) = atR(4, 3)(asofJob)
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -280,136 +441,38 @@ object Bench {
       val effK = (thrK16 / thrK4) / 4.0
       val effA = (thrA16 / thrA4) / 4.0
       val effC = (thrC16 / thrC4) / 4.0
-      // CPU parity: equal CPU-per-rep at both levels proves equal WORK,
-      // decomposing any wall-clock efficiency shortfall into
+      // CPU parity: equal CPU-per-rep at both levels proves equal
+      // WORK, decomposing any wall-clock efficiency shortfall into
       // scheduling/contention rather than work inflation
       System.err.println(
         f"[bench] scaling decode-pipeline 4c=$thrD4%.0f img/s 16c=$thrD16%.0f img/s eff=$effD%.3f raw4=${fmtRaw(rawD4)} raw16=${fmtRaw(rawD16)} cpu/rep=$cpuD4%.1f/$cpuD16%.1f s")
       System.err.println(
         f"[bench] scaling decode-kernel 4c=$thrK4%.0f img/s 16c=$thrK16%.0f img/s eff=$effK%.3f raw4=${fmtRaw(rawK4)} raw16=${fmtRaw(rawK16)}")
       System.err.println(
-        f"[bench] scaling real-codec 4c=$thrC4%.0f img/s 16c=$thrC16%.0f img/s eff=$effC%.3f raw4=${fmtRaw(rawC4)} raw16=${fmtRaw(rawC16)}")
+        f"[bench] scaling real-codec ($realCodecImages imgs, javax.imageio encode+decode+PSNR, q115 op) 4c=$thrC4%.0f img/s 16c=$thrC16%.0f img/s eff=$effC%.3f raw4=${fmtRaw(rawC4)} raw16=${fmtRaw(rawC16)} cpu/rep=$cpuC4%.1f/$cpuC16%.1f s")
       System.err.println(
-        f"[bench] scaling asof-transform 4c=$thrA4%.0f rows/s 16c=$thrA16%.0f rows/s eff=$effA%.3f (single-box floor)")
-      f""","scaling":{"job":"asof+transform+decode, pipeline pre-fitted per level (fit amortizes at scale)","n_cores":4,"n4_cores":16,"n_images_per_sec":$thrD4%.1f,"n4_images_per_sec":$thrD16%.1f,"efficiency":$effD%.3f,"raw_secs_n":${fmtRaw(rawD4)},"raw_secs_n4":${fmtRaw(rawD16)},"cpu_sec_per_rep_n":$cpuD4%.1f,"cpu_sec_per_rep_n4":$cpuD16%.1f,"decode_kernel":{"n_images_per_sec":$thrK4%.1f,"n4_images_per_sec":$thrK16%.1f,"efficiency":$effK%.3f,"raw_secs_n":${fmtRaw(rawK4)},"raw_secs_n4":${fmtRaw(rawK16)}},"real_codec":{"job":"javax.imageio encode+decode+PSNR audit (q115 operator), ${realCodecImages} images 48-96px","n_images_per_sec":$thrC4%.1f,"n4_images_per_sec":$thrC16%.1f,"efficiency":$effC%.3f,"raw_secs_n":${fmtRaw(rawC4)},"raw_secs_n4":${fmtRaw(rawC16)}},"asof_transform_only":{"n_rows_per_sec":$thrA4%.1f,"n4_rows_per_sec":$thrA16%.1f,"efficiency":$effA%.3f,"raw_secs_n":${fmtRaw(rawA4)},"raw_secs_n4":${fmtRaw(rawA16)},"note":"single-box memory-bandwidth floor"}}"""
+        f"[bench] scaling asof-transform 4c=$thrA4%.0f rows/s 16c=$thrA16%.0f rows/s eff=$effA%.3f raw4=${fmtRaw(rawA4)} raw16=${fmtRaw(rawA16)} (single-box floor)")
+      f""","scaling":{"n_cores":4,"n4_cores":16,"pipeline_img_s":{"n":$thrD4%.0f,"n4":$thrD16%.0f,"eff":$effD%.3f,"cpu_n":$cpuD4%.0f,"cpu_n4":$cpuD16%.0f},"decode_kernel_img_s":{"n":$thrK4%.0f,"n4":$thrK16%.0f,"eff":$effK%.3f},"real_codec_img_s":{"images":$realCodecImages,"n":$thrC4%.0f,"n4":$thrC16%.0f,"eff":$effC%.3f,"cpu_n":$cpuC4%.0f,"cpu_n4":$cpuC16%.0f},"asof_only_rows_s":{"n":$thrA4%.0f,"n4":$thrA16%.0f,"eff":$effA%.3f}}"""
     } else ""
 
-    // Skew resilience: concentrate 30% of all events on ONE entity.
-    // The unsalted as-of join sorts that entity's window partition in a
-    // single task (the classic hot-key straggler); salting splits the
-    // hot entity across buckets. Result equivalence is spec-asserted
-    // (AsOfJoinSpec + AsOfJoinPropertySpec); this measures the
-    // wall-clock effect in the driver's own harness.
-    val skewJson =
-      if (sys.env.getOrElse("SPARK_GRAFT_SKEW", "1") == "1") {
-        // the hot entity must DOMINATE wall-clock for the comparison to
-        // measure salting rather than JIT drift: 90% of 8M events land
-        // on ONE key -> a ~7M-row single-task window sort unsalted vs
-        // saltBuckets parallel sorts salted. Reps INTERLEAVE the two
-        // variants (U,S,U,S,...) so JVM warm-up drift cannot
-        // systematically favor either side; min per variant.
-        val nImg = 200000L; val perImg = 40
-        def runOnce(salted: Boolean): Double = {
-          val hot = if (salted) Seq("img_0000000000") else Seq.empty
-          val t0 = System.nanoTime()
-          Flagship.joinedInput(spark, nImg, perImg,
-            hotFraction = 0.9, hotEntities = hot)
-            .agg(sum(col("feat"))).head()
-          (System.nanoTime() - t0) / 1e9
-        }
-        if (doWarmup) { runOnce(salted = true); runOnce(salted = false) }
-        val raw = (1 to 3).flatMap(_ =>
-          Seq(false -> runOnce(salted = false),
-            true -> runOnce(salted = true)))
-        val rawU = raw.collect { case (false, t) => t }
-        val rawS = raw.collect { case (true, t) => t }
-        val (tU, tS) = (rawU.min, rawS.min)
-        System.err.println(
-          f"[bench] skew hot=90%% unsalted=$tU%.2f s salted=$tS%.2f s speedup=${tU / tS}%.2fx rawU=${fmtRaw(rawU)} rawS=${fmtRaw(rawS)}")
-        f""","skew":{"hot_fraction":0.9,"events":${nImg * perImg},"unsalted_sec":$tU%.3f,"salted_sec":$tS%.3f,"speedup":${tU / tS}%.2f,"raw_unsalted":${fmtRaw(rawU)},"raw_salted":${fmtRaw(rawS)}}"""
-      } else ""
-
-    // sf1 block: one order of magnitude above the sf0.1 headline run,
-    // evidence that the curves hold a decade up — flagship at 10x rows
-    // plus the two heaviest dedup kernels (LSH near-dup + end-to-end
-    // components dedup) over a 10x corpus. The corpus is derived
-    // DETERMINISTICALLY from the configured sfDir's documents: each of
-    // the 10 copies gets a distinct alphabet rotation via translate(),
-    // which preserves intra-copy near-dup structure exactly (token
-    // equality is invariant under a bijective char map) while keeping
-    // copies token-disjoint — a verbatim 10x copy would instead give
-    // every doc 9 exact clones and quadratically explode the pair
-    // workload, benchmarking a different (and unrealistic) problem.
-    // Input generation runs inside the timed body, like the flagship.
-    val sf1Json =
-      if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1") {
-        import org.apache.spark.sql.functions.{explode, expr, lit,
-          translate, when}
-        val alpha = "abcdefghijklmnopqrstuvwxyz"
-        def rot(k: Int) = alpha.drop(k) + alpha.take(k)
-        val copies = 10
-        def scaledDocs = {
-          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-            .select(col("doc_id"), col("text"))
-          docs
-            .withColumn("__k", explode(lit((0 until copies).toArray)))
-            .select(
-              (col("doc_id") + col("__k").cast("long") * 100000000L)
-                .as("doc_id"),
-              (0 until copies).foldLeft(lit(null).cast("string")) {
-                (acc, k) =>
-                  when(col("__k") === k,
-                    translate(col("text"), alpha, rot(k))).otherwise(acc)
-              }.as("text"))
-        }
-        val r1 = sys.env.getOrElse("SPARK_GRAFT_SF1_REPS", "2").toInt
-        val fImgs10 = fImgs * 10
-        val (fr, ft, fRaw10) = timed(r1) {
-          val n = Flagship.features(spark, fImgs10, 5).count()
-          spark.catalog.clearCache(); n
-        }
-        val (nPairs, lt, lRaw) = timed(r1) {
-          graft.dedup.Dedup.minhashNearDups(scaledDocs, "doc_id",
-            "text", threshold = 0.5).count()
-        }
-        val (nKeep, et, eRaw) = timed(r1) {
-          val d = scaledDocs
-          val pairs = graft.dedup.Dedup.minhashNearDups(d, "doc_id",
-            "text", threshold = 0.5)
-          graft.dedup.Components.dedupByComponents(d, "doc_id", pairs,
-            "id_a", "id_b").count()
-        }
-        // exact-substring span dedup at 10x: the q126 suffix-twin
-        // construction over the rotated corpus (every 10th doc's tail
-        // re-appears, so duplicated 8-gram spans exist by construction
-        // in every copy)
-        val (nSpans, st, sRaw) = timed(r1) {
-          val d = scaledDocs
-          val twins = d.filter(col("doc_id") % 10 === 0)
-            .select((col("doc_id") + 1000000000L).as("doc_id"),
-              expr("substring(text, instr(text, ' ') + 1)").as("text"))
-          graft.text.SpanDedup.duplicatedSpans(
-            d.unionByName(twins), "doc_id", "text", 8).count()
-        }
-        System.err.println(
-          f"[bench] sf1 flagship rows=$fr sec=$ft%.2f (${fr / ft}%.0f rows/s) raw=${fmtRaw(fRaw10)}")
-        System.err.println(
-          f"[bench] sf1 minhash pairs=$nPairs sec=$lt%.2f raw=${fmtRaw(lRaw)}")
-        System.err.println(
-          f"[bench] sf1 dedup-e2e kept=$nKeep sec=$et%.2f raw=${fmtRaw(eRaw)}")
-        System.err.println(
-          f"[bench] sf1 span-dedup spans=$nSpans sec=$st%.2f raw=${fmtRaw(sRaw)}")
-        f""","sf1":{"base":"$sfDir x10","flagship":{"rows":$fr,"sec":$ft%.3f,"rows_per_sec":${fr / ft}%.1f,"raw_secs":${fmtRaw(fRaw10)}},"minhash":{"pairs":$nPairs,"sec":$lt%.3f,"raw_secs":${fmtRaw(lRaw)}},"dedup_e2e":{"kept":$nKeep,"sec":$et%.3f,"raw_secs":${fmtRaw(eRaw)}},"span_dedup":{"spans":$nSpans,"sec":$st%.3f,"raw_secs":${fmtRaw(sRaw)}}}"""
-      } else ""
-
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // ---- the ONE machine line, printed LAST and kept lean ----
+    def queriesJson(dec: Int): String = results
+      .map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT,
+          s"%.${dec}f", Double.box(v)) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum + fSec
     val flagshipJson =
-      f""","flagship":{"rows":$fRows,"sec":$fSec%.3f,"rows_per_sec":${fRows / fSec}%.1f,"images_per_sec":${fImgs / fSec}%.1f,"raw_secs":${fmtRaw(fRaw)}}"""
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"$flagshipJson$skewJson$scalingJson$sf1Json}""")
+      f""","flagship":{"rows":$fRows,"sec":$fSec%.2f,"rows_per_sec":${fRows / fSec}%.0f,"images_per_sec":${fImgs / fSec}%.0f}"""
+    def line(dec: Int): String =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${queriesJson(dec)},"failed":$failedJson,"sf":"$sfDir"$flagshipJson$skewJson$sf1Json$scalingJson}"""
+    val out = { // driver tail-capture budget: ~1850 chars (see header)
+      val full = line(2)
+      if (full.length <= 1850) full else line(1)
+    }
+    System.err.println(s"[bench] machine line ${out.length} chars")
+    println(out)
     spark.stop()
   }
 }

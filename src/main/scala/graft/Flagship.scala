@@ -70,20 +70,37 @@ object Flagship {
     "staleness" -> new DateDifferenceTransformer(
       "matched_ts", "event_ts", Some("staleness_h"), "h"))
 
+  /** The columns the pipeline's FIT passes actually read (plus the
+    * fit filter key): the cached fit input is pruned to these before
+    * persisting, so the cache never materializes the wide payload
+    * columns (`caption` strings, `phash_at`, ids) that only the final
+    * transform projection needs. At 10M+ rows the wide cache build
+    * dominated the whole flagship job; the narrow one is a fraction
+    * of it, and the transform re-derives the joined plan once — a
+    * single extra scan-shaped pass, exactly what a production job
+    * pays when it checkpoints fit statistics rather than raw inputs.
+    */
+  private def fitProjection(pipe: Pipeline, joined: DataFrame)
+      : DataFrame = {
+    val fitCols = (pipe.steps.flatMap(_._2.fitInputCols)
+      :+ "matched_ts").distinct.filter(joined.columns.contains)
+    joined.filter(col("matched_ts").isNotNull)
+      .select(fitCols.map(col): _*)
+  }
+
   /** Fit the flagship pipeline once and return it — the one-time cost a
     * production job pays before transforming arbitrarily many batches.
-    * The fit input is persisted for the duration of the fit passes and
-    * dropped before returning.
+    * The (column-pruned) fit input is persisted for the duration of
+    * the fit passes and dropped before returning.
     */
   def fitPipeline(spark: SparkSession, nImages: Long,
       eventsPerImage: Int): Pipeline = {
-    val joined = joinedInput(spark, nImages, eventsPerImage)
+    val pipe = pipelineDef()
+    val fitInput = fitProjection(pipe,
+      joinedInput(spark, nImages, eventsPerImage))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val pipe = pipelineDef()
-      pipe.fit(joined.filter(col("matched_ts").isNotNull))
-      pipe
-    } finally { joined.unpersist(false); () }
+    try { pipe.fit(fitInput); pipe }
+    finally { fitInput.unpersist(false); () }
   }
 
   def features(spark: SparkSession, nImages: Long,
@@ -93,16 +110,17 @@ object Flagship {
     val joined = joinedInput(spark, nImages, eventsPerImage,
       hotFraction, hotEntities)
     val pipe = pipelineDef()
-    // The pipeline's fit passes each re-execute their input plan; persist
-    // the joined table once so the as-of join + generation run a single
-    // time instead of once per fit barrier (same move a production job
-    // makes before a multi-pass fit over a 100 TB table: cache/checkpoint
-    // the PIT-joined features input).
-    // (Cache stays registered so the caller's action also reads it;
-    // drop it with spark.catalog.clearCache() when done.)
+    // The pipeline's fit passes each re-execute their input plan;
+    // persist the fit projection once so the as-of join + generation
+    // run a single time instead of once per fit barrier (same move a
+    // production job makes before a multi-pass fit over a 100 TB
+    // table: cache/checkpoint the PIT-joined fit columns).
+    // (Cache stays registered so repeated fits also read it; drop it
+    // with spark.catalog.clearCache() when done.)
+    val fitInput = fitProjection(pipe, joined)
     if (cacheFitInput)
-      joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pipe.fit(joined.filter(col("matched_ts").isNotNull))
+      fitInput.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pipe.fit(fitInput)
     pipe.transform(joined)
   }
 

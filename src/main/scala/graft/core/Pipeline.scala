@@ -63,17 +63,32 @@ class Pipeline(val steps: Seq[(String, Transformer)]) extends Serializable {
       }
       val (zeroWidth, withExprs) = aggParts.partition(_._2.isEmpty)
       zeroWidth.foreach { case (t, _) => t.absorbAggRow(null, 0) }
-      if (withExprs.nonEmpty) {
-        val aliased = withExprs.flatMap(_._2).zipWithIndex
-          .map { case (e, k) => e.as(s"__fused$k") }
-        val row = cur.agg(aliased.head, aliased.tail: _*).head()
-        var off = 0
-        withExprs.foreach { case (t, exprs) =>
-          t.absorbAggRow(row, off)
-          off += exprs.size
-        }
-      }
-      sequential.foreach(_.fit(cur))
+      // run members are mutually independent by construction, so the
+      // fused agg job and each remaining fit launch CONCURRENTLY:
+      // Spark schedules concurrent actions on one session fine, each
+      // transformer mutates only its own fitted state, and results
+      // are order-independent — identical to the sequential protocol.
+      // What this buys is overlapped job-scheduling/collect latency:
+      // a pipeline of k small fit jobs pays ~1 job latency, not k
+      // (the fit passes over a cached input are often latency-bound,
+      // not throughput-bound).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fusedJob: Option[Future[Unit]] =
+        if (withExprs.nonEmpty) Some(Future {
+          val aliased = withExprs.flatMap(_._2).zipWithIndex
+            .map { case (e, k) => e.as(s"__fused$k") }
+          val row = cur.agg(aliased.head, aliased.tail: _*).head()
+          var off = 0
+          withExprs.foreach { case (t, exprs) =>
+            t.absorbAggRow(row, off)
+            off += exprs.size
+          }
+        }) else None
+      val seqJobs = sequential.map(t => Future { t.fit(cur); () })
+      (fusedJob.toSeq ++ seqJobs)
+        .foreach(Await.result(_, Duration.Inf))
       cur = run.foldLeft(cur)((d, t) => t.transform(d))
       i = j
     }

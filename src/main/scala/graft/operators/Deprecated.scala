@@ -520,8 +520,12 @@ class DataFrameMethodTransformer(
         "add sub mul div pow mod [other=scalar]; abs)")
   }
 
-  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] = {
+    // typed guard: the whitelist is arithmetic-only, so a string
+    // column is a caller bug, not a silent null cascade
+    requireNumeric(df, columns)
     newColumnNames.zip(outputExprs)
+  }
   override def featureNamesOut: Seq[String] = newColumnNames
   override def initParams: Map[String, Any] = Map(
     "new_column_names" -> newColumnNames,

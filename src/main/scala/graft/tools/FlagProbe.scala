@@ -44,6 +44,43 @@ object FlagProbe {
           graft.multimodal.Multimodal.withDecodeFeatures(imgs,
             graft.multimodal.Multimodal.SyntheticPixelDecoder)
             .agg(avg(col("mean_luma"))).head(); n
+        case "joined" =>
+          val r = graft.Flagship.joinedInput(spark, n, 5).count(); r
+        case "fit" =>
+          graft.Flagship.fitPipeline(spark, n, 5); n
+        case "xform" =>
+          // pre-fit ONCE outside the timed region on a small slice,
+          // then time the transform-only pass over the full input
+          val pipe = graft.Flagship.fitPipeline(spark,
+            math.max(1000L, n / 100), 5)
+          val t1 = System.nanoTime()
+          val r = pipe.transform(
+            graft.Flagship.joinedInput(spark, n, 5)).count()
+          println(f"[probe] xform-only sec=${(System.nanoTime() - t1) / 1e9}%.2f")
+          r
+        case "fits" =>
+          // per-transformer fit attribution over the persisted input
+          val joined = graft.Flagship.joinedInput(spark, n, 5)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val fitIn = joined.filter(col("matched_ts").isNotNull)
+          fitIn.count() // materialize the cache untimed
+          graft.Flagship.pipelineDef().steps.foreach { case (nm, t) =>
+            val f0 = System.nanoTime()
+            if (t.needsFit) t.fit(fitIn)
+            println(f"[probe] fit $nm sec=${(System.nanoTime() - f0) / 1e9}%.2f")
+          }
+          joined.unpersist(); n
+        case "fitsketch" =>
+          val joined = graft.Flagship.joinedInput(spark, n, 5)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val fitIn = joined.filter(col("matched_ts").isNotNull)
+          fitIn.count()
+          val f0 = System.nanoTime()
+          new graft.operators.CappingTransformer(
+            quantiles = Map("feat" -> (Some(0.01), Some(0.99))),
+            histogramBins = Some(512)).fit(fitIn)
+          println(f"[probe] fit cap_feat(sketch512) sec=${(System.nanoTime() - f0) / 1e9}%.2f")
+          joined.unpersist(); n
         case "flagnc" =>
           val r = graft.Flagship.features(spark, n, 5,
             cacheFitInput = false).count(); r
