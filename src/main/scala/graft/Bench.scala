@@ -71,7 +71,8 @@ object Bench {
     "q116_hist_quantile_sketch", "q117_hashed_tf",
     "q118_zorder_layout", "q119_unigram_surprisal",
     "q126_ngram_span_dedup", "q127_span_dedup_clean",
-    "q128_cms_heavy_hitters", "q132_mixture_sample")
+    "q128_cms_heavy_hitters", "q132_mixture_sample",
+    "q139_duplication_ratio", "q140_df_method")
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

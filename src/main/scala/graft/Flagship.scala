@@ -80,7 +80,7 @@ object Flagship {
     * single extra scan-shaped pass, exactly what a production job
     * pays when it checkpoints fit statistics rather than raw inputs.
     */
-  private def fitProjection(pipe: Pipeline, joined: DataFrame)
+  private[graft] def fitProjection(pipe: Pipeline, joined: DataFrame)
       : DataFrame = {
     val fitCols = (pipe.steps.flatMap(_._2.fitInputCols)
       :+ "matched_ts").distinct.filter(joined.columns.contains)

@@ -235,6 +235,25 @@ class PlanDisciplineSpec extends SparkSpec {
       "fixture has duplicated windows by construction")
   }
 
+  test("flagship fit cache is the NARROW fit projection: no payload " +
+      "or transform-only columns ever enter the persisted frame") {
+    val joined = graft.Flagship.joinedInput(spark, 200L, 2)
+    val pipe = graft.Flagship.pipelineDef()
+    val fitCols = graft.Flagship.fitProjection(pipe, joined)
+      .columns.toSet
+    // what the fit passes read (per fitInputCols) + the filter key
+    assert(fitCols == Set("w", "h", "feat", "fmt", "caption_word",
+      "target", "matched_ts", "event_ts"))
+    // the wide columns the 10M-row cache build used to choke on stay
+    // out; if a new pipeline step needs one of these, fitProjection
+    // picks it up automatically from its fitInputCols
+    Seq("caption", "phash_at", "caption_at", "image_id", "event_id")
+      .foreach(c => assert(!fitCols.contains(c), s"wide col $c cached"))
+    // and the pruned fit input still fits the pipeline
+    pipe.fit(graft.Flagship.fitProjection(pipe, joined))
+    assert(pipe.steps.forall(_._2.isFitted))
+  }
+
   test("CMS counter build is ONE map-side-combined exchange (bounded " +
       "by depth x width partials regardless of input rows)") {
     val toks = spark.read.parquet(docPath)
