@@ -26,6 +26,21 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q141_asof_auto_salted" -> ((s, dir) => {
+      // the SAME as-of join as q30 but with runtime hot-key detection
+      // driving the salting (no explicit hot list): a 2%-row-share
+      // sampled key-frequency pass promotes whatever keys it finds,
+      // and the salted plan must still be value-exact against the
+      // ASOF-join oracle — the driver-level proof that auto-salting
+      // never changes results, only the partitioning
+      AsOfJoin.join(tbl(s, dir, "events"), purchases(s, dir),
+        entity = "user_id", leftTs = "ts", rightTs = "ts",
+        rightValueCols = Seq("purchase_value"),
+        autoSaltShare = Some(0.02), autoSaltSample = 0.5)
+        .select(col("event_id"), col("purchase_value"), col("matched_ts"))
+        .orderBy("event_id")
+    }),
+
     "q31_asof_join_strict" -> ((s, dir) => {
       AsOfJoin.join(tbl(s, dir, "events"), purchases(s, dir),
         entity = "user_id", leftTs = "ts", rightTs = "ts",
@@ -153,6 +168,14 @@ object QueriesTemporal {
 
   val oracles: Map[String, String] = Map(
     "q30_asof_join" ->
+      s"""SELECT l.event_id, r.purchase_value,
+         |       r.ts AS matched_ts
+         |FROM events l ASOF LEFT JOIN ($purchasesSql) r
+         |ON l.user_id = r.user_id AND l.ts >= r.ts
+         |ORDER BY 1""".stripMargin,
+
+    // identical truth to q30: salting is partitioning, not semantics
+    "q141_asof_auto_salted" ->
       s"""SELECT l.event_id, r.purchase_value,
          |       r.ts AS matched_ts
          |FROM events l ASOF LEFT JOIN ($purchasesSql) r
