@@ -37,6 +37,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // arrays per image) need old-gen headroom so late sections aren't
   // GC-taxed relative to hand runs; the box has 128 GiB
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // pre-size the heap: under hypervisor CPU steal (observed 2x global
+  // slowdowns on this sandbox) incremental heap growth adds full-GC
+  // pauses exactly when the box is already slow; -Xms=-Xmx removes
+  // that failure mode from one-shot driver runs
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // Spark's per-query Janino codegen churns thousands of classes; with
   // the default 240m code cache + few C2 threads, hot loops get stuck
   // behind a saturated compile queue (observed: identical stages 5x

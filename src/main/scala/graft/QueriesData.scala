@@ -115,6 +115,19 @@ object QueriesData {
         .orderBy("id_a", "id_b")
     }),
 
+    "q142_dedup_embedding_ivf" -> ((s, dir) => {
+      // embedding near-dup with NO given blocking key: IVF coarse
+      // assignment to the nearest of 8 deterministic seed centroids
+      // (smallest vec_ids), then quantized-cosine pairs within cells.
+      // The oracle recomputes the identical assignment rule in SQL, so
+      // this certifies both the cell assignment and the pair math.
+      Dedup.embeddingNearDupsIvf(tbl(s, dir, "embeddings"),
+        "vec_id", "embedding", nSeeds = 8, threshold = 0.25)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6)
+          .as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "q45_knn_bruteforce" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       Knn.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id",
@@ -1825,6 +1838,42 @@ object QueriesData {
         |   SQRT(CAST(list_sum(list_transform(b.v, x -> x*x))
         |        AS DOUBLE))) AS cosine
         |  FROM q a JOIN q b ON a.blk = b.blk AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+        |FROM p WHERE cosine >= 0.25 ORDER BY 1, 2""".stripMargin,
+
+    // mirrors embeddingNearDupsIvf exactly: seeds = 8 smallest
+    // vec_ids; cos = int-quantized dot / (SQRT(a)*SQRT(b)) in that
+    // operand order (bit-identical IEEE tail to the Spark plan);
+    // argmax tie -> smallest seed id (row_number cos DESC, sid ASC ==
+    // the strict-> fold in ascending seed order)
+    "q142_dedup_embedding_ivf" ->
+      """WITH q AS (SELECT vec_id,
+        |  list_transform(embedding,
+        |    x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id AS sid, v AS sv FROM q
+        |  ORDER BY vec_id LIMIT 8),
+        |asg AS (SELECT q.vec_id, q.v, s.sid,
+        |  CAST(list_sum(list_transform(list_zip(q.v, s.sv),
+        |    x -> x[1]*x[2])) AS DOUBLE) /
+        |  (SQRT(CAST(list_sum(list_transform(q.v, x -> x*x))
+        |        AS DOUBLE)) *
+        |   SQRT(CAST(list_sum(list_transform(s.sv, x -> x*x))
+        |        AS DOUBLE))) AS c
+        |  FROM q, seeds s),
+        |best AS (SELECT vec_id, v, sid FROM (
+        |  SELECT vec_id, v, sid, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY c DESC, sid) AS rn
+        |  FROM asg) WHERE rn = 1),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(list_sum(list_transform(list_zip(a.v, b.v),
+        |    x -> x[1]*x[2])) AS DOUBLE) /
+        |  (SQRT(CAST(list_sum(list_transform(a.v, x -> x*x))
+        |        AS DOUBLE)) *
+        |   SQRT(CAST(list_sum(list_transform(b.v, x -> x*x))
+        |        AS DOUBLE))) AS cosine
+        |  FROM best a JOIN best b
+        |    ON a.sid = b.sid AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
         |FROM p WHERE cosine >= 0.25 ORDER BY 1, 2""".stripMargin,
 

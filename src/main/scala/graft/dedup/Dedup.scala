@@ -260,6 +260,74 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Embedding near-dup WITHOUT a caller-provided blocking column:
+    * IVF-style coarse assignment to the nearest of `nSeeds`
+    * deterministic seed centroids (the vectors with the smallest ids),
+    * then quantized-cosine pairs within each assigned cell.
+    *
+    * Scale shape (the reason this exists next to
+    * [[embeddingNearDups]], which needs a domain blocking key):
+    *   - the seed fetch is a bounded model fit — `nSeeds` quantized
+    *     vectors to the driver, nothing else;
+    *   - assignment is a PURE codegen'd projection against the seed
+    *     literals (constant-folded centroid norms, [[cosineQ]] via the
+    *     codegen'd DotProductQ) — no shuffle, no UDF: the classic IVF
+    *     coarse-assign map stage;
+    *   - only the cell equi-join shuffles, on the cell id, so the
+    *     all-pairs work is confined to cells (salting/banding composes
+    *     on top if a cell goes hot — at 10^12 scale you'd raise
+    *     nSeeds so cells stay bounded, the same nlist tuning as the
+    *     IVF ANN index in [[graft.ann.Knn]]; the literal fold keeps
+    *     the PLAN at O(nSeeds x dim) constants, so past a few hundred
+    *     seeds assignment should switch to the broadcast-join +
+    *     argmax-aggregate shape of [[graft.ann.Knn.ivfLists]] — same
+    *     semantics, plan size independent of nlist).
+    *
+    * Determinism: seeds are the `nSeeds` smallest-id vectors (no RNG);
+    * ties in the argmax keep the SMALLEST seed id (strict `>` fold in
+    * ascending seed order) — engine-portable, DuckDB-mirrorable.
+    * Assignment is nearest-COSINE, matching the dedup metric.
+    */
+  def embeddingNearDupsIvf(df: DataFrame, idCol: String,
+      vecCol: String, nSeeds: Int, threshold: Double): DataFrame = {
+    val cells = ivfCells(df, idCol, vecCol, nSeeds)
+    val a = cells.select(col("__blk"), col("__id").as("id_a"),
+      col("__q").as("q_a"))
+    val b = cells.select(col("__blk"), col("__id").as("id_b"),
+      col("__q").as("q_b"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineQ(col("q_a"), col("q_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** `(__id, __q, __blk)` IVF coarse assignment: each vector's cell is
+    * the nearest-cosine seed (ties -> smallest seed id), computed as a
+    * strict-`>` fold over the seed literals — a shuffle-free codegen'd
+    * projection. Exposed for the spec-level equivalence check against
+    * the window-argmax formulation (the shape the DuckDB oracle uses).
+    */
+  private[graft] def ivfCells(df: DataFrame, idCol: String,
+      vecCol: String, nSeeds: Int): DataFrame = {
+    require(nSeeds >= 1, s"embedding IVF dedup: nSeeds >= 1, got $nSeeds")
+    val q = df.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+    // bounded fit: nSeeds quantized vectors (ids ascending)
+    val seeds: Seq[(Any, Seq[Long])] = q.orderBy(col("__id"))
+      .limit(nSeeds).collect().toSeq
+      .map(r => (r.get(0), r.getSeq[Long](1)))
+    def cosTo(sv: Seq[Long]): Column =
+      cosineQ(col("__q"), array(sv.map(lit(_)): _*))
+    val best = seeds.tail.foldLeft(
+      struct(cosTo(seeds.head._2).as("c"), lit(seeds.head._1).as("s"))) {
+      (acc, seed) =>
+        val c = cosTo(seed._2)
+        when(c > acc.getField("c"),
+          struct(c.as("c"), lit(seed._1).as("s"))).otherwise(acc)
+    }
+    q.select(col("__id"), col("__q"), best.getField("s").as("__blk"))
+  }
+
   /** round(x*1000) int64 quantization of a float vector. */
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * 1000).cast("long"))

@@ -110,6 +110,56 @@ class DedupKnnSpec extends SparkSpec {
     assert(math.abs(pairs((1L, 3L)) - 1.0 / math.sqrt(2)) < 1e-9)
   }
 
+  test("embedding IVF near-dup: fold cells == window-argmax reference") {
+    // the engine assigns cells via a strict-> fold over seed literals;
+    // the reference (and the DuckDB oracle) uses crossJoin + window
+    // row_number(cos DESC, sid ASC) — same tie rule, different shape
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs(60)
+    val cells = Dedup.ivfCells(e, "id", "embedding", nSeeds = 4)
+      .select(col("__id"), col("__blk")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q = e.select(col("id"), Dedup.quantize(col("embedding")).as("v"))
+    val seeds = q.orderBy("id").limit(4)
+      .select(col("id").as("sid"), col("v").as("sv"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("c").desc, col("sid"))
+    val ref = q.crossJoin(seeds)
+      .withColumn("c", Dedup.cosineQ(col("v"), col("sv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("id"), col("sid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells.size === 60)
+    assert(cells === ref)
+  }
+
+  test("embedding IVF near-dup: exact subset of all-pairs, complete within cells, shuffle-free assignment") {
+    val e = vecs(60)
+    val out = Dedup.embeddingNearDupsIvf(e, "id", "embedding",
+      nSeeds = 4, threshold = 0.8)
+    def pairSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = pairSet(out)
+    // all-pairs truth (single block) with IDENTICAL cosine math
+    val all = pairSet(Dedup.embeddingNearDups(
+      e.withColumn("blk", lit(1)), "id", "embedding", "blk", 0.8))
+    assert(got.nonEmpty)
+    assert(got.subsetOf(all)) // same cosines bit-exactly on shared pairs
+    // completeness within cells: every all-pairs hit whose two ids
+    // share a cell must be present
+    val cells = Dedup.ivfCells(e, "id", "embedding", 4)
+      .select(col("__id"), col("__blk")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = all.filter(p => cells(p._1) == cells(p._2))
+    assert(got === expected)
+    // plan discipline: no cartesian/BNLJ anywhere (the seed fetch is a
+    // bounded collect, assignment a projection, the pair join an
+    // equi-join on the cell id)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(900))
+  }
+
   /** Clustered vectors: 5 cluster directions + small per-id noise —
     * the regime LSH is built for (random uniform vectors have
     * near-orthogonal neighbors and defeat any hyperplane scheme).
