@@ -115,6 +115,19 @@ object QueriesData {
         .orderBy("id_a", "id_b")
     }),
 
+    "q143_ngram_containment" -> ((s, dir) => {
+      // ASYMMETRIC near-dup: containment(src->dst) = |shingles shared|
+      // / |src shingles| — catches the suffix twins (a twin is ~fully
+      // contained in its original while Jaccard could dilute). The
+      // oracle recomputes the same df-pruned candidate rule + exact
+      // set math, so candidates AND both directed values are certified
+      Dedup.containmentPairs(docsWithDups(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.8, maxDf = 100)
+        .select(col("src_id"), col("dst_id"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("src_id", "dst_id")
+    }),
+
     "q142_dedup_embedding_ivf" -> ((s, dir) => {
       // embedding near-dup with NO given blocking key: IVF coarse
       // assignment to the nearest of 8 deterministic seed centroids
@@ -1840,6 +1853,41 @@ object QueriesData {
         |  FROM q a JOIN q b ON a.blk = b.blk AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
         |FROM p WHERE cosine >= 0.25 ORDER BY 1, 2""".stripMargin,
+
+    // mirrors containmentPairs exactly: distinct 3-gram shingle sets,
+    // df-pruned (df in [2,100]) inverted-index candidates, exact
+    // list_intersect verify, both directed values from the one shared
+    // count — integer/integer division, bit-identical across engines
+    "q143_ngram_containment" ->
+      s"""WITH t AS ($docsWithDupsSql),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+         |    THEN list_transform(
+         |      range(0, len(string_split(text,' ')) - 2),
+         |      i -> array_to_string(
+         |        string_split(text,' ')[i+1:i+3], ' '))
+         |    ELSE [] END) AS s
+         |  FROM t),
+         |rows_ AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |rare AS (SELECT g FROM rows_ GROUP BY g
+         |  HAVING count(*) BETWEEN 2 AND 100),
+         |pr AS (SELECT r.doc_id, r.g FROM rows_ r JOIN rare USING (g)),
+         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM pr a JOIN pr b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |j AS (SELECT ia, ib,
+         |  len(list_intersect(sa.s, sb.s)) AS shared,
+         |  len(sa.s) AS na, len(sb.s) AS nb
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = ia
+         |  JOIN sh sb ON sb.doc_id = ib),
+         |d AS (SELECT ia AS src_id, ib AS dst_id,
+         |    CAST(shared AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+         |  FROM j
+         |  UNION ALL
+         |  SELECT ib, ia,
+         |    CAST(shared AS DOUBLE) / CAST(nb AS DOUBLE) FROM j)
+         |SELECT src_id, dst_id, ROUND(containment, 6) AS containment
+         |FROM d WHERE containment >= 0.8 ORDER BY 1, 2""".stripMargin,
 
     // mirrors embeddingNearDupsIvf exactly: seeds = 8 smallest
     // vec_ids; cos = int-quantized dot / (SQRT(a)*SQRT(b)) in that

@@ -260,6 +260,64 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** ASYMMETRIC near-dup: n-gram containment pairs. For each directed
+    * pair, `containment(src -> dst) = |sh(src) n sh(dst)| / |sh(src)|`
+    * over distinct n-gram shingle sets — the signal Jaccard cannot
+    * see: a short document fully embedded in a longer one (quoted
+    * posts, wrapper/boilerplate pages, article + comment dumps) has
+    * containment ~1 while Jaccard stays arbitrarily low.
+    *
+    * Scale shape:
+    *   - candidates come from a DOCUMENT-FREQUENCY-PRUNED inverted
+    *     index: one distinct (doc, shingle) row per set element, keep
+    *     shingles with df in [2, maxDf], self-join on the shingle.
+    *     The df cap is the skew guard — a boilerplate shingle in 10^6
+    *     docs would otherwise emit 10^12 candidate rows; with the cap,
+    *     candidates are <= sum_g C(df_g, 2) <= |pruned rows| * maxDf/2
+    *     — LINEAR in corpus size for fixed maxDf. The tradeoff is
+    *     explicit: a pair sharing ONLY ultra-common shingles is
+    *     missed, and such pairs are boilerplate matches by definition;
+    *   - verification is EXACT and restricted to candidates: shingle
+    *     sets are joined to candidate ids only (never all-pairs), the
+    *     true intersection comes from one codegen'd `array_intersect`
+    *     per pair, and both directions are derived from the one shared
+    *     count — integer/integer division, engine-portable.
+    *
+    * Returns `(src_id, dst_id, containment)`, both directions of every
+    * candidate pair passing `threshold`.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDf: Long = 100L): DataFrame = {
+    require(maxDf >= 2, s"containment: maxDf >= 2 required, got $maxDf")
+    val sets = shingleSetsOf(df, idCol, textCol, n) // (__id, __sh)
+    val rows = sets.select(col("__id"), explode(col("__sh")).as("__g"))
+    val rare = rows.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .select(col("__g"))
+    val pruned = rows.join(rare, Seq("__g"))
+    val cand = pruned.select(col("__g"), col("__id").as("id_a"))
+      .join(pruned.select(col("__g"), col("__id").as("id_b")), Seq("__g"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val both = cand
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sa")),
+        Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sb")),
+        Seq("id_b"))
+      .withColumn("__shared",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
+    val aToB = both.select(col("id_a").as("src_id"),
+      col("id_b").as("dst_id"),
+      (col("__shared") / size(col("__sa")).cast("double"))
+        .as("containment"))
+    val bToA = both.select(col("id_b").as("src_id"),
+      col("id_a").as("dst_id"),
+      (col("__shared") / size(col("__sb")).cast("double"))
+        .as("containment"))
+    aToB.unionByName(bToA).filter(col("containment") >= threshold)
+  }
+
   /** Embedding near-dup WITHOUT a caller-provided blocking column:
     * IVF-style coarse assignment to the nearest of `nSeeds`
     * deterministic seed centroids (the vectors with the smallest ids),

@@ -110,6 +110,36 @@ class DedupKnnSpec extends SparkSpec {
     assert(math.abs(pairs((1L, 3L)) - 1.0 / math.sqrt(2)) < 1e-9)
   }
 
+  test("ngram containment: embedded doc scores ~1, asymmetric, df-pruned") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      Row(2L, "beta gamma delta epsilon zeta eta theta"), // suffix of 1
+      Row(3L, "totally unrelated words appear here now")))
+    val out = Dedup.containmentPairs(d, "doc_id", "text", n = 3,
+      threshold = 0.0, maxDf = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // doc2's 5 shingles all appear among doc1's 6 -> fully contained
+    assert(out((2L, 1L)) == 1.0)
+    assert(math.abs(out((1L, 2L)) - 5.0 / 6.0) < 1e-12) // NOT symmetric
+    assert(!out.contains((3L, 1L)) && !out.contains((1L, 3L))) // no shared
+  }
+
+  test("ngram containment: over-df shingles generate no candidates") {
+    // 4 docs share ONLY one boilerplate shingle; with maxDf=3 the
+    // shingle is pruned, so no candidate pair exists (the explicit
+    // skew/boilerplate tradeoff in the containmentPairs contract)
+    val d = df("doc_id BIGINT, text STRING", (0 until 4).map(i =>
+      Row(i.toLong, s"common boiler plate u$i v$i w$i")))
+    val out = Dedup.containmentPairs(d, "doc_id", "text", n = 3,
+      threshold = 0.0, maxDf = 3)
+    assert(out.count() === 0)
+    // raising the cap to 4 admits the shingle -> all 6 pairs, both ways
+    val loose = Dedup.containmentPairs(d, "doc_id", "text", n = 3,
+      threshold = 0.0, maxDf = 4)
+    assert(loose.count() === 12)
+    assert(loose.filter(col("containment") =!= 0.25).count() === 0)
+  }
+
   test("embedding IVF near-dup: fold cells == window-argmax reference") {
     // the engine assigns cells via a strict-> fold over seed literals;
     // the reference (and the DuckDB oracle) uses crossJoin + window
