@@ -115,6 +115,21 @@ object QueriesData {
         .orderBy("id_a", "id_b")
     }),
 
+    "q144_leakage_safe_split" -> ((s, dir) => {
+      // leakage-safe split: split key = near-dup CLUSTER label, so a
+      // duplicated page can never sit in train AND test. Edges are the
+      // engine's minhash-LSH pairs at 0.5 (q83 certifies they equal
+      // the exhaustive all-pairs truth on this corpus); the oracle
+      // recomputes the closure + the identical md5 split rule
+      val d = docsWithDups(s, dir)
+      val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+        threshold = 0.5)
+      Components.leakageSafeSplit(d, "doc_id", pairs, "id_a", "id_b",
+        salt = "lsplit", Seq("train" -> 80, "val" -> 90, "test" -> 100))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     "q143_ngram_containment" -> ((s, dir) => {
       // ASYMMETRIC near-dup: containment(src->dst) = |shingles shared|
       // / |src shingles| — catches the suffix twins (a twin is ~fully
@@ -1853,6 +1868,43 @@ object QueriesData {
         |  FROM q a JOIN q b ON a.blk = b.blk AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
         |FROM p WHERE cosine >= 0.25 ORDER BY 1, 2""".stripMargin,
+
+    // exhaustive all-pairs jaccard>=0.5 closure (the q83 truth), then
+    // split key = COALESCE(component min id, own id) through the
+    // identical md5-mod-100 rule as q129 (salt 'lsplit')
+    "q144_leakage_safe_split" ->
+      s"""WITH RECURSIVE t AS ($docsWithDupsSql),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+         |    THEN list_transform(
+         |      range(0, len(string_split(text,' ')) - 2),
+         |      i -> array_to_string(
+         |        string_split(text,' ')[i+1:i+3], ' '))
+         |    ELSE [] END) AS s
+         |  FROM t),
+         |e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.s, b.s)))
+         |             AS DOUBLE) >= 0.5),
+         |u AS (SELECT ia AS a, ib AS b FROM e
+         |      UNION SELECT ib, ia FROM e),
+         |cc(id, comp) AS (
+         |  SELECT a, a FROM u
+         |  UNION
+         |  SELECT u.a, cc.comp FROM u JOIN cc ON u.b = cc.id),
+         |m AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+         |k AS (SELECT t.doc_id, COALESCE(m.comp, t.doc_id) AS key
+         |  FROM t LEFT JOIN m ON t.doc_id = m.id)
+         |SELECT doc_id,
+         |  CASE WHEN b < 80 THEN 'train'
+         |       WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |    CAST('0x' || substring(
+         |      md5(CAST(key AS VARCHAR) || '#lsplit'), 1, 15)
+         |      AS BIGINT) % 100 AS b
+         |  FROM k)
+         |ORDER BY doc_id""".stripMargin,
 
     // mirrors containmentPairs exactly: distinct 3-gram shingle sets,
     // df-pruned (df in [2,100]) inverted-index candidates, exact

@@ -126,4 +126,31 @@ object Components {
       .filter(col("__cc_comp").isNull || col("__cc_comp") === df(idCol))
       .drop("__cc_id", "__cc_comp")
   }
+
+  /** LEAKAGE-SAFE train/val/test split: the split key is the
+    * duplicate-CLUSTER label (component min id; a doc in no pair keys
+    * on its own id), so every member of a near-dup cluster lands in
+    * the same split — a naive per-doc split puts one copy of a
+    * duplicated page in train and another in test, and the eval set
+    * silently measures memorization. Composes
+    * [[connectedComponents]] with the deterministic salted-hash rule
+    * of [[graft.text.Sharding.hashSplit]]: no RNG, no migration as
+    * the corpus grows, and adding a NEW duplicate of an existing page
+    * can never land it in a different split than its cluster.
+    *
+    * `edges` are duplicate pairs over `idCol` values (e.g. minhash /
+    * phash / containment pairs). Ids must be integral. Adds `split`.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, salt: String,
+      cuts: Seq[(String, Int)]): DataFrame = {
+    val comp = connectedComponents(edges, srcCol, dstCol)
+      .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
+    val keyed = df.join(comp, df(idCol) === col("__cc_id"), "left")
+      .withColumn("__split_key",
+        coalesce(col("__cc_comp"), df(idCol).cast("long")))
+      .drop("__cc_id", "__cc_comp")
+    graft.text.Sharding.hashSplit(keyed, "__split_key", salt, cuts)
+      .drop("__split_key")
+  }
 }

@@ -91,4 +91,29 @@ class ComponentsSpec extends SparkSpec {
       edgesDf(Seq((2L, 1L), (2L, 3L))), "a", "b")
     assert(column(out.orderBy("id"), "id") == Seq(1L, 4L, 5L))
   }
+
+  test("leakageSafeSplit: cluster members share a split; singletons match per-id hashSplit") {
+    val data = df("id BIGINT, v STRING", (1L to 40L).map(i =>
+      Row(i, s"v$i")))
+    // clusters {1,2,3} and {10,11}; the rest are singletons
+    val edges = edgesDf(Seq((2L, 1L), (2L, 3L), (10L, 11L)))
+    val cuts = Seq("train" -> 80, "val" -> 90, "test" -> 100)
+    val got = Components.leakageSafeSplit(data, "id", edges, "a", "b",
+      salt = "s1", cuts).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    assert(got.size === 40)
+    // no near-dup pair may straddle splits (the leakage property)
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(10L) == got(11L))
+    // cluster members inherit the CANONICAL member's assignment, and
+    // singletons are plain hashSplit — so the whole map must equal
+    // hashSplit applied to the component-or-self key
+    val perKey = graft.text.Sharding.hashSplit(
+      data.withColumn("key",
+        when(col("id").isin(1L, 2L, 3L), 1L)
+          .when(col("id").isin(10L, 11L), 10L).otherwise(col("id"))),
+      "key", "s1", cuts).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    assert(got === perKey)
+  }
 }
