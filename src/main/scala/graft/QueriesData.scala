@@ -115,6 +115,24 @@ object QueriesData {
         .orderBy("id_a", "id_b")
     }),
 
+    "q145_dedup_keep_best" -> ((s, dir) => {
+      // dedup keeping the BEST copy per near-dup cluster by a numeric
+      // quality score (highest wins, ties -> smallest id) — production
+      // curation keeps the longest/highest-quality member, not the
+      // accidentally-smallest id. The score here is the deterministic
+      // mixHash (a stand-in for any quality metric) so the winner
+      // provably differs from the min-id rule on ~half the clusters;
+      // edges are the engine's minhash pairs at 0.5 (q83 certifies
+      // they equal the exhaustive truth on this corpus)
+      val d = docsWithDups(s, dir)
+        .withColumn("sc", Sharding.mixHash(col("doc_id")))
+      val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+        threshold = 0.5)
+      Components.dedupByComponentsBest(d, "doc_id", pairs,
+        "id_a", "id_b", "sc")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     "q144_leakage_safe_split" -> ((s, dir) => {
       // leakage-safe split: split key = near-dup CLUSTER label, so a
       // duplicated page can never sit in train AND test. Edges are the
@@ -1868,6 +1886,39 @@ object QueriesData {
         |  FROM q a JOIN q b ON a.blk = b.blk AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
         |FROM p WHERE cosine >= 0.25 ORDER BY 1, 2""".stripMargin,
+
+    // exhaustive closure (the q83 truth) + per-cluster argmax of the
+    // same mixHash the engine scores with: ORDER BY score DESC, id ==
+    // the operator's max_by(struct(score, -id))
+    "q145_dedup_keep_best" ->
+      s"""WITH RECURSIVE t AS ($docsWithDupsSql),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+         |    THEN list_transform(
+         |      range(0, len(string_split(text,' ')) - 2),
+         |      i -> array_to_string(
+         |        string_split(text,' ')[i+1:i+3], ' '))
+         |    ELSE [] END) AS s
+         |  FROM t),
+         |e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.s, b.s)))
+         |             AS DOUBLE) >= 0.5),
+         |u AS (SELECT ia AS a, ib AS b FROM e
+         |      UNION SELECT ib, ia FROM e),
+         |cc(id, comp) AS (
+         |  SELECT a, a FROM u
+         |  UNION
+         |  SELECT u.a, cc.comp FROM u JOIN cc ON u.b = cc.id),
+         |m AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+         |k AS (SELECT t.doc_id, COALESCE(m.comp, t.doc_id) AS key
+         |  FROM t LEFT JOIN m ON t.doc_id = m.id),
+         |r AS (SELECT doc_id, row_number() OVER (PARTITION BY key
+         |    ORDER BY ((doc_id % 2147483648) * 2654435761)
+         |      % 4294967296 DESC, doc_id) AS rn
+         |  FROM k)
+         |SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // exhaustive all-pairs jaccard>=0.5 closure (the q83 truth), then
     // split key = COALESCE(component min id, own id) through the

@@ -127,6 +127,48 @@ object Components {
       .drop("__cc_id", "__cc_comp")
   }
 
+  /** Component-level dedup keeping the BEST row per cluster by a
+    * numeric quality score (highest wins; ties -> smallest id) instead
+    * of [[dedupByComponents]]'s smallest-id rule — what production
+    * curation actually wants: among near-duplicate copies keep the
+    * longest / highest-quality / most recent one, not the one with the
+    * accidentally-smallest id. Rows in no duplicate pair survive
+    * unconditionally.
+    *
+    * Scale shape: labels join back to the corpus, then ONE
+    * map-side-combined `max_by` aggregation per cluster key (the
+    * [[Dedup.exact]] move — no window, no per-cluster sort, exchange
+    * bounded by |clusters| x |partitions| however hot a cluster is).
+    * Float scores: NaN is mapped to -Infinity first — Spark sorts NaN
+    * GREATEST, so an unguarded NaN score would win every argmax.
+    */
+  def dedupByComponentsBest(df: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      scoreCol: String): DataFrame = {
+    val comp = connectedComponents(edges, srcCol, dstCol)
+      .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
+    val keyed = df.join(comp, df(idCol) === col("__cc_id"), "left")
+      .withColumn("__key",
+        coalesce(col("__cc_comp"), df(idCol).cast("long")))
+    val isFloat = df.schema(scoreCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
+    val score =
+      if (isFloat)
+        when(isnan(col(scoreCol).cast("double")),
+          lit(Double.NegativeInfinity))
+          .otherwise(col(scoreCol).cast("double"))
+      else col(scoreCol).cast("double")
+    val allCols = df.columns.toSeq
+    keyed.groupBy(col("__key"))
+      .agg(max_by(struct(allCols.map(col): _*),
+        struct(score.as("s"),
+          (col(idCol).cast("long") * -1).as("nid"))).as("__row"))
+      .select(allCols.map(c => col(s"__row.`$c`").as(c)): _*)
+  }
+
   /** LEAKAGE-SAFE train/val/test split: the split key is the
     * duplicate-CLUSTER label (component min id; a doc in no pair keys
     * on its own id), so every member of a near-dup cluster lands in

@@ -92,6 +92,21 @@ class ComponentsSpec extends SparkSpec {
     assert(column(out.orderBy("id"), "id") == Seq(1L, 4L, 5L))
   }
 
+  test("dedupByComponentsBest: argmax score per cluster, ties -> smallest id, NaN never wins") {
+    val data = df("id BIGINT, sc DOUBLE, v STRING", Seq(
+      Row(1L, 1.0, "a"), Row(2L, 5.0, "b"), Row(3L, 5.0, "c"),
+      Row(4L, 0.5, "d"), Row(5L, Double.NaN, "e"),
+      Row(6L, -1.0, "f")))
+    // {1,2,3}: max score ties at 2,3 -> smaller id 2 wins;
+    // {4,5}: Spark sorts NaN GREATEST, but the guard maps it to
+    // -Infinity so the real score 0.5 wins; 6 is untouched
+    val out = Components.dedupByComponentsBest(data, "id",
+      edgesDf(Seq((1L, 2L), (2L, 3L), (4L, 5L))), "a", "b", "sc")
+    assert(column(out.orderBy("id"), "id") == Seq(2L, 4L, 6L))
+    // full rows survive, not just ids
+    assert(column(out.orderBy("id"), "v") == Seq("b", "d", "f"))
+  }
+
   test("leakageSafeSplit: cluster members share a split; singletons match per-id hashSplit") {
     val data = df("id BIGINT, v STRING", (1L to 40L).map(i =>
       Row(i, s"v$i")))
