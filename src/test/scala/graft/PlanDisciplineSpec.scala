@@ -282,4 +282,45 @@ class PlanDisciplineSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 1, s"data side exchanged:\n$plan")
   }
+
+  test("IVF embedding near-dup: assignment is a projection (no window, " +
+      "no join before the cell join), no cartesian anywhere") {
+    val e = spark.range(0, 200).select(col("id"),
+      transform(sequence(lit(0), lit(15)),
+        i => (pmod(xxhash64(col("id") % 4, i), lit(2000)).cast("double")
+          / 1000.0 - 1.0).cast("float")).as("embedding"))
+    val out = graft.dedup.Dedup.embeddingNearDupsIvf(e, "id",
+      "embedding", nSeeds = 4, threshold = 0.9)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    // the only window-free shape: cells come from a fold projection,
+    // so no Window operator may exist in the whole plan
+    assert(!plan.contains("Window"), plan.take(1200))
+  }
+
+  test("keep-best cluster dedup: selection is a partial-aggregated " +
+      "max_by, never a per-cluster window sort") {
+    val data = spark.range(0, 1000).select(col("id"),
+      (col("id") % 7).cast("double").as("sc"))
+    val edges = spark.range(0, 400)
+      .select(col("id").as("a"), (col("id") + 400).as("b"))
+    val out = graft.dedup.Components.dedupByComponentsBest(
+      data, "id", edges, "a", "b", "sc")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by"),
+      s"selection lost its map-side combine:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"), plan.take(1200))
+  }
+
+  test("containment: candidate + verify joins are equi-joins only") {
+    val d = spark.range(0, 100).selectExpr("id AS doc_id",
+      "concat('w', id % 5, ' x', id % 7, ' y', id % 3, ' z', id % 11, " +
+        "' v', id % 13) AS text")
+    val out = graft.dedup.Dedup.containmentPairs(d, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDf = 50)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
 }
