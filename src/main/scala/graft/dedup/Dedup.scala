@@ -289,7 +289,12 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDf: Long = 100L): DataFrame = {
     require(maxDf >= 2, s"containment: maxDf >= 2 required, got $maxDf")
+    // persisted: the shingle-set build (posexplode + window + one
+    // collect_set agg) is the dominant cost and has THREE consumers
+    // (the inverted index + both verify joins) — same contract as
+    // SpanDedup's gram cache: registered until clearCache()
     val sets = shingleSetsOf(df, idCol, textCol, n) // (__id, __sh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rows = sets.select(col("__id"), explode(col("__sh")).as("__g"))
     val rare = rows.groupBy(col("__g"))
       .agg(count(lit(1)).as("__df"))
@@ -307,15 +312,19 @@ object Dedup {
         Seq("id_b"))
       .withColumn("__shared",
         size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
-    val aToB = both.select(col("id_a").as("src_id"),
-      col("id_b").as("dst_id"),
-      (col("__shared") / size(col("__sa")).cast("double"))
-        .as("containment"))
-    val bToA = both.select(col("id_b").as("src_id"),
-      col("id_a").as("dst_id"),
-      (col("__shared") / size(col("__sb")).cast("double"))
-        .as("containment"))
-    aToB.unionByName(bToA).filter(col("containment") >= threshold)
+    // ONE verify-join pass emits BOTH directions (a 2-array explode),
+    // instead of a union of two selects that would execute the join —
+    // and the array_intersect per pair — twice
+    both.select(explode(array(
+        struct(col("id_a").as("src_id"), col("id_b").as("dst_id"),
+          (col("__shared") / size(col("__sa")).cast("double"))
+            .as("containment")),
+        struct(col("id_b").as("src_id"), col("id_a").as("dst_id"),
+          (col("__shared") / size(col("__sb")).cast("double"))
+            .as("containment")))).as("__d"))
+      .select(col("__d.src_id"), col("__d.dst_id"),
+        col("__d.containment"))
+      .filter(col("containment") >= threshold)
   }
 
   /** Embedding near-dup WITHOUT a caller-provided blocking column:
