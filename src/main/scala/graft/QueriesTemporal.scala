@@ -106,6 +106,18 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q146_decayed_rolling" -> ((s, dir) => {
+      // recency-weighted activity feature: half-life-decayed sum of
+      // the last 4 event values per user (6h half-life). The oracle
+      // spells out the identical fixed left-assoc term fold, so the
+      // per-term lag/pow math is certified value-exactly
+      WindowOps.decayedRollingSum(tbl(s, dir, "events"), "user_id",
+        "ts", "value", k = 4, halfLifeSeconds = 21600.0)
+        .select(col("event_id"), col("user_id"),
+          round(col("decayed_sum"), 6).as("decayed_sum"))
+        .orderBy("event_id")
+    }),
+
     "q38_rolling_range" -> ((s, dir) => {
       WindowOps.rollingRange(tbl(s, dir, "events"), "user_id", "ts",
         Seq("value"), seconds = 3600, aggs = Seq("min", "max", "count"))
@@ -253,6 +265,26 @@ object QueriesTemporal {
         |  COUNT(value) OVER w AS value_roll5_count
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY 1""".stripMargin,
+
+    // the same fixed left-assoc 4-term fold as decayedRollingSum:
+    // term_i = COALESCE(lag(value,i) * 0.5^((epoch_us(ts) -
+    // lag(epoch_us,i)) / halfLife_us), 0); 6h half-life = 2.16e10 us
+    "q146_decayed_rolling" ->
+      """SELECT event_id, user_id, ROUND(
+        |  COALESCE(value * pow(0.5,
+        |    CAST(epoch_us(ts) - epoch_us(ts) AS DOUBLE)
+        |      / 21600000000.0), 0)
+        |  + COALESCE(LAG(value, 1) OVER w * pow(0.5,
+        |    CAST(epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS DOUBLE)
+        |      / 21600000000.0), 0)
+        |  + COALESCE(LAG(value, 2) OVER w * pow(0.5,
+        |    CAST(epoch_us(ts) - LAG(epoch_us(ts), 2) OVER w AS DOUBLE)
+        |      / 21600000000.0), 0)
+        |  + COALESCE(LAG(value, 3) OVER w * pow(0.5,
+        |    CAST(epoch_us(ts) - LAG(epoch_us(ts), 3) OVER w AS DOUBLE)
+        |      / 21600000000.0), 0), 6) AS decayed_sum
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         |ORDER BY 1""".stripMargin,
 
     "q38_rolling_range" ->

@@ -86,6 +86,45 @@ object WindowOps {
     case other => throw new IllegalArgumentException(s"unknown agg $other")
   }
 
+  /** Time-decayed rolling sum over the last `k` events (inclusive of
+    * the current one):
+    * `y_t = sum_{i=0..k-1} x_{t-i} * 2^(-(ts_t - ts_{t-i}) / halfLife)`
+    * — the recency-weighted feature (decayed activity/spend counters
+    * for CTR-style models) that plain rolling sums flatten.
+    *
+    * Deliberately the BOUNDED-K form, not the exact-EWMA recurrence
+    * `s_t = a*x_t + (1-a)*s_{t-1}`: the recurrence is a sequential
+    * per-entity scan (unbounded state, hostile to both engines and to
+    * cross-engine float determinism), while this is a fixed fan of k
+    * `lag()`s over the SAME (entity, ts) window every op here shares —
+    * one exchange, one sort, a single codegen'd projection. Terms
+    * older than k events carry weight < 2^(-k*gap/halfLife) and are
+    * dropped; rows with fewer than k predecessors treat missing terms
+    * as 0 (coalesce), and a null x or ts contributes 0 rather than
+    * poisoning the sum. Summation is a fixed left-assoc fold —
+    * engine-portable to the last ulp of pow().
+    */
+  def decayedRollingSum(df: DataFrame, entity: String, ts: String,
+      valueCol: String, k: Int, halfLifeSeconds: Double,
+      out: String = "decayed_sum"): DataFrame = {
+    require(k >= 1, s"decayedRollingSum: k >= 1, got $k")
+    require(halfLifeSeconds > 0,
+      s"decayedRollingSum: halfLife > 0, got $halfLifeSeconds")
+    val spec = w(entity, ts)
+    val tNow = unix_micros(col(ts).cast("timestamp"))
+    def term(i: Int): Column = {
+      val x =
+        if (i == 0) col(valueCol).cast("double")
+        else lag(col(valueCol).cast("double"), i).over(spec)
+      val tj = if (i == 0) tNow else lag(tNow, i).over(spec)
+      val weight = pow(lit(0.5),
+        (tNow - tj).cast("double") / lit(halfLifeSeconds * 1e6))
+      coalesce(x * weight, lit(0.0))
+    }
+    val expr = (0 until k).map(term).reduce(_ + _)
+    df.select(df.columns.map(col).toIndexedSeq :+ expr.as(out): _*)
+  }
+
   /** Gap-based sessionization: a new session starts when
     * ts - lag(ts) > gapSeconds (or at the entity's first row);
     * session_id = running count of session starts. Two stacked windows

@@ -56,6 +56,29 @@ class WindowOpsSpec extends SparkSpec {
     assert(column(out, "session_id") == Seq(1L, 1L, 1L, 2L, 1L, 1L))
   }
 
+  test("decayedRollingSum: golden values, null terms drop, k bounds history") {
+    // events 6h apart with halfLife 6h -> weights 1, 0.5, 0.25
+    val d = df("e STRING, ts TIMESTAMP, v DOUBLE", Seq(
+      Row("a", ts("2024-01-01 00:00:00"), 1.0),
+      Row("a", ts("2024-01-01 06:00:00"), 2.0),
+      Row("a", ts("2024-01-01 12:00:00"), 4.0),
+      Row("a", ts("2024-01-01 18:00:00"), null), // null value -> term 0
+      Row("b", ts("2024-01-01 00:00:00"), 5.0)))
+    val out = WindowOps.decayedRollingSum(d, "e", "ts", "v", k = 3,
+      halfLifeSeconds = 21600.0).orderBy("e", "ts")
+    val got = column(out, "decayed_sum").map(_.asInstanceOf[Double])
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1) - 2.5) < 1e-12)            // 2 + 1*0.5
+    assert(math.abs(got(2) - 5.25) < 1e-12)           // 4 + 2*.5 + 1*.25
+    assert(math.abs(got(3) - (4 * 0.5 + 2 * 0.25)) < 1e-12) // cur null
+    assert(math.abs(got(4) - 5.0) < 1e-12)            // other entity
+    // k truncation: with k=2 the 12h row forgets the first event
+    val k2 = WindowOps.decayedRollingSum(d, "e", "ts", "v", k = 2,
+      halfLifeSeconds = 21600.0).orderBy("e", "ts")
+    assert(math.abs(column(k2, "decayed_sum")(2)
+      .asInstanceOf[Double] - 5.0) < 1e-12)           // 4 + 2*0.5
+  }
+
   test("stacked window ops reuse ONE exchange") {
     val chained = WindowOps.sessionize(
       WindowOps.lagLead(
