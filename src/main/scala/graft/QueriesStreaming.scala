@@ -496,6 +496,42 @@ object QueriesStreaming {
         .toDF("query_id", "rank", "item_id", "cosine")
         .select(col("query_id"), col("rank"), col("item_id"),
           round(col("cosine"), 6).as("cosine"))
+    }),
+
+    "q147_stream_decayed_feature" -> ((s, dir) => {
+      // the ONLINE companion of q146: the exact (untruncated)
+      // time-decay recurrence s_t = x_t + s_prev * 2^(-dt/hl), carried
+      // as one (ts, double) state pair per user across 3 REAL
+      // micro-batches. The oracle replays the identical left fold —
+      // same operand order, same pow — via a recursive CTE, so the
+      // cross-batch state carry is certified value-exactly.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = tbl(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id").cast("long"),
+          col("event_id").cast("long"),
+          col("ts").cast("timestamp"), col("value").cast("double"))
+        .collect()
+        .map(r => StreamingOps.DecayEvent(r.getLong(0), r.getLong(1),
+          r.getTimestamp(2), r.getDouble(3)))
+        // global (ts, id) order keeps every per-user subsequence
+        // ts-nondecreasing across the chunk boundaries — the
+        // append-only feature-counter contract the operator requires
+        .sortBy(e => (e.ts.getTime, e.eventId)).toSeq
+      val input = MemoryStream[StreamingOps.DecayEvent]
+      val sink = s"q147_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.decayedFeatureStream(input.toDS(),
+        halfLifeSeconds = 21600.0)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      drive(input, q, rows, nChunks = 3)
+      s.table(sink)
+        .select(col("eventId").as("event_id"),
+          col("entity").as("user_id"),
+          round(col("decayed"), 6).as("decayed"))
+        .orderBy("event_id")
     })
   )
 
@@ -516,6 +552,30 @@ object QueriesStreaming {
     // the stream's merged top-k state must equal the one-shot batch
     // weighted sample — literally q130's oracle
     "q137_stream_weighted_sample" -> QueriesData.weightedSampleSql,
+
+    // replay of the stream's EXACT per-user fold (value + s * 0.5^
+    // (dt_us/hl_us), in arrival order) as a recursive CTE: identical
+    // IEEE operand order, so the match is bit-level before the
+    // 6-decimal rounding
+    "q147_stream_decayed_feature" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL
+        |),
+        |r AS (
+        |  SELECT user_id, event_id, rn, tus, value AS s
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT seq.user_id, seq.event_id, seq.rn, seq.tus,
+        |    seq.value + r.s * pow(0.5,
+        |      CAST(seq.tus - r.tus AS DOUBLE) / 21600000000.0)
+        |  FROM r JOIN seq
+        |    ON seq.user_id = r.user_id AND seq.rn = r.rn + 1
+        |)
+        |SELECT event_id, user_id, ROUND(s, 6) AS decayed
+        |FROM r ORDER BY 1""".stripMargin,
 
     // one-shot recomputation of the fixed-range sketch rule the stream
     // folded incrementally: identical binning, bin-ordered cumulative

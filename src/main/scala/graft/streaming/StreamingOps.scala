@@ -481,6 +481,71 @@ object StreamingOps {
     out.result().iterator
   }
 
+  // ---- streaming exact EWMA (time-decay recurrence) ---------------------
+
+  case class DecayEvent(entity: Long, eventId: Long, ts: Timestamp,
+      value: Double)
+  case class DecayOut(eventId: Long, entity: Long, ts: Timestamp,
+      decayed: Double)
+  /** One double + one timestamp per entity — the WHOLE state. */
+  case class DecayState(lastTsUs: Long, s: Double)
+
+  /** Streaming EXACT time-decay recurrence
+    * `s_t = x_t + s_prev * 2^(-(t - t_prev)/halfLife)` — the unbounded
+    * companion of the batch [[graft.temporal.WindowOps.decayedRollingSum]]
+    * (which truncates at k lags): streaming is where the exact
+    * recurrence is natural, because the sequential per-entity scan the
+    * batch engine refuses is exactly what arrival order provides. One
+    * (timestamp, double) pair of state per entity — the online
+    * feature-store counter shape: bounded state forever, every event
+    * emits its decayed feature value at arrival.
+    *
+    * Within a micro-batch, rows are processed in (event-time, id)
+    * order. ACROSS batches the source must be per-entity
+    * ts-nondecreasing (the append-only feature-counter contract); a
+    * row older than the carried state is a contract violation and
+    * fails loudly rather than silently corrupting the recurrence —
+    * the batch operator is the documented backfill path.
+    */
+  def decayedFeatureStream(events: Dataset[DecayEvent],
+      halfLifeSeconds: Double): Dataset[DecayOut] = {
+    import events.sparkSession.implicits._
+    require(halfLifeSeconds > 0,
+      s"decayedFeatureStream: halfLife > 0, got $halfLifeSeconds")
+    val hlUs = halfLifeSeconds * 1e6
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (entity: Long, rows: Iterator[DecayEvent],
+         state: GroupState[DecayState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.eventId))
+          var st = state.getOption
+          val out = Seq.newBuilder[DecayOut]
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            st.foreach { p =>
+              require(t >= p.lastTsUs,
+                s"decayedFeatureStream: entity $entity got ts $t older " +
+                  s"than carried state ${p.lastTsUs} — source must be " +
+                  "per-entity ts-nondecreasing (use the batch " +
+                  "decayedRollingSum to backfill late data)")
+            }
+            // same expression tree as the batch/SQL mirror:
+            // x + s * pow(0.5, dt/hl)
+            val dec = st match {
+              case Some(p) =>
+                e.value + p.s * math.pow(0.5,
+                  (t - p.lastTsUs).toDouble / hlUs)
+              case None => e.value
+            }
+            st = Some(DecayState(t, dec))
+            out += DecayOut(e.eventId, entity, e.ts, dec)
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   // ---- streaming image near-dup (phash) --------------------------------
 
   case class PhashImage(imageId: String, ts: Timestamp, phash: Long)

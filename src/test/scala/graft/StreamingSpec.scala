@@ -709,4 +709,63 @@ class StreamingSpec extends SparkSpec {
         s"missing=${expected -- kept} extra=${kept -- expected}")
     } finally q.stop()
   }
+
+  test("decayed feature stream carries exact recurrence across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hl = 3600.0 // 1h half-life
+    val ev = Seq(
+      StreamingOps.DecayEvent(1L, 1L, ts("2024-01-01 10:00:00"), 4.0),
+      StreamingOps.DecayEvent(1L, 2L, ts("2024-01-01 11:00:00"), 1.0),
+      StreamingOps.DecayEvent(2L, 3L, ts("2024-01-01 10:30:00"), 8.0),
+      // duplicate ts: dt=0 -> s = x + s_prev
+      StreamingOps.DecayEvent(1L, 4L, ts("2024-01-01 11:00:00"), 2.0),
+      StreamingOps.DecayEvent(1L, 5L, ts("2024-01-01 13:00:00"), 0.5),
+      StreamingOps.DecayEvent(2L, 6L, ts("2024-01-01 12:30:00"), 1.0))
+    val input = MemoryStream[StreamingOps.DecayEvent]
+    val q = StreamingOps.decayedFeatureStream(input.toDS(), hl)
+      .writeStream.format("memory").queryName("decay_s")
+      .outputMode("append").start()
+    try {
+      // 3 micro-batches splitting BOTH entities' sequences, so the
+      // state really crosses the batch boundary
+      Seq(ev.take(2), ev.slice(2, 4), ev.drop(4)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val got = spark.table("decay_s").orderBy("eventId")
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+      // hand-replayed fold (same operand order)
+      val s1 = 4.0
+      val s2 = 1.0 + s1 * math.pow(0.5, 1.0) // 3.0
+      val s4 = 2.0 + s2 * math.pow(0.5, 0.0) // 5.0
+      val s5 = 0.5 + s4 * math.pow(0.5, 2.0) // 1.75
+      val t3 = 8.0
+      val t6 = 1.0 + t3 * math.pow(0.5, 2.0) // 3.0
+      assert(got == Seq((1L, s1), (2L, s2), (3L, t3), (4L, s4),
+        (5L, s5), (6L, t6)))
+    } finally q.stop()
+  }
+
+  test("decayed feature stream fails loudly on per-entity time regression") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.DecayEvent]
+    val q = StreamingOps.decayedFeatureStream(input.toDS(), 3600.0)
+      .writeStream.format("memory").queryName("decay_bad")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamingOps.DecayEvent(1L, 1L, ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // second batch regresses entity 1's clock: contract violation
+      // must surface as a query error, not silent state corruption
+      input.addData(
+        StreamingOps.DecayEvent(1L, 2L, ts("2024-01-01 09:00:00"), 1.0))
+      val err = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { q.processAllAvailable() }
+      assert(err.getMessage.contains("ts-nondecreasing") ||
+        Option(err.getCause).exists(
+          _.getMessage.contains("ts-nondecreasing")))
+    } finally q.stop()
+  }
 }
