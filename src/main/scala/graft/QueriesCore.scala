@@ -137,6 +137,36 @@ object QueriesCore {
         .orderBy("c_custkey")
     }),
 
+    "q148_count_encoder" -> ((s, dir) => {
+      // frequency encoding with a train/apply split: fit on the
+      // non-'5-LOW' subset, transform the FULL table — '5-LOW' rows are
+      // genuinely unseen and must encode to 0.0. normalize=true makes
+      // the encoding the level's weight share (cnt/total: exact
+      // integer-count division, identical in both engines)
+      val full = tbl(s, dir, "orders")
+      val train = full.filter(col("o_orderpriority") =!= "5-LOW")
+      val t = new CountEncoderTransformer(Seq("o_orderpriority"),
+        normalize = true).fit(train)
+      t.transform(full).select(col("o_orderkey"), col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q149_woe_encoder" -> ((s, dir) => {
+      // weight-of-evidence vs the binary "order is finalized" response,
+      // Laplace-regularized (a=1). Counts are exact integer doubles;
+      // the ln() argument is bit-identical in both engines, so
+      // round(6) certifies the encoding value-exactly
+      val df = tbl(s, dir, "orders")
+        .withColumn("resp",
+          when(col("o_orderstatus") === "F", 1.0).otherwise(0.0))
+      val t = new WoeEncoderTransformer(Seq("o_orderpriority"), "resp")
+        .fit(df)
+      t.transform(df)
+        .select(col("o_orderkey"),
+          round(col("o_orderpriority"), 6).as("o_orderpriority"))
+        .orderBy("o_orderkey")
+    }),
+
     "q10_one_hot" -> ((s, dir) => {
       val df = tbl(s, dir, "orders")
       val t = new OneHotEncodingTransformer(Seq("o_orderstatus")).fit(df)
@@ -818,6 +848,39 @@ object QueriesCore {
         |        FROM t GROUP BY 1)
         |SELECT c_custkey,
         |  (SELECT e FROM enc WHERE lvl = t.c_mktsegment) AS c_mktsegment
+        |FROM t ORDER BY 1""".stripMargin,
+
+    // fit on the non-'5-LOW' subset; '5-LOW' is unseen -> 0.0
+    "q148_count_encoder" ->
+      """WITH train AS (SELECT o_orderpriority FROM orders
+        |    WHERE o_orderpriority <> '5-LOW'),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM train),
+        |cnt AS (SELECT o_orderpriority AS lvl,
+        |    CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot) AS share
+        |  FROM train GROUP BY 1)
+        |SELECT o_orderkey,
+        |  CASE WHEN o_orderpriority IS NULL THEN NULL
+        |       ELSE COALESCE((SELECT share FROM cnt
+        |         WHERE lvl = orders.o_orderpriority),
+        |         CAST(0 AS DOUBLE)) END AS o_orderpriority
+        |FROM orders ORDER BY 1""".stripMargin,
+
+    // woe = ln(((pos+1)/(posTot+2)) / ((neg+1)/(negTot+2))) — the
+    // identical regularized fold over exact integer counts
+    "q149_woe_encoder" ->
+      """WITH t AS (SELECT o_orderkey, o_orderpriority,
+        |    CASE WHEN o_orderstatus = 'F' THEN CAST(1 AS DOUBLE)
+        |         ELSE CAST(0 AS DOUBLE) END AS y FROM orders),
+        |g AS (SELECT SUM(y) AS pt, CAST(COUNT(*) AS DOUBLE) - SUM(y)
+        |    AS nt FROM t),
+        |enc AS (SELECT o_orderpriority AS lvl,
+        |    ln(((SUM(y) + 1.0) / ((SELECT pt FROM g) + 2.0))
+        |      / (((CAST(COUNT(*) AS DOUBLE) - SUM(y)) + 1.0)
+        |        / ((SELECT nt FROM g) + 2.0))) AS woe
+        |  FROM t GROUP BY 1)
+        |SELECT o_orderkey,
+        |  ROUND((SELECT woe FROM enc
+        |    WHERE lvl = t.o_orderpriority), 6) AS o_orderpriority
         |FROM t ORDER BY 1""".stripMargin,
 
     "q10_one_hot" ->

@@ -130,6 +130,15 @@ object Json {
       val p = new P(i)
       new HashingEncoderTransformer(p.strs("columns"),
         p.int("n_features"), p.str("hash"), p.bool("signed")) }),
+    "CountEncoderTransformer" -> (i => {
+      val p = new P(i)
+      new CountEncoderTransformer(p.strs("columns"), p.bool("normalize"),
+        p.strOpt("weights_column"), p.dbl("unseen_value")) }),
+    "WoeEncoderTransformer" -> (i => {
+      val p = new P(i)
+      new WoeEncoderTransformer(p.strs("columns"),
+        p.str("response_column"), p.dbl("regularization"),
+        p.strOpt("weights_column")) }),
     "ArbitraryImputer" -> (i => {
       val p = new P(i); new ArbitraryImputer(p.strs("columns"),
         p.raw("impute_value")) }),
@@ -344,9 +353,18 @@ object Json {
       case k: OneDKmeansTransformer =>
         k.restoreFit(Map("bins" -> fit("bins").asInstanceOf[Seq[Any]]
           .map(anyToDouble))); ()
+      case c: CountEncoderTransformer =>
+        c.restoreFit(Map("counts_" -> nestedDblMap(fit("counts_")))); ()
+      case w: WoeEncoderTransformer =>
+        w.restoreFit(Map("mappings" -> nestedDblMap(fit("mappings")))); ()
       case other =>
         other.restoreFit(fit); ()
     }
+
+  private def nestedDblMap(v: Any): Map[String, Map[String, Double]] =
+    v.asInstanceOf[Map[String, Any]].map { case (k, m) =>
+      k -> m.asInstanceOf[Map[String, Any]].map { case (l, d) =>
+        l -> anyToDouble(d) } }
 
   private def strSeqMap(v: Any): Map[String, Seq[String]] =
     v.asInstanceOf[Map[String, Any]].map { case (k, s) =>

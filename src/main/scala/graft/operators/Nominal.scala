@@ -509,3 +509,172 @@ class HashingEncoderTransformer(
     "columns" -> columns, "n_features" -> nFeatures,
     "hash" -> hashName, "signed" -> signed)
 }
+
+/** Frequency / count encoder (category_encoders `CountEncoder`
+  * semantics; no reference counterpart — tubular stops at one-hot /
+  * ordinal / mean-response, `tubular/nominal.py`): each level encodes
+  * to its (weighted) training count, or its share of total weight with
+  * `normalize=true`. The unsupervised workhorse for high-cardinality
+  * columns where a target is unavailable — at corpus scale the "how
+  * common is this domain/license/source" feature.
+  *
+  * Fit is ONE melt + map-side-combined groupBy for ALL columns (k
+  * columns ≠ k scans); the learned maps fold into a single map-only
+  * projection. Unseen levels -> `unseenValue` (0.0 = "never seen in
+  * training", the natural frequency). Nulls pass through as null.
+  */
+class CountEncoderTransformer(
+    val columns: Seq[String],
+    val normalize: Boolean = false,
+    val weightsColumn: Option[String] = None,
+    val unseenValue: Double = 0.0
+) extends Transformer {
+  override def needsFit: Boolean = true
+  override def fitInputCols: Seq[String] = columns ++ weightsColumn
+
+  /** column -> (stringLevel -> count or share) */
+  var counts: Map[String, Map[String, Double]] = Map.empty
+
+  override def fit(df: DataFrame): this.type = {
+    super.fit(df)
+    requireStringLike(df, columns)
+    val rows = Weights.fitRows(df, weightsColumn)
+    val w = Weights.weightCol(weightsColumn).cast("double")
+    val total =
+      if (normalize) rows.agg(sum(w)).head().getDouble(0) else 1.0
+    val pair = explode(array(columns.map(c =>
+      struct(lit(c).as("c"), col(c).cast("string").as("lvl"))): _*))
+    val cap = graft.core.Limits.maxFitLevels(rows.sparkSession)
+    val grouped = rows.select(pair.as("p"), w.as("__w"))
+      .filter(col("p.lvl").isNotNull)
+      .groupBy(col("p.c").as("c"), col("p.lvl").as("lvl"))
+      .agg(sum(col("__w")).as("cnt"))
+      .limit(cap + 1)
+      .collect()
+    if (grouped.length > cap)
+      graft.core.Limits.levelCapError(classname, cap,
+        s"across columns ${columns.mkString(", ")}")
+    val byCol = grouped.groupBy(_.getString(0))
+    counts = columns.map { c =>
+      c -> byCol.getOrElse(c, Array.empty).map(r =>
+        r.getString(1) -> r.getDouble(2) / total).toMap
+    }.toMap
+    this
+  }
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    columns.map { c =>
+      val m = counts(c)
+      val looked =
+        if (m.isEmpty) lit(null).cast("double")
+        else element_at(typedLit(m), col(c).cast("string"))
+      c -> when(col(c).isNull, lit(null).cast("double"))
+        .otherwise(coalesce(looked, lit(unseenValue)))
+    }
+
+  override def initParams: Map[String, Any] = Map(
+    "columns" -> columns, "normalize" -> normalize,
+    "weights_column" -> weightsColumn.orNull,
+    "unseen_value" -> unseenValue)
+  override def fitParams: Map[String, Any] = Map("counts_" -> counts)
+  override def restoreFit(fit: Map[String, Any]): this.type = {
+    counts = fit("counts_").asInstanceOf[Map[String, Map[String, Double]]]
+    super.restoreFit(fit)
+  }
+}
+
+/** Weight-of-evidence encoder (category_encoders `WOEEncoder`
+  * semantics; no reference counterpart): for a BINARY 0/1 response,
+  * `woe(level) = ln(((pos_l + a) / (pos_tot + 2a)) /
+  * ((neg_l + a) / (neg_tot + 2a)))` with additive regularization `a`
+  * — the credit-scoring / feature-screening standard that, unlike raw
+  * mean-response, is symmetric in the classes and bounded by the
+  * regularizer for rare levels.
+  *
+  * Fit: the response is validated strictly 0/1 non-null (a loud
+  * failure beats a silently garbage encoding), then ONE melt +
+  * groupBy for all columns computes (pos_l, n_l) per level; globals
+  * come from the same pass's totals. Weighted rows supported
+  * (pos = sum(w·y)). Unseen levels -> 0.0 (no evidence); nulls pass
+  * through as null.
+  */
+class WoeEncoderTransformer(
+    val columns: Seq[String],
+    val responseColumn: String,
+    val regularization: Double = 1.0,
+    val weightsColumn: Option[String] = None
+) extends Transformer {
+  require(regularization > 0,
+    s"regularization must be > 0, got $regularization")
+  override def needsFit: Boolean = true
+  override def fitInputCols: Seq[String] =
+    columns ++ Seq(responseColumn) ++ weightsColumn
+
+  /** column -> (stringLevel -> woe) */
+  var mappings: Map[String, Map[String, Double]] = Map.empty
+
+  override def fit(df: DataFrame): this.type = {
+    super.fit(df)
+    requireStringLike(df, columns)
+    if (!df.columns.contains(responseColumn))
+      throw new IllegalArgumentException(
+        s"$classname: response column $responseColumn not in DataFrame")
+    val y = col(responseColumn).cast("double")
+    val badY = df.filter(y.isNull || (y =!= 0.0 && y =!= 1.0))
+      .limit(1).count()
+    if (badY > 0)
+      throw new IllegalArgumentException(
+        s"$classname: response column $responseColumn must be binary " +
+          "0/1 with no nulls")
+    val rows = Weights.fitRows(df, weightsColumn)
+    val w = Weights.weightCol(weightsColumn).cast("double")
+    val tot = rows.agg(sum(w * y).as("p"), sum(w).as("n")).head()
+    val (posTot, negTot) = (tot.getDouble(0),
+      tot.getDouble(1) - tot.getDouble(0))
+    val a = regularization
+    val pair = explode(array(columns.map(c =>
+      struct(lit(c).as("c"), col(c).cast("string").as("lvl"))): _*))
+    val cap = graft.core.Limits.maxFitLevels(rows.sparkSession)
+    val grouped = rows.select(pair.as("p"), w.as("__w"), y.as("__y"))
+      .filter(col("p.lvl").isNotNull)
+      .groupBy(col("p.c").as("c"), col("p.lvl").as("lvl"))
+      .agg(sum(col("__w") * col("__y")).as("pos"),
+        sum(col("__w")).as("n"))
+      .limit(cap + 1)
+      .collect()
+    if (grouped.length > cap)
+      graft.core.Limits.levelCapError(classname, cap,
+        s"across columns ${columns.mkString(", ")}")
+    val byCol = grouped.groupBy(_.getString(0))
+    mappings = columns.map { c =>
+      c -> byCol.getOrElse(c, Array.empty).map { r =>
+        val pos = r.getDouble(2)
+        val neg = r.getDouble(3) - pos
+        r.getString(1) -> math.log(
+          ((pos + a) / (posTot + 2 * a)) / ((neg + a) / (negTot + 2 * a)))
+      }.toMap
+    }.toMap
+    this
+  }
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    columns.map { c =>
+      val m = mappings(c)
+      val looked =
+        if (m.isEmpty) lit(null).cast("double")
+        else element_at(typedLit(m), col(c).cast("string"))
+      c -> when(col(c).isNull, lit(null).cast("double"))
+        .otherwise(coalesce(looked, lit(0.0)))
+        .as(c, graft.core.CategoryMetadata.of(c, m.keys.toSeq.sorted))
+    }
+
+  override def initParams: Map[String, Any] = Map(
+    "columns" -> columns, "response_column" -> responseColumn,
+    "regularization" -> regularization,
+    "weights_column" -> weightsColumn.orNull)
+  override def fitParams: Map[String, Any] = Map("mappings" -> mappings)
+  override def restoreFit(fit: Map[String, Any]): this.type = {
+    mappings = fit("mappings").asInstanceOf[Map[String, Map[String, Double]]]
+    super.restoreFit(fit)
+  }
+}

@@ -209,4 +209,56 @@ class NominalSpec extends SparkSpec {
     assert(CategoryMetadata.categories(back.schema("b_a")) ==
       Some(Seq("a", "b", "c", "d", "e", "f")))
   }
+
+  test("CountEncoder: counts/shares, unseen -> unseenValue, null -> null") {
+    val train = df("k STRING", Seq(Row("a"), Row("a"), Row("a"),
+      Row("b"), Row(null)))
+    val apply = df("k STRING",
+      Seq(Row("a"), Row("b"), Row("z"), Row(null)))
+    val raw = new CountEncoderTransformer(Seq("k")).fit(train)
+    assert(raw.transform(apply).collect().map(r =>
+      Option(r.get(0))).toSeq ==
+      Seq(Some(3.0), Some(1.0), Some(0.0), None))
+    val shares = new CountEncoderTransformer(Seq("k"), normalize = true,
+      unseenValue = -1.0).fit(train)
+    // total weight includes the null row (5 rows), matching the
+    // weight-share denominator convention of GroupRareLevels
+    assert(shares.transform(apply).collect().map(r =>
+      Option(r.get(0))).toSeq ==
+      Seq(Some(0.6), Some(0.2), Some(-1.0), None))
+    // JSON round-trip preserves the learned maps
+    val back = graft.core.Json.transformerFromJson(
+      graft.core.Json.transformerToJson(shares))
+    assert(back.transform(apply).collect().toSeq ==
+      shares.transform(apply).collect().toSeq)
+  }
+
+  test("WoeEncoder: regularized woe, binary response enforced, " +
+    "unseen -> 0, JSON round-trip") {
+    val d = df("k STRING, y DOUBLE", Seq(
+      Row("a", 1.0), Row("a", 1.0), Row("a", 0.0),
+      Row("b", 0.0), Row("b", 0.0), Row(null, 1.0)))
+    val t = new WoeEncoderTransformer(Seq("k"), "y").fit(d)
+    // posTot=3, negTot=3; a: pos=2 neg=1; b: pos=0 neg=2
+    val wA = math.log(((2.0 + 1) / (3 + 2)) / ((1.0 + 1) / (3 + 2)))
+    val wB = math.log(((0.0 + 1) / (3 + 2)) / ((2.0 + 1) / (3 + 2)))
+    val apply = df("k STRING, y DOUBLE",
+      Seq(Row("a", 0.0), Row("b", 0.0), Row("z", 0.0), Row(null, 0.0)))
+    assert(t.transform(apply).collect().map(r =>
+      Option(r.get(0))).toSeq ==
+      Seq(Some(wA), Some(wB), Some(0.0), None))
+    val back = graft.core.Json.transformerFromJson(
+      graft.core.Json.transformerToJson(t))
+    assert(back.transform(apply).collect().toSeq ==
+      t.transform(apply).collect().toSeq)
+    // non-binary / null responses are loud failures
+    assertThrows[IllegalArgumentException] {
+      new WoeEncoderTransformer(Seq("k"), "y").fit(
+        df("k STRING, y DOUBLE", Seq(Row("a", 2.0))))
+    }
+    assertThrows[IllegalArgumentException] {
+      new WoeEncoderTransformer(Seq("k"), "y").fit(
+        df("k STRING, y DOUBLE", Seq(Row("a", null))))
+    }
+  }
 }
