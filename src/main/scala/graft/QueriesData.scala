@@ -843,6 +843,20 @@ object QueriesData {
         toks, "token", depth = 4, width = 512))
     }),
 
+    "q150_hll_distinct" -> ((s, dir) => {
+      // HyperLogLog cardinality: 512-register sketch over the token
+      // stream — bounded state where exact count(distinct) shuffles
+      // |distinct| rows. The register build AND the full readout
+      // (exact integer micro-unit 2^-rho sum, alpha bias, linear-
+      // counting branch) are certified against a DuckDB replay; the
+      // exact distinct count rides along (demo context only — the
+      // production path never computes it)
+      val toks = tbl(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      hllReadout512(s, dir,
+        graft.core.Hll.hllRegisters(toks, "token", p = 9))
+    }),
+
     "q129_dataset_split" -> ((s, dir) => {
       // deterministic salted-hash train/val/test split: ids never
       // migrate between splits as the corpus grows (unlike
@@ -1006,6 +1020,60 @@ object QueriesData {
         .orderBy("bucket")
     })
   )
+
+  /** The HLL READOUT over a given register table — shared by q150
+    * (batch-built registers) and q151 (stream-built registers) so the
+    * two cannot drift: one-row (m, n_present, s_micro, estimate,
+    * n_true), estimate rounded to 4dp (ln in the linear-counting
+    * branch is the one 1-ulp-risk libm step).
+    */
+  private[graft] def hllReadout512(s: SparkSession, dir: String,
+      regs: DataFrame): DataFrame = {
+    val nTrue = tbl(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(count_distinct(col("token")).as("n_true"))
+    graft.core.Hll.hllReadout(regs, p = 9)
+      .withColumn("estimate", round(col("estimate"), 4))
+      .crossJoin(nTrue)
+  }
+
+  /** The SQL mirror of [[hllReadout512]] over batch-built registers —
+    * shared by the q150 batch oracle and q151's streaming-equivalence
+    * oracle.
+    */
+  private[graft] val hllDistinctSql: String = {
+    val alpha = graft.core.Hll.alphaM(512L)
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |h AS (SELECT CAST('0x' || substring(md5(token), 1, 15)
+      |    AS BIGINT) AS h FROM tok),
+      |rr AS (SELECT CAST(h % 512 AS INTEGER) AS reg,
+      |    LEAST(CASE WHEN (h >> 9) = 0 THEN 52
+      |      ELSE 51 - length(bin(h >> 9)) + 1 END, 40) AS rho
+      |  FROM h),
+      |regs AS (SELECT reg, MAX(rho) AS rho FROM rr GROUP BY reg),
+      |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+      |    CAST(SUM(1::BIGINT << (40 - rho)) AS BIGINT) AS s_present
+      |  FROM regs),
+      |st AS (SELECT CAST(512 AS BIGINT) AS m, n_present,
+      |    s_present + (512 - n_present) * (1::BIGINT << 40) AS s_micro
+      |  FROM a),
+      |e AS (SELECT m, n_present, s_micro,
+      |    CAST('$alpha' AS DOUBLE) * CAST(512 AS DOUBLE)
+      |      * CAST(512 AS DOUBLE)
+      |      / (CAST(s_micro AS DOUBLE)
+      |         / CAST(1::BIGINT << 40 AS DOUBLE)) AS e_raw
+      |  FROM st)
+      |SELECT m, n_present, s_micro,
+      |  ROUND(CASE WHEN e_raw <= CAST(1280 AS DOUBLE)
+      |      AND (m - n_present) > 0
+      |    THEN CAST(512 AS DOUBLE)
+      |      * ln(CAST(512 AS DOUBLE) / CAST(m - n_present AS DOUBLE))
+      |    ELSE e_raw END, 4) AS estimate,
+      |  (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) FROM tok)
+      |    AS n_true
+      |FROM e""".stripMargin
+  }
 
   /** The CMS heavy-hitter READOUT over a given counter table — shared
     * by q128 (batch-built counters) and q133 (stream-built counters)
@@ -2348,6 +2416,7 @@ object QueriesData {
     // same 4x512 counter matrix + min-over-rows readout; est can only
     // over-count, so ORDER BY est DESC, token is deterministic
     "q128_cms_heavy_hitters" -> cmsTop25Sql,
+    "q150_hll_distinct" -> hllDistinctSql,
 
     "q129_dataset_split" ->
       """SELECT doc_id,

@@ -498,6 +498,34 @@ object QueriesStreaming {
           round(col("cosine"), 6).as("cosine"))
     }),
 
+    "q151_stream_hll" -> ((s, dir) => {
+      // HLL registers built BY THE STREAM: per-register MAX is
+      // associative and idempotent, so the streaming groupBy
+      // aggregation (update mode, <= 512 ints of state forever) must
+      // converge to the batch register table exactly — the final
+      // readout is literally q150's (same helper, same oracle)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1).toSeq
+      val input = MemoryStream[(Long, String)]
+      val toks = input.toDF().toDF("doc_id", "text")
+        .select(explode(split(col("text"), " ")).as("token"))
+      val latest = scala.collection.mutable.Map[Int, Int]()
+      val q = graft.core.Hll.hllRegisters(toks, "token", p = 9)
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(r => latest(r.getInt(0)) = r.getInt(1))
+          ()
+        }.queryName("q151").start()
+      drive(input, q, rows, nChunks = 3)
+      val regs = latest.toSeq.map { case (reg, rho) => (reg, rho) }
+        .toDF("reg", "rho")
+      QueriesData.hllReadout512(s, dir, regs)
+    }),
+
     "q147_stream_decayed_feature" -> ((s, dir) => {
       // the ONLINE companion of q146: the exact (untruncated)
       // time-decay recurrence s_t = x_t + s_prev * 2^(-dt/hl), carried
@@ -548,6 +576,10 @@ object QueriesStreaming {
     // the stream-built CMS counters must reproduce the one-shot batch
     // readout exactly — literally q128's oracle
     "q133_stream_cms" -> QueriesData.cmsTop25Sql,
+
+    // the stream-built HLL registers must reproduce the one-shot
+    // batch readout exactly — literally q150's oracle
+    "q151_stream_hll" -> QueriesData.hllDistinctSql,
 
     // the stream's merged top-k state must equal the one-shot batch
     // weighted sample — literally q130's oracle

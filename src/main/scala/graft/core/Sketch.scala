@@ -239,3 +239,97 @@ object Sketch {
       .agg(min(coalesce(col("cnt").cast("double"), lit(0.0))).as("est"))
   }
 }
+
+/** HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the
+  * cardinality member of the sketch family (CMS = frequencies,
+  * histogram = quantiles, bloom = membership, HLL = distinct count):
+  * "how many distinct urls/tokens/ids" over 10^12 rows where an exact
+  * `count(distinct)` shuffles |distinct| rows and a sketch shuffles
+  * at most m registers per partition.
+  *
+  * Engine-portable by construction: the item hash is
+  * [[Hashing.md5Hash60]] (DuckDB-reproducible), the register index is
+  * `h mod m`, and the rank is the leading-zero count of the remaining
+  * 60-p bits derived from `length(bin(w))` — string-of-binary length,
+  * identical integer arithmetic in any engine, no float anywhere in
+  * the sketch state. The readout's 2^-rho sum is carried in EXACT
+  * integer micro-units (2^(RhoCap-rho), rho capped at RhoCap=40 —
+  * bias from the cap is < 2^-40 per register, unmeasurable), so the
+  * only floats are the final 3-operation estimate — bit-identical
+  * given bit-identical integer inputs.
+  *
+  * State is m longs, mergeable by per-register MAX — associative and
+  * idempotent, so the same `hllRegisters` aggregation runs unchanged
+  * as a STREAMING groupBy aggregation (update mode, bounded state
+  * forever) and must converge to the batch registers exactly.
+  */
+object Hll {
+
+  /** Cap on the rank so 2^(RhoCap-rho) stays an exact BIGINT. */
+  val RhoCap = 40
+
+  /** `(reg, rho)` register table: reg = h mod 2^p, rho = leading-zero
+    * rank of the top 60-p bits (capped), MAX-merged per register.
+    * Output <= 2^p rows — bounded state at any input size. Null items
+    * are skipped (SQL aggregate convention).
+    */
+  def hllRegisters(df: DataFrame, itemCol: String, p: Int): DataFrame = {
+    val (reg, rho) = regRho(col(itemCol), p)
+    df.filter(col(itemCol).isNotNull)
+      .select(reg.as("reg"), rho.as("rho"))
+      .groupBy(col("reg"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** (register, rank) expressions for one item — shared by the batch
+    * and streaming builds so the two can never drift.
+    */
+  private[graft] def regRho(item: Column, p: Int): (Column, Column) = {
+    require(p >= 4 && p <= 16, s"hll: p in [4,16], got $p")
+    val m = 1L << p
+    val h = Hashing.md5Hash60(item.cast("string"))
+    // integer shift, NOT floor(h / m): Spark's `/` on longs is DOUBLE
+    // division, and a 60-bit h exceeds the 53-bit mantissa — the
+    // rounded quotient's floor can land one off the true top bits
+    val w = shiftright(h, p) // top 60-p bits
+    val rho = when(w === 0, lit(60 - p + 1))
+      .otherwise(lit(60 - p) - length(bin(w)) + lit(1))
+    (pmod(h, lit(m)).cast("int"), least(rho, lit(RhoCap)).cast("int"))
+  }
+
+  /** One-row readout `(m, n_present, s_micro, estimate)` from a
+    * register table: `s_micro = sum 2^(RhoCap-rho)` over present
+    * registers (exact BIGINT), empty registers contribute 2^RhoCap
+    * each; `estimate = alpha_m * m^2 / (S / 2^RhoCap)`, with the
+    * standard small-range linear-counting correction when
+    * `E <= 2.5m` and empty registers exist. The register table is
+    * <= m rows, so this is a driver-scale aggregation.
+    */
+  def hllReadout(regs: DataFrame, p: Int): DataFrame = {
+    val m = 1L << p
+    val alpha = alphaM(m)
+    val agg = regs.agg(
+      count(lit(1)).as("n_present"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), $RhoCap - rho)"))
+        .as("s_present"))
+    agg.select(
+      lit(m).as("m"),
+      col("n_present"),
+      (col("s_present") +
+        (lit(m) - col("n_present")) * lit(1L << RhoCap)).as("s_micro"))
+      .withColumn("e_raw",
+        lit(alpha) * lit(m.toDouble) * lit(m.toDouble) /
+          (col("s_micro").cast("double") / lit(math.pow(2.0, RhoCap))))
+      .withColumn("zeros", lit(m) - col("n_present"))
+      .withColumn("estimate",
+        when(col("e_raw") <= lit(2.5 * m) && col("zeros") > 0,
+          lit(m.toDouble) *
+            log(lit(m.toDouble) / col("zeros").cast("double")))
+          .otherwise(col("e_raw")))
+      .select(col("m"), col("n_present"), col("s_micro"),
+        col("estimate"))
+  }
+
+  /** alpha_m for the standard bias correction (m >= 128 branch). */
+  def alphaM(m: Long): Double = 0.7213 / (1.0 + 1.079 / m.toDouble)
+}

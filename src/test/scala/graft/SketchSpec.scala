@@ -127,4 +127,68 @@ class SketchSpec extends SparkSpec {
     assert(back.histogramBins == Some(512))
     assert(back.fittedCaps == sk.fittedCaps) // fitted state carried
   }
+
+  test("hll: estimate within the 3-sigma bound across cardinalities, " +
+    "duplicates invisible, registers partition-invariant") {
+    import spark.implicits._
+    val p = 9; val m = 1 << p
+    val sigma3 = 3 * 1.04 / math.sqrt(m) // ~13.8% at m=512
+    Seq(100, 2000, 50000).foreach { n =>
+      val items = (0 until n).map(i => s"item_$i")
+      val d = items.toDF("t")
+      val est = graft.core.Hll
+        .hllReadout(graft.core.Hll.hllRegisters(d, "t", p), p)
+        .head().getDouble(3)
+      assert(math.abs(est - n) <= sigma3 * n + 2,
+        s"n=$n est=$est off by ${math.abs(est - n) / n}")
+      // duplicates cannot move a register (MAX is idempotent)
+      val dup = (items ++ items ++ items.take(n / 2)).toDF("t")
+      val est2 = graft.core.Hll
+        .hllReadout(graft.core.Hll.hllRegisters(dup, "t", p), p)
+        .head().getDouble(3)
+      assert(est2 == est)
+    }
+    // partition invariance = mergeability of the MAX state
+    val d1 = (0 until 5000).map(i => s"x$i").toDF("t").repartition(1)
+    val d32 = (0 until 5000).map(i => s"x$i").toDF("t").repartition(32)
+    val r1 = graft.core.Hll.hllRegisters(d1, "t", p)
+      .orderBy("reg").collect().toSeq
+    val r32 = graft.core.Hll.hllRegisters(d32, "t", p)
+      .orderBy("reg").collect().toSeq
+    assert(r1 == r32)
+  }
+
+  test("hll: rank derives from integer shift, small-range linear " +
+    "counting, bounded state") {
+    import spark.implicits._
+    val p = 9; val m = 1 << p
+    // tiny cardinality triggers the linear-counting branch:
+    // E_raw <= 2.5m and zeros > 0 -> m * ln(m / zeros)
+    val small = (0 until 30).map(i => s"s$i").toDF("t")
+    val regs = graft.core.Hll.hllRegisters(small, "t", p)
+    val nPresent = regs.count()
+    val est = graft.core.Hll.hllReadout(regs, p).head().getDouble(3)
+    val expected = m * math.log(m.toDouble / (m - nPresent))
+    assert(math.abs(est - expected) < 1e-6)
+    // register table is bounded by m however large the input
+    val big = (0 until 200000).map(i => s"b$i").toDF("t")
+    assert(graft.core.Hll.hllRegisters(big, "t", p).count() <= m)
+    // the (reg, rho) rule matches a driver-side integer replay on the
+    // same md5 fold — guards the shiftright-not-double-division rule
+    val probe = Seq("alpha", "beta", "gamma", "", "0").toDF("t")
+    val got = probe
+      .select(graft.core.Hashing.md5Hash60(col("t")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val sparkRR = graft.core.Hll.hllRegisters(probe, "t", p)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    got.foreach { h =>
+      val reg = (h % m).toInt
+      val w = h >>> p
+      val rho = math.min(
+        if (w == 0) 60 - p + 1
+        else 60 - p - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1,
+        graft.core.Hll.RhoCap)
+      assert(sparkRR(reg) >= rho) // MAX-merged, so at least this rank
+    }
+  }
 }
