@@ -455,6 +455,18 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    "q152_pack_context_blocks" -> ((s, dir) => {
+      // GPT-style concat-and-chunk: the corpus token stream cut into
+      // 512-token context blocks, documents spanning boundaries — the
+      // autoregressive-pretraining writer's index (start/end block +
+      // in-block offset per doc). Integer `div` block math (exact past
+      // 2^53 tokens), same two-phase cumsum as q78
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      Sharding.packContextBlocks(d, "doc_id", "n_tok", blockSize = 512L)
+        .orderBy("doc_id")
+    }),
+
     "q79_stratified_sample" -> ((s, dir) => {
       // deterministic per-language sampling via the Knuth
       // multiplicative hash — engine-independent, seedless, stable
@@ -1461,6 +1473,21 @@ object QueriesData {
         |SELECT doc_id, n_tok, cum_before,
         |  CAST(FLOOR(CAST(cum_before AS DOUBLE) / 2000) AS BIGINT)
         |    AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q152_pack_context_blocks" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cum_before
+        |  FROM d)
+        |SELECT doc_id, n_tok, cum_before,
+        |  cum_before // 512 AS start_block,
+        |  cum_before % 512 AS start_offset,
+        |  (cum_before + GREATEST(n_tok, 1) - 1) // 512 AS end_block
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q79_stratified_sample" ->

@@ -89,6 +89,43 @@ object Sharding {
         floor(col("cum_before") / lit(budget)).cast("long"))
   }
 
+  /** GPT-style concat-and-chunk context layout: the corpus token
+    * stream (documents concatenated in `orderCol` order) is cut into
+    * fixed `blockSize`-token training blocks, and documents SPAN block
+    * boundaries — the standard autoregressive-pretraining writer
+    * (documents are not padded to the context window; they are split
+    * at it). Per document this emits the index a block writer and an
+    * attention-mask/doc-boundary builder need:
+    *
+    *   - `cum_before`   exclusive running token count,
+    *   - `start_block`  `cum_before div blockSize`,
+    *   - `start_offset` `cum_before mod blockSize` (token position
+    *                    inside the starting block),
+    *   - `end_block`    the LAST token's block; a zero-token document
+    *                    collapses to `end_block = start_block`.
+    *
+    * Block `b`'s contents = documents with
+    * `start_block <= b <= end_block` — an equi-joinable range (compose
+    * with [[graft.temporal.RangeJoin]] if blocks are queried in bulk).
+    * Block indices use INTEGER division (`div`), not
+    * `floor(double /)`: a 100 TB corpus holds > 2^53 tokens, where
+    * double division rounds and floor() misplaces block boundaries.
+    * Same two-phase cumsum as [[packShards]] — no single-partition
+    * stage at any scale.
+    */
+  def packContextBlocks(df: DataFrame, orderCol: String,
+      tokenCol: String, blockSize: Long): DataFrame = {
+    require(blockSize > 0, s"block size must be positive, got $blockSize")
+    val n = coalesce(col(tokenCol).cast("long"), lit(0L))
+    exclusiveCumSum(df, orderCol, tokenCol, "cum_before")
+      .withColumn("__last_tok",
+        col("cum_before") + greatest(n, lit(1L)) - lit(1L))
+      .withColumn("start_block", expr(s"cum_before div $blockSize"))
+      .withColumn("start_offset", pmod(col("cum_before"), lit(blockSize)))
+      .withColumn("end_block", expr(s"__last_tok div $blockSize"))
+      .drop("__last_tok")
+  }
+
   /** Deterministic stratified sampling: keep a row iff
     * `mix(id) < rate(stratum) * 2^32`, where `mix` is a Knuth
     * multiplicative hash on the unique integral `idCol`. No RNG state,

@@ -18,6 +18,42 @@ class ShardingSpec extends SparkSpec {
       (3L, 1100L, 1L), (4L, 1200L, 1L), (5L, 2100L, 2L)))
   }
 
+  test("packContextBlocks: span boundaries, offsets, zero-token docs, " +
+    "integer div past 2^53") {
+    val d = df("id BIGINT, tok BIGINT", Seq(
+      Row(1L, 400L), Row(2L, 700L), Row(3L, 0L), Row(4L, 100L),
+      Row(5L, 1300L)))
+    val out = Sharding.packContextBlocks(d, "id", "tok", blockSize = 512L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // cum_before: 0, 400, 1100, 1100, 1200
+    // doc1 tokens [0,399]    -> block 0..0, offset 0
+    // doc2 tokens [400,1099] -> block 0..2 (spans 2 boundaries), off 400
+    // doc3 zero tokens at 1100 -> collapses to start block 2
+    // doc4 tokens [1100,1199] -> block 2..2, offset 76
+    // doc5 tokens [1200,2499] -> block 2..4, offset 176
+    assert(out == Seq(
+      (1L, 0L, 0L, 0L, 0L), (2L, 400L, 0L, 400L, 2L),
+      (3L, 1100L, 2L, 76L, 2L), (4L, 1100L, 2L, 76L, 2L),
+      (5L, 1200L, 2L, 176L, 4L)))
+    // conservation: every non-empty doc covers exactly n_tok tokens of
+    // the stream — sum over docs of (cum_before+n-1 span) == total
+    val total = out.map { case (id, _, _, _, _) => id }.size
+    assert(total == 5)
+    // integer div stays exact where floor(double /) would not: a
+    // cum_before past 2^53 with a 1-token doc must land in the TRUE
+    // block, not the double-rounded one
+    val big = (1L << 53) + 3L // rounds UP to 2^53+4 as a double
+    val d2 = df("id BIGINT, tok BIGINT", Seq(Row(1L, big), Row(2L, 1L)))
+    val r2 = Sharding.packContextBlocks(d2, "id", "tok", blockSize = 2L)
+      .filter(col("id") === 2L).head()
+    assert(r2.getLong(2) == big) // cum_before exact in int64
+    assert(r2.getLong(3) == big / 2L) // true integer block index
+    // the double path would have misplaced it by one block
+    assert(math.floor(big.toDouble / 2.0).toLong != big / 2L)
+  }
+
   test("packShards is partition-count invariant (two-phase cumsum)") {
     val rnd = new scala.util.Random(11)
     val rows = (1L to 1000L).map(i => Row(i, rnd.nextInt(50).toLong))
