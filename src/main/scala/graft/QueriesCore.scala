@@ -137,6 +137,34 @@ object QueriesCore {
         .orderBy("c_custkey")
     }),
 
+    "q153_l2_normalize" -> ((s, dir) => {
+      // unit-L2 embedding normalization: the squared norm accumulates
+      // through an explicit left fold, which DuckDB's list_reduce
+      // replays in the identical order — bit-exact before the
+      // 6-decimal rounding, certified per element
+      val t = new VectorL2NormalizeTransformer(Seq("embedding"))
+      t.transform(tbl(s, dir, "embeddings"))
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(col("vec_id"), col("i"), round(col("v"), 6).as("v"))
+        .orderBy("vec_id", "i")
+    }),
+
+    "q155_json_extract" -> ((s, dir) => {
+      // typed JSON field extraction from the raw event props — the
+      // declared-schema ingest leg (no inference scan): present path
+      // -> typed value, missing path -> null, certified against
+      // DuckDB's json_extract_string
+      val t = new JsonFieldExtractor("props", Seq(
+        ("props_k", "$.k", "Int64"),
+        ("props_k_str", "$.k", "String"),
+        ("props_missing", "$.nope", "Float64")))
+      t.transform(tbl(s, dir, "events"))
+        .select(col("event_id"), col("props_k"), col("props_k_str"),
+          col("props_missing"))
+        .orderBy("event_id")
+    }),
+
     "q148_count_encoder" -> ((s, dir) => {
       // frequency encoding with a train/apply split: fit on the
       // non-'5-LOW' subset, transform the FULL table — '5-LOW' rows are
@@ -849,6 +877,31 @@ object QueriesCore {
         |SELECT c_custkey,
         |  (SELECT e FROM enc WHERE lvl = t.c_mktsegment) AS c_mktsegment
         |FROM t ORDER BY 1""".stripMargin,
+
+    // the identical left fold via list_reduce (DuckDB evaluates it
+    // left-to-right, proven in the round-4 build notes), so norm and
+    // quotient are bit-identical; zero/null-poisoned vectors drop
+    "q153_l2_normalize" ->
+      """WITH n AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE))),
+        |      (acc, x) -> acc + x * x)) AS nrm
+        |  FROM embeddings WHERE embedding IS NOT NULL)
+        |SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+        |  ROUND(v[t.i + 1] / nrm, 6) AS v
+        |FROM n, UNNEST(range(len(v))) AS t(i)
+        |WHERE nrm IS NOT NULL AND NOT isnan(nrm) AND nrm <> 0
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q155_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k,
+        |  json_extract_string(props, '$.k') AS props_k_str,
+        |  CAST(json_extract_string(props, '$.nope') AS DOUBLE)
+        |    AS props_missing
+        |FROM events ORDER BY 1""".stripMargin,
 
     // fit on the non-'5-LOW' subset; '5-LOW' is unseen -> 0.0
     "q148_count_encoder" ->

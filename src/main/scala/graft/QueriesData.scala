@@ -115,6 +115,20 @@ object QueriesData {
         .orderBy("id_a", "id_b")
     }),
 
+    "q154_cluster_weights" -> ((s, dir) => {
+      // SemDeDup-style duplication-aware sampling weights: 1/|cluster|
+      // per near-dup cluster member, singletons 1.0 — the soft dedup
+      // that gives each duplicated PAGE one page of sampling mass.
+      // Oracle recomputes the closure + integer-count division
+      val d = docsWithDups(s, dir)
+      val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+        threshold = 0.5)
+      Components.clusterSizeWeights(d, "doc_id", pairs, "id_a", "id_b")
+        .select(col("doc_id"),
+          round(col("sample_weight"), 6).as("sample_weight"))
+        .orderBy("doc_id")
+    }),
+
     "q145_dedup_keep_best" -> ((s, dir) => {
       // dedup keeping the BEST copy per near-dup cluster by a numeric
       // quality score (highest wins, ties -> smallest id) — production
@@ -1981,6 +1995,39 @@ object QueriesData {
         |  FROM q a JOIN q b ON a.blk = b.blk AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
         |FROM p WHERE cosine >= 0.25 ORDER BY 1, 2""".stripMargin,
+
+    // exhaustive closure + cluster sizes + integer-count division:
+    // the q144/q145 truth machinery with a COUNT readout
+    "q154_cluster_weights" ->
+      s"""WITH RECURSIVE t AS ($docsWithDupsSql),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+         |    THEN list_transform(
+         |      range(0, len(string_split(text,' ')) - 2),
+         |      i -> array_to_string(
+         |        string_split(text,' ')[i+1:i+3], ' '))
+         |    ELSE [] END) AS s
+         |  FROM t),
+         |e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.s, b.s)))
+         |             AS DOUBLE) >= 0.5),
+         |u AS (SELECT ia AS a, ib AS b FROM e
+         |      UNION SELECT ib, ia FROM e),
+         |cc(id, comp) AS (
+         |  SELECT a, a FROM u
+         |  UNION
+         |  SELECT u.a, cc.comp FROM u JOIN cc ON u.b = cc.id),
+         |m AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+         |k AS (SELECT t.doc_id, COALESCE(m.comp, t.doc_id) AS key
+         |  FROM t LEFT JOIN m ON t.doc_id = m.id),
+         |sz AS (SELECT key, COUNT(*) AS n FROM k GROUP BY key)
+         |SELECT k.doc_id,
+         |  ROUND(CAST(1 AS DOUBLE) / CAST(sz.n AS DOUBLE), 6)
+         |    AS sample_weight
+         |FROM k JOIN sz USING (key)
+         |ORDER BY 1""".stripMargin,
 
     // exhaustive closure (the q83 truth) + per-cluster argmax of the
     // same mixHash the engine scores with: ORDER BY score DESC, id ==

@@ -130,6 +130,15 @@ object Json {
       val p = new P(i)
       new HashingEncoderTransformer(p.strs("columns"),
         p.int("n_features"), p.str("hash"), p.bool("signed")) }),
+    "JsonFieldExtractor" -> (i => {
+      val p = new P(i)
+      val fields = i("fields").asInstanceOf[Seq[Any]].map { f =>
+        val s = f.asInstanceOf[Seq[Any]].map(String.valueOf)
+        (s(0), s(1), s(2))
+      }
+      new JsonFieldExtractor(p.str("column"), fields) }),
+    "VectorL2NormalizeTransformer" -> (i =>
+      new VectorL2NormalizeTransformer(new P(i).strs("columns"))),
     "CountEncoderTransformer" -> (i => {
       val p = new P(i)
       new CountEncoderTransformer(p.strs("columns"), p.bool("normalize"),

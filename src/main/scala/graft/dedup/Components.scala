@@ -195,4 +195,33 @@ object Components {
     graft.text.Sharding.hashSplit(keyed, "__split_key", salt, cuts)
       .drop("__split_key")
   }
+
+  /** SemDeDup-style duplication-aware sampling weights: every member
+    * of a near-dup cluster gets `1 / |cluster|` (singletons 1.0), so
+    * a downstream weighted sampler ([[graft.text.Sharding
+    * .weightedSamplePerGroup]], mixture sampling, DSIR) gives each
+    * duplicated PAGE the aggregate mass of one page instead of
+    * count-many — the soft alternative to dropping duplicates
+    * outright (keeps the diversity of near-dup variants, kills the
+    * frequency bias that makes models memorize boilerplate).
+    *
+    * Scale shape: one groupBy on the cluster key (exchange bounded by
+    * \|clusters\| x \|partitions\|) + one join back; integer-count
+    * division, engine-exact. Adds `out` (default `sample_weight`).
+    */
+  def clusterSizeWeights(df: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      out: String = "sample_weight"): DataFrame = {
+    val comp = connectedComponents(edges, srcCol, dstCol)
+      .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
+    val keyed = df.join(comp, df(idCol) === col("__cc_id"), "left")
+      .withColumn("__wkey",
+        coalesce(col("__cc_comp"), df(idCol).cast("long")))
+      .drop("__cc_id", "__cc_comp")
+    val sizes = keyed.groupBy(col("__wkey"))
+      .agg(count(lit(1)).as("__wn"))
+    keyed.join(sizes, Seq("__wkey"))
+      .withColumn(out, lit(1.0) / col("__wn").cast("double"))
+      .drop("__wkey", "__wn")
+  }
 }

@@ -56,3 +56,42 @@ class ColumnDtypeSetter(
   override def initParams: Map[String, Any] =
     Map("columns" -> columns, "dtype" -> dtype)
 }
+
+/** Typed JSON field extraction from a string column (no reference
+  * counterpart — tubular never ingests; this is the raw-event-log
+  * leg every web-scale pipeline starts with): each output column is
+  * `get_json_object(column, path)` cast to a declared dtype. A pure
+  * codegen'd projection — no UDF, no schema inference pass over the
+  * data (the paths + dtypes ARE the declared schema, so a 100 TB scan
+  * stays one map stage and bad records become nulls instead of
+  * poisoning a sampled inference). Missing path, malformed JSON, or
+  * an uncastable value -> null (SQL convention); use a downstream
+  * NullIndicator/imputer for explicit handling.
+  *
+  * `fields`: (outputColumn, jsonPath, dtype) — dtype from the
+  * ColumnDtypeSetter whitelist ("Int64", "Float64", "String",
+  * "Boolean", ...). Paths are `$.a.b` get_json_object syntax.
+  */
+class JsonFieldExtractor(
+    val column: String,
+    val fields: Seq[(String, String, String)]
+) extends Transformer {
+  require(fields.nonEmpty, s"$classname: fields must be non-empty")
+  private val Allowed: Map[String, DataType] = Map(
+    "Float64" -> DoubleType, "Float32" -> FloatType,
+    "Int64" -> LongType, "Int32" -> IntegerType,
+    "Boolean" -> BooleanType, "String" -> StringType)
+  fields.foreach { case (_, _, dt) =>
+    require(Allowed.contains(dt),
+      s"$classname: unknown dtype $dt (allowed: ${Allowed.keys.mkString(", ")})")
+  }
+  override def columns: Seq[String] = Seq(column)
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    fields.map { case (out, path, dt) =>
+      out -> get_json_object(col(column), path).cast(Allowed(dt))
+    }
+  override def featureNamesOut: Seq[String] = fields.map(_._1)
+  override def initParams: Map[String, Any] = Map(
+    "column" -> column,
+    "fields" -> fields.map(f => Seq(f._1, f._2, f._3)))
+}

@@ -564,3 +564,34 @@ class QuantileBinnerTransformer(
     super.restoreFit(fit)
   }
 }
+
+/** Unit-L2 vector normalization for embedding columns (no reference
+  * counterpart — tubular has no vector dtype): the standard hygiene
+  * step before any cosine-metric stage (ANN indexes, embedding dedup,
+  * hard-negative mining), where unnormalized vectors silently turn
+  * cosine into a magnitude ranking. STATELESS per-row projection —
+  * no fit, no shuffle, scale-free.
+  *
+  * The squared-norm accumulates through an explicit LEFT-FOLD
+  * `aggregate` (engine-portable: DuckDB's `list_reduce` is the same
+  * left fold, so the oracle reproduces the result bit-for-bit rather
+  * than modulo summation order — q153). Elements are widened to
+  * double first (exact). A null vector, any null element, or a
+  * zero/NaN norm yields null (a poisoned embedding must not survive
+  * as a fake unit vector).
+  */
+class VectorL2NormalizeTransformer(
+    val columns: Seq[String]
+) extends Transformer {
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] =
+    columns.map { c =>
+      def af(a: Column, f: Column => Column): Column =
+        org.apache.spark.sql.functions.transform(a, f)
+      val v = af(col(c), x => x.cast("double"))
+      val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+      c -> when(col(c).isNull || n.isNull || isnan(n) || n === 0.0,
+        lit(null).cast("array<double>"))
+        .otherwise(af(v, x => x / n))
+    }
+  override def initParams: Map[String, Any] = Map("columns" -> columns)
+}

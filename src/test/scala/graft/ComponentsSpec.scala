@@ -131,4 +131,19 @@ class ComponentsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
     assert(got === perKey)
   }
+
+  test("clusterSizeWeights: 1/|cluster|, singletons 1.0, mass conserved") {
+    val docs = df("id BIGINT", (1L to 6L).map(Row(_)))
+    // {1,2,3} one cluster via chain, {4,5} pair, {6} singleton
+    val edges = df("a BIGINT, b BIGINT",
+      Seq(Row(1L, 2L), Row(2L, 3L), Row(4L, 5L)))
+    val out = graft.dedup.Components
+      .clusterSizeWeights(docs, "id", edges, "a", "b")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == Seq(1L -> (1.0 / 3), 2L -> (1.0 / 3), 3L -> (1.0 / 3),
+      4L -> 0.5, 5L -> 0.5, 6L -> 1.0))
+    // total sampling mass = number of distinct pages (3 clusters)
+    assert(math.abs(out.map(_._2).sum - 3.0) < 1e-12)
+  }
 }

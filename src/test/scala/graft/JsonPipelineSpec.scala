@@ -78,4 +78,28 @@ class JsonPipelineSpec extends SparkSpec {
     val out = t.transform(frame()).orderBy("y")
     assert(column(out, "b") == Seq("X", "y", "X", "was_null"))
   }
+
+  test("JsonFieldExtractor: typed paths, missing -> null, bad dtype " +
+    "fails at init, JSON round-trip") {
+    val d = df("id BIGINT, props STRING", Seq(
+      Row(1L, """{"k": 7, "s": "hi", "f": 2.5}"""),
+      Row(2L, """{"s": "x"}"""),
+      Row(3L, "not json"),
+      Row(4L, null)))
+    val t = new JsonFieldExtractor("props", Seq(
+      ("k", "$.k", "Int64"), ("s", "$.s", "String"),
+      ("f", "$.f", "Float64")))
+    val out = t.transform(d).orderBy("id").collect()
+    assert((out(0).getLong(2), out(0).getString(3),
+      out(0).getDouble(4)) == ((7L, "hi", 2.5)))
+    assert(out(1).isNullAt(2) && out(1).getString(3) == "x")
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3) && out(2).isNullAt(4))
+    assert(out(3).isNullAt(2))
+    assertThrows[IllegalArgumentException] {
+      new JsonFieldExtractor("props", Seq(("k", "$.k", "Decimal")))
+    }
+    val back = graft.core.Json.transformerFromJson(
+      graft.core.Json.transformerToJson(t))
+    assert(back.transform(d).orderBy("id").collect().toSeq == out.toSeq)
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Json
 import graft.operators.{HashingEncoderTransformer, OneDKmeansTransformer,
-  QuantileBinnerTransformer}
+  QuantileBinnerTransformer, VectorL2NormalizeTransformer}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
@@ -323,5 +323,35 @@ class TwoColInteractionPcaSpec extends SparkSpec {
       // deterministic across invocations
       assert(t.transform(d).collect().toSeq == out.toSeq)
     }
+  }
+
+  test("VectorL2Normalize: unit norm, exact left-fold, null/zero poison") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq(3.0f, 4.0f)),
+      (2L, Seq(0.0f, 0.0f)),          // zero norm -> null
+      (3L, Seq(1.0f, 0.0f, 0.0f))
+    ).toDF("id", "v")
+    val t = new VectorL2NormalizeTransformer(Seq("v"))
+    val out = t.transform(d).orderBy("id").collect()
+    assert(out(0).getSeq[Double](1) == Seq(0.6, 0.8))
+    assert(out(1).isNullAt(1))
+    assert(out(2).getSeq[Double](1) == Seq(1.0, 0.0, 0.0))
+    // null element poisons the vector (no fake unit vectors)
+    val d2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, Seq[Any](1.0f, null)))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    assert(t.transform(d2).head().isNullAt(1))
+    // JSON round-trip (stateless)
+    val back = graft.core.Json.transformerFromJson(
+      graft.core.Json.transformerToJson(t))
+    assert(back.transform(d).orderBy("id").collect().toSeq ==
+      out.toSeq)
   }
 }
