@@ -323,4 +323,59 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
+
+  test("HLL register build is ONE map-side-combined exchange (bounded " +
+      "by 2^p partials regardless of input rows); readout adds none") {
+    val toks = spark.read.parquet(docPath)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val regs = graft.core.Hll.hllRegisters(toks, "token", p = 9)
+    val plan = regs.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("Partial"),
+      s"no map-side partial aggregation:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"), plan.take(1200))
+  }
+
+  test("L2 normalize and JSON extraction are shuffle-free projections") {
+    val e = spark.range(0, 100).selectExpr("id",
+      "array(CAST(id AS FLOAT), CAST(id + 1 AS FLOAT)) AS v",
+      """concat('{"k": ', id, '}') AS props""")
+    val norm = new graft.operators.VectorL2NormalizeTransformer(Seq("v"))
+      .transform(e)
+    val ext = new graft.operators.JsonFieldExtractor("props",
+      Seq(("k", "$.k", "Int64"))).transform(e)
+    Seq(norm, ext).foreach { q =>
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"stateless projection shuffled:\n${plan.take(800)}")
+    }
+  }
+
+  test("context-block packing: block math is integral divide, no " +
+      "single-partition stage") {
+    val d = spark.range(0, 1000).selectExpr("id", "id % 7 AS tok")
+    val out = graft.text.Sharding.packContextBlocks(d, "id", "tok", 64L)
+    val analyzed = out.queryExecution.analyzed.toString
+    assert(analyzed.contains(" div ") || analyzed.contains("div("),
+      s"block index lost the integral divide:\n${analyzed.take(800)}")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition") &&
+      !plan.contains("hashpartitioning(1)"), plan.take(800))
+  }
+
+  test("cluster-size weights: bounded groupBy + join back, no window, " +
+      "no cartesian") {
+    val docs = spark.range(0, 200).selectExpr("id")
+    val edges = spark.range(0, 40)
+      .selectExpr("id AS a", "id + 100 AS b")
+    val out = graft.dedup.Components
+      .clusterSizeWeights(docs, "id", edges, "a", "b")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") &&
+      !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"cluster sizing lost its map-side combine:\n${plan.take(1200)}")
+  }
 }
