@@ -937,6 +937,18 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    "q156_temperature_mixture" -> ((s, dir) => {
+      // alpha=0.5 temperature sampling: shares DERIVED from observed
+      // per-language token mass (n^0.5 renormalized — upweights
+      // low-resource langs), thresholds engine-exact via the sorted
+      // 12dp-rounded fold; oracle replays the identical ordered fold
+      TextOps.temperatureMixtureSample(tbl(s, dir, "documents"),
+        "lang", "doc_id", "n_chars", alpha = 0.5,
+        tokenBudget = 30000L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "q135_flat_image_gate" -> ((s, dir) => {
       // low-information image filter end to end: real-codec table with
       // every 20th payload replaced by a constant-gray PNG (the blank-
@@ -2549,6 +2561,29 @@ object QueriesData {
         |  floor(least(CAST(1.0 AS DOUBLE),
         |    CAST(30000 AS DOUBLE) * share / CAST(tok AS DOUBLE))
         |    * CAST(4294967296 AS DOUBLE))
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the identical ordered fold: list(...ORDER BY lang) through the
+    // left-fold list_reduce == the driver's ascending-stratum sum;
+    // 12dp share round before the floor matches the operator
+    "q156_temperature_mixture" ->
+      """WITH tot AS (SELECT lang AS st, CAST(SUM(n_chars) AS BIGINT)
+        |    AS n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(pow(CAST(n AS DOUBLE), CAST(0.5 AS DOUBLE))
+        |      ORDER BY st)),
+        |    (a, x) -> a + x) AS z FROM tot),
+        |th AS (SELECT st,
+        |    FLOOR(LEAST(CAST(1 AS DOUBLE),
+        |      CAST(30000 AS DOUBLE) *
+        |      ROUND(pow(CAST(n AS DOUBLE), CAST(0.5 AS DOUBLE))
+        |        / (SELECT z FROM z), 12)
+        |      / CAST(n AS DOUBLE)) * CAST(4294967296 AS DOUBLE)) AS thr
+        |  FROM tot)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN th ON d.lang = th.st
+        |WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 < thr
         |ORDER BY d.doc_id""".stripMargin,
 
     // same gram/count rules as q126; integer counts, exact division,

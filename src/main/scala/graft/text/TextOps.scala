@@ -531,4 +531,53 @@ object TextOps {
         Sharding.mixHash(col(idCol)) < thresh)
       .drop("__st", "__tok")
   }
+
+  /** Temperature-scaled mixture sampling (the multilingual
+    * alpha-sampling rule of XLM/mT5): target shares are DERIVED from
+    * the observed per-stratum token mass,
+    * `share_s = n_s^alpha / sum_t n_t^alpha` — alpha < 1 upweights
+    * low-resource strata, alpha = 1 is proportional (no reweighting) —
+    * then rows are kept by the same deterministic mixHash thresholds
+    * as [[mixtureSample]]. The knob every multilingual pretraining mix
+    * turns; [[mixtureSample]] is its explicit-shares sibling.
+    *
+    * Fit is ONE bounded groupBy (\|strata\| rows to the driver,
+    * cap-guarded like every encoder fit); the normalizer folds in
+    * ASCENDING stratum order and shares round to 12dp, so the derived
+    * integer thresholds are engine-exact (the oracle replays the same
+    * ordered fold via list_reduce — q156). Transform is a pure
+    * literal-map filter: no join in the plan at all.
+    */
+  def temperatureMixtureSample(df: DataFrame, stratumCol: String,
+      idCol: String, tokenCol: String, alpha: Double,
+      tokenBudget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1,
+      s"temperature alpha must be in (0,1], got $alpha")
+    require(tokenBudget > 0,
+      s"token budget must be positive, got $tokenBudget")
+    graft.core.Ids.requireIntegral(df, idCol, "temperatureMixtureSample")
+    val cap = graft.core.Limits.maxFitLevels(df.sparkSession)
+    val rows = df.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("__st"))
+      .agg(sum(col(tokenCol).cast("long")).as("__tok"))
+      .limit(cap + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (rows.length > cap)
+      graft.core.Limits.levelCapError("temperatureMixtureSample", cap,
+        s"strata of $stratumCol")
+    val sorted = rows.sortBy(_._1)
+    val z = sorted.foldLeft(0.0)((a, kv) =>
+      a + math.pow(kv._2.toDouble, alpha))
+    val thresholds: Map[String, Long] = sorted.map { case (st, n) =>
+      // 12dp half-away-from-zero round (positive input): kills any
+      // cross-engine last-ulp wobble in the z fold before the floor
+      val share = math.floor(
+        math.pow(n.toDouble, alpha) / z * 1e12 + 0.5) / 1e12
+      val rate = math.min(1.0, tokenBudget.toDouble * share / n.toDouble)
+      st -> math.floor(rate * 4294967296.0).toLong
+    }.toMap
+    val thr = element_at(typedLit(thresholds),
+      col(stratumCol).cast("string"))
+    df.filter(thr.isNotNull && Sharding.mixHash(col(idCol)) < thr)
+  }
 }

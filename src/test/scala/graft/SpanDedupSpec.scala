@@ -320,4 +320,35 @@ class SpanDedupSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     assert(got.toSet == expected.toSet)
   }
+
+  test("temperatureMixtureSample: alpha=1 proportional, alpha<1 " +
+      "upweights low-resource strata, deterministic") {
+    import graft.text.TextOps
+    val rows = (1L to 1100L).map { i =>
+      val g = if (i <= 1000) "big" else "small"
+      Row(g, i, 100L)
+    }
+    val d = df("g STRING, id BIGINT, tok BIGINT", rows)
+    // alpha=1: shares proportional to mass -> every stratum keeps the
+    // same rate budget/total (here 55000/110000 = 0.5)
+    val prop = TextOps.temperatureMixtureSample(d, "g", "id", "tok",
+      alpha = 1.0, tokenBudget = 55000L)
+    val pc = prop.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(pc("big") - 500L) < 60, pc.toString)
+    assert(math.abs(pc("small") - 50L) < 25, pc.toString)
+    // alpha=0.5: sqrt temperature — small's share rises from 1/11
+    // (9.1%) to sqrt(10000)/(sqrt(100000)+sqrt(10000)) = 24.0%, so
+    // small keeps ~55000*0.24/10000 = ~132% -> capped at ALL 100 docs
+    val temp = TextOps.temperatureMixtureSample(d, "g", "id", "tok",
+      alpha = 0.5, tokenBudget = 55000L)
+    val tc = temp.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tc("small") == 100L, tc.toString) // rate capped at 1.0
+    assert(math.abs(tc("big") - 418L) < 60, tc.toString) // 0.418 rate
+    // determinism
+    assert(temp.collect().map(_.getLong(1)).toSet ==
+      TextOps.temperatureMixtureSample(d, "g", "id", "tok",
+        0.5, 55000L).collect().map(_.getLong(1)).toSet)
+  }
 }
