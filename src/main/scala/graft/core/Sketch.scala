@@ -310,8 +310,12 @@ object Hll {
     val alpha = alphaM(m)
     val agg = regs.agg(
       count(lit(1)).as("n_present"),
-      sum(expr(s"shiftleft(CAST(1 AS BIGINT), $RhoCap - rho)"))
-        .as("s_present"))
+      // empty register table: SUM over zero rows is null, which would
+      // poison s_micro — an empty sketch is zeros=m, linear counting
+      // ln(m/m) = 0 distinct, and must read out that way
+      coalesce(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $RhoCap - rho)")),
+        lit(0L)).as("s_present"))
     agg.select(
       lit(m).as("m"),
       col("n_present"),

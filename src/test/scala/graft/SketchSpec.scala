@@ -191,4 +191,14 @@ class SketchSpec extends SparkSpec {
       assert(sparkRR(reg) >= rho) // MAX-merged, so at least this rank
     }
   }
+
+  test("hll: empty input reads out estimate 0 (not null)") {
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("t")
+    val r = graft.core.Hll.hllReadout(
+      graft.core.Hll.hllRegisters(empty, "t", 9), 9).head()
+    assert(r.getLong(1) == 0L)             // n_present
+    assert(r.getLong(2) == 512L * (1L << 40)) // all-empty micro sum
+    assert(r.getDouble(3) == 0.0)          // ln(m/m) = 0 distinct
+  }
 }
