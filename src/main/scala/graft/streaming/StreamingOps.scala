@@ -506,43 +506,74 @@ object StreamingOps {
     * row older than the carried state is a contract violation and
     * fails loudly rather than silently corrupting the recurrence —
     * the batch operator is the documented backfill path.
+    *
+    * State TTL: by default state lives forever (one pair per entity —
+    * fine while the ENTITY UNIVERSE is bounded). For an unbounded
+    * universe (session ids, request ids) pass
+    * `evictAfterHalfLives = Some(k)`: an entity idle for k half-lives
+    * has its state dropped via event-time timeout, and its next event
+    * restarts the recurrence from scratch. This is PRINCIPLED
+    * truncation, not approximation drift — the dropped term's weight
+    * was already below `2^-k` of the carried value (k=20 → ~1e-6
+    * relative, below the 6dp the feature is read at; spec asserts the
+    * bound). Requires a watermark on `ts` (the timeout clock).
     */
   def decayedFeatureStream(events: Dataset[DecayEvent],
-      halfLifeSeconds: Double): Dataset[DecayOut] = {
+      halfLifeSeconds: Double,
+      evictAfterHalfLives: Option[Double] = None): Dataset[DecayOut] = {
     import events.sparkSession.implicits._
     require(halfLifeSeconds > 0,
       s"decayedFeatureStream: halfLife > 0, got $halfLifeSeconds")
+    evictAfterHalfLives.foreach(k => require(k > 0,
+      s"decayedFeatureStream: evictAfterHalfLives > 0, got $k"))
     val hlUs = halfLifeSeconds * 1e6
+    val ttlMs = evictAfterHalfLives.map(k =>
+      math.max(1L, (k * halfLifeSeconds * 1000.0).toLong))
+    val timeoutConf = ttlMs match {
+      case Some(_) => GroupStateTimeout.EventTimeTimeout
+      case None => GroupStateTimeout.NoTimeout
+    }
     events.groupByKey(_.entity)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (entity: Long, rows: Iterator[DecayEvent],
          state: GroupState[DecayState]) =>
-          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.eventId))
-          var st = state.getOption
-          val out = Seq.newBuilder[DecayOut]
-          sorted.foreach { e =>
-            val t = toMicros(e.ts)
+          if (state.hasTimedOut) {
+            // idle >= k half-lives: the carried value is < 2^-k of
+            // anything the next event would read — drop it
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq
+              .sortBy(e => (toMicros(e.ts), e.eventId))
+            var st = state.getOption
+            val out = Seq.newBuilder[DecayOut]
+            sorted.foreach { e =>
+              val t = toMicros(e.ts)
+              st.foreach { p =>
+                require(t >= p.lastTsUs,
+                  s"decayedFeatureStream: entity $entity got ts $t " +
+                    s"older than carried state ${p.lastTsUs} — source " +
+                    "must be per-entity ts-nondecreasing (use the " +
+                    "batch decayedRollingSum to backfill late data)")
+              }
+              // same expression tree as the batch/SQL mirror:
+              // x + s * pow(0.5, dt/hl)
+              val dec = st match {
+                case Some(p) =>
+                  e.value + p.s * math.pow(0.5,
+                    (t - p.lastTsUs).toDouble / hlUs)
+                case None => e.value
+              }
+              st = Some(DecayState(t, dec))
+              out += DecayOut(e.eventId, entity, e.ts, dec)
+            }
             st.foreach { p =>
-              require(t >= p.lastTsUs,
-                s"decayedFeatureStream: entity $entity got ts $t older " +
-                  s"than carried state ${p.lastTsUs} — source must be " +
-                  "per-entity ts-nondecreasing (use the batch " +
-                  "decayedRollingSum to backfill late data)")
+              state.update(p)
+              ttlMs.foreach(ttl =>
+                state.setTimeoutTimestamp(p.lastTsUs / 1000L + ttl))
             }
-            // same expression tree as the batch/SQL mirror:
-            // x + s * pow(0.5, dt/hl)
-            val dec = st match {
-              case Some(p) =>
-                e.value + p.s * math.pow(0.5,
-                  (t - p.lastTsUs).toDouble / hlUs)
-              case None => e.value
-            }
-            st = Some(DecayState(t, dec))
-            out += DecayOut(e.eventId, entity, e.ts, dec)
+            out.result().iterator
           }
-          st.foreach(state.update)
-          out.result().iterator
       }
   }
 

@@ -768,4 +768,49 @@ class StreamingSpec extends SparkSpec {
           _.getMessage.contains("ts-nondecreasing")))
     } finally q.stop()
   }
+
+  test("decayed feature stream TTL: idle state evicts with the 2^-k " +
+    "error bound; fresh restart after the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hl = 3600.0
+    val input = MemoryStream[StreamingOps.DecayEvent]
+    // small k=2 so eviction is OBSERVABLE: the post-gap event reads
+    // exactly its own value (fresh state) instead of value + s*2^-dt
+    val q = StreamingOps.decayedFeatureStream(
+      input.toDS().withWatermark("ts", "0 seconds")
+        .as[StreamingOps.DecayEvent],
+      hl, evictAfterHalfLives = Some(2.0))
+      .writeStream.format("memory").queryName("decay_ttl")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamingOps.DecayEvent(1L, 1L, ts("2024-01-01 10:00:00"), 8.0))
+      q.processAllAvailable()
+      // watermark advances past 10:00 + 2 half-lives via a second
+      // entity's much-later event -> entity 1's state times out
+      input.addData(
+        StreamingOps.DecayEvent(2L, 2L, ts("2024-01-01 20:00:00"), 1.0))
+      q.processAllAvailable()
+      input.addData( // another batch so the timeout fires before this
+        StreamingOps.DecayEvent(2L, 3L, ts("2024-01-01 21:00:00"), 1.0))
+      q.processAllAvailable()
+      // entity 1 reappears 12h (12 half-lives) later: state was
+      // evicted, so the emission is exactly 5.0 (fresh), where the
+      // exact recurrence would add 8 * 2^-12 ~ 0.00195
+      input.addData(
+        StreamingOps.DecayEvent(1L, 4L, ts("2024-01-01 22:00:00"), 5.0))
+      q.processAllAvailable()
+      val got = spark.table("decay_ttl").orderBy("eventId")
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+      val e4 = got.find(_._1 == 4L).get._2
+      assert(e4 == 5.0, s"expected fresh restart 5.0, got $e4")
+      // the truncation error the eviction introduced is bounded by
+      // s_carried * 2^-(half-lives elapsed at re-arrival), and the
+      // REAL bound at eviction time is s * 2^-k: both tiny vs 5.0
+      val exact = 5.0 + 8.0 * math.pow(0.5, 12.0)
+      assert(math.abs(exact - e4) <= 8.0 * math.pow(0.5, 2.0),
+        s"eviction error ${math.abs(exact - e4)} above the 2^-k bound")
+    } finally q.stop()
+  }
 }
