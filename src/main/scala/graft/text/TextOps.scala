@@ -561,7 +561,12 @@ object TextOps {
       .groupBy(col(stratumCol).cast("string").as("__st"))
       .agg(sum(col(tokenCol).cast("long")).as("__tok"))
       .limit(cap + 1)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .collect()
+      // a stratum with no (non-null) token mass has no defined share:
+      // it draws no budget and keeps nothing — same silent-drop
+      // convention as mixtureSample's null-total threshold
+      .filter(r => !r.isNullAt(1) && r.getLong(1) > 0)
+      .map(r => (r.getString(0), r.getLong(1)))
     if (rows.length > cap)
       graft.core.Limits.levelCapError("temperatureMixtureSample", cap,
         s"strata of $stratumCol")

@@ -350,5 +350,14 @@ class SpanDedupSpec extends SparkSpec {
     assert(temp.collect().map(_.getLong(1)).toSet ==
       TextOps.temperatureMixtureSample(d, "g", "id", "tok",
         0.5, 55000L).collect().map(_.getLong(1)).toSet)
+    // a stratum with only null token mass has no share: silently
+    // dropped (the mixtureSample convention), not an NPE
+    val withNull = df("g STRING, id BIGINT, tok BIGINT",
+      (1L to 20L).map(i => Row("ok", i, 100L)) ++
+        (21L to 25L).map(i => Row("nulls", i, null)))
+    val nn = TextOps.temperatureMixtureSample(withNull, "g", "id",
+      "tok", 0.5, 10000L)
+    assert(nn.filter(col("g") === "nulls").count() == 0L)
+    assert(nn.filter(col("g") === "ok").count() == 20L) // rate capped 1
   }
 }
