@@ -545,8 +545,12 @@ object QueriesStreaming {
           r.getTimestamp(2), r.getDouble(3)))
         // global (ts, id) order keeps every per-user subsequence
         // ts-nondecreasing across the chunk boundaries — the
-        // append-only feature-counter contract the operator requires
-        .sortBy(e => (e.ts.getTime, e.eventId)).toSeq
+        // append-only feature-counter contract the operator requires.
+        // MICROSECONDS, not getTime millis: 99.9% of events carry
+        // sub-ms precision, and a same-millisecond pair straddling a
+        // chunk boundary in ms-order would trip the operator's loud
+        // monotonicity require
+        .sortBy(e => (StreamingOps.toMicros(e.ts), e.eventId)).toSeq
       val input = MemoryStream[StreamingOps.DecayEvent]
       val sink = s"q147_out_${java.util.UUID.randomUUID().toString
         .replace("-", "")}"

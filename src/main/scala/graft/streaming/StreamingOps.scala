@@ -426,7 +426,7 @@ object StreamingOps {
     */
   case class CarryState(featureTs: Long, value: Double)
 
-  private def toMicros(ts: Timestamp): Long =
+  private[graft] def toMicros(ts: Timestamp): Long =
     math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
   private def fromMicros(us: Long): Timestamp = {
