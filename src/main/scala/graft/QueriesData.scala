@@ -883,6 +883,26 @@ object QueriesData {
         graft.core.Hll.hllRegisters(toks, "token", p = 9))
     }),
 
+    "q157_hll_by_source" -> ((s, dir) => {
+      // per-source distinct-token estimates (the vocabulary-growth
+      // dashboard): one bounded HLL per source, exact integer
+      // micro-unit readout, true distinct alongside — the per-group
+      // companion of q150's global sketch
+      val toks = tbl(s, dir, "documents")
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("token"))
+      val est = graft.core.Hll.hllReadoutByKey(
+        graft.core.Hll.hllRegistersByKey(toks, "source", "token",
+          p = 9), p = 9)
+        .withColumn("estimate", round(col("estimate"), 4))
+      val truth = toks.groupBy(col("source").as("__src"))
+        .agg(count_distinct(col("token")).as("n_true"))
+      est.join(truth, col("key") === col("__src"))
+        .select(col("key").as("source"), col("n_present"),
+          col("s_micro"), col("estimate"), col("n_true"))
+        .orderBy("source")
+    }),
+
     "q129_dataset_split" -> ((s, dir) => {
       // deterministic salted-hash train/val/test split: ids never
       // migrate between splits as the corpus grows (unlike
@@ -2503,6 +2523,46 @@ object QueriesData {
     // over-count, so ORDER BY est DESC, token is deterministic
     "q128_cms_heavy_hitters" -> cmsTop25Sql,
     "q150_hll_distinct" -> hllDistinctSql,
+
+    // per-source replay of the q150 register + readout rule
+    "q157_hll_by_source" -> {
+      val alpha = graft.core.Hll.alphaM(512L)
+      s"""WITH tok AS (SELECT source,
+        |    unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |h AS (SELECT source, CAST('0x' || substring(md5(token), 1, 15)
+        |    AS BIGINT) AS h FROM tok),
+        |rr AS (SELECT source, CAST(h % 512 AS INTEGER) AS reg,
+        |    LEAST(CASE WHEN (h >> 9) = 0 THEN 52
+        |      ELSE 51 - length(bin(h >> 9)) + 1 END, 40) AS rho
+        |  FROM h),
+        |regs AS (SELECT source, reg, MAX(rho) AS rho FROM rr
+        |  GROUP BY source, reg),
+        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_present,
+        |    CAST(SUM(1::BIGINT << (40 - rho)) AS BIGINT) AS s_present
+        |  FROM regs GROUP BY source),
+        |st AS (SELECT source, n_present,
+        |    s_present + (512 - n_present) * (1::BIGINT << 40)
+        |      AS s_micro
+        |  FROM a),
+        |e AS (SELECT source, n_present, s_micro,
+        |    CAST('$alpha' AS DOUBLE) * CAST(512 AS DOUBLE)
+        |      * CAST(512 AS DOUBLE)
+        |      / (CAST(s_micro AS DOUBLE)
+        |         / CAST(1::BIGINT << 40 AS DOUBLE)) AS e_raw
+        |  FROM st),
+        |tc AS (SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT)
+        |    AS n_true FROM tok GROUP BY source)
+        |SELECT e.source, n_present, s_micro,
+        |  ROUND(CASE WHEN e_raw <= CAST(1280 AS DOUBLE)
+        |      AND (512 - n_present) > 0
+        |    THEN CAST(512 AS DOUBLE)
+        |      * ln(CAST(512 AS DOUBLE)
+        |        / CAST(512 - n_present AS DOUBLE))
+        |    ELSE e_raw END, 4) AS estimate, tc.n_true
+        |FROM e JOIN tc USING (source)
+        |ORDER BY 1""".stripMargin
+    },
 
     "q129_dataset_split" ->
       """SELECT doc_id,

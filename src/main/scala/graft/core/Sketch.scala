@@ -336,4 +336,46 @@ object Hll {
 
   /** alpha_m for the standard bias correction (m >= 128 branch). */
   def alphaM(m: Long): Double = 0.7213 / (1.0 + 1.079 / m.toDouble)
+
+  /** Per-KEY register tables `(key, reg, rho)` — one bounded sketch
+    * per group (the "distinct tokens per source/language" dashboard
+    * at 10^12 rows): state <= |keys| x 2^p ints, one
+    * map-side-combined exchange. Null keys form their own group
+    * (SQL GROUP BY convention); null items are skipped.
+    */
+  def hllRegistersByKey(df: DataFrame, keyCol: String, itemCol: String,
+      p: Int): DataFrame = {
+    val (reg, rho) = regRho(col(itemCol), p)
+    df.filter(col(itemCol).isNotNull)
+      .select(col(keyCol).as("key"), reg.as("reg"), rho.as("rho"))
+      .groupBy(col("key"), col("reg"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Per-key readout `(key, n_present, s_micro, estimate)` — the same
+    * exact-integer micro-unit rule as [[hllReadout]], one row per key.
+    */
+  def hllReadoutByKey(regs: DataFrame, p: Int): DataFrame = {
+    val m = 1L << p
+    val alpha = alphaM(m)
+    regs.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_present"),
+        coalesce(
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), $RhoCap - rho)")),
+          lit(0L)).as("s_present"))
+      .select(col("key"), col("n_present"),
+        (col("s_present") +
+          (lit(m) - col("n_present")) * lit(1L << RhoCap)).as("s_micro"))
+      .withColumn("e_raw",
+        lit(alpha) * lit(m.toDouble) * lit(m.toDouble) /
+          (col("s_micro").cast("double") / lit(math.pow(2.0, RhoCap))))
+      .withColumn("zeros", lit(m) - col("n_present"))
+      .withColumn("estimate",
+        when(col("e_raw") <= lit(2.5 * m) && col("zeros") > 0,
+          lit(m.toDouble) *
+            log(lit(m.toDouble) / col("zeros").cast("double")))
+          .otherwise(col("e_raw")))
+      .select(col("key"), col("n_present"), col("s_micro"),
+        col("estimate"))
+  }
 }

@@ -192,6 +192,35 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("hll by key: per-key parity with the global sketch, bounded " +
+    "per-key state, null key is its own group") {
+    import spark.implicits._
+    val p = 9
+    val d = (0 until 3000).map(i =>
+      (if (i % 10 == 0) null else s"k${i % 3}", s"item_${i % 700}"))
+      .toDF("k", "t")
+    val byKey = graft.core.Hll.hllReadoutByKey(
+      graft.core.Hll.hllRegistersByKey(d, "k", "t", p), p)
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byKey.keySet ==
+      Set(None, Some("k0"), Some("k1"), Some("k2")))
+    // each key's readout equals the GLOBAL sketch over that key's slice
+    for (k <- Seq(Some("k1"), None)) {
+      val slice = k match {
+        case Some(s) => d.filter(col("k") === s)
+        case None => d.filter(col("k").isNull)
+      }
+      val g = graft.core.Hll.hllReadout(
+        graft.core.Hll.hllRegisters(slice, "t", p), p).head()
+      assert(byKey(k) == ((g.getLong(1), g.getLong(2), g.getDouble(3))),
+        s"key=$k")
+    }
+    // state bound: <= |keys| x 2^p register rows
+    assert(graft.core.Hll.hllRegistersByKey(d, "k", "t", p).count()
+      <= 4L * (1 << p))
+  }
+
   test("hll: empty input reads out estimate 0 (not null)") {
     import spark.implicits._
     val empty = Seq.empty[String].toDF("t")
