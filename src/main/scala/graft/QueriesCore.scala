@@ -137,6 +137,20 @@ object QueriesCore {
         .orderBy("c_custkey")
     }),
 
+    "q158_yeo_johnson" -> ((s, dir) => {
+      // power transform over a signed column (acctbal has negatives —
+      // the case Box-Cox can't touch): lambda fitted from the 0.25
+      // grid by Gaussian LL in ONE fused aggregation; the oracle
+      // replays the entire fit (all 17 candidates' sums, the LL
+      // argmax, and the chosen transform) in generated SQL
+      val df = tbl(s, dir, "customer")
+      val t = new YeoJohnsonTransformer(Seq("c_acctbal")).fit(df)
+      t.transform(df)
+        .select(col("c_custkey"),
+          round(col("c_acctbal"), 6).as("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
     "q153_l2_normalize" -> ((s, dir) => {
       // unit-L2 embedding normalization: the squared norm accumulates
       // through an explicit left fold, which DuckDB's list_reduce
@@ -701,6 +715,60 @@ object QueriesCore {
   private lazy val cutQ65 = new CutTransformer("l_discount", "disc_bin",
     bins = Seq(0.0, 0.02, 0.05, 0.08, 0.1), includeLowest = true)
 
+  /** psi(x, l) in SQL, mirroring YeoJohnsonTransformer.psi's exact
+    * expression tree (same +1.0 / pow / negate / divide order).
+    */
+  private def yjPsiSql(x: String, l: Double): String = {
+    val ls = f"$l%.2f"
+    val tl = f"${2.0 - l}%.2f"
+    val pos =
+      if (l == 0.0) s"ln($x + 1.0)"
+      else s"(pow($x + 1.0, CAST($ls AS DOUBLE)) - 1.0) " +
+        s"/ CAST($ls AS DOUBLE)"
+    val neg =
+      if (l == 2.0) s"-ln(-($x) + 1.0)"
+      else s"(-(pow(-($x) + 1.0, CAST($tl AS DOUBLE)) - 1.0)) " +
+        s"/ CAST($tl AS DOUBLE)"
+    s"CASE WHEN $x >= 0 THEN $pos ELSE $neg END"
+  }
+
+  /** Generated full-fit replay of q158: per-candidate fused sums,
+    * the LL argmax, and the chosen transform — built from the SAME
+    * grid the operator defaults to, so they cannot drift.
+    */
+  private lazy val yeoJohnsonSql: String = {
+    val grid = (-8 to 8).map(_ * 0.25)
+    val sums = grid.zipWithIndex.map { case (l, i) =>
+      val p = yjPsiSql("x", l)
+      s"SUM($p) AS s$i, SUM(($p) * ($p)) AS q$i"
+    }.mkString(",\n    ")
+    val cand = grid.zipWithIndex.map { case (l, i) =>
+      f"SELECT CAST($l%.2f AS DOUBLE) AS l, s$i AS s, q$i AS q FROM f"
+    }.mkString("\n  UNION ALL ")
+    val pick = grid.map { l =>
+      f"WHEN best.l = CAST($l%.2f AS DOUBLE) THEN ${yjPsiSql("x.x", l)}"
+    }.mkString("\n    ")
+    s"""WITH x AS (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS x
+      |  FROM customer),
+      |xc AS (SELECT x FROM x WHERE x IS NOT NULL AND NOT isnan(x)),
+      |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CASE WHEN x >= 0 THEN ln(x + 1.0)
+      |        ELSE -ln(-(x) + 1.0) END) AS slog,
+      |    $sums
+      |  FROM xc),
+      |cand AS ($cand),
+      |ll AS (SELECT cand.l,
+      |    ((-f.n) / 2.0) * ln(GREATEST(cand.q / f.n
+      |      - (cand.s / f.n) * (cand.s / f.n), 1e-300))
+      |    + (cand.l - 1.0) * f.slog AS ll
+      |  FROM cand, f),
+      |best AS (SELECT l FROM ll ORDER BY ll DESC, l LIMIT 1)
+      |SELECT x.c_custkey, ROUND(CASE
+      |    $pick
+      |  END, 6) AS c_acctbal
+      |FROM x, best ORDER BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // only q is nullable in liWithNulls, so pandas skipna reductions
     // reduce to COALESCE forms; ((x % 7) + 7) % 7 mirrors the Python
@@ -877,6 +945,11 @@ object QueriesCore {
         |SELECT c_custkey,
         |  (SELECT e FROM enc WHERE lvl = t.c_mktsegment) AS c_mktsegment
         |FROM t ORDER BY 1""".stripMargin,
+
+    // full fit replay: all 17 candidates' (sum psi, sum psi^2) in one
+    // pass, LL argmax (ties -> smallest lambda), then the chosen
+    // transform — generated so the grid can't drift from the operator
+    "q158_yeo_johnson" -> yeoJohnsonSql,
 
     // the identical left fold via list_reduce (DuckDB evaluates it
     // left-to-right, proven in the round-4 build notes), so norm and

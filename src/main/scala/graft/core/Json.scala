@@ -139,6 +139,14 @@ object Json {
       new JsonFieldExtractor(p.str("column"), fields) }),
     "VectorL2NormalizeTransformer" -> (i =>
       new VectorL2NormalizeTransformer(new P(i).strs("columns"))),
+    "YeoJohnsonTransformer" -> (i => {
+      val p = new P(i)
+      val grid = i("grid").asInstanceOf[Seq[Any]].map {
+        case d: Double => d
+        case l: Long => l.toDouble
+        case x => x.toString.toDouble
+      }
+      new YeoJohnsonTransformer(p.strs("columns"), grid) }),
     "CountEncoderTransformer" -> (i => {
       val p = new P(i)
       new CountEncoderTransformer(p.strs("columns"), p.bool("normalize"),

@@ -595,3 +595,101 @@ class VectorL2NormalizeTransformer(
     }
   override def initParams: Map[String, Any] = Map("columns" -> columns)
 }
+
+/** Yeo–Johnson power transformer (sklearn `PowerTransformer`
+  * semantics over a FIXED candidate grid; no reference counterpart —
+  * tubular stops at log): fits, per column, the lambda maximizing the
+  * Gaussian log-likelihood of the transformed values, then applies
+  *
+  *   x >= 0:  ((x+1)^l - 1) / l          (l != 0;  ln(x+1) at l = 0)
+  *   x <  0:  -(((-x+1)^(2-l) - 1)/(2-l)) (l != 2; -ln(-x+1) at l = 2)
+  *
+  * — the variance-stabilizing transform that handles NEGATIVE values
+  * (Box-Cox cannot), the standard skew fix before linear/NN models.
+  *
+  * DESIGN: a fixed grid, not Brent optimization. sklearn optimizes l
+  * continuously per column, which needs an iterative driver loop of
+  * full-data passes; a 0.25-spaced grid needs ONE distributed
+  * aggregation evaluating every candidate simultaneously (the fused
+  * sums land in a single map-side-combined agg of 2·|grid|+2 columns)
+  * and is deterministic and engine-replayable. LL(l) =
+  * -n/2·ln(var(psi)) + (l-1)·sum(sign(x)·ln(|x|+1)); the second term
+  * is l-independent and computed once. Ties break to the SMALLEST l.
+  * Nulls are excluded from the fit and pass through transform; NaN is
+  * excluded from the fit (it would poison every candidate's sums).
+  */
+class YeoJohnsonTransformer(
+    val columns: Seq[String],
+    val grid: Seq[Double] =
+      (-8 to 8).map(_ * 0.25) // -2.0 .. 2.0
+) extends Transformer {
+  require(grid.nonEmpty, s"$classname: candidate grid must be non-empty")
+  override def needsFit: Boolean = true
+
+  var fittedLambdas: Map[String, Double] = Map.empty
+
+  /** psi(x, l) as a Column expression — shared by fit and transform
+    * so the applied transform is exactly what the fit scored.
+    */
+  private def psi(x: Column, l: Double): Column = {
+    val pos =
+      if (l == 0.0) log(x + 1.0)
+      else (pow(x + 1.0, l) - 1.0) / l
+    val neg =
+      if (l == 2.0) -log(-x + 1.0)
+      else -(pow(-x + 1.0, 2.0 - l) - 1.0) / (2.0 - l)
+    when(x >= 0, pos).otherwise(neg)
+  }
+
+  override def fit(df: DataFrame): this.type = {
+    super.fit(df)
+    requireNumeric(df, columns)
+    fittedLambdas = columns.map { c =>
+      val x = col(c).cast("double")
+      val clean = df.filter(x.isNotNull && !isnan(x)).select(x.as("__x"))
+      val v = col("__x")
+      val aggs =
+        Seq(count(lit(1)).as("n"),
+          sum(when(v >= 0, log(v + 1.0)).otherwise(-log(-v + 1.0)))
+            .as("slog")) ++
+        grid.zipWithIndex.flatMap { case (l, i) =>
+          Seq(sum(psi(v, l)).as(s"s$i"),
+            sum(psi(v, l) * psi(v, l)).as(s"q$i")) }
+      val r = clean.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getLong(0)
+      if (n == 0)
+        throw new IllegalArgumentException(
+          s"$classname: column $c has no non-null finite values to fit")
+      val slog = r.getDouble(1)
+      val best = grid.zipWithIndex.map { case (l, i) =>
+        val s = r.getDouble(2 + 2 * i); val q = r.getDouble(3 + 2 * i)
+        val variance = math.max(q / n - (s / n) * (s / n), 1e-300)
+        val ll = -n / 2.0 * math.log(variance) + (l - 1.0) * slog
+        (l, ll)
+      }.minBy { case (l, ll) => (-ll, l) } // max LL, ties -> smallest l
+      c -> best._1
+    }.toMap
+    this
+  }
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] = {
+    requireNumeric(df, columns)
+    columns.map { c =>
+      c -> psi(col(c).cast("double"), fittedLambdas(c))
+    }
+  }
+
+  override def initParams: Map[String, Any] = Map(
+    "columns" -> columns, "grid" -> grid)
+  override def fitParams: Map[String, Any] =
+    Map("lambdas_" -> fittedLambdas)
+  override def restoreFit(fit: Map[String, Any]): this.type = {
+    fittedLambdas = fit("lambdas_").asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> (v match {
+        case d: Double => d
+        case l: Long => l.toDouble
+        case x => x.toString.toDouble
+      }) }
+    super.restoreFit(fit)
+  }
+}

@@ -354,4 +354,37 @@ class TwoColInteractionPcaSpec extends SparkSpec {
     assert(back.transform(d).orderBy("id").collect().toSeq ==
       out.toSeq)
   }
+
+  test("YeoJohnson: skew picks a shrinking lambda, negatives handled, " +
+    "identity-ish on symmetric data, JSON round-trip") {
+    import graft.operators.YeoJohnsonTransformer
+    val r = new scala.util.Random(5)
+    // right-skewed positive data: exp of a normal -> lambda well < 1
+    val skew = df("v DOUBLE",
+      (0 until 2000).map(_ => Row(math.exp(r.nextGaussian()))))
+    val ts = new YeoJohnsonTransformer(Seq("v")).fit(skew)
+    assert(ts.fittedLambdas("v") < 0.5, ts.fittedLambdas.toString)
+    // roughly symmetric data (incl. negatives): lambda near 1
+    val sym = df("v DOUBLE",
+      (0 until 2000).map(_ => Row(r.nextGaussian() * 3)))
+    val tn = new YeoJohnsonTransformer(Seq("v")).fit(sym)
+    assert(math.abs(tn.fittedLambdas("v") - 1.0) <= 0.5,
+      tn.fittedLambdas.toString)
+    // lambda=1 is the identity: psi(x, 1) = x for both signs
+    val id = new YeoJohnsonTransformer(Seq("v"), grid = Seq(1.0))
+      .fit(sym)
+    val got = id.transform(df("v DOUBLE",
+      Seq(Row(3.5), Row(-2.25), Row(0.0), Row(null))))
+      .collect().map(x => Option(x.get(0)))
+    assert(got.toSeq == Seq(Some(3.5), Some(-2.25), Some(0.0), None))
+    // JSON round-trip carries the fitted lambda
+    val back = Json.transformerFromJson(Json.transformerToJson(ts))
+      .asInstanceOf[YeoJohnsonTransformer]
+    assert(back.fittedLambdas == ts.fittedLambdas)
+    // no finite values -> loud failure
+    assertThrows[IllegalArgumentException] {
+      new YeoJohnsonTransformer(Seq("v")).fit(
+        df("v DOUBLE", Seq(Row(null), Row(Double.NaN))))
+    }
+  }
 }
