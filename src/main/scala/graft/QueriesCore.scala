@@ -137,6 +137,18 @@ object QueriesCore {
         .orderBy("c_custkey")
     }),
 
+    "q159_robust_scale" -> ((s, dir) => {
+      // outlier-immune scaling: (x - median) / IQR from the exact
+      // np.interp quantile machinery; heavily-tied integer quantities
+      // exercise the interp's tie brackets
+      val df = tbl(s, dir, "lineitem")
+      val t = new RobustScalingTransformer(Seq("l_quantity")).fit(df)
+      t.transform(df)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 6).as("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "q158_yeo_johnson" -> ((s, dir) => {
       // power transform over a signed column (acctbal has negatives —
       // the case Box-Cox can't touch): lambda fitted from the 0.25
@@ -950,6 +962,53 @@ object QueriesCore {
     // pass, LL argmax (ties -> smallest lambda), then the chosen
     // transform — generated so the grid can't drift from the operator
     "q158_yeo_johnson" -> yeoJohnsonSql,
+
+    // the q06 np.interp bracket mirror at 0.25/0.5/0.75, then
+    // (x - med) / (q3 - q1) — identical expression tree
+    "q159_robust_scale" ->
+      """WITH g AS (SELECT l_quantity AS v, COUNT(*) AS w
+        |           FROM lineitem WHERE l_quantity IS NOT NULL
+        |           GROUP BY 1),
+        |c AS (SELECT v,
+        |        SUM(w) OVER (ORDER BY v) * 1.0 / (SELECT SUM(w) FROM g)
+        |          AS f FROM g),
+        |b1 AS (SELECT
+        |   MAX(CASE WHEN f <= 0.25 THEN f END) AS f_lo,
+        |   MAX(CASE WHEN f <= 0.25 THEN v END) AS v_lo,
+        |   MIN(CASE WHEN f >= 0.25 THEN f END) AS f_hi,
+        |   MIN(CASE WHEN f >= 0.25 THEN v END) AS v_hi FROM c),
+        |b2 AS (SELECT
+        |   MAX(CASE WHEN f <= 0.5 THEN f END) AS f_lo,
+        |   MAX(CASE WHEN f <= 0.5 THEN v END) AS v_lo,
+        |   MIN(CASE WHEN f >= 0.5 THEN f END) AS f_hi,
+        |   MIN(CASE WHEN f >= 0.5 THEN v END) AS v_hi FROM c),
+        |b3 AS (SELECT
+        |   MAX(CASE WHEN f <= 0.75 THEN f END) AS f_lo,
+        |   MAX(CASE WHEN f <= 0.75 THEN v END) AS v_lo,
+        |   MIN(CASE WHEN f >= 0.75 THEN f END) AS f_hi,
+        |   MIN(CASE WHEN f >= 0.75 THEN v END) AS v_hi FROM c),
+        |q1 AS (SELECT CASE
+        |   WHEN f_lo IS NULL THEN v_hi
+        |   WHEN f_hi IS NULL OR f_hi = f_lo THEN v_lo
+        |   ELSE v_lo + (0.25 - f_lo)/(f_hi - f_lo)*(v_hi - v_lo)
+        |   END AS q FROM b1),
+        |md AS (SELECT CASE
+        |   WHEN f_lo IS NULL THEN v_hi
+        |   WHEN f_hi IS NULL OR f_hi = f_lo THEN v_lo
+        |   ELSE v_lo + (0.5 - f_lo)/(f_hi - f_lo)*(v_hi - v_lo)
+        |   END AS q FROM b2),
+        |q3 AS (SELECT CASE
+        |   WHEN f_lo IS NULL THEN v_hi
+        |   WHEN f_hi IS NULL OR f_hi = f_lo THEN v_lo
+        |   ELSE v_lo + (0.75 - f_lo)/(f_hi - f_lo)*(v_hi - v_lo)
+        |   END AS q FROM b3),
+        |sc AS (SELECT CASE WHEN s = 0 OR isnan(s) THEN 1.0 ELSE s END
+        |   AS s FROM (SELECT (SELECT q FROM q3) - (SELECT q FROM q1)
+        |   AS s))
+        |SELECT l_orderkey, l_linenumber,
+        |  ROUND((CAST(l_quantity AS DOUBLE) - (SELECT q FROM md))
+        |    / (SELECT s FROM sc), 6) AS l_quantity
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
 
     // the identical left fold via list_reduce (DuckDB evaluates it
     // left-to-right, proven in the round-4 build notes), so norm and

@@ -139,6 +139,14 @@ object Json {
       new JsonFieldExtractor(p.str("column"), fields) }),
     "VectorL2NormalizeTransformer" -> (i =>
       new VectorL2NormalizeTransformer(new P(i).strs("columns"))),
+    "RobustScalingTransformer" -> (i => {
+      val p = new P(i)
+      val qr = i("quantile_range").asInstanceOf[Seq[Any]].map {
+        case d: Double => d
+        case x => x.toString.toDouble
+      }
+      new RobustScalingTransformer(p.strs("columns"), (qr(0), qr(1)),
+        p.strOpt("weights_column")) }),
     "YeoJohnsonTransformer" -> (i => {
       val p = new P(i)
       val grid = i("grid").asInstanceOf[Seq[Any]].map {

@@ -693,3 +693,73 @@ class YeoJohnsonTransformer(
     super.restoreFit(fit)
   }
 }
+
+/** Robust scaler (sklearn `RobustScaler` semantics; completes the
+  * scaling family next to [[ScalingTransformer]]'s
+  * min_max/max_abs/standard): `(x - median) / (q_hi - q_lo)` with the
+  * quantiles from the exact distributed np.interp machinery
+  * ([[graft.core.Stats.weightedQuantilesMelted]] — melted, two-phase
+  * range-partitioned, no single-partition stage). The scaler of
+  * choice when the column carries outliers that poison mean/std
+  * (standard) and min/max (min_max) fits — i.e. most raw web-scale
+  * features. Zero IQR (heavily-tied column) divides by 1 like
+  * sklearn's `_handle_zeros_in_scale`; weighted rows supported; nulls
+  * pass through transform and are excluded from the fit.
+  */
+class RobustScalingTransformer(
+    val columns: Seq[String],
+    val quantileRange: (Double, Double) = (0.25, 0.75),
+    val weightsColumn: Option[String] = None
+) extends Transformer {
+  private val (qLo, qHi) = quantileRange
+  require(qLo >= 0 && qHi <= 1 && qLo < qHi,
+    s"quantile_range must satisfy 0 <= lo < hi <= 1, got $quantileRange")
+  override def needsFit: Boolean = true
+  override def fitInputCols: Seq[String] = columns ++ weightsColumn
+
+  /** per column: (median, iqr-scale) */
+  var fitted: Map[String, (Double, Double)] = Map.empty
+
+  override def fit(df: DataFrame): this.type = {
+    super.fit(df)
+    requireNumeric(df, columns)
+    val rows = graft.core.Weights.fitRows(df, weightsColumn)
+    val w = graft.core.Weights.weightCol(weightsColumn).cast("double")
+    val qs = graft.core.Stats.weightedQuantilesMelted(rows,
+      columns.map(_ -> Seq(qLo, 0.5, qHi)).toMap, w)
+    fitted = columns.map { c =>
+      val Seq(lo, med, hi) = qs(c)
+      if (med.isEmpty)
+        throw new IllegalArgumentException(
+          s"$classname: column $c has no non-null finite values to fit")
+      val scale = hi.get - lo.get
+      c -> (med.get, if (scale == 0.0 || scale.isNaN) 1.0 else scale)
+    }.toMap
+    this
+  }
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] = {
+    requireNumeric(df, columns)
+    columns.map { c =>
+      val (m, s) = fitted(c)
+      c -> ((col(c).cast("double") - lit(m)) / lit(s))
+    }
+  }
+  override def initParams: Map[String, Any] = Map(
+    "columns" -> columns,
+    "quantile_range" -> Seq(qLo, qHi),
+    "weights_column" -> weightsColumn.orNull)
+  override def fitParams: Map[String, Any] = Map(
+    "medians" -> columns.map(c => fitted(c)._1),
+    "scales" -> columns.map(c => fitted(c)._2))
+  override def restoreFit(fit: Map[String, Any]): this.type = {
+    def dbls(k: String) = fit(k).asInstanceOf[Seq[Any]].map {
+      case d: Double => d
+      case l: Long => l.toDouble
+      case x => x.toString.toDouble
+    }
+    val ms = dbls("medians"); val ss = dbls("scales")
+    fitted = columns.lazyZip(ms.lazyZip(ss).map((a, b) => (a, b))).toMap
+    super.restoreFit(fit)
+  }
+}

@@ -160,6 +160,42 @@ class ScalingLogCutSpec extends SparkSpec {
     intercept[Exception] { t.transform(bad).collect() }
   }
 
+  test("robust scaling: median/IQR, zero-IQR divide-by-1, weights, " +
+    "JSON round-trip") {
+    import graft.operators.RobustScalingTransformer
+    // 1..9 under the engine's np.interp-on-cum-fraction rule (the
+    // q06 capping semantics): f(4)=4/9, f(5)=5/9 -> median interp 4.5
+    val d = df("a DOUBLE", (1 to 9).map(i => Row(i.toDouble)))
+    val t = new RobustScalingTransformer(Seq("a")).fit(d)
+    val (m, s) = t.fitted("a")
+    assert(m == 4.5)
+    assert(s > 0 && math.abs((9.0 - m) / s -
+      t.transform(df("a DOUBLE", Seq(Row(9.0)))).head().getDouble(0))
+      < 1e-12)
+    // constant column: IQR 0 -> scale 1 (sklearn handle_zeros)
+    val const = df("a DOUBLE", Seq.fill(5)(Row(2.0)))
+    val tc = new RobustScalingTransformer(Seq("a")).fit(const)
+    assert(tc.fitted("a") == ((2.0, 1.0)))
+    assert(tc.transform(const).head().getDouble(0) == 0.0)
+    // nulls pass through; all-null fit fails loudly
+    assert(tc.transform(df("a DOUBLE", Seq(Row(null)))).head().isNullAt(0))
+    assertThrows[IllegalArgumentException] {
+      new RobustScalingTransformer(Seq("a")).fit(
+        df("a DOUBLE", Seq(Row(null))))
+    }
+    // weighted fit shifts the quantiles
+    val wd = df("a DOUBLE, w DOUBLE",
+      Seq(Row(1.0, 1.0), Row(10.0, 9.0)))
+    val tw = new RobustScalingTransformer(Seq("a"),
+      weightsColumn = Some("w")).fit(wd)
+    // interp at 0.5 on cumfracs {0.1, 1.0}: 1 + (0.4/0.9)*9 = 5.0
+    assert(tw.fitted("a")._1 == 5.0)
+    // JSON round-trip carries fitted state
+    val back = Json.transformerFromJson(Json.transformerToJson(t))
+      .asInstanceOf[RobustScalingTransformer]
+    assert(back.fitted == t.fitted)
+  }
+
   test("cut: pd.cut semantics — right, include_lowest, out-of-range null") {
     val d = df("x DOUBLE", Seq(
       Row(0.0), Row(1.0), Row(1.5), Row(2.0), Row(5.0)))
