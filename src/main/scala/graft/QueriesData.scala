@@ -265,6 +265,22 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    "q160_quality_gate" -> ((s, dir) => {
+      // per-language p75 quality gate: keep each language's top
+      // quartile by the q48 composite score — a per-group threshold so
+      // no language's distribution sets the bar for another. Exact
+      // per-group np.interp thresholds, broadcast-join filter
+      val scored = tbl(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextOps.qualityExprs(col("text"))
+          .collect { case ("quality", e) => e }.head.as("quality"))
+      graft.operators.GroupOps.filterByGroupQuantile(
+        scored, "lang", "quality", prob = 0.75)
+        .select(col("doc_id"), col("lang"),
+          round(col("quality"), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
     "q49_token_count" -> ((s, dir) => {
       tbl(s, dir, "documents").select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("ws_tokens"),
@@ -2309,6 +2325,48 @@ object QueriesData {
         |    '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS INTEGER)
         |      AS bpeish_tokens
         |FROM documents ORDER BY 1""".stripMargin,
+
+    // q48's exact composite score + the q87 per-group interp bracket
+    // at 0.75 + the >= gate
+    "q160_quality_gate" -> {
+      val stopsAll = TextOps.Langs.map(langHitsSql).mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST(len(text) AS DOUBLE) AS nc,
+         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+         |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+         |       AS DOUBLE) AS punct,
+         |  CAST($stopsAll AS DOUBLE) AS stops
+         |  FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  0.4 * LEAST(nc / 500.0, 1.0) +
+         |  0.3 * LEAST((stops / nt) * 5.0, 1.0) +
+         |  0.2 * LEAST(((nc - (nt - 1.0)) / nt) / 8.0, 1.0) +
+         |  0.1 * (1.0 - LEAST((punct / nc) * 10.0, 1.0)) AS quality
+         |  FROM t),
+         |g AS (SELECT lang AS k, quality AS v, COUNT(*) AS w
+         |  FROM sc WHERE quality IS NOT NULL AND NOT isnan(quality)
+         |  GROUP BY 1, 2),
+         |c AS (SELECT k, v,
+         |    SUM(w) OVER (PARTITION BY k ORDER BY v) * 1.0 /
+         |      SUM(w) OVER (PARTITION BY k) AS f
+         |  FROM g),
+         |b AS (SELECT k,
+         |  MAX(CASE WHEN f <= 0.75 THEN f END) AS f_lo,
+         |  MAX(CASE WHEN f <= 0.75 THEN v END) AS v_lo,
+         |  MIN(CASE WHEN f >= 0.75 THEN f END) AS f_hi,
+         |  MIN(CASE WHEN f >= 0.75 THEN v END) AS v_hi
+         |  FROM c GROUP BY k),
+         |thr AS (SELECT k, CASE
+         |   WHEN f_lo IS NULL THEN v_hi
+         |   WHEN f_hi IS NULL OR f_hi = f_lo THEN v_lo
+         |   ELSE v_lo + (0.75 - f_lo)/(f_hi - f_lo)*(v_hi - v_lo)
+         |   END AS t FROM b)
+         |SELECT sc.doc_id, sc.lang, ROUND(sc.quality, 6) AS quality
+         |FROM sc JOIN thr ON sc.lang = thr.k
+         |WHERE sc.quality IS NOT NULL AND NOT isnan(sc.quality)
+         |  AND sc.quality >= thr.t
+         |ORDER BY 1""".stripMargin
+    },
 
     "q50_fingerprint" ->
       """SELECT doc_id,

@@ -253,4 +253,31 @@ object GroupOps {
       .unionByName(df.filter(col(valueCol).isNull)
         .withColumn(out, lit(null).cast("double")))
   }
+
+  /** Per-group quantile GATE: keep rows whose value clears their own
+    * group's q-quantile — the "top X% quality per language / per
+    * source" curation rule, where one global threshold would let a
+    * high-resource group's distribution set the bar for everyone.
+    * Thresholds come from the exact distributed np.interp machinery
+    * ([[graft.core.Stats.groupedWeightedQuantiles]] — no
+    * single-partition stage); the filter is one broadcast-joinable
+    * \|groups\|-row table against the corpus. `keepUpper = false`
+    * keeps the lower tail instead. Null and NaN values never pass
+    * (a gate must not admit unscorable rows); a group whose values
+    * are all null/NaN has no threshold and is dropped entirely.
+    */
+  def filterByGroupQuantile(df: DataFrame, keyCol: String,
+      valueCol: String, prob: Double, keepUpper: Boolean = true,
+      weight: Column = lit(1)): DataFrame = {
+    require(prob >= 0 && prob <= 1,
+      s"filterByGroupQuantile: prob in [0,1], got $prob")
+    val thr = graft.core.Stats.groupedWeightedQuantiles(
+      df, keyCol, valueCol, weight, Seq(prob))
+      .select(col(keyCol).as("__gk"), col("quantile").as("__thr"))
+    val v = col(valueCol).cast("double")
+    val cmp = if (keepUpper) v >= col("__thr") else v <= col("__thr")
+    df.join(thr, df(keyCol) <=> col("__gk"), "left")
+      .filter(v.isNotNull && !isnan(v) && col("__thr").isNotNull && cmp)
+      .drop("__gk", "__thr")
+  }
 }

@@ -209,4 +209,28 @@ class GroupOpsSpec extends SparkSpec {
     assert(math.abs(z(2) - (1.0 / sd)) < 1e-12)
     assert(z(3) == 0.0 && z(4) == 0.0) // zero variance -> 0, not NaN
   }
+
+  test("filterByGroupQuantile: per-group gate, lower-tail mode, " +
+    "null/NaN never pass, all-null group dropped") {
+    val d = df("k STRING, v DOUBLE", Seq(
+      Row("a", 1.0), Row("a", 2.0), Row("a", 3.0), Row("a", 4.0),
+      Row("b", 100.0), Row("b", 200.0),
+      Row("b", null), Row("b", Double.NaN),
+      Row("c", null)))
+    val up = graft.operators.GroupOps
+      .filterByGroupQuantile(d, "k", "v", prob = 0.5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      .sortBy(identity)
+    // per-group np.interp medians: a -> 2.0 (f(2)=0.5 exactly),
+    // b -> 100.0 (f(100)=0.5). "a" drops its 1.0; "b" keeps both —
+    // each group is gated against ITS OWN distribution
+    assert(up == Seq(("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 100.0), ("b", 200.0)))
+    assert(!up.exists(_._1 == "c")) // all-null group dropped
+    assert(up.nonEmpty && up.forall(t => !t._2.isNaN))
+    val down = graft.operators.GroupOps
+      .filterByGroupQuantile(d, "k", "v", prob = 0.5, keepUpper = false)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(down.exists(_ == ("a", 1.0)) && !down.contains(("a", 4.0)))
+  }
 }
