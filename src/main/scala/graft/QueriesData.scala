@@ -985,6 +985,21 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    "q161_mixture_plan" -> ((s, dir) => {
+      // the plan q156 executes: per-language mass, alpha=0.5 share,
+      // keep rate, expected kept tokens, and the exact integer hash
+      // threshold — same code path as the sampler, so plan ==
+      // execution by construction
+      TextOps.temperatureMixturePlan(tbl(s, dir, "documents"),
+        "lang", "n_chars", alpha = 0.5, tokenBudget = 30000L)
+        .select(col("lang"), col("n_tokens"),
+          round(col("share"), 12).as("share"),
+          round(col("keep_rate"), 6).as("keep_rate"),
+          round(col("expected_tokens"), 4).as("expected_tokens"),
+          col("hash_threshold"))
+        .orderBy("lang")
+    }),
+
     "q135_flat_image_gate" -> ((s, dir) => {
       // low-information image filter end to end: real-codec table with
       // every 20th payload replaced by a constant-gray PNG (the blank-
@@ -2680,6 +2695,33 @@ object QueriesData {
         |    CAST(30000 AS DOUBLE) * share / CAST(tok AS DOUBLE))
         |    * CAST(4294967296 AS DOUBLE))
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the q156 fit replayed as the PLAN table (same ordered fold,
+    // same 12dp share round, same floor threshold)
+    "q161_mixture_plan" ->
+      """WITH tot AS (SELECT lang AS st, CAST(SUM(n_chars) AS BIGINT)
+        |    AS n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(pow(CAST(n AS DOUBLE), CAST(0.5 AS DOUBLE))
+        |      ORDER BY st)),
+        |    (a, x) -> a + x) AS z FROM tot),
+        |sh AS (SELECT st, n,
+        |    ROUND(pow(CAST(n AS DOUBLE), CAST(0.5 AS DOUBLE))
+        |      / (SELECT z FROM z), 12) AS share
+        |  FROM tot),
+        |r AS (SELECT st, n, share,
+        |    LEAST(CAST(1 AS DOUBLE),
+        |      CAST(30000 AS DOUBLE) * share / CAST(n AS DOUBLE))
+        |      AS rate
+        |  FROM sh)
+        |SELECT st AS lang, n AS n_tokens,
+        |  ROUND(share, 12) AS share,
+        |  ROUND(rate, 6) AS keep_rate,
+        |  ROUND(rate * n, 4) AS expected_tokens,
+        |  CAST(FLOOR(rate * CAST(4294967296 AS DOUBLE)) AS BIGINT)
+        |    AS hash_threshold
+        |FROM r ORDER BY 1""".stripMargin,
 
     // the identical ordered fold: list(...ORDER BY lang) through the
     // left-fold list_reduce == the driver's ascending-stratum sum;

@@ -551,11 +551,27 @@ object TextOps {
   def temperatureMixtureSample(df: DataFrame, stratumCol: String,
       idCol: String, tokenCol: String, alpha: Double,
       tokenBudget: Long): DataFrame = {
+    graft.core.Ids.requireIntegral(df, idCol, "temperatureMixtureSample")
+    val thresholds: Map[String, Long] =
+      temperatureThresholds(df, stratumCol, tokenCol, alpha, tokenBudget)
+        .map { case (st, (_, _, _, thr)) => st -> thr }.toMap
+    val thr = element_at(typedLit(thresholds),
+      col(stratumCol).cast("string"))
+    df.filter(thr.isNotNull && Sharding.mixHash(col(idCol)) < thr)
+  }
+
+  /** The fitted per-stratum plan behind [[temperatureMixtureSample]]:
+    * stratum -> (token mass, 12dp-rounded share, keep rate, integer
+    * hash threshold). Shared by the sampler and the PLAN report so
+    * the two can never disagree.
+    */
+  private def temperatureThresholds(df: DataFrame, stratumCol: String,
+      tokenCol: String, alpha: Double, tokenBudget: Long)
+      : Seq[(String, (Long, Double, Double, Long))] = {
     require(alpha > 0 && alpha <= 1,
       s"temperature alpha must be in (0,1], got $alpha")
     require(tokenBudget > 0,
       s"token budget must be positive, got $tokenBudget")
-    graft.core.Ids.requireIntegral(df, idCol, "temperatureMixtureSample")
     val cap = graft.core.Limits.maxFitLevels(df.sparkSession)
     val rows = df.filter(col(stratumCol).isNotNull)
       .groupBy(col(stratumCol).cast("string").as("__st"))
@@ -573,16 +589,33 @@ object TextOps {
     val sorted = rows.sortBy(_._1)
     val z = sorted.foldLeft(0.0)((a, kv) =>
       a + math.pow(kv._2.toDouble, alpha))
-    val thresholds: Map[String, Long] = sorted.map { case (st, n) =>
+    sorted.map { case (st, n) =>
       // 12dp half-away-from-zero round (positive input): kills any
       // cross-engine last-ulp wobble in the z fold before the floor
       val share = math.floor(
         math.pow(n.toDouble, alpha) / z * 1e12 + 0.5) / 1e12
       val rate = math.min(1.0, tokenBudget.toDouble * share / n.toDouble)
-      st -> math.floor(rate * 4294967296.0).toLong
-    }.toMap
-    val thr = element_at(typedLit(thresholds),
-      col(stratumCol).cast("string"))
-    df.filter(thr.isNotNull && Sharding.mixHash(col(idCol)) < thr)
+      st -> ((n, share, rate,
+        math.floor(rate * 4294967296.0).toLong))
+    }
+  }
+
+  /** The mixture PLAN as a table — the artifact a data team reviews
+    * BEFORE launching the sampled job: per stratum, the observed token
+    * mass, the temperature-derived target share, the keep rate (1.0 =
+    * under-represented stratum kept whole), the expected kept tokens,
+    * and the exact integer hash threshold the sampler will apply.
+    * \|strata\| rows; same fit as [[temperatureMixtureSample]], so
+    * plan and execution cannot drift (shared code path, q156/q161).
+    */
+  def temperatureMixturePlan(df: DataFrame, stratumCol: String,
+      tokenCol: String, alpha: Double, tokenBudget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    temperatureThresholds(df, stratumCol, tokenCol, alpha, tokenBudget)
+      .map { case (st, (n, share, rate, thr)) =>
+        (st, n, share, rate, rate * n, thr) }
+      .toDF(stratumCol, "n_tokens", "share", "keep_rate",
+        "expected_tokens", "hash_threshold")
   }
 }

@@ -17,6 +17,17 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = []
+
+# --expect-all (full runs): a query that FAILED TO DUMP must read as a
+# failure, not as silence — this loop otherwise only sees dirs that
+# exist (a SPARK_GRAFT_VERIFY_ONLY run legitimately dumps a subset,
+# so the check is opt-in)
+if "--expect-all" in sys.argv:
+    dumped = {n for n in os.listdir(out_dir)
+              if os.path.isdir(f"{out_dir}/{n}")}
+    for name in sorted(set(oracle) - dumped):
+        print(f"{name}: MISSING DUMP (query failed in Verify?)")
+        fails.append(name)
 for name in sorted(os.listdir(out_dir)):
     d = f"{out_dir}/{name}"
     if not os.path.isdir(d):
