@@ -378,4 +378,38 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("Partial"),
       s"cluster sizing lost its map-side combine:\n${plan.take(1200)}")
   }
+
+  test("Yeo-Johnson fit is ONE fused aggregation (all 17 candidates " +
+      "in a single pass); transform is a shuffle-free projection") {
+    val d = spark.range(0, 5000)
+      .selectExpr("CAST(id % 97 AS DOUBLE) - 20.0 AS v")
+    val t = new graft.operators.YeoJohnsonTransformer(Seq("v"))
+    // count the jobs the fit runs via a listener: one agg = one job
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { t.fit(d); Thread.sleep(300) }
+    finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs.get() <= 2, s"fit ran ${jobs.get()} jobs, expected 1-2")
+    val plan = t.transform(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"transform shuffled:\n${plan.take(600)}")
+  }
+
+  test("per-group quantile gate: threshold side is a bounded agg, " +
+      "no window over the corpus, no cartesian") {
+    val d = spark.range(0, 2000)
+      .selectExpr("CAST(id % 5 AS STRING) AS k",
+        "CAST(id % 131 AS DOUBLE) AS v")
+    val out = graft.operators.GroupOps
+      .filterByGroupQuantile(d, "k", "v", prob = 0.75)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
 }
