@@ -919,6 +919,29 @@ object QueriesData {
         .orderBy("source")
     }),
 
+    "q162_rolling_distinct" -> ((s, dir) => {
+      // "distinct items per user per day" — the canonical feature-
+      // store cardinality feature, composed from the typed JSON
+      // extractor (q155) and the per-key HLL (q157): state per
+      // (user, day) is bounded by min(cardinality, 512) ints however
+      // many events arrive. Exact distinct rides along as demo truth
+      val ev = tbl(s, dir, "events")
+        .select(concat(col("user_id").cast("string"), lit("|"),
+            date_format(col("ts"), "yyyy-MM-dd")).as("key"),
+          get_json_object(col("props"), "$.k").as("item"))
+      val est = graft.core.Hll.hllReadoutByKey(
+        graft.core.Hll.hllRegistersByKey(ev, "key", "item", p = 9),
+        p = 9)
+        .withColumn("estimate", round(col("estimate"), 4))
+      val truth = ev.filter(col("item").isNotNull)
+        .groupBy(col("key").as("__k"))
+        .agg(count_distinct(col("item")).as("n_true"))
+      est.join(truth, col("key") === col("__k"))
+        .select(col("key"), col("n_present"), col("estimate"),
+          col("n_true"))
+        .orderBy("key")
+    }),
+
     "q129_dataset_split" -> ((s, dir) => {
       // deterministic salted-hash train/val/test split: ids never
       // migrate between splits as the corpus grows (unlike
@@ -2596,6 +2619,47 @@ object QueriesData {
     // over-count, so ORDER BY est DESC, token is deterministic
     "q128_cms_heavy_hitters" -> cmsTop25Sql,
     "q150_hll_distinct" -> hllDistinctSql,
+
+    // the q157 per-key replay over (user, day) keys and JSON items
+    "q162_rolling_distinct" -> {
+      val alpha = graft.core.Hll.alphaM(512L)
+      s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) || '|' ||
+        |    strftime(ts, '%Y-%m-%d') AS key,
+        |    json_extract_string(props, '$$.k') AS item
+        |  FROM events),
+        |h AS (SELECT key, CAST('0x' || substring(md5(item), 1, 15)
+        |    AS BIGINT) AS h FROM ev WHERE item IS NOT NULL),
+        |rr AS (SELECT key, CAST(h % 512 AS INTEGER) AS reg,
+        |    LEAST(CASE WHEN (h >> 9) = 0 THEN 52
+        |      ELSE 51 - length(bin(h >> 9)) + 1 END, 40) AS rho
+        |  FROM h),
+        |regs AS (SELECT key, reg, MAX(rho) AS rho FROM rr
+        |  GROUP BY key, reg),
+        |a AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_present,
+        |    CAST(SUM(1::BIGINT << (40 - rho)) AS BIGINT) AS s_present
+        |  FROM regs GROUP BY key),
+        |st AS (SELECT key, n_present,
+        |    s_present + (512 - n_present) * (1::BIGINT << 40)
+        |      AS s_micro
+        |  FROM a),
+        |e AS (SELECT key, n_present, s_micro,
+        |    CAST('$alpha' AS DOUBLE) * CAST(512 AS DOUBLE)
+        |      * CAST(512 AS DOUBLE)
+        |      / (CAST(s_micro AS DOUBLE)
+        |         / CAST(1::BIGINT << 40 AS DOUBLE)) AS e_raw
+        |  FROM st),
+        |tc AS (SELECT key, CAST(COUNT(DISTINCT item) AS BIGINT)
+        |    AS n_true FROM ev WHERE item IS NOT NULL GROUP BY key)
+        |SELECT e.key, n_present,
+        |  ROUND(CASE WHEN e_raw <= CAST(1280 AS DOUBLE)
+        |      AND (512 - n_present) > 0
+        |    THEN CAST(512 AS DOUBLE)
+        |      * ln(CAST(512 AS DOUBLE)
+        |        / CAST(512 - n_present AS DOUBLE))
+        |    ELSE e_raw END, 4) AS estimate, tc.n_true
+        |FROM e JOIN tc USING (key)
+        |ORDER BY 1""".stripMargin
+    },
 
     // per-source replay of the q150 register + readout rule
     "q157_hll_by_source" -> {
