@@ -526,6 +526,49 @@ object QueriesStreaming {
       QueriesData.hllReadout512(s, dir, regs)
     }),
 
+    "q163_stream_hll_by_key" -> ((s, dir) => {
+      // per-key HLL registers built BY THE STREAM (update mode,
+      // <= |keys| x 512 ints of state forever): per-(key, register)
+      // MAX merges associatively and idempotently across the 3
+      // micro-batches, so the final state must reproduce q157's
+      // one-shot batch readout exactly (same oracle)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("source"), col("text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+      val input = MemoryStream[(Long, String, String)]
+      val toks = input.toDF().toDF("doc_id", "source", "text")
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("token"))
+      val latest = scala.collection.mutable.Map[(String, Int), Int]()
+      val q = graft.core.Hll.hllRegistersByKey(toks, "source",
+        "token", p = 9)
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(r =>
+            latest((r.getString(0), r.getInt(1))) = r.getInt(2))
+          ()
+        }.queryName("q163").start()
+      drive(input, q, rows, nChunks = 3)
+      val regs = latest.toSeq
+        .map { case ((k, reg), rho) => (k, reg, rho) }
+        .toDF("key", "reg", "rho")
+      val est = graft.core.Hll.hllReadoutByKey(regs, p = 9)
+        .withColumn("estimate", round(col("estimate"), 4))
+      val truth = tbl(s, dir, "documents")
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("source").as("__src"))
+        .agg(count_distinct(col("token")).as("n_true"))
+      est.join(truth, col("key") === col("__src"))
+        .select(col("key").as("source"), col("n_present"),
+          col("s_micro"), col("estimate"), col("n_true"))
+        .orderBy("source")
+    }),
+
     "q147_stream_decayed_feature" -> ((s, dir) => {
       // the ONLINE companion of q146: the exact (untruncated)
       // time-decay recurrence s_t = x_t + s_prev * 2^(-dt/hl), carried
@@ -584,6 +627,10 @@ object QueriesStreaming {
     // the stream-built HLL registers must reproduce the one-shot
     // batch readout exactly — literally q150's oracle
     "q151_stream_hll" -> QueriesData.hllDistinctSql,
+
+    // the stream-built PER-KEY registers must reproduce q157's
+    // one-shot batch readout exactly — literally its oracle
+    "q163_stream_hll_by_key" -> QueriesData.oracles("q157_hll_by_source"),
 
     // the stream's merged top-k state must equal the one-shot batch
     // weighted sample — literally q130's oracle
