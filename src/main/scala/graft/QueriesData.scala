@@ -738,6 +738,22 @@ object QueriesData {
         .orderBy("c_custkey")
     }),
 
+    "q164_loo_target_encoding" -> ((s, dir) => {
+      // leave-one-out target encoding on a train/apply mix: every 7th
+      // row's response is masked (the apply-time slice — it gets FULL
+      // level statistics), the rest encode from their level minus
+      // themselves; integral response -> bit-exact sums
+      GroupOps.looMeanResponse(
+        tbl(s, dir, "customer")
+          .withColumn("resp",
+            when(col("c_custkey") % 7 === 0, lit(null).cast("double"))
+              .otherwise(floor(col("c_acctbal")).cast("double"))),
+        "c_mktsegment", "resp", prior = 5.0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("loo_enc"), 6).as("loo_enc"))
+        .orderBy("c_custkey")
+    }),
+
     "q97_ivf_query_pinned" -> ((s, dir) => {
       // IVF QUERY path with a PINNED coarse quantizer (the Lloyd fit
       // itself stays spec-pinned, like q54/q92): list assignment,
@@ -1974,6 +1990,27 @@ object QueriesData {
         |JOIN t ON d.c_mktsegment = t.k
         |CROSS JOIN g
         |LEFT JOIN s ON d.c_mktsegment = s.k AND d.f = s.f
+        |ORDER BY 1""".stripMargin,
+
+    "q164_loo_target_encoding" ->
+      """WITH d AS (SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |      ELSE FLOOR(c_acctbal) END AS y
+        |  FROM customer),
+        |s AS (SELECT c_mktsegment AS k, SUM(y) AS ss,
+        |    CAST(COUNT(y) AS BIGINT) AS cc
+        |  FROM d GROUP BY 1),
+        |g AS (SELECT SUM(y) * 1.0 / COUNT(y) AS m FROM d)
+        |SELECT d.c_custkey, d.c_mktsegment,
+        |  ROUND((COALESCE(s.ss, 0) -
+        |      CASE WHEN d.y IS NOT NULL THEN d.y ELSE 0 END
+        |      + 5.0 * g.m) /
+        |    (COALESCE(s.cc, 0) -
+        |      CASE WHEN d.y IS NOT NULL THEN 1 ELSE 0 END
+        |      + 5.0), 6) AS loo_enc
+        |FROM d
+        |LEFT JOIN s ON d.c_mktsegment = s.k
+        |CROSS JOIN g
         |ORDER BY 1""".stripMargin,
 
     "q80_group_zscore" ->

@@ -280,4 +280,54 @@ object GroupOps {
       .filter(v.isNotNull && !isnan(v) && col("__thr").isNotNull && cmp)
       .drop("__gk", "__thr")
   }
+
+  /** Leave-one-out target encoding (category_encoders
+    * `LeaveOneOutEncoder` semantics, smoothed): each labeled row is
+    * encoded from its level's statistics MINUS ITSELF —
+    * `(sum_level - y + prior * global_mean) / (count_level - 1 + prior)`
+    * — the row-granular counterpart of [[oofMeanResponse]]'s fold-
+    * granular leakage guard. Rows with a null response (the apply-time
+    * rows in a train/apply mix) get the FULL level statistics; an
+    * unseen level falls back to the smoothed prior (null when
+    * `prior == 0`, as does a singleton level's labeled row, whose
+    * out-of-self slice is empty).
+    *
+    * Shape: one map-side-combined groupBy(level) over (sum, count) —
+    * \|levels\| rows — and one broadcastable left join back; the
+    * subtraction happens rowside in a codegen'd projection, so no
+    * per-row shuffle beyond the join. The response should be integral-
+    * valued (cast to double) for bit-exact cross-engine sums.
+    */
+  def looMeanResponse(df: DataFrame, keyCol: String,
+      responseCol: String, prior: Double = 0.0,
+      outCol: String = "loo_enc"): DataFrame = {
+    require(prior >= 0, s"prior must be >= 0, got $prior")
+    val y = col(responseCol).cast("double")
+    val globalMean =
+      if (prior == 0) 0.0 // multiplied by 0 — skip the scan
+      else {
+        val r = df.agg((sum(when(y.isNotNull, y)) /
+          count(when(y.isNotNull, lit(1)))).as("m")).head()
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      }
+    val stats = df
+      .select(col(keyCol).as("__k"), y.as("__y"))
+      .filter(col("__y").isNotNull)
+      .groupBy(col("__k"))
+      .agg(sum(col("__y")).as("__s"), count(lit(1)).as("__c"))
+    val joined = df.join(stats, df(keyCol) <=> col("__k"), "left")
+    val s = coalesce(col("__s"), lit(0.0))
+    val c = coalesce(col("__c"), lit(0L))
+    // labeled row: drop itself; unlabeled row: full level stats —
+    // both as ((sum - self) + prior*gm) / ((count - self) + prior),
+    // the exact operand order the DuckDB oracle mirrors
+    val selfY = when(y.isNotNull, y).otherwise(lit(0.0))
+    val selfC = when(y.isNotNull, lit(1L)).otherwise(lit(0L))
+    val den = (c - selfC) + lit(prior)
+    joined
+      .withColumn(outCol,
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(((s - selfY) + lit(prior) * lit(globalMean)) / den))
+      .drop("__k", "__s", "__c")
+  }
 }

@@ -122,6 +122,32 @@ class GroupOpsSpec extends SparkSpec {
     assert(math.abs(base(10L) - exp) < 1e-12)
   }
 
+  test("looMeanResponse: self-exclusion, null-response full stats, " +
+      "unseen level, singleton level") {
+    val d = df("id BIGINT, k STRING, y DOUBLE", Seq(
+      Row(1L, "a", 1.0), Row(2L, "a", 2.0), Row(3L, "a", 6.0),
+      Row(4L, "a", null),            // apply-time row: full stats
+      Row(5L, "b", 4.0),             // singleton level
+      Row(6L, "c", null)))           // level with no labels at all
+    val out = GroupOps.looMeanResponse(d, "k", "y", prior = 0.0)
+      .select("id", "loo_enc").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out(1L) == (2.0 + 6.0) / 2)   // leaves its own 1.0 out
+    assert(out(2L) == (1.0 + 6.0) / 2)
+    assert(out(3L) == (1.0 + 2.0) / 2)
+    assert(out(4L) == (1.0 + 2.0 + 6.0) / 3) // null y -> full stats
+    assert(out(5L) == null)  // singleton labeled row, prior 0 -> null
+    assert(out(6L) == null)  // unlabeled level, prior 0 -> null
+    // smoothed: prior=2, global mean = (1+2+6+4)/4 = 3.25
+    val sm = GroupOps.looMeanResponse(d, "k", "y", prior = 2.0)
+      .select("id", "loo_enc").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(sm(1L) - (8.0 + 2 * 3.25) / 4) < 1e-12)
+    assert(math.abs(sm(5L) - (0.0 + 2 * 3.25) / 2) < 1e-12)
+    assert(math.abs(sm(6L) - 3.25) < 1e-12) // pure prior
+  }
+
   test("robustScaleByGroup: (x-median)/IQR, zero-IQR -> x-median") {
     val d = df("k STRING, x DOUBLE",
       ((1 to 100).map(i => Row("a", i.toDouble)) ++
