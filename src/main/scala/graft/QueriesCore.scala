@@ -221,6 +221,20 @@ object QueriesCore {
         .orderBy("o_orderkey")
     }),
 
+    "q165_hashed_cross" -> ((s, dir) => {
+      // hashing-trick cross feature (c_mktsegment x c_nationkey) into
+      // 64 buckets — nulls injected via NULLIF to prove the U+0001
+      // null sentinel and U+001F separator are engine-portable: the
+      // oracle recomputes every bucket from md5 digits
+      val df = tbl(s, dir, "customer")
+        .withColumn("seg", nullif(col("c_mktsegment"), lit("BUILDING")))
+      val t = new HashedCrossEncoder(Seq("seg", "c_nationkey"), 64,
+        "cross_bucket")
+      t.transform(df)
+        .select(col("c_custkey"), col("cross_bucket"))
+        .orderBy("c_custkey")
+    }),
+
     "q10_one_hot" -> ((s, dir) => {
       val df = tbl(s, dir, "orders")
       val t = new OneHotEncodingTransformer(Seq("o_orderstatus")).fit(df)
@@ -1067,6 +1081,15 @@ object QueriesCore {
         |  ROUND((SELECT woe FROM enc
         |    WHERE lvl = t.o_orderpriority), 6) AS o_orderpriority
         |FROM t ORDER BY 1""".stripMargin,
+
+    "q165_hashed_cross" ->
+      """SELECT c_custkey,
+        |  CAST(CAST('0x' || substring(md5(
+        |      concat_ws(chr(31),
+        |        coalesce(NULLIF(c_mktsegment, 'BUILDING'), chr(1)),
+        |        coalesce(CAST(c_nationkey AS VARCHAR), chr(1)))),
+        |    1, 15) AS BIGINT) % 64 AS INTEGER) AS cross_bucket
+        |FROM customer ORDER BY 1""".stripMargin,
 
     "q10_one_hot" ->
       """SELECT o_orderkey,

@@ -164,6 +164,10 @@ object Json {
       new WoeEncoderTransformer(p.strs("columns"),
         p.str("response_column"), p.dbl("regularization"),
         p.strOpt("weights_column")) }),
+    "HashedCrossEncoder" -> (i => {
+      val p = new P(i)
+      new HashedCrossEncoder(p.strs("columns"), p.int("num_buckets"),
+        p.str("output_col")) }),
     "ArbitraryImputer" -> (i => {
       val p = new P(i); new ArbitraryImputer(p.strs("columns"),
         p.raw("impute_value")) }),

@@ -678,3 +678,44 @@ class WoeEncoderTransformer(
     super.restoreFit(fit)
   }
 }
+
+/** Hashing-trick CROSS-feature encoder: the crossed categorical
+  * `(col_1 x col_2 x ...)` mapped to a stable bucket id in
+  * `[0, numBuckets)` — the unbounded-cardinality answer to the
+  * one-hot / ordinal / count encoders above. No fit pass, no
+  * vocabulary state, no growth as novel level combinations appear:
+  * at 100 TB a raw (domain x language x source) cross has billions of
+  * distinct combinations and any fitted map explodes, while the
+  * hashed bucket is a pure stateless projection (whole-stage codegen,
+  * zero shuffle, collision rate set by `numBuckets`).
+  *
+  * The bucket is the engine-portable [[graft.core.Hashing.md5Hash60]]
+  * of the U+001F unit-separator-joined values with null as U+0001 — so
+  * null vs empty string vs a value containing the separator cannot
+  * collide, and an external engine reproduces the ids digit-for-digit
+  * (q165's DuckDB oracle recomputes every bucket via
+  * `md5(concat_ws(chr(31), coalesce(x, chr(1)), ...))`).
+  */
+class HashedCrossEncoder(
+    val columns: Seq[String],
+    val numBuckets: Int,
+    val outputCol: String
+) extends Transformer {
+  require(columns.size >= 2,
+    s"$classname: need >= 2 columns to cross, got ${columns.size}")
+  require(numBuckets > 0,
+    s"$classname: numBuckets must be > 0, got $numBuckets")
+
+  override def transformExprs(df: DataFrame): Seq[(String, Column)] = {
+    val parts = columns.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0001")))
+    val joined = concat_ws("\u001f", parts: _*)
+    Seq(outputCol -> pmod(graft.core.Hashing.md5Hash60(joined),
+      lit(numBuckets.toLong)).cast("int"))
+  }
+
+  override def featureNamesOut: Seq[String] = Seq(outputCol)
+  override def initParams: Map[String, Any] = Map(
+    "columns" -> columns, "num_buckets" -> numBuckets,
+    "output_col" -> outputCol)
+}
