@@ -2,7 +2,7 @@ package graft
 
 import graft.ann.Knn
 import graft.dedup.{Components, Dedup}
-import graft.operators.GroupOps
+import graft.operators.{Drift, GroupOps}
 import graft.text.Sharding
 import graft.multimodal.Multimodal
 import graft.text.TextOps
@@ -752,6 +752,24 @@ object QueriesData {
         .select(col("c_custkey"), col("c_mktsegment"),
           round(col("loo_enc"), 6).as("loo_enc"))
         .orderBy("c_custkey")
+    }),
+
+    "q166_psi_drift" -> ((s, dir) => {
+      // PSI drift between the pre-1996 reference slice and the
+      // current slice on order priority: per-level detail plus the
+      // exact BIGINT nano-unit total (summation-order-independent,
+      // reproduced digit-for-digit by the oracle)
+      val o = tbl(s, dir, "orders")
+      val ref = o.filter(col("o_orderdate") <
+        to_timestamp(lit("1996-01-01")))
+      val cur = o.filter(col("o_orderdate") >=
+        to_timestamp(lit("1996-01-01")))
+      Drift.psiByLevel(ref, cur, "o_orderpriority")
+        .select(col("level"), round(col("p_ref"), 6).as("p_ref"),
+          round(col("p_cur"), 6).as("p_cur"),
+          round(col("psi_term"), 6).as("psi_term"),
+          col("psi_total_nano"))
+        .orderBy("level")
     }),
 
     "q97_ivf_query_pinned" -> ((s, dir) => {
@@ -1991,6 +2009,34 @@ object QueriesData {
         |CROSS JOIN g
         |LEFT JOIN s ON d.c_mktsegment = s.k AND d.f = s.f
         |ORDER BY 1""".stripMargin,
+
+    "q166_psi_drift" ->
+      """WITH r AS (SELECT o_orderpriority AS level, COUNT(*) AS c
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY 1),
+        |rt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+        |c AS (SELECT o_orderpriority AS level, COUNT(*) AS c
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  GROUP BY 1),
+        |ct AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+        |j AS (SELECT COALESCE(r.level, c.level) AS level,
+        |    COALESCE(CAST(r.c AS DOUBLE) / (SELECT t FROM rt), 0)
+        |      AS p_ref,
+        |    COALESCE(CAST(c.c AS DOUBLE) / (SELECT t FROM ct), 0)
+        |      AS p_cur
+        |  FROM r FULL OUTER JOIN c ON r.level = c.level),
+        |d AS (SELECT level, p_ref, p_cur,
+        |    (p_cur - p_ref) *
+        |      ln(GREATEST(p_cur, 1e-6) / GREATEST(p_ref, 1e-6)) AS term
+        |  FROM j),
+        |tot AS (SELECT CAST(SUM(CAST(ROUND(term * 1e9, 0) AS BIGINT))
+        |    AS BIGINT) AS nano FROM d)
+        |SELECT level, ROUND(p_ref, 6) AS p_ref,
+        |  ROUND(p_cur, 6) AS p_cur, ROUND(term, 6) AS psi_term,
+        |  (SELECT nano FROM tot) AS psi_total_nano
+        |FROM d ORDER BY 1""".stripMargin,
 
     "q164_loo_target_encoding" ->
       """WITH d AS (SELECT c_custkey, c_mktsegment,

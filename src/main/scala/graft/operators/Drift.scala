@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between a reference slice (the
+  * training snapshot) and a current slice (fresh production data) —
+  * the check every long-lived feature pipeline runs before it trusts
+  * a fitted transformer's statistics on this week's data.
+  *
+  * Everything is expressed as two \|levels\|-row aggregations plus a
+  * level-keyed full-outer join: the exchanges carry one row per
+  * distinct level regardless of input size, so the op costs two scans
+  * and O(\|levels\|) shuffle at any scale. No driver-side state.
+  */
+object Drift {
+
+  /** Per-level Population Stability Index detail between `ref` and
+    * `cur` on a categorical column:
+    * `term(l) = (q_l - p_l) * ln(max(q_l, eps) / max(p_l, eps))`
+    * where `p`/`q` are the level's share of the reference/current
+    * slice and `eps` guards levels absent from one side (the classic
+    * PSI smoothing). Null is its own level (a null-rate shift IS
+    * drift).
+    *
+    * Output: one row per level — `level, p_ref, p_cur, psi_term`,
+    * plus `psi_total_nano`: the column's total PSI in integer
+    * NANO-units, summed as BIGINT so the total is exact and
+    * independent of float summation order (engine-portable — q166's
+    * DuckDB oracle reproduces every digit). `psi_total_nano >= 2e8`
+    * (PSI 0.2) is the conventional "investigate" threshold.
+    */
+  def psiByLevel(ref: DataFrame, cur: DataFrame, colName: String,
+      eps: Double = 1e-6): DataFrame = {
+    require(eps > 0, s"eps must be > 0, got $eps")
+    def shares(df: DataFrame, share: String) = df
+      .groupBy(col(colName).cast("string").as("level"))
+      .agg(count(lit(1)).as("__c"))
+      .crossJoin(df.agg(count(lit(1)).as("__t")))
+      .select(col("level"),
+        (col("__c").cast("double") / col("__t").cast("double"))
+          .as(share))
+    val p = shares(ref, "p_ref")
+    val q = shares(cur, "p_cur")
+    val joined = p.join(q, p("level") <=> q("level"), "full_outer")
+      .select(coalesce(p("level"), q("level")).as("level"),
+        coalesce(col("p_ref"), lit(0.0)).as("p_ref"),
+        coalesce(col("p_cur"), lit(0.0)).as("p_cur"))
+    // exact operand order, mirrored verbatim by the oracle:
+    // (q - p) * ln(greatest(q, eps) / greatest(p, eps))
+    val term = (col("p_cur") - col("p_ref")) *
+      log(greatest(col("p_cur"), lit(eps)) /
+        greatest(col("p_ref"), lit(eps)))
+    val detail = joined.withColumn("psi_term", term)
+      .withColumn("__nano", round(col("psi_term") * lit(1e9), 0)
+        .cast("long"))
+    detail
+      .crossJoin(detail.agg(sum(col("__nano")).as("psi_total_nano")))
+      .drop("__nano")
+  }
+
+  /** PSI for a NUMERIC column: bin edges are fitted as exact
+    * quantiles of the REFERENCE slice (the distributed np.interp
+    * machinery — no single-partition stage), then both slices are
+    * bucketed against those fixed edges and routed through
+    * [[psiByLevel]]'s share/term computation on the bucket index.
+    * Rows with null/NaN values form their own bucket (-1).
+    */
+  def psiNumeric(ref: DataFrame, cur: DataFrame, colName: String,
+      bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val edges = graft.core.Stats
+      .weightedQuantiles(ref.select(col(colName)), colName, lit(1.0),
+        probs)
+      .flatten
+    def bucketed(df: DataFrame) = {
+      val v = col(colName).cast("double")
+      val idx = edges.zipWithIndex.foldLeft(lit(edges.size): Column) {
+        case (acc, (e, i)) => when(v <= e, lit(i)).otherwise(acc)
+      }
+      df.withColumn("__bucket",
+        when(v.isNull || isnan(v), lit(-1)).otherwise(idx))
+    }
+    psiByLevel(bucketed(ref), bucketed(cur), "__bucket", eps)
+  }
+}

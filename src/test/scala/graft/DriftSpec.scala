@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Drift
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+
+  test("psiByLevel: hand-computed terms, eps smoothing for one-sided " +
+      "levels, exact nano total") {
+    // ref: a x3, b x1   cur: a x1, b x2, c x1
+    val ref = df("k STRING", Seq(Row("a"), Row("a"), Row("a"), Row("b")))
+    val cur = df("k STRING", Seq(Row("a"), Row("b"), Row("b"), Row("c")))
+    val out = Drift.psiByLevel(ref, cur, "k").collect()
+      .map(r => r.getString(0) -> r).toMap
+    def term(p: Double, q: Double) =
+      (q - p) * math.log(math.max(q, 1e-6) / math.max(p, 1e-6))
+    assert(math.abs(out("a").getDouble(3) - term(0.75, 0.25)) < 1e-12)
+    assert(math.abs(out("b").getDouble(3) - term(0.25, 0.5)) < 1e-12)
+    // c absent from ref: p smoothed to eps -> large positive term
+    assert(math.abs(out("c").getDouble(3) - term(0.0, 0.25)) < 1e-12)
+    assert(out("c").getDouble(1) == 0.0)
+    val expNano = Seq(term(0.75, 0.25), term(0.25, 0.5), term(0.0, 0.25))
+      .map(t => math.round(t * 1e9)).sum
+    assert(out.values.forall(_.getLong(4) == expNano))
+  }
+
+  test("psiByLevel: identical distributions -> all-zero terms; " +
+      "null is its own level") {
+    val a = df("k STRING", Seq(Row("x"), Row("y"), Row(null)))
+    val out = Drift.psiByLevel(a, a, "k").collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getDouble(3) == 0.0))
+    assert(out.forall(_.getLong(4) == 0L))
+    assert(out.count(_.isNullAt(0)) == 1)
+  }
+
+  test("psiNumeric: reference-quantile bins, shifted current slice " +
+      "registers drift, null bucket -1") {
+    val ref = df("x DOUBLE", (1 to 100).map(i => Row(i.toDouble)))
+    val same = Drift.psiNumeric(ref, ref, "x", bins = 4)
+    assert(same.collect().forall(_.getLong(4) == 0L))
+    val shifted = df("x DOUBLE",
+      (61 to 160).map(i => Row(i.toDouble)) :+ Row(null))
+    val out = Drift.psiNumeric(ref, shifted, "x", bins = 4).collect()
+    val total = out.head.getLong(4)
+    assert(total > 200000000L, s"PSI must exceed 0.2, got nano=$total")
+    assert(out.exists(r => r.getString(0) == "-1" &&
+      r.getDouble(2) > 0))
+  }
+}
