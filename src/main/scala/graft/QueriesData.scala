@@ -2,7 +2,7 @@ package graft
 
 import graft.ann.Knn
 import graft.dedup.{Components, Dedup}
-import graft.operators.{Drift, GroupOps}
+import graft.operators.{Drift, GroupOps, Privacy}
 import graft.text.Sharding
 import graft.multimodal.Multimodal
 import graft.text.TextOps
@@ -770,6 +770,21 @@ object QueriesData {
           round(col("psi_term"), 6).as("psi_term"),
           col("psi_total_nano"))
         .orderBy("level")
+    }),
+
+    "q167_k_anonymity" -> ((s, dir) => {
+      // k-anonymity / l-diversity audit before a table release:
+      // quasi-identifiers (nation, account-balance band), sensitive =
+      // market segment; every class size and diversity is an exact
+      // integer the oracle recomputes
+      val d = tbl(s, dir, "customer")
+        .withColumn("band", floor(col("c_acctbal") / 1000))
+      Privacy.kAnonymityAudit(d, Seq("c_nationkey", "band"),
+        "c_mktsegment", k = 5, l = 3)
+        .select(col("c_custkey"), col("eq_class_size"),
+          col("sensitive_diversity"), col("k_anonymous"),
+          col("l_diverse"))
+        .orderBy("c_custkey")
     }),
 
     "q97_ivf_query_pinned" -> ((s, dir) => {
@@ -2008,6 +2023,19 @@ object QueriesData {
         |JOIN t ON d.c_mktsegment = t.k
         |CROSS JOIN g
         |LEFT JOIN s ON d.c_mktsegment = s.k AND d.f = s.f
+        |ORDER BY 1""".stripMargin,
+
+    "q167_k_anonymity" ->
+      """WITH d AS (SELECT c_custkey, c_nationkey,
+        |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band,
+        |    c_mktsegment FROM customer),
+        |s AS (SELECT c_nationkey, band, COUNT(*) AS n,
+        |    COUNT(DISTINCT c_mktsegment) AS dv
+        |  FROM d GROUP BY 1, 2)
+        |SELECT d.c_custkey, s.n AS eq_class_size,
+        |  s.dv AS sensitive_diversity,
+        |  s.n >= 5 AS k_anonymous, s.dv >= 3 AS l_diverse
+        |FROM d JOIN s USING (c_nationkey, band)
         |ORDER BY 1""".stripMargin,
 
     "q166_psi_drift" ->
