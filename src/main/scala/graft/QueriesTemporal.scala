@@ -171,6 +171,18 @@ object QueriesTemporal {
       WindowOps.sessionize(tbl(s, dir, "events"), "user_id", "ts",
         gapSeconds = 1800)
         .select(col("event_id"), col("session_id")).orderBy("event_id")
+    }),
+
+    "q168_session_features" -> ((s, dir) => {
+      // per-session rollup: duration (exact microseconds), event
+      // count, type diversity, spend in integer micro-units — the
+      // behavioral feature table a CTR model trains on
+      WindowOps.sessionFeatures(tbl(s, dir, "events"), "user_id", "ts",
+        gapSeconds = 1800, valueCol = "value", typeCol = "event_type")
+        .select(col("user_id"), col("session_id"),
+          col("session_start"), col("session_end"), col("duration_us"),
+          col("n_events"), col("n_event_types"), col("value_micros"))
+        .orderBy("user_id", "session_id")
     })
   )
 
@@ -319,6 +331,32 @@ object QueriesTemporal {
         |SELECT a.aid, b.bid
         |FROM a JOIN b ON a.k = b.k AND a.s1 <= b.e2 AND b.s2 <= a.e1
         |ORDER BY 1, 2""".stripMargin,
+
+    // same sessionize CTE as q39, then one GROUP BY (user, session);
+    // duration in exact integer microseconds, spend in integer
+    // micro-units (round-then-sum as BIGINT — immune to float
+    // summation order; DuckDB SUM(BIGINT) is HUGEINT, cast back)
+    "q168_session_features" ->
+      """WITH t AS (SELECT user_id, ts, event_type, value,
+        |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         IS NULL
+        |    OR date_diff('microsecond',
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+        |       > 1800000000
+        |  THEN 1 ELSE 0 END AS is_new FROM events),
+        |s AS (SELECT user_id, ts, event_type, value,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM t)
+        |SELECT user_id, session_id,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_type) AS n_event_types,
+        |  CAST(SUM(COALESCE(CAST(ROUND(value * 1e6, 0) AS BIGINT), 0))
+        |       AS BIGINT) AS value_micros
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q39_sessionize" ->
       """WITH t AS (SELECT event_id, user_id, ts,

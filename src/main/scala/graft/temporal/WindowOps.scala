@@ -146,4 +146,31 @@ object WindowOps {
       .select(df.columns.map(col).toIndexedSeq :+
         sum(col("__is_new")).over(runningSpec).as(sessionCol): _*)
   }
+
+  /** Session-level feature rollup: [[sessionize]] then ONE map-side-
+    * combined groupBy(entity, session) — the per-session training
+    * features (duration, event count, type diversity, spend) a
+    * behavioral model consumes instead of raw events. Output is
+    * \|sessions\| rows; the groupBy's partial aggregation means the
+    * post-window exchange carries sessions, not events.
+    *
+    * Engine-portable by construction: duration is an exact
+    * MICROSECOND integer and `value_micros` sums `round(value * 1e6)`
+    * as BIGINT (integer micro-units — immune to float summation
+    * order; null values contribute 0).
+    */
+  def sessionFeatures(df: DataFrame, entity: String, ts: String,
+      gapSeconds: Long, valueCol: String,
+      typeCol: String): DataFrame = {
+    val tUs = unix_micros(col(ts).cast("timestamp"))
+    sessionize(df, entity, ts, gapSeconds)
+      .groupBy(col(entity), col("session_id"))
+      .agg(min(col(ts)).as("session_start"),
+        max(col(ts)).as("session_end"),
+        (max(tUs) - min(tUs)).as("duration_us"),
+        count(lit(1)).as("n_events"),
+        count_distinct(col(typeCol)).as("n_event_types"),
+        sum(coalesce(round(col(valueCol) * lit(1e6), 0).cast("long"),
+          lit(0L))).as("value_micros"))
+  }
 }

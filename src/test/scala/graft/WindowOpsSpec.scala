@@ -79,6 +79,30 @@ class WindowOpsSpec extends SparkSpec {
       .asInstanceOf[Double] - 5.0) < 1e-12)           // 4 + 2*0.5
   }
 
+  test("sessionFeatures: per-session rollup, exact micros, null spend = 0") {
+    val d = df("e STRING, ts TIMESTAMP, v DOUBLE, t STRING", Seq(
+      Row("a", ts("2024-01-01 10:00:00"), 1.5, "view"),
+      Row("a", ts("2024-01-01 10:10:00"), null, "view"),
+      Row("a", ts("2024-01-01 10:20:00"), 2.25, "purchase"),
+      Row("a", ts("2024-01-01 12:00:00"), 4.0, "view"),
+      Row("b", ts("2024-01-01 10:00:00"), 7.0, "view")))
+    val out = WindowOps.sessionFeatures(d, "e", "ts", gapSeconds = 1800,
+      valueCol = "v", typeCol = "t").orderBy("e", "session_id")
+    assert(column(out, "duration_us") == Seq(1200000000L, 0L, 0L))
+    assert(column(out, "n_events") == Seq(3L, 1L, 1L))
+    assert(column(out, "n_event_types") == Seq(2L, 1L, 1L))
+    // 1.5 + null + 2.25 -> 1_500_000 + 0 + 2_250_000 micro-units
+    assert(column(out, "value_micros") == Seq(3750000L, 4000000L, 7000000L))
+  }
+
+  test("sessionFeatures: post-window exchange carries sessions via partial agg") {
+    val plan = WindowOps.sessionFeatures(frame(), "e", "ts", 1800,
+      valueCol = "v", typeCol = "e").queryExecution.executedPlan.toString
+    // partial HashAggregate must sit below the final exchange so the
+    // shuffle after the session window carries |sessions| rows
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("stacked window ops reuse ONE exchange") {
     val chained = WindowOps.sessionize(
       WindowOps.lagLead(
