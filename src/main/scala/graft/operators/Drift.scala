@@ -76,9 +76,14 @@ object Drift {
       .flatten
     def bucketed(df: DataFrame) = {
       val v = col(colName).cast("double")
-      val idx = edges.zipWithIndex.foldLeft(lit(edges.size): Column) {
-        case (acc, (e, i)) => when(v <= e, lit(i)).otherwise(acc)
-      }
+      // build the nested when from the LARGEST edge inward so the
+      // outermost test is v <= edges(0) -> bucket 0 (a foldLeft in
+      // ascending order would leave the largest edge outermost and
+      // collapse every value below it into one bucket)
+      val idx = edges.zipWithIndex.reverse
+        .foldLeft(lit(edges.size): Column) {
+          case (acc, (e, i)) => when(v <= e, lit(i)).otherwise(acc)
+        }
       df.withColumn("__bucket",
         when(v.isNull || isnan(v), lit(-1)).otherwise(idx))
     }

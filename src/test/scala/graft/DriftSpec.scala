@@ -38,8 +38,13 @@ class DriftSpec extends SparkSpec {
   test("psiNumeric: reference-quantile bins, shifted current slice " +
       "registers drift, null bucket -1") {
     val ref = df("x DOUBLE", (1 to 100).map(i => Row(i.toDouble)))
-    val same = Drift.psiNumeric(ref, ref, "x", bins = 4)
-    assert(same.collect().forall(_.getLong(4) == 0L))
+    val same = Drift.psiNumeric(ref, ref, "x", bins = 4).collect()
+    assert(same.forall(_.getLong(4) == 0L))
+    // all 4 quantile buckets must actually be populated (a mis-nested
+    // edge fold collapses everything below the top edge into one)
+    assert(same.map(_.getString(0)).sorted.toSeq ==
+      Seq("0", "1", "2", "3"))
+    assert(same.forall(r => math.abs(r.getDouble(1) - 0.25) < 0.02))
     val shifted = df("x DOUBLE",
       (61 to 160).map(i => Row(i.toDouble)) :+ Row(null))
     val out = Drift.psiNumeric(ref, shifted, "x", bins = 4).collect()
