@@ -2,7 +2,7 @@ package graft
 
 import graft.ann.Knn
 import graft.dedup.{Components, Dedup}
-import graft.operators.{Drift, GroupOps, Privacy}
+import graft.operators.{Drift, Eval, GroupOps, Privacy}
 import graft.text.Sharding
 import graft.multimodal.Multimodal
 import graft.text.TextOps
@@ -785,6 +785,53 @@ object QueriesData {
           col("sensitive_diversity"), col("k_anonymous"),
           col("l_diverse"))
         .orderBy("c_custkey")
+    }),
+
+    "q170_rank_auc" -> ((s, dir) => {
+      // univariate feature screening: tie-corrected Mann-Whitney AUC
+      // of two candidate features against a deterministic binary
+      // label; the doubled numerator is an exact BIGINT the oracle
+      // recomputes from the same distinct-value cumulative counts
+      val cust = tbl(s, dir, "customer")
+        .withColumn("y", (col("c_custkey") % 3 === 0).cast("int"))
+      def one(score: String) =
+        Eval.rankAuc(cust, score, "y")
+          .withColumn("feature", lit(score))
+      one("c_acctbal").unionByName(one("c_nationkey"))
+        .select(col("feature"), col("n_pos"), col("n_neg"),
+          col("n_excluded"), col("auc_num2"),
+          round(col("auc"), 6).as("auc"))
+        .orderBy("feature")
+    }),
+
+    "q171_information_value" -> ((s, dir) => {
+      // IV table of document language against a deterministic binary
+      // label: per-level WOE/IV terms plus the exact BIGINT nano-unit
+      // feature total (the screening number next to q149's encoder)
+      Eval.informationValue(
+        tbl(s, dir, "documents")
+          .withColumn("y", (col("doc_id") % 2 === 0).cast("int")),
+        "lang", "y", alpha = 0.5)
+        .select(col("level"), col("n_pos"), col("n_neg"),
+          round(col("woe"), 6).as("woe"),
+          round(col("iv_term"), 6).as("iv_term"),
+          col("iv_total_nano"))
+        .orderBy("level")
+    }),
+
+    "q172_aspect_batches" -> ((s, dir) => {
+      // aspect-ratio bucketed batch packing (the SDXL bucketing
+      // layout): integer milli-aspect bands, per-bucket rank via the
+      // two-phase cumsum (NO partition-by-bucket window), fixed-size
+      // batches with the trailing partial kept — every position is an
+      // integer the oracle recomputes with ROW_NUMBER
+      val imgs = oracleImages(s, 600, "/tmp/graft_oracle_images_q172")
+        .select("image_id", "w", "h")
+      graft.multimodal.AspectBatch.aspectRatioBatches(imgs,
+        "image_id", "w", "h", batchSize = 8)
+        .select(col("image_id"), col("bucket"), col("seq"),
+          col("batch_id"), col("slot"))
+        .orderBy("image_id")
     }),
 
     "q97_ivf_query_pinned" -> ((s, dir) => {
@@ -2065,6 +2112,85 @@ object QueriesData {
         |  ROUND(p_cur, 6) AS p_cur, ROUND(term, 6) AS psi_term,
         |  (SELECT nano FROM tot) AS psi_total_nano
         |FROM d ORDER BY 1""".stripMargin,
+
+    // tie-corrected Mann-Whitney AUC from distinct-value cumulative
+    // counts; the doubled numerator is exact BIGINT, division order
+    // (2.0 * n_pos * n_neg) mirrors the Spark operand order
+    "q170_rank_auc" -> {
+      def one(score: String) =
+        s"""SELECT '$score' AS feature, n_pos, n_neg,
+           |  (SELECT CAST(COUNT(*) AS BIGINT)
+           |   FROM d_$score WHERE v IS NULL OR isnan(v)) AS n_excluded,
+           |  num2 AS auc_num2,
+           |  ROUND(CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6)
+           |    AS auc
+           |FROM a_$score""".stripMargin
+      def ctes(score: String) =
+        s"""d_$score AS (SELECT CAST($score AS DOUBLE) AS v,
+           |    CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS y
+           |  FROM customer),
+           |g_$score AS (SELECT v, CAST(SUM(y) AS BIGINT) AS np,
+           |    CAST(COUNT(*) AS BIGINT) - CAST(SUM(y) AS BIGINT) AS nn
+           |  FROM d_$score WHERE v IS NOT NULL AND NOT isnan(v)
+           |  GROUP BY 1),
+           |c_$score AS (SELECT np, nn,
+           |    CAST(COALESCE(SUM(nn) OVER (ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS cum
+           |  FROM g_$score),
+           |a_$score AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+           |    CAST(SUM(nn) AS BIGINT) AS n_neg,
+           |    CAST(SUM(np * (2 * cum + nn)) AS BIGINT) AS num2
+           |  FROM c_$score)""".stripMargin
+      s"""WITH ${ctes("c_acctbal")},
+         |${ctes("c_nationkey")}
+         |${one("c_acctbal")}
+         |UNION ALL
+         |${one("c_nationkey")}
+         |ORDER BY feature""".stripMargin
+    },
+
+    // WOE/IV with the WoeEncoder's additive regularization; nano
+    // total rounds each term to BIGINT nano-units BEFORE summing
+    "q171_information_value" ->
+      """WITH d AS (SELECT lang AS level,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (SELECT level, CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(SUM(1 - y) AS BIGINT) AS n_neg FROM d GROUP BY 1),
+        |t AS (SELECT CAST(CAST(SUM(n_pos) AS BIGINT) AS DOUBLE) AS pt,
+        |    CAST(CAST(SUM(n_neg) AS BIGINT) AS DOUBLE) AS nt FROM g),
+        |w AS (SELECT level, n_pos, n_neg,
+        |    (CAST(n_pos AS DOUBLE) + 0.5) /
+        |      ((SELECT pt FROM t) + 1.0) AS dp,
+        |    (CAST(n_neg AS DOUBLE) + 0.5) /
+        |      ((SELECT nt FROM t) + 1.0) AS dn
+        |  FROM g),
+        |x AS (SELECT level, n_pos, n_neg, ln(dp / dn) AS woe,
+        |    (dp - dn) * ln(dp / dn) AS iv FROM w),
+        |tot AS (SELECT CAST(SUM(CAST(ROUND(iv * 1e9, 0) AS BIGINT))
+        |    AS BIGINT) AS nano FROM x)
+        |SELECT level, n_pos, n_neg, ROUND(woe, 6) AS woe,
+        |  ROUND(iv, 6) AS iv_term,
+        |  (SELECT nano FROM tot) AS iv_total_nano
+        |FROM x ORDER BY 1""".stripMargin,
+
+    // integer milli-aspect bands and ROW_NUMBER packing recompute
+    // every (bucket, seq, batch_id, slot) the two-phase cumsum emits
+    "q172_aspect_batches" ->
+      """WITH base AS (SELECT image_id, w, h
+        |  FROM read_parquet('/tmp/graft_oracle_images_q172/*.parquet')),
+        |b AS (SELECT image_id,
+        |    CAST((w * 1000 // h) // 250 AS BIGINT) AS bucket
+        |  FROM base),
+        |r AS (SELECT image_id, bucket,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY bucket
+        |      ORDER BY image_id) - 1 AS BIGINT) AS seq
+        |  FROM b)
+        |SELECT image_id, bucket, seq,
+        |  CAST(seq // 8 AS BIGINT) AS batch_id,
+        |  CAST(seq % 8 AS BIGINT) AS slot
+        |FROM r ORDER BY 1""".stripMargin,
 
     "q164_loo_target_encoding" ->
       """WITH d AS (SELECT c_custkey, c_mktsegment,

@@ -173,6 +173,19 @@ object QueriesTemporal {
         .select(col("event_id"), col("session_id")).orderBy("event_id")
     }),
 
+    "q169_purged_kfold" -> ((s, dir) => {
+      // purged K-fold with embargo over the event log: fold 2 of 5 is
+      // the test interval, train rows within 12h before it are purged
+      // (their rolling/as-of feature windows overlap the test set)
+      // and rows within 6h after are embargoed — every boundary is
+      // exact integer-microsecond arithmetic the oracle recomputes
+      graft.temporal.Splits.purgedKFold(tbl(s, dir, "events"), "ts",
+        k = 5, testFold = 2, purgeSeconds = 12 * 3600,
+        embargoSeconds = 6 * 3600)
+        .select(col("event_id"), col("fold"), col("role"))
+        .orderBy("event_id")
+    }),
+
     "q168_session_features" -> ((s, dir) => {
       // per-session rollup: duration (exact microseconds), event
       // count, type diversity, spend in integer micro-units — the
@@ -331,6 +344,27 @@ object QueriesTemporal {
         |SELECT a.aid, b.bid
         |FROM a JOIN b ON a.k = b.k AND a.s1 <= b.e2 AND b.s2 <= a.e1
         |ORDER BY 1, 2""".stripMargin,
+
+    // fold/purge/embargo boundaries recomputed in exact integer
+    // microseconds: span = (max-min) // k + 1, integer // throughout
+    "q169_purged_kfold" ->
+      """WITH b AS (SELECT MIN(epoch_us(ts)) AS lo,
+        |    MAX(epoch_us(ts)) AS hi FROM events),
+        |p AS (SELECT lo, (hi - lo) // 5 + 1 AS span FROM b),
+        |d AS (SELECT event_id, epoch_us(ts) AS t FROM events)
+        |SELECT event_id,
+        |  CAST((t - (SELECT lo FROM p)) // (SELECT span FROM p)
+        |    AS BIGINT) AS fold,
+        |  CASE
+        |    WHEN (t - (SELECT lo FROM p)) // (SELECT span FROM p) = 2
+        |      THEN 'test'
+        |    WHEN t >= (SELECT lo + 2 * span FROM p) - 43200000000
+        |      AND t < (SELECT lo + 2 * span FROM p) THEN 'purged'
+        |    WHEN t >= (SELECT lo + 3 * span FROM p)
+        |      AND t < (SELECT lo + 3 * span FROM p) + 21600000000
+        |      THEN 'embargo'
+        |    ELSE 'train' END AS role
+        |FROM d ORDER BY 1""".stripMargin,
 
     // same sessionize CTE as q39, then one GROUP BY (user, session);
     // duration in exact integer microseconds, spend in integer

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Feature-evaluation metrics for screening candidate features before
+  * training: rank-based ROC AUC (the univariate "does this feature
+  * order the labels at all?" test) and information value (the
+  * credit-scoring summary of a categorical feature's predictive
+  * power — the single-number companion of
+  * [[graft.operators.Nominal]]'s `WoeEncoderTransformer`).
+  *
+  * Both are built so a 100 TB run never materializes per-row ranks:
+  * AUC reduces to one groupBy over DISTINCT feature values plus the
+  * two-phase exclusive cumulative sum
+  * ([[graft.text.Sharding.exclusiveCumSumRaw]] — range-partitioned,
+  * no single-partition stage), and IV is a \|levels\|-row aggregation.
+  * Numerators are exact BIGINTs (pair half-units / integer
+  * nano-units), so totals are independent of float summation order
+  * and reproduce digit-for-digit in an external engine.
+  */
+object Eval {
+
+  /** Rank-based (Mann-Whitney) ROC AUC of `scoreCol` against a binary
+    * 0/1 `labelCol`, tie-corrected: with per-distinct-value counts
+    * `(n_pos_v, n_neg_v)` and `cum_neg_v` = negatives strictly below
+    * `v`,
+    *
+    *   AUC = sum_v n_pos_v * (cum_neg_v + n_neg_v / 2)
+    *         / (n_pos * n_neg)
+    *
+    * (equal scores count half — the standard trapezoidal/rank
+    * definition). The numerator is carried doubled as the exact
+    * BIGINT `auc_num2 = sum_v n_pos_v * (2*cum_neg_v + n_neg_v)`.
+    *
+    * Rows with a null/NaN score or null label are excluded (count
+    * reported as `n_excluded`). Labels must be 0/1 — anything else
+    * fails loudly at action time. Output is ONE row:
+    * `(n_pos, n_neg, n_excluded, auc_num2, auc)`; AUC is null when
+    * either class is empty (undefined, not 0.5 by fiat).
+    *
+    * Shape: groupBy(score) — \|distinct scores\| rows — then the
+    * two-phase exclusive cumsum over those aggregated rows and one
+    * final scalar agg. Nothing scales with the raw row count past the
+    * first partial aggregation.
+    */
+  def rankAuc(df: DataFrame, scoreCol: String, labelCol: String)
+      : DataFrame = {
+    val v = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("long")
+    val valid = v.isNotNull && !isnan(v) && y.isNotNull
+    // ONE scan: invalid rows fold into the same partial aggregation
+    // under __ok=false (their count is the only thing kept); a
+    // non-0/1 label on an otherwise-valid row fails loudly
+    val byValue = df
+      .select(valid.as("__ok"),
+        when(valid, v).as("__v"),
+        when(!valid, lit(null).cast("long"))
+          .when(y.isin(0L, 1L), y)
+          .otherwise(raise_error(concat(lit(
+            s"rankAuc: label $labelCol must be 0/1, got "),
+            col(labelCol).cast("string")))).as("__y"))
+      .groupBy(col("__ok"), col("__v"))
+      .agg(sum(col("__y")).as("__np"),
+        count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val excluded = byValue.filter(!col("__ok"))
+      .agg(coalesce(sum(col("__n")), lit(0L)))
+      .head().getLong(0)
+    val levels = byValue.filter(col("__ok"))
+      .withColumn("__nn", col("__n") - col("__np"))
+    val (ranked, cleanup) = graft.text.Sharding.exclusiveCumSumRaw(
+      levels, Seq(col("__v")), col("__nn"), "__cum_nn")
+    val out =
+      try {
+        val agg = ranked.agg(
+          sum(col("__np")).as("n_pos"),
+          sum(col("__nn")).as("n_neg"),
+          sum(col("__np") * (lit(2L) * col("__cum_nn") + col("__nn")))
+            .as("auc_num2")).localCheckpoint(true)
+        agg.select(
+          coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+          coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+          lit(excluded).as("n_excluded"),
+          coalesce(col("auc_num2"), lit(0L)).as("auc_num2"),
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            col("auc_num2").cast("double") /
+              (lit(2.0) * col("n_pos") * col("n_neg")))
+            .as("auc"))
+      } finally { cleanup(); byValue.unpersist(false) }
+    out
+  }
+
+  /** Information-value table of a categorical `featureCol` against a
+    * binary 0/1 `labelCol`, using the SAME additive regularization as
+    * `WoeEncoderTransformer`:
+    *
+    *   dist_pos_l = (pos_l + a) / (pos_tot + 2a)
+    *   dist_neg_l = (neg_l + a) / (neg_tot + 2a)
+    *   woe_l      = ln(dist_pos_l / dist_neg_l)
+    *   iv_term_l  = (dist_pos_l - dist_neg_l) * woe_l
+    *
+    * Null feature values are their own level (a null-rate skew IS
+    * evidence). Output: one row per level —
+    * `(level, n_pos, n_neg, woe, iv_term)` — plus `iv_total_nano`,
+    * the feature's total IV in exact BIGINT nano-units (conventional
+    * reading: < 0.02 useless, 0.02–0.1 weak, 0.1–0.3 medium,
+    * 0.3–0.5 strong).
+    *
+    * Shape: ONE map-side-combined groupBy(level) — \|levels\| rows on
+    * the wire — and a broadcastable total; no per-row state.
+    */
+  def informationValue(df: DataFrame, featureCol: String,
+      labelCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    val y = col(labelCol).cast("long")
+    val levels = df
+      .select(col(featureCol).cast("string").as("level"),
+        when(y.isNull, lit(null).cast("long")) // unlabeled -> excluded
+          .when(y.isin(0L, 1L), y)
+          .otherwise(raise_error(concat(lit(
+            s"informationValue: label $labelCol must be 0/1, got "),
+            col(labelCol).cast("string")))).as("__y"))
+      .filter(col("__y").isNotNull)
+      .groupBy(col("level"))
+      .agg(sum(col("__y")).as("n_pos"),
+        sum(lit(1L) - col("__y")).as("n_neg"))
+    val tot = levels.agg(sum(col("n_pos")).as("__pt"),
+      sum(col("n_neg")).as("__nt"))
+    // exact operand order, mirrored verbatim by the DuckDB oracle:
+    // ((pos+a)/(pt+2a)) vs ((neg+a)/(nt+2a))
+    val dp = (col("n_pos").cast("double") + lit(alpha)) /
+      (col("__pt").cast("double") + lit(2 * alpha))
+    val dn = (col("n_neg").cast("double") + lit(alpha)) /
+      (col("__nt").cast("double") + lit(2 * alpha))
+    val detail = levels.crossJoin(tot)
+      .withColumn("woe", log(dp / dn))
+      .withColumn("iv_term", (dp - dn) * col("woe"))
+      .withColumn("__nano",
+        round(col("iv_term") * lit(1e9), 0).cast("long"))
+    detail
+      .crossJoin(detail.agg(sum(col("__nano")).as("iv_total_nano")))
+      .select(col("level"), col("n_pos"), col("n_neg"), col("woe"),
+        col("iv_term"), col("iv_total_nano"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.multimodal.AspectBatch
+import org.apache.spark.sql.Row
+
+class AspectBatchSpec extends SparkSpec {
+
+  test("aspectRatioBatches: integer aspect buckets, per-bucket " +
+      "deterministic packing, trailing partial batch kept") {
+    // buckets at 250 milli/band: 16:9 (1777 -> 7), 1:1 (1000 -> 4),
+    // 9:16 (562 -> 2)
+    val rows = Seq(
+      Row("i1", 1600, 900), Row("i2", 1920, 1080), Row("i3", 800, 450),
+      Row("i4", 512, 512), Row("i5", 256, 256),
+      Row("i6", 900, 1600))
+    val out = AspectBatch.aspectRatioBatches(
+      df("image_id STRING, w INT, h INT", rows),
+      "image_id", "w", "h", batchSize = 2)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // (bucket, seq, batch_id, slot); seq follows image_id order
+    assert(out("i1") == (7L, 0L, 0L, 0L))
+    assert(out("i2") == (7L, 1L, 0L, 1L))
+    assert(out("i3") == (7L, 2L, 1L, 0L)) // trailing partial batch
+    assert(out("i4") == (4L, 0L, 0L, 0L))
+    assert(out("i5") == (4L, 1L, 0L, 1L))
+    assert(out("i6") == (2L, 0L, 0L, 0L))
+  }
+
+  test("aspectRatioBatches: every batch holds <= batchSize rows and " +
+      "slots are dense within a batch") {
+    val rows = (0 until 97).map(i =>
+      Row(f"img_$i%04d", 100 + (i % 7) * 50, 100))
+    val out = AspectBatch.aspectRatioBatches(
+      df("image_id STRING, w INT, h INT", rows),
+      "image_id", "w", "h", batchSize = 4)
+      .collect()
+    val byBatch = out.groupBy(r => (r.getLong(3), r.getLong(5)))
+    assert(byBatch.values.forall(_.length <= 4))
+    byBatch.values.foreach { b =>
+      assert(b.map(_.getLong(6)).sorted.toSeq ==
+        (0L until b.length).toSeq)
+    }
+    // bucket-internal seq is contiguous from 0
+    out.groupBy(_.getLong(3)).values.foreach { b =>
+      assert(b.map(_.getLong(4)).sorted.toSeq ==
+        (0L until b.length).toSeq)
+    }
+  }
+
+  test("aspectRatioBatches: null or non-positive dims fail loudly") {
+    val bad = df("image_id STRING, w INT, h INT",
+      Seq(Row("a", 100, 100), Row("b", 0, 100)))
+    val ex = intercept[Exception] {
+      AspectBatch.aspectRatioBatches(bad, "image_id", "w", "h", 2)
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
+}

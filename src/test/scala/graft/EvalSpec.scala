@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Eval
+import org.apache.spark.sql.Row
+
+class EvalSpec extends SparkSpec {
+
+  private def auc(rows: Seq[Row]) =
+    Eval.rankAuc(df("s DOUBLE, y INT", rows), "s", "y").head()
+
+  test("rankAuc: perfect ordering -> 1.0, inverted -> 0.0, " +
+      "ties count half") {
+    val perfect = auc(Seq(Row(1.0, 0), Row(2.0, 0), Row(3.0, 1),
+      Row(4.0, 1)))
+    assert(perfect.getDouble(4) == 1.0)
+    assert(perfect.getLong(3) == 2L * 2 * 2) // num2 = 2*n_pos*n_neg
+    val inverted = auc(Seq(Row(4.0, 0), Row(3.0, 0), Row(1.0, 1),
+      Row(2.0, 1)))
+    assert(inverted.getDouble(4) == 0.0)
+    // all-tied pairs: every pos/neg pair shares a value -> 0.5
+    val tied = auc(Seq(Row(1.0, 0), Row(1.0, 1), Row(2.0, 0),
+      Row(2.0, 1)))
+    assert(tied.getDouble(4) == 0.5 && tied.getLong(3) == 4L)
+  }
+
+  test("rankAuc: hand-computed mixed case with exclusions") {
+    // valid: (1,0) (2,1) (2,0) (3,1); excluded: null score, NaN
+    // score, null label
+    val r = auc(Seq(Row(1.0, 0), Row(2.0, 1), Row(2.0, 0), Row(3.0, 1),
+      Row(null, 1), Row(Double.NaN, 0), Row(5.0, null)))
+    // values: 1 -> (np=0,nn=1); 2 -> (np=1,nn=1); 3 -> (np=1,nn=0)
+    // num2 = 1*(2*1+1) + 1*(2*2+0) = 7; auc = 7/(2*2*2) = 0.875
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getLong(2) == 3)
+    assert(r.getLong(3) == 7L && r.getDouble(4) == 0.875)
+  }
+
+  test("rankAuc: single-class input -> null AUC, not 0.5 by fiat") {
+    val r = auc(Seq(Row(1.0, 1), Row(2.0, 1)))
+    assert(r.getLong(0) == 2 && r.getLong(1) == 0 && r.isNullAt(4))
+  }
+
+  test("rankAuc: non-binary label on a valid row fails loudly") {
+    val ex = intercept[Exception] {
+      auc(Seq(Row(1.0, 0), Row(2.0, 2)))
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("informationValue: hand-computed WOE/IV terms, null level, " +
+      "exact nano total") {
+    // a: 3 pos 1 neg; b: 1 pos 3 neg; null: 0 pos 2 neg
+    val d = df("f STRING, y INT", Seq(
+      Row("a", 1), Row("a", 1), Row("a", 1), Row("a", 0),
+      Row("b", 1), Row("b", 0), Row("b", 0), Row("b", 0),
+      Row(null, 0), Row(null, 0)))
+    val out = Eval.informationValue(d, "f", "y", alpha = 0.5)
+      .collect().map(r => Option(r.getString(0)).orNull -> r).toMap
+    def dist(c: Long, tot: Long) = (c + 0.5) / (tot + 1.0)
+    def term(p: Long, n: Long) = {
+      val (dp, dn) = (dist(p, 4), dist(n, 6))
+      (math.log(dp / dn), (dp - dn) * math.log(dp / dn))
+    }
+    for ((lvl, p, n) <- Seq(("a", 3L, 1L), ("b", 1L, 3L),
+        (null, 0L, 2L))) {
+      val r = out(lvl)
+      assert(r.getLong(1) == p && r.getLong(2) == n)
+      assert(math.abs(r.getDouble(3) - term(p, n)._1) < 1e-12)
+      assert(math.abs(r.getDouble(4) - term(p, n)._2) < 1e-12)
+    }
+    val expNano = Seq(("a", 3L, 1L), ("b", 1L, 3L), (null, 0L, 2L))
+      .map { case (_, p, n) => math.round(term(p, n)._2 * 1e9) }.sum
+    assert(out.values.forall(_.getLong(5) == expNano))
+  }
+
+  test("informationValue: identical class distributions -> zero IV") {
+    val d = df("f STRING, y INT", Seq(
+      Row("a", 1), Row("a", 0), Row("b", 1), Row("b", 0)))
+    val out = Eval.informationValue(d, "f", "y").collect()
+    assert(out.forall(_.getLong(5) == 0L))
+    assert(out.forall(_.getDouble(4) == 0.0))
+  }
+}
