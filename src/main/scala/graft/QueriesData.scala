@@ -834,6 +834,37 @@ object QueriesData {
         .orderBy("image_id")
     }),
 
+    "q173_bucket_resolutions" -> ((s, dir) => {
+      // the resize-stage companion of q172: per-bucket (target_w,
+      // target_h) at a 1-megapixel budget snapped DOWN to multiples
+      // of 64 — IEEE sqrt + mirrored operand order makes every digit
+      // reproducible in the oracle
+      val imgs = oracleImages(s, 600, "/tmp/graft_oracle_images_q173")
+        .select("image_id", "w", "h")
+      graft.multimodal.AspectBatch.bucketResolutions(imgs, "w", "h",
+        pixelBudget = 1024L * 1024L, multiple = 64)
+        .select(col("bucket"), col("n_images"), col("aspect_milli"),
+          col("target_w"), col("target_h"))
+        .orderBy("bucket")
+    }),
+
+    "q174_calibration_table" -> ((s, dir) => {
+      // reliability table of a deterministic [0,1] score against a
+      // binary label: exact bin counts, micro-unit score mass, and
+      // the count-weighted ECE total in BIGINT nano-units
+      Eval.calibrationTable(
+        tbl(s, dir, "customer")
+          .withColumn("score",
+            (col("c_custkey") % 101).cast("double") / 100.0)
+          .withColumn("y", (col("c_custkey") % 3 === 0).cast("int")),
+        "score", "y", bins = 10)
+        .select(col("bin"), col("n"), col("n_pos"),
+          col("sum_score_micro"),
+          round(col("mean_pred"), 6).as("mean_pred"),
+          round(col("frac_pos"), 6).as("frac_pos"), col("ece_nano"))
+        .orderBy("bin")
+    }),
+
     "q97_ivf_query_pinned" -> ((s, dir) => {
       // IVF QUERY path with a PINNED coarse quantizer (the Lloyd fit
       // itself stays spec-pinned, like q54/q92): list assignment,
@@ -2191,6 +2222,52 @@ object QueriesData {
         |  CAST(seq // 8 AS BIGINT) AS batch_id,
         |  CAST(seq % 8 AS BIGINT) AS slot
         |FROM r ORDER BY 1""".stripMargin,
+
+    // sqrt is IEEE-correctly-rounded and the operand order is
+    // mirrored, so the raw doubles (and their floors) match bit-exact
+    "q173_bucket_resolutions" ->
+      """WITH base AS (SELECT w, h
+        |  FROM read_parquet('/tmp/graft_oracle_images_q173/*.parquet')),
+        |b AS (SELECT CAST((w * 1000 // h) // 250 AS BIGINT) AS bucket
+        |  FROM base),
+        |g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_images
+        |  FROM b GROUP BY 1),
+        |r AS (SELECT bucket, n_images,
+        |    CAST(bucket * 250 + 125 AS BIGINT) AS aspect_milli FROM g),
+        |x AS (SELECT *, sqrt(1048576.0 * 1000.0 / aspect_milli)
+        |    AS h_raw FROM r),
+        |y AS (SELECT *, h_raw * aspect_milli / 1000.0 AS w_raw FROM x)
+        |SELECT bucket, n_images, aspect_milli,
+        |  GREATEST(64, CAST(FLOOR(w_raw / 64) * 64 AS BIGINT))
+        |    AS target_w,
+        |  GREATEST(64, CAST(FLOOR(h_raw / 64) * 64 AS BIGINT))
+        |    AS target_h
+        |FROM y ORDER BY 1""".stripMargin,
+
+    // micro/nano integer units keep every bin mass and the ECE total
+    // independent of float summation order
+    "q174_calibration_table" ->
+      """WITH d AS (SELECT
+        |    CAST(c_custkey % 101 AS DOUBLE) / CAST(100 AS DOUBLE) AS s,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM customer),
+        |g AS (SELECT LEAST(CAST(FLOOR(s * 10) AS BIGINT), 9) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CAST(ROUND(s * 1e6, 0) AS BIGINT)) AS BIGINT)
+        |      AS sum_score_micro
+        |  FROM d GROUP BY 1),
+        |m AS (SELECT bin, n, n_pos, sum_score_micro,
+        |    CAST(sum_score_micro AS DOUBLE) / 1e6 / n AS mean_pred,
+        |    CAST(n_pos AS DOUBLE) / n AS frac_pos FROM g),
+        |e AS (SELECT CAST(SUM(n *
+        |    CAST(ROUND(ABS(frac_pos - mean_pred) * 1e9, 0) AS BIGINT))
+        |    AS BIGINT) AS ece FROM m)
+        |SELECT bin, n, n_pos, sum_score_micro,
+        |  ROUND(mean_pred, 6) AS mean_pred,
+        |  ROUND(frac_pos, 6) AS frac_pos,
+        |  (SELECT ece FROM e) AS ece_nano
+        |FROM m ORDER BY 1""".stripMargin,
 
     "q164_loo_target_encoding" ->
       """WITH d AS (SELECT c_custkey, c_mktsegment,

@@ -526,6 +526,45 @@ object QueriesStreaming {
       QueriesData.hllReadout512(s, dir, regs)
     }),
 
+    "q175_stream_psi" -> ((s, dir) => {
+      // streaming drift monitor: the reference shares are FIXED (the
+      // training snapshot = doc_id % 3 == 0); production docs (the
+      // rest) arrive as a real 3-micro-batch stream feeding a running
+      // per-level groupBy-count (update mode, <= |levels| rows of
+      // state forever). The post-stream readout through the SAME
+      // psiFromCounts arithmetic must equal the one-shot batch PSI
+      // over the identical ref/cur rows — q166's oracle pattern on
+      // documents
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = tbl(s, dir, "documents")
+      val curRows = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("lang")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      val input = MemoryStream[(Long, String)]
+      val latest = scala.collection.mutable.Map[String, Long]()
+      val counts = input.toDF().toDF("doc_id", "lang")
+        .groupBy(col("lang").cast("string").as("level"))
+        .agg(count(lit(1)).as("c"))
+      val q = counts.writeStream.outputMode("update")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(r =>
+            latest(r.getString(0)) = r.getLong(1))
+          ()
+        }.queryName("q175").start()
+      drive(input, q, curRows, nChunks = 3)
+      val curCounts = latest.toSeq.toDF("level", "c")
+      val refCounts = docs.filter(col("doc_id") % 3 === 0)
+        .groupBy(col("lang").cast("string").as("level"))
+        .agg(count(lit(1)).as("c"))
+      graft.operators.Drift.psiFromCounts(refCounts, curCounts)
+        .select(col("level"), round(col("p_ref"), 6).as("p_ref"),
+          round(col("p_cur"), 6).as("p_cur"),
+          round(col("psi_term"), 6).as("psi_term"),
+          col("psi_total_nano"))
+        .orderBy("level")
+    }),
+
     "q163_stream_hll_by_key" -> ((s, dir) => {
       // per-key HLL registers built BY THE STREAM (update mode,
       // <= |keys| x 512 ints of state forever): per-(key, register)
@@ -631,6 +670,35 @@ object QueriesStreaming {
     // the stream-built PER-KEY registers must reproduce q157's
     // one-shot batch readout exactly — literally its oracle
     "q163_stream_hll_by_key" -> QueriesData.oracles("q157_hll_by_source"),
+
+    // the stream-accumulated level counts must reproduce the one-shot
+    // batch PSI over the same ref/cur rows (q166's arithmetic on the
+    // documents table)
+    "q175_stream_psi" ->
+      """WITH r AS (SELECT lang AS level, COUNT(*) AS c
+        |  FROM documents WHERE doc_id % 3 = 0 GROUP BY 1),
+        |rt AS (SELECT CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS t
+        |  FROM r),
+        |c AS (SELECT lang AS level, COUNT(*) AS c
+        |  FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1),
+        |ct AS (SELECT CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS t
+        |  FROM c),
+        |j AS (SELECT COALESCE(r.level, c.level) AS level,
+        |    COALESCE(CAST(r.c AS DOUBLE) / (SELECT t FROM rt), 0)
+        |      AS p_ref,
+        |    COALESCE(CAST(c.c AS DOUBLE) / (SELECT t FROM ct), 0)
+        |      AS p_cur
+        |  FROM r FULL OUTER JOIN c ON r.level = c.level),
+        |d AS (SELECT level, p_ref, p_cur,
+        |    (p_cur - p_ref) *
+        |      ln(GREATEST(p_cur, 1e-6) / GREATEST(p_ref, 1e-6)) AS term
+        |  FROM j),
+        |tot AS (SELECT CAST(SUM(CAST(ROUND(term * 1e9, 0) AS BIGINT))
+        |    AS BIGINT) AS nano FROM d)
+        |SELECT level, ROUND(p_ref, 6) AS p_ref,
+        |  ROUND(p_cur, 6) AS p_cur, ROUND(term, 6) AS psi_term,
+        |  (SELECT nano FROM tot) AS psi_total_nano
+        |FROM d ORDER BY 1""".stripMargin,
 
     // the stream's merged top-k state must equal the one-shot batch
     // weighted sample — literally q130's oracle

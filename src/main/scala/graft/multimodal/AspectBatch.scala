@@ -39,6 +39,55 @@ object AspectBatch {
     * decode/metadata stage upstream is broken, and silently lumping
     * them into a bucket would poison a whole training batch.
     */
+  /** Per-bucket TARGET RESOLUTION table — the companion the resize
+    * stage consumes: for every aspect bucket present in `df`, the
+    * (target_w, target_h) that (a) matches the bucket's midpoint
+    * aspect ratio, (b) stays within `pixelBudget` total pixels, and
+    * (c) rounds DOWN to a multiple of `multiple` (UNet/ViT stride —
+    * 64 for SDXL-style models), floored at one multiple.
+    *
+    *   aspect_milli = bucket * milliPerBucket + milliPerBucket/2
+    *   h_raw = sqrt(pixelBudget * 1000.0 / aspect_milli)
+    *   w_raw = h_raw * aspect_milli / 1000.0
+    *   target = max(multiple, floor(raw / multiple) * multiple)
+    *
+    * `sqrt` is IEEE-correctly-rounded, so the arithmetic reproduces
+    * bit-exactly in any engine that mirrors the operand order (q173's
+    * oracle does). Output is one row per bucket — a \|buckets\|-row
+    * aggregation, broadcastable to the resize stage as a plain map.
+    */
+  def bucketResolutions(df: DataFrame, wCol: String = "w",
+      hCol: String = "h", pixelBudget: Long, multiple: Int = 64,
+      milliPerBucket: Int = 250): DataFrame = {
+    require(pixelBudget > 0 && multiple > 0 && milliPerBucket > 0,
+      "pixelBudget, multiple and milliPerBucket must be > 0")
+    val ok = col(wCol).isNotNull && col(hCol).isNotNull &&
+      col(wCol) > 0 && col(hCol) > 0
+    val buckets = df
+      .withColumn("__w", when(ok, col(wCol).cast("long"))
+        .otherwise(raise_error(lit(
+          s"bucketResolutions: bad dims in ($wCol, $hCol)"))))
+      .withColumn("bucket", expr(
+        s"((__w * 1000L div `$hCol`) div $milliPerBucket)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_images"))
+    val aspectMilli = col("bucket") * milliPerBucket +
+      lit(milliPerBucket / 2)
+    val hRaw = sqrt(lit(pixelBudget.toDouble) * lit(1000.0) /
+      col("aspect_milli"))
+    def snapped(raw: org.apache.spark.sql.Column) =
+      greatest(lit(multiple.toLong),
+        (floor(raw / multiple) * multiple).cast("long"))
+    buckets
+      .withColumn("aspect_milli", aspectMilli.cast("long"))
+      .withColumn("__h_raw", hRaw)
+      .withColumn("__w_raw",
+        col("__h_raw") * col("aspect_milli") / lit(1000.0))
+      .withColumn("target_h", snapped(col("__h_raw")))
+      .withColumn("target_w", snapped(col("__w_raw")))
+      .drop("__h_raw", "__w_raw")
+  }
+
   def aspectRatioBatches(df: DataFrame, idCol: String,
       wCol: String = "w", hCol: String = "h", batchSize: Int,
       milliPerBucket: Int = 250): DataFrame = {

@@ -32,16 +32,29 @@ object Drift {
     */
   def psiByLevel(ref: DataFrame, cur: DataFrame, colName: String,
       eps: Double = 1e-6): DataFrame = {
+    def counts(df: DataFrame) = df
+      .groupBy(col(colName).cast("string").as("level"))
+      .agg(count(lit(1)).as("c"))
+    psiFromCounts(counts(ref), counts(cur), eps)
+  }
+
+  /** [[psiByLevel]] from pre-aggregated per-level counts
+    * `(level: string, c: long)` — the entry point a STREAMING monitor
+    * uses: a running groupBy-count (bounded \|levels\| state) feeds
+    * the same share/term arithmetic, so the stream's readout is
+    * bit-identical to the one-shot batch PSI over the same rows.
+    */
+  def psiFromCounts(refCounts: DataFrame, curCounts: DataFrame,
+      eps: Double = 1e-6): DataFrame = {
     require(eps > 0, s"eps must be > 0, got $eps")
     def shares(df: DataFrame, share: String) = df
-      .groupBy(col(colName).cast("string").as("level"))
-      .agg(count(lit(1)).as("__c"))
-      .crossJoin(df.agg(count(lit(1)).as("__t")))
+      .select(col("level"), col("c").as("__c"))
+      .crossJoin(df.agg(sum(col("c")).as("__t")))
       .select(col("level"),
         (col("__c").cast("double") / col("__t").cast("double"))
           .as(share))
-    val p = shares(ref, "p_ref")
-    val q = shares(cur, "p_cur")
+    val p = shares(refCounts, "p_ref")
+    val q = shares(curCounts, "p_cur")
     val joined = p.join(q, p("level") <=> q("level"), "full_outer")
       .select(coalesce(p("level"), q("level")).as("level"),
         coalesce(col("p_ref"), lit(0.0)).as("p_ref"),

@@ -91,6 +91,59 @@ object Eval {
     out
   }
 
+  /** Calibration / reliability table of a probability `scoreCol` in
+    * [0, 1] against a 0/1 `labelCol`: scores bucketed into `bins`
+    * equal-width bins (`bin = min(floor(s * bins), bins - 1)` — 1.0
+    * folds into the last bin), one row per non-empty bin with
+    *
+    *   - `n`, `n_pos`            exact counts
+    *   - `sum_score_micro`       BIGINT sum of `round(s * 1e6)` —
+    *                             integer micro-units, so the bin's
+    *                             score mass is independent of float
+    *                             summation order
+    *   - `mean_pred`, `frac_pos` derived doubles
+    *   - `ece_nano`              the table-wide expected calibration
+    *                             error `Σ_b n_b·|frac_b − mean_b|` in
+    *                             BIGINT nano-units weighted by count
+    *                             (rounded per bin, then summed — exact)
+    *
+    * Out-of-range scores fail loudly (a "probability" of 1.7 is an
+    * upstream bug, not a bin); null score/label rows are excluded.
+    * ONE map-side-combined groupBy — `bins` rows on the wire.
+    */
+  def calibrationTable(df: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("long")
+    val valid = s.isNotNull && !isnan(s) && y.isNotNull
+    val sChecked = when(s >= 0.0 && s <= 1.0, s)
+      .otherwise(raise_error(concat(lit(
+        s"calibrationTable: score $scoreCol outside [0,1]: "),
+        s.cast("string"))))
+    val yChecked = when(y.isin(0L, 1L), y)
+      .otherwise(raise_error(concat(lit(
+        s"calibrationTable: label $labelCol must be 0/1, got "),
+        col(labelCol).cast("string"))))
+    val perBin = df.filter(valid)
+      .select(least(floor(sChecked * bins), lit(bins - 1L)).as("bin"),
+        round(sChecked * lit(1e6), 0).cast("long").as("__sm"),
+        yChecked.as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("__sm")).as("sum_score_micro"))
+      .withColumn("mean_pred",
+        col("sum_score_micro").cast("double") / lit(1e6) / col("n"))
+      .withColumn("frac_pos",
+        col("n_pos").cast("double") / col("n"))
+      .withColumn("__e", col("n") *
+        round(abs(col("frac_pos") - col("mean_pred")) * lit(1e9), 0)
+          .cast("long"))
+    perBin
+      .crossJoin(perBin.agg(sum(col("__e")).as("ece_nano")))
+      .drop("__e")
+  }
+
   /** Information-value table of a categorical `featureCol` against a
     * binary 0/1 `labelCol`, using the SAME additive regularization as
     * `WoeEncoderTransformer`:

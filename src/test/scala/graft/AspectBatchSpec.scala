@@ -50,6 +50,33 @@ class AspectBatchSpec extends SparkSpec {
     }
   }
 
+  test("bucketResolutions: targets honor the pixel budget, the " +
+      "stride multiple, and the bucket's aspect ordering") {
+    val rows = Seq(Row("a", 1600, 900), Row("b", 512, 512),
+      Row("c", 900, 1600), Row("d", 1920, 1080))
+    val out = AspectBatch.bucketResolutions(
+      df("image_id STRING, w INT, h INT", rows),
+      "w", "h", pixelBudget = 1024L * 1024L, multiple = 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(3)))
+      .toMap
+    // buckets: 7 (16:9 x2), 4 (1:1), 2 (9:16)
+    assert(out.keySet == Set(7L, 4L, 2L))
+    assert(out(7L)._1 == 2) // n_images
+    out.foreach { case (b, (_, aspectMilli, tw, th)) =>
+      assert(aspectMilli == b * 250 + 125)
+      assert(tw % 64 == 0 && th % 64 == 0 && tw >= 64 && th >= 64)
+      assert(tw * th <= 1024L * 1024L, s"bucket $b over budget")
+    }
+    // wider bucket -> wider target
+    assert(out(7L)._3 > out(4L)._3 && out(4L)._3 > out(2L)._3)
+    assert(out(2L)._4 > out(4L)._4 && out(4L)._4 > out(7L)._4)
+    // hand value: bucket 4 -> aspect 1.125, h = sqrt(2^20*1000/1125)
+    val hRaw = math.sqrt(1024.0 * 1024.0 * 1000.0 / 1125.0)
+    assert(out(4L)._4 == math.max(64L,
+      math.floor(hRaw / 64).toLong * 64))
+  }
+
   test("aspectRatioBatches: null or non-positive dims fail loudly") {
     val bad = df("image_id STRING, w INT, h INT",
       Seq(Row("a", 100, 100), Row("b", 0, 100)))

@@ -35,6 +35,22 @@ class DriftSpec extends SparkSpec {
     assert(out.count(_.isNullAt(0)) == 1)
   }
 
+  test("psiFromCounts: pre-aggregated counts reproduce the row-level " +
+      "PSI exactly (the streaming readout contract)") {
+    val ref = df("k STRING", Seq(Row("a"), Row("a"), Row("a"), Row("b")))
+    val cur = df("k STRING", Seq(Row("a"), Row("b"), Row("b"), Row("c")))
+    def counts(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy(col("k").cast("string").as("level"))
+        .agg(count(lit(1)).as("c"))
+    val fromRows = Drift.psiByLevel(ref, cur, "k")
+      .collect().map(r => (r.getString(0), r.getDouble(3),
+        r.getLong(4))).sortBy(_._1)
+    val fromCounts = Drift.psiFromCounts(counts(ref), counts(cur))
+      .collect().map(r => (r.getString(0), r.getDouble(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(fromRows.toSeq == fromCounts.toSeq)
+  }
+
   test("psiNumeric: reference-quantile bins, shifted current slice " +
       "registers drift, null bucket -1") {
     val ref = df("x DOUBLE", (1 to 100).map(i => Row(i.toDouble)))

@@ -73,6 +73,33 @@ class EvalSpec extends SparkSpec {
     assert(out.values.forall(_.getLong(5) == expNano))
   }
 
+  test("calibrationTable: hand-computed bins, edge score 1.0 folds " +
+      "into the last bin, exact micro/nano units") {
+    val d = df("s DOUBLE, y INT", Seq(
+      Row(0.05, 0), Row(0.15, 0), Row(0.15, 1), Row(1.0, 1),
+      Row(null, 1), Row(0.5, null)))
+    val out = Eval.calibrationTable(d, "s", "y", bins = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 9L)) // null rows excluded
+    val b1 = out(1L)
+    assert(b1.getLong(1) == 2 && b1.getLong(2) == 1)
+    assert(b1.getLong(3) == 300000L) // 2 x 150000 micro
+    assert(b1.getDouble(4) == 0.15 && b1.getDouble(5) == 0.5)
+    assert(out(9L).getLong(0) == 9L && out(9L).getLong(2) == 1)
+    // ece = sum_b n_b * round(|frac - mean| * 1e9)
+    val exp = Seq((1L, 0.05, 0.0), (2L, 0.15, 0.5), (1L, 1.0, 1.0))
+      .map { case (n, m, f) => n * math.round(math.abs(f - m) * 1e9) }
+      .sum
+    assert(out.values.forall(_.getLong(6) == exp))
+  }
+
+  test("calibrationTable: out-of-range score fails loudly") {
+    val d = df("s DOUBLE, y INT", Seq(Row(0.5, 1), Row(1.7, 0)))
+    intercept[Exception] {
+      Eval.calibrationTable(d, "s", "y").collect()
+    }
+  }
+
   test("informationValue: identical class distributions -> zero IV") {
     val d = df("f STRING, y INT", Seq(
       Row("a", 1), Row("a", 0), Row("b", 1), Row("b", 0)))
