@@ -834,6 +834,21 @@ object QueriesData {
         .orderBy("image_id")
     }),
 
+    "q176_chi2_mi_screen" -> ((s, dir) => {
+      // chi-squared + mutual-information feature screen on order
+      // priority vs a deterministic binary label: per-level terms plus
+      // exact BIGINT nano totals (MI in nats)
+      Eval.chiSqMutualInfo(
+        tbl(s, dir, "orders")
+          .withColumn("y", (col("o_orderkey") % 3 === 0).cast("int")),
+        "o_orderpriority", "y")
+        .select(col("level"), col("n_pos"), col("n_neg"),
+          round(col("chi2_term"), 6).as("chi2_term"),
+          round(col("mi_term"), 6).as("mi_term"),
+          col("chi2_total_nano"), col("mi_total_nano"))
+        .orderBy("level")
+    }),
+
     "q173_bucket_resolutions" -> ((s, dir) => {
       // the resize-stage companion of q172: per-bucket (target_w,
       // target_h) at a 1-megapixel budget snapped DOWN to multiples
@@ -2222,6 +2237,49 @@ object QueriesData {
         |  CAST(seq // 8 AS BIGINT) AS batch_id,
         |  CAST(seq % 8 AS BIGINT) AS slot
         |FROM r ORDER BY 1""".stripMargin,
+
+    // expected counts, chi2 and MI cells recomputed with the exact
+    // Spark operand order; nano totals round per level THEN sum
+    "q176_chi2_mi_screen" ->
+      """WITH d AS (SELECT o_orderpriority AS level,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |g AS (SELECT level, CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(SUM(1 - y) AS BIGINT) AS n_neg FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS np,
+        |    CAST(SUM(n_neg) AS BIGINT) AS nn FROM g),
+        |x AS (SELECT level, n_pos, n_neg,
+        |    CAST(n_pos + n_neg AS DOUBLE) AS nl,
+        |    CAST((SELECT np + nn FROM t) AS DOUBLE) AS n,
+        |    CAST((SELECT np FROM t) AS DOUBLE) AS cp,
+        |    CAST((SELECT nn FROM t) AS DOUBLE) AS cn
+        |  FROM g),
+        |c AS (SELECT level, n_pos, n_neg,
+        |    CASE WHEN nl * cp / n > 0 THEN
+        |      (CAST(n_pos AS DOUBLE) - nl * cp / n) *
+        |      (CAST(n_pos AS DOUBLE) - nl * cp / n) / (nl * cp / n)
+        |      ELSE 0 END
+        |  + CASE WHEN nl * cn / n > 0 THEN
+        |      (CAST(n_neg AS DOUBLE) - nl * cn / n) *
+        |      (CAST(n_neg AS DOUBLE) - nl * cn / n) / (nl * cn / n)
+        |      ELSE 0 END AS chi2_term,
+        |    CASE WHEN n_pos > 0 THEN (CAST(n_pos AS DOUBLE) / n) *
+        |      ln((CAST(n_pos AS DOUBLE) / n) / ((nl / n) * (cp / n)))
+        |      ELSE 0 END
+        |  + CASE WHEN n_neg > 0 THEN (CAST(n_neg AS DOUBLE) / n) *
+        |      ln((CAST(n_neg AS DOUBLE) / n) / ((nl / n) * (cn / n)))
+        |      ELSE 0 END AS mi_term
+        |  FROM x),
+        |tot AS (SELECT
+        |    CAST(SUM(CAST(ROUND(chi2_term * 1e9, 0) AS BIGINT))
+        |      AS BIGINT) AS ctn,
+        |    CAST(SUM(CAST(ROUND(mi_term * 1e9, 0) AS BIGINT))
+        |      AS BIGINT) AS mtn FROM c)
+        |SELECT level, n_pos, n_neg, ROUND(chi2_term, 6) AS chi2_term,
+        |  ROUND(mi_term, 6) AS mi_term,
+        |  (SELECT ctn FROM tot) AS chi2_total_nano,
+        |  (SELECT mtn FROM tot) AS mi_total_nano
+        |FROM c ORDER BY 1""".stripMargin,
 
     // sqrt is IEEE-correctly-rounded and the operand order is
     // mirrored, so the raw doubles (and their floors) match bit-exact

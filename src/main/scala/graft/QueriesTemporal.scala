@@ -173,6 +173,25 @@ object QueriesTemporal {
         .select(col("event_id"), col("session_id")).orderBy("event_id")
     }),
 
+    "q177_asof_multi_feed" -> ((s, dir) => {
+      // feature-store assembly: ONE event spine enriched point-in-time
+      // from TWO feature feeds (last purchase, last view) in a single
+      // joinMulti call — per-feed prefixed outputs, k feeds = k
+      // sort-merge passes, no cross-feed blowup; the oracle chains
+      // two ASOF joins
+      val ev = tbl(s, dir, "events")
+      def feed(t: String, vcol: String) = AsOfJoin.Feed(t,
+        ev.filter(col("event_type") === t)
+          .select(col("user_id"), col("ts"), col("value").as(vcol)),
+        valueCols = Seq(vcol))
+      AsOfJoin.joinMulti(ev, "user_id", "ts",
+        Seq(feed("purchase", "pv"), feed("view", "vv")))
+        .select(col("event_id"), col("purchase_pv"),
+          col("purchase_matched_ts"), col("view_vv"),
+          col("view_matched_ts"))
+        .orderBy("event_id")
+    }),
+
     "q169_purged_kfold" -> ((s, dir) => {
       // purged K-fold with embargo over the event log: fold 2 of 5 is
       // the test interval, train rows within 12h before it are purged
@@ -344,6 +363,20 @@ object QueriesTemporal {
         |SELECT a.aid, b.bid
         |FROM a JOIN b ON a.k = b.k AND a.s1 <= b.e2 AND b.s2 <= a.e1
         |ORDER BY 1, 2""".stripMargin,
+
+    // two chained ASOF joins = the two feeds, matched independently
+    "q177_asof_multi_feed" ->
+      """WITH p AS (SELECT user_id, ts, value AS pv FROM events
+        |  WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, value AS vv FROM events
+        |  WHERE event_type = 'view')
+        |SELECT l.event_id, p.pv AS purchase_pv,
+        |  p.ts AS purchase_matched_ts, v.vv AS view_vv,
+        |  v.ts AS view_matched_ts
+        |FROM events l
+        |ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
+        |ASOF LEFT JOIN v ON l.user_id = v.user_id AND l.ts >= v.ts
+        |ORDER BY 1""".stripMargin,
 
     // fold/purge/embargo boundaries recomputed in exact integer
     // microseconds: span = (max-min) // k + 1, integer // throughout

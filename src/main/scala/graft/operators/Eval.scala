@@ -91,6 +91,78 @@ object Eval {
     out
   }
 
+  /** Chi-squared + mutual-information screen of a categorical
+    * `featureCol` against a 0/1 `labelCol` — the independence-test
+    * companions of [[informationValue]] (IV needs WOE's direction;
+    * chi²/MI detect ANY dependence, including non-monotone). Per
+    * level `l` with counts `(np_l, nn_l)`, `n_l = np_l + nn_l`,
+    * totals `(NP, NN, N)`:
+    *
+    *   e_c     = (n_l * C) / N                    (expected, c ∈ {NP, NN})
+    *   chi2_l  = Σ_c (o_c - e_c)² / e_c           (0 when e_c = 0)
+    *   mi_l    = Σ_c (o_c/N) · ln((o_c/N) / ((n_l/N) · (C/N)))
+    *                                              (0 when o_c = 0)
+    *
+    * Output: one row per level — `(level, n_pos, n_neg, chi2_term,
+    * mi_term)` — plus the exact BIGINT totals `chi2_total_nano` /
+    * `mi_total_nano` (per-level nano-rounded then summed, so the
+    * statistic is independent of float summation order; MI is in
+    * nats). Null levels are evidence; unlabeled rows excluded;
+    * non-0/1 labels loud. ONE \|levels\|-row map-side-combined
+    * groupBy, O(\|levels\|) exchange at any scale.
+    */
+  def chiSqMutualInfo(df: DataFrame, featureCol: String,
+      labelCol: String): DataFrame = {
+    val y = col(labelCol).cast("long")
+    val levels = df
+      .select(col(featureCol).cast("string").as("level"),
+        when(y.isNull, lit(null).cast("long"))
+          .when(y.isin(0L, 1L), y)
+          .otherwise(raise_error(concat(lit(
+            s"chiSqMutualInfo: label $labelCol must be 0/1, got "),
+            col(labelCol).cast("string")))).as("__y"))
+      .filter(col("__y").isNotNull)
+      .groupBy(col("level"))
+      .agg(sum(col("__y")).as("n_pos"),
+        sum(lit(1L) - col("__y")).as("n_neg"))
+    val tot = levels.agg(sum(col("n_pos")).as("__np"),
+      sum(col("n_neg")).as("__nn"))
+    val n = (col("__np") + col("__nn")).cast("double")
+    val nl = (col("n_pos") + col("n_neg")).cast("double")
+    // exact operand order, mirrored verbatim by the oracle
+    def chiCell(o: org.apache.spark.sql.Column,
+        c: org.apache.spark.sql.Column) = {
+      val e = nl * c.cast("double") / n
+      when(e > 0.0,
+        (o.cast("double") - e) * (o.cast("double") - e) / e)
+        .otherwise(lit(0.0))
+    }
+    def miCell(o: org.apache.spark.sql.Column,
+        c: org.apache.spark.sql.Column) = {
+      val pxy = o.cast("double") / n
+      when(o > 0L, pxy *
+        log(pxy / ((nl / n) * (c.cast("double") / n))))
+        .otherwise(lit(0.0))
+    }
+    val detail = levels.crossJoin(tot)
+      .withColumn("chi2_term",
+        chiCell(col("n_pos"), col("__np")) +
+          chiCell(col("n_neg"), col("__nn")))
+      .withColumn("mi_term",
+        miCell(col("n_pos"), col("__np")) +
+          miCell(col("n_neg"), col("__nn")))
+      .withColumn("__cn", round(col("chi2_term") * lit(1e9), 0)
+        .cast("long"))
+      .withColumn("__mn", round(col("mi_term") * lit(1e9), 0)
+        .cast("long"))
+    detail
+      .crossJoin(detail.agg(sum(col("__cn")).as("chi2_total_nano"),
+        sum(col("__mn")).as("mi_total_nano")))
+      .select(col("level"), col("n_pos"), col("n_neg"),
+        col("chi2_term"), col("mi_term"), col("chi2_total_nano"),
+        col("mi_total_nano"))
+  }
+
   /** Calibration / reliability table of a probability `scoreCol` in
     * [0, 1] against a 0/1 `labelCol`: scores bucketed into `bins`
     * equal-width bins (`bin = min(floor(s * bins), bins - 1)` — 1.0

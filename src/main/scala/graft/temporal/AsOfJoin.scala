@@ -143,6 +143,61 @@ object AsOfJoin {
     }
   }
 
+  /** One feature feed for [[joinMulti]]: `name` prefixes every
+    * emitted column (`<name>_<valueCol>`, `<name>_matched_ts`), so
+    * feeds cannot collide with each other or the left side.
+    */
+  case class Feed(
+      name: String,
+      right: DataFrame,
+      rightTs: String = "ts",
+      valueCols: Seq[String] = Seq.empty,
+      strict: Boolean = false,
+      toleranceSeconds: Option[Long] = None,
+      broadcastRight: Boolean = false)
+
+  /** Point-in-time feature-store join: enrich `left` from SEVERAL
+    * feature tables in one call — the everyday shape of training-set
+    * assembly (one event spine, k feature feeds, each matched as-of
+    * the event time with no future reads). Each feed is one [[join]]
+    * pass — k feeds cost k sort-merge exchanges, linear in k with no
+    * cross-feed blowup, and each feed independently chooses
+    * broadcast/tolerance/strict (a tiny dimension feed broadcasts,
+    * a skewed one salts via the shared auto-detection).
+    *
+    * Output = left columns + per feed `<name>_<col>` for each value
+    * column and `<name>_matched_ts`. Prefixed names must not collide
+    * with existing columns (checked up front, loudly).
+    */
+  def joinMulti(left: DataFrame, entity: String, leftTs: String,
+      feeds: Seq[Feed], hotEntities: Seq[String] = Seq.empty,
+      autoSaltShare: Option[Double] = None): DataFrame = {
+    require(feeds.nonEmpty, "joinMulti: need >= 1 feed")
+    require(feeds.map(_.name).distinct.size == feeds.size,
+      s"joinMulti: duplicate feed names in ${feeds.map(_.name)}")
+    feeds.foldLeft(left) { (acc, f) =>
+      val vals =
+        if (f.valueCols.nonEmpty) f.valueCols
+        else f.right.columns
+          .filterNot(c => c == entity || c == f.rightTs).toSeq
+      val renames = (vals :+ "matched_ts")
+        .map(c => c -> s"${f.name}_$c")
+      renames.foreach { case (from, to) =>
+        require(!acc.columns.contains(to),
+          s"joinMulti: output column $to already exists")
+        require(from == "matched_ts" || !acc.columns.contains(from),
+          s"joinMulti: feed ${f.name} value column $from shadows a " +
+            "spine column — rename it inside the feed frame first")
+      }
+      val joined = join(acc, f.right, entity, leftTs, f.rightTs,
+        vals, f.strict, f.toleranceSeconds, f.broadcastRight,
+        hotEntities, autoSaltShare = autoSaltShare)
+      renames.foldLeft(joined) { case (d, (from, to)) =>
+        d.withColumnRenamed(from, to)
+      }
+    }
+  }
+
   /** hotEntities wins when given; otherwise autoSaltShare triggers the
     * sampled detection pass (broadcast strategy never salts — it has
     * no shuffle to skew).

@@ -213,4 +213,35 @@ class AsOfJoinSpec extends SparkSpec {
       hotEntities = Seq("a"), saltBuckets = 4)
     assert(out.count() == 5)
   }
+
+  test("joinMulti: each feed matches independently with prefixed " +
+      "outputs; row count preserved") {
+    val feedB = df("e STRING, ts TIMESTAMP, g DOUBLE", Seq(
+      Row("a", ts("2024-01-01 11:00:00"), 10.0),
+      Row("b", ts("2024-01-01 09:00:00"), 20.0)))
+    val out = AsOfJoin.joinMulti(left(), "e", "ts", Seq(
+      AsOfJoin.Feed("r1", right(), valueCols = Seq("f")),
+      AsOfJoin.Feed("r2", feedB, valueCols = Seq("g"))))
+      .orderBy("lv")
+    assert(out.count() == 5)
+    assert(Seq("r1_f", "r1_matched_ts", "r2_g", "r2_matched_ts")
+      .forall(out.columns.contains))
+    assert(column(out, "r1_f") == Seq(1.0, 2.0, 3.0, null, null))
+    assert(column(out, "r2_g") == Seq(null, 10.0, 10.0, 20.0, null))
+  }
+
+  test("joinMulti: duplicate feed names and shadowed spine columns " +
+      "are rejected up front") {
+    intercept[IllegalArgumentException] {
+      AsOfJoin.joinMulti(left(), "e", "ts", Seq(
+        AsOfJoin.Feed("x", right()), AsOfJoin.Feed("x", right())))
+    }
+    // feed value column "lv" collides with the spine's lv
+    val bad = df("e STRING, ts TIMESTAMP, lv DOUBLE", Seq(
+      Row("a", ts("2024-01-01 09:00:00"), 1.0)))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.joinMulti(left(), "e", "ts", Seq(
+        AsOfJoin.Feed("x", bad, valueCols = Seq("lv"))))
+    }
+  }
 }

@@ -73,6 +73,41 @@ class EvalSpec extends SparkSpec {
     assert(out.values.forall(_.getLong(5) == expNano))
   }
 
+  test("chiSqMutualInfo: hand-computed 2x2 statistics, exact nano " +
+      "totals") {
+    // a: 3 pos 1 neg; b: 1 pos 3 neg -> NP=NN=4, N=8, nl=4 each
+    val d = df("f STRING, y INT", Seq(
+      Row("a", 1), Row("a", 1), Row("a", 1), Row("a", 0),
+      Row("b", 1), Row("b", 0), Row("b", 0), Row("b", 0)))
+    val out = Eval.chiSqMutualInfo(d, "f", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // chi2 per level: (3-2)^2/2 + (1-2)^2/2 = 1.0
+    assert(math.abs(out("a").getDouble(3) - 1.0) < 1e-12)
+    assert(math.abs(out("b").getDouble(3) - 1.0) < 1e-12)
+    val miLvl = 0.375 * math.log(0.375 / (0.5 * 0.5)) +
+      0.125 * math.log(0.125 / (0.5 * 0.5))
+    assert(math.abs(out("a").getDouble(4) - miLvl) < 1e-12)
+    assert(math.abs(out("b").getDouble(4) - miLvl) < 1e-12)
+    // totals: 2x2 shortcut N(ad-bc)^2/(r1 r2 c1 c2) = 2.0 exactly
+    assert(out.values.forall(_.getLong(5) == 2L * 1000000000L))
+    assert(out.values.forall(
+      _.getLong(6) == 2 * math.round(miLvl * 1e9)))
+  }
+
+  test("chiSqMutualInfo: independent feature -> zero chi2 and MI; " +
+      "zero cells contribute zero, not NaN") {
+    val indep = df("f STRING, y INT", Seq(
+      Row("a", 1), Row("a", 0), Row("b", 1), Row("b", 0)))
+    val z = Eval.chiSqMutualInfo(indep, "f", "y").collect()
+    assert(z.forall(_.getLong(5) == 0L))
+    assert(z.forall(_.getLong(6) == 0L))
+    // a level with zero positives must not NaN-poison the totals
+    val skew = df("f STRING, y INT", Seq(
+      Row("a", 1), Row("a", 0), Row("b", 0), Row("b", 0)))
+    val s = Eval.chiSqMutualInfo(skew, "f", "y").collect()
+    assert(s.forall(r => !r.getDouble(3).isNaN && !r.getDouble(4).isNaN))
+  }
+
   test("calibrationTable: hand-computed bins, edge score 1.0 folds " +
       "into the last bin, exact micro/nano units") {
     val d = df("s DOUBLE, y INT", Seq(
