@@ -834,6 +834,17 @@ object QueriesData {
         .orderBy("image_id")
     }),
 
+    "q178_spearman" -> ((s, dir) => {
+      // tie-corrected Spearman via Pearson on doubled average ranks:
+      // every moment is an exact BIGINT the oracle reproduces, and
+      // the final rho is one deterministic double expression
+      Eval.spearman(tbl(s, dir, "customer"), "c_acctbal",
+        "c_nationkey")
+        .select(col("n"), col("n_excluded"), col("sum_u"),
+          col("sum_v"), col("sum_uv"), col("sum_u2"), col("sum_v2"),
+          round(col("rho"), 6).as("rho"))
+    }),
+
     "q176_chi2_mi_screen" -> ((s, dir) => {
       // chi-squared + mutual-information feature screen on order
       // priority vs a deterministic binary label: per-level terms plus
@@ -2237,6 +2248,52 @@ object QueriesData {
         |  CAST(seq // 8 AS BIGINT) AS batch_id,
         |  CAST(seq % 8 AS BIGINT) AS slot
         |FROM r ORDER BY 1""".stripMargin,
+
+    // doubled average ranks (2*cum_below + cnt + 1) are exact
+    // integers, so every moment matches bit-for-bit; rho mirrors the
+    // Spark operand order
+    "q178_spearman" ->
+      """WITH d AS (SELECT CAST(c_acctbal AS DOUBLE) AS a,
+        |    CAST(c_nationkey AS DOUBLE) AS b FROM customer
+        |  WHERE c_acctbal IS NOT NULL
+        |    AND NOT isnan(CAST(c_acctbal AS DOUBLE))
+        |    AND c_nationkey IS NOT NULL),
+        |e AS (SELECT CAST(COUNT(*) AS BIGINT) AS x FROM customer
+        |  WHERE c_acctbal IS NULL
+        |    OR isnan(CAST(c_acctbal AS DOUBLE))
+        |    OR c_nationkey IS NULL),
+        |ga AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM d GROUP BY 1),
+        |ra AS (SELECT a, 2 * CAST(COALESCE(SUM(c) OVER (ORDER BY a
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) + c + 1 AS u FROM ga),
+        |gb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM d GROUP BY 1),
+        |rb AS (SELECT b, 2 * CAST(COALESCE(SUM(c) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) + c + 1 AS v FROM gb),
+        |j AS (SELECT ra.u AS u, rb.v AS v FROM d
+        |  JOIN ra ON d.a = ra.a JOIN rb ON d.b = rb.b),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(u) AS BIGINT) AS sum_u,
+        |    CAST(SUM(v) AS BIGINT) AS sum_v,
+        |    CAST(SUM(u * v) AS BIGINT) AS sum_uv,
+        |    CAST(SUM(u * u) AS BIGINT) AS sum_u2,
+        |    CAST(SUM(v * v) AS BIGINT) AS sum_v2 FROM j)
+        |SELECT n, (SELECT x FROM e) AS n_excluded, sum_u, sum_v,
+        |  sum_uv, sum_u2, sum_v2,
+        |  CASE WHEN CAST(n AS DOUBLE) * sum_u2 -
+        |        CAST(sum_u AS DOUBLE) * sum_u > 0
+        |      AND CAST(n AS DOUBLE) * sum_v2 -
+        |        CAST(sum_v AS DOUBLE) * sum_v > 0
+        |    THEN ROUND((CAST(n AS DOUBLE) * sum_uv -
+        |        CAST(sum_u AS DOUBLE) * sum_v) /
+        |      (sqrt(CAST(n AS DOUBLE) * sum_u2 -
+        |        CAST(sum_u AS DOUBLE) * sum_u) *
+        |       sqrt(CAST(n AS DOUBLE) * sum_v2 -
+        |        CAST(sum_v AS DOUBLE) * sum_v)), 6)
+        |    ELSE NULL END AS rho
+        |FROM s""".stripMargin,
 
     // expected counts, chi2 and MI cells recomputed with the exact
     // Spark operand order; nano totals round per level THEN sum

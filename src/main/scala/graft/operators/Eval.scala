@@ -91,6 +91,72 @@ object Eval {
     out
   }
 
+  /** Tie-corrected Spearman rank correlation between two numeric
+    * columns — the monotone-dependence screen (feature redundancy,
+    * feature-vs-target ordering) that Pearson misses on non-linear
+    * data. Computed as Pearson on DOUBLED average ranks: the average
+    * rank of a value with `cnt` occurrences and `cum` rows strictly
+    * below is `cum + (cnt+1)/2`, so its double `u = 2·cum + cnt + 1`
+    * is an exact INTEGER — every moment (`Σu, Σv, Σuv, Σu², Σv²`) is
+    * an exact BIGINT, summation-order-independent, and the final
+    *
+    *   rho = (n·Σuv − Σu·Σv) /
+    *         (sqrt(n·Σu² − Σu·Σu) · sqrt(n·Σv² − Σv·Σv))
+    *
+    * is one deterministic double expression an external engine
+    * reproduces digit-for-digit (doubling cancels). Null when either
+    * column is constant (zero variance — undefined, not 0).
+    *
+    * Rows with a null/NaN value on either side are excluded
+    * (`n_excluded`). Shape: one projected+persisted scan, two
+    * groupBy-over-distinct-values + two-phase exclusive cumsums
+    * (range-partitioned, no single-partition stage), two
+    * \|distinct\|-row join-backs, one scalar agg. BIGINT moments
+    * bound n at ~2^20 rows per call before Σu² can overflow at full
+    * doubled-rank magnitude (n·(2n)² < 2^63) — callers screening
+    * larger tables should rank-screen on a deterministic sample.
+    */
+  def spearman(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val (a, b) = (col(colA).cast("double"), col(colB).cast("double"))
+    val valid = a.isNotNull && !isnan(a) && b.isNotNull && !isnan(b)
+    val sel = df.select(valid.as("__ok"), a.as("__a"), b.as("__b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val excluded = sel.filter(!col("__ok")).count()
+    val base = sel.filter(col("__ok"))
+    def ranks(c: String, out: String): DataFrame = {
+      val byValue = base.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+      val (ranked, cleanup) = graft.text.Sharding.exclusiveCumSumRaw(
+        byValue, Seq(col(c)), col("__c"), "__cum")
+      try {
+        ranked.select(col(c),
+          (lit(2L) * col("__cum") + col("__c") + lit(1L)).as(out))
+          .localCheckpoint(true)
+      } finally cleanup()
+    }
+    val ra = ranks("__a", "__u")
+    val rb = ranks("__b", "__v")
+    val joined = base.join(ra, "__a").join(rb, "__b")
+    val agg = joined.agg(count(lit(1)).as("n"),
+      sum(col("__u")).as("sum_u"), sum(col("__v")).as("sum_v"),
+      sum(col("__u") * col("__v")).as("sum_uv"),
+      sum(col("__u") * col("__u")).as("sum_u2"),
+      sum(col("__v") * col("__v")).as("sum_v2"))
+      .localCheckpoint(true)
+    sel.unpersist(false)
+    val nd = col("n").cast("double")
+    val varU = nd * col("sum_u2") - col("sum_u").cast("double") *
+      col("sum_u")
+    val varV = nd * col("sum_v2") - col("sum_v").cast("double") *
+      col("sum_v")
+    agg.select(col("n"), lit(excluded).as("n_excluded"),
+      col("sum_u"), col("sum_v"), col("sum_uv"), col("sum_u2"),
+      col("sum_v2"),
+      when(varU > 0.0 && varV > 0.0,
+        (nd * col("sum_uv") - col("sum_u").cast("double") *
+          col("sum_v")) / (sqrt(varU) * sqrt(varV)))
+        .as("rho"))
+  }
+
   /** Chi-squared + mutual-information screen of a categorical
     * `featureCol` against a 0/1 `labelCol` — the independence-test
     * companions of [[informationValue]] (IV needs WOE's direction;

@@ -73,6 +73,37 @@ class EvalSpec extends SparkSpec {
     assert(out.values.forall(_.getLong(5) == expNano))
   }
 
+  test("spearman: monotone -> 1, anti-monotone -> -1, ties via " +
+      "doubled average ranks, exclusions counted") {
+    val mono = df("a DOUBLE, b DOUBLE", Seq(
+      Row(1.0, 1.0), Row(2.0, 4.0), Row(3.0, 9.0), Row(4.0, 16.0)))
+    assert(math.abs(
+      Eval.spearman(mono, "a", "b").head().getDouble(7) - 1.0) < 1e-12)
+    val anti = df("a DOUBLE, b DOUBLE", Seq(
+      Row(1.0, 16.0), Row(2.0, 9.0), Row(3.0, 4.0), Row(4.0, 1.0)))
+    assert(math.abs(
+      Eval.spearman(anti, "a", "b").head().getDouble(7) + 1.0) < 1e-12)
+    // ties: a=[1,1,2] -> u=[3,3,6]; b=[3,5,4] -> v=[2,6,4]
+    val tied = df("a DOUBLE, b DOUBLE", Seq(
+      Row(1.0, 3.0), Row(1.0, 5.0), Row(2.0, 4.0),
+      Row(null, 1.0), Row(Double.NaN, 2.0)))
+    val r = Eval.spearman(tied, "a", "b").head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2)
+    assert(r.getLong(2) == 12 && r.getLong(3) == 12) // su, sv
+    assert(r.getLong(4) == 3L * 2 + 3 * 6 + 6 * 4)   // suv = 48
+    assert(r.getLong(5) == 9 + 9 + 36 && r.getLong(6) == 4 + 36 + 16)
+    val (n, su, sv, suv, su2, sv2) = (3.0, 12.0, 12.0, 48.0, 54.0, 56.0)
+    val exp = (n * suv - su * sv) /
+      (math.sqrt(n * su2 - su * su) * math.sqrt(n * sv2 - sv * sv))
+    assert(math.abs(r.getDouble(7) - exp) < 1e-15)
+  }
+
+  test("spearman: constant column -> null rho (undefined, not 0)") {
+    val c = df("a DOUBLE, b DOUBLE", Seq(
+      Row(5.0, 1.0), Row(5.0, 2.0), Row(5.0, 3.0)))
+    assert(Eval.spearman(c, "a", "b").head().isNullAt(7))
+  }
+
   test("chiSqMutualInfo: hand-computed 2x2 statistics, exact nano " +
       "totals") {
     // a: 3 pos 1 neg; b: 1 pos 3 neg -> NP=NN=4, N=8, nl=4 each
