@@ -834,6 +834,32 @@ object QueriesData {
         .orderBy("image_id")
     }),
 
+    "q179_column_profile" -> ((s, dir) => {
+      // pre-fit data-quality gate: one melted pass profiles coverage,
+      // null rate and exact distinct cardinality for four columns
+      graft.operators.Profile.columnProfile(
+        tbl(s, dir, "customer"),
+        Seq("c_mktsegment", "c_nationkey", "c_acctbal", "c_name"))
+        .select(col("column"), col("n"), col("n_null"),
+          col("n_distinct"), round(col("null_rate"), 6).as("null_rate"))
+        .orderBy("column")
+    }),
+
+    "q180_resize_plan" -> ((s, dir) => {
+      // the geometry handed to the decode/resize kernel: per-image
+      // aspect-preserving scale into its bucket target + symmetric
+      // letterbox pads — broadcast |buckets|-row join, codegen'd
+      // projection, every output an integer the oracle recomputes
+      val imgs = oracleImages(s, 600, "/tmp/graft_oracle_images_q180")
+        .select("image_id", "w", "h")
+      graft.multimodal.AspectBatch.resizePlan(imgs, "w", "h",
+        pixelBudget = 1024L * 1024L, multiple = 64)
+        .select(col("image_id"), col("bucket"), col("target_w"),
+          col("target_h"), col("new_w"), col("new_h"), col("pad_x"),
+          col("pad_y"))
+        .orderBy("image_id")
+    }),
+
     "q178_spearman" -> ((s, dir) => {
       // tie-corrected Spearman via Pearson on doubled average ranks:
       // every moment is an exact BIGINT the oracle reproduces, and
@@ -2248,6 +2274,54 @@ object QueriesData {
         |  CAST(seq // 8 AS BIGINT) AS batch_id,
         |  CAST(seq % 8 AS BIGINT) AS slot
         |FROM r ORDER BY 1""".stripMargin,
+
+    // exact counts per column; distinct on the RAW values (the
+    // string cast is injective, so cardinality is unchanged)
+    "q179_column_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  ROUND(CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+           |    AS DOUBLE) / COUNT(*), 6) AS null_rate
+           |FROM customer""".stripMargin
+      Seq("c_mktsegment", "c_nationkey", "c_acctbal", "c_name")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY 1")
+    },
+
+    // same bucket/target arithmetic as q173, then the letterbox
+    // geometry: scale = LEAST of the two axis ratios, floor + pads
+    "q180_resize_plan" ->
+      """WITH base AS (SELECT image_id, w, h
+        |  FROM read_parquet('/tmp/graft_oracle_images_q180/*.parquet')),
+        |b AS (SELECT image_id, w, h,
+        |    CAST((w * 1000 // h) // 250 AS BIGINT) AS bucket
+        |  FROM base),
+        |r0 AS (SELECT bucket,
+        |    CAST(bucket * 250 + 125 AS BIGINT) AS aspect_milli
+        |  FROM b GROUP BY 1),
+        |x AS (SELECT *, sqrt(1048576.0 * 1000.0 / aspect_milli)
+        |    AS h_raw FROM r0),
+        |y AS (SELECT *, h_raw * aspect_milli / 1000.0 AS w_raw FROM x),
+        |r AS (SELECT bucket,
+        |    GREATEST(64, CAST(FLOOR(w_raw / 64) * 64 AS BIGINT))
+        |      AS target_w,
+        |    GREATEST(64, CAST(FLOOR(h_raw / 64) * 64 AS BIGINT))
+        |      AS target_h
+        |  FROM y),
+        |j AS (SELECT b.image_id, b.w, b.h, b.bucket, r.target_w,
+        |    r.target_h FROM b JOIN r USING (bucket)),
+        |s AS (SELECT *, LEAST(CAST(target_w AS DOUBLE) / w,
+        |    CAST(target_h AS DOUBLE) / h) AS sc FROM j),
+        |n AS (SELECT *,
+        |    GREATEST(1, CAST(FLOOR(w * sc) AS BIGINT)) AS new_w,
+        |    GREATEST(1, CAST(FLOOR(h * sc) AS BIGINT)) AS new_h
+        |  FROM s)
+        |SELECT image_id, bucket, target_w, target_h, new_w, new_h,
+        |  (target_w - new_w) // 2 AS pad_x,
+        |  (target_h - new_h) // 2 AS pad_y
+        |FROM n ORDER BY 1""".stripMargin,
 
     // doubled average ranks (2*cum_below + cnt + 1) are exact
     // integers, so every moment matches bit-for-bit; rho mirrors the

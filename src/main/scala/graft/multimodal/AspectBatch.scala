@@ -88,6 +88,46 @@ object AspectBatch {
       .drop("__h_raw", "__w_raw")
   }
 
+  /** Per-image RESIZE PLAN against its bucket's target resolution —
+    * the geometry the decode/resize kernel executes: aspect-preserving
+    * scale into the target box, then symmetric letterbox padding.
+    *
+    *   scale  = min(target_w / w, target_h / h)
+    *   new_w  = max(1, floor(w * scale)), same for new_h
+    *   pad_x  = (target_w - new_w) div 2  (left pad; right gets the
+    *            remainder), same for pad_y
+    *
+    * Joins [[bucketResolutions]] back to the rows by bucket — a
+    * \|buckets\|-row broadcast, then a pure codegen'd projection (the
+    * doubles are deterministic IEEE expressions an external engine
+    * mirrors). Output adds `bucket, target_w, target_h, new_w, new_h,
+    * pad_x, pad_y`.
+    */
+  def resizePlan(df: DataFrame, wCol: String = "w",
+      hCol: String = "h", pixelBudget: Long, multiple: Int = 64,
+      milliPerBucket: Int = 250): DataFrame = {
+    val targets = bucketResolutions(df, wCol, hCol, pixelBudget,
+      multiple, milliPerBucket)
+      .select(col("bucket").as("__b"), col("target_w"),
+        col("target_h"))
+    val bucketed = df.withColumn("bucket", expr(
+      s"((`$wCol` * 1000L div `$hCol`) div $milliPerBucket)"))
+    val scale = least(
+      col("target_w").cast("double") / col(wCol),
+      col("target_h").cast("double") / col(hCol))
+    bucketed
+      .join(broadcast(targets), col("bucket") === col("__b"))
+      .drop("__b")
+      .withColumn("new_w",
+        greatest(lit(1L), floor(col(wCol) * scale)))
+      .withColumn("new_h",
+        greatest(lit(1L), floor(col(hCol) * scale)))
+      .withColumn("pad_x",
+        expr("(target_w - new_w) div 2L"))
+      .withColumn("pad_y",
+        expr("(target_h - new_h) div 2L"))
+  }
+
   def aspectRatioBatches(df: DataFrame, idCol: String,
       wCol: String = "w", hCol: String = "h", batchSize: Int,
       milliPerBucket: Int = 250): DataFrame = {

@@ -77,6 +77,32 @@ class AspectBatchSpec extends SparkSpec {
       math.floor(hRaw / 64).toLong * 64))
   }
 
+  test("resizePlan: aspect-preserving scale into the bucket target, " +
+      "symmetric letterbox pads, never upscales past the box") {
+    val rows = Seq(Row("a", 1600, 900), Row("b", 200, 200),
+      Row("c", 900, 1600))
+    val out = AspectBatch.resizePlan(
+      df("image_id STRING, w INT, h INT", rows),
+      "w", "h", pixelBudget = 1024L * 1024L, multiple = 64)
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows.foreach { row =>
+      val r = out(row.getString(0))
+      val (w, h) = (row.getInt(1), row.getInt(2))
+      val (tw, th) = (r.getLong(4), r.getLong(5))
+      val (nw, nh) = (r.getLong(6), r.getLong(7))
+      val (px, py) = (r.getLong(8), r.getLong(9))
+      assert(nw <= tw && nh <= th, s"${row.getString(0)} over box")
+      assert(px == (tw - nw) / 2 && py == (th - nh) / 2)
+      // aspect preserved to within a pixel of the exact scale
+      val sc = math.min(tw.toDouble / w, th.toDouble / h)
+      assert(nw == math.max(1L, math.floor(w * sc).toLong))
+      assert(nh == math.max(1L, math.floor(h * sc).toLong))
+      // one axis fills (within one floor step of) the target box
+      assert(tw - nw <= math.ceil(sc).toLong ||
+        th - nh <= math.ceil(sc).toLong)
+    }
+  }
+
   test("aspectRatioBatches: null or non-positive dims fail loudly") {
     val bad = df("image_id STRING, w INT, h INT",
       Seq(Row("a", 100, 100), Row("b", 0, 100)))
