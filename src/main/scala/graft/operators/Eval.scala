@@ -4,13 +4,13 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Feature-evaluation metrics for screening candidate features before
-  * training: rank-based ROC AUC (the univariate "does this feature
-  * order the labels at all?" test) and information value (the
-  * credit-scoring summary of a categorical feature's predictive
-  * power — the single-number companion of
-  * [[graft.operators.Nominal]]'s `WoeEncoderTransformer`).
+  * training: rank-based ROC AUC, tie-corrected Spearman correlation,
+  * chi-squared / mutual-information independence tests, probability
+  * calibration, and information value (the credit-scoring summary —
+  * the single-number companion of [[graft.operators.Nominal]]'s
+  * `WoeEncoderTransformer`).
   *
-  * Both are built so a 100 TB run never materializes per-row ranks:
+  * All are built so a 100 TB run never materializes per-row ranks:
   * AUC reduces to one groupBy over DISTINCT feature values plus the
   * two-phase exclusive cumulative sum
   * ([[graft.text.Sharding.exclusiveCumSumRaw]] — range-partitioned,
