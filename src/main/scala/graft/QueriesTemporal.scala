@@ -118,6 +118,46 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q181_rolling_quantile" -> ((s, dir) => {
+      // robust rolling features: exact median and p90 of the last 7
+      // event values per user (QUANTILE_CONT interpolation) — the
+      // oracle is DuckDB's own windowed QUANTILE_CONT, so the whole
+      // sort+bracket+interp path is certified value-exactly
+      val ev = tbl(s, dir, "events")
+      val med = WindowOps.rollingQuantile(ev, "user_id", "ts", "value",
+        k = 7, q = 0.5, out = "med7", tieBreak = Seq("event_id"))
+      WindowOps.rollingQuantile(med, "user_id", "ts", "value",
+        k = 7, q = 0.9, out = "p90_7", tieBreak = Seq("event_id"))
+        .select(col("event_id"), round(col("med7"), 6).as("med7"),
+          round(col("p90_7"), 6).as("p90_7"))
+        .orderBy("event_id")
+    }),
+
+    "q182_expanding_target_mean" -> ((s, dir) => {
+      // leakage-free target encoding through time: each event sees
+      // the mean value of its event_type over STRICTLY EARLIER events
+      // only (never itself, never the future) + the history count
+      WindowOps.expandingMean(tbl(s, dir, "events"), "event_type",
+        "ts", "value", out = "et_mean", tieBreak = Seq("event_id"))
+        .select(col("event_id"), round(col("et_mean"), 6).as("et_mean"),
+          col("et_mean_n"))
+        .orderBy("event_id")
+    }),
+
+    "q183_interp_fill" -> ((s, dir) => {
+      // time-weighted linear interpolation over a deterministically
+      // nulled-out value column (event_id % 7 < 2 -> null, ~29%):
+      // interior gaps interpolate by time, edges fall back to
+      // nearest-available, all-null entities stay null
+      val ev = tbl(s, dir, "events").withColumn("v",
+        when(col("event_id") % 7 < 2, lit(null).cast("double"))
+          .otherwise(col("value")))
+      WindowOps.interpolateFill(ev, "user_id", "ts", "v",
+        out = "v_interp", tieBreak = Seq("event_id"))
+        .select(col("event_id"), round(col("v_interp"), 6).as("v_interp"))
+        .orderBy("event_id")
+    }),
+
     "q38_rolling_range" -> ((s, dir) => {
       WindowOps.rollingRange(tbl(s, dir, "events"), "user_id", "ts",
         Seq("value"), seconds = 3600, aggs = Seq("min", "max", "count"))
@@ -330,6 +370,63 @@ object QueriesTemporal {
         |      / 21600000000.0), 0), 6) AS decayed_sum
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         |ORDER BY 1""".stripMargin,
+
+    // DuckDB's windowed QUANTILE_CONT is the same (n-1)*q linear
+    // interpolation over the sorted frame as rollingQuantile
+    "q181_rolling_quantile" ->
+      """SELECT event_id,
+        |  ROUND(QUANTILE_CONT(value, 0.5) OVER w, 6) AS med7,
+        |  ROUND(QUANTILE_CONT(value, 0.9) OVER w, 6) AS p90_7
+        |FROM events WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY 1""".stripMargin,
+
+    // identical integer micro-unit expanding sum: the frame ends at
+    // 1 PRECEDING, so no row ever reads itself or the future
+    "q182_expanding_target_mean" ->
+      """WITH x AS (SELECT event_id,
+        |  SUM(CAST(round(value * 1e6) AS BIGINT)) OVER w AS s,
+        |  COUNT(value) OVER w AS n
+        |FROM events WINDOW w AS (PARTITION BY event_type
+        |  ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id,
+        |  ROUND(CASE WHEN n = 0 THEN NULL
+        |    ELSE CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 END, 6)
+        |    AS et_mean,
+        |  n AS et_mean_n
+        |FROM x ORDER BY 1""".stripMargin,
+
+    // same prev/next carry (IGNORE NULLS over strict before/after
+    // frames) and the same vp + (vn-vp)*(dt/DT) fma, integer-us dts
+    "q183_interp_fill" ->
+      """WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+        |  CASE WHEN event_id % 7 < 2 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |x AS (SELECT event_id, t, v,
+        |  LAST_VALUE(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+        |    OVER wp AS vp,
+        |  LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+        |    OVER wp AS tp,
+        |  FIRST_VALUE(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+        |    OVER wn AS vn,
+        |  FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+        |    OVER wn AS tn
+        |FROM e WINDOW
+        |  wp AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  wn AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, ROUND(CASE
+        |  WHEN v IS NOT NULL THEN v
+        |  WHEN vp IS NOT NULL AND vn IS NOT NULL THEN
+        |    CASE WHEN tn = tp THEN vp
+        |    ELSE vp + (vn - vp) *
+        |      (CAST(t - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE)) END
+        |  WHEN vp IS NOT NULL THEN vp
+        |  ELSE vn END, 6) AS v_interp
+        |FROM x ORDER BY 1""".stripMargin,
 
     "q38_rolling_range" ->
       """SELECT event_id,

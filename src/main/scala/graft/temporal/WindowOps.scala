@@ -147,6 +147,125 @@ object WindowOps {
         sum(col("__is_new")).over(runningSpec).as(sessionCol): _*)
   }
 
+  /** Exact rolling quantile (np.interp / QUANTILE_CONT definition,
+    * linear interpolation at `(n-1)*q`) over the last `k` ROWS per
+    * entity — the robust rolling feature (rolling median / p90 burst
+    * level) that rolling means flatten and rolling min/max overreact
+    * to. Nulls are skipped (a frame of all-null values yields null),
+    * matching `QUANTILE_CONT`'s null semantics.
+    *
+    * Scale shape: the same shared `(entity, ts)` window as every op
+    * here (one Exchange + one Sort when stacked), one
+    * `collect_list` window buffer of at most k doubles per row — the
+    * frame is BOUNDED by construction (`require` below), so state is
+    * O(k), never O(history). The quantile itself is a codegen'd
+    * projection over the sorted k-array: lo/hi bracket + one fused
+    * multiply-add, the identical operand order DuckDB's
+    * QUANTILE_CONT uses, so results are value-exact cross-engine
+    * (outputs rounded to 6dp absorb the final-ulp of the fma).
+    */
+  def rollingQuantile(df: DataFrame, entity: String, ts: String,
+      valueCol: String, k: Int, q: Double, out: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(k >= 1, s"rollingQuantile: k >= 1, got $k")
+    require(k <= 10000,
+      s"rollingQuantile: per-row frame buffer is O(k); k=$k > 10000 " +
+        "would balloon window state — use rollingRange aggs instead")
+    require(q >= 0.0 && q <= 1.0, s"rollingQuantile: q in [0,1], got $q")
+    val spec = Window.partitionBy(col(entity))
+      .orderBy((col(ts) +: tieBreak.map(col)): _*)
+      .rowsBetween(-(k - 1), 0)
+    val arr = array_sort(collect_list(col(valueCol).cast("double"))
+      .over(spec))
+    val base = df.select(
+      df.columns.map(col).toIndexedSeq :+ arr.as("__rq_arr"): _*)
+    val a = col("__rq_arr")
+    val n = size(a)
+    val pos = (n - 1).cast("double") * lit(q)
+    val lo = floor(pos).cast("int")
+    val frac = pos - lo.cast("double")
+    val loV = element_at(a, lo + 1)
+    val hiV = element_at(a, least(lo + lit(2), n))
+    val v = when(n === 0, lit(null).cast("double"))
+      .when(frac === 0.0, loV)
+      .otherwise(loV + (hiV - loV) * frac)
+    base.select(df.columns.map(col).toIndexedSeq :+ v.as(out): _*)
+  }
+
+  /** LEAKAGE-FREE expanding target mean: for each row, the mean of
+    * `valueCol` over all STRICTLY EARLIER rows of the same `keyCol`
+    * (frame ends at 1 PRECEDING — the row never sees its own label,
+    * and no row ever sees the future). This is the temporal form of
+    * target encoding: where [[graft.operators.GroupOps.oofMeanResponse]]
+    * blinds each row via folds, this blinds it via time — the
+    * encoding a deployed model would actually have had at that
+    * instant. Rows with no history get null (plus a `_n` history
+    * count so the consumer can gate on support).
+    *
+    * Engine-portable by construction: the expanding sum runs in
+    * integer micro-units (`round(value*1e6)` as BIGINT) so no float
+    * summation-order drift exists to worry about; the single divide
+    * happens per row at readout. One shared (key, ts) window — one
+    * exchange, one sort, running-frame aggregation (O(1) state per
+    * row, not O(history)).
+    */
+  def expandingMean(df: DataFrame, keyCol: String, ts: String,
+      valueCol: String, out: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val spec = Window.partitionBy(col(keyCol))
+      .orderBy((col(ts) +: tieBreak.map(col)): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val micros = round(col(valueCol).cast("double") * lit(1e6), 0)
+      .cast("long")
+    val s = sum(micros).over(spec)
+    val n = count(col(valueCol)).over(spec)
+    val enc = when(n === 0, lit(null).cast("double"))
+      .otherwise(s.cast("double") / n.cast("double") / lit(1e6))
+    df.select(df.columns.map(col).toIndexedSeq ++
+      Seq(enc.as(out), n.as(s"${out}_n")): _*)
+  }
+
+  /** Time-weighted linear interpolation fill: a null value takes
+    * `vp + (vn - vp) * (t - tp) / (tn - tp)` between the nearest
+    * previous and next non-null observations of the same entity
+    * (pandas `interpolate(method="time")`): the gap-filling imputer
+    * for irregular sensor/feature series where [[forwardFill]]'s
+    * step function distorts trends. Edges degrade gracefully: a
+    * leading null backfills, a trailing null forward-fills, an
+    * all-null entity stays null. Should two observations share one
+    * timestamp (tn == tp), the previous value wins rather than
+    * dividing by zero.
+    *
+    * All four carried scalars (prev/next value and micro-timestamp)
+    * come from TWO frames over the SAME (entity, ts) window — one
+    * exchange, one sort, O(1) running state; the interpolation is a
+    * codegen'd projection with integer-microsecond time deltas, so
+    * both engines compute the identical double expression.
+    */
+  def interpolateFill(df: DataFrame, entity: String, ts: String,
+      valueCol: String, out: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = col(ts) +: tieBreak.map(col)
+    val prevSpec = Window.partitionBy(col(entity)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nextSpec = Window.partitionBy(col(entity)).orderBy(order: _*)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val v = col(valueCol).cast("double")
+    val tUs = unix_micros(col(ts).cast("timestamp"))
+    val vp = last(when(v.isNotNull, v), ignoreNulls = true).over(prevSpec)
+    val tp = last(when(v.isNotNull, tUs), ignoreNulls = true).over(prevSpec)
+    val vn = first(when(v.isNotNull, v), ignoreNulls = true).over(nextSpec)
+    val tn = first(when(v.isNotNull, tUs), ignoreNulls = true).over(nextSpec)
+    val interp = when(tn === tp, vp).otherwise(
+      vp + (vn - vp) *
+        ((tUs - tp).cast("double") / (tn - tp).cast("double")))
+    val filled = when(v.isNotNull, v)
+      .when(vp.isNotNull && vn.isNotNull, interp)
+      .when(vp.isNotNull, vp)
+      .otherwise(vn)
+    df.select(df.columns.map(col).toIndexedSeq :+ filled.as(out): _*)
+  }
+
   /** Session-level feature rollup: [[sessionize]] then ONE map-side-
     * combined groupBy(entity, session) — the per-session training
     * features (duration, event count, type diversity, spend) a

@@ -79,6 +79,80 @@ class WindowOpsSpec extends SparkSpec {
       .asInstanceOf[Double] - 5.0) < 1e-12)           // 4 + 2*0.5
   }
 
+  test("rollingQuantile: interpolated median/p90, null skip, frame bound") {
+    val d = df("e STRING, ts TIMESTAMP, v DOUBLE", Seq(
+      Row("a", ts("2024-01-01 10:00:00"), 4.0),
+      Row("a", ts("2024-01-01 10:10:00"), 1.0),
+      Row("a", ts("2024-01-01 10:20:00"), null),
+      Row("a", ts("2024-01-01 10:30:00"), 3.0),
+      Row("a", ts("2024-01-01 10:40:00"), 2.0),
+      Row("b", ts("2024-01-01 10:00:00"), null)))
+    val out = WindowOps.rollingQuantile(d, "e", "ts", "v",
+      k = 3, q = 0.5, out = "m").orderBy("e", "ts")
+    val got = column(out, "m")
+    assert(got(0) == 4.0)                 // singleton
+    assert(got(1) == 2.5)                 // {4,1} even -> interp midpoint
+    assert(got(2) == 2.5)                 // {4,1,null} -> nulls skipped
+    assert(got(3) == 2.0)                 // {1,null,3} -> {1,3}
+    assert(got(4) == 2.5)                 // {null,3,2}
+    assert(got(5) == null)                // all-null frame
+    // general q: p75 of {1,2,3,4} = 1 + 3*0.75 bracket = 3.25
+    val d2 = df("e STRING, ts TIMESTAMP, v DOUBLE", Seq(
+      Row("a", ts("2024-01-01 10:00:00"), 2.0),
+      Row("a", ts("2024-01-01 10:10:00"), 4.0),
+      Row("a", ts("2024-01-01 10:20:00"), 1.0),
+      Row("a", ts("2024-01-01 10:30:00"), 3.0)))
+    val p75 = WindowOps.rollingQuantile(d2, "e", "ts", "v",
+      k = 4, q = 0.75, out = "p").orderBy("ts")
+    assert(column(p75, "p").last == 3.25)
+    intercept[IllegalArgumentException] {
+      WindowOps.rollingQuantile(d2, "e", "ts", "v", k = 0, q = 0.5, "x")
+    }
+    intercept[IllegalArgumentException] {
+      WindowOps.rollingQuantile(d2, "e", "ts", "v", k = 3, q = 1.5, "x")
+    }
+  }
+
+  test("expandingMean: strictly-past frame, micro-unit exactness, nulls") {
+    val d = df("k STRING, ts TIMESTAMP, v DOUBLE", Seq(
+      Row("a", ts("2024-01-01 10:00:00"), 1.5),
+      Row("a", ts("2024-01-01 10:10:00"), null),
+      Row("a", ts("2024-01-01 10:20:00"), 2.5),
+      Row("a", ts("2024-01-01 10:30:00"), 100.0),
+      Row("b", ts("2024-01-01 10:00:00"), 9.0)))
+    val out = WindowOps.expandingMean(d, "k", "ts", "v", out = "m")
+      .orderBy("k", "ts")
+    // row 0: no history -> null; row 1 sees {1.5}; row 2 sees {1.5}
+    // (null not counted); row 3 sees {1.5, 2.5} -> 2.0 exactly
+    assert(column(out, "m") == Seq(null, 1.5, 1.5, 2.0, null))
+    assert(column(out, "m_n") == Seq(0L, 1L, 1L, 2L, 0L))
+  }
+
+  test("interpolateFill: time-weighted interior fill, edge fallbacks") {
+    val d = df("e STRING, ts TIMESTAMP, v DOUBLE", Seq(
+      Row("a", ts("2024-01-01 10:00:00"), null), // leading -> backfill
+      Row("a", ts("2024-01-01 10:10:00"), 1.0),
+      Row("a", ts("2024-01-01 10:15:00"), null), // 1/4 of 20min gap
+      Row("a", ts("2024-01-01 10:30:00"), 5.0),
+      Row("a", ts("2024-01-01 10:40:00"), null), // trailing -> ffill
+      Row("c", ts("2024-01-01 10:00:00"), null))) // all-null entity
+    val out = WindowOps.interpolateFill(d, "e", "ts", "v", out = "f")
+      .orderBy("e", "ts")
+    // interior: 1.0 + (5.0-1.0) * (5min/20min) = 2.0
+    assert(column(out, "f") == Seq(1.0, 1.0, 2.0, 5.0, 5.0, null))
+  }
+
+  test("new window ops stack with the old on ONE exchange") {
+    val chained = WindowOps.interpolateFill(
+      WindowOps.rollingQuantile(
+        WindowOps.forwardFill(frame(), "e", "ts", Seq("v")),
+        "e", "ts", "v", k = 3, q = 0.5, out = "m"),
+      "e", "ts", "v", out = "f")
+    val plan = chained.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+  }
+
   test("sessionFeatures: per-session rollup, exact micros, null spend = 0") {
     val d = df("e STRING, ts TIMESTAMP, v DOUBLE, t STRING", Seq(
       Row("a", ts("2024-01-01 10:00:00"), 1.5, "view"),
