@@ -598,6 +598,20 @@ object QueriesData {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    "q184_mad_outliers" -> ((s, dir) => {
+      // robust per-group outlier screen: modified z-score from two
+      // exact grouped medians (median, then MAD); the heavy-tailed
+      // event values flag ~4% at the 3.5 cutoff while the z-yardstick
+      // itself stays outlier-proof
+      GroupOps.madOutlierFlags(
+        tbl(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value")
+        .select(col("event_id"), round(col("value_mz"), 6).as("mz"),
+          col("value_outlier").as("is_outlier"))
+        .orderBy("event_id")
+    }),
+
     "q89_group_pct_rank" -> ((s, dir) => {
       // rank-normalization feature: per-group ECDF via cume_dist
       GroupOps.percentileRankByGroup(
@@ -1983,6 +1997,52 @@ object QueriesData {
         |               ELSE s.q3 - s.q1 END), 6) END AS q_rs
         |FROM lineitem l LEFT JOIN s ON l.l_returnflag = s.k
         |ORDER BY 1, 2""".stripMargin,
+
+    // the q88 np.interp bracket mirror run TWICE: median of v, then
+    // median of |v - med| per group; same interp operand order, so
+    // med/mad (and hence the unrounded mz the flag compares) are
+    // bit-identical before the display rounding
+    "q184_mad_outliers" ->
+      """WITH g AS (SELECT event_type AS k, value AS v, COUNT(*) AS w
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT k, v, SUM(w) OVER (PARTITION BY k ORDER BY v)
+        |    * 1.0 / SUM(w) OVER (PARTITION BY k) AS f FROM g),
+        |b AS (SELECT k,
+        |  MAX(CASE WHEN f <= 0.5 THEN f END) AS flo,
+        |  MAX(CASE WHEN f <= 0.5 THEN v END) AS vlo,
+        |  MIN(CASE WHEN f >= 0.5 THEN f END) AS fhi,
+        |  MIN(CASE WHEN f >= 0.5 THEN v END) AS vhi
+        |  FROM c GROUP BY k),
+        |m AS (SELECT k, CASE WHEN flo IS NULL THEN vhi
+        |      WHEN fhi IS NULL OR fhi = flo THEN vlo
+        |      ELSE vlo + (0.5 - flo)/(fhi - flo) * (vhi - vlo)
+        |      END AS med FROM b),
+        |d AS (SELECT e.event_id, e.event_type AS k, e.value AS v,
+        |      m.med, ABS(e.value - m.med) AS dev
+        |  FROM events e LEFT JOIN m ON e.event_type = m.k),
+        |g2 AS (SELECT k, dev AS v, COUNT(*) AS w FROM d
+        |  WHERE dev IS NOT NULL GROUP BY 1, 2),
+        |c2 AS (SELECT k, v, SUM(w) OVER (PARTITION BY k ORDER BY v)
+        |    * 1.0 / SUM(w) OVER (PARTITION BY k) AS f FROM g2),
+        |b2 AS (SELECT k,
+        |  MAX(CASE WHEN f <= 0.5 THEN f END) AS flo,
+        |  MAX(CASE WHEN f <= 0.5 THEN v END) AS vlo,
+        |  MIN(CASE WHEN f >= 0.5 THEN f END) AS fhi,
+        |  MIN(CASE WHEN f >= 0.5 THEN v END) AS vhi
+        |  FROM c2 GROUP BY k),
+        |md AS (SELECT k, CASE WHEN flo IS NULL THEN vhi
+        |      WHEN fhi IS NULL OR fhi = flo THEN vlo
+        |      ELSE vlo + (0.5 - flo)/(fhi - flo) * (vhi - vlo)
+        |      END AS mad FROM b2),
+        |z AS (SELECT d.event_id,
+        |    CASE WHEN d.v IS NULL OR d.med IS NULL OR md.mad IS NULL
+        |        OR md.mad = 0 THEN NULL
+        |      ELSE 0.6744897501960817 * (d.v - d.med) / md.mad
+        |      END AS mz_raw
+        |  FROM d LEFT JOIN md ON d.k = md.k)
+        |SELECT event_id, ROUND(mz_raw, 6) AS mz,
+        |  COALESCE(ABS(mz_raw) > 3.5, FALSE) AS is_outlier
+        |FROM z ORDER BY 1""".stripMargin,
 
     "q89_group_pct_rank" ->
       """SELECT l_orderkey, l_linenumber,

@@ -126,6 +126,49 @@ object GroupOps {
       .drop("__ck", "__med", "__iqr")
   }
 
+  /** Per-group MAD outlier flags (Iglewicz-Hoaglin modified z-score):
+    *
+    *   mz = 0.6745 * (x - median_g) / MAD_g,   outlier = |mz| > cutoff
+    *
+    * with MAD_g = median_g(|x - median_g|) — the robust outlier test
+    * whose breakdown point (50%) survives exactly the contaminated
+    * data it is hunting, unlike mean/std z-scores where the outliers
+    * inflate their own yardstick. Default cutoff 3.5 per
+    * Iglewicz & Hoaglin (1993).
+    *
+    * Two grouped exact-median fits ([[graft.core.Stats
+    * .groupedWeightedQuantiles]] — melted, range-partitioned CDF, no
+    * per-group row buffering) and two stats-sized joins back (AQE
+    * broadcasts both). A zero or null MAD (>=50% of the group at the
+    * median, or an empty group) yields a null `mz` and `outlier =
+    * false` — degenerate groups refuse to flag rather than divide by
+    * zero; NaN/null x likewise never flag.
+    */
+  def madOutlierFlags(df: DataFrame, keyCol: String, valueCol: String,
+      cutoff: Double = 3.5): DataFrame = {
+    require(cutoff > 0, s"madOutlierFlags: cutoff > 0, got $cutoff")
+    val v = col(valueCol).cast("double")
+    val med = graft.core.Stats.groupedWeightedQuantiles(
+      df, keyCol, valueCol, lit(1), Seq(0.5))
+      .select(col(keyCol).as("__mk"), col("quantile").as("__med"))
+    val withMed = df.join(med, df(keyCol) <=> col("__mk"), "left")
+      .drop("__mk")
+      .withColumn("__dev", abs(v - col("__med")))
+    val mad = graft.core.Stats.groupedWeightedQuantiles(
+      withMed, keyCol, "__dev", lit(1), Seq(0.5))
+      .select(col(keyCol).as("__gk"), col("quantile").as("__mad"))
+    val mz = when(v.isNull || isnan(v) || col("__med").isNull ||
+        col("__mad").isNull || col("__mad") === 0.0,
+      lit(null).cast("double"))
+      .otherwise(lit(0.6744897501960817) * (v - col("__med")) /
+        col("__mad"))
+    withMed.join(mad, withMed(keyCol) <=> col("__gk"), "left")
+      .withColumn(s"${valueCol}_mz", mz)
+      .withColumn(s"${valueCol}_outlier",
+        coalesce(abs(col(s"${valueCol}_mz")) > lit(cutoff), lit(false)))
+      .drop("__gk", "__med", "__mad", "__dev")
+  }
+
   /** LEAKAGE-FREE target encoding: out-of-fold mean response. Plain
     * target encoding lets every row see its own label through the
     * level statistic — the tabular cousin of the temporal leakage the

@@ -23,6 +23,33 @@ class GroupOpsSpec extends SparkSpec {
       ("c", 1, 5.0, 6L))) // null score skipped
   }
 
+  test("madOutlierFlags: golden mz, zero-MAD group refuses, nulls safe") {
+    val d = df("g STRING, id BIGINT, v DOUBLE", Seq(
+      Row("a", 1L, 1.0), Row("a", 2L, 2.0), Row("a", 3L, 3.0),
+      Row("a", 4L, 4.0), Row("a", 5L, 100.0),
+      Row("b", 6L, 5.0), Row("b", 7L, 5.0), Row("b", 8L, 5.0),
+      Row("c", 9L, null)))
+    val out = GroupOps.madOutlierFlags(d, "g", "v")
+      .orderBy("id")
+    val mz = column(out, "v_mz")
+    val fl = column(out, "v_outlier")
+    // group a: np.interp median (f=i/n) = 2.5, MAD = 0.75
+    // mz(100) = 0.6745 * 97.5 / 0.75
+    val expect = 0.6744897501960817 * 97.5 / 0.75
+    assert(math.abs(mz(4).asInstanceOf[Double] - expect) < 1e-9)
+    assert(fl(4) == true)
+    assert(math.abs(mz(0).asInstanceOf[Double] -
+      0.6744897501960817 * -1.5 / 0.75) < 1e-9)
+    assert(fl(0) == false)
+    // constant group: MAD=0 -> null mz, never flags
+    assert(mz(5) == null && fl(5) == false)
+    // null value: null mz, no flag
+    assert(mz(8) == null && fl(8) == false)
+    intercept[IllegalArgumentException] {
+      GroupOps.madOutlierFlags(d, "g", "v", cutoff = 0.0)
+    }
+  }
+
   test("topKPerGroup: NaN scores skipped, heap not poisoned; " +
       "all-null group still emitted") {
     // NaN arrives FIRST: under a total-order comparison it would fill
