@@ -158,6 +158,20 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q185_cusum_changepoint" -> ((s, dir) => {
+      // per-user sequential drift detector: two-sided CUSUM in
+      // integer micro-units via ONE repartition + secondary sort +
+      // mapPartitions scan; the oracle replays the identical
+      // recurrence with a recursive CTE — value-exact because
+      // integer adds have no summation-order to drift
+      graft.temporal.Sequential.cusum(tbl(s, dir, "events"),
+        "user_id", "ts", "event_id", "value",
+        target = 35.0, slack = 10.0, threshold = 1000.0)
+        .select(col("event_id"), col("cusum_pos"), col("cusum_neg"),
+          col("alarm"))
+        .orderBy("event_id")
+    }),
+
     "q38_rolling_range" -> ((s, dir) => {
       WindowOps.rollingRange(tbl(s, dir, "events"), "user_id", "ts",
         Seq("value"), seconds = 3600, aggs = Seq("min", "max", "count"))
@@ -427,6 +441,32 @@ object QueriesTemporal {
         |  WHEN vp IS NOT NULL THEN vp
         |  ELSE vn END, 6) AS v_interp
         |FROM x ORDER BY 1""".stripMargin,
+
+    // the same micro-unit recurrence, replayed sequentially per user
+    // by a recursive CTE: km = (35+10)*1e6, kn = (35-10)*1e6,
+    // threshold = 1000*1e6; null x -> increment 0 (state unchanged)
+    "q185_cusum_changepoint" ->
+      """WITH RECURSIVE x AS (
+        |  SELECT user_id AS e, event_id AS id,
+        |    CAST(round(value * 1e6) AS BIGINT) AS xm,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT e, id, rn,
+        |    GREATEST(0, COALESCE(xm - 45000000, 0)) AS sp,
+        |    GREATEST(0, COALESCE(25000000 - xm, 0)) AS sn
+        |  FROM x WHERE rn = 1
+        |  UNION ALL
+        |  SELECT x.e, x.id, x.rn,
+        |    GREATEST(0, r.sp + COALESCE(x.xm - 45000000, 0)),
+        |    GREATEST(0, r.sn + COALESCE(25000000 - x.xm, 0))
+        |  FROM r JOIN x ON x.e = r.e AND x.rn = r.rn + 1)
+        |SELECT id AS event_id,
+        |  CAST(sp AS DOUBLE) / 1e6 AS cusum_pos,
+        |  CAST(sn AS DOUBLE) / 1e6 AS cusum_neg,
+        |  (sp > 1000000000 OR sn > 1000000000) AS alarm
+        |FROM r ORDER BY 1""".stripMargin,
 
     "q38_rolling_range" ->
       """SELECT event_id,

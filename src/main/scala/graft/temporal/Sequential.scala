@@ -1,0 +1,80 @@
+package graft.temporal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-entity SEQUENTIAL recurrences — the one windowed-feature shape
+  * `Window` cannot express: state that both accumulates and RESETS
+  * depending on its own previous value (`max(0, s + inc)` is not
+  * prefix-sum decomposable), so no frame/cumulative trick applies.
+  *
+  * Execution is the classic secondary sort the BASELINE.json
+  * north_rule calls for: ONE `repartition(entity)` exchange, an
+  * in-partition `sortWithinPartitions(entity, ts, id)`, then a single
+  * `mapPartitions` scan holding O(1) state per entity and resetting
+  * at entity boundaries — no per-entity `groupByKey` materialization,
+  * no driver involvement, entities stream through executors in sorted
+  * runs. The inherent caveat of any sequential recurrence: one
+  * entity's history is one task's work, so per-entity history length
+  * (not total rows) bounds the critical path; entities themselves
+  * scale out freely.
+  */
+object Sequential {
+
+  /** Two-sided CUSUM change-point scores (Page 1954):
+    *
+    *   sPos_t = max(0, sPos_(t-1) + (x_t - (target + slack)))
+    *   sNeg_t = max(0, sNeg_(t-1) + ((target - slack) - x_t))
+    *   alarm_t = sPos_t > threshold  OR  sNeg_t > threshold
+    *
+    * — the sequential drift detector for per-entity feature streams
+    * (sensor drift, spend-pattern shift, data-quality regressions)
+    * that rolling means smear and PSI-style batch drift tests only
+    * see in aggregate.
+    *
+    * The entire recurrence runs in integer MICRO-UNITS
+    * (`round(x*1e6)` as long): integer adds and a max have no
+    * floating summation-order to drift, so the scan is bit-exact in
+    * any engine that replays the same (ts, id)-ordered history — the
+    * DuckDB oracle does so via a recursive CTE. A null value leaves
+    * the state unchanged (increment 0) rather than poisoning or
+    * resetting it; readout divides back to doubles (exact below
+    * 2^53 micro-units, i.e. |s| < ~9e9).
+    *
+    * Rows must be unique per (entity, ts, id) — id breaks ts ties
+    * deterministically.
+    */
+  def cusum(df: DataFrame, entity: String, ts: String, idCol: String,
+      valueCol: String, target: Double, slack: Double,
+      threshold: Double): DataFrame = {
+    require(slack >= 0, s"cusum: slack >= 0, got $slack")
+    require(threshold > 0, s"cusum: threshold > 0, got $threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val km = math.round((target + slack) * 1e6)
+    val kn = math.round((target - slack) * 1e6)
+    val thrM = math.round(threshold * 1e6)
+    val base = df.select(
+      col(entity).cast("string").as("e"),
+      unix_micros(col(ts).cast("timestamp")).as("t"),
+      col(idCol).cast("long").as("id"),
+      round(col(valueCol).cast("double") * lit(1e6), 0).cast("long")
+        .as("xm"))
+      .as[(String, Long, Long, Option[Long])]
+    base
+      .repartition(col("e"))
+      .sortWithinPartitions(col("e"), col("t"), col("id"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var sp = 0L
+        var sn = 0L
+        it.map { case (e, _, id, xm) =>
+          if (e != cur) { cur = e; sp = 0L; sn = 0L }
+          sp = math.max(0L, sp + xm.map(_ - km).getOrElse(0L))
+          sn = math.max(0L, sn + xm.map(kn - _).getOrElse(0L))
+          (id, sp / 1e6, sn / 1e6, sp > thrM || sn > thrM)
+        }
+      }
+      .toDF(idCol, "cusum_pos", "cusum_neg", "alarm")
+  }
+}

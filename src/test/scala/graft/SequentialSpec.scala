@@ -1,0 +1,54 @@
+package graft
+
+import graft.temporal.Sequential
+import org.apache.spark.sql.Row
+import java.sql.Timestamp
+
+class SequentialSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("cusum: golden recurrence, zero resets, null carry, entity reset") {
+    val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
+      Row(1L, ts("2024-01-01 10:00:00"), 1L, 12.0),
+      Row(1L, ts("2024-01-01 10:10:00"), 2L, 5.0),
+      Row(1L, ts("2024-01-01 10:20:00"), 3L, 20.0),
+      Row(1L, ts("2024-01-01 10:30:00"), 4L, null),
+      Row(1L, ts("2024-01-01 10:40:00"), 5L, 1.0),
+      Row(2L, ts("2024-01-01 10:00:00"), 6L, 100.0)))
+    val out = Sequential.cusum(d, "e", "ts", "id", "v",
+      target = 10.0, slack = 0.0, threshold = 8.0).orderBy("id")
+    assert(column(out, "cusum_pos") == Seq(2.0, 0.0, 10.0, 10.0, 1.0, 90.0))
+    assert(column(out, "cusum_neg") == Seq(0.0, 5.0, 0.0, 0.0, 9.0, 0.0))
+    // alarms: sp=10 > 8 at rows 3-4, sn=9 > 8 at row 5; entity 2's
+    // fresh state proves the boundary reset (90 > 8 on its own)
+    assert(column(out, "alarm") ==
+      Seq(false, false, true, true, true, true))
+    intercept[IllegalArgumentException] {
+      Sequential.cusum(d, "e", "ts", "id", "v", 10.0, -1.0, 8.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sequential.cusum(d, "e", "ts", "id", "v", 10.0, 0.0, 0.0)
+    }
+  }
+
+  test("cusum: ts ties break by id deterministically") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
+      Row(1L, t0, 2L, 0.0), Row(1L, t0, 1L, 30.0)))
+    // id=1 (v=30, +20) runs first, then id=2 (v=0, -10)
+    val out = Sequential.cusum(d, "e", "ts", "id", "v",
+      target = 10.0, slack = 0.0, threshold = 1000.0).orderBy("id")
+    assert(column(out, "cusum_pos") == Seq(20.0, 10.0))
+  }
+
+  test("cusum plans ONE exchange and no per-group materialization") {
+    val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
+      Row(1L, ts("2024-01-01 10:00:00"), 1L, 1.0)))
+    val plan = Sequential.cusum(d, "e", "ts", "id", "v",
+      target = 0.0, slack = 0.0, threshold = 1.0)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("AppendColumns"), plan) // no groupByKey path
+  }
+}
