@@ -859,6 +859,26 @@ object QueriesData {
         .orderBy("column")
     }),
 
+    "q186_profile_drift" -> ((s, dir) => {
+      // train/serve structural drift report: profile the even-id
+      // snapshot vs the odd-id snapshot of the event log and flag
+      // null-rate moves > 0.05 and distinct-cardinality swings
+      // outside [0.5, 2] per column
+      val ev = tbl(s, dir, "events")
+      graft.operators.Profile.profileDrift(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        Seq("event_type", "user_id", "value", "props"))
+        .select(col("column"), col("n_ref"), col("n_cur"),
+          round(col("null_rate_ref"), 6).as("null_rate_ref"),
+          round(col("null_rate_cur"), 6).as("null_rate_cur"),
+          round(col("null_rate_delta"), 6).as("null_rate_delta"),
+          col("n_distinct_ref"), col("n_distinct_cur"),
+          round(col("distinct_ratio"), 6).as("distinct_ratio"),
+          col("drifted"))
+        .orderBy("column")
+    }),
+
     "q180_resize_plan" -> ((s, dir) => {
       // the geometry handed to the decode/resize kernel: per-image
       // aspect-preserving scale into its bucket target + symmetric
@@ -2348,6 +2368,44 @@ object QueriesData {
            |FROM customer""".stripMargin
       Seq("c_mktsegment", "c_nationkey", "c_acctbal", "c_name")
         .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY 1")
+    },
+
+    // the q179 exact-count profile per parity snapshot, then the
+    // same UNROUNDED delta/ratio comparisons feeding the flag
+    "q186_profile_drift" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", r.n AS n_ref, u.n AS n_cur,
+           |  CAST(r.nn AS DOUBLE) / r.n AS nr_ref,
+           |  CAST(u.nn AS DOUBLE) / u.n AS nr_cur,
+           |  r.nd AS nd_ref, u.nd AS nd_cur
+           |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS nn,
+           |    CAST(COUNT(DISTINCT $c) AS BIGINT) AS nd
+           |  FROM events WHERE event_id % 2 = 0) r,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS nn,
+           |    CAST(COUNT(DISTINCT $c) AS BIGINT) AS nd
+           |  FROM events WHERE event_id % 2 = 1) u""".stripMargin
+      val body = Seq("event_type", "user_id", "value", "props")
+        .map(one).mkString("(", "\nUNION ALL\n", ")")
+      s"""SELECT "column", n_ref, n_cur,
+         |  ROUND(nr_ref, 6) AS null_rate_ref,
+         |  ROUND(nr_cur, 6) AS null_rate_cur,
+         |  ROUND(nr_cur - nr_ref, 6) AS null_rate_delta,
+         |  nd_ref AS n_distinct_ref, nd_cur AS n_distinct_cur,
+         |  ROUND(CASE WHEN nd_ref > 0
+         |    THEN CAST(nd_cur AS DOUBLE) / CAST(nd_ref AS DOUBLE)
+         |    END, 6) AS distinct_ratio,
+         |  (COALESCE(ABS(nr_cur - nr_ref) > 0.05, TRUE) OR
+         |   COALESCE(CASE WHEN nd_ref > 0
+         |       THEN CAST(nd_cur AS DOUBLE) / CAST(nd_ref AS DOUBLE)
+         |       END < 0.5 OR
+         |     CASE WHEN nd_ref > 0
+         |       THEN CAST(nd_cur AS DOUBLE) / CAST(nd_ref AS DOUBLE)
+         |       END > 2.0, TRUE)) AS drifted
+         |FROM $body ORDER BY 1""".stripMargin
     },
 
     // same bucket/target arithmetic as q173, then the letterbox

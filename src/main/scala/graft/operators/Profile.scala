@@ -20,6 +20,47 @@ object Profile {
     * prefer the HLL sketch ([[graft.core.Hll]], q157) and treat this
     * as the exact gate for bounded-cardinality feature columns.
     */
+  /** Train/serve (or snapshot/snapshot) profile drift: run
+    * [[columnProfile]] on a reference and a current table, join per
+    * column, and flag structural drift — the schema-level companion
+    * of the distributional PSI monitor ([[Drift]], q166): PSI sees a
+    * value distribution shift, this sees coverage/cardinality/null
+    * regressions (a feed that went silent, an id column that started
+    * nulling, an enum that exploded).
+    *
+    * `drifted` is conservative: a null-rate move beyond
+    * `nullRateTol`, a distinct-cardinality ratio outside
+    * `[distinctBand, 1/distinctBand]`, or any incomparable profile
+    * (an all-null side making the ratio undefined) flags. Cost: two
+    * melted profile passes + one |cols|-row join.
+    */
+  def profileDrift(ref: DataFrame, cur: DataFrame, cols: Seq[String],
+      nullRateTol: Double = 0.05,
+      distinctBand: Double = 0.5): DataFrame = {
+    require(nullRateTol >= 0, s"nullRateTol >= 0, got $nullRateTol")
+    require(distinctBand > 0 && distinctBand <= 1,
+      s"distinctBand in (0,1], got $distinctBand")
+    def side(df: DataFrame, s: String) =
+      columnProfile(df, cols).select(col("column"),
+        col("n").as(s"n_$s"), col("n_null").as(s"n_null_$s"),
+        col("n_distinct").as(s"n_distinct_$s"),
+        col("null_rate").as(s"null_rate_$s"))
+    val joined = side(ref, "ref")
+      .join(side(cur, "cur"), Seq("column"), "full_outer")
+    val delta = col("null_rate_cur") - col("null_rate_ref")
+    val ratio = when(col("n_distinct_ref") > 0,
+      col("n_distinct_cur").cast("double") /
+        col("n_distinct_ref").cast("double"))
+    joined
+      .withColumn("null_rate_delta", delta)
+      .withColumn("distinct_ratio", ratio)
+      .withColumn("drifted",
+        coalesce(abs(col("null_rate_delta")) > lit(nullRateTol),
+          lit(true)) ||
+        coalesce(col("distinct_ratio") < lit(distinctBand) ||
+          col("distinct_ratio") > lit(1.0 / distinctBand), lit(true)))
+  }
+
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile: need >= 1 column")
     val missing = cols.filterNot(df.columns.contains)

@@ -17,6 +17,33 @@ class ProfileSpec extends SparkSpec {
     assert(out("b").getLong(2) == 1 && out("b").getLong(3) == 2)
   }
 
+  test("profileDrift: null-rate move, cardinality swing, undefined " +
+      "ratio all flag; stable column does not") {
+    val ref = df("ok STRING, nully STRING, expl INT, dead STRING", Seq(
+      Row("a", "a", 1, null), Row("b", "b", 1, null),
+      Row("a", "c", 1, null), Row("b", "d", 1, null)))
+    val cur = df("ok STRING, nully STRING, expl INT, dead STRING", Seq(
+      Row("a", null, 1, "x"), Row("b", null, 2, "y"),
+      Row("a", "e", 3, "z"), Row("b", "f", 4, "w")))
+    val out = Profile.profileDrift(ref, cur,
+      Seq("ok", "nully", "expl", "dead"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // ok: same null rate (0), same 2 distincts -> no drift
+    assert(!out("ok").getBoolean(out("ok").fieldIndex("drifted")))
+    // nully: null rate 0 -> 0.5 -> drift
+    assert(out("nully").getBoolean(out("nully").fieldIndex("drifted")))
+    // expl: 1 distinct -> 4 distincts (ratio 4 > 2) -> drift
+    assert(out("expl").getBoolean(out("expl").fieldIndex("drifted")))
+    assert(out("expl").getDouble(out("expl").fieldIndex("distinct_ratio"))
+      == 4.0)
+    // dead: ref all-null (0 distincts) -> ratio undefined -> drift
+    assert(out("dead").getBoolean(out("dead").fieldIndex("drifted")))
+    assert(out("dead").isNullAt(out("dead").fieldIndex("distinct_ratio")))
+    intercept[IllegalArgumentException] {
+      Profile.profileDrift(ref, cur, Seq("ok"), distinctBand = 0.0)
+    }
+  }
+
   test("columnProfile: missing column rejected up front") {
     val d = df("a STRING", Seq(Row("x")))
     intercept[IllegalArgumentException] {
