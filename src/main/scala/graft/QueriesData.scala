@@ -339,6 +339,35 @@ object QueriesData {
         .orderBy("image_id")
     }),
 
+    "q187_channel_norm_invariant" -> ((s, dir) => {
+      // corpus channel-normalization plumbing, closed loop: every
+      // 10th payload is losslessly transcoded (PNG of the decoded
+      // pixels); the per-image INTEGER channel sums/sums-of-squares
+      // feeding channelNormalization must be bit-identical for each
+      // twin pair — they are functions of the pixel matrix alone
+      val base = ImageTable.imagesReal(s, 150)
+      val twins = Multimodal.transcode(
+        base.filter(
+          expr("CAST(substring(image_id, 5) AS BIGINT) % 10 = 0")),
+        "png")
+        .withColumn("image_id", concat(col("image_id"), lit("_d")))
+      val stats = Multimodal.channelStats(base.unionByName(twins))
+      val d = stats.filter(col("image_id").endsWith("_d"))
+        .select(expr("substring(image_id, 1, 14)").as("image_id"),
+          col("n_px").as("n2"), col("r_sum").as("r2"),
+          col("g_sum").as("g2"), col("b_sum").as("b2"),
+          col("r_sq").as("rq2"), col("g_sq").as("gq2"),
+          col("b_sq").as("bq2"), col("channels_ok").as("ok2"))
+      stats.join(d, "image_id")
+        .select(col("image_id"),
+          (col("n_px") === col("n2") && col("r_sum") === col("r2") &&
+            col("g_sum") === col("g2") && col("b_sum") === col("b2") &&
+            col("r_sq") === col("rq2") && col("g_sq") === col("gq2") &&
+            col("b_sq") === col("bq2") && col("channels_ok") &&
+            col("ok2")).as("sums_invariant"))
+        .orderBy("image_id")
+    }),
+
     "q121_grouped_hist_sketch" -> ((s, dir) => {
       // per-group histogram quantiles, fully distributed readout
       // (nothing collected): window buffering bounded by bins per key,
@@ -3061,6 +3090,14 @@ object QueriesData {
     "q124_ahash_transcode" ->
       """SELECT printf('img_%010d', i) AS image_id,
         |  TRUE AS hash_invariant
+        |FROM range(0, 150) t(i) WHERE i % 10 = 0
+        |ORDER BY 1""".stripMargin,
+
+    // the twins are known by construction; integer channel sums are
+    // pixel-matrix functions, so every pair must report TRUE
+    "q187_channel_norm_invariant" ->
+      """SELECT printf('img_%010d', i) AS image_id,
+        |  TRUE AS sums_invariant
         |FROM range(0, 150) t(i) WHERE i % 10 = 0
         |ORDER BY 1""".stripMargin,
 

@@ -484,6 +484,114 @@ object Multimodal {
     }
   }
 
+  /** Per-image EXACT per-channel pixel statistics: pixel count plus
+    * integer sums and sums-of-squares of the R/G/B channels (sRGB
+    * 0..255) — the raw material for corpus normalization constants
+    * ([[channelNormalization]]) and per-channel quality screens. All
+    * seven accumulators are LONGS (a pixel contributes at most
+    * 255^2 per channel, so even a 10^8-pixel image stays < 2^43):
+    * integer sums have no float accumulation order, which is what
+    * lets a lossless transcode twin certify bit-equality through the
+    * driver gate (q187) and lets the corpus aggregate distribute as
+    * a plain map-side-combined SUM. Undecodable/null payloads report
+    * zeros with `channels_ok = false`. Same partition discipline as
+    * every codec op here: reused codec, bytes dropped from the
+    * output schema, fixed row-major scan.
+    */
+  def channelStats(df: DataFrame): DataFrame = {
+    val inSchema = df.schema
+    val bytesIdx = inSchema.fieldIndex("bytes")
+    val fmtIdx = inSchema.fieldIndex("fmt")
+    val keptIdx = inSchema.fields.indices.filterNot(_ == bytesIdx)
+    val outSchema = StructType(keptIdx.map(inSchema.fields) ++ Seq(
+      StructField("n_px", LongType),
+      StructField("r_sum", LongType),
+      StructField("g_sum", LongType),
+      StructField("b_sum", LongType),
+      StructField("r_sq", LongType),
+      StructField("g_sq", LongType),
+      StructField("b_sq", LongType),
+      StructField("channels_ok", BooleanType)))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      val codec = new PixelCheck.Codec
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => codec.close()))
+      it.map { r =>
+        val kept = keptIdx.map(r.get)
+        val stats: Seq[Any] =
+          try {
+            val bytes = Option(r.getAs[Array[Byte]](bytesIdx))
+              .getOrElse(Array.emptyByteArray)
+            val img = if (bytes.isEmpty) null
+              else codec.decode(bytes, r.getString(fmtIdx))
+            if (img == null) Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, false)
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              var n = 0L
+              var rs = 0L; var gs = 0L; var bs = 0L
+              var rq = 0L; var gq = 0L; var bq = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  val rv = (p >> 16) & 0xff
+                  val gv = (p >> 8) & 0xff
+                  val bv = p & 0xff
+                  rs += rv; gs += gv; bs += bv
+                  rq += rv.toLong * rv; gq += gv.toLong * gv
+                  bq += bv.toLong * bv
+                  n += 1; x += 1
+                }
+                y += 1
+              }
+              Seq(n, rs, gs, bs, rq, gq, bq, true)
+            }
+          } catch {
+            case _: Exception => Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, false)
+          }
+        Row.fromSeq(kept ++ stats)
+      }
+    }
+  }
+
+  /** Corpus-level channel normalization constants (the dataset
+    * mean/std per channel a vision training pipeline bakes into its
+    * preprocessing, ImageNet's (0.485, 0.456, 0.406)-style triple,
+    * here in 0..255 units): ONE map-side-combined aggregation over
+    * [[channelStats]] rows with the sums widened to decimal(38,0) —
+    * exact at any corpus size (longs alone would overflow the
+    * squared sums past ~1.4e14 total pixels). Decode failures are
+    * excluded and counted. Population std via E[X^2] - E[X]^2 on the
+    * exact totals: with pixel-scale variances (>= O(1) in 0..255^2
+    * units) against mean^2 <= 65025, the subtraction loses at most
+    * ~12 of the double's 16 digits — fine here, unlike the per-image
+    * flat gate where [[lumaStats]] needs Welford.
+    */
+  def channelNormalization(stats: DataFrame): DataFrame = {
+    def dec(c: String) = sum(col(c).cast("decimal(38,0)"))
+    val agg = stats.agg(
+      sum(when(col("channels_ok"), lit(1L)).otherwise(lit(0L)))
+        .as("n_images"),
+      sum(when(!col("channels_ok"), lit(1L)).otherwise(lit(0L)))
+        .as("n_failed"),
+      dec("n_px").as("n_px"),
+      dec("r_sum").as("rs"), dec("g_sum").as("gs"), dec("b_sum").as("bs"),
+      dec("r_sq").as("rq"), dec("g_sq").as("gq"), dec("b_sq").as("bq"))
+    val n = col("n_px").cast("double")
+    def mean(s: String) = col(s).cast("double") / n
+    def std(sq: String, s: String) =
+      sqrt(greatest(col(sq).cast("double") / n -
+        mean(s) * mean(s), lit(0.0)))
+    agg.select(col("n_images"), col("n_failed"),
+      col("n_px").cast("long").as("n_px"),
+      mean("rs").as("r_mean"), mean("gs").as("g_mean"),
+      mean("bs").as("b_mean"),
+      std("rq", "rs").as("r_std"), std("gq", "gs").as("g_std"),
+      std("bq", "bs").as("b_std"))
+  }
+
   /** Transcode payloads: decode and re-encode into `targetFmt`
     * (png = lossless: the decoded pixel matrix is preserved exactly,
     * so pixel-derived features — [[averageHash]], PSNR audits — are

@@ -203,4 +203,63 @@ class PixelCheckSpec extends SparkSpec {
     assert(!graft.multimodal.Multimodal.lumaStats(
       ImageTable.imagesReal(spark, 1)).columns.contains("bytes"))
   }
+
+  test("channelStats: exact integer sums on a known raster, corrupt " +
+      "payload refuses; channelNormalization exact corpus readout") {
+    import org.apache.spark.sql.Row
+    val schema = ImageTable.imagesReal(spark, 1).schema
+    val bIdx = schema.fieldIndex("bytes")
+    val fIdx = schema.fieldIndex("fmt")
+    val base = ImageTable.imagesReal(spark, 3).collect()
+    def withBytes(r: Row, b: Array[Byte]): Row =
+      Row.fromSeq(r.toSeq.updated(bIdx, b).updated(fIdx, "png"))
+    // 2x1 raster: (0x10, 0x20, 0x30) and (0x30, 0x20, 0x10)
+    val px = PixelCheck.encode(
+      PixelCheck.toImage(Array(0xFF102030, 0xFF302010), 2, 1), "png")
+    // constant 4-px raster: every channel std exactly 0
+    val const = PixelCheck.encode(
+      PixelCheck.toImage(Array.fill(4)(0xFF405060), 2, 2), "png")
+    val rows = Seq(
+      withBytes(base(0), px),
+      withBytes(base(1), const),
+      withBytes(base(2), Array[Byte](1, 2, 3))) // corrupt
+    val stats = graft.multimodal.Multimodal.channelStats(
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        schema))
+    assert(!stats.columns.contains("bytes"))
+    val byId = stats.collect()
+      .map(r => r.getAs[String]("image_id") -> r).toMap
+    val idIdx = schema.fieldIndex("image_id")
+    val a = byId(rows(0).getString(idIdx))
+    assert(a.getAs[Boolean]("channels_ok"))
+    assert(a.getAs[Long]("n_px") == 2L)
+    assert(a.getAs[Long]("r_sum") == 0x10 + 0x30)
+    assert(a.getAs[Long]("g_sum") == 0x20 + 0x20)
+    assert(a.getAs[Long]("b_sum") == 0x30 + 0x10)
+    assert(a.getAs[Long]("r_sq") == 0x10 * 0x10 + 0x30 * 0x30)
+    assert(a.getAs[Long]("b_sq") == 0x30 * 0x30 + 0x10 * 0x10)
+    val c = byId(rows(2).getString(idIdx))
+    assert(!c.getAs[Boolean]("channels_ok") && c.getAs[Long]("n_px") == 0L)
+    // corpus readout over the two decodable images (failed row
+    // contributes zeros and is only counted): 6 px total
+    val norm = graft.multimodal.Multimodal.channelNormalization(stats)
+      .collect()(0)
+    assert(norm.getAs[Long]("n_images") == 2L)
+    assert(norm.getAs[Long]("n_failed") == 1L)
+    assert(norm.getAs[Long]("n_px") == 6L)
+    val rMean = (0x10 + 0x30 + 4 * 0x40).toDouble / 6
+    assert(math.abs(norm.getAs[Double]("r_mean") - rMean) < 1e-12)
+    val rVar = (0x10 * 0x10 + 0x30 * 0x30 + 4 * 0x40 * 0x40).toDouble /
+      6 - rMean * rMean
+    assert(math.abs(norm.getAs[Double]("r_std") - math.sqrt(rVar)) < 1e-12)
+    // constant image alone: std exactly 0 on every channel
+    val only = graft.multimodal.Multimodal.channelNormalization(
+      stats.filter(stats("image_id") === rows(1).getString(idIdx)))
+      .collect()(0)
+    assert(only.getAs[Double]("r_std") == 0.0 &&
+      only.getAs[Double]("g_std") == 0.0 &&
+      only.getAs[Double]("b_std") == 0.0)
+  }
 }
