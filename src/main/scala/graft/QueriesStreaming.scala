@@ -608,6 +608,38 @@ object QueriesStreaming {
         .orderBy("source")
     }),
 
+    "q188_stream_cusum" -> ((s, dir) => {
+      // the ONLINE companion of q185: the same integer micro-unit
+      // CUSUM recurrence carried as one (ts, sPos, sNeg) triple per
+      // user across 3 REAL micro-batches — the oracle is LITERALLY
+      // q185's recursive CTE (shared string), so batch scan, stream,
+      // and oracle are certified against one definition
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = tbl(s, dir, "events")
+        .select(col("user_id").cast("long"),
+          col("event_id").cast("long"),
+          col("ts").cast("timestamp"), col("value").cast("double"))
+        .collect()
+        .map(r => StreamingOps.CusumEvent(r.getLong(0), r.getLong(1),
+          r.getTimestamp(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .sortBy(e => (StreamingOps.toMicros(e.ts), e.eventId)).toSeq
+      val input = MemoryStream[StreamingOps.CusumEvent]
+      val sink = s"q188_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.cusumStream(input.toDS(),
+        target = 35.0, slack = 10.0, threshold = 1000.0)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      drive(input, q, rows, nChunks = 3)
+      s.table(sink)
+        .select(col("eventId").as("event_id"), col("cusumPos")
+            .as("cusum_pos"), col("cusumNeg").as("cusum_neg"),
+          col("alarm"))
+        .orderBy("event_id")
+    }),
+
     "q147_stream_decayed_feature" -> ((s, dir) => {
       // the ONLINE companion of q146: the exact (untruncated)
       // time-decay recurrence s_t = x_t + s_prev * 2^(-dt/hl), carried
@@ -703,6 +735,11 @@ object QueriesStreaming {
     // the stream's merged top-k state must equal the one-shot batch
     // weighted sample — literally q130's oracle
     "q137_stream_weighted_sample" -> QueriesData.weightedSampleSql,
+
+    // the batch operator's oracle, shared verbatim: one recursive-CTE
+    // definition certifies q185 (batch) and q188 (stream) alike
+    "q188_stream_cusum" ->
+      QueriesTemporal.oracles("q185_cusum_changepoint"),
 
     // replay of the stream's EXACT per-user fold (value + s * 0.5^
     // (dt_us/hl_us), in arrival order) as a recursive CTE: identical

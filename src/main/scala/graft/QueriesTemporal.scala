@@ -158,6 +158,19 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q189_decayed_exact" -> ((s, dir) => {
+      // the UNTRUNCATED decay recurrence (q146's bounded-k fan is the
+      // approximation; q147 is the online form): exact batch backfill
+      // via the same secondary-sort scan as q185, identical
+      // x + s*pow(0.5, dt/hl) expression tree as stream and oracle
+      graft.temporal.Sequential.decayedSum(
+        tbl(s, dir, "events").filter(col("value").isNotNull),
+        "user_id", "ts", "event_id", "value",
+        halfLifeSeconds = 21600.0)
+        .select(col("event_id"), round(col("decayed"), 6).as("decayed"))
+        .orderBy("event_id")
+    }),
+
     "q185_cusum_changepoint" -> ((s, dir) => {
       // per-user sequential drift detector: two-sided CUSUM in
       // integer micro-units via ONE repartition + secondary sort +
@@ -441,6 +454,28 @@ object QueriesTemporal {
         |  WHEN vp IS NOT NULL THEN vp
         |  ELSE vn END, 6) AS v_interp
         |FROM x ORDER BY 1""".stripMargin,
+
+    // the q147 recursive-CTE fold (identical IEEE operand order) —
+    // the batch scan must match it bit-exactly, like the stream does
+    "q189_decayed_exact" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL
+        |),
+        |r AS (
+        |  SELECT user_id, event_id, rn, tus, value AS s
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT seq.user_id, seq.event_id, seq.rn, seq.tus,
+        |    seq.value + r.s * pow(0.5,
+        |      CAST(seq.tus - r.tus AS DOUBLE) / 21600000000.0)
+        |  FROM r JOIN seq
+        |    ON seq.user_id = r.user_id AND seq.rn = r.rn + 1
+        |)
+        |SELECT event_id, ROUND(s, 6) AS decayed
+        |FROM r ORDER BY 1""".stripMargin,
 
     // the same micro-unit recurrence, replayed sequentially per user
     // by a recursive CTE: km = (35+10)*1e6, kn = (35-10)*1e6,

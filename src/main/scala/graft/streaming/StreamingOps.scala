@@ -577,6 +577,73 @@ object StreamingOps {
       }
   }
 
+  case class CusumEvent(entity: Long, eventId: Long, ts: Timestamp,
+    value: Option[Double])
+  case class CusumOut(eventId: Long, entity: Long, ts: Timestamp,
+    cusumPos: Double, cusumNeg: Double, alarm: Boolean)
+  case class CusumState(lastTsUs: Long, sp: Long, sn: Long)
+
+  /** ONLINE two-sided CUSUM change-point scores — the streaming
+    * companion of [[graft.temporal.Sequential.cusum]] (which is also
+    * the exact batch backfill path): one `(lastTs, sPos, sNeg)`
+    * integer-micro-unit triple per entity carried across micro-batches
+    * via flatMapGroupsWithState, every event emitting its scores and
+    * alarm at arrival. Integer adds + max have no float order to
+    * drift, so the stream, the batch scan, and the recursive-CTE
+    * oracle agree bit-exactly given the same per-entity (ts, id)
+    * arrival order.
+    *
+    * Same source contract as [[decayedFeatureStream]]: rows are
+    * processed in (event-time, id) order within a batch, and ACROSS
+    * batches the source must be per-entity ts-nondecreasing — an
+    * older-than-state row fails loudly (backfill late data with the
+    * batch operator). A null value leaves the state unchanged.
+    * State lives forever (one triple per entity — bounded entity
+    * universe assumed; CUSUM state must NOT silently evict, a
+    * half-accumulated drift score is the signal).
+    */
+  def cusumStream(events: Dataset[CusumEvent], target: Double,
+      slack: Double, threshold: Double): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    require(slack >= 0, s"cusumStream: slack >= 0, got $slack")
+    require(threshold > 0, s"cusumStream: threshold > 0, got $threshold")
+    val km = math.round((target + slack) * 1e6)
+    val kn = math.round((target - slack) * 1e6)
+    val thrM = math.round(threshold * 1e6)
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (entity: Long, rows: Iterator[CusumEvent],
+         state: GroupState[CusumState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.eventId))
+          var st = state.getOption.getOrElse(CusumState(Long.MinValue, 0L, 0L))
+          val out = Seq.newBuilder[CusumOut]
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            require(t >= st.lastTsUs,
+              s"cusumStream: entity $entity got ts $t older than " +
+                s"carried state ${st.lastTsUs} — source must be " +
+                "per-entity ts-nondecreasing (backfill late data with " +
+                "the batch Sequential.cusum)")
+            // HALF-AWAY-FROM-ZERO, matching Spark round()/DuckDB
+            // round() in the batch/oracle mirrors (math.round is
+            // half-UP: it disagrees on negative exact halves)
+            val xm = e.value.map { v =>
+              val y = v * 1e6
+              if (y >= 0) math.floor(y + 0.5).toLong
+              else math.ceil(y - 0.5).toLong
+            }
+            val sp = math.max(0L, st.sp + xm.map(_ - km).getOrElse(0L))
+            val sn = math.max(0L, st.sn + xm.map(kn - _).getOrElse(0L))
+            st = CusumState(t, sp, sn)
+            out += CusumOut(e.eventId, entity, e.ts,
+              sp / 1e6, sn / 1e6, sp > thrM || sn > thrM)
+          }
+          if (sorted.nonEmpty) state.update(st)
+          out.result().iterator
+      }
+  }
+
   // ---- streaming image near-dup (phash) --------------------------------
 
   case class PhashImage(imageId: String, ts: Timestamp, phash: Long)

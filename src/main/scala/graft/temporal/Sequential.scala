@@ -44,6 +44,54 @@ object Sequential {
     * Rows must be unique per (entity, ts, id) — id breaks ts ties
     * deterministically.
     */
+  /** EXACT time-decayed feature recurrence, batch form:
+    *
+    *   s_t = x_t + s_(t-1) * 2^(-(ts_t - ts_(t-1)) / halfLife)
+    *
+    * — the UNTRUNCATED counterpart of
+    * [[WindowOps.decayedRollingSum]]'s bounded-k fan, and the exact
+    * batch BACKFILL path of the online
+    * [[graft.streaming.StreamingOps.decayedFeatureStream]] (whose
+    * monotonicity failure message points late data here): one
+    * secondary-sorted scan replays per-entity history in (ts, id)
+    * order with the IDENTICAL expression tree `x + s * pow(0.5,
+    * dt_us / hl_us)`, so batch, stream, and the recursive-CTE oracle
+    * agree to the last ulp before display rounding. A null value
+    * contributes x = 0 (the decay still applies — time passed).
+    */
+  def decayedSum(df: DataFrame, entity: String, ts: String,
+      idCol: String, valueCol: String,
+      halfLifeSeconds: Double): DataFrame = {
+    require(halfLifeSeconds > 0,
+      s"decayedSum: halfLife > 0, got $halfLifeSeconds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hlUs = halfLifeSeconds * 1e6
+    df.select(col(entity).cast("string").as("e"),
+      unix_micros(col(ts).cast("timestamp")).as("t"),
+      col(idCol).cast("long").as("id"),
+      col(valueCol).cast("double").as("x"))
+      .as[(String, Long, Long, Option[Double])]
+      .repartition(col("e"))
+      .sortWithinPartitions(col("e"), col("t"), col("id"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var lastT = 0L
+        var s = 0.0
+        var fresh = true
+        it.map { case (e, t, id, x) =>
+          if (e != cur) { cur = e; fresh = true }
+          val xv = x.getOrElse(0.0)
+          s = if (fresh) xv
+            else xv + s * math.pow(0.5, (t - lastT).toDouble / hlUs)
+          fresh = false
+          lastT = t
+          (id, s)
+        }
+      }
+      .toDF(idCol, "decayed")
+  }
+
   def cusum(df: DataFrame, entity: String, ts: String, idCol: String,
       valueCol: String, target: Double, slack: Double,
       threshold: Double): DataFrame = {

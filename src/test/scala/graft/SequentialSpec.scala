@@ -42,6 +42,35 @@ class SequentialSpec extends SparkSpec {
     assert(column(out, "cusum_pos") == Seq(20.0, 10.0))
   }
 
+  test("decayedSum: exact recurrence equals the bounded fan when k " +
+      "covers history; null value decays without contributing") {
+    val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
+      Row(1L, ts("2024-01-01 00:00:00"), 1L, 4.0),
+      Row(1L, ts("2024-01-01 01:00:00"), 2L, 1.0),
+      Row(1L, ts("2024-01-01 03:00:00"), 3L, 0.5),
+      Row(2L, ts("2024-01-01 00:00:00"), 4L, 8.0)))
+    val got = Sequential.decayedSum(d, "e", "ts", "id", "v",
+      halfLifeSeconds = 3600.0).orderBy("id")
+      .collect().map(_.getDouble(1)).toSeq
+    val s2 = 1.0 + 4.0 * math.pow(0.5, 1.0)
+    val s3 = 0.5 + s2 * math.pow(0.5, 2.0)
+    assert(got == Seq(4.0, s2, s3, 8.0))
+    // with k >= history length the bounded window fan must agree
+    val fan = graft.temporal.WindowOps.decayedRollingSum(
+      d, "e", "ts", "v", k = 4, halfLifeSeconds = 3600.0)
+      .orderBy("id").collect()
+      .map(_.getAs[Double]("decayed_sum")).toSeq
+    got.zip(fan).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12, s"$a vs $b") }
+    // null x: decay applies, contribution 0
+    val n = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
+      Row(1L, ts("2024-01-01 00:00:00"), 1L, 4.0),
+      Row(1L, ts("2024-01-01 01:00:00"), 2L, null)))
+    val gn = Sequential.decayedSum(n, "e", "ts", "id", "v", 3600.0)
+      .orderBy("id").collect().map(_.getDouble(1)).toSeq
+    assert(gn == Seq(4.0, 2.0))
+  }
+
   test("cusum plans ONE exchange and no per-group materialization") {
     val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
       Row(1L, ts("2024-01-01 10:00:00"), 1L, 1.0)))

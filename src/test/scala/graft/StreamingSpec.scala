@@ -769,6 +769,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cusum stream: state carries across batches and equals the " +
+      "batch secondary-sort scan; null value is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(
+      StreamingOps.CusumEvent(1L, 1L, ts("2024-01-01 10:00:00"), Some(12.0)),
+      StreamingOps.CusumEvent(1L, 2L, ts("2024-01-01 10:10:00"), Some(5.0)),
+      StreamingOps.CusumEvent(2L, 3L, ts("2024-01-01 10:00:00"), Some(100.0)),
+      StreamingOps.CusumEvent(1L, 4L, ts("2024-01-01 10:20:00"), None),
+      StreamingOps.CusumEvent(1L, 5L, ts("2024-01-01 10:30:00"), Some(20.0)))
+    val input = MemoryStream[StreamingOps.CusumEvent]
+    val q = StreamingOps.cusumStream(input.toDS(),
+      target = 10.0, slack = 0.0, threshold = 8.0)
+      .writeStream.format("memory").queryName("cusum_s")
+      .outputMode("append").start()
+    try {
+      Seq(ev.take(2), ev.slice(2, 4), ev.drop(4)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val got = spark.table("cusum_s").orderBy("eventId")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5))).toSeq
+      // hand fold: +2 -> (0, 5) after x=5 -> null no-op -> +10
+      assert(got == Seq(
+        (1L, 2.0, 0.0, false), (2L, 0.0, 5.0, false),
+        (3L, 90.0, 0.0, true), (4L, 0.0, 5.0, false),
+        (5L, 10.0, 0.0, true)))
+      // batch scan over the same rows must agree exactly
+      val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE",
+        ev.map(e => org.apache.spark.sql.Row(e.entity, e.ts, e.eventId,
+          e.value.map(Double.box).orNull)))
+      val batch = graft.temporal.Sequential.cusum(d, "e", "ts", "id",
+        "v", 10.0, 0.0, 8.0).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getBoolean(3))).toSeq
+      assert(batch == got)
+    } finally q.stop()
+  }
+
+  test("cusum stream fails loudly on per-entity time regression") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.CusumEvent]
+    val q = StreamingOps.cusumStream(input.toDS(), 10.0, 0.0, 8.0)
+      .writeStream.format("memory").queryName("cusum_bad")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamingOps.CusumEvent(1L, 1L,
+        ts("2024-01-01 12:00:00"), Some(1.0)))
+      q.processAllAvailable()
+      input.addData(StreamingOps.CusumEvent(1L, 2L,
+        ts("2024-01-01 09:00:00"), Some(1.0)))
+      val err = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { q.processAllAvailable() }
+      assert(err.getMessage.contains("ts-nondecreasing") ||
+        Option(err.getCause).exists(
+          _.getMessage.contains("ts-nondecreasing")))
+    } finally q.stop()
+  }
+
   test("decayed feature stream TTL: idle state evicts with the 2^-k " +
     "error bound; fresh restart after the gap") {
     import spark.implicits._
