@@ -888,6 +888,19 @@ object QueriesData {
         .orderBy("column")
     }),
 
+    "q191_skew_report" -> ((s, dir) => {
+      // pre-join skew planning: every key whose row share exceeds
+      // 0.5% plus the exact-integer salt factor that would level it
+      // across 32 partitions; threshold-based, so output stays
+      // bounded regardless of key cardinality
+      graft.operators.Profile.skewReport(tbl(s, dir, "events"),
+        Seq("event_type", "user_id"), shareThreshold = 0.005,
+        partitions = 32)
+        .select(col("column"), col("key"), col("cnt"),
+          round(col("share"), 6).as("share"), col("salt_factor"))
+        .orderBy("column", "key")
+    }),
+
     "q186_profile_drift" -> ((s, dir) => {
       // train/serve structural drift report: profile the even-id
       // snapshot vs the odd-id snapshot of the event log and flag
@@ -2398,6 +2411,28 @@ object QueriesData {
       Seq("c_mktsegment", "c_nationkey", "c_acctbal", "c_name")
         .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY 1")
     },
+
+    // same melt/count/threshold shape; salt factor is exact integer
+    // ceil division, so no float enters the reported plan
+    "q191_skew_report" ->
+      """WITH m AS (
+        |  SELECT 'event_type' AS "column",
+        |    COALESCE(CAST(event_type AS VARCHAR), '<NULL>') AS key
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_id',
+        |    COALESCE(CAST(user_id AS VARCHAR), '<NULL>') FROM events),
+        |c AS (SELECT "column", key, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM m GROUP BY 1, 2),
+        |t AS (SELECT "column", SUM(cnt) AS total FROM c GROUP BY 1)
+        |SELECT c."column", c.key, c.cnt,
+        |  ROUND(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |    AS share,
+        |  CAST((cnt * 32 + total - 1) // total AS BIGINT)
+        |    AS salt_factor
+        |FROM c JOIN t USING ("column")
+        |WHERE CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) > 0.005
+        |ORDER BY 1, 2""".stripMargin,
 
     // the q179 exact-count profile per parity snapshot, then the
     // same UNROUNDED delta/ratio comparisons feeding the flag

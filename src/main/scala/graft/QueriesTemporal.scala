@@ -158,6 +158,17 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q190_survival_labels" -> ((s, dir) => {
+      // churn/conversion label generation: exact integer-us time to
+      // each user's NEXT purchase, right-censored at 7 days, plus
+      // the observed flag — strictly-forward frame, no self-read
+      WindowOps.timeToNextEvent(tbl(s, dir, "events"), "user_id",
+        "ts", col("event_type") === "purchase",
+        horizonSeconds = 7L * 86400L, tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("tte_us"), col("tte_observed"))
+        .orderBy("event_id")
+    }),
+
     "q189_decayed_exact" -> ((s, dir) => {
       // the UNTRUNCATED decay recurrence (q146's bounded-k fan is the
       // approximation; q147 is the online form): exact batch backfill
@@ -453,6 +464,22 @@ object QueriesTemporal {
         |      (CAST(t - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE)) END
         |  WHEN vp IS NOT NULL THEN vp
         |  ELSE vn END, 6) AS v_interp
+        |FROM x ORDER BY 1""".stripMargin,
+
+    // identical strictly-forward carry and integer-us censoring
+    // (horizon = 7 * 86400 * 1e6 us)
+    "q190_survival_labels" ->
+      """WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+        |  (event_type = 'purchase') AS is_t FROM events),
+        |x AS (SELECT event_id, t,
+        |  FIRST_VALUE(CASE WHEN is_t THEN t END IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS tn
+        |  FROM e)
+        |SELECT event_id,
+        |  CASE WHEN tn IS NOT NULL AND tn - t <= 604800000000
+        |    THEN tn - t ELSE 604800000000 END AS tte_us,
+        |  COALESCE(tn - t <= 604800000000, FALSE) AS tte_observed
         |FROM x ORDER BY 1""".stripMargin,
 
     // the q147 recursive-CTE fold (identical IEEE operand order) —

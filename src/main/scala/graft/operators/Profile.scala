@@ -61,6 +61,51 @@ object Profile {
           col("distinct_ratio") > lit(1.0 / distinctBand), lit(true)))
   }
 
+  /** Shuffle-skew diagnostic: for each candidate key column, every
+    * key value whose row share exceeds `shareThreshold`, with the
+    * salt factor `ceil(share * partitions)` that would level it —
+    * the planning report behind
+    * [[graft.temporal.AsOfJoin.detectHotEntities]]'s runtime
+    * auto-salting: run this BEFORE choosing join/agg keys at 100 TB
+    * and the hot keys (and how many ways to split each) fall out.
+    *
+    * Threshold-based rather than top-k ON PURPOSE: output is bounded
+    * by 1/threshold rows per column with a plain map-side-combined
+    * count — no heaps, no per-column ordering, nothing that cares
+    * how many distinct keys exist. Null keys are real skew (they
+    * all land in one partition) and report as the `<NULL>` sentinel.
+    * The salt factor is exact integer arithmetic:
+    * `(cnt * partitions + total - 1) DIV total`.
+    */
+  def skewReport(df: DataFrame, cols: Seq[String],
+      shareThreshold: Double = 0.01,
+      partitions: Int = 200): DataFrame = {
+    require(cols.nonEmpty, "skewReport: need >= 1 column")
+    require(shareThreshold > 0 && shareThreshold < 1,
+      s"skewReport: shareThreshold in (0,1), got $shareThreshold")
+    require(partitions >= 1, s"skewReport: partitions >= 1")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"skewReport: missing columns $missing")
+    val melted = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"),
+          coalesce(col(c).cast("string"), lit("<NULL>")).as("key")))
+        : _*)).as("kv"))
+      .select(col("kv.column").as("column"), col("kv.key").as("key"))
+    val counts = melted.groupBy(col("column"), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("column"))
+      .agg(sum(col("cnt")).as("total"))
+    counts.join(totals, "column")
+      .withColumn("share",
+        col("cnt").cast("double") / col("total").cast("double"))
+      .filter(col("share") > lit(shareThreshold))
+      .withColumn("salt_factor",
+        expr(s"(cnt * $partitions + total - 1) DIV total"))
+      .select(col("column"), col("key"), col("cnt"), col("share"),
+        col("salt_factor"))
+  }
+
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile: need >= 1 column")
     val missing = cols.filterNot(df.columns.contains)

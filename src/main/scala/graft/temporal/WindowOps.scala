@@ -266,6 +266,43 @@ object WindowOps {
     df.select(df.columns.map(col).toIndexedSeq :+ filled.as(out): _*)
   }
 
+  /** Survival-label generation: for every row, the time (exact
+    * integer MICROSECONDS) until the entity's next row satisfying
+    * `targetFlag`, RIGHT-CENSORED at `horizonSeconds`:
+    *
+    *   tte_us    = min(t_nextTarget - t, horizon)   (horizon if none)
+    *   observed  = a target event actually occurred within horizon
+    *
+    * — the (duration, event) label pair survival/churn models train
+    * on (Kaplan-Meier, Cox, gradient-boosted survival), generated
+    * leakage-consciously: the label looks STRICTLY forward (frame
+    * starts at 1 FOLLOWING), and the censoring horizon is what makes
+    * rows near the data's edge usable at all (an uncensored "no
+    * event yet" would silently become "never").
+    *
+    * One carried scalar over the shared (entity, ts) window; all
+    * arithmetic is integer microseconds — nothing to drift.
+    */
+  def timeToNextEvent(df: DataFrame, entity: String, ts: String,
+      targetFlag: Column, horizonSeconds: Long,
+      outPrefix: String = "tte", tieBreak: Seq[String] = Nil)
+      : DataFrame = {
+    require(horizonSeconds > 0,
+      s"timeToNextEvent: horizon > 0, got $horizonSeconds")
+    val spec = Window.partitionBy(col(entity))
+      .orderBy((col(ts) +: tieBreak.map(col)): _*)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val tUs = unix_micros(col(ts).cast("timestamp"))
+    val hUs = horizonSeconds * 1000000L
+    val tn = first(when(targetFlag, tUs), ignoreNulls = true).over(spec)
+    val gap = tn - tUs
+    df.select(df.columns.map(col).toIndexedSeq ++ Seq(
+      when(gap.isNotNull && gap <= hUs, gap).otherwise(lit(hUs))
+        .as(s"${outPrefix}_us"),
+      coalesce(gap <= hUs, lit(false)).as(s"${outPrefix}_observed"))
+      : _*)
+  }
+
   /** Session-level feature rollup: [[sessionize]] then ONE map-side-
     * combined groupBy(entity, session) — the per-session training
     * features (duration, event count, type diversity, spend) a

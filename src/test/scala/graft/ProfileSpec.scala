@@ -44,6 +44,26 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("skewReport: hot keys pass the share gate with exact salt " +
+      "factors, null keys report as sentinel, cold keys drop") {
+    val rows = Seq.fill(60)(Row("hot", "x")) ++
+      Seq.fill(30)(Row(null, "x")) ++
+      (1 to 10).map(i => Row(s"cold$i", "x"))
+    val d = df("k STRING, o STRING", rows)
+    val out = Profile.skewReport(d, Seq("k"),
+      shareThreshold = 0.05, partitions = 10)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(4)))).toMap
+    // hot: 60/100 -> ceil(0.6*10) = 6; null: 30/100 -> 3; cold: gone
+    assert(out == Map("hot" -> ((60L, 6L)), "<NULL>" -> ((30L, 3L))))
+    intercept[IllegalArgumentException] {
+      Profile.skewReport(d, Seq("k"), shareThreshold = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.skewReport(d, Seq("nope"))
+    }
+  }
+
   test("columnProfile: missing column rejected up front") {
     val d = df("a STRING", Seq(Row("x")))
     intercept[IllegalArgumentException] {

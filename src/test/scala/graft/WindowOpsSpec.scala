@@ -142,6 +142,31 @@ class WindowOpsSpec extends SparkSpec {
     assert(column(out, "f") == Seq(1.0, 1.0, 2.0, 5.0, 5.0, null))
   }
 
+  test("timeToNextEvent: forward-only, censored at horizon, exact us") {
+    val d = df("e STRING, ts TIMESTAMP, t STRING", Seq(
+      Row("a", ts("2024-01-01 10:00:00"), "view"),
+      Row("a", ts("2024-01-01 10:30:00"), "buy"),
+      Row("a", ts("2024-01-01 11:00:00"), "view"),
+      Row("a", ts("2024-01-01 15:00:00"), "buy"),
+      Row("a", ts("2024-01-01 16:00:00"), "view"), // no next -> censored
+      Row("b", ts("2024-01-01 10:00:00"), "view"))) // never -> censored
+    import org.apache.spark.sql.functions.col
+    val out = WindowOps.timeToNextEvent(d, "e", "ts",
+      col("t") === "buy", horizonSeconds = 3600 * 3)
+      .orderBy("e", "ts")
+    val h = 3L * 3600L * 1000000L
+    // only the first row observes (30 min to the 10:30 buy); the
+    // 10:30 buy's NEXT buy is 4.5h away and the 11:00 view's is 4h
+    // away — both beyond the 3h horizon, so censored at h
+    assert(column(out, "tte_us") ==
+      Seq(1800000000L, h, h, h, h, h))
+    assert(column(out, "tte_observed") ==
+      Seq(true, false, false, false, false, false))
+    intercept[IllegalArgumentException] {
+      WindowOps.timeToNextEvent(d, "e", "ts", col("t") === "buy", 0)
+    }
+  }
+
   test("new window ops stack with the old on ONE exchange") {
     val chained = WindowOps.interpolateFill(
       WindowOps.rollingQuantile(
