@@ -158,6 +158,23 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q192_gap_stats" -> ((s, dir) => {
+      // per-user cadence features: exact integer-us inter-event gaps
+      // reduced to count/min/max/mean/std; squared moments widened to
+      // decimal(38,0) so every accumulator is exact
+      // mean/std read out in SECONDS: at the microsecond magnitude
+      // (~3e10) a double's ulp exceeds the 6dp rounding grain, so the
+      // two engines' round() implementations can disagree by one ulp;
+      // at ~3e4 seconds round-6 is decisive
+      WindowOps.gapStats(tbl(s, dir, "events"), "user_id", "ts",
+        tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("n_events"), col("n_gaps"),
+          col("gap_min_us"), col("gap_max_us"),
+          round(col("gap_mean_us") / lit(1e6), 6).as("gap_mean_s"),
+          round(col("gap_std_us") / lit(1e6), 6).as("gap_std_s"))
+        .orderBy("user_id")
+    }),
+
     "q190_survival_labels" -> ((s, dir) => {
       // churn/conversion label generation: exact integer-us time to
       // each user's NEXT purchase, right-censored at 7 days, plus
@@ -465,6 +482,27 @@ object QueriesTemporal {
         |  WHEN vp IS NOT NULL THEN vp
         |  ELSE vn END, 6) AS v_interp
         |FROM x ORDER BY 1""".stripMargin,
+
+    // identical lag/groupBy moments; HUGEINT mirrors decimal(38,0)
+    // for the exact squared sums
+    "q192_gap_stats" ->
+      """WITH g AS (SELECT user_id,
+        |  epoch_us(ts) - LAG(epoch_us(ts)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+        |  MIN(gap) AS gap_min_us, MAX(gap) AS gap_max_us,
+        |  ROUND(CASE WHEN COUNT(gap) > 0
+        |    THEN CAST(SUM(gap) AS DOUBLE) / COUNT(gap) END / 1e6, 6)
+        |    AS gap_mean_s,
+        |  ROUND(CASE WHEN COUNT(gap) > 0 THEN sqrt(GREATEST(
+        |    CAST(SUM(CAST(gap AS HUGEINT) * gap) AS DOUBLE)
+        |      / COUNT(gap)
+        |    - (CAST(SUM(gap) AS DOUBLE) / COUNT(gap))
+        |      * (CAST(SUM(gap) AS DOUBLE) / COUNT(gap)), 0.0)) END
+        |    / 1e6, 6) AS gap_std_s
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical strictly-forward carry and integer-us censoring
     // (horizon = 7 * 86400 * 1e6 us)

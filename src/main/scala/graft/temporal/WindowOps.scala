@@ -303,6 +303,52 @@ object WindowOps {
       : _*)
   }
 
+  /** Per-entity inter-event gap statistics — the cadence features
+    * (how often does this user act, how bursty) behavioral models
+    * consume: consecutive (ts, id)-ordered gaps in exact integer
+    * MICROSECONDS, reduced per entity to count/min/max/mean/std.
+    *
+    * Exactness: gaps are integer subtractions; the sum is a long
+    * (bounded by the entity's total time span); the sum of SQUARES is
+    * widened to decimal(38,0) BEFORE summing (a week-long gap squared
+    * is ~3.6e23 — past long range), so every accumulated moment is
+    * exact and only the final mean/std divisions are floats.
+    * Population std via E[X^2]-E[X]^2 on exact totals (same
+    * rationale as [[graft.multimodal.Multimodal.channelNormalization]]).
+    * Entities with a single event report zero gaps and null stats.
+    *
+    * Shape: ONE (entity, ts) window (shared exchange with every op
+    * here) for the lag, then one map-side-combined groupBy(entity) —
+    * the exchange after the window carries |entities| rows.
+    */
+  def gapStats(df: DataFrame, entity: String, ts: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val spec = Window.partitionBy(col(entity))
+      .orderBy((col(ts) +: tieBreak.map(col)): _*)
+    val tUs = unix_micros(col(ts).cast("timestamp"))
+    val gap = (tUs - lag(tUs, 1).over(spec)).as("__gap")
+    val n = count(col("__gap")).as("n_gaps")
+    val mean = when(count(col("__gap")) > 0,
+      sum(col("__gap")).cast("double") /
+        count(col("__gap")).cast("double"))
+    val sq = sum((col("__gap").cast("decimal(19,0)") *
+      col("__gap").cast("decimal(19,0)")).cast("decimal(38,0)"))
+    df.select(col(entity), gap)
+      .groupBy(col(entity))
+      .agg(count(lit(1)).as("n_events"), n,
+        min(col("__gap")).as("gap_min_us"),
+        max(col("__gap")).as("gap_max_us"),
+        mean.as("gap_mean_us"),
+        when(count(col("__gap")) > 0,
+          sqrt(greatest(
+            sq.cast("double") / count(col("__gap")).cast("double") -
+              (sum(col("__gap")).cast("double") /
+                count(col("__gap")).cast("double")) *
+              (sum(col("__gap")).cast("double") /
+                count(col("__gap")).cast("double")),
+            lit(0.0)))).as("gap_std_us"))
+  }
+
   /** Session-level feature rollup: [[sessionize]] then ONE map-side-
     * combined groupBy(entity, session) — the per-session training
     * features (duration, event count, type diversity, spend) a

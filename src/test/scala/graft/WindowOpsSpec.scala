@@ -167,6 +167,27 @@ class WindowOpsSpec extends SparkSpec {
     }
   }
 
+  test("gapStats: exact moments over integer-us gaps, singleton null") {
+    val d = df("e STRING, ts TIMESTAMP", Seq(
+      Row("a", ts("2024-01-01 10:00:00")),
+      Row("a", ts("2024-01-01 10:00:10")),
+      Row("a", ts("2024-01-01 10:00:40")),
+      Row("b", ts("2024-01-01 10:00:00"))))
+    val out = WindowOps.gapStats(d, "e", "ts").orderBy("e").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("n_events") == 3L && a.getAs[Long]("n_gaps") == 2L)
+    assert(a.getAs[Long]("gap_min_us") == 10000000L)
+    assert(a.getAs[Long]("gap_max_us") == 30000000L)
+    assert(a.getAs[Double]("gap_mean_us") == 20000000.0)
+    // population std of {10s, 30s} = 10s exactly
+    assert(math.abs(a.getAs[Double]("gap_std_us") - 10000000.0) < 1e-6)
+    val b = out(1)
+    assert(b.getAs[Long]("n_events") == 1L && b.getAs[Long]("n_gaps") == 0L)
+    assert(b.isNullAt(b.fieldIndex("gap_mean_us")) &&
+      b.isNullAt(b.fieldIndex("gap_std_us")) &&
+      b.isNullAt(b.fieldIndex("gap_min_us")))
+  }
+
   test("new window ops stack with the old on ONE exchange") {
     val chained = WindowOps.interpolateFill(
       WindowOps.rollingQuantile(
