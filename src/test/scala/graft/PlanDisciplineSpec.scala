@@ -412,4 +412,33 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
+
+  test("gapStats: the groupBy rollup reuses the window's entity " +
+      "partitioning — ONE exchange end to end") {
+    val d = spark.range(0, 2000)
+      .selectExpr("CAST(id % 7 AS STRING) AS e",
+        "timestampadd(SECOND, CAST(id AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00') AS ts")
+    val out = graft.temporal.WindowOps.gapStats(d, "e", "ts")
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n" +
+      plan.take(1500))
+    // and the rollup is a real partial aggregation
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+  }
+
+  test("skewReport: map-side-combined counts, no window, no sort " +
+      "of raw rows, no cartesian") {
+    val d = spark.range(0, 2000)
+      .selectExpr("CAST(id % 3 AS STRING) AS k",
+        "CAST(id AS STRING) AS o")
+    val out = graft.operators.Profile.skewReport(d, Seq("k", "o"),
+      shareThreshold = 0.01, partitions = 16)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      plan.take(1200))
+    // melt -> partial count -> final count: >= 2 HashAggregates
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+  }
 }
