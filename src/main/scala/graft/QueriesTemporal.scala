@@ -158,6 +158,20 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q193_ewm_mean" -> ((s, dir) => {
+      // irregular-interval EWM LEVEL (pandas ewm(times=...).mean()):
+      // the normalized companion of q189's decayed mass — same
+      // secondary-sort scan, s + (1-2^(-dt/hl))*(x-s) fold replayed
+      // bit-exactly by the recursive-CTE oracle
+      graft.temporal.Sequential.ewmMean(
+        tbl(s, dir, "events").filter(col("value").isNotNull),
+        "user_id", "ts", "event_id", "value",
+        halfLifeSeconds = 21600.0)
+        .select(col("event_id"),
+          round(col("ewm_mean"), 6).as("ewm_mean"))
+        .orderBy("event_id")
+    }),
+
     "q192_gap_stats" -> ((s, dir) => {
       // per-user cadence features: exact integer-us inter-event gaps
       // reduced to count/min/max/mean/std; squared moments widened to
@@ -482,6 +496,29 @@ object QueriesTemporal {
         |  WHEN vp IS NOT NULL THEN vp
         |  ELSE vn END, 6) AS v_interp
         |FROM x ORDER BY 1""".stripMargin,
+
+    // the same recursive replay as q189 with the normalized fold:
+    // s + (1 - 0.5^(dt/hl)) * (x - s), identical operand order
+    "q193_ewm_mean" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL
+        |),
+        |r AS (
+        |  SELECT user_id, event_id, rn, tus, value AS s
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT seq.user_id, seq.event_id, seq.rn, seq.tus,
+        |    r.s + (1 - pow(0.5,
+        |      CAST(seq.tus - r.tus AS DOUBLE) / 21600000000.0))
+        |      * (seq.value - r.s)
+        |  FROM r JOIN seq
+        |    ON seq.user_id = r.user_id AND seq.rn = r.rn + 1
+        |)
+        |SELECT event_id, ROUND(s, 6) AS ewm_mean
+        |FROM r ORDER BY 1""".stripMargin,
 
     // identical lag/groupBy moments; HUGEINT mirrors decimal(38,0)
     // for the exact squared sums

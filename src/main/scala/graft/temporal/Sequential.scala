@@ -21,6 +21,62 @@ import org.apache.spark.sql.functions._
   */
 object Sequential {
 
+  /** Irregular-interval exponentially-weighted MEAN (pandas
+    * `ewm(halflife=..., times=...).mean()` semantics, the LEVEL
+    * estimate where [[decayedSum]] is the unnormalized mass):
+    *
+    *   s_1 = x_1
+    *   s_t = s_(t-1) + (1 - 2^(-dt/halfLife)) * (x_t - s_(t-1))
+    *
+    * — the recency-weighted average that converges to x under a
+    * constant signal (a decayed SUM grows with rate), the standard
+    * smoothed-level feature for irregular event streams. Same
+    * secondary-sort scan as the other recurrences here; the fixed
+    * `s + a*(x - s)` operand order is replayed verbatim by the
+    * recursive-CTE oracle, so the float fold mirrors bit-exactly.
+    *
+    * Null values emit a null mean and do NOT touch the state — the
+    * clock between OBSERVATIONS drives the decay, so `lastTs` also
+    * stays put (a null is a missing reading, not a zero reading).
+    */
+  def ewmMean(df: DataFrame, entity: String, ts: String,
+      idCol: String, valueCol: String,
+      halfLifeSeconds: Double): DataFrame = {
+    require(halfLifeSeconds > 0,
+      s"ewmMean: halfLife > 0, got $halfLifeSeconds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hlUs = halfLifeSeconds * 1e6
+    df.select(col(entity).cast("string").as("e"),
+      unix_micros(col(ts).cast("timestamp")).as("t"),
+      col(idCol).cast("long").as("id"),
+      col(valueCol).cast("double").as("x"))
+      .as[(String, Long, Long, Option[Double])]
+      .repartition(col("e"))
+      .sortWithinPartitions(col("e"), col("t"), col("id"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var lastT = 0L
+        var s = 0.0
+        var fresh = true
+        it.map { case (e, t, id, x) =>
+          if (e != cur) { cur = e; fresh = true }
+          val out: Option[Double] = x match {
+            case None => None
+            case Some(xv) =>
+              s = if (fresh) xv
+                else s + (1.0 - math.pow(0.5,
+                  (t - lastT).toDouble / hlUs)) * (xv - s)
+              fresh = false
+              lastT = t
+              Some(s)
+          }
+          (id, out)
+        }
+      }
+      .toDF(idCol, "ewm_mean")
+  }
+
   /** Two-sided CUSUM change-point scores (Page 1954):
     *
     *   sPos_t = max(0, sPos_(t-1) + (x_t - (target + slack)))

@@ -71,6 +71,30 @@ class SequentialSpec extends SparkSpec {
     assert(gn == Seq(4.0, 2.0))
   }
 
+  test("ewmMean: level converges under constant signal, null rows " +
+      "emit null and freeze both state and clock") {
+    val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
+      Row(1L, ts("2024-01-01 00:00:00"), 1L, 4.0),
+      Row(1L, ts("2024-01-01 01:00:00"), 2L, 8.0),
+      Row(1L, ts("2024-01-01 01:30:00"), 3L, null),
+      Row(1L, ts("2024-01-01 02:00:00"), 4L, 8.0),
+      Row(2L, ts("2024-01-01 00:00:00"), 5L, 6.0)))
+    val got = Sequential.ewmMean(d, "e", "ts", "id", "v",
+      halfLifeSeconds = 3600.0).orderBy("id").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
+    val s2 = 4.0 + (1.0 - math.pow(0.5, 1.0)) * (8.0 - 4.0) // 6.0
+    // the null at 01:30 froze the clock: dt for id=4 is a FULL hour
+    // from 01:00, not 30 min
+    val s4 = s2 + (1.0 - math.pow(0.5, 1.0)) * (8.0 - s2)   // 7.0
+    assert(got == Seq(4.0, s2, null, s4, 6.0))
+    // constant signal: the level equals the signal at every step
+    val c = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE",
+      (1 to 5).map(i => Row(1L,
+        ts(f"2024-01-01 0$i:00:00"), i.toLong, 3.5)))
+    assert(Sequential.ewmMean(c, "e", "ts", "id", "v", 3600.0)
+      .collect().forall(_.getDouble(1) == 3.5))
+  }
+
   test("cusum plans ONE exchange and no per-group materialization") {
     val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
       Row(1L, ts("2024-01-01 10:00:00"), 1L, 1.0)))
