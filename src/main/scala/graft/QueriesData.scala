@@ -888,6 +888,20 @@ object QueriesData {
         .orderBy("column")
     }),
 
+    "q194_benford_audit" -> ((s, dir) => {
+      // forensic digit audit: floored prices follow Benford closely
+      // (natural multi-decade magnitudes); uniform synthetic keys
+      // legitimately blow the chi2 up — the audit reports both
+      val d = tbl(s, dir, "lineitem").withColumn("price_int",
+        floor(col("l_extendedprice")).cast("long"))
+      graft.operators.Profile.benfordAudit(d,
+        Seq("l_orderkey", "l_partkey", "price_int"))
+        .select(Seq(col("column"), col("n")) ++
+          (1 to 9).map(k => col(s"c$k")) :+
+          round(col("chi2"), 6).as("chi2"): _*)
+        .orderBy("column")
+    }),
+
     "q191_skew_report" -> ((s, dir) => {
       // pre-join skew planning: every key whose row share exceeds
       // 0.5% plus the exact-integer salt factor that would level it
@@ -2410,6 +2424,41 @@ object QueriesData {
            |FROM customer""".stripMargin
       Seq("c_mktsegment", "c_nationkey", "c_acctbal", "c_name")
         .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY 1")
+    },
+
+    // generated from the SAME BenfordShares constants the operator
+    // compiles in (Scala Double.toString round-trips exactly), so no
+    // engine libm log10 enters the chi2; identical term operand order
+    "q194_benford_audit" -> {
+      val es = graft.operators.Profile.BenfordShares
+      def digit(c: String) =
+        s"""CASE WHEN $c IS NULL OR $c = 0 THEN NULL
+           |    ELSE CAST(substring(CAST(ABS($c) AS VARCHAR), 1, 1)
+           |      AS INT) END""".stripMargin
+      def term(k: Int) =
+        s"""(CAST(c$k AS DOUBLE) - CAST(n AS DOUBLE) * ${es(k - 1)})
+           |  * (CAST(c$k AS DOUBLE) - CAST(n AS DOUBLE) * ${es(k - 1)})
+           |  / (CAST(n AS DOUBLE) * ${es(k - 1)})""".stripMargin
+      val counters = (1 to 9).map(k =>
+        s"CAST(SUM(CASE WHEN d = $k THEN 1 ELSE 0 END) AS BIGINT) " +
+          s"AS c$k").mkString(",\n  ")
+      s"""WITH src AS (SELECT l_orderkey, l_partkey,
+         |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_int
+         |  FROM lineitem),
+         |m AS (
+         |  SELECT 'l_orderkey' AS "column", ${digit("l_orderkey")}
+         |    AS d FROM src
+         |  UNION ALL
+         |  SELECT 'l_partkey', ${digit("l_partkey")} FROM src
+         |  UNION ALL
+         |  SELECT 'price_int', ${digit("price_int")} FROM src),
+         |g AS (SELECT "column", CAST(COUNT(d) AS BIGINT) AS n,
+         |  $counters
+         |  FROM m GROUP BY 1)
+         |SELECT "column", n, c1, c2, c3, c4, c5, c6, c7, c8, c9,
+         |  ROUND(CASE WHEN n = 0 THEN NULL ELSE
+         |    ${(1 to 9).map(term).mkString("\n  + ")} END, 6) AS chi2
+         |FROM g ORDER BY 1""".stripMargin
     },
 
     // same melt/count/threshold shape; salt factor is exact integer

@@ -106,6 +106,53 @@ object Profile {
         col("salt_factor"))
   }
 
+  /** First-significant-digit shares of log10(1 + 1/d), d = 1..9. */
+  private[graft] val BenfordShares: IndexedSeq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** Benford first-digit audit over INTEGRAL columns: per column,
+    * the count of each leading digit of |x| (nulls and zeros
+    * excluded) plus the chi-squared statistic against Benford's
+    * log10(1 + 1/d) law — the forensic data-quality test for
+    * naturally-grown magnitudes (prices, durations, counts): heavy
+    * chi2 on a column that SHOULD be Benford flags fabricated,
+    * truncated, or unit-mangled feeds. Uniform ids legitimately
+    * score huge — the audit reports, the reader interprets.
+    *
+    * ONE melted map-side-combined groupBy (9 counters + n per
+    * column); chi2 is a FIXED left-assoc 9-term fold over the exact
+    * counts (never a float aggregation), with the expected shares
+    * embedded as compile-time constants ([[BenfordShares]]) so no
+    * engine libm enters the comparison. Digit extraction is string
+    * based (`substring(cast(abs(x) as string), 1, 1)`) — exact for
+    * integers in any engine.
+    */
+  def benfordAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "benfordAudit: need >= 1 column")
+    cols.foreach(c =>
+      graft.core.Ids.requireIntegral(df, c, "benfordAudit"))
+    val melted = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"),
+          when(col(c).isNull || col(c) === 0, lit(null))
+            .otherwise(substring(abs(col(c)).cast("string"), 1, 1)
+              .cast("int")).as("d"))): _*)).as("kv"))
+      .select(col("kv.column").as("column"), col("kv.d").as("d"))
+    val aggs = count(col("d")).as("n") +:
+      (1 to 9).map(k => sum(when(col("d") === k, lit(1L))
+        .otherwise(lit(0L))).as(s"c$k"))
+    val counted = melted.groupBy(col("column"))
+      .agg(aggs.head, aggs.tail: _*)
+    val n = col("n").cast("double")
+    val chi2 = (1 to 9).map { k =>
+      val e = n * lit(BenfordShares(k - 1))
+      (col(s"c$k").cast("double") - e) *
+        (col(s"c$k").cast("double") - e) / e
+    }.reduce(_ + _)
+    counted.withColumn("chi2",
+      when(col("n") === 0, lit(null).cast("double")).otherwise(chi2))
+  }
+
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile: need >= 1 column")
     val missing = cols.filterNot(df.columns.contains)

@@ -64,6 +64,29 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("benfordAudit: digit counts exact, zero/null excluded, chi2 " +
+      "golden, non-integral rejected") {
+    val d = df("x BIGINT, y DOUBLE", Seq(
+      Row(123L, 1.0), Row(19L, 1.0), Row(-234L, 1.0), Row(9000L, 1.0),
+      Row(0L, 1.0), Row(null, 1.0)))
+    val out = Profile.benfordAudit(d, Seq("x")).collect()(0)
+    assert(out.getAs[Long]("n") == 4L)
+    assert(out.getAs[Long]("c1") == 2L) // 123, 19
+    assert(out.getAs[Long]("c2") == 1L) // |-234|
+    assert(out.getAs[Long]("c9") == 1L) // 9000
+    val es = Profile.BenfordShares
+    val expChi2 = (1 to 9).map { k =>
+      val c = k match { case 1 => 2.0; case 2 => 1.0; case 9 => 1.0
+        case _ => 0.0 }
+      val e = 4.0 * es(k - 1)
+      (c - e) * (c - e) / e
+    }.reduce(_ + _)
+    assert(math.abs(out.getAs[Double]("chi2") - expChi2) < 1e-9)
+    intercept[IllegalArgumentException] {
+      Profile.benfordAudit(d, Seq("y")) // double column refused
+    }
+  }
+
   test("columnProfile: missing column rejected up front") {
     val d = df("a STRING", Seq(Row("x")))
     intercept[IllegalArgumentException] {
