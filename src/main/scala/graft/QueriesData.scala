@@ -472,6 +472,31 @@ object QueriesData {
         .orderBy("id_a", "id_b")
     }),
 
+    "q195_caption_consistency" -> ((s, dir) => {
+      // "same pixels, different caption" audit: the q62 near-dup
+      // twins carry three caption fates — identical (%10), case
+      // drift (%20 -> equal_norm only), real drift (%40 ' v2' ->
+      // neither) — and every pair's verdicts are certified
+      val imgs = oracleImages(s, 500, "/tmp/graft_oracle_images_q195")
+      val base = imgs.select(col("image_id"), col("phash"),
+        col("caption"))
+      val dups = base
+        .filter(expr("CAST(substring(image_id, 5) AS BIGINT) % 10 = 0"))
+        .select(concat(col("image_id"), lit("_d")).as("image_id"),
+          col("phash").bitwiseXOR(lit(257L)).as("phash"),
+          expr("""CASE
+            WHEN CAST(substring(image_id, 5) AS BIGINT) % 40 = 0
+              THEN caption || ' v2'
+            WHEN CAST(substring(image_id, 5) AS BIGINT) % 20 = 0
+              THEN upper(caption)
+            ELSE caption END""").as("caption"))
+      Multimodal.captionConsistency(base.unionByName(dups),
+        "image_id", "phash", "caption", maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("hamming"),
+          col("caption_equal"), col("caption_equal_norm"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "q52_multimodal_decode" -> ((s, dir) => {
       // mapPartitions decode plumbing with the stub decoder (whose spec
       // is deliberately SQL-reproducible — see Multimodal.StubDecoder);
@@ -3283,6 +3308,32 @@ object QueriesData {
         |      WHERE CAST(substring(image_id, 5) AS BIGINT) % 10 = 0)
         |SELECT a.image_id AS id_a, b.image_id AS id_b,
         |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        |FROM t a JOIN t b ON a.image_id < b.image_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
+
+    // the q62 pair recovery plus null-safe caption verdicts
+    // (IS NOT DISTINCT FROM == Spark <=>)
+    "q195_caption_consistency" ->
+      """WITH base AS (SELECT image_id, phash, caption
+        |  FROM read_parquet('/tmp/graft_oracle_images_q195/*.parquet')),
+        |t AS (SELECT * FROM base
+        |  UNION ALL
+        |  SELECT image_id || '_d', xor(phash, 257),
+        |    CASE
+        |      WHEN CAST(substring(image_id, 5) AS BIGINT) % 40 = 0
+        |        THEN caption || ' v2'
+        |      WHEN CAST(substring(image_id, 5) AS BIGINT) % 20 = 0
+        |        THEN upper(caption)
+        |      ELSE caption END
+        |  FROM base
+        |  WHERE CAST(substring(image_id, 5) AS BIGINT) % 10 = 0)
+        |SELECT a.image_id AS id_a, b.image_id AS id_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER)
+        |    AS hamming,
+        |  (a.caption IS NOT DISTINCT FROM b.caption) AS caption_equal,
+        |  (lower(trim(a.caption)) IS NOT DISTINCT FROM
+        |    lower(trim(b.caption))) AS caption_equal_norm
         |FROM t a JOIN t b ON a.image_id < b.image_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY 1, 2""".stripMargin,

@@ -592,6 +592,39 @@ object Multimodal {
       std("bq", "bs").as("b_std"))
   }
 
+  /** Cross-modal consistency audit: for every near-duplicate image
+    * pair ([[phashNearDups]] over the phash column — payload bytes
+    * never enter the plan), whether the two captions agree exactly
+    * and whether they agree after case/whitespace normalization —
+    * the "same pixels, different caption" screen an image+caption
+    * curation pass runs before electing a canonical caption per
+    * duplicate cluster (exact-but-not-normalized = formatting drift;
+    * neither = real disagreement, a labeling-quality signal).
+    *
+    * Null captions compare null-SAFELY (`<=>`): two missing captions
+    * agree, a missing-vs-present pair does not. Shape: the banded
+    * near-dup join plus two unique-key caption joins (AQE broadcasts
+    * the smaller side); the caption column never rides through the
+    * band explosion.
+    */
+  def captionConsistency(imgs: DataFrame, idCol: String,
+      phashCol: String, captionCol: String,
+      maxDist: Int): DataFrame = {
+    val pairs = phashNearDups(
+      imgs.select(col(idCol), col(phashCol)), idCol, phashCol, maxDist)
+    val caps = imgs.select(col(idCol).as("__cid"),
+      col(captionCol).cast("string").as("__cap"))
+    pairs
+      .join(caps.select(col("__cid").as("__ca_id"),
+        col("__cap").as("__cap_a")), col("id_a") === col("__ca_id"))
+      .join(caps.select(col("__cid").as("__cb_id"),
+        col("__cap").as("__cap_b")), col("id_b") === col("__cb_id"))
+      .withColumn("caption_equal", col("__cap_a") <=> col("__cap_b"))
+      .withColumn("caption_equal_norm",
+        lower(trim(col("__cap_a"))) <=> lower(trim(col("__cap_b"))))
+      .drop("__ca_id", "__cb_id", "__cap_a", "__cap_b")
+  }
+
   /** Transcode payloads: decode and re-encode into `targetFmt`
     * (png = lossless: the decoded pixel matrix is preserved exactly,
     * so pixel-derived features — [[averageHash]], PSNR audits — are

@@ -358,6 +358,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out == Set(("a", "b", 3), ("a", "d", 1)))
   }
 
+  test("captionConsistency: exact vs normalized verdicts, null-safe " +
+      "captions, distant pairs never compared") {
+    // groups mutually >= 32 bits apart so ONLY within-group pairs
+    // clear maxDist; within each group the twin is at distance 1
+    val d = df("image_id STRING, phash BIGINT, caption STRING", Seq(
+      Row("a1", 0L, "A cat"),
+      Row("a2", 1L, "a cat "),   // case+space drift
+      Row("b1", 0x0F0F0F0F0F0F0F0FL, null),
+      Row("b2", 0x0F0F0F0F0F0F0F0DL, null), // both missing
+      Row("c1", 0xF0F0F0F0F0F0F0F0L, "x"),
+      Row("c2", 0xF0F0F0F0F0F0F0F4L, "completely different"),
+      Row("far", -1L, "far"))) // 64 bits from a, 32 from b/c
+    val out = Multimodal.captionConsistency(d, "image_id", "phash",
+      "caption", maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Boolean]("caption_equal"),
+          r.getAs[Boolean]("caption_equal_norm")))).toMap
+    assert(out(("a1", "a2")) == ((false, true)))
+    assert(out(("b1", "b2")) == ((true, true))) // null <=> null
+    assert(out(("c1", "c2")) == ((false, false)))
+    assert(out.size == 3)
+  }
+
   test("winnowing guarantee: shared substring >= k+w-1 shares a fingerprint") {
     // both docs contain the same 16-char run (>= k + w - 1 = 11)
     val marker = "zqxjkvbwpfmgu#7!"
