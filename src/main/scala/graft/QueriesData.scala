@@ -935,8 +935,9 @@ object QueriesData {
       graft.operators.Profile.skewReport(tbl(s, dir, "events"),
         Seq("event_type", "user_id"), shareThreshold = 0.005,
         partitions = 32)
-        .select(col("column"), col("key"), col("cnt"),
-          round(col("share"), 6).as("share"), col("salt_factor"))
+        .select(col("column"), col("key"), col("key_is_null"),
+          col("cnt"), round(col("share"), 6).as("share"),
+          col("salt_factor"))
         .orderBy("column", "key")
     }),
 
@@ -2458,7 +2459,8 @@ object QueriesData {
       val es = graft.operators.Profile.BenfordShares
       def digit(c: String) =
         s"""CASE WHEN $c IS NULL OR $c = 0 THEN NULL
-           |    ELSE CAST(substring(CAST(ABS($c) AS VARCHAR), 1, 1)
+           |    ELSE CAST(substring(regexp_replace(
+           |      CAST($c AS VARCHAR), '^-', ''), 1, 1)
            |      AS INT) END""".stripMargin
       def term(k: Int) =
         s"""(CAST(c$k AS DOUBLE) - CAST(n AS DOUBLE) * ${es(k - 1)})
@@ -2491,22 +2493,20 @@ object QueriesData {
     "q191_skew_report" ->
       """WITH m AS (
         |  SELECT 'event_type' AS "column",
-        |    COALESCE(CAST(event_type AS VARCHAR), '<NULL>') AS key
-        |  FROM events
+        |    CAST(event_type AS VARCHAR) AS key FROM events
         |  UNION ALL
-        |  SELECT 'user_id',
-        |    COALESCE(CAST(user_id AS VARCHAR), '<NULL>') FROM events),
+        |  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events),
         |c AS (SELECT "column", key, CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM m GROUP BY 1, 2),
         |t AS (SELECT "column", SUM(cnt) AS total FROM c GROUP BY 1)
-        |SELECT c."column", c.key, c.cnt,
+        |SELECT c."column", c.key, c.key IS NULL AS key_is_null, c.cnt,
         |  ROUND(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6)
         |    AS share,
         |  CAST((cnt * 32 + total - 1) // total AS BIGINT)
         |    AS salt_factor
         |FROM c JOIN t USING ("column")
         |WHERE CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) > 0.005
-        |ORDER BY 1, 2""".stripMargin,
+        |ORDER BY 1, 2 NULLS FIRST""".stripMargin,
 
     // the q179 exact-count profile per parity snapshot, then the
     // same UNROUNDED delta/ratio comparisons feeding the flag

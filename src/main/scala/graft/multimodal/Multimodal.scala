@@ -581,9 +581,12 @@ object Multimodal {
       dec("r_sq").as("rq"), dec("g_sq").as("gq"), dec("b_sq").as("bq"))
     val n = col("n_px").cast("double")
     def mean(s: String) = col(s).cast("double") / n
+    // an empty / all-failed corpus must report null std, not 0.0:
+    // greatest(null, 0.0) would swallow the divide-by-zero null
     def std(sq: String, s: String) =
-      sqrt(greatest(col(sq).cast("double") / n -
-        mean(s) * mean(s), lit(0.0)))
+      when(col("n_px").isNotNull && col("n_px") > 0,
+        sqrt(greatest(col(sq).cast("double") / n -
+          mean(s) * mean(s), lit(0.0))))
     agg.select(col("n_images"), col("n_failed"),
       col("n_px").cast("long").as("n_px"),
       mean("rs").as("r_mean"), mean("gs").as("g_mean"),

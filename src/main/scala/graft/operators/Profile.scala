@@ -73,8 +73,10 @@ object Profile {
     * by 1/threshold rows per column with a plain map-side-combined
     * count — no heaps, no per-column ordering, nothing that cares
     * how many distinct keys exist. Null keys are real skew (they
-    * all land in one partition) and report as the `<NULL>` sentinel.
-    * The salt factor is exact integer arithmetic:
+    * all land in one partition) and report as a null `key` with
+    * `key_is_null = true` — NOT as a sentinel string, which would
+    * silently merge them with a genuine "<NULL>"-valued key. The
+    * salt factor is exact integer arithmetic:
     * `(cnt * partitions + total - 1) DIV total`.
     */
   def skewReport(df: DataFrame, cols: Seq[String],
@@ -89,8 +91,7 @@ object Profile {
     val melted = df
       .select(explode(array(cols.map(c =>
         struct(lit(c).as("column"),
-          coalesce(col(c).cast("string"), lit("<NULL>")).as("key")))
-        : _*)).as("kv"))
+          col(c).cast("string").as("key"))): _*)).as("kv"))
       .select(col("kv.column").as("column"), col("kv.key").as("key"))
     val counts = melted.groupBy(col("column"), col("key"))
       .agg(count(lit(1)).as("cnt"))
@@ -102,7 +103,8 @@ object Profile {
       .filter(col("share") > lit(shareThreshold))
       .withColumn("salt_factor",
         expr(s"(cnt * $partitions + total - 1) DIV total"))
-      .select(col("column"), col("key"), col("cnt"), col("share"),
+      .select(col("column"), col("key"), col("key").isNull
+          .as("key_is_null"), col("cnt"), col("share"),
         col("salt_factor"))
   }
 
@@ -124,18 +126,23 @@ object Profile {
     * counts (never a float aggregation), with the expected shares
     * embedded as compile-time constants ([[BenfordShares]]) so no
     * engine libm enters the comparison. Digit extraction is string
-    * based (`substring(cast(abs(x) as string), 1, 1)`) — exact for
-    * integers in any engine.
+    * based with the sign stripped TEXTUALLY (never abs(), which
+    * overflows on Long.MinValue) — exact for integers in any engine.
     */
   def benfordAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "benfordAudit: need >= 1 column")
     cols.foreach(c =>
       graft.core.Ids.requireIntegral(df, c, "benfordAudit"))
+    // leading digit via string, sign stripped textually rather than
+    // through abs(): abs(Long.MinValue) overflows (silently negative
+    // non-ANSI, an error under ANSI/DuckDB) — the one value a
+    // forensic audit of sentinel-ridden feeds is most likely to meet
     val melted = df
       .select(explode(array(cols.map(c =>
         struct(lit(c).as("column"),
           when(col(c).isNull || col(c) === 0, lit(null))
-            .otherwise(substring(abs(col(c)).cast("string"), 1, 1)
+            .otherwise(substring(regexp_replace(
+              col(c).cast("string"), "^-", ""), 1, 1)
               .cast("int")).as("d"))): _*)).as("kv"))
       .select(col("kv.column").as("column"), col("kv.d").as("d"))
     val aggs = count(col("d")).as("n") +:

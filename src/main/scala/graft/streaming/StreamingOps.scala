@@ -597,7 +597,8 @@ object StreamingOps {
     * processed in (event-time, id) order within a batch, and ACROSS
     * batches the source must be per-entity ts-nondecreasing — an
     * older-than-state row fails loudly (backfill late data with the
-    * batch operator). A null value leaves the state unchanged.
+    * batch operator). A missing (null/NaN) value leaves the state
+    * unchanged.
     * State lives forever (one triple per entity — bounded entity
     * universe assumed; CUSUM state must NOT silently evict, a
     * half-accumulated drift score is the signal).
@@ -625,14 +626,11 @@ object StreamingOps {
                 s"carried state ${st.lastTsUs} — source must be " +
                 "per-entity ts-nondecreasing (backfill late data with " +
                 "the batch Sequential.cusum)")
-            // HALF-AWAY-FROM-ZERO, matching Spark round()/DuckDB
-            // round() in the batch/oracle mirrors (math.round is
-            // half-UP: it disagrees on negative exact halves)
-            val xm = e.value.map { v =>
-              val y = v * 1e6
-              if (y >= 0) math.floor(y + 0.5).toLong
-              else math.ceil(y - 0.5).toLong
-            }
+            // the ONE shared value->micro-unit definition (Spark
+            // round() semantics) the batch scan and oracle also use;
+            // NaN is a missing reading, like the batch scan's guard
+            val xm = e.value.filterNot(_.isNaN)
+              .map(graft.temporal.StreamingRound.halfUp6)
             val sp = math.max(0L, st.sp + xm.map(_ - km).getOrElse(0L))
             val sn = math.max(0L, st.sn + xm.map(kn - _).getOrElse(0L))
             st = CusumState(t, sp, sn)

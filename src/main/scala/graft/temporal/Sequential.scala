@@ -1,6 +1,6 @@
 package graft.temporal
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Per-entity SEQUENTIAL recurrences — the one windowed-feature shape
@@ -18,8 +18,32 @@ import org.apache.spark.sql.functions._
   * entity's history is one task's work, so per-entity history length
   * (not total rows) bounds the critical path; entities themselves
   * scale out freely.
+  *
+  * Shared value hygiene: a null OR NaN reading is a MISSING reading
+  * (never a zero, never poison) — each operator below documents what
+  * "missing" does to its state. Rows must be unique per
+  * (entity, ts, id); id breaks ts ties deterministically.
   */
 object Sequential {
+
+  /** The shared secondary-sort scan input: one exchange on the
+    * (string-cast) entity, in-partition (entity, ts, id) sort,
+    * value cast to double with NaN normalized to null (missing).
+    */
+  private def scanInput(df: DataFrame, entity: String, ts: String,
+      idCol: String, value: Column)
+      : Dataset[(String, Long, Long, Option[Double])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = value.cast("double")
+    df.select(col(entity).cast("string").as("e"),
+      unix_micros(col(ts).cast("timestamp")).as("t"),
+      col(idCol).cast("long").as("id"),
+      when(isnan(v), lit(null)).otherwise(v).as("x"))
+      .as[(String, Long, Long, Option[Double])]
+      .repartition(col("e"))
+      .sortWithinPartitions(col("e"), col("t"), col("id"))
+  }
 
   /** Irregular-interval exponentially-weighted MEAN (pandas
     * `ewm(halflife=..., times=...).mean()` semantics, the LEVEL
@@ -35,9 +59,9 @@ object Sequential {
     * `s + a*(x - s)` operand order is replayed verbatim by the
     * recursive-CTE oracle, so the float fold mirrors bit-exactly.
     *
-    * Null values emit a null mean and do NOT touch the state — the
-    * clock between OBSERVATIONS drives the decay, so `lastTs` also
-    * stays put (a null is a missing reading, not a zero reading).
+    * Missing (null/NaN) readings emit a null mean and do NOT touch
+    * the state — the clock between OBSERVATIONS drives the decay, so
+    * `lastTs` also stays put.
     */
   def ewmMean(df: DataFrame, entity: String, ts: String,
       idCol: String, valueCol: String,
@@ -47,13 +71,7 @@ object Sequential {
     val spark = df.sparkSession
     import spark.implicits._
     val hlUs = halfLifeSeconds * 1e6
-    df.select(col(entity).cast("string").as("e"),
-      unix_micros(col(ts).cast("timestamp")).as("t"),
-      col(idCol).cast("long").as("id"),
-      col(valueCol).cast("double").as("x"))
-      .as[(String, Long, Long, Option[Double])]
-      .repartition(col("e"))
-      .sortWithinPartitions(col("e"), col("t"), col("id"))
+    scanInput(df, entity, ts, idCol, col(valueCol))
       .mapPartitions { it =>
         var cur: String = null
         var lastT = 0L
@@ -77,29 +95,6 @@ object Sequential {
       .toDF(idCol, "ewm_mean")
   }
 
-  /** Two-sided CUSUM change-point scores (Page 1954):
-    *
-    *   sPos_t = max(0, sPos_(t-1) + (x_t - (target + slack)))
-    *   sNeg_t = max(0, sNeg_(t-1) + ((target - slack) - x_t))
-    *   alarm_t = sPos_t > threshold  OR  sNeg_t > threshold
-    *
-    * — the sequential drift detector for per-entity feature streams
-    * (sensor drift, spend-pattern shift, data-quality regressions)
-    * that rolling means smear and PSI-style batch drift tests only
-    * see in aggregate.
-    *
-    * The entire recurrence runs in integer MICRO-UNITS
-    * (`round(x*1e6)` as long): integer adds and a max have no
-    * floating summation-order to drift, so the scan is bit-exact in
-    * any engine that replays the same (ts, id)-ordered history — the
-    * DuckDB oracle does so via a recursive CTE. A null value leaves
-    * the state unchanged (increment 0) rather than poisoning or
-    * resetting it; readout divides back to doubles (exact below
-    * 2^53 micro-units, i.e. |s| < ~9e9).
-    *
-    * Rows must be unique per (entity, ts, id) — id breaks ts ties
-    * deterministically.
-    */
   /** EXACT time-decayed feature recurrence, batch form:
     *
     *   s_t = x_t + s_(t-1) * 2^(-(ts_t - ts_(t-1)) / halfLife)
@@ -112,8 +107,9 @@ object Sequential {
     * secondary-sorted scan replays per-entity history in (ts, id)
     * order with the IDENTICAL expression tree `x + s * pow(0.5,
     * dt_us / hl_us)`, so batch, stream, and the recursive-CTE oracle
-    * agree to the last ulp before display rounding. A null value
-    * contributes x = 0 (the decay still applies — time passed).
+    * agree to the last ulp before display rounding. A missing
+    * (null/NaN) reading contributes x = 0 — the decay still applies,
+    * time passed.
     */
   def decayedSum(df: DataFrame, entity: String, ts: String,
       idCol: String, valueCol: String,
@@ -123,13 +119,7 @@ object Sequential {
     val spark = df.sparkSession
     import spark.implicits._
     val hlUs = halfLifeSeconds * 1e6
-    df.select(col(entity).cast("string").as("e"),
-      unix_micros(col(ts).cast("timestamp")).as("t"),
-      col(idCol).cast("long").as("id"),
-      col(valueCol).cast("double").as("x"))
-      .as[(String, Long, Long, Option[Double])]
-      .repartition(col("e"))
-      .sortWithinPartitions(col("e"), col("t"), col("id"))
+    scanInput(df, entity, ts, idCol, col(valueCol))
       .mapPartitions { it =>
         var cur: String = null
         var lastT = 0L
@@ -148,6 +138,28 @@ object Sequential {
       .toDF(idCol, "decayed")
   }
 
+  /** Two-sided CUSUM change-point scores (Page 1954):
+    *
+    *   sPos_t = max(0, sPos_(t-1) + (x_t - (target + slack)))
+    *   sNeg_t = max(0, sNeg_(t-1) + ((target - slack) - x_t))
+    *   alarm_t = sPos_t > threshold  OR  sNeg_t > threshold
+    *
+    * — the sequential drift detector for per-entity feature streams
+    * (sensor drift, spend-pattern shift, data-quality regressions)
+    * that rolling means smear and PSI-style batch drift tests only
+    * see in aggregate.
+    *
+    * The entire recurrence runs in integer MICRO-UNITS
+    * (`round(x*1e6)` as long — Spark round(), i.e. decimal
+    * HALF-AWAY-FROM-ZERO, the semantics the streaming companion and
+    * the DuckDB oracle replicate): integer adds and a max have no
+    * floating summation-order to drift, so the scan is bit-exact in
+    * any engine that replays the same (ts, id)-ordered history — the
+    * DuckDB oracle does so via a recursive CTE. A missing (null/NaN)
+    * value leaves the state unchanged (increment 0) rather than
+    * poisoning, zeroing, or resetting it; readout divides back to
+    * doubles (exact below 2^53 micro-units, i.e. |s| < ~9e9).
+    */
   def cusum(df: DataFrame, entity: String, ts: String, idCol: String,
       valueCol: String, target: Double, slack: Double,
       threshold: Double): DataFrame = {
@@ -158,22 +170,14 @@ object Sequential {
     val km = math.round((target + slack) * 1e6)
     val kn = math.round((target - slack) * 1e6)
     val thrM = math.round(threshold * 1e6)
-    val base = df.select(
-      col(entity).cast("string").as("e"),
-      unix_micros(col(ts).cast("timestamp")).as("t"),
-      col(idCol).cast("long").as("id"),
-      round(col(valueCol).cast("double") * lit(1e6), 0).cast("long")
-        .as("xm"))
-      .as[(String, Long, Long, Option[Long])]
-    base
-      .repartition(col("e"))
-      .sortWithinPartitions(col("e"), col("t"), col("id"))
+    scanInput(df, entity, ts, idCol, col(valueCol))
       .mapPartitions { it =>
         var cur: String = null
         var sp = 0L
         var sn = 0L
-        it.map { case (e, _, id, xm) =>
+        it.map { case (e, _, id, x) =>
           if (e != cur) { cur = e; sp = 0L; sn = 0L }
+          val xm = x.map(StreamingRound.halfUp6)
           sp = math.max(0L, sp + xm.map(_ - km).getOrElse(0L))
           sn = math.max(0L, sn + xm.map(kn - _).getOrElse(0L))
           (id, sp / 1e6, sn / 1e6, sp > thrM || sn > thrM)
@@ -181,4 +185,21 @@ object Sequential {
       }
       .toDF(idCol, "cusum_pos", "cusum_neg", "alarm")
   }
+}
+
+/** The ONE definition of "value -> integer micro-units" every
+  * sequential/streaming micro-unit recurrence shares: Spark
+  * `round(x*1e6, 0)`'s exact semantics — java BigDecimal HALF_UP on
+  * the double's shortest decimal representation, which is
+  * half-AWAY-FROM-ZERO on exact halves and, unlike
+  * `math.floor(y+0.5)`, does NOT round 0.49999999999999994 up (the
+  * binary +0.5 of that value lands exactly on 0.5). Keeping batch,
+  * stream, and oracle on this single function is what makes the
+  * shared-oracle certification (q185/q188) honest.
+  */
+private[graft] object StreamingRound {
+  def halfUp6(v: Double): Long =
+    BigDecimal(v * 1e6)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toLong
 }

@@ -215,10 +215,15 @@ object WindowOps {
     val spec = Window.partitionBy(col(keyCol))
       .orderBy((col(ts) +: tieBreak.map(col)): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val micros = round(col(valueCol).cast("double") * lit(1e6), 0)
-      .cast("long")
+    // NaN is a MISSING label, not a zero: clean first so the count
+    // and the sum agree on which rows are history
+    val clean = {
+      val v = col(valueCol).cast("double")
+      when(isnan(v), lit(null)).otherwise(v)
+    }
+    val micros = round(clean * lit(1e6), 0).cast("long")
     val s = sum(micros).over(spec)
-    val n = count(col(valueCol)).over(spec)
+    val n = count(clean).over(spec)
     val enc = when(n === 0, lit(null).cast("double"))
       .otherwise(s.cast("double") / n.cast("double") / lit(1e6))
     df.select(df.columns.map(col).toIndexedSeq ++

@@ -45,17 +45,23 @@ class ProfileSpec extends SparkSpec {
   }
 
   test("skewReport: hot keys pass the share gate with exact salt " +
-      "factors, null keys report as sentinel, cold keys drop") {
+      "factors, null keys stay null (no sentinel merge), cold drop") {
+    // a REAL '<NULL>' string key must never merge with actual nulls
     val rows = Seq.fill(60)(Row("hot", "x")) ++
-      Seq.fill(30)(Row(null, "x")) ++
+      Seq.fill(20)(Row(null, "x")) ++
+      Seq.fill(10)(Row("<NULL>", "x")) ++
       (1 to 10).map(i => Row(s"cold$i", "x"))
     val d = df("k STRING, o STRING", rows)
     val out = Profile.skewReport(d, Seq("k"),
       shareThreshold = 0.05, partitions = 10)
-      .collect().map(r => r.getString(1) ->
-        ((r.getLong(2), r.getLong(4)))).toMap
-    // hot: 60/100 -> ceil(0.6*10) = 6; null: 30/100 -> 3; cold: gone
-    assert(out == Map("hot" -> ((60L, 6L)), "<NULL>" -> ((30L, 3L))))
+      .collect().map(r => (Option(r.getString(1)), r.getBoolean(2)) ->
+        ((r.getLong(3), r.getLong(5)))).toMap
+    // hot: 60/100 -> ceil(0.6*10) = 6; real nulls and the '<NULL>'
+    // string stay two separate rows; cold keys gone
+    assert(out == Map(
+      (Some("hot"), false) -> ((60L, 6L)),
+      (None, true) -> ((20L, 2L)),
+      (Some("<NULL>"), false) -> ((10L, 1L))))
     intercept[IllegalArgumentException] {
       Profile.skewReport(d, Seq("k"), shareThreshold = 1.5)
     }
@@ -85,6 +91,12 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Profile.benfordAudit(d, Seq("y")) // double column refused
     }
+    // Long.MinValue must COUNT (digit 9 via textual sign strip), not
+    // silently vanish through an abs() overflow
+    val mv = df("x BIGINT", Seq(Row(Long.MinValue), Row(10L)))
+    val r = Profile.benfordAudit(mv, Seq("x")).collect()(0)
+    assert(r.getAs[Long]("n") == 2L && r.getAs[Long]("c9") == 1L &&
+      r.getAs[Long]("c1") == 1L)
   }
 
   test("columnProfile: missing column rejected up front") {

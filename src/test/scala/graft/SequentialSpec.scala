@@ -95,6 +95,45 @@ class SequentialSpec extends SparkSpec {
       .collect().forall(_.getDouble(1) == 3.5))
   }
 
+  test("micro-unit rounding: Spark round() semantics shared by batch " +
+      "and stream; NaN is a missing reading everywhere") {
+    // the contract: halfUp6 IS Spark round(v*1e6, 0) — assert parity
+    // on adversarial values (exact halves both signs, the
+    // 0.49999999999999994 shortest-repr trap where floor(y+0.5)
+    // diverges from decimal HALF_UP, and large magnitudes)
+    val tricky = Seq(4.9999999999999994e-7, 0.49999999999999994,
+      1.5e-6, -1.5e-6, 2.5e-6, -2.5e-6, 0.5, -0.5, 1.0,
+      1234.5678915, -1234.5678915, 9.007199254740993e8)
+    val viaSpark = df("v DOUBLE", tricky.map(Row(_)))
+      .select(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.col("v") *
+          org.apache.spark.sql.functions.lit(1e6), 0).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    val viaScan = tricky.map(graft.temporal.StreamingRound.halfUp6)
+    assert(viaScan == viaSpark,
+      s"halfUp6 drifted from Spark round: $viaScan vs $viaSpark")
+    assert(graft.temporal.StreamingRound.halfUp6(-1.5e-6) == -2L)
+    // NaN: state unchanged in cusum (like null), not coerced to 0
+    // (a zero reading would drive sn toward a spurious alarm)
+    val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
+      Row(1L, ts("2024-01-01 10:00:00"), 1L, 12.0),
+      Row(1L, ts("2024-01-01 10:10:00"), 2L, Double.NaN),
+      Row(1L, ts("2024-01-01 10:20:00"), 3L, 11.0)))
+    val out = Sequential.cusum(d, "e", "ts", "id", "v",
+      target = 10.0, slack = 0.0, threshold = 100.0).orderBy("id")
+    assert(column(out, "cusum_pos") == Seq(2.0, 2.0, 3.0))
+    assert(column(out, "cusum_neg") == Seq(0.0, 0.0, 0.0))
+    // and in ewmMean / decayedSum: no poison, no zero contribution
+    val em = Sequential.ewmMean(d, "e", "ts", "id", "v", 600.0)
+      .orderBy("id").collect()
+    assert(em(0).getDouble(1) == 12.0 && em(1).isNullAt(1))
+    assert(em(2).getDouble(1) ==
+      12.0 + (1.0 - math.pow(0.5, 2.0)) * (11.0 - 12.0))
+    val dsum = Sequential.decayedSum(d, "e", "ts", "id", "v", 600.0)
+      .orderBy("id").collect().map(_.getDouble(1)).toSeq
+    assert(dsum == Seq(12.0, 12.0 * 0.5, 11.0 + 12.0 * 0.25))
+  }
+
   test("cusum plans ONE exchange and no per-group materialization") {
     val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
       Row(1L, ts("2024-01-01 10:00:00"), 1L, 1.0)))
