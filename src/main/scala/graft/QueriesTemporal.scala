@@ -158,6 +158,20 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q196_label_window" -> ((s, dir) => {
+      // regression-label mass: per event, each user's purchase value
+      // over the STRICTLY future 72h (frame starts 1us after the
+      // row's instant — the row never reads itself), integer micro
+      // sums; the leakage mirror of the as-of join
+      val ev = tbl(s, dir, "events")
+      WindowOps.labelWindow(
+        ev.withColumn("pv", when(col("event_type") === "purchase",
+          col("value"))),
+        "user_id", "ts", "pv", horizonSeconds = 72L * 3600L)
+        .select(col("event_id"), col("label_micros"), col("label_n"))
+        .orderBy("event_id")
+    }),
+
     "q193_ewm_mean" -> ((s, dir) => {
       // irregular-interval EWM LEVEL (pandas ewm(times=...).mean()):
       // the normalized companion of q189's decayed mass — same
@@ -496,6 +510,20 @@ object QueriesTemporal {
         |  WHEN vp IS NOT NULL THEN vp
         |  ELSE vn END, 6) AS v_interp
         |FROM x ORDER BY 1""".stripMargin,
+
+    // same strictly-future integer-us range frame (1 us .. 72h);
+    // only purchase values carry mass, other rows count nothing
+    "q196_label_window" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+        |  CASE WHEN event_type = 'purchase' THEN value END AS pv
+        |  FROM events)
+        |SELECT event_id,
+        |  COALESCE(SUM(CAST(round(pv * 1e6) AS BIGINT)) OVER w, 0)
+        |    AS label_micros,
+        |  COUNT(pv) OVER w AS label_n
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t
+        |  RANGE BETWEEN 1 FOLLOWING AND 259200000000 FOLLOWING)
+        |ORDER BY 1""".stripMargin,
 
     // the same recursive replay as q189 with the normalized fold:
     // s + (1 - 0.5^(dt/hl)) * (x - s), identical operand order

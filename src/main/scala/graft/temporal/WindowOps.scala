@@ -308,6 +308,38 @@ object WindowOps {
       : _*)
   }
 
+  /** Forward label window: per row, aggregate of a value over the
+    * entity's STRICTLY FUTURE rows within `horizonSeconds` — the
+    * regression-label companion of [[timeToNextEvent]] ("spend in
+    * the next 7 days", "events in the next hour"): the as-of join
+    * guarantees features read only the past; this is its mirror,
+    * labels reading only the future, the two sides of a
+    * leakage-clean training row. Strictness: the frame starts 1
+    * MICROSECOND after the row's own instant, so same-instant rows
+    * (and the row itself) never leak into their own label.
+    *
+    * Exact by construction: `<label>_micros` sums
+    * `round(value*1e6)` as BIGINT over the range frame,
+    * `<label>_n` counts contributing rows; one shared
+    * (entity, micros) window.
+    */
+  def labelWindow(df: DataFrame, entity: String, ts: String,
+      valueCol: String, horizonSeconds: Long,
+      outPrefix: String = "label"): DataFrame = {
+    require(horizonSeconds > 0,
+      s"labelWindow: horizon > 0, got $horizonSeconds")
+    val tUs = unix_micros(col(ts).cast("timestamp"))
+    val spec = Window.partitionBy(col(entity)).orderBy(tUs)
+      .rangeBetween(1L, horizonSeconds * 1000000L)
+    val v = col(valueCol).cast("double")
+    val clean = when(isnan(v), lit(null)).otherwise(v)
+    val micros = round(clean * lit(1e6), 0).cast("long")
+    df.select(df.columns.map(col).toIndexedSeq ++ Seq(
+      coalesce(sum(micros).over(spec), lit(0L))
+        .as(s"${outPrefix}_micros"),
+      count(clean).over(spec).as(s"${outPrefix}_n")): _*)
+  }
+
   /** Per-entity inter-event gap statistics — the cadence features
     * (how often does this user act, how bursty) behavioral models
     * consume: consecutive (ts, id)-ordered gaps in exact integer

@@ -167,6 +167,27 @@ class WindowOpsSpec extends SparkSpec {
     }
   }
 
+  test("labelWindow: strictly-future horizon mass, same-instant and " +
+      "self excluded, NaN/null carry no mass") {
+    val d = df("e STRING, ts TIMESTAMP, v DOUBLE", Seq(
+      Row("a", ts("2024-01-01 10:00:00"), 100.0),
+      Row("a", ts("2024-01-01 10:00:00"), 7.0),   // same instant
+      Row("a", ts("2024-01-01 10:30:00"), 2.5),
+      Row("a", ts("2024-01-01 11:30:00"), null),  // no mass, no count
+      Row("a", ts("2024-01-01 13:30:00"), 4.0)))  // beyond 2h of row 1
+    val out = WindowOps.labelWindow(d, "e", "ts", "v",
+      horizonSeconds = 7200).orderBy("ts", "v")
+    // row v=7.0 at 10:00 sees 2.5 only (100.0 shares its instant ->
+    // excluded); row 100.0 likewise; 10:30 sees 4.0? no — 13:30 is
+    // 3h away -> sees nothing with mass
+    assert(column(out, "label_micros") ==
+      Seq(2500000L, 2500000L, 0L, 4000000L, 0L))
+    assert(column(out, "label_n") == Seq(1L, 1L, 0L, 1L, 0L))
+    intercept[IllegalArgumentException] {
+      WindowOps.labelWindow(d, "e", "ts", "v", 0)
+    }
+  }
+
   test("gapStats: exact moments over integer-us gaps, singleton null") {
     val d = df("e STRING, ts TIMESTAMP", Seq(
       Row("a", ts("2024-01-01 10:00:00")),
