@@ -158,6 +158,17 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q197_rolling_zscore" -> ((s, dir) => {
+      // trailing-baseline anomaly screen: each event scored against
+      // its user's PRIOR 20 readings (never its own); exact integer
+      // frame moments, z is scale-free
+      WindowOps.rollingZScore(tbl(s, dir, "events"), "user_id", "ts",
+        "value", k = 20, cutoff = 3.0, tieBreak = Seq("event_id"))
+        .select(col("event_id"), round(col("value_rz"), 6).as("rz"),
+          col("value_anomaly").as("anomaly"))
+        .orderBy("event_id")
+    }),
+
     "q196_label_window" -> ((s, dir) => {
       // regression-label mass: per event, each user's purchase value
       // over the STRICTLY future 72h (frame starts 1us after the
@@ -510,6 +521,36 @@ object QueriesTemporal {
         |  WHEN vp IS NOT NULL THEN vp
         |  ELSE vn END, 6) AS v_interp
         |FROM x ORDER BY 1""".stripMargin,
+
+    // identical prior-k integer-micro frame moments (HUGEINT mirrors
+    // decimal(38,0) squares) and division order; unrounded z drives
+    // the flag in both engines
+    "q197_rolling_zscore" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |  CAST(round(value * 1e6) AS BIGINT) AS m FROM events),
+        |x AS (SELECT event_id, m,
+        |  COUNT(m) OVER w AS n,
+        |  SUM(m) OVER w AS s,
+        |  SUM(CAST(m AS HUGEINT) * m) OVER w AS sq
+        |FROM e WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_id,
+        |  CASE WHEN m IS NULL OR n < 2 THEN NULL
+        |    WHEN sqrt(GREATEST(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) = 0
+        |      THEN NULL
+        |    ELSE (CAST(m AS DOUBLE)
+        |      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt(GREATEST(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))
+        |    END AS rz_raw
+        |  FROM x)
+        |SELECT event_id, ROUND(rz_raw, 6) AS rz,
+        |  COALESCE(ABS(rz_raw) > 3.0, FALSE) AS anomaly
+        |FROM z ORDER BY 1""".stripMargin,
 
     // same strictly-future integer-us range frame (1 us .. 72h);
     // only purchase values carry mass, other rows count nothing

@@ -308,6 +308,47 @@ object WindowOps {
       : _*)
   }
 
+  /** Rolling z-score anomaly flag: each reading scored against the
+    * mean/std of its entity's PRIOR `k` readings (frame ends at 1
+    * PRECEDING — the spike never inflates its own yardstick, the
+    * standard trailing-baseline anomaly screen for per-entity
+    * telemetry). Needs at least `minObs` prior readings and a
+    * non-zero baseline std, else null z and no flag.
+    *
+    * Exactness discipline: frame sums run in integer micro-units
+    * with the squared sums widened to decimal(38,0) (same rationale
+    * as [[gapStats]]); only the final mean/var/z divisions are
+    * floats, in an operand order the oracle mirrors. z is
+    * scale-free, so the micro-unit factor cancels.
+    */
+  def rollingZScore(df: DataFrame, entity: String, ts: String,
+      valueCol: String, k: Int, cutoff: Double = 3.0,
+      minObs: Int = 2, tieBreak: Seq[String] = Nil): DataFrame = {
+    require(k >= minObs && minObs >= 2,
+      s"rollingZScore: need k >= minObs >= 2, got k=$k minObs=$minObs")
+    require(cutoff > 0, s"rollingZScore: cutoff > 0, got $cutoff")
+    val spec = Window.partitionBy(col(entity))
+      .orderBy((col(ts) +: tieBreak.map(col)): _*)
+      .rowsBetween(-k, -1)
+    val v = col(valueCol).cast("double")
+    val clean = when(isnan(v), lit(null)).otherwise(v)
+    val m = round(clean * lit(1e6), 0).cast("long")
+    val n = count(clean).over(spec)
+    val s = sum(m).over(spec)
+    val sq = sum((m.cast("decimal(19,0)") * m.cast("decimal(19,0)"))
+      .cast("decimal(38,0)")).over(spec)
+    val meanM = s.cast("double") / n.cast("double")
+    val varM = sq.cast("double") / n.cast("double") - meanM * meanM
+    val stdM = sqrt(greatest(varM, lit(0.0)))
+    val z = when(clean.isNull || n < minObs, lit(null).cast("double"))
+      .otherwise(when(stdM === 0.0, lit(null).cast("double"))
+        .otherwise((m.cast("double") - meanM) / stdM))
+    df.select(df.columns.map(col).toIndexedSeq ++ Seq(
+      z.as(s"${valueCol}_rz"),
+      coalesce(abs(z) > lit(cutoff), lit(false))
+        .as(s"${valueCol}_anomaly")): _*)
+  }
+
   /** Forward label window: per row, aggregate of a value over the
     * entity's STRICTLY FUTURE rows within `horizonSeconds` — the
     * regression-label companion of [[timeToNextEvent]] ("spend in

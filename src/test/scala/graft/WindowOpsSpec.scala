@@ -167,6 +167,35 @@ class WindowOpsSpec extends SparkSpec {
     }
   }
 
+  test("rollingZScore: prior-only baseline, exact moments, degenerate " +
+      "baselines refuse to flag") {
+    val d = df("e STRING, ts TIMESTAMP, v DOUBLE", Seq(
+      Row("a", ts("2024-01-01 10:00:00"), 10.0),
+      Row("a", ts("2024-01-01 10:10:00"), 12.0),
+      Row("a", ts("2024-01-01 10:20:00"), 11.0),
+      Row("a", ts("2024-01-01 10:30:00"), 100.0), // spike
+      Row("b", ts("2024-01-01 10:00:00"), 5.0),
+      Row("b", ts("2024-01-01 10:10:00"), 5.0),
+      Row("b", ts("2024-01-01 10:20:00"), 9.0))) // constant baseline
+    val out = WindowOps.rollingZScore(d, "e", "ts", "v", k = 5)
+      .orderBy("e", "ts")
+    val z = column(out, "v_rz")
+    val fl = column(out, "v_anomaly")
+    assert(z(0) == null && z(1) == null) // 0 and 1 prior readings
+    // prior {10,12}: mean 11, population std 1 -> z = 0
+    assert(z(2) == 0.0 && fl(2) == false)
+    // prior {10,12,11}: mean 11, var 2/3; spike z = 89/sqrt(2/3)
+    val expect = 89.0e6 / math.sqrt(
+      (100.0 + 144.0 + 121.0) / 3.0 * 1e12 - 121.0 * 1e12)
+    assert(math.abs(z(3).asInstanceOf[Double] - expect) < 1e-6)
+    assert(fl(3) == true)
+    // constant prior baseline: std 0 -> null z, never flags
+    assert(z(6) == null && fl(6) == false)
+    intercept[IllegalArgumentException] {
+      WindowOps.rollingZScore(d, "e", "ts", "v", k = 1)
+    }
+  }
+
   test("labelWindow: strictly-future horizon mass, same-instant and " +
       "self excluded, NaN/null carry no mass") {
     val d = df("e STRING, ts TIMESTAMP, v DOUBLE", Seq(
