@@ -913,6 +913,26 @@ object QueriesData {
         .orderBy("column")
     }),
 
+    "q198_feature_assembly" -> ((s, dir) => {
+      // the model-facing row vector: three features (two with
+      // deterministic null injection) assembled under the zero
+      // policy with the exact null bitmask; slots certified via
+      // element_at unpacking
+      val d = tbl(s, dir, "lineitem")
+        .withColumn("q", when(col("l_orderkey") % 11 === 0,
+          lit(null).cast("double")).otherwise(col("l_quantity")))
+        .withColumn("disc", when(col("l_linenumber") % 3 === 0,
+          lit(null).cast("double")).otherwise(col("l_discount")))
+      graft.operators.Assemble.features(d,
+        Seq("q", "l_extendedprice", "disc"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("features_null_mask").as("mask"),
+          round(element_at(col("features"), 1), 6).as("f0"),
+          round(element_at(col("features"), 2), 6).as("f1"),
+          round(element_at(col("features"), 3), 6).as("f2"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "q194_benford_audit" -> ((s, dir) => {
       // forensic digit audit: floored prices follow Benford closely
       // (natural multi-decade magnitudes); uniform synthetic keys
@@ -2451,6 +2471,25 @@ object QueriesData {
       Seq("c_mktsegment", "c_nationkey", "c_acctbal", "c_name")
         .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY 1")
     },
+
+    // same injection, bitmask arithmetic and zero policy
+    "q198_feature_assembly" ->
+      """WITH d AS (SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_orderkey % 11 = 0 THEN NULL
+        |    ELSE l_quantity END AS q,
+        |  l_extendedprice AS e,
+        |  CASE WHEN l_linenumber % 3 = 0 THEN NULL
+        |    ELSE l_discount END AS disc
+        |FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(CASE WHEN q IS NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN e IS NULL THEN 2 ELSE 0 END
+        |    + CASE WHEN disc IS NULL THEN 4 ELSE 0 END AS BIGINT)
+        |    AS mask,
+        |  ROUND(COALESCE(q, 0.0), 6) AS f0,
+        |  ROUND(COALESCE(e, 0.0), 6) AS f1,
+        |  ROUND(COALESCE(disc, 0.0), 6) AS f2
+        |FROM d ORDER BY 1, 2""".stripMargin,
 
     // generated from the SAME BenfordShares constants the operator
     // compiles in (Scala Double.toString round-trips exactly), so no
