@@ -137,6 +137,19 @@ object QueriesCore {
         .orderBy("c_custkey")
     }),
 
+    "q199_quantile_map" -> ((s, dir) => {
+      // distribution alignment: odd-id events (the "serving
+      // snapshot") get their values re-expressed as the even-id
+      // snapshot's quantiles at the same cumulative fraction —
+      // mapped(x) = Q_ref(F_cur(x)), both CDFs exact np.interp
+      val ev = tbl(s, dir, "events")
+      graft.core.Stats.quantileMap(
+        ev.filter(col("event_id") % 2 === 1), "value",
+        ev.filter(col("event_id") % 2 === 0), "value")
+        .select(col("event_id"), round(col("mapped"), 6).as("mapped"))
+        .orderBy("event_id")
+    }),
+
     "q159_robust_scale" -> ((s, dir) => {
       // outlier-immune scaling: (x - median) / IQR from the exact
       // np.interp quantile machinery; heavily-tied integer quantities
@@ -976,6 +989,56 @@ object QueriesCore {
     // pass, LL argmax (ties -> smallest lambda), then the chosen
     // transform — generated so the grid can't drift from the operator
     "q158_yeo_johnson" -> yeoJohnsonSql,
+
+    // both CDFs as exact cumulative fractions (unit weights ->
+    // integer-valued doubles, bit-identical to the range-partitioned
+    // prefix sums), the f-space bracket via the same union + fill
+    // (tie rule: refs sort before probes for flo, after for fhi),
+    // then the shared interp expression with data-driven q
+    "q199_quantile_map" ->
+      """WITH curs AS (SELECT value AS v FROM events
+        |  WHERE event_id % 2 = 1 AND value IS NOT NULL),
+        |refs AS (SELECT value AS v FROM events
+        |  WHERE event_id % 2 = 0 AND value IS NOT NULL),
+        |cg AS (SELECT v, COUNT(*) AS w FROM curs GROUP BY 1),
+        |cf AS (SELECT v, SUM(w) OVER (ORDER BY v) * 1.0 /
+        |  (SELECT SUM(w) FROM cg) AS f FROM cg),
+        |rg AS (SELECT v, COUNT(*) AS w FROM refs GROUP BY 1),
+        |rf AS (SELECT v, SUM(w) OVER (ORDER BY v) * 1.0 /
+        |  (SELECT SUM(w) FROM rg) AS f FROM rg),
+        |u AS (SELECT f AS s, 1 AS isref, f AS fr, v AS vr,
+        |    CAST(NULL AS DOUBLE) AS x FROM rf
+        |  UNION ALL
+        |  SELECT f, 0, NULL, NULL, v FROM cf),
+        |lo AS (SELECT x, s AS q,
+        |    LAST_VALUE(fr IGNORE NULLS) OVER
+        |      (ORDER BY s, isref DESC ROWS UNBOUNDED PRECEDING)
+        |      AS flo,
+        |    LAST_VALUE(vr IGNORE NULLS) OVER
+        |      (ORDER BY s, isref DESC ROWS UNBOUNDED PRECEDING)
+        |      AS vlo
+        |  FROM u),
+        |hi AS (SELECT x,
+        |    FIRST_VALUE(fr IGNORE NULLS) OVER (ORDER BY s, isref ASC
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS fhi,
+        |    FIRST_VALUE(vr IGNORE NULLS) OVER (ORDER BY s, isref ASC
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS vhi
+        |  FROM u),
+        |m AS (SELECT lo.x, CASE
+        |    WHEN flo IS NULL AND vlo IS NULL AND fhi IS NULL
+        |      AND vhi IS NULL THEN NULL
+        |    WHEN flo IS NULL THEN vhi
+        |    WHEN fhi IS NULL THEN vlo
+        |    WHEN fhi = flo THEN vlo
+        |    ELSE vlo + (lo.q - flo) / (fhi - flo) * (vhi - vlo)
+        |    END AS mapped
+        |  FROM lo JOIN hi ON lo.x = hi.x)
+        |SELECT e.event_id, ROUND(m.mapped, 6) AS mapped
+        |FROM events e LEFT JOIN m ON e.value = m.x
+        |WHERE e.event_id % 2 = 1
+        |ORDER BY 1""".stripMargin,
 
     // the q06 np.interp bracket mirror at 0.25/0.5/0.75, then
     // (x - med) / (q3 - q1) — identical expression tree

@@ -245,4 +245,137 @@ object Stats {
       df: DataFrame, value: String, weight: Column,
       quantiles: Seq[Double]): Seq[Option[Double]] =
     weightedQuantilesMelted(df, Map(value -> quantiles), weight)(value)
+
+  /** Quantile mapping / distribution alignment (a.k.a. quantile
+    * normalization between snapshots): every value of `curCol` is
+    * replaced by the REFERENCE distribution's quantile at the
+    * value's own cumulative fraction —
+    *
+    *   mapped(x) = Q_ref( F_cur(x) )
+    *
+    * with both CDFs in the same np.interp semantics as every
+    * quantile op here (f = cumw/totw over distinct values, linear
+    * interpolation, clamped outside the reference's f range). The
+    * domain-shift corrector: align a serving snapshot's feature
+    * distribution onto the training snapshot's before scoring, or
+    * normalize per-batch sensor drift away.
+    *
+    * Scale shape — NO single-partition stage anywhere:
+    * both CDFs come from [[keyedCumFractions]] (range-partitioned
+    * prefix sums, broadcast offsets); the f-space bracket lookup
+    * runs as a union of reference points and probes, range-sorted,
+    * filled per partition with DRIVER-CARRIED boundary payloads
+    * (the same |partitions|-row collect-and-broadcast pattern as
+    * the cumsums — a global `last_value IGNORE NULLS` window would
+    * be one task). Cumulative weights are integer-valued doubles
+    * (unit weights), so every f is exact and the DuckDB oracle's
+    * plain global windows reproduce the fill bit-for-bit.
+    *
+    * Null/NaN current values map to null. Empty reference maps
+    * everything to null.
+    */
+  def quantileMap(cur: DataFrame, curCol: String,
+      ref: DataFrame, refCol: String,
+      out: String = "mapped"): DataFrame = {
+    def pairs(d: DataFrame, c: String, k: String) = d
+      .select(lit(k).as("k"), col(c).cast("double").as("v"),
+        lit(1.0).as("w"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
+    val (curF, relC) = keyedCumFractions(pairs(cur, curCol, "c"))
+    val (refF, relR) = keyedCumFractions(pairs(ref, refCol, "r"))
+    val u = refF.select(col("f").as("s"), lit(1).as("isref"),
+        col("f").as("fr"), col("v").as("vr"),
+        lit(null).cast("double").as("x"))
+      .unionByName(curF.select(col("f").as("s"), lit(0).as("isref"),
+        lit(null).cast("double").as("fr"),
+        lit(null).cast("double").as("vr"), col("v").as("x")))
+    val lo = refCarryFill(u, forward = true)
+    val hi = refCarryFill(u, forward = false)
+    relC(); relR()
+    val q = col("q")
+    val mapped = lo.join(hi, "x")
+      .select(col("x").as("__qx"),
+        when(col("flo").isNull && col("vlo").isNull &&
+          col("fhi").isNull && col("vhi").isNull,
+          lit(null).cast("double"))
+          .when(col("flo").isNull, col("vhi"))
+          .when(col("fhi").isNull, col("vlo"))
+          .when(col("fhi") === col("flo"), col("vlo"))
+          .otherwise(col("vlo") + (q - col("flo")) /
+            (col("fhi") - col("flo")) * (col("vhi") - col("vlo")))
+          .as("__m"))
+    val vIn = col(curCol).cast("double")
+    cur.join(mapped, vIn === col("__qx"), "left")
+      .withColumn(out, when(vIn.isNull || isnan(vIn),
+        lit(null).cast("double")).otherwise(col("__m")))
+      .drop("__qx", "__m")
+  }
+
+  /** Parallel fill-with-carry over the (reference ∪ probe) f-space
+    * union: range-partition on the fill order, fill reference
+    * payloads per partition, and bridge partition boundaries with a
+    * driver-collected |partitions|-row prefix (forward) / suffix
+    * (backward) of boundary payloads. Forward order puts a
+    * reference BEFORE a probe at equal f (f_r <= q inclusive);
+    * backward order the reverse (f_r >= q inclusive). Returns probe
+    * rows only: forward (x, q, flo, vlo), backward (x, fhi, vhi).
+    */
+  private def refCarryFill(u: DataFrame, forward: Boolean)
+      : DataFrame = {
+    val parts = math.max(1,
+      u.sparkSession.sessionState.conf.numShufflePartitions)
+    val ord: Seq[Column] =
+      if (forward) Seq(col("s").asc, col("isref").desc)
+      else Seq(col("s").asc, col("isref").asc)
+    val ranged = u.repartitionByRange(parts, ord: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boundary = ranged.filter(col("isref") === 1)
+      .groupBy(col("__pid"))
+      .agg((if (forward) max_by(struct(col("fr"), col("vr")), col("fr"))
+        else min_by(struct(col("fr"), col("vr")), col("fr"))).as("p"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        (r.getStruct(1).getDouble(0), r.getStruct(1).getDouble(1)))
+      .sortBy(_._1)
+    // carry(pid) = nearest preceding (forward) / following (backward)
+    // partition's boundary payload, skipping ref-free partitions
+    val carries: Map[Int, (Double, Double)] = {
+      val pids = 0 until parts
+      val walk = if (forward) pids else pids.reverse
+      var last: Option[(Double, Double)] = None
+      val m = scala.collection.mutable.Map[Int, (Double, Double)]()
+      val byPid = boundary.toMap
+      walk.foreach { pid =>
+        last.foreach(p => m(pid) = p)
+        byPid.get(pid).foreach(p => last = Some(p))
+      }
+      m.toMap
+    }
+    val frMap = carries.map { case (k, v) => k -> v._1 }
+    val vrMap = carries.map { case (k, v) => k -> v._2 }
+    def carry(m: Map[Int, Double]) =
+      if (m.isEmpty) lit(null).cast("double")
+      else element_at(typedLit(m), col("__pid"))
+    val w =
+      if (forward) Window.partitionBy(col("__pid")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      else Window.partitionBy(col("__pid")).orderBy(ord: _*)
+        .rowsBetween(0, Window.unboundedFollowing)
+    def fill(c: String) = {
+      val gated = when(col("isref") === 1, col(c))
+      if (forward) last(gated, ignoreNulls = true).over(w)
+      else first(gated, ignoreNulls = true).over(w)
+    }
+    val filled = ranged.select(col("x"), col("s"), col("isref"),
+      coalesce(fill("fr"), carry(frMap)).as("__f"),
+      coalesce(fill("vr"), carry(vrMap)).as("__v"))
+      .filter(col("isref") === 0)
+    if (forward)
+      filled.select(col("x"), col("s").as("q"),
+        col("__f").as("flo"), col("__v").as("vlo"))
+    else
+      filled.select(col("x"), col("__f").as("fhi"),
+        col("__v").as("vhi"))
+  }
 }

@@ -164,4 +164,42 @@ class StatsSpec extends SparkSpec {
     // fracs .25 .5 .75 1.0 -> first >= .5 is 2.0 (NOT interpolated 2.5)
     assert(Stats.weightedMedianValue(d, "a", col("w")).get == 2.0)
   }
+
+  test("quantileMap: aligned fractions map exactly, duplicates shift " +
+      "fractions, below-range clamps, null/NaN and empty-ref null") {
+    def one(rows: Seq[Double]) =
+      df("x DOUBLE", rows.map(Row(_)))
+    // matched shapes: F_cur hits the ref CDF's own fractions exactly
+    val cur = one(Seq(1.0, 2.0, 3.0, 4.0))
+    val ref = one(Seq(10.0, 20.0, 30.0, 40.0))
+    val got = Stats.quantileMap(cur, "x", ref, "x")
+      .orderBy("x").collect().map(_.getDouble(1)).toSeq
+    assert(got == Seq(10.0, 20.0, 30.0, 40.0))
+    // duplicate current values shift f: cur {1,1,2} -> f(1)=2/3,
+    // f(2)=1; ref {10,20,30} f = 1/3, 2/3, 1
+    val got2 = Stats.quantileMap(one(Seq(1.0, 1.0, 2.0)), "x",
+      one(Seq(10.0, 20.0, 30.0)), "x")
+      .orderBy("x").collect().map(_.getDouble(1)).toSeq
+    assert(got2 == Seq(20.0, 20.0, 30.0))
+    // interpolation between ref fractions: cur {1,2} (f .5, 1) vs
+    // ref {10,20,30,40} (f .25 .5 .75 1) -> Q(.5)=20 exactly
+    val got3 = Stats.quantileMap(one(Seq(1.0, 2.0)), "x",
+      one(Seq(10.0, 20.0, 30.0, 40.0)), "x")
+      .orderBy("x").collect().map(_.getDouble(1)).toSeq
+    assert(got3 == Seq(20.0, 40.0))
+    // q below the ref's smallest fraction clamps to the first value
+    val got4 = Stats.quantileMap(one(Seq(1.0, 2.0, 3.0, 4.0)), "x",
+      one(Seq(50.0)), "x") // ref f = {1.0}
+      .orderBy("x").collect().map(_.getDouble(1)).toSeq
+    assert(got4 == Seq(50.0, 50.0, 50.0, 50.0))
+    // null / NaN current values map to null; empty ref -> all null
+    val weird = df("x DOUBLE",
+      Seq(Row(1.0), Row(null), Row(Double.NaN)))
+    val got5 = Stats.quantileMap(weird, "x", one(Seq(10.0)), "x")
+      .collect().map(r => if (r.isNullAt(1)) null else r.getDouble(1))
+    assert(got5.count(_ == null) == 2 && got5.contains(10.0))
+    val empt = Stats.quantileMap(cur, "x", one(Seq.empty), "x")
+      .collect()
+    assert(empt.length == 4 && empt.forall(_.isNullAt(1)))
+  }
 }
