@@ -158,6 +158,37 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q200_training_table" -> ((s, dir) => {
+      // the north-star composition, driver-gated end to end: every
+      // event becomes a leakage-clean training row — an as-of
+      // point-in-time feature (last purchase, strictly past), a
+      // leakage-free expanding encoder, a robust rolling median, a
+      // right-censored FUTURE label, and the assembled model-facing
+      // vector with its null bitmask
+      val ev = tbl(s, dir, "events")
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("pv"))
+      val pit = AsOfJoin.join(ev, purch, entity = "user_id",
+        leftTs = "ts", rightTs = "ts", rightValueCols = Seq("pv"))
+      val withEnc = WindowOps.expandingMean(pit, "event_type", "ts",
+        "value", out = "et_mean", tieBreak = Seq("event_id"))
+      val withMed = WindowOps.rollingQuantile(withEnc, "user_id",
+        "ts", "value", k = 7, q = 0.5, out = "med7",
+        tieBreak = Seq("event_id"))
+      val withLab = WindowOps.timeToNextEvent(withMed, "user_id",
+        "ts", col("event_type") === "purchase",
+        horizonSeconds = 7L * 86400L, tieBreak = Seq("event_id"))
+      graft.operators.Assemble.features(withLab,
+        Seq("pv", "et_mean", "med7"))
+        .select(col("event_id"),
+          col("features_null_mask").as("mask"),
+          round(element_at(col("features"), 1), 6).as("f_pv"),
+          round(element_at(col("features"), 2), 6).as("f_enc"),
+          round(element_at(col("features"), 3), 6).as("f_med"),
+          col("tte_us"), col("tte_observed"))
+        .orderBy("event_id")
+    }),
+
     "q197_rolling_zscore" -> ((s, dir) => {
       // trailing-baseline anomaly screen: each event scored against
       // its user's PRIOR 20 readings (never its own); exact integer
@@ -521,6 +552,52 @@ object QueriesTemporal {
         |  WHEN vp IS NOT NULL THEN vp
         |  ELSE vn END, 6) AS v_interp
         |FROM x ORDER BY 1""".stripMargin,
+
+    // every stage's proven oracle chained: DuckDB ASOF join + the
+    // q182/q181/q190 window bodies + the q198 mask/zero assembly
+    "q200_training_table" ->
+      """WITH p AS (SELECT user_id, ts, value AS pv FROM events
+        |  WHERE event_type = 'purchase'),
+        |a AS (SELECT l.event_id, l.user_id, p.pv
+        |  FROM events l ASOF LEFT JOIN p
+        |    ON l.user_id = p.user_id AND l.ts >= p.ts),
+        |enc AS (SELECT event_id,
+        |    SUM(CAST(round(value * 1e6) AS BIGINT)) OVER w AS s,
+        |    COUNT(value) OVER w AS n
+        |  FROM events WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |med AS (SELECT event_id,
+        |    QUANTILE_CONT(value, 0.5) OVER w AS med7
+        |  FROM events WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |lab AS (SELECT event_id,
+        |  CASE WHEN tn IS NOT NULL AND tn - t <= 604800000000
+        |    THEN tn - t ELSE 604800000000 END AS tte_us,
+        |  COALESCE(tn - t <= 604800000000, FALSE) AS tte_observed
+        |  FROM (SELECT event_id, epoch_us(ts) AS t,
+        |    FIRST_VALUE(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(ts) END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS tn FROM events)),
+        |f AS (SELECT a.event_id, a.pv,
+        |    CASE WHEN n = 0 THEN NULL
+        |      ELSE CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6
+        |      END AS et_mean,
+        |    med.med7
+        |  FROM a JOIN enc USING (event_id) JOIN med USING (event_id))
+        |SELECT f.event_id,
+        |  CAST(CASE WHEN pv IS NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN et_mean IS NULL THEN 2 ELSE 0 END
+        |    + CASE WHEN med7 IS NULL THEN 4 ELSE 0 END AS BIGINT)
+        |    AS mask,
+        |  ROUND(COALESCE(pv, 0.0), 6) AS f_pv,
+        |  ROUND(COALESCE(et_mean, 0.0), 6) AS f_enc,
+        |  ROUND(COALESCE(med7, 0.0), 6) AS f_med,
+        |  lab.tte_us, lab.tte_observed
+        |FROM f JOIN lab USING (event_id) ORDER BY 1""".stripMargin,
 
     // identical prior-k integer-micro frame moments (HUGEINT mirrors
     // decimal(38,0) squares) and division order; unrounded z drives

@@ -428,6 +428,35 @@ class PlanDisciplineSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
   }
 
+  test("composed training table (q200 shape): three hash exchanges " +
+      "(as-of on entity, encoder on type, entity windows reuse one), " +
+      "no cartesian, assembly is pure projection") {
+    val ev = ImageTable.events(spark, 300, 4)
+      .withColumnRenamed("image_id", "user_id")
+      .withColumnRenamed("event_ts", "ts")
+      .withColumn("event_type",
+        when(col("target") > 0.5, "purchase").otherwise("view"))
+      .withColumn("value", col("target") * 10)
+      .withColumn("event_id", monotonically_increasing_id())
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("pv"))
+    val pit = AsOfJoin.join(ev, purch, entity = "user_id",
+      leftTs = "ts", rightTs = "ts", rightValueCols = Seq("pv"))
+    val out = graft.operators.Assemble.features(
+      graft.temporal.WindowOps.timeToNextEvent(
+        graft.temporal.WindowOps.rollingQuantile(
+          graft.temporal.WindowOps.expandingMean(
+            pit, "event_type", "ts", "value", out = "et_mean"),
+          "user_id", "ts", "value", k = 7, q = 0.5, out = "med7"),
+        "user_id", "ts", col("event_type") === "purchase", 86400L),
+      Seq("pv", "et_mean", "med7"))
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"expected <= 3 exchanges, got $exchanges")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SinglePartition"), plan.take(1000))
+  }
+
   test("skewReport: map-side-combined counts, no window, no sort " +
       "of raw rows, no cartesian") {
     val d = spark.range(0, 2000)
