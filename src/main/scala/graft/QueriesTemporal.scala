@@ -168,8 +168,12 @@ object QueriesTemporal {
       val ev = tbl(s, dir, "events")
       val purch = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("value").as("pv"))
+      // STRICT as-of: a purchase event must not read its own (or a
+      // same-instant) purchase as its feature — strictly past only,
+      // consistent with every other stage of this table
       val pit = AsOfJoin.join(ev, purch, entity = "user_id",
-        leftTs = "ts", rightTs = "ts", rightValueCols = Seq("pv"))
+        leftTs = "ts", rightTs = "ts", rightValueCols = Seq("pv"),
+        strict = true)
       val withEnc = WindowOps.expandingMean(pit, "event_type", "ts",
         "value", out = "et_mean", tieBreak = Seq("event_id"))
       val withMed = WindowOps.rollingQuantile(withEnc, "user_id",
@@ -560,7 +564,7 @@ object QueriesTemporal {
         |  WHERE event_type = 'purchase'),
         |a AS (SELECT l.event_id, l.user_id, p.pv
         |  FROM events l ASOF LEFT JOIN p
-        |    ON l.user_id = p.user_id AND l.ts >= p.ts),
+        |    ON l.user_id = p.user_id AND l.ts > p.ts),
         |enc AS (SELECT event_id,
         |    SUM(CAST(round(value * 1e6) AS BIGINT)) OVER w AS s,
         |    COUNT(value) OVER w AS n
@@ -636,8 +640,8 @@ object QueriesTemporal {
         |  CASE WHEN event_type = 'purchase' THEN value END AS pv
         |  FROM events)
         |SELECT event_id,
-        |  COALESCE(SUM(CAST(round(pv * 1e6) AS BIGINT)) OVER w, 0)
-        |    AS label_micros,
+        |  CAST(COALESCE(SUM(CAST(round(pv * 1e6) AS BIGINT)) OVER w,
+        |    0) AS BIGINT) AS label_micros,
         |  COUNT(pv) OVER w AS label_n
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t
         |  RANGE BETWEEN 1 FOLLOWING AND 259200000000 FOLLOWING)

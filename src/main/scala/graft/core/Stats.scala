@@ -277,33 +277,45 @@ object Stats {
   def quantileMap(cur: DataFrame, curCol: String,
       ref: DataFrame, refCol: String,
       out: String = "mapped"): DataFrame = {
-    def pairs(d: DataFrame, c: String, k: String) = d
+    def side(d: DataFrame, c: String, k: String) = d
       .select(lit(k).as("k"), col(c).cast("double").as("v"),
         lit(1.0).as("w"))
       .filter(col("v").isNotNull && !isnan(col("v")))
-    val (curF, relC) = keyedCumFractions(pairs(cur, curCol, "c"))
-    val (refF, relR) = keyedCumFractions(pairs(ref, refCol, "r"))
-    val u = refF.select(col("f").as("s"), lit(1).as("isref"),
-        col("f").as("fr"), col("v").as("vr"),
-        lit(null).cast("double").as("x"))
-      .unionByName(curF.select(col("f").as("s"), lit(0).as("isref"),
-        lit(null).cast("double").as("fr"),
-        lit(null).cast("double").as("vr"), col("v").as("x")))
-    val lo = refCarryFill(u, forward = true)
-    val hi = refCarryFill(u, forward = false)
-    relC(); relR()
-    val q = col("q")
-    val mapped = lo.join(hi, "x")
-      .select(col("x").as("__qx"),
-        when(col("flo").isNull && col("vlo").isNull &&
-          col("fhi").isNull && col("vhi").isNull,
-          lit(null).cast("double"))
-          .when(col("flo").isNull, col("vhi"))
-          .when(col("fhi").isNull, col("vlo"))
-          .when(col("fhi") === col("flo"), col("vlo"))
-          .otherwise(col("vlo") + (q - col("flo")) /
-            (col("fhi") - col("flo")) * (col("vhi") - col("vlo")))
-          .as("__m"))
+    // BOTH CDFs in one keyed pass (one shuffle, one offsets collect)
+    val (allF, rel) = keyedCumFractions(
+      side(cur, curCol, "c").unionByName(side(ref, refCol, "r")))
+    // the (x -> mapped) table is |distinct cur| rows; localCheckpoint
+    // materializes it eagerly so every upstream persist can release
+    // (the rankAuc pattern) — nothing cached survives this call
+    val mapped =
+      try {
+        val refF = allF.filter(col("k") === "r")
+        val curF = allF.filter(col("k") === "c")
+        val u = refF.select(col("f").as("s"), lit(1).as("isref"),
+            col("f").as("fr"), col("v").as("vr"),
+            lit(null).cast("double").as("x"))
+          .unionByName(curF.select(col("f").as("s"),
+            lit(0).as("isref"), lit(null).cast("double").as("fr"),
+            lit(null).cast("double").as("vr"), col("v").as("x")))
+        val (lo, relLo) = refCarryFill(u, forward = true)
+        val (hi, relHi) = refCarryFill(u, forward = false)
+        try {
+          val q = col("q")
+          lo.join(hi, "x")
+            .select(col("x").as("__qx"),
+              when(col("flo").isNull && col("vlo").isNull &&
+                col("fhi").isNull && col("vhi").isNull,
+                lit(null).cast("double"))
+                .when(col("flo").isNull, col("vhi"))
+                .when(col("fhi").isNull, col("vlo"))
+                .when(col("fhi") === col("flo"), col("vlo"))
+                .otherwise(col("vlo") + (q - col("flo")) /
+                  (col("fhi") - col("flo")) *
+                  (col("vhi") - col("vlo")))
+                .as("__m"))
+            .localCheckpoint(true)
+        } finally { relLo(); relHi() }
+      } finally rel()
     val vIn = col(curCol).cast("double")
     cur.join(mapped, vIn === col("__qx"), "left")
       .withColumn(out, when(vIn.isNull || isnan(vIn),
@@ -321,7 +333,7 @@ object Stats {
     * rows only: forward (x, q, flo, vlo), backward (x, fhi, vhi).
     */
   private def refCarryFill(u: DataFrame, forward: Boolean)
-      : DataFrame = {
+      : (DataFrame, () => Unit) = {
     val parts = math.max(1,
       u.sparkSession.sessionState.conf.numShufflePartitions)
     val ord: Seq[Column] =
@@ -371,11 +383,13 @@ object Stats {
       coalesce(fill("fr"), carry(frMap)).as("__f"),
       coalesce(fill("vr"), carry(vrMap)).as("__v"))
       .filter(col("isref") === 0)
-    if (forward)
-      filled.select(col("x"), col("s").as("q"),
-        col("__f").as("flo"), col("__v").as("vlo"))
-    else
-      filled.select(col("x"), col("__f").as("fhi"),
-        col("__v").as("vhi"))
+    val outDf =
+      if (forward)
+        filled.select(col("x"), col("s").as("q"),
+          col("__f").as("flo"), col("__v").as("vlo"))
+      else
+        filled.select(col("x"), col("__f").as("fhi"),
+          col("__v").as("vhi"))
+    (outDf, () => { ranged.unpersist(false); () })
   }
 }

@@ -34,6 +34,10 @@ object Assemble {
       s"Assemble.features: nullPolicy zero|keep, got $nullPolicy")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"Assemble.features: missing $missing")
+    val clash = Seq(out, s"${out}_null_mask").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"Assemble.features: output name(s) $clash already exist — an " +
+        "ambiguous duplicate column would surface far from here")
     val vs = cols.map { c =>
       val v = col(c).cast("double")
       when(isnan(v), lit(null).cast("double")).otherwise(v)

@@ -19,6 +19,22 @@ object WindowOps {
   private def w(entity: String, ts: String): WindowSpec =
     Window.partitionBy(col(entity)).orderBy(col(ts))
 
+  /** NaN-as-missing normalization: the one definition the micro-unit
+    * window ops below share (NaN is a missing reading, never a zero
+    * and never heap poison).
+    */
+  private def cleanDouble(c: String): Column = {
+    val v = col(c).cast("double")
+    when(isnan(v), lit(null)).otherwise(v)
+  }
+
+  /** value -> exact integer micro-units (Spark round(), HALF_UP on
+    * the decimal repr — the same contract as
+    * [[graft.temporal.StreamingRound.halfUp6]] on the Scala side).
+    */
+  private def microUnits(clean: Column): Column =
+    round(clean * lit(1e6), 0).cast("long")
+
   /** Forward-fill: null feature values take the nearest PREVIOUS
     * non-null within the entity, ordered by ts.
     */
@@ -217,11 +233,8 @@ object WindowOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     // NaN is a MISSING label, not a zero: clean first so the count
     // and the sum agree on which rows are history
-    val clean = {
-      val v = col(valueCol).cast("double")
-      when(isnan(v), lit(null)).otherwise(v)
-    }
-    val micros = round(clean * lit(1e6), 0).cast("long")
+    val clean = cleanDouble(valueCol)
+    val micros = microUnits(clean)
     val s = sum(micros).over(spec)
     val n = count(clean).over(spec)
     val enc = when(n === 0, lit(null).cast("double"))
@@ -330,9 +343,8 @@ object WindowOps {
     val spec = Window.partitionBy(col(entity))
       .orderBy((col(ts) +: tieBreak.map(col)): _*)
       .rowsBetween(-k, -1)
-    val v = col(valueCol).cast("double")
-    val clean = when(isnan(v), lit(null)).otherwise(v)
-    val m = round(clean * lit(1e6), 0).cast("long")
+    val clean = cleanDouble(valueCol)
+    val m = microUnits(clean)
     val n = count(clean).over(spec)
     val s = sum(m).over(spec)
     val sq = sum((m.cast("decimal(19,0)") * m.cast("decimal(19,0)"))
@@ -372,9 +384,8 @@ object WindowOps {
     val tUs = unix_micros(col(ts).cast("timestamp"))
     val spec = Window.partitionBy(col(entity)).orderBy(tUs)
       .rangeBetween(1L, horizonSeconds * 1000000L)
-    val v = col(valueCol).cast("double")
-    val clean = when(isnan(v), lit(null)).otherwise(v)
-    val micros = round(clean * lit(1e6), 0).cast("long")
+    val clean = cleanDouble(valueCol)
+    val micros = microUnits(clean)
     df.select(df.columns.map(col).toIndexedSeq ++ Seq(
       coalesce(sum(micros).over(spec), lit(0L))
         .as(s"${outPrefix}_micros"),

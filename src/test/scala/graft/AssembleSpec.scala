@@ -40,6 +40,11 @@ class AssembleSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Assemble.features(frame(), Seq("nope"))
     }
+    // re-assembly under the same output name must fail loudly, not
+    // produce an ambiguous duplicate column
+    intercept[IllegalArgumentException] {
+      Assemble.features(Assemble.features(frame(), Seq("a")), Seq("b"))
+    }
   }
 
   test("features plans a pure projection: no exchange, no UDF") {
