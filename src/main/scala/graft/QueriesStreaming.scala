@@ -640,6 +640,35 @@ object QueriesStreaming {
         .orderBy("event_id")
     }),
 
+    "q201_stream_zscore" -> ((s, dir) => {
+      // the ONLINE companion of q197: prior-20-rows z-score carried
+      // as one bounded ring (<= 20 longs) per user across 3 REAL
+      // micro-batches; the oracle is LITERALLY q197's windowed SQL
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = tbl(s, dir, "events")
+        .select(col("user_id").cast("long"),
+          col("event_id").cast("long"),
+          col("ts").cast("timestamp"), col("value").cast("double"))
+        .collect()
+        .map(r => StreamingOps.ZEvent(r.getLong(0), r.getLong(1),
+          r.getTimestamp(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .sortBy(e => (StreamingOps.toMicros(e.ts), e.eventId)).toSeq
+      val input = MemoryStream[StreamingOps.ZEvent]
+      val sink = s"q201_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.zScoreStream(input.toDS(), k = 20,
+        cutoff = 3.0)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      drive(input, q, rows, nChunks = 3)
+      s.table(sink)
+        .select(col("eventId").as("event_id"),
+          round(col("rz"), 6).as("rz"), col("anomaly"))
+        .orderBy("event_id")
+    }),
+
     "q147_stream_decayed_feature" -> ((s, dir) => {
       // the ONLINE companion of q146: the exact (untruncated)
       // time-decay recurrence s_t = x_t + s_prev * 2^(-dt/hl), carried
@@ -740,6 +769,10 @@ object QueriesStreaming {
     // definition certifies q185 (batch) and q188 (stream) alike
     "q188_stream_cusum" ->
       QueriesTemporal.oracles("q185_cusum_changepoint"),
+
+    // likewise: q197's windowed SQL certifies the streaming ring
+    "q201_stream_zscore" ->
+      QueriesTemporal.oracles("q197_rolling_zscore"),
 
     // replay of the stream's EXACT per-user fold (value + s * 0.5^
     // (dt_us/hl_us), in arrival order) as a recursive CTE: identical

@@ -642,6 +642,84 @@ object StreamingOps {
       }
   }
 
+  case class ZEvent(entity: Long, eventId: Long, ts: Timestamp,
+    value: Option[Double])
+  case class ZOut(eventId: Long, entity: Long, ts: Timestamp,
+    rz: Option[Double], anomaly: Boolean)
+  /** ring holds the last <= k ROWS as micro-units with
+    * Long.MinValue marking a missing reading — a missing row still
+    * occupies a frame slot, exactly like the batch op's k-ROW
+    * window (state schema v1).
+    */
+  case class ZState(lastTsUs: Long, ring: Seq[Long])
+
+  private val ZMissing = Long.MinValue
+
+  /** ONLINE rolling z-score anomaly flags — the streaming companion
+    * of [[graft.temporal.WindowOps.rollingZScore]]: each arriving
+    * reading scored against the mean/std of its entity's PRIOR `k`
+    * ROWS, carried as one bounded ring (<= k longs) per entity.
+    * Frame moments are exact integers (squared sums in BigInt), the
+    * micro-unit conversion is the shared
+    * [[graft.temporal.StreamingRound.halfUp6]], and the float
+    * readout divisions run in the batch operator's operand order —
+    * so stream, batch, and the shared DuckDB oracle agree on every
+    * value (q201 certifies against LITERALLY q197's oracle).
+    *
+    * Same source contract as the other per-entity recurrences here:
+    * (event-time, id) order within a batch, per-entity
+    * ts-nondecreasing across batches (loud failure otherwise), a
+    * missing (null/NaN) reading emits null/no-flag but still
+    * occupies a baseline slot.
+    */
+  def zScoreStream(events: Dataset[ZEvent], k: Int,
+      cutoff: Double = 3.0, minObs: Int = 2): Dataset[ZOut] = {
+    import events.sparkSession.implicits._
+    require(k >= minObs && minObs >= 2,
+      s"zScoreStream: need k >= minObs >= 2, got k=$k minObs=$minObs")
+    require(cutoff > 0, s"zScoreStream: cutoff > 0, got $cutoff")
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (entity: Long, rows: Iterator[ZEvent],
+         state: GroupState[ZState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.eventId))
+          var st = state.getOption
+            .getOrElse(ZState(Long.MinValue, Vector.empty))
+          val out = Seq.newBuilder[ZOut]
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            require(t >= st.lastTsUs,
+              s"zScoreStream: entity $entity got ts $t older than " +
+                s"carried state ${st.lastTsUs} — source must be " +
+                "per-entity ts-nondecreasing (backfill late data " +
+                "with the batch rollingZScore)")
+            val m = e.value.filterNot(_.isNaN)
+              .map(graft.temporal.StreamingRound.halfUp6)
+            val prior = st.ring.filter(_ != ZMissing)
+            val n = prior.size
+            val rz: Option[Double] = m match {
+              case Some(mv) if n >= minObs =>
+                val s = prior.sum
+                val sq = prior.foldLeft(BigInt(0))((a, x) =>
+                  a + BigInt(x) * BigInt(x))
+                val meanM = s.toDouble / n.toDouble
+                val varM = sq.toDouble / n.toDouble - meanM * meanM
+                val stdM = math.sqrt(math.max(varM, 0.0))
+                if (stdM == 0.0) None
+                else Some((mv.toDouble - meanM) / stdM)
+              case _ => None
+            }
+            val ring = (st.ring :+ m.getOrElse(ZMissing)).takeRight(k)
+            st = ZState(t, ring)
+            out += ZOut(e.eventId, entity, e.ts, rz,
+              rz.exists(z => math.abs(z) > cutoff))
+          }
+          if (sorted.nonEmpty) state.update(st)
+          out.result().iterator
+      }
+  }
+
   // ---- streaming image near-dup (phash) --------------------------------
 
   case class PhashImage(imageId: String, ts: Timestamp, phash: Long)

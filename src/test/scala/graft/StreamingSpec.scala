@@ -830,6 +830,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("z-score stream: ring carries across batches, missing rows " +
+      "occupy frame slots, equals the batch window op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(
+      StreamingOps.ZEvent(1L, 1L, ts("2024-01-01 10:00:00"), Some(10.0)),
+      StreamingOps.ZEvent(1L, 2L, ts("2024-01-01 10:10:00"), Some(12.0)),
+      StreamingOps.ZEvent(1L, 3L, ts("2024-01-01 10:20:00"), None),
+      StreamingOps.ZEvent(1L, 4L, ts("2024-01-01 10:30:00"), Some(11.0)),
+      StreamingOps.ZEvent(1L, 5L, ts("2024-01-01 10:40:00"), Some(100.0)),
+      StreamingOps.ZEvent(2L, 6L, ts("2024-01-01 10:00:00"), Some(5.0)))
+    val input = MemoryStream[StreamingOps.ZEvent]
+    val q = StreamingOps.zScoreStream(input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("z_s")
+      .outputMode("append").start()
+    try {
+      Seq(ev.take(2), ev.slice(2, 4), ev.drop(4)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val got = spark.table("z_s").orderBy("eventId").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(3)) null else r.getDouble(3),
+          r.getBoolean(4))).toSeq
+      // batch mirror over the same rows (k=3 prior ROWS)
+      val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE",
+        ev.map(e => org.apache.spark.sql.Row(e.entity, e.ts, e.eventId,
+          e.value.map(Double.box).orNull)))
+      val batch = graft.temporal.WindowOps.rollingZScore(
+        d, "e", "ts", "v", k = 3).orderBy("id").collect()
+        .map(r => (r.getLong(2),
+          if (r.isNullAt(4)) null else r.getDouble(4),
+          r.getBoolean(5))).toSeq
+      assert(got == batch, s"stream $got vs batch $batch")
+      // the missing reading itself emits null/no-flag...
+      assert(got(2)._2 == null && !got(2)._3)
+      // ...but occupies a ring slot: id=5's frame is {12, None, 11}
+      // (10.0 evicted), n=2, and the spike flags against it
+      assert(got(4)._2 != null && got(4)._3)
+    } finally q.stop()
+  }
+
   test("decayed feature stream TTL: idle state evicts with the 2^-k " +
     "error bound; fresh restart after the gap") {
     import spark.implicits._
