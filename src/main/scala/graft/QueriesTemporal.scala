@@ -158,6 +158,17 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q202_lifetime_features" -> ((s, dir) => {
+      // account age / sequence (leakage-clean) + retrospective
+      // cohort denominators (documented as such) — all exact
+      // integer-us arithmetic on one entity exchange
+      WindowOps.lifetimeFeatures(tbl(s, dir, "events"), "user_id",
+        "ts", tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("age_us"), col("event_seq"),
+          col("n_total"), round(col("life_frac"), 6).as("life_frac"))
+        .orderBy("event_id")
+    }),
+
     "q200_training_table" -> ((s, dir) => {
       // the north-star composition, driver-gated end to end: every
       // event becomes a leakage-clean training row — an as-of
@@ -556,6 +567,23 @@ object QueriesTemporal {
         |  WHEN vp IS NOT NULL THEN vp
         |  ELSE vn END, 6) AS v_interp
         |FROM x ORDER BY 1""".stripMargin,
+
+    // same two window shapes over epoch micros; ROW_NUMBER ties
+    // break on event_id in both engines
+    "q202_lifetime_features" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |  epoch_us(ts) AS t FROM events)
+        |SELECT event_id,
+        |  t - MIN(t) OVER wa AS age_us,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS INTEGER) AS event_seq,
+        |  COUNT(*) OVER wa AS n_total,
+        |  ROUND(CASE WHEN MAX(t) OVER wa - MIN(t) OVER wa > 0
+        |    THEN CAST(t - MIN(t) OVER wa AS DOUBLE)
+        |      / CAST(MAX(t) OVER wa - MIN(t) OVER wa AS DOUBLE)
+        |    END, 6) AS life_frac
+        |FROM e WINDOW wa AS (PARTITION BY user_id)
+        |ORDER BY 1""".stripMargin,
 
     // every stage's proven oracle chained: DuckDB ASOF join + the
     // q182/q181/q190 window bodies + the q198 mask/zero assembly

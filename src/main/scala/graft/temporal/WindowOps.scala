@@ -392,6 +392,38 @@ object WindowOps {
       count(clean).over(spec).as(s"${outPrefix}_n")): _*)
   }
 
+  /** Per-entity lifetime features: exact integer-us account age
+    * (`t - first_seen`), 1-based event sequence number, total event
+    * count, and lifetime share (`age / full_span`).
+    *
+    * LEAKAGE NOTE, explicit: `age_us` and `event_seq` read only the
+    * past — safe as training features at time t. `n_total` and
+    * `life_frac` read the entity's FULL history (the denominator
+    * includes the future) — they are RETROSPECTIVE cohort/analysis
+    * features; training on them at time t leaks end-of-history
+    * information. Named outputs keep the two classes apart.
+    *
+    * One (entity) exchange serves both the ordered and unordered
+    * window shapes; singleton entities report life_frac null (no
+    * span to share).
+    */
+  def lifetimeFeatures(df: DataFrame, entity: String, ts: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = col(ts) +: tieBreak.map(col)
+    val wOrd = Window.partitionBy(col(entity)).orderBy(ord: _*)
+    val wAll = Window.partitionBy(col(entity))
+    val tUs = unix_micros(col(ts).cast("timestamp"))
+    val first = min(tUs).over(wAll)
+    val span = max(tUs).over(wAll) - first
+    val age = tUs - first
+    df.select(df.columns.map(col).toIndexedSeq ++ Seq(
+      age.as("age_us"),
+      row_number().over(wOrd).as("event_seq"),
+      count(lit(1)).over(wAll).as("n_total"),
+      when(span > 0, age.cast("double") / span.cast("double"))
+        .as("life_frac")): _*)
+  }
+
   /** Per-entity inter-event gap statistics — the cadence features
     * (how often does this user act, how bursty) behavioral models
     * consume: consecutive (ts, id)-ordered gaps in exact integer

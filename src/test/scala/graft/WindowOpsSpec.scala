@@ -217,6 +217,22 @@ class WindowOpsSpec extends SparkSpec {
     }
   }
 
+  test("lifetimeFeatures: exact age/seq, retrospective denominators, " +
+      "singleton null share") {
+    val d = df("e STRING, ts TIMESTAMP", Seq(
+      Row("a", ts("2024-01-01 10:00:00")),
+      Row("a", ts("2024-01-01 10:30:00")),
+      Row("a", ts("2024-01-01 12:00:00")),
+      Row("b", ts("2024-01-01 10:00:00"))))
+    val out = WindowOps.lifetimeFeatures(d, "e", "ts")
+      .orderBy("e", "ts")
+    assert(column(out, "age_us") ==
+      Seq(0L, 1800000000L, 7200000000L, 0L))
+    assert(column(out, "event_seq") == Seq(1, 2, 3, 1))
+    assert(column(out, "n_total") == Seq(3L, 3L, 3L, 1L))
+    assert(column(out, "life_frac") == Seq(0.0, 0.25, 1.0, null))
+  }
+
   test("gapStats: exact moments over integer-us gaps, singleton null") {
     val d = df("e STRING, ts TIMESTAMP", Seq(
       Row("a", ts("2024-01-01 10:00:00")),
