@@ -497,6 +497,31 @@ object QueriesData {
         .orderBy("id_a", "id_b")
     }),
 
+    "q203_caption_jaccard" -> ((s, dir) => {
+      // graded caption agreement over the q195 twins: identical
+      // captions score 1, the ' v2'-suffixed real drift scores
+      // strictly between 0 and 1, case drift is identity after
+      // lowercasing — exact set arithmetic, one division
+      val imgs = oracleImages(s, 500, "/tmp/graft_oracle_images_q203")
+      val base = imgs.select(col("image_id"), col("phash"),
+        col("caption"))
+      val dups = base
+        .filter(expr("CAST(substring(image_id, 5) AS BIGINT) % 10 = 0"))
+        .select(concat(col("image_id"), lit("_d")).as("image_id"),
+          col("phash").bitwiseXOR(lit(257L)).as("phash"),
+          expr("""CASE
+            WHEN CAST(substring(image_id, 5) AS BIGINT) % 40 = 0
+              THEN caption || ' v2'
+            WHEN CAST(substring(image_id, 5) AS BIGINT) % 20 = 0
+              THEN upper(caption)
+            ELSE caption END""").as("caption"))
+      Multimodal.captionTokenJaccard(base.unionByName(dups),
+        "image_id", "phash", "caption", maxDist = 3)
+        .select(col("id_a"), col("id_b"),
+          round(col("caption_jaccard"), 6).as("caption_jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "q52_multimodal_decode" -> ((s, dir) => {
       // mapPartitions decode plumbing with the stub decoder (whose spec
       // is deliberately SQL-reproducible — see Multimodal.StubDecoder);
@@ -3350,6 +3375,41 @@ object QueriesData {
         |FROM t a JOIN t b ON a.image_id < b.image_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY 1, 2""".stripMargin,
+
+    // the q195 pair recovery; token sets = lowercase whitespace
+    // split, empties filtered, distinct; |union| = |a|+|b|-|inter|
+    "q203_caption_jaccard" ->
+      """WITH base AS (SELECT image_id, phash, caption
+        |  FROM read_parquet('/tmp/graft_oracle_images_q203/*.parquet')),
+        |t AS (SELECT * FROM base
+        |  UNION ALL
+        |  SELECT image_id || '_d', xor(phash, 257),
+        |    CASE
+        |      WHEN CAST(substring(image_id, 5) AS BIGINT) % 40 = 0
+        |        THEN caption || ' v2'
+        |      WHEN CAST(substring(image_id, 5) AS BIGINT) % 20 = 0
+        |        THEN upper(caption)
+        |      ELSE caption END
+        |  FROM base
+        |  WHERE CAST(substring(image_id, 5) AS BIGINT) % 10 = 0),
+        |p AS (SELECT a.image_id AS id_a, b.image_id AS id_b,
+        |    list_distinct(list_filter(string_split(
+        |      lower(trim(a.caption)), ' '), x -> x <> '')) AS ta,
+        |    list_distinct(list_filter(string_split(
+        |      lower(trim(b.caption)), ' '), x -> x <> '')) AS tb,
+        |    a.caption AS ca, b.caption AS cb
+        |  FROM t a JOIN t b ON a.image_id < b.image_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |j AS (SELECT id_a, id_b, ca, cb,
+        |    len(list_intersect(ta, tb)) AS i,
+        |    len(ta) + len(tb) - len(list_intersect(ta, tb)) AS u
+        |  FROM p)
+        |SELECT id_a, id_b,
+        |  ROUND(CASE WHEN ca IS NULL OR cb IS NULL THEN NULL
+        |    WHEN u = 0 THEN NULL
+        |    ELSE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) END, 6)
+        |    AS caption_jaccard
+        |FROM j ORDER BY 1, 2""".stripMargin,
 
     // the q62 pair recovery plus null-safe caption verdicts
     // (IS NOT DISTINCT FROM == Spark <=>)

@@ -628,6 +628,42 @@ object Multimodal {
       .drop("__ca_id", "__cb_id", "__cap_a", "__cap_b")
   }
 
+  /** Graded companion of [[captionConsistency]]: token-set Jaccard
+    * similarity between the captions of each near-duplicate image
+    * pair — the score that separates "reworded but same content"
+    * from "totally different label" where the binary verdicts only
+    * say not-equal. Tokens are lowercase, whitespace-split, empties
+    * dropped, DISTINCT (set semantics); exact integer set sizes, one
+    * final division. A null caption on either side (or two empty
+    * token sets) yields null rather than a fake 0 or 1.
+    */
+  def captionTokenJaccard(imgs: DataFrame, idCol: String,
+      phashCol: String, captionCol: String,
+      maxDist: Int): DataFrame = {
+    val pairs = phashNearDups(
+      imgs.select(col(idCol), col(phashCol)), idCol, phashCol, maxDist)
+    val caps = imgs.select(col(idCol).as("__cid"),
+      col(captionCol).cast("string").as("__cap"))
+    def toks(c: Column) = array_distinct(
+      filter(split(lower(trim(c)), " "), t => t =!= ""))
+    val withCaps = pairs
+      .join(caps.select(col("__cid").as("__ja_id"),
+        col("__cap").as("__cap_a")), col("id_a") === col("__ja_id"))
+      .join(caps.select(col("__cid").as("__jb_id"),
+        col("__cap").as("__cap_b")), col("id_b") === col("__jb_id"))
+    val a = toks(col("__cap_a"))
+    val b = toks(col("__cap_b"))
+    val inter = size(array_intersect(a, b))
+    val uni = size(a) + size(b) - inter
+    withCaps
+      .withColumn("caption_jaccard",
+        when(col("__cap_a").isNull || col("__cap_b").isNull,
+          lit(null).cast("double"))
+          .when(uni === 0, lit(null).cast("double"))
+          .otherwise(inter.cast("double") / uni.cast("double")))
+      .drop("__ja_id", "__jb_id", "__cap_a", "__cap_b")
+  }
+
   /** Transcode payloads: decode and re-encode into `targetFmt`
     * (png = lossless: the decoded pixel matrix is preserved exactly,
     * so pixel-derived features — [[averageHash]], PSNR audits — are

@@ -381,6 +381,27 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("captionTokenJaccard: set semantics, case/space-insensitive, " +
+      "null and empty-set pairs score null") {
+    val d = df("image_id STRING, phash BIGINT, caption STRING", Seq(
+      Row("a1", 0L, "A cat sat down"),
+      Row("a2", 1L, "a cat  stood up"), // {a,cat} shared of 6 distinct
+      Row("b1", 0x0F0F0F0F0F0F0F0FL, null),
+      Row("b2", 0x0F0F0F0F0F0F0F0DL, "text"),
+      Row("c1", 0xF0F0F0F0F0F0F0F0L, "  "),
+      Row("c2", 0xF0F0F0F0F0F0F0F4L, " ")))
+    val out = Multimodal.captionTokenJaccard(d, "image_id", "phash",
+      "caption", maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(r.fieldIndex("caption_jaccard"))) null
+         else r.getDouble(r.fieldIndex("caption_jaccard")))).toMap
+    // {a, cat, sat, down} vs {a, cat, stood, up}: 2 / 6
+    assert(math.abs(out(("a1", "a2")).asInstanceOf[Double] - 2.0 / 6)
+      < 1e-12)
+    assert(out(("b1", "b2")) == null) // null caption side
+    assert(out(("c1", "c2")) == null) // both token sets empty
+  }
+
   test("winnowing guarantee: shared substring >= k+w-1 shares a fingerprint") {
     // both docs contain the same 16-char run (>= k + w - 1 = 11)
     val marker = "zqxjkvbwpfmgu#7!"
