@@ -972,6 +972,17 @@ object QueriesData {
         .orderBy("column")
     }),
 
+    "q204_freshness_report" -> ((s, dir) => {
+      // feed health before trusting as-of right sides: per event
+      // type, last event + exact integer-us staleness behind the
+      // corpus's newest event, flagged beyond 24h
+      graft.operators.Profile.freshnessReport(tbl(s, dir, "events"),
+        "event_type", "ts", staleAfterSeconds = 86400L)
+        .select(col("event_type"), col("n"), col("last_ts"),
+          col("staleness_us"), col("stale"))
+        .orderBy("event_type")
+    }),
+
     "q191_skew_report" -> ((s, dir) => {
       // pre-join skew planning: every key whose row share exceeds
       // 0.5% plus the exact-integer salt factor that would level it
@@ -2551,6 +2562,16 @@ object QueriesData {
          |    ${(1 to 9).map(term).mkString("\n  + ")} END, 6) AS chi2
          |FROM g ORDER BY 1""".stripMargin
     },
+
+    // same per-key max + global max, exact integer-us staleness
+    "q204_freshness_report" ->
+      """WITH g AS (SELECT MAX(epoch_us(ts)) AS gmax FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MAX(ts) AS last_ts,
+        |  g.gmax - MAX(epoch_us(ts)) AS staleness_us,
+        |  g.gmax - MAX(epoch_us(ts)) > 86400000000 AS stale
+        |FROM events, g GROUP BY event_type, g.gmax
+        |ORDER BY 1""".stripMargin,
 
     // same melt/count/threshold shape; salt factor is exact integer
     // ceil division, so no float enters the reported plan

@@ -160,6 +160,31 @@ object Profile {
       when(col("n") === 0, lit(null).cast("double")).otherwise(chi2))
   }
 
+  /** Feed-freshness report: per key (source, feed, event type), row
+    * count, last event time, staleness behind the corpus-wide
+    * newest event (exact integer microseconds), and a stale flag —
+    * the "did a feed go quiet" health check a pipeline runs before
+    * trusting an as-of join's right side (a silently stale feature
+    * feed poisons every downstream point-in-time read with old
+    * values that LOOK valid). One map-side-combined groupBy + a
+    * 1-row broadcast of the global max.
+    */
+  def freshnessReport(df: DataFrame, keyCol: String, tsCol: String,
+      staleAfterSeconds: Long): DataFrame = {
+    require(staleAfterSeconds > 0,
+      s"freshnessReport: staleAfterSeconds > 0, got $staleAfterSeconds")
+    val tUs = unix_micros(col(tsCol).cast("timestamp"))
+    val perKey = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), max(tUs).as("__last_us"),
+        max(col(tsCol)).as("last_ts"))
+    val global = df.agg(max(tUs).as("__global_us"))
+    perKey.crossJoin(broadcast(global))
+      .withColumn("staleness_us", col("__global_us") - col("__last_us"))
+      .withColumn("stale",
+        col("staleness_us") > staleAfterSeconds * 1000000L)
+      .drop("__last_us", "__global_us")
+  }
+
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile: need >= 1 column")
     val missing = cols.filterNot(df.columns.contains)

@@ -99,6 +99,25 @@ class ProfileSpec extends SparkSpec {
       r.getAs[Long]("c1") == 1L)
   }
 
+  test("freshnessReport: exact staleness behind global max, flag at " +
+      "threshold, guard") {
+    import java.sql.Timestamp
+    val d = df("k STRING, ts TIMESTAMP", Seq(
+      Row("live", Timestamp.valueOf("2024-01-02 00:00:00")),
+      Row("live", Timestamp.valueOf("2024-01-01 00:00:00")),
+      Row("dead", Timestamp.valueOf("2024-01-01 00:00:00"))))
+    val out = Profile.freshnessReport(d, "k", "ts", 3600)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(r.fieldIndex("n")),
+          r.getLong(r.fieldIndex("staleness_us")),
+          r.getBoolean(r.fieldIndex("stale"))))).toMap
+    assert(out("live") == ((2L, 0L, false)))
+    assert(out("dead") == ((1L, 86400000000L, true)))
+    intercept[IllegalArgumentException] {
+      Profile.freshnessReport(d, "k", "ts", 0)
+    }
+  }
+
   test("columnProfile: missing column rejected up front") {
     val d = df("a STRING", Seq(Row("x")))
     intercept[IllegalArgumentException] {
