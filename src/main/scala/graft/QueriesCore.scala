@@ -435,11 +435,20 @@ object QueriesCore {
         "rename" -> new RenameColumnsTransformer(
           Map("o_totalprice" -> "price_copy")),
         "set" -> new SetValueTransformer(Seq("o_orderpriority"), "fixed"),
-        "cast" -> new ColumnDtypeSetter(Seq("o_custkey"), "Int32"))
-      p.fit(df)
-      p.transform(df)
+        "cast" -> new ColumnDtypeSetter(Seq("o_custkey"), "Int32"),
+        // UInt widening (functions/misc.py:62-65): UInt16 -> INT,
+        // UInt64 -> DECIMAL(20,0) — no unsigned types in Spark
+        "cast_u16" -> new ColumnDtypeSetter(Seq("okey_u16"), "UInt16"),
+        "cast_u64" -> new ColumnDtypeSetter(Seq("okey_u64"), "UInt64"))
+      val in = df
+        .withColumn("okey_u16", pmod(col("o_orderkey"), lit(50000L))
+          .cast("int"))
+        .withColumn("okey_u64", col("o_orderkey"))
+      p.fit(in)
+      p.transform(in)
         .select(col("o_orderkey"), col("price_copy"),
-          col("o_orderpriority"), col("o_custkey"))
+          col("o_orderpriority"), col("o_custkey"),
+          col("okey_u16"), col("okey_u64"))
         .orderBy("o_orderkey")
     }),
 
@@ -1299,7 +1308,9 @@ object QueriesCore {
     "q27_misc" ->
       """SELECT o_orderkey, o_totalprice AS price_copy,
         |  'fixed' AS o_orderpriority,
-        |  CAST(o_custkey AS INTEGER) AS o_custkey
+        |  CAST(o_custkey AS INTEGER) AS o_custkey,
+        |  CAST(o_orderkey % 50000 AS INTEGER) AS okey_u16,
+        |  CAST(o_orderkey AS DECIMAL(20,0)) AS okey_u64
         |FROM orders ORDER BY 1""".stripMargin,
 
     // np.digitize(x, bins, right=True) with pinned bins [-1000,3000,7000]

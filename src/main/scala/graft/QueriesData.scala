@@ -973,14 +973,18 @@ object QueriesData {
     }),
 
     "q204_freshness_report" -> ((s, dir) => {
-      // feed health before trusting as-of right sides: per event
-      // type, last event + exact integer-us staleness behind the
-      // corpus's newest event, flagged beyond 24h
-      graft.operators.Profile.freshnessReport(tbl(s, dir, "events"),
-        "event_type", "ts", staleAfterSeconds = 86400L)
-        .select(col("event_type"), col("n"), col("last_ts"),
-          col("staleness_us"), col("stale"))
-        .orderBy("event_type")
+      // feed health before trusting as-of right sides: per
+      // (event type, shard) feed key, last event + exact integer-us
+      // staleness behind the corpus's newest event, flagged beyond
+      // 24h; multi-key + nulls-first ordering both driver-gated
+      val d = tbl(s, dir, "events")
+        .withColumn("shard", pmod(col("user_id"), lit(3L)))
+      graft.operators.Profile.freshnessReport(d,
+        Seq("event_type", "shard"), "ts", staleAfterSeconds = 86400L)
+        .select(col("event_type"), col("shard"), col("n"),
+          col("last_ts"), col("staleness_us"), col("stale"))
+        .orderBy(asc_nulls_first("event_type"),
+          asc_nulls_first("shard"))
     }),
 
     "q191_skew_report" -> ((s, dir) => {
@@ -1463,6 +1467,29 @@ object QueriesData {
         docs.filter(col("source") === "src0"),
         "doc_id", "text", width = 256, k = 50)
         .orderBy("rank")
+    }),
+
+    "q205_snapshot_pruned_read" -> ((s, dir) => {
+      // bucket-level scan pruning: a range-bucketed store records
+      // per-bucket bounding boxes in the manifest; a selective range
+      // read consults them and scans ONLY intersecting buckets. The
+      // require() makes the skip itself driver-gated, the oracle makes
+      // the surviving rows value-exact.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_q205").toString
+      val d = tbl(s, dir, "documents")
+      val bucket = (col("doc_id") / lit(50L)).cast("int")
+      graft.io.SnapshotStore.write(d, root, bucket,
+        statsCols = Seq("doc_id"))
+      val total = graft.io.SnapshotStore.manifest(root, 1).size
+      val kept = graft.io.SnapshotStore.prunedManifest(
+        root, "doc_id", Some(120L), Some(180L))
+      require(kept.size < total,
+        s"pruning skipped nothing ($total buckets, kept ${kept.size})")
+      graft.io.SnapshotStore.readRange(s, root, "doc_id",
+        Some(120L), Some(180L))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
     }),
 
     "q53_snapshot_lineage" -> ((s, dir) => {
@@ -2563,15 +2590,18 @@ object QueriesData {
          |FROM g ORDER BY 1""".stripMargin
     },
 
-    // same per-key max + global max, exact integer-us staleness
+    // same per-key max + global max, exact integer-us staleness;
+    // multi-key (event_type, shard), NULLS FIRST to match Spark's
+    // ascending default
     "q204_freshness_report" ->
       """WITH g AS (SELECT MAX(epoch_us(ts)) AS gmax FROM events)
-        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |SELECT event_type, user_id % 3 AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
         |  MAX(ts) AS last_ts,
         |  g.gmax - MAX(epoch_us(ts)) AS staleness_us,
         |  g.gmax - MAX(epoch_us(ts)) > 86400000000 AS stale
-        |FROM events, g GROUP BY event_type, g.gmax
-        |ORDER BY 1""".stripMargin,
+        |FROM events, g GROUP BY event_type, user_id % 3, g.gmax
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
 
     // same melt/count/threshold shape; salt factor is exact integer
     // ceil division, so no float enters the reported plan
@@ -3259,6 +3289,12 @@ object QueriesData {
       """SELECT CAST(doc_id % 16 AS INTEGER) AS bucket,
         |       COUNT(*) AS n_rows
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the store round-trip + residual filter must be value-exact;
+    // the bucket skip itself is require()d inside the query
+    "q205_snapshot_pruned_read" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id BETWEEN 120 AND 180 ORDER BY 1""".stripMargin,
 
     "q61_winnow_fingerprint" ->
       s"""SELECT doc_id, fp

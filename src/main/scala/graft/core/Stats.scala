@@ -277,6 +277,14 @@ object Stats {
   def quantileMap(cur: DataFrame, curCol: String,
       ref: DataFrame, refCol: String,
       out: String = "mapped"): DataFrame = {
+    // loud collision guard (the Assemble.features pattern): the final
+    // join materializes __qx/__m and withColumn(out) would silently
+    // shadow an existing column
+    Seq(out, "__qx", "__m").foreach { c =>
+      require(!cur.columns.contains(c),
+        s"quantileMap: input already has a column named '$c' " +
+          s"(reserved for the output/join scratch) — rename it first")
+    }
     def side(d: DataFrame, c: String, k: String) = d
       .select(lit(k).as("k"), col(c).cast("double").as("v"),
         lit(1.0).as("w"))

@@ -40,8 +40,16 @@ import scala.jdk.CollectionConverters._
   */
 object SnapshotStore {
 
+  /** `stats` maps a column name to its per-bucket (tag, min, max)
+    * bounding box — tag "n" for numeric-comparable values (numbers
+    * and timestamps as epoch micros), "s" for lexicographic strings.
+    * Empty for columns not tracked at write time (older manifests,
+    * or all-null/NaN buckets) — absence means "cannot prune",
+    * never "empty bucket".
+    */
   final case class BucketLineage(bucket: Int, rows: Long, xxh: Long,
-      path: String)
+      path: String, stats: Map[String, (String, String, String)] =
+        Map.empty)
   final case class WriteResult(snapshot: Int, written: Seq[Int],
       carried: Seq[Int], remaining: Seq[Int])
 
@@ -68,19 +76,67 @@ object SnapshotStore {
     expr(s"bit_xor(xxhash64(struct(" +
       dataCols.map(c => s"`$c`").mkString(",") + ")))")
 
-  /** Per-bucket (rows, content-hash) of an already-bucketed frame —
-    * one distributed agg, bit_xor is order-independent and overflow-free
-    * (ANSI-safe, unlike a sum of hashes).
+  /** Per-bucket (rows, content-hash, column bounding boxes) of an
+    * already-bucketed frame — ONE distributed map-side-combined agg
+    * regardless of how many stats columns are tracked (min/max ride
+    * the same groupBy as the lineage), bit_xor is order-independent
+    * and overflow-free (ANSI-safe, unlike a sum of hashes).
     */
-  private def lineageOf(bucketed: DataFrame): Map[Int, (Long, Long)] = {
+  private def lineageOf(bucketed: DataFrame,
+      statsCols: Seq[String] = Seq.empty)
+      : Map[Int, (Long, Long, Map[String, (String, String, String)])] = {
+    val missing = statsCols.filterNot(bucketed.columns.contains)
+    require(missing.isEmpty,
+      s"SnapshotStore stats columns not in frame: $missing")
+    val statAggs = statsCols.flatMap(c => Seq(
+      min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val aggs = Seq(count(lit(1)).as("rows"),
+      rowHashExpr(bucketed.columns.toSeq.filterNot(_ == B))
+        .as("xxh")) ++ statAggs
     bucketed
       .groupBy(col(B))
-      .agg(count(lit(1)).as("rows"),
-        rowHashExpr(bucketed.columns.toSeq.filterNot(_ == B))
-          .as("xxh"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .map { r =>
+        val stats = statsCols.flatMap { c =>
+          (statRepr(r.getAs[Any](s"__min_$c")),
+            statRepr(r.getAs[Any](s"__max_$c"))) match {
+            case (Some((t1, lo)), Some((t2, hi))) if t1 == t2 =>
+              Some(c -> ((t1, lo, hi)))
+            case _ => None // null/NaN bound -> untracked (no pruning)
+          }
+        }.toMap
+        r.getInt(0) -> ((r.getLong(1), r.getLong(2), stats))
+      }
       .toMap
+  }
+
+  /** Normalize a collected min/max value into a (tag, repr) pair the
+    * driver can compare without Spark: numbers and timestamps become
+    * numerically-comparable decimal strings (tag "n", timestamps as
+    * epoch micros), strings stay lexicographic (tag "s"). NaN (which
+    * Spark's min/max sort GREATEST) and unsupported types return None
+    * — the bucket simply stays unprunable on that column.
+    */
+  private def statRepr(v: Any): Option[(String, String)] = v match {
+    case null => None
+    case d: Double if d.isNaN => None
+    case f: Float if f.isNaN => None
+    case d: Double => Some(("n", BigDecimal(d).toString))
+    case f: Float => Some(("n", BigDecimal(f.toDouble).toString))
+    case n: java.lang.Number => Some(("n", n.toString))
+    case t: java.sql.Timestamp =>
+      Some(("n", (math.floorDiv(t.getTime, 1000L) * 1000000L +
+        t.getNanos / 1000L).toString))
+    case t: java.time.LocalDateTime =>
+      Some(("n", (t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        t.getNano / 1000).toString))
+    case t: java.time.Instant =>
+      Some(("n", (t.getEpochSecond * 1000000L + t.getNano / 1000).toString))
+    case d: java.sql.Date => Some(("n", d.toLocalDate.toEpochDay.toString))
+    case d: java.time.LocalDate => Some(("n", d.toEpochDay.toString))
+    case s: String => Some(("s", s))
+    case _ => None
   }
 
   /** Snapshot ids on disk. Incomplete (mid-checkpoint) snapshots are
@@ -120,8 +176,21 @@ object SnapshotStore {
     Files.exists(Paths.get(root, "snapshots",
       s"v$snapshot.manifest$Incomplete.jsonl"))
 
+  // stats payloads (column names, min/max reprs) are base64-coded so
+  // arbitrary string values can never break the line grammar; the
+  // stats object holds only arrays, so it contains no nested braces
   private val Line =
-    """\{"bucket":(-?\d+),"rows":(\d+),"xxh":(-?\d+),"path":"([^"]*)"\}""".r
+    ("""\{"bucket":(-?\d+),"rows":(\d+),"xxh":(-?\d+),"path":"([^"]*)"""" +
+      """(?:,"stats":\{([^}]*)\})?\}""").r
+  private val StatEntry =
+    """"([A-Za-z0-9+/=]*)":\["([ns])","([A-Za-z0-9+/=]*)","([A-Za-z0-9+/=]*)"\]""".r
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s),
+      java.nio.charset.StandardCharsets.UTF_8)
 
   def manifest(root: String, snapshot: Int): Seq[BucketLineage] = {
     val complete = Paths.get(root, "snapshots", s"v$snapshot.manifest.jsonl")
@@ -130,8 +199,14 @@ object SnapshotStore {
       else Paths.get(root, "snapshots",
         s"v$snapshot.manifest$Incomplete.jsonl")
     Files.readAllLines(p).asScala.toSeq.collect {
-      case Line(b, r, x, path) =>
-        BucketLineage(b.toInt, r.toLong, x.toLong, path)
+      case Line(b, r, x, path, statsBody) =>
+        val stats =
+          if (statsBody == null) Map.empty[String, (String, String, String)]
+          else StatEntry.findAllMatchIn(statsBody).map { m =>
+            unb64(m.group(1)) ->
+              ((m.group(2), unb64(m.group(3)), unb64(m.group(4))))
+          }.toMap
+        BucketLineage(b.toInt, r.toLong, x.toLong, path, stats)
     }
   }
 
@@ -140,7 +215,13 @@ object SnapshotStore {
     val dir = Paths.get(root, "snapshots")
     Files.createDirectories(dir)
     val body = entries.sortBy(_.bucket).map { e =>
-      s"""{"bucket":${e.bucket},"rows":${e.rows},"xxh":${e.xxh},"path":"${e.path}"}"""
+      val statsPart =
+        if (e.stats.isEmpty) ""
+        else e.stats.toSeq.sortBy(_._1).map { case (c, (t, lo, hi)) =>
+          s""""${b64(c)}":["$t","${b64(lo)}","${b64(hi)}"]"""
+        }.mkString(""","stats":{""", ",", "}")
+      s"""{"bucket":${e.bucket},"rows":${e.rows},"xxh":${e.xxh},""" +
+        s""""path":"${e.path}"$statsPart}"""
     }.mkString("", "\n", "\n")
     val suffix = if (incomplete) Incomplete else ""
     Files.writeString(dir.resolve(s"v$snapshot.manifest$suffix.jsonl"), body)
@@ -155,7 +236,8 @@ object SnapshotStore {
     * written this run (the rest stay `remaining` for the next call).
     */
   def write(df: DataFrame, root: String, bucketExpr: Column,
-      maxBucketsPerRun: Int = Int.MaxValue): WriteResult = {
+      maxBucketsPerRun: Int = Int.MaxValue,
+      statsCols: Seq[String] = Seq.empty): WriteResult = {
     // "__bucket" would be silently OVERWRITTEN by withColumn and "run"
     // collides with the run=<snap> partition directory at read time —
     // fail loud instead of corrupting or wedging the table
@@ -170,7 +252,7 @@ object SnapshotStore {
     val bucketed = df.withColumn(B, bucketExpr)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val incoming = lineageOf(bucketed)
+      val incoming = lineageOf(bucketed, statsCols)
       // resume from the latest manifest INCLUDING incomplete ones: a
       // truncated run's buckets are already on disk and must be skipped
       val prev: Map[Int, BucketLineage] =
@@ -179,7 +261,8 @@ object SnapshotStore {
           case None => Map.empty
         }
       val carried = incoming.keys.toSeq.sorted.filter { b =>
-        prev.get(b).exists(p => (p.rows, p.xxh) == incoming(b))
+        prev.get(b).exists(p =>
+          (p.rows, p.xxh) == ((incoming(b)._1, incoming(b)._2)))
       }
       val pending = incoming.keys.toSeq.sorted.filterNot(carried.contains)
       val chosen = pending.take(maxBucketsPerRun)
@@ -195,9 +278,9 @@ object SnapshotStore {
       }
       val entries =
         carried.map(b => prev(b).copy(rows = incoming(b)._1,
-          xxh = incoming(b)._2)) ++
+          xxh = incoming(b)._2, stats = incoming(b)._3)) ++
         chosen.map(b => BucketLineage(b, incoming(b)._1, incoming(b)._2,
-          s"$runDir/$B=$b"))
+          s"$runDir/$B=$b", incoming(b)._3))
       // schema travels with every snapshot (BEFORE the manifest — the
       // manifest is the commit point): an EMPTY table state (zero
       // buckets, no parquet files to infer from) must still read back
@@ -270,7 +353,8 @@ object SnapshotStore {
       val rewritten = lineageOf(clustered)
       val prev = entries.map(e => e.bucket -> e).toMap
       val mismatch = rewritten.keySet.union(prev.keySet).filter { b =>
-        prev.get(b).map(e => (e.rows, e.xxh)) != rewritten.get(b)
+        prev.get(b).map(e => (e.rows, e.xxh)) !=
+          rewritten.get(b).map(t => (t._1, t._2))
       }
       if (mismatch.nonEmpty) {
         deleteRecursively(Paths.get(runDir))
@@ -311,6 +395,72 @@ object SnapshotStore {
     }
     spark.read.option("basePath", s"$root/runs").parquet(paths: _*)
       .drop("run").drop(B)
+  }
+
+  /** Normalize a caller-supplied range bound with the same rules as
+    * [[statRepr]]; unsupported types are a loud error (a silently
+    * unprunable read would defeat the point of asking for one).
+    */
+  private def boundRepr(v: Any): (String, String) =
+    statRepr(v).getOrElse(throw new IllegalArgumentException(
+      s"SnapshotStore range bound of unsupported type: $v " +
+        s"(${if (v == null) "null" else v.getClass.getName})"))
+
+  private def statLt(tag: String, a: String, b: String): Boolean =
+    if (tag == "n") BigDecimal(a) < BigDecimal(b) else a < b
+
+  /** The manifest entries a range predicate on `colName` can NOT rule
+    * out: bucket survives unless its recorded [min, max] bounding box
+    * lies entirely outside [lower, upper]. Entries without stats for
+    * the column (older manifests, all-null buckets, untracked columns)
+    * always survive — pruning is an optimization, never a filter.
+    * Driver-side manifest math only; no Spark job, no file I/O.
+    */
+  def prunedManifest(root: String, colName: String,
+      lower: Option[Any], upper: Option[Any],
+      snapshot: Option[Int] = None): Seq[BucketLineage] = {
+    val v = snapshot.orElse(latestSnapshot(root)).getOrElse(
+      throw new IllegalStateException(s"no snapshots at $root"))
+    val lo = lower.map(boundRepr)
+    val hi = upper.map(boundRepr)
+    manifest(root, v).filter { e =>
+      e.stats.get(colName) match {
+        case None => true
+        case Some((tag, bMin, bMax)) =>
+          val loOk = lo.forall { case (t, b) =>
+            t == tag && !statLt(tag, bMax, b) } || lo.exists(_._1 != tag)
+          val hiOk = hi.forall { case (t, b) =>
+            t == tag && !statLt(tag, b, bMin) } || hi.exists(_._1 != tag)
+          loOk && hiOk
+      }
+    }
+  }
+
+  /** Bucket-pruned range read — the 100 TB lookup path: consult the
+    * manifest's per-bucket bounding boxes first, scan ONLY the bucket
+    * directories the predicate can touch, then apply the exact
+    * residual filter. On a store bucketed/Z-ordered by the read key a
+    * selective predicate turns a table scan into a handful of file
+    * reads; on anything else it degrades gracefully to read+filter.
+    * Bounds are inclusive; None = unbounded on that side.
+    */
+  def readRange(spark: SparkSession, root: String, colName: String,
+      lower: Option[Any], upper: Option[Any],
+      snapshot: Option[Int] = None): DataFrame = {
+    require(lower.nonEmpty || upper.nonEmpty,
+      "readRange: at least one of lower/upper must be bounded " +
+        "(use read() for a full scan)")
+    val v = snapshot.orElse(latestSnapshot(root)).getOrElse(
+      throw new IllegalStateException(s"no snapshots at $root"))
+    val kept = prunedManifest(root, colName, lower, upper, Some(v))
+    val base =
+      if (kept.isEmpty) read(spark, root, Some(v)).filter(lit(false))
+      else spark.read.option("basePath", s"$root/runs")
+        .parquet(kept.map(_.path): _*).drop("run").drop(B)
+    val c = col(colName)
+    val residual = (lower.map(b => c >= lit(b)) ++
+      upper.map(b => c <= lit(b))).reduce(_ && _)
+    base.filter(residual)
   }
 
   /** Buckets whose content changed between two snapshots (new buckets

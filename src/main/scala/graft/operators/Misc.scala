@@ -48,6 +48,11 @@ class ColumnDtypeSetter(
     "Float64" -> DoubleType, "Float32" -> FloatType,
     "Int64" -> LongType, "Int32" -> IntegerType,
     "Int16" -> ShortType, "Int8" -> ByteType,
+    // no unsigned ints in Spark: widen to the next signed size that
+    // holds the full unsigned range; UInt64 needs 20 decimal digits
+    // (functions/misc.py:62-65, SURVEY §1.3)
+    "UInt8" -> ShortType, "UInt16" -> IntegerType,
+    "UInt32" -> LongType, "UInt64" -> DecimalType(20, 0),
     "Boolean" -> BooleanType, "String" -> StringType,
     "Categorical" -> StringType) // no categorical dtype in Spark (§1.3)
   require(Allowed.contains(dtype), s"unknown dtype $dtype")

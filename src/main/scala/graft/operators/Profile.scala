@@ -170,11 +170,19 @@ object Profile {
     * 1-row broadcast of the global max.
     */
   def freshnessReport(df: DataFrame, keyCol: String, tsCol: String,
+      staleAfterSeconds: Long): DataFrame =
+    freshnessReport(df, Seq(keyCol), tsCol, staleAfterSeconds)
+
+  /** Multi-key form: the report key is the full (source, feed,
+    * event-type, ...) tuple, one row per distinct combination.
+    */
+  def freshnessReport(df: DataFrame, keyCols: Seq[String], tsCol: String,
       staleAfterSeconds: Long): DataFrame = {
+    require(keyCols.nonEmpty, "freshnessReport: need >= 1 key column")
     require(staleAfterSeconds > 0,
       s"freshnessReport: staleAfterSeconds > 0, got $staleAfterSeconds")
     val tUs = unix_micros(col(tsCol).cast("timestamp"))
-    val perKey = df.groupBy(col(keyCol))
+    val perKey = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"), max(tUs).as("__last_us"),
         max(col(tsCol)).as("last_ts"))
     val global = df.agg(max(tUs).as("__global_us"))

@@ -646,14 +646,15 @@ object StreamingOps {
     value: Option[Double])
   case class ZOut(eventId: Long, entity: Long, ts: Timestamp,
     rz: Option[Double], anomaly: Boolean)
-  /** ring holds the last <= k ROWS as micro-units with
-    * Long.MinValue marking a missing reading — a missing row still
-    * occupies a frame slot, exactly like the batch op's k-ROW
-    * window (state schema v1).
+  /** ring holds the last <= k ROWS as micro-units with None marking
+    * a missing reading — a missing row still occupies a frame slot,
+    * exactly like the batch op's k-ROW window. STATE SCHEMA v2: v1
+    * encoded missing as a Long.MinValue sentinel, which collided
+    * with a genuine reading of exactly -2^63 micro-units; a v1
+    * checkpoint cannot deserialize under this build (see
+    * [[graft.streaming.StreamVersion]]).
     */
-  case class ZState(lastTsUs: Long, ring: Seq[Long])
-
-  private val ZMissing = Long.MinValue
+  case class ZState(lastTsUs: Long, ring: Seq[Option[Long]])
 
   /** ONLINE rolling z-score anomaly flags — the streaming companion
     * of [[graft.temporal.WindowOps.rollingZScore]]: each arriving
@@ -696,7 +697,7 @@ object StreamingOps {
                 "with the batch rollingZScore)")
             val m = e.value.filterNot(_.isNaN)
               .map(graft.temporal.StreamingRound.halfUp6)
-            val prior = st.ring.filter(_ != ZMissing)
+            val prior = st.ring.flatten
             val n = prior.size
             val rz: Option[Double] = m match {
               case Some(mv) if n >= minObs =>
@@ -710,7 +711,7 @@ object StreamingOps {
                 else Some((mv.toDouble - meanM) / stdM)
               case _ => None
             }
-            val ring = (st.ring :+ m.getOrElse(ZMissing)).takeRight(k)
+            val ring = (st.ring :+ m).takeRight(k)
             st = ZState(t, ring)
             out += ZOut(e.eventId, entity, e.ts, rz,
               rz.exists(z => math.abs(z) > cutoff))

@@ -36,8 +36,18 @@ object Sequential {
     val spark = df.sparkSession
     import spark.implicits._
     val v = value.cast("double")
+    // ts/id/entity land in non-nullable encoder fields: guard with a
+    // NAMED precondition rather than the encoder's opaque "Null value
+    // appeared in non-nullable field" failure. The raise_error lives
+    // INSIDE the kept `t` column so column pruning cannot drop it.
+    val tGuarded = when(
+      col(entity).isNull || col(ts).isNull || col(idCol).isNull,
+      raise_error(lit(s"Sequential scan: null $entity/$ts/$idCol " +
+        "row — entity, timestamp and id must be non-null for a " +
+        "secondary-sort recurrence")).cast("long"))
+      .otherwise(unix_micros(col(ts).cast("timestamp")))
     df.select(col(entity).cast("string").as("e"),
-      unix_micros(col(ts).cast("timestamp")).as("t"),
+      tGuarded.as("t"),
       col(idCol).cast("long").as("id"),
       when(isnan(v), lit(null)).otherwise(v).as("x"))
       .as[(String, Long, Long, Option[Double])]
@@ -198,8 +208,15 @@ object Sequential {
   * shared-oracle certification (q185/q188) honest.
   */
 private[graft] object StreamingRound {
-  def halfUp6(v: Double): Long =
-    BigDecimal(v * 1e6)
+  def halfUp6(v: Double): Long = {
+    val bd = BigDecimal(v * 1e6)
       .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
-      .toLong
+    // BigDecimal.toLong silently WRAPS past +/-2^63: outside the
+    // documented micro-unit domain (~9.22e12) fail loudly rather
+    // than corrupt every downstream recurrence
+    require(bd.isValidLong,
+      s"halfUp6: $v is outside the exact integer micro-unit domain " +
+        "(|value| must be < ~9.22e12 so value*1e6 fits in a Long)")
+    bd.toLong
+  }
 }

@@ -191,8 +191,9 @@ object WindowOps {
     val spec = Window.partitionBy(col(entity))
       .orderBy((col(ts) +: tieBreak.map(col)): _*)
       .rowsBetween(-(k - 1), 0)
-    val arr = array_sort(collect_list(col(valueCol).cast("double"))
-      .over(spec))
+    // NaN is a missing reading (module contract): clean BEFORE the
+    // collect, else NaN sorts greatest and poisons the quantile frame
+    val arr = array_sort(collect_list(cleanDouble(valueCol)).over(spec))
     val base = df.select(
       df.columns.map(col).toIndexedSeq :+ arr.as("__rq_arr"): _*)
     val a = col("__rq_arr")
@@ -268,7 +269,9 @@ object WindowOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     val nextSpec = Window.partitionBy(col(entity)).orderBy(order: _*)
       .rowsBetween(1, Window.unboundedFollowing)
-    val v = col(valueCol).cast("double")
+    // NaN is a missing reading (module contract): a NaN row must be
+    // interpolated over, never carried as a neighbor value
+    val v = cleanDouble(valueCol)
     val tUs = unix_micros(col(ts).cast("timestamp"))
     val vp = last(when(v.isNotNull, v), ignoreNulls = true).over(prevSpec)
     val tp = last(when(v.isNotNull, tUs), ignoreNulls = true).over(prevSpec)

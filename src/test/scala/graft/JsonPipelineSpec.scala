@@ -79,6 +79,42 @@ class JsonPipelineSpec extends SparkSpec {
     assert(column(out, "b") == Seq("X", "y", "X", "was_null"))
   }
 
+  test("ColumnDtypeSetter accepts reference-emitted UInt configs and " +
+    "widens to the next signed / DECIMAL(20,0)") {
+    import org.apache.spark.sql.types._
+    val d = df("u8 INT, u16 INT, u32 BIGINT, u64 BIGINT", Seq(
+      Row(255, 65535, 4294967295L, Long.MaxValue),
+      Row(0, 0, 0L, 0L)))
+    // reference tubular emits {classname, init:{columns,dtype}, fit}
+    // with dtype in SimpleCastDtypes (functions/misc.py:53-65)
+    val cases = Seq(
+      ("u8", "UInt8", ShortType), ("u16", "UInt16", IntegerType),
+      ("u32", "UInt32", LongType), ("u64", "UInt64", DecimalType(20, 0)))
+    cases.foreach { case (c, dt, want) =>
+      val json = s"""{"classname":"ColumnDtypeSetter",
+        |"init":{"columns":["$c"],"dtype":"$dt"},"fit":{}}"""
+        .stripMargin.replace("\n", "")
+      val t = graft.core.Json.transformerFromJson(json)
+      val out = t.transform(d)
+      assert(out.schema(c).dataType == want, s"$dt -> $want")
+      // full unsigned range survives the widening (no wrap)
+      val top = out.orderBy(org.apache.spark.sql.functions.desc(c))
+        .collect()(0)
+      val asLong: Long = want match {
+        case _: DecimalType => top.getDecimal(out.columns.indexOf(c))
+          .longValueExact()
+        case ShortType => top.getShort(out.columns.indexOf(c)).toLong
+        case IntegerType => top.getInt(out.columns.indexOf(c)).toLong
+        case _ => top.getLong(out.columns.indexOf(c))
+      }
+      assert(asLong == d.agg(org.apache.spark.sql.functions.max(c))
+        .collect()(0).getAs[Number](0).longValue())
+    }
+    assertThrows[IllegalArgumentException] {
+      new ColumnDtypeSetter(Seq("u8"), "UInt128")
+    }
+  }
+
   test("JsonFieldExtractor: typed paths, missing -> null, bad dtype " +
     "fails at init, JSON round-trip") {
     val d = df("id BIGINT, props STRING", Seq(

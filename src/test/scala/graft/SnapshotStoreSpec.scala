@@ -337,4 +337,84 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, root).count() == 100)
     assert(SnapshotStore.verify(spark, root).isEmpty)
   }
+
+  test("bucket-level scan pruning: readRange consults manifest " +
+      "bounding boxes and scans only intersecting buckets") {
+    import spark.implicits._
+    val root = freshRoot()
+    // range-bucketed on doc_id: 10 buckets of 100 contiguous ids, so
+    // bounding boxes are tight and a selective range hits ONE bucket
+    val d = docs(1000)
+    val bucket = (col("doc_id") / lit(100L)).cast("int")
+    SnapshotStore.write(d, root, bucket, statsCols = Seq("doc_id", "text"))
+
+    val all = SnapshotStore.manifest(root, 1)
+    assert(all.size == 10)
+    assert(all.forall(_.stats.contains("doc_id")))
+    // the pruning decision itself: 1 of 10 buckets survives
+    val kept = SnapshotStore.prunedManifest(
+      root, "doc_id", Some(250L), Some(260L))
+    assert(kept.map(_.bucket) == Seq(2),
+      s"expected only bucket 2, got ${kept.map(_.bucket)}")
+    // and the pruned read is value-exact vs the full-scan filter
+    val pruned = SnapshotStore.readRange(
+      spark, root, "doc_id", Some(250L), Some(260L))
+    val full = SnapshotStore.read(spark, root)
+      .filter(col("doc_id") >= 250L && col("doc_id") <= 260L)
+    assert(pruned.orderBy("doc_id").collect().toSeq ==
+      full.orderBy("doc_id").collect().toSeq)
+    assert(pruned.count() == 11)
+    // the scan itself touches fewer files, not just fewer manifest rows
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"pruned scan reads ${pruned.inputFiles.length} files vs " +
+        s"full ${full.inputFiles.length}")
+
+    // string stats prune lexicographically
+    val keptS = SnapshotStore.prunedManifest(
+      root, "text", Some("doc text 250"), Some("doc text 250"))
+    assert(keptS.size < 10)
+
+    // unbounded side + out-of-range predicate -> zero buckets, typed
+    // empty result
+    assert(SnapshotStore.prunedManifest(
+      root, "doc_id", Some(5000L), None).isEmpty)
+    val empty = SnapshotStore.readRange(
+      spark, root, "doc_id", Some(5000L), None)
+    assert(empty.count() == 0 &&
+      empty.columns.toSet == Set("doc_id", "text"))
+  }
+
+  test("pruning degrades safely: stats-free manifests never prune, " +
+      "rewriteSnapshot carries stats, carried buckets keep stats") {
+    import spark.implicits._
+    val root = freshRoot()
+    val d = docs(300)
+    val bucket = (col("doc_id") / lit(100L)).cast("int")
+    // v1 written WITHOUT stats (the pre-stats manifest shape)
+    SnapshotStore.write(d, root, bucket)
+    assert(SnapshotStore.manifest(root, 1).forall(_.stats.isEmpty))
+    assert(SnapshotStore.prunedManifest(
+      root, "doc_id", Some(1L), Some(2L)).size == 3) // keeps all
+    // readRange still value-exact without any stats
+    assert(SnapshotStore.readRange(spark, root, "doc_id",
+      Some(1L), Some(2L)).count() == 2)
+
+    // v2 adds stats; unchanged buckets are CARRIED yet still get the
+    // fresh bounding boxes
+    val r2 = SnapshotStore.write(d, root, bucket,
+      statsCols = Seq("doc_id"))
+    assert(r2.written.isEmpty && r2.carried.size == 3)
+    assert(SnapshotStore.manifest(root, 2)
+      .forall(_.stats.contains("doc_id")))
+
+    // Z-order rewrite publishes v3 with stats intact
+    SnapshotStore.rewriteSnapshot(spark, root,
+      layoutCols = Seq("doc_id"))
+    assert(SnapshotStore.manifest(root, 3)
+      .forall(_.stats.contains("doc_id")))
+    assert(SnapshotStore.prunedManifest(
+      root, "doc_id", Some(250L), None, Some(3))
+      .map(_.bucket) == Seq(2))
+    assert(SnapshotStore.verify(spark, root).isEmpty)
+  }
 }
