@@ -669,6 +669,36 @@ object QueriesStreaming {
         .orderBy("event_id")
     }),
 
+    "q206_stream_ewm" -> ((s, dir) => {
+      // the ONLINE companion of q193: the normalized EWM LEVEL
+      // s + (1-2^(-dt/hl))*(x-s), one (ts, level) pair per user
+      // carried across 3 REAL micro-batches; the oracle is LITERALLY
+      // q193's recursive-CTE SQL (fourth shared batch/stream pair)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = tbl(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id").cast("long"),
+          col("event_id").cast("long"),
+          col("ts").cast("timestamp"), col("value").cast("double"))
+        .collect()
+        .map(r => StreamingOps.EwmEvent(r.getLong(0), r.getLong(1),
+          r.getTimestamp(2), Some(r.getDouble(3))))
+        .sortBy(e => (StreamingOps.toMicros(e.ts), e.eventId)).toSeq
+      val input = MemoryStream[StreamingOps.EwmEvent]
+      val sink = s"q206_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.ewmMeanStream(input.toDS(),
+        halfLifeSeconds = 21600.0)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      drive(input, q, rows, nChunks = 3)
+      s.table(sink)
+        .select(col("eventId").as("event_id"),
+          round(col("ewmMean"), 6).as("ewm_mean"))
+        .orderBy("event_id")
+    }),
+
     "q147_stream_decayed_feature" -> ((s, dir) => {
       // the ONLINE companion of q146: the exact (untruncated)
       // time-decay recurrence s_t = x_t + s_prev * 2^(-dt/hl), carried
@@ -773,6 +803,11 @@ object QueriesStreaming {
     // likewise: q197's windowed SQL certifies the streaming ring
     "q201_stream_zscore" ->
       QueriesTemporal.oracles("q197_rolling_zscore"),
+
+    // likewise: q193's recursive-CTE SQL certifies the streaming EWM
+    // level carry (fourth shared batch/stream oracle pair)
+    "q206_stream_ewm" ->
+      QueriesTemporal.oracles("q193_ewm_mean"),
 
     // replay of the stream's EXACT per-user fold (value + s * 0.5^
     // (dt_us/hl_us), in arrival order) as a recursive CTE: identical

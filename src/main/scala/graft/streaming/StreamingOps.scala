@@ -577,6 +577,72 @@ object StreamingOps {
       }
   }
 
+  case class EwmEvent(entity: Long, eventId: Long, ts: Timestamp,
+    value: Option[Double])
+  case class EwmOut(eventId: Long, entity: Long, ts: Timestamp,
+    ewmMean: Option[Double])
+  case class EwmState(lastTsUs: Long, s: Double)
+
+  /** ONLINE irregular-interval exponentially-weighted MEAN — the
+    * streaming companion of [[graft.temporal.Sequential.ewmMean]]
+    * (which is also the exact batch backfill path): one
+    * (lastTs, level) pair per entity carried across micro-batches,
+    * each arriving reading folding `s + (1 - 2^(-dt/hl)) * (x - s)`
+    * in the batch operator's exact IEEE operand order — so stream,
+    * batch scan, and the recursive-CTE oracle agree to the last ulp
+    * (q206 certifies against LITERALLY q193's oracle, the fourth
+    * shared batch/stream pair after CUSUM, decay, and z-score).
+    *
+    * Same source contract as [[decayedFeatureStream]]: (event-time,
+    * id) order within a batch, per-entity ts-nondecreasing across
+    * batches (loud failure otherwise, backfill late data with the
+    * batch ewmMean). A missing (null/NaN) reading emits null and
+    * leaves BOTH the level and the decay clock untouched — the clock
+    * runs between OBSERVATIONS, exactly like the batch op.
+    * State: one (long, double) pair per entity, forever (level
+    * features must not silently evict — state schema v1, see
+    * [[StreamVersion]]).
+    */
+  def ewmMeanStream(events: Dataset[EwmEvent],
+      halfLifeSeconds: Double): Dataset[EwmOut] = {
+    import events.sparkSession.implicits._
+    require(halfLifeSeconds > 0,
+      s"ewmMeanStream: halfLife > 0, got $halfLifeSeconds")
+    val hlUs = halfLifeSeconds * 1e6
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (entity: Long, rows: Iterator[EwmEvent],
+         state: GroupState[EwmState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.eventId))
+          var st = state.getOption
+          val out = Seq.newBuilder[EwmOut]
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            st.foreach { p =>
+              require(t >= p.lastTsUs,
+                s"ewmMeanStream: entity $entity got ts $t older than " +
+                  s"carried state ${p.lastTsUs} — source must be " +
+                  "per-entity ts-nondecreasing (backfill late data " +
+                  "with the batch Sequential.ewmMean)")
+            }
+            val m = e.value.filterNot(_.isNaN)
+            val lvl: Option[Double] = m.map { xv =>
+              val s2 = st match {
+                case Some(p) => p.s + (1.0 - math.pow(0.5,
+                  (t - p.lastTsUs).toDouble / hlUs)) * (xv - p.s)
+                case None => xv
+              }
+              st = Some(EwmState(t, s2))
+              s2
+            }
+            out += EwmOut(e.eventId, entity, e.ts, lvl)
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class CusumEvent(entity: Long, eventId: Long, ts: Timestamp,
     value: Option[Double])
   case class CusumOut(eventId: Long, entity: Long, ts: Timestamp,

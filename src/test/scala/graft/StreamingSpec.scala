@@ -871,6 +871,120 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewm mean stream: level carries across batches, missing rows " +
+      "emit null and freeze the decay clock, equals the batch op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(
+      StreamingOps.EwmEvent(1L, 1L, ts("2024-01-01 10:00:00"), Some(10.0)),
+      StreamingOps.EwmEvent(1L, 2L, ts("2024-01-01 16:00:00"), Some(20.0)),
+      StreamingOps.EwmEvent(1L, 3L, ts("2024-01-01 18:00:00"), None),
+      StreamingOps.EwmEvent(1L, 4L, ts("2024-01-02 04:00:00"), Some(14.0)),
+      StreamingOps.EwmEvent(2L, 5L, ts("2024-01-01 10:00:00"), Some(5.0)),
+      StreamingOps.EwmEvent(2L, 6L, ts("2024-01-01 11:00:00"), Some(7.0)))
+    val input = MemoryStream[StreamingOps.EwmEvent]
+    val q = StreamingOps.ewmMeanStream(input.toDS(),
+      halfLifeSeconds = 21600.0)
+      .writeStream.format("memory").queryName("ewm_s")
+      .outputMode("append").start()
+    try {
+      Seq(ev.take(2), ev.slice(2, 4), ev.drop(4)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val got = spark.table("ewm_s").orderBy("eventId").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+      val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE",
+        ev.map(e => org.apache.spark.sql.Row(e.entity, e.ts, e.eventId,
+          e.value.map(Double.box).orNull)))
+      val batch = graft.temporal.Sequential.ewmMean(
+        d, "e", "ts", "id", "v", halfLifeSeconds = 21600.0)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getDouble(1))).toSeq
+      assert(got == batch, s"stream $got vs batch $batch")
+      // hand math: one half-life 10->20 lands at 15; the missing row
+      // emits null; the 6h gap id=4 decays from the id=2 OBSERVATION
+      // (clock frozen over the missing row: dt = 12h not 10h)
+      assert(got(1)._2 == 15.0)
+      assert(got(2)._2 == null)
+      val dt12h = 1.0 - math.pow(0.5, 2.0) // 12h / 6h half-life
+      assert(math.abs(got(3)._2.asInstanceOf[Double] -
+        (15.0 + dt12h * (14.0 - 15.0))) < 1e-12)
+      // time regression within an entity fails loudly
+      input.addData(StreamingOps.EwmEvent(1L, 9L,
+        ts("2024-01-01 00:00:00"), Some(1.0)))
+      val e = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getMessage.contains("ts-nondecreasing") ||
+        Option(e.getCause).exists(_.getMessage
+          .contains("ts-nondecreasing")))
+    } finally q.stop()
+  }
+
+  test("state-version guard: restart over a same-version checkpoint " +
+      "resumes; an old-version or unstamped checkpoint fails with the " +
+      "typed error, not an encoder crash") {
+    import graft.streaming.{StreamVersion, StateVersionMismatchException}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("zscore-vguard").toString
+
+    // first start stamps the checkpoint and runs normally
+    // (foreachBatch sink: the memory sink cannot recover a checkpoint)
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    // ONE source instance across restarts: recovery resumes from the
+    // committed offsets of the same source
+    val input = MemoryStream[StreamingOps.ZEvent]
+    def run(events: StreamingOps.ZEvent*): Unit = {
+      val q = StreamingOps.zScoreStream(input.toDS(), k = 3)
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[StreamingOps.ZOut],
+           _: Long) =>
+            seen ++= b.collect().map(_.eventId); ()
+        }
+        .outputMode("append")
+        .option("checkpointLocation",
+          StreamVersion.guardedCheckpoint(ckpt, "zScoreStream"))
+        .start()
+      try {
+        input.addData(events: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    run(StreamingOps.ZEvent(1L, 1L, ts("2024-01-01 10:00:00"),
+      Some(10.0)))
+    // same-version restart: guard is idempotent, stream resumes
+    run(StreamingOps.ZEvent(1L, 2L, ts("2024-01-01 10:10:00"),
+      Some(12.0)))
+    assert(seen.contains(1L) && seen.contains(2L))
+
+    // a checkpoint stamped by an older build (v1 sentinel rings)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(ckpt,
+      "_graft_state_version"), "zScoreStream/v1\n")
+    val e = intercept[StateVersionMismatchException] {
+      StreamVersion.guardedCheckpoint(ckpt, "zScoreStream")
+    }
+    assert(e.found == "zScoreStream/v1" &&
+      e.expected == "zScoreStream/v2")
+
+    // a pre-guard checkpoint with state but no stamp is equally
+    // unknowable -> same typed failure
+    val old = java.nio.file.Files
+      .createTempDirectory("zscore-unstamped")
+    java.nio.file.Files.createDirectory(old.resolve("state"))
+    val e2 = intercept[StateVersionMismatchException] {
+      StreamVersion.guardedCheckpoint(old.toString, "zScoreStream")
+    }
+    assert(e2.found.contains("unstamped"))
+
+    // unknown operator names fail loudly (typo guard)
+    intercept[IllegalArgumentException] {
+      StreamVersion.guardedCheckpoint(ckpt, "nopeStream")
+    }
+  }
+
   test("decayed feature stream TTL: idle state evicts with the 2^-k " +
     "error bound; fresh restart after the gap") {
     import spark.implicits._
