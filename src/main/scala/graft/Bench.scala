@@ -33,9 +33,14 @@ import org.apache.spark.sql.functions.{col, sum, when}
   *     honestly recomputed),
   *  3. skew: hot-key as-of join unsalted vs explicitly salted vs
   *     AUTO-salted (runtime hot-key detection, no explicit list),
-  *  4. sf1 dedup kernels (minhash, end-to-end, span dedup),
+  *  4. sf1 dedup kernels (minhash, end-to-end, span dedup) —
+  *     INTERLEAVED round-robin reps, min-of->=3, one warmup each
+  *     (round-4 verdict: a late-session stall cost one kernel 11x),
   *  5. scaling evidence: the same jobs at local[4] vs local[16]
-  *     (sandbox proxy for N vs 4N executors) + efficiency = speedup/4.
+  *     (sandbox proxy for N vs 4N executors) + efficiency = speedup/4;
+  *     every CPU-metered block reports cpu_n/cpu_n4 (executor CPU
+  *     seconds per rep) so work inflation is separable from
+  *     scheduling/bandwidth contention.
   *
   * == Measurement discipline ==
   * Every timed job gets UNTIMED warmup execution(s) first, at the same
@@ -291,31 +296,51 @@ object Bench {
                     translate(col("text"), alpha, rot(k))).otherwise(acc)
               }.as("text"))
         }
-        val (nPairs, lt, lRaw) = timed(sf1Reps) {
-          graft.dedup.Dedup.minhashNearDups(scaledDocs, "doc_id",
-            "text", threshold = 0.5).count()
+        // the three kernels run INTERLEAVED (round-robin reps, min-of-
+        // >=3 each, one untimed warmup each) — the same hardening as
+        // the flagship: a transient co-tenant/JIT stall then costs one
+        // rep of each kernel instead of every rep of one (round 4's
+        // sf1.minhash read 30s against a 2.6s clean band exactly that
+        // way)
+        val kernels: Seq[(String, () => Long)] = Seq(
+          ("minhash", () =>
+            graft.dedup.Dedup.minhashNearDups(scaledDocs, "doc_id",
+              "text", threshold = 0.5).count()),
+          ("dedup_e2e", () => {
+            val d = scaledDocs
+            val pairs = graft.dedup.Dedup.minhashNearDups(d, "doc_id",
+              "text", threshold = 0.5)
+            graft.dedup.Components.dedupByComponents(d, "doc_id", pairs,
+              "id_a", "id_b").count()
+          }),
+          // exact-substring span dedup at 10x: the q126 suffix-twin
+          // construction over the rotated corpus (every 10th doc's
+          // tail re-appears, so duplicated 8-gram spans exist by
+          // construction in every copy)
+          ("span_dedup", () => {
+            val d = scaledDocs
+            val twins = d.filter(col("doc_id") % 10 === 0)
+              .select((col("doc_id") + 1000000000L).as("doc_id"),
+                expr("substring(text, instr(text, ' ') + 1)").as("text"))
+            val n = graft.text.SpanDedup.duplicatedSpans(
+              d.unionByName(twins), "doc_id", "text", 8).count()
+            spark.catalog.clearCache() // honest recompute per rep
+            n
+          }))
+        if (doWarmup) kernels.foreach(_._2())
+        val sf1R = math.max(3, sf1Reps)
+        val raws = Array.fill(kernels.size)(Vector.empty[Double])
+        val outs = new Array[Long](kernels.size)
+        (1 to sf1R).foreach { _ =>
+          kernels.zipWithIndex.foreach { case ((_, f), i) =>
+            val t0 = System.nanoTime()
+            outs(i) = f()
+            raws(i) :+= (System.nanoTime() - t0) / 1e9
+          }
         }
-        val (nKeep, et, eRaw) = timed(sf1Reps) {
-          val d = scaledDocs
-          val pairs = graft.dedup.Dedup.minhashNearDups(d, "doc_id",
-            "text", threshold = 0.5)
-          graft.dedup.Components.dedupByComponents(d, "doc_id", pairs,
-            "id_a", "id_b").count()
-        }
-        // exact-substring span dedup at 10x: the q126 suffix-twin
-        // construction over the rotated corpus (every 10th doc's tail
-        // re-appears, so duplicated 8-gram spans exist by construction
-        // in every copy)
-        val (nSpans, st, sRaw) = timed(sf1Reps) {
-          val d = scaledDocs
-          val twins = d.filter(col("doc_id") % 10 === 0)
-            .select((col("doc_id") + 1000000000L).as("doc_id"),
-              expr("substring(text, instr(text, ' ') + 1)").as("text"))
-          val n = graft.text.SpanDedup.duplicatedSpans(
-            d.unionByName(twins), "doc_id", "text", 8).count()
-          spark.catalog.clearCache() // honest recompute per rep
-          n
-        }
+        val (nPairs, lt, lRaw) = (outs(0), raws(0).min, raws(0))
+        val (nKeep, et, eRaw) = (outs(1), raws(1).min, raws(1))
+        val (nSpans, st, sRaw) = (outs(2), raws(2).min, raws(2))
         val (fr, ft) = sf1Flagship.get
         System.err.println(
           f"[bench] sf1 minhash pairs=$nPairs sec=$lt%.2f raw=${fmtRaw(lRaw)}")
@@ -433,8 +458,8 @@ object Bench {
       val (rc16, tc16, rawC16, cpuC16) = atCpu(16, sReps)(realCodecJob)
       val (rc4, tc4, rawC4, cpuC4) =
         atCpu(4, math.max(2, sReps - 1))(realCodecJob)
-      val (ra16, ta16, rawA16) = atR(16, 4)(asofJob)
-      val (ra4, ta4, rawA4) = atR(4, 3)(asofJob)
+      val (ra16, ta16, rawA16, cpuA16) = atCpu(16, 4)(asofJob)
+      val (ra4, ta4, rawA4, cpuA4) = atCpu(4, 3)(asofJob)
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       spark = session(cpus)
       val thrD4 = rd4 / td4; val thrD16 = rd16 / td16
@@ -455,8 +480,10 @@ object Bench {
       System.err.println(
         f"[bench] scaling real-codec ($realCodecImages imgs, javax.imageio encode+decode+PSNR, q115 op) 4c=$thrC4%.0f img/s 16c=$thrC16%.0f img/s eff=$effC%.3f raw4=${fmtRaw(rawC4)} raw16=${fmtRaw(rawC16)} cpu/rep=$cpuC4%.1f/$cpuC16%.1f s")
       System.err.println(
-        f"[bench] scaling asof-transform 4c=$thrA4%.0f rows/s 16c=$thrA16%.0f rows/s eff=$effA%.3f raw4=${fmtRaw(rawA4)} raw16=${fmtRaw(rawA16)} (single-box floor)")
-      f""","scaling":{"n_cores":4,"n4_cores":16,"pipeline_img_s":{"n":$thrD4%.0f,"n4":$thrD16%.0f,"eff":$effD%.3f,"cpu_n":$cpuD4%.0f,"cpu_n4":$cpuD16%.0f},"decode_kernel_img_s":{"n":$thrK4%.0f,"n4":$thrK16%.0f,"eff":$effK%.3f},"real_codec_img_s":{"images":$realCodecImages,"n":$thrC4%.0f,"n4":$thrC16%.0f,"eff":$effC%.3f,"cpu_n":$cpuC4%.0f,"cpu_n4":$cpuC16%.0f},"asof_only_rows_s":{"n":$thrA4%.0f,"n4":$thrA16%.0f,"eff":$effA%.3f}}"""
+        f"[bench] scaling asof-transform 4c=$thrA4%.0f rows/s 16c=$thrA16%.0f rows/s eff=$effA%.3f raw4=${fmtRaw(rawA4)} raw16=${fmtRaw(rawA16)} cpu/rep=$cpuA4%.1f/$cpuA16%.1f s (single-box floor)")
+      // "cores":"4/16" = the N and 4N parallelism levels (shortened
+      // from n_cores/n4_cores to keep the machine line in budget)
+      f""","scaling":{"cores":"4/16","pipeline_img_s":{"n":$thrD4%.0f,"n4":$thrD16%.0f,"eff":$effD%.3f,"cpu_n":$cpuD4%.0f,"cpu_n4":$cpuD16%.0f},"kernel_img_s":{"n":$thrK4%.0f,"n4":$thrK16%.0f,"eff":$effK%.3f},"real_codec_img_s":{"images":$realCodecImages,"n":$thrC4%.0f,"n4":$thrC16%.0f,"eff":$effC%.3f,"cpu_n":$cpuC4%.0f,"cpu_n4":$cpuC16%.0f},"asof_only_rows_s":{"n":$thrA4%.0f,"n4":$thrA16%.0f,"eff":$effA%.3f,"cpu_n":$cpuA4%.0f,"cpu_n4":$cpuA16%.0f}}"""
     } else ""
 
     // ---- the ONE machine line, printed LAST and kept lean ----

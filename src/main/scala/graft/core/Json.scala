@@ -41,7 +41,7 @@ object Json {
     val env = JObject(List(
       JField("graftspark_version", JString(Version)),
       JField("classname", JString(t.classname)),
-      JField("init", toJValue(t.initParams)),
+      JField("init", toJValue(t.initParamsFull)),
       JField("fit", toJValue(t.fitParams))))
     JsonMethods.compact(JsonMethods.render(env))
   }
@@ -335,10 +335,23 @@ object Json {
       throw new IllegalArgumentException(
         s"unknown transformer classname $classname"))
     val t = builder(init)
+    // reference BaseTransformer args every tubular config may carry
+    // (base.py:166-214): carried through so a re-emit round-trips
+    // field-for-field (builders themselves ignore them)
+    val passthrough = init.view
+      .filterKeys(PassthroughInitKeys.contains).toMap
+    if (passthrough.nonEmpty) t.setPassthroughInit(passthrough)
     if (fit.nonEmpty) restoreFitTyped(t, fit)
     t.markTransformOnly()
     t
   }
+
+  /** tubular/base.py:166-214 — accepted by every reference
+    * transformer's __init__, inert on Spark (see
+    * Transformer.passthroughInit).
+    */
+  private val PassthroughInitKeys =
+    Set("verbose", "copy", "return_native")
 
   /** Re-coerce parsed JSON structures to the shapes restoreFit expects. */
   private def restoreFitTyped(t: Transformer, fit: Map[String, Any]): Unit =

@@ -38,6 +38,22 @@ abstract class Transformer extends Serializable {
   protected var transformOnly: Boolean = false
   def markTransformOnly(): this.type = { transformOnly = true; this }
 
+  /** Reference BaseTransformer passthrough init args
+    * (tubular/base.py:162-214): `copy` (deprecated there, X is never
+    * mutated here), `verbose`, `return_native` — semantically inert on
+    * Spark (immutable frames, engine-owned logging, one frame type)
+    * but MODELED so a reference-emitted config round-trips
+    * field-for-field instead of silently dropping keys.
+    */
+  protected var passthroughInit: Map[String, Any] = Map.empty
+  private[core] def setPassthroughInit(m: Map[String, Any]): this.type = {
+    passthroughInit = m; this
+  }
+  /** initParams plus the carried passthrough args — what the JSON
+    * envelope actually serializes.
+    */
+  final def initParamsFull: Map[String, Any] = passthroughInit ++ initParams
+
   /** Columns read during fit (inputs plus any response/weight columns).
     * Pipeline fit-pass fusion uses this to decide whether a step may fit
     * against the same input frame as the steps before it.

@@ -79,6 +79,27 @@ class JsonPipelineSpec extends SparkSpec {
     assert(column(out, "b") == Seq("X", "y", "X", "was_null"))
   }
 
+  test("reference verbose/copy/return_native init args are carried " +
+    "through a round-trip, not silently dropped") {
+    // tubular's to_json emits these on EVERY transformer
+    // (base.py:286-288); a config ported verbatim must re-emit them
+    val json = """{"classname":"ArbitraryImputer",
+      |"init":{"columns":["a"],"impute_value":0.5,
+      |"copy":false,"verbose":true,"return_native":true},
+      |"fit":{}}""".stripMargin.replace("\n", "")
+    val t = graft.core.Json.transformerFromJson(json)
+    val out = t.transform(frame()).orderBy("y").collect()
+    assert(out(1).getDouble(0) == 0.5) // the null row imputed
+    val reEmit = graft.core.Json.transformerToJson(t)
+    assert(reEmit.contains("\"verbose\":true") &&
+      reEmit.contains("\"copy\":false") &&
+      reEmit.contains("\"return_native\":true"), reEmit)
+    // absent on configs that never carried them
+    val plain = graft.core.Json.transformerToJson(
+      new ArbitraryImputer(Seq("a"), 0.5))
+    assert(!plain.contains("verbose"))
+  }
+
   test("ColumnDtypeSetter accepts reference-emitted UInt configs and " +
     "widens to the next signed / DECIMAL(20,0)") {
     import org.apache.spark.sql.types._
