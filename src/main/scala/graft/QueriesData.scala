@@ -49,7 +49,28 @@ object QueriesData {
     * bytes, flipping the multimodal queries from rows-only to
     * value-exact oracles.
     */
-  private def oracleImages(s: SparkSession, n: Long,
+  /** The q208/q210 planted near-dup batch over a (id, phash) corpus
+    * frame — shared by the batch index query and its streaming-ingest
+    * twin so both run the literally identical input (and the one
+    * oracle string certifies both).
+    */
+  private[graft] def phashBatchOf(base: DataFrame): DataFrame =
+    base.filter(col("id") % 8 === 0)
+      .select((col("id") + 1000000L).as("id"),
+        col("phash").bitwiseXOR(lit(257L)).as("phash"))
+      .unionByName(base.filter(col("id") % 8 === 3)
+        .select((col("id") + 1000000L).as("id"),
+          col("phash").bitwiseXOR(lit(-1L)).as("phash")))
+      .unionByName(base.filter(col("id") % 16 === 0)
+        .select((col("id") + 2000000L).as("id"),
+          col("phash").bitwiseXOR(lit(259L)).as("phash")))
+
+  /** SDXL-style aspect-ratio ladder used by q209 (ratios 0.33..3). */
+  private[graft] val AspectLadder: Seq[(Int, Int)] = Seq(
+    (512, 512), (576, 448), (448, 576), (640, 384), (384, 640),
+    (704, 320), (320, 704), (768, 256), (256, 768))
+
+  private[graft] def oracleImages(s: SparkSession, n: Long,
       path: String): DataFrame = {
     val pngMagic = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47,
       0x0D, 0x0A, 0x1A, 0x0A)
@@ -520,6 +541,100 @@ object QueriesData {
         .select(col("id_a"), col("id_b"),
           round(col("caption_jaccard"), 6).as("caption_jaccard"))
         .orderBy("id_a", "id_b")
+    }),
+
+    "q207_patch_pack" -> ((s, dir) => {
+      // multimodal context packing: ViT patch tokens (ceil(w/14) *
+      // ceil(h/14), integer div) + whitespace caption tokens + 2
+      // separators per pair, packed into 256-token blocks via the
+      // two-phase cumsum — all-integer math the oracle mirrors exactly
+      val imgs = oracleImages(s, 500, "/tmp/graft_oracle_images_q207")
+      Multimodal.packPatchBlocks(imgs, "image_id", "w", "h",
+        "caption", patch = 14, blockSize = 256)
+        .select("image_id", "img_tokens", "txt_tokens", "tokens",
+          "cum_before", "start_block", "start_offset", "end_block")
+        .orderBy("image_id")
+    }),
+
+    "q208_phash_index" -> ((s, dir) => {
+      // incremental image near-dup: corpus indexed ONCE (pigeonhole
+      // band rows through SnapshotStore), then a batch with three
+      // planted relations — Hamming-2 twins of every 8th corpus image
+      // (xor 257), all-bits-flipped far rows (xor -1, must NOT pair),
+      // and second twins (xor 259) that pair with the corpus at d=3
+      // AND with the first twin at d=1 batch-internally. The oracle is
+      // the exhaustive all-pairs truth restricted to pairs touching
+      // the batch; the index query itself never reads the image table.
+      val imgs = oracleImages(s, 400, "/tmp/graft_oracle_images_q208")
+      val base = imgs.select(
+        expr("CAST(substring(image_id, 5) AS BIGINT)").as("id"),
+        col("phash"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q208_idx").toString
+      graft.multimodal.PhashIndex.build(base, "id", "phash", root)
+      graft.multimodal.PhashIndex
+        .batchNearDups(phashBatchOf(base), "id", "phash", root,
+          maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q209_aspect_buckets" -> ((s, dir) => {
+      // explicit-ladder aspect snap (vs q172's derived milli-band
+      // buckets): exact integer cross-product argmin, rank inside
+      // each ladder bucket by the shared two-phase rank, fixed
+      // 16-image batches, center-crop waste from exact integer
+      // operands
+      val imgs = oracleImages(s, 600, "/tmp/graft_oracle_images_q209")
+      graft.multimodal.AspectBatch.snapToLadder(imgs, "image_id",
+        "w", "h", AspectLadder, batchSize = 16)
+        .select("image_id", "bucket_idx", "bucket_w", "bucket_h",
+          "rank_in_bucket", "batch_idx", "crop_frac")
+        .orderBy("image_id")
+    }),
+
+    "q211_image_dedup_e2e" -> ((s, dir) => {
+      // the image-side q83: phash near-dup pairs -> connected
+      // components -> KEEP-BEST canonical per cluster (highest pixel
+      // count, tie -> smallest id). The q208 twins get dims: the
+      // xor-259 second twin is upsampled 2x, so it must DETHRONE the
+      // original as its cluster's canonical; equal-pixel clusters fall
+      // back to the smallest id; far rows survive as singletons.
+      val imgs = oracleImages(s, 400, "/tmp/graft_oracle_images_q208")
+      val base = imgs.select(
+        expr("CAST(substring(image_id, 5) AS BIGINT)").as("id"),
+        col("phash"), col("w"), col("h"))
+      val full = base
+        .unionByName(base.filter(col("id") % 8 === 0)
+          .select((col("id") + 1000000L).as("id"),
+            col("phash").bitwiseXOR(lit(257L)).as("phash"),
+            col("w"), col("h")))
+        .unionByName(base.filter(col("id") % 8 === 3)
+          .select((col("id") + 1000000L).as("id"),
+            col("phash").bitwiseXOR(lit(-1L)).as("phash"),
+            col("w"), col("h")))
+        .unionByName(base.filter(col("id") % 16 === 0)
+          .select((col("id") + 2000000L).as("id"),
+            col("phash").bitwiseXOR(lit(259L)).as("phash"),
+            (col("w") * 2).as("w"), (col("h") * 2).as("h")))
+        .withColumn("px", col("w").cast("long") * col("h"))
+      val pairs = Multimodal.phashNearDups(full, "id", "phash",
+        maxDist = 3)
+      graft.dedup.Components.dedupByComponentsBest(full, "id",
+        pairs, "id_a", "id_b", "px")
+        .select("id", "w", "h")
+        .orderBy("id")
+    }),
+
+    "q212_epoch_shuffle" -> ((s, dir) => {
+      // deterministic per-epoch reshuffle: dense position = rank of
+      // (epochHash(id, 3), id), reproducible in any engine with
+      // 64-bit modular arithmetic — the oracle replays the identical
+      // two-round Knuth mix as a window row_number
+      graft.text.Sharding.epochShuffle(
+        tbl(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", epoch = 3)
+        .select("doc_id", "n_chars", "shuffle_pos")
+        .orderBy("doc_id")
     }),
 
     "q52_multimodal_decode" -> ((s, dir) => {
@@ -3467,6 +3582,135 @@ object QueriesData {
         |    ELSE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) END, 6)
         |    AS caption_jaccard
         |FROM j ORDER BY 1, 2""".stripMargin,
+
+    // all-integer token math mirrored exactly: DuckDB // == Spark div
+    // on BIGINT, window SUM cast back from HUGEINT, regex-split
+    // caption token count
+    "q207_patch_pack" ->
+      """WITH base AS (SELECT image_id, w, h, caption
+        |  FROM read_parquet('/tmp/graft_oracle_images_q207/*.parquet')),
+        |cost AS (SELECT image_id,
+        |    ((CAST(w AS BIGINT) + 13) // 14) *
+        |      ((CAST(h AS BIGINT) + 13) // 14) AS img_tokens,
+        |    CASE WHEN caption IS NULL OR trim(caption) = '' THEN 0
+        |      ELSE CAST(len(string_split_regex(trim(caption), '\s+'))
+        |        AS BIGINT) END AS txt_tokens
+        |  FROM base),
+        |c2 AS (SELECT image_id, img_tokens, txt_tokens,
+        |    img_tokens + txt_tokens + 2 AS tokens FROM cost),
+        |c3 AS (SELECT *, CAST(COALESCE(SUM(tokens) OVER (
+        |    ORDER BY image_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cum_before FROM c2)
+        |SELECT image_id, img_tokens, txt_tokens, tokens, cum_before,
+        |  cum_before // 256 AS start_block,
+        |  cum_before % 256 AS start_offset,
+        |  (cum_before + GREATEST(tokens, 1) - 1) // 256 AS end_block
+        |FROM c3 ORDER BY image_id""".stripMargin,
+
+    // exhaustive all-pairs Hamming truth over corpus + planted batch,
+    // restricted to pairs touching the batch (batch ids >= 1e6; the
+    // greater pair member decides). SHARED with q210 (streaming
+    // ingest of the same batch in two micro-batches).
+    "q208_phash_index" ->
+      """WITH base AS (SELECT
+        |    CAST(substring(image_id, 5) AS BIGINT) AS id, phash
+        |  FROM read_parquet('/tmp/graft_oracle_images_q208/*.parquet')),
+        |batch AS (
+        |  SELECT id + 1000000 AS id, xor(phash, 257) AS phash
+        |    FROM base WHERE id % 8 = 0
+        |  UNION ALL
+        |  SELECT id + 1000000, xor(phash, -1) FROM base WHERE id % 8 = 3
+        |  UNION ALL
+        |  SELECT id + 2000000, xor(phash, 259) FROM base
+        |    WHERE id % 16 = 0),
+        |t AS (SELECT * FROM base UNION ALL SELECT * FROM batch)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        |FROM t a JOIN t b ON a.id < b.id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |  AND b.id >= 1000000
+        |ORDER BY 1, 2""".stripMargin,
+
+    // snap = argmin over the ladder of |w*bh - h*bw| / bh (exact
+    // integer cross product, one IEEE division — identical doubles in
+    // both engines), tie -> earliest ladder entry; rank/batch by
+    // per-bucket row_number; crop_frac from exact integer operands
+    "q209_aspect_buckets" ->
+      s"""WITH base AS (SELECT image_id, CAST(w AS BIGINT) AS w,
+        |    CAST(h AS BIGINT) AS h
+        |  FROM read_parquet('/tmp/graft_oracle_images_q209/*.parquet')),
+        |ladder(bucket_idx, bucket_w, bucket_h) AS (VALUES
+        |  ${AspectLadder.zipWithIndex
+              .map { case ((bw, bh), i) => s"($i, $bw, $bh)" }
+              .mkString(", ")}),
+        |scored AS (SELECT b.image_id, b.w, b.h, l.bucket_idx,
+        |    l.bucket_w, l.bucket_h,
+        |    CAST(abs(b.w * l.bucket_h - b.h * l.bucket_w) AS DOUBLE) /
+        |      CAST(l.bucket_h AS DOUBLE) AS d
+        |  FROM base b CROSS JOIN ladder l),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY image_id
+        |    ORDER BY d, bucket_idx) AS rn FROM scored),
+        |ranked AS (SELECT image_id, w, h, bucket_idx, bucket_w,
+        |    bucket_h,
+        |    row_number() OVER (PARTITION BY bucket_idx
+        |      ORDER BY image_id) - 1 AS rank_in_bucket
+        |  FROM best WHERE rn = 1)
+        |SELECT image_id, bucket_idx, bucket_w, bucket_h,
+        |  rank_in_bucket, rank_in_bucket // 16 AS batch_idx,
+        |  round(1.0 -
+        |    CAST(least(w * bucket_h, h * bucket_w) AS DOUBLE) /
+        |    CAST(greatest(w * bucket_h, h * bucket_w) AS DOUBLE), 6)
+        |    AS crop_frac
+        |FROM ranked ORDER BY image_id""".stripMargin,
+
+    // exhaustive truth for the image e2e: all-pairs Hamming edges
+    // over corpus + dim-carrying twins, recursive-CTE components,
+    // keep max pixels / tie smallest id, singletons survive
+    "q211_image_dedup_e2e" ->
+      """WITH RECURSIVE base AS (SELECT
+        |    CAST(substring(image_id, 5) AS BIGINT) AS id, phash, w, h
+        |  FROM read_parquet('/tmp/graft_oracle_images_q208/*.parquet')),
+        |t AS (SELECT * FROM base
+        |  UNION ALL
+        |  SELECT id + 1000000, xor(phash, 257), w, h FROM base
+        |    WHERE id % 8 = 0
+        |  UNION ALL
+        |  SELECT id + 1000000, xor(phash, -1), w, h FROM base
+        |    WHERE id % 8 = 3
+        |  UNION ALL
+        |  SELECT id + 2000000, xor(phash, 259), w * 2, h * 2
+        |    FROM base WHERE id % 16 = 0),
+        |e AS (SELECT a.id AS ia, b.id AS ib
+        |  FROM t a JOIN t b ON a.id < b.id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |u AS (SELECT ia AS a, ib AS b FROM e
+        |      UNION SELECT ib, ia FROM e),
+        |cc(id, comp) AS (
+        |  SELECT a, a FROM u
+        |  UNION
+        |  SELECT u.a, cc.comp FROM u JOIN cc ON u.b = cc.id),
+        |m AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+        |k AS (SELECT t.id, t.w, t.h,
+        |    COALESCE(m.comp, t.id) AS key,
+        |    CAST(t.w AS BIGINT) * t.h AS px
+        |  FROM t LEFT JOIN m ON t.id = m.id),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY key
+        |    ORDER BY px DESC, id) AS rn FROM k)
+        |SELECT id, w, h FROM best WHERE rn = 1
+        |ORDER BY id""".stripMargin,
+
+    // the two-round Knuth mix replayed verbatim; epoch 3 term =
+    // (3 * 2246822519) mod 2^32 = 2445500261
+    "q212_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |    ((((((doc_id % 2147483648) * 2654435761) % 4294967296)
+        |        + 2445500261) % 4294967296 % 2147483648)
+        |      * 2654435761) % 4294967296 AS eh
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY eh, doc_id) - 1 AS shuffle_pos
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // the q62 pair recovery plus null-safe caption verdicts
     // (IS NOT DISTINCT FROM == Spark <=>)

@@ -737,6 +737,47 @@ object QueriesStreaming {
           col("entity").as("user_id"),
           round(col("decayed"), 6).as("decayed"))
         .orderBy("event_id")
+    }),
+
+    "q210_stream_phash_ingest" -> ((s, dir) => {
+      // streaming ingest twin of q208: the SAME planted batch
+      // (QueriesData.phashBatchOf over the SAME parquet input) arrives
+      // in two monotone micro-batches — the xor-257/xor-(-1) rows
+      // first, the xor-259 second twins after — with the index
+      // absorbed between, so the cross-chunk d=1 twin pairs surface as
+      // vs-index pairs of chunk 2. The union of emissions must equal
+      // the one-shot batch answer: the oracle is LITERALLY q208's SQL
+      // (fifth shared batch/stream pair).
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val imgs = QueriesData.oracleImages(s, 400,
+        "/tmp/graft_oracle_images_q208")
+      val base = imgs.select(
+        expr("CAST(substring(image_id, 5) AS BIGINT)").as("id"),
+        col("phash"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q210_idx").toString
+      graft.multimodal.PhashIndex.build(base, "id", "phash", root)
+      val rows = QueriesData.phashBatchOf(base)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1).toSeq
+      val (b1, b2) = rows.partition(_._1 < 2000000L)
+      val input = MemoryStream[(Long, Long)]
+      val stream = input.toDF().toDF("id", "phash")
+      val pairs = scala.collection.mutable
+        .ArrayBuffer[(Long, Long, Int)]()
+      val q = StreamingOps.phashIngestSink(stream, "id", "phash",
+        root, maxDist = 3,
+        emit = b => {
+          pairs ++= b.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getInt(2)))
+          ()
+        }).start()
+      try {
+        input.addData(b1: _*); q.processAllAvailable()
+        input.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      pairs.distinct.sorted.toSeq.toDF("id_a", "id_b", "hamming")
     })
   )
 
@@ -808,6 +849,12 @@ object QueriesStreaming {
     // level carry (fourth shared batch/stream oracle pair)
     "q206_stream_ewm" ->
       QueriesTemporal.oracles("q193_ewm_mean"),
+
+    // q208's all-pairs Hamming truth certifies the chunked streaming
+    // ingest over the persisted phash index (fifth shared pair; same
+    // parquet input path, same planted batch)
+    "q210_stream_phash_ingest" ->
+      QueriesData.oracles("q208_phash_index"),
 
     // replay of the stream's EXACT per-user fold (value + s * 0.5^
     // (dt_us/hl_us), in arrival order) as a recursive CTE: identical

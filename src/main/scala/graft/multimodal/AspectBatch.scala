@@ -143,17 +143,82 @@ object AspectBatch {
     val bucketed = guarded.withColumn("bucket",
       expr(s"((__w * 1000L div `$hCol`) div $milliPerBucket)"))
       .drop("__w")
-    val (ranked, cleanup) = graft.text.Sharding.exclusiveCumSumRaw(
-      bucketed, Seq(col("bucket"), col(idCol)), lit(1L), "__pos")
-    val positioned =
-      try ranked.localCheckpoint(true) finally cleanup()
-    val starts = positioned.groupBy(col("bucket").as("__b"))
-      .agg(min(col("__pos")).as("__start"))
-    positioned
-      .join(broadcast(starts), col("bucket") === col("__b"))
-      .withColumn("seq", col("__pos") - col("__start"))
+    rankWithin(bucketed, "bucket", idCol, "seq")
       .withColumn("batch_id", expr(s"seq div ${batchSize}L"))
       .withColumn("slot", pmod(col("seq"), lit(batchSize.toLong)))
+  }
+
+  /** Deterministic 0-based rank of every row within its `bucketCol`
+    * group, in `idCol` order — the two-phase exclusive cumulative
+    * count over (bucket, id) minus the bucket's start offset (a
+    * \|buckets\|-row min-aggregation, broadcast back). No
+    * `PARTITION BY bucket` window anywhere: that would sort
+    * multi-billion-row buckets inside single tasks at 10^12 images.
+    * Shared by [[aspectRatioBatches]] and [[snapToLadder]].
+    */
+  private def rankWithin(df: DataFrame, bucketCol: String,
+      idCol: String, outCol: String): DataFrame = {
+    val (ranked, cleanup) = graft.text.Sharding.exclusiveCumSumRaw(
+      df, Seq(col(bucketCol), col(idCol)), lit(1L), "__pos")
+    val positioned =
+      try ranked.localCheckpoint(true) finally cleanup()
+    val starts = positioned.groupBy(col(bucketCol).as("__b"))
+      .agg(min(col("__pos")).as("__start"))
+    positioned
+      .join(broadcast(starts), col(bucketCol) === col("__b"))
+      .withColumn(outCol, col("__pos") - col("__start"))
       .drop("__b", "__start", "__pos")
+  }
+
+  /** Snap every image to an EXPLICIT resolution ladder (the
+    * SDXL-style fixed bucket list) instead of the derived milli-band
+    * buckets of [[aspectRatioBatches]]: the image takes the ladder
+    * entry with the nearest aspect ratio, ranks inside it in
+    * deterministic `idCol` order, and records the crop waste of
+    * filling that shape.
+    *
+    * The snap is EXACT integer arithmetic: candidate distance
+    * `|w/h - bw_i/bh_i|` is compared as `|w*bh_i - h*bw_i| / bh_i`
+    * (the common 1/h factor drops out) — one integer cross product
+    * and one IEEE division per candidate, identical in any engine, no
+    * transcendentals; ties break to the earliest ladder entry.
+    *
+    * Output per image: `bucket_idx`, `bucket_w`, `bucket_h`,
+    * `rank_in_bucket`, `batch_idx`, and `crop_frac` — the pixel
+    * fraction lost to the scale-to-fill + center-crop into the bucket
+    * shape, `1 - min(w*bh, h*bw) / max(w*bh, h*bw)` (exact integer
+    * operands, rounded to 6dp).
+    */
+  def snapToLadder(df: DataFrame, idCol: String, wCol: String,
+      hCol: String, ladder: Seq[(Int, Int)], batchSize: Int)
+      : DataFrame = {
+    require(ladder.nonEmpty, "snapToLadder: empty ladder")
+    require(ladder.forall { case (bw, bh) => bw > 0 && bh > 0 },
+      s"ladder dims must be positive, got $ladder")
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val reserved = Seq("bucket_idx", "bucket_w", "bucket_h",
+      "rank_in_bucket", "batch_idx", "crop_frac")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"snapToLadder: input already has a '$c' column"))
+    val w = col(wCol).cast("long"); val h = col(hCol).cast("long")
+    val cands = array(ladder.zipWithIndex.map { case ((bw, bh), i) =>
+      struct(
+        (abs(w * bh - h * bw).cast("double") / lit(bh.toDouble)).as("d"),
+        lit(i).as("bucket_idx"), lit(bw).as("bucket_w"),
+        lit(bh).as("bucket_h"))
+    }: _*)
+    val snapped = df
+      .withColumn("__best", array_min(cands))
+      .withColumn("bucket_idx", col("__best.bucket_idx"))
+      .withColumn("bucket_w", col("__best.bucket_w"))
+      .withColumn("bucket_h", col("__best.bucket_h"))
+      .withColumn("crop_frac", round(
+        lit(1.0) - least(w * col("bucket_h"), h * col("bucket_w"))
+          .cast("double") /
+          greatest(w * col("bucket_h"), h * col("bucket_w"))
+            .cast("double"), 6))
+      .drop("__best")
+    rankWithin(snapped, "bucket_idx", idCol, "rank_in_bucket")
+      .withColumn("batch_idx", expr(s"rank_in_bucket div $batchSize"))
   }
 }

@@ -897,4 +897,40 @@ object Multimodal {
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
+
+  /** Multimodal context packing for image+caption pretraining: each
+    * pair costs `img_tokens` ViT patch tokens
+    * (`ceil(w/patch) * ceil(h/patch)` — integer `div` arithmetic, no
+    * float ceil, exact past 2^53 cumulative tokens) plus whitespace
+    * caption tokens plus `extraTokens` separators (BOS/boundary), and
+    * the pair stream (in `idCol` order) is cut into fixed
+    * `blockSize`-token training blocks by
+    * [[graft.text.Sharding.packContextBlocks]] — the same two-phase
+    * exclusive cumsum, so there is no single-partition stage at any
+    * corpus size. Output per pair: `img_tokens`, `txt_tokens`,
+    * `tokens`, `cum_before`, `start_block`, `start_offset`,
+    * `end_block` (see packContextBlocks for block semantics).
+    */
+  def packPatchBlocks(df: DataFrame, idCol: String, wCol: String,
+      hCol: String, captionCol: String, patch: Int, blockSize: Long,
+      extraTokens: Int = 2): DataFrame = {
+    require(patch > 0, s"patch size must be positive, got $patch")
+    require(extraTokens >= 0,
+      s"extraTokens must be >= 0, got $extraTokens")
+    val pw = expr(s"(CAST($wCol AS BIGINT) + ${patch - 1}) div $patch")
+    val ph = expr(s"(CAST($hCol AS BIGINT) + ${patch - 1}) div $patch")
+    // size(split(NULL)) is -1 and split('') yields [''] — normalize
+    // both to zero caption tokens
+    val trimmed = trim(col(captionCol))
+    val txt = when(trimmed.isNull || trimmed === "", lit(0L))
+      .otherwise(size(split(trimmed, "\\s+")).cast("long"))
+    val costed = df
+      .withColumn("img_tokens", pw * ph)
+      .withColumn("txt_tokens", txt)
+      .withColumn("tokens",
+        col("img_tokens") + col("txt_tokens") + lit(extraTokens.toLong))
+    graft.text.Sharding.packContextBlocks(costed, idCol, "tokens",
+      blockSize)
+  }
+
 }

@@ -986,4 +986,48 @@ object StreamingOps {
           }
       }
   }
+
+  /** Streaming image near-dup ingest over a persisted
+    * [[graft.multimodal.PhashIndex]]: each micro-batch is banded,
+    * joined against the stored index (batch-vs-corpus + batch-internal
+    * pairs, exact `bit_count` verification — the image table itself is
+    * never read), its pairs delivered through `emit`, and the batch
+    * absorbed into the index so the NEXT micro-batch pairs against it
+    * too. Chunking therefore cannot change the answer: a cross-chunk
+    * pair surfaces as a vs-index pair of the later chunk, so the union
+    * of emissions over any monotone chunking of a batch equals the
+    * one-shot [[graft.multimodal.PhashIndex.batchNearDups]] over the
+    * whole batch — q210 certifies that against literally q208's
+    * oracle (the shared batch/stream pattern of q185/q188, q147/q189,
+    * q197/q201, q193/q206).
+    *
+    * Replay safety without a marker: `appendBatch` is a
+    * distinct-merge (a redone append converges to the same snapshot),
+    * and a re-queried batch re-emits the same pairs — `emit` is
+    * at-least-once, the standard foreachBatch contract; point it at an
+    * idempotent downstream. Ids must be globally unique across corpus
+    * and stream.
+    */
+  def phashIngestSink(stream: DataFrame, idCol: String,
+      phashCol: String, indexRoot: String, maxDist: Int,
+      emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream
+      .queryName("graft-phash-ingest")
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // the batch feeds banding twice (query + absorb) — evaluate
+          // the source once
+          batch.persist()
+          try {
+            emit(graft.multimodal.PhashIndex.batchNearDups(batch,
+              idCol, phashCol, indexRoot, maxDist))
+            graft.multimodal.PhashIndex.appendBatch(batch, idCol,
+              phashCol, indexRoot)
+          } finally { batch.unpersist(false); () }
+        }
+        ()
+      }
 }

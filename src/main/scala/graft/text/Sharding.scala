@@ -161,6 +161,48 @@ object Sharding {
     pmod(pmod(id.cast("long"), lit(2147483648L)) * lit(2654435761L),
       lit(4294967296L))
 
+  /** Per-epoch variant of [[mixHash]]: a second Knuth round over
+    * `mix(id) + epoch * 2246822519 (mod 2^32)`, so each epoch is an
+    * independent-looking reordering of the same ids. The same 31-bit
+    * pre-multiply mask keeps every product under 2^63 — Spark wraps
+    * silently past that but an ANSI engine raises, and the whole point
+    * is that any engine reproduces the same order.
+    */
+  def epochHash(id: Column, epoch: Int): Column = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val mixed = pmod(
+      mixHash(id) + lit((epoch.toLong * 2246822519L) % 4294967296L),
+      lit(4294967296L))
+    pmod(pmod(mixed, lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+  }
+
+  /** Deterministic EPOCH SHUFFLE for training-data loaders: every row
+    * gets its dense position in the epoch's pseudo-random order —
+    * `shuffle_pos` = rank of `(epochHash(id, epoch), id)` — with no
+    * RNG state and no driver-side permutation table: the same
+    * (corpus, epoch) produces the same order on any cluster size, in
+    * any engine (the oracle replays it as a window `row_number`).
+    * Each epoch costs ONE range-shuffle (the two-phase exclusive
+    * cumulative count — no single-partition sort at any corpus size);
+    * resuming epoch N after a crash re-derives the identical order
+    * from (id, N) alone, nothing to checkpoint.
+    *
+    * `idCol` must be unique integral ids (it is the tiebreak for the
+    * ~n^2/2^32 hash collisions a billion-row corpus WILL have — an
+    * undefined collision order would differ between runs).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int)
+      : DataFrame = {
+    graft.core.Ids.requireIntegral(df, idCol, "epochShuffle")
+    require(!df.columns.contains("shuffle_pos"),
+      "epochShuffle: input already has a 'shuffle_pos' column")
+    val withHash = df.withColumn("__eh", epochHash(col(idCol), epoch))
+    val (ranked, cleanup) = exclusiveCumSumRaw(withHash,
+      Seq(col("__eh"), col(idCol)), lit(1L), "shuffle_pos")
+    try ranked.drop("__eh").localCheckpoint(true) finally cleanup()
+  }
+
   /** EXACT-COUNT deterministic stratified sample: the `n` rows with
     * the smallest [[mixHash]] per stratum — a uniform sample of
     * exactly `min(n, |stratum|)` rows, reproducible anywhere (the

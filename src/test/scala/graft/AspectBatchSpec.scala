@@ -112,4 +112,53 @@ class AspectBatchSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("snapToLadder: nearest-ratio snap by exact cross products, " +
+      "tie to earliest entry, crop fraction, per-bucket batches") {
+    val ladder = Seq((512, 512), (640, 384), (384, 640))
+    val rows = Seq(
+      Row("i1", 100, 100),  // 1:1 exact -> bucket 0, crop 0
+      Row("i2", 160, 96),   // 5:3 = 640:384 exact -> bucket 1, crop 0
+      Row("i3", 96, 160),   // 3:5 -> bucket 2, crop 0
+      Row("i4", 120, 100),  // 1.2: d0=|120*512-100*512|/512=20,
+                            // d1=|120*384-100*640|/384=46.67 -> b0
+      Row("i5", 200, 100))  // 2.0: d0=100, d1=|200*384-100*640|/384
+                            // = 33.33 -> b1; crop=1-min/max
+                            // = 1 - 64000/76800 = 1/6
+    val out = AspectBatch.snapToLadder(
+      df("image_id STRING, w INT, h INT", rows),
+      "image_id", "w", "h", ladder, batchSize = 2)
+      .orderBy("image_id")
+      .select("image_id", "bucket_idx", "crop_frac", "rank_in_bucket",
+        "batch_idx")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out("i1")._1 == 0 && out("i1")._2 == 0.0)
+    assert(out("i2")._1 == 1 && out("i2")._2 == 0.0)
+    assert(out("i3")._1 == 2 && out("i3")._2 == 0.0)
+    assert(out("i4")._1 == 0)
+    assert(out("i5")._1 == 1)
+    assert(out("i5")._2 == 0.166667) // 1 - 64000/76800, 6dp
+    // bucket 0 holds i1, i4 in id order -> ranks 0, 1, one batch
+    assert(out("i1")._3 == 0L && out("i4")._3 == 1L)
+    assert(out("i1")._4 == 0L && out("i4")._4 == 0L)
+    // square image, square ladder entries would tie -> earliest wins
+    val tie = AspectBatch.snapToLadder(
+      df("image_id STRING, w INT, h INT", Seq(Row("t", 50, 50))),
+      "image_id", "w", "h", Seq((256, 256), (512, 512)), 4)
+      .head()
+    assert(tie.getInt(3) == 0)
+  }
+
+  test("snapToLadder: reserved output column collision fails loudly") {
+    val clash = df("image_id STRING, w INT, h INT, crop_frac DOUBLE",
+      Seq(Row("a", 10, 10, 0.0)))
+    val ex = intercept[IllegalArgumentException] {
+      AspectBatch.snapToLadder(clash, "image_id", "w", "h",
+        Seq((512, 512)), 2)
+    }
+    assert(ex.getMessage.contains("crop_frac"))
+  }
 }

@@ -126,4 +126,39 @@ class ShardingSpec extends SparkSpec {
       Map("en" -> 0.5, "de" -> 1.0)).orderBy("id"), "id")
     assert(a == b)
   }
+
+  test("epochShuffle: a dense permutation per epoch, stable on " +
+      "re-run, different across epochs, hash-order exact") {
+    val n = 500
+    val d = spark.range(n).toDF("id")
+    val e1 = Sharding.epochShuffle(d, "id", epoch = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a permutation: every position 0..n-1 exactly once
+    assert(e1.values.toSeq.sorted == (0L until n).toSeq)
+    // exact rank of the documented two-round mix, id tiebreak
+    def eh(id: Long, epoch: Long): Long = {
+      val m1 = (id % 2147483648L) * 2654435761L % 4294967296L
+      val m2 = (m1 + epoch * 2246822519L % 4294967296L) % 4294967296L
+      (m2 % 2147483648L) * 2654435761L % 4294967296L
+    }
+    val expected = (0L until n).sortBy(id => (eh(id, 1), id))
+      .zipWithIndex.map { case (id, p) => id -> p.toLong }.toMap
+    assert(e1 == expected)
+    // stable on re-run; a different epoch is a different order
+    val e1b = Sharding.epochShuffle(d, "id", epoch = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e1b == e1)
+    val e2 = Sharding.epochShuffle(d, "id", epoch = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e2 != e1)
+    // guards
+    intercept[IllegalArgumentException] {
+      Sharding.epochShuffle(
+        d.withColumn("shuffle_pos", lit(0L)), "id", 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sharding.epochShuffle(d.selectExpr("CAST(id AS STRING) AS id"),
+        "id", 1)
+    }
+  }
 }

@@ -415,4 +415,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert((f1 & f2).nonEmpty,
       "documents sharing a >= k+w-1 substring must share a fingerprint")
   }
+
+  test("packPatchBlocks: ViT patch + caption token costs, " +
+      "block/offset math, null and empty captions cost zero text") {
+    val d = df("image_id STRING, w INT, h INT, caption STRING", Seq(
+      Row("a", 28, 14, "two words"),   // 2*1 patches + 2 + 2 = 6
+      Row("b", 29, 15, null),          // 3*2 patches + 0 + 2 = 8
+      Row("c", 1, 1, "   "),           // 1*1 + 0 + 2 = 3
+      Row("d", 14, 14, " x  y  z ")))  // 1 + 3 + 2 = 6
+    val out = Multimodal.packPatchBlocks(d, "image_id", "w", "h",
+      "caption", patch = 14, blockSize = 10)
+      .select("image_id", "img_tokens", "txt_tokens", "tokens",
+        "cum_before", "start_block", "start_offset", "end_block")
+      .orderBy("image_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+      .toSeq
+    assert(out == Seq(
+      // id, img, txt, tokens, cum_before, start_blk, offset, end_blk
+      ("a", 2L, 2L, 6L, 0L, 0L, 0L, 0L),
+      ("b", 6L, 0L, 8L, 6L, 0L, 6L, 1L),   // spans the 10-boundary
+      ("c", 1L, 0L, 3L, 14L, 1L, 4L, 1L),
+      ("d", 1L, 3L, 6L, 17L, 1L, 7L, 2L))) // spans into block 2
+  }
 }
