@@ -549,6 +549,7 @@ object QueriesData {
       // separators per pair, packed into 256-token blocks via the
       // two-phase cumsum — all-integer math the oracle mirrors exactly
       val imgs = oracleImages(s, 500, "/tmp/graft_oracle_images_q207")
+        .select("image_id", "w", "h", "caption") // payload never rides
       Multimodal.packPatchBlocks(imgs, "image_id", "w", "h",
         "caption", patch = 14, blockSize = 256)
         .select("image_id", "img_tokens", "txt_tokens", "tokens",
@@ -585,6 +586,7 @@ object QueriesData {
       // 16-image batches, center-crop waste from exact integer
       // operands
       val imgs = oracleImages(s, 600, "/tmp/graft_oracle_images_q209")
+        .select("image_id", "w", "h") // payload never rides the rank
       graft.multimodal.AspectBatch.snapToLadder(imgs, "image_id",
         "w", "h", AspectLadder, batchSize = 16)
         .select("image_id", "bucket_idx", "bucket_w", "bucket_h",

@@ -21,4 +21,20 @@ object Ids {
       s"$op requires an integral id column, got $idCol: $t " +
         "(hash non-numeric ids to int64 first, e.g. xxhash64)")
   }
+
+  /** Guard for operators that range-shuffle WHOLE ROWS (two-phase
+    * rank/cumsum layouts): a binary payload column riding that shuffle
+    * moves the corpus' heaviest bytes for an index-only answer — at
+    * image-table scale, terabytes of needless exchange. Callers must
+    * project payloads away and join the (narrow) result back by id.
+    */
+  def requireNoBinary(df: DataFrame, op: String): Unit = {
+    val bin = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.BinaryType)
+      .map(_.name)
+    require(bin.isEmpty,
+      s"$op shuffles whole rows; project binary payload column(s) " +
+        s"${bin.mkString(", ")} away first and join the result back " +
+        "by id")
+  }
 }

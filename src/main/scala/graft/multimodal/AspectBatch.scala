@@ -158,6 +158,7 @@ object AspectBatch {
     */
   private def rankWithin(df: DataFrame, bucketCol: String,
       idCol: String, outCol: String): DataFrame = {
+    graft.core.Ids.requireNoBinary(df, "AspectBatch rank")
     val (ranked, cleanup) = graft.text.Sharding.exclusiveCumSumRaw(
       df, Seq(col(bucketCol), col(idCol)), lit(1L), "__pos")
     val positioned =

@@ -917,6 +917,7 @@ object Multimodal {
     require(patch > 0, s"patch size must be positive, got $patch")
     require(extraTokens >= 0,
       s"extraTokens must be >= 0, got $extraTokens")
+    graft.core.Ids.requireNoBinary(df, "packPatchBlocks")
     val pw = expr(s"(CAST($wCol AS BIGINT) + ${patch - 1}) div $patch")
     val ph = expr(s"(CAST($hCol AS BIGINT) + ${patch - 1}) div $patch")
     // size(split(NULL)) is -1 and split('') yields [''] — normalize

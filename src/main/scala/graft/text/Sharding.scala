@@ -44,6 +44,10 @@ object Sharding {
   private[graft] def exclusiveCumSumRaw(df: DataFrame,
       orderCols: Seq[Column], valueCol: Column, outCol: String)
       : (DataFrame, () => Unit) = {
+    // backstop for every rank/pack layout built on this: whole rows
+    // ride the range shuffle AND the persist, so a binary payload here
+    // is terabytes of needless exchange for an index-only answer
+    graft.core.Ids.requireNoBinary(df, "two-phase cumulative layout")
     val parts = math.max(1,
       df.sparkSession.sessionState.conf.numShufflePartitions)
     val ranged = df
@@ -195,6 +199,7 @@ object Sharding {
   def epochShuffle(df: DataFrame, idCol: String, epoch: Int)
       : DataFrame = {
     graft.core.Ids.requireIntegral(df, idCol, "epochShuffle")
+    graft.core.Ids.requireNoBinary(df, "epochShuffle")
     require(!df.columns.contains("shuffle_pos"),
       "epochShuffle: input already has a 'shuffle_pos' column")
     val withHash = df.withColumn("__eh", epochHash(col(idCol), epoch))

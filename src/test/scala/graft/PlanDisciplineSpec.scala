@@ -470,4 +470,51 @@ class PlanDisciplineSpec extends SparkSpec {
     // melt -> partial count -> final count: >= 2 HashAggregates
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
   }
+
+  test("phash index query: one batch banding reused across both " +
+      "joins, equi-joins only, image payload never read") {
+    val root = Files.createTempDirectory("plan_phashidx").toString
+    val imgs = spark.read.parquet(imgPath)
+      .selectExpr("CAST(substring(image_id, 5) AS BIGINT) AS id",
+        "phash")
+    graft.multimodal.PhashIndex.build(imgs, "id", "phash", root)
+    val batch = imgs.limit(50)
+      .selectExpr("id + 1000000 AS id", "phash")
+    // at production scale neither side broadcasts; disable the
+    // test-scale auto-broadcast so the exchange-reuse shape is the one
+    // a real batch plans
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val plan = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = graft.multimodal.PhashIndex.batchNearDups(batch, "id",
+        "phash", root, maxDist = 3)
+      q.collect() // AQE applies exchange reuse in the FINAL plan
+      q.queryExecution.executedPlan.toString
+    } finally spark.conf.set(
+      "spark.sql.autoBroadcastJoinThreshold", prevBc)
+    // vs-corpus and within-batch both key off the ONE (band, bits)
+    // repartition of the batch banding
+    assert(plan.contains("ReusedExchange") ||
+      plan.contains("ReusedQueryStage") ||
+      "REPARTITION_BY_COL".r.findAllIn(plan).size <= 1,
+      s"batch banding must be computed once:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.take(1200))
+    assert(!plan.contains("bytes"),
+      s"index query must never read the image table:\n${plan.take(1200)}")
+  }
+
+  test("whole-row rank/pack layouts refuse binary payload columns") {
+    val imgs = spark.read.parquet(imgPath) // carries bytes
+    val e1 = intercept[IllegalArgumentException] {
+      graft.multimodal.Multimodal.packPatchBlocks(imgs, "image_id",
+        "w", "h", "caption", patch = 14, blockSize = 256)
+    }
+    assert(e1.getMessage.contains("bytes"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.multimodal.AspectBatch.snapToLadder(imgs, "image_id",
+        "w", "h", Seq((512, 512)), 8)
+    }
+    assert(e2.getMessage.contains("bytes"), e2.getMessage)
+  }
 }
