@@ -639,6 +639,100 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    "q213_pair_psnr_verify" -> ((s, dir) => {
+      // graded SECOND stage of image dedup: phash banding proposes
+      // candidate pairs from the hash column alone; this decodes ONLY
+      // the candidates and scores exact pairwise PSNR — the BASELINE
+      // per-row invariant (PSNR >= 40 dB lossy / exact lossless)
+      // applied pairwise. Three pair fates certified by id pattern:
+      // (i, i+1e6) relabeled exact copies -> dup; (i, i+2e6)
+      // first-generation jpeg re-encodes of png originals -> dup (the
+      // q115-proven >= 40 dB path); (i, i+1) neighbor renders with
+      // DIFFERING dims -> provably not dup (same-dims synthetic
+      // renders share their R/G gradients and may legitimately score
+      // >= 40 dB, so the non-dup leg only claims what the dims prove).
+      // The exact-vs-lossy-vs-far PSNR grades are spec-pinned (PSNR
+      // itself is not SQL-reproducible).
+      val path = "/tmp/graft_oracle_images_q213"
+      ImageTable.imagesReal(s, 300).write.mode("overwrite").parquet(path)
+      val base = s.read.parquet(path)
+        .withColumn("id", expr("CAST(substring(image_id, 5) AS BIGINT)"))
+      val copies = base.filter(col("id") % 10 === 0)
+        .withColumn("id", col("id") + 1000000L)
+      val lossy = Multimodal.transcode(
+        base.filter(col("id") % 10 === 5 && col("fmt") === "png"),
+        "jpeg").withColumn("id", col("id") + 2000000L)
+      val full = base.unionByName(copies).unionByName(lossy)
+      val ba = base.select(col("id").as("id_a"), col("w").as("wa"),
+        col("h").as("ha"))
+      val bb = base.select(col("id").as("id_b"), col("w").as("wb"),
+        col("h").as("hb"))
+      val farPairs = ba.join(bb, col("id_b") === col("id_a") + 1 &&
+          (col("wa") =!= col("wb") || col("ha") =!= col("hb")))
+        .filter(col("id_a") % 10 === 1)
+        .select(col("id_a"), col("id_b"))
+      val pairs = full.filter(col("id") >= 1000000L)
+        .select(pmod(col("id"), lit(1000000L)).as("id_a"),
+          col("id").as("id_b"))
+        .unionByName(farPairs)
+      Multimodal.pairPsnrVerify(full, "id", pairs)
+        .select(col("id_a"), col("id_b"), col("decode_ok"),
+          col("dims_match"), col("is_dup"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q214_caption_election" -> ((s, dir) => {
+      // canonical-caption election per near-dup cluster: the q195
+      // caption fates (identical / case drift / ' v2' drift) RESOLVED
+      // to one training label per cluster — majority vote, ties to the
+      // longest caption, then lexicographic smallest; singletons elect
+      // their own caption. The oracle replays components (recursive
+      // CTE) + the election as a window rank.
+      val imgs = oracleImages(s, 500, "/tmp/graft_oracle_images_q214")
+      val base = imgs.select(
+        expr("CAST(substring(image_id, 5) AS BIGINT)").as("id"),
+        col("phash"), col("caption"))
+      val dups = base.filter(col("id") % 10 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          col("phash").bitwiseXOR(lit(257L)).as("phash"),
+          expr("""CASE WHEN id % 40 = 0 THEN caption || ' v2'
+                  WHEN id % 20 = 0 THEN upper(caption)
+                  ELSE caption END""").as("caption"))
+      val full = base.unionByName(dups)
+      val pairs = Multimodal.phashNearDups(full, "id", "phash",
+        maxDist = 3)
+      Multimodal.electCanonicalCaption(full, "id", "caption", pairs)
+        .select(col("id"), col("cluster"), col("canonical_caption"))
+        .orderBy("id")
+    }),
+
+    "q215_pack_shards_dual" -> ((s, dir) => {
+      // WebDataset-style dual-constraint export shards: byte spans
+      // close at the 100000-byte budget; rows re-count within each
+      // span and cut every 25 — shard key (byte_shard, shard_in_span)
+      // honors BOTH caps exactly. Both running sums ride ONE range
+      // shuffle; the oracle replays them as window functions.
+      graft.text.Sharding.packShardsDual(
+        tbl(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", byteBudget = 100000L, maxRows = 25L)
+        .select("doc_id", "n_chars", "cum_bytes_before", "seq",
+          "byte_shard", "shard_in_span")
+        .orderBy("doc_id")
+    }),
+
+    "q216_pair_partners" -> ((s, dir) => {
+      // deterministic mixup/contrastive partner assignment, epoch 2:
+      // rows pair even-with-odd in the epoch order (partner_pos =
+      // shuffle_pos XOR 1); an odd corpus tail keeps a null partner.
+      // Oracle replays the two-round Knuth mix + row_number and joins
+      // rn XOR 1.
+      graft.text.Sharding.pairPartners(
+        tbl(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", epoch = 2)
+        .select("doc_id", "shuffle_pos", "pair_id", "partner_doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q52_multimodal_decode" -> ((s, dir) => {
       // mapPartitions decode plumbing with the stub decoder (whose spec
       // is deliberately SQL-reproducible — see Multimodal.StubDecoder);
@@ -3713,6 +3807,95 @@ object QueriesData {
         |SELECT doc_id, n_chars,
         |  row_number() OVER (ORDER BY eh, doc_id) - 1 AS shuffle_pos
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // pair fates are id-pattern functions of the stored table;
+    // dims_match for the far pairs is recomputed from the stored dims
+    "q213_pair_psnr_verify" ->
+      """WITH base AS (SELECT
+        |    CAST(substring(image_id, 5) AS BIGINT) AS id, fmt, w, h
+        |  FROM read_parquet('/tmp/graft_oracle_images_q213/*.parquet')),
+        |p AS (
+        |  SELECT id AS id_a, id + 1000000 AS id_b,
+        |      TRUE AS dims_match, TRUE AS is_dup
+        |    FROM base WHERE id % 10 = 0
+        |  UNION ALL
+        |  SELECT id, id + 2000000, TRUE, TRUE FROM base
+        |    WHERE id % 10 = 5 AND fmt = 'png'
+        |  UNION ALL
+        |  SELECT a.id, b.id, FALSE, FALSE
+        |    FROM base a JOIN base b ON b.id = a.id + 1
+        |      AND (a.w <> b.w OR a.h <> b.h)
+        |    WHERE a.id % 10 = 1)
+        |SELECT id_a, id_b, TRUE AS decode_ok, dims_match, is_dup
+        |FROM p ORDER BY 1, 2""".stripMargin,
+
+    // q195's twin injection -> components (recursive CTE) -> election
+    // as a window rank: votes DESC, length DESC, caption ASC
+    "q214_caption_election" ->
+      """WITH RECURSIVE base AS (SELECT
+        |    CAST(substring(image_id, 5) AS BIGINT) AS id, phash, caption
+        |  FROM read_parquet('/tmp/graft_oracle_images_q214/*.parquet')),
+        |t AS (SELECT * FROM base
+        |  UNION ALL
+        |  SELECT id + 1000000, xor(phash, 257),
+        |    CASE WHEN id % 40 = 0 THEN caption || ' v2'
+        |         WHEN id % 20 = 0 THEN upper(caption)
+        |         ELSE caption END
+        |  FROM base WHERE id % 10 = 0),
+        |e AS (SELECT a.id AS ia, b.id AS ib
+        |  FROM t a JOIN t b ON a.id < b.id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |u AS (SELECT ia AS a, ib AS b FROM e
+        |      UNION SELECT ib, ia FROM e),
+        |cc(id, comp) AS (
+        |  SELECT a, a FROM u
+        |  UNION
+        |  SELECT u.a, cc.comp FROM u JOIN cc ON u.b = cc.id),
+        |m AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+        |k AS (SELECT t.id, t.caption,
+        |    COALESCE(m.comp, t.id) AS cluster
+        |  FROM t LEFT JOIN m ON t.id = m.id),
+        |v AS (SELECT cluster, caption, COUNT(*) AS votes
+        |  FROM k WHERE caption IS NOT NULL GROUP BY 1, 2),
+        |el AS (SELECT cluster, caption AS canonical_caption,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY votes DESC, length(caption) DESC, caption) AS rn
+        |  FROM v)
+        |SELECT k.id, k.cluster, e2.canonical_caption
+        |FROM k LEFT JOIN (SELECT cluster, canonical_caption
+        |  FROM el WHERE rn = 1) e2 USING (cluster)
+        |ORDER BY k.id""".stripMargin,
+
+    // byte spans from the running byte sum; rows re-counted within
+    // each span by a partitioned row_number
+    "q215_pack_shards_dual" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |    CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_bytes_before,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS seq
+        |  FROM documents)
+        |SELECT doc_id, n_chars, cum_bytes_before, seq,
+        |  cum_bytes_before // 100000 AS byte_shard,
+        |  (row_number() OVER (PARTITION BY cum_bytes_before // 100000
+        |    ORDER BY doc_id) - 1) // 25 AS shard_in_span
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // epoch 2 term = (2 * 2246822519) mod 2^32 = 198677742; partner =
+    // shuffle_pos XOR 1 self-join, odd tail keeps a null partner
+    "q216_pair_partners" ->
+      """WITH h AS (SELECT doc_id,
+        |    ((((((doc_id % 2147483648) * 2654435761) % 4294967296)
+        |        + 198677742) % 4294967296 % 2147483648)
+        |      * 2654435761) % 4294967296 AS eh
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY eh, doc_id) - 1 AS shuffle_pos
+        |  FROM h)
+        |SELECT a.doc_id, a.shuffle_pos, a.shuffle_pos // 2 AS pair_id,
+        |  b.doc_id AS partner_doc_id
+        |FROM r a LEFT JOIN r b ON xor(a.shuffle_pos, 1) = b.shuffle_pos
+        |ORDER BY a.doc_id""".stripMargin,
 
     // the q62 pair recovery plus null-safe caption verdicts
     // (IS NOT DISTINCT FROM == Spark <=>)

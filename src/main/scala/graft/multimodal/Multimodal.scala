@@ -934,4 +934,139 @@ object Multimodal {
       blockSize)
   }
 
+  /** Candidate-pair PSNR verify — the graded SECOND stage of image
+    * dedup. Stage 1 ([[phashNearDups]] / [[graft.multimodal.PhashIndex]])
+    * proposes candidate pairs from the 64-bit hash column alone; this
+    * stage decodes ONLY the candidate pairs' payloads and scores each
+    * pair by exact PSNR between the two decoded pixel matrices — the
+    * BASELINE per-row invariant (PSNR >= 40 dB for lossy formats,
+    * exact pixels for lossless) applied pairwise, so "same picture in
+    * a different container / re-encode generation" is separable from
+    * "visually close but different picture" before a cluster collapse.
+    *
+    * Scale shape: the pair set is banding-bounded (never all-pairs),
+    * so payloads move only for the candidate ids — the distinct id set
+    * is broadcast into the corpus scan (a corpus-side filter, NO
+    * corpus shuffle), and only the surviving payloads shuffle, once
+    * per pair side. Decode happens in one mapPartitions with a
+    * partition-reused codec; pixel buffers die inside the partition
+    * and 5 scalars per pair leave.
+    *
+    * Verdicts per pair (decode failures audit false, never throw):
+    *   - decode_ok   — both payloads decoded
+    *   - dims_match  — decoded dimensions equal (PSNR is only defined
+    *                   on equal-shape matrices; a resize-normalized
+    *                   compare is a caller-side [[resizePlan]] step)
+    *   - psnr_db     — exact PSNR, +Infinity for identical pixels,
+    *                   null unless dims_match
+    *   - exact       — identical decoded pixels
+    *   - is_dup      — dims_match && psnr_db >= minPsnrDb
+    */
+  def pairPsnrVerify(imgs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      minPsnrDb: Double = 40.0): DataFrame = {
+    require(imgs.columns.contains("bytes") &&
+      imgs.columns.contains("fmt"),
+      "pairPsnrVerify: imgs needs payload columns (bytes, fmt)")
+    val payload = imgs.select(col(idCol).as("__pid"),
+      col("bytes").as("__bytes"), col("fmt").as("__fmt"))
+    // candidate ids broadcast INTO the corpus scan: the corpus never
+    // shuffles for a bounded pair set
+    val ids = pairs.select(col(aCol).as("__pid"))
+      .union(pairs.select(col(bCol).as("__pid"))).distinct()
+    val wanted = payload.join(broadcast(ids), Seq("__pid"), "left_semi")
+    val joined = pairs
+      .join(wanted.select(col("__pid"), col("__bytes").as("__bytes_a"),
+        col("__fmt").as("__fmt_a")), col(aCol) === col("__pid"))
+      .drop("__pid")
+      .join(wanted.select(col("__pid"), col("__bytes").as("__bytes_b"),
+        col("__fmt").as("__fmt_b")), col(bCol) === col("__pid"))
+      .drop("__pid")
+    val inSchema = joined.schema
+    val keptIdx = pairs.columns.map(inSchema.fieldIndex)
+    val baIdx = inSchema.fieldIndex("__bytes_a")
+    val faIdx = inSchema.fieldIndex("__fmt_a")
+    val bbIdx = inSchema.fieldIndex("__bytes_b")
+    val fbIdx = inSchema.fieldIndex("__fmt_b")
+    val outSchema = StructType(
+      keptIdx.map(inSchema.fields).toIndexedSeq ++ Seq(
+        StructField("decode_ok", BooleanType),
+        StructField("dims_match", BooleanType),
+        StructField("psnr_db", DoubleType),
+        StructField("exact", BooleanType),
+        StructField("is_dup", BooleanType)))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    joined.mapPartitions { it =>
+      val codec = new PixelCheck.Codec
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => codec.close()))
+      def dec(r: Row, bi: Int, fi: Int): java.awt.image.BufferedImage =
+        try {
+          val bytes = Option(r.getAs[Array[Byte]](bi))
+            .getOrElse(Array.emptyByteArray)
+          if (bytes.isEmpty) null else codec.decode(bytes, r.getString(fi))
+        } catch { case _: Exception => null }
+      it.map { r =>
+        val kept = keptIdx.map(r.get).toIndexedSeq
+        val ia = dec(r, baIdx, faIdx)
+        val ib = dec(r, bbIdx, fbIdx)
+        val verdict: Seq[Any] =
+          if (ia == null || ib == null)
+            Seq(false, false, null, false, false)
+          else if (ia.getWidth != ib.getWidth ||
+            ia.getHeight != ib.getHeight)
+            Seq(true, false, null, false, false)
+          else {
+            val p = PixelCheck.psnr(ia, ib)
+            Seq(true, true, p, p.isPosInfinity, p >= minPsnrDb)
+          }
+        Row.fromSeq(kept ++ verdict)
+      }
+    }
+  }
+
+  /** Canonical-caption election per image near-dup cluster: when a
+    * picture appears k times with diverging labels (scraped twice,
+    * re-captioned, case-normalized), training wants ONE caption per
+    * cluster chosen by a deterministic policy — majority vote, ties to
+    * the longest caption (most information), remaining ties to the
+    * lexicographically smallest. Null captions never vote; a cluster
+    * with no non-null caption elects null; singletons elect their own
+    * caption.
+    *
+    * Relational shape: connected components over the pair graph
+    * (log-rounds min-label propagation, [[graft.dedup.Components]]),
+    * then ONE (cluster, caption) vote count and ONE `min_by(struct)`
+    * election per cluster — both map-side combined, output bounded by
+    * the number of clusters; captions never ride the band explosion.
+    */
+  def electCanonicalCaption(imgs: DataFrame, idCol: String,
+      captionCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comp = graft.dedup.Components
+      .connectedComponents(pairs.select(col(aCol), col(bCol)),
+        aCol, bCol)
+      .select(col("id").as("__cc_id"),
+        col("component").as("__cc_comp"))
+    val keyed = imgs
+      .join(comp, imgs(idCol).cast("long") === col("__cc_id"), "left")
+      .withColumn("__cluster",
+        coalesce(col("__cc_comp"), imgs(idCol).cast("long")))
+      .drop("__cc_id", "__cc_comp")
+    val votes = keyed
+      .filter(col(captionCol).isNotNull)
+      .groupBy(col("__cluster"), col(captionCol).as("__cap"))
+      .agg(count(lit(1)).as("__votes"))
+    // min_by over (−votes, −length, caption): majority, then longest,
+    // then lexicographic — one deterministic struct comparison
+    val elected = votes.groupBy(col("__cluster"))
+      .agg(min_by(col("__cap"), struct(
+        (-col("__votes")).as("nv"),
+        (-length(col("__cap"))).as("nl"),
+        col("__cap").as("c"))).as("canonical_caption"))
+    keyed.join(elected, Seq("__cluster"), "left")
+      .withColumn("cluster", col("__cluster"))
+      .drop("__cluster")
+  }
+
 }

@@ -43,7 +43,19 @@ object Sharding {
     */
   private[graft] def exclusiveCumSumRaw(df: DataFrame,
       orderCols: Seq[Column], valueCol: Column, outCol: String)
+      : (DataFrame, () => Unit) =
+    exclusiveCumSumsRaw(df, orderCols, Seq(valueCol -> outCol))
+
+  /** N-value generalization: several exclusive running sums over the
+    * SAME order, all carried by ONE range shuffle + ONE per-partition
+    * totals collect (a dual-constraint packer needs cumulative bytes
+    * AND cumulative rows — two passes would double the dominant
+    * exchange for the second column's 8 bytes/row).
+    */
+  private[graft] def exclusiveCumSumsRaw(df: DataFrame,
+      orderCols: Seq[Column], values: Seq[(Column, String)])
       : (DataFrame, () => Unit) = {
+    require(values.nonEmpty, "exclusiveCumSumsRaw: no value columns")
     // backstop for every rank/pack layout built on this: whole rows
     // ride the range shuffle AND the persist, so a binary payload here
     // is terabytes of needless exchange for an index-only answer
@@ -56,22 +68,26 @@ object Sharding {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // null values count as 0 (and a partition of only-null values
     // must not NPE the driver-side unboxing)
-    val v = coalesce(valueCol.cast("long"), lit(0L))
+    val vs = values.map { case (c, _) => coalesce(c.cast("long"), lit(0L)) }
     val partTotals = ranged.groupBy(col("__pid"))
-      .agg(sum(v).as("t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .agg(sum(vs.head).as("t0"),
+        vs.tail.zipWithIndex.map { case (v, i) =>
+          sum(v).as(s"t${i + 1}") }: _*)
+      .collect().map(r => (r.getInt(0),
+        values.indices.map(i => r.getLong(i + 1))))
       .sortBy(_._1)
-    val offsets: Map[Int, Long] = partTotals.map(_._1)
-      .zip(partTotals.map(_._2).scanLeft(0L)(_ + _).init).toMap
-    val offCol =
-      if (offsets.isEmpty) lit(0L)
-      else coalesce(
-        element_at(typedLit(offsets), col("__pid")), lit(0L))
     val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val out = ranged
-      .withColumn(outCol, coalesce(sum(v).over(w), lit(0L)) + offCol)
-      .drop("__pid")
+    val out = values.indices.foldLeft(ranged) { (acc, i) =>
+      val offsets: Map[Int, Long] = partTotals.map(_._1)
+        .zip(partTotals.map(_._2(i)).scanLeft(0L)(_ + _).init).toMap
+      val offCol =
+        if (offsets.isEmpty) lit(0L)
+        else coalesce(
+          element_at(typedLit(offsets), col("__pid")), lit(0L))
+      acc.withColumn(values(i)._2,
+        coalesce(sum(vs(i)).over(w), lit(0L)) + offCol)
+    }.drop("__pid")
     (out, () => { ranged.unpersist(false); () })
   }
 
@@ -327,5 +343,79 @@ object Sharding {
       .select(col(groupCol), posexplode(col("__s")).as(Seq("__p", "__e")))
       .select(col(groupCol), (col("__p") + 1).cast("int").as("rank"),
         col("__e.id").as(idCol), col("__e.score").as("key"))
+  }
+
+  /** DUAL-constraint contiguous sharding — the WebDataset/tar export
+    * layout: every shard holds at most `byteBudget` bytes (plus the
+    * one straddling row's tail — a row belongs to the shard where it
+    * STARTS, the [[packShards]] convention a stream writer needs) AND
+    * at most `maxRows` rows. Two-level cut: `byte_shard =
+    * cum_bytes_before div byteBudget` closes a span at the byte
+    * budget; within each byte span rows are re-counted from zero and
+    * cut every `maxRows` (`shard_in_span`). The shard key is the pair
+    * `(byte_shard, shard_in_span)` — both caps hold EXACTLY by
+    * construction (each final shard is a subset of one byte span, and
+    * the row count within it is a row_number div).
+    *
+    * Note this is NOT the sequential greedy writer (a row-cap cut
+    * does not reset byte counting — that recurrence resets on its own
+    * value, like CUSUM, and would need a global sequential scan); the
+    * two-level rule is prefix-decomposable, so it costs ONE range
+    * shuffle for BOTH running sums ([[exclusiveCumSumsRaw]]) plus a
+    * |byte-spans|-row start-offset broadcast, at any corpus size.
+    * Integer `div` keeps boundaries exact past 2^53 cumulative bytes.
+    * Adds `cum_bytes_before`, `seq` (0-based layout position),
+    * `byte_shard`, `shard_in_span`. Payload columns must not ride the
+    * layout — project to (id, size) first, join bytes back by id at
+    * write time (enforced: binary columns are rejected).
+    */
+  def packShardsDual(df: DataFrame, orderCol: String,
+      bytesCol: String, byteBudget: Long, maxRows: Long): DataFrame = {
+    require(byteBudget > 0, s"byteBudget must be positive, got $byteBudget")
+    require(maxRows > 0, s"maxRows must be positive, got $maxRows")
+    val (frame, cleanup) = exclusiveCumSumsRaw(df, Seq(col(orderCol)),
+      Seq(col(bytesCol) -> "cum_bytes_before", lit(1L) -> "seq"))
+    val out = try frame.localCheckpoint(true) finally cleanup()
+    val spans = out
+      .withColumn("byte_shard",
+        expr(s"cum_bytes_before div ${byteBudget}L"))
+    val starts = spans.groupBy(col("byte_shard").as("__bs"))
+      .agg(min(col("seq")).as("__start"))
+    spans.join(broadcast(starts), col("byte_shard") === col("__bs"))
+      .withColumn("shard_in_span",
+        expr(s"(seq - __start) div ${maxRows}L"))
+      .drop("__bs", "__start")
+  }
+
+  /** Deterministic training-pair assignment (mixup / CutMix / hard
+    * in-batch contrastive partners): rows are laid out in the epoch's
+    * [[epochShuffle]] order and paired even-with-odd
+    * (`partner_pos = shuffle_pos XOR 1`), so each row's partner is a
+    * uniform draw that changes every epoch yet is reproducible from
+    * `(id, epoch)` alone on any cluster size — no RNG state, no
+    * driver-side permutation. An odd-sized corpus leaves exactly the
+    * last position unpaired (`partner_id` null — the trainer drops or
+    * self-pairs it).
+    *
+    * Cost: the epoch rank's ONE range shuffle + ONE equi-join of the
+    * index against itself on the dense position (both sides are the
+    * (id, pos) projection — payloads never ride; binary columns are
+    * rejected by the rank machinery). Adds `shuffle_pos`, `pair_id`
+    * (= `shuffle_pos div 2`) and `partner_<idCol>`.
+    */
+  def pairPartners(df: DataFrame, idCol: String, epoch: Int)
+      : DataFrame = {
+    val ranked = epochShuffle(df, idCol, epoch)
+    val partnerCol = s"partner_$idCol"
+    require(!df.columns.contains(partnerCol) &&
+      !df.columns.contains("pair_id"),
+      s"pairPartners: input already has a '$partnerCol'/'pair_id' column")
+    val index = ranked.select(
+      col(idCol).as(partnerCol),
+      col("shuffle_pos").bitwiseXOR(lit(1L)).as("__ppos"))
+    ranked
+      .join(index, col("shuffle_pos") === col("__ppos"), "left")
+      .drop("__ppos")
+      .withColumn("pair_id", expr("shuffle_pos div 2L"))
   }
 }

@@ -504,6 +504,25 @@ class PlanDisciplineSpec extends SparkSpec {
       s"index query must never read the image table:\n${plan.take(1200)}")
   }
 
+  test("pairPsnrVerify: candidate ids broadcast into the corpus scan " +
+      "— the corpus never shuffles for a bounded pair set") {
+    val imgs = spark.read.parquet(imgPath)
+      .selectExpr("CAST(substring(image_id, 5) AS BIGINT) AS id",
+        "bytes", "fmt")
+    val pairs = imgs.select("id").limit(6)
+      .selectExpr("id AS id_a", "id + 1 AS id_b")
+    val q = graft.multimodal.Multimodal.pairPsnrVerify(imgs, "id", pairs)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // the semi-join restricting the corpus to candidate ids must be a
+    // broadcast (id-list side), not a corpus shuffle
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.toLowerCase.contains("leftsemi"),
+      s"corpus restriction must be a broadcast semi join:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.take(1200))
+  }
+
   test("whole-row rank/pack layouts refuse binary payload columns") {
     val imgs = spark.read.parquet(imgPath) // carries bytes
     val e1 = intercept[IllegalArgumentException] {

@@ -161,4 +161,64 @@ class ShardingSpec extends SparkSpec {
         "id", 1)
     }
   }
+
+  test("packShardsDual: byte spans cut at the budget, rows re-counted " +
+      "and capped within each span; straddling row starts its span; " +
+      "binary rejected") {
+    // byteBudget 1000, maxRows 3
+    val d = df("id BIGINT, sz BIGINT", Seq(
+      Row(1L, 400L), Row(2L, 700L),   // bytes cut: cum 1100 at row 3
+      Row(3L, 100L), Row(4L, 100L), Row(5L, 100L),
+      Row(6L, 100L),                  // 5 rows land in byte span 1 ->
+      Row(7L, 2000L),                 //   row cap splits it 3 + 2
+      Row(8L, 100L)))                 // big row 7 jumps cum to span 3
+    val out = Sharding.packShardsDual(d, "id", "sz",
+      byteBudget = 1000L, maxRows = 3L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // cum_bytes: 0,400,1100,1200,1300,1400,1500,3500
+    // byte_shard: 0,0,1,1,1,1,1,3 ; within-span rows: 0,1|0,1,2,3,4|0
+    assert(out == Seq(
+      (1L, 0L, 0L, 0L, 0L), (2L, 400L, 1L, 0L, 0L),
+      (3L, 1100L, 2L, 1L, 0L), (4L, 1200L, 3L, 1L, 0L),
+      (5L, 1300L, 4L, 1L, 0L), (6L, 1400L, 5L, 1L, 1L),
+      (7L, 1500L, 6L, 1L, 1L), (8L, 3500L, 7L, 3L, 0L)))
+    // every final shard honors the row cap exactly, and stays within
+    // one byte span
+    out.groupBy(t => (t._4, t._5)).foreach { case (_, rows) =>
+      assert(rows.size <= 3)
+      assert(rows.map(_._4).distinct.size == 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sharding.packShardsDual(
+        d.withColumn("bytes", lit(Array[Byte](1))), "id", "sz", 10L, 3L)
+    }
+  }
+
+  test("pairPartners: even-odd pairing is symmetric, odd tail " +
+      "unpaired, pair_id = pos div 2, epochs differ") {
+    val d = df("id BIGINT", (1L to 7L).map(Row(_)))
+    val out = Sharding.pairPartners(d, "id", epoch = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2), r.getLong(3))).toSeq
+    assert(out.size == 7)
+    val byId = out.map(t => t._1 -> t).toMap
+    out.foreach { case (id, pos, partner, pairId) =>
+      assert(pairId == pos / 2)
+      if (pos == 6) assert(partner == null)   // odd tail (7 rows)
+      else {
+        val p = byId(partner.asInstanceOf[Long])
+        assert(p._3 == id)                     // symmetric
+        assert(p._4 == pairId)                 // same pair
+        assert((pos ^ p._2) == 1L)             // adjacent even-odd
+      }
+    }
+    // a different epoch produces a different pairing for 7 ids
+    val out3 = Sharding.pairPartners(d, "id", epoch = 3)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) null else r.getLong(2))).toMap
+    val out2 = out.map(t => t._1 -> t._3).toMap
+    assert(out2 != out3)
+  }
 }

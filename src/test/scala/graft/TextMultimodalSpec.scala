@@ -440,4 +440,79 @@ class TextMultimodalSpec extends SparkSpec {
       ("c", 1L, 0L, 3L, 14L, 1L, 4L, 1L),
       ("d", 1L, 3L, 6L, 17L, 1L, 7L, 2L))) // spans into block 2
   }
+
+  test("pairPsnrVerify: exact copy +inf, jpeg re-encode >=40dB lossy, " +
+      "different render not dup, dims mismatch, corrupt payload") {
+    val imgA = PixelCheck.toImage(PixelCheck.syntheticPixels(7L, 16, 16),
+      16, 16)
+    // genuinely different same-dims content: the inverted raster (the
+    // synthetic renders only vary their blue channel across seeds, so
+    // two seeds can LEGITIMATELY sit above 40 dB — that's a dup by
+    // the metric, not a counterexample)
+    val imgB = PixelCheck.toImage(
+      PixelCheck.syntheticPixels(7L, 16, 16).map(p => ~p & 0xffffff),
+      16, 16)
+    val imgC = PixelCheck.toImage(PixelCheck.syntheticPixels(9L, 16, 8),
+      16, 8)
+    val pngA = PixelCheck.encode(imgA, "png")
+    val jpgA = PixelCheck.encode(imgA, "jpeg")
+    val pngB = PixelCheck.encode(imgB, "png")
+    val pngC = PixelCheck.encode(imgC, "png")
+    val imgs = df("id BIGINT, bytes BINARY, fmt STRING", Seq(
+      Row(1L, pngA, "png"), Row(2L, pngA, "png"),   // exact copies
+      Row(3L, jpgA, "jpeg"),                        // lossy twin of 1
+      Row(4L, pngB, "png"),                         // different render
+      Row(5L, pngC, "png"),                         // different dims
+      Row(6L, Array[Byte](1, 2, 3), "png")))        // corrupt
+    val pairs = df("id_a BIGINT, id_b BIGINT", Seq(
+      Row(1L, 2L), Row(1L, 3L), Row(1L, 4L), Row(1L, 5L), Row(1L, 6L)))
+    val out = Multimodal.pairPsnrVerify(imgs, "id", pairs)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        r.getBoolean(5), r.getBoolean(6))).toSeq
+    val exact = out(0); val lossy = out(1); val diff = out(2)
+    val dims = out(3); val corrupt = out(4)
+    assert(exact == ((2L, true, true, Double.PositiveInfinity,
+      true, true)))
+    assert(lossy._2 && lossy._3 && !lossy._5 && lossy._6) // dup, not exact
+    assert(lossy._4.asInstanceOf[Double] >= 40.0 &&
+      !lossy._4.asInstanceOf[Double].isPosInfinity)
+    assert(diff._2 && diff._3 && !diff._6)  // decodes, same dims, not dup
+    assert(diff._4.asInstanceOf[Double] < 40.0)
+    assert(dims == ((5L, true, false, null, false, false)))
+    assert(corrupt == ((6L, false, false, null, false, false)))
+  }
+
+  test("electCanonicalCaption: majority, tie->longest, tie->lexicographic," +
+      " null captions never vote, singleton elects own") {
+    val imgs = df("id BIGINT, caption STRING", Seq(
+      // cluster {1,2,3}: majority "cat" (2 votes) beats "a long dog"
+      Row(1L, "cat"), Row(2L, "cat"), Row(3L, "a long dog"),
+      // cluster {4,5}: 1-1 tie -> longest wins
+      Row(4L, "tiny"), Row(5L, "much longer caption"),
+      // cluster {6,7}: 1-1 tie, equal length -> lexicographic smallest
+      Row(6L, "bbbb"), Row(7L, "aaaa"),
+      // cluster {8,9}: null never votes
+      Row(8L, null), Row(9L, "real"),
+      // singleton
+      Row(10L, "solo"),
+      // cluster {11,12}: all null -> null canonical
+      Row(11L, null), Row(12L, null)))
+    val pairs = df("id_a BIGINT, id_b BIGINT", Seq(
+      Row(1L, 2L), Row(2L, 3L), Row(4L, 5L), Row(6L, 7L),
+      Row(8L, 9L), Row(11L, 12L)))
+    val out = Multimodal.electCanonicalCaption(imgs, "id", "caption",
+      pairs).orderBy("id")
+      .select("id", "canonical_caption").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(out == Seq(
+      (1L, "cat"), (2L, "cat"), (3L, "cat"),
+      (4L, "much longer caption"), (5L, "much longer caption"),
+      (6L, "aaaa"), (7L, "aaaa"),
+      (8L, "real"), (9L, "real"),
+      (10L, "solo"),
+      (11L, null), (12L, null)))
+  }
 }
