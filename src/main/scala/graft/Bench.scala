@@ -374,8 +374,33 @@ object Bench {
         .agg(sum(col("mean_luma"))).head()
       scaleImages
     }
+    // Stored-input asof block (round-5 probe findings, see
+    // BASELINE.md): inputs come from parquet written ONCE per level
+    // (untimed) — at 100 TB the operator reads stored tables, so
+    // timing in-flight synthetic generation measured the generator,
+    // not the engine. 4x the flagship row count: at 250k images the
+    // job's ~26-stage multi-pass fit is BARRIER-FLOORED (~4.5 s wall
+    // at BOTH 4 and 16 cores with cores idle at both levels), so the
+    // ratio measured scheduler latency; larger stages amortize it the
+    // way hours-long 100 TB stages do.
+    val asofImages =
+      sys.env.getOrElse("SPARK_GRAFT_ASOF_IMAGES", "1000000").toLong
+    val asofRoot = "/tmp/graft_bench_asof_in"
+    def writeAsofInputs(s: SparkSession): Unit = {
+      graft.io.ImageTable.events(s, asofImages, 5)
+        .write.mode("overwrite").parquet(s"$asofRoot/events")
+      graft.io.ImageTable.snapshots(s, asofImages)
+        .write.mode("overwrite").parquet(s"$asofRoot/snapshots")
+      graft.io.ImageTable.images(s, asofImages)
+        .select("image_id", "w", "h", "fmt", "caption")
+        .write.mode("overwrite").parquet(s"$asofRoot/meta")
+    }
     def asofJob(s: SparkSession): Long = {
-      val r = Flagship.features(s, scaleImages, 5).count()
+      val joined = Flagship.joinedInputFrom(
+        s.read.parquet(s"$asofRoot/events"),
+        s.read.parquet(s"$asofRoot/snapshots"),
+        s.read.parquet(s"$asofRoot/meta"))
+      val r = Flagship.featuresOver(joined).count()
       s.catalog.clearCache(); r
     }
     // REAL-codec round trip (javax.imageio): encode the deterministic
@@ -458,6 +483,12 @@ object Bench {
       val (rc16, tc16, rawC16, cpuC16) = atCpu(16, sReps)(realCodecJob)
       val (rc4, tc4, rawC4, cpuC4) =
         atCpu(4, math.max(2, sReps - 1))(realCodecJob)
+      locally { // stored inputs written ONCE, untimed (level-neutral)
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        val s = session(16)
+        writeAsofInputs(s)
+        s.stop()
+      }
       val (ra16, ta16, rawA16, cpuA16) = atCpu(16, 4)(asofJob)
       val (ra4, ta4, rawA4, cpuA4) = atCpu(4, 3)(asofJob)
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -480,7 +511,7 @@ object Bench {
       System.err.println(
         f"[bench] scaling real-codec ($realCodecImages imgs, javax.imageio encode+decode+PSNR, q115 op) 4c=$thrC4%.0f img/s 16c=$thrC16%.0f img/s eff=$effC%.3f raw4=${fmtRaw(rawC4)} raw16=${fmtRaw(rawC16)} cpu/rep=$cpuC4%.1f/$cpuC16%.1f s")
       System.err.println(
-        f"[bench] scaling asof-transform 4c=$thrA4%.0f rows/s 16c=$thrA16%.0f rows/s eff=$effA%.3f raw4=${fmtRaw(rawA4)} raw16=${fmtRaw(rawA16)} cpu/rep=$cpuA4%.1f/$cpuA16%.1f s (single-box floor)")
+        f"[bench] scaling asof-transform (stored parquet inputs, $asofImages imgs) 4c=$thrA4%.0f rows/s 16c=$thrA16%.0f rows/s eff=$effA%.3f raw4=${fmtRaw(rawA4)} raw16=${fmtRaw(rawA16)} cpu/rep=$cpuA4%.1f/$cpuA16%.1f s (single-box floor)")
       // "cores":"4/16" = the N and 4N parallelism levels (shortened
       // from n_cores/n4_cores to keep the machine line in budget)
       f""","scaling":{"cores":"4/16","pipeline_img_s":{"n":$thrD4%.0f,"n4":$thrD16%.0f,"eff":$effD%.3f,"cpu_n":$cpuD4%.0f,"cpu_n4":$cpuD16%.0f},"kernel_img_s":{"n":$thrK4%.0f,"n4":$thrK16%.0f,"eff":$effK%.3f},"real_codec_img_s":{"images":$realCodecImages,"n":$thrC4%.0f,"n4":$thrC16%.0f,"eff":$effC%.3f,"cpu_n":$cpuC4%.0f,"cpu_n4":$cpuC16%.0f},"asof_only_rows_s":{"n":$thrA4%.0f,"n4":$thrA16%.0f,"eff":$effA%.3f,"cpu_n":$cpuA4%.0f,"cpu_n4":$cpuA16%.0f}}"""

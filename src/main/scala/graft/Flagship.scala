@@ -32,12 +32,23 @@ object Flagship {
   def joinedInput(spark: SparkSession, nImages: Long,
       eventsPerImage: Int, hotFraction: Double = 0.0,
       hotEntities: Seq[String] = Seq.empty,
-      autoSaltShare: Option[Double] = None): DataFrame = {
-    val imgs = ImageTable.images(spark, nImages)
-    val evs = ImageTable.events(spark, nImages, eventsPerImage,
-      hotFraction = hotFraction)
-    val snaps = ImageTable.snapshots(spark, nImages)
+      autoSaltShare: Option[Double] = None): DataFrame =
+    joinedInputFrom(
+      ImageTable.events(spark, nImages, eventsPerImage,
+        hotFraction = hotFraction),
+      ImageTable.snapshots(spark, nImages),
+      ImageTable.images(spark, nImages),
+      hotEntities, autoSaltShare)
 
+  /** Same plan over CALLER-SUPPLIED tables (e.g. parquet reads — the
+    * production shape: at 100 TB the inputs are stored tables, not
+    * in-flight generation; the bench's stored-input scaling variant
+    * reads these from disk so the timed work is scan + join +
+    * transform, the operator, not the synthetic generator).
+    */
+  def joinedInputFrom(evs: DataFrame, snaps: DataFrame,
+      imgs: DataFrame, hotEntities: Seq[String] = Seq.empty,
+      autoSaltShare: Option[Double] = None): DataFrame = {
     // point-in-time attach of the latest snapshot per event; skew
     // handling either from an explicit hot list or (autoSaltShare) the
     // sampled runtime detection pass
@@ -106,9 +117,15 @@ object Flagship {
   def features(spark: SparkSession, nImages: Long,
       eventsPerImage: Int, hotFraction: Double = 0.0,
       hotEntities: Seq[String] = Seq.empty,
+      cacheFitInput: Boolean = true): DataFrame =
+    featuresOver(joinedInput(spark, nImages, eventsPerImage,
+      hotFraction, hotEntities), cacheFitInput)
+
+  /** Fit + transform over a caller-supplied joined input plan (see
+    * [[joinedInputFrom]] for the stored-table production shape).
+    */
+  def featuresOver(joined: DataFrame,
       cacheFitInput: Boolean = true): DataFrame = {
-    val joined = joinedInput(spark, nImages, eventsPerImage,
-      hotFraction, hotEntities)
     val pipe = pipelineDef()
     // The pipeline's fit passes each re-execute their input plan;
     // persist the fit projection once so the as-of join + generation
