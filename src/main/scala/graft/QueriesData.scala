@@ -733,6 +733,54 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    "q219_epoch_ladder_batches" -> ((s, dir) => {
+      // per-epoch aspect-bucketed training batches: the q209 ladder
+      // snap ranked inside each rung by the epoch-3 Knuth mix instead
+      // of static id order — each epoch reshuffles every rung's
+      // batches, reproducible from (id, epoch) alone; same
+      // no-PARTITION-BY-bucket rank machinery
+      val imgs = oracleImages(s, 500, "/tmp/graft_oracle_images_q219")
+        .select(expr("CAST(substring(image_id, 5) AS BIGINT)").as("id"),
+          col("w"), col("h"))
+      graft.multimodal.AspectBatch.snapToLadder(imgs, "id", "w", "h",
+        AspectLadder,
+        batchSize = 16, epochOrder = Some(3))
+        .select(col("id"), col("bucket_idx"), col("rank_in_bucket"),
+          col("batch_idx"))
+        .orderBy("id")
+    }),
+
+    "q217_resize_ladder_verify" -> ((s, dir) => {
+      // materialized-ladder round trip: resizeEncode NN-upsamples png
+      // originals 2x and re-encodes losslessly; the normalized pair
+      // PSNR verify must score every (original, materialized-2x) pair
+      // +Infinity (an NN-downsample of an NN-upsample is the
+      // identity) with dims_match honestly false, and every relabeled
+      // exact copy +Infinity with dims_match true. All verdicts are
+      // id-pattern provable.
+      val path = "/tmp/graft_oracle_images_q217"
+      ImageTable.imagesReal(s, 240).write.mode("overwrite").parquet(path)
+      val base = s.read.parquet(path)
+        .withColumn("id", expr("CAST(substring(image_id, 5) AS BIGINT)"))
+      val up = Multimodal.resizeEncode(
+        base.filter(col("id") % 10 === 0 && col("fmt") === "png")
+          .withColumn("tw", col("w") * 2)
+          .withColumn("th", col("h") * 2),
+        "tw", "th").drop("tw", "th")
+        .withColumn("id", col("id") + 1000000L)
+      val copies = base.filter(col("id") % 10 === 5)
+        .withColumn("id", col("id") + 2000000L)
+      val full = base.unionByName(up).unionByName(copies)
+      val pairs = full.filter(col("id") >= 1000000L)
+        .select(pmod(col("id"), lit(1000000L)).as("id_a"),
+          col("id").as("id_b"))
+      Multimodal.pairPsnrVerify(full, "id", pairs,
+        normalizeDims = true)
+        .select(col("id_a"), col("id_b"), col("decode_ok"),
+          col("dims_match"), col("exact"), col("is_dup"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "q52_multimodal_decode" -> ((s, dir) => {
       // mapPartitions decode plumbing with the stub decoder (whose spec
       // is deliberately SQL-reproducible — see Multimodal.StubDecoder);
@@ -3896,6 +3944,52 @@ object QueriesData {
         |  b.doc_id AS partner_doc_id
         |FROM r a LEFT JOIN r b ON xor(a.shuffle_pos, 1) = b.shuffle_pos
         |ORDER BY a.doc_id""".stripMargin,
+
+    // the q209 snap replay with the epoch-3 Knuth mix (q212's term
+    // 2445500261) driving the per-rung rank
+    "q219_epoch_ladder_batches" ->
+      s"""WITH base AS (SELECT
+        |    CAST(substring(image_id, 5) AS BIGINT) AS id,
+        |    CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h
+        |  FROM read_parquet('/tmp/graft_oracle_images_q219/*.parquet')),
+        |ladder(bucket_idx, bucket_w, bucket_h) AS (VALUES
+        |  ${AspectLadder.zipWithIndex
+          .map { case ((bw, bh), i) => s"($i, $bw, $bh)" }
+          .mkString(", ")}),
+        |scored AS (SELECT b.id, b.w, b.h, l.bucket_idx,
+        |    CAST(abs(b.w * l.bucket_h - b.h * l.bucket_w) AS DOUBLE) /
+        |      CAST(l.bucket_h AS DOUBLE) AS d
+        |  FROM base b CROSS JOIN ladder l),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY id
+        |    ORDER BY d, bucket_idx) AS rn FROM scored),
+        |h AS (SELECT id, bucket_idx,
+        |    ((((((id % 2147483648) * 2654435761) % 4294967296)
+        |        + 2445500261) % 4294967296 % 2147483648)
+        |      * 2654435761) % 4294967296 AS eh
+        |  FROM best WHERE rn = 1),
+        |ranked AS (SELECT id, bucket_idx,
+        |    row_number() OVER (PARTITION BY bucket_idx
+        |      ORDER BY eh, id) - 1 AS rank_in_bucket
+        |  FROM h)
+        |SELECT id, bucket_idx, rank_in_bucket,
+        |  rank_in_bucket // 16 AS batch_idx
+        |FROM ranked ORDER BY id""".stripMargin,
+
+    // every verdict is an id-pattern function of the stored table:
+    // 2x-materialized png twins normalize back to +Infinity (dims
+    // honestly differing), relabeled copies are exact at equal dims
+    "q217_resize_ladder_verify" ->
+      """WITH base AS (SELECT
+        |    CAST(substring(image_id, 5) AS BIGINT) AS id, fmt
+        |  FROM read_parquet('/tmp/graft_oracle_images_q217/*.parquet')),
+        |p AS (
+        |  SELECT id AS id_a, id + 1000000 AS id_b, FALSE AS dims_match
+        |    FROM base WHERE id % 10 = 0 AND fmt = 'png'
+        |  UNION ALL
+        |  SELECT id, id + 2000000, TRUE FROM base WHERE id % 10 = 5)
+        |SELECT id_a, id_b, TRUE AS decode_ok, dims_match,
+        |  TRUE AS exact, TRUE AS is_dup
+        |FROM p ORDER BY 1, 2""".stripMargin,
 
     // the q62 pair recovery plus null-safe caption verdicts
     // (IS NOT DISTINCT FROM == Spark <=>)

@@ -395,6 +395,23 @@ object QueriesTemporal {
           col("session_start"), col("session_end"), col("duration_us"),
           col("n_events"), col("n_event_types"), col("value_micros"))
         .orderBy("user_id", "session_id")
+    }),
+
+    "q218_replay_parity" -> ((s, dir) => {
+      // train/serve feature-replay parity (online/offline skew): the
+      // purchase feature as-of the event instant (training) vs as-of
+      // event+2h (serving); _stale flags rows where a purchase landed
+      // inside the window between the two instants. Oracle = two
+      // chained DuckDB ASOF joins + IS DISTINCT FROM.
+      val evs = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("serve_ts"))
+      AsOfJoin.replayParity(evs, purchases(s, dir), "user_id",
+        "ts", "serve_ts", "ts", Seq("purchase_value"))
+        .select(col("event_id"), col("purchase_value_train"),
+          col("purchase_value_serve"), col("purchase_value_stale"),
+          col("matched_ts_train"), col("matched_ts_serve"))
+        .orderBy("event_id")
     })
   )
 
@@ -409,6 +426,24 @@ object QueriesTemporal {
          |FROM events l ASOF LEFT JOIN ($purchasesSql) r
          |ON l.user_id = r.user_id AND l.ts >= r.ts
          |ORDER BY 1""".stripMargin,
+
+    "q218_replay_parity" ->
+      s"""WITH t AS (SELECT l.event_id, l.user_id, l.ts,
+         |    r.purchase_value AS purchase_value_train,
+         |    r.ts AS matched_ts_train
+         |  FROM events l ASOF LEFT JOIN ($purchasesSql) r
+         |  ON l.user_id = r.user_id AND l.ts >= r.ts),
+         |sv AS (SELECT t.*,
+         |    r.purchase_value AS purchase_value_serve,
+         |    r.ts AS matched_ts_serve
+         |  FROM t ASOF LEFT JOIN ($purchasesSql) r
+         |  ON t.user_id = r.user_id
+         |    AND t.ts + INTERVAL 2 HOUR >= r.ts)
+         |SELECT event_id, purchase_value_train, purchase_value_serve,
+         |  (purchase_value_train IS DISTINCT FROM purchase_value_serve)
+         |    AS purchase_value_stale,
+         |  matched_ts_train, matched_ts_serve
+         |FROM sv ORDER BY 1""".stripMargin,
 
     // identical truth to q30: salting is partitioning, not semantics
     "q141_asof_auto_salted" ->

@@ -143,24 +143,25 @@ object AspectBatch {
     val bucketed = guarded.withColumn("bucket",
       expr(s"((__w * 1000L div `$hCol`) div $milliPerBucket)"))
       .drop("__w")
-    rankWithin(bucketed, "bucket", idCol, "seq")
+    rankWithin(bucketed, "bucket", Seq(col(idCol)), "seq")
       .withColumn("batch_id", expr(s"seq div ${batchSize}L"))
       .withColumn("slot", pmod(col("seq"), lit(batchSize.toLong)))
   }
 
   /** Deterministic 0-based rank of every row within its `bucketCol`
-    * group, in `idCol` order — the two-phase exclusive cumulative
-    * count over (bucket, id) minus the bucket's start offset (a
+    * group, in `orderCols` order — the two-phase exclusive cumulative
+    * count over (bucket, order...) minus the bucket's start offset (a
     * \|buckets\|-row min-aggregation, broadcast back). No
     * `PARTITION BY bucket` window anywhere: that would sort
     * multi-billion-row buckets inside single tasks at 10^12 images.
     * Shared by [[aspectRatioBatches]] and [[snapToLadder]].
     */
   private def rankWithin(df: DataFrame, bucketCol: String,
-      idCol: String, outCol: String): DataFrame = {
+      orderCols: Seq[org.apache.spark.sql.Column], outCol: String)
+      : DataFrame = {
     graft.core.Ids.requireNoBinary(df, "AspectBatch rank")
     val (ranked, cleanup) = graft.text.Sharding.exclusiveCumSumRaw(
-      df, Seq(col(bucketCol), col(idCol)), lit(1L), "__pos")
+      df, col(bucketCol) +: orderCols, lit(1L), "__pos")
     val positioned =
       try ranked.localCheckpoint(true) finally cleanup()
     val starts = positioned.groupBy(col(bucketCol).as("__b"))
@@ -191,8 +192,18 @@ object AspectBatch {
     * operands, rounded to 6dp).
     */
   def snapToLadder(df: DataFrame, idCol: String, wCol: String,
-      hCol: String, ladder: Seq[(Int, Int)], batchSize: Int)
-      : DataFrame = {
+      hCol: String, ladder: Seq[(Int, Int)], batchSize: Int,
+      epochOrder: Option[Int] = None): DataFrame = {
+    // epochOrder: rank inside each rung in the epoch's pseudo-random
+    // order (the Sharding.epochHash two-round mix keyed on (id,
+    // epoch)) instead of static id order — per-epoch reshuffled
+    // aspect-bucketed training batches, reproducible on any cluster
+    // size from (id, epoch) alone; requires integral ids
+    epochOrder.foreach { e =>
+      graft.core.Ids.requireIntegral(df, idCol,
+        "snapToLadder(epochOrder)")
+      require(e >= 0, s"snapToLadder: epoch must be >= 0, got $e")
+    }
     require(ladder.nonEmpty, "snapToLadder: empty ladder")
     require(ladder.forall { case (bw, bh) => bw > 0 && bh > 0 },
       s"ladder dims must be positive, got $ladder")
@@ -219,7 +230,12 @@ object AspectBatch {
           greatest(w * col("bucket_h"), h * col("bucket_w"))
             .cast("double"), 6))
       .drop("__best")
-    rankWithin(snapped, "bucket_idx", idCol, "rank_in_bucket")
+    val order = epochOrder match {
+      case Some(e) => Seq(
+        graft.text.Sharding.epochHash(col(idCol), e), col(idCol))
+      case None => Seq(col(idCol))
+    }
+    rankWithin(snapped, "bucket_idx", order, "rank_in_bucket")
       .withColumn("batch_idx", expr(s"rank_in_bucket div $batchSize"))
   }
 }

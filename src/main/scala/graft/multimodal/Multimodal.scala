@@ -955,16 +955,45 @@ object Multimodal {
     * Verdicts per pair (decode failures audit false, never throw):
     *   - decode_ok   — both payloads decoded
     *   - dims_match  — decoded dimensions equal (PSNR is only defined
-    *                   on equal-shape matrices; a resize-normalized
-    *                   compare is a caller-side [[resizePlan]] step)
-    *   - psnr_db     — exact PSNR, +Infinity for identical pixels,
-    *                   null unless dims_match
-    *   - exact       — identical decoded pixels
-    *   - is_dup      — dims_match && psnr_db >= minPsnrDb
+    *                   on equal-shape matrices)
+    *   - psnr_db     — exact PSNR, +Infinity for identical pixels;
+    *                   null when dims differ unless `normalizeDims`
+    *   - exact       — identical (possibly normalized) pixels
+    *   - is_dup      — psnr_db >= minPsnrDb
+    *
+    * With `normalizeDims = true`, dims-differing pairs are NN-sampled
+    * onto the smaller common grid (the [[ImageIoResizer]] integer
+    * rule) before scoring: an NN-downsample of an NN-upsample is the
+    * identity, so a true dup stored at 2x resolution scores
+    * +Infinity against its original while `dims_match` stays false —
+    * the verify stage for [[resizeEncode]]-materialized ladders.
     */
+  /** NN-sample `img` onto a `tw x th` grid with the SAME integer
+    * source rule as [[ImageIoResizer]] (`src = x * w div tw`), so a
+    * normalized compare of an NN-upscaled twin against its original
+    * recovers the original exactly.
+    */
+  private def nnSample(img: java.awt.image.BufferedImage, tw: Int,
+      th: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(tw, th,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < th) {
+      val sy = y * h / th
+      var x = 0
+      while (x < tw) {
+        out.setRGB(x, y, img.getRGB(x * w / tw, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   def pairPsnrVerify(imgs: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b",
-      minPsnrDb: Double = 40.0): DataFrame = {
+      minPsnrDb: Double = 40.0, normalizeDims: Boolean = false): DataFrame = {
     require(imgs.columns.contains("bytes") &&
       imgs.columns.contains("fmt"),
       "pairPsnrVerify: imgs needs payload columns (bytes, fmt)")
@@ -1013,14 +1042,88 @@ object Multimodal {
         val verdict: Seq[Any] =
           if (ia == null || ib == null)
             Seq(false, false, null, false, false)
-          else if (ia.getWidth != ib.getWidth ||
-            ia.getHeight != ib.getHeight)
-            Seq(true, false, null, false, false)
           else {
-            val p = PixelCheck.psnr(ia, ib)
-            Seq(true, true, p, p.isPosInfinity, p >= minPsnrDb)
+            val dimsMatch = ia.getWidth == ib.getWidth &&
+              ia.getHeight == ib.getHeight
+            if (!dimsMatch && !normalizeDims)
+              Seq(true, false, null, false, false)
+            else {
+              // normalized compare: NN-sample both onto the smaller
+              // common grid (an NN-downsample of an NN-upsample is
+              // the identity, so scale-differing true dups score
+              // +Infinity); dims_match stays honest
+              val (pa, pb) =
+                if (dimsMatch) (ia, ib)
+                else {
+                  val tw = math.min(ia.getWidth, ib.getWidth)
+                  val th = math.min(ia.getHeight, ib.getHeight)
+                  (nnSample(ia, tw, th), nnSample(ib, tw, th))
+                }
+              val p = PixelCheck.psnr(pa, pb)
+              Seq(true, dimsMatch, p, p.isPosInfinity, p >= minPsnrDb)
+            }
           }
         Row.fromSeq(kept ++ verdict)
+      }
+    }
+  }
+
+  /** Materialize a resize: decode the payload, NN-resample onto the
+    * per-row `(twCol, thCol)` target grid (the [[ImageIoResizer]]
+    * integer source rule — no resampling kernel, engine-exact), and
+    * re-encode LOSSLESSLY as png, updating `bytes`, `w`, `h`, `fmt`.
+    * This is the step that turns a [[graft.multimodal.AspectBatch]]
+    * ladder plan (`snapToLadder` picks `bucket_w x bucket_h`) into
+    * actual training payloads; png output keeps the materialized
+    * pixels exactly reproducible, so [[pairPsnrVerify]] with
+    * `normalizeDims` certifies a materialized ladder against its
+    * originals (+Infinity for every true pair).
+    *
+    * Undecodable payloads pass through UNCHANGED (quarantine first
+    * via [[auditPayloads]]); null/absurd targets are rejected up
+    * front. Same partition discipline as every codec op: one codec
+    * per partition, pixel buffers die inside it.
+    */
+  def resizeEncode(df: DataFrame, twCol: String, thCol: String,
+      maxDim: Int = 16384): DataFrame = {
+    val inSchema = df.schema
+    val bytesIdx = inSchema.fieldIndex("bytes")
+    val fmtIdx = inSchema.fieldIndex("fmt")
+    val wIdx = inSchema.fieldIndex("w")
+    val hIdx = inSchema.fieldIndex("h")
+    val twIdx = inSchema.fieldIndex(twCol)
+    val thIdx = inSchema.fieldIndex(thCol)
+    implicit val enc = org.apache.spark.sql.Encoders.row(inSchema)
+    df.mapPartitions { it =>
+      val codec = new PixelCheck.Codec
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => codec.close()))
+      it.map { r =>
+        require(!r.isNullAt(twIdx) && !r.isNullAt(thIdx),
+          s"resizeEncode: null target dims in ($twCol, $thCol)")
+        val tw = r.getInt(twIdx); val th = r.getInt(thIdx)
+        require(tw > 0 && th > 0 && tw <= maxDim && th <= maxDim,
+          s"resizeEncode: bad target ${tw}x$th (maxDim $maxDim)")
+        val out =
+          try {
+            val bytes = Option(r.getAs[Array[Byte]](bytesIdx))
+              .getOrElse(Array.emptyByteArray)
+            val img = if (bytes.isEmpty) null
+              else codec.decode(bytes, r.getString(fmtIdx))
+            if (img == null) None
+            else Some(codec.encode(nnSample(img, tw, th), "png"))
+          } catch { case _: Exception => None }
+        out match {
+          case None => r
+          case Some(newBytes) =>
+            Row.fromSeq(r.toSeq.zipWithIndex.map {
+              case (_, `bytesIdx`) => newBytes
+              case (_, `fmtIdx`) => "png"
+              case (_, `wIdx`) => tw
+              case (_, `hIdx`) => th
+              case (v, _) => v
+            })
+        }
       }
     }
   }

@@ -198,6 +198,57 @@ object AsOfJoin {
     }
   }
 
+  /** Train/serve feature-replay parity — the online/offline skew
+    * check. Each spine row carries TWO instants: the training/label
+    * time (`trainTs`, what the training set was built as-of) and the
+    * serving time (`serveTs`, when the model actually scored). The
+    * same feature feed is as-of joined at BOTH instants and every
+    * value column is compared null-safely:
+    * `<v>_train` / `<v>_serve` / `<v>_stale` (the value the model
+    * trained on differs from the value it served on — feature skew),
+    * plus `matched_ts_train` / `matched_ts_serve`. A row whose
+    * serving time precedes its training time is upstream clock skew
+    * and fails loudly.
+    *
+    * Cost: two [[join]] sort-merge passes over the same feed (the
+    * [[joinMulti]] shape), no cross-instant blowup; all the skew
+    * machinery (explicit hot lists, auto-salting) composes through.
+    */
+  def replayParity(left: DataFrame, right: DataFrame, entity: String,
+      trainTs: String, serveTs: String, rightTs: String = "ts",
+      rightValueCols: Seq[String] = Seq.empty,
+      hotEntities: Seq[String] = Seq.empty,
+      autoSaltShare: Option[Double] = None): DataFrame = {
+    val vals =
+      if (rightValueCols.nonEmpty) rightValueCols
+      else right.columns
+        .filterNot(c => c == entity || c == rightTs).toSeq
+    val outCols = vals.flatMap(v =>
+      Seq(s"${v}_train", s"${v}_serve", s"${v}_stale")) ++
+      Seq("matched_ts_train", "matched_ts_serve")
+    outCols.foreach(c => require(!left.columns.contains(c),
+      s"replayParity: output column $c already exists on the spine"))
+    val guarded = left.withColumn("__rp_guard",
+      when(col(serveTs) < col(trainTs), raise_error(concat(
+        lit(s"replayParity: serving time $serveTs precedes training " +
+          s"time $trainTs on entity "), col(entity).cast("string"))))
+        .otherwise(lit(null).cast("string")))
+    val trained = join(guarded, right, entity, trainTs, rightTs, vals,
+      hotEntities = hotEntities, autoSaltShare = autoSaltShare)
+    val trainedR = (vals :+ "matched_ts").foldLeft(trained) { (d, c) =>
+      d.withColumnRenamed(c, s"${c}_train")
+    }
+    val served = join(trainedR, right, entity, serveTs, rightTs, vals,
+      hotEntities = hotEntities, autoSaltShare = autoSaltShare)
+    val servedR = (vals :+ "matched_ts").foldLeft(served) { (d, c) =>
+      d.withColumnRenamed(c, s"${c}_serve")
+    }
+    vals.foldLeft(servedR) { (d, v) =>
+      d.withColumn(s"${v}_stale",
+        !(col(s"${v}_train") <=> col(s"${v}_serve")))
+    }.drop("__rp_guard")
+  }
+
   /** hotEntities wins when given; otherwise autoSaltShare triggers the
     * sampled detection pass (broadcast strategy never salts — it has
     * no shuffle to skew).

@@ -244,4 +244,41 @@ class AsOfJoinSpec extends SparkSpec {
         AsOfJoin.Feed("x", bad, valueCols = Seq("lv"))))
     }
   }
+
+  test("replayParity: a feed update landing between the training and " +
+      "serving instants flags stale; quiet windows do not; " +
+      "serve < train is loud; collisions rejected") {
+    // entity a: trained at 10:00 (sees f=1.0 @09:00), served at 13:30
+    // (sees f=3.0 @13:00) -> STALE. lv=2 row: trained 12:00 (f=2.0),
+    // served 12:30 (still f=2.0, next update 13:00 is later... use
+    // serve=12:30 so nothing lands between) -> not stale. entity c:
+    // never matches at either instant -> null==null, not stale.
+    val spine = df("e STRING, ts TIMESTAMP, serve_ts TIMESTAMP, lv BIGINT",
+      Seq(
+        Row("a", ts("2024-01-01 10:00:00"), ts("2024-01-01 13:30:00"), 1L),
+        Row("a", ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00"), 2L),
+        Row("c", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 5L)))
+    val out = AsOfJoin.replayParity(spine, right(), "e",
+      "ts", "serve_ts", "ts", Seq("f")).orderBy("lv")
+    assert(column(out, "f_train") == Seq(1.0, 2.0, null))
+    assert(column(out, "f_serve") == Seq(3.0, 2.0, null))
+    assert(column(out, "f_stale") == Seq(true, false, false))
+    // serving before training = upstream clock skew, loud
+    val skewed = df("e STRING, ts TIMESTAMP, serve_ts TIMESTAMP", Seq(
+      Row("a", ts("2024-01-01 10:00:00"), ts("2024-01-01 09:00:00"))))
+    val e = intercept[Exception] {
+      AsOfJoin.replayParity(skewed, right(), "e",
+        "ts", "serve_ts", "ts", Seq("f")).collect()
+    }
+    assert(e.getMessage.contains("replayParity") ||
+      Option(e.getCause).exists(_.getMessage.contains("replayParity")))
+    // spine already carrying an output name is rejected up front
+    val clash = df("e STRING, ts TIMESTAMP, serve_ts TIMESTAMP," +
+      " f_train DOUBLE", Seq(
+      Row("a", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 0.0)))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.replayParity(clash, right(), "e",
+        "ts", "serve_ts", "ts", Seq("f"))
+    }
+  }
 }

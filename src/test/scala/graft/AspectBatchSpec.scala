@@ -152,6 +152,32 @@ class AspectBatchSpec extends SparkSpec {
     assert(tie.getInt(3) == 0)
   }
 
+  test("snapToLadder epochOrder: per-rung ranks are a permutation " +
+      "that changes across epochs; non-integral ids rejected") {
+    val d = df("id BIGINT, w INT, h INT",
+      (1L to 12L).map(i => Row(i, 100, 100)))
+    val ladder = Seq((256, 256))
+    def ranks(e: Int): Seq[(Long, Long)] =
+      AspectBatch.snapToLadder(d, "id", "w", "h", ladder, 4,
+        epochOrder = Some(e)).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("rank_in_bucket"))).toSeq
+    val e1 = ranks(1); val e2 = ranks(2)
+    // dense 0..11 permutation in one rung, stable on re-run
+    assert(e1.map(_._2).sorted == (0L to 11L))
+    assert(e1 == ranks(1))
+    assert(e1 != e2)
+    // static order (no epoch) is plain id order
+    val static = AspectBatch.snapToLadder(d, "id", "w", "h", ladder, 4)
+      .orderBy("id").collect()
+      .map(_.getAs[Long]("rank_in_bucket")).toSeq
+    assert(static == (0L to 11L))
+    intercept[IllegalArgumentException] {
+      AspectBatch.snapToLadder(
+        d.selectExpr("CAST(id AS STRING) AS id", "w", "h"),
+        "id", "w", "h", ladder, 4, epochOrder = Some(1))
+    }
+  }
+
   test("snapToLadder: reserved output column collision fails loudly") {
     val clash = df("image_id STRING, w INT, h INT, crop_frac DOUBLE",
       Seq(Row("a", 10, 10, 0.0)))

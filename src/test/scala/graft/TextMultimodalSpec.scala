@@ -484,6 +484,57 @@ class TextMultimodalSpec extends SparkSpec {
     assert(corrupt == ((6L, false, false, null, false, false)))
   }
 
+  test("resizeEncode: NN-materialized 2x twin normalizes back to " +
+      "+Infinity; inverted content stays non-dup; corrupt passthrough; " +
+      "bad target loud") {
+    val img = PixelCheck.toImage(PixelCheck.syntheticPixels(3L, 10, 6),
+      10, 6)
+    val png = PixelCheck.encode(img, "png")
+    val inv = PixelCheck.toImage(
+      PixelCheck.syntheticPixels(3L, 10, 6).map(p => ~p & 0xffffff),
+      10, 6)
+    val pngInv = PixelCheck.encode(inv, "png")
+    val d = df("id BIGINT, bytes BINARY, fmt STRING, w INT, h INT," +
+      " tw INT, th INT", Seq(
+      Row(1L, png, "png", 10, 6, 20, 12),
+      Row(2L, pngInv, "png", 10, 6, 20, 12),
+      Row(3L, Array[Byte](9, 9), "png", 10, 6, 20, 12)))
+    val up = Multimodal.resizeEncode(d, "tw", "th")
+      .orderBy("id").collect()
+    assert(up(0).getAs[Int]("w") == 20 && up(0).getAs[Int]("h") == 12)
+    assert(up(0).getAs[String]("fmt") == "png")
+    // corrupt payload passes through UNCHANGED
+    assert(up(2).getAs[Array[Byte]]("bytes").toSeq == Seq[Byte](9, 9))
+    assert(up(2).getAs[Int]("w") == 10)
+    // normalized verify: original vs its 2x materialization -> exact
+    // dup across differing dims; original vs INVERTED 2x -> not dup
+    val imgs = df("id BIGINT, bytes BINARY, fmt STRING", Seq(
+      Row(1L, png, "png"),
+      Row(10L, up(0).getAs[Array[Byte]]("bytes"), "png"),
+      Row(11L, up(1).getAs[Array[Byte]]("bytes"), "png")))
+    val pairs = df("id_a BIGINT, id_b BIGINT", Seq(
+      Row(1L, 10L), Row(1L, 11L)))
+    val out = Multimodal.pairPsnrVerify(imgs, "id", pairs,
+      normalizeDims = true).orderBy("id_b").collect()
+      .map(r => (r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(5), r.getBoolean(6))).toSeq
+    assert(out == Seq(
+      (10L, true, false, true, true),    // exact dup, dims differ
+      (11L, true, false, false, false))) // inverted: never a dup
+    // without normalizeDims the same pairs refuse to score
+    val strict = Multimodal.pairPsnrVerify(imgs, "id", pairs)
+      .orderBy("id_b").collect()
+      .map(r => (r.getBoolean(3), r.isNullAt(4))).toSeq
+    assert(strict == Seq((false, true), (false, true)))
+    // absurd target dims fail loudly
+    val bad = d.withColumn("tw", lit(0))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.resizeEncode(bad, "tw", "th").collect()
+    }
+    assert(e.getMessage.contains("resizeEncode") ||
+      Option(e.getCause).exists(_.getMessage.contains("resizeEncode")))
+  }
+
   test("electCanonicalCaption: majority, tie->longest, tie->lexicographic," +
       " null captions never vote, singleton elects own") {
     val imgs = df("id BIGINT, caption STRING", Seq(
