@@ -733,6 +733,53 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    "q220_ingest_verify_e2e" -> ((s, dir) => {
+      // image-ingest capstone: a new batch lands, the PERSISTED phash
+      // index proposes candidates (the image table is never re-read
+      // for banding), the pair PSNR verify decodes ONLY the
+      // candidates with normalized cross-resolution scoring, and each
+      // batch image gets its verdict — the corpus original it
+      // pixel-verifiably duplicates, or none. Batch fates by id
+      // pattern: relabeled exact copies (+1e6, every 10th), 2x png
+      // rematerializations (+2e6, every 10th+5 — dims differ, only
+      // the NORMALIZED verify can confirm these), and genuinely new
+      // renders (+5e6, fresh seed) that must come through unmatched
+      // AND undecoded (no candidates -> no codec work).
+      val path = "/tmp/graft_oracle_images_q220"
+      ImageTable.imagesReal(s, 300).write.mode("overwrite").parquet(path)
+      val corpus = s.read.parquet(path)
+        .withColumn("id", expr("CAST(substring(image_id, 5) AS BIGINT)"))
+      val copies = corpus.filter(col("id") % 10 === 0)
+        .withColumn("id", col("id") + 1000000L)
+      val ups = Multimodal.resizeEncode(
+        corpus.filter(col("id") % 10 === 5 && col("fmt") === "png")
+          .withColumn("tw", col("w") * 2)
+          .withColumn("th", col("h") * 2),
+        "tw", "th").drop("tw", "th")
+        .withColumn("id", col("id") + 2000000L)
+      val fresh = ImageTable.imagesReal(s, 40, seed = 77)
+        .withColumn("id",
+          expr("CAST(substring(image_id, 5) AS BIGINT)") + 5000000L)
+      val batch = copies.unionByName(ups).unionByName(fresh)
+      val idxRoot = java.nio.file.Files
+        .createTempDirectory("graft_q220_idx").toString
+      graft.multimodal.PhashIndex.build(
+        corpus.select("id", "phash"), "id", "phash", idxRoot)
+      val cand = graft.multimodal.PhashIndex.batchNearDups(
+        batch.select("id", "phash"), "id", "phash", idxRoot,
+        maxDist = 3)
+      val verified = Multimodal.pairPsnrVerify(
+        corpus.unionByName(batch).select("id", "bytes", "fmt"),
+        "id", cand.select("id_a", "id_b"), normalizeDims = true)
+        .filter(col("is_dup"))
+      batch.select(col("id").as("batch_id"))
+        .join(verified.filter(col("id_a") < 1000000L)
+          .groupBy(col("id_b").as("batch_id"))
+          .agg(min(col("id_a")).as("matched_id")),
+          Seq("batch_id"), "left")
+        .orderBy("batch_id")
+    }),
+
     "q219_epoch_ladder_batches" -> ((s, dir) => {
       // per-epoch aspect-bucketed training batches: the q209 ladder
       // snap ranked inside each rung by the epoch-3 Knuth mix instead
@@ -3944,6 +3991,23 @@ object QueriesData {
         |  b.doc_id AS partner_doc_id
         |FROM r a LEFT JOIN r b ON xor(a.shuffle_pos, 1) = b.shuffle_pos
         |ORDER BY a.doc_id""".stripMargin,
+
+    // every batch image's verdict is an id-pattern function of the
+    // stored corpus: copies and png 2x rematerializations match their
+    // origin, fresh-seed renders match nothing
+    "q220_ingest_verify_e2e" ->
+      """WITH base AS (SELECT
+        |    CAST(substring(image_id, 5) AS BIGINT) AS id, fmt
+        |  FROM read_parquet('/tmp/graft_oracle_images_q220/*.parquet')),
+        |b AS (
+        |  SELECT id + 1000000 AS batch_id, id AS matched_id
+        |    FROM base WHERE id % 10 = 0
+        |  UNION ALL
+        |  SELECT id + 2000000, id FROM base
+        |    WHERE id % 10 = 5 AND fmt = 'png'
+        |  UNION ALL
+        |  SELECT 5000000 + range, CAST(NULL AS BIGINT) FROM range(40))
+        |SELECT batch_id, matched_id FROM b ORDER BY 1""".stripMargin,
 
     // the q209 snap replay with the epoch-3 Knuth mix (q212's term
     // 2445500261) driving the per-rung rank
