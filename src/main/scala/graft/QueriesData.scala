@@ -733,6 +733,46 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    "q221_augment_plan" -> ((s, dir) => {
+      // deterministic per-(id, epoch) augmentation plan: crop window,
+      // flip and jitter are pure integer sub-stream hashes of
+      // (id, epoch) — the oracle replays every draw in SQL, proving
+      // the plan is engine-portable and RNG-free (reproducible
+      // training, exact resume). cropW=24/cropH=20 over 8..32-px dims
+      // exercises both the clamped (w<24) and uniform-window branches
+      val imgs =
+        oracleImages(s, 600, "/tmp/graft_oracle_images_q221")
+          .withColumn("id",
+            expr("CAST(substring(image_id, 5) AS BIGINT)"))
+          .select("id", "w", "h")
+      Multimodal.augmentPlan(imgs, "id", "w", "h", epoch = 2,
+        cropW = 24, cropH = 20, flipPct = 35, jitterLevels = 5)
+        .orderBy("id")
+    }),
+
+    "q222_crop_materialize" -> ((s, dir) => {
+      // crop materialization certified by in-plan decode: every real
+      // payload decodes, its augmentPlan window lands in bounds, and
+      // the png re-encode comes back at EXACTLY the plan dims — the
+      // oracle predicts decoded dims from the stored metadata alone.
+      // Pixel-exactness of the copied window is spec-gated
+      // (AugmentSpec golden region compare)
+      val path = "/tmp/graft_oracle_images_q222"
+      ImageTable.imagesReal(s, 300).write.mode("overwrite").parquet(path)
+      val imgs = s.read.parquet(path)
+        .withColumn("id",
+          expr("CAST(substring(image_id, 5) AS BIGINT)"))
+      val plan = Multimodal.augmentPlan(imgs, "id", "w", "h",
+        epoch = 1, cropW = 16, cropH = 12)
+      val cropped = Multimodal.cropEncode(plan,
+        "crop_x", "crop_y", "crop_w", "crop_h")
+      Multimodal.withDecodeFeatures(
+        cropped.select("id", "bytes", "fmt", "w", "h"),
+        Multimodal.ImageIoDecoder)
+        .select("id", "w", "h", "decoded_w", "decoded_h", "decode_ok")
+        .orderBy("id")
+    }),
+
     "q220_ingest_verify_e2e" -> ((s, dir) => {
       // image-ingest capstone: a new batch lands, the PERSISTED phash
       // index proposes candidates (the image table is never re-read
@@ -3991,6 +4031,46 @@ object QueriesData {
         |  b.doc_id AS partner_doc_id
         |FROM r a LEFT JOIN r b ON xor(a.shuffle_pos, 1) = b.shuffle_pos
         |ORDER BY a.doc_id""".stripMargin,
+
+    // the oracle replays the two-round Knuth epoch mix (epoch=2 term
+    // (2*2246822519) mod 2^32 = 198677742) plus one sub-stream round
+    // per field (xxHash-prime salts), then the same clamp/mod draws
+    "q221_augment_plan" ->
+      """WITH i AS (SELECT
+        |    CAST(substring(image_id, 5) AS BIGINT) AS id, w, h
+        |  FROM read_parquet('/tmp/graft_oracle_images_q221/*.parquet')),
+        |m AS (SELECT id, w, h,
+        |  ((((((id % 2147483648) * 2654435761) % 4294967296)
+        |      + 198677742) % 4294967296 % 2147483648)
+        |    * 2654435761) % 4294967296 AS mx
+        |  FROM i)
+        |SELECT id, w, h,
+        |  CAST(least(24, w) AS INT) AS crop_w,
+        |  CAST(least(20, h) AS INT) AS crop_h,
+        |  CAST(((((mx + 3266489917) % 4294967296) % 2147483648)
+        |      * 2654435761) % 4294967296
+        |    % (w - least(24, w) + 1) AS INT) AS crop_x,
+        |  CAST(((((mx + 668265263) % 4294967296) % 2147483648)
+        |      * 2654435761) % 4294967296
+        |    % (h - least(20, h) + 1) AS INT) AS crop_y,
+        |  ((((mx + 374761393) % 4294967296) % 2147483648)
+        |    * 2654435761) % 4294967296 % 100 < 35 AS flip,
+        |  CAST(((((mx + 2246822519) % 4294967296) % 2147483648)
+        |      * 2654435761) % 4294967296 % 5 AS INT) AS jitter
+        |FROM m ORDER BY id""".stripMargin,
+
+    // decoded dims of every cropped payload are a pure metadata
+    // function: the clamped plan window (epoch mix never moves the
+    // dims), with decode_ok true for every real-codec row
+    "q222_crop_materialize" ->
+      """SELECT CAST(substring(image_id, 5) AS BIGINT) AS id,
+        |  CAST(least(16, w) AS INT) AS w,
+        |  CAST(least(12, h) AS INT) AS h,
+        |  CAST(least(16, w) AS INT) AS decoded_w,
+        |  CAST(least(12, h) AS INT) AS decoded_h,
+        |  true AS decode_ok
+        |FROM read_parquet('/tmp/graft_oracle_images_q222/*.parquet')
+        |ORDER BY id""".stripMargin,
 
     // every batch image's verdict is an id-pattern function of the
     // stored corpus: copies and png 2x rematerializations match their

@@ -1128,6 +1128,137 @@ object Multimodal {
     }
   }
 
+  /** Deterministic per-(id, epoch) augmentation PLAN: random crop
+    * window, horizontal flip, and color-jitter level for every image
+    * of every epoch, with NO RNG state — each draw is pure integer
+    * arithmetic over [[graft.text.Sharding.epochHash]] sub-streams
+    * (one extra Knuth round per field, distinct xxHash-prime salts),
+    * so the same (id, epoch) yields the same augmentation on any
+    * cluster size, in any engine, on every re-run (reproducible
+    * training + exact job resume without persisting a plan table).
+    * The reference registry has no image axis; this extends its
+    * fit-free deterministic-transform discipline (e.g.
+    * `/root/reference/tubular/misc.py` SetValueTransformer: pure
+    * projection, no state) onto training-time image augmentation.
+    *
+    * Adds `crop_w`/`crop_h` (window dims, clamped into the image),
+    * `crop_x`/`crop_y` (uniform over every in-bounds position),
+    * `flip` (true with `flipPct`/100 probability) and `jitter`
+    * (uniform level in [0, jitterLevels)). Rows with null or
+    * non-positive declared dims get a null plan (quarantine rows,
+    * don't kill the job). Pure codegen projection: no shuffle, no
+    * decode, no driver state — at 10^12 images the plan costs one
+    * map over the metadata columns and composes with [[cropEncode]]
+    * for materialization.
+    */
+  def augmentPlan(df: DataFrame, idCol: String, wCol: String,
+      hCol: String, epoch: Int, cropW: Int, cropH: Int,
+      flipPct: Int = 50, jitterLevels: Int = 8): DataFrame = {
+    graft.core.Ids.requireIntegral(df, idCol, "augmentPlan")
+    require(cropW >= 1 && cropH >= 1,
+      s"augmentPlan: crop dims must be >= 1, got ${cropW}x$cropH")
+    require(flipPct >= 0 && flipPct <= 100,
+      s"augmentPlan: flipPct in [0,100], got $flipPct")
+    require(jitterLevels >= 1 && jitterLevels <= Int.MaxValue,
+      s"augmentPlan: jitterLevels >= 1, got $jitterLevels")
+    val outCols =
+      Seq("crop_w", "crop_h", "crop_x", "crop_y", "flip", "jitter")
+    outCols.foreach(c => require(!df.columns.contains(c),
+      s"augmentPlan: input already has a '$c' column"))
+    // one epoch mix shared by all fields; per-field sub-streams are
+    // one further Knuth round over (mix + salt) — salts are the
+    // public xxHash32 primes, distinct per field so crop position,
+    // flip and jitter draw independently
+    val m = graft.text.Sharding.epochHash(col(idCol), epoch)
+    def sub(salt: Long): Column =
+      pmod(pmod(pmod(m + lit(salt), lit(4294967296L)),
+        lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+    val w = col(wCol); val h = col(hCol)
+    val ok = w.isNotNull && h.isNotNull && w >= 1 && h >= 1
+    val cw = least(lit(cropW), w); val ch = least(lit(cropH), h)
+    df.select(df.columns.map(col) ++ Seq(
+      when(ok, cw).cast("int").as("crop_w"),
+      when(ok, ch).cast("int").as("crop_h"),
+      when(ok, pmod(sub(3266489917L), (w - cw + 1).cast("long")))
+        .cast("int").as("crop_x"),
+      when(ok, pmod(sub(668265263L), (h - ch + 1).cast("long")))
+        .cast("int").as("crop_y"),
+      when(ok, pmod(sub(374761393L), lit(100L)) < flipPct).as("flip"),
+      when(ok, pmod(sub(2246822519L), lit(jitterLevels.toLong)))
+        .cast("int").as("jitter")): _*)
+  }
+
+  /** Materialize a crop plan: decode the payload, copy the
+    * `(xCol, yCol, cwCol, chCol)` window, re-encode LOSSLESSLY as
+    * png, updating `bytes`, `w`, `h`, `fmt` — the step that turns an
+    * [[augmentPlan]] into actual training payloads. Pass-through
+    * (row unchanged) for: a null plan (any of the four cols null —
+    * [[augmentPlan]]'s quarantine rows compose), an undecodable
+    * payload, or a window that falls outside the DECODED bounds
+    * (declared-dims drift is a row you quarantine via
+    * [[auditPayloads]], never a job you kill). Same partition
+    * discipline as [[resizeEncode]]: one codec per partition, pixel
+    * buffers die inside it, nothing shuffles.
+    */
+  def cropEncode(df: DataFrame, xCol: String, yCol: String,
+      cwCol: String, chCol: String): DataFrame = {
+    val inSchema = df.schema
+    val bytesIdx = inSchema.fieldIndex("bytes")
+    val fmtIdx = inSchema.fieldIndex("fmt")
+    val wIdx = inSchema.fieldIndex("w")
+    val hIdx = inSchema.fieldIndex("h")
+    val planIdx = Seq(xCol, yCol, cwCol, chCol)
+      .map(inSchema.fieldIndex)
+    implicit val enc = org.apache.spark.sql.Encoders.row(inSchema)
+    df.mapPartitions { it =>
+      val codec = new PixelCheck.Codec
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => codec.close()))
+      it.map { r =>
+        val out =
+          if (planIdx.exists(r.isNullAt)) None
+          else {
+            val Seq(cx, cy, cw, ch) = planIdx.map(r.getInt)
+            try {
+              val bytes = Option(r.getAs[Array[Byte]](bytesIdx))
+                .getOrElse(Array.emptyByteArray)
+              val img = if (bytes.isEmpty) null
+                else codec.decode(bytes, r.getString(fmtIdx))
+              if (img == null || cx < 0 || cy < 0 || cw < 1 || ch < 1 ||
+                  cx + cw > img.getWidth || cy + ch > img.getHeight)
+                None
+              else {
+                val crop = new java.awt.image.BufferedImage(cw, ch,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var y = 0
+                while (y < ch) {
+                  var x = 0
+                  while (x < cw) {
+                    crop.setRGB(x, y, img.getRGB(cx + x, cy + y))
+                    x += 1
+                  }
+                  y += 1
+                }
+                Some(codec.encode(crop, "png"))
+              }
+            } catch { case _: Exception => None }
+          }
+        out match {
+          case None => r
+          case Some(newBytes) =>
+            val cw = r.getInt(planIdx(2)); val ch = r.getInt(planIdx(3))
+            Row.fromSeq(r.toSeq.zipWithIndex.map {
+              case (_, `bytesIdx`) => newBytes
+              case (_, `fmtIdx`) => "png"
+              case (_, `wIdx`) => cw
+              case (_, `hIdx`) => ch
+              case (v, _) => v
+            })
+        }
+      }
+    }
+  }
+
   /** Canonical-caption election per image near-dup cluster: when a
     * picture appears k times with diverging labels (scraped twice,
     * re-captioned, case-normalized), training wants ONE caption per

@@ -1,0 +1,158 @@
+package graft
+
+import graft.io.ImageTable
+import graft.multimodal.Multimodal
+import graft.validate.PixelCheck
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Deterministic augmentation plan + crop materialization.
+  *
+  * augmentPlan: RNG-free per-(id, epoch) draws — bounds, determinism
+  * across partitioning, epoch variation, null-dim quarantine, pure
+  * projection (no exchange). cropEncode: golden pixel-exact window
+  * copy, pass-through for null plans / out-of-bounds windows /
+  * undecodable payloads.
+  */
+class AugmentSpec extends SparkSpec {
+
+  private def dims(n: Int) = df("id BIGINT, w INT, h INT",
+    (0 until n).map(i => Row(i.toLong, 8 + i % 25, 8 + (i * 7) % 25)))
+
+  test("augmentPlan: every window lands inside the image, flip and " +
+      "jitter stay in range, clamp engages when the image is smaller " +
+      "than the crop") {
+    val out = Multimodal.augmentPlan(dims(200), "id", "w", "h",
+      epoch = 0, cropW = 24, cropH = 20, flipPct = 35,
+      jitterLevels = 5).collect()
+    assert(out.length == 200)
+    out.foreach { r =>
+      val (w, h) = (r.getInt(1), r.getInt(2))
+      val (cw, ch) = (r.getInt(3), r.getInt(4))
+      val (cx, cy) = (r.getInt(5), r.getInt(6))
+      assert(cw == math.min(24, w) && ch == math.min(20, h))
+      assert(cx >= 0 && cx + cw <= w, s"x window out of bounds: $r")
+      assert(cy >= 0 && cy + ch <= h, s"y window out of bounds: $r")
+      assert(r.getInt(8) >= 0 && r.getInt(8) < 5)
+    }
+    // both flip outcomes and multiple jitter levels occur
+    assert(out.map(_.getBoolean(7)).distinct.length == 2)
+    assert(out.map(_.getInt(8)).distinct.length >= 3)
+    // a clamped row (w < 24) pins crop_x to 0
+    assert(out.filter(_.getInt(1) < 24).forall(_.getInt(5) == 0))
+  }
+
+  test("augmentPlan: identical plan at any partitioning, different " +
+      "plan per epoch") {
+    val base = dims(150)
+    def plan(d: org.apache.spark.sql.DataFrame, e: Int) =
+      Multimodal.augmentPlan(d, "id", "w", "h", epoch = e,
+        cropW = 12, cropH = 12).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(3)).toMap
+    val a = plan(base, 4)
+    assert(plan(base.repartition(13), 4) == a,
+      "plan must not depend on partitioning")
+    val b = plan(base, 5)
+    assert(a.keySet == b.keySet &&
+      a.count { case (k, v) => b(k) != v } > 100,
+      "epochs must draw different augmentations")
+  }
+
+  test("augmentPlan: null or non-positive dims get a null plan row, " +
+      "never an exception") {
+    val rows = Seq(Row(1L, null, 20), Row(2L, 16, null),
+      Row(3L, 0, 20), Row(4L, 16, 16))
+    val out = Multimodal.augmentPlan(
+      df("id BIGINT, w INT, h INT", rows), "id", "w", "h",
+      epoch = 0, cropW = 8, cropH = 8)
+      .orderBy("id").collect()
+    (0 to 2).foreach { i =>
+      (3 to 8).foreach(c => assert(out(i).isNullAt(c),
+        s"row ${i + 1} col $c should be a null plan"))
+    }
+    (3 to 8).foreach(c => assert(!out(3).isNullAt(c)))
+  }
+
+  test("augmentPlan: pure projection — no exchange in the plan, and " +
+      "guards reject bad args / column collisions") {
+    val plan = Multimodal.augmentPlan(dims(10), "id", "w", "h",
+      epoch = 1, cropW = 8, cropH = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"augmentPlan shuffled:\n$plan")
+    intercept[IllegalArgumentException] {
+      Multimodal.augmentPlan(dims(1), "id", "w", "h", 0, 0, 8)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.augmentPlan(dims(1), "id", "w", "h", 0, 8, 8,
+        flipPct = 101)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.augmentPlan(dims(1).withColumn("flip", lit(true)),
+        "id", "w", "h", 0, 8, 8)
+    }
+    intercept[IllegalArgumentException] { // string id
+      Multimodal.augmentPlan(
+        df("id STRING, w INT, h INT", Seq(Row("a", 8, 8))),
+        "id", "w", "h", 0, 8, 8)
+    }
+  }
+
+  test("cropEncode: golden — the png payload holds EXACTLY the " +
+      "plan window's pixels") {
+    val imgs = ImageTable.imagesReal(spark, 12, seed = 9)
+      .withColumn("id",
+        expr("CAST(substring(image_id, 5) AS BIGINT)"))
+    val planned = Multimodal.augmentPlan(imgs, "id", "w", "h",
+      epoch = 3, cropW = 10, cropH = 7)
+    val srcBytes = imgs.select("id", "bytes", "fmt").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Array[Byte]](1), r.getString(2)))
+      .toMap
+    val out = Multimodal.cropEncode(planned,
+      "crop_x", "crop_y", "crop_w", "crop_h")
+      .select("id", "bytes", "fmt", "w", "h", "crop_x", "crop_y",
+        "crop_w", "crop_h").collect()
+    assert(out.length == 12)
+    out.foreach { r =>
+      val (src, srcFmt) = srcBytes(r.getLong(0))
+      val orig = PixelCheck.decode(src)
+      assert(orig != null && r.getString(2) == "png")
+      val crop = PixelCheck.decode(r.getAs[Array[Byte]](1))
+      val (cx, cy) = (r.getInt(5), r.getInt(6))
+      val (cw, ch) = (r.getInt(7), r.getInt(8))
+      assert(crop.getWidth == cw && crop.getHeight == ch)
+      assert(r.getInt(3) == cw && r.getInt(4) == ch)
+      for (y <- 0 until ch; x <- 0 until cw)
+        assert((crop.getRGB(x, y) & 0xffffff) ==
+          (orig.getRGB(cx + x, cy + y) & 0xffffff),
+          s"pixel ($x,$y) of id ${r.getLong(0)} ($srcFmt) differs")
+    }
+  }
+
+  test("cropEncode: pass-through for null plans, out-of-bounds " +
+      "windows and undecodable payloads — rows quarantine, jobs " +
+      "never die") {
+    val codec = new PixelCheck.Codec
+    val img = new java.awt.image.BufferedImage(6, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val good = codec.encode(img, "png")
+    val rows = Seq(
+      Row(1L, good, "png", 6, 6, null, 0, 4, 4), // null plan
+      Row(2L, good, "png", 6, 6, 4, 0, 4, 4), // x+cw > decoded w
+      Row(3L, Array[Byte](1, 2, 3), "png", 6, 6, 0, 0, 4, 4), // bad bytes
+      Row(4L, good, "png", 6, 6, 1, 1, 4, 4)) // the one real crop
+    val out = Multimodal.cropEncode(
+      df("id BIGINT, bytes BINARY, fmt STRING, w INT, h INT, " +
+        "crop_x INT, crop_y INT, crop_w INT, crop_h INT", rows),
+      "crop_x", "crop_y", "crop_w", "crop_h")
+      .orderBy("id").collect()
+    // quarantined rows come back byte-identical
+    Seq(0, 1, 2).foreach { i =>
+      assert(out(i).getInt(3) == 6 && out(i).getInt(4) == 6)
+      assert(java.util.Arrays.equals(out(i).getAs[Array[Byte]](1),
+        rows(i).getAs[Array[Byte]](1)))
+    }
+    assert(out(3).getInt(3) == 4 && out(3).getInt(4) == 4)
+    val cropped = PixelCheck.decode(out(3).getAs[Array[Byte]](1))
+    assert(cropped.getWidth == 4 && cropped.getHeight == 4)
+  }
+}
