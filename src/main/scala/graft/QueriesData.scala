@@ -733,6 +733,33 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    "q223_image_safe_split" -> ((s, dir) => {
+      // ZERO-LEAKAGE train/val/test split over a near-dup IMAGE
+      // corpus: the split key is the phash CLUSTER label, so a
+      // re-encoded / re-scraped picture can never sit in train AND
+      // test. Near-dups injected deterministically (every 10th image
+      // re-appears at Hamming distance 2, the q62 idiom); pairs come
+      // from the pigeonhole banding (exhaustive-truth-equal), and the
+      // oracle recomputes the all-pairs Hamming closure + the
+      // identical md5 split rule
+      val base =
+        oracleImages(s, 500, "/tmp/graft_oracle_images_q223")
+          .withColumn("id",
+            expr("CAST(substring(image_id, 5) AS BIGINT)"))
+          .select("id", "phash")
+      val dups = base.filter(col("id") % 10 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          col("phash").bitwiseXOR(lit(257L)).as("phash"))
+      val t = base.unionByName(dups)
+      val pairs = Multimodal.phashNearDups(t, "id", "phash",
+        maxDist = 3)
+      Components.leakageSafeSplit(t, "id", pairs, "id_a", "id_b",
+        salt = "isplit",
+        Seq("train" -> 80, "val" -> 90, "test" -> 100))
+        .select("id", "split")
+        .orderBy("id")
+    }),
+
     "q221_augment_plan" -> ((s, dir) => {
       // deterministic per-(id, epoch) augmentation plan: crop window,
       // flip and jitter are pure integer sub-stream hashes of
@@ -4031,6 +4058,40 @@ object QueriesData {
         |  b.doc_id AS partner_doc_id
         |FROM r a LEFT JOIN r b ON xor(a.shuffle_pos, 1) = b.shuffle_pos
         |ORDER BY a.doc_id""".stripMargin,
+
+    // the oracle recomputes the exhaustive Hamming closure (recursive
+    // CTE components over all pairs <= 3) and the identical md5 split
+    // rule — certifying both that banding found every pair and that
+    // every cluster lands whole in one split
+    "q223_image_safe_split" ->
+      """WITH RECURSIVE base AS (SELECT
+        |    CAST(substring(image_id, 5) AS BIGINT) AS id, phash
+        |  FROM read_parquet('/tmp/graft_oracle_images_q223/*.parquet')),
+        |t AS (SELECT id, phash FROM base
+        |  UNION ALL
+        |  SELECT id + 1000000, xor(phash, 257) FROM base
+        |    WHERE id % 10 = 0),
+        |e AS (SELECT a.id AS ia, b.id AS ib
+        |  FROM t a JOIN t b ON a.id < b.id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |u AS (SELECT ia AS a, ib AS b FROM e
+        |      UNION SELECT ib, ia FROM e),
+        |cc(id, comp) AS (
+        |  SELECT a, a FROM u
+        |  UNION
+        |  SELECT u.a, cc.comp FROM u JOIN cc ON u.b = cc.id),
+        |m AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+        |k AS (SELECT t.id, COALESCE(m.comp, t.id) AS key
+        |  FROM t LEFT JOIN m ON t.id = m.id)
+        |SELECT id,
+        |  CASE WHEN b < 80 THEN 'train'
+        |       WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT id,
+        |    CAST('0x' || substring(
+        |      md5(CAST(key AS VARCHAR) || '#isplit'), 1, 15)
+        |      AS BIGINT) % 100 AS b
+        |  FROM k)
+        |ORDER BY id""".stripMargin,
 
     // the oracle replays the two-round Knuth epoch mix (epoch=2 term
     // (2*2246822519) mod 2^32 = 198677742) plus one sub-stream round
