@@ -733,6 +733,47 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    "q224_augment_involution" -> ((s, dir) => {
+      // full augmentation materialization certified by algebra: flip
+      // is an exact involution and jitter is pointwise, so
+      // flip(flip(jitter(crop))) must equal jitter(crop) PIXEL-EXACT
+      // for every row — rows the mix flips exercise the mirror path,
+      // rows it doesn't pass through it, and the oracle predicts
+      // which (plus the clamped window dims) from metadata alone.
+      // Three codec passes + the pair verify, 250 real images
+      val path = "/tmp/graft_oracle_images_q224"
+      ImageTable.imagesReal(s, 250).write.mode("overwrite").parquet(path)
+      val imgs = s.read.parquet(path)
+        .withColumn("id",
+          expr("CAST(substring(image_id, 5) AS BIGINT)"))
+      val deltas = IndexedSeq(-40, 0, 40)
+      val planned = Multimodal.augmentPlan(imgs, "id", "w", "h",
+        epoch = 2, cropW = 14, cropH = 10, flipPct = 50,
+        jitterLevels = 3)
+      val a = Multimodal.augmentEncode(planned, "crop_x", "crop_y",
+        "crop_w", "crop_h", jitterCol = Some("jitter"),
+        jitterDeltas = deltas)
+      val b = Multimodal.augmentEncode(planned, "crop_x", "crop_y",
+        "crop_w", "crop_h", flipCol = Some("flip"),
+        jitterCol = Some("jitter"), jitterDeltas = deltas)
+      val b2 = Multimodal.augmentEncode(
+        b.withColumn("x0", lit(0)).withColumn("y0", lit(0)),
+        "x0", "y0", "w", "h", flipCol = Some("flip"))
+      val both = a
+        .select((col("id") + 2000000L).as("id"), col("bytes"),
+          col("fmt"))
+        .unionByName(b2.select((col("id") + 3000000L).as("id"),
+          col("bytes"), col("fmt")))
+      val verdict = Multimodal.pairPsnrVerify(both, "id",
+        a.select((col("id") + 2000000L).as("id_a"),
+          (col("id") + 3000000L).as("id_b")))
+      planned.select(col("id"), col("flip"), col("crop_w"),
+          col("crop_h"))
+        .join(verdict.select((col("id_a") - 2000000L).as("id"),
+          col("exact")), Seq("id"))
+        .orderBy("id")
+    }),
+
     "q223_image_safe_split" -> ((s, dir) => {
       // ZERO-LEAKAGE train/val/test split over a near-dup IMAGE
       // corpus: the split key is the phash CLUSTER label, so a
@@ -4058,6 +4099,26 @@ object QueriesData {
         |  b.doc_id AS partner_doc_id
         |FROM r a LEFT JOIN r b ON xor(a.shuffle_pos, 1) = b.shuffle_pos
         |ORDER BY a.doc_id""".stripMargin,
+
+    // the flip bit and clamped window dims replay from the epoch-2
+    // mix; exact=true for EVERY row is the involution proof (the
+    // Spark side would emit false on any mirror/jitter/codec defect)
+    "q224_augment_involution" ->
+      """WITH i AS (SELECT
+        |    CAST(substring(image_id, 5) AS BIGINT) AS id, w, h
+        |  FROM read_parquet('/tmp/graft_oracle_images_q224/*.parquet')),
+        |m AS (SELECT id, w, h,
+        |  ((((((id % 2147483648) * 2654435761) % 4294967296)
+        |      + 198677742) % 4294967296 % 2147483648)
+        |    * 2654435761) % 4294967296 AS mx
+        |  FROM i)
+        |SELECT id,
+        |  ((((mx + 374761393) % 4294967296) % 2147483648)
+        |    * 2654435761) % 4294967296 % 100 < 50 AS flip,
+        |  CAST(least(14, w) AS INT) AS crop_w,
+        |  CAST(least(10, h) AS INT) AS crop_h,
+        |  true AS exact
+        |FROM m ORDER BY id""".stripMargin,
 
     // the oracle recomputes the exhaustive Hamming closure (recursive
     // CTE components over all pairs <= 3) and the identical md5 split

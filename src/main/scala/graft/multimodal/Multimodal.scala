@@ -1201,7 +1201,31 @@ object Multimodal {
     * buffers die inside it, nothing shuffles.
     */
   def cropEncode(df: DataFrame, xCol: String, yCol: String,
-      cwCol: String, chCol: String): DataFrame = {
+      cwCol: String, chCol: String): DataFrame =
+    augmentEncode(df, xCol, yCol, cwCol, chCol)
+
+  /** Materialize a FULL augmentation plan in one codec pass: crop the
+    * `(xCol, yCol, cwCol, chCol)` window, mirror it horizontally when
+    * `flipCol` is true, add `jitterDeltas(jitterCol)` to every channel
+    * (clamped to [0, 255]), and re-encode LOSSLESSLY as png, updating
+    * `bytes`, `w`, `h`, `fmt`. Flip is an exact involution and jitter
+    * is pointwise, so flip∘flip is the identity on every materialized
+    * payload — q224 certifies that algebra end-to-end with
+    * [[pairPsnrVerify]] (exact for every row, flipped or not).
+    *
+    * Pass-through (row unchanged) quarantines: a null plan field, an
+    * undecodable payload, a window outside the DECODED bounds, or a
+    * jitter level with no entry in `jitterDeltas` — per-row
+    * discipline, never a dead job. One codec per partition; pixel
+    * buffers die inside it; nothing shuffles.
+    */
+  def augmentEncode(df: DataFrame, xCol: String, yCol: String,
+      cwCol: String, chCol: String, flipCol: Option[String] = None,
+      jitterCol: Option[String] = None,
+      jitterDeltas: IndexedSeq[Int] = IndexedSeq.empty): DataFrame = {
+    require(jitterCol.isEmpty == jitterDeltas.isEmpty,
+      "augmentEncode: jitterCol and jitterDeltas come together " +
+        "(a level column needs its delta table and vice versa)")
     val inSchema = df.schema
     val bytesIdx = inSchema.fieldIndex("bytes")
     val fmtIdx = inSchema.fieldIndex("fmt")
@@ -1209,32 +1233,55 @@ object Multimodal {
     val hIdx = inSchema.fieldIndex("h")
     val planIdx = Seq(xCol, yCol, cwCol, chCol)
       .map(inSchema.fieldIndex)
+    val flipIdx = flipCol.map(inSchema.fieldIndex)
+    val jitterIdx = jitterCol.map(inSchema.fieldIndex)
     implicit val enc = org.apache.spark.sql.Encoders.row(inSchema)
     df.mapPartitions { it =>
       val codec = new PixelCheck.Codec
       Option(org.apache.spark.TaskContext.get()).foreach(
         _.addTaskCompletionListener[Unit](_ => codec.close()))
       it.map { r =>
+        val nullPlan = planIdx.exists(r.isNullAt) ||
+          flipIdx.exists(r.isNullAt) || jitterIdx.exists(r.isNullAt)
         val out =
-          if (planIdx.exists(r.isNullAt)) None
+          if (nullPlan) None
           else {
             val Seq(cx, cy, cw, ch) = planIdx.map(r.getInt)
+            val flip = flipIdx.exists(r.getBoolean)
+            val delta = jitterIdx match {
+              case None => Some(0)
+              case Some(ji) =>
+                val lvl = r.getInt(ji)
+                if (lvl >= 0 && lvl < jitterDeltas.length)
+                  Some(jitterDeltas(lvl))
+                else None // level outside the table: quarantine row
+            }
             try {
               val bytes = Option(r.getAs[Array[Byte]](bytesIdx))
                 .getOrElse(Array.emptyByteArray)
               val img = if (bytes.isEmpty) null
                 else codec.decode(bytes, r.getString(fmtIdx))
-              if (img == null || cx < 0 || cy < 0 || cw < 1 || ch < 1 ||
+              if (img == null || delta.isEmpty ||
+                  cx < 0 || cy < 0 || cw < 1 || ch < 1 ||
                   cx + cw > img.getWidth || cy + ch > img.getHeight)
                 None
               else {
+                val d = delta.get
                 val crop = new java.awt.image.BufferedImage(cw, ch,
                   java.awt.image.BufferedImage.TYPE_INT_RGB)
                 var y = 0
                 while (y < ch) {
                   var x = 0
                   while (x < cw) {
-                    crop.setRGB(x, y, img.getRGB(cx + x, cy + y))
+                    val sx = if (flip) cx + (cw - 1 - x) else cx + x
+                    val p = img.getRGB(sx, cy + y)
+                    val q = if (d == 0) p & 0xffffff else {
+                      def ch8(v: Int) =
+                        math.min(255, math.max(0, v + d))
+                      (ch8((p >> 16) & 0xff) << 16) |
+                        (ch8((p >> 8) & 0xff) << 8) | ch8(p & 0xff)
+                    }
+                    crop.setRGB(x, y, q)
                     x += 1
                   }
                   y += 1

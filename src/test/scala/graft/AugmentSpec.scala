@@ -128,6 +128,69 @@ class AugmentSpec extends SparkSpec {
     }
   }
 
+  test("augmentEncode: golden — flip mirrors the window exactly, " +
+      "jitter adds the level's delta with [0,255] clamping") {
+    val codec = new PixelCheck.Codec
+    val img = new java.awt.image.BufferedImage(8, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 8) // distinct, clamp-probing
+      img.setRGB(x, y, ((x * 37) << 16) | ((y * 50 + 10) << 8) |
+        (230 + x * 3))
+    val bytes = codec.encode(img, "png")
+    val rows = Seq(
+      Row(1L, bytes, "png", 8, 5, 2, 1, 4, 3, true, 0),  // flip, -60
+      Row(2L, bytes, "png", 8, 5, 2, 1, 4, 3, false, 2)) // +60, clamps
+    val out = Multimodal.augmentEncode(
+      df("id BIGINT, bytes BINARY, fmt STRING, w INT, h INT, " +
+        "crop_x INT, crop_y INT, crop_w INT, crop_h INT, " +
+        "flip BOOLEAN, jitter INT", rows),
+      "crop_x", "crop_y", "crop_w", "crop_h",
+      flipCol = Some("flip"), jitterCol = Some("jitter"),
+      jitterDeltas = IndexedSeq(-60, 0, 60))
+      .orderBy("id").collect()
+    def ch8(v: Int, d: Int) = math.min(255, math.max(0, v + d))
+    def expected(x: Int, y: Int, flip: Boolean, d: Int): Int = {
+      val sx = if (flip) 2 + (4 - 1 - x) else 2 + x
+      val p = img.getRGB(sx, 1 + y)
+      (ch8((p >> 16) & 0xff, d) << 16) |
+        (ch8((p >> 8) & 0xff, d) << 8) | ch8(p & 0xff, d)
+    }
+    val flipped = PixelCheck.decode(out(0).getAs[Array[Byte]](1))
+    val jittered = PixelCheck.decode(out(1).getAs[Array[Byte]](1))
+    assert(flipped.getWidth == 4 && flipped.getHeight == 3)
+    for (y <- 0 until 3; x <- 0 until 4) {
+      assert((flipped.getRGB(x, y) & 0xffffff) ==
+        expected(x, y, flip = true, -60), s"flip pixel ($x,$y)")
+      assert((jittered.getRGB(x, y) & 0xffffff) ==
+        expected(x, y, flip = false, 60), s"jitter pixel ($x,$y)")
+    }
+  }
+
+  test("augmentEncode: jitter level outside the delta table " +
+      "quarantines the row; jitterCol without deltas is rejected") {
+    val codec = new PixelCheck.Codec
+    val bytes = codec.encode(new java.awt.image.BufferedImage(6, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB), "png")
+    val rows = Seq(Row(1L, bytes, "png", 6, 6, 0, 0, 4, 4, 7))
+    val out = Multimodal.augmentEncode(
+      df("id BIGINT, bytes BINARY, fmt STRING, w INT, h INT, " +
+        "crop_x INT, crop_y INT, crop_w INT, crop_h INT, jitter INT",
+        rows),
+      "crop_x", "crop_y", "crop_w", "crop_h",
+      jitterCol = Some("jitter"), jitterDeltas = IndexedSeq(-20, 0))
+      .collect()
+    assert(out(0).getInt(3) == 6 && out(0).getInt(4) == 6,
+      "out-of-table level must pass the row through unchanged")
+    intercept[IllegalArgumentException] {
+      Multimodal.augmentEncode(
+        df("id BIGINT, bytes BINARY, fmt STRING, w INT, h INT, " +
+          "crop_x INT, crop_y INT, crop_w INT, crop_h INT, jitter INT",
+          rows),
+        "crop_x", "crop_y", "crop_w", "crop_h",
+        jitterCol = Some("jitter"))
+    }
+  }
+
   test("cropEncode: pass-through for null plans, out-of-bounds " +
       "windows and undecodable payloads — rows quarantine, jobs " +
       "never die") {
