@@ -41,8 +41,8 @@ import scala.jdk.CollectionConverters._
 object SnapshotStore {
 
   /** `stats` maps a column name to its per-bucket (tag, min, max)
-    * bounding box — tag "n" for numeric-comparable values (numbers
-    * and timestamps as epoch micros), "s" for lexicographic strings.
+    * bounding box — tag "n" for numbers, "t" for timestamps/dates as
+    * epoch micros, "s" for UTF-8-lexicographic strings.
     * Empty for columns not tracked at write time (older manifests,
     * or all-null/NaN buckets) — absence means "cannot prune",
     * never "empty bucket".
@@ -112,29 +112,38 @@ object SnapshotStore {
   }
 
   /** Normalize a collected min/max value into a (tag, repr) pair the
-    * driver can compare without Spark: numbers and timestamps become
-    * numerically-comparable decimal strings (tag "n", timestamps as
-    * epoch micros), strings stay lexicographic (tag "s"). NaN (which
-    * Spark's min/max sort GREATEST) and unsupported types return None
-    * — the bucket simply stays unprunable on that column.
+    * driver can compare without Spark: numbers become
+    * numerically-comparable decimal strings (tag "n"); timestamps AND
+    * dates share tag "t" in epoch MICROS (a date is midnight UTC,
+    * exactly Spark's date→timestamp cast), so a date bound prunes a
+    * timestamp column correctly instead of comparing days against
+    * micros; strings stay UTF-8-lexicographic (tag "s"). NaN and ±Inf
+    * (BigDecimal can represent neither; Spark's min/max sorts NaN
+    * GREATEST) and unsupported types return None — the bucket simply
+    * stays unprunable on that column. Cross-tag bound/stat pairs never
+    * prune (pruning is an optimization, never a filter).
     */
   private def statRepr(v: Any): Option[(String, String)] = v match {
     case null => None
-    case d: Double if d.isNaN => None
-    case f: Float if f.isNaN => None
+    case d: Double if d.isNaN || d.isInfinite => None
+    case f: Float if f.isNaN || f.isInfinite => None
     case d: Double => Some(("n", BigDecimal(d).toString))
     case f: Float => Some(("n", BigDecimal(f.toDouble).toString))
     case n: java.lang.Number => Some(("n", n.toString))
     case t: java.sql.Timestamp =>
-      Some(("n", (math.floorDiv(t.getTime, 1000L) * 1000000L +
+      Some(("t", (math.floorDiv(t.getTime, 1000L) * 1000000L +
         t.getNanos / 1000L).toString))
     case t: java.time.LocalDateTime =>
-      Some(("n", (t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+      Some(("t", (t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
         t.getNano / 1000).toString))
     case t: java.time.Instant =>
-      Some(("n", (t.getEpochSecond * 1000000L + t.getNano / 1000).toString))
-    case d: java.sql.Date => Some(("n", d.toLocalDate.toEpochDay.toString))
-    case d: java.time.LocalDate => Some(("n", d.toEpochDay.toString))
+      Some(("t", (t.getEpochSecond * 1000000L + t.getNano / 1000).toString))
+    case d: java.sql.Date =>
+      Some(("t", (BigDecimal(d.toLocalDate.toEpochDay) *
+        BigDecimal(86400000000L)).toBigInt.toString))
+    case d: java.time.LocalDate =>
+      Some(("t", (BigDecimal(d.toEpochDay) *
+        BigDecimal(86400000000L)).toBigInt.toString))
     case s: String => Some(("s", s))
     case _ => None
   }
@@ -183,7 +192,7 @@ object SnapshotStore {
     ("""\{"bucket":(-?\d+),"rows":(\d+),"xxh":(-?\d+),"path":"([^"]*)"""" +
       """(?:,"stats":\{([^}]*)\})?\}""").r
   private val StatEntry =
-    """"([A-Za-z0-9+/=]*)":\["([ns])","([A-Za-z0-9+/=]*)","([A-Za-z0-9+/=]*)"\]""".r
+    """"([A-Za-z0-9+/=]*)":\["([nst])","([A-Za-z0-9+/=]*)","([A-Za-z0-9+/=]*)"\]""".r
 
   private def b64(s: String): String =
     java.util.Base64.getEncoder.encodeToString(
@@ -407,7 +416,14 @@ object SnapshotStore {
         s"(${if (v == null) "null" else v.getClass.getName})"))
 
   private def statLt(tag: String, a: String, b: String): Boolean =
-    if (tag == "n") BigDecimal(a) < BigDecimal(b) else a < b
+    if (tag == "s")
+      // Spark's UTF8String min/max orders by UNSIGNED UTF-8 bytes;
+      // Java's String.compareTo orders by UTF-16 code units and the
+      // two disagree on supplementary characters — compare the bytes
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    else BigDecimal(a) < BigDecimal(b)
 
   /** The manifest entries a range predicate on `colName` can NOT rule
     * out: bucket survives unless its recorded [min, max] bounding box

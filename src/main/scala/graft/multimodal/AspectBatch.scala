@@ -212,7 +212,15 @@ object AspectBatch {
       "rank_in_bucket", "batch_idx", "crop_frac")
     reserved.foreach(c => require(!df.columns.contains(c),
       s"snapToLadder: input already has a '$c' column"))
-    val w = col(wCol).cast("long"); val h = col(hCol).cast("long")
+    // same loud-dims contract as aspectRatioBatches: a null/zero dim
+    // would otherwise null every candidate distance and silently snap
+    // the row to rung 0, corrupting rung-0 ranks and batches
+    val okDims = col(wCol).isNotNull && col(hCol).isNotNull &&
+      col(wCol) > 0 && col(hCol) > 0
+    val w = when(okDims, col(wCol).cast("long")).otherwise(raise_error(
+      concat(lit(s"snapToLadder: bad dims w=$wCol h=$hCol on "),
+        col(idCol).cast("string"))))
+    val h = col(hCol).cast("long")
     val cands = array(ladder.zipWithIndex.map { case ((bw, bh), i) =>
       struct(
         (abs(w * bh - h * bw).cast("double") / lit(bh.toDouble)).as("d"),

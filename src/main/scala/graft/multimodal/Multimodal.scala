@@ -1004,12 +1004,16 @@ object Multimodal {
     val ids = pairs.select(col(aCol).as("__pid"))
       .union(pairs.select(col(bCol).as("__pid"))).distinct()
     val wanted = payload.join(broadcast(ids), Seq("__pid"), "left_semi")
+    // LEFT joins: a candidate id with no payload row (image table
+    // filtered/compacted since the index proposed the pair) must
+    // surface as decode_ok=false, never silently drop the pair — the
+    // contract is one verdict per candidate pair
     val joined = pairs
       .join(wanted.select(col("__pid"), col("__bytes").as("__bytes_a"),
-        col("__fmt").as("__fmt_a")), col(aCol) === col("__pid"))
+        col("__fmt").as("__fmt_a")), col(aCol) === col("__pid"), "left")
       .drop("__pid")
       .join(wanted.select(col("__pid"), col("__bytes").as("__bytes_b"),
-        col("__fmt").as("__fmt_b")), col(bCol) === col("__pid"))
+        col("__fmt").as("__fmt_b")), col(bCol) === col("__pid"), "left")
       .drop("__pid")
     val inSchema = joined.schema
     val keptIdx = pairs.columns.map(inSchema.fieldIndex)
@@ -1324,6 +1328,14 @@ object Multimodal {
   def electCanonicalCaption(imgs: DataFrame, idCol: String,
       captionCol: String, pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    // a string id would cast to null below and silently collapse the
+    // whole corpus into ONE null cluster — same guard as every other
+    // id-keyed op
+    graft.core.Ids.requireIntegral(imgs, idCol,
+      "electCanonicalCaption")
+    Seq("cluster", "canonical_caption", "__cluster").foreach(c =>
+      require(!imgs.columns.contains(c),
+        s"electCanonicalCaption: input already has a '$c' column"))
     val comp = graft.dedup.Components
       .connectedComponents(pairs.select(col(aCol), col(bCol)),
         aCol, bCol)

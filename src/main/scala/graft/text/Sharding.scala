@@ -218,6 +218,9 @@ object Sharding {
     graft.core.Ids.requireNoBinary(df, "epochShuffle")
     require(!df.columns.contains("shuffle_pos"),
       "epochShuffle: input already has a 'shuffle_pos' column")
+    require(!df.columns.contains("__eh"),
+      "epochShuffle: input already has a '__eh' column (reserved " +
+        "scratch name — it would be silently overwritten)")
     val withHash = df.withColumn("__eh", epochHash(col(idCol), epoch))
     val (ranked, cleanup) = exclusiveCumSumRaw(withHash,
       Seq(col("__eh"), col(idCol)), lit(1L), "shuffle_pos")
@@ -405,11 +408,14 @@ object Sharding {
     */
   def pairPartners(df: DataFrame, idCol: String, epoch: Int)
       : DataFrame = {
-    val ranked = epochShuffle(df, idCol, epoch)
+    // validate BEFORE the shuffle: at 10^9 rows the epoch rank is a
+    // full range-shuffle + checkpoint job — a detectable-up-front
+    // collision must not cost one
     val partnerCol = s"partner_$idCol"
     require(!df.columns.contains(partnerCol) &&
       !df.columns.contains("pair_id"),
       s"pairPartners: input already has a '$partnerCol'/'pair_id' column")
+    val ranked = epochShuffle(df, idCol, epoch)
     val index = ranked.select(
       col(idCol).as(partnerCol),
       col("shuffle_pos").bitwiseXOR(lit(1L)).as("__ppos"))

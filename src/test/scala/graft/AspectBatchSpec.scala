@@ -113,6 +113,17 @@ class AspectBatchSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("snapToLadder: null or non-positive dims fail loudly instead " +
+      "of silently snapping to rung 0") {
+    val bad = df("image_id STRING, w INT, h INT",
+      Seq(Row("a", 1024, 1024), Row("b", null, 768)))
+    val ex = intercept[Exception] {
+      AspectBatch.snapToLadder(bad, "image_id", "w", "h",
+        Seq((512, 512), (640, 384)), batchSize = 2).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("snapToLadder: nearest-ratio snap by exact cross products, " +
       "tie to earliest entry, crop fraction, per-bucket batches") {
     val ladder = Seq((512, 512), (640, 384), (384, 640))

@@ -160,6 +160,13 @@ class ShardingSpec extends SparkSpec {
       Sharding.epochShuffle(d.selectExpr("CAST(id AS STRING) AS id"),
         "id", 1)
     }
+    intercept[IllegalArgumentException] { // reserved scratch column
+      Sharding.epochShuffle(d.withColumn("__eh", lit(1L)), "id", 1)
+    }
+    // pairPartners validates collisions BEFORE paying the shuffle
+    intercept[IllegalArgumentException] {
+      Sharding.pairPartners(d.withColumn("pair_id", lit(0L)), "id", 1)
+    }
   }
 
   test("packShardsDual: byte spans cut at the budget, rows re-counted " +

@@ -417,4 +417,44 @@ class SnapshotStoreSpec extends SparkSpec {
       .map(_.bucket) == Seq(2))
     assert(SnapshotStore.verify(spark, root).isEmpty)
   }
+
+  test("stats survive hostile values: Infinity degrades to untracked " +
+      "(write succeeds, never prunes), a DATE bound prunes a " +
+      "TIMESTAMP column in consistent units, and string pruning " +
+      "orders by UTF-8 bytes like Spark's min/max") {
+    import spark.implicits._
+    val root = freshRoot()
+    val d = (0 until 300).map(i => (i.toLong,
+      if (i % 100 == 50) Double.PositiveInfinity else i.toDouble,
+      java.sql.Timestamp.valueOf(f"2026-01-${1 + i / 100}%02d 12:00:00"),
+      if (i % 100 == 0) "😀" else "plain"))
+      .toDF("doc_id", "score", "ts", "s")
+    val bucket = (col("doc_id") / lit(100L)).cast("int")
+    // +Infinity in every bucket's score max: BigDecimal can't hold it
+    // — the write must SUCCEED and leave score untracked
+    SnapshotStore.write(d, root, bucket,
+      statsCols = Seq("score", "ts", "s"))
+    val m = SnapshotStore.manifest(root, 1)
+    assert(m.size == 3 && m.forall(!_.stats.contains("score")))
+    assert(SnapshotStore.prunedManifest(
+      root, "score", Some(1.0), Some(2.0)).size == 3) // never prunes
+    // date lower bound against timestamp stats: same epoch-micros
+    // units, so bucket 0 (all Jan 1 noon) is provably below Jan 2
+    val kept = SnapshotStore.prunedManifest(root, "ts",
+      Some(java.sql.Date.valueOf("2026-01-02")), None)
+    assert(kept.map(_.bucket).sorted == Seq(1, 2),
+      s"date-vs-timestamp pruning kept ${kept.map(_.bucket)}")
+    val pruned = SnapshotStore.readRange(spark, root, "ts",
+      Some(java.sql.Date.valueOf("2026-01-02")), None)
+    val full = SnapshotStore.read(spark, root)
+      .filter(col("ts") >= lit(java.sql.Date.valueOf("2026-01-02")))
+    assert(pruned.count() == 200 && full.count() == 200)
+    // supplementary-plane string: UTF-8 bytes (F0 9F 98 80) sort
+    // ABOVE U+FFFD (EF BF BD) — Java's UTF-16 compare would wrongly
+    // prune every bucket for this bound
+    val keptS = SnapshotStore.prunedManifest(
+      root, "s", Some("�"), None)
+    assert(keptS.size == 3,
+      "emoji max must survive a U+FFFD lower bound under UTF-8 order")
+  }
 }

@@ -566,4 +566,41 @@ class TextMultimodalSpec extends SparkSpec {
       (10L, "solo"),
       (11L, null), (12L, null)))
   }
+
+  test("electCanonicalCaption: string ids and reserved output " +
+      "columns are rejected loudly (a silent long-cast would " +
+      "collapse the corpus into one null cluster)") {
+    val pairs = df("id_a BIGINT, id_b BIGINT", Seq(Row(1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Multimodal.electCanonicalCaption(
+        df("id STRING, caption STRING", Seq(Row("img_1", "c"))),
+        "id", "caption", pairs)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.electCanonicalCaption(
+        df("id BIGINT, caption STRING, cluster BIGINT",
+          Seq(Row(1L, "c", 9L))),
+        "id", "caption", pairs)
+    }
+  }
+
+  test("pairPsnrVerify: a candidate id with no payload row yields a " +
+      "decode_ok=false verdict — one verdict per pair, never a " +
+      "silently dropped pair") {
+    val img = PixelCheck.toImage(
+      PixelCheck.syntheticPixels(3L, 8, 8), 8, 8)
+    val png = PixelCheck.encode(img, "png")
+    val imgs = df("id BIGINT, bytes BINARY, fmt STRING",
+      Seq(Row(1L, png, "png")))
+    val pairs = df("id_a BIGINT, id_b BIGINT",
+      Seq(Row(1L, 99L), Row(1L, 1L)))
+    val out = Multimodal.pairPsnrVerify(imgs, "id", pairs)
+      .orderBy("id_b").collect()
+    assert(out.length == 2, "the missing-payload pair must survive")
+    val selfPair = out(0); val missing = out(1)
+    assert(selfPair.getBoolean(2) && selfPair.getBoolean(5))
+    assert(missing.getLong(1) == 99L && !missing.getBoolean(2) &&
+      missing.isNullAt(4) && !missing.getBoolean(5) &&
+      !missing.getBoolean(6))
+  }
 }
