@@ -84,6 +84,34 @@ object QueriesData {
     s.read.parquet(path)
   }
 
+  /** Shared q220/q225 ingest fixture: the stored corpus (written
+    * deterministically to the q220 oracle path) and the incoming
+    * batch — relabeled exact copies (+1e6, every 10th), 2x png
+    * rematerializations (+2e6, every 10th+5), and genuinely new
+    * renders (+5e6, fresh seed). Both the one-shot and the streaming
+    * ingest query derive from this, so the streaming run certifies
+    * against LITERALLY the q220 oracle.
+    */
+  private[graft] def ingestFixture(s: SparkSession)
+      : (DataFrame, DataFrame) = {
+    val path = "/tmp/graft_oracle_images_q220"
+    ImageTable.imagesReal(s, 300).write.mode("overwrite").parquet(path)
+    val corpus = s.read.parquet(path)
+      .withColumn("id", expr("CAST(substring(image_id, 5) AS BIGINT)"))
+    val copies = corpus.filter(col("id") % 10 === 0)
+      .withColumn("id", col("id") + 1000000L)
+    val ups = Multimodal.resizeEncode(
+      corpus.filter(col("id") % 10 === 5 && col("fmt") === "png")
+        .withColumn("tw", col("w") * 2)
+        .withColumn("th", col("h") * 2),
+      "tw", "th").drop("tw", "th")
+      .withColumn("id", col("id") + 2000000L)
+    val fresh = ImageTable.imagesReal(s, 40, seed = 77)
+      .withColumn("id",
+        expr("CAST(substring(image_id, 5) AS BIGINT)") + 5000000L)
+    (corpus, copies.unionByName(ups).unionByName(fresh))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> ((s, dir) => {
       Dedup.exact(docsWithExact(s, dir), Seq("text"), "doc_id")
@@ -853,22 +881,7 @@ object QueriesData {
       // the NORMALIZED verify can confirm these), and genuinely new
       // renders (+5e6, fresh seed) that must come through unmatched
       // AND undecoded (no candidates -> no codec work).
-      val path = "/tmp/graft_oracle_images_q220"
-      ImageTable.imagesReal(s, 300).write.mode("overwrite").parquet(path)
-      val corpus = s.read.parquet(path)
-        .withColumn("id", expr("CAST(substring(image_id, 5) AS BIGINT)"))
-      val copies = corpus.filter(col("id") % 10 === 0)
-        .withColumn("id", col("id") + 1000000L)
-      val ups = Multimodal.resizeEncode(
-        corpus.filter(col("id") % 10 === 5 && col("fmt") === "png")
-          .withColumn("tw", col("w") * 2)
-          .withColumn("th", col("h") * 2),
-        "tw", "th").drop("tw", "th")
-        .withColumn("id", col("id") + 2000000L)
-      val fresh = ImageTable.imagesReal(s, 40, seed = 77)
-        .withColumn("id",
-          expr("CAST(substring(image_id, 5) AS BIGINT)") + 5000000L)
-      val batch = copies.unionByName(ups).unionByName(fresh)
+      val (corpus, batch) = ingestFixture(s)
       val idxRoot = java.nio.file.Files
         .createTempDirectory("graft_q220_idx").toString
       graft.multimodal.PhashIndex.build(

@@ -739,6 +739,55 @@ object QueriesStreaming {
         .orderBy("event_id")
     }),
 
+    "q225_stream_ingest_verify" -> ((s, dir) => {
+      // streaming twin of the q220 capstone: the SAME incoming batch
+      // (QueriesData.ingestFixture — same corpus parquet, same fates)
+      // arrives in two micro-batches — the exact relabels first, the
+      // 2x rematerializations + fresh renders after — with the index
+      // absorbed between. Per micro-batch: stored index proposes,
+      // normalized pair verify decodes ONLY candidates, verdicts
+      // stream out. The union of corpus-side dup verdicts must equal
+      // the one-shot answer: the oracle is LITERALLY q220's SQL
+      // (sixth shared batch/stream pair). Cross-chunk candidate pairs
+      // (both sides in the stream) audit decode_ok=false and are
+      // excluded the same way q220's final filter excludes them.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val (corpus, batch) = QueriesData.ingestFixture(s)
+      val idxRoot = java.nio.file.Files
+        .createTempDirectory("graft_q225_idx").toString
+      graft.multimodal.PhashIndex.build(
+        corpus.select("id", "phash"), "id", "phash", idxRoot)
+      val rows = batch.select("id", "bytes", "fmt", "phash").collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1),
+          r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val (c1, c2) = rows.partition(_._1 < 2000000L)
+      val input = MemoryStream[(Long, Array[Byte], String, Long)]
+      val stream = input.toDF().toDF("id", "bytes", "fmt", "phash")
+      val dups = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val q = StreamingOps.imageIngestVerifySink(stream, "id",
+        "phash", idxRoot, maxDist = 3,
+        payloads = corpus.select("id", "bytes", "fmt"),
+        emit = b => {
+          dups ++= b
+            .filter(col("is_dup") && col("id_a") < 1000000L)
+            .select("id_a", "id_b").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          ()
+        }).start()
+      try {
+        input.addData(c1: _*); q.processAllAvailable()
+        input.addData(c2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val v = dups.distinct.toSeq.toDF("matched_src", "batch_id")
+      batch.select(col("id").as("batch_id"))
+        .join(v.groupBy("batch_id")
+          .agg(min(col("matched_src")).as("matched_id")),
+          Seq("batch_id"), "left")
+        .orderBy("batch_id")
+    }),
+
     "q210_stream_phash_ingest" -> ((s, dir) => {
       // streaming ingest twin of q208: the SAME planted batch
       // (QueriesData.phashBatchOf over the SAME parquet input) arrives
@@ -855,6 +904,11 @@ object QueriesStreaming {
     // parquet input path, same planted batch)
     "q210_stream_phash_ingest" ->
       QueriesData.oracles("q208_phash_index"),
+
+    // the streaming ingest-verify must land exactly the one-shot
+    // verdicts: literally the q220 oracle (same fixture parquet)
+    "q225_stream_ingest_verify" ->
+      QueriesData.oracles("q220_ingest_verify_e2e"),
 
     // replay of the stream's EXACT per-user fold (value + s * 0.5^
     // (dt_us/hl_us), in arrival order) as a recursive CTE: identical

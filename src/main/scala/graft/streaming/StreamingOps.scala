@@ -1030,4 +1030,68 @@ object StreamingOps {
         }
         ()
       }
+
+  /** Streaming image-ingest VERIFY: the full q220 path — persisted
+    * phash index proposes candidates (the corpus is never re-banded),
+    * the normalized pair PSNR verify decodes ONLY the candidates, and
+    * per-pair pixel verdicts stream out — online. Each micro-batch of
+    * `(idCol, bytes, fmt, phashCol, ...)` rows:
+    *
+    *   1. queries the stored index for near-dup candidates touching
+    *      the batch ([[graft.multimodal.PhashIndex.batchNearDups]]);
+    *   2. pixel-verifies every candidate pair against `payloads` (the
+    *      stored corpus payload table) plus the batch's own payloads,
+    *      with [[graft.multimodal.Multimodal.pairPsnrVerify]]
+    *      (`normalizeDims` on, so rematerialized scales confirm) and
+    *      `emit`s the verdict rows — a pair whose counterpart payload
+    *      is in NEITHER source (e.g. an earlier micro-batch) audits
+    *      `decode_ok=false`, never drops;
+    *   3. absorbs the batch into the index, so later micro-batches
+    *      see it — the union of emissions over any chunking equals
+    *      the one-shot batch answer for corpus-side pairs (q225 is
+    *      certified against LITERALLY q220's oracle, the sixth
+    *      shared batch/stream pair).
+    *
+    * `emit` is at-least-once on failure/replay (the foreachBatch
+    * contract): point it at an idempotent downstream keyed on
+    * (id_a, id_b). Ids must be globally unique across corpus and
+    * stream; genuinely new images produce no candidates and therefore
+    * ZERO codec work.
+    */
+  def imageIngestVerifySink(stream: DataFrame, idCol: String,
+      phashCol: String, indexRoot: String, maxDist: Int,
+      payloads: DataFrame, emit: DataFrame => Unit,
+      minPsnrDb: Double = 40.0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    require(payloads.columns.contains("bytes") &&
+      payloads.columns.contains("fmt"),
+      "imageIngestVerifySink: payloads needs (id, bytes, fmt) columns")
+    stream.writeStream
+      .queryName("graft-image-ingest-verify")
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.persist()
+          try {
+            val cand = graft.multimodal.PhashIndex.batchNearDups(
+              batch.select(col(idCol), col(phashCol)),
+              idCol, phashCol, indexRoot, maxDist)
+            val both = payloads
+              .select(col(idCol).cast("long").as(idCol), col("bytes"),
+                col("fmt"))
+              .unionByName(batch.select(
+                col(idCol).cast("long").as(idCol), col("bytes"),
+                col("fmt")))
+            emit(graft.multimodal.Multimodal.pairPsnrVerify(both,
+              idCol, cand.select(col("id_a"), col("id_b")),
+              minPsnrDb = minPsnrDb, normalizeDims = true))
+            graft.multimodal.PhashIndex.appendBatch(
+              batch.select(col(idCol), col(phashCol)), idCol,
+              phashCol, indexRoot)
+          } finally { batch.unpersist(false); () }
+        }
+        ()
+      }
+  }
 }

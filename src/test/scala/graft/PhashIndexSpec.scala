@@ -117,6 +117,51 @@ class PhashIndexSpec extends SparkSpec {
     assert(got.toSet == oneShot)
   }
 
+  test("imageIngestVerifySink: per-micro-batch pixel verdicts — " +
+      "stored dup confirms, a cross-chunk pair with no stored payload " +
+      "audits decode_ok=false, a new image incurs no candidates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpRoot()
+    val imgs = graft.io.ImageTable.imagesReal(spark, 10)
+      .withColumn("id", expr("CAST(substring(image_id, 5) AS BIGINT)"))
+      .select("id", "bytes", "fmt", "phash")
+    PhashIndex.build(imgs.select("id", "phash"), "id", "phash", root)
+    val r0 = imgs.orderBy("id").collect().head
+    val (b0, f0, p0) =
+      (r0.getAs[Array[Byte]](1), r0.getString(2), r0.getLong(3))
+    val input = MemoryStream[(Long, Array[Byte], String, Long)]
+    val stream = input.toDF().toDF("id", "bytes", "fmt", "phash")
+    val got = scala.collection.mutable
+      .ArrayBuffer[(Long, Long, Boolean, Boolean)]()
+    val q = StreamingOps.imageIngestVerifySink(stream, "id", "phash",
+      root, maxDist = 3, payloads = imgs.select("id", "bytes", "fmt"),
+      emit = b => {
+        got ++= b.select("id_a", "id_b", "decode_ok", "is_dup")
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getBoolean(2), r.getBoolean(3)))
+        ()
+      }).start()
+    try {
+      input.addData((100L, b0, f0, p0)) // exact copy of image 0
+      q.processAllAvailable()
+      // a second copy (finds corpus AND the chunk-1 copy) + a
+      // genuinely new phash (complement: far from everything)
+      input.addData((201L, b0, f0, p0), (300L, b0, f0, ~p0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val id0 = r0.getLong(0)
+    assert(got.exists(v => v == ((id0, 100L, true, true))),
+      s"chunk-1 copy must pixel-confirm against the corpus: $got")
+    assert(got.exists(v => v == ((id0, 201L, true, true))),
+      "chunk-2 copy must pixel-confirm against the corpus")
+    assert(got.exists(v => v == ((100L, 201L, false, false))),
+      "the cross-chunk pair has no stored payload for id 100 — it " +
+        "must audit decode_ok=false, not vanish")
+    assert(got.forall(v => v._1 != 300L && v._2 != 300L),
+      "a new image must propose no candidates (zero codec work)")
+  }
+
   /** A second root holding the same corpus index, so the one-shot
     * reference query cannot be polluted by the stream's appends.
     */
