@@ -748,6 +748,27 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    "q226_shard_manifest" -> ((s, dir) => {
+      // the tar-writer completion of q215: every member's seek offset
+      // within its shard (global cumsum minus the shard's group-min —
+      // no per-shard window sort) plus the shard's published manifest
+      // row (members, bytes, id range, engine-portable bit_xor md5-60
+      // content fingerprint) joined back on
+      val packed = graft.text.Sharding.packShardsDual(
+        tbl(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", byteBudget = 100000L, maxRows = 25L)
+      val shardKeys = Seq("byte_shard", "shard_in_span")
+      val withOff = graft.text.Sharding.shardMemberOffsets(
+        packed, "cum_bytes_before", shardKeys)
+      val manifest = graft.text.Sharding.shardManifest(
+        packed, "doc_id", "n_chars", shardKeys)
+      withOff
+        .join(manifest, shardKeys)
+        .select("doc_id", "byte_shard", "shard_in_span",
+          "member_offset", "members", "shard_bytes", "content_fp")
+        .orderBy("doc_id")
+    }),
+
     "q216_pair_partners" -> ((s, dir) => {
       // deterministic mixup/contrastive partner assignment, epoch 2:
       // rows pair even-with-odd in the epoch order (partner_pos =
@@ -4096,6 +4117,33 @@ object QueriesData {
         |  (row_number() OVER (PARTITION BY cum_bytes_before // 100000
         |    ORDER BY doc_id) - 1) // 25 AS shard_in_span
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // replay q215's layout, then per-shard min-subtraction for the
+    // offsets and the same group agg + md5-60 xor fingerprint
+    "q226_shard_manifest" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |    CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_chars, cum,
+        |    cum // 100000 AS byte_shard,
+        |    (row_number() OVER (PARTITION BY cum // 100000
+        |      ORDER BY doc_id) - 1) // 25 AS shard_in_span
+        |  FROM c),
+        |m AS (SELECT byte_shard, shard_in_span,
+        |    count(*) AS members,
+        |    CAST(sum(n_chars) AS BIGINT) AS shard_bytes,
+        |    min(cum) AS start_cum,
+        |    bit_xor(CAST('0x' || substring(
+        |      md5(doc_id || '#' || n_chars), 1, 15) AS BIGINT))
+        |      AS content_fp
+        |  FROM p GROUP BY 1, 2)
+        |SELECT p.doc_id, p.byte_shard, p.shard_in_span,
+        |  p.cum - m.start_cum AS member_offset,
+        |  m.members, m.shard_bytes, m.content_fp
+        |FROM p JOIN m USING (byte_shard, shard_in_span)
+        |ORDER BY p.doc_id""".stripMargin,
 
     // epoch 2 term = (2 * 2246822519) mod 2^32 = 198677742; partner =
     // shuffle_pos XOR 1 self-join, odd tail keeps a null partner

@@ -406,6 +406,56 @@ object Sharding {
     * rejected by the rank machinery). Adds `shuffle_pos`, `pair_id`
     * (= `shuffle_pos div 2`) and `partner_<idCol>`.
     */
+  /** Per-member byte OFFSET within its export shard — what a tar/
+    * WebDataset writer seeks to before appending the member. For a
+    * contiguous layout carrying a GLOBAL running sum
+    * ([[packShards]] / [[packShardsDual]]'s `cum_bytes_before`), the
+    * in-shard offset is just `cum − min(cum) over the shard`: ONE
+    * bounded group-min (map-side combined, |shards| rows, broadcast
+    * back) — never a per-shard window sort, so shard size never
+    * bounds a sort buffer and the layout frame itself does not
+    * re-shuffle. Binary payloads are rejected like every layout op
+    * (join bytes back by id at write time).
+    */
+  def shardMemberOffsets(df: DataFrame, cumCol: String,
+      shardCols: Seq[String], out: String = "member_offset")
+      : DataFrame = {
+    require(shardCols.nonEmpty,
+      "shardMemberOffsets: need >= 1 shard column")
+    Seq(out, "__shard_start").foreach(c =>
+      require(!df.columns.contains(c),
+        s"shardMemberOffsets: input already has a '$c' column"))
+    graft.core.Ids.requireNoBinary(df, "shardMemberOffsets")
+    val starts = df.groupBy(shardCols.map(col): _*)
+      .agg(min(col(cumCol)).as("__shard_start"))
+    df.join(broadcast(starts), shardCols)
+      .withColumn(out, col(cumCol) - col("__shard_start"))
+      .select(df.columns.map(col) :+ col(out): _*) // input order kept
+  }
+
+  /** Shard-level export manifest: member count, payload bytes, id
+    * range and an order-independent content fingerprint per shard —
+    * what the writer publishes next to each shard for audit and
+    * resume. The fingerprint is `bit_xor` of the engine-portable
+    * md5-60 of `"<id>#<size>"`, so ANY engine recomputes it from the
+    * layout columns alone (the same cross-engine discipline as
+    * [[graft.core.Hashing.md5Hash60]] splits). ONE map-side-combined
+    * aggregation; output bounded by |shards|.
+    */
+  def shardManifest(df: DataFrame, idCol: String, sizeCol: String,
+      shardCols: Seq[String]): DataFrame = {
+    require(shardCols.nonEmpty, "shardManifest: need >= 1 shard column")
+    require(!df.columns.contains("__fp"),
+      "shardManifest: input already has a '__fp' column")
+    df.withColumn("__fp", graft.core.Hashing.md5Hash60(concat_ws("#",
+        col(idCol).cast("string"), col(sizeCol).cast("string"))))
+      .groupBy(shardCols.map(col): _*)
+      .agg(count(lit(1)).as("members"),
+        sum(col(sizeCol).cast("long")).as("shard_bytes"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"),
+        expr("bit_xor(__fp)").as("content_fp"))
+  }
+
   def pairPartners(df: DataFrame, idCol: String, epoch: Int)
       : DataFrame = {
     // validate BEFORE the shuffle: at 10^9 rows the epoch rank is a

@@ -203,6 +203,53 @@ class ShardingSpec extends SparkSpec {
     }
   }
 
+  test("shardMemberOffsets + shardManifest: in-shard seek offsets " +
+      "from the group min (no window), manifest totals and " +
+      "engine-portable fingerprint, guards") {
+    // same fixture as the packShardsDual golden above
+    val d = df("id BIGINT, sz BIGINT", Seq(
+      Row(1L, 400L), Row(2L, 700L), Row(3L, 100L), Row(4L, 100L),
+      Row(5L, 100L), Row(6L, 100L), Row(7L, 2000L), Row(8L, 100L)))
+    val packed = Sharding.packShardsDual(d, "id", "sz",
+      byteBudget = 1000L, maxRows = 3L)
+    val keys = Seq("byte_shard", "shard_in_span")
+    val off = Sharding.shardMemberOffsets(packed,
+      "cum_bytes_before", keys)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("member_offset")).toMap
+    // shard (1,0) = ids 3,4,5 with cum 1100,1200,1300 -> offsets
+    // 0,100,200; shard (1,1) = ids 6,7 -> 0,100; singletons -> 0
+    assert(off == Map(1L -> 0L, 2L -> 400L, 3L -> 0L, 4L -> 100L,
+      5L -> 200L, 6L -> 0L, 7L -> 100L, 8L -> 0L))
+    val man = Sharding.shardManifest(packed, "id", "sz", keys)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(man((1L, 0L)) == ((3L, 300L, 3L, 5L)))
+    assert(man((1L, 1L)) == ((2L, 2100L, 6L, 7L)))
+    assert(man((0L, 0L)) == ((2L, 1100L, 1L, 2L)))
+    // fingerprint: deterministic and order-independent — the same
+    // shard content permuted yields the identical fp
+    val fp1 = Sharding.shardManifest(packed, "id", "sz", keys)
+      .orderBy("byte_shard", "shard_in_span").collect()
+      .map(_.getLong(6)).toSeq
+    val fp2 = Sharding.shardManifest(
+      packed.orderBy(col("id").desc).repartition(5), "id", "sz", keys)
+      .orderBy("byte_shard", "shard_in_span").collect()
+      .map(_.getLong(6)).toSeq
+    assert(fp1 == fp2 && fp1.distinct.size == fp1.size)
+    intercept[IllegalArgumentException] { // binary payloads rejected
+      Sharding.shardMemberOffsets(
+        packed.withColumn("bytes", lit(Array[Byte](1))),
+        "cum_bytes_before", keys)
+    }
+    intercept[IllegalArgumentException] { // output collision
+      Sharding.shardMemberOffsets(
+        packed.withColumn("member_offset", lit(0L)),
+        "cum_bytes_before", keys)
+    }
+  }
+
   test("pairPartners: even-odd pairing is symmetric, odd tail " +
       "unpaired, pair_id = pos div 2, epochs differ") {
     val d = df("id BIGINT", (1L to 7L).map(Row(_)))
