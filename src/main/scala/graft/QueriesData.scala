@@ -748,6 +748,33 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    "q227_shard_write_audit" -> ((s, dir) => {
+      // the export round trip: lay out (q215), publish the manifest
+      // (q226), WRITE the framed binary shards, then re-parse the
+      // bytes on disk and prove every shard's member count, payload
+      // total and content fingerprint match the manifest — the
+      // oracle predicts the layout math and all-true audit flags
+      val docs = tbl(s, dir, "documents").select("doc_id", "n_chars")
+      val packed = graft.text.Sharding.packShardsDual(docs,
+        "doc_id", "n_chars", byteBudget = 100000L, maxRows = 25L)
+      val keys = Seq("byte_shard", "shard_in_span")
+      val manifest = graft.text.Sharding.shardManifest(packed,
+        "doc_id", "n_chars", keys)
+      // payload joined back by id at write time (the layout
+      // discipline); deterministic bytes of exactly n_chars length
+      val withBytes = packed.join(docs.select(col("doc_id"),
+        expr("CAST(repeat('x', n_chars) AS BINARY)").as("bytes")),
+        Seq("doc_id"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q227_shards").toString
+      graft.io.ShardWriter.writeShards(withBytes, "doc_id", "bytes",
+        "seq", keys, out).count() // materialize the write
+      graft.io.ShardWriter.auditShards(s, out, manifest, keys)
+        .select("byte_shard", "shard_in_span", "members",
+          "shard_bytes", "members_match", "bytes_match", "fp_match")
+        .orderBy("byte_shard", "shard_in_span")
+    }),
+
     "q226_shard_manifest" -> ((s, dir) => {
       // the tar-writer completion of q215: every member's seek offset
       // within its shard (global cumsum minus the shard's group-min —
@@ -4117,6 +4144,26 @@ object QueriesData {
         |  (row_number() OVER (PARTITION BY cum_bytes_before // 100000
         |    ORDER BY doc_id) - 1) // 25 AS shard_in_span
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the written-then-reparsed shards must reproduce the layout's
+    // own manifest exactly — per-shard stats from the q226 math, and
+    // every audit flag true
+    "q227_shard_write_audit" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |    CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_chars, cum,
+        |    cum // 100000 AS byte_shard,
+        |    (row_number() OVER (PARTITION BY cum // 100000
+        |      ORDER BY doc_id) - 1) // 25 AS shard_in_span
+        |  FROM c)
+        |SELECT byte_shard, shard_in_span,
+        |  count(*) AS members,
+        |  CAST(sum(n_chars) AS BIGINT) AS shard_bytes,
+        |  true AS members_match, true AS bytes_match, true AS fp_match
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // replay q215's layout, then per-shard min-subtraction for the
     // offsets and the same group agg + md5-60 xor fingerprint
