@@ -26,6 +26,22 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q228_multi_horizon" -> ((s, dir) => {
+      // the lag-family feature-store shape: the q30 purchase feed
+      // as-of joined at t, t-1h and t-1d per event, zero leakage at
+      // every horizon — the oracle chains three DuckDB ASOF joins on
+      // pre-shifted instants
+      AsOfJoin.multiHorizon(tbl(s, dir, "events"), purchases(s, dir),
+        entity = "user_id", leftTs = "ts",
+        horizonsSeconds = Seq(0L, 3600L, 86400L),
+        rightValueCols = Seq("purchase_value"))
+        .select(col("event_id"),
+          col("h0_purchase_value"), col("h0_matched_ts"),
+          col("h3600_purchase_value"), col("h3600_matched_ts"),
+          col("h86400_purchase_value"), col("h86400_matched_ts"))
+        .orderBy("event_id")
+    }),
+
     "q141_asof_auto_salted" -> ((s, dir) => {
       // the SAME as-of join as q30 but with runtime hot-key detection
       // driving the salting (no explicit hot list): a 2%-row-share
@@ -426,6 +442,29 @@ object QueriesTemporal {
          |FROM events l ASOF LEFT JOIN ($purchasesSql) r
          |ON l.user_id = r.user_id AND l.ts >= r.ts
          |ORDER BY 1""".stripMargin,
+
+    "q228_multi_horizon" ->
+      s"""WITH p AS ($purchasesSql),
+         |e AS (SELECT event_id, user_id, ts,
+         |    ts - INTERVAL 3600 SECOND AS ts_h1,
+         |    ts - INTERVAL 86400 SECOND AS ts_h2
+         |  FROM events),
+         |t0 AS (SELECT e.*, r.purchase_value AS h0_purchase_value,
+         |    r.ts AS h0_matched_ts
+         |  FROM e ASOF LEFT JOIN p r
+         |  ON e.user_id = r.user_id AND e.ts >= r.ts),
+         |t1 AS (SELECT t0.*, r.purchase_value AS h3600_purchase_value,
+         |    r.ts AS h3600_matched_ts
+         |  FROM t0 ASOF LEFT JOIN p r
+         |  ON t0.user_id = r.user_id AND t0.ts_h1 >= r.ts),
+         |t2 AS (SELECT t1.*, r.purchase_value AS h86400_purchase_value,
+         |    r.ts AS h86400_matched_ts
+         |  FROM t1 ASOF LEFT JOIN p r
+         |  ON t1.user_id = r.user_id AND t1.ts_h2 >= r.ts)
+         |SELECT event_id, h0_purchase_value, h0_matched_ts,
+         |  h3600_purchase_value, h3600_matched_ts,
+         |  h86400_purchase_value, h86400_matched_ts
+         |FROM t2 ORDER BY 1""".stripMargin,
 
     "q218_replay_parity" ->
       s"""WITH t AS (SELECT l.event_id, l.user_id, l.ts,

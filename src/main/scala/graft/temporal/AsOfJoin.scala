@@ -198,6 +198,59 @@ object AsOfJoin {
     }
   }
 
+  /** Multi-HORIZON point-in-time features: the same feed as-of
+    * joined at `t − Δ` for every horizon Δ — "value now / 1h ago /
+    * 1d ago" per entity×event, the standard feature-store lag-family
+    * shape, with zero leakage at EVERY horizon (a join at `t − Δ`
+    * reads only rows at or before `t − Δ`; negative horizons are
+    * rejected up front because they would read the future).
+    *
+    * Output = left columns + `h<Δ>_<col>` per value column and
+    * `h<Δ>_matched_ts` per horizon. Each horizon is one [[join]]
+    * sort-merge pass (the [[joinMulti]] shape — linear in the number
+    * of horizons, no cross-horizon blowup); the skew machinery
+    * (explicit hot lists, auto-salting) composes through.
+    */
+  def multiHorizon(left: DataFrame, right: DataFrame, entity: String,
+      leftTs: String, horizonsSeconds: Seq[Long],
+      rightTs: String = "ts", rightValueCols: Seq[String] = Seq.empty,
+      hotEntities: Seq[String] = Seq.empty,
+      autoSaltShare: Option[Double] = None): DataFrame = {
+    require(horizonsSeconds.nonEmpty, "multiHorizon: need >= 1 horizon")
+    require(horizonsSeconds.forall(_ >= 0),
+      s"multiHorizon: a negative horizon reads the FUTURE — got " +
+        s"$horizonsSeconds")
+    require(horizonsSeconds.distinct.size == horizonsSeconds.size,
+      s"multiHorizon: duplicate horizons in $horizonsSeconds")
+    val vals =
+      if (rightValueCols.nonEmpty) rightValueCols
+      else right.columns
+        .filterNot(c => c == entity || c == rightTs).toSeq
+    horizonsSeconds.foldLeft(left) { (acc, d) =>
+      val pfx = s"h$d"
+      val renames = (vals :+ "matched_ts").map(c => c -> s"${pfx}_$c")
+      renames.foreach { case (from, to) =>
+        require(!acc.columns.contains(to),
+          s"multiHorizon: output column $to already exists")
+        require(from == "matched_ts" || !left.columns.contains(from),
+          s"multiHorizon: value column $from shadows a spine column " +
+            "— rename it inside the feed frame first")
+      }
+      val shifted = s"__ts_$pfx"
+      require(!acc.columns.contains(shifted),
+        s"multiHorizon: input already has a '$shifted' column")
+      val base =
+        if (d == 0L) acc.withColumn(shifted, col(leftTs))
+        else acc.withColumn(shifted,
+          expr(s"`$leftTs` - INTERVAL $d SECOND"))
+      val joined = join(base, right, entity, shifted, rightTs,
+        vals, hotEntities = hotEntities, autoSaltShare = autoSaltShare)
+      renames.foldLeft(joined) { case (j, (from, to)) =>
+        j.withColumnRenamed(from, to)
+      }.drop(shifted)
+    }
+  }
+
   /** Train/serve feature-replay parity — the online/offline skew
     * check. Each spine row carries TWO instants: the training/label
     * time (`trainTs`, what the training set was built as-of) and the

@@ -245,6 +245,33 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("multiHorizon: per-horizon as-of values, zero leakage at " +
+      "every horizon, negative/duplicate horizons rejected") {
+    // horizons 0 and 3600s over the shared fixture. At t=12:00 the
+    // h0 join sees the same-instant 12:00 row (<= semantics); the
+    // 1h-back join at 11:00 sees only 09:00's value.
+    val out = AsOfJoin.multiHorizon(left(), right(), "e", "ts",
+      horizonsSeconds = Seq(0L, 3600L), rightValueCols = Seq("f"))
+      .orderBy("lv")
+    assert(column(out, "h0_f") == Seq(1.0, 2.0, 3.0, null, null))
+    assert(column(out, "h3600_f") == Seq(1.0, 1.0, 3.0, null, null))
+    // leakage property at both horizons: matched_ts <= ts - horizon
+    out.collect().foreach { r =>
+      val t = r.getAs[java.sql.Timestamp]("ts")
+      val m0 = r.getAs[java.sql.Timestamp]("h0_matched_ts")
+      val m1 = r.getAs[java.sql.Timestamp]("h3600_matched_ts")
+      if (m0 != null) assert(!m0.after(t), s"h0 leaked: $r")
+      if (m1 != null)
+        assert(m1.getTime <= t.getTime - 3600000L, s"h3600 leaked: $r")
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.multiHorizon(left(), right(), "e", "ts", Seq(-60L))
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.multiHorizon(left(), right(), "e", "ts", Seq(0L, 0L))
+    }
+  }
+
   test("replayParity: a feed update landing between the training and " +
       "serving instants flags stale; quiet windows do not; " +
       "serve < train is loud; collisions rejected") {
