@@ -26,6 +26,19 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q229_interval_features" -> ((s, dir) => {
+      // "purchases in the last hour / day" per event: one cumulative
+      // pass + as-of differences, exact decimal sums; the oracle
+      // recomputes every window with direct correlated aggregates
+      AsOfJoin.intervalFeatures(tbl(s, dir, "events"),
+        purchases(s, dir), entity = "user_id", leftTs = "ts",
+        windowsSeconds = Seq(3600L, 86400L),
+        valueCol = Some("purchase_value"))
+        .select(col("event_id"), col("w3600_count"), col("w3600_sum"),
+          col("w86400_count"), col("w86400_sum"))
+        .orderBy("event_id")
+    }),
+
     "q228_multi_horizon" -> ((s, dir) => {
       // the lag-family feature-store shape: the q30 purchase feed
       // as-of joined at t, t-1h and t-1d per event, zero leakage at
@@ -442,6 +455,25 @@ object QueriesTemporal {
          |FROM events l ASOF LEFT JOIN ($purchasesSql) r
          |ON l.user_id = r.user_id AND l.ts >= r.ts
          |ORDER BY 1""".stripMargin,
+
+    "q229_interval_features" ->
+      s"""WITH p AS ($purchasesSql)
+         |SELECT e.event_id,
+         |  (SELECT count(*) FROM p WHERE p.user_id = e.user_id
+         |    AND p.ts <= e.ts
+         |    AND p.ts > e.ts - INTERVAL 3600 SECOND) AS w3600_count,
+         |  (SELECT CAST(sum(CAST(purchase_value AS DECIMAL(38,6)))
+         |      AS DOUBLE) FROM p WHERE p.user_id = e.user_id
+         |    AND p.ts <= e.ts
+         |    AND p.ts > e.ts - INTERVAL 3600 SECOND) AS w3600_sum,
+         |  (SELECT count(*) FROM p WHERE p.user_id = e.user_id
+         |    AND p.ts <= e.ts
+         |    AND p.ts > e.ts - INTERVAL 86400 SECOND) AS w86400_count,
+         |  (SELECT CAST(sum(CAST(purchase_value AS DECIMAL(38,6)))
+         |      AS DOUBLE) FROM p WHERE p.user_id = e.user_id
+         |    AND p.ts <= e.ts
+         |    AND p.ts > e.ts - INTERVAL 86400 SECOND) AS w86400_sum
+         |FROM events e ORDER BY 1""".stripMargin,
 
     "q228_multi_horizon" ->
       s"""WITH p AS ($purchasesSql),

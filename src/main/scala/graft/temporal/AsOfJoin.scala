@@ -251,6 +251,82 @@ object AsOfJoin {
     }
   }
 
+  /** Point-in-time INTERVAL aggregates: for each spine event, the
+    * count (and exact sum) of feed rows in `(t − Δ, t]` per window Δ
+    * — "purchases in the last hour / day" style features, computed
+    * WITHOUT a per-event scan of the feed. Construction: ONE
+    * per-entity cumulative pass over the feed (RANGE frame, so
+    * same-instant ties share the cumulative value), then one as-of
+    * join at `t` and one at each `t − Δ`; the interval aggregate is
+    * the difference of cumulatives. Sums ride DECIMAL(38,6), so the
+    * difference is EXACT (a double cumsum difference would drift from
+    * a directly-computed sum); `w<Δ>_sum` is null when the window
+    * holds no non-null value (matching a direct SUM), `w<Δ>_count`
+    * is 0, never null.
+    *
+    * Cost: one window exchange over the feed + (|windows|+1) sort-
+    * merge as-of passes — linear, no per-event feed scan, skew
+    * machinery composes. Zero leakage: every input instant is ≤ t.
+    */
+  def intervalFeatures(left: DataFrame, right: DataFrame,
+      entity: String, leftTs: String, windowsSeconds: Seq[Long],
+      rightTs: String = "ts", valueCol: Option[String] = None,
+      hotEntities: Seq[String] = Seq.empty,
+      autoSaltShare: Option[Double] = None): DataFrame = {
+    require(windowsSeconds.nonEmpty,
+      "intervalFeatures: need >= 1 window")
+    require(windowsSeconds.forall(_ > 0),
+      s"intervalFeatures: windows must be > 0, got $windowsSeconds")
+    require(windowsSeconds.distinct.size == windowsSeconds.size,
+      s"intervalFeatures: duplicate windows in $windowsSeconds")
+    windowsSeconds.foreach { d =>
+      Seq(s"w${d}_count") ++ valueCol.map(_ => s"w${d}_sum") foreach {
+        c => require(!left.columns.contains(c),
+          s"intervalFeatures: output column $c already exists")
+      }
+    }
+    val w = Window.partitionBy(col(entity)).orderBy(col(rightTs))
+    val vDec = valueCol.map(v => col(v).cast("decimal(38,6)"))
+    val withCum = {
+      val base = right.withColumn("__cnt", count(lit(1)).over(w))
+      vDec match {
+        case None => base
+        case Some(v) => base
+          .withColumn("__vcnt", count(v).over(w))
+          .withColumn("__sum", sum(v).over(w))
+      }
+    }
+    val aggCols =
+      Seq("__cnt") ++ (if (vDec.isDefined) Seq("__vcnt", "__sum")
+        else Nil)
+    // one row per (entity, instant): ties share the RANGE cumulative,
+    // so max == the shared value
+    val cum = withCum.groupBy(col(entity), col(rightTs))
+      .agg(max(col(aggCols.head)).as(aggCols.head),
+        aggCols.tail.map(c => max(col(c)).as(c)): _*)
+    val joined = multiHorizon(left, cum, entity, leftTs,
+      0L +: windowsSeconds, rightTs, aggCols, hotEntities,
+      autoSaltShare)
+    val out = windowsSeconds.foldLeft(joined) { (acc, d) =>
+      val cntD = coalesce(col("h0___cnt"), lit(0L)) -
+        coalesce(col(s"h${d}___cnt"), lit(0L))
+      val r = acc.withColumn(s"w${d}_count", cntD.cast("long"))
+      if (vDec.isEmpty) r
+      else {
+        val zero = lit(0).cast("decimal(38,6)")
+        val vcntD = coalesce(col("h0___vcnt"), lit(0L)) -
+          coalesce(col(s"h${d}___vcnt"), lit(0L))
+        val sumD = coalesce(col("h0___sum"), zero) -
+          coalesce(col(s"h${d}___sum"), zero)
+        r.withColumn(s"w${d}_sum",
+          when(vcntD > 0, sumD.cast("double")))
+      }
+    }
+    val scaffolding = (0L +: windowsSeconds).flatMap(d =>
+      (aggCols :+ "matched_ts").map(c => s"h${d}_$c"))
+    out.drop(scaffolding: _*)
+  }
+
   /** Train/serve feature-replay parity — the online/offline skew
     * check. Each spine row carries TWO instants: the training/label
     * time (`trainTs`, what the training set was built as-of) and the

@@ -245,6 +245,36 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("intervalFeatures: (t-w, t] counts and exact sums — ties at " +
+      "one instant all count, empty windows count 0 with null sum, " +
+      "an all-null-value window sums null but still counts") {
+    val feed = df("e STRING, ts TIMESTAMP, v DOUBLE", Seq(
+      Row("a", ts("2024-01-01 09:30:00"), 1.5),
+      Row("a", ts("2024-01-01 09:30:00"), 2.25), // tie: same instant
+      Row("a", ts("2024-01-01 08:00:00"), 100.0), // outside 1h window
+      Row("b", ts("2024-01-01 09:00:00"), null))) // null value
+    val spine = df("e STRING, ts TIMESTAMP, k BIGINT", Seq(
+      Row("a", ts("2024-01-01 10:00:00"), 1L), // 1h window: the tie pair
+      Row("a", ts("2024-01-01 08:30:00"), 2L), // 1h window: the 08:00 row
+      Row("b", ts("2024-01-01 09:30:00"), 3L), // null-valued row counts
+      Row("c", ts("2024-01-01 10:00:00"), 4L))) // nothing ever
+    val out = AsOfJoin.intervalFeatures(spine, feed, "e", "ts",
+      windowsSeconds = Seq(3600L), valueCol = Some("v"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(2), r.getAs[Long]("w3600_count"),
+        if (r.isNullAt(4)) null else r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 2L, 3.75), (2L, 1L, 100.0),
+      (3L, 1L, null), (4L, 0L, null)))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.intervalFeatures(spine, feed, "e", "ts", Seq(0L))
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.intervalFeatures(
+        spine.withColumn("w60_count", lit(0L)), feed, "e", "ts",
+        Seq(60L))
+    }
+  }
+
   test("multiHorizon: per-horizon as-of values, zero leakage at " +
       "every horizon, negative/duplicate horizons rejected") {
     // horizons 0 and 3600s over the shared fixture. At t=12:00 the
