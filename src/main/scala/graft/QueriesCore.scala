@@ -127,6 +127,20 @@ object QueriesCore {
         .orderBy("p_partkey")
     }),
 
+    "q230_oof_mean_response" -> ((s, dir) => {
+      // leakage-safe target encoding: each row encoded with its
+      // level's statistics over every fold EXCEPT its own (salted
+      // md5-60 fold assignment, 5 folds, prior 5.0) — the q09 shape
+      // made trainable without the label leaking into the feature.
+      // Integral response => exact sums => bit-identical encodings
+      val df = tbl(s, dir, "customer")
+        .withColumn("resp", floor(col("c_acctbal")).cast("double"))
+      OofMeanResponse.encode(df, "c_custkey", "c_mktsegment", "resp",
+        nFolds = 5, salt = "oof", prior = 5.0)
+        .select(col("c_custkey"), col("c_mktsegment_oof"))
+        .orderBy("c_custkey")
+    }),
+
     "q09_mean_response" -> ((s, dir) => {
       // integral response => exact sums => bit-identical encodings
       val df = tbl(s, dir, "customer")
@@ -981,6 +995,28 @@ object QueriesCore {
         |       WHEN p_brand IN (SELECT lvl FROM shares WHERE s >= 0.04)
         |       THEN p_brand ELSE 'rare' END AS p_brand
         |FROM part ORDER BY 1""".stripMargin,
+
+    // same fold hash, level/fold partial sums, full-table prior mean;
+    // integral response keeps every sum exact so the division operands
+    // are bit-identical across engines
+    "q230_oof_mean_response" ->
+      """WITH t AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal) AS DOUBLE) AS resp,
+        |    CAST('0x' || substring(md5(c_custkey || '#oof'), 1, 15)
+        |      AS BIGINT) % 5 AS fold
+        |  FROM customer),
+        |gm AS (SELECT SUM(resp)/COUNT(*) AS g FROM t),
+        |lf AS (SELECT c_mktsegment AS lvl, fold,
+        |    SUM(resp) AS s, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |l AS (SELECT lvl, SUM(s) AS s, SUM(c) AS c FROM lf GROUP BY 1)
+        |SELECT t.c_custkey,
+        |  CASE WHEN l.c - COALESCE(lf.c, 0) + 5.0 > 0 THEN
+        |    (l.s - COALESCE(lf.s, 0.0) + 5.0 * (SELECT g FROM gm))
+        |      / (l.c - COALESCE(lf.c, 0) + 5.0) END
+        |    AS c_mktsegment_oof
+        |FROM t JOIN l ON l.lvl = t.c_mktsegment
+        |LEFT JOIN lf ON lf.lvl = t.c_mktsegment AND lf.fold = t.fold
+        |ORDER BY 1""".stripMargin,
 
     "q09_mean_response" ->
       """WITH t AS (SELECT c_custkey, c_mktsegment,

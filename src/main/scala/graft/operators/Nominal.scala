@@ -719,3 +719,70 @@ class HashedCrossEncoder(
     "columns" -> columns, "num_buckets" -> numBuckets,
     "output_col" -> outputCol)
 }
+
+/** OUT-OF-FOLD mean-response (target) encoding — the leakage-safe
+  * training-table variant [[MeanResponseTransformer]] cannot be: a
+  * fitted map encodes every training row with statistics that INCLUDE
+  * its own response, so the encoded feature leaks the label into
+  * training. The OOF rule encodes each row with the level's
+  * statistics computed over every fold EXCEPT the row's own:
+  *
+  *   enc = (sum_level − sum_level_fold + prior·g)
+  *       / (cnt_level − cnt_level_fold + prior)
+  *
+  * with `g` the full-table response mean (the
+  * [[MeanResponseTransformer]] prior convention) and the fold an
+  * engine-portable salted hash of the id (`md5_60(id#salt) mod k` —
+  * the [[graft.text.Sharding]] hash-split discipline: a row can never
+  * change folds as the corpus grows, and any engine reproduces the
+  * assignment). A level exclusive to the row's own fold falls back to
+  * the pure prior (null when `prior = 0`). For SERVING, fit the plain
+  * [[MeanResponseTransformer]] on the full table — OOF is a
+  * training-set transformation, not a fitted state.
+  *
+  * Exactness: with an integral-valued response (the q09 discipline)
+  * every sum is exact in double at any aggregation order, so the
+  * encoding matches a direct per-row recomputation bit-for-bit.
+  * Scale shape: two map-side-combined bounded aggregations
+  * (|levels|·|folds| and |levels| rows) + one 1-row global, all
+  * broadcast back — the table is scanned once, nothing unbounded
+  * moves.
+  */
+object OofMeanResponse {
+  import org.apache.spark.sql.functions.broadcast
+
+  def encode(df: DataFrame, idCol: String, colName: String,
+      responseCol: String, nFolds: Int, salt: String,
+      prior: Double = 0.0, outputCol: Option[String] = None)
+      : DataFrame = {
+    require(nFolds >= 2, s"oofMeanResponse: nFolds >= 2, got $nFolds")
+    require(prior >= 0, s"oofMeanResponse: prior >= 0, got $prior")
+    val out = outputCol.getOrElse(s"${colName}_oof")
+    Seq(out, "__fold", "__g", "__ls", "__lc", "__lfs", "__lfc")
+      .foreach(c => require(!df.columns.contains(c),
+        s"oofMeanResponse: input already has a '$c' column"))
+    val fold = pmod(graft.core.Hashing.md5Hash60(
+      concat(col(idCol).cast("string"), lit(s"#$salt"))),
+      lit(nFolds.toLong))
+    val t = df.withColumn("__fold", fold)
+    val y = col(responseCol).cast("double")
+    val g = t.agg((sum(y) / count(lit(1))).as("__g"))
+    val perLevelFold = t.groupBy(col(colName), col("__fold"))
+      .agg(sum(y).as("__lfs"), count(lit(1)).as("__lfc"))
+    val perLevel = perLevelFold.groupBy(col(colName))
+      .agg(sum(col("__lfs")).as("__ls"), sum(col("__lfc")).as("__lc"))
+    t.join(broadcast(perLevel), Seq(colName))
+      .join(broadcast(perLevelFold), Seq(colName, "__fold"), "left")
+      .crossJoin(broadcast(g))
+      .withColumn(out, {
+        val num = col("__ls") - coalesce(col("__lfs"), lit(0.0)) +
+          lit(prior) * col("__g")
+        val den = col("__lc") - coalesce(col("__lfc"), lit(0L)) +
+          lit(prior)
+        // explicit null for the prior=0 fold-exclusive level: IEEE
+        // 0/0 is engine-dependent, a null is not
+        when(den > 0, num / den)
+      })
+      .select((df.columns :+ out).map(col): _*) // input order kept
+  }
+}

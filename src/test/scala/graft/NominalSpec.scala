@@ -295,4 +295,59 @@ class NominalSpec extends SparkSpec {
       new HashedCrossEncoder(Seq("k", "n"), 0, "b")
     }
   }
+  test("OofMeanResponse: each row's encoding excludes its own fold, " +
+      "exclusive levels fall back to the prior (null at prior=0), " +
+      "deterministic at any partitioning") {
+    import org.apache.spark.sql.functions._
+    // force known folds by probing the same hash the op uses: build
+    // rows until both folds of a 2-fold split are populated
+    val rows = (1L to 40L).map(i =>
+      Row(i, if (i <= 36) "a" else "b", (i % 7).toDouble))
+    val d = df("id BIGINT, k STRING, y DOUBLE", rows)
+    val out = OofMeanResponse.encode(d, "id", "k", "y",
+      nFolds = 2, salt = "s", prior = 0.0)
+    val got = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+    // recompute the rule directly per row
+    val folds = d.withColumn("f", pmod(graft.core.Hashing.md5Hash60(
+        concat(col("id").cast("string"), lit("#s"))), lit(2L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val all = rows.map(r => (r.getLong(0), r.getString(1),
+      r.getDouble(2), folds(r.getLong(0))))
+    got.foreach { case (id, k, _, enc) =>
+      val f = folds(id)
+      val others = all.filter(t => t._2 == k && t._4 != f)
+      val expect =
+        if (others.isEmpty) null
+        else others.map(_._3).sum / others.size
+      assert(enc == expect, s"id=$id k=$k fold=$f")
+    }
+    // both folds are populated for level a (otherwise the test is
+    // vacuous) and level b is small enough to go fold-exclusive in
+    // at least one fold at SOME seed -- assert non-vacuity for a
+    val aFolds = all.filter(_._2 == "a").map(_._4).distinct
+    assert(aFolds.size == 2, "fixture must populate both folds")
+    // prior > 0: an exclusive level encodes the pure global prior
+    val withPrior = OofMeanResponse.encode(d, "id", "k", "y",
+      nFolds = 2, salt = "s", prior = 3.0)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    val g = all.map(_._3).sum / all.size
+    all.filter(_._2 == "b").foreach { case (id, _, _, f) =>
+      val others = all.filter(t => t._2 == "b" && t._4 != f)
+      val expect = (others.map(_._3).sum + 3.0 * g) /
+        (others.size + 3.0)
+      assert(withPrior(id) == expect)
+    }
+    // partitioning invariance
+    val rep = OofMeanResponse.encode(d.repartition(7), "id", "k", "y",
+      nFolds = 2, salt = "s", prior = 0.0)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.get(3))).toMap
+    assert(got.map(t => t._1 -> t._4).toMap == rep)
+    intercept[IllegalArgumentException] {
+      OofMeanResponse.encode(d, "id", "k", "y", nFolds = 1, salt = "s")
+    }
+  }
 }
