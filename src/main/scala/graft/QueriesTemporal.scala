@@ -376,6 +376,18 @@ object QueriesTemporal {
         .orderBy("aid", "bid")
     }),
 
+    "q231_session_stats" -> ((s, dir) => {
+      // per-session features over the q39 gap rule: event count,
+      // start/end, exact integer duration, mean inter-event gap
+      // (null for singletons) — one window exchange + one bounded agg
+      WindowOps.sessionStats(tbl(s, dir, "events"), "user_id", "ts",
+        gapSeconds = 1800)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("started_at"), col("ended_at"), col("duration_us"),
+          col("mean_gap_us"))
+        .orderBy("user_id", "session_id")
+    }),
+
     "q39_sessionize" -> ((s, dir) => {
       WindowOps.sessionize(tbl(s, dir, "events"), "user_id", "ts",
         gapSeconds = 1800)
@@ -981,6 +993,29 @@ object QueriesTemporal {
         |  COUNT(DISTINCT event_type) AS n_event_types,
         |  CAST(SUM(COALESCE(CAST(ROUND(value * 1e6, 0) AS BIGINT), 0))
         |       AS BIGINT) AS value_micros
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the q39 session rule, then one group: exact micro durations,
+    // mean gap = BIGINT/count division (bit-identical doubles)
+    "q231_session_stats" ->
+      """WITH t AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         IS NULL
+        |    OR date_diff('microsecond',
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+        |       > 1800000000
+        |  THEN 1 ELSE 0 END AS is_new FROM events),
+        |s AS (SELECT user_id, ts,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM t)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS started_at, max(ts) AS ended_at,
+        |  date_diff('microsecond', min(ts), max(ts)) AS duration_us,
+        |  CASE WHEN count(*) > 1 THEN
+        |    CAST(date_diff('microsecond', min(ts), max(ts)) AS DOUBLE)
+        |      / (count(*) - 1) END AS mean_gap_us
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q39_sessionize" ->

@@ -163,6 +163,29 @@ object WindowOps {
         sum(col("__is_new")).over(runningSpec).as(sessionCol): _*)
   }
 
+  /** Per-SESSION aggregate features over [[sessionize]]'s gap rule:
+    * one row per (entity, session) with event count, start/end
+    * instants, exact integer duration in micros, and the mean
+    * inter-event gap (`duration / (n−1)`, null for singleton
+    * sessions — division operands are an exact BIGINT and a count,
+    * so any engine reproduces the double bit-for-bit). Cost: the
+    * sessionize window's one exchange + one map-side-combined
+    * aggregation; output bounded by |sessions|.
+    */
+  def sessionStats(df: DataFrame, entity: String, ts: String,
+      gapSeconds: Long): DataFrame = {
+    val sess = sessionize(df, entity, ts, gapSeconds)
+    val tus = unix_micros(col(ts).cast("timestamp"))
+    sess.groupBy(col(entity), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(ts)).as("started_at"), max(col(ts)).as("ended_at"),
+        (max(tus) - min(tus)).as("duration_us"))
+      .withColumn("mean_gap_us",
+        when(col("n_events") > 1,
+          col("duration_us").cast("double") /
+            (col("n_events") - 1).cast("double")))
+  }
+
   /** Exact rolling quantile (np.interp / QUANTILE_CONT definition,
     * linear interpolation at `(n-1)*q`) over the last `k` ROWS per
     * entity — the robust rolling feature (rolling median / p90 burst

@@ -56,6 +56,22 @@ class WindowOpsSpec extends SparkSpec {
     assert(column(out, "session_id") == Seq(1L, 1L, 1L, 2L, 1L, 1L))
   }
 
+  test("sessionStats: per-session counts, exact durations, mean gap " +
+      "null for singletons") {
+    val out = WindowOps.sessionStats(frame(), "e", "ts",
+      gapSeconds = 1800).orderBy("e", "session_id").collect()
+    // frame(): entity a = 3 events then a gap -> sessions (a,1) of 3
+    // and (a,2) of 1; entity b = one 2-event session
+    val byKey = out.map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(5),
+        if (r.isNullAt(6)) null else r.getDouble(6))).toMap
+    assert(byKey.keySet == Set(("a", 1L), ("a", 2L), ("b", 1L)))
+    val (na, da, ga) = byKey(("a", 1L))
+    assert(na == 3L && da > 0L && ga == da.toDouble / 2)
+    val (n2, d2, g2) = byKey(("a", 2L))
+    assert(n2 == 1L && d2 == 0L && g2 == null) // singleton: null gap
+  }
+
   test("decayedRollingSum: golden values, null terms drop, k bounds history") {
     // events 6h apart with halfLife 6h -> weights 1, 0.5, 0.25
     val d = df("e STRING, ts TIMESTAMP, v DOUBLE", Seq(
