@@ -60,6 +60,41 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan.take(600))
   }
 
+  test("multiHorizon: one hash exchange per horizon (the as-of union " +
+      "window each), no cartesian, no single-partition stage") {
+    val evs = ImageTable.events(spark, 500, 3)
+    val snaps = ImageTable.snapshots(spark, 500)
+    val out = AsOfJoin.multiHorizon(evs, snaps, entity = "image_id",
+      leftTs = "event_ts", horizonsSeconds = Seq(0L, 3600L, 86400L),
+      rightTs = "feature_ts")
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 3, s"expected 3 exchanges, got $exchanges")
+    assert(!plan.contains("Cartesian") && !plan.contains("SinglePart"),
+      plan.take(600))
+  }
+
+  test("intervalFeatures: the feed cumulative is ONE window exchange, " +
+      "lookups are as-of unions, the global mean is a broadcast — " +
+      "never a per-event feed scan or cartesian blowup") {
+    val evs = ImageTable.events(spark, 500, 3)
+    val snaps = ImageTable.snapshots(spark, 500)
+      .withColumn("v", col("feature_ts").cast("long").cast("double"))
+    val out = AsOfJoin.intervalFeatures(evs, snaps,
+      entity = "image_id", leftTs = "event_ts",
+      windowsSeconds = Seq(3600L), rightTs = "feature_ts",
+      valueCol = Some("v"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    // the only nested-loop is the 1-row global-mean attach
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnl <= 1, s"expected <= 1 broadcast-literal attach, got $bnl")
+    // bounded exchanges: cum window + groupBy + 2 as-of unions (+AQE
+    // variance) — the point is it does NOT grow with events x feed
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 5, s"unexpected exchange count $exchanges")
+  }
+
   test("payload query reads bytes only when asked") {
     val imgs = spark.read.parquet(imgPath)
     val q = imgs.select(col("image_id"), length(col("bytes")).as("len"))
