@@ -6,7 +6,7 @@ import graft.operators.{Drift, Eval, GroupOps, Privacy}
 import graft.text.Sharding
 import graft.multimodal.Multimodal
 import graft.text.TextOps
-import graft.io.ImageTable
+import graft.io.{ImageTable, SnapshotStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -746,6 +746,31 @@ object QueriesData {
         .select("doc_id", "n_chars", "cum_bytes_before", "seq",
           "byte_shard", "shard_in_span")
         .orderBy("doc_id")
+    }),
+
+    "q232_incremental_latest" -> ((s, dir) => {
+      // incremental materialized view: the source store lands in two
+      // snapshots (80% of events, then the full table); each
+      // maintenance run diffs per-bucket lineage, reads ONLY the
+      // changed buckets and partition-overwrites their derived twins
+      // (untouched buckets carry by reference). The final derived
+      // table must equal latest-row-per-user over ALL events
+      val ev = tbl(s, dir, "events")
+      val srcRoot = java.nio.file.Files
+        .createTempDirectory("graft_q232_src").toString
+      val dstRoot = java.nio.file.Files
+        .createTempDirectory("graft_q232_dst").toString
+      val bucket = SnapshotStore.byKey("user_id", 16)
+      SnapshotStore.write(ev.filter(col("event_id") % 5 =!= 0),
+        srcRoot, bucket)
+      graft.io.IncrementalView.maintainLatest(s, srcRoot, dstRoot,
+        bucket, "user_id", "ts", "event_id")
+      SnapshotStore.write(ev, srcRoot, bucket)
+      graft.io.IncrementalView.maintainLatest(s, srcRoot, dstRoot,
+        bucket, "user_id", "ts", "event_id")
+      SnapshotStore.read(s, dstRoot)
+        .select("user_id", "event_id", "ts", "value")
+        .orderBy("user_id")
     }),
 
     "q227_shard_write_audit" -> ((s, dir) => {
@@ -4144,6 +4169,17 @@ object QueriesData {
         |  (row_number() OVER (PARTITION BY cum_bytes_before // 100000
         |    ORDER BY doc_id) - 1) // 25 AS shard_in_span
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // whatever the snapshot/maintenance path did, the derived table
+    // must equal a direct latest-per-user query over all events
+    // (latest = max (ts, event_id), the deterministic tie-break)
+    "q232_incremental_latest" ->
+      """WITH r AS (SELECT user_id, event_id, ts, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, ts, value FROM r
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // the written-then-reparsed shards must reproduce the layout's
     // own manifest exactly — per-shard stats from the q226 math, and

@@ -303,6 +303,85 @@ object SnapshotStore {
     } finally bucketed.unpersist(false)
   }
 
+  /** Dynamic-partition-OVERWRITE commit (Iceberg's
+    * `overwrite_partitions`): replace EXACTLY `buckets` with the
+    * incoming frame's rows — every incoming row must land in one of
+    * them (loud otherwise) — while EVERY other bucket of the previous
+    * snapshot is carried by reference, files untouched. This is the
+    * commit incremental view maintenance needs: [[write]] would drop
+    * buckets absent from the frame (it treats the frame as the whole
+    * table). A listed bucket with no incoming rows becomes empty.
+    * Unchanged listed buckets (same rows/xxh) are carried, not
+    * rewritten. Refuses to run over an incomplete (mid-checkpoint)
+    * snapshot — resume that write first.
+    */
+  def overwriteBuckets(df: DataFrame, root: String, bucketExpr: Column,
+      buckets: Seq[Int], statsCols: Seq[String] = Seq.empty)
+      : WriteResult = {
+    require(buckets.nonEmpty, "overwriteBuckets: empty bucket list")
+    require(!df.columns.contains(B) && !df.columns.contains("run"),
+      s"column names '$B' and 'run' are reserved by SnapshotStore")
+    val prevSnap = latestSnapshot(root).getOrElse(
+      throw new IllegalStateException(
+        s"overwriteBuckets: no complete snapshot at $root — " +
+          "bootstrap with write() first"))
+    require(latestAnySnapshot(root).contains(prevSnap),
+      s"overwriteBuckets: $root has an incomplete snapshot newer " +
+        s"than v$prevSnap — resume that write first")
+    val bucketSet = buckets.toSet
+    val bucketed = df.withColumn(B, bucketExpr)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val incoming = lineageOf(bucketed, statsCols)
+      val stray = incoming.keys.filterNot(bucketSet.contains).toSeq
+      require(stray.isEmpty,
+        s"overwriteBuckets: incoming rows land outside the declared " +
+          s"overwrite set: buckets ${stray.sorted.mkString(",")}")
+      val prev = manifest(root, prevSnap).map(e => e.bucket -> e).toMap
+      val carriedOther = prev.keys.toSeq.sorted
+        .filterNot(bucketSet.contains).map(prev)
+      val carriedSame = incoming.keys.toSeq.sorted.filter { b =>
+        prev.get(b).exists(p =>
+          (p.rows, p.xxh) == ((incoming(b)._1, incoming(b)._2)))
+      }
+      val chosen = incoming.keys.toSeq.sorted
+        .filterNot(carriedSame.contains)
+      val snap = prevSnap + 1
+      val runDir = s"$root/runs/run=$snap"
+      dropStaleRunDir(root, snap)
+      if (chosen.nonEmpty) {
+        bucketed.filter(col(B).isin(chosen: _*))
+          .write.partitionBy(B).mode("append").parquet(runDir)
+      }
+      val entries = carriedOther ++
+        carriedSame.map(b => prev(b).copy(rows = incoming(b)._1,
+          xxh = incoming(b)._2, stats = incoming(b)._3)) ++
+        chosen.map(b => BucketLineage(b, incoming(b)._1,
+          incoming(b)._2, s"$runDir/$B=$b", incoming(b)._3))
+      Files.createDirectories(Paths.get(root, "snapshots"))
+      Files.writeString(schemaPath(root, snap), df.schema.toDDL)
+      writeManifest(root, snap, entries, incomplete = false)
+      WriteResult(snap, chosen,
+        (carriedOther.map(_.bucket) ++ carriedSame).sorted, Seq.empty)
+    } finally bucketed.unpersist(false)
+  }
+
+  /** Bucket-subset read: exactly the listed buckets at a snapshot —
+    * the targeted-read half of incremental maintenance (read the few
+    * buckets a change touched, never the table).
+    */
+  def readBuckets(spark: SparkSession, root: String, buckets: Seq[Int],
+      snapshot: Option[Int] = None): DataFrame = {
+    val v = snapshot.orElse(latestSnapshot(root)).getOrElse(
+      throw new IllegalStateException(s"no snapshots at $root"))
+    val set = buckets.toSet
+    val paths = manifest(root, v)
+      .filter(e => set.contains(e.bucket)).map(_.path)
+    if (paths.isEmpty) read(spark, root, Some(v)).filter(lit(false))
+    else spark.read.option("basePath", s"$root/runs")
+      .parquet(paths: _*).drop("run").drop(B)
+  }
+
   /** Iceberg `rewrite_data_files`-style storage maintenance: rewrite
     * the CURRENT snapshot's files — optionally Z-order-clustered
     * within each bucket — and publish the result as a NEW snapshot
