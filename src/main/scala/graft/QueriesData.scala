@@ -748,6 +748,33 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    "q233_incremental_agg" -> ((s, dir) => {
+      // the generalized maintenance: an incremental per-user
+      // AGGREGATE view (counts + exact decimal sums) kept in sync by
+      // the same changed-buckets-only commit — final state must equal
+      // a direct groupBy over all events
+      val ev = tbl(s, dir, "events")
+      val srcRoot = java.nio.file.Files
+        .createTempDirectory("graft_q233_src").toString
+      val dstRoot = java.nio.file.Files
+        .createTempDirectory("graft_q233_dst").toString
+      val bucket = SnapshotStore.byKey("user_id", 16)
+      def view(rows: DataFrame): DataFrame = rows
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("value")).as("n_values"),
+          sum(col("value").cast("decimal(38,6)")).cast("double")
+            .as("value_sum"))
+      SnapshotStore.write(ev.filter(col("event_id") % 4 =!= 0),
+        srcRoot, bucket)
+      graft.io.IncrementalView.maintainView(s, srcRoot, dstRoot,
+        bucket, view)
+      SnapshotStore.write(ev, srcRoot, bucket)
+      graft.io.IncrementalView.maintainView(s, srcRoot, dstRoot,
+        bucket, view)
+      SnapshotStore.read(s, dstRoot).orderBy("user_id")
+    }),
+
     "q232_incremental_latest" -> ((s, dir) => {
       // incremental materialized view: the source store lands in two
       // snapshots (80% of events, then the full table); each
@@ -4169,6 +4196,15 @@ object QueriesData {
         |  (row_number() OVER (PARTITION BY cum_bytes_before // 100000
         |    ORDER BY doc_id) - 1) // 25 AS shard_in_span
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the maintained aggregate view must equal a direct groupBy over
+    // all events (decimal sums -> bit-identical doubles)
+    "q233_incremental_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  count(value) AS n_values,
+        |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS value_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // whatever the snapshot/maintenance path did, the derived table
     // must equal a direct latest-per-user query over all events

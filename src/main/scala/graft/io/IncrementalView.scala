@@ -38,18 +38,24 @@ object IncrementalView {
     if (Files.exists(p)) Some(Files.readString(p).trim.toInt) else None
   }
 
-  /** Bring the derived latest-per-entity table up to the source's
-    * latest snapshot. Latest = max by `(tsCol, tieBreakCol)` per
-    * `entity` (the tie-break makes same-instant rows deterministic on
-    * any cluster). Returns what changed; a no-op run (watermark
-    * already at head) writes nothing.
+  /** Bring ANY per-entity derived view up to the source's latest
+    * snapshot. `view` maps source rows to derived rows and must be
+    * PER-ENTITY-LOCAL: every derived row it produces must depend only
+    * on (and bucket with) one entity's source rows — latest-row,
+    * per-entity aggregates, session rollups all qualify; anything
+    * crossing entities does not (its change footprint would not map
+    * onto buckets). Each run reads ONLY the lineage-changed source
+    * buckets, applies `view` to just those rows, and partition-
+    * overwrites exactly the matching derived buckets; a source bucket
+    * that vanished empties its derived twin. Returns what changed; a
+    * run with the watermark already at head writes nothing.
     */
-  def maintainLatest(spark: SparkSession, sourceRoot: String,
-      derivedRoot: String, bucketExpr: Column, entity: String,
-      tsCol: String, tieBreakCol: String): MaintainResult = {
+  def maintainView(spark: SparkSession, sourceRoot: String,
+      derivedRoot: String, bucketExpr: Column,
+      view: DataFrame => DataFrame): MaintainResult = {
     val to = SnapshotStore.latestSnapshot(sourceRoot).getOrElse(
       throw new IllegalStateException(
-        s"maintainLatest: no complete snapshot at $sourceRoot"))
+        s"maintainView: no complete snapshot at $sourceRoot"))
     val from = watermark(derivedRoot)
     if (from.contains(to))
       return MaintainResult(to, Seq.empty, None)
@@ -62,26 +68,35 @@ object IncrementalView {
       .getOrElse(Set.empty[Int]).toSeq
     val changed = (SnapshotStore.changedBuckets(sourceRoot, from, to)
       ++ deleted).sorted
-    val rows = SnapshotStore.readChanges(spark, sourceRoot, from, to)
-    val latest = {
+    val derived = view(
+      SnapshotStore.readChanges(spark, sourceRoot, from, to))
+    val write =
+      if (from.isEmpty)
+        // bootstrap: the derived table does not exist yet — a plain
+        // whole-table write (changed = every source bucket)
+        SnapshotStore.write(derived, derivedRoot, bucketExpr)
+      else
+        SnapshotStore.overwriteBuckets(derived, derivedRoot,
+          bucketExpr, changed)
+    require(write.remaining.isEmpty,
+      "maintainView: truncated derived write (unexpected)")
+    Files.createDirectories(Paths.get(derivedRoot))
+    Files.writeString(watermarkPath(derivedRoot), to.toString)
+    MaintainResult(to, changed, Some(write))
+  }
+
+  /** The everyday instance: latest row per entity, latest = max by
+    * `(tsCol, tieBreakCol)` (the tie-break makes same-instant rows
+    * deterministic on any cluster).
+    */
+  def maintainLatest(spark: SparkSession, sourceRoot: String,
+      derivedRoot: String, bucketExpr: Column, entity: String,
+      tsCol: String, tieBreakCol: String): MaintainResult =
+    maintainView(spark, sourceRoot, derivedRoot, bucketExpr, rows => {
       val all = struct(rows.columns.map(col): _*)
       val ord = struct(col(tsCol), col(tieBreakCol))
       rows.groupBy(col(entity))
         .agg(max_by(all, ord).as("__r"))
         .select(rows.columns.map(c => col(s"__r.$c")): _*)
-    }
-    val write =
-      if (from.isEmpty)
-        // bootstrap: the derived table does not exist yet — a plain
-        // whole-table write (changed = every source bucket)
-        SnapshotStore.write(latest, derivedRoot, bucketExpr)
-      else
-        SnapshotStore.overwriteBuckets(latest, derivedRoot, bucketExpr,
-          changed)
-    require(write.remaining.isEmpty,
-      "maintainLatest: truncated derived write (unexpected)")
-    Files.createDirectories(Paths.get(derivedRoot))
-    Files.writeString(watermarkPath(derivedRoot), to.toString)
-    MaintainResult(to, changed, Some(write))
-  }
+    })
 }
