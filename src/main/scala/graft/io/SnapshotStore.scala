@@ -102,13 +102,70 @@ object SnapshotStore {
           (statRepr(r.getAs[Any](s"__min_$c")),
             statRepr(r.getAs[Any](s"__max_$c"))) match {
             case (Some((t1, lo)), Some((t2, hi))) if t1 == t2 =>
-              Some(c -> ((t1, lo, hi)))
+              // Iceberg-style string-bound truncation: a manifest must
+              // stay driver-side kilobytes even when the tracked
+              // column holds documents. A truncated LOWER bound is the
+              // prefix (prefix <= s in UTF-8 order); a truncated UPPER
+              // bound must INCREMENT the last code point (the prefix
+              // alone would under-state it and prune matching
+              // buckets). An un-incrementable upper (all max code
+              // points) leaves the column untracked for this bucket.
+              if (t1 != "s") Some(c -> ((t1, lo, hi)))
+              else truncUpper(hi).map(h =>
+                c -> (("s", truncLower(lo), h)))
             case _ => None // null/NaN bound -> untracked (no pruning)
           }
         }.toMap
         r.getInt(0) -> ((r.getLong(1), r.getLong(2), stats))
       }
       .toMap
+  }
+
+  private val StringBoundChars = 32
+
+  /** Lower-bound truncation: the prefix, backed off one char if the
+    * cut would split a surrogate pair (an unpaired surrogate encodes
+    * as the replacement byte and would corrupt the byte-order
+    * compare). A prefix is always <= the original in UTF-8 order, so
+    * the bound stays SAFE.
+    */
+  private[graft] def truncLower(s: String): String = {
+    if (s.length <= StringBoundChars) return s
+    val cut = s.substring(0, StringBoundChars)
+    if (Character.isHighSurrogate(cut.last)) cut.dropRight(1) else cut
+  }
+
+  /** Upper-bound truncation for string stats: identity when short
+    * enough; otherwise the [[StringBoundChars]]-char prefix with its
+    * last code point incremented (skipping the surrogate range), so
+    * the result is STRICTLY GREATER than every string sharing the
+    * prefix in UTF-8 byte order. None when no code point of the
+    * prefix is incrementable — that bucket stays unprunable on the
+    * column rather than risking a too-small upper bound.
+    */
+  private[graft] def truncUpper(s: String): Option[String] = {
+    if (s.length <= StringBoundChars) return Some(s)
+    val cut = s.substring(0, StringBoundChars)
+    // never split a surrogate pair: back off one char if the cut ends
+    // on a high surrogate
+    val base =
+      if (Character.isHighSurrogate(cut.last)) cut.dropRight(1) else cut
+    val cps = base.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      val next =
+        if (cps(i) == 0xD7FF) 0xE000 // skip the surrogate block
+        else cps(i) + 1
+      if (cps(i) < Character.MAX_CODE_POINT) {
+        val out = new java.lang.StringBuilder
+        var j = 0
+        while (j < i) { out.appendCodePoint(cps(j)); j += 1 }
+        out.appendCodePoint(next)
+        return Some(out.toString)
+      }
+      i -= 1
+    }
+    None
   }
 
   /** Normalize a collected min/max value into a (tag, repr) pair the

@@ -418,6 +418,38 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.verify(spark, root).isEmpty)
   }
 
+  test("string stats truncate like Iceberg: bounded manifest reprs, " +
+      "upper bound increments the last code point, pruning stays " +
+      "safe for values sharing a long prefix") {
+    import spark.implicits._
+    assert(SnapshotStore.truncLower("short") == "short")
+    assert(SnapshotStore.truncUpper("short").contains("short"))
+    val long = "a" * 40
+    assert(SnapshotStore.truncLower(long) == "a" * 32)
+    assert(SnapshotStore.truncUpper(long).contains("a" * 31 + "b"))
+    // a prefix of un-incrementable code points leaves the column
+    // untracked rather than risking a too-small upper bound
+    val maxCp = new String(Character.toChars(Character.MAX_CODE_POINT))
+    assert(SnapshotStore.truncUpper(maxCp * 40).isEmpty)
+    // integration: 44-char strings sharing a 31-char prefix — every
+    // manifest repr stays bounded, and a range read for one exact
+    // long value still returns it (safety: never wrongly pruned)
+    val root = freshRoot()
+    val prefix = "the quick brown fox jumps over " // 31 chars
+    val d = (0 until 200)
+      .map(i => (i.toLong, prefix + f"document $i%04d"))
+      .toDF("doc_id", "text")
+    val bucket = (col("doc_id") / lit(50L)).cast("int")
+    SnapshotStore.write(d, root, bucket, statsCols = Seq("text"))
+    val m = SnapshotStore.manifest(root, 1)
+    assert(m.nonEmpty && m.forall(e => e.stats.get("text").exists {
+      case (_, lo, hi) => lo.length <= 33 && hi.length <= 33
+    }), "string bounds must be truncated in the manifest")
+    val target = prefix + "document 0123"
+    assert(SnapshotStore.readRange(spark, root, "text",
+      Some(target), Some(target)).count() == 1)
+  }
+
   test("stats survive hostile values: Infinity degrades to untracked " +
       "(write succeeds, never prunes), a DATE bound prunes a " +
       "TIMESTAMP column in consistent units, and string pruning " +
