@@ -748,6 +748,74 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    "q234_caption_pad_batches" -> ((s, dir) => {
+      // caption padding-bucket layout: token counts varied
+      // deterministically (3..21 via phash-driven repeat), rounded up
+      // to multiples of 8, ranked per bucket, cut into 16-row
+      // batches; output = per-batch member/token/pad totals
+      val imgs = oracleImages(s, 800, "/tmp/graft_oracle_images_q234")
+        .select(col("image_id"),
+          trim(expr(
+            "repeat(concat(caption, ' '), " +
+              "cast(1 + pmod(phash, 7) as int))"))
+            .as("caption")) // payload never rides the layout
+      graft.multimodal.Batching.captionPadBatches(imgs,
+          "image_id", "caption", multiple = 8, batchSize = 16)
+        .groupBy("bucket_len", "batch_idx")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("tokens").as("tokens_sum"),
+          sum("pad_tokens").as("pad_tokens"))
+        .orderBy("bucket_len", "batch_idx")
+    }),
+
+    "q235_contrastive_batches" -> ((s, dir) => {
+      // no-false-negative contrastive batch assignment: phash-band
+      // clusters (pmod 97 -> every cluster multi-member), Latin-square
+      // shift batches, 32-row target size; oracle replays the exact
+      // windows + the (N, max-cluster) scalar
+      val imgs = oracleImages(s, 900, "/tmp/graft_oracle_images_q235")
+        .select(col("image_id"),
+          pmod(col("phash"), lit(97L)).as("cluster"))
+      graft.multimodal.Batching.contrastiveBatches(imgs,
+          "image_id", "cluster", batchSize = 32)
+        .orderBy("image_id")
+    }),
+
+    "q236_source_quota" -> ((s, dir) => {
+      // exact water-filling source caps: two oversized relabeled
+      // source unions skew the uniform sf corpus, budget 601 forces a
+      // non-trivial level AND a +1 leftover bump; output = per-source
+      // kept counts + id-sum fingerprint of exactly which docs stayed
+      val d = tbl(s, dir, "documents").select("doc_id", "source")
+      val skewed = d
+        .unionByName(d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            lit("srcBIG").as("source")))
+        .unionByName(d.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            lit("srcBIG2").as("source")))
+      graft.text.Sharding.sourceQuota(skewed, "source", "doc_id",
+          budget = 601L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept"),
+          sum("doc_id").as("kept_id_sum"),
+          max("src_rank").as("max_rank"))
+        .orderBy("source")
+    }),
+
+    "q237_exif_normalize" -> ((s, dir) => {
+      // EXIF orientation plan: tag derived 1..8 from phash, standard
+      // flip-then-rotate decomposition, dims swap for the 90/270
+      // family
+      val imgs = oracleImages(s, 500, "/tmp/graft_oracle_images_q237")
+        .select(col("image_id"), col("w"), col("h"),
+          (pmod(col("phash"), lit(8L)) + 1).cast("int")
+            .as("orientation"))
+      graft.multimodal.Batching.exifNormalizePlan(imgs,
+          "orientation", "w", "h")
+        .orderBy("image_id")
+    }),
+
     "q233_incremental_agg" -> ((s, dir) => {
       // the generalized maintenance: an incremental per-user
       // AGGREGATE view (counts + exact decimal sums) kept in sync by
@@ -4196,6 +4264,105 @@ object QueriesData {
         |  (row_number() OVER (PARTITION BY cum_bytes_before // 100000
         |    ORDER BY doc_id) - 1) // 25 AS shard_in_span
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // same varied caption (phash-driven repeat), same whitespace
+    // token count as q49, pad-to-8 buckets, per-bucket rank windows
+    "q234_caption_pad_batches" ->
+      """WITH base AS (SELECT image_id,
+        |    CAST(len(string_split(trim(repeat(caption || ' ',
+        |      CAST(1 + ((phash % 7) + 7) % 7 AS INTEGER))), ' '))
+        |      AS BIGINT) AS tokens
+        |  FROM read_parquet('/tmp/graft_oracle_images_q234/*.parquet')),
+        |b AS (SELECT *, ((tokens + 7) // 8) * 8 AS bucket_len
+        |  FROM base),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY bucket_len
+        |    ORDER BY image_id) - 1 AS rnk FROM b)
+        |SELECT bucket_len, rnk // 16 AS batch_idx,
+        |  count(*) AS n_rows,
+        |  CAST(sum(tokens) AS BIGINT) AS tokens_sum,
+        |  CAST(sum(bucket_len - tokens) AS BIGINT) AS pad_tokens
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the Latin-square shift: slot = per-cluster rank, shift =
+    // cluster mod num_batches, num_batches = max(ceil(N/32),
+    // largest cluster)
+    "q235_contrastive_batches" ->
+      """WITH base AS (SELECT image_id,
+        |    ((phash % 97) + 97) % 97 AS cluster
+        |  FROM read_parquet('/tmp/graft_oracle_images_q235/*.parquet')),
+        |st AS (SELECT greatest(
+        |    (CAST(sum(c) AS BIGINT) + 31) // 32, max(c)) AS nb
+        |  FROM (SELECT count(*) AS c FROM base GROUP BY cluster)),
+        |r AS (SELECT image_id, cluster,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY image_id) - 1 AS slot
+        |  FROM base)
+        |SELECT r.image_id, r.cluster, r.slot,
+        |  (r.slot + r.cluster % st.nb) % st.nb AS batch
+        |FROM r, st ORDER BY r.image_id""".stripMargin,
+
+    // exact water-filling replay: ascending (n, source) walk, the
+    // first row whose floor-share undercuts its own count fixes the
+    // level; leftover bumps the biggest unsaturated sources by 1;
+    // kept docs = per-source doc_id-ascending prefix of the quota
+    "q236_source_quota" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, 'srcBIG'
+        |    FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id + 2000000, 'srcBIG2'
+        |    FROM documents WHERE doc_id % 2 = 0),
+        |c AS (SELECT source, count(*) AS n FROM docs GROUP BY 1),
+        |s AS (SELECT source, n,
+        |    row_number() OVER (ORDER BY n, source) - 1 AS i,
+        |    CAST(COALESCE(SUM(n) OVER (ORDER BY n, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb,
+        |    count(*) OVER () AS m
+        |  FROM c),
+        |br AS (SELECT i AS jb, (601 - cb) // (m - i) AS lv,
+        |    601 - (cb + (m - i) * ((601 - cb) // (m - i))) AS leftover
+        |  FROM s WHERE (601 - cb) // (m - i) < n
+        |  ORDER BY i LIMIT 1),
+        |ranked AS (SELECT s.source, s.n, s.i, br.jb, br.lv,
+        |    br.leftover,
+        |    CASE WHEN br.jb IS NOT NULL AND s.i >= br.jb THEN
+        |      row_number() OVER (ORDER BY
+        |        CASE WHEN s.i >= COALESCE(br.jb, 9223372036854775807)
+        |          THEN 0 ELSE 1 END, s.n DESC, s.source) END AS urnk
+        |  FROM s LEFT JOIN br ON true),
+        |quota AS (SELECT source,
+        |    CASE WHEN jb IS NULL THEN n
+        |      ELSE least(n, lv) +
+        |        CASE WHEN urnk IS NOT NULL AND urnk <= leftover
+        |          THEN 1 ELSE 0 END END AS q
+        |  FROM ranked),
+        |k AS (SELECT d.source, d.doc_id,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY d.doc_id) - 1 AS src_rank
+        |  FROM docs d)
+        |SELECT k.source, count(*) AS kept,
+        |  CAST(sum(k.doc_id) AS BIGINT) AS kept_id_sum,
+        |  max(k.src_rank) AS max_rank
+        |FROM k JOIN quota q ON k.source = q.source
+        |WHERE k.src_rank < q.q
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the published EXIF orientation table, flip-H-then-rotate-CW
+    // decomposition; 5..8 swap output dims
+    "q237_exif_normalize" ->
+      """WITH base AS (SELECT image_id, w, h,
+        |    CAST(((phash % 8) + 8) % 8 + 1 AS INTEGER) AS orientation
+        |  FROM read_parquet('/tmp/graft_oracle_images_q237/*.parquet'))
+        |SELECT image_id, w, h, orientation,
+        |  orientation IN (2, 4, 5, 7) AS flip_h,
+        |  CASE WHEN orientation IN (1, 2) THEN 0
+        |       WHEN orientation IN (3, 4) THEN 180
+        |       WHEN orientation IN (5, 6) THEN 90
+        |       ELSE 270 END AS rot_cw,
+        |  CASE WHEN orientation >= 5 THEN h ELSE w END AS out_w,
+        |  CASE WHEN orientation >= 5 THEN w ELSE h END AS out_h
+        |FROM base ORDER BY image_id""".stripMargin,
 
     // the maintained aggregate view must equal a direct groupBy over
     // all events (decimal sums -> bit-identical doubles)

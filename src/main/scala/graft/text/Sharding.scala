@@ -456,6 +456,101 @@ object Sharding {
         expr("bit_xor(__fp)").as("content_fp"))
   }
 
+  /** Exact water-filling quota over per-source document counts: the
+    * level `L` is the largest integer with
+    * `sum_s min(n_s, L) <= budget`, every source keeps
+    * `min(n_s, L)` documents, and the leftover
+    * `budget - sum_s min(n_s, L)` (strictly fewer rows than there are
+    * unsaturated sources) is handed out +1 each to the unsaturated
+    * sources with the most documents (ties -> source name asc). Pure
+    * integer math on a `Seq` of per-source counts — the standard
+    * max-min fair allocation, deterministic in any engine.
+    *
+    * A negative or zero budget is rejected; a budget >= the corpus
+    * keeps everything (`quota_s = n_s`).
+    */
+  private[graft] def waterFill(counts: Seq[(String, Long)],
+      budget: Long): Map[String, Long] = {
+    require(budget > 0, s"sourceQuota: budget must be positive, got $budget")
+    require(counts.forall(_._2 >= 0),
+      s"sourceQuota: negative per-source count in $counts")
+    val total = counts.map(_._2).sum
+    if (total <= budget) return counts.toMap
+    val sorted = counts.sortBy { case (s, n) => (n, s) }
+    val m = sorted.size
+    // walk sources ascending by count; c = docs owned by sources
+    // already fully under the water line
+    var c = 0L
+    var j = 0
+    var level = 0L
+    var done = false
+    while (!done && j < m) {
+      val cand = (budget - c) / (m - j) // floor; operands nonneg
+      if (cand < sorted(j)._2) { level = cand; done = true }
+      else { c += sorted(j)._2; j += 1 }
+    }
+    // total > budget guarantees the loop broke before exhausting m
+    val leftover = budget - (c + (m - j) * level)
+    val bumped = sorted.drop(j) // exactly the sources with n > level
+      .sortBy { case (s, n) => (-n, s) }
+      .take(leftover.toInt).map(_._1).toSet
+    counts.map { case (s, n) =>
+      s -> (math.min(n, level) + (if (bumped(s)) 1L else 0L))
+    }.toMap
+  }
+
+  /** Per-source quota plan: `(source, n_docs, quota)` under the exact
+    * [[waterFill]] allocation of `budget` total documents. The
+    * per-source count table is ONE map-side-combined aggregation and
+    * the collect is bounded by |sources| (guarded by
+    * `graft.maxFitLevels`, same discipline as every fitted map) — the
+    * corpus itself never funnels anywhere.
+    */
+  def sourceQuotaPlan(df: DataFrame, sourceCol: String,
+      budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val cap = graft.core.Limits.maxFitLevels(spark)
+    val rows = counts.limit(cap + 1).collect()
+    if (rows.length > cap)
+      graft.core.Limits.levelCapError("sourceQuotaPlan", cap,
+        s"distinct $sourceCol values")
+    val seq = rows.toSeq.map(r =>
+      (Option(r.get(0)).map(_.toString).orNull, r.getLong(1)))
+    require(seq.forall(_._1 != null),
+      s"sourceQuotaPlan: null $sourceCol (filter or impute first)")
+    val quota = waterFill(seq, budget)
+    import spark.implicits._
+    val nBySource = seq.toMap
+    quota.toSeq.map { case (s, q) => (s, nBySource(s), q) }
+      .sortBy(_._1).toDF(sourceCol, "n_docs", "quota")
+  }
+
+  /** Apply [[sourceQuotaPlan]]: keep each source's first `quota`
+    * documents in `idCol` order (the deterministic per-source rank —
+    * a window PARTITIONED by source, so no global sort and no hot
+    * task beyond the largest single source's kept prefix). Adds
+    * `src_rank` (0-based rank within source). Down-weighting
+    * over-represented sources to a global document budget is the
+    * standard mixture-capping step before training-data export.
+    */
+  def sourceQuota(df: DataFrame, sourceCol: String, idCol: String,
+      budget: Long): DataFrame = {
+    require(!df.columns.contains("src_rank"),
+      "sourceQuota: input already has a 'src_rank' column")
+    val spark = df.sparkSession
+    val quotas: Map[String, Long] =
+      sourceQuotaPlan(df, sourceCol, budget).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col(idCol))
+    df.withColumn("src_rank",
+        row_number().over(w).cast("long") - lit(1L))
+      .filter(col("src_rank") <
+        element_at(typedLit(quotas), col(sourceCol)))
+  }
+
   def pairPartners(df: DataFrame, idCol: String, epoch: Int)
       : DataFrame = {
     // validate BEFORE the shuffle: at 10^9 rows the epoch rank is a
