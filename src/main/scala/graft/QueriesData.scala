@@ -748,6 +748,60 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    "q238_curriculum_schedule" -> ((s, dir) => {
+      // curriculum by length: exact global (n_chars, doc_id) rank via
+      // the two-phase layout, 4 equal difficulty phases by integer div
+      val d = tbl(s, dir, "documents").select("doc_id", "n_chars")
+      graft.text.Sharding.curriculumSchedule(d, "n_chars", "doc_id",
+          phases = 4)
+        .select("doc_id", "n_chars", "rank", "phase")
+        .orderBy("doc_id")
+    }),
+
+    "q239_repetition_plan" -> ((s, dir) => {
+      // upsampling mixture plan: explicit milli-weights over langs,
+      // 200k-token budget; integer-exact targets + epoch counts,
+      // rep_factor from exact operands
+      graft.text.TextOps.repetitionPlan(tbl(s, dir, "documents"),
+          "lang", "n_chars",
+          Map("en" -> 500, "de" -> 150, "es" -> 150,
+            "fr" -> 100, "zh" -> 100),
+          tokenBudget = 200000L)
+        .orderBy("lang")
+    }),
+
+    "q240_split_leakage" -> ((s, dir) => {
+      // contamination audit of an EXISTING hash split: q62's planted
+      // phash twins land in hash-independent splits, so cross-split
+      // leakage exists by construction; the matrix must count every
+      // pair in the right (split_a <= split_b) cell
+      val imgs = oracleImages(s, 600, "/tmp/graft_oracle_images_q240")
+      val base = imgs.select(col("image_id"), col("phash"))
+      val dups = base
+        .filter(expr("CAST(substring(image_id, 5) AS BIGINT) % 10 = 0"))
+        .select(concat(col("image_id"), lit("_d")).as("image_id"),
+          col("phash").bitwiseXOR(lit(257L)).as("phash"))
+      val all = base.unionByName(dups)
+      val pairs = Multimodal.phashNearDups(all, "image_id", "phash",
+        maxDist = 3)
+      val assign = graft.text.Sharding.hashSplit(all, "image_id", "r5",
+        Seq("train" -> 80, "val" -> 90, "test" -> 100))
+        .select("image_id", "split")
+      graft.dedup.Components.splitLeakageMatrix(pairs, assign,
+          "id_a", "id_b", "image_id", "split")
+        .orderBy("split_a", "split_b")
+    }),
+
+    "q241_epoch_batch_stats" -> ((s, dir) => {
+      // batch-composition audit over the epoch-3 shuffle: 25-row
+      // batches, per-batch member count / distinct sources / largest
+      // single-source clump
+      graft.text.Sharding.epochBatchStats(
+          tbl(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", "source", epoch = 3, batchSize = 25)
+        .orderBy("batch")
+    }),
+
     "q234_caption_pad_batches" -> ((s, dir) => {
       // caption padding-bucket layout: token counts varied
       // deterministically (3..21 via phash-driven repeat), rounded up
@@ -4264,6 +4318,79 @@ object QueriesData {
         |  (row_number() OVER (PARTITION BY cum_bytes_before // 100000
         |    ORDER BY doc_id) - 1) // 25 AS shard_in_span
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // exact global rank replay; the phase is integer division so the
+    // boundary rows land identically in both engines
+    "q238_curriculum_schedule" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) - 1
+        |      AS "rank",
+        |    count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT doc_id, n_chars, "rank",
+        |  ("rank" * 4) // n AS phase
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // milli-weight targets: (budget * w) // 1000 exact, ceil-epochs
+    // by integer math, rep_factor from the same exact operands
+    "q239_repetition_plan" ->
+      """WITH w(lang, wm) AS (VALUES ('en', 500), ('de', 150),
+        |  ('es', 150), ('fr', 100), ('zh', 100)),
+        |t AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |j AS (SELECT t.lang, t.n_tokens,
+        |    (CAST(200000 AS BIGINT) *
+        |      CAST(COALESCE(w.wm, 0) AS BIGINT)) // 1000
+        |      AS target_tokens
+        |  FROM t LEFT JOIN w ON t.lang = w.lang
+        |  WHERE t.n_tokens > 0)
+        |SELECT lang, n_tokens, target_tokens,
+        |  (target_tokens + n_tokens - 1) // n_tokens AS full_epochs,
+        |  CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    AS rep_factor
+        |FROM j ORDER BY lang""".stripMargin,
+
+    // exhaustive Hamming pairs + the same md5-60 split expression,
+    // canonicalized least/greatest matrix
+    "q240_split_leakage" ->
+      """WITH base AS (SELECT image_id, phash
+        |  FROM read_parquet('/tmp/graft_oracle_images_q240/*.parquet')),
+        |t AS (SELECT * FROM base
+        |      UNION ALL
+        |      SELECT image_id || '_d', xor(phash, 257) FROM base
+        |      WHERE CAST(substring(image_id, 5) AS BIGINT) % 10 = 0),
+        |sp AS (SELECT image_id, CASE
+        |    WHEN CAST('0x' || substring(md5(image_id || '#r5'), 1, 15)
+        |      AS BIGINT) % 100 < 80 THEN 'train'
+        |    WHEN CAST('0x' || substring(md5(image_id || '#r5'), 1, 15)
+        |      AS BIGINT) % 100 < 90 THEN 'val'
+        |    ELSE 'test' END AS split FROM t),
+        |p AS (SELECT a.image_id AS id_a, b.image_id AS id_b
+        |  FROM t a JOIN t b ON a.image_id < b.image_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |m AS (SELECT least(sa.split, sb.split) AS split_a,
+        |    greatest(sa.split, sb.split) AS split_b
+        |  FROM p JOIN sp sa ON p.id_a = sa.image_id
+        |         JOIN sp sb ON p.id_b = sb.image_id)
+        |SELECT split_a, split_b, count(*) AS n_pairs,
+        |  split_a <> split_b AS cross_split
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the q212 epoch-3 hash order, 25-row batches, two-level group
+    "q241_epoch_batch_stats" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    ((((((doc_id % 2147483648) * 2654435761) % 4294967296)
+        |        + 2445500261) % 4294967296 % 2147483648)
+        |      * 2654435761) % 4294967296 AS eh
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |    row_number() OVER (ORDER BY eh, doc_id) - 1 AS pos
+        |  FROM h),
+        |g AS (SELECT pos // 25 AS batch, source, count(*) AS c
+        |  FROM r GROUP BY 1, 2)
+        |SELECT batch, CAST(sum(c) AS BIGINT) AS members,
+        |  count(*) AS n_strata, max(c) AS max_stratum_rows
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same varied caption (phash-driven repeat), same whitespace
     // token count as q49, pad-to-8 buckets, per-bucket rank windows

@@ -224,4 +224,42 @@ object Components {
       .withColumn(out, lit(1.0) / col("__wn").cast("double"))
       .drop("__wkey", "__wn")
   }
+
+  /** Cross-split contamination matrix over a near-dup pair graph: for
+    * an EXISTING split assignment (however it was made), count the
+    * near-dup pairs inside and across splits. The diagonal
+    * (`split_a = split_b`) is in-split duplication; any off-diagonal
+    * row is train/eval leakage — the audit twin of the
+    * CONSTRUCTIVE leakage-safe splits (q144/q223), for splits this
+    * engine did not build. Pairs are unordered, so the matrix is
+    * canonicalized with `least/greatest`; `cross_split` flags the
+    * leakage rows directly.
+    *
+    * `assign` maps `idCol -> splitCol`; a pair endpoint missing from
+    * `assign` fails loudly (an unassigned id would silently vanish
+    * from the audit — the one thing an audit must not do). Two hash
+    * joins on the id + one bounded groupBy (\|splits\|^2 rows).
+    */
+  def splitLeakageMatrix(pairs: DataFrame, assign: DataFrame,
+      pairACol: String, pairBCol: String, idCol: String,
+      splitCol: String): DataFrame = {
+    val a = assign.select(col(idCol).as(pairACol),
+      col(splitCol).as("__sa"))
+    val b = assign.select(col(idCol).as(pairBCol),
+      col(splitCol).as("__sb"))
+    val joined = pairs
+      .join(a, Seq(pairACol), "left")
+      .join(b, Seq(pairBCol), "left")
+    require(joined.filter(col("__sa").isNull || col("__sb").isNull)
+      .head(1).isEmpty,
+      "splitLeakageMatrix: pair endpoint(s) missing from the split " +
+        "assignment — an unassigned id would silently vanish from " +
+        "the audit")
+    joined
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_split", col("split_a") =!= col("split_b"))
+  }
 }

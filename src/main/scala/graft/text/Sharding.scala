@@ -227,6 +227,61 @@ object Sharding {
     try ranked.drop("__eh").localCheckpoint(true) finally cleanup()
   }
 
+  /** Curriculum schedule: the exact global rank of every row under
+    * `(scoreCol, idCol)` ascending (easy -> hard when the score is a
+    * difficulty proxy like length or perplexity) and its curriculum
+    * `phase = (rank * phases) div N` — `phases` equal-sized
+    * difficulty stages for staged training. The rank is the shared
+    * two-phase range-partitioned layout (no single-partition sort at
+    * any corpus size); N is one scalar count. Integer `div`, not
+    * float floor — phase boundaries stay exact past 2^53 rows.
+    *
+    * `scoreCol`/`idCol` must be non-null (the order must be total);
+    * the pair must be unique, which a unique `idCol` guarantees.
+    */
+  def curriculumSchedule(df: DataFrame, scoreCol: String,
+      idCol: String, phases: Int): DataFrame = {
+    require(phases > 0,
+      s"curriculumSchedule: phases must be positive, got $phases")
+    Seq("rank", "phase").foreach(c =>
+      require(!df.columns.contains(c),
+        s"curriculumSchedule: input already has a '$c' column"))
+    require(df.filter(col(scoreCol).isNull || col(idCol).isNull)
+      .head(1).isEmpty,
+      s"curriculumSchedule: null $scoreCol/$idCol rows (the " +
+        "curriculum order must be total — filter or impute first)")
+    val n = df.count()
+    val (ranked, cleanup) = exclusiveCumSumRaw(df,
+      Seq(col(scoreCol), col(idCol)), lit(1L), "rank")
+    val out = try ranked.localCheckpoint(true) finally cleanup()
+    if (n == 0) out.withColumn("phase", lit(null).cast("long"))
+    else out.withColumn("phase", expr(s"(rank * $phases) div ${n}L"))
+  }
+
+  /** Batch-composition audit over the [[epochShuffle]] order: cut the
+    * epoch order into `batchSize`-row batches and report, per batch,
+    * the member count, the number of distinct `stratumCol` values and
+    * the largest single-stratum share — the check that a "shuffled"
+    * epoch did not clump one source into a batch (clumped batches
+    * give correlated gradients; a diversity audit catches a broken
+    * shuffle or a skewed corpus BEFORE a training run spends a
+    * cluster-day on it). Two bounded aggregations after the shuffle
+    * rank; output = \|batches\| rows.
+    */
+  def epochBatchStats(df: DataFrame, idCol: String,
+      stratumCol: String, epoch: Int, batchSize: Int): DataFrame = {
+    require(batchSize > 0,
+      s"epochBatchStats: batchSize must be positive, got $batchSize")
+    val shuffled = epochShuffle(df, idCol, epoch)
+      .withColumn("batch", expr(s"shuffle_pos div $batchSize"))
+    shuffled.groupBy(col("batch"), col(stratumCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("batch"))
+      .agg(sum("__c").as("members"),
+        count(lit(1)).as("n_strata"),
+        max("__c").as("max_stratum_rows"))
+  }
+
   /** EXACT-COUNT deterministic stratified sample: the `n` rows with
     * the smallest [[mixHash]] per stratum — a uniform sample of
     * exactly `min(n, |stratum|)` rows, reproducible anywhere (the

@@ -618,4 +618,48 @@ object TextOps {
       .toDF(stratumCol, "n_tokens", "share", "keep_rate",
         "expected_tokens", "hash_threshold")
   }
+
+  /** UPSAMPLING mixture plan — the complement of
+    * [[temperatureMixturePlan]]'s downsampling: given explicit target
+    * mixture weights in exact MILLI units (`weightsMilli` must sum to
+    * 1000 — a sloppy 999 would silently under-fill the budget) and a
+    * total token budget, emit per stratum
+    *
+    *   - `n_tokens`       the stratum's corpus token mass,
+    *   - `target_tokens`  `(budget * w) div 1000` (integer-exact),
+    *   - `full_epochs`    `ceil(target / n_tokens)` — how many passes
+    *                      over the stratum the loader schedules,
+    *   - `rep_factor`     `target / n_tokens` as a double from exact
+    *                      integer operands (bit-identical anywhere).
+    *
+    * A stratum with weight but no corpus rows cannot appear (there is
+    * nothing to repeat — the caller's mixture is infeasible and the
+    * missing row makes that visible); unlisted strata get weight 0.
+    * ONE map-side-combined aggregation, \|strata\| output rows.
+    */
+  def repetitionPlan(df: DataFrame, stratumCol: String,
+      tokenCol: String, weightsMilli: Map[String, Int],
+      tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0,
+      s"repetitionPlan: budget must be positive, got $tokenBudget")
+    require(weightsMilli.values.forall(_ >= 0) &&
+      weightsMilli.values.sum == 1000,
+      s"repetitionPlan: weights must be non-negative milli units " +
+        s"summing to 1000, got $weightsMilli")
+    val w = coalesce(
+      element_at(typedLit(weightsMilli.map { case (k, v) =>
+        k -> v.toLong }), col(stratumCol)), lit(0L))
+    df.groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol).cast("long")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("__w", w)
+      .withColumn("target_tokens",
+        expr(s"(${tokenBudget}L * __w) div 1000L"))
+      .withColumn("full_epochs",
+        expr("(target_tokens + n_tokens - 1) div n_tokens"))
+      .withColumn("rep_factor",
+        col("target_tokens").cast("double") /
+          col("n_tokens").cast("double"))
+      .drop("__w")
+  }
 }
