@@ -748,6 +748,50 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    "q242_orient_materialize" -> ((s, dir) => {
+      // EXIF normalization materialized on real codec payloads and
+      // certified by group algebra: F∘R∘F = R⁻¹ makes every
+      // flip-variant an involution and pure rotations undo with the
+      // complementary angle — so plan → materialize → inverse plan →
+      // materialize must restore the DECODED original pixel-exactly
+      // for all 8 tags. Oracle predicts dims + verdicts from metadata
+      val path = "/tmp/graft_oracle_images_q242"
+      ImageTable.imagesReal(s, 250).write.mode("overwrite").parquet(path)
+      val imgs = s.read.parquet(path)
+        .withColumn("id",
+          expr("CAST(substring(image_id, 5) AS BIGINT)"))
+        .withColumn("orientation",
+          (pmod(col("phash"), lit(8L)) + 1).cast("int"))
+      val planned = graft.multimodal.Batching.exifNormalizePlan(imgs,
+        "orientation", "w", "h")
+      val once = Multimodal.orientEncode(planned, "flip_h", "rot_cw")
+      val back = Multimodal.orientEncode(
+        once.withColumn("rot_inv",
+          when(col("flip_h"), col("rot_cw"))
+            .otherwise(pmod(lit(360) - col("rot_cw"), lit(360)))
+            .cast("int")),
+        "flip_h", "rot_inv")
+      val both = imgs
+        .select((col("id") + 2000000L).as("id"), col("bytes"),
+          col("fmt"))
+        .unionByName(back.select((col("id") + 3000000L).as("id"),
+          col("bytes"), col("fmt")))
+      val verdict = Multimodal.pairPsnrVerify(both, "id",
+        imgs.select((col("id") + 2000000L).as("id_a"),
+          (col("id") + 3000000L).as("id_b")))
+      planned.select(col("id"), col("orientation"), col("out_w"),
+          col("out_h"))
+        .join(once.select(col("id"), col("w").as("mat_w"),
+          col("h").as("mat_h")), Seq("id"))
+        .join(verdict.select((col("id_a") - 2000000L).as("id"),
+          col("exact")), Seq("id"))
+        .withColumn("dims_ok",
+          col("mat_w") === col("out_w") && col("mat_h") === col("out_h"))
+        .select("id", "orientation", "out_w", "out_h", "dims_ok",
+          "exact")
+        .orderBy("id")
+    }),
+
     "q238_curriculum_schedule" -> ((s, dir) => {
       // curriculum by length: exact global (n_chars, doc_id) rank via
       // the two-phase layout, 4 equal difficulty phases by integer div
@@ -4318,6 +4362,19 @@ object QueriesData {
         |  (row_number() OVER (PARTITION BY cum_bytes_before // 100000
         |    ORDER BY doc_id) - 1) // 25 AS shard_in_span
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // dims from the EXIF table, every round-trip verdict TRUE by the
+    // involution algebra (the query fails here if any pixel moved)
+    "q242_orient_materialize" ->
+      """WITH base AS (SELECT
+        |    CAST(substring(image_id, 5) AS BIGINT) AS id, w, h,
+        |    CAST(((phash % 8) + 8) % 8 + 1 AS INTEGER) AS orientation
+        |  FROM read_parquet('/tmp/graft_oracle_images_q242/*.parquet'))
+        |SELECT id, orientation,
+        |  CASE WHEN orientation >= 5 THEN h ELSE w END AS out_w,
+        |  CASE WHEN orientation >= 5 THEN w ELSE h END AS out_h,
+        |  true AS dims_ok, true AS exact
+        |FROM base ORDER BY id""".stripMargin,
 
     // exact global rank replay; the phase is integer division so the
     // boundary rows land identically in both engines

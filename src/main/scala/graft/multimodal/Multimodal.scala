@@ -1310,6 +1310,94 @@ object Multimodal {
     }
   }
 
+  /** Materialize an EXIF orientation plan
+    * ([[Batching.exifNormalizePlan]]): flip horizontally when
+    * `flipCol`, then rotate clockwise by `rotCol` degrees (0, 90,
+    * 180, 270 — any other value quarantines the row), re-encoding
+    * LOSSLESSLY as png with `bytes`/`w`/`h`/`fmt` updated (90/270
+    * transpose the dims). Group algebra the spec and q242 certify:
+    * with R = CW rotation and F = flip-H, `F∘R_θ∘F = R_{-θ}`, so
+    * every flip-variant `(R_θ F)` is an involution — applying the
+    * SAME plan twice is the identity — and a pure rotation undoes
+    * with the complementary angle. That gives an exact pixel
+    * round-trip certificate with no reference decoder in the loop.
+    *
+    * Pass-through quarantines (row unchanged): null plan fields,
+    * undecodable payload, rotation outside the table — per-row
+    * discipline, never a dead job. One codec per partition; pixel
+    * buffers die inside it; nothing shuffles.
+    */
+  def orientEncode(df: DataFrame, flipCol: String, rotCol: String)
+      : DataFrame = {
+    val inSchema = df.schema
+    val bytesIdx = inSchema.fieldIndex("bytes")
+    val fmtIdx = inSchema.fieldIndex("fmt")
+    val wIdx = inSchema.fieldIndex("w")
+    val hIdx = inSchema.fieldIndex("h")
+    val flipIdx = inSchema.fieldIndex(flipCol)
+    val rotIdx = inSchema.fieldIndex(rotCol)
+    implicit val enc = org.apache.spark.sql.Encoders.row(inSchema)
+    df.mapPartitions { it =>
+      val codec = new PixelCheck.Codec
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => codec.close()))
+      it.map { r =>
+        val out =
+          if (r.isNullAt(flipIdx) || r.isNullAt(rotIdx)) None
+          else {
+            val flip = r.getBoolean(flipIdx)
+            val rot = r.getInt(rotIdx)
+            try {
+              val bytes = Option(r.getAs[Array[Byte]](bytesIdx))
+                .getOrElse(Array.emptyByteArray)
+              val img = if (bytes.isEmpty) null
+                else codec.decode(bytes, r.getString(fmtIdx))
+              if (img == null || !Set(0, 90, 180, 270).contains(rot))
+                None
+              else {
+                val sw = img.getWidth; val sh = img.getHeight
+                val (ow, oh) =
+                  if (rot == 90 || rot == 270) (sh, sw) else (sw, sh)
+                val dst = new java.awt.image.BufferedImage(ow, oh,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var y = 0
+                while (y < oh) {
+                  var x = 0
+                  while (x < ow) {
+                    // invert the CW rotation: which FLIPPED-image
+                    // pixel lands at display (x, y)?
+                    val (fx, fy) = rot match {
+                      case 0 => (x, y)
+                      case 90 => (y, sh - 1 - x)
+                      case 180 => (sw - 1 - x, sh - 1 - y)
+                      case _ => (sw - 1 - y, x) // 270
+                    }
+                    // flip-H ran FIRST on the stored pixels
+                    val sx = if (flip) sw - 1 - fx else fx
+                    dst.setRGB(x, y, img.getRGB(sx, fy) & 0xffffff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                Some((codec.encode(dst, "png"), ow, oh))
+              }
+            } catch { case _: Exception => None }
+          }
+        out match {
+          case None => r
+          case Some((newBytes, ow, oh)) =>
+            Row.fromSeq(r.toSeq.zipWithIndex.map {
+              case (_, `bytesIdx`) => newBytes
+              case (_, `fmtIdx`) => "png"
+              case (_, `wIdx`) => ow
+              case (_, `hIdx`) => oh
+              case (v, _) => v
+            })
+        }
+      }
+    }
+  }
+
   /** Canonical-caption election per image near-dup cluster: when a
     * picture appears k times with diverging labels (scraped twice,
     * re-captioned, case-normalized), training wants ONE caption per

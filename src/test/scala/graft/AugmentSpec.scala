@@ -218,4 +218,77 @@ class AugmentSpec extends SparkSpec {
     val cropped = PixelCheck.decode(out(3).getAs[Array[Byte]](1))
     assert(cropped.getWidth == 4 && cropped.getHeight == 4)
   }
+
+  test("orientEncode: golden pixel mapping for all 8 EXIF tags") {
+    val codec = new PixelCheck.Codec
+    val img = new java.awt.image.BufferedImage(4, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 4) // fully asymmetric pattern
+      img.setRGB(x, y, (x << 16) | (y << 8) | (x * 3 + y))
+    val bytes = codec.encode(img, "png")
+    val plans = Seq( // tag -> (flip_h, rot_cw) per the EXIF table
+      (1, false, 0), (2, true, 0), (3, false, 180), (4, true, 180),
+      (5, true, 90), (6, false, 90), (7, true, 270), (8, false, 270))
+    val rows = plans.map { case (t, f, r) =>
+      Row(t.toLong, bytes, "png", 4, 3, f, r) }
+    val out = Multimodal.orientEncode(
+      df("id BIGINT, bytes BINARY, fmt STRING, w INT, h INT, " +
+        "flip_h BOOLEAN, rot_cw INT", rows),
+      "flip_h", "rot_cw").orderBy("id").collect()
+    // reference model: display(x,y) = stored(T_tag^{-1}(x,y))
+    def src(tag: Int, x: Int, y: Int): (Int, Int) = {
+      val (fx, fy) = tag match {
+        case 1 | 2 => (x, y)
+        case 3 | 4 => (3 - x, 2 - y)
+        case 5 | 6 => (y, 2 - x)
+        case _ => (3 - y, x)
+      }
+      (if (Set(2, 4, 5, 7)(tag)) 3 - fx else fx, fy)
+    }
+    out.foreach { r =>
+      val tag = r.getLong(0).toInt
+      val swapped = tag >= 5
+      val (ow, oh) = if (swapped) (3, 4) else (4, 3)
+      assert(r.getInt(3) == ow && r.getInt(4) == oh, s"tag $tag dims")
+      val dec = PixelCheck.decode(r.getAs[Array[Byte]](1))
+      for (y <- 0 until oh; x <- 0 until ow) {
+        val (sx, sy) = src(tag, x, y)
+        assert((dec.getRGB(x, y) & 0xffffff) ==
+          (img.getRGB(sx, sy) & 0xffffff),
+          s"tag $tag pixel ($x,$y) from ($sx,$sy)")
+      }
+    }
+  }
+
+  test("orientEncode: flip variants are involutions, rotations undo " +
+      "with the complement; invalid rotation quarantines") {
+    val codec = new PixelCheck.Codec
+    val img = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 5)
+      img.setRGB(x, y, (x * 40 << 16) | (y * 60 << 8) | (x + y))
+    val bytes = codec.encode(img, "png")
+    val rows = Seq(Row(5L, bytes, "png", 5, 4, true, 90),
+      Row(6L, bytes, "png", 5, 4, false, 90),
+      Row(99L, bytes, "png", 5, 4, false, 45)) // invalid rotation
+    val d = df("id BIGINT, bytes BINARY, fmt STRING, w INT, h INT, " +
+      "flip_h BOOLEAN, rot_cw INT", rows)
+    val once = Multimodal.orientEncode(d, "flip_h", "rot_cw")
+    val back = Multimodal.orientEncode(
+      once.withColumn("rot_inv",
+        when(col("flip_h"), col("rot_cw"))
+          .otherwise(pmod(lit(360) - col("rot_cw"), lit(360)))
+          .cast("int")),
+      "flip_h", "rot_inv").orderBy("id").collect()
+    back.take(2).foreach { r =>
+      assert(r.getInt(3) == 5 && r.getInt(4) == 4)
+      val dec = PixelCheck.decode(r.getAs[Array[Byte]](1))
+      for (y <- 0 until 4; x <- 0 until 5)
+        assert((dec.getRGB(x, y) & 0xffffff) ==
+          (img.getRGB(x, y) & 0xffffff),
+          s"id ${r.getLong(0)} round-trip pixel ($x,$y)")
+    }
+    // rot 45 quarantined byte-identically through BOTH passes
+    assert(java.util.Arrays.equals(back(2).getAs[Array[Byte]](1), bytes))
+  }
 }
