@@ -571,4 +571,73 @@ class PlanDisciplineSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("bytes"), e2.getMessage)
   }
+
+  test("exifNormalizePlan is a pure projection: no exchange, bytes " +
+      "pruned when unselected") {
+    val imgs = spark.read.parquet(imgPath)
+      .select(col("image_id"), col("w"), col("h"),
+        (pmod(col("phash"), lit(8L)) + 1).cast("int").as("o"))
+    val q = graft.multimodal.Batching.exifNormalizePlan(
+      imgs, "o", "w", "h")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"orientation plan must not shuffle:\n$plan")
+    assert(!plan.contains("bytes"),
+      s"binary payload leaked into the plan:\n$plan")
+  }
+
+  test("contrastiveBatches: ONE data exchange on the cluster key, " +
+      "no global sort") {
+    val imgs = spark.read.parquet(imgPath)
+      .select(col("image_id"), pmod(col("phash"), lit(97L)).as("cl"))
+    val q = graft.multimodal.Batching.contrastiveBatches(
+      imgs, "image_id", "cl", 32)
+    val plan = q.queryExecution.executedPlan.toString
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex == 1, s"expected 1 hash exchange, got $ex:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"global single-partition/range stage in the batch plan:\n$plan")
+    assert(!plan.contains("bytes"), plan)
+  }
+
+  test("captionPadBatches: ONE data exchange on the bucket key") {
+    val imgs = spark.read.parquet(imgPath)
+      .select("image_id", "caption")
+    val q = graft.multimodal.Batching.captionPadBatches(
+      imgs, "image_id", "caption", 8, 16)
+    val plan = q.queryExecution.executedPlan.toString
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex == 1, s"expected 1 hash exchange, got $ex:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("repetitionPlan and sourceQuotaPlan aggregate map-side " +
+      "(partial_ before the exchange)") {
+    val docs = spark.range(0, 2000)
+      .selectExpr("id AS doc_id", "CAST(id % 7 AS STRING) AS src",
+        "id % 100 AS tok")
+    val q = graft.text.TextOps.repetitionPlan(docs, "src", "tok",
+      Map("0" -> 1000), 10000L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"),
+      s"repetitionPlan agg must map-side combine:\n$plan")
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex == 1, s"expected 1 exchange, got $ex:\n$plan")
+  }
+
+  test("splitLeakageMatrix: hash joins only — no cartesian, no " +
+      "nested loop on the pair graph") {
+    val assign = spark.range(0, 1000)
+      .selectExpr("CAST(id AS STRING) AS id",
+        "CASE WHEN id % 10 < 8 THEN 'train' ELSE 'test' END AS split")
+    val pairs = spark.range(0, 500)
+      .selectExpr("CAST(id AS STRING) AS id_a",
+        "CAST(id + 1 AS STRING) AS id_b")
+    val q = graft.dedup.Components.splitLeakageMatrix(
+      pairs, assign, "id_a", "id_b", "id", "split")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.take(1500))
+  }
 }
