@@ -748,6 +748,41 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    "q243_image_decontaminate" -> ((s, dir) => {
+      // image-axis eval decontamination: every 10th corpus image
+      // reappears in the eval set 1 bit perturbed (distance 1), so
+      // exactly those corpus rows must flag contaminated; the banded
+      // cross-set join must agree with the oracle's exhaustive
+      // Hamming scan
+      val imgs = oracleImages(s, 600, "/tmp/graft_oracle_images_q243")
+      val corpus = imgs.select(col("image_id"), col("phash"))
+      val evalSet = corpus
+        .filter(expr("CAST(substring(image_id, 5) AS BIGINT) % 10 = 0"))
+        .select(concat(col("image_id"), lit("_e")).as("image_id"),
+          col("phash").bitwiseXOR(lit(4L)).as("phash"))
+      Multimodal.decontaminateImages(corpus, evalSet,
+          "image_id", "phash", maxDist = 3)
+        .orderBy("image_id")
+    }),
+
+    "q244_caption_boilerplate" -> ((s, dir) => {
+      // scraper-template gate: two casing/spacing variants of one
+      // template planted over every 7th image must POOL under the
+      // normalized count and flag; unique captions stay clean
+      val imgs = oracleImages(s, 700, "/tmp/graft_oracle_images_q244")
+        .select(col("image_id"),
+          when(expr("CAST(substring(image_id, 5) AS BIGINT) % 14 = 0"),
+            lit("click here to enlarge"))
+            .when(
+              expr("CAST(substring(image_id, 5) AS BIGINT) % 7 = 0"),
+              lit("  Click   HERE to Enlarge "))
+            .otherwise(col("caption")).as("caption"))
+      Multimodal.captionBoilerplate(imgs, "image_id", "caption",
+          maxRepeats = 3)
+        .select("image_id", "caption_count", "is_boilerplate")
+        .orderBy("image_id")
+    }),
+
     "q242_orient_materialize" -> ((s, dir) => {
       // EXIF normalization materialized on real codec payloads and
       // certified by group algebra: F∘R∘F = R⁻¹ makes every
@@ -4362,6 +4397,44 @@ object QueriesData {
         |  (row_number() OVER (PARTITION BY cum_bytes_before // 100000
         |    ORDER BY doc_id) - 1) // 25 AS shard_in_span
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // exhaustive Hamming truth for the banded cross-set join
+    "q243_image_decontaminate" ->
+      """WITH base AS (SELECT image_id, phash
+        |  FROM read_parquet('/tmp/graft_oracle_images_q243/*.parquet')),
+        |e AS (SELECT xor(phash, 4) AS ep FROM base
+        |  WHERE CAST(substring(image_id, 5) AS BIGINT) % 10 = 0),
+        |m AS (SELECT b.image_id, count(*) AS n
+        |  FROM base b JOIN e ON bit_count(xor(b.phash, e.ep)) <= 3
+        |  GROUP BY 1)
+        |SELECT b.image_id, b.phash,
+        |  COALESCE(m.n, 0) > 0 AS contaminated,
+        |  CAST(COALESCE(m.n, 0) AS BIGINT) AS n_eval_matches
+        |FROM base b LEFT JOIN m ON b.image_id = m.image_id
+        |ORDER BY b.image_id""".stripMargin,
+
+    // both planted variants normalize to one template; unique
+    // captions count 1 and stay clean
+    "q244_caption_boilerplate" ->
+      """WITH base AS (SELECT image_id,
+        |    CASE WHEN CAST(substring(image_id, 5) AS BIGINT) % 14 = 0
+        |        THEN 'click here to enlarge'
+        |      WHEN CAST(substring(image_id, 5) AS BIGINT) % 7 = 0
+        |        THEN '  Click   HERE to Enlarge '
+        |      ELSE caption END AS caption
+        |  FROM read_parquet('/tmp/graft_oracle_images_q244/*.parquet')),
+        |n AS (SELECT image_id,
+        |    regexp_replace(lower(trim(caption)), '\s+', ' ', 'g') AS nc
+        |  FROM base),
+        |c AS (SELECT nc, count(*) AS caption_count FROM n
+        |  WHERE nc IS NOT NULL AND nc <> '' GROUP BY 1)
+        |SELECT n.image_id,
+        |  CAST(COALESCE(c.caption_count, 0) AS BIGINT)
+        |    AS caption_count,
+        |  (n.nc IS NULL OR n.nc = '' OR c.caption_count > 3)
+        |    AS is_boilerplate
+        |FROM n LEFT JOIN c ON n.nc = c.nc
+        |ORDER BY n.image_id""".stripMargin,
 
     // dims from the EXIF table, every round-trip verdict TRUE by the
     // involution algebra (the query fails here if any pixel moved)

@@ -898,6 +898,99 @@ object Multimodal {
       .distinct()
   }
 
+  /** Image-side eval decontamination — the image-axis twin of the
+    * text pipeline's winnowing/bloom decontamination: flag every
+    * corpus image whose phash is within `maxDist` Hamming of ANY
+    * held-out eval image, so the training table provably contains no
+    * (near-)copy of the benchmark. Adds `contaminated` and
+    * `n_eval_matches` (distinct eval neighbors) to the corpus frame;
+    * the caller filters — an audit never silently drops rows.
+    *
+    * Scale shape: the same pigeonhole banding as [[phashNearDups]]
+    * (a pair within `maxDist < bands` must agree on >= 1 exact
+    * band), but CROSS-set: corpus bands equi-join eval bands, so the
+    * work is |corpus bands| x |matching eval bands| — never
+    * all-pairs, and the corpus never self-joins. The eval side is
+    * broadcast by default (benchmarks are small next to a training
+    * corpus); pass `broadcastEval = false` for an eval set that
+    * genuinely needs a shuffle join.
+    */
+  def decontaminateImages(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, phashCol: String, maxDist: Int, bands: Int = 4,
+      broadcastEval: Boolean = true): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    require(maxDist >= 0 && maxDist < bands,
+      s"pigeonhole guarantee needs maxDist < bands, got $maxDist/$bands")
+    Seq("contaminated", "n_eval_matches").foreach(c =>
+      require(!corpus.columns.contains(c),
+        s"decontaminateImages: corpus already has a '$c' column"))
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    def bandRows(df: DataFrame, id: String, p: String): DataFrame = {
+      val bandCols = (0 until bands).map { i =>
+        struct(lit(i).as("band"),
+          shiftright(col(p), i * width).bitwiseAND(mask).as("bits"))
+      }
+      df.select(col(id), col(p), explode(array(bandCols: _*)).as("b"))
+        .select(col(id), col(p), col("b.band"), col("b.bits"))
+    }
+    val c = bandRows(
+      corpus.select(col(idCol).as("__cid"), col(phashCol).as("__cp")),
+      "__cid", "__cp")
+    val e0 = bandRows(
+      evalSet.select(col(idCol).as("__eid"), col(phashCol).as("__ep")),
+      "__eid", "__ep")
+    val e = if (broadcastEval) broadcast(e0) else e0
+    val hits = c.join(e, Seq("band", "bits"))
+      .filter(bit_count(col("__cp").bitwiseXOR(col("__ep"))) <=
+        maxDist)
+      .select("__cid", "__eid").distinct()
+      .groupBy(col("__cid"))
+      .agg(count(lit(1)).as("n_eval_matches"))
+    corpus.join(hits, corpus(idCol) === col("__cid"), "left")
+      .withColumn("contaminated", col("n_eval_matches").isNotNull)
+      .withColumn("n_eval_matches",
+        coalesce(col("n_eval_matches"), lit(0L)))
+      .drop("__cid")
+  }
+
+  /** Caption boilerplate gate: captions that repeat across more than
+    * `maxRepeats` DISTINCT images are scraper templates ("click to
+    * enlarge", watermark notices, CDN alt-text) — worthless as
+    * supervision and poisonous at contrastive-training scale. Counts
+    * are over the NORMALIZED caption (lowercase, trimmed, whitespace
+    * runs collapsed — the q195-family normalization) so casing and
+    * spacing variants pool into one template. Adds `caption_count`
+    * and `is_boilerplate`; null/empty captions flag as boilerplate
+    * (no supervision value) with count 0.
+    *
+    * ONE map-side-combined aggregation on the normalized caption +
+    * one join back; the aggregate's output is bounded by the number
+    * of distinct captions, never corpus rows x corpus rows.
+    */
+  def captionBoilerplate(df: DataFrame, idCol: String,
+      captionCol: String, maxRepeats: Long): DataFrame = {
+    require(maxRepeats >= 1,
+      s"captionBoilerplate: maxRepeats must be >= 1, got $maxRepeats")
+    Seq("caption_count", "is_boilerplate").foreach(c =>
+      require(!df.columns.contains(c),
+        s"captionBoilerplate: input already has a '$c' column"))
+    val norm = regexp_replace(lower(trim(col(captionCol))),
+      "\\s+", " ")
+    val keyed = df.withColumn("__nc",
+      when(norm.isNull || norm === "", lit(null)).otherwise(norm))
+    val counts = keyed.filter(col("__nc").isNotNull)
+      .groupBy(col("__nc"))
+      .agg(count(lit(1)).as("caption_count"))
+    keyed.join(counts, Seq("__nc"), "left")
+      .withColumn("caption_count",
+        coalesce(col("caption_count"), lit(0L)))
+      .withColumn("is_boilerplate",
+        col("__nc").isNull || col("caption_count") > maxRepeats)
+      .drop("__nc")
+  }
+
   /** Multimodal context packing for image+caption pretraining: each
     * pair costs `img_tokens` ViT patch tokens
     * (`ceil(w/patch) * ceil(h/patch)` — integer `div` arithmetic, no

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.Batching
+import graft.multimodal.{Batching, Multimodal}
 import graft.text.Sharding
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
@@ -186,6 +186,58 @@ class BatchingSpec extends SparkSpec {
     out.drop(8).foreach { r =>
       assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6) &&
         r.isNullAt(7), s"tag ${r.get(1)} must yield a null plan")
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // decontaminateImages / captionBoilerplate
+  // ---------------------------------------------------------------
+
+  test("decontaminateImages: banded cross-set flags agree with " +
+    "exhaustive Hamming; counts are distinct-eval") {
+    val corpus = df("id BIGINT, ph BIGINT", Seq(
+      Row(1L, 1024L),   // dist 1 from eval 1025L only
+      Row(2L, 255L),    // dist >= 4 from every eval -> clean
+      Row(3L, 12L)))    // exact eval dup AND dist-2 eval -> 2 matches
+    val evalSet = df("id BIGINT, ph BIGINT", Seq(
+      Row(10L, 1025L), Row(11L, 12L), Row(12L, 15L)))
+    val out = Multimodal.decontaminateImages(corpus, evalSet,
+      "id", "ph", maxDist = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3), r.getLong(2))).toSeq
+    // id3: eval 12L at dist 0 and eval 15L at dist 2 -> 2 matches
+    assert(out == Seq((1L, true, 1L), (2L, false, 0L),
+      (3L, true, 2L)))
+    intercept[IllegalArgumentException] { // pigeonhole violated
+      Multimodal.decontaminateImages(corpus, evalSet, "id", "ph",
+        maxDist = 4, bands = 4)
+    }
+    intercept[IllegalArgumentException] { // output collision
+      Multimodal.decontaminateImages(
+        corpus.withColumn("contaminated", lit(true)),
+        evalSet, "id", "ph", 2)
+    }
+  }
+
+  test("captionBoilerplate: normalization pools variants, boundary " +
+    "at maxRepeats, null/empty flagged with count 0") {
+    val d = df("id BIGINT, cap STRING", Seq(
+      Row(1L, "Click HERE"), Row(2L, "  click   here "),
+      Row(3L, "click here"),           // 3 pooled -> == max, clean
+      Row(4L, "BUY now"), Row(5L, "buy  NOW"),
+      Row(6L, "Buy Now"), Row(7L, "buy now"), // 4 pooled -> flagged
+      Row(8L, "a real caption"),       // unique -> clean
+      Row(9L, null), Row(10L, "   "))) // no supervision -> flagged
+    val out = Multimodal.captionBoilerplate(d, "id", "cap",
+      maxRepeats = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(out == Seq(
+      (1L, 3L, false), (2L, 3L, false), (3L, 3L, false),
+      (4L, 4L, true), (5L, 4L, true), (6L, 4L, true), (7L, 4L, true),
+      (8L, 1L, false), (9L, 0L, true), (10L, 0L, true)))
+    intercept[IllegalArgumentException] {
+      Multimodal.captionBoilerplate(d, "id", "cap", 0)
     }
   }
 
