@@ -976,6 +976,50 @@ object QueriesData {
       SnapshotStore.read(s, dstRoot).orderBy("user_id")
     }),
 
+    "q245_snapshot_diff" -> ((s, dir) => {
+      // row-level CDC between two snapshots: v1 = events minus every
+      // 5th, v2 = events minus every (11k+3)th with every 7th value
+      // bumped — the diff must classify every key insert / update /
+      // delete exactly (a bumped NULL value stays NULL, so it is NOT
+      // an update); the oracle predicts the verdicts from the
+      // planting predicates alone
+      val ev = tbl(s, dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q245_store").toString
+      val bucket = SnapshotStore.byKey("event_id", 16)
+      val v1 = SnapshotStore.write(
+        ev.filter(col("event_id") % 5 =!= 0), root, bucket).snapshot
+      val v2df = ev.filter(col("event_id") % 11 =!= 3)
+        .withColumn("value",
+          when(col("event_id") % 7 === 0, col("value") + 1)
+            .otherwise(col("value")))
+      val v2 = SnapshotStore.write(v2df, root, bucket).snapshot
+      SnapshotStore.snapshotDiff(s, root, v1, v2, Seq("event_id"))
+        .orderBy("event_id")
+    }),
+
+    "q247_alignment_gate" -> ((s, dir) => {
+      // CLIP-score gate on deterministic "caption" embeddings: a
+      // 2-slot rotation of the image embedding (high but non-trivial
+      // cosine), with planted nulls (%13) and zero vectors (%17)
+      // that must gate as unalignable — aligned=false, never a crash
+      val e = tbl(s, dir, "embeddings")
+      val rot = concat(slice(col("embedding"), 3, 62),
+        slice(col("embedding"), 1, 2))
+      val withCap = e.withColumn("cap_emb",
+        when(col("vec_id") % 13 === 0,
+          lit(null).cast("array<float>"))
+          .when(col("vec_id") % 17 === 0,
+            transform(col("embedding"), _ => lit(0.0f)))
+          .otherwise(rot))
+      Multimodal.alignmentGate(withCap, "embedding", "cap_emb",
+          minCos = 0.2)
+        .select(col("vec_id"),
+          round(col("alignment"), 6).as("alignment"), col("aligned"))
+        .orderBy("vec_id")
+    }),
+
     "q232_incremental_latest" -> ((s, dir) => {
       // incremental materialized view: the source store lands in two
       // snapshots (80% of events, then the full table); each
@@ -4633,6 +4677,58 @@ object QueriesData {
     // whatever the snapshot/maintenance path did, the derived table
     // must equal a direct latest-per-user query over all events
     // (latest = max (ts, event_id), the deterministic tie-break)
+    // the diff verdicts are fully determined by the planting
+    // predicates; a %7 bump of a NULL value is NOT an update (the
+    // row is bit-identical at both snapshots)
+    "q245_snapshot_diff" ->
+      """SELECT event_id, change_type FROM (
+        |  SELECT event_id,
+        |    CASE
+        |      WHEN event_id % 5 <> 0 AND event_id % 11 = 3
+        |        THEN 'delete'
+        |      WHEN event_id % 5 = 0 AND event_id % 11 <> 3
+        |        THEN 'insert'
+        |      WHEN event_id % 5 <> 0 AND event_id % 11 <> 3
+        |        AND event_id % 7 = 0 AND value IS NOT NULL
+        |        THEN 'update'
+        |    END AS change_type
+        |  FROM events) t
+        |WHERE change_type IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    // the same milli-unit quantization as the q44 oracle: integer
+    // dot products, IEEE tail identical across engines
+    "q247_alignment_gate" ->
+      """WITH b AS (SELECT vec_id, embedding,
+        |    CASE WHEN vec_id % 13 = 0 THEN NULL
+        |      WHEN vec_id % 17 = 0
+        |        THEN list_transform(embedding, x -> CAST(0 AS FLOAT))
+        |      ELSE list_concat(embedding[3:], embedding[1:2])
+        |    END AS cap
+        |  FROM embeddings),
+        |q AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qa,
+        |    list_transform(cap, x ->
+        |      CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qb
+        |  FROM b),
+        |d AS (SELECT vec_id,
+        |    CASE WHEN qa IS NULL OR qb IS NULL
+        |        OR len(qa) <> len(qb) OR len(qa) = 0 THEN NULL
+        |      ELSE list_sum(list_transform(list_zip(qa, qb),
+        |        x -> x[1] * x[2])) END AS dot,
+        |    list_sum(list_transform(qa, x -> x * x)) AS na,
+        |    list_sum(list_transform(qb, x -> x * x)) AS nb
+        |  FROM q),
+        |a AS (SELECT vec_id,
+        |    CASE WHEN dot IS NULL OR na <= 0 OR nb <= 0 THEN NULL
+        |      ELSE CAST(dot AS DOUBLE) /
+        |        (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))
+        |    END AS alignment
+        |  FROM d)
+        |SELECT vec_id, ROUND(alignment, 6) AS alignment,
+        |  COALESCE(alignment >= 0.2, false) AS aligned
+        |FROM a ORDER BY vec_id""".stripMargin,
+
     "q232_incremental_latest" ->
       """WITH r AS (SELECT user_id, event_id, ts, value,
         |  row_number() OVER (PARTITION BY user_id

@@ -26,6 +26,29 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q246_asof_fallback" -> ((s, dir) => {
+      // cold-start fallback: the user's own purchase history serves
+      // an event only within a 1h tolerance; events it cannot serve
+      // take the cohort-level (user_id % 100) feed as-of the same
+      // instant, with provenance recorded — the oracle chains two
+      // DuckDB ASOF joins and applies the same staleness arithmetic.
+      // The cohort feed pre-aggregates per (cohort, ts) so as-of
+      // ties are impossible by construction
+      val ev = tbl(s, dir, "events")
+        .withColumn("cohort", col("user_id") % 100)
+      val g = tbl(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy((col("user_id") % 100).as("cohort"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      AsOfJoin.joinWithFallback(ev, purchases(s, dir), g,
+        entity = "user_id", group = "cohort",
+        valueCols = Seq("purchase_value"),
+        toleranceSeconds = Some(3600L))
+        .select(col("event_id"), col("purchase_value"),
+          col("matched_ts"), col("feature_source"))
+        .orderBy("event_id")
+    }),
+
     "q229_interval_features" -> ((s, dir) => {
       // "purchases in the last hour / day" per event: one cumulative
       // pass + as-of differences, exact decimal sums; the oracle
@@ -467,6 +490,34 @@ object QueriesTemporal {
          |FROM events l ASOF LEFT JOIN ($purchasesSql) r
          |ON l.user_id = r.user_id AND l.ts >= r.ts
          |ORDER BY 1""".stripMargin,
+
+    // two chained ASOF joins + the tolerance CASE: entity match
+    // within the hour wins (even a NULL value — a matched row's null
+    // is a reading, not a miss); otherwise the cohort feed answers
+    "q246_asof_fallback" ->
+      s"""WITH p AS ($purchasesSql),
+         |g AS (SELECT user_id % 100 AS cohort, ts,
+         |    max(value) AS gv
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         |e AS (SELECT event_id, user_id, user_id % 100 AS cohort, ts
+         |  FROM events),
+         |t0 AS (SELECT e.*, r.purchase_value AS ev_val, r.ts AS e_mts
+         |  FROM e ASOF LEFT JOIN p r
+         |  ON e.user_id = r.user_id AND e.ts >= r.ts),
+         |t1 AS (SELECT t0.*, gr.gv, gr.ts AS g_mts
+         |  FROM t0 ASOF LEFT JOIN g gr
+         |  ON t0.cohort = gr.cohort AND t0.ts >= gr.ts),
+         |f AS (SELECT event_id, ev_val, e_mts, gv, g_mts,
+         |    (e_mts IS NOT NULL
+         |      AND ts - e_mts <= INTERVAL 3600 SECOND) AS ok_e
+         |  FROM t1)
+         |SELECT event_id,
+         |  CASE WHEN ok_e THEN ev_val ELSE gv END AS purchase_value,
+         |  CASE WHEN ok_e THEN e_mts ELSE g_mts END AS matched_ts,
+         |  CASE WHEN ok_e THEN 'entity'
+         |    WHEN g_mts IS NOT NULL THEN 'group'
+         |  END AS feature_source
+         |FROM f ORDER BY 1""".stripMargin,
 
     "q229_interval_features" ->
       s"""WITH p AS ($purchasesSql)

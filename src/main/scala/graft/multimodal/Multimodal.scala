@@ -991,6 +991,40 @@ object Multimodal {
       .drop("__nc")
   }
 
+  /** Cross-modal alignment gate (the CLIP-score shape): cosine
+    * between a row's image embedding and its caption embedding, plus
+    * a pass/fail flag — the standard curation filter for pairs whose
+    * caption does not describe the image (alt-text spam, wrong-file
+    * scrapes). Adds `alignment` (DOUBLE; null when either embedding
+    * is null/empty, the dimensions differ, or either norm is zero)
+    * and `aligned` (never null: an ungateable row must not pass a
+    * gate, so null alignment => false).
+    *
+    * Embeddings are quantized to milli-units so the dot products are
+    * exact integer sums through the codegen'd [[graft.functions
+    * .DotProductQ]] — the [[graft.dedup.Dedup.cosineQ]] discipline:
+    * deterministic across engines and partitionings, and the int8-
+    * style trick a 10^12-row scoring pass wants anyway. Pure
+    * projection — no shuffle, no UDF, stays inside whole-stage
+    * codegen.
+    */
+  def alignmentGate(df: DataFrame, imgEmbCol: String,
+      capEmbCol: String, minCos: Double): DataFrame = {
+    import graft.functions.DotProductQ.dotQ
+    Seq("alignment", "aligned").foreach(c =>
+      require(!df.columns.contains(c),
+        s"alignmentGate: input already has a '$c' column"))
+    val qa = graft.dedup.Dedup.quantize(col(imgEmbCol))
+    val qb = graft.dedup.Dedup.quantize(col(capEmbCol))
+    val ok = col(imgEmbCol).isNotNull && col(capEmbCol).isNotNull &&
+      size(qa) === size(qb) && size(qa) > 0 &&
+      dotQ(qa, qa) > 0 && dotQ(qb, qb) > 0
+    df.withColumn("alignment",
+        when(ok, graft.dedup.Dedup.cosineQ(qa, qb)))
+      .withColumn("aligned",
+        coalesce(col("alignment") >= minCos, lit(false)))
+  }
+
   /** Multimodal context packing for image+caption pretraining: each
     * pair costs `img_tokens` ViT patch tokens
     * (`ceil(w/patch) * ceil(h/patch)` — integer `div` arithmetic, no

@@ -143,6 +143,75 @@ object AsOfJoin {
     }
   }
 
+  /** Cold-start fallback as-of join: enrich the spine from an
+    * entity-level feed, and for events the entity feed cannot serve —
+    * no row at-or-before t, or the match is staler than
+    * `toleranceSeconds` — fall back to a coarser GROUP-level feed
+    * matched as-of the same instant. This is the feature store's
+    * answer to brand-new entities and long-dormant ones: a fresh
+    * user has no purchase history, but their cohort does, and a
+    * cohort prior beats a null at serving time. `feature_source`
+    * records which feed answered (`entity` / `group` / null when
+    * neither could), so training can condition on provenance.
+    *
+    * Both feeds carry the SAME `valueCols` names; per event the
+    * emitted value is the entity feed's whenever the entity match is
+    * within tolerance (even if the matched row's value is null — a
+    * null in a matched row is a legitimate reading, not a miss),
+    * else the group feed's. Zero leakage at both levels: each pass is
+    * a plain [[join]] (`right.ts <= t`, or `<` under `strict`).
+    *
+    * Scale shape: the entity pass is the salted/auto-salted
+    * sort-merge join; the group pass runs over the SAME spine with
+    * the group feed BROADCAST by default (a group feed has one row
+    * per group x timestamp — bounded by construction next to a
+    * 10^12-row spine), so the fallback adds zero spine shuffles.
+    * Pass `broadcastGroupFeed = false` only for a group key so fine
+    * it rivals the entity key.
+    */
+  def joinWithFallback(left: DataFrame, entityFeed: DataFrame,
+      groupFeed: DataFrame, entity: String, group: String,
+      valueCols: Seq[String], leftTs: String = "ts",
+      rightTs: String = "ts", strict: Boolean = false,
+      toleranceSeconds: Option[Long] = None,
+      groupToleranceSeconds: Option[Long] = None,
+      broadcastGroupFeed: Boolean = true,
+      hotEntities: Seq[String] = Seq.empty,
+      autoSaltShare: Option[Double] = None): DataFrame = {
+    require(valueCols.nonEmpty, "joinWithFallback: need >= 1 value column")
+    Seq(entity, group).foreach(c => require(left.columns.contains(c),
+      s"joinWithFallback: left side is missing column '$c'"))
+    valueCols.foreach { c =>
+      require(entityFeed.columns.contains(c) &&
+        groupFeed.columns.contains(c),
+        s"joinWithFallback: both feeds must carry value column '$c'")
+    }
+    (valueCols ++ Seq("matched_ts", "feature_source") ++
+      valueCols.map("__e_" + _) :+ "__e_mts").foreach(c =>
+      require(!left.columns.contains(c),
+        s"joinWithFallback: left side already has a '$c' column"))
+    val e = join(left, entityFeed, entity, leftTs, rightTs, valueCols,
+      strict, toleranceSeconds, broadcastRight = false, hotEntities,
+      autoSaltShare = autoSaltShare)
+    val eRen = valueCols.foldLeft(
+      e.withColumnRenamed("matched_ts", "__e_mts")) { (d, c) =>
+      d.withColumnRenamed(c, s"__e_$c")
+    }
+    val g = join(eRen, groupFeed, group, leftTs, rightTs, valueCols,
+      strict, groupToleranceSeconds,
+      broadcastRight = broadcastGroupFeed)
+    val useE = col("__e_mts").isNotNull
+    val out = left.columns.toSeq.map(col) ++
+      valueCols.map(c =>
+        when(useE, col(s"__e_$c")).otherwise(col(c)).as(c)) ++ Seq(
+      when(useE, col("__e_mts")).otherwise(col("matched_ts"))
+        .as("matched_ts"),
+      when(useE, lit("entity"))
+        .when(col("matched_ts").isNotNull, lit("group"))
+        .otherwise(lit(null).cast("string")).as("feature_source"))
+    g.select(out: _*)
+  }
+
   /** One feature feed for [[joinMulti]]: `name` prefixes every
     * emitted column (`<name>_<valueCol>`, `<name>_matched_ts`), so
     * feeds cannot collide with each other or the left side.

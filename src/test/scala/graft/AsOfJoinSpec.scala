@@ -47,6 +47,42 @@ class AsOfJoinSpec extends SparkSpec {
     assert(column(tight, "f") == Seq(null, 2.0, null, null, null))
   }
 
+  test("joinWithFallback: entity within tolerance wins (even a null " +
+      "value), stale/absent entity falls to group, provenance kept") {
+    val spine = df("e STRING, g STRING, ts TIMESTAMP, id BIGINT", Seq(
+      Row("a", "g1", ts("2024-01-01 10:00:00"), 1L), // entity fresh
+      Row("a", "g1", ts("2024-01-01 14:00:00"), 2L), // entity stale
+      Row("x", "g1", ts("2024-01-01 14:00:00"), 3L), // no entity rows
+      Row("x", "g2", ts("2024-01-01 10:00:00"), 4L), // neither level
+      Row("n", "g1", ts("2024-01-01 10:00:00"), 5L))) // matched NULL
+    val ef = df("e STRING, ts TIMESTAMP, f DOUBLE", Seq(
+      Row("a", ts("2024-01-01 09:30:00"), 1.0),
+      Row("n", ts("2024-01-01 09:45:00"), null)))
+    val gf = df("g STRING, ts TIMESTAMP, f DOUBLE", Seq(
+      Row("g1", ts("2024-01-01 09:00:00"), 8.0),
+      Row("g1", ts("2024-01-01 13:00:00"), 9.0),
+      Row("g2", ts("2024-01-01 12:00:00"), 7.0))) // after the event
+    val out = AsOfJoin.joinWithFallback(spine, ef, gf, "e", "g",
+      Seq("f"), toleranceSeconds = Some(3600)).orderBy("id")
+    assert(column(out, "f") === Seq(1.0, 9.0, 9.0, null, null))
+    assert(column(out, "feature_source") ===
+      Seq("entity", "group", "group", null, "entity"))
+    assert(column(out, "matched_ts") === Seq(
+      ts("2024-01-01 09:30:00"), ts("2024-01-01 13:00:00"),
+      ts("2024-01-01 13:00:00"), null, ts("2024-01-01 09:45:00")))
+    // zero leakage at BOTH levels: no matched_ts after the event
+    assert(out.filter(col("matched_ts") > col("ts")).count() === 0)
+    intercept[IllegalArgumentException] { // output collision
+      AsOfJoin.joinWithFallback(
+        spine.withColumn("feature_source", lit("x")),
+        ef, gf, "e", "g", Seq("f"))
+    }
+    intercept[IllegalArgumentException] { // value col missing in feed
+      AsOfJoin.joinWithFallback(spine, ef,
+        gf.withColumnRenamed("f", "h"), "e", "g", Seq("f"))
+    }
+  }
+
   test("temporal leakage oracle: no matched_ts after left ts, ever") {
     val strategies = Seq(
       AsOfJoin.join(left(), right(), "e"),

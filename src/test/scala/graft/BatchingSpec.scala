@@ -241,6 +241,35 @@ class BatchingSpec extends SparkSpec {
     }
   }
 
+  test("alignmentGate: quantized cosine; null/zero-norm/dim-mismatch " +
+    "gate false (never null); threshold boundary is inclusive") {
+    val d = df("id BIGINT, a ARRAY<FLOAT>, b ARRAY<FLOAT>", Seq(
+      Row(1L, Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),        // cos 1
+      Row(2L, Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),        // cos 0
+      Row(3L, Seq(1.0f, 0.0f), Seq(1.0f, 1.0f)),        // 1/sqrt(2)
+      Row(4L, Seq(1.0f, 0.0f), null),                   // null side
+      Row(5L, Seq(1.0f, 0.0f), Seq(0.0f, 0.0f)),        // zero norm
+      Row(6L, Seq(1.0f, 0.0f), Seq(1.0f, 0.0f, 0.0f)))) // dim clash
+    val out = Multimodal.alignmentGate(d, "a", "b", minCos = 0.5)
+      .orderBy("id").collect()
+      .map(r => (if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getBoolean(4))).toSeq
+    assert(out.map(_._2) === Seq(true, false, true, false, false,
+      false))
+    assert(out(0)._1.contains(1.0) && out(1)._1.contains(0.0))
+    assert(math.abs(out(2)._1.get - 1.0 / math.sqrt(2.0)) < 1e-12)
+    assert(out(3)._1.isEmpty && out(4)._1.isEmpty &&
+      out(5)._1.isEmpty)
+    // >= threshold, not >: a pair at exactly minCos passes
+    val boundary = Multimodal.alignmentGate(d, "a", "b", minCos = 1.0)
+      .orderBy("id").collect().map(_.getBoolean(4)).toSeq
+    assert(boundary === Seq(true, false, false, false, false, false))
+    intercept[IllegalArgumentException] {
+      Multimodal.alignmentGate(d.withColumn("aligned", lit(true)),
+        "a", "b", 0.5)
+    }
+  }
+
   test("exifNormalizePlan: involution sanity — applying the plan to " +
     "the output dims restores originals for the rotation family") {
     // 90/270 rotations swap dims; applying the same swap twice is the

@@ -205,6 +205,49 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.changedBuckets(root, None, v2).size === 8)
   }
 
+  test("snapshotDiff: row-level insert/update/delete verdicts; " +
+      "null-stable and unchanged rows absent; changed buckets only") {
+    import spark.implicits._
+    val root = freshRoot()
+    val bucket = SnapshotStore.byKey("doc_id", 8)
+    def mk(rows: Seq[(Long, String, Option[String])]) =
+      rows.toDF("doc_id", "text", "meta")
+    val base = (0L until 100L).map(i =>
+      (i, s"t$i", if (i % 9 == 0) None else Some(s"m$i")))
+    val v1 = SnapshotStore.write(mk(base), root, bucket).snapshot
+    // v2: delete 7, change 13's text, add 100/101; every other row
+    // (including the %9 null-meta rows) is bit-identical
+    val after = base.filterNot(_._1 == 7L).map {
+      case (13L, _, m) => (13L, "CHANGED", m)
+      case r => r
+    } ++ Seq((100L, "t100", Option("m100")), (101L, "t101", None))
+    val v2 = SnapshotStore.write(mk(after), root, bucket).snapshot
+
+    val diff = SnapshotStore.snapshotDiff(spark, root, v1, v2,
+      Seq("doc_id"))
+    val got = diff.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((7L, "delete"), (13L, "update"),
+      (100L, "insert"), (101L, "insert")))
+
+    // CDC reads only lineage-changed buckets: the diff's union of
+    // input files is strictly smaller than two full snapshot scans
+    val fullFiles =
+      SnapshotStore.read(spark, root, Some(v1)).inputFiles.length +
+        SnapshotStore.read(spark, root, Some(v2)).inputFiles.length
+    assert(diff.inputFiles.length < fullFiles,
+      s"diff scans ${diff.inputFiles.length} files vs $fullFiles " +
+        "for two full reads — bucket pruning is not engaging")
+
+    // identical snapshots diff to an empty frame with the contract
+    // schema
+    val v3 = SnapshotStore.write(mk(after), root, bucket).snapshot
+    val none = SnapshotStore.snapshotDiff(spark, root, v2, v3,
+      Seq("doc_id"))
+    assert(none.count() === 0 &&
+      none.columns.toSeq === Seq("doc_id", "change_type"))
+  }
+
   test("verify detects tampered storage") {
     val root = freshRoot()
     val d = docs(100)
