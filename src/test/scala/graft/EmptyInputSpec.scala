@@ -209,4 +209,38 @@ class EmptyInputSpec extends SparkSpec {
     assert(out.keySet == Set(0.5, 1.0))
     assert(math.abs(out(1.0) - 1.0) <= 1.0 / 64 + 1e-9)
   }
+
+  test("round-5 gating/fallback ops on empty input: schema kept, " +
+      "zero rows, no crash") {
+    import graft.multimodal.Multimodal
+    import graft.temporal.AsOfJoin
+    val emb = df("id BIGINT, a ARRAY<FLOAT>, b ARRAY<FLOAT>",
+      Seq.empty)
+    val gated = Multimodal.alignmentGate(emb, "a", "b", 0.5)
+    assert(gated.count() == 0 && gated.columns.toSeq ===
+      Seq("id", "a", "b", "alignment", "aligned"))
+
+    val spine = df("e STRING, g STRING, ts TIMESTAMP", Seq.empty)
+    val feed = df("e STRING, ts TIMESTAMP, f DOUBLE", Seq.empty)
+    val gfeed = df("g STRING, ts TIMESTAMP, f DOUBLE", Seq.empty)
+    val fb = AsOfJoin.joinWithFallback(spine, feed, gfeed, "e", "g",
+      Seq("f"))
+    assert(fb.count() == 0 && fb.columns.toSeq ===
+      Seq("e", "g", "ts", "f", "matched_ts", "feature_source"))
+
+    val corpus = df("id BIGINT, ph BIGINT", Seq.empty)
+    val evalSet = df("id BIGINT, ph BIGINT",
+      Seq(Row(1L, 5L)))
+    val dec = Multimodal.decontaminateImages(corpus, evalSet,
+      "id", "ph", maxDist = 2)
+    assert(dec.count() == 0 && dec.columns.contains("contaminated"))
+    // empty EVAL side: nothing can be contaminated, counts all 0
+    val dec2 = Multimodal.decontaminateImages(evalSet, corpus,
+      "id", "ph", maxDist = 2).collect()
+    assert(dec2.length == 1 && dec2(0).getBoolean(3) == false)
+
+    val caps = df("id BIGINT, cap STRING", Seq.empty)
+    assert(Multimodal.captionBoilerplate(caps, "id", "cap", 2)
+      .count() == 0)
+  }
 }

@@ -640,4 +640,49 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoop"), plan.take(1500))
   }
+
+  test("alignmentGate is a shuffle-free projection; bytes stay " +
+      "pruned from the scan") {
+    val imgs = spark.read.parquet(imgPath)
+    val withEmb = imgs.select(col("image_id"),
+      transform(sequence(lit(1), lit(8)),
+        i => pmod(col("phash"), i.cast("long") + 1).cast("float"))
+        .as("ie"),
+      transform(sequence(lit(1), lit(8)),
+        i => pmod(col("phash") + 3, i.cast("long") + 2).cast("float"))
+        .as("ce"))
+    val q = graft.multimodal.Multimodal.alignmentGate(
+      withEmb, "ie", "ce", 0.5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"alignment gate must not shuffle:\n$plan")
+    assert(!plan.contains("bytes"),
+      s"binary payload leaked into the gate plan:\n$plan")
+  }
+
+  test("joinWithFallback: ONE spine hash exchange (the entity as-of " +
+      "union) + ONE bounded group-feed agg; the group pass broadcasts") {
+    val spine = spark.range(1000).select(col("id").as("eid"),
+      (col("id") % 50).as("e"), (col("id") % 7).as("g"),
+      timestamp_seconds(col("id") * 60).as("ts"))
+    val ef = spark.range(200).select((col("id") % 50).as("e"),
+      timestamp_seconds(col("id") * 300).as("ts"),
+      (col("id") * 2.0).as("f"))
+    val gf = spark.range(70).select((col("id") % 7).as("g"),
+      timestamp_seconds(col("id") * 600).as("ts"),
+      (col("id") * 3.0).as("f"))
+    val out = AsOfJoin.joinWithFallback(spine, ef, gf, "e", "g",
+      Seq("f"), toleranceSeconds = Some(3600))
+    val plan = out.queryExecution.executedPlan.toString
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // 1 = entity-pass union window on the spine; 2 = the group feed's
+    // own history aggregation (bounded by |groups x ts|, never spine
+    // rows). The spine is shuffled exactly ONCE.
+    assert(ex == 2, s"expected 2 hash exchanges, got $ex:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"group fallback pass must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("Exchange SinglePartition") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"global stage in the fallback plan:\n$plan")
+  }
 }
