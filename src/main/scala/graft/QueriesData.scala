@@ -1020,6 +1020,53 @@ object QueriesData {
         .orderBy("vec_id")
     }),
 
+    "q248_snapshot_changelog" -> ((s, dir) => {
+      // table_changes over three snapshots: q245's two snapshots plus
+      // a third that deletes every (13k+1)th key and bumps every 19th
+      // value — each step's verdicts must land under its own step
+      // number, and a key changed twice appears once PER step
+      val ev = tbl(s, dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q248_store").toString
+      val bucket = SnapshotStore.byKey("event_id", 16)
+      val v1 = SnapshotStore.write(
+        ev.filter(col("event_id") % 5 =!= 0), root, bucket).snapshot
+      val v2df = ev.filter(col("event_id") % 11 =!= 3)
+        .withColumn("value",
+          when(col("event_id") % 7 === 0, col("value") + 1)
+            .otherwise(col("value")))
+      SnapshotStore.write(v2df, root, bucket)
+      val v3df = v2df.filter(col("event_id") % 13 =!= 1)
+        .withColumn("value",
+          when(col("event_id") % 19 === 0, col("value") + 5)
+            .otherwise(col("value")))
+      val v3 = SnapshotStore.write(v3df, root, bucket).snapshot
+      SnapshotStore.snapshotChangelog(s, root, v1, v3, Seq("event_id"))
+        .withColumn("step", (col("to_snapshot") - lit(v1)).cast("int"))
+        .drop("to_snapshot")
+        .orderBy("step", "event_id")
+    }),
+
+    "q249_adaptive_alignment" -> ((s, dir) => {
+      // per-source calibration: each label's own 25th-percentile
+      // alignment (exact np.interp quantile) is its gate threshold;
+      // %13-planted null captions must gate false without poisoning
+      // their source's calibration
+      val e = tbl(s, dir, "embeddings")
+      val rot = concat(slice(col("embedding"), 3, 62),
+        slice(col("embedding"), 1, 2))
+      val withCap = e.withColumn("cap_emb",
+        when(col("vec_id") % 13 === 0,
+          lit(null).cast("array<float>")).otherwise(rot))
+      Multimodal.alignmentGateAdaptive(withCap, "label",
+          "embedding", "cap_emb", q = 0.25)
+        .select(col("vec_id"),
+          round(col("alignment"), 6).as("alignment"),
+          round(col("threshold"), 6).as("threshold"), col("aligned"))
+        .orderBy("vec_id")
+    }),
+
     "q232_incremental_latest" -> ((s, dir) => {
       // incremental materialized view: the source store lands in two
       // snapshots (80% of events, then the full table); each
@@ -4694,6 +4741,87 @@ object QueriesData {
         |    END AS change_type
         |  FROM events) t
         |WHERE change_type IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    // per-step verdicts from the planting predicates: step 1 is the
+    // q245 diff; step 2 deletes %13==1 keys from v2's membership
+    // (%11<>3) and bumps every 19th value
+    "q248_snapshot_changelog" ->
+      """WITH s1 AS (SELECT event_id, 1 AS step,
+        |    CASE
+        |      WHEN event_id % 5 <> 0 AND event_id % 11 = 3
+        |        THEN 'delete'
+        |      WHEN event_id % 5 = 0 AND event_id % 11 <> 3
+        |        THEN 'insert'
+        |      WHEN event_id % 5 <> 0 AND event_id % 11 <> 3
+        |        AND event_id % 7 = 0 AND value IS NOT NULL
+        |        THEN 'update'
+        |    END AS change_type
+        |  FROM events),
+        |s2 AS (SELECT event_id, 2 AS step,
+        |    CASE
+        |      WHEN event_id % 11 <> 3 AND event_id % 13 = 1
+        |        THEN 'delete'
+        |      WHEN event_id % 11 <> 3 AND event_id % 13 <> 1
+        |        AND event_id % 19 = 0 AND value IS NOT NULL
+        |        THEN 'update'
+        |    END AS change_type
+        |  FROM events)
+        |SELECT event_id, change_type, step
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) t
+        |WHERE change_type IS NOT NULL
+        |ORDER BY step, event_id""".stripMargin,
+
+    // the q247 alignment chain + the q87 np.interp grouped-quantile
+    // idiom as the per-label threshold
+    "q249_adaptive_alignment" ->
+      """WITH b AS (SELECT vec_id, label, embedding,
+        |    CASE WHEN vec_id % 13 = 0 THEN NULL
+        |      ELSE list_concat(embedding[3:], embedding[1:2])
+        |    END AS cap
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, label,
+        |    list_transform(embedding, x ->
+        |      CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qa,
+        |    list_transform(cap, x ->
+        |      CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qb
+        |  FROM b),
+        |d AS (SELECT vec_id, label,
+        |    CASE WHEN qa IS NULL OR qb IS NULL
+        |        OR len(qa) <> len(qb) OR len(qa) = 0 THEN NULL
+        |      ELSE list_sum(list_transform(list_zip(qa, qb),
+        |        x -> x[1] * x[2])) END AS dot,
+        |    list_sum(list_transform(qa, x -> x * x)) AS na,
+        |    list_sum(list_transform(qb, x -> x * x)) AS nb
+        |  FROM q),
+        |a AS (SELECT vec_id, label,
+        |    CASE WHEN dot IS NULL OR na <= 0 OR nb <= 0 THEN NULL
+        |      ELSE CAST(dot AS DOUBLE) /
+        |        (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))
+        |    END AS alignment
+        |  FROM d),
+        |g AS (SELECT label, alignment AS v, COUNT(*) AS w FROM a
+        |  WHERE alignment IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT label, v,
+        |    SUM(w) OVER (PARTITION BY label ORDER BY v) * 1.0 /
+        |      SUM(w) OVER (PARTITION BY label) AS f
+        |  FROM g),
+        |br AS (SELECT label,
+        |    MAX(CASE WHEN f <= 0.25 THEN f END) AS flo,
+        |    MAX(CASE WHEN f <= 0.25 THEN v END) AS vlo,
+        |    MIN(CASE WHEN f >= 0.25 THEN f END) AS fhi,
+        |    MIN(CASE WHEN f >= 0.25 THEN v END) AS vhi
+        |  FROM c GROUP BY label),
+        |thr AS (SELECT label,
+        |    CASE WHEN flo IS NULL THEN vhi
+        |      WHEN fhi IS NULL OR fhi = flo THEN vlo
+        |      ELSE vlo + (0.25 - flo) / (fhi - flo) * (vhi - vlo)
+        |    END AS threshold
+        |  FROM br)
+        |SELECT a.vec_id, ROUND(a.alignment, 6) AS alignment,
+        |  ROUND(t.threshold, 6) AS threshold,
+        |  COALESCE(a.alignment >= t.threshold, false) AS aligned
+        |FROM a LEFT JOIN thr t ON a.label = t.label
+        |ORDER BY a.vec_id""".stripMargin,
 
     // the same milli-unit quantization as the q44 oracle: integer
     // dot products, IEEE tail identical across engines

@@ -1025,6 +1025,42 @@ object Multimodal {
         coalesce(col("alignment") >= minCos, lit(false)))
   }
 
+  /** Per-source adaptive alignment gate: like [[alignmentGate]] but
+    * the threshold is each SOURCE's own `q`-quantile of alignment
+    * rather than one global constant — the practical calibration for
+    * a web corpus where alt-text conventions differ per site (a flat
+    * 0.3 keeps stock-photo spam from one host and drops good pairs
+    * from another). Adds `alignment`, `threshold` (the source's
+    * exact np.interp quantile over its non-null alignments; null for
+    * a source with none) and `aligned` (never null: null alignment
+    * OR null threshold gates false).
+    *
+    * Scale shape: the scoring pass is the [[alignmentGate]]
+    * projection; the calibration is ONE grouped weighted-quantile
+    * aggregation (|sources| x |distinct alignment| bounded) joined
+    * back broadcast-small. No spine re-shuffle beyond the bounded
+    * aggregation's own exchange.
+    */
+  def alignmentGateAdaptive(df: DataFrame, srcCol: String,
+      imgEmbCol: String, capEmbCol: String, q: Double): DataFrame = {
+    require(q > 0.0 && q < 1.0,
+      s"alignmentGateAdaptive: q in (0,1) required, got $q")
+    Seq("alignment", "aligned", "threshold").foreach(c =>
+      require(!df.columns.contains(c),
+        s"alignmentGateAdaptive: input already has a '$c' column"))
+    val scored = alignmentGate(df, imgEmbCol, capEmbCol,
+      minCos = 0.0).drop("aligned")
+    val thr = graft.core.Stats.groupedWeightedQuantiles(
+      scored.filter(col("alignment").isNotNull), srcCol,
+      "alignment", lit(1), Seq(q))
+      .select(col(srcCol).as("__tk"), col("quantile").as("threshold"))
+    scored.join(broadcast(thr), scored(srcCol) <=> col("__tk"),
+        "left")
+      .withColumn("aligned",
+        coalesce(col("alignment") >= col("threshold"), lit(false)))
+      .drop("__tk")
+  }
+
   /** Multimodal context packing for image+caption pretraining: each
     * pair costs `img_tokens` ViT patch tokens
     * (`ceil(w/patch) * ceil(h/patch)` — integer `div` arithmetic, no

@@ -270,6 +270,35 @@ class BatchingSpec extends SparkSpec {
     }
   }
 
+  test("alignmentGateAdaptive: per-source np.interp quantile is the " +
+    "gate; null alignments don't poison calibration; a source with " +
+    "no scorable rows gates everything false") {
+    // source s1: alignments 0.0, ~0.7071, 1.0 (plus one null pair
+    // that must not affect the quantile); q=0.5 -> np.interp median
+    // over {0, 0.7071, 1} with equal weights: f = 1/3, 2/3, 1 ->
+    // interp at 0.5 between (1/3, 0) and (2/3, 0.70710678) = 0.3536
+    val d = df("id BIGINT, s STRING, a ARRAY<FLOAT>, b ARRAY<FLOAT>",
+      Seq(
+        Row(1L, "s1", Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+        Row(2L, "s1", Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+        Row(3L, "s1", Seq(1.0f, 0.0f), Seq(1.0f, 1.0f)),
+        Row(4L, "s1", Seq(1.0f, 0.0f), null),
+        Row(5L, "s2", Seq(1.0f, 0.0f), null))) // s2: nothing scorable
+    val out = Multimodal.alignmentGateAdaptive(d, "s", "a", "b", 0.5)
+      .orderBy("id").collect()
+      .map(r => (if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        r.getBoolean(6))).toSeq
+    val expThr = 0.0 + (0.5 - 1.0 / 3) / (1.0 / 3) *
+      (1.0 / math.sqrt(2.0))
+    assert(out.take(4).flatMap(_._1).forall(t =>
+      math.abs(t - expThr) < 1e-9))
+    assert(out.map(_._2) === Seq(true, false, true, false, false))
+    assert(out(4)._1.isEmpty) // s2 has no threshold
+    intercept[IllegalArgumentException] {
+      Multimodal.alignmentGateAdaptive(d, "s", "a", "b", 1.5)
+    }
+  }
+
   test("exifNormalizePlan: involution sanity — applying the plan to " +
     "the output dims restores originals for the rotation family") {
     // 90/270 rotations swap dims; applying the same swap twice is the

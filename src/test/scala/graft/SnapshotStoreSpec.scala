@@ -248,6 +248,34 @@ class SnapshotStoreSpec extends SparkSpec {
       none.columns.toSeq === Seq("doc_id", "change_type"))
   }
 
+  test("snapshotChangelog: per-step verdicts; a twice-changed key " +
+      "appears once per step; degenerate range is empty") {
+    import spark.implicits._
+    val root = freshRoot()
+    val bucket = SnapshotStore.byKey("id", 4)
+    def mk(rows: Seq[(Long, String)]) = rows.toDF("id", "v")
+    val v1 = SnapshotStore.write(
+      mk(Seq(1L -> "a", 2L -> "b", 3L -> "c")), root, bucket).snapshot
+    val v2 = SnapshotStore.write(
+      mk(Seq(1L -> "a", 2L -> "B", 4L -> "d")), root, bucket).snapshot
+    val v3 = SnapshotStore.write(
+      mk(Seq(1L -> "a", 2L -> "B2", 4L -> "d")), root, bucket).snapshot
+    val log = SnapshotStore.snapshotChangelog(spark, root, v1, v3,
+      Seq("id")).orderBy("to_snapshot", "id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(log === Seq(
+      (2L, "update", v2), (3L, "delete", v2), (4L, "insert", v2),
+      (2L, "update", v3))) // key 2 changed in BOTH steps
+    val none = SnapshotStore.snapshotChangelog(spark, root, v3, v3,
+      Seq("id"))
+    assert(none.count() === 0 && none.columns.toSeq ===
+      Seq("id", "change_type", "to_snapshot"))
+    intercept[IllegalArgumentException] { // dangling range endpoint
+      SnapshotStore.snapshotChangelog(spark, root, v1, v3 + 7,
+        Seq("id"))
+    }
+  }
+
   test("verify detects tampered storage") {
     val root = freshRoot()
     val d = docs(100)
