@@ -1067,6 +1067,33 @@ object QueriesData {
         .orderBy("vec_id")
     }),
 
+    "q250_merge_changes" -> ((s, dir) => {
+      // MERGE INTO: deletes (%9==4), in-place upserts (%6==0, value
+      // +10 — disjoint from the deletes by modular arithmetic) and
+      // brand-new keys (-id-1 for %10==7) applied in ONE merge; the
+      // read-back table must equal the oracle's three-way union
+      val ev = tbl(s, dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q250_store").toString
+      val bucket = SnapshotStore.byKey("event_id", 16)
+      SnapshotStore.write(ev, root, bucket)
+      val deletes = ev.filter(col("event_id") % 9 === 4)
+        .withColumn("op", lit("delete"))
+      val bumps = ev.filter(col("event_id") % 6 === 0)
+        .withColumn("value", col("value") + 10)
+        .withColumn("op", lit("upsert"))
+      val fresh = ev.filter(col("event_id") % 10 === 7)
+        .withColumn("event_id", -col("event_id") - 1)
+        .withColumn("op", lit("upsert"))
+      SnapshotStore.mergeChanges(s, root,
+        deletes.unionByName(bumps).unionByName(fresh),
+        Seq("event_id"), bucket)
+      SnapshotStore.read(s, root)
+        .select("event_id", "user_id", "ts", "value")
+        .orderBy("event_id")
+    }),
+
     "q232_incremental_latest" -> ((s, dir) => {
       // incremental materialized view: the source store lands in two
       // snapshots (80% of events, then the full table); each
@@ -4741,6 +4768,21 @@ object QueriesData {
         |    END AS change_type
         |  FROM events) t
         |WHERE change_type IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    // survivors + bumped rows + fresh negative keys; %6==0 and %9==4
+    // are disjoint (6k mod 9 cycles {0,6,3}, never 4) so no
+    // delete/upsert overlap muddies the prediction
+    "q250_merge_changes" ->
+      """SELECT * FROM (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_id % 9 <> 4 AND event_id % 6 <> 0
+        |  UNION ALL
+        |  SELECT event_id, user_id, ts, value + 10 FROM events
+        |  WHERE event_id % 6 = 0
+        |  UNION ALL
+        |  SELECT -event_id - 1, user_id, ts, value FROM events
+        |  WHERE event_id % 10 = 7) t
+        |ORDER BY event_id""".stripMargin,
 
     // per-step verdicts from the planting predicates: step 1 is the
     // q245 diff; step 2 deletes %13==1 keys from v2's membership

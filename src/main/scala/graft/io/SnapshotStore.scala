@@ -711,6 +711,62 @@ object SnapshotStore {
       .select(keyCols.map(col) :+ col("change_type"): _*)
   }
 
+  /** MERGE INTO: apply a CDC change set to the latest snapshot and
+    * publish the result as a new one, rewriting ONLY the buckets the
+    * change keys land in (every other bucket carries by reference —
+    * the write-side twin of [[snapshotDiff]]'s pruned read). `changes`
+    * carries the full table schema plus `opCol` with values `upsert`
+    * (replace the key's row, or insert it) and `delete` (drop the key
+    * if present; its non-key columns are ignored). Keys must be
+    * unique within `changes` except that one delete + one upsert of
+    * the same key nets to the upsert (the row is replaced). The op
+    * domain is validated with a bounded limit-1 probe — a typo'd op
+    * must fail the commit, not silently drop rows.
+    *
+    * Scale shape: touched buckets come from ONE bounded distinct over
+    * the change keys' bucket ids (<= nBuckets rows); only those
+    * buckets are read, anti-joined against the change keys, unioned
+    * with the upserts, and partition-overwritten. A 1000-row change
+    * set against a 100 TB table costs a few buckets, never a scan.
+    */
+  def mergeChanges(spark: SparkSession, root: String,
+      changes: DataFrame, keyCols: Seq[String], bucketExpr: Column,
+      opCol: String = "op", statsCols: Seq[String] = Seq.empty)
+      : WriteResult = {
+    require(keyCols.nonEmpty, "mergeChanges: need >= 1 key column")
+    require(changes.columns.contains(opCol),
+      s"mergeChanges: changes frame is missing op column '$opCol'")
+    val prevSnap = latestSnapshot(root).getOrElse(
+      throw new IllegalStateException(
+        s"mergeChanges: no complete snapshot at $root — " +
+          "bootstrap with write() first"))
+    val badOp = changes.select(col(opCol))
+      .filter(col(opCol).isNull ||
+        !col(opCol).isin("upsert", "delete")).limit(1).collect()
+    require(badOp.isEmpty,
+      s"mergeChanges: op column holds '${badOp.headOption.map(_.get(0))
+        .orNull}' — only 'upsert'/'delete' are allowed")
+    val touched = changes.select(bucketExpr.cast("int").as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) { // empty change set: the merge is a no-op
+      val carried = manifest(root, prevSnap).map(_.bucket).sorted
+      return WriteResult(prevSnap, Seq.empty, carried, Seq.empty)
+    }
+    val cur = readBuckets(spark, root, touched, Some(prevSnap))
+    keyCols.foreach(k => require(cur.columns.contains(k),
+      s"mergeChanges: key column '$k' not in the table"))
+    require(changes.columns.toSet == cur.columns.toSet + opCol,
+      s"mergeChanges: changes must carry the table schema + '$opCol'" +
+        s" — table ${cur.columns.toSeq.sorted} vs changes " +
+        s"${changes.columns.toSeq.sorted}")
+    val upserts = changes.filter(col(opCol) === "upsert")
+      .select(cur.columns.toSeq.map(col): _*)
+    val replacedKeys = changes.select(keyCols.map(col): _*).distinct()
+    val kept = cur.join(replacedKeys, keyCols, "left_anti")
+    val next = kept.unionByName(upserts)
+    overwriteBuckets(next, root, bucketExpr, touched, statsCols)
+  }
+
   /** Multi-snapshot changelog — Iceberg's `table_changes` shape:
     * [[snapshotDiff]] applied to every CONSECUTIVE complete-snapshot
     * pair in `(from, to]`, unioned with a `to_snapshot` column naming

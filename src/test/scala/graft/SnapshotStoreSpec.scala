@@ -276,6 +276,47 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  test("mergeChanges: upsert replaces / inserts, delete drops (absent" +
+      " key is a no-op), delete+upsert nets upsert, buckets carried") {
+    import spark.implicits._
+    val root = freshRoot()
+    val bucket = SnapshotStore.byKey("id", 8)
+    val base = (0L until 80L).map(i => (i, s"v$i")).toDF("id", "v")
+    SnapshotStore.write(base, root, bucket)
+    val changes = Seq(
+      (3L, "V3", "upsert"),   // replace existing
+      (100L, "new", "upsert"),// brand-new key
+      (7L, "ignored", "delete"),
+      (999L, "ignored", "delete"), // absent key: no-op
+      (9L, "ignored", "delete"), (9L, "V9", "upsert") // nets upsert
+    ).toDF("id", "v", "op")
+    val res = SnapshotStore.mergeChanges(spark, root, changes,
+      Seq("id"), bucket)
+    val back = SnapshotStore.read(spark, root).orderBy("id")
+    assert(back.count() === 80) // -1 delete +1 insert
+    val got = back.filter(col("id").isin(3L, 7L, 9L, 100L, 999L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(3L -> "V3", 9L -> "V9", 100L -> "new"))
+    // only the touched buckets were rewritten; the rest carried
+    assert(res.written.nonEmpty && res.written.size < 8)
+    assert((res.written ++ res.carried).sorted === (0 until 8))
+
+    // empty change set: a no-op that does NOT publish a snapshot
+    val res2 = SnapshotStore.mergeChanges(spark, root,
+      changes.filter(lit(false)), Seq("id"), bucket)
+    assert(res2.snapshot === res.snapshot && res2.written.isEmpty)
+
+    intercept[IllegalArgumentException] { // typo'd op fails loudly
+      SnapshotStore.mergeChanges(spark, root,
+        Seq((1L, "x", "uspert")).toDF("id", "v", "op"),
+        Seq("id"), bucket)
+    }
+    intercept[IllegalArgumentException] { // schema drift fails loudly
+      SnapshotStore.mergeChanges(spark, root,
+        Seq((1L, "upsert")).toDF("id", "op"), Seq("id"), bucket)
+    }
+  }
+
   test("verify detects tampered storage") {
     val root = freshRoot()
     val d = docs(100)
