@@ -1094,6 +1094,63 @@ object QueriesData {
         .orderBy("event_id")
     }),
 
+    "q252_schema_evolution" -> ((s, dir) => {
+      // additive schema evolution: v1 = 4-column events; ONE merge
+      // upserts every (12k+5)th key carrying a NEW 'tier' column —
+      // the table evolves, untouched buckets carry by reference
+      // (files never rewritten) and serve tier as NULL through the
+      // explicit-schema read; the oracle rebuilds the final table
+      // from the planting predicates alone
+      val ev = tbl(s, dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q252_store").toString
+      val bucket = SnapshotStore.byKey("event_id", 16)
+      SnapshotStore.write(ev, root, bucket)
+      val changes = ev.filter(col("event_id") % 12 === 5)
+        .withColumn("value", col("value") + 2)
+        .withColumn("tier",
+          concat(lit("t"), (col("event_id") % 3).cast("string")))
+        .withColumn("op", lit("upsert"))
+      SnapshotStore.mergeChanges(s, root, changes,
+        Seq("event_id"), bucket)
+      SnapshotStore.read(s, root)
+        .select("event_id", "value", "tier")
+        .orderBy("event_id")
+    }),
+
+    "q253_evolved_diff" -> ((s, dir) => {
+      // CDC ACROSS the evolution boundary: the same evolving merge
+      // plus deletes (%9==4, no CRT overlap with the %12==5 upserts)
+      // and fresh negative keys (%50==1); snapshotDiff conforms v1 to
+      // the evolved schema, so every upserted key classifies update
+      // (its new 'tier' gained a value even where 'value' was null),
+      // deletes and inserts land exactly on their predicates
+      val ev = tbl(s, dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q253_store").toString
+      val bucket = SnapshotStore.byKey("event_id", 16)
+      val v1 = SnapshotStore.write(ev, root, bucket).snapshot
+      val upserts = ev.filter(col("event_id") % 12 === 5)
+        .withColumn("value", col("value") + 2)
+        .withColumn("tier",
+          concat(lit("t"), (col("event_id") % 3).cast("string")))
+        .withColumn("op", lit("upsert"))
+      val deletes = ev.filter(col("event_id") % 9 === 4)
+        .withColumn("tier", lit(null).cast("string"))
+        .withColumn("op", lit("delete"))
+      val fresh = ev.filter(col("event_id") % 50 === 1)
+        .withColumn("event_id", -col("event_id") - 1)
+        .withColumn("tier", lit("new"))
+        .withColumn("op", lit("upsert"))
+      val v2 = SnapshotStore.mergeChanges(s, root,
+        upserts.unionByName(deletes).unionByName(fresh),
+        Seq("event_id"), bucket).snapshot
+      SnapshotStore.snapshotDiff(s, root, v1, v2, Seq("event_id"))
+        .orderBy("event_id")
+    }),
+
     "q232_incremental_latest" -> ((s, dir) => {
       // incremental materialized view: the source store lands in two
       // snapshots (80% of events, then the full table); each
@@ -4754,6 +4811,31 @@ object QueriesData {
     // the diff verdicts are fully determined by the planting
     // predicates; a %7 bump of a NULL value is NOT an update (the
     // row is bit-identical at both snapshots)
+    // the final evolved table from the planting predicates alone:
+    // tier exists only where the upsert landed, NULL everywhere else
+    "q252_schema_evolution" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 12 = 5 THEN value + 2
+        |    ELSE value END AS value,
+        |  CASE WHEN event_id % 12 = 5
+        |    THEN 't' || CAST(event_id % 3 AS VARCHAR) END AS tier
+        |FROM events ORDER BY 1""".stripMargin,
+
+    // updates at %12==5 (every one of them: tier ALWAYS gains a value
+    // even when 'value' is null), deletes at %9==4 (provably disjoint
+    // from the upserts: 12a+5 ≡ 4 mod 9 has no solution), inserts at
+    // the planted negative keys
+    "q253_evolved_diff" ->
+      """SELECT event_id, change_type FROM (
+        |  SELECT event_id, 'update' AS change_type FROM events
+        |    WHERE event_id % 12 = 5
+        |  UNION ALL
+        |  SELECT event_id, 'delete' FROM events WHERE event_id % 9 = 4
+        |  UNION ALL
+        |  SELECT -event_id - 1, 'insert' FROM events
+        |    WHERE event_id % 50 = 1) t
+        |ORDER BY event_id""".stripMargin,
+
     "q245_snapshot_diff" ->
       """SELECT event_id, change_type FROM (
         |  SELECT event_id,

@@ -49,6 +49,24 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q251_asof_nearest" -> ((s, dir) => {
+      // nearest-match alignment (merge_asof direction='nearest'): the
+      // temporally closest purchase within 2h, ties broken backward.
+      // The feed pre-aggregates per (user_id, ts) so equidistant
+      // same-side ties are impossible; the oracle re-derives every
+      // pick with a correlated LATERAL argmin over |Δt|
+      val p = tbl(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      AsOfJoin.joinNearest(tbl(s, dir, "events"), p,
+        entity = "user_id", leftTs = "ts", rightTs = "ts",
+        rightValueCols = Seq("purchase_value"),
+        toleranceSeconds = Some(7200L))
+        .select(col("event_id"), col("purchase_value"), col("matched_ts"))
+        .orderBy("event_id")
+    }),
+
     "q229_interval_features" -> ((s, dir) => {
       // "purchases in the last hour / day" per event: one cumulative
       // pass + as-of differences, exact decimal sums; the oracle
@@ -518,6 +536,21 @@ object QueriesTemporal {
          |    WHEN g_mts IS NOT NULL THEN 'group'
          |  END AS feature_source
          |FROM f ORDER BY 1""".stripMargin,
+
+    // per-event argmin over |Δt| with the backward tie-break spelled
+    // out — the LATERAL re-derives exactly the pick joinNearest makes
+    "q251_asof_nearest" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, r.purchase_value, r.ts AS matched_ts
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT p.purchase_value, p.ts FROM p
+        |  WHERE p.user_id = e.user_id
+        |    AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 7200000000
+        |  ORDER BY abs(epoch_us(e.ts) - epoch_us(p.ts)) ASC,
+        |           CASE WHEN p.ts <= e.ts THEN 0 ELSE 1 END ASC
+        |  LIMIT 1) r ON true
+        |ORDER BY 1""".stripMargin,
 
     "q229_interval_features" ->
       s"""WITH p AS ($purchasesSql)

@@ -46,10 +46,19 @@ object SnapshotStore {
     * Empty for columns not tracked at write time (older manifests,
     * or all-null/NaN buckets) — absence means "cannot prune",
     * never "empty bucket".
+    *
+    * `schemaV` pins the snapshot whose stored DDL matches this entry's
+    * FILES (and the column set its `xxh` was hashed under). `None`
+    * means "this manifest's own snapshot" — the only case before
+    * additive schema evolution existed. After [[mergeChanges]] evolves
+    * the table, carried-by-reference entries keep pointing at files
+    * that lack the added columns; readers project those columns as
+    * null and [[verify]] re-hashes each entry under its own pinned
+    * schema.
     */
   final case class BucketLineage(bucket: Int, rows: Long, xxh: Long,
       path: String, stats: Map[String, (String, String, String)] =
-        Map.empty)
+        Map.empty, schemaV: Option[Int] = None)
   final case class WriteResult(snapshot: Int, written: Seq[Int],
       carried: Seq[Int], remaining: Seq[Int])
 
@@ -246,7 +255,8 @@ object SnapshotStore {
   // arbitrary string values can never break the line grammar; the
   // stats object holds only arrays, so it contains no nested braces
   private val Line =
-    ("""\{"bucket":(-?\d+),"rows":(\d+),"xxh":(-?\d+),"path":"([^"]*)"""" +
+    ("""\{"bucket":(-?\d+),"rows":(\d+),"xxh":(-?\d+)""" +
+      """(?:,"sv":(\d+))?,"path":"([^"]*)"""" +
       """(?:,"stats":\{([^}]*)\})?\}""").r
   private val StatEntry =
     """"([A-Za-z0-9+/=]*)":\["([nst])","([A-Za-z0-9+/=]*)","([A-Za-z0-9+/=]*)"\]""".r
@@ -265,14 +275,15 @@ object SnapshotStore {
       else Paths.get(root, "snapshots",
         s"v$snapshot.manifest$Incomplete.jsonl")
     Files.readAllLines(p).asScala.toSeq.collect {
-      case Line(b, r, x, path, statsBody) =>
+      case Line(b, r, x, sv, path, statsBody) =>
         val stats =
           if (statsBody == null) Map.empty[String, (String, String, String)]
           else StatEntry.findAllMatchIn(statsBody).map { m =>
             unb64(m.group(1)) ->
               ((m.group(2), unb64(m.group(3)), unb64(m.group(4))))
           }.toMap
-        BucketLineage(b.toInt, r.toLong, x.toLong, path, stats)
+        BucketLineage(b.toInt, r.toLong, x.toLong, path, stats,
+          Option(sv).map(_.toInt))
     }
   }
 
@@ -286,8 +297,9 @@ object SnapshotStore {
         else e.stats.toSeq.sortBy(_._1).map { case (c, (t, lo, hi)) =>
           s""""${b64(c)}":["$t","${b64(lo)}","${b64(hi)}"]"""
         }.mkString(""","stats":{""", ",", "}")
-      s"""{"bucket":${e.bucket},"rows":${e.rows},"xxh":${e.xxh},""" +
-        s""""path":"${e.path}"$statsPart}"""
+      val svPart = e.schemaV.map(v => s""","sv":$v""").getOrElse("")
+      s"""{"bucket":${e.bucket},"rows":${e.rows},"xxh":${e.xxh}""" +
+        s"""$svPart,"path":"${e.path}"$statsPart}"""
     }.mkString("", "\n", "\n")
     val suffix = if (incomplete) Incomplete else ""
     Files.writeString(dir.resolve(s"v$snapshot.manifest$suffix.jsonl"), body)
@@ -295,6 +307,61 @@ object SnapshotStore {
 
   private def schemaPath(root: String, snapshot: Int): Path =
     Paths.get(root, "snapshots", s"v$snapshot.schema.ddl")
+
+  private def ddlOf(root: String, snapshot: Int): String = {
+    val p = schemaPath(root, snapshot)
+    if (!Files.exists(p)) throw new IllegalStateException(
+      s"snapshot v$snapshot at $root carries no schema file")
+    Files.readString(p)
+  }
+
+  /** The table schema a snapshot was committed under (from its stored
+    * DDL). This is the schema [[read]] serves — files written before an
+    * additive evolution lack the added columns and read as null.
+    */
+  def tableSchema(root: String, snapshot: Int)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(ddlOf(root, snapshot))
+
+  /** Additive conformance: project `df` to `target` — missing columns
+    * become typed nulls, shared columns must match types EXACTLY (a
+    * type change is not additive; loud), extra columns are rejected.
+    */
+  private def conformTo(df: DataFrame,
+      target: org.apache.spark.sql.types.StructType): DataFrame = {
+    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    target.fields.foreach(f => have.get(f.name).foreach(t =>
+      require(t == f.dataType,
+        s"SnapshotStore: column '${f.name}' changed type $t -> " +
+          s"${f.dataType} — only ADDITIVE evolution is supported")))
+    val extra = have.keySet -- target.fields.map(_.name).toSet
+    require(extra.isEmpty,
+      s"SnapshotStore: columns $extra absent from the target schema — " +
+        "only ADDITIVE evolution is supported")
+    df.select(target.fields.toSeq.map(f =>
+      if (have.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** Manifest-scoped file read under a snapshot's committed schema.
+    * The schema is passed EXPLICITLY (stored DDL + the two partition
+    * columns): files written before an additive evolution resolve
+    * missing columns to null by name, per-file footer inference never
+    * runs, and the column types are pinned to what the snapshot
+    * committed — not to whatever parquet file the reader lists first.
+    */
+  private def readEntries(spark: SparkSession, root: String, v: Int,
+      paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val schema = tableSchema(root, v)
+    if (paths.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val full = StructType(schema.fields ++
+      Seq(StructField("run", IntegerType), StructField(B, IntegerType)))
+    spark.read.option("basePath", s"$root/runs").schema(full)
+      .parquet(paths: _*).drop("run").drop(B)
+  }
 
   /** Write (or resume writing) `df` as the next snapshot of the table at
     * `root`. Buckets whose lineage matches the previous snapshot are
@@ -321,15 +388,26 @@ object SnapshotStore {
       val incoming = lineageOf(bucketed, statsCols)
       // resume from the latest manifest INCLUDING incomplete ones: a
       // truncated run's buckets are already on disk and must be skipped
+      val prevSnap = latestAnySnapshot(root)
       val prev: Map[Int, BucketLineage] =
-        latestAnySnapshot(root) match {
+        prevSnap match {
           case Some(v) => manifest(root, v).map(e => e.bucket -> e).toMap
           case None => Map.empty
         }
-      val carried = incoming.keys.toSeq.sorted.filter { b =>
-        prev.get(b).exists(p =>
-          (p.rows, p.xxh) == ((incoming(b)._1, incoming(b)._2)))
-      }
+      // carry-by-reference is only sound when the DDL is UNCHANGED:
+      // the content hash covers values, not names, so a column rename
+      // (or same-shape evolution) could hash-match files whose parquet
+      // schema no longer serves the new DDL — a full rewrite is the
+      // only honest write() across a schema change (use mergeChanges
+      // for pruned additive evolution)
+      val sameSchema = prevSnap.forall(v =>
+        ddlOf(root, v) == df.schema.toDDL)
+      val carried =
+        if (!sameSchema) Seq.empty[Int]
+        else incoming.keys.toSeq.sorted.filter { b =>
+          prev.get(b).exists(p =>
+            (p.rows, p.xxh) == ((incoming(b)._1, incoming(b)._2)))
+        }
       val pending = incoming.keys.toSeq.sorted.filterNot(carried.contains)
       val chosen = pending.take(maxBucketsPerRun)
       val remaining = pending.drop(maxBucketsPerRun)
@@ -395,12 +473,26 @@ object SnapshotStore {
         s"overwriteBuckets: incoming rows land outside the declared " +
           s"overwrite set: buckets ${stray.sorted.mkString(",")}")
       val prev = manifest(root, prevSnap).map(e => e.bucket -> e).toMap
+      // additive evolution: carried-by-reference entries keep serving
+      // files written under the OLD schema — pin their schema version
+      // so readers project the added columns as null and verify()
+      // re-hashes them under the right column set. The DDL equality
+      // check also rejects non-additive drift via conformTo at the
+      // callers; here a changed DDL only disables same-content carry
+      // for the overwritten buckets (values-only hashes can't be
+      // trusted across a column set change).
+      val evolved = ddlOf(root, prevSnap) != df.schema.toDDL
+      val pin: BucketLineage => BucketLineage = e =>
+        if (evolved) e.copy(schemaV = e.schemaV.orElse(Some(prevSnap)))
+        else e
       val carriedOther = prev.keys.toSeq.sorted
-        .filterNot(bucketSet.contains).map(prev)
-      val carriedSame = incoming.keys.toSeq.sorted.filter { b =>
-        prev.get(b).exists(p =>
-          (p.rows, p.xxh) == ((incoming(b)._1, incoming(b)._2)))
-      }
+        .filterNot(bucketSet.contains).map(prev).map(pin)
+      val carriedSame =
+        if (evolved) Seq.empty[Int]
+        else incoming.keys.toSeq.sorted.filter { b =>
+          prev.get(b).exists(p =>
+            (p.rows, p.xxh) == ((incoming(b)._1, incoming(b)._2)))
+        }
       val chosen = incoming.keys.toSeq.sorted
         .filterNot(carriedSame.contains)
       val snap = prevSnap + 1
@@ -434,9 +526,7 @@ object SnapshotStore {
     val set = buckets.toSet
     val paths = manifest(root, v)
       .filter(e => set.contains(e.bucket)).map(_.path)
-    if (paths.isEmpty) read(spark, root, Some(v)).filter(lit(false))
-    else spark.read.option("basePath", s"$root/runs")
-      .parquet(paths: _*).drop("run").drop(B)
+    readEntries(spark, root, v, paths)
   }
 
   /** Iceberg `rewrite_data_files`-style storage maintenance: rewrite
@@ -482,8 +572,20 @@ object SnapshotStore {
       writeManifest(root, snap, Seq.empty, incomplete = false)
       return WriteResult(snap, Seq.empty, Seq.empty, Seq.empty)
     }
+    // explicit current-snapshot schema: files carried across an
+    // additive evolution serve their missing columns as null, so the
+    // rewrite MATERIALIZES the evolution — every output file gets the
+    // full current schema and the snapshot collapses back to a single
+    // schema version (the entries' schemaV pins are cleared below)
+    val curSchema = tableSchema(root, v)
+    val readSchema = org.apache.spark.sql.types.StructType(
+      curSchema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("run",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField(B,
+          org.apache.spark.sql.types.IntegerType)))
     val df0 = spark.read.option("basePath", s"$root/runs")
-      .parquet(entries.map(_.path): _*).drop("run")
+      .schema(readSchema).parquet(entries.map(_.path): _*).drop("run")
     val sortKeys: Seq[Column] =
       if (layoutCols.isEmpty) Seq(col(B))
       else Seq(col(B), Layout.zValue(layoutCols.map(col),
@@ -495,22 +597,33 @@ object SnapshotStore {
       val runDir = s"$root/runs/run=$snap"
       dropStaleRunDir(root, snap)
       clustered.write.partitionBy(B).mode("append").parquet(runDir)
-      val rewritten = lineageOf(clustered)
-      val prev = entries.map(e => e.bucket -> e).toMap
-      val mismatch = rewritten.keySet.union(prev.keySet).filter { b =>
-        prev.get(b).map(e => (e.rows, e.xxh)) !=
-          rewritten.get(b).map(t => (t._1, t._2))
-      }
+      // content preservation proven PER SCHEMA VERSION: an entry's
+      // stored hash was computed under its own pinned column set, so
+      // the rewritten rows are projected back to exactly those
+      // columns before re-hashing (the hash never covered the added
+      // columns, which are all-null in that entry's rows anyway)
+      val mismatch = entries.groupBy(_.schemaV.getOrElse(v)).toSeq
+        .flatMap { case (sv, group) =>
+          val cols = tableSchema(root, sv).fieldNames.toSeq
+          val bs = group.map(_.bucket)
+          val rewritten = lineageOf(clustered
+            .filter(col(B).isin(bs: _*))
+            .select((B +: cols).map(col): _*))
+          group.collect {
+            case e if !rewritten.get(e.bucket)
+              .exists(t => (t._1, t._2) == ((e.rows, e.xxh))) => e.bucket
+          }
+        }.sorted
       if (mismatch.nonEmpty) {
         deleteRecursively(Paths.get(runDir))
         throw new IllegalStateException(
           s"rewrite changed content of buckets $mismatch — aborted, " +
             "no manifest published")
       }
-      Files.writeString(schemaPath(root, snap),
-        df0.drop(B).schema.toDDL)
+      Files.writeString(schemaPath(root, snap), curSchema.toDDL)
       writeManifest(root, snap,
-        entries.map(e => e.copy(path = s"$runDir/$B=${e.bucket}")),
+        entries.map(e => e.copy(path = s"$runDir/$B=${e.bucket}",
+          schemaV = None)),
         incomplete = false)
       WriteResult(snap, entries.map(_.bucket).sorted, Seq.empty,
         Seq.empty)
@@ -524,22 +637,7 @@ object SnapshotStore {
       snapshot: Option[Int] = None): DataFrame = {
     val v = snapshot.orElse(latestSnapshot(root)).getOrElse(
       throw new IllegalStateException(s"no snapshots at $root"))
-    val paths = manifest(root, v).map(_.path)
-    if (paths.isEmpty) {
-      // a legitimately empty snapshot (e.g. the table's content is
-      // currently zero rows): no files exist to infer a schema from —
-      // reconstruct the typed empty frame from the stored DDL
-      val sp = schemaPath(root, v)
-      if (!Files.exists(sp))
-        throw new IllegalStateException(
-          s"snapshot v$v at $root is empty and carries no schema file")
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          Files.readString(sp)))
-    }
-    spark.read.option("basePath", s"$root/runs").parquet(paths: _*)
-      .drop("run").drop(B)
+    readEntries(spark, root, v, manifest(root, v).map(_.path))
   }
 
   /** Normalize a caller-supplied range bound with the same rules as
@@ -605,10 +703,7 @@ object SnapshotStore {
     val v = snapshot.orElse(latestSnapshot(root)).getOrElse(
       throw new IllegalStateException(s"no snapshots at $root"))
     val kept = prunedManifest(root, colName, lower, upper, Some(v))
-    val base =
-      if (kept.isEmpty) read(spark, root, Some(v)).filter(lit(false))
-      else spark.read.option("basePath", s"$root/runs")
-        .parquet(kept.map(_.path): _*).drop("run").drop(B)
+    val base = readEntries(spark, root, v, kept.map(_.path))
     val c = col(colName)
     val residual = (lower.map(b => c >= lit(b)) ++
       upper.map(b => c <= lit(b))).reduce(_ && _)
@@ -645,12 +740,7 @@ object SnapshotStore {
     val changed = changedBuckets(root, from, to).toSet
     val paths = manifest(root, to)
       .filter(e => changed.contains(e.bucket)).map(_.path)
-    if (paths.isEmpty) {
-      val full = read(spark, root, Some(to))
-      full.filter(lit(false)) // empty frame with the table schema
-    } else
-      spark.read.option("basePath", s"$root/runs").parquet(paths: _*)
-        .drop("run").drop(B)
+    readEntries(spark, root, to, paths)
   }
 
   /** Row-level change-data-capture between two snapshots: every key
@@ -683,11 +773,18 @@ object SnapshotStore {
       a.get(k).map(e => (e.rows, e.xxh)) !=
         b.get(k).map(e => (e.rows, e.xxh))
     }
-    val oldDf = readBuckets(spark, root, changed, Some(from))
+    val oldDf0 = readBuckets(spark, root, changed, Some(from))
     val newDf = readBuckets(spark, root, changed, Some(to))
-    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
-      s"snapshotDiff: schema changed between v$from and v$to — " +
-        s"${oldDf.columns.toSeq} vs ${newDf.columns.toSeq}")
+    // additive evolution between the snapshots: conform the OLD side
+    // to the new schema (added columns read as null there), so a row
+    // whose added column gained a value classifies as an update and an
+    // otherwise-identical row stays silent. Anything non-additive —
+    // dropped columns, type changes — fails loudly inside conformTo.
+    require(oldDf0.columns.toSet.subsetOf(newDf.columns.toSet),
+      s"snapshotDiff: non-additive schema change between v$from and " +
+        s"v$to — ${oldDf0.columns.toSeq.sorted} vs " +
+        s"${newDf.columns.toSeq.sorted}")
+    val oldDf = conformTo(oldDf0, newDf.schema)
     keyCols.foreach(k => require(oldDf.columns.contains(k),
       s"snapshotDiff: key column '$k' not in the table"))
     require(!keyCols.contains("change_type") &&
@@ -755,14 +852,23 @@ object SnapshotStore {
     val cur = readBuckets(spark, root, touched, Some(prevSnap))
     keyCols.foreach(k => require(cur.columns.contains(k),
       s"mergeChanges: key column '$k' not in the table"))
-    require(changes.columns.toSet == cur.columns.toSet + opCol,
-      s"mergeChanges: changes must carry the table schema + '$opCol'" +
-        s" — table ${cur.columns.toSeq.sorted} vs changes " +
+    // the changes frame may carry a SUPERSET of the table schema:
+    // extra columns evolve the table additively — existing rows (and
+    // every untouched, carried-by-reference bucket) serve null for
+    // them, exactly Iceberg's add-column semantics. Missing table
+    // columns are still an error (dropping columns is not additive).
+    require(cur.columns.toSet.subsetOf(changes.columns.toSet - opCol),
+      s"mergeChanges: changes must carry the full table schema + " +
+        s"'$opCol' (extra columns evolve the table) — table " +
+        s"${cur.columns.toSeq.sorted} vs changes " +
         s"${changes.columns.toSeq.sorted}")
+    val targetSchema = org.apache.spark.sql.types.StructType(
+      changes.schema.fields.filterNot(_.name == opCol))
     val upserts = changes.filter(col(opCol) === "upsert")
-      .select(cur.columns.toSeq.map(col): _*)
+      .select(targetSchema.fields.toSeq.map(f => col(f.name)): _*)
     val replacedKeys = changes.select(keyCols.map(col): _*).distinct()
-    val kept = cur.join(replacedKeys, keyCols, "left_anti")
+    val kept = conformTo(
+      cur.join(replacedKeys, keyCols, "left_anti"), targetSchema)
     val next = kept.unionByName(upserts)
     overwriteBuckets(next, root, bucketExpr, touched, statsCols)
   }
@@ -879,33 +985,43 @@ object SnapshotStore {
   /** Per-partition metrics check: recompute each listed bucket's
     * (rows, xxh) from storage and diff against the manifest. Empty
     * result = lineage verified.
+    *
+    * Entries pinned to an older schema version (carried across an
+    * additive evolution) are re-hashed under THAT version's column
+    * set — one grouped pass per distinct schema version present,
+    * which is 1 for any table that never evolved and stays O(few)
+    * after (rewriteSnapshot collapses the versions back to one).
     */
   def verify(spark: SparkSession, root: String,
       snapshot: Option[Int] = None): Seq[(Int, String)] = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val v = snapshot.orElse(latestSnapshot(root)).get
     val entries = manifest(root, v)
     val (present, gone) = entries.partition(e =>
       Files.isDirectory(Paths.get(e.path)))
-    if (present.isEmpty)
-      return gone.map(e => e.bucket -> "missing in storage")
-    val paths = present.map(_.path)
-    val df = spark.read.option("basePath", s"$root/runs")
-      .parquet(paths: _*).drop("run")
-    val dataCols = df.columns.filterNot(_ == B)
-    val actual = df.groupBy(col(B))
-      .agg(count(lit(1)).as("rows"),
-        rowHashExpr(dataCols.toSeq).as("xxh"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     gone.map(e => e.bucket -> "missing in storage") ++
-    present.flatMap { e =>
-      actual.get(e.bucket) match {
-        case None => Some(e.bucket -> "missing in storage")
-        case Some((r, x)) if r != e.rows =>
-          Some(e.bucket -> s"rows ${e.rows} != $r")
-        case Some((_, x)) if x != e.xxh =>
-          Some(e.bucket -> s"xxh ${e.xxh} != $x")
-        case _ => None
+    present.groupBy(_.schemaV.getOrElse(v)).toSeq.sortBy(_._1)
+      .flatMap { case (sv, group) =>
+        val schema = tableSchema(root, sv)
+        val full = StructType(schema.fields ++
+          Seq(StructField("run", IntegerType), StructField(B, IntegerType)))
+        val df = spark.read.option("basePath", s"$root/runs")
+          .schema(full).parquet(group.map(_.path): _*).drop("run")
+        val actual = df.groupBy(col(B))
+          .agg(count(lit(1)).as("rows"),
+            rowHashExpr(schema.fieldNames.toSeq).as("xxh"))
+          .collect()
+          .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        group.flatMap { e =>
+          actual.get(e.bucket) match {
+            case None => Some(e.bucket -> "missing in storage")
+            case Some((r, _)) if r != e.rows =>
+              Some(e.bucket -> s"rows ${e.rows} != $r")
+            case Some((_, x)) if x != e.xxh =>
+              Some(e.bucket -> s"xxh ${e.xxh} != $x")
+            case _ => None
+          }
+        }
       }
-    }
   }
 }

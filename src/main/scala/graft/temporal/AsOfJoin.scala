@@ -504,6 +504,161 @@ object AsOfJoin {
     }
   }
 
+  /** Nearest-match as-of join (pandas `merge_asof(direction='nearest')`
+    * parity — no reference analogue, tubular has no joins at all): per
+    * left row, the right row minimizing |right.ts - left.ts|, ties
+    * broken BACKWARD (an equidistant past match always beats the future
+    * one, so a same-instant right row wins outright).
+    * `toleranceSeconds` bounds the distance on BOTH sides; outside it
+    * the value columns and `matched_ts` are null.
+    *
+    * This mode reads the FUTURE by design — it is the sensor/caption
+    * alignment shape (pair each image with the temporally closest
+    * caption revision), NOT a leakage-safe training feature; use
+    * [[join]] / [[joinForward]] for features and labels. There is no
+    * `strict` flag for the same reason: strictness is a leakage
+    * posture, meaningless for symmetric alignment.
+    *
+    * Scale shape: the SAME one-exchange tagged-union scan as the
+    * backward join, with BOTH a backward and a forward carry over one
+    * (entity, salt)-partitioned (ts, side) sort — the two window frames
+    * share the partitioning and ordering, so Catalyst plans a single
+    * Exchange + Sort feeding one Window node. Salting / auto-detection
+    * and the broadcast strategy are identical to [[join]].
+    */
+  def joinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      entity: String,
+      leftTs: String = "ts",
+      rightTs: String = "ts",
+      rightValueCols: Seq[String] = Seq.empty,
+      toleranceSeconds: Option[Long] = None,
+      broadcastRight: Boolean = false,
+      hotEntities: Seq[String] = Seq.empty,
+      saltBuckets: Int = 8,
+      autoSaltShare: Option[Double] = None,
+      autoSaltSample: Double = 0.05): DataFrame = {
+
+    val valueCols =
+      if (rightValueCols.nonEmpty) rightValueCols
+      else right.columns.filterNot(c => c == entity || c == rightTs).toSeq
+    val leftCols = left.columns.toSeq
+
+    // distance of a candidate struct's matched ts from the left ts, in
+    // micros; null candidate -> null distance (loses every comparison)
+    def dist(cand: Column, lt: Column): Column =
+      abs(unix_micros(cand.getField(MatchedTs).cast("timestamp")) -
+        unix_micros(lt.cast("timestamp")))
+
+    // pick the nearer of the backward/forward candidates under the
+    // tolerance; tie -> backward. Backward candidates are at distance
+    // >= 0, forward ones > 0 (same-instant rows ride the backward
+    // carry), so `<=` implements the tie rule exactly.
+    def pickNearest(rb: Column, rf: Column, lt: Column): Column = {
+      val tolOk: Column => Column = cand => toleranceSeconds match {
+        case Some(tol) => cand.isNotNull && dist(cand, lt) <= tol * 1000000L
+        case None      => cand.isNotNull
+      }
+      val bOk = tolOk(rb)
+      val fOk = tolOk(rf)
+      when(bOk && (!fOk || dist(rb, lt) <= dist(rf, lt)), rb)
+        .when(fOk, rf)
+    }
+
+    val carried =
+      if (broadcastRight) {
+        // broadcast strategy: per-entity ts-sorted history array; the
+        // backward candidate is the LAST entry with ts <= t, the
+        // forward one the FIRST with ts > t
+        val rightArr = right
+          .filter(col(entity).isNotNull && col(rightTs).isNotNull)
+          .groupBy(col(entity).as("__e"))
+          .agg(sort_array(collect_list(struct(
+            (col(rightTs).as(MatchedTs) +: valueCols.map(col)): _*)))
+            .as("__hist"))
+        val joined = left
+          .select(struct(leftCols.map(col): _*).as("__l"),
+            col(entity).as("__le"), col(leftTs).as("__lt"))
+          .join(broadcast(rightArr), col("__le") === col("__e"), "left")
+        val back = filter(col("__hist"),
+          r => r.getField(MatchedTs) <= col("__lt"))
+        val fwd = filter(col("__hist"),
+          r => r.getField(MatchedTs) > col("__lt"))
+        joined
+          .withColumn("__rb",
+            when(size(back) > 0, element_at(back, -1)))
+          .withColumn("__rf",
+            when(size(fwd) > 0, element_at(fwd, 1)))
+      } else {
+        // union strategy: one exchange, two carries over one sort.
+        // Right rows take side 0 (BEFORE left at equal ts): the
+        // backward frame sees same-instant matches, the forward frame
+        // starts strictly after — and a same-instant match (distance
+        // 0) wins the pick regardless.
+        val hot = resolveHot(left, entity, hotEntities, autoSaltShare,
+          autoSaltSample)
+        val salted = hot.nonEmpty && saltBuckets > 1
+        val leftSalt: Column =
+          if (!salted) lit(0)
+          else when(col(entity).isin(hot: _*),
+            pmod(xxhash64(col(leftTs)), lit(saltBuckets)).cast("int"))
+            .otherwise(lit(0))
+        val rightStruct = struct(
+          (valueCols.map(col) :+ col(rightTs).as(MatchedTs)): _*)
+        val rightStructType =
+          right.select(rightStruct.as("__r")).schema("__r").dataType
+        val leftStruct = struct(leftCols.map(col): _*)
+        val leftStructType =
+          left.select(leftStruct.as("__l")).schema("__l").dataType
+        val taggedLeft = left.select(
+          col(entity).as("__e"),
+          col(leftTs).as("__t"),
+          lit(1).as("__side"),
+          leftSalt.as("__salt"),
+          leftStruct.as("__l"),
+          lit(null).cast(rightStructType).as("__r"))
+        val rightBase = right
+          .filter(col(entity).isNotNull && col(rightTs).isNotNull)
+          .select(
+            col(entity).as("__e"),
+            col(rightTs).as("__t"),
+            lit(0).as("__side"),
+            rightStruct.as("__r"))
+        val taggedRight = (if (salted)
+          rightBase.withColumn("__salt",
+            explode(when(col("__e").isin(hot: _*),
+              typedLit((0 until saltBuckets).toList))
+              .otherwise(typedLit(List(0)))))
+        else rightBase.withColumn("__salt", lit(0)))
+          .withColumn("__l", lit(null).cast(leftStructType))
+          .select("__e", "__t", "__side", "__salt", "__l", "__r")
+        val unioned = taggedLeft
+          .select("__e", "__t", "__side", "__salt", "__l", "__r")
+          .unionByName(taggedRight)
+        val base = Window.partitionBy(col("__e"), col("__salt"))
+          .orderBy(col("__t"), col("__side"))
+        val wb = base.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val wf = base.rowsBetween(Window.currentRow,
+          Window.unboundedFollowing)
+        unioned
+          .withColumn("__rb",
+            last(col("__r"), ignoreNulls = true).over(wb))
+          .withColumn("__rf",
+            first(col("__r"), ignoreNulls = true).over(wf))
+          .filter(col("__side") === 1)
+      }
+
+    val lt = col("__l").getField(leftTs)
+    val picked = carried.withColumn("__rv",
+      pickNearest(col("__rb"), col("__rf"), lt))
+    val out = leftCols.map(c => col("__l").getField(c).as(c)) ++
+      valueCols.map(c => col("__rv").getField(c).as(c)) :+
+      col("__rv").getField(MatchedTs).as("matched_ts")
+    picked.select(out: _*)
+  }
+
   private val MatchedTs = "__asof_matched_ts"
 
   private def joinUnion(

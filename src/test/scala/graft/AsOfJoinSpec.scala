@@ -104,6 +104,54 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a.collect().toSeq == b.collect().toSeq)
   }
 
+  test("joinNearest: closest match either side, same-instant wins") {
+    val out = AsOfJoin.joinNearest(left(), right(), "e").orderBy("lv")
+    // lv=4 (b@10:00) now matches b@11:00 — the forward row the
+    // backward join cannot see
+    assert(column(out, "f") == Seq(1.0, 2.0, 3.0, 4.0, null))
+    assert(column(out, "matched_ts") == Seq(
+      ts("2024-01-01 09:00:00"), ts("2024-01-01 12:00:00"),
+      ts("2024-01-01 13:00:00"), ts("2024-01-01 11:00:00"), null))
+  }
+
+  test("joinNearest: tolerance bounds BOTH directions") {
+    val out = AsOfJoin.joinNearest(left(), right(), "e",
+      toleranceSeconds = Some(1800)).orderBy("lv")
+    assert(column(out, "f") == Seq(null, 2.0, null, null, null))
+    assert(column(out, "matched_ts") ==
+      Seq(null, ts("2024-01-01 12:00:00"), null, null, null))
+  }
+
+  test("joinNearest: equidistant tie goes backward") {
+    val l = df("e STRING, ts TIMESTAMP, lv BIGINT",
+      Seq(Row("x", ts("2024-01-01 10:00:00"), 1L)))
+    val r = df("e STRING, ts TIMESTAMP, f DOUBLE", Seq(
+      Row("x", ts("2024-01-01 09:00:00"), 1.0),
+      Row("x", ts("2024-01-01 11:00:00"), 2.0)))
+    assert(column(AsOfJoin.joinNearest(l, r, "e"), "f") == Seq(1.0))
+    assert(column(
+      AsOfJoin.joinNearest(l, r, "e", broadcastRight = true), "f") ==
+      Seq(1.0))
+  }
+
+  test("joinNearest: broadcast == union == salted") {
+    val a = AsOfJoin.joinNearest(left(), right(), "e").orderBy("lv")
+    val b = AsOfJoin.joinNearest(left(), right(), "e",
+      broadcastRight = true).orderBy("lv")
+    val sa = AsOfJoin.joinNearest(left(), right(), "e",
+      hotEntities = Seq("a", "b"), saltBuckets = 3).orderBy("lv")
+    assert(a.collect().toSeq == b.collect().toSeq)
+    assert(a.collect().toSeq == sa.collect().toSeq)
+  }
+
+  test("joinNearest: null right entity/ts rows never match") {
+    val r = right().unionByName(df("e STRING, ts TIMESTAMP, f DOUBLE",
+      Seq(Row(null, ts("2024-01-01 10:00:00"), 9.0),
+        Row("c", null, 9.9))))
+    val out = AsOfJoin.joinNearest(left(), r, "e").orderBy("lv")
+    assert(column(out, "f") == Seq(1.0, 2.0, 3.0, 4.0, null))
+  }
+
   test("salted hot entities == unsalted result") {
     val base = AsOfJoin.join(left(), right(), "e").orderBy("lv")
     val salted = AsOfJoin.join(left(), right(), "e",

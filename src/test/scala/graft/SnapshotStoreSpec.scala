@@ -601,4 +601,81 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(keptS.size == 3,
       "emoji max must survive a U+FFFD lower bound under UTF-8 order")
   }
+
+  test("additive schema evolution: mergeChanges adds a column, " +
+      "untouched buckets serve null, verify + diff cross the " +
+      "boundary, rewrite materializes the migration") {
+    import spark.implicits._
+    val root = freshRoot()
+    val bucket = SnapshotStore.byKey("doc_id", 8)
+    SnapshotStore.write(docs(400), root, bucket) // v1
+    val changes = Seq(
+      (3L, "doc three rewritten", "en", "upsert"),
+      (7L, "doc seven rewritten", "fr", "upsert"))
+      .toDF("doc_id", "text", "lang", "op")
+    val r = SnapshotStore.mergeChanges(spark, root, changes,
+      Seq("doc_id"), bucket) // v2, evolved
+    assert(r.written.size <= 2, "evolution must not rewrite the table")
+    val back = SnapshotStore.read(spark, root)
+    assert(back.columns.toSeq === Seq("doc_id", "text", "lang"))
+    assert(back.count() === 400)
+    assert(back.filter(col("lang").isNotNull).count() === 2)
+    assert(back.filter(col("doc_id") === 3L)
+      .head.getString(2) === "en")
+    // time travel still serves v1 under ITS schema
+    assert(SnapshotStore.read(spark, root, Some(1)).columns.toSeq ===
+      Seq("doc_id", "text"))
+    // the mixed-schema manifest verifies: old-schema entries are
+    // pinned (sv) and re-hashed under their own column set
+    val m2 = SnapshotStore.manifest(root, 2)
+    assert(m2.exists(_.schemaV.contains(1)), "carried entries pinned")
+    assert(SnapshotStore.verify(spark, root).isEmpty)
+    // CDC across the evolution boundary: exactly the two upserts
+    val d = SnapshotStore.snapshotDiff(spark, root, 1, 2, Seq("doc_id"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(d === Seq((3L, "update"), (7L, "update")))
+    // rewriteSnapshot = the schema-migrating compactor: content
+    // proven per schema version, pins cleared, nulls materialized
+    SnapshotStore.rewriteSnapshot(spark, root) // v3
+    val m3 = SnapshotStore.manifest(root, 3)
+    assert(m3.forall(_.schemaV.isEmpty))
+    assert(SnapshotStore.verify(spark, root).isEmpty)
+    val b3 = SnapshotStore.read(spark, root, Some(3))
+    assert(b3.count() === 400 &&
+      b3.filter(col("lang").isNotNull).count() === 2)
+    assert(SnapshotStore.snapshotDiff(spark, root, 2, 3,
+      Seq("doc_id")).count() === 0)
+  }
+
+  test("non-additive evolution fails loudly; write() across a schema " +
+      "change never carries by reference") {
+    import spark.implicits._
+    val root = freshRoot()
+    val bucket = SnapshotStore.byKey("doc_id", 8)
+    SnapshotStore.write(docs(200), root, bucket)
+    // type change is not additive
+    val badType = Seq((1L, 5)).toDF("doc_id", "text")
+      .withColumn("op", lit("upsert"))
+    intercept[IllegalArgumentException] {
+      SnapshotStore.mergeChanges(spark, root, badType,
+        Seq("doc_id"), bucket)
+    }
+    // dropping a table column is not additive either
+    val missing = Seq((1L, "en")).toDF("doc_id", "lang")
+      .withColumn("op", lit("upsert"))
+    intercept[IllegalArgumentException] {
+      SnapshotStore.mergeChanges(spark, root, missing,
+        Seq("doc_id"), bucket)
+    }
+    // a rename keeps every VALUE identical, so the content hashes all
+    // match — carry would silently serve files whose parquet schema no
+    // longer answers the new DDL; the write must rewrite everything
+    val renamed = docs(200).withColumnRenamed("text", "body")
+    val r = SnapshotStore.write(renamed, root, bucket)
+    assert(r.carried.isEmpty && r.written.nonEmpty)
+    assert(SnapshotStore.read(spark, root).columns.toSeq ===
+      Seq("doc_id", "body"))
+    assert(SnapshotStore.verify(spark, root).isEmpty)
+  }
 }
