@@ -39,6 +39,51 @@ object QueriesStreaming {
     } finally q.stop()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_stream_ohlc" -> ((s, dir) => {
+      // real-time OHLC bars on the purchase stream — the streaming
+      // twin of q254's epoch-aligned 6h grid (non-empty buckets only:
+      // a stream cannot emit a bar no event opened; empty-bucket
+      // synthesis and close-carry stay batch concerns). Same planted
+      // nulls; state per open bar is one (n,o,h,l,c) tuple, and bars
+      // finalize in append mode when the watermark passes
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = tbl(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").cast("long"),
+          col("ts").cast("timestamp"),
+          when(col("event_id") % 13 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("v"))
+      val rows = ev.collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) Option.empty[Double] else Some(r.getDouble(2))))
+        .sortBy(_._2.getTime).toSeq
+      val maxTs = rows.map(_._2.getTime).max
+      val input = MemoryStream[(Long, java.sql.Timestamp, Option[Double])]
+      val stream = input.toDF().toDF("user_id", "ts", "v")
+      val sink = s"q255_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.ohlcBarsStream(stream, "user_id", "ts", "v",
+        widthSeconds = 21600L, watermark = "1 second")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val sz = math.max(1, (rows.length + 2) / 3)
+        rows.grouped(sz).foreach { chunk =>
+          input.addData(chunk: _*); q.processAllAvailable()
+        }
+        input.addData((-1L,
+          new java.sql.Timestamp(maxTs + 30L * 86400 * 1000), None))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("bar_start_s"), col("n"),
+          round(col("open"), 6).as("open"),
+          round(col("high"), 6).as("high"),
+          round(col("low"), 6).as("low"),
+          round(col("close"), 6).as("close"))
+        .orderBy("user_id", "bar_start_s")
+    }),
+
     "q125_stream_quantile_sketch" -> ((s, dir) => {
       // running per-user quantiles over a REAL 3-micro-batch stream:
       // bounded per-key bin state merges associatively across batches,
@@ -840,6 +885,22 @@ object QueriesStreaming {
       |FROM documents WHERE doc_id % 10 = 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // per-bucket OHLC over the non-null readings; an all-null bucket
+    // still emits (n=0, null OHLC) because its events opened the bar
+    "q255_stream_ohlc" ->
+      """WITH p AS (SELECT user_id, ts,
+        |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id,
+        |  CAST(CAST(floor(epoch_us(ts) / 21600000000.0) AS BIGINT)
+        |    * 21600 AS BIGINT) AS bar_start_s,
+        |  count(v) AS n,
+        |  round(arg_min(v, CASE WHEN v IS NOT NULL THEN ts END), 6)
+        |    AS open,
+        |  round(max(v), 6) AS high, round(min(v), 6) AS low,
+        |  round(arg_max(v, CASE WHEN v IS NOT NULL THEN ts END), 6)
+        |    AS close
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the stream-built CMS counters must reproduce the one-shot batch
     // readout exactly — literally q128's oracle
     "q133_stream_cms" -> QueriesData.cmsTop25Sql,

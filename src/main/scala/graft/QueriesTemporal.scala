@@ -67,6 +67,23 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q254_resample_bars" -> ((s, dir) => {
+      // 6-hour OHLC bars per user over the (already-unique) purchase
+      // series, empty buckets synthesized with close carried forward
+      // — pandas resample('21600s').ohlc().ffill(). Nulls planted at
+      // %13 exercise the missing-reading contract (they never win
+      // open/close and don't count toward n); the oracle rebuilds
+      // the full grid with generate_series + IGNORE NULLS carry
+      val p = tbl(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          when(col("event_id") % 13 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("v"))
+      WindowOps.resampleBars(p, "user_id", "ts", "v",
+        widthSeconds = 21600L)
+        .orderBy("user_id", "bar_start_s")
+    }),
+
     "q229_interval_features" -> ((s, dir) => {
       // "purchases in the last hour / day" per event: one cumulative
       // pass + as-of differences, exact decimal sums; the oracle
@@ -536,6 +553,39 @@ object QueriesTemporal {
          |    WHEN g_mts IS NOT NULL THEN 'group'
          |  END AS feature_source
          |FROM f ORDER BY 1""".stripMargin,
+
+    // full-grid OHLC rebuild: per-bucket aggregates over the non-null
+    // readings, generate_series grid per user span, IGNORE NULLS
+    // running carry for close
+    "q254_resample_bars" ->
+      """WITH p AS (SELECT user_id, ts,
+        |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |allb AS (SELECT user_id,
+        |    CAST(floor(epoch_us(ts) / 21600000000.0) AS BIGINT) AS b
+        |  FROM p GROUP BY 1, 2),
+        |bars AS (SELECT user_id,
+        |    CAST(floor(epoch_us(ts) / 21600000000.0) AS BIGINT) AS b,
+        |    count(*) AS n, arg_min(v, ts) AS open, max(v) AS high,
+        |    min(v) AS low, arg_max(v, ts) AS close_raw
+        |  FROM p WHERE v IS NOT NULL GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(b) AS lo, max(b) AS hi
+        |  FROM allb GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS b
+        |  FROM span),
+        |j AS (SELECT g.user_id, g.b,
+        |    CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+        |    o.open, o.high, o.low, o.close_raw
+        |  FROM grid g LEFT JOIN bars o
+        |    ON g.user_id = o.user_id AND g.b = o.b),
+        |f AS (SELECT user_id, b, n, open, high, low,
+        |    last_value(close_raw IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close
+        |  FROM j)
+        |SELECT user_id, CAST(b * 21600 AS BIGINT) AS bar_start_s,
+        |  n, open, high, low, close
+        |FROM f ORDER BY user_id, bar_start_s""".stripMargin,
 
     // per-event argmin over |Δt| with the backward tie-break spelled
     // out — the LATERAL re-derives exactly the pick joinNearest makes

@@ -56,6 +56,48 @@ object StreamingOps {
         col("w.end").as("window_end"), col("n_events"),
         col(s"${valueCol}_sum"), col(s"${valueCol}_avg"))
 
+  /** Real-time OHLC bars: tumbling event-time buckets per entity with
+    * open/close picked by event time (min_by/max_by — declarative
+    * aggregates, so the state store holds one running (n, o, h, l, c)
+    * tuple per open bar, never the readings). Epoch-aligned windows
+    * mean the buckets are IDENTICAL to
+    * [[graft.temporal.WindowOps.resampleBars]]'s
+    * `floor(epoch/width)` grid, and the emitted bars match the batch
+    * op's non-empty bars exactly (spec-pinned); empty-bucket synthesis
+    * and close-carry stay batch concerns — a stream cannot emit a bar
+    * for a bucket no event ever opened. NaN/null readings follow the
+    * same missing-reading contract: they never win open/close and
+    * don't count toward `n` (an all-missing bucket emits n=0 with
+    * null OHLC rather than being silently absent, so the consumer can
+    * distinguish "no events" from "events but no readings").
+    *
+    * Output: entity, `bar_start_s` (epoch seconds), n, open, high,
+    * low, close. Append mode: a bar finalizes when the watermark
+    * passes its bucket end.
+    */
+  def ohlcBarsStream(events: DataFrame, entity: String, ts: String,
+      valueCol: String, widthSeconds: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(widthSeconds > 0,
+      s"ohlcBarsStream: widthSeconds > 0, got $widthSeconds")
+    val v = col(valueCol).cast("double")
+    val clean = when(isnan(v), lit(null)).otherwise(v)
+    val ord = when(clean.isNotNull,
+      struct(col(ts).cast("timestamp").as("t")))
+    events
+      .withWatermark(ts, watermark)
+      .groupBy(window(col(ts), s"$widthSeconds seconds").as("w"),
+        col(entity))
+      .agg(count(clean).as("n"),
+        min_by(clean, ord).as("open"),
+        max(clean).as("high"),
+        min(clean).as("low"),
+        max_by(clean, ord).as("close"))
+      .select(col(entity),
+        unix_seconds(col("w.start")).as("bar_start_s"),
+        col("n"), col("open"), col("high"), col("low"), col("close"))
+  }
+
   /** Event-time windowed top-k on a stream ("trending items"):
     * watermark + tumbling window + the bounded-heap
     * [[graft.functions.TopKBy]] aggregate. State per (window, group)

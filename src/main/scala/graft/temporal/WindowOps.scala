@@ -522,4 +522,92 @@ object WindowOps {
         sum(coalesce(round(col(valueCol) * lit(1e6), 0).cast("long"),
           lit(0L))).as("value_micros"))
   }
+
+  /** Fixed-grid resampling of an irregular per-entity series — the
+    * pandas `resample('<w>s').ohlc()` + `ffill` shape: one bar per
+    * `widthSeconds` bucket from each entity's first to last
+    * observation, OHLC computed over the bucket's non-null (and
+    * non-NaN, per the module's missing-reading contract) values,
+    * EMPTY buckets synthesized with `close` carried from the last
+    * non-empty bar. Columns: `bar_start_s` (bucket start, epoch
+    * seconds — integer math end-to-end), `n` (non-null readings;
+    * 0 for synthesized or all-null bars, whose open/high/low are
+    * null), `open/high/low/close`.
+    *
+    * Same-instant determinism is the CALLER's contract: open/close
+    * pick by min/max ts within the bucket, so (entity, ts) should be
+    * unique (pre-aggregate duplicates first, as a feature pipeline
+    * would anyway).
+    *
+    * Scale shape: ONE map-side-combined groupBy(entity, bucket) —
+    * the exchange carries bars, not readings — then one
+    * entity-partitioned window pass that (a) carries the last known
+    * close and (b) SYNTHESIZES each gap's missing bars by exploding
+    * a bounded `sequence` per gap: no grid table, no join, no
+    * driver-side ranges. `maxGapBars` bounds the per-row array a
+    * pathological gap could materialize (a year of 1-second bars in
+    * one array is an OOM, not a feature) — crossing it fails loudly
+    * inside the plan via `raise_error`, never silently truncates.
+    */
+  def resampleBars(df: DataFrame, entity: String, ts: String,
+      valueCol: String, widthSeconds: Long,
+      maxGapBars: Long = 1000000L): DataFrame = {
+    require(widthSeconds > 0,
+      s"resampleBars: widthSeconds > 0, got $widthSeconds")
+    require(maxGapBars > 0,
+      s"resampleBars: maxGapBars > 0, got $maxGapBars")
+    val wUs = widthSeconds * 1000000L
+    val clean = cleanDouble(valueCol)
+    // min_by/max_by skip null ordering keys, so null/NaN readings
+    // never win open/close; min/max skip nulls for high/low
+    val ord = when(clean.isNotNull,
+      struct(col(ts).cast("timestamp").as("t")))
+    val bars = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .groupBy(col(entity),
+        floor(unix_micros(col(ts).cast("timestamp")) / wUs)
+          .cast("long").as("__b"))
+      .agg(count(clean).as("n"),
+        min_by(clean, ord).as("open"),
+        max(clean).as("high"),
+        min(clean).as("low"),
+        max_by(clean, ord).as("__close_raw"))
+    val spec = Window.partitionBy(col(entity)).orderBy(col("__b"))
+    val carry = last(col("__close_raw"), ignoreNulls = true)
+      .over(spec.rowsBetween(Window.unboundedPreceding, 0))
+    val gap = lead(col("__b"), 1).over(spec) - col("__b") - 1
+    val withCarry = bars
+      .withColumn("close", carry)
+      .withColumn("__gap", coalesce(gap, lit(0L)))
+    val checked = withCarry.withColumn("__gap",
+      when(col("__gap") > maxGapBars, raise_error(concat(
+        lit(s"resampleBars: a gap of "), col("__gap"),
+        lit(s" empty bars exceeds maxGapBars=$maxGapBars for " +
+          s"entity "), col(entity).cast("string"))))
+        .otherwise(col("__gap")))
+    // each real bar emits itself (empty=false) plus one synthetic
+    // bar per missing bucket until the entity's next real bar
+    val emitted = checked.select(
+      col(entity), col("n"), col("open"), col("high"), col("low"),
+      col("close"),
+      explode(concat(
+        array(struct(col("__b").as("b"), lit(false).as("empty"))),
+        when(col("__gap") > 0,
+          transform(sequence(col("__b") + 1, col("__b") + col("__gap")),
+            x => struct(x.as("b"), lit(true).as("empty"))))
+          .otherwise(expr("array()")
+            .cast("array<struct<b:bigint,empty:boolean>>"))))
+        .as("__g"))
+    emitted.select(
+      col(entity),
+      (col("__g.b") * widthSeconds).as("bar_start_s"),
+      when(col("__g.empty"), lit(0L)).otherwise(col("n")).as("n"),
+      when(col("__g.empty"), lit(null).cast("double"))
+        .otherwise(col("open")).as("open"),
+      when(col("__g.empty"), lit(null).cast("double"))
+        .otherwise(col("high")).as("high"),
+      when(col("__g.empty"), lit(null).cast("double"))
+        .otherwise(col("low")).as("low"),
+      col("close"))
+  }
 }

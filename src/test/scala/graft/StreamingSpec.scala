@@ -1029,4 +1029,58 @@ class StreamingSpec extends SparkSpec {
         s"eviction error ${math.abs(exact - e4)} above the 2^-k bound")
     } finally q.stop()
   }
+
+  test("ohlcBarsStream: bars match resampleBars' non-empty grid " +
+      "across chunked batches; an all-missing bucket emits n=0") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      ("a", ts("2024-01-01 00:00:10"), Some(1.0)),
+      ("a", ts("2024-01-01 00:00:20"), Option.empty[Double]),
+      ("a", ts("2024-01-01 00:00:50"), Some(3.0)),
+      ("a", ts("2024-01-01 00:02:05"), Some(Double.NaN)), // all-missing
+      ("a", ts("2024-01-01 00:05:30"), Some(7.0)),
+      ("b", ts("2024-01-01 00:03:00"), Some(2.0)))
+    val input = MemoryStream[(String, Timestamp, Option[Double])]
+    val df = input.toDF().toDF("e", "ts", "v")
+    val q = StreamingOps.ohlcBarsStream(df, "e", "ts", "v",
+      widthSeconds = 60L, watermark = "1 second")
+      .writeStream.format("memory").queryName("ohlc")
+      .outputMode("append").start()
+    try {
+      rows.grouped(2).foreach { c =>
+        input.addData(c: _*); q.processAllAvailable()
+      }
+      input.addData(("z", ts("2024-02-01 00:00:00"), None)) // flush
+      q.processAllAvailable()
+      val got = spark.table("ohlc").filter(col("e") =!= "z")
+        .orderBy("e", "bar_start_s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+          Option(r.get(6)))).toSeq
+      // the all-NaN bucket is EMITTED (its events opened the bar)
+      // with n=0 and null OHLC — distinguishable from "no events"
+      assert(got == Seq(
+        ("a", 1704067200L, 2L, Some(1.0), Some(3.0), Some(1.0),
+          Some(3.0)),
+        ("a", 1704067320L, 0L, None, None, None, None),
+        ("a", 1704067500L, 1L, Some(7.0), Some(7.0), Some(7.0),
+          Some(7.0)),
+        ("b", 1704067380L, 1L, Some(2.0), Some(2.0), Some(2.0),
+          Some(2.0))))
+      // batch twin: the same buckets' non-empty bars (close without
+      // the carry — a finalized streaming bar has no later context)
+      val batch = WindowOps.resampleBars(
+        spark.createDataFrame(rows.map(r =>
+          Row(r._1, r._2, r._3.map(Double.box).orNull)).asJavaish,
+          df.schema),
+        "e", "ts", "v", widthSeconds = 60L)
+        .filter(col("n") > 0)
+        .orderBy("e", "bar_start_s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+          Option(r.get(6)))).toSeq
+      assert(batch == got.filter(_._3 > 0))
+    } finally q.stop()
+  }
 }

@@ -316,4 +316,39 @@ class WindowOpsSpec extends SparkSpec {
       .findAllIn(plan).size
     assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
   }
+
+  test("resampleBars: OHLC per bucket, synthesized empty bars carry " +
+      "close, NaN/null readings never win open/close or count in n") {
+    val d = df("e STRING, ts TIMESTAMP, v DOUBLE", Seq(
+      Row("a", ts("2024-01-01 00:00:10"), 1.0),
+      Row("a", ts("2024-01-01 00:00:20"), null), // missing reading
+      Row("a", ts("2024-01-01 00:00:50"), 3.0),
+      Row("a", ts("2024-01-01 00:02:05"), Double.NaN), // all-NaN bar
+      Row("a", ts("2024-01-01 00:05:30"), 7.0),
+      Row("b", ts("2024-01-01 00:03:00"), 2.0)))
+    val out = WindowOps.resampleBars(d, "e", "ts", "v",
+      widthSeconds = 60L).orderBy("e", "bar_start_s").collect()
+    val a = out.filter(_.getString(0) == "a")
+    assert(a.length == 6, "b0..b5 inclusive grid for entity a")
+    def bar(r: org.apache.spark.sql.Row) =
+      (r.getLong(2), Option(r.get(3)), Option(r.get(4)),
+        Option(r.get(5)), Option(r.get(6)))
+    assert(bar(a(0)) === ((2L, Some(1.0), Some(3.0), Some(1.0),
+      Some(3.0)))) // open=first by ts, close=last by ts, null skipped
+    assert(bar(a(1)) === ((0L, None, None, None, Some(3.0)))) // gap
+    assert(bar(a(2)) === ((0L, None, None, None, Some(3.0)))) // NaN bar
+    assert(bar(a(3)) === ((0L, None, None, None, Some(3.0))))
+    assert(bar(a(4)) === ((0L, None, None, None, Some(3.0))))
+    assert(bar(a(5)) === ((1L, Some(7.0), Some(7.0), Some(7.0),
+      Some(7.0))))
+    // epoch-second bucket starts, width apart
+    assert(a.map(_.getLong(1)).toSeq ==
+      (0 to 5).map(b => 1704067200L + b * 60L))
+    assert(out.count(_.getString(0) == "b") == 1)
+    // a pathological gap fails loudly, never silently truncates
+    intercept[Exception] {
+      WindowOps.resampleBars(d, "e", "ts", "v", widthSeconds = 60L,
+        maxGapBars = 1).collect()
+    }
+  }
 }
