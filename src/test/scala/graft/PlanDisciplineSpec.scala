@@ -60,6 +60,40 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan.take(600))
   }
 
+  test("joinNearest: backward and forward carries share ONE exchange " +
+      "and one sort (same partitioning and ordering for both frames)") {
+    val evs = ImageTable.events(spark, 500, 3)
+    val snaps = ImageTable.snapshots(spark, 500)
+    val near = AsOfJoin.joinNearest(evs, snaps, entity = "image_id",
+      leftTs = "event_ts", rightTs = "feature_ts")
+    val plan = near.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert("Sort ".r.findAllIn(plan).size <= 2, // window sort only
+      s"the dual frames must not add sorts:\n${plan.take(800)}")
+    assert(!plan.contains("SinglePartition"), plan.take(600))
+  }
+
+  test("resampleBars: bar agg + grid window are exactly TWO key " +
+      "exchanges (bars ride the shuffle, not readings); no join, no " +
+      "single-partition stage") {
+    val evs = ImageTable.events(spark, 500, 3)
+    val out = graft.temporal.WindowOps.resampleBars(evs, "image_id",
+      "event_ts", "target", widthSeconds = 3600L)
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+    // map-side partial agg before the first exchange: the shuffle
+    // carries |bars|, not |readings| (min_by/max_by with a struct
+    // ordering key lower to SortAggregate — still partial+final
+    // around the exchange)
+    assert("(SortAggregate|ObjectHashAggregate|HashAggregate)".r
+      .findAllIn(plan).size >= 2, plan.take(800))
+    assert(plan.contains("partial_min_by"), plan.take(800))
+    assert(!plan.contains("Join") && !plan.contains("SinglePartition"),
+      plan.take(800))
+  }
+
   test("multiHorizon: one hash exchange per horizon (the as-of union " +
       "window each), no cartesian, no single-partition stage") {
     val evs = ImageTable.events(spark, 500, 3)
