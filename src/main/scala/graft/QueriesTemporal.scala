@@ -84,6 +84,23 @@ object QueriesTemporal {
         .orderBy("user_id", "bar_start_s")
     }),
 
+    "q256_rolling_corr" -> ((s, dir) => {
+      // trailing co-movement screen: each event's value vs its
+      // payload size (length(props)) over the user's PRIOR 20
+      // readings — prior-frame, pairwise-complete, exact integer
+      // moments; nulls planted at %11 exercise the pairwise contract
+      val e = tbl(s, dir, "events")
+        .withColumn("v", when(col("event_id") % 11 === 0,
+          lit(null).cast("double")).otherwise(col("value")))
+        .withColumn("pl", length(col("props")).cast("double"))
+      WindowOps.rollingCorr(e, "user_id", "ts", "v", "pl",
+        k = 20, tieBreak = Seq("event_id"))
+        .select(col("event_id"),
+          round(col("v_pl_corr"), 6).as("corr"),
+          round(col("v_pl_beta"), 6).as("beta"))
+        .orderBy("event_id")
+    }),
+
     "q229_interval_features" -> ((s, dir) => {
       // "purchases in the last hour / day" per event: one cumulative
       // pass + as-of differences, exact decimal sums; the oracle
@@ -601,6 +618,43 @@ object QueriesTemporal {
         |           CASE WHEN p.ts <= e.ts THEN 0 ELSE 1 END ASC
         |  LIMIT 1) r ON true
         |ORDER BY 1""".stripMargin,
+
+    // identical prior-20 pairwise-complete integer micro-unit moments
+    // (HUGEINT mirrors decimal(38,0)); corr and beta divide the same
+    // exact integers in the same double expression on both engines
+    "q256_rolling_corr" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN event_id % 11 <> 0 AND value IS NOT NULL
+        |         AND NOT isnan(value) AND props IS NOT NULL
+        |    THEN CAST(round(value * 1e6) AS BIGINT) END AS mx,
+        |  CASE WHEN event_id % 11 <> 0 AND value IS NOT NULL
+        |         AND NOT isnan(value) AND props IS NOT NULL
+        |    THEN CAST(length(props) AS BIGINT) * 1000000 END AS my
+        |FROM events),
+        |x AS (SELECT event_id,
+        |  COUNT(mx) OVER w AS n,
+        |  CAST(SUM(mx) OVER w AS HUGEINT) AS sx,
+        |  CAST(SUM(my) OVER w AS HUGEINT) AS sy,
+        |  SUM(CAST(mx AS HUGEINT) * mx) OVER w AS sxx,
+        |  SUM(CAST(my AS HUGEINT) * my) OVER w AS syy,
+        |  SUM(CAST(mx AS HUGEINT) * my) OVER w AS sxy
+        |FROM e WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_id, n,
+        |  n * sxy - sx * sy AS num,
+        |  n * sxx - sx * sx AS dx,
+        |  n * syy - sy * sy AS dy
+        |FROM x)
+        |SELECT event_id,
+        |  ROUND(CASE WHEN n >= 2 AND dx > 0 AND dy > 0
+        |    THEN CAST(num AS DOUBLE)
+        |      / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) END,
+        |    6) AS corr,
+        |  ROUND(CASE WHEN n >= 2 AND dx > 0
+        |    THEN CAST(num AS DOUBLE) / CAST(dx AS DOUBLE) END,
+        |    6) AS beta
+        |FROM z ORDER BY 1""".stripMargin,
 
     "q229_interval_features" ->
       s"""WITH p AS ($purchasesSql)

@@ -387,6 +387,62 @@ object WindowOps {
         .as(s"${valueCol}_anomaly")): _*)
   }
 
+  /** Trailing co-movement features between two numeric series per
+    * entity: Pearson correlation and OLS slope (beta of y on x) over
+    * the entity's PRIOR `k` readings — the frame ends 1 row before
+    * the current one, so like [[rollingZScore]] the feature never
+    * reads its own row and is leakage-clean by construction.
+    *
+    * Pairwise-complete: a frame row contributes only when BOTH
+    * readings are present (null/NaN = missing, per [[cleanDouble]]).
+    * Exact by construction: all six frame moments
+    * (n, Σx, Σy, Σx², Σy², Σxy) are integer micro-unit sums
+    * (decimal(38,0) — order-independent, so the result is invariant
+    * to partitioning), and corr/beta divide those exact integers in
+    * one fixed double expression:
+    * corr = (nΣxy−ΣxΣy) / sqrt((nΣx²−(Σx)²)(nΣy²−(Σy)²)),
+    * beta = (nΣxy−ΣxΣy) / (nΣx²−(Σx)²).
+    * n < minObs or zero variance → null (for integers
+    * nΣx²−(Σx)² = Σᵢ<ⱼ(xᵢ−xⱼ)² ≥ 0 exactly, so the ≤ 0 guard IS the
+    * zero-variance test — no float fuzz). One shared
+    * (entity, ts, tieBreak) window: stacking with the other ops here
+    * keeps the single-Exchange shape.
+    */
+  def rollingCorr(df: DataFrame, entity: String, ts: String,
+      xCol: String, yCol: String, k: Int, minObs: Int = 2,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(k >= minObs && minObs >= 2,
+      s"rollingCorr: need k >= minObs >= 2, got k=$k minObs=$minObs")
+    require(xCol != yCol, s"rollingCorr: xCol == yCol ($xCol)")
+    val spec = Window.partitionBy(col(entity))
+      .orderBy((col(ts) +: tieBreak.map(col)): _*)
+      .rowsBetween(-k, -1)
+    val both = cleanDouble(xCol).isNotNull && cleanDouble(yCol).isNotNull
+    val mx = when(both, microUnits(cleanDouble(xCol)))
+    val my = when(both, microUnits(cleanDouble(yCol)))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val n = count(mx).over(spec)
+    val sx = d38(sum(mx).over(spec))
+    val sy = d38(sum(my).over(spec))
+    val sxx = sum((d19(mx) * d19(mx)).cast("decimal(38,0)")).over(spec)
+    val syy = sum((d19(my) * d19(my)).cast("decimal(38,0)")).over(spec)
+    val sxy = sum((d19(mx) * d19(my)).cast("decimal(38,0)")).over(spec)
+    val n38 = d38(n)
+    val num = n38 * sxy - sx * sy
+    val dx = n38 * sxx - sx * sx
+    val dy = n38 * syy - sy * sy
+    val nullD = lit(null).cast("double")
+    val corr = when(n < minObs || dx <= 0 || dy <= 0, nullD)
+      .otherwise(num.cast("double") /
+        sqrt(dx.cast("double") * dy.cast("double")))
+    val beta = when(n < minObs || dx <= 0, nullD)
+      .otherwise(num.cast("double") / dx.cast("double"))
+    df.select(df.columns.map(col).toIndexedSeq ++ Seq(
+      corr.as(s"${xCol}_${yCol}_corr"),
+      beta.as(s"${xCol}_${yCol}_beta")): _*)
+  }
+
   /** Forward label window: per row, aggregate of a value over the
     * entity's STRICTLY FUTURE rows within `horizonSeconds` — the
     * regression-label companion of [[timeToNextEvent]] ("spend in

@@ -351,4 +351,47 @@ class WindowOpsSpec extends SparkSpec {
         maxGapBars = 1).collect()
     }
   }
+
+  private def corrFrame() =
+    df("e STRING, ts TIMESTAMP, x DOUBLE, y DOUBLE", Seq(
+      Row("a", ts("2024-01-01 10:00:00"), 1.0, 2.0),
+      Row("a", ts("2024-01-01 10:10:00"), 2.0, 4.0),
+      Row("a", ts("2024-01-01 10:20:00"), 5.0, null), // incomplete
+      Row("a", ts("2024-01-01 10:30:00"), Double.NaN, 8.0), // missing
+      Row("a", ts("2024-01-01 10:40:00"), 3.0, 5.0),
+      Row("b", ts("2024-01-01 10:00:00"), 1.0, 5.0),
+      Row("b", ts("2024-01-01 10:10:00"), 1.0, 7.0),
+      Row("b", ts("2024-01-01 10:20:00"), 2.0, 9.0)))
+
+  test("rollingCorr: prior-only pairwise-complete moments, exact " +
+      "corr/beta, degenerate variance refuses") {
+    val out = WindowOps.rollingCorr(corrFrame(), "e", "ts", "x", "y",
+      k = 5).orderBy("e", "ts")
+    val c = column(out, "x_y_corr")
+    val b = column(out, "x_y_beta")
+    assert(c(0) == null && c(1) == null) // 0 and 1 prior pairs
+    // prior pairs {(1,2),(2,4)}: y = 2x exactly
+    assert(c(2) == 1.0 && b(2) == 2.0)
+    // null-y and NaN-x rows add NO pair: same two priors throughout
+    assert(c(3) == 1.0 && b(3) == 2.0)
+    assert(c(4) == 1.0 && b(4) == 2.0)
+    // constant-x prior baseline: dx = 0 -> both refuse (null)
+    assert(c(7) == null && b(7) == null)
+    intercept[IllegalArgumentException] {
+      WindowOps.rollingCorr(corrFrame(), "e", "ts", "x", "x", k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      WindowOps.rollingCorr(corrFrame(), "e", "ts", "x", "y", k = 1)
+    }
+  }
+
+  test("rollingCorr stacks with rollingZScore on ONE exchange") {
+    val chained = WindowOps.rollingCorr(
+      WindowOps.rollingZScore(corrFrame(), "e", "ts", "x", k = 5),
+      "e", "ts", "x", "y", k = 5)
+    val plan = chained.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+    assert(!plan.contains("SinglePartition"), plan.take(600))
+  }
 }
