@@ -714,6 +714,40 @@ object QueriesStreaming {
         .orderBy("event_id")
     }),
 
+    "q257_stream_corr" -> ((s, dir) => {
+      // the ONLINE companion of q256: prior-20-rows pairwise-complete
+      // corr/beta of value vs payload size, one bounded ring
+      // (<= 20 pairs) per user across 3 REAL micro-batches; the
+      // oracle is LITERALLY q256's windowed SQL (seventh shared pair)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = tbl(s, dir, "events")
+        .select(col("user_id").cast("long"),
+          col("event_id").cast("long"),
+          col("ts").cast("timestamp"),
+          when(col("event_id") % 11 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("v"),
+          length(col("props")).cast("double").as("pl"))
+        .collect()
+        .map(r => StreamingOps.CorrEvent(r.getLong(0), r.getLong(1),
+          r.getTimestamp(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+        .sortBy(e => (StreamingOps.toMicros(e.ts), e.eventId)).toSeq
+      val input = MemoryStream[StreamingOps.CorrEvent]
+      val sink = s"q257_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.rollingCorrStream(input.toDS(), k = 20)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      drive(input, q, rows, nChunks = 3)
+      s.table(sink)
+        .select(col("eventId").as("event_id"),
+          round(col("corr"), 6).as("corr"),
+          round(col("beta"), 6).as("beta"))
+        .orderBy("event_id")
+    }),
+
     "q206_stream_ewm" -> ((s, dir) => {
       // the ONLINE companion of q193: the normalized EWM LEVEL
       // s + (1-2^(-dt/hl))*(x-s), one (ts, level) pair per user
@@ -959,6 +993,11 @@ object QueriesStreaming {
     // level carry (fourth shared batch/stream oracle pair)
     "q206_stream_ewm" ->
       QueriesTemporal.oracles("q193_ewm_mean"),
+
+    // likewise: q256's windowed-moment SQL certifies the streaming
+    // pairwise-complete corr/beta ring (seventh shared pair)
+    "q257_stream_corr" ->
+      QueriesTemporal.oracles("q256_rolling_corr"),
 
     // q208's all-pairs Hamming truth certifies the chunked streaming
     // ingest over the persisted phash index (fifth shared pair; same

@@ -31,6 +31,7 @@ object StreamVersion {
   val Current: Map[String, Int] = Map(
     "cusumStream" -> 1,
     "zScoreStream" -> 2, // v1 rings used a Long.MinValue missing sentinel
+    "rollingCorrStream" -> 1,
     "decayedFeatureStream" -> 1,
     "ewmMeanStream" -> 1,
     "phashNearDupStream" -> 2, // v1 BucketState had no maxTs

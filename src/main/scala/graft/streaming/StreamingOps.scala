@@ -829,6 +829,92 @@ object StreamingOps {
       }
   }
 
+  case class CorrEvent(entity: Long, eventId: Long, ts: Timestamp,
+    x: Option[Double], y: Option[Double])
+  case class CorrOut(eventId: Long, entity: Long, ts: Timestamp,
+    corr: Option[Double], beta: Option[Double])
+  /** ring holds the last <= k ROWS; a slot is Some((mx, my)) only
+    * when BOTH readings were present (pairwise-complete, like the
+    * batch op) and None otherwise — an incomplete row still occupies
+    * a frame slot, exactly like the batch op's k-ROW window.
+    */
+  case class CorrState(lastTsUs: Long, ring: Seq[Option[(Long, Long)]])
+
+  /** ONLINE trailing co-movement — the streaming companion of
+    * [[graft.temporal.WindowOps.rollingCorr]]: each arriving row
+    * scored with the Pearson correlation and OLS beta of its
+    * entity's PRIOR `k` rows, carried as one bounded ring
+    * (<= k pairs) per entity. Frame moments are exact integers
+    * (BigInt — Σx, Σy, Σx², Σy², Σxy over the complete pairs), the
+    * micro-unit conversion is the shared
+    * [[graft.temporal.StreamingRound.halfUp6]], and the float
+    * readout runs in the batch operator's operand order
+    * (num/sqrt(dx·dy), num/dx on exact integers) — so stream,
+    * batch, and the shared DuckDB oracle agree on every value
+    * (q257 certifies against LITERALLY q256's oracle).
+    *
+    * Same source contract as the other per-entity recurrences here:
+    * (event-time, id) order within a batch, per-entity
+    * ts-nondecreasing across batches (loud failure otherwise).
+    */
+  def rollingCorrStream(events: Dataset[CorrEvent], k: Int,
+      minObs: Int = 2): Dataset[CorrOut] = {
+    import events.sparkSession.implicits._
+    require(k >= minObs && minObs >= 2,
+      s"rollingCorrStream: need k >= minObs >= 2, got k=$k minObs=$minObs")
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (entity: Long, rows: Iterator[CorrEvent],
+         state: GroupState[CorrState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.eventId))
+          var st = state.getOption
+            .getOrElse(CorrState(Long.MinValue, Vector.empty))
+          val out = Seq.newBuilder[CorrOut]
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            require(t >= st.lastTsUs,
+              s"rollingCorrStream: entity $entity got ts $t older " +
+                s"than carried state ${st.lastTsUs} — source must be " +
+                "per-entity ts-nondecreasing (backfill late data " +
+                "with the batch rollingCorr)")
+            val pair = for {
+              xv <- e.x.filterNot(_.isNaN)
+              yv <- e.y.filterNot(_.isNaN)
+            } yield (graft.temporal.StreamingRound.halfUp6(xv),
+              graft.temporal.StreamingRound.halfUp6(yv))
+            val prior = st.ring.flatten
+            val n = prior.size
+            var corr: Option[Double] = None
+            var beta: Option[Double] = None
+            if (n >= minObs) {
+              val nB = BigInt(n)
+              val sx = prior.foldLeft(BigInt(0))((a, p) => a + BigInt(p._1))
+              val sy = prior.foldLeft(BigInt(0))((a, p) => a + BigInt(p._2))
+              val sxx = prior.foldLeft(BigInt(0))((a, p) =>
+                a + BigInt(p._1) * BigInt(p._1))
+              val syy = prior.foldLeft(BigInt(0))((a, p) =>
+                a + BigInt(p._2) * BigInt(p._2))
+              val sxy = prior.foldLeft(BigInt(0))((a, p) =>
+                a + BigInt(p._1) * BigInt(p._2))
+              val num = nB * sxy - sx * sy
+              val dx = nB * sxx - sx * sx
+              val dy = nB * syy - sy * sy
+              if (dx > 0) {
+                beta = Some(num.toDouble / dx.toDouble)
+                if (dy > 0)
+                  corr = Some(num.toDouble /
+                    math.sqrt(dx.toDouble * dy.toDouble))
+              }
+            }
+            st = CorrState(t, (st.ring :+ pair).takeRight(k))
+            out += CorrOut(e.eventId, entity, e.ts, corr, beta)
+          }
+          if (sorted.nonEmpty) state.update(st)
+          out.result().iterator
+      }
+  }
+
   // ---- streaming image near-dup (phash) --------------------------------
 
   case class PhashImage(imageId: String, ts: Timestamp, phash: Long)

@@ -871,6 +871,75 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rolling corr stream: pair ring carries across batches, " +
+      "incomplete pairs occupy frame slots, equals the batch op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(
+      StreamingOps.CorrEvent(1L, 1L, ts("2024-01-01 10:00:00"),
+        Some(1.0), Some(2.0)),
+      StreamingOps.CorrEvent(1L, 2L, ts("2024-01-01 10:10:00"),
+        Some(2.0), Some(4.0)),
+      StreamingOps.CorrEvent(1L, 3L, ts("2024-01-01 10:20:00"),
+        Some(5.0), None), // incomplete: occupies a slot, adds no pair
+      StreamingOps.CorrEvent(1L, 4L, ts("2024-01-01 10:30:00"),
+        Some(3.0), Some(7.0)),
+      StreamingOps.CorrEvent(1L, 5L, ts("2024-01-01 10:40:00"),
+        Some(4.0), Some(6.0)),
+      StreamingOps.CorrEvent(2L, 6L, ts("2024-01-01 10:00:00"),
+        Some(5.0), Some(1.0)))
+    val input = MemoryStream[StreamingOps.CorrEvent]
+    val q = StreamingOps.rollingCorrStream(input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("corr_s")
+      .outputMode("append").start()
+    try {
+      Seq(ev.take(2), ev.slice(2, 4), ev.drop(4)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val got = spark.table("corr_s").orderBy("eventId").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(3)) null else r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getDouble(4))).toSeq
+      val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, x DOUBLE, y DOUBLE",
+        ev.map(e => org.apache.spark.sql.Row(e.entity, e.ts, e.eventId,
+          e.x.map(Double.box).orNull, e.y.map(Double.box).orNull)))
+      val batch = graft.temporal.WindowOps.rollingCorr(
+        d, "e", "ts", "x", "y", k = 3).orderBy("id").collect()
+        .map(r => (r.getLong(2),
+          if (r.isNullAt(5)) null else r.getDouble(5),
+          if (r.isNullAt(6)) null else r.getDouble(6))).toSeq
+      assert(got == batch, s"stream $got vs batch $batch")
+      // 0/1 prior pairs refuse; the perfect-line priors read exactly 1
+      assert(got(0)._2 == null && got(1)._2 == null)
+      assert(got(2)._2 == 1.0 && got(2)._3 == 2.0)
+      // id=4's ring is {(1,2),(2,4),None}: still the two line pairs
+      assert(got(3)._2 == 1.0 && got(3)._3 == 2.0)
+      // id=5's ring evicted (1,2): priors {(2,4),None,(3,7)}
+      assert(got(4)._2 == 1.0 && got(4)._3 == 3.0)
+    } finally q.stop()
+  }
+
+  test("rolling corr stream fails loudly on per-entity time regression") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.CorrEvent]
+    val q = StreamingOps.rollingCorrStream(input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("corr_reg")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamingOps.CorrEvent(1L, 1L,
+        ts("2024-01-01 10:00:00"), Some(1.0), Some(1.0)))
+      q.processAllAvailable()
+      input.addData(StreamingOps.CorrEvent(1L, 2L,
+        ts("2024-01-01 09:00:00"), Some(2.0), Some(2.0)))
+      val ex = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { q.processAllAvailable() }
+      assert(ex.getMessage.contains("ts-nondecreasing")
+        || Option(ex.getCause).exists(
+          _.getMessage.contains("ts-nondecreasing")))
+    } finally q.stop()
+  }
+
   test("ewm mean stream: level carries across batches, missing rows " +
       "emit null and freeze the decay clock, equals the batch op") {
     import spark.implicits._
