@@ -1768,6 +1768,21 @@ object QueriesData {
         .orderBy("level")
     }),
 
+    "q258_ks_drift" -> ((s, dir) => {
+      // exact two-sample KS per event type between the even- and
+      // odd-user slices: the binning-free companion of q166's PSI —
+      // the max runs over cross-multiplied integer CDF gaps, so the
+      // statistic is exact and the single float division happens at
+      // readout
+      val e = tbl(s, dir, "events")
+      val ref = e.filter(col("user_id") % 2 === 0)
+      val cur = e.filter(col("user_id") % 2 === 1)
+      Drift.ksDrift(ref, cur, "event_type", "value")
+        .select(col("key"), col("n_ref"), col("n_cur"), col("ks_num"),
+          round(col("ks"), 6).as("ks"))
+        .orderBy("key")
+    }),
+
     "q167_k_anonymity" -> ((s, dir) => {
       // k-anonymity / l-diversity audit before a table release:
       // quasi-identifiers (nation, account-balance band), sensitive =
@@ -3302,6 +3317,34 @@ object QueriesData {
         |CROSS JOIN g
         |LEFT JOIN s ON d.c_mktsegment = s.k AND d.f = s.f
         |ORDER BY 1""".stripMargin,
+
+    // identical integer CDF machinery: default RANGE frame steps
+    // after ties on both engines; HUGEINT mirrors decimal(38,0)
+    "q258_ks_drift" ->
+      """WITH u AS (SELECT event_type AS key, value AS v,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS r
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND NOT isnan(value)),
+        |c AS (SELECT key,
+        |    SUM(r) OVER (PARTITION BY key ORDER BY v) AS cum_ref,
+        |    SUM(1 - r) OVER (PARTITION BY key ORDER BY v) AS cum_cur,
+        |    SUM(r) OVER (PARTITION BY key) AS n_ref,
+        |    SUM(1 - r) OVER (PARTITION BY key) AS n_cur
+        |  FROM u),
+        |m AS (SELECT key,
+        |    MAX(ABS(CAST(cum_ref AS HUGEINT) * n_cur
+        |      - CAST(cum_cur AS HUGEINT) * n_ref)) AS ks_num,
+        |    MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur
+        |  FROM c GROUP BY key)
+        |SELECT key, CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  CAST(ks_num AS BIGINT) AS ks_num,
+        |  ROUND(CASE WHEN n_ref > 0 AND n_cur > 0
+        |    THEN CAST(ks_num AS DOUBLE)
+        |      / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) END,
+        |    6) AS ks
+        |FROM m ORDER BY key""".stripMargin,
 
     "q167_k_anonymity" ->
       """WITH d AS (SELECT c_custkey, c_nationkey,

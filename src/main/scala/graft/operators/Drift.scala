@@ -102,4 +102,58 @@ object Drift {
     }
     psiByLevel(bucketed(ref), bucketed(cur), "__bucket", eps)
   }
+
+  /** Per-key EXACT two-sample Kolmogorov–Smirnov statistic between
+    * `ref` and `cur` on a numeric column — the shape-sensitive
+    * companion of [[psiNumeric]] (PSI sees share shifts inside fixed
+    * bins; KS sees the largest CDF gap anywhere, binning-free).
+    *
+    * D = max over observed values of \|F_ref(v) − F_cur(v)\|, where
+    * both empirical CDFs step AFTER all ties of a value (the default
+    * RANGE frame — `cum(v) = rows <= v` — on both engines). No
+    * floats until readout: the max runs over the cross-multiplied
+    * integer \|cumRef·nCur − cumCur·nRef\| (BIGINT — exact and
+    * order-independent), and `ks = ks_num / (n_ref·n_cur)` is one
+    * fixed double division per key. Null/NaN readings and null keys
+    * are excluded (a null-RATE shift is [[psiByLevel]]'s job).
+    *
+    * Scale shape: one hash exchange on the key for the CDF window;
+    * the final per-key max rides the SAME partitioning (no second
+    * exchange). Per-key data must fit a partition — the same
+    * contract as every per-entity window op here. A key with rows on
+    * only one side yields ks null (nothing to compare).
+    */
+  def ksDrift(ref: DataFrame, cur: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, r: Int) = {
+      val v = col(valueCol).cast("double")
+      df.filter(col(keyCol).isNotNull && v.isNotNull && !isnan(v))
+        .select(col(keyCol).cast("string").as("key"), v.as("v"),
+          lit(r.toLong).as("r"))
+    }
+    val u = side(ref, 1).unionByName(side(cur, 0))
+    val wKey = Window.partitionBy(col("key"))
+    // default-equivalent RANGE frame: cum counts include ties of v
+    val wCdf = wKey.orderBy(col("v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = u.select(col("key"),
+      sum(col("r")).over(wCdf).as("cum_ref"),
+      sum(lit(1L) - col("r")).over(wCdf).as("cum_cur"),
+      sum(col("r")).over(wKey).as("n_ref"),
+      sum(lit(1L) - col("r")).over(wKey).as("n_cur"))
+    stepped
+      .groupBy(col("key"))
+      .agg(max(abs(col("cum_ref").cast("decimal(19,0)") *
+            col("n_cur").cast("decimal(19,0)") -
+            col("cum_cur").cast("decimal(19,0)") *
+            col("n_ref").cast("decimal(19,0)")))
+          .cast("long").as("ks_num"),
+        max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"))
+      .select(col("key"), col("n_ref"), col("n_cur"), col("ks_num"),
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          col("ks_num").cast("double") /
+            (col("n_ref").cast("double") * col("n_cur").cast("double")))
+          .as("ks"))
+  }
 }

@@ -69,4 +69,37 @@ class DriftSpec extends SparkSpec {
     assert(out.exists(r => r.getString(0) == "-1" &&
       r.getDouble(2) > 0))
   }
+
+  test("ksDrift: exact cross-multiplied CDF max, ties step together, " +
+      "one-sided key refuses, null/NaN excluded") {
+    val ref = df("k STRING, x DOUBLE", Seq(
+      Row("a", 1.0), Row("a", 2.0), Row("a", 3.0),
+      Row("a", Double.NaN), // excluded, not a zero
+      Row("b", 5.0)))
+    val cur = df("k STRING, x DOUBLE", Seq(
+      Row("a", 2.0), Row("a", 3.0), Row("a", 4.0),
+      Row("a", null), Row(null, 9.0)))
+    val out = Drift.ksDrift(ref, cur, "k", "x")
+      .orderBy("key").collect()
+    assert(out.length == 2)
+    val a = out(0)
+    // shift-by-one over {1,2,3} vs {2,3,4}: D = 1/3 exactly, carried
+    // as the integer gap 3 over nRef*nCur = 9
+    assert((a.getString(0), a.getLong(1), a.getLong(2),
+      a.getLong(3)) == (("a", 3L, 3L, 3L)))
+    assert(a.getDouble(4) == 3.0 / 9.0)
+    // key "b" has no current rows: nothing to compare -> null ks
+    val b = out(1)
+    assert(b.getString(0) == "b" && b.getLong(2) == 0L && b.isNullAt(4))
+    // identical slices -> D = 0
+    val same = Drift.ksDrift(ref, ref, "k", "x").collect()
+    assert(same.forall(r => r.getLong(3) == 0L))
+    // one hash exchange on the key; the per-key max rides the window
+    // partitioning (no second exchange, no single-partition stage)
+    val plan = Drift.ksDrift(ref, cur, "k", "x")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange:\n$plan")
+    assert(!plan.contains("SinglePartition"), plan.take(600))
+  }
 }
