@@ -1830,6 +1830,22 @@ object QueriesData {
         .orderBy("level")
     }),
 
+    "q259_cuped_adjust" -> ((s, dir) => {
+      // CUPED-adjusted experiment metric per event-type cell: theta
+      // fit from exact integer micro moments over complete
+      // (payload-size, value) pairs, per-row readout one fixed double
+      // expression; missing covariate rows pass through unadjusted
+      Eval.cupedAdjust(
+        tbl(s, dir, "events")
+          .withColumn("pl", length(col("props")).cast("double")),
+        metricCol = "value", covariateCol = "pl",
+        keyCol = "event_type")
+        .select(col("event_id"),
+          round(col("value_cuped"), 6).as("adj"),
+          round(col("value_theta"), 6).as("theta"))
+        .orderBy("event_id")
+    }),
+
     "q172_aspect_batches" -> ((s, dir) => {
       // aspect-ratio bucketed batch packing (the SDXL bucketing
       // layout): integer milli-aspect bands, per-bucket rank via the
@@ -3448,6 +3464,39 @@ object QueriesData {
         |  ROUND(iv, 6) AS iv_term,
         |  (SELECT nano FROM tot) AS iv_total_nano
         |FROM x ORDER BY 1""".stripMargin,
+
+    // identical complete-pair integer micro moments per cell (HUGEINT
+    // mirrors decimal(38,0)); theta/meanx/readout are the same double
+    // expressions; missing covariate or undefined theta -> unadjusted
+    "q259_cuped_adjust" ->
+      """WITH e AS (SELECT event_id, event_type AS k,
+        |    CASE WHEN value IS NOT NULL AND NOT isnan(value)
+        |      THEN CAST(round(value * 1e6) AS BIGINT) END AS my,
+        |    CASE WHEN props IS NOT NULL
+        |      THEN CAST(length(props) AS BIGINT) * 1000000 END AS mx
+        |  FROM events),
+        |p AS (SELECT k, COUNT(*) AS n,
+        |    SUM(CAST(mx AS HUGEINT)) AS sx,
+        |    SUM(CAST(my AS HUGEINT)) AS sy,
+        |    SUM(CAST(mx AS HUGEINT) * mx) AS sxx,
+        |    SUM(CAST(mx AS HUGEINT) * my) AS sxy
+        |  FROM e WHERE mx IS NOT NULL AND my IS NOT NULL
+        |  GROUP BY k),
+        |t AS (SELECT k, n,
+        |    CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+        |      THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS meanx
+        |  FROM p)
+        |SELECT e.event_id,
+        |  ROUND(CASE WHEN e.my IS NULL THEN NULL
+        |    WHEN e.mx IS NULL OR t.theta IS NULL
+        |      THEN CAST(e.my AS DOUBLE) / 1e6
+        |    ELSE (CAST(e.my AS DOUBLE) - t.theta *
+        |      (CAST(e.mx AS DOUBLE) - t.meanx)) / 1e6 END, 6) AS adj,
+        |  ROUND(t.theta, 6) AS theta
+        |FROM e LEFT JOIN t ON e.k IS NOT DISTINCT FROM t.k
+        |ORDER BY 1""".stripMargin,
 
     // integer milli-aspect bands and ROW_NUMBER packing recompute
     // every (bucket, seq, batch_id, slot) the two-phase cumsum emits

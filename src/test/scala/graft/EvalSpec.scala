@@ -173,4 +173,32 @@ class EvalSpec extends SparkSpec {
     assert(out.forall(_.getLong(5) == 0L))
     assert(out.forall(_.getDouble(4) == 0.0))
   }
+
+  test("cupedAdjust: exact theta on a line removes ALL variance, " +
+      "mean preserved, undefined cells pass through unadjusted") {
+    val d = df("id INT, k STRING, x DOUBLE, y DOUBLE", Seq(
+      Row(1, "a", 1.0, 3.0), Row(2, "a", 2.0, 5.0),
+      Row(3, "a", 3.0, 7.0),          // y = 2x + 1 exactly
+      Row(4, "a", null, 9.0),         // missing covariate: y as-is
+      Row(5, "a", 2.0, null),         // missing metric: null
+      Row(6, "b", 1.0, 4.0),          // single pair: theta undefined
+      Row(7, "c", 4.0, 1.0), Row(8, "c", 4.0, 2.0))) // zero var(x)
+    val out = Eval.cupedAdjust(d, "y", "x", "k").orderBy("id").collect()
+    def adj(i: Int) = if (out(i).isNullAt(4)) null else out(i).getDouble(4)
+    def th(i: Int) = if (out(i).isNullAt(5)) null else out(i).getDouble(5)
+    // theta = 2 exactly; every complete pair collapses to the mean 5
+    assert((0 to 2).forall(i => adj(i) == 5.0 && th(i) == 2.0))
+    assert(adj(3) == 9.0)             // mean-imputed covariate: no shift
+    assert(adj(4) == null)
+    assert(adj(5) == 4.0 && th(5) == null) // n < 2
+    assert(adj(6) == 1.0 && adj(7) == 2.0 && th(6) == null) // dx = 0
+    // the fit map is broadcast: transform stays one projection stage
+    val plan = Eval.cupedAdjust(d, "y", "x", "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    intercept[IllegalArgumentException] {
+      Eval.cupedAdjust(d.withColumnRenamed("id", "y_cuped"),
+        "y", "x", "k")
+    }
+  }
 }
