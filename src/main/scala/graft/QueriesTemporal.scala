@@ -101,6 +101,40 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q260_cohort_retention" -> ((s, dir) => {
+      // daily cohort retention matrix: users cohorted by first-event
+      // day, each (cohort, offset) cell = distinct users active that
+      // many days later; the one float (active/size) is at readout
+      graft.operators.Behavior.cohortRetention(
+        tbl(s, dir, "events"), "user_id", "ts",
+        periodSeconds = 86400L)
+        .select(col("cohort_start_s"), col("period_offset"),
+          col("cohort_size"), col("active"),
+          round(col("retention"), 6).as("retention"))
+        .orderBy("cohort_start_s", "period_offset")
+    }),
+
+    "q261_funnel_steps" -> ((s, dir) => {
+      // ordered view -> click -> purchase funnel within 3 days of the
+      // first view, every step strictly after the previous; per-user
+      // first-reach micro timestamps and the depth reached
+      graft.operators.Behavior.funnelSteps(
+        tbl(s, dir, "events"), "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase"),
+        horizonSeconds = 3L * 86400L)
+        .orderBy("user_id")
+    }),
+
+    "q262_islands" -> ((s, dir) => {
+      // consecutive equal-event-type runs per user (gaps-and-islands):
+      // exact run bounds/lengths from one window pair; the oracle
+      // recomputes every island with the same two-step SQL
+      graft.operators.Behavior.islands(
+        tbl(s, dir, "events"), "user_id", "ts", "event_type",
+        tieBreak = Seq("event_id"))
+        .orderBy("user_id", "run_seq")
+    }),
+
     "q229_interval_features" -> ((s, dir) => {
       // "purchases in the last hour / day" per event: one cumulative
       // pass + as-of differences, exact decimal sums; the oracle
@@ -618,6 +652,71 @@ object QueriesTemporal {
         |           CASE WHEN p.ts <= e.ts THEN 0 ELSE 1 END ASC
         |  LIMIT 1) r ON true
         |ORDER BY 1""".stripMargin,
+
+    // same first-day cohorting, distinct-activity days, readout ratio
+    "q260_cohort_retention" ->
+      """WITH ev AS (SELECT user_id AS e,
+        |    CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS p
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT e, MIN(p) AS cohort FROM ev GROUP BY e),
+        |a AS (SELECT DISTINCT ev.e, f.cohort, ev.p - f.cohort AS off
+        |  FROM ev JOIN f USING (e)),
+        |s AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        |  FROM f GROUP BY cohort),
+        |c AS (SELECT cohort, off, CAST(COUNT(*) AS BIGINT) AS active
+        |  FROM a GROUP BY 1, 2)
+        |SELECT CAST(c.cohort * 86400 AS BIGINT) AS cohort_start_s,
+        |  c.off AS period_offset, s.cohort_size, c.active,
+        |  ROUND(CAST(c.active AS DOUBLE)
+        |    / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+        |FROM c JOIN s USING (cohort)
+        |ORDER BY cohort_start_s, period_offset""".stripMargin,
+
+    // chain of conditional first-reach minima, strictly-after steps,
+    // horizon anchored at the first step
+    "q261_funnel_steps" ->
+      """WITH ev AS (SELECT user_id AS e, event_type AS t,
+        |    epoch_us(ts) AS us
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s1 AS (SELECT e, MIN(us) AS t1_us FROM ev
+        |  WHERE t = 'view' GROUP BY e),
+        |s2 AS (SELECT s1.e, MIN(ev.us) AS t2_us
+        |  FROM s1 JOIN ev ON ev.e = s1.e
+        |  WHERE ev.t = 'click' AND ev.us > s1.t1_us
+        |    AND ev.us <= s1.t1_us + 259200000000
+        |  GROUP BY s1.e),
+        |s3 AS (SELECT s1.e, MIN(ev.us) AS t3_us
+        |  FROM s1 JOIN s2 ON s2.e = s1.e JOIN ev ON ev.e = s1.e
+        |  WHERE ev.t = 'purchase' AND ev.us > s2.t2_us
+        |    AND ev.us <= s1.t1_us + 259200000000
+        |  GROUP BY s1.e)
+        |SELECT s1.e AS user_id, s1.t1_us, s2.t2_us, s3.t3_us,
+        |  CAST(CASE WHEN s3.t3_us IS NOT NULL THEN 3
+        |    WHEN s2.t2_us IS NOT NULL THEN 2 ELSE 1 END
+        |    AS INTEGER) AS funnel_depth
+        |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
+        |  LEFT JOIN s3 ON s1.e = s3.e
+        |ORDER BY 1""".stripMargin,
+
+    // the textbook two-row-number islands, null-safe value compare
+    "q262_islands" ->
+      """WITH ev AS (SELECT user_id AS e, event_type AS v,
+        |    epoch_us(ts) AS us, event_id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT e, v, us, event_id,
+        |    CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+        |      WHEN v IS NOT DISTINCT FROM LAG(v) OVER w THEN 0
+        |      ELSE 1 END AS chg
+        |  FROM ev WINDOW w AS (PARTITION BY e ORDER BY us, event_id)),
+        |i AS (SELECT e, v, us,
+        |    SUM(chg) OVER (PARTITION BY e ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m)
+        |SELECT e AS user_id, CAST(island AS BIGINT) AS run_seq,
+        |  v AS value, MIN(us) AS run_start_us, MAX(us) AS run_end_us,
+        |  CAST(COUNT(*) AS BIGINT) AS run_len
+        |FROM i GROUP BY e, island, v
+        |ORDER BY user_id, run_seq""".stripMargin,
 
     // identical prior-20 pairwise-complete integer micro-unit moments
     // (HUGEINT mirrors decimal(38,0)); corr and beta divide the same

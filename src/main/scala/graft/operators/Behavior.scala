@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Behavioral / lifecycle analytics over an (entity, ts) event log —
+  * cohort retention, ordered-step funnels, and consecutive-run
+  * (gaps-and-islands) features. Everything is exact-integer
+  * aggregation: no floats until the final readout division, no
+  * driver-side state, no single-partition stage.
+  */
+object Behavior {
+
+  /** Cohort retention matrix: entities are cohorted by the PERIOD of
+    * their first event, and each (cohort, offset) cell counts the
+    * distinct entities active `offset` periods after their cohort
+    * period. `retention = active / cohort_size` is the one float,
+    * at readout. Periods are fixed `periodSeconds` buckets of epoch
+    * time (micro-exact integer `div` — no calendar dependence, same
+    * grid as [[graft.temporal.WindowOps.resampleBars]]).
+    *
+    * Scale shape: a per-entity min (map-side combined), one
+    * broadcast-free shuffle on the entity to attach cohorts, then a
+    * (cohort, offset) distinct-count whose exchange carries one row
+    * per entity×offset — never per event. offset 0 is the cohort
+    * size row by construction (every entity is active in its own
+    * first period).
+    */
+  def cohortRetention(df: DataFrame, entity: String, ts: String,
+      periodSeconds: Long): DataFrame = {
+    require(periodSeconds > 0,
+      s"cohortRetention: periodSeconds > 0, got $periodSeconds")
+    val pUs = periodSeconds * 1000000L
+    val ev = df.filter(col(entity).isNotNull && col(ts).isNotNull)
+      .select(col(entity).as("__e"),
+        floor(unix_micros(col(ts).cast("timestamp")) / pUs)
+          .cast("long").as("__p"))
+    val first = ev.groupBy(col("__e"))
+      .agg(min(col("__p")).as("__cohort"))
+    val active = ev.join(first, "__e")
+      .select(col("__e"), col("__cohort"),
+        (col("__p") - col("__cohort")).as("__off"))
+      .distinct()
+    val sizes = first.groupBy(col("__cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    active.groupBy(col("__cohort"), col("__off"))
+      .agg(count(lit(1)).as("active"))
+      .join(sizes, "__cohort")
+      .select(
+        (col("__cohort") * periodSeconds).as("cohort_start_s"),
+        col("__off").as("period_offset"),
+        col("cohort_size"), col("active"),
+        (col("active").cast("double") /
+          col("cohort_size").cast("double")).as("retention"))
+  }
+
+  /** Ordered-step funnel: per entity, the FIRST time each named step
+    * is reached with every step strictly after the previous one and
+    * the whole chain within `horizonSeconds` of step 1. One row per
+    * entity that reached step 1: the per-step micro timestamps
+    * (null once the chain breaks) and `funnel_depth` = number of
+    * steps reached in order.
+    *
+    * Shape: ONE partial-aggregated pass per step — step k's
+    * conditional min folds over the (entity, step k−1 time) frame
+    * from the previous pass, attached by an entity equi-join. k
+    * small and fixed (a funnel definition), so the whole op is k
+    * map-side-combined aggregations; nothing scales with k × rows.
+    * Ties: a same-instant next-step event does NOT count (strictly
+    * after — the leakage-clean reading of "then").
+    */
+  def funnelSteps(df: DataFrame, entity: String, ts: String,
+      typeCol: String, steps: Seq[String],
+      horizonSeconds: Long): DataFrame = {
+    require(steps.size >= 2,
+      s"funnelSteps: need >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size,
+      s"funnelSteps: duplicate step names in ${steps.mkString(",")}")
+    require(horizonSeconds > 0,
+      s"funnelSteps: horizonSeconds > 0, got $horizonSeconds")
+    val hUs = horizonSeconds * 1000000L
+    val ev = df.filter(col(entity).isNotNull && col(ts).isNotNull)
+      .select(col(entity).as("__e"), col(typeCol).as("__t"),
+        unix_micros(col(ts).cast("timestamp")).as("__us"))
+    def stepCol(i: Int) = s"t${i + 1}_us"
+    val first = ev.filter(col("__t") === steps.head)
+      .groupBy(col("__e")).agg(min(col("__us")).as(stepCol(0)))
+    val chained = steps.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (step, i)) =>
+        val prev = stepCol(i)
+        val cur = stepCol(i + 1)
+        val cand = ev.filter(col("__t") === step)
+          .join(acc.select(col("__e"), col(prev).as("__prev"),
+            col(stepCol(0)).as("__t1")), "__e")
+          .filter(col("__prev").isNotNull &&
+            col("__us") > col("__prev") &&
+            col("__us") <= col("__t1") + hUs)
+          .groupBy(col("__e")).agg(min(col("__us")).as(cur))
+        acc.join(cand, Seq("__e"), "left")
+    }
+    // ascending fold leaves the DEEPEST step's test outermost, so the
+    // furthest reached step wins (the chain is monotone anyway — step
+    // k non-null implies all earlier steps non-null — but the plan
+    // shouldn't rely on it)
+    val depth = steps.indices.foldLeft(lit(0): Column) {
+      (acc, i) => when(col(stepCol(i)).isNotNull, lit(i + 1))
+        .otherwise(acc)
+    }
+    chained.select(
+      (col("__e") +: steps.indices.map(i => col(stepCol(i)))) :+
+        depth.as("funnel_depth"): _*)
+      .withColumnRenamed("__e", entity)
+  }
+
+  /** Gaps-and-islands: consecutive runs of EQUAL values per entity in
+    * ts order. One row per run: start/end micro timestamps, run
+    * length, and the run's ordinal within the entity. The island id
+    * is the classic two-row-number difference, computed with one
+    * (entity)-partitioned window pair — exact integers throughout.
+    * Null values form runs of their own (null == null for "same
+    * run"); ties on ts are broken by `tieBreak` for a deterministic
+    * run assignment.
+    *
+    * The feature-side staple for: duplicate-frame runs in a video
+    * (equal consecutive phashes), stuck-sensor detection (equal
+    * consecutive readings), state-dwell features (time in status).
+    */
+  def islands(df: DataFrame, entity: String, ts: String,
+      valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = (col(ts) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(entity)).orderBy(ord: _*)
+    val v = col(valueCol).cast("string")
+    // change marker -> running island ordinal (one window pair, no
+    // second exchange: both ride the same (entity, ts) sort). <=> is
+    // the whole tie table: null<=>null continues a null run, the
+    // first row's lag(null) never equals a value, and a genuine null
+    // after a value (or vice versa) breaks the run.
+    val changed = when(row_number().over(w) === 1, lit(1))
+      .otherwise(when(v <=> lag(v, 1).over(w), lit(0)).otherwise(lit(1)))
+    // the entity column keeps its NAME through the rollup: grouping
+    // on (entity, island) is then satisfied by the window's
+    // hashpartitioning(entity) — one exchange for the whole op
+    val marked = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .select(col(entity), v.as("__v"),
+        unix_micros(col(ts).cast("timestamp")).as("__us"),
+        sum(changed).over(
+          Window.partitionBy(col(entity)).orderBy(ord: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("__island"))
+    marked.groupBy(col(entity), col("__island"))
+      .agg(min(col("__us")).as("run_start_us"),
+        max(col("__us")).as("run_end_us"),
+        count(lit(1)).as("run_len"),
+        first(col("__v")).as("value"))
+      .select(col(entity), col("__island").as("run_seq"),
+        col("value"), col("run_start_us"), col("run_end_us"),
+        col("run_len"))
+  }
+}

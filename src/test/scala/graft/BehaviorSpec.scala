@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.Behavior
+import org.apache.spark.sql.Row
+import java.sql.Timestamp
+
+class BehaviorSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("cohortRetention: first-period cohorts, distinct activity " +
+      "per offset, exact counts") {
+    val d = df("u STRING, ts TIMESTAMP", Seq(
+      Row("u1", ts("2024-01-01 08:00:00")),
+      Row("u1", ts("2024-01-01 09:00:00")), // same day: one active
+      Row("u1", ts("2024-01-02 08:00:00")),
+      Row("u1", ts("2024-01-03 08:00:00")),
+      Row("u2", ts("2024-01-01 23:00:00")),
+      Row("u2", ts("2024-01-03 01:00:00")),
+      Row("u3", ts("2024-01-02 12:00:00")),
+      Row(null, ts("2024-01-01 00:00:00")))) // null entity excluded
+    val out = Behavior.cohortRetention(d, "u", "ts", 86400L)
+      .orderBy("cohort_start_s", "period_offset").collect()
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))).toSeq
+    val d0 = 1704067200L // 2024-01-01 epoch seconds
+    assert(got == Seq(
+      (d0, 0L, 2L, 2L, 1.0),         // u1, u2 on their first day
+      (d0, 1L, 2L, 1L, 0.5),         // only u1 back next day
+      (d0, 2L, 2L, 2L, 1.0),         // both back on day 2
+      (d0 + 86400L, 0L, 1L, 1L, 1.0))) // u3's own cohort
+  }
+
+  test("funnelSteps: strictly-after ordering, horizon anchored at " +
+      "step 1, depth = furthest reached") {
+    val d = df("u STRING, ts TIMESTAMP, t STRING", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), "A"),
+      Row("u1", ts("2024-01-01 10:00:05"), "B"),
+      Row("u1", ts("2024-01-01 10:00:08"), "C"),
+      Row("u2", ts("2024-01-01 10:00:00"), "A"),
+      Row("u2", ts("2024-01-01 10:00:00"), "B"), // same instant: no
+      Row("u2", ts("2024-01-01 10:00:20"), "B"), // past horizon: no
+      Row("u3", ts("2024-01-01 10:00:00"), "B"), // B before A: no
+      Row("u3", ts("2024-01-01 10:00:05"), "A"),
+      Row("u3", ts("2024-01-01 10:00:06"), "C"), // C without B: no
+      Row("u4", ts("2024-01-01 10:00:00"), "A"),
+      Row("u4", ts("2024-01-01 10:00:03"), "C"), // C before B ignored
+      Row("u4", ts("2024-01-01 10:00:05"), "B"),
+      Row("u4", ts("2024-01-01 10:00:07"), "C"),
+      Row("u5", ts("2024-01-01 10:00:00"), "B"))) // never reaches A
+    val base = 1704103200000000L // 2024-01-01 10:00:00 in micros
+    val out = Behavior.funnelSteps(d, "u", "ts", "t",
+      Seq("A", "B", "C"), horizonSeconds = 10L)
+      .orderBy("u").collect()
+    def us(r: Row, i: Int) = if (r.isNullAt(i)) null else r.getLong(i)
+    assert(out.map(_.getString(0)).toSeq == Seq("u1", "u2", "u3", "u4"))
+    assert((us(out(0), 1), us(out(0), 2), us(out(0), 3),
+      out(0).getInt(4)) ==
+      ((base, base + 5000000L, base + 8000000L, 3)))
+    assert((us(out(1), 2), out(1).getInt(4)) == ((null, 1)))
+    assert((us(out(2), 1), us(out(2), 2), out(2).getInt(4)) ==
+      ((base + 5000000L, null, 1)))
+    assert((us(out(3), 2), us(out(3), 3), out(3).getInt(4)) ==
+      ((base + 5000000L, base + 7000000L, 3)))
+    intercept[IllegalArgumentException] {
+      Behavior.funnelSteps(d, "u", "ts", "t", Seq("A"), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Behavior.funnelSteps(d, "u", "ts", "t", Seq("A", "A"), 10L)
+    }
+  }
+
+  test("islands: consecutive equal runs per entity, null runs, exact " +
+      "bounds, ONE exchange") {
+    val d = df("u STRING, ts TIMESTAMP, v STRING", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), "x"),
+      Row("u1", ts("2024-01-01 10:00:01"), "x"),
+      Row("u1", ts("2024-01-01 10:00:02"), "y"),
+      Row("u1", ts("2024-01-01 10:00:03"), "y"),
+      Row("u1", ts("2024-01-01 10:00:04"), "y"),
+      Row("u1", ts("2024-01-01 10:00:05"), "x"),
+      Row("u1", ts("2024-01-01 10:00:06"), null),
+      Row("u1", ts("2024-01-01 10:00:07"), null),
+      Row("u2", ts("2024-01-01 10:00:00"), null))) // leading null run
+    val out = Behavior.islands(d, "u", "ts", "v")
+      .orderBy("u", "run_seq").collect()
+    val got = out.map(r => (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) null else r.getString(2), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("u1", 1L, "x", 2L), ("u1", 2L, "y", 3L), ("u1", 3L, "x", 1L),
+      ("u1", 4L, null, 2L), ("u2", 1L, null, 1L)))
+    val base = 1704103200000000L
+    assert(out(1).getLong(3) == base + 2000000L) // y run start
+    assert(out(1).getLong(4) == base + 4000000L) // y run end
+    // the window pair and the run rollup ride ONE hash exchange
+    val plan = Behavior.islands(d, "u", "ts", "v")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange:\n$plan")
+    assert(!plan.contains("SinglePartition"), plan.take(600))
+  }
+}
