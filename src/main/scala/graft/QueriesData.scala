@@ -1783,6 +1783,15 @@ object QueriesData {
         .orderBy("key")
     }),
 
+    "q264_join_audit" -> ((s, dir) => {
+      // pre-flight audit of the events->orders customer join: exact
+      // orphan/match/fan-out accounting from two |keys|-row count
+      // tables — the join's cardinality WITHOUT running the join
+      graft.operators.Profile.joinAudit(
+        tbl(s, dir, "events"), tbl(s, dir, "orders"),
+        leftKey = "user_id", rightKey = "o_custkey")
+    }),
+
     "q167_k_anonymity" -> ((s, dir) => {
       // k-anonymity / l-diversity audit before a table release:
       // quasi-identifiers (nation, account-balance band), sensitive =
@@ -3333,6 +3342,43 @@ object QueriesData {
         |CROSS JOIN g
         |LEFT JOIN s ON d.c_mktsegment = s.k AND d.f = s.f
         |ORDER BY 1""".stripMargin,
+
+    // the same two count tables full-joined; every readout is an
+    // exact integer conditional sum over the |keys| rows
+    "q264_join_audit" ->
+      """WITH l AS (SELECT CAST(user_id AS VARCHAR) AS k,
+        |    CAST(COUNT(*) AS BIGINT) AS lc FROM events GROUP BY 1),
+        |r AS (SELECT CAST(o_custkey AS VARCHAR) AS k,
+        |    CAST(COUNT(*) AS BIGINT) AS rc FROM orders GROUP BY 1),
+        |j AS (SELECT COALESCE(l.k, r.k) AS k0,
+        |    COALESCE(lc, 0) AS lc, COALESCE(rc, 0) AS rc
+        |  FROM l FULL JOIN r ON l.k = r.k)
+        |SELECT CAST(SUM(lc) AS BIGINT) AS n_left,
+        |  CAST(SUM(rc) AS BIGINT) AS n_right,
+        |  CAST(SUM(CASE WHEN k0 IS NULL THEN lc ELSE 0 END)
+        |    AS BIGINT) AS null_key_left,
+        |  CAST(SUM(CASE WHEN k0 IS NULL THEN rc ELSE 0 END)
+        |    AS BIGINT) AS null_key_right,
+        |  COUNT(CASE WHEN k0 IS NOT NULL AND lc > 0 THEN 1 END)
+        |    AS distinct_left,
+        |  COUNT(CASE WHEN k0 IS NOT NULL AND rc > 0 THEN 1 END)
+        |    AS distinct_right,
+        |  CAST(SUM(CASE WHEN k0 IS NOT NULL AND rc > 0 THEN lc
+        |    ELSE 0 END) AS BIGINT) AS matched_left,
+        |  CAST(SUM(CASE WHEN k0 IS NOT NULL AND lc > 0 THEN rc
+        |    ELSE 0 END) AS BIGINT) AS matched_right,
+        |  CAST(SUM(CASE WHEN k0 IS NOT NULL AND rc = 0 THEN lc
+        |    ELSE 0 END) AS BIGINT) AS orphan_left,
+        |  CAST(SUM(CASE WHEN k0 IS NOT NULL AND lc = 0 THEN rc
+        |    ELSE 0 END) AS BIGINT) AS orphan_right,
+        |  COUNT(CASE WHEN k0 IS NOT NULL AND rc > 1 THEN 1 END)
+        |    AS dup_keys_right,
+        |  CAST(SUM(CASE WHEN k0 IS NULL THEN 0
+        |    ELSE CAST(lc AS HUGEINT) * rc END) AS BIGINT)
+        |    AS joined_rows,
+        |  COALESCE(MAX(CASE WHEN k0 IS NOT NULL AND lc > 0
+        |    THEN rc END), 0) AS max_fanout
+        |FROM j""".stripMargin,
 
     // identical integer CDF machinery: default RANGE frame steps
     // after ties on both engines; HUGEINT mirrors decimal(38,0)

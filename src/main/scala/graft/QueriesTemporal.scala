@@ -101,6 +101,23 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q263_rolling_trend" -> ((s, dir) => {
+      // trailing trend extraction as a COMPOSITION of q256's exact
+      // machinery: beta of value on elapsed-seconds over the user's
+      // prior 20 readings = the local slope (units/second), corr =
+      // the trend strength; elapsed time is anchored so micro-units
+      // stay exact (epoch micros overflow the micro-unit domain)
+      val e = tbl(s, dir, "events").withColumn("elapsed",
+        (unix_micros(col("ts").cast("timestamp")) -
+          lit(1704067200000000L)).cast("double") / lit(1e6))
+      WindowOps.rollingCorr(e, "user_id", "ts", "elapsed", "value",
+        k = 20, tieBreak = Seq("event_id"))
+        .select(col("event_id"),
+          round(col("elapsed_value_beta"), 6).as("trend"),
+          round(col("elapsed_value_corr"), 6).as("strength"))
+        .orderBy("event_id")
+    }),
+
     "q260_cohort_retention" -> ((s, dir) => {
       // daily cohort retention matrix: users cohorted by first-event
       // day, each (cohort, offset) cell = distinct users active that
@@ -652,6 +669,41 @@ object QueriesTemporal {
         |           CASE WHEN p.ts <= e.ts THEN 0 ELSE 1 END ASC
         |  LIMIT 1) r ON true
         |ORDER BY 1""".stripMargin,
+
+    // q256's moment machinery with x = anchored elapsed seconds: the
+    // same double elapsed computation re-quantized to micro-units
+    "q263_rolling_trend" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN value IS NOT NULL AND NOT isnan(value)
+        |    THEN CAST(round(((epoch_us(ts) - 1704067200000000)
+        |      / 1e6) * 1e6) AS BIGINT) END AS mx,
+        |  CASE WHEN value IS NOT NULL AND NOT isnan(value)
+        |    THEN CAST(round(value * 1e6) AS BIGINT) END AS my
+        |FROM events),
+        |x AS (SELECT event_id,
+        |  COUNT(mx) OVER w AS n,
+        |  CAST(SUM(mx) OVER w AS HUGEINT) AS sx,
+        |  CAST(SUM(my) OVER w AS HUGEINT) AS sy,
+        |  SUM(CAST(mx AS HUGEINT) * mx) OVER w AS sxx,
+        |  SUM(CAST(my AS HUGEINT) * my) OVER w AS syy,
+        |  SUM(CAST(mx AS HUGEINT) * my) OVER w AS sxy
+        |FROM e WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_id, n,
+        |  n * sxy - sx * sy AS num,
+        |  n * sxx - sx * sx AS dx,
+        |  n * syy - sy * sy AS dy
+        |FROM x)
+        |SELECT event_id,
+        |  ROUND(CASE WHEN n >= 2 AND dx > 0
+        |    THEN CAST(num AS DOUBLE) / CAST(dx AS DOUBLE) END,
+        |    6) AS trend,
+        |  ROUND(CASE WHEN n >= 2 AND dx > 0 AND dy > 0
+        |    THEN CAST(num AS DOUBLE)
+        |      / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) END,
+        |    6) AS strength
+        |FROM z ORDER BY 1""".stripMargin,
 
     // same first-day cohorting, distinct-activity days, readout ratio
     "q260_cohort_retention" ->

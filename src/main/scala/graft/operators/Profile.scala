@@ -210,4 +210,68 @@ object Profile {
       .withColumn("null_rate",
         col("n_null").cast("double") / col("n"))
   }
+
+  /** Join-key health audit between a fact (`left`) and a dimension
+    * (`right`) on an equi-key — the pre-flight every pipeline join
+    * deserves: orphan rates, duplicate dimension keys, and the exact
+    * row count the join WOULD produce (fan-out), without ever
+    * materializing it.
+    *
+    * One summary row, all exact BIGINTs:
+    * `n_left/n_right` (rows), `null_key_left/right` (rows whose key
+    * is null — they can never match and are counted apart, NOT as
+    * orphans), `distinct_left/right` (non-null key cardinalities),
+    * `matched_left/right` (rows whose key appears on the other
+    * side), `orphan_left/right` (non-null-key rows with no partner),
+    * `dup_keys_right` (distinct right keys holding >1 row — the
+    * fan-out culprits), `joined_rows` (Σ_k lc·rc — the inner-join
+    * cardinality, summed as decimal so it cannot silently wrap) and
+    * `max_fanout` (largest per-key right multiplicity that a left
+    * row actually hits).
+    *
+    * Shape: one map-side-combined per-key count per side, a
+    * \|keys\|-row full-outer join, one final scalar agg — nothing
+    * scales with raw row counts past the first partial aggregation,
+    * so auditing a 10^12-row join costs two scans.
+    */
+  /** Two-name form for sides that spell the key differently
+    * (fact `user_id` vs dim `c_custkey`).
+    */
+  def joinAudit(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String): DataFrame =
+    joinAudit(left.select(col(leftKey)),
+      right.select(col(rightKey).as(leftKey)), leftKey)
+
+  def joinAudit(left: DataFrame, right: DataFrame,
+      key: String): DataFrame = {
+    def counts(df: DataFrame, side: String) = df
+      .groupBy(col(key).cast("string").as("__k"))
+      .agg(count(lit(1)).as(s"__c_$side"))
+    val l = counts(left, "l")
+    val r = counts(right, "r")
+    val keyed = l.join(r, Seq("__k"), "full_outer")
+    val lc = coalesce(col("__c_l"), lit(0L))
+    val rc = coalesce(col("__c_r"), lit(0L))
+    val nullKey = col("__k").isNull
+    keyed.agg(
+      sum(lc).as("n_left"), sum(rc).as("n_right"),
+      sum(when(nullKey, lc).otherwise(lit(0L))).as("null_key_left"),
+      sum(when(nullKey, rc).otherwise(lit(0L))).as("null_key_right"),
+      count(when(!nullKey && lc > 0, lit(1))).as("distinct_left"),
+      count(when(!nullKey && rc > 0, lit(1))).as("distinct_right"),
+      sum(when(!nullKey && rc > 0, lc).otherwise(lit(0L)))
+        .as("matched_left"),
+      sum(when(!nullKey && lc > 0, rc).otherwise(lit(0L)))
+        .as("matched_right"),
+      sum(when(!nullKey && rc === 0, lc).otherwise(lit(0L)))
+        .as("orphan_left"),
+      sum(when(!nullKey && lc === 0, rc).otherwise(lit(0L)))
+        .as("orphan_right"),
+      count(when(!nullKey && rc > 1, lit(1))).as("dup_keys_right"),
+      sum(when(nullKey, lit(0L).cast("decimal(38,0)"))
+        .otherwise(lc.cast("decimal(19,0)") * rc.cast("decimal(19,0)")))
+        .cast("long").as("joined_rows"),
+      coalesce(max(when(!nullKey && lc > 0, rc)), lit(0L))
+        .as("max_fanout"))
+  }
 }

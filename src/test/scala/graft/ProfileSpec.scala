@@ -124,4 +124,32 @@ class ProfileSpec extends SparkSpec {
       Profile.columnProfile(d, Seq("a", "nope"))
     }
   }
+
+  test("joinAudit: exact orphan/match/fan-out accounting, null keys " +
+      "counted apart, join cardinality without the join") {
+    val left = df("k STRING", Seq(
+      Row("a"), Row("a"), Row("b"), Row("c"), Row(null)))
+    val right = df("k2 STRING", Seq(
+      Row("a"), Row("a"), Row("d"), Row(null), Row(null)))
+    val out = Profile.joinAudit(left, right, "k", "k2").collect()
+    assert(out.length == 1)
+    val r = out.head
+    def g(name: String) = r.getLong(r.fieldIndex(name))
+    assert(g("n_left") == 5L && g("n_right") == 5L)
+    assert(g("null_key_left") == 1L && g("null_key_right") == 2L)
+    assert(g("distinct_left") == 3L && g("distinct_right") == 2L)
+    assert(g("matched_left") == 2L && g("matched_right") == 2L)
+    assert(g("orphan_left") == 2L && g("orphan_right") == 1L)
+    assert(g("dup_keys_right") == 1L)
+    assert(g("joined_rows") == 4L) // a: 2 x 2 — the only matching key
+    assert(g("max_fanout") == 2L)
+    // no raw-row join anywhere: the only join is the |keys|-row
+    // count-table full-outer
+    val plan = Profile.joinAudit(left, right, "k", "k2")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), plan.take(600))
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "per-side counts must partial-aggregate before the key join:\n" +
+        plan.take(800))
+  }
 }
