@@ -101,6 +101,23 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q265_drawdown" -> ((s, dir) => {
+      // running-peak staleness per user: expanding micro-unit max,
+      // exact BIGINT drawdown, and peak age with ties-to-newest
+      // re-touch resets; %13 nulls exercise the missing contract
+      // (null drawdown, but the peak still ages)
+      val e = tbl(s, dir, "events")
+        .withColumn("v", when(col("event_id") % 13 === 0,
+          lit(null).cast("double")).otherwise(col("value")))
+      WindowOps.drawdown(e, "user_id", "ts", "v",
+        tieBreak = Seq("event_id"))
+        .select(col("event_id"),
+          round(col("v_runmax"), 6).as("runmax"),
+          col("v_drawdown_micros").as("dd_micros"),
+          col("v_rows_since_peak").as("peak_age"))
+        .orderBy("event_id")
+    }),
+
     "q263_rolling_trend" -> ((s, dir) => {
       // trailing trend extraction as a COMPOSITION of q256's exact
       // machinery: beta of value on elapsed-seconds over the user's
@@ -669,6 +686,34 @@ object QueriesTemporal {
         |           CASE WHEN p.ts <= e.ts THEN 0 ELSE 1 END ASC
         |  LIMIT 1) r ON true
         |ORDER BY 1""".stripMargin,
+
+    // same running micro max; the peak row is arg_max over the
+    // (m, rn) order encoded as m*2^20 + rn (rn bounded far below
+    // 2^20 per user) — ties to the newest, exactly Spark's
+    // max_by(rn, struct(m, rn))
+    "q265_drawdown" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN event_id % 13 <> 0 AND value IS NOT NULL
+        |      AND NOT isnan(value)
+        |    THEN CAST(round(value * 1e6) AS BIGINT) END AS m
+        |FROM events),
+        |x1 AS (SELECT event_id, user_id, m,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS rn
+        |FROM e),
+        |x AS (SELECT event_id, m, rn,
+        |  MAX(m) OVER w AS runmax,
+        |  arg_max(rn, CASE WHEN m IS NOT NULL
+        |    THEN CAST(m AS HUGEINT) * 1048576 + rn END)
+        |    OVER w AS peak_rn
+        |FROM x1 WINDOW w AS (PARTITION BY user_id ORDER BY rn
+        |  ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id,
+        |  ROUND(CAST(runmax AS DOUBLE) / 1e6, 6) AS runmax,
+        |  CASE WHEN m IS NOT NULL THEN runmax - m END AS dd_micros,
+        |  CAST(CASE WHEN runmax IS NOT NULL THEN rn - peak_rn END
+        |    AS INTEGER) AS peak_age
+        |FROM x ORDER BY 1""".stripMargin,
 
     // q256's moment machinery with x = anchored elapsed seconds: the
     // same double elapsed computation re-quantized to micro-units

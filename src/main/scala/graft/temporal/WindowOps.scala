@@ -443,6 +443,45 @@ object WindowOps {
       beta.as(s"${xCol}_${yCol}_beta")): _*)
   }
 
+  /** Running-peak features per entity: the expanding maximum of the
+    * series, the drawdown from it, and the age of the peak — "how
+    * far and how long below the best seen so far", the classic
+    * decay/staleness trio for monitoring a KPI, a model metric, or
+    * an account balance.
+    *
+    * Exact: the running max runs over integer micro-units,
+    * `<value>_drawdown_micros = runmax − v` is an exact BIGINT, and
+    * `<value>_rows_since_peak` counts rows after the LATEST
+    * occurrence of the running max (a re-touch resets the age —
+    * max_by on the (value, row_number) pair, ties to the newest).
+    * Missing (null/NaN) readings emit a null drawdown but still
+    * occupy rows and still age the peak (before any peak exists,
+    * everything is null). One
+    * (entity, ts, tieBreak) window — stacks with the other ops here
+    * on a single exchange.
+    */
+  def drawdown(df: DataFrame, entity: String, ts: String,
+      valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val spec = Window.partitionBy(col(entity))
+      .orderBy((col(ts) +: tieBreak.map(col)): _*)
+    val frame = spec.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val clean = cleanDouble(valueCol)
+    val m = microUnits(clean)
+    val rn = row_number().over(spec)
+    val runMax = max(m).over(frame)
+    val peakRn = max_by(when(m.isNotNull, rn),
+      when(m.isNotNull, struct(m.as("m"), rn.as("rn")))).over(frame)
+    df.select(df.columns.map(col).toIndexedSeq ++ Seq(
+      (runMax.cast("double") / lit(1e6))
+        .as(s"${valueCol}_runmax"),
+      when(m.isNull, lit(null).cast("long"))
+        .otherwise(runMax - m).as(s"${valueCol}_drawdown_micros"),
+      when(runMax.isNull, lit(null).cast("int"))
+        .otherwise(rn - peakRn).as(s"${valueCol}_rows_since_peak"))
+      : _*)
+  }
+
   /** Forward label window: per row, aggregate of a value over the
     * entity's STRICTLY FUTURE rows within `horizonSeconds` — the
     * regression-label companion of [[timeToNextEvent]] ("spend in

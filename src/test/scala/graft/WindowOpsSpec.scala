@@ -385,6 +385,34 @@ class WindowOpsSpec extends SparkSpec {
     }
   }
 
+  test("drawdown: exact micro drawdown, peak age with re-touch reset, " +
+      "null aging") {
+    val d = df("e STRING, ts TIMESTAMP, v DOUBLE", Seq(
+      Row("a", ts("2024-01-01 10:00:00"), 5.0),
+      Row("a", ts("2024-01-01 10:01:00"), 3.0),
+      Row("a", ts("2024-01-01 10:02:00"), null), // ages the peak
+      Row("a", ts("2024-01-01 10:03:00"), 5.0),  // re-touch resets age
+      Row("a", ts("2024-01-01 10:04:00"), 4.5),
+      Row("b", ts("2024-01-01 10:00:00"), null), // no peak yet
+      Row("b", ts("2024-01-01 10:01:00"), 2.0)))
+    val out = WindowOps.drawdown(d, "e", "ts", "v").orderBy("e", "ts")
+    assert(column(out, "v_runmax") ==
+      Seq(5.0, 5.0, 5.0, 5.0, 5.0, null, 2.0))
+    assert(column(out, "v_drawdown_micros") ==
+      Seq(0L, 2000000L, null, 0L, 500000L, null, 0L))
+    assert(column(out, "v_rows_since_peak") ==
+      Seq(0, 1, 2, 0, 1, null, 0))
+  }
+
+  test("drawdown stacks with rollingZScore on ONE exchange") {
+    val chained = WindowOps.drawdown(
+      WindowOps.rollingZScore(corrFrame(), "e", "ts", "x", k = 5),
+      "e", "ts", "x")
+    val plan = chained.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+  }
+
   test("rollingCorr stacks with rollingZScore on ONE exchange") {
     val chained = WindowOps.rollingCorr(
       WindowOps.rollingZScore(corrFrame(), "e", "ts", "x", k = 5),
