@@ -401,6 +401,23 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q266_holt_smooth" -> ((s, dir) => {
+      // Holt linear-trend smoothing: TWO coupled states (level +
+      // slope) per user — doubly non-Window-expressible; the same
+      // secondary-sort scan as q189/q193, fold replayed verbatim by
+      // the recursive-CTE oracle so level/trend/forecast agree to
+      // the last ulp before round-6
+      graft.temporal.Sequential.holtSmooth(
+        tbl(s, dir, "events").filter(col("value").isNotNull),
+        "user_id", "ts", "event_id", "value",
+        alpha = 0.3, beta = 0.1)
+        .select(col("event_id"),
+          round(col("holt_level"), 6).as("holt_level"),
+          round(col("holt_trend"), 6).as("holt_trend"),
+          round(col("holt_forecast"), 6).as("holt_forecast"))
+        .orderBy("event_id")
+    }),
+
     "q193_ewm_mean" -> ((s, dir) => {
       // irregular-interval EWM LEVEL (pandas ewm(times=...).mean()):
       // the normalized companion of q189's decayed mass — same
@@ -1176,6 +1193,34 @@ object QueriesTemporal {
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t
         |  RANGE BETWEEN 1 FOLLOWING AND 259200000000 FOLLOWING)
         |ORDER BY 1""".stripMargin,
+
+    // two-state recursive replay: l' = a*x + (1-a)*(l+b) first, then
+    // b' = B*(l'-l) + (1-B)*b reads the OLD l — the CTE carries both
+    // states and the pre-update level in one row, operand order
+    // identical to Sequential.holtSmooth
+    "q266_holt_smooth" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL
+        |),
+        |r AS (
+        |  SELECT user_id, event_id, rn, value AS l,
+        |    CAST(0.0 AS DOUBLE) AS b
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT seq.user_id, seq.event_id, seq.rn,
+        |    0.3 * seq.value + (1 - 0.3) * (r.l + r.b),
+        |    0.1 * ((0.3 * seq.value + (1 - 0.3) * (r.l + r.b)) - r.l)
+        |      + (1 - 0.1) * r.b
+        |  FROM r JOIN seq
+        |    ON seq.user_id = r.user_id AND seq.rn = r.rn + 1
+        |)
+        |SELECT event_id, ROUND(l, 6) AS holt_level,
+        |  ROUND(b, 6) AS holt_trend,
+        |  ROUND(l + b, 6) AS holt_forecast
+        |FROM r ORDER BY 1""".stripMargin,
 
     // the same recursive replay as q189 with the normalized fold:
     // s + (1 - 0.5^(dt/hl)) * (x - s), identical operand order

@@ -148,6 +148,64 @@ object Sequential {
       .toDF(idCol, "decayed")
   }
 
+  /** Holt double-exponential (linear-trend) smoothing — the TWO-state
+    * coupled recurrence (Holt 1957):
+    *
+    *   l_1 = x_1,  b_1 = 0
+    *   l_t = alpha * x_t + (1 - alpha) * (l_(t-1) + b_(t-1))
+    *   b_t = beta * (l_t - l_(t-1)) + (1 - beta) * b_(t-1)
+    *   forecast_t = l_t + b_t            (one-step-ahead)
+    *
+    * Where [[ewmMean]] tracks a LEVEL that lags any drifting signal
+    * by a constant offset, Holt also tracks the SLOPE, so the
+    * forecast is unbiased under linear drift — the standard smoothed
+    * trend/velocity feature pair for per-entity activity series.
+    * Two mutually-referencing states make this doubly outside
+    * `Window`'s reach (even single-state `s+a*(x-s)` already is);
+    * the secondary-sort scan holds both in O(1).
+    *
+    * The fold keeps the EXACT operand order above so the DuckDB
+    * recursive-CTE oracle replays it bit-identically before display
+    * rounding. A missing (null/NaN) reading emits null level/trend/
+    * forecast and leaves both states untouched — observation count,
+    * not wall clock, drives this recurrence (row-sequenced Holt; for
+    * clock-driven decay use [[ewmMean]]/[[decayedSum]]).
+    */
+  def holtSmooth(df: DataFrame, entity: String, ts: String,
+      idCol: String, valueCol: String,
+      alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1,
+      s"holtSmooth: alpha in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1,
+      s"holtSmooth: beta in [0,1], got $beta")
+    val spark = df.sparkSession
+    import spark.implicits._
+    scanInput(df, entity, ts, idCol, col(valueCol))
+      .mapPartitions { it =>
+        var cur: String = null
+        var l = 0.0
+        var b = 0.0
+        var fresh = true
+        it.map { case (e, _, id, x) =>
+          if (e != cur) { cur = e; fresh = true }
+          val out: Option[(Double, Double)] = x match {
+            case None => None
+            case Some(xv) =>
+              if (fresh) { l = xv; b = 0.0; fresh = false }
+              else {
+                val lPrev = l
+                l = alpha * xv + (1.0 - alpha) * (lPrev + b)
+                b = beta * (l - lPrev) + (1.0 - beta) * b
+              }
+              Some((l, b))
+          }
+          (id, out.map(_._1), out.map(_._2),
+            out.map { case (lv, bv) => lv + bv })
+        }
+      }
+      .toDF(idCol, "holt_level", "holt_trend", "holt_forecast")
+  }
+
   /** Two-sided CUSUM change-point scores (Page 1954):
     *
     *   sPos_t = max(0, sPos_(t-1) + (x_t - (target + slack)))

@@ -134,6 +134,50 @@ class SequentialSpec extends SparkSpec {
     assert(dsum == Seq(12.0, 12.0 * 0.5, 11.0 + 12.0 * 0.25))
   }
 
+  test("holtSmooth: golden two-state recurrence, null carry, " +
+      "entity reset, param guards") {
+    val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
+      Row(1L, ts("2024-01-01 10:00:00"), 1L, 10.0),
+      Row(1L, ts("2024-01-01 10:10:00"), 2L, 14.0),
+      Row(1L, ts("2024-01-01 10:20:00"), 3L, null),
+      Row(1L, ts("2024-01-01 10:30:00"), 4L, 18.0),
+      Row(2L, ts("2024-01-01 10:00:00"), 5L, 7.0)))
+    val out = Sequential.holtSmooth(d, "e", "ts", "id", "v",
+      alpha = 0.5, beta = 0.2).orderBy("id").collect()
+    // row1: l=10, b=0; row2: l=.5*14+.5*10=12, b=.2*2=0.4
+    assert(out(0).getDouble(1) == 10.0 && out(0).getDouble(2) == 0.0)
+    assert(out(1).getDouble(1) == 12.0 && out(1).getDouble(2) == 0.4
+      && out(1).getDouble(3) == 12.4)
+    // null reading: all three outputs null, state untouched
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2) && out(2).isNullAt(3))
+    // row4 folds from (l=12, b=0.4), not from the null row:
+    // l=.5*18+.5*12.4=15.2, b=.2*3.2+.8*.4=0.96
+    assert(out(3).getDouble(1) == 15.2)
+    assert(math.abs(out(3).getDouble(2) - 0.96) < 1e-12)
+    // entity 2 restarts fresh
+    assert(out(4).getDouble(1) == 7.0 && out(4).getDouble(2) == 0.0)
+    intercept[IllegalArgumentException] {
+      Sequential.holtSmooth(d, "e", "ts", "id", "v", 0.0, 0.2)
+    }
+    intercept[IllegalArgumentException] {
+      Sequential.holtSmooth(d, "e", "ts", "id", "v", 0.5, 1.5)
+    }
+  }
+
+  test("holtSmooth tracks a linear ramp: forecast converges to the " +
+      "next ramp value, ewmMean lags it") {
+    val rows2 = (1 to 40).map { i =>
+      Row(1L, new Timestamp(ts("2024-01-01 00:00:00").getTime
+        + i * 60000L), i.toLong, 2.0 * i) }
+    val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE", rows2)
+    val h = Sequential.holtSmooth(d, "e", "ts", "id", "v", 0.5, 0.3)
+      .orderBy("id").collect()
+    // after 40 steps of a perfect +2 ramp the trend estimate is ~2
+    // and the one-step forecast is within 0.1 of the next value 82
+    assert(math.abs(h.last.getDouble(2) - 2.0) < 0.05)
+    assert(math.abs(h.last.getDouble(3) - 82.0) < 0.1)
+  }
+
   test("cusum plans ONE exchange and no per-group materialization") {
     val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
       Row(1L, ts("2024-01-01 10:00:00"), 1L, 1.0)))
