@@ -169,6 +169,22 @@ object QueriesTemporal {
         .orderBy("user_id", "run_seq")
     }),
 
+    "q267_markov_transitions" -> ((s, dir) => {
+      // first-order Markov scoring: corpus transition matrix fitted
+      // over (ts, event_id)-ordered bigrams, broadcast back onto
+      // every event; first event per user stays null (no pseudo-
+      // start token); the one division and its -ln happen in the
+      // same double expression on both engines
+      graft.operators.Behavior.transitionFeatures(
+        tbl(s, dir, "events"), "user_id", "ts", "event_type",
+        tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("prev_event_type"),
+          col("event_type"), col("trans_n"), col("prev_n"),
+          round(col("trans_p"), 6).as("trans_p"),
+          round(col("trans_surprisal"), 6).as("trans_surprisal"))
+        .orderBy("event_id")
+    }),
+
     "q229_interval_features" -> ((s, dir) => {
       // "purchases in the last hour / day" per event: one cumulative
       // pass + as-of differences, exact decimal sums; the oracle
@@ -810,6 +826,33 @@ object QueriesTemporal {
         |    AS INTEGER) AS funnel_depth
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
+        |ORDER BY 1""".stripMargin,
+
+    // identical bigram lag, tiny matrix, same double division inside
+    // ROUND and -ln on both engines
+    "q267_markov_transitions" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) AS us
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |b AS (SELECT event_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS prev
+        |  FROM ev),
+        |m AS (SELECT prev, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS trans_n
+        |  FROM b WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |mm AS (SELECT prev, event_type, trans_n,
+        |    CAST(SUM(trans_n) OVER (PARTITION BY prev) AS BIGINT)
+        |      AS prev_n FROM m)
+        |SELECT b.event_id, b.prev AS prev_event_type, b.event_type,
+        |  mm.trans_n, mm.prev_n,
+        |  ROUND(CAST(mm.trans_n AS DOUBLE)
+        |    / CAST(mm.prev_n AS DOUBLE), 6) AS trans_p,
+        |  ROUND(-ln(CAST(mm.trans_n AS DOUBLE)
+        |    / CAST(mm.prev_n AS DOUBLE)), 6) AS trans_surprisal
+        |FROM b LEFT JOIN mm ON b.prev = mm.prev
+        |  AND b.event_type = mm.event_type
         |ORDER BY 1""".stripMargin,
 
     // the textbook two-row-number islands, null-safe value compare

@@ -55,6 +55,48 @@ object Behavior {
           col("cohort_size").cast("double")).as("retention"))
   }
 
+  /** First-order Markov transition features over a per-entity event
+    * sequence: fits the corpus-level transition matrix
+    * `P(cur | prev) = n(prev→cur) / n(prev→·)` over (ts, tie)-ordered
+    * bigrams, then scores every event with its transition
+    * probability and surprisal `-ln P(cur | prev)` — the classic
+    * "how unusual was this step given the last one" signal for
+    * session anomaly scoring, bot detection, and next-action
+    * features. Each entity's FIRST event has no predecessor: its
+    * prev/probability/surprisal are null (never a pseudo-start
+    * token, which would leak sequence boundaries into the matrix).
+    *
+    * Scale shape: one (entity)-partitioned window forms bigrams; the
+    * matrix is a groupBy over them whose result is at most
+    * |types|² rows — broadcast back onto the event stream, so the
+    * scoring join reshuffles nothing. Counts stay exact longs; the
+    * one division happens at readout. The matrix rides the SAME
+    * bigram frame that scoring reads — one window sort, one tiny
+    * aggregate, one broadcast.
+    */
+  def transitionFeatures(df: DataFrame, entity: String, ts: String,
+      typeCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = (col(ts) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(entity)).orderBy(ord: _*)
+    val bigrams = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull &&
+        col(typeCol).isNotNull)
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+    val matrix = bigrams.filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("__mprev"), col(typeCol).as("__cur"))
+      .agg(count(lit(1)).as("trans_n"))
+      .withColumn("prev_n",
+        sum(col("trans_n")).over(Window.partitionBy(col("__mprev"))))
+    bigrams.join(broadcast(matrix),
+        col("__prev") === col("__mprev") && col(typeCol) === col("__cur"),
+        "left")
+      .drop("__mprev", "__cur")
+      .withColumn("trans_p",
+        col("trans_n").cast("double") / col("prev_n").cast("double"))
+      .withColumn("trans_surprisal", -log(col("trans_p")))
+      .withColumnRenamed("__prev", "prev_" + typeCol)
+  }
+
   /** Ordered-step funnel: per entity, the FIRST time each named step
     * is reached with every step strictly after the previous one and
     * the whole chain within `horizonSeconds` of step 1. One row per

@@ -99,4 +99,60 @@ class BehaviorSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange:\n$plan")
     assert(!plan.contains("SinglePartition"), plan.take(600))
   }
+
+  test("transitionFeatures: golden matrix, first-event nulls, " +
+      "exact counts, ln surprisal") {
+    // u1: A->B, B->A, A->B ; u2: A->B  => n(A->B)=3, n(A->A)=0,
+    // n(B->A)=1; prev_n(A)=3, prev_n(B)=1
+    val d = df("u STRING, ts TIMESTAMP, id BIGINT, t STRING", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), 1L, "A"),
+      Row("u1", ts("2024-01-01 10:01:00"), 2L, "B"),
+      Row("u1", ts("2024-01-01 10:02:00"), 3L, "A"),
+      Row("u1", ts("2024-01-01 10:03:00"), 4L, "B"),
+      Row("u2", ts("2024-01-01 10:00:00"), 5L, "A"),
+      Row("u2", ts("2024-01-01 10:01:00"), 6L, "B")))
+    val out = Behavior.transitionFeatures(d, "u", "ts", "t",
+      tieBreak = Seq("id")).orderBy("id").collect()
+    // first events per entity: all transition fields null
+    for (i <- Seq(0, 4)) {
+      assert(out(i).isNullAt(out(i).fieldIndex("prev_t")))
+      assert(out(i).isNullAt(out(i).fieldIndex("trans_p")))
+      assert(out(i).isNullAt(out(i).fieldIndex("trans_surprisal")))
+    }
+    def p(i: Int) = out(i).getDouble(out(i).fieldIndex("trans_p"))
+    def n(i: Int) = out(i).getLong(out(i).fieldIndex("trans_n"))
+    assert(n(1) == 3L && p(1) == 1.0)              // A->B: 3/3
+    assert(n(2) == 1L && p(2) == 1.0)              // B->A: 1/1
+    assert(n(5) == 3L && p(5) == 1.0)              // u2's A->B shares the matrix
+    assert(out(1).getDouble(out(1).fieldIndex("trans_surprisal")) == 0.0)
+  }
+
+  test("transitionFeatures: scoring join is broadcast — no extra " +
+      "exchange beyond the entity window and the tiny matrix") {
+    val d = df("u STRING, ts TIMESTAMP, id BIGINT, t STRING", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), 1L, "A"),
+      Row("u1", ts("2024-01-01 10:01:00"), 2L, "B")))
+    val plan = Behavior.transitionFeatures(d, "u", "ts", "t",
+      tieBreak = Seq("id")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
+  test("transitionFeatures: surprisal for a non-uniform matrix " +
+      "matches -ln(n/m) exactly") {
+    // A->B twice, A->C once: P(B|A)=2/3, P(C|A)=1/3
+    val d = df("u STRING, ts TIMESTAMP, id BIGINT, t STRING", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), 1L, "A"),
+      Row("u1", ts("2024-01-01 10:01:00"), 2L, "B"),
+      Row("u2", ts("2024-01-01 10:00:00"), 3L, "A"),
+      Row("u2", ts("2024-01-01 10:01:00"), 4L, "B"),
+      Row("u3", ts("2024-01-01 10:00:00"), 5L, "A"),
+      Row("u3", ts("2024-01-01 10:01:00"), 6L, "C")))
+    val out = Behavior.transitionFeatures(d, "u", "ts", "t",
+      tieBreak = Seq("id")).orderBy("id").collect()
+    def s(i: Int) =
+      out(i).getDouble(out(i).fieldIndex("trans_surprisal"))
+    assert(s(1) == -math.log(2.0 / 3.0))
+    assert(s(5) == -math.log(1.0 / 3.0))
+  }
 }
