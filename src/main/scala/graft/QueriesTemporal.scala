@@ -185,6 +185,22 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q268_cooccurrence" -> ((s, dir) => {
+      // market-basket association over 30-min gap sessions: support/
+      // confidence/lift per unordered event-type pair; pair join
+      // session-confined, totals broadcast, N a 1-row broadcast
+      graft.operators.Behavior.cooccurrence(
+        tbl(s, dir, "events"), "user_id", "ts", "event_type",
+        gapSeconds = 1800L)
+        .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+          col("n_ab"), col("n_sessions"),
+          round(col("support"), 6).as("support"),
+          round(col("conf_a_b"), 6).as("conf_a_b"),
+          round(col("conf_b_a"), 6).as("conf_b_a"),
+          round(col("lift"), 6).as("lift"))
+        .orderBy("item_a", "item_b")
+    }),
+
     "q229_interval_features" -> ((s, dir) => {
       // "purchases in the last hour / day" per event: one cumulative
       // pass + as-of differences, exact decimal sums; the oracle
@@ -827,6 +843,48 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // q39's session SQL feeding the textbook basket self-join; every
+    // ratio divides the same exact BIGINTs in the same double
+    // expression on both engines
+    "q268_cooccurrence" ->
+      """WITH t AS (SELECT user_id, ts, event_type,
+        |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         IS NULL
+        |    OR date_diff('microsecond',
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+        |       > 1800000000
+        |  THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |s AS (SELECT user_id, event_type,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid FROM t),
+        |st AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns
+        |  FROM (SELECT DISTINCT user_id, sid FROM st)),
+        |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+        |  FROM st GROUP BY 1),
+        |p AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM st a JOIN st b ON a.user_id = b.user_id
+        |    AND a.sid = b.sid AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.item_a, p.item_b, ta.n_t AS n_a, tb.n_t AS n_b,
+        |  p.n_ab, n.ns AS n_sessions,
+        |  ROUND(CAST(p.n_ab AS DOUBLE) / CAST(n.ns AS DOUBLE), 6)
+        |    AS support,
+        |  ROUND(CAST(p.n_ab AS DOUBLE) / CAST(ta.n_t AS DOUBLE), 6)
+        |    AS conf_a_b,
+        |  ROUND(CAST(p.n_ab AS DOUBLE) / CAST(tb.n_t AS DOUBLE), 6)
+        |    AS conf_b_a,
+        |  ROUND(CAST(p.n_ab AS DOUBLE) * CAST(n.ns AS DOUBLE)
+        |    / (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE)), 6)
+        |    AS lift
+        |FROM p JOIN tot ta ON ta.event_type = p.item_a
+        |  JOIN tot tb ON tb.event_type = p.item_b
+        |  CROSS JOIN n
+        |ORDER BY 1, 2""".stripMargin,
 
     // identical bigram lag, tiny matrix, same double division inside
     // ROUND and -ln on both engines

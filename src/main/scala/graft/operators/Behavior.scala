@@ -55,6 +55,69 @@ object Behavior {
           col("cohort_size").cast("double")).as("retention"))
   }
 
+  /** Session-level item co-occurrence — the market-basket /
+    * association-rule staple (support, confidence, lift) with
+    * gap-sessionized event logs as the "baskets". One output row per
+    * unordered item pair (a < b) seen together in ≥1 session:
+    * session counts `n_a, n_b, n_ab`, plus
+    * `support = n_ab/N`, `conf(a→b) = n_ab/n_a`,
+    * `conf(b→a) = n_ab/n_b`, `lift = n_ab·N / (n_a·n_b)`.
+    *
+    * Scale shape: the pair join is confined to a session — after
+    * `(session, item) DISTINCT`, each session contributes at most
+    * |itemsInSession|² pair rows, never corpus², and the join key is
+    * the session id both sides already hash on. Everything after is
+    * |items|²-bounded: the totals attach by broadcast, the corpus
+    * session count by a 1-row-aggregate broadcast cross join.
+    * Counts are exact longs; the divisions (and the lift's
+    * double·double products — longs would overflow at N² ≈ 10^20 on
+    * a 100 TB log) happen in one readout expression an oracle can
+    * replay bit-for-bit.
+    */
+  def cooccurrence(df: DataFrame, entity: String, ts: String,
+      typeCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0,
+      s"cooccurrence: gapSeconds > 0, got $gapSeconds")
+    val ev = df.filter(col(entity).isNotNull && col(ts).isNotNull &&
+      col(typeCol).isNotNull)
+    val st = graft.temporal.WindowOps
+      .sessionize(ev, entity, ts, gapSeconds)
+      .select(col(entity).cast("string").as("__e"),
+        col("session_id").as("__sid"),
+        col(typeCol).cast("string").as("__t"))
+      .distinct()
+    val nSessions = st.agg(
+      countDistinct(col("__e"), col("__sid")).as("__n_sessions"))
+    val totals = st.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__n_t"))
+    val a = st.select(col("__e"), col("__sid"), col("__t").as("item_a"))
+    val b = st.select(col("__e").as("__e2"), col("__sid").as("__sid2"),
+      col("__t").as("item_b"))
+    a.join(b, col("__e") === col("__e2") &&
+        col("__sid") === col("__sid2") &&
+        col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(totals.select(col("__t").as("item_a"),
+        col("__n_t").as("n_a"))), "item_a")
+      .join(broadcast(totals.select(col("__t").as("item_b"),
+        col("__n_t").as("n_b"))), "item_b")
+      .crossJoin(broadcast(nSessions))
+      .select(col("item_a"), col("item_b"),
+        col("n_a"), col("n_b"), col("n_ab"),
+        col("__n_sessions").as("n_sessions"),
+        (col("n_ab").cast("double") /
+          col("__n_sessions").cast("double")).as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double"))
+          .as("conf_a_b"),
+        (col("n_ab").cast("double") / col("n_b").cast("double"))
+          .as("conf_b_a"),
+        (col("n_ab").cast("double") *
+          col("__n_sessions").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+  }
+
   /** First-order Markov transition features over a per-entity event
     * sequence: fits the corpus-level transition matrix
     * `P(cur | prev) = n(prev→cur) / n(prev→·)` over (ts, tie)-ordered

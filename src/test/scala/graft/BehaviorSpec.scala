@@ -100,6 +100,51 @@ class BehaviorSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan.take(600))
   }
 
+  test("cooccurrence: session-confined baskets, exact counts, " +
+      "lift/support/confidence golden values") {
+    // u1 session1: {A,B,C}; u1 session2 (gap > 600s): {A}; u2: {A,B}
+    // => N=3 sessions; n_A=3, n_B=2, n_C=1
+    // pairs: (A,B) n_ab=2, (A,C) 1, (B,C) 1
+    val d = df("u STRING, ts TIMESTAMP, t STRING", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), "A"),
+      Row("u1", ts("2024-01-01 10:01:00"), "B"),
+      Row("u1", ts("2024-01-01 10:02:00"), "C"),
+      Row("u1", ts("2024-01-01 10:02:30"), "A"), // dup in-session
+      Row("u1", ts("2024-01-01 12:00:00"), "A"), // new session
+      Row("u2", ts("2024-01-01 10:00:00"), "A"),
+      Row("u2", ts("2024-01-01 10:05:00"), "B")))
+    val out = Behavior.cooccurrence(d, "u", "ts", "t", 600L)
+      .orderBy("item_a", "item_b").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("A", "B"), ("A", "C"), ("B", "C")))
+    val ab = out(0)
+    assert(ab.getLong(2) == 3L && ab.getLong(3) == 2L &&
+      ab.getLong(4) == 2L && ab.getLong(5) == 3L)
+    assert(ab.getDouble(6) == 2.0 / 3.0)      // support
+    assert(ab.getDouble(7) == 2.0 / 3.0)      // conf A->B
+    assert(ab.getDouble(8) == 1.0)            // conf B->A
+    assert(ab.getDouble(9) == 2.0 * 3.0 / (3.0 * 2.0)) // lift = 1
+    val bc = out(2)
+    assert(bc.getLong(4) == 1L &&
+      bc.getDouble(9) == 1.0 * 3.0 / (2.0 * 1.0)) // lift 1.5
+    intercept[IllegalArgumentException] {
+      Behavior.cooccurrence(d, "u", "ts", "t", 0L)
+    }
+  }
+
+  test("cooccurrence: totals and N attach by broadcast, no " +
+      "cartesian beyond the 1-row N attach") {
+    val d = df("u STRING, ts TIMESTAMP, t STRING", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), "A"),
+      Row("u1", ts("2024-01-01 10:01:00"), "B")))
+    val plan = Behavior.cooccurrence(d, "u", "ts", "t", 600L)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      plan.take(1000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      plan.take(1000))
+  }
+
   test("transitionFeatures: golden matrix, first-event nulls, " +
       "exact counts, ln surprisal") {
     // u1: A->B, B->A, A->B ; u2: A->B  => n(A->B)=3, n(A->A)=0,
