@@ -714,6 +714,39 @@ object QueriesStreaming {
         .orderBy("event_id")
     }),
 
+    "q269_stream_minmax" -> ((s, dir) => {
+      // the ONLINE companion of q37: trailing 5-row min/max/count per
+      // user via monotonic deques (amortized O(1) per row — the scale
+      // path for large k), one bounded state per user across 3 REAL
+      // micro-batches; the oracle is LITERALLY q37's windowed SQL
+      // (eighth shared batch/stream pair). min/max are selections, so
+      // no rounding discipline is needed anywhere.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = tbl(s, dir, "events")
+        .select(col("user_id").cast("long"),
+          col("event_id").cast("long"),
+          col("ts").cast("timestamp"), col("value"))
+        .collect()
+        .map(r => StreamingOps.MinMaxEvent(r.getLong(0), r.getLong(1),
+          r.getTimestamp(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .sortBy(e => (StreamingOps.toMicros(e.ts), e.eventId)).toSeq
+      val input = MemoryStream[StreamingOps.MinMaxEvent]
+      val sink = s"q269_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.rollingMinMaxStream(input.toDS(), k = 5)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      drive(input, q, rows, nChunks = 3)
+      s.table(sink)
+        .select(col("eventId").as("event_id"),
+          col("min").as("value_roll5_min"),
+          col("max").as("value_roll5_max"),
+          col("count").as("value_roll5_count"))
+        .orderBy("event_id")
+    }),
+
     "q257_stream_corr" -> ((s, dir) => {
       // the ONLINE companion of q256: prior-20-rows pairwise-complete
       // corr/beta of value vs payload size, one bounded ring
@@ -998,6 +1031,11 @@ object QueriesStreaming {
     // pairwise-complete corr/beta ring (seventh shared pair)
     "q257_stream_corr" ->
       QueriesTemporal.oracles("q256_rolling_corr"),
+
+    // the deque stream must land exactly the batch frame's
+    // selections: literally the q37 oracle (eighth shared pair)
+    "q269_stream_minmax" ->
+      QueriesTemporal.oracles("q37_rolling_rows"),
 
     // q208's all-pairs Hamming truth certifies the chunked streaming
     // ingest over the persisted phash index (fifth shared pair; same

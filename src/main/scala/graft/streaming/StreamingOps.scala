@@ -915,6 +915,100 @@ object StreamingOps {
       }
   }
 
+  case class MinMaxEvent(entity: Long, eventId: Long, ts: Timestamp,
+    value: Option[Double])
+  case class MinMaxOut(eventId: Long, entity: Long, ts: Timestamp,
+    min: Option[Double], max: Option[Double], count: Long)
+  /** `idx` numbers rows per entity from 0; the window at row i is
+    * indices (i-k, i]. `present` rings the last <= k slot-occupancy
+    * flags (for the O(1) count update); the two deques hold only the
+    * monotone SURVIVORS (index, value) — the min deque ascending, the
+    * max deque descending — so per-row work is amortized O(1) however
+    * large k is, the property a ring-rescan (O(k) per row) loses at
+    * feature-store window sizes.
+    */
+  case class MinMaxState(lastTsUs: Long, idx: Long, count: Long,
+    present: Seq[Boolean], minDq: Seq[(Long, Double)],
+    maxDq: Seq[(Long, Double)])
+
+  /** ONLINE trailing min / max / non-null count over the last `k`
+    * ROWS (inclusive of current) — the streaming companion of
+    * [[graft.temporal.WindowOps.rollingRows]] with
+    * `aggs = min, max, count`, certified against LITERALLY the batch
+    * op's windowed-SQL oracle (q269 vs q37). min/max are SELECTIONS,
+    * not arithmetic: the emitted doubles are the input doubles, so
+    * stream, batch window, and oracle agree bit-for-bit with no
+    * rounding discipline needed.
+    *
+    * Value ordering mirrors the batch window exactly:
+    * `java.lang.Double.compare` (NaN greatest, like Spark and
+    * DuckDB column MIN/MAX); a SQL NULL occupies a frame slot but
+    * joins neither deque nor the count, exactly like `MIN(value)` /
+    * `COUNT(value)` over a frame with NULLs.
+    *
+    * Same source contract as the other per-entity recurrences here:
+    * (event-time, id) order within a batch, per-entity
+    * ts-nondecreasing across batches (loud failure otherwise — late
+    * data is the batch operator's backfill job).
+    */
+  def rollingMinMaxStream(events: Dataset[MinMaxEvent], k: Int)
+      : Dataset[MinMaxOut] = {
+    import events.sparkSession.implicits._
+    require(k >= 1, s"rollingMinMaxStream: k >= 1, got $k")
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (entity: Long, rows: Iterator[MinMaxEvent],
+         state: GroupState[MinMaxState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.eventId))
+          var st = state.getOption.getOrElse(
+            MinMaxState(Long.MinValue, 0L, 0L, Vector.empty,
+              Vector.empty, Vector.empty))
+          val out = Seq.newBuilder[MinMaxOut]
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            require(t >= st.lastTsUs,
+              s"rollingMinMaxStream: entity $entity got ts $t older " +
+                s"than carried state ${st.lastTsUs} — source must be " +
+                "per-entity ts-nondecreasing (backfill late data " +
+                "with the batch rollingRows)")
+            val i = st.idx
+            var present = st.present
+            var cnt = st.count
+            // slot leaving the frame as this row enters
+            if (present.size == k.toLong) {
+              if (present.head) cnt -= 1
+              present = present.tail
+            }
+            present = present :+ e.value.isDefined
+            var minDq = st.minDq
+            var maxDq = st.maxDq
+            e.value.foreach { v =>
+              cnt += 1
+              while (minDq.nonEmpty &&
+                  java.lang.Double.compare(minDq.last._2, v) >= 0)
+                minDq = minDq.init
+              minDq = minDq :+ (i, v)
+              while (maxDq.nonEmpty &&
+                  java.lang.Double.compare(maxDq.last._2, v) <= 0)
+                maxDq = maxDq.init
+              maxDq = maxDq :+ (i, v)
+            }
+            // fronts whose index left the window (i-k, i]
+            while (minDq.nonEmpty && minDq.head._1 <= i - k)
+              minDq = minDq.tail
+            while (maxDq.nonEmpty && maxDq.head._1 <= i - k)
+              maxDq = maxDq.tail
+            st = MinMaxState(t, i + 1, cnt, present, minDq, maxDq)
+            out += MinMaxOut(e.eventId, entity, e.ts,
+              minDq.headOption.map(_._2), maxDq.headOption.map(_._2),
+              cnt)
+          }
+          if (sorted.nonEmpty) state.update(st)
+          out.result().iterator
+      }
+  }
+
   // ---- streaming image near-dup (phash) --------------------------------
 
   case class PhashImage(imageId: String, ts: Timestamp, phash: Long)

@@ -919,6 +919,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rolling min/max stream: deques carry across batches, nulls " +
+      "occupy slots, equals the batch rollingRows frame") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(
+      StreamingOps.MinMaxEvent(1L, 1L, ts("2024-01-01 10:00:00"), Some(5.0)),
+      StreamingOps.MinMaxEvent(1L, 2L, ts("2024-01-01 10:10:00"), Some(3.0)),
+      StreamingOps.MinMaxEvent(1L, 3L, ts("2024-01-01 10:20:00"), None),
+      StreamingOps.MinMaxEvent(1L, 4L, ts("2024-01-01 10:30:00"), Some(8.0)),
+      StreamingOps.MinMaxEvent(1L, 5L, ts("2024-01-01 10:40:00"), Some(1.0)),
+      StreamingOps.MinMaxEvent(1L, 6L, ts("2024-01-01 10:50:00"), Some(4.0)),
+      StreamingOps.MinMaxEvent(2L, 7L, ts("2024-01-01 10:00:00"), None))
+    val input = MemoryStream[StreamingOps.MinMaxEvent]
+    val q = StreamingOps.rollingMinMaxStream(input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("mm_s")
+      .outputMode("append").start()
+    try {
+      Seq(ev.take(2), ev.slice(2, 5), ev.drop(5)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val got = spark.table("mm_s").orderBy("eventId").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(3)) null else r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getDouble(4),
+          r.getLong(5))).toSeq
+      // frames (k=3, incl current): {5} {5,3} {5,3,_} {3,_,8}
+      // {_,8,1} {8,1,4}; entity 2: {_}
+      assert(got == Seq(
+        (1L, 5.0, 5.0, 1L), (2L, 3.0, 5.0, 2L), (3L, 3.0, 5.0, 2L),
+        (4L, 3.0, 8.0, 2L), (5L, 1.0, 8.0, 2L), (6L, 1.0, 8.0, 3L),
+        (7L, null, null, 0L)), got.toString)
+      // cross-check against the batch window op on the same rows
+      val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE",
+        ev.map(e => org.apache.spark.sql.Row(e.entity, e.ts, e.eventId,
+          e.value.map(Double.box).orNull)))
+      val batch = graft.temporal.WindowOps.rollingRows(
+        d, "e", "ts", Seq("v"), k = 3,
+        aggs = Seq("min", "max", "count")).orderBy("id").collect()
+        .map(r => (r.getLong(2),
+          if (r.isNullAt(4)) null else r.getDouble(4),
+          if (r.isNullAt(5)) null else r.getDouble(5),
+          r.getLong(6))).toSeq
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("rolling min/max stream fails loudly on per-entity time " +
+      "regression") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.MinMaxEvent]
+    val q = StreamingOps.rollingMinMaxStream(input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("mm_reg")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamingOps.MinMaxEvent(1L, 1L,
+        ts("2024-01-01 10:00:00"), Some(1.0)))
+      q.processAllAvailable()
+      input.addData(StreamingOps.MinMaxEvent(1L, 2L,
+        ts("2024-01-01 09:00:00"), Some(2.0)))
+      val ex = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { q.processAllAvailable() }
+      assert(ex.getMessage.contains("ts-nondecreasing")
+        || Option(ex.getCause).exists(
+          _.getMessage.contains("ts-nondecreasing")))
+    } finally q.stop()
+  }
+
   test("rolling corr stream fails loudly on per-entity time regression") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
