@@ -714,6 +714,38 @@ object QueriesStreaming {
         .orderBy("event_id")
     }),
 
+    "q270_stream_holt" -> ((s, dir) => {
+      // the ONLINE companion of q266: Holt level+trend per user, one
+      // (ts, l, b) triple carried across 3 REAL micro-batches with
+      // the batch scan's exact operand order; the oracle is LITERALLY
+      // q266's recursive-CTE SQL (ninth shared batch/stream pair)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = tbl(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id").cast("long"),
+          col("event_id").cast("long"),
+          col("ts").cast("timestamp"), col("value"))
+        .collect()
+        .map(r => StreamingOps.HoltEvent(r.getLong(0), r.getLong(1),
+          r.getTimestamp(2), Some(r.getDouble(3))))
+        .sortBy(e => (StreamingOps.toMicros(e.ts), e.eventId)).toSeq
+      val input = MemoryStream[StreamingOps.HoltEvent]
+      val sink = s"q270_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.holtSmoothStream(input.toDS(),
+        alpha = 0.3, beta = 0.1)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      drive(input, q, rows, nChunks = 3)
+      s.table(sink)
+        .select(col("eventId").as("event_id"),
+          round(col("level"), 6).as("holt_level"),
+          round(col("trend"), 6).as("holt_trend"),
+          round(col("forecast"), 6).as("holt_forecast"))
+        .orderBy("event_id")
+    }),
+
     "q269_stream_minmax" -> ((s, dir) => {
       // the ONLINE companion of q37: trailing 5-row min/max/count per
       // user via monotonic deques (amortized O(1) per row — the scale
@@ -1036,6 +1068,11 @@ object QueriesStreaming {
     // selections: literally the q37 oracle (eighth shared pair)
     "q269_stream_minmax" ->
       QueriesTemporal.oracles("q37_rolling_rows"),
+
+    // the online Holt fold must land exactly the batch recurrence:
+    // literally the q266 oracle (ninth shared pair)
+    "q270_stream_holt" ->
+      QueriesTemporal.oracles("q266_holt_smooth"),
 
     // q208's all-pairs Hamming truth certifies the chunked streaming
     // ingest over the persisted phash index (fifth shared pair; same

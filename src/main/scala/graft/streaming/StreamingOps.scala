@@ -685,6 +685,77 @@ object StreamingOps {
       }
   }
 
+  case class HoltEvent(entity: Long, eventId: Long, ts: Timestamp,
+    value: Option[Double])
+  case class HoltOut(eventId: Long, entity: Long, ts: Timestamp,
+    level: Option[Double], trend: Option[Double],
+    forecast: Option[Double])
+  case class HoltState(lastTsUs: Long, l: Double, b: Double)
+
+  /** ONLINE Holt double-exponential (level + trend) smoothing — the
+    * streaming companion of
+    * [[graft.temporal.Sequential.holtSmooth]]: one
+    * `(lastTs, level, trend)` triple per entity carried across
+    * micro-batches, each arriving value folded with the IDENTICAL
+    * operand order as the batch scan —
+    * `l' = a·x + (1-a)·(l+b)` reading the old pair, then
+    * `b' = B·(l'-l) + (1-B)·b` reading the OLD l — so stream, batch,
+    * and the shared recursive-CTE oracle agree to the last ulp
+    * (q270 certifies against LITERALLY q266's oracle).
+    *
+    * Row-sequenced (observation count, not wall clock, drives the
+    * fold, like the batch op); a missing (null/NaN) reading emits
+    * null level/trend/forecast and leaves the state untouched. Same
+    * source contract as the other per-entity recurrences here:
+    * (event-time, id) order within a batch, per-entity
+    * ts-nondecreasing across batches (loud failure otherwise). State
+    * is one triple per entity, forever — level features must not
+    * silently evict (state schema v1, see [[StreamVersion]]).
+    */
+  def holtSmoothStream(events: Dataset[HoltEvent],
+      alpha: Double, beta: Double): Dataset[HoltOut] = {
+    import events.sparkSession.implicits._
+    require(alpha > 0 && alpha <= 1,
+      s"holtSmoothStream: alpha in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1,
+      s"holtSmoothStream: beta in [0,1], got $beta")
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (entity: Long, rows: Iterator[HoltEvent],
+         state: GroupState[HoltState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.eventId))
+          var st = state.getOption
+          val out = Seq.newBuilder[HoltOut]
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            st.foreach { p =>
+              require(t >= p.lastTsUs,
+                s"holtSmoothStream: entity $entity got ts $t older " +
+                  s"than carried state ${p.lastTsUs} — source must " +
+                  "be per-entity ts-nondecreasing (backfill late " +
+                  "data with the batch Sequential.holtSmooth)")
+            }
+            val m = e.value.filterNot(_.isNaN)
+            val lb: Option[(Double, Double)] = m.map { xv =>
+              val (l2, b2) = st match {
+                case Some(p) =>
+                  val lNew = alpha * xv + (1.0 - alpha) * (p.l + p.b)
+                  (lNew, beta * (lNew - p.l) + (1.0 - beta) * p.b)
+                case None => (xv, 0.0)
+              }
+              st = Some(HoltState(t, l2, b2))
+              (l2, b2)
+            }
+            out += HoltOut(e.eventId, entity, e.ts,
+              lb.map(_._1), lb.map(_._2),
+              lb.map { case (l2, b2) => l2 + b2 })
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class CusumEvent(entity: Long, eventId: Long, ts: Timestamp,
     value: Option[Double])
   case class CusumOut(eventId: Long, entity: Long, ts: Timestamp,

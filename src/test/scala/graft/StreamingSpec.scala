@@ -919,6 +919,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("holt stream: level+trend carry across batches, missing rows " +
+      "emit null and freeze the state, equals the batch op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(
+      StreamingOps.HoltEvent(1L, 1L, ts("2024-01-01 10:00:00"), Some(10.0)),
+      StreamingOps.HoltEvent(1L, 2L, ts("2024-01-01 10:10:00"), Some(14.0)),
+      StreamingOps.HoltEvent(1L, 3L, ts("2024-01-01 10:20:00"), None),
+      StreamingOps.HoltEvent(1L, 4L, ts("2024-01-01 10:30:00"), Some(18.0)),
+      StreamingOps.HoltEvent(2L, 5L, ts("2024-01-01 10:00:00"), Some(7.0)))
+    val input = MemoryStream[StreamingOps.HoltEvent]
+    val q = StreamingOps.holtSmoothStream(input.toDS(), 0.5, 0.2)
+      .writeStream.format("memory").queryName("holt_s")
+      .outputMode("append").start()
+    try {
+      Seq(ev.take(2), ev.slice(2, 4), ev.drop(4)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val got = spark.table("holt_s").orderBy("eventId").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(3)) null else r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getDouble(4))).toSeq
+      // same golden values as the batch SequentialSpec case
+      assert(got(0) == ((1L, 10.0, 0.0)))
+      assert(got(1) == ((2L, 12.0, 0.4)))
+      assert(got(2)._2 == null && got(2)._3 == null)
+      assert(got(3)._2 == 15.2.asInstanceOf[AnyRef])
+      assert(got(4) == ((5L, 7.0, 0.0)))
+      val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE",
+        ev.map(e => org.apache.spark.sql.Row(e.entity, e.ts, e.eventId,
+          e.value.map(Double.box).orNull)))
+      val batch = graft.temporal.Sequential.holtSmooth(
+        d, "e", "ts", "id", "v", 0.5, 0.2).orderBy("id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getDouble(1),
+          if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
   test("rolling min/max stream: deques carry across batches, nulls " +
       "occupy slots, equals the batch rollingRows frame") {
     import spark.implicits._
