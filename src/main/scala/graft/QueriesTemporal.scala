@@ -185,6 +185,18 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q271_twap" -> ((s, dir) => {
+      // hold-previous time-weighted running mean per user: null
+      // values accrue the prior observation, integrand exact
+      // decimal(38,0) micro-units × micro-seconds, one double
+      // division at readout replayed verbatim by the oracle
+      WindowOps.timeWeightedMean(tbl(s, dir, "events"), "user_id",
+        "ts", "value", tieBreak = Seq("event_id"))
+        .select(col("event_id"),
+          round(col("value_twm"), 6).as("value_twm"))
+        .orderBy("event_id")
+    }),
+
     "q268_cooccurrence" -> ((s, dir) => {
       // market-basket association over 30-min gap sessions: support/
       // confidence/lift per unordered event-type pair; pair join
@@ -843,6 +855,31 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // identical hold-previous carry, HUGEINT mirrors decimal(38,0)
+    // for the exact integrand, same double readout expression
+    "q271_twap" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+        |    CASE WHEN value IS NOT NULL
+        |      THEN CAST(round(value * 1e6) AS BIGINT) END AS m
+        |  FROM events),
+        |h AS (SELECT event_id, user_id, t,
+        |    LAST_VALUE(m IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS held,
+        |    LEAD(t) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) - t AS dt
+        |  FROM e),
+        |c AS (SELECT event_id,
+        |    SUM(CASE WHEN held IS NOT NULL
+        |      THEN CAST(held AS HUGEINT) * dt END) OVER w AS cum,
+        |    SUM(CASE WHEN held IS NOT NULL THEN dt END) OVER w AS cov
+        |  FROM h WINDOW w AS (PARTITION BY user_id ORDER BY t,
+        |    event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING))
+        |SELECT event_id,
+        |  CASE WHEN cov > 0 THEN ROUND(CAST(cum AS DOUBLE)
+        |    / CAST(cov AS DOUBLE) / 1e6, 6) END AS value_twm
+        |FROM c ORDER BY 1""".stripMargin,
 
     // q39's session SQL feeding the textbook basket self-join; every
     // ratio divides the same exact BIGINTs in the same double

@@ -408,6 +408,48 @@ object WindowOps {
     * (entity, ts, tieBreak) window: stacking with the other ops here
     * keeps the single-Exchange shape.
     */
+  /** Exact trailing TIME-weighted mean (TWAP) of a hold-previous
+    * step signal: each observation holds until the next row's
+    * instant, and every row reads the time-weighted average of the
+    * held signal from its entity's first OBSERVED instant up to now —
+    * the irregular-sampling average that a row-weighted mean gets
+    * wrong whenever sampling is bursty (a sensor that reports 100×/s
+    * while alarming must not dominate its own hourly average).
+    *
+    *   twm_t = Σ_{i<t} held_i·(t_{i+1}−t_i) / Σ_{i<t} (t_{i+1}−t_i)
+    *           (segments with no observation yet are excluded
+    *            from numerator AND denominator)
+    *
+    * A missing (null/NaN) reading is hold-previous: the prior
+    * observation keeps accruing through it. Rows before the first
+    * observation read null (no covered time). Exact by construction:
+    * the integrand is integer micro-units × integer micro-seconds
+    * widened to decimal(38,0) — order-independent, one double
+    * division at readout. One (entity, ts, tieBreak) window for the
+    * carry, the lead, and both running sums → one exchange.
+    */
+  def timeWeightedMean(df: DataFrame, entity: String, ts: String,
+      valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = (col(ts) +: tieBreak.map(col)).map(_.asc)
+    val spec = Window.partitionBy(col(entity)).orderBy(ord: _*)
+    val run = spec.rowsBetween(Window.unboundedPreceding, 0)
+    val prior = spec.rowsBetween(Window.unboundedPreceding, -1)
+    val tus = unix_micros(col(ts).cast("timestamp"))
+    val m = microUnits(cleanDouble(valueCol))
+    val held = last(m, ignoreNulls = true).over(run)
+    val dt = lead(tus, 1).over(spec) - tus
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val contrib = when(held.isNotNull,
+      (d19(held) * d19(dt)).cast("decimal(38,0)"))
+    val covered = when(held.isNotNull, dt)
+    val cum = sum(contrib).over(prior)
+    val cov = sum(covered).over(prior)
+    val twm = when(cov.isNotNull && cov > 0,
+      cum.cast("double") / cov.cast("double") / lit(1e6))
+    df.select(df.columns.map(col).toIndexedSeq :+
+      twm.as(s"${valueCol}_twm"): _*)
+  }
+
   def rollingCorr(df: DataFrame, entity: String, ts: String,
       xCol: String, yCol: String, k: Int, minObs: Int = 2,
       tieBreak: Seq[String] = Nil): DataFrame = {

@@ -413,6 +413,41 @@ class WindowOpsSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
   }
 
+  test("timeWeightedMean: hold-previous integral, null rows accrue " +
+      "the prior value, leading nulls read null, exact segments") {
+    val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
+      Row(1L, ts("2024-01-01 10:00:00"), 1L, 10.0),
+      Row(1L, ts("2024-01-01 10:00:10"), 2L, 20.0),
+      Row(1L, ts("2024-01-01 10:00:40"), 3L, null), // 20 keeps holding
+      Row(1L, ts("2024-01-01 10:01:00"), 4L, 2.0),
+      Row(2L, ts("2024-01-01 10:00:00"), 5L, null), // no observation yet
+      Row(2L, ts("2024-01-01 10:00:10"), 6L, 4.0),
+      Row(2L, ts("2024-01-01 10:00:20"), 7L, 8.0)))
+    val out = WindowOps.timeWeightedMean(d, "e", "ts", "v",
+      tieBreak = Seq("id")).orderBy("id").collect()
+    // id1: no prior time -> null; id2: 10 held for 10s -> 10
+    assert(out(0).isNullAt(4))
+    assert(out(1).getDouble(4) == 10.0)
+    // id3: (10*10 + 20*30) / 40 = 17.5
+    assert(out(2).getDouble(4) == 17.5)
+    // id4: (10*10 + 20*30 + 20*20) / 60 = 18.333333...
+    assert(math.abs(out(3).getDouble(4) - 1100.0 / 60.0) < 1e-9)
+    // entity 2: leading-null segment excluded from BOTH sides
+    assert(out(4).isNullAt(4)) // nothing observed, nothing covered
+    assert(out(5).isNullAt(4)) // covered time still 0 at first obs
+    assert(out(6).getDouble(4) == 4.0) // 4 held for 10 covered secs
+  }
+
+  test("timeWeightedMean stacks on ONE exchange, no extra sort") {
+    val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
+      Row(1L, ts("2024-01-01 10:00:00"), 1L, 1.0)))
+    val plan = WindowOps.timeWeightedMean(d, "e", "ts", "v",
+      tieBreak = Seq("id")).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan)
+    assert(!plan.contains("SinglePartition"), plan.take(600))
+  }
+
   test("rollingCorr stacks with rollingZScore on ONE exchange") {
     val chained = WindowOps.rollingCorr(
       WindowOps.rollingZScore(corrFrame(), "e", "ts", "x", k = 5),
