@@ -185,6 +185,15 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q272_rfm_scores" -> ((s, dir) => {
+      // RFM customer-value scores: exact integer triple + NTILE(5)
+      // replicated by pure integer math over two-phase ranks — the
+      // oracle's literal NTILE must agree bucket-for-bucket
+      graft.operators.Behavior.rfmScores(
+        tbl(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("user_id")
+    }),
+
     "q271_twap" -> ((s, dir) => {
       // hold-previous time-weighted running mean per user: null
       // values accrue the prior observation, integrand exact
@@ -855,6 +864,32 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // literal NTILE(5) on the same deterministic (key, entity-tie)
+    // orders; micro sums exact BIGINTs on both engines
+    "q272_rfm_scores" ->
+      """WITH base AS (SELECT user_id,
+        |    MAX(epoch_us(ts)) AS last_us,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(COALESCE(SUM(CAST(round(value * 1e6) AS BIGINT)), 0)
+        |      AS BIGINT) AS monetary_micros
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT MAX(last_us) AS asof FROM base),
+        |b AS (SELECT user_id, g.asof - last_us AS recency_us,
+        |    frequency, monetary_micros FROM base, g),
+        |sc AS (SELECT user_id, recency_us, frequency, monetary_micros,
+        |  CAST(NTILE(5) OVER (ORDER BY recency_us DESC, user_id)
+        |    AS INTEGER) AS r_score,
+        |  CAST(NTILE(5) OVER (ORDER BY frequency ASC, user_id)
+        |    AS INTEGER) AS f_score,
+        |  CAST(NTILE(5) OVER (ORDER BY monetary_micros ASC, user_id)
+        |    AS INTEGER) AS m_score FROM b)
+        |SELECT user_id, recency_us, frequency, monetary_micros,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER)
+        |    AS rfm_score
+        |FROM sc ORDER BY 1""".stripMargin,
 
     // identical hold-previous carry, HUGEINT mirrors decimal(38,0)
     // for the exact integrand, same double readout expression

@@ -118,6 +118,74 @@ object Behavior {
           .as("lift"))
   }
 
+  /** RFM (recency / frequency / monetary) quantile scoring — the
+    * classic customer-value feature triple. Per entity: exact
+    * integer micro recency (corpus max-ts anchor, so the score set
+    * is reproducible from the data alone), event count, and exact
+    * micro-unit spend; each ranked into `nBins` NTILE buckets
+    * (5 = best: most recent / most frequent / highest spend) and
+    * folded into the composite `rfm_score = r·100 + f·10 + m`.
+    *
+    * NTILE at scale WITHOUT a single-partition window: each of the
+    * three ranks is the shared two-phase range-partitioned machinery
+    * ([[graft.text.Sharding.exclusiveCumSumRaw]] — range shuffle +
+    * |partitions|-row offset broadcast + per-partition window), and
+    * the bucket is then PURE INTEGER MATH replicating SQL NTILE
+    * exactly (first `N mod n` buckets take `N div n + 1` rows):
+    * DuckDB's NTILE is the oracle, no quantile interpolation
+    * involved. Ties break on the entity id, so every rank — and
+    * therefore every score — is deterministic on any engine.
+    * The ranked frames are |entities|-sized, never |events|-sized.
+    */
+  def rfmScores(df: DataFrame, entity: String, ts: String,
+      valueCol: String, nBins: Int = 5): DataFrame = {
+    require(nBins >= 2, s"rfmScores: nBins >= 2, got $nBins")
+    val tus = unix_micros(col(ts).cast("timestamp"))
+    val v = col(valueCol).cast("double")
+    val micro = round(when(isnan(v), lit(null)).otherwise(v)
+      * lit(1e6), 0).cast("long")
+    val base = df.filter(col(entity).isNotNull && col(ts).isNotNull)
+      .groupBy(col(entity))
+      .agg(max(tus).as("last_us"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(micro.cast("decimal(38,0)")), lit(0))
+          .cast("long").as("monetary_micros"))
+    val asOf = base.agg(max(col("last_us")).as("__asof"))
+    val rec = base.crossJoin(broadcast(asOf))
+      .withColumn("recency_us", col("__asof") - col("last_us"))
+      .drop("__asof", "last_us")
+    def rank(d: DataFrame, order: Seq[Column], out: String)
+        : DataFrame = {
+      val (ranked, cleanup) = graft.text.Sharding
+        .exclusiveCumSumRaw(d, order, lit(1L), out)
+      try ranked.localCheckpoint(true) finally cleanup()
+    }
+    val s3 = rank(rank(rank(rec,
+      Seq(col("recency_us").desc, col(entity)), "__r0"),
+      Seq(col("frequency").asc, col(entity)), "__f0"),
+      Seq(col("monetary_micros").asc, col(entity)), "__m0")
+    // SQL NTILE replica on 1-based rank r over N rows: the first
+    // (N mod n) buckets hold (N div n)+1 rows each. Integer-exact
+    // below 2^53 entities (floor on doubles).
+    def ntileOf(r: Column, nRows: Column): Column = {
+      val q = floor(nRows / nBins).cast("long")
+      val rem = nRows - q * nBins
+      val first = floor((r - 1) / (q + 1)).cast("long") + 1
+      val rest = rem + floor((r - 1 - rem * (q + 1)) / q)
+        .cast("long") + 1
+      when(r <= rem * (q + 1), first).otherwise(rest).cast("int")
+    }
+    val withN = s3.crossJoin(
+      broadcast(s3.agg(count(lit(1)).as("__N"))))
+    val rS = ntileOf(col("__r0") + 1, col("__N"))
+    val fS = ntileOf(col("__f0") + 1, col("__N"))
+    val mS = ntileOf(col("__m0") + 1, col("__N"))
+    withN.select(col(entity), col("recency_us"), col("frequency"),
+      col("monetary_micros"), rS.as("r_score"), fS.as("f_score"),
+      mS.as("m_score"),
+      (rS * 100 + fS * 10 + mS).cast("int").as("rfm_score"))
+  }
+
   /** First-order Markov transition features over a per-entity event
     * sequence: fits the corpus-level transition matrix
     * `P(cur | prev) = n(prev→cur) / n(prev→·)` over (ts, tie)-ordered

@@ -145,6 +145,52 @@ class BehaviorSpec extends SparkSpec {
       plan.take(1000))
   }
 
+  test("rfmScores: exact triples, NTILE replica handles uneven " +
+      "buckets exactly like SQL NTILE") {
+    // 7 users, nBins=5: NTILE sizes 2,2,1,1,1 (rem=2 get q+1=2)
+    val rows = (1 to 7).flatMap { u =>
+      (1 to u).map { i => // user u has u events (freq tie-free)
+        Row(u.toLong, ts(f"2024-01-0$u 10:0${i % 10}:00"),
+          u * 10.0) // spend scales with u
+      }
+    }
+    val d = df("u BIGINT, ts TIMESTAMP, v DOUBLE", rows)
+    val out = Behavior.rfmScores(d, "u", "ts", "v").orderBy("u")
+      .collect()
+    // u7 is most recent, most frequent, highest total spend
+    val u7 = out(6)
+    assert(u7.getLong(1) == 0L)            // zero recency
+    assert(u7.getLong(2) == 7L)
+    assert(u7.getLong(3) == 7L * 7L * 10L * 1000000L)
+    assert(u7.getInt(4) == 5 && u7.getInt(5) == 5 && u7.getInt(6) == 5)
+    assert(u7.getInt(7) == 555)
+    // NTILE sizes over ranks 1..7 with n=5: buckets 1,1,2,2,3,4,5
+    assert(out.map(_.getInt(5)).toSeq == Seq(1, 1, 2, 2, 3, 4, 5))
+    // recency order is reversed: oldest user (u1) gets r=1
+    assert(out(0).getInt(4) == 1)
+    intercept[IllegalArgumentException] {
+      Behavior.rfmScores(d, "u", "ts", "v", nBins = 1)
+    }
+  }
+
+  test("rfmScores: no single-partition stage in the pre-checkpoint " +
+      "rank plan (two-phase machinery, not a global window)") {
+    // the ranked frames are checkpointed, so assert on the op's own
+    // final plan: no SinglePartition exchange anywhere
+    val d = df("u BIGINT, ts TIMESTAMP, v DOUBLE", Seq(
+      Row(1L, ts("2024-01-01 10:00:00"), 1.0),
+      Row(2L, ts("2024-01-02 10:00:00"), 2.0)))
+    val plan = Behavior.rfmScores(d, "u", "ts", "v")
+      .queryExecution.executedPlan.toString
+    // the ONLY SinglePartition is the 1-row corpus-count attach,
+    // and it is map-side combined (partial_count before the
+    // exchange); no global Window rank anywhere
+    assert("Exchange SinglePartition".r.findAllIn(plan).size == 1,
+      plan.take(800))
+    assert(plan.contains("partial_count"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+  }
+
   test("transitionFeatures: golden matrix, first-event nulls, " +
       "exact counts, ln surprisal") {
     // u1: A->B, B->A, A->B ; u2: A->B  => n(A->B)=3, n(A->A)=0,
