@@ -185,6 +185,22 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q273_attribution" -> ((s, dir) => {
+      // first/last-touch attribution: each purchase reads the view/
+      // click touches strictly before it in its own 30-min session;
+      // organic purchases read nulls, never a cross-session credit
+      graft.operators.Behavior.attribution(
+        tbl(s, dir, "events"), "user_id", "ts", "event_type",
+        conversionType = "purchase",
+        touchTypes = Seq("view", "click"),
+        gapSeconds = 1800L, tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("session_id"),
+          col("first_touch_type"), col("first_touch_us"),
+          col("last_touch_type"), col("last_touch_us"),
+          col("n_touches"))
+        .orderBy("event_id")
+    }),
+
     "q272_rfm_scores" -> ((s, dir) => {
       // RFM customer-value scores: exact integer triple + NTILE(5)
       // replicated by pure integer math over two-phase ranks — the
@@ -864,6 +880,44 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // q39's session SQL + strictly-prior in-session touch window,
+    // identical IGNORE NULLS carries and touch count
+    "q273_attribution" ->
+      """WITH t AS (SELECT event_id, user_id, ts, event_type,
+        |    epoch_us(ts) AS us,
+        |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         IS NULL
+        |    OR date_diff('microsecond',
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+        |       > 1800000000
+        |  THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |s AS (SELECT event_id, user_id, event_type, us,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM t),
+        |a AS (SELECT event_id, event_type, session_id,
+        |    FIRST_VALUE(CASE WHEN event_type IN ('view', 'click')
+        |      THEN event_type END IGNORE NULLS) OVER w
+        |      AS first_touch_type,
+        |    FIRST_VALUE(CASE WHEN event_type IN ('view', 'click')
+        |      THEN us END IGNORE NULLS) OVER w AS first_touch_us,
+        |    LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+        |      THEN event_type END IGNORE NULLS) OVER w
+        |      AS last_touch_type,
+        |    LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+        |      THEN us END IGNORE NULLS) OVER w AS last_touch_us,
+        |    COUNT(CASE WHEN event_type IN ('view', 'click')
+        |      THEN 1 END) OVER w AS n_touches
+        |  FROM s WINDOW w AS (PARTITION BY user_id, session_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, session_id, first_touch_type,
+        |  first_touch_us, last_touch_type, last_touch_us,
+        |  CAST(n_touches AS BIGINT) AS n_touches
+        |FROM a WHERE event_type = 'purchase' ORDER BY 1""".stripMargin,
 
     // literal NTILE(5) on the same deterministic (key, entity-tie)
     // orders; micro sums exact BIGINTs on both engines

@@ -118,6 +118,53 @@ object Behavior {
           .as("lift"))
   }
 
+  /** Session touch attribution: every CONVERSION event reads the
+    * first touch, last touch, and touch count among the qualifying
+    * touch events STRICTLY BEFORE it in the SAME gap session — the
+    * first-touch / last-touch marketing-attribution pair (linear
+    * credit is `1/n_touches` off the same row, no extra pass). A
+    * conversion with no prior in-session touch reads nulls and
+    * n_touches = 0 (organic conversion), never a cross-session leak.
+    *
+    * Scale shape: [[graft.temporal.WindowOps.sessionize]]'s one
+    * entity exchange, then a (entity, session) window that
+    * hash-satisfies on the SAME exchange (entity ⊆ keys) — the plan
+    * adds a sort, never a second shuffle. Strictly-prior frame, so a
+    * touch at the conversion's own instant does not credit itself.
+    */
+  def attribution(df: DataFrame, entity: String, ts: String,
+      typeCol: String, conversionType: String,
+      touchTypes: Seq[String], gapSeconds: Long,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution: touchTypes empty")
+    require(!touchTypes.contains(conversionType),
+      s"attribution: conversion type '$conversionType' cannot also " +
+        "be a touch type (a conversion would credit itself)")
+    val ev = df.filter(col(entity).isNotNull && col(ts).isNotNull &&
+      col(typeCol).isNotNull)
+    val sess = graft.temporal.WindowOps
+      .sessionize(ev, entity, ts, gapSeconds)
+    val ord = (col(ts) +: tieBreak.map(col)).map(_.asc)
+    val prior = Window.partitionBy(col(entity), col("session_id"))
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tus = unix_micros(col(ts).cast("timestamp"))
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    val tt = when(isTouch, col(typeCol))
+    val ttUs = when(isTouch, tus)
+    sess
+      .withColumn("first_touch_type",
+        first(tt, ignoreNulls = true).over(prior))
+      .withColumn("first_touch_us",
+        first(ttUs, ignoreNulls = true).over(prior))
+      .withColumn("last_touch_type",
+        last(tt, ignoreNulls = true).over(prior))
+      .withColumn("last_touch_us",
+        last(ttUs, ignoreNulls = true).over(prior))
+      .withColumn("n_touches", count(tt).over(prior))
+      .filter(col(typeCol) === conversionType)
+  }
+
   /** RFM (recency / frequency / monetary) quantile scoring — the
     * classic customer-value feature triple. Per entity: exact
     * integer micro recency (corpus max-ts anchor, so the score set

@@ -145,6 +145,51 @@ class BehaviorSpec extends SparkSpec {
       plan.take(1000))
   }
 
+  test("attribution: in-session strictly-prior touches only, organic " +
+      "conversions read nulls, one exchange for session + window") {
+    val d = df("u STRING, ts TIMESTAMP, id BIGINT, t STRING", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), 1L, "view"),
+      Row("u1", ts("2024-01-01 10:02:00"), 2L, "click"),
+      Row("u1", ts("2024-01-01 10:04:00"), 3L, "purchase"),
+      Row("u1", ts("2024-01-01 10:05:00"), 4L, "purchase"),
+      // new session (gap > 10 min): its purchase is organic
+      Row("u1", ts("2024-01-01 11:00:00"), 5L, "purchase"),
+      Row("u2", ts("2024-01-01 10:00:00"), 6L, "click"),
+      Row("u2", ts("2024-01-01 10:01:00"), 7L, "purchase")))
+    val out = Behavior.attribution(d, "u", "ts", "t", "purchase",
+      Seq("view", "click"), gapSeconds = 600L,
+      tieBreak = Seq("id")).orderBy("id").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(3L, 4L, 5L, 7L))
+    def s(r: Int, c: String) = {
+      val i = out(r).fieldIndex(c)
+      if (out(r).isNullAt(i)) null else out(r).getString(i)
+    }
+    // id3: first=view, last=click, 2 touches
+    assert(s(0, "first_touch_type") == "view" &&
+      s(0, "last_touch_type") == "click" &&
+      out(0).getLong(out(0).fieldIndex("n_touches")) == 2L)
+    // id4: same touches (the earlier purchase is not a touch)
+    assert(s(1, "first_touch_type") == "view" &&
+      out(1).getLong(out(1).fieldIndex("n_touches")) == 2L)
+    // id5: organic — new session, no prior touch
+    assert(s(2, "first_touch_type") == null &&
+      out(2).getLong(out(2).fieldIndex("n_touches")) == 0L)
+    // u2: single click credited both first and last
+    assert(s(3, "first_touch_type") == "click" &&
+      s(3, "last_touch_type") == "click")
+    // conversion cannot be its own touch type
+    intercept[IllegalArgumentException] {
+      Behavior.attribution(d, "u", "ts", "t", "purchase",
+        Seq("purchase", "view"), 600L)
+    }
+    // the (entity, session) window reuses the sessionize exchange
+    val plan = Behavior.attribution(d, "u", "ts", "t", "purchase",
+      Seq("view"), 600L, Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan)
+  }
+
   test("rfmScores: exact triples, NTILE replica handles uneven " +
       "buckets exactly like SQL NTILE") {
     // 7 users, nBins=5: NTILE sizes 2,2,1,1,1 (rem=2 get q+1=2)
