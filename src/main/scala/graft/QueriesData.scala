@@ -1554,6 +1554,21 @@ object QueriesData {
         .orderBy("doc_id", "term")
     }),
 
+    "q274_trimmed_stats" -> ((s, dir) => {
+      // robust per-group location pair: mean inside the exact
+      // [p5, p95] interp fences (trimmed) and mean of the clamped
+      // values (winsorized); round-6 absorbs aggregate-order ulp
+      // drift in the two means, counts exact
+      GroupOps.trimmedStats(
+        tbl(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity")),
+        "l_returnflag", "l_quantity", loQ = 0.05, hiQ = 0.95)
+        .select(col("l_returnflag"), col("n"), col("n_kept"),
+          round(col("trimmed_mean"), 6).as("trimmed_mean"),
+          round(col("winsorized_mean"), 6).as("winsorized_mean"))
+        .orderBy("l_returnflag")
+    }),
+
     "q87_group_quantile_cap" -> ((s, dir) => {
       // per-group winsorizing: clip to each l_returnflag group's exact
       // [p5, p95] (np.interp semantics) — distributed grouped quantile
@@ -3040,6 +3055,50 @@ object QueriesData {
         |       END AS l_quantity
         |FROM lineitem l LEFT JOIN caps ON l.l_returnflag = caps.k
         |ORDER BY 1, 2""".stripMargin,
+
+    // q87's exact interp-cap CTE feeding trimmed/winsorized
+    // aggregation; counts exact BIGINTs, means round-6
+    "q274_trimmed_stats" ->
+      """WITH g AS (SELECT l_returnflag AS k, l_quantity AS v,
+        |    COUNT(*) AS w
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT k, v,
+        |    SUM(w) OVER (PARTITION BY k ORDER BY v) * 1.0 /
+        |      SUM(w) OVER (PARTITION BY k) AS f
+        |  FROM g),
+        |b AS (SELECT k,
+        |  MAX(CASE WHEN f <= 0.05 THEN f END) AS flo_l,
+        |  MAX(CASE WHEN f <= 0.05 THEN v END) AS vlo_l,
+        |  MIN(CASE WHEN f >= 0.05 THEN f END) AS fhi_l,
+        |  MIN(CASE WHEN f >= 0.05 THEN v END) AS vhi_l,
+        |  MAX(CASE WHEN f <= 0.95 THEN f END) AS flo_h,
+        |  MAX(CASE WHEN f <= 0.95 THEN v END) AS vlo_h,
+        |  MIN(CASE WHEN f >= 0.95 THEN f END) AS fhi_h,
+        |  MIN(CASE WHEN f >= 0.95 THEN v END) AS vhi_h
+        |  FROM c GROUP BY k),
+        |caps AS (SELECT k,
+        |  CASE WHEN flo_l IS NULL THEN vhi_l
+        |       WHEN fhi_l IS NULL OR fhi_l = flo_l THEN vlo_l
+        |       ELSE vlo_l + (0.05 - flo_l)/(fhi_l - flo_l)
+        |            * (vhi_l - vlo_l) END AS lo,
+        |  CASE WHEN flo_h IS NULL THEN vhi_h
+        |       WHEN fhi_h IS NULL OR fhi_h = flo_h THEN vlo_h
+        |       ELSE vlo_h + (0.95 - flo_h)/(fhi_h - flo_h)
+        |            * (vhi_h - vlo_h) END AS hi
+        |  FROM b)
+        |SELECT l.l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(CASE WHEN l.l_quantity >= caps.lo
+        |    AND l.l_quantity <= caps.hi THEN 1 END) AS BIGINT)
+        |    AS n_kept,
+        |  ROUND(AVG(CASE WHEN l.l_quantity >= caps.lo
+        |    AND l.l_quantity <= caps.hi THEN l.l_quantity END), 6)
+        |    AS trimmed_mean,
+        |  ROUND(AVG(LEAST(GREATEST(l.l_quantity, caps.lo),
+        |    caps.hi)), 6) AS winsorized_mean
+        |FROM lineitem l LEFT JOIN caps ON l.l_returnflag = caps.k
+        |WHERE l.l_quantity IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q90_hashing_encoder" ->
       """SELECT doc_id,

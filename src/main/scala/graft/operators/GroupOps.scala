@@ -102,6 +102,44 @@ object GroupOps {
       .drop("__ck", "__lo", "__hi")
   }
 
+  /** Per-group TRIMMED and WINSORIZED means off the same exact
+    * np.interp quantile caps as [[capByGroupQuantiles]]: one row per
+    * group with the observed count, the count inside [lo, hi], the
+    * mean of only the inside values (trimmed — outliers deleted) and
+    * the mean of the clamped values (winsorized — outliers pulled to
+    * the fence). The robust-location pair for fitting imputers and
+    * baselines on contaminated web-scale feeds, where a single 1e12
+    * sentinel poisons a plain mean.
+    *
+    * Shape: one grouped-quantile fit (melted range-partitioned CDF,
+    * no per-group buffering), a stats-sized join back (AQE
+    * broadcasts), one map-side-combined aggregation. NaN/null values
+    * are missing (excluded from n and both means). Degenerate groups
+    * (every value at one point) keep lo = hi and trim nothing.
+    */
+  def trimmedStats(df: DataFrame, keyCol: String, valueCol: String,
+      loQ: Double, hiQ: Double,
+      weight: Column = lit(1)): DataFrame = {
+    require(loQ < hiQ && loQ >= 0 && hiQ <= 1,
+      s"trimmedStats: need 0 <= loQ < hiQ <= 1, got $loQ / $hiQ")
+    val caps = graft.core.Stats.groupedWeightedQuantiles(
+      df, keyCol, valueCol, weight, Seq(loQ, hiQ))
+      .groupBy(col(keyCol).as("__ck"))
+      .agg(max(when(col("q") === loQ, col("quantile"))).as("__lo"),
+        max(when(col("q") === hiQ, col("quantile"))).as("__hi"))
+    val v = col(valueCol).cast("double")
+    df.filter(v.isNotNull && !isnan(v))
+      .join(caps, df(keyCol) <=> col("__ck"), "left")
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        count(when(v >= col("__lo") && v <= col("__hi"), lit(1)))
+          .as("n_kept"),
+        avg(when(v >= col("__lo") && v <= col("__hi"), v))
+          .as("trimmed_mean"),
+        avg(least(greatest(v, col("__lo")), col("__hi")))
+          .as("winsorized_mean"))
+  }
+
   /** Per-group robust scaling: `(x - median_g) / IQR_g` with exact
     * np.interp quantiles (sklearn `RobustScaler` parity, grouped) —
     * the outlier-insensitive alternative to [[standardizeByGroup]].

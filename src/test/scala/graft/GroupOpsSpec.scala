@@ -286,4 +286,33 @@ class GroupOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     assert(down.exists(_ == ("a", 1.0)) && !down.contains(("a", 4.0)))
   }
+
+  test("trimmedStats: outliers deleted from the trimmed mean, pulled " +
+      "to the fence in the winsorized; counts exact; NaN missing") {
+    import org.apache.spark.sql.Row
+    // group a: 1..9 plus a 1e6 sentinel; p10/p90 interp fences over
+    // 10 values at q=.1/.9 -> lo=1.(interp), hi well under 1e6
+    val rows = ((1 to 9).map(i => Row("a", i.toDouble)) :+
+      Row("a", 1e6) :+ Row("a", Double.NaN) :+ Row("a", null)) ++
+      Seq(Row("b", 5.0))
+    val d = df("k STRING, v DOUBLE", rows)
+    val out = graft.operators.GroupOps
+      .trimmedStats(d, "k", "v", loQ = 0.1, hiQ = 0.9)
+      .orderBy("k").collect()
+    val a = out(0)
+    assert(a.getLong(1) == 10L)      // NaN + null excluded from n
+    assert(a.getLong(2) < 10L)       // the sentinel is outside
+    // trimmed mean unpoisoned: within [1, 9]-ish, nowhere near 1e5
+    assert(a.getDouble(3) > 1.0 && a.getDouble(3) < 10.0)
+    // winsorized mean: sentinel pulled to the hi fence, so larger
+    // than the trimmed mean but far below the sentinel/10
+    assert(a.getDouble(4) > a.getDouble(3) && a.getDouble(4) < 1e5)
+    // singleton group: lo = hi = the value, nothing trimmed
+    val b = out(1)
+    assert(b.getLong(1) == 1L && b.getLong(2) == 1L &&
+      b.getDouble(3) == 5.0 && b.getDouble(4) == 5.0)
+    intercept[IllegalArgumentException] {
+      graft.operators.GroupOps.trimmedStats(d, "k", "v", 0.9, 0.1)
+    }
+  }
 }
