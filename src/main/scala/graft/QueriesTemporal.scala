@@ -185,6 +185,19 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q275_activity_profile" -> ((s, dir) => {
+      // regularity features per user: hour histogram entropy (exact
+      // one-pass rearrangement, round-6) + integer-encoded peak hour
+      // whose tie rule is pure integer math on both engines
+      graft.operators.Behavior.activityProfile(
+        tbl(s, dir, "events"), "user_id", "ts")
+        .select(col("user_id"), col("n_events"),
+          col("n_active_hours"),
+          round(col("hour_entropy"), 6).as("hour_entropy"),
+          col("peak_hour"))
+        .orderBy("user_id")
+    }),
+
     "q273_attribution" -> ((s, dir) => {
       // first/last-touch attribution: each purchase reads the view/
       // click touches strictly before it in its own 30-min session;
@@ -880,6 +893,26 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // identical hour histogram, entropy rearrangement
+    // ln(N) - sum(n ln n)/N, and the n*128 - hour peak encoding
+    "q275_activity_profile" ->
+      """WITH h AS (SELECT user_id,
+        |    CAST(hour(ts) AS BIGINT) AS hh,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (SELECT user_id,
+        |    CAST(SUM(n) AS BIGINT) AS n_events,
+        |    CAST(COUNT(*) AS BIGINT) AS n_active_hours,
+        |    SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS nl,
+        |    CAST(MAX(n * 128 - hh) AS BIGINT) AS e
+        |  FROM h GROUP BY 1)
+        |SELECT user_id, n_events, n_active_hours,
+        |  ROUND(ln(CAST(n_events AS DOUBLE))
+        |    - nl / CAST(n_events AS DOUBLE), 6) AS hour_entropy,
+        |  CAST(((e + 23) // 128) * 128 - e AS BIGINT) AS peak_hour
+        |FROM r ORDER BY 1""".stripMargin,
 
     // q39's session SQL + strictly-prior in-session touch window,
     // identical IGNORE NULLS carries and touch count

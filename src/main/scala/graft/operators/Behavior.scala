@@ -118,6 +118,43 @@ object Behavior {
           .as("lift"))
   }
 
+  /** Per-entity hour-of-day activity profile — the regularity
+    * features bot/automation detection and engagement models read:
+    * event count, distinct active hours, the Shannon entropy of the
+    * hour-of-day distribution (0 = always the same hour — cron-like;
+    * ln 24 = uniform — human-implausible at volume), and the
+    * deterministic peak hour (most events; ties → smallest hour).
+    *
+    * Shape: one (entity, hour) count (map-side combined, ≤ 24 rows
+    * per entity), one entity rollup. Entropy uses the same one-pass
+    * exact rearrangement as the corpus report card:
+    * `H = ln(N) − Σ n_h·ln(n_h) / N` — no per-row p division. The
+    * peak rides the SAME rollup as one max over the integer encoding
+    * `n·128 − hour` (monotone in (n, −hour) for hour < 128), so the
+    * tie rule is engine-independent integer math, not an arg_max
+    * whose tie behavior is unspecified.
+    */
+  def activityProfile(df: DataFrame, entity: String, ts: String)
+      : DataFrame = {
+    val perHour = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .groupBy(col(entity),
+        hour(col(ts).cast("timestamp")).cast("long").as("__h"))
+      .agg(count(lit(1)).as("__n"))
+    perHour.groupBy(col(entity))
+      .agg(sum(col("__n")).as("n_events"),
+        count(lit(1)).as("n_active_hours"),
+        sum(col("__n").cast("double") *
+          log(col("__n").cast("double"))).as("__nl"),
+        max(col("__n") * 128L - col("__h")).as("__e"))
+      .select(col(entity), col("n_events"), col("n_active_hours"),
+        (log(col("n_events").cast("double")) -
+          col("__nl") / col("n_events").cast("double"))
+          .as("hour_entropy"),
+        (floor((col("__e") + 23L) / 128L).cast("long") * 128L -
+          col("__e")).as("peak_hour"))
+  }
+
   /** Session touch attribution: every CONVERSION event reads the
     * first touch, last touch, and touch count among the qualifying
     * touch events STRICTLY BEFORE it in the SAME gap session — the

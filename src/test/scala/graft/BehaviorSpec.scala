@@ -190,6 +190,30 @@ class BehaviorSpec extends SparkSpec {
       plan)
   }
 
+  test("activityProfile: entropy extremes, deterministic peak-hour " +
+      "tie to the smaller hour, exact counts") {
+    val rows =
+      // u1: 4 events all at hour 10 -> entropy 0, peak 10
+      (1 to 4).map(i => Row("u1", ts(s"2024-01-0$i 10:00:00"))) ++
+      // u2: hours 3 and 7, two each -> H = ln 2, tie -> peak 3
+      Seq(Row("u2", ts("2024-01-01 03:00:00")),
+        Row("u2", ts("2024-01-02 03:30:00")),
+        Row("u2", ts("2024-01-01 07:00:00")),
+        Row("u2", ts("2024-01-02 07:30:00")),
+        // u3: hour 23 vs hour 0, 23 wins on count
+        Row("u3", ts("2024-01-01 23:00:00")),
+        Row("u3", ts("2024-01-02 23:00:00")),
+        Row("u3", ts("2024-01-01 00:00:00")))
+    val d = df("u STRING, ts TIMESTAMP", rows)
+    val out = Behavior.activityProfile(d, "u", "ts").orderBy("u")
+      .collect()
+    assert(out(0).getLong(1) == 4L && out(0).getLong(2) == 1L)
+    assert(out(0).getDouble(3) == 0.0 && out(0).getLong(4) == 10L)
+    assert(math.abs(out(1).getDouble(3) - math.log(2.0)) < 1e-12)
+    assert(out(1).getLong(4) == 3L) // tie 2-2 -> smaller hour
+    assert(out(2).getLong(4) == 23L) // count beats hour ordering
+  }
+
   test("rfmScores: exact triples, NTILE replica handles uneven " +
       "buckets exactly like SQL NTILE") {
     // 7 users, nBins=5: NTILE sizes 2,2,1,1,1 (rem=2 get q+1=2)
