@@ -185,6 +185,19 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q276_hazard_features" -> ((s, dir) => {
+      // Poisson churn score per user: observed rate + memoryless
+      // survival at the corpus anchor; singletons refuse (null),
+      // never a 0/0 NaN; round-6 absorbs the exp() libm ulp
+      graft.operators.Behavior.hazardFeatures(
+        tbl(s, dir, "events"), "user_id", "ts")
+        .select(col("user_id"), col("n_events"), col("span_us"),
+          col("recency_us"),
+          round(col("events_per_day"), 6).as("events_per_day"),
+          round(col("p_active"), 6).as("p_active"))
+        .orderBy("user_id")
+    }),
+
     "q275_activity_profile" -> ((s, dir) => {
       // regularity features per user: hour histogram entropy (exact
       // one-pass rearrangement, round-6) + integer-encoded peak hour
@@ -893,6 +906,30 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // identical one-agg rate fit and the same double chain inside
+    // ROUND: (n-1)/span scaled to days, exp(-(n-1)/span * recency)
+    "q276_hazard_features" ->
+      """WITH b AS (SELECT user_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    MIN(epoch_us(ts)) AS first_us,
+        |    MAX(epoch_us(ts)) AS last_us
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT MAX(last_us) AS asof FROM b)
+        |SELECT user_id, n_events,
+        |  last_us - first_us AS span_us,
+        |  g.asof - last_us AS recency_us,
+        |  CASE WHEN last_us - first_us > 0 THEN
+        |    ROUND(CAST(n_events - 1 AS DOUBLE) * 86400000000.0
+        |      / CAST(last_us - first_us AS DOUBLE), 6) END
+        |    AS events_per_day,
+        |  CASE WHEN last_us - first_us > 0 THEN
+        |    ROUND(EXP(-(CAST(n_events - 1 AS DOUBLE)
+        |      / CAST(last_us - first_us AS DOUBLE))
+        |      * CAST(g.asof - last_us AS DOUBLE)), 6) END
+        |    AS p_active
+        |FROM b, g ORDER BY 1""".stripMargin,
 
     // identical hour histogram, entropy rearrangement
     // ln(N) - sum(n ln n)/N, and the n*128 - hour peak encoding

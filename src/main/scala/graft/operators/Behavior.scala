@@ -118,6 +118,44 @@ object Behavior {
           .as("lift"))
   }
 
+  /** Per-entity exponential-hazard churn features: the constant-rate
+    * (Poisson) activity model fitted per entity in one aggregation —
+    * `rate = (n−1) / span` events per unit time over the entity's
+    * observed lifetime — read out as events/day and the survival
+    * probability that the entity is still active now:
+    * `p_active = exp(−rate · time_since_last_event)` (the
+    * exponential's memoryless tail; the standard first-cut churn
+    * score before anything parametric). Single-event entities have
+    * no observable rate: rate and p_active are null, never a
+    * divide-by-zero NaN.
+    *
+    * One map-side-combined groupBy (min/max/count per entity) + the
+    * corpus max-ts anchor as a 1-row broadcast — no window, no
+    * second pass. The readout expression is one fixed double chain
+    * replayed verbatim by the oracle; exp() may differ by an ulp
+    * across libm builds, absorbed by the query-level round-6.
+    */
+  def hazardFeatures(df: DataFrame, entity: String, ts: String)
+      : DataFrame = {
+    val tus = unix_micros(col(ts).cast("timestamp"))
+    val base = df.filter(col(entity).isNotNull && col(ts).isNotNull)
+      .groupBy(col(entity))
+      .agg(count(lit(1)).as("n_events"),
+        min(tus).as("__first_us"), max(tus).as("__last_us"))
+    val asOf = base.agg(max(col("__last_us")).as("__asof"))
+    val span = col("__last_us") - col("__first_us")
+    val rec = col("__asof") - col("__last_us")
+    val nm1 = (col("n_events") - 1).cast("double")
+    val perDay = when(span > 0,
+      nm1 * lit(86400000000.0) / span.cast("double"))
+    val pActive = when(span > 0,
+      exp(-(nm1 / span.cast("double")) * rec.cast("double")))
+    base.crossJoin(broadcast(asOf))
+      .select(col(entity), col("n_events"), span.as("span_us"),
+        rec.as("recency_us"), perDay.as("events_per_day"),
+        pActive.as("p_active"))
+  }
+
   /** Per-entity hour-of-day activity profile — the regularity
     * features bot/automation detection and engagement models read:
     * event count, distinct active hours, the Shannon entropy of the

@@ -190,6 +190,30 @@ class BehaviorSpec extends SparkSpec {
       plan)
   }
 
+  test("hazardFeatures: golden rate and survival, singleton refuses " +
+      "with nulls, corpus anchor from the data") {
+    val d = df("u STRING, ts TIMESTAMP", Seq(
+      // u1: 3 events over 2 days -> rate 1/day; last 1 day before asof
+      Row("u1", ts("2024-01-01 00:00:00")),
+      Row("u1", ts("2024-01-02 00:00:00")),
+      Row("u1", ts("2024-01-03 00:00:00")),
+      // u2: the corpus anchor (asof); singleton
+      Row("u2", ts("2024-01-04 00:00:00"))))
+    val out = Behavior.hazardFeatures(d, "u", "ts").orderBy("u")
+      .collect()
+    val u1 = out(0)
+    assert(u1.getLong(1) == 3L)
+    assert(u1.getLong(2) == 2L * 86400000000L)
+    assert(u1.getLong(3) == 86400000000L)
+    assert(u1.getDouble(4) == 1.0) // 2 gaps over 2 days
+    // p_active = exp(-(2/2days) * 1day) = e^-1
+    assert(math.abs(u1.getDouble(5) - math.exp(-1.0)) < 1e-12)
+    val u2 = out(1)
+    assert(u2.getLong(1) == 1L && u2.getLong(2) == 0L &&
+      u2.getLong(3) == 0L)
+    assert(u2.isNullAt(4) && u2.isNullAt(5)) // no rate from one event
+  }
+
   test("activityProfile: entropy extremes, deterministic peak-hour " +
       "tie to the smaller hour, exact counts") {
     val rows =
