@@ -185,6 +185,19 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q277_rate_of_change" -> ((s, dir) => {
+      // irregular-dt velocity/acceleration per user: difference
+      // quotients against the nearest prior OBSERVED reading, null
+      // rows carry nothing, zero dt refuses; fixed double chain
+      // replayed by the oracle, round-6 readout
+      WindowOps.rateOfChange(tbl(s, dir, "events"), "user_id", "ts",
+        "value", tieBreak = Seq("event_id"))
+        .select(col("event_id"),
+          round(col("value_d1"), 6).as("value_d1"),
+          round(col("value_d2"), 6).as("value_d2"))
+        .orderBy("event_id")
+    }),
+
     "q276_hazard_features" -> ((s, dir) => {
       // Poisson churn score per user: observed rate + memoryless
       // survival at the corpus anchor; singletons refuse (null),
@@ -906,6 +919,39 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // identical observed-prior carries and the same two difference
+    // quotients; (v-pv)/((t-pt)/1e6) chain inside ROUND on both
+    "q277_rate_of_change" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+        |    epoch_us(ts) AS t
+        |  FROM events),
+        |s1 AS (SELECT event_id, user_id, value, t,
+        |    LAST_VALUE(CASE WHEN value IS NOT NULL THEN value END
+        |      IGNORE NULLS) OVER w AS pv,
+        |    LAST_VALUE(CASE WHEN value IS NOT NULL THEN t END
+        |      IGNORE NULLS) OVER w AS pt
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |d1 AS (SELECT event_id, user_id, t,
+        |    CASE WHEN value IS NOT NULL AND pv IS NOT NULL
+        |      AND t > pt THEN (value - pv)
+        |        / (CAST(t - pt AS DOUBLE) / 1e6) END AS v_d1
+        |  FROM s1),
+        |s2 AS (SELECT event_id, v_d1,
+        |    LAST_VALUE(CASE WHEN v_d1 IS NOT NULL THEN v_d1 END
+        |      IGNORE NULLS) OVER w AS pd1,
+        |    LAST_VALUE(CASE WHEN v_d1 IS NOT NULL THEN t END
+        |      IGNORE NULLS) OVER w AS pdt, t
+        |  FROM d1 WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, ROUND(v_d1, 6) AS value_d1,
+        |  ROUND(CASE WHEN v_d1 IS NOT NULL AND pd1 IS NOT NULL
+        |    AND t > pdt THEN (v_d1 - pd1)
+        |      / (CAST(t - pdt AS DOUBLE) / 1e6) END, 6) AS value_d2
+        |FROM s2 ORDER BY 1""".stripMargin,
 
     // identical one-agg rate fit and the same double chain inside
     // ROUND: (n-1)/span scaled to days, exp(-(n-1)/span * recency)

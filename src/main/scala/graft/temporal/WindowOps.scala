@@ -450,6 +450,49 @@ object WindowOps {
       twm.as(s"${valueCol}_twm"): _*)
   }
 
+  /** Irregular-interval discrete derivatives — per-row VELOCITY
+    * `(v_t − v_prev) / Δt_s` against the nearest PRIOR OBSERVED
+    * reading, and ACCELERATION as the same difference quotient over
+    * the velocity series. The spike/trend-change primitive for
+    * sensor and spend series where fixed-lag differences are
+    * meaningless under bursty sampling (a 1-second and a 1-week gap
+    * must not produce comparable "deltas").
+    *
+    * Missing (null/NaN) readings carry nothing: they emit null
+    * derivatives and the next observation differentiates against the
+    * last OBSERVED row (not the null). A zero time step (same-instant
+    * tie) refuses with null rather than ±Inf. Two stacked
+    * projections on the SAME (entity, ts, tie) window (window-in-
+    * window is illegal; both ride one exchange + one sort); the
+    * double chain `(v−pv) / ((t−pt)/1e6)` is fixed for the oracle.
+    */
+  def rateOfChange(df: DataFrame, entity: String, ts: String,
+      valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = (col(ts) +: tieBreak.map(col)).map(_.asc)
+    val spec = Window.partitionBy(col(entity)).orderBy(ord: _*)
+    val prior = spec.rowsBetween(Window.unboundedPreceding, -1)
+    val tus = unix_micros(col(ts).cast("timestamp"))
+    val v = cleanDouble(valueCol)
+    def diffQuotient(cur: Column, curOk: Column, prevV: Column,
+        prevT: Column): Column =
+      when(curOk && prevV.isNotNull && tus > prevT,
+        (cur - prevV) / ((tus - prevT).cast("double") / lit(1e6)))
+    val pv = last(when(v.isNotNull, v), ignoreNulls = true).over(prior)
+    val pt = last(when(v.isNotNull, tus), ignoreNulls = true)
+      .over(prior)
+    val step1 = df.select(df.columns.map(col).toIndexedSeq :+
+      diffQuotient(v, v.isNotNull, pv, pt)
+        .as(s"${valueCol}_d1"): _*)
+    val d1 = col(s"${valueCol}_d1")
+    val pd1 = last(when(d1.isNotNull, d1), ignoreNulls = true)
+      .over(prior)
+    val pdt = last(when(d1.isNotNull, tus), ignoreNulls = true)
+      .over(prior)
+    step1.select(step1.columns.map(col).toIndexedSeq :+
+      diffQuotient(d1, d1.isNotNull, pd1, pdt)
+        .as(s"${valueCol}_d2"): _*)
+  }
+
   def rollingCorr(df: DataFrame, entity: String, ts: String,
       xCol: String, yCol: String, k: Int, minObs: Int = 2,
       tieBreak: Seq[String] = Nil): DataFrame = {

@@ -438,6 +438,35 @@ class WindowOpsSpec extends SparkSpec {
     assert(out(6).getDouble(4) == 4.0) // 4 held for 10 covered secs
   }
 
+  test("rateOfChange: golden quotients, null rows carry nothing, " +
+      "first observations and zero dt refuse, one exchange") {
+    val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
+      Row(1L, ts("2024-01-01 10:00:00"), 1L, 10.0),
+      Row(1L, ts("2024-01-01 10:00:10"), 2L, 30.0), // +2/s
+      Row(1L, ts("2024-01-01 10:00:20"), 3L, null), // gap: no carry
+      Row(1L, ts("2024-01-01 10:00:30"), 4L, 70.0), // vs id2: 2/s over 20s
+      Row(1L, ts("2024-01-01 10:00:40"), 5L, 90.0), // +2/s again
+      Row(2L, ts("2024-01-01 10:00:00"), 6L, 5.0)))
+    val out = WindowOps.rateOfChange(d, "e", "ts", "v",
+      tieBreak = Seq("id")).orderBy("id").collect()
+    def g(i: Int, c: String) = {
+      val j = out(i).fieldIndex(c)
+      if (out(i).isNullAt(j)) null else out(i).getDouble(j)
+    }
+    assert(g(0, "v_d1") == null)            // first observation
+    assert(g(1, "v_d1") == 2.0)             // (30-10)/10
+    assert(g(2, "v_d1") == null)            // missing reading
+    assert(g(3, "v_d1") == 2.0)             // (70-30)/20, skips null
+    assert(g(1, "v_d2") == null)            // first velocity
+    assert(g(3, "v_d2") == 0.0)             // (2-2)/20
+    assert(g(4, "v_d2") == 0.0)
+    assert(g(5, "v_d1") == null)            // entity 2 singleton
+    val plan = WindowOps.rateOfChange(d, "e", "ts", "v", Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan)
+  }
+
   test("timeWeightedMean stacks on ONE exchange, no extra sort") {
     val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
       Row(1L, ts("2024-01-01 10:00:00"), 1L, 1.0)))
