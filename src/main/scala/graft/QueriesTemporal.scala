@@ -185,6 +185,20 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q278_trend_fit" -> ((s, dir) => {
+      // whole-history OLS trend per user: exact centered decimal
+      // moments (Σt, Σt², Σtv, Σv², HUGEINT-replicable), one double
+      // division chain at readout replayed verbatim by the oracle;
+      // slope surfaced per-day so round-6 keeps real precision
+      WindowOps.trendFit(tbl(s, dir, "events"), "user_id", "ts",
+        "value")
+        .select(col("user_id"), col("n_obs"),
+          round(col("trend_slope") * 86400d, 6).as("slope_per_day"),
+          round(col("trend_intercept"), 6).as("trend_intercept"),
+          round(col("r2"), 6).as("r2"))
+        .orderBy("user_id")
+    }),
+
     "q277_rate_of_change" -> ((s, dir) => {
       // irregular-dt velocity/acceleration per user: difference
       // quotients against the nearest prior OBSERVED reading, null
@@ -919,6 +933,48 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // identical exact integer moments (HUGEINT vs decimal(38,0)),
+    // identical centering off the entity's min instant, and the
+    // same double chains num/den*86400, (sv-num/den*st)/n/1e6,
+    // num^2/(den*dvv) inside ROUND on both engines
+    "q278_trend_fit" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+        |    CASE WHEN value IS NOT NULL
+        |      THEN CAST(round(value * 1e6) AS BIGINT) END AS m
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT user_id, m,
+        |    t - MIN(t) OVER (PARTITION BY user_id) AS ct
+        |  FROM e),
+        |a AS (SELECT user_id,
+        |    CAST(COUNT(m) AS BIGINT) AS n_obs,
+        |    SUM(CASE WHEN m IS NOT NULL
+        |      THEN CAST(ct AS HUGEINT) END) AS st,
+        |    SUM(CAST(m AS HUGEINT)) AS sv,
+        |    SUM(CASE WHEN m IS NOT NULL
+        |      THEN CAST(ct AS HUGEINT) * ct END) AS stt,
+        |    SUM(CAST(ct AS HUGEINT) * m) AS stv,
+        |    SUM(CAST(m AS HUGEINT) * m) AS svv
+        |  FROM c GROUP BY 1),
+        |d AS (SELECT user_id, n_obs, st, sv,
+        |    CAST(n_obs AS HUGEINT) * stv - st * sv AS num,
+        |    CAST(n_obs AS HUGEINT) * stt - st * st AS den,
+        |    CAST(n_obs AS HUGEINT) * svv - sv * sv AS dvv
+        |  FROM a)
+        |SELECT user_id, n_obs,
+        |  CASE WHEN n_obs >= 2 AND den > 0 THEN
+        |    ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |      * 86400.0, 6) END AS slope_per_day,
+        |  CASE WHEN n_obs >= 2 AND den > 0 THEN
+        |    ROUND((CAST(sv AS DOUBLE) - CAST(num AS DOUBLE)
+        |        / CAST(den AS DOUBLE) * CAST(st AS DOUBLE))
+        |      / CAST(n_obs AS DOUBLE) / 1e6, 6) END
+        |    AS trend_intercept,
+        |  CASE WHEN n_obs >= 2 AND den > 0 AND dvv > 0 THEN
+        |    ROUND(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        |      / (CAST(den AS DOUBLE) * CAST(dvv AS DOUBLE)), 6) END
+        |    AS r2
+        |FROM d ORDER BY 1""".stripMargin,
 
     // identical observed-prior carries and the same two difference
     // quotients; (v-pv)/((t-pt)/1e6) chain inside ROUND on both

@@ -450,6 +450,64 @@ object WindowOps {
       twm.as(s"${valueCol}_twm"): _*)
   }
 
+  /** Whole-history per-entity OLS trend fit — ONE row per entity
+    * with `n_obs`, `trend_slope` (value units per second),
+    * `trend_intercept` (fitted value at the entity's first instant)
+    * and `r2` — the global-trend companion of [[rollingCorr]]'s
+    * per-event local beta (q263): feature stores keep both (is the
+    * account growing at all vs is it accelerating right now).
+    *
+    * Exactness: time is CENTERED per entity (t − min(t), a window
+    * min that rides the same entity exchange as the rollup) so the
+    * integer moments Σt, Σt², Σtv stay inside decimal(38,0) even
+    * with epoch-microsecond inputs — uncentered Σt² at 10^4 events
+    * would need ~10^35·n and overflow. Values are exact micro-units.
+    * slope = (nΣtv−ΣtΣv)/(nΣt²−(Σt)²) lands in value-per-second
+    * DIRECTLY (micro-value per micro-second), one double division;
+    * degenerate entities (n < 2 or zero time spread) refuse with
+    * nulls. Missing (null/NaN) values are excluded observations.
+    */
+  def trendFit(df: DataFrame, entity: String, ts: String,
+      valueCol: String): DataFrame = {
+    val spec = Window.partitionBy(col(entity))
+    val tus = unix_micros(col(ts).cast("timestamp"))
+    val v = cleanDouble(valueCol)
+    val m = microUnits(v)
+    val dt = when(m.isNotNull, tus - min(tus).over(spec))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val withM = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .select(col(entity), dt.as("__t"), m.as("__m"))
+    val agg = withM.groupBy(col(entity)).agg(
+      count(col("__m")).as("n_obs"),
+      d38(sum(col("__t"))).as("__st"),
+      d38(sum(col("__m"))).as("__sv"),
+      sum((d19(col("__t")) * d19(col("__t"))).cast("decimal(38,0)"))
+        .as("__stt"),
+      sum((d19(col("__t")) * d19(col("__m"))).cast("decimal(38,0)"))
+        .as("__stv"),
+      sum((d19(col("__m")) * d19(col("__m"))).cast("decimal(38,0)"))
+        .as("__svv"))
+    val n38 = col("n_obs").cast("decimal(38,0)")
+    val num = n38 * col("__stv") - col("__st") * col("__sv")
+    val den = n38 * col("__stt") - col("__st") * col("__st")
+    val dvv = n38 * col("__svv") - col("__sv") * col("__sv")
+    val nullD = lit(null).cast("double")
+    val slope = when(col("n_obs") < 2 || den <= 0, nullD)
+      .otherwise(num.cast("double") / den.cast("double"))
+    val intercept = when(col("n_obs") < 2 || den <= 0, nullD)
+      .otherwise((col("__sv").cast("double") -
+        num.cast("double") / den.cast("double") *
+          col("__st").cast("double")) /
+        col("n_obs").cast("double") / lit(1e6))
+    val r2 = when(col("n_obs") < 2 || den <= 0 || dvv <= 0, nullD)
+      .otherwise(num.cast("double") * num.cast("double") /
+        (den.cast("double") * dvv.cast("double")))
+    agg.select(col(entity), col("n_obs"), slope.as("trend_slope"),
+      intercept.as("trend_intercept"), r2.as("r2"))
+  }
+
   /** Irregular-interval discrete derivatives — per-row VELOCITY
     * `(v_t − v_prev) / Δt_s` against the nearest PRIOR OBSERVED
     * reading, and ACCELERATION as the same difference quotient over

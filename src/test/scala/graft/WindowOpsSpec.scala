@@ -486,4 +486,57 @@ class WindowOpsSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
     assert(!plan.contains("SinglePartition"), plan.take(600))
   }
+
+  test("trendFit: exact OLS per entity, centering off the entity's " +
+      "first instant (null-value rows included), degenerates refuse") {
+    val d = df("e BIGINT, ts TIMESTAMP, v DOUBLE", Seq(
+      // perfect line: slope 0.1/s, intercept 1.0, r2 1.0
+      Row(1L, ts("2024-01-01 10:00:00"), 1.0),
+      Row(1L, ts("2024-01-01 10:00:10"), 2.0),
+      Row(1L, ts("2024-01-01 10:00:20"), 3.0),
+      // leading null row anchors centering but isn't an observation:
+      // intercept extrapolates BACK to the null row's instant
+      Row(2L, ts("2024-01-01 10:00:00"), null),
+      Row(2L, ts("2024-01-01 10:00:10"), 4.0),
+      Row(2L, ts("2024-01-01 10:00:30"), 8.0),
+      Row(3L, ts("2024-01-01 10:00:00"), 5.0),   // singleton
+      Row(4L, ts("2024-01-01 10:00:00"), 4.0),   // flat: r2 refuses
+      Row(4L, ts("2024-01-01 10:00:10"), 4.0),
+      Row(5L, ts("2024-01-01 10:00:00"), 1.0),   // zero time spread
+      Row(5L, ts("2024-01-01 10:00:00"), 2.0),
+      Row(6L, ts("2024-01-01 10:00:00"), null))) // nothing observed
+    val out = WindowOps.trendFit(d, "e", "ts", "v").orderBy("e")
+      .collect()
+    def g(i: Int, c: String) = {
+      val j = out(i).fieldIndex(c)
+      if (out(i).isNullAt(j)) null else out(i).getDouble(j)
+    }
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 2L, 1L, 2L, 2L, 0L))
+    assert(math.abs(g(0, "trend_slope").asInstanceOf[Double] - 0.1)
+      < 1e-12)
+    assert(math.abs(g(0, "trend_intercept").asInstanceOf[Double] - 1.0)
+      < 1e-9)
+    assert(math.abs(g(0, "r2").asInstanceOf[Double] - 1.0) < 1e-12)
+    // entity 2: (8-4)/(30-10)=0.2/s; back at t=0 (the null row): 2.0
+    assert(math.abs(g(1, "trend_slope").asInstanceOf[Double] - 0.2)
+      < 1e-12)
+    assert(math.abs(g(1, "trend_intercept").asInstanceOf[Double] - 2.0)
+      < 1e-9)
+    assert(g(2, "trend_slope") == null)  // n < 2
+    assert(g(3, "trend_slope") == 0.0)   // flat line fits exactly
+    assert(g(3, "r2") == null)           // zero value variance
+    assert(g(4, "trend_slope") == null)  // den = 0
+    assert(g(5, "trend_slope") == null)  // no observations at all
+  }
+
+  test("trendFit runs on ONE exchange: the centering window and the " +
+      "moment rollup share the entity partitioning") {
+    val d = df("e BIGINT, ts TIMESTAMP, v DOUBLE", Seq(
+      Row(1L, ts("2024-01-01 10:00:00"), 1.0)))
+    val plan = WindowOps.trendFit(d, "e", "ts", "v")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan)
+    assert(!plan.contains("SinglePartition"), plan.take(600))
+  }
 }
