@@ -185,6 +185,30 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q280_day_streak" -> ((s, dir) => {
+      // per-event running consecutive-active-day streak: exact
+      // integer day grid (epoch_us div 86400e6), islands over the
+      // small distinct-day frame, joined back — pure integer math
+      graft.operators.Behavior.activeDayStreak(
+        tbl(s, dir, "events"), "user_id", "ts")
+        .select(col("event_id"), col("streak_days"))
+        .orderBy("event_id")
+    }),
+
+    "q279_burstiness" -> ((s, dir) => {
+      // inter-arrival gap moments per user: telescoped Σdt + exact
+      // decimal Σdt², then the μ/σ/cv/Goh-Barabási-B double chain
+      // replayed verbatim by the oracle (IEEE sqrt both sides)
+      graft.operators.Behavior.interArrivalStats(
+        tbl(s, dir, "events"), "user_id", "ts")
+        .select(col("user_id"), col("n_gaps"),
+          round(col("mean_gap_s"), 6).as("mean_gap_s"),
+          round(col("std_gap_s"), 6).as("std_gap_s"),
+          round(col("cv_gap"), 6).as("cv_gap"),
+          round(col("burstiness"), 6).as("burstiness"))
+        .orderBy("user_id")
+    }),
+
     "q278_trend_fit" -> ((s, dir) => {
       // whole-history OLS trend per user: exact centered decimal
       // moments (Σt, Σt², Σtv, Σv², HUGEINT-replicable), one double
@@ -933,6 +957,57 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // identical distinct-day islands over the same integer day grid
+    // and the same (entity, day) attach join — BIGINT end to end
+    "q280_day_streak" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    epoch_us(ts) // 86400000000 AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |days AS (SELECT DISTINCT user_id, d FROM e),
+        |s AS (SELECT user_id, d,
+        |    CASE WHEN LAG(d) OVER w IS NULL
+        |        OR d != LAG(d) OVER w + 1 THEN d END AS st
+        |  FROM days WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+        |r AS (SELECT user_id, d,
+        |    d - LAST_VALUE(st IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING) + 1 AS streak_days
+        |  FROM s)
+        |SELECT e.event_id,
+        |  CAST(r.streak_days AS BIGINT) AS streak_days
+        |FROM e JOIN r ON e.user_id = r.user_id AND e.d = r.d
+        |ORDER BY 1""".stripMargin,
+
+    // identical telescoped/exact integer gap moments (HUGEINT vs
+    // decimal(38,0)) and the same mu/sigma/cv/B double chains —
+    // sqrt is correctly rounded on both engines
+    "q279_burstiness" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |g AS (SELECT user_id,
+        |    t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) AS dt
+        |  FROM e),
+        |a AS (SELECT user_id,
+        |    CAST(COUNT(dt) AS BIGINT) AS n_gaps,
+        |    SUM(CAST(dt AS HUGEINT)) AS sdt,
+        |    SUM(CAST(dt AS HUGEINT) * dt) AS sdd
+        |  FROM g GROUP BY 1),
+        |d AS (SELECT user_id, n_gaps,
+        |    CAST(sdt AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+        |    sqrt(CAST(CAST(n_gaps AS HUGEINT) * sdd - sdt * sdt
+        |        AS DOUBLE)) / CAST(n_gaps AS DOUBLE) AS sig
+        |  FROM a)
+        |SELECT user_id, n_gaps,
+        |  CASE WHEN n_gaps >= 1
+        |    THEN ROUND(mu / 1e6, 6) END AS mean_gap_s,
+        |  CASE WHEN n_gaps >= 1
+        |    THEN ROUND(sig / 1e6, 6) END AS std_gap_s,
+        |  CASE WHEN n_gaps >= 1 AND mu > 0
+        |    THEN ROUND(sig / mu, 6) END AS cv_gap,
+        |  CASE WHEN n_gaps >= 1 AND sig + mu > 0
+        |    THEN ROUND((sig - mu) / (sig + mu), 6) END AS burstiness
+        |FROM d ORDER BY 1""".stripMargin,
 
     // identical exact integer moments (HUGEINT vs decimal(38,0)),
     // identical centering off the entity's min instant, and the

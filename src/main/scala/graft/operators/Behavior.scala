@@ -453,4 +453,99 @@ object Behavior {
         col("value"), col("run_start_us"), col("run_end_us"),
         col("run_len"))
   }
+
+  /** Per-entity inter-arrival-time distribution features — the
+    * burstiness triple bot detection and engagement models read:
+    * `n_gaps`, `mean_gap_s`, `std_gap_s` (population), `cv_gap`
+    * (σ/μ; 0 = perfectly periodic cron, 1 = Poisson, >1 = bursty)
+    * and Goh–Barabási burstiness `B = (σ−μ)/(σ+μ)` ∈ [−1, 1]
+    * (−1 periodic, 0 Poisson, →1 human-bursty).
+    *
+    * Exactness: Σdt telescopes to `max(t) − min(t)` and Σdt² is an
+    * exact decimal(38,0) of BIGINT microsecond gaps, so
+    * `g·Σdt² − (Σdt)²` (the variance numerator, ≥ 0 by
+    * Cauchy–Schwarz on exact integers) is engine-independent; the
+    * only floats are the final μ = Σdt/g, σ = √num/g divisions and
+    * the B/cv ratios — IEEE `sqrt` is correctly rounded, so an
+    * oracle replaying the same chain agrees to the ulp. Ties in
+    * `ts` need no tie-break: the gap MULTISET of a sorted multiset
+    * is order-unique (tied rows contribute exact 0 gaps wherever
+    * they land), so the moments are engine-independent; zero gaps
+    * between simultaneous events are kept — a burst IS zero gaps.
+    * Entities with < 2
+    * events refuse with nulls (n_gaps = 0); zero-σ+μ entities (all
+    * events simultaneous) refuse cv and B rather than emit 0/0.
+    *
+    * Scale shape: one entity exchange shared by the lag window and
+    * the rollup (window keys ⊆ group keys) — no second shuffle, no
+    * driver state. Σdt² at 10^4 gaps of a year in µs is ~10^30,
+    * safely inside decimal(38,0).
+    */
+  def interArrivalStats(df: DataFrame, entity: String, ts: String)
+      : DataFrame = {
+    val tus = unix_micros(col(ts).cast("timestamp"))
+    val w = Window.partitionBy(col(entity)).orderBy(col("__us").asc)
+    val gapped = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .select(col(entity), tus.as("__us"))
+      .select(col(entity),
+        (col("__us") - lag(col("__us"), 1).over(w)).as("__dt"))
+    val agg = gapped.groupBy(col(entity)).agg(
+      count(col("__dt")).as("n_gaps"),
+      sum(col("__dt")).cast("decimal(38,0)").as("__sdt"),
+      sum((col("__dt").cast("decimal(19,0)") *
+        col("__dt").cast("decimal(19,0)")).cast("decimal(38,0)"))
+        .as("__sdd"))
+    val g = col("n_gaps").cast("double")
+    val num = (col("n_gaps").cast("decimal(38,0)") * col("__sdd") -
+      col("__sdt") * col("__sdt"))
+    val mu = col("__sdt").cast("double") / g
+    val sig = sqrt(num.cast("double")) / g
+    val nullD = lit(null).cast("double")
+    val some = col("n_gaps") >= 1
+    agg.select(col(entity), col("n_gaps"),
+      when(some, mu / lit(1e6)).otherwise(nullD).as("mean_gap_s"),
+      when(some, sig / lit(1e6)).otherwise(nullD).as("std_gap_s"),
+      when(some && mu > 0, sig / mu).otherwise(nullD).as("cv_gap"),
+      when(some && sig + mu > 0, (sig - mu) / (sig + mu))
+        .otherwise(nullD).as("burstiness"))
+  }
+
+  /** Per-event RUNNING consecutive-active-day streak — "day 7 of a
+    * 7-day streak" as a point-in-time feature every event can read
+    * without future leakage: the number of consecutive UTC days up
+    * to and including the event's own day on which the entity had at
+    * least one event. Days are exact integer `epoch_us div 86400e6`
+    * buckets (no calendar/DST dependence), so the streak is pure
+    * integer math on both engines.
+    *
+    * Scale shape: the distinct (entity, day) frame is one exchange
+    * and is ~|entities|·|days| — orders of magnitude smaller than
+    * the event log; the island window (lag + running last) rides
+    * that same exchange. Attaching back to events is one
+    * (entity, day) shuffle join of the full log against the small
+    * day frame — never an event-grain window, so a 10^7-event
+    * entity costs the same as its distinct-day count.
+    */
+  def activeDayStreak(df: DataFrame, entity: String, ts: String)
+      : DataFrame = {
+    val dayOf = expr(
+      s"unix_micros(cast($ts as timestamp)) div 86400000000")
+    val days = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .select(col(entity), dayOf.as("__day"))
+      .distinct()
+    val w = Window.partitionBy(col(entity)).orderBy(col("__day").asc)
+    val prev = lag(col("__day"), 1).over(w)
+    val start = when(prev.isNull || col("__day") =!= prev + 1,
+      col("__day"))
+    val streaks = days.select(col(entity), col("__day"),
+      (col("__day") - last(start, ignoreNulls = true).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        + 1L).as("streak_days"))
+    df.filter(col(entity).isNotNull && col(ts).isNotNull)
+      .withColumn("__day", dayOf)
+      .join(streaks, Seq(entity, "__day"))
+      .drop("__day")
+  }
 }

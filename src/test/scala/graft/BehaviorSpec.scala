@@ -339,4 +339,70 @@ class BehaviorSpec extends SparkSpec {
     assert(s(1) == -math.log(2.0 / 3.0))
     assert(s(5) == -math.log(1.0 / 3.0))
   }
+
+  test("interArrivalStats: golden periodic/bursty gap moments, " +
+      "singletons refuse, all-simultaneous refuses the ratios") {
+    val d = df("u STRING, ts TIMESTAMP", Seq(
+      // u1: perfectly periodic 10s gaps -> cv 0, burstiness -1
+      Row("u1", ts("2024-01-01 10:00:00")),
+      Row("u1", ts("2024-01-01 10:00:10")),
+      Row("u1", ts("2024-01-01 10:00:20")),
+      Row("u1", ts("2024-01-01 10:00:30")),
+      // u2: gaps 0s (tie) and 20s -> mu 10s, sigma 10s, B 0, cv 1
+      Row("u2", ts("2024-01-01 10:00:00")),
+      Row("u2", ts("2024-01-01 10:00:00")),
+      Row("u2", ts("2024-01-01 10:00:20")),
+      Row("u3", ts("2024-01-01 10:00:00")),      // singleton
+      // u4: all simultaneous -> mu=sigma=0, cv/B refuse
+      Row("u4", ts("2024-01-01 10:00:00")),
+      Row("u4", ts("2024-01-01 10:00:00")),
+      Row(null, ts("2024-01-01 10:00:00"))))
+    val out = Behavior.interArrivalStats(d, "u", "ts")
+      .orderBy("u").collect()
+    def g(i: Int, c: String) = {
+      val j = out(i).fieldIndex(c)
+      if (out(i).isNullAt(j)) null else out(i).getDouble(j)
+    }
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 2L, 0L, 1L))
+    assert(g(0, "mean_gap_s") == 10.0)
+    assert(g(0, "std_gap_s") == 0.0)
+    assert(g(0, "cv_gap") == 0.0)
+    assert(g(0, "burstiness") == -1.0)
+    assert(g(1, "mean_gap_s") == 10.0)
+    assert(g(1, "std_gap_s") == 10.0)
+    assert(g(1, "cv_gap") == 1.0)
+    assert(g(1, "burstiness") == 0.0)
+    assert(g(2, "mean_gap_s") == null)           // n < 2
+    assert(g(3, "mean_gap_s") == 0.0)            // one zero gap
+    assert(g(3, "cv_gap") == null)               // 0/0 refused
+    assert(g(3, "burstiness") == null)
+  }
+
+  test("interArrivalStats runs on ONE exchange: the gap window and " +
+      "the moment rollup share the entity partitioning") {
+    val d = df("u STRING, ts TIMESTAMP", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"))))
+    val plan = Behavior.interArrivalStats(d, "u", "ts")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan)
+    assert(!plan.contains("SinglePartition"), plan.take(600))
+  }
+
+  test("activeDayStreak: per-event running streak, gaps reset, " +
+      "UTC-day grid, repeat events on a day share its streak") {
+    val d = df("u STRING, ts TIMESTAMP, id BIGINT", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), 1L), // day 1 of 1
+      Row("u1", ts("2024-01-02 09:00:00"), 2L), // day 2 of streak
+      Row("u1", ts("2024-01-02 23:00:00"), 3L), // still day 2
+      Row("u1", ts("2024-01-03 00:30:00"), 4L), // day 3
+      Row("u1", ts("2024-01-05 10:00:00"), 5L), // gap: reset to 1
+      Row("u1", ts("2024-01-06 10:00:00"), 6L), // 2 again
+      Row("u2", ts("2024-01-04 10:00:00"), 7L)))
+    val out = Behavior.activeDayStreak(d, "u", "ts")
+      .orderBy("id").collect()
+    val j = out(0).fieldIndex("streak_days")
+    assert(out.map(_.getLong(j)).toSeq ==
+      Seq(1L, 2L, 2L, 3L, 1L, 2L, 1L))
+  }
 }
