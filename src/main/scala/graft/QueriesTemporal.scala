@@ -185,6 +185,29 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q282_hour_lift" -> ((s, dir) => {
+      // per-(user, hour) personalization lift vs the corpus hour
+      // histogram: exact cross-multiplied integer products, two
+      // double divisions at readout replayed by the oracle
+      graft.operators.Behavior.hourLift(
+        tbl(s, dir, "events"), "user_id", "ts")
+        .select(col("user_id"), col("hh"), col("n_eh"), col("n_e"),
+          round(col("share"), 6).as("share"),
+          round(col("lift"), 6).as("lift"))
+        .orderBy("user_id", "hh")
+    }),
+
+    "q281_rank_normalize" -> ((s, dir) => {
+      // within-user exact percentile rank of value: RANK among
+      // non-null observations only, (rank-1)/(n-1) — integers to
+      // one double division, ties split identically on both engines
+      WindowOps.rankNormalize(tbl(s, dir, "events"), "user_id",
+        "value")
+        .select(col("event_id"),
+          round(col("value_pct"), 6).as("value_pct"))
+        .orderBy("event_id")
+    }),
+
     "q280_day_streak" -> ((s, dir) => {
       // per-event running consecutive-active-day streak: exact
       // integer day grid (epoch_us div 86400e6), islands over the
@@ -957,6 +980,44 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // identical (entity,hour)/entity/hour/global exact counts and
+    // the same cross-multiplied double divisions inside ROUND
+    "q282_hour_lift" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(hour(ts) AS BIGINT) AS hh FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |eh AS (SELECT user_id, hh, CAST(COUNT(*) AS BIGINT) AS n_eh
+        |  FROM e GROUP BY 1, 2),
+        |pe AS (SELECT user_id, CAST(SUM(n_eh) AS BIGINT) AS n_e
+        |  FROM eh GROUP BY 1),
+        |ph AS (SELECT hh, CAST(SUM(n_eh) AS BIGINT) AS n_gh
+        |  FROM eh GROUP BY 1),
+        |g AS (SELECT CAST(SUM(n_gh) AS BIGINT) AS n_g FROM ph)
+        |SELECT eh.user_id, eh.hh, eh.n_eh, pe.n_e,
+        |  ROUND(CAST(eh.n_eh AS DOUBLE) / CAST(pe.n_e AS DOUBLE), 6)
+        |    AS share,
+        |  ROUND(CAST(CAST(eh.n_eh AS HUGEINT) * g.n_g AS DOUBLE)
+        |    / CAST(CAST(pe.n_e AS HUGEINT) * ph.n_gh AS DOUBLE), 6)
+        |    AS lift
+        |FROM eh JOIN pe USING (user_id) JOIN ph USING (hh), g
+        |ORDER BY 1, 2""".stripMargin,
+
+    // identical rank-among-non-null arithmetic: RANK minus the
+    // partition null count, one (rk-1)/(n-1) double division
+    "q281_rank_normalize" ->
+      """WITH r AS (SELECT event_id, value,
+        |    RANK() OVER (PARTITION BY user_id
+        |      ORDER BY value ASC NULLS FIRST) AS rk,
+        |    SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id) AS nn,
+        |    COUNT(value) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN value IS NOT NULL AND n >= 2 THEN
+        |    ROUND(CAST(rk - nn - 1 AS DOUBLE)
+        |      / CAST(n - 1 AS DOUBLE), 6) END AS value_pct
+        |FROM r ORDER BY 1""".stripMargin,
 
     // identical distinct-day islands over the same integer day grid
     // and the same (entity, day) attach join — BIGINT end to end

@@ -511,6 +511,45 @@ object Behavior {
         .otherwise(nullD).as("burstiness"))
   }
 
+  /** Per-(entity, hour-of-day) personalization lift — how much MORE
+    * than the corpus does THIS entity act at hour `h`:
+    * `lift = (n_eh / n_e) / (n_gh / n_g)` (1 = population-typical,
+    * >1 = personally characteristic hour), plus the entity share
+    * itself. The cross-multiplied form
+    * `(n_eh · n_g) / (n_e · n_gh)` keeps everything exact integers
+    * (decimal(38,0) products) until ONE double division, so the
+    * oracle replays it bit-for-bit; `n_gh` ≥ `n_eh` > 0 by
+    * construction, so the ratio never divides by zero.
+    *
+    * Scale shape: one (entity, hour) count (map-side combined), a
+    * ≤24-row global hour histogram REDUCED FROM that frame (never a
+    * second pass over events) broadcast onto it, and a per-entity
+    * rollup of ≤24 rows per entity. No event-grain join anywhere.
+    */
+  def hourLift(df: DataFrame, entity: String, ts: String)
+      : DataFrame = {
+    val perEH = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .groupBy(col(entity),
+        hour(col(ts).cast("timestamp")).cast("long").as("hh"))
+      .agg(count(lit(1)).as("n_eh"))
+    val perE = perEH.groupBy(col(entity))
+      .agg(sum(col("n_eh")).as("n_e"))
+    val perH = perEH.groupBy(col("hh"))
+      .agg(sum(col("n_eh")).as("n_gh"))
+    val global = perH.agg(sum(col("n_gh")).as("n_g"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val lift = (d38(col("n_eh")) * d38(col("n_g"))).cast("double") /
+      (d38(col("n_e")) * d38(col("n_gh"))).cast("double")
+    perEH.join(perE, Seq(entity))
+      .join(broadcast(perH), Seq("hh"))
+      .crossJoin(broadcast(global))
+      .select(col(entity), col("hh"), col("n_eh"), col("n_e"),
+        (col("n_eh").cast("double") / col("n_e").cast("double"))
+          .as("share"),
+        lift.as("lift"))
+  }
+
   /** Per-event RUNNING consecutive-active-day streak — "day 7 of a
     * 7-day streak" as a point-in-time feature every event can read
     * without future leakage: the number of consecutive UTC days up

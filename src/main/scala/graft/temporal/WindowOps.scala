@@ -450,6 +450,38 @@ object WindowOps {
       twm.as(s"${valueCol}_twm"): _*)
   }
 
+  /** Within-entity exact percentile rank of a value column —
+    * `<value>_pct = (rank − 1) / (n_obs − 1)` ∈ [0, 1], where
+    * `rank` is the SQL RANK (ties share the smallest rank) among
+    * the entity's NON-NULL observations only: missing readings
+    * (null/NaN) read null and never count in `n_obs`, unlike the
+    * built-in `percent_rank` whose denominator counts every
+    * partition row. This is the rank-normalization step feature
+    * stores apply before monotone models; integers end to end with
+    * ONE double division at readout, so an oracle replaying
+    * `(rank − 1) / (n − 1)` agrees exactly. Entities with a single
+    * observation refuse (null), never 0/0.
+    *
+    * Scale shape: one entity exchange; the rank window (orderBy
+    * value NULLS FIRST) and the two unordered-frame counts all ride
+    * it. Rank is ORDER-only — no arithmetic on the value — so
+    * double vs decimal representation cannot split ties
+    * differently across engines.
+    */
+  def rankNormalize(df: DataFrame, entity: String,
+      valueCol: String): DataFrame = {
+    val v = cleanDouble(valueCol)
+    val part = Window.partitionBy(col(entity))
+    val ranked = rank().over(part.orderBy(v.asc_nulls_first))
+    val nNull = count(when(v.isNull, lit(1))).over(part)
+    val nObs = count(v).over(part)
+    val r = ranked - nNull // rank among non-null observations
+    val pct = when(v.isNotNull && nObs >= 2,
+      (r - 1).cast("double") / (nObs - 1).cast("double"))
+    df.select(df.columns.map(col).toIndexedSeq :+
+      pct.as(s"${valueCol}_pct"): _*)
+  }
+
   /** Whole-history per-entity OLS trend fit — ONE row per entity
     * with `n_obs`, `trend_slope` (value units per second),
     * `trend_intercept` (fitted value at the entity's first instant)

@@ -389,6 +389,31 @@ class BehaviorSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan.take(600))
   }
 
+  test("hourLift: exact cross-multiplied lift vs the corpus hour " +
+      "histogram, shares sum to 1 per entity") {
+    val d = df("u STRING, ts TIMESTAMP", Seq(
+      Row("u1", ts("2024-01-01 10:00:00")),
+      Row("u1", ts("2024-01-01 10:10:00")),
+      Row("u1", ts("2024-01-02 10:20:00")),
+      Row("u1", ts("2024-01-01 11:00:00")),
+      Row("u2", ts("2024-01-01 10:00:00")),
+      Row("u2", ts("2024-01-01 11:00:00")),
+      Row("u2", ts("2024-01-02 11:00:00")),
+      Row("u2", ts("2024-01-03 11:00:00"))))
+    val out = Behavior.hourLift(d, "u", "ts").orderBy("u", "hh")
+      .collect()
+    val got = out.map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3),
+      r.getDouble(r.fieldIndex("share")),
+      r.getDouble(r.fieldIndex("lift")))).toSeq
+    // global: hour10 -> 4, hour11 -> 4, n_g = 8
+    assert(got == Seq(
+      ("u1", 10L, 3L, 4L, 0.75, 1.5),  // (3/4)/(4/8)
+      ("u1", 11L, 1L, 4L, 0.25, 0.5),
+      ("u2", 10L, 1L, 4L, 0.25, 0.5),
+      ("u2", 11L, 3L, 4L, 0.75, 1.5)))
+  }
+
   test("activeDayStreak: per-event running streak, gaps reset, " +
       "UTC-day grid, repeat events on a day share its streak") {
     val d = df("u STRING, ts TIMESTAMP, id BIGINT", Seq(

@@ -529,6 +529,37 @@ class WindowOpsSpec extends SparkSpec {
     assert(g(5, "trend_slope") == null)  // no observations at all
   }
 
+  test("rankNormalize: exact (rank-1)/(n-1) among non-null only, " +
+      "ties share the low rank, NaN/null read null, singletons " +
+      "refuse, one exchange") {
+    val d = df("e STRING, id BIGINT, v DOUBLE", Seq(
+      Row("a", 1L, 10.0),
+      Row("a", 2L, 20.0),
+      Row("a", 3L, 20.0),
+      Row("a", 4L, 40.0),
+      Row("a", 5L, null),
+      Row("a", 6L, Double.NaN),
+      Row("b", 7L, 5.0)))
+    val out = WindowOps.rankNormalize(d, "e", "v").orderBy("id")
+      .collect()
+    def g(i: Int) = {
+      val j = out(i).fieldIndex("v_pct")
+      if (out(i).isNullAt(j)) null else out(i).getDouble(j)
+    }
+    assert(g(0) == 0.0)
+    assert(g(1) == 1.0 / 3.0)
+    assert(g(2) == 1.0 / 3.0)   // tie shares the smaller rank
+    assert(g(3) == 1.0)
+    assert(g(4) == null)        // missing reading
+    assert(g(5) == null)        // NaN is missing, not greatest
+    assert(g(6) == null)        // singleton entity refuses
+    val plan = WindowOps.rankNormalize(d, "e", "v")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan)
+    assert(!plan.contains("SinglePartition"), plan.take(600))
+  }
+
   test("trendFit runs on ONE exchange: the centering window and the " +
       "moment rollup share the entity partitioning") {
     val d = df("e BIGINT, ts TIMESTAMP, v DOUBLE", Seq(
