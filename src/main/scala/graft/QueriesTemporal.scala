@@ -185,6 +185,32 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q284_rolling_robust_z" -> ((s, dir) => {
+      // trailing-5 robust z: exact interp median + MAD over the
+      // sorted frame, zero-MAD refuses; the oracle replays the
+      // identical list/sort/interp double chain via list lambdas
+      WindowOps.rollingRobustZ(tbl(s, dir, "events"), "user_id",
+        "ts", "value", k = 5, tieBreak = Seq("event_id"))
+        .select(col("event_id"),
+          round(col("value_rmed"), 6).as("value_rmed"),
+          round(col("value_robust_z"), 6).as("value_robust_z"))
+        .orderBy("event_id")
+    }),
+
+    "q283_session_position" -> ((s, dir) => {
+      // PIT-safe in-session position: 1-based ordinal + exact
+      // integer micros since session start over the q39 gap rule —
+      // never the session's future (length/duration stay offline)
+      WindowOps.sessionPosition(
+        tbl(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull),
+        "user_id", "ts", gapSeconds = 1800L,
+        tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("session_event_seq"),
+          col("us_into_session"))
+        .orderBy("event_id")
+    }),
+
     "q282_hour_lift" -> ((s, dir) => {
       // per-(user, hour) personalization lift vs the corpus hour
       // histogram: exact cross-multiplied integer products, two
@@ -980,6 +1006,73 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // identical sorted trailing frame (NaN/null filtered), the same
+    // interp median on it and on the |x-med| transform, the same
+    // (v-med)/(1.4826*mad) chain — list lambdas replay Spark's
+    // array ops exactly
+    "q284_rolling_robust_z" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+        |    CASE WHEN isnan(value) THEN NULL ELSE value END AS v
+        |  FROM events),
+        |f AS (SELECT event_id, v,
+        |    list_sort(list(v) FILTER (v IS NOT NULL) OVER (
+        |      PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM e),
+        |m AS (SELECT event_id, v, arr, len(arr) AS n,
+        |    CAST((len(arr) - 1) AS DOUBLE) * 0.5 AS pos
+        |  FROM f),
+        |md AS (SELECT event_id, v, arr, n,
+        |    CASE WHEN n = 0 THEN NULL
+        |      WHEN pos = floor(pos) THEN
+        |        arr[CAST(floor(pos) AS INTEGER) + 1]
+        |      ELSE arr[CAST(floor(pos) AS INTEGER) + 1]
+        |        + (arr[least(CAST(floor(pos) AS INTEGER) + 2, n)]
+        |           - arr[CAST(floor(pos) AS INTEGER) + 1])
+        |          * (pos - floor(pos)) END AS med
+        |  FROM m),
+        |ab AS (SELECT event_id, v, med,
+        |    list_sort(list_transform(arr, x -> abs(x - med))) AS aa,
+        |    n, CAST((n - 1) AS DOUBLE) * 0.5 AS pos
+        |  FROM md),
+        |mm AS (SELECT event_id, v, med,
+        |    CASE WHEN n = 0 THEN NULL
+        |      WHEN pos = floor(pos) THEN
+        |        aa[CAST(floor(pos) AS INTEGER) + 1]
+        |      ELSE aa[CAST(floor(pos) AS INTEGER) + 1]
+        |        + (aa[least(CAST(floor(pos) AS INTEGER) + 2, n)]
+        |           - aa[CAST(floor(pos) AS INTEGER) + 1])
+        |          * (pos - floor(pos)) END AS mad
+        |  FROM ab)
+        |SELECT event_id, ROUND(med, 6) AS value_rmed,
+        |  ROUND(CASE WHEN v IS NOT NULL AND med IS NOT NULL
+        |    AND mad > 0 THEN (v - med) / (1.4826 * mad) END, 6)
+        |    AS value_robust_z
+        |FROM mm ORDER BY 1""".stripMargin,
+
+    // q39's session SQL + the same (user, session) ordinal window
+    // and running session-start min — BIGINT end to end
+    "q283_session_position" ->
+      """WITH t AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+        |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         IS NULL
+        |    OR date_diff('microsecond',
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+        |       > 1800000000
+        |  THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s AS (SELECT event_id, user_id, us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM t)
+        |SELECT event_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id, sid
+        |    ORDER BY us, event_id) AS BIGINT) AS session_event_seq,
+        |  us - MIN(us) OVER (PARTITION BY user_id, sid
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+        |    AS us_into_session
+        |FROM s ORDER BY 1""".stripMargin,
 
     // identical (entity,hour)/entity/hour/global exact counts and
     // the same cross-multiplied double divisions inside ROUND

@@ -232,6 +232,88 @@ object WindowOps {
     base.select(df.columns.map(col).toIndexedSeq :+ v.as(out): _*)
   }
 
+  /** Per-event IN-SESSION position features — the point-in-time
+    * trio a ranking model can read at serve time without leakage:
+    * `session_event_seq` (1-based ordinal of the event inside its
+    * gap session) and `us_into_session` (exact integer microseconds
+    * since the session's first event). Deliberately NO session
+    * length/duration here — those read the session's FUTURE; use
+    * [[sessionStats]] for offline session-grain features.
+    *
+    * Scale shape: [[sessionize]]'s one entity exchange; the
+    * (entity, session) ordinal window and the running session-start
+    * min hash-satisfy on the same exchange (entity ⊆ keys), so the
+    * whole op is one shuffle + one sort. Integer math end to end.
+    */
+  def sessionPosition(df: DataFrame, entity: String, ts: String,
+      gapSeconds: Long, tieBreak: Seq[String] = Nil): DataFrame = {
+    val sess = sessionize(df, entity, ts, gapSeconds)
+    val ord = (col(ts) +: tieBreak.map(col)).map(_.asc)
+    val sw = Window.partitionBy(col(entity), col("session_id"))
+      .orderBy(ord: _*)
+    val tus = unix_micros(col(ts).cast("timestamp"))
+    sess.select(sess.columns.map(col).toIndexedSeq ++ Seq(
+      row_number().over(sw).cast("long").as("session_event_seq"),
+      (tus - min(tus).over(
+        sw.rowsBetween(Window.unboundedPreceding, 0)))
+        .as("us_into_session")): _*)
+  }
+
+  /** Trailing-k ROBUST z-score — `(x − med) / (1.4826 · MAD)` over
+    * the last k observations, where `med` is the exact
+    * linear-interpolation median of the frame and `MAD` the same
+    * median of `|x_i − med|`: the outlier score that, unlike
+    * [[rollingZScore]], a single spike cannot drag its own baseline
+    * with (breakdown point 50% vs 0%). NaN/null are missing
+    * readings ([[cleanDouble]]) and never enter the frame; a
+    * zero-MAD frame (≥ half the readings identical) refuses with
+    * null rather than emit ±∞.
+    *
+    * Exactness: the frame array, both sorts, and the interp chain
+    * `lo + (hi − lo) · frac` are plain double ops an oracle replays
+    * verbatim (list aggregates + lambdas); no engine-ordered float
+    * summation anywhere. Cost: O(k log k) per row on the ONE entity
+    * exchange — same contract and k-cap as [[rollingQuantile]].
+    */
+  def rollingRobustZ(df: DataFrame, entity: String, ts: String,
+      valueCol: String, k: Int, tieBreak: Seq[String] = Nil)
+      : DataFrame = {
+    require(k >= 1, s"rollingRobustZ: k >= 1, got $k")
+    require(k <= 10000,
+      s"rollingRobustZ: per-row frame buffer is O(k); k=$k > 10000 " +
+        "would balloon window state — use rollingRange aggs instead")
+    val spec = Window.partitionBy(col(entity))
+      .orderBy((col(ts) +: tieBreak.map(col)): _*)
+      .rowsBetween(-(k - 1), 0)
+    val arr = array_sort(collect_list(cleanDouble(valueCol)).over(spec))
+    val base = df.select(
+      df.columns.map(col).toIndexedSeq :+ arr.as("__rz_arr"): _*)
+    def interpMedian(a: Column): Column = {
+      val n = size(a)
+      val pos = (n - 1).cast("double") * lit(0.5)
+      val lo = floor(pos).cast("int")
+      val frac = pos - lo.cast("double")
+      val loV = element_at(a, lo + 1)
+      val hiV = element_at(a, least(lo + lit(2), n))
+      when(n === 0, lit(null).cast("double"))
+        .when(frac === 0.0, loV)
+        .otherwise(loV + (hiV - loV) * frac)
+    }
+    val med = interpMedian(col("__rz_arr"))
+    val withMed = base.select(
+      df.columns.map(col).toIndexedSeq ++ Seq(
+        col("__rz_arr"), med.as("__rz_med")): _*)
+    val absArr = array_sort(transform(col("__rz_arr"),
+      e => abs(e - col("__rz_med"))))
+    val mad = interpMedian(absArr)
+    val v = cleanDouble(valueCol)
+    val z = when(v.isNotNull && col("__rz_med").isNotNull &&
+      mad > 0, (v - col("__rz_med")) / (lit(1.4826) * mad))
+    withMed.select(df.columns.map(col).toIndexedSeq ++ Seq(
+      col("__rz_med").as(s"${valueCol}_rmed"),
+      z.as(s"${valueCol}_robust_z")): _*)
+  }
+
   /** LEAKAGE-FREE expanding target mean: for each row, the mean of
     * `valueCol` over all STRICTLY EARLIER rows of the same `keyCol`
     * (frame ends at 1 PRECEDING — the row never sees its own label,

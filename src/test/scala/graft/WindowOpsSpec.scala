@@ -560,6 +560,67 @@ class WindowOpsSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan.take(600))
   }
 
+  test("sessionPosition: 1-based in-session ordinal and exact " +
+      "micros since session start, gap resets, one exchange") {
+    val d = df("e STRING, ts TIMESTAMP, id BIGINT", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), 1L),
+      Row("u1", ts("2024-01-01 10:00:05"), 2L),
+      Row("u1", ts("2024-01-01 10:40:00"), 3L), // > 30min gap
+      Row("u1", ts("2024-01-01 10:40:10"), 4L),
+      Row("u2", ts("2024-01-01 10:00:00"), 5L)))
+    val out = WindowOps.sessionPosition(d, "e", "ts", 1800L,
+      tieBreak = Seq("id")).orderBy("id").collect()
+    def seq(i: Int) =
+      out(i).getLong(out(i).fieldIndex("session_event_seq"))
+    def us(i: Int) =
+      out(i).getLong(out(i).fieldIndex("us_into_session"))
+    assert((0 to 4).map(seq) == Seq(1L, 2L, 1L, 2L, 1L))
+    assert((0 to 4).map(us) ==
+      Seq(0L, 5000000L, 0L, 10000000L, 0L))
+    val plan = WindowOps.sessionPosition(d, "e", "ts", 1800L,
+      Seq("id")).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan)
+    assert(!plan.contains("SinglePartition"), plan.take(600))
+  }
+
+  test("rollingRobustZ: interp median/MAD over the trailing frame, " +
+      "zero MAD refuses, NaN is missing, even frames interpolate") {
+    val d = df("e STRING, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
+      Row("a", ts("2024-01-01 10:00:00"), 1L, 1.0),
+      Row("a", ts("2024-01-01 10:00:01"), 2L, 2.0),
+      Row("a", ts("2024-01-01 10:00:02"), 3L, 3.0),
+      Row("a", ts("2024-01-01 10:00:03"), 4L, 4.0),
+      Row("a", ts("2024-01-01 10:00:04"), 5L, 100.0),
+      Row("b", ts("2024-01-01 10:00:00"), 6L, 10.0),
+      Row("b", ts("2024-01-01 10:00:01"), 7L, 10.0),
+      Row("b", ts("2024-01-01 10:00:02"), 8L, 10.0),
+      Row("b", ts("2024-01-01 10:00:03"), 9L, 50.0),
+      Row("c", ts("2024-01-01 10:00:00"), 10L, Double.NaN),
+      Row("c", ts("2024-01-01 10:00:01"), 11L, 2.0)))
+    val out = WindowOps.rollingRobustZ(d, "e", "ts", "v", k = 5,
+      tieBreak = Seq("id")).orderBy("id").collect()
+    def g(i: Int, c: String) = {
+      val j = out(i).fieldIndex(c)
+      if (out(i).isNullAt(j)) null else out(i).getDouble(j)
+    }
+    // a@id5: frame [1,2,3,4,100] med 3, MAD 1 -> z = 97/1.4826
+    assert(g(4, "v_rmed") == 3.0)
+    assert(math.abs(g(4, "v_robust_z").asInstanceOf[Double] -
+      97.0 / 1.4826) < 1e-9)
+    // a@id2: frame [1,2] med 1.5, MAD 0.5
+    assert(g(1, "v_rmed") == 1.5)
+    assert(math.abs(g(1, "v_robust_z").asInstanceOf[Double] -
+      0.5 / (1.4826 * 0.5)) < 1e-12)
+    // b@id9: frame [10,10,10,50] med 10, MAD 0 -> refuse
+    assert(g(8, "v_rmed") == 10.0)
+    assert(g(8, "v_robust_z") == null)
+    // c: NaN never enters the frame; id11 frame is just [2]
+    assert(g(9, "v_rmed") == null || g(9, "v_rmed") == 2.0)
+    assert(g(10, "v_rmed") == 2.0)
+    assert(g(10, "v_robust_z") == null) // MAD 0 on a 1-frame
+  }
+
   test("trendFit runs on ONE exchange: the centering window and the " +
       "moment rollup share the entity partitioning") {
     val d = df("e BIGINT, ts TIMESTAMP, v DOUBLE", Seq(
