@@ -185,6 +185,31 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q286_weekpart_profile" -> ((s, dir) => {
+      // weekday/weekend contrast per user: exact decimal micro sums
+      // on the shared dayofweek grid, double divisions at readout
+      WindowOps.weekpartProfile(tbl(s, dir, "events"), "user_id",
+        "ts", "value")
+        .select(col("user_id"), col("n_weekday"), col("n_weekend"),
+          round(col("mean_weekday"), 6).as("mean_weekday"),
+          round(col("mean_weekend"), 6).as("mean_weekend"),
+          round(col("weekend_share"), 6).as("weekend_share"),
+          round(col("weekend_contrast"), 6).as("weekend_contrast"))
+        .orderBy("user_id")
+    }),
+
+    "q285_recency_by_type" -> ((s, dir) => {
+      // strictly-prior per-type recency carries: integer micros
+      // since the user's last purchase / click / error — the same
+      // IGNORE NULLS window carries on both engines
+      WindowOps.recencyByType(tbl(s, dir, "events"), "user_id",
+        "ts", "event_type", Seq("purchase", "click", "error"),
+        tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("us_since_purchase"),
+          col("us_since_click"), col("us_since_error"))
+        .orderBy("event_id")
+    }),
+
     "q284_rolling_robust_z" -> ((s, dir) => {
       // trailing-5 robust z: exact interp median + MAD over the
       // sorted frame, zero-MAD refuses; the oracle replays the
@@ -1005,6 +1030,55 @@ object QueriesTemporal {
         |    AS INTEGER) AS funnel_depth
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
+        |ORDER BY 1""".stripMargin,
+
+    // identical weekend grid (Sun/Sat), exact conditional HUGEINT
+    // micro sums, and the same per-side division chains inside ROUND
+    "q286_weekpart_profile" ->
+      """WITH e AS (SELECT user_id,
+        |    CASE WHEN value IS NOT NULL
+        |      THEN CAST(round(value * 1e6) AS BIGINT) END AS m,
+        |    dayofweek(ts) IN (0, 6) AS we
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |a AS (SELECT user_id,
+        |    CAST(COUNT(CASE WHEN NOT we THEN m END) AS BIGINT)
+        |      AS n_weekday,
+        |    CAST(COUNT(CASE WHEN we THEN m END) AS BIGINT)
+        |      AS n_weekend,
+        |    SUM(CASE WHEN NOT we THEN CAST(m AS HUGEINT) END) AS swd,
+        |    SUM(CASE WHEN we THEN CAST(m AS HUGEINT) END) AS swe
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, n_weekday, n_weekend,
+        |  CASE WHEN n_weekday > 0 THEN ROUND(CAST(swd AS DOUBLE)
+        |    / CAST(n_weekday AS DOUBLE) / 1e6, 6) END AS mean_weekday,
+        |  CASE WHEN n_weekend > 0 THEN ROUND(CAST(swe AS DOUBLE)
+        |    / CAST(n_weekend AS DOUBLE) / 1e6, 6) END AS mean_weekend,
+        |  CASE WHEN n_weekday + n_weekend > 0 THEN
+        |    ROUND(CAST(n_weekend AS DOUBLE)
+        |      / CAST(n_weekday + n_weekend AS DOUBLE), 6) END
+        |    AS weekend_share,
+        |  CASE WHEN n_weekend > 0 AND n_weekday > 0 THEN
+        |    ROUND(CAST(swe AS DOUBLE) / CAST(n_weekend AS DOUBLE)
+        |        / 1e6
+        |      - CAST(swd AS DOUBLE) / CAST(n_weekday AS DOUBLE)
+        |        / 1e6, 6) END AS weekend_contrast
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // identical strictly-prior IGNORE NULLS carries per type; null
+    // timestamps contribute nothing on either engine
+    "q285_recency_by_type" ->
+      """WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+        |    event_type FROM events)
+        |SELECT event_id,
+        |  t - LAST_VALUE(CASE WHEN event_type = 'purchase' THEN t
+        |    END IGNORE NULLS) OVER w AS us_since_purchase,
+        |  t - LAST_VALUE(CASE WHEN event_type = 'click' THEN t
+        |    END IGNORE NULLS) OVER w AS us_since_click,
+        |  t - LAST_VALUE(CASE WHEN event_type = 'error' THEN t
+        |    END IGNORE NULLS) OVER w AS us_since_error
+        |FROM e WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |ORDER BY 1""".stripMargin,
 
     // identical sorted trailing frame (NaN/null filtered), the same

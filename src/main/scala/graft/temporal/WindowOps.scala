@@ -314,6 +314,78 @@ object WindowOps {
       z.as(s"${valueCol}_robust_z")): _*)
   }
 
+  /** Per-event RECENCY-BY-TYPE features — for each requested event
+    * type, the exact integer microseconds since the entity's most
+    * recent STRICTLY EARLIER event of that type
+    * (`us_since_<type>`, null when no such prior event): the
+    * "seconds since last purchase / last error" block of every
+    * behavioral feature vector, leakage-free by the strictly-prior
+    * frame (an event never reads itself even when it IS the type).
+    *
+    * Scale shape: ONE entity exchange and one sort; all N type
+    * carries are `last(..ignoreNulls)` expressions over the same
+    * window spec, so N types cost N running registers, not N
+    * passes. Integer math end to end.
+    */
+  def recencyByType(df: DataFrame, entity: String, ts: String,
+      typeCol: String, types: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(types.nonEmpty, "recencyByType: types must be non-empty")
+    val slugs = types.map(t => t.toLowerCase.replaceAll("[^a-z0-9]+", "_"))
+    require(slugs.distinct.size == types.size,
+      s"recencyByType: types collide after slugging: $types")
+    val spec = Window.partitionBy(col(entity))
+      .orderBy((col(ts) +: tieBreak.map(col)).map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tus = unix_micros(col(ts).cast("timestamp"))
+    val outs = types.zip(slugs).map { case (t, slug) =>
+      (tus - last(when(col(typeCol) === lit(t), tus),
+        ignoreNulls = true).over(spec)).as(s"us_since_$slug")
+    }
+    df.select(df.columns.map(col).toIndexedSeq ++ outs: _*)
+  }
+
+  /** Per-entity WEEKDAY/WEEKEND contrast profile — event counts,
+    * exact-mean values and the weekend lift every engagement model
+    * wants: `n_weekday`, `n_weekend`, `mean_weekday`,
+    * `mean_weekend` (micro-exact sums, one double division each),
+    * `weekend_share` (of counted observations) and
+    * `weekend_contrast = mean_weekend − mean_weekday` (null if
+    * either side has no observations). Weekend = Saturday/Sunday on
+    * the session-TZ calendar (UTC here) — the same `dayofweek`
+    * grid both engines expose.
+    *
+    * Scale shape: one map-side-combined entity rollup; the
+    * conditional sums are exact decimal(38,0) micro-units so the
+    * means are engine-exact, and rows with missing values count in
+    * neither n nor sum.
+    */
+  def weekpartProfile(df: DataFrame, entity: String, ts: String,
+      valueCol: String): DataFrame = {
+    val m = microUnits(cleanDouble(valueCol))
+    val isWeekend = dayofweek(col(ts).cast("timestamp")).isin(1, 7)
+    def side(cond: Column) = (
+      count(when(cond, m)),
+      sum(when(cond, m).cast("decimal(38,0)")))
+    val (nwe, swe) = side(isWeekend)
+    val (nwd, swd) = side(!isWeekend)
+    val agg = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .groupBy(col(entity))
+      .agg(nwd.as("n_weekday"), nwe.as("n_weekend"),
+        swd.as("__swd"), swe.as("__swe"))
+    def mean(s: Column, n: Column) = when(n > 0,
+      s.cast("double") / n.cast("double") / lit(1e6))
+    val mwd = mean(col("__swd"), col("n_weekday"))
+    val mwe = mean(col("__swe"), col("n_weekend"))
+    val total = col("n_weekday") + col("n_weekend")
+    agg.select(col(entity), col("n_weekday"), col("n_weekend"),
+      mwd.as("mean_weekday"), mwe.as("mean_weekend"),
+      when(total > 0, col("n_weekend").cast("double") /
+        total.cast("double")).as("weekend_share"),
+      (mwe - mwd).as("weekend_contrast"))
+  }
+
   /** LEAKAGE-FREE expanding target mean: for each row, the mean of
     * `valueCol` over all STRICTLY EARLIER rows of the same `keyCol`
     * (frame ends at 1 PRECEDING — the row never sees its own label,

@@ -621,6 +621,60 @@ class WindowOpsSpec extends SparkSpec {
     assert(g(10, "v_robust_z") == null) // MAD 0 on a 1-frame
   }
 
+  test("recencyByType: strictly-prior per-type carries, an event " +
+      "never reads itself, no prior reads null, one exchange") {
+    val d = df("e STRING, ts TIMESTAMP, id BIGINT, t STRING", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), 1L, "view"),
+      Row("u1", ts("2024-01-01 10:00:10"), 2L, "purchase"),
+      Row("u1", ts("2024-01-01 10:00:20"), 3L, "view"),
+      Row("u1", ts("2024-01-01 10:00:30"), 4L, "purchase")))
+    val out = WindowOps.recencyByType(d, "e", "ts", "t",
+      Seq("view", "purchase"), tieBreak = Seq("id"))
+      .orderBy("id").collect()
+    def g(i: Int, c: String) = {
+      val j = out(i).fieldIndex(c)
+      if (out(i).isNullAt(j)) null else out(i).getLong(j)
+    }
+    assert(g(0, "us_since_view") == null)
+    assert(g(0, "us_since_purchase") == null)
+    assert(g(1, "us_since_view") == 10000000L)
+    assert(g(1, "us_since_purchase") == null)
+    assert(g(2, "us_since_view") == 20000000L)
+    assert(g(2, "us_since_purchase") == 10000000L)
+    assert(g(3, "us_since_view") == 10000000L)
+    assert(g(3, "us_since_purchase") == 20000000L)
+    val plan = WindowOps.recencyByType(d, "e", "ts", "t",
+      Seq("view", "purchase"), Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan)
+  }
+
+  test("weekpartProfile: exact conditional means on the dayofweek " +
+      "grid, missing values count nowhere, one-sided refuses " +
+      "contrast") {
+    val d = df("e STRING, ts TIMESTAMP, v DOUBLE", Seq(
+      Row("u1", ts("2024-01-06 10:00:00"), 1.0),  // Saturday
+      Row("u1", ts("2024-01-07 10:00:00"), 3.0),  // Sunday
+      Row("u1", ts("2024-01-08 10:00:00"), 10.0), // Monday
+      Row("u1", ts("2024-01-08 11:00:00"), null),
+      Row("u2", ts("2024-01-06 10:00:00"), 5.0)))
+    val out = WindowOps.weekpartProfile(d, "e", "ts", "v")
+      .orderBy("e").collect()
+    def g(i: Int, c: String) = {
+      val j = out(i).fieldIndex(c)
+      if (out(i).isNullAt(j)) null else out(i).getDouble(j)
+    }
+    assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 2L)
+    assert(g(0, "mean_weekday") == 10.0)
+    assert(g(0, "mean_weekend") == 2.0)
+    assert(math.abs(g(0, "weekend_share").asInstanceOf[Double] -
+      2.0 / 3.0) < 1e-12)
+    assert(g(0, "weekend_contrast") == -8.0)
+    assert(g(1, "mean_weekday") == null)
+    assert(g(1, "weekend_contrast") == null)
+  }
+
   test("trendFit runs on ONE exchange: the centering window and the " +
       "moment rollup share the entity partitioning") {
     val d = df("e BIGINT, ts TIMESTAMP, v DOUBLE", Seq(
