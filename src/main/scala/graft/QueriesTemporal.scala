@@ -185,6 +185,30 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q288_lag_autocorr" -> ((s, dir) => {
+      // per-user lag-1/lag-7 row ACF: six exact decimal pair
+      // moments per lag on one exchange, the num/(sqrt*sqrt)
+      // chain replayed verbatim by the oracle
+      WindowOps.lagAutocorr(tbl(s, dir, "events"), "user_id", "ts",
+        "value", lags = Seq(1, 7), tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("lag"), col("n_pairs"),
+          round(col("acf"), 6).as("acf"))
+        .orderBy("user_id", "lag")
+    }),
+
+    "q287_dow_seasonal" -> ((s, dir) => {
+      // weekly seasonal value index per user: exact (user, dow)
+      // micro sums, entity rollup reduced from them, delta and
+      // cross-multiplied ratio off one double chain each
+      graft.operators.Behavior.dowSeasonalIndex(
+        tbl(s, dir, "events"), "user_id", "ts", "value")
+        .select(col("user_id"), col("dow"), col("n_d"),
+          round(col("dow_mean"), 6).as("dow_mean"),
+          round(col("dow_delta"), 6).as("dow_delta"),
+          round(col("dow_index"), 6).as("dow_index"))
+        .orderBy("user_id", "dow")
+    }),
+
     "q286_weekpart_profile" -> ((s, dir) => {
       // weekday/weekend contrast per user: exact decimal micro sums
       // on the shared dayofweek grid, double divisions at readout
@@ -1031,6 +1055,85 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // identical row-lag pairing (LAG counts rows, null values make
+    // a pair invalid), identical exact HUGEINT pair moments, and
+    // the same num/(sqrt*sqrt) double chain inside ROUND
+    "q288_lag_autocorr" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    CASE WHEN value IS NOT NULL
+        |      THEN CAST(round(value * 1e6) AS BIGINT) END AS m
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |l AS (SELECT user_id, m AS y,
+        |    LAG(m, 1) OVER w AS x1, LAG(m, 7) OVER w AS x7
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY t, event_id)),
+        |a AS (
+        |  SELECT user_id, 1 AS lag,
+        |    CAST(COUNT(*) FILTER (x1 IS NOT NULL AND y IS NOT NULL)
+        |      AS BIGINT) AS n,
+        |    SUM(CAST(x1 AS HUGEINT))
+        |      FILTER (y IS NOT NULL) AS sx,
+        |    SUM(CAST(y AS HUGEINT))
+        |      FILTER (x1 IS NOT NULL) AS sy,
+        |    SUM(CAST(x1 AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x1 AS HUGEINT) * x1)
+        |      FILTER (y IS NOT NULL) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y)
+        |      FILTER (x1 IS NOT NULL) AS syy
+        |  FROM l GROUP BY 1
+        |  UNION ALL
+        |  SELECT user_id, 7 AS lag,
+        |    CAST(COUNT(*) FILTER (x7 IS NOT NULL AND y IS NOT NULL)
+        |      AS BIGINT) AS n,
+        |    SUM(CAST(x7 AS HUGEINT))
+        |      FILTER (y IS NOT NULL) AS sx,
+        |    SUM(CAST(y AS HUGEINT))
+        |      FILTER (x7 IS NOT NULL) AS sy,
+        |    SUM(CAST(x7 AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x7 AS HUGEINT) * x7)
+        |      FILTER (y IS NOT NULL) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y)
+        |      FILTER (x7 IS NOT NULL) AS syy
+        |  FROM l GROUP BY 1),
+        |d AS (SELECT user_id, lag, n,
+        |    CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+        |    CAST(n AS HUGEINT) * sxx - sx * sx AS dx,
+        |    CAST(n AS HUGEINT) * syy - sy * sy AS dy
+        |  FROM a)
+        |SELECT user_id, CAST(lag AS INTEGER) AS lag,
+        |  n AS n_pairs,
+        |  CASE WHEN n >= 2 AND dx > 0 AND dy > 0 THEN
+        |    ROUND(CAST(num AS DOUBLE) / (sqrt(CAST(dx AS DOUBLE))
+        |      * sqrt(CAST(dy AS DOUBLE))), 6) END AS acf
+        |FROM d ORDER BY 1, 2""".stripMargin,
+
+    // identical dow grid (+1 to Spark's Sunday=1), exact HUGEINT
+    // micro sums, and the same mean/delta/cross-multiplied chains
+    "q287_dow_seasonal" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |    CASE WHEN value IS NOT NULL
+        |      THEN CAST(round(value * 1e6) AS BIGINT) END AS m
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |pd AS (SELECT user_id, dow,
+        |    CAST(COUNT(m) AS BIGINT) AS n_d,
+        |    SUM(CAST(m AS HUGEINT)) AS s_d
+        |  FROM e GROUP BY 1, 2),
+        |pe AS (SELECT user_id, CAST(SUM(n_d) AS BIGINT) AS n,
+        |    SUM(s_d) AS s FROM pd GROUP BY 1)
+        |SELECT pd.user_id, pd.dow, pd.n_d,
+        |  CASE WHEN n_d > 0 THEN ROUND(CAST(s_d AS DOUBLE)
+        |    / CAST(n_d AS DOUBLE) / 1e6, 6) END AS dow_mean,
+        |  ROUND((CASE WHEN n_d > 0 THEN CAST(s_d AS DOUBLE)
+        |      / CAST(n_d AS DOUBLE) / 1e6 END)
+        |    - (CASE WHEN n > 0 THEN CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) / 1e6 END), 6) AS dow_delta,
+        |  CASE WHEN n_d > 0 AND s IS NOT NULL AND s != 0 THEN
+        |    ROUND(CAST(s_d * n AS DOUBLE)
+        |      / CAST(CAST(n_d AS HUGEINT) * s AS DOUBLE), 6) END
+        |    AS dow_index
+        |FROM pd JOIN pe USING (user_id) ORDER BY 1, 2""".stripMargin,
 
     // identical weekend grid (Sun/Sat), exact conditional HUGEINT
     // micro sums, and the same per-side division chains inside ROUND

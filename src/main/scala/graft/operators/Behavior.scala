@@ -550,6 +550,49 @@ object Behavior {
         lift.as("lift"))
   }
 
+  /** Per-(entity, day-of-week) SEASONAL VALUE INDEX — the weekly
+    * seasonality block a demand/engagement model reads:
+    * `dow_mean` (exact conditional mean of the value on that
+    * weekday), `dow_delta = dow_mean − overall_mean`, and
+    * `dow_index = dow_mean / overall_mean` in the cross-multiplied
+    * exact form `(s_d · n) / (n_d · s)` (refused when the overall
+    * sum is 0 — a ratio to a zero baseline is noise, the delta
+    * still reads). `dow` is Spark's `dayofweek` (1 = Sunday …
+    * 7 = Saturday) on the shared UTC grid.
+    *
+    * Scale shape: one (entity, dow) rollup (≤ 7 rows per entity,
+    * map-side combined) and an entity rollup REDUCED FROM it —
+    * never a second event pass; all sums exact decimal(38,0)
+    * micro-units, divisions at readout only.
+    */
+  def dowSeasonalIndex(df: DataFrame, entity: String, ts: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val clean = when(isnan(v), lit(null)).otherwise(v)
+    val m = round(clean * lit(1e6), 0).cast("long")
+    val perD = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .groupBy(col(entity),
+        dayofweek(col(ts).cast("timestamp")).cast("long").as("dow"))
+      .agg(count(m).as("n_d"),
+        sum(m).cast("decimal(38,0)").as("__s_d"))
+    val perE = perD.groupBy(col(entity))
+      .agg(sum(col("n_d")).as("__n"),
+        sum(col("__s_d")).cast("decimal(38,0)").as("__s"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val dowMean = when(col("n_d") > 0, col("__s_d").cast("double") /
+      col("n_d").cast("double") / lit(1e6))
+    val allMean = when(col("__n") > 0, col("__s").cast("double") /
+      col("__n").cast("double") / lit(1e6))
+    val idx = when(col("n_d") > 0 && col("__s") =!= 0,
+      (col("__s_d") * d38(col("__n"))).cast("double") /
+        (d38(col("n_d")) * col("__s")).cast("double"))
+    perD.join(perE, Seq(entity))
+      .select(col(entity), col("dow"), col("n_d"),
+        dowMean.as("dow_mean"), (dowMean - allMean).as("dow_delta"),
+        idx.as("dow_index"))
+  }
+
   /** Per-event RUNNING consecutive-active-day streak — "day 7 of a
     * 7-day streak" as a point-in-time feature every event can read
     * without future leakage: the number of consecutive UTC days up

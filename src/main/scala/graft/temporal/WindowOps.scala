@@ -386,6 +386,72 @@ object WindowOps {
       (mwe - mwd).as("weekend_contrast"))
   }
 
+  /** Per-entity lag-k AUTOCORRELATION — Pearson r between the
+    * value sequence and itself k ROWS earlier (row-lag ACF, the
+    * memory/momentum feature of classical ts analysis), one output
+    * row per (entity, lag). Pairs where either side is a missing
+    * reading (null/NaN) are excluded; entities with < 2 valid
+    * pairs, or a constant side (zero variance), refuse with null.
+    *
+    * Exactness: both sides are integer micro-units, all six pair
+    * moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact decimal(38,0),
+    * and r is ONE double chain
+    * `(nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²) · √(nΣy²−(Σy)²))` with
+    * correctly-rounded IEEE sqrt — an oracle replaying it agrees to
+    * the ulp. Scale shape: one entity exchange; every lag is one
+    * more `lag()` register on the SAME window sort, and all lag
+    * rollups ride one map-side-combined aggregation (grouping key ⊇
+    * partition key), never a pass per lag.
+    */
+  def lagAutocorr(df: DataFrame, entity: String, ts: String,
+      valueCol: String, lags: Seq[Int],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1),
+      s"lagAutocorr: lags must be >= 1, got $lags")
+    require(lags.distinct.size == lags.size,
+      s"lagAutocorr: duplicate lags: $lags")
+    val spec = Window.partitionBy(col(entity))
+      .orderBy((col(ts) +: tieBreak.map(col)).map(_.asc): _*)
+    val m = microUnits(cleanDouble(valueCol))
+    val base = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .select(col(entity) +: m.as("__y") +:
+        lags.map(k => lag(m, k).over(spec).as(s"__x$k")): _*)
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val aggs = lags.flatMap { k =>
+      val x = col(s"__x$k"); val y = col("__y")
+      val ok = x.isNotNull && y.isNotNull
+      def s(c: Column, nm: String) =
+        sum(when(ok, c)).as(s"__${nm}_$k")
+      Seq(count(when(ok, lit(1))).as(s"__n_$k"),
+        s(d38(x), "sx"), s(d38(y), "sy"),
+        s((d19(x) * d19(y)).cast("decimal(38,0)"), "sxy"),
+        s((d19(x) * d19(x)).cast("decimal(38,0)"), "sxx"),
+        s((d19(y) * d19(y)).cast("decimal(38,0)"), "syy"))
+    }
+    val rolled = base.groupBy(col(entity))
+      .agg(aggs.head, aggs.tail: _*)
+    val perLag = lags.map { k =>
+      val n = col(s"__n_$k").cast("decimal(38,0)")
+      val num = n * col(s"__sxy_$k") -
+        col(s"__sx_$k") * col(s"__sy_$k")
+      val dx = n * col(s"__sxx_$k") -
+        col(s"__sx_$k") * col(s"__sx_$k")
+      val dy = n * col(s"__syy_$k") -
+        col(s"__sy_$k") * col(s"__sy_$k")
+      val r = when(col(s"__n_$k") >= 2 && dx > 0 && dy > 0,
+        num.cast("double") /
+          (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+      struct(lit(k).cast("int").as("lag"),
+        col(s"__n_$k").as("n_pairs"), r.as("acf"))
+    }
+    rolled.select(col(entity),
+      explode(array(perLag: _*)).as("__l"))
+      .select(col(entity), col("__l.lag").as("lag"),
+        col("__l.n_pairs").as("n_pairs"), col("__l.acf").as("acf"))
+  }
+
   /** LEAKAGE-FREE expanding target mean: for each row, the mean of
     * `valueCol` over all STRICTLY EARLIER rows of the same `keyCol`
     * (frame ends at 1 PRECEDING — the row never sees its own label,

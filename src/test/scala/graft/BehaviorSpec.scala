@@ -414,6 +414,36 @@ class BehaviorSpec extends SparkSpec {
       ("u2", 11L, 3L, 4L, 0.75, 1.5)))
   }
 
+  test("dowSeasonalIndex: exact per-weekday means, delta vs overall," +
+      " zero-sum baseline refuses the ratio but not the delta") {
+    val d = df("u STRING, ts TIMESTAMP, v DOUBLE", Seq(
+      Row("u1", ts("2024-01-06 10:00:00"), 2.0), // Saturday -> dow 7
+      Row("u1", ts("2024-01-07 10:00:00"), 4.0), // Sunday   -> dow 1
+      Row("u1", ts("2024-01-08 10:00:00"), 6.0), // Monday   -> dow 2
+      Row("u1", ts("2024-01-08 11:00:00"), null),
+      Row("u2", ts("2024-01-06 10:00:00"), 1.0),
+      Row("u2", ts("2024-01-06 11:00:00"), -1.0)))
+    val out = graft.operators.Behavior.dowSeasonalIndex(
+      d, "u", "ts", "v").orderBy("u", "dow").collect()
+    def g(i: Int, c: String) = {
+      val j = out(i).fieldIndex(c)
+      if (out(i).isNullAt(j)) null else out(i).getDouble(j)
+    }
+    // u1 rows in dow order: 1 (Sun), 2 (Mon), 7 (Sat); overall mean 4
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 7L, 7L))
+    assert(g(0, "dow_mean") == 4.0 && g(0, "dow_delta") == 0.0 &&
+      g(0, "dow_index") == 1.0)
+    assert(g(1, "dow_mean") == 6.0 && g(1, "dow_delta") == 2.0 &&
+      g(1, "dow_index") == 1.5)
+    assert(g(2, "dow_mean") == 2.0 && g(2, "dow_delta") == -2.0 &&
+      g(2, "dow_index") == 0.5)
+    // u1 Monday n_d counts only the observed value
+    assert(out(1).getLong(2) == 1L)
+    // u2: overall sum 0 -> ratio refused, delta still reads
+    assert(g(3, "dow_index") == null)
+    assert(g(3, "dow_delta") == 0.0)
+  }
+
   test("activeDayStreak: per-event running streak, gaps reset, " +
       "UTC-day grid, repeat events on a day share its streak") {
     val d = df("u STRING, ts TIMESTAMP, id BIGINT", Seq(

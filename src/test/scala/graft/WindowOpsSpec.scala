@@ -675,6 +675,44 @@ class WindowOpsSpec extends SparkSpec {
     assert(g(1, "weekend_contrast") == null)
   }
 
+  test("lagAutocorr: exact pair moments per lag, perfect trends " +
+      "read ±1, constants and thin entities refuse, one exchange") {
+    val d = df("e STRING, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
+      Row("a", ts("2024-01-01 10:00:00"), 1L, 1.0),
+      Row("a", ts("2024-01-01 10:00:01"), 2L, 2.0),
+      Row("a", ts("2024-01-01 10:00:02"), 3L, 3.0),
+      Row("a", ts("2024-01-01 10:00:03"), 4L, 4.0),
+      Row("a", ts("2024-01-01 10:00:04"), 5L, 5.0),
+      Row("b", ts("2024-01-01 10:00:00"), 6L, 1.0),
+      Row("b", ts("2024-01-01 10:00:01"), 7L, -1.0),
+      Row("b", ts("2024-01-01 10:00:02"), 8L, 1.0),
+      Row("b", ts("2024-01-01 10:00:03"), 9L, -1.0),
+      Row("c", ts("2024-01-01 10:00:00"), 10L, 7.0),
+      Row("c", ts("2024-01-01 10:00:01"), 11L, 7.0),
+      Row("c", ts("2024-01-01 10:00:02"), 12L, 7.0)))
+    val out = WindowOps.lagAutocorr(d, "e", "ts", "v",
+      lags = Seq(1, 2), tieBreak = Seq("id"))
+      .orderBy("e", "lag").collect()
+    def g(i: Int) = {
+      val j = out(i).fieldIndex("acf")
+      if (out(i).isNullAt(j)) null else out(i).getDouble(j)
+    }
+    assert(out.map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSeq == Seq(("a", 1, 4L), ("a", 2, 3L), ("b", 1, 3L),
+        ("b", 2, 2L), ("c", 1, 2L), ("c", 2, 1L)))
+    assert(math.abs(g(0).asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(math.abs(g(1).asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(math.abs(g(2).asInstanceOf[Double] + 1.0) < 1e-12)
+    assert(math.abs(g(3).asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(g(4) == null) // constant series: zero variance refuses
+    assert(g(5) == null) // single pair refuses r
+    val plan = WindowOps.lagAutocorr(d, "e", "ts", "v", Seq(1, 2),
+      Seq("id")).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan)
+    assert(!plan.contains("SinglePartition"), plan.take(600))
+  }
+
   test("trendFit runs on ONE exchange: the centering window and the " +
       "moment rollup share the entity partitioning") {
     val d = df("e BIGINT, ts TIMESTAMP, v DOUBLE", Seq(
