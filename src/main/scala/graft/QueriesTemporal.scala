@@ -185,6 +185,26 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q290_type_mix" -> ((s, dir) => {
+      // action-diversity per user: exact entropy rearrangement over
+      // the (user, type) counts + two-phase deterministic top type
+      graft.operators.Behavior.typeMix(
+        tbl(s, dir, "events"), "user_id", "event_type")
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          round(col("type_entropy"), 6).as("type_entropy"),
+          col("top_type"),
+          round(col("top_share"), 6).as("top_share"))
+        .orderBy("user_id")
+    }),
+
+    "q289_streak_stats" -> ((s, dir) => {
+      // habit-strength summary per user: integer day-grid islands,
+      // arg-max on the unique end day picks the current streak
+      graft.operators.Behavior.streakStats(
+        tbl(s, dir, "events"), "user_id", "ts")
+        .orderBy("user_id")
+    }),
+
     "q288_lag_autocorr" -> ((s, dir) => {
       // per-user lag-1/lag-7 row ACF: six exact decimal pair
       // moments per lag on one exchange, the num/(sqrt*sqrt)
@@ -1055,6 +1075,48 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // identical (user, type) counts, the same entropy rearrangement
+    // ln(N) - sum(n ln n)/N, and the same two-phase (n DESC, type
+    // ASC) rank for the top type
+    "q290_type_mix" ->
+      """WITH t AS (SELECT user_id, event_type AS ty FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |pt AS (SELECT user_id, ty, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM t GROUP BY 1, 2),
+        |ro AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS nl
+        |  FROM pt GROUP BY 1),
+        |tp AS (SELECT user_id, ty, n FROM (SELECT user_id, ty, n,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY n DESC, ty ASC) AS rk FROM pt) WHERE rk = 1)
+        |SELECT ro.user_id, n_events, n_types,
+        |  ROUND(ln(CAST(n_events AS DOUBLE))
+        |    - nl / CAST(n_events AS DOUBLE), 6) AS type_entropy,
+        |  tp.ty AS top_type,
+        |  ROUND(CAST(tp.n AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+        |    AS top_share
+        |FROM ro JOIN tp USING (user_id) ORDER BY 1""".stripMargin,
+
+    // identical day-grid islands (d - ROW_NUMBER constant) and the
+    // same arg-max on the per-entity-unique run end day
+    "q289_streak_stats" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |days AS (SELECT DISTINCT user_id, d FROM e),
+        |i AS (SELECT user_id, d,
+        |    d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS isl
+        |  FROM days),
+        |r AS (SELECT user_id, isl, CAST(COUNT(*) AS BIGINT) AS len,
+        |    MAX(d) AS ed FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |  CAST(MAX(len) AS BIGINT) AS max_streak_days,
+        |  CAST(arg_max(len, ed) AS BIGINT) AS last_streak_days
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical row-lag pairing (LAG counts rows, null values make
     // a pair invalid), identical exact HUGEINT pair moments, and

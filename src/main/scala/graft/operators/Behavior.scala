@@ -593,6 +593,84 @@ object Behavior {
         idx.as("dow_index"))
   }
 
+  /** Per-entity ACTIVE-DAY STREAK STATISTICS — the habit-strength
+    * summary (one row per entity): `n_active_days` (distinct UTC
+    * days with ≥ 1 event), `n_streaks` (maximal consecutive-day
+    * runs), `max_streak_days` (longest run), and
+    * `last_streak_days` (length of the run containing the entity's
+    * most recent active day — the streak a retention model would
+    * read "now"). Pure integer math on the `epoch_us div 86400e6`
+    * day grid.
+    *
+    * Scale shape: same as [[activeDayStreak]] — everything happens
+    * on the small distinct-(entity, day) frame; runs come from the
+    * `day − row_number()` island constant (days are distinct, so
+    * the difference is constant exactly within a run), and
+    * `last_streak_days` is an arg-max on `end_day`, which is UNIQUE
+    * per entity across its runs — no tie rule needed.
+    */
+  def streakStats(df: DataFrame, entity: String, ts: String)
+      : DataFrame = {
+    val dayOf = expr(
+      s"unix_micros(cast($ts as timestamp)) div 86400000000")
+    val days = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .select(col(entity), dayOf.as("__day"))
+      .distinct()
+    val w = Window.partitionBy(col(entity)).orderBy(col("__day").asc)
+    val isl = days.select(col(entity), col("__day"),
+      (col("__day") - row_number().over(w)).as("__isl"))
+    val runs = isl.groupBy(col(entity), col("__isl"))
+      .agg(count(lit(1)).as("__len"), max(col("__day")).as("__end"))
+    runs.groupBy(col(entity))
+      .agg(sum(col("__len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("__len")).as("max_streak_days"),
+        max(struct(col("__end"), col("__len")))
+          .getField("__len").as("last_streak_days"))
+  }
+
+  /** Per-entity EVENT-TYPE MIX profile — the action-diversity
+    * block: `n_events`, `n_types`, `type_entropy` (Shannon, same
+    * exact one-pass rearrangement as [[activityProfile]]),
+    * `top_type` (most frequent; ties → lexicographically SMALLEST
+    * type, a rule both engines express as a two-phase rank) and
+    * `top_share = n_top / n_events` (exact integers, one double
+    * division).
+    *
+    * Scale shape: one (entity, type) count (map-side combined,
+    * |types| rows per entity), an entity rollup, and a rank window
+    * over the SMALL per-type frame — never an event-grain window.
+    */
+  def typeMix(df: DataFrame, entity: String, typeCol: String)
+      : DataFrame = {
+    val perT = df
+      .filter(col(entity).isNotNull && col(typeCol).isNotNull)
+      .groupBy(col(entity), col(typeCol).as("__t"))
+      .agg(count(lit(1)).as("__n"))
+    val rolled = perT.groupBy(col(entity))
+      .agg(sum(col("__n")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("__n").cast("double") *
+          log(col("__n").cast("double"))).as("__nl"))
+    val rw = Window.partitionBy(col(entity))
+      .orderBy(col("__n").desc, col("__t").asc)
+    val top = perT
+      .select(col(entity), col("__t"), col("__n"),
+        row_number().over(rw).as("__rk"))
+      .filter(col("__rk") === 1)
+      .select(col(entity), col("__t").as("top_type"),
+        col("__n").as("__ntop"))
+    rolled.join(top, Seq(entity))
+      .select(col(entity), col("n_events"), col("n_types"),
+        (log(col("n_events").cast("double")) -
+          col("__nl") / col("n_events").cast("double"))
+          .as("type_entropy"),
+        col("top_type"),
+        (col("__ntop").cast("double") /
+          col("n_events").cast("double")).as("top_share"))
+  }
+
   /** Per-event RUNNING consecutive-active-day streak — "day 7 of a
     * 7-day streak" as a point-in-time feature every event can read
     * without future leakage: the number of consecutive UTC days up

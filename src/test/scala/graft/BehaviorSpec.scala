@@ -444,6 +444,44 @@ class BehaviorSpec extends SparkSpec {
     assert(g(3, "dow_delta") == 0.0)
   }
 
+  test("streakStats: run lengths off the day-grid islands, last " +
+      "streak is the one holding the newest active day") {
+    val d = df("u STRING, ts TIMESTAMP", Seq(
+      Row("u1", ts("2024-01-01 10:00:00")),
+      Row("u1", ts("2024-01-01 22:00:00")), // same day
+      Row("u1", ts("2024-01-02 10:00:00")),
+      Row("u1", ts("2024-01-03 10:00:00")),
+      Row("u1", ts("2024-01-05 10:00:00")),
+      Row("u1", ts("2024-01-06 10:00:00")),
+      Row("u1", ts("2024-01-10 10:00:00")),
+      Row("u2", ts("2024-01-01 10:00:00")),
+      Row("u2", ts("2024-01-02 10:00:00"))))
+    val out = Behavior.streakStats(d, "u", "ts").orderBy("u")
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == Seq(
+      ("u1", 6L, 3L, 3L, 1L),
+      ("u2", 2L, 1L, 2L, 2L)))
+  }
+
+  test("typeMix: exact entropy rearrangement, tie on top type " +
+      "breaks to the lexicographically smallest") {
+    val d = df("u STRING, t STRING", Seq(
+      Row("u1", "B"), Row("u1", "B"), Row("u1", "A"),
+      Row("u1", "A"), Row("u1", "C"),
+      Row("u2", "X"), Row("u2", null)))
+    val out = Behavior.typeMix(d, "u", "t").orderBy("u").collect()
+    val r = out(0)
+    assert(r.getLong(1) == 5L && r.getLong(2) == 3L)
+    assert(math.abs(r.getDouble(3) -
+      (math.log(5.0) - 4.0 * math.log(2.0) / 5.0)) < 1e-12)
+    assert(r.getString(4) == "A")   // tie A/B at 2 -> smallest
+    assert(r.getDouble(5) == 0.4)
+    assert(out(1).getLong(1) == 1L) // null type never counts
+    assert(out(1).getDouble(3) == 0.0)
+    assert(out(1).getString(4) == "X" && out(1).getDouble(5) == 1.0)
+  }
+
   test("activeDayStreak: per-event running streak, gaps reset, " +
       "UTC-day grid, repeat events on a day share its streak") {
     val d = df("u STRING, ts TIMESTAMP, id BIGINT", Seq(
