@@ -185,6 +185,33 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q292_monotone_run" -> ((s, dir) => {
+      // per-event momentum: sign vs the prior observed reading and
+      // the consecutive same-direction step count — integer signs
+      // and window counts, identical carries on both engines
+      WindowOps.monotoneRun(
+        tbl(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull),
+        "user_id", "ts", "value", tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("value_dir"),
+          col("value_dir_run"))
+        .orderBy("event_id")
+    }),
+
+    "q291_sigma_outliers" -> ((s, dir) => {
+      // per-user 3-sigma exceedance scorecard: exact decimal
+      // moments, IEEE sqrt, and a deterministic micro-space
+      // comparison — the same two-pass join shape as the oracle
+      graft.operators.GroupOps.sigmaOutlierShare(
+        tbl(s, dir, "events"), "user_id", "value")
+        .select(col("user_id"), col("n_obs"),
+          round(col("mean"), 6).as("mean"),
+          round(col("std"), 6).as("std"),
+          col("n_outliers"),
+          round(col("outlier_share"), 6).as("outlier_share"))
+        .orderBy("user_id")
+    }),
+
     "q290_type_mix" -> ((s, dir) => {
       // action-diversity per user: exact entropy rearrangement over
       // the (user, type) counts + two-phase deterministic top type
@@ -1075,6 +1102,75 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // identical observed-prior sign carries, the same run-boundary
+    // running sum, and the same (user, run) window count
+    "q292_monotone_run" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+        |    CASE WHEN value IS NOT NULL
+        |      THEN CAST(round(value * 1e6) AS BIGINT) END AS m
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s1 AS (SELECT event_id, user_id, t, m,
+        |    LAST_VALUE(m IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pv
+        |  FROM e),
+        |s2 AS (SELECT event_id, user_id, t,
+        |    CASE WHEN m IS NOT NULL AND pv IS NOT NULL
+        |      THEN CAST(sign(m - pv) AS INTEGER) END AS dir
+        |  FROM s1),
+        |s3 AS (SELECT event_id, user_id, t, dir,
+        |    LAST_VALUE(dir IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pd
+        |  FROM s2),
+        |s4 AS (SELECT event_id, user_id, t, dir,
+        |    SUM(CASE WHEN dir IS NOT NULL
+        |        AND (pd IS NULL OR dir != pd) THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM s3),
+        |s5 AS (SELECT event_id, dir,
+        |    CAST(COUNT(dir) OVER (PARTITION BY user_id, run
+        |      ORDER BY t, event_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS rl
+        |  FROM s4)
+        |SELECT event_id, dir AS value_dir,
+        |  CASE WHEN dir IS NOT NULL THEN rl END AS value_dir_run
+        |FROM s5 ORDER BY 1""".stripMargin,
+
+    // identical exact micro moments, the same mu/sigma chains, and
+    // the same |m - mu| > 3 sigma double comparison on both engines
+    "q291_sigma_outliers" ->
+      """WITH e AS (SELECT user_id,
+        |    CASE WHEN value IS NOT NULL
+        |      THEN CAST(round(value * 1e6) AS BIGINT) END AS m
+        |  FROM events WHERE user_id IS NOT NULL),
+        |st AS (SELECT user_id, CAST(COUNT(m) AS BIGINT) AS n_obs,
+        |    SUM(CAST(m AS HUGEINT)) AS s,
+        |    SUM(CAST(m AS HUGEINT) * m) AS ss
+        |  FROM e GROUP BY 1),
+        |ms AS (SELECT user_id, n_obs,
+        |    CAST(s AS DOUBLE) / CAST(n_obs AS DOUBLE) AS mu,
+        |    sqrt(CAST(CAST(n_obs AS HUGEINT) * ss - s * s
+        |      AS DOUBLE)) / CAST(n_obs AS DOUBLE) AS sig
+        |  FROM st),
+        |o AS (SELECT e.user_id,
+        |    CAST(COUNT(CASE WHEN m IS NOT NULL
+        |      AND abs(CAST(m AS DOUBLE) - mu) > 3.0 * sig
+        |      THEN 1 END) AS BIGINT) AS n_outliers
+        |  FROM e JOIN ms USING (user_id) GROUP BY 1)
+        |SELECT ms.user_id, n_obs,
+        |  CASE WHEN n_obs > 0
+        |    THEN ROUND(mu / 1e6, 6) END AS mean,
+        |  CASE WHEN n_obs > 0
+        |    THEN ROUND(sig / 1e6, 6) END AS std,
+        |  n_outliers,
+        |  CASE WHEN n_obs > 0 THEN ROUND(CAST(n_outliers AS DOUBLE)
+        |    / CAST(n_obs AS DOUBLE), 6) END AS outlier_share
+        |FROM ms JOIN o USING (user_id) ORDER BY 1""".stripMargin,
 
     // identical (user, type) counts, the same entropy rearrangement
     // ln(N) - sum(n ln n)/N, and the same two-phase (n DESC, type

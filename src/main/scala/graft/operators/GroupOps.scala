@@ -411,4 +411,59 @@ object GroupOps {
           .otherwise(((s - selfY) + lit(prior) * lit(globalMean)) / den))
       .drop("__k", "__s", "__c")
   }
+
+  /** Per-group σ-EXCEEDANCE summary — one row per group with
+    * `n_obs`, exact `mean`/`std` (population, from integer
+    * micro-unit moments), `n_outliers` (observations with
+    * `|v − μ| > nSigma·σ`) and `outlier_share`: the data-quality
+    * scorecard row that decides whether a feed's tail is sane
+    * before the feed reaches a model. Groups with zero variance
+    * report 0 outliers (everything equals μ); null/NaN readings
+    * count nowhere.
+    *
+    * Exactness: μ and σ come from exact decimal(38,0) moments via
+    * the same chains as [[graft.temporal.WindowOps]]'s micro-unit
+    * ops (σ via correctly-rounded IEEE sqrt), and the exceedance
+    * test compares micro-space doubles both engines derive
+    * identically — no engine-ordered float summation anywhere.
+    * Scale shape: one map-side-combined moment pass, the bounded
+    * |groups|-row stats joined back (hash join on the key), one
+    * conditional re-count riding the SAME key partitioning.
+    */
+  def sigmaOutlierShare(df: DataFrame, keyCol: String,
+      valueCol: String, nSigma: Double = 3.0): DataFrame = {
+    require(nSigma > 0, s"sigmaOutlierShare: nSigma > 0, got $nSigma")
+    val v = col(valueCol).cast("double")
+    val clean = when(isnan(v), lit(null)).otherwise(v)
+    val m = round(clean * lit(1e6), 0).cast("long")
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val obs = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), m.as("__m"))
+    val stats = obs.groupBy(col(keyCol)).agg(
+      count(col("__m")).as("n_obs"),
+      sum(col("__m")).cast("decimal(38,0)").as("__s"),
+      sum((d19(col("__m")) * d19(col("__m"))).cast("decimal(38,0)"))
+        .as("__ss"))
+    val n38 = col("n_obs").cast("decimal(38,0)")
+    val mu = col("__s").cast("double") / col("n_obs").cast("double")
+    val sig = sqrt((n38 * col("__ss") - col("__s") * col("__s"))
+      .cast("double")) / col("n_obs").cast("double")
+    val withStats = obs.join(
+      stats.select(col(keyCol), col("n_obs"),
+        mu.as("__mu"), sig.as("__sig")), Seq(keyCol))
+    val isOut = col("__m").isNotNull &&
+      abs(col("__m").cast("double") - col("__mu")) >
+        lit(nSigma) * col("__sig")
+    withStats.groupBy(col(keyCol)).agg(
+      first(col("n_obs")).as("n_obs"),
+      first(col("__mu")).as("__mu"),
+      first(col("__sig")).as("__sig"),
+      count(when(isOut, lit(1))).as("n_outliers"))
+      .select(col(keyCol), col("n_obs"),
+        when(col("n_obs") > 0, col("__mu") / lit(1e6)).as("mean"),
+        when(col("n_obs") > 0, col("__sig") / lit(1e6)).as("std"),
+        col("n_outliers"),
+        when(col("n_obs") > 0, col("n_outliers").cast("double") /
+          col("n_obs").cast("double")).as("outlier_share"))
+  }
 }

@@ -452,6 +452,50 @@ object WindowOps {
         col("__l.n_pairs").as("n_pairs"), col("__l.acf").as("acf"))
   }
 
+  /** Per-event MONOTONE-RUN momentum — `<value>_dir` (−1/0/+1 sign
+    * of the step from the nearest PRIOR OBSERVED reading, the same
+    * observed-prior carry as [[rateOfChange]]) and
+    * `<value>_dir_run` (how many consecutive observed steps have
+    * had this same direction): "price has risen 5 readings in a
+    * row" as a point-in-time feature. The first observed reading
+    * of an entity has no step (null dir, null run); missing
+    * readings (null/NaN) carry nothing, break nothing, and read
+    * nulls.
+    *
+    * Exactness: direction is a sign on exact integer micro-units
+    * (never a float subtraction), runs are pure integer window
+    * counts. Scale shape: ONE entity exchange; the carry, the
+    * run-boundary running sum, and the (entity, run) ordinal all
+    * hash-satisfy on it.
+    */
+  def monotoneRun(df: DataFrame, entity: String, ts: String,
+      valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = (col(ts) +: tieBreak.map(col)).map(_.asc)
+    val prior = Window.partitionBy(col(entity)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val running = Window.partitionBy(col(entity)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val m = microUnits(cleanDouble(valueCol))
+    val pv = last(m, ignoreNulls = true).over(prior)
+    val dir = when(m.isNotNull && pv.isNotNull,
+      signum(m - pv).cast("int"))
+    val base = df.select(df.columns.map(col).toIndexedSeq :+
+      dir.as("__dir"): _*)
+    val pd = last(col("__dir"), ignoreNulls = true).over(prior)
+    val isNew = when(col("__dir").isNotNull &&
+      (pd.isNull || col("__dir") =!= pd), 1L).otherwise(0L)
+    val marked = base.select(base.columns.map(col).toIndexedSeq :+
+      sum(isNew).over(running).as("__run"): _*)
+    val runOrd = Window
+      .partitionBy(col(entity), col("__run")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val runLen = when(col("__dir").isNotNull,
+      count(col("__dir")).over(runOrd))
+    marked.select(df.columns.map(col).toIndexedSeq ++ Seq(
+      col("__dir").as(s"${valueCol}_dir"),
+      runLen.as(s"${valueCol}_dir_run")): _*)
+  }
+
   /** LEAKAGE-FREE expanding target mean: for each row, the mean of
     * `valueCol` over all STRICTLY EARLIER rows of the same `keyCol`
     * (frame ends at 1 PRECEDING — the row never sees its own label,

@@ -315,4 +315,26 @@ class GroupOpsSpec extends SparkSpec {
       graft.operators.GroupOps.trimmedStats(d, "k", "v", 0.9, 0.1)
     }
   }
+
+  test("sigmaOutlierShare: exact micro moments, deterministic " +
+      "exceedance, zero-variance groups report zero outliers") {
+    // one spike among k flats sits at sqrt(k)*sigma, so k = 12
+    // puts it at 3.46 sigma — a clear exceedance, not a boundary
+    val d = df("k STRING, v DOUBLE",
+      (1 to 12).map(_ => Row("a", 10.0)) ++ Seq(Row("a", 1000.0),
+        Row("b", 7.0), Row("b", 7.0),       // zero variance
+        Row("c", null), Row("c", Double.NaN)))
+    val out = GroupOps.sigmaOutlierShare(d, "k", "v")
+      .orderBy("k").collect()
+    val a = out(0)
+    assert(a.getLong(1) == 13L)
+    assert(math.abs(a.getDouble(2) - 1120.0 / 13.0) < 1e-9)
+    assert(a.getLong(4) == 1L)                 // the spike
+    assert(a.getDouble(5) == 1.0 / 13.0)
+    val b = out(1)
+    assert(b.getLong(1) == 2L && b.getDouble(3) == 0.0 &&
+      b.getLong(4) == 0L)
+    val c = out(2)
+    assert(c.getLong(1) == 0L && c.isNullAt(2) && c.getLong(4) == 0L)
+  }
 }

@@ -713,6 +713,37 @@ class WindowOpsSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan.take(600))
   }
 
+  test("monotoneRun: sign vs prior observed reading, equal steps " +
+      "form their own run, missing readings break nothing, one " +
+      "exchange") {
+    val d = df("e STRING, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
+      Row("a", ts("2024-01-01 10:00:00"), 1L, 1.0),
+      Row("a", ts("2024-01-01 10:00:01"), 2L, 2.0),
+      Row("a", ts("2024-01-01 10:00:02"), 3L, 3.0),
+      Row("a", ts("2024-01-01 10:00:03"), 4L, null),
+      Row("a", ts("2024-01-01 10:00:04"), 5L, 2.0),
+      Row("a", ts("2024-01-01 10:00:05"), 6L, 2.0),
+      Row("a", ts("2024-01-01 10:00:06"), 7L, 5.0)))
+    val out = WindowOps.monotoneRun(d, "e", "ts", "v",
+      tieBreak = Seq("id")).orderBy("id").collect()
+    def g(i: Int, c: String): Any = {
+      val j = out(i).fieldIndex(c)
+      if (out(i).isNullAt(j)) null else out(i).get(j)
+    }
+    assert(g(0, "v_dir") == null && g(0, "v_dir_run") == null)
+    assert(g(1, "v_dir") == 1 && g(1, "v_dir_run") == 1L)
+    assert(g(2, "v_dir") == 1 && g(2, "v_dir_run") == 2L)
+    assert(g(3, "v_dir") == null && g(3, "v_dir_run") == null)
+    assert(g(4, "v_dir") == -1 && g(4, "v_dir_run") == 1L)
+    assert(g(5, "v_dir") == 0 && g(5, "v_dir_run") == 1L)
+    assert(g(6, "v_dir") == 1 && g(6, "v_dir_run") == 1L)
+    val plan = WindowOps.monotoneRun(d, "e", "ts", "v", Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan)
+    assert(!plan.contains("SinglePartition"), plan.take(600))
+  }
+
   test("trendFit runs on ONE exchange: the centering window and the " +
       "moment rollup share the entity partitioning") {
     val d = df("e BIGINT, ts TIMESTAMP, v DOUBLE", Seq(
