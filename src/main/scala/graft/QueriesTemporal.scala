@@ -185,6 +185,33 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q294_session_profile" -> ((s, dir) => {
+      // engagement shape per user over the q39 gap sessions:
+      // bounce share, mean events, exact mean dwell (zero-length
+      // bounces count) — integers until three double readouts
+      graft.operators.Behavior.sessionProfile(
+        tbl(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull),
+        "user_id", "ts", gapSeconds = 1800L)
+        .select(col("user_id"), col("n_sessions"), col("n_events"),
+          round(col("bounce_share"), 6).as("bounce_share"),
+          round(col("mean_events"), 6).as("mean_events"),
+          round(col("mean_duration_s"), 6).as("mean_duration_s"))
+        .orderBy("user_id")
+    }),
+
+    "q293_volume_anomaly" -> ((s, dir) => {
+      // PIT-safe daily volume z per event type: strictly-prior
+      // expanding exact moments over the (type, day) counts, the
+      // same sqrt/divide chain on both engines
+      graft.operators.Behavior.volumeAnomaly(
+        tbl(s, dir, "events"), "event_type", "ts")
+        .select(col("event_type"), col("day"), col("n_events"),
+          round(col("expected"), 6).as("expected"),
+          round(col("vol_z"), 6).as("vol_z"))
+        .orderBy("event_type", "day")
+    }),
+
     "q292_monotone_run" -> ((s, dir) => {
       // per-event momentum: sign vs the prior observed reading and
       // the consecutive same-direction step count — integer signs
@@ -1102,6 +1129,65 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // q39's session SQL -> per-session counts/durations -> the
+    // same exact per-user rollup and division chains inside ROUND
+    "q294_session_profile" ->
+      """WITH t AS (SELECT user_id, ts, epoch_us(ts) AS us,
+        |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         IS NULL
+        |    OR date_diff('microsecond',
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+        |       > 1800000000
+        |  THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s AS (SELECT user_id, us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM t),
+        |g AS (SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS ne,
+        |    MAX(us) - MIN(us) AS dur FROM s GROUP BY 1, 2),
+        |a AS (SELECT user_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |    CAST(SUM(ne) AS BIGINT) AS n_events,
+        |    CAST(COUNT(CASE WHEN ne = 1 THEN 1 END) AS BIGINT) AS b,
+        |    SUM(CAST(dur AS HUGEINT)) AS dur
+        |  FROM g GROUP BY 1)
+        |SELECT user_id, n_sessions, n_events,
+        |  ROUND(CAST(b AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6)
+        |    AS bounce_share,
+        |  ROUND(CAST(n_events AS DOUBLE)
+        |    / CAST(n_sessions AS DOUBLE), 6) AS mean_events,
+        |  ROUND(CAST(dur AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+        |    / 1e6, 6) AS mean_duration_s
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // identical (type, day) counts on the integer day grid, the
+    // same strictly-prior expanding exact moments and z chain
+    "q293_volume_anomaly" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |d AS (SELECT k, day, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM e GROUP BY 1, 2),
+        |w AS (SELECT k, day, n_events,
+        |    COUNT(n_events) OVER wp AS kk,
+        |    SUM(CAST(n_events AS HUGEINT)) OVER wp AS s,
+        |    SUM(CAST(n_events AS HUGEINT) * n_events) OVER wp AS ss
+        |  FROM d WINDOW wp AS (PARTITION BY k ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT k, day, n_events, kk,
+        |    CAST(s AS DOUBLE) / CAST(kk AS DOUBLE) AS mu,
+        |    sqrt(CAST(CAST(kk AS HUGEINT) * ss - s * s AS DOUBLE))
+        |      / CAST(kk AS DOUBLE) AS sig
+        |  FROM w)
+        |SELECT k AS event_type, day, n_events,
+        |  CASE WHEN kk >= 1 THEN ROUND(mu, 6) END AS expected,
+        |  CASE WHEN kk >= 2 AND sig > 0 THEN
+        |    ROUND((CAST(n_events AS DOUBLE) - mu) / sig, 6) END
+        |    AS vol_z
+        |FROM z ORDER BY 1, 2""".stripMargin,
 
     // identical observed-prior sign carries, the same run-boundary
     // running sum, and the same (user, run) window count

@@ -671,6 +671,83 @@ object Behavior {
           col("n_events").cast("double")).as("top_share"))
   }
 
+  /** Per-(key, day) VOLUME ANOMALY — each UTC day's event count for
+    * a key (feed, event type, source) scored against that key's OWN
+    * strictly-prior daily history: `vol_z = (n − μ) / σ` with μ/σ
+    * the expanding population moments of all EARLIER days. The
+    * monitoring primitive that pages before a broken producer
+    * poisons a training snapshot — and PIT-safe by the
+    * strictly-prior frame, so backfilled scores match what live
+    * scoring would have said that day. Days with < 2 history days
+    * or a flat history (σ = 0) refuse with null.
+    *
+    * Exactness: day counts are integers, the expanding Σn and Σn²
+    * ride exact decimal(38,0) window sums, and the z chain is the
+    * same sqrt/divide double sequence the oracle replays. Scale
+    * shape: one (key, day) count (map-side combined; the frame is
+    * |keys|·|days| — tiny vs the log), then one key-partitioned
+    * window over it.
+    */
+  def volumeAnomaly(df: DataFrame, keyCol: String, ts: String)
+      : DataFrame = {
+    val dayOf = expr(
+      s"unix_micros(cast($ts as timestamp)) div 86400000000")
+    val daily = df
+      .filter(col(keyCol).isNotNull && col(ts).isNotNull)
+      .groupBy(col(keyCol), dayOf.as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val prior = Window.partitionBy(col(keyCol))
+      .orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val k = count(col("n_events")).over(prior)
+    val s = sum(col("n_events")).over(prior).cast("decimal(38,0)")
+    val ss = sum((d19(col("n_events")) * d19(col("n_events")))
+      .cast("decimal(38,0)")).over(prior)
+    val k38 = k.cast("decimal(38,0)")
+    val mu = s.cast("double") / k.cast("double")
+    val sig = sqrt((k38 * ss - s * s).cast("double")) /
+      k.cast("double")
+    val z = when(k >= 2 && sig > 0,
+      (col("n_events").cast("double") - mu) / sig)
+    daily.select(col(keyCol), col("day"), col("n_events"),
+      when(k >= 1, mu).as("expected"),
+      z.as("vol_z"))
+  }
+
+  /** Per-entity SESSION PROFILE — the engagement-shape rollup over
+    * [[graft.temporal.WindowOps.sessionStats]]'s gap sessions, one
+    * row per entity: `n_sessions`, `n_events`,
+    * `bounce_share` (single-event sessions), `mean_events` per
+    * session, and `mean_duration_s` (exact Σ of integer session
+    * durations, one double chain at readout). Singleton-session
+    * durations are 0 by construction and DO count in the mean —
+    * a catalog of bounces should read as near-zero dwell, not as
+    * missing data.
+    *
+    * Scale shape: sessionize's one entity exchange, a
+    * (entity, session) rollup riding it, then a per-entity rollup
+    * of the |sessions| frame. Exact integers until readout.
+    */
+  def sessionProfile(df: DataFrame, entity: String, ts: String,
+      gapSeconds: Long): DataFrame = {
+    val sess = graft.temporal.WindowOps
+      .sessionStats(df, entity, ts, gapSeconds)
+    val agg = sess.groupBy(col(entity)).agg(
+      count(lit(1)).as("n_sessions"),
+      sum(col("n_events")).as("n_events"),
+      count(when(col("n_events") === 1, lit(1))).as("__bounces"),
+      sum(col("duration_us")).cast("decimal(38,0)").as("__dur"))
+    agg.select(col(entity), col("n_sessions"), col("n_events"),
+      (col("__bounces").cast("double") /
+        col("n_sessions").cast("double")).as("bounce_share"),
+      (col("n_events").cast("double") /
+        col("n_sessions").cast("double")).as("mean_events"),
+      (col("__dur").cast("double") /
+        col("n_sessions").cast("double") / lit(1e6))
+        .as("mean_duration_s"))
+  }
+
   /** Per-event RUNNING consecutive-active-day streak — "day 7 of a
     * 7-day streak" as a point-in-time feature every event can read
     * without future leakage: the number of consecutive UTC days up

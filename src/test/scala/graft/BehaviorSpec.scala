@@ -482,6 +482,46 @@ class BehaviorSpec extends SparkSpec {
     assert(out(1).getString(4) == "X" && out(1).getDouble(5) == 1.0)
   }
 
+  test("volumeAnomaly: strictly-prior expanding moments over daily " +
+      "counts, first/flat histories refuse, exact z") {
+    def rows(day: String, n: Int) = (1 to n).map(i =>
+      Row("A", ts(s"$day 0$i:00:00")))
+    val d = df("k STRING, ts TIMESTAMP",
+      rows("2024-01-01", 2) ++ rows("2024-01-02", 4) ++
+        rows("2024-01-03", 3) ++ rows("2024-01-04", 5))
+    val out = Behavior.volumeAnomaly(d, "k", "ts")
+      .orderBy("day").collect()
+    def g(i: Int, c: String) = {
+      val j = out(i).fieldIndex(c)
+      if (out(i).isNullAt(j)) null else out(i).getDouble(j)
+    }
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 4L, 3L, 5L))
+    assert(g(0, "expected") == null && g(0, "vol_z") == null)
+    assert(g(1, "expected") == 2.0 && g(1, "vol_z") == null)
+    assert(g(2, "expected") == 3.0)
+    assert(g(2, "vol_z") == 0.0)        // history [2,4]: mu 3 sig 1
+    assert(math.abs(g(3, "vol_z").asInstanceOf[Double] -
+      2.0 / math.sqrt(2.0 / 3.0)) < 1e-9)
+  }
+
+  test("sessionProfile: bounce share, exact mean duration counting " +
+      "zero-length bounce sessions") {
+    val d = df("u STRING, ts TIMESTAMP", Seq(
+      Row("u1", ts("2024-01-01 10:00:00")),
+      Row("u1", ts("2024-01-01 10:00:30")),
+      Row("u1", ts("2024-01-01 10:01:00")),
+      Row("u1", ts("2024-01-01 12:00:00")), // new session, bounce
+      Row("u2", ts("2024-01-01 10:00:00"))))
+    val out = Behavior.sessionProfile(d, "u", "ts", 1800L)
+      .orderBy("u").collect()
+    val r = out(0)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 4L)
+    assert(r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == 2.0)
+    assert(r.getDouble(5) == 30.0) // (60s + 0s) / 2
+    assert(out(1).getDouble(3) == 1.0 && out(1).getDouble(5) == 0.0)
+  }
+
   test("activeDayStreak: per-event running streak, gaps reset, " +
       "UTC-day grid, repeat events on a day share its streak") {
     val d = df("u STRING, ts TIMESTAMP, id BIGINT", Seq(
