@@ -39,6 +39,96 @@ object QueriesStreaming {
     } finally q.stop()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q295_stream_monotone" -> ((s, dir) => {
+      // the ONLINE companion of q292: sign vs prior observed reading
+      // + same-direction streak as O(1) integer state per user,
+      // across 3 REAL micro-batches; the oracle is LITERALLY q292's
+      // SQL (tenth shared batch/stream pair)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = tbl(s, dir, "events")
+        .select(col("user_id").cast("long"),
+          col("event_id").cast("long"),
+          col("ts").cast("timestamp"), col("value"))
+        .collect()
+        .map(r => StreamingOps.MonoEvent(r.getLong(0), r.getLong(1),
+          r.getTimestamp(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .sortBy(e => (StreamingOps.toMicros(e.ts), e.eventId)).toSeq
+      val input = MemoryStream[StreamingOps.MonoEvent]
+      val sink = s"q295_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.monotoneRunStream(input.toDS())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      drive(input, q, rows, nChunks = 3)
+      s.table(sink)
+        .select(col("eventId").as("event_id"),
+          col("dir").as("value_dir"),
+          col("run").as("value_dir_run"))
+        .orderBy("event_id")
+    }),
+
+    "q296_stream_session_position" -> ((s, dir) => {
+      // the ONLINE companion of q283: in-session ordinal + micros
+      // since session start as O(1) integer state per user, same
+      // strict-gap rule; the oracle is LITERALLY q283's SQL
+      // (eleventh shared pair)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = tbl(s, dir, "events")
+        .select(col("user_id").cast("long"),
+          col("event_id").cast("long"), col("ts").cast("timestamp"))
+        .collect()
+        .map(r => StreamingOps.PosEvent(r.getLong(0), r.getLong(1),
+          r.getTimestamp(2)))
+        .sortBy(e => (StreamingOps.toMicros(e.ts), e.eventId)).toSeq
+      val input = MemoryStream[StreamingOps.PosEvent]
+      val sink = s"q296_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.sessionPositionStream(input.toDS(),
+        gapSeconds = 1800L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      drive(input, q, rows, nChunks = 3)
+      s.table(sink)
+        .select(col("eventId").as("event_id"),
+          col("seq").as("session_event_seq"),
+          col("usInto").as("us_into_session"))
+        .orderBy("event_id")
+    }),
+
+    "q297_stream_recency" -> ((s, dir) => {
+      // the ONLINE companion of q285: strictly-prior last-seen
+      // registers per requested type (emit BEFORE update, so an
+      // event never reads itself); the oracle is LITERALLY q285's
+      // SQL (twelfth shared pair)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val types = Seq("purchase", "click", "error")
+      val rows = tbl(s, dir, "events")
+        .select(col("user_id").cast("long"),
+          col("event_id").cast("long"), col("ts").cast("timestamp"),
+          col("event_type"))
+        .collect()
+        .map(r => StreamingOps.TypeEvent(r.getLong(0), r.getLong(1),
+          r.getTimestamp(2), r.getString(3)))
+        .sortBy(e => (StreamingOps.toMicros(e.ts), e.eventId)).toSeq
+      val input = MemoryStream[StreamingOps.TypeEvent]
+      val sink = s"q297_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.recencyByTypeStream(input.toDS(), types)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      drive(input, q, rows, nChunks = 3)
+      s.table(sink)
+        .select(col("eventId").as("event_id"),
+          element_at(col("since"), 1).as("us_since_purchase"),
+          element_at(col("since"), 2).as("us_since_click"),
+          element_at(col("since"), 3).as("us_since_error"))
+        .orderBy("event_id")
+    }),
+
     "q255_stream_ohlc" -> ((s, dir) => {
       // real-time OHLC bars on the purchase stream — the streaming
       // twin of q254's epoch-aligned 6h grid (non-empty buckets only:
@@ -1063,6 +1153,21 @@ object QueriesStreaming {
     // pairwise-complete corr/beta ring (seventh shared pair)
     "q257_stream_corr" ->
       QueriesTemporal.oracles("q256_rolling_corr"),
+
+    // the O(1) sign/streak recurrence must land exactly the batch
+    // carries: literally the q292 oracle (tenth shared pair)
+    "q295_stream_monotone" ->
+      QueriesTemporal.oracles("q292_monotone_run"),
+
+    // the O(1) session counter must land exactly the batch gap
+    // rule: literally the q283 oracle (eleventh shared pair)
+    "q296_stream_session_position" ->
+      QueriesTemporal.oracles("q283_session_position"),
+
+    // the strictly-prior type registers must land exactly the batch
+    // window carries: literally the q285 oracle (twelfth shared pair)
+    "q297_stream_recency" ->
+      QueriesTemporal.oracles("q285_recency_by_type"),
 
     // the deque stream must land exactly the batch frame's
     // selections: literally the q37 oracle (eighth shared pair)

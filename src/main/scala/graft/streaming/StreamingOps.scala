@@ -1387,4 +1387,171 @@ object StreamingOps {
         ()
       }
   }
+
+  // ---- streaming monotone-run / session-position / recency ------------
+
+  case class MonoEvent(entity: Long, eventId: Long, ts: Timestamp,
+    value: Option[Double])
+  case class MonoOut(eventId: Long, entity: Long, ts: Timestamp,
+    dir: Option[Int], run: Option[Long])
+  /** prevM: last OBSERVED micro-units; prevDir/runLen: the current
+    * same-direction streak (state v1).
+    */
+  case class MonoState(lastTsUs: Long, prevM: Option[Long],
+    prevDir: Option[Int], runLen: Long)
+
+  /** ONLINE companion of [[graft.temporal.WindowOps.monotoneRun]],
+    * certified against LITERALLY q292's oracle: per event, the sign
+    * of the step from the nearest prior OBSERVED reading and the
+    * length of the current same-direction streak. O(1) state (one
+    * carried micro-value, one direction, one counter); direction is
+    * integer math on the SAME half-up micro-units as the batch op,
+    * so stream, batch, and oracle agree exactly. Missing readings
+    * (None) emit nulls and perturb nothing. Same source contract as
+    * the other per-entity recurrences (per-entity ts-nondecreasing;
+    * late data is the batch operator's backfill job).
+    */
+  def monotoneRunStream(events: Dataset[MonoEvent])
+      : Dataset[MonoOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (entity: Long, rows: Iterator[MonoEvent],
+         state: GroupState[MonoState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.eventId))
+          var st = state.getOption.getOrElse(
+            MonoState(Long.MinValue, None, None, 0L))
+          val out = Seq.newBuilder[MonoOut]
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            require(t >= st.lastTsUs,
+              s"monotoneRunStream: entity $entity got ts $t older " +
+                s"than carried state ${st.lastTsUs} — source must " +
+                "be per-entity ts-nondecreasing (backfill late " +
+                "data with the batch monotoneRun)")
+            val m = e.value.filterNot(_.isNaN)
+              .map(graft.temporal.StreamingRound.halfUp6)
+            m match {
+              case Some(cur) => st.prevM match {
+                case Some(pv) =>
+                  val dir = java.lang.Long.signum(cur - pv)
+                  val run = if (st.prevDir.contains(dir))
+                    st.runLen + 1 else 1L
+                  out += MonoOut(e.eventId, entity, e.ts,
+                    Some(dir), Some(run))
+                  st = MonoState(t, Some(cur), Some(dir), run)
+                case None =>
+                  out += MonoOut(e.eventId, entity, e.ts, None, None)
+                  st = MonoState(t, Some(cur), None, 0L)
+              }
+              case None =>
+                out += MonoOut(e.eventId, entity, e.ts, None, None)
+                st = st.copy(lastTsUs = t)
+            }
+          }
+          if (sorted.nonEmpty) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class PosEvent(entity: Long, eventId: Long, ts: Timestamp)
+  case class PosOut(eventId: Long, entity: Long, ts: Timestamp,
+    seq: Long, usInto: Long)
+  /** Current gap session: start instant, last instant, ordinal of
+    * the last event (state v1).
+    */
+  case class PosState(lastTsUs: Long, startUs: Long, seq: Long)
+
+  /** ONLINE companion of
+    * [[graft.temporal.WindowOps.sessionPosition]], certified against
+    * LITERALLY q283's oracle: the 1-based in-session ordinal and
+    * exact integer micros since session start, with the same gap
+    * rule as the batch sessionize (`t − prev > gapSeconds·1e6`
+    * starts a new session). O(1) integer state per entity — the
+    * serve-time path for "position in session" features that the
+    * batch op backfills.
+    */
+  def sessionPositionStream(events: Dataset[PosEvent],
+      gapSeconds: Long): Dataset[PosOut] = {
+    import events.sparkSession.implicits._
+    require(gapSeconds > 0,
+      s"sessionPositionStream: gapSeconds > 0, got $gapSeconds")
+    val gapUs = gapSeconds * 1000000L
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (entity: Long, rows: Iterator[PosEvent],
+         state: GroupState[PosState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.eventId))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[PosOut]
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            require(st == null || t >= st.lastTsUs,
+              s"sessionPositionStream: entity $entity got ts $t " +
+                s"older than carried state ${st.lastTsUs} — source " +
+                "must be per-entity ts-nondecreasing (backfill " +
+                "late data with the batch sessionPosition)")
+            st = if (st == null || t - st.lastTsUs > gapUs)
+              PosState(t, t, 1L)
+            else PosState(t, st.startUs, st.seq + 1)
+            out += PosOut(e.eventId, entity, e.ts, st.seq,
+              t - st.startUs)
+          }
+          if (sorted.nonEmpty) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class TypeEvent(entity: Long, eventId: Long, ts: Timestamp,
+    eventType: String)
+  case class TypeOut(eventId: Long, entity: Long, ts: Timestamp,
+    since: Seq[Option[Long]])
+  /** Last-seen instant per REQUESTED type, parallel to the
+    * requested-type list (state v1).
+    */
+  case class TypeState(lastTsUs: Long, seen: Seq[Option[Long]])
+
+  /** ONLINE companion of
+    * [[graft.temporal.WindowOps.recencyByType]], certified against
+    * LITERALLY q285's oracle: per event, the exact integer micros
+    * since the entity's most recent STRICTLY EARLIER event of each
+    * requested type (`since` parallel to `types`). The carry
+    * registers update AFTER the row emits, so an event never reads
+    * itself — the same strictly-prior frame as the batch window.
+    * O(|types|) state per entity.
+    */
+  def recencyByTypeStream(events: Dataset[TypeEvent],
+      types: Seq[String]): Dataset[TypeOut] = {
+    import events.sparkSession.implicits._
+    require(types.nonEmpty,
+      "recencyByTypeStream: types must be non-empty")
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (entity: Long, rows: Iterator[TypeEvent],
+         state: GroupState[TypeState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.eventId))
+          var st = state.getOption.getOrElse(
+            TypeState(Long.MinValue, types.map(_ => None)))
+          val out = Seq.newBuilder[TypeOut]
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            require(t >= st.lastTsUs,
+              s"recencyByTypeStream: entity $entity got ts $t " +
+                s"older than carried state ${st.lastTsUs} — source " +
+                "must be per-entity ts-nondecreasing (backfill " +
+                "late data with the batch recencyByType)")
+            out += TypeOut(e.eventId, entity, e.ts,
+              st.seen.map(_.map(t - _)))
+            val i = types.indexOf(e.eventType)
+            val seen = if (i >= 0) st.seen.updated(i, Some(t))
+              else st.seen
+            st = TypeState(t, seen)
+          }
+          if (sorted.nonEmpty) state.update(st)
+          out.result().iterator
+      }
+  }
 }

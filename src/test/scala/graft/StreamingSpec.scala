@@ -1260,4 +1260,125 @@ class StreamingSpec extends SparkSpec {
       assert(batch == got.filter(_._3 > 0))
     } finally q.stop()
   }
+
+  test("monotone-run stream: sign/streak recurrence across batches " +
+      "equals the batch monotoneRun carries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(
+      StreamingOps.MonoEvent(1L, 1L, ts("2024-01-01 10:00:00"), Some(1.0)),
+      StreamingOps.MonoEvent(1L, 2L, ts("2024-01-01 10:00:01"), Some(2.0)),
+      StreamingOps.MonoEvent(1L, 3L, ts("2024-01-01 10:00:02"), Some(3.0)),
+      StreamingOps.MonoEvent(1L, 4L, ts("2024-01-01 10:00:03"), None),
+      StreamingOps.MonoEvent(1L, 5L, ts("2024-01-01 10:00:04"), Some(2.0)),
+      StreamingOps.MonoEvent(1L, 6L, ts("2024-01-01 10:00:05"), Some(2.0)),
+      StreamingOps.MonoEvent(1L, 7L, ts("2024-01-01 10:00:06"), Some(5.0)),
+      StreamingOps.MonoEvent(2L, 8L, ts("2024-01-01 10:00:00"), Some(9.0)))
+    val input = MemoryStream[StreamingOps.MonoEvent]
+    val q = StreamingOps.monotoneRunStream(input.toDS())
+      .writeStream.format("memory").queryName("mono_s")
+      .outputMode("append").start()
+    try {
+      Seq(ev.take(3), ev.slice(3, 6), ev.drop(6)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val got = spark.table("mono_s").orderBy("eventId").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(3)) null else r.getInt(3),
+          if (r.isNullAt(4)) null else r.getLong(4))).toSeq
+      assert(got == Seq(
+        (1L, null, null), (2L, 1, 1L), (3L, 1, 2L),
+        (4L, null, null), (5L, -1, 1L), (6L, 0, 1L),
+        (7L, 1, 1L), (8L, null, null)), got.toString)
+      val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE",
+        ev.map(e => Row(e.entity, e.ts, e.eventId,
+          e.value.map(Double.box).orNull)))
+      val batch = WindowOps.monotoneRun(d, "e", "ts", "v",
+        tieBreak = Seq("id")).orderBy("id").collect()
+        .map(r => (r.getLong(2),
+          if (r.isNullAt(4)) null else r.getInt(4),
+          if (r.isNullAt(5)) null else r.getLong(5))).toSeq
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("session-position stream: gap counter across batches equals " +
+      "the batch sessionPosition, strict-gap boundary exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(
+      StreamingOps.PosEvent(1L, 1L, ts("2024-01-01 10:00:00")),
+      StreamingOps.PosEvent(1L, 2L, ts("2024-01-01 10:00:05")),
+      // exactly gap seconds later: NOT a new session (> rule)
+      StreamingOps.PosEvent(1L, 3L, ts("2024-01-01 10:30:05")),
+      StreamingOps.PosEvent(1L, 4L, ts("2024-01-01 11:30:00")),
+      StreamingOps.PosEvent(2L, 5L, ts("2024-01-01 10:00:00")))
+    val input = MemoryStream[StreamingOps.PosEvent]
+    val q = StreamingOps.sessionPositionStream(input.toDS(), 1800L)
+      .writeStream.format("memory").queryName("pos_s")
+      .outputMode("append").start()
+    try {
+      Seq(ev.take(2), ev.slice(2, 4), ev.drop(4)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val got = spark.table("pos_s").orderBy("eventId").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+      assert(got == Seq(
+        (1L, 1L, 0L), (2L, 2L, 5000000L), (3L, 3L, 1805000000L),
+        (4L, 1L, 0L), (5L, 1L, 0L)), got.toString)
+      val d = df("e BIGINT, ts TIMESTAMP, id BIGINT",
+        ev.map(e => Row(e.entity, e.ts, e.eventId)))
+      val batch = WindowOps.sessionPosition(d, "e", "ts", 1800L,
+        tieBreak = Seq("id")).orderBy("id").collect()
+        .map(r => (r.getLong(2),
+          r.getLong(r.fieldIndex("session_event_seq")),
+          r.getLong(r.fieldIndex("us_into_session")))).toSeq
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("recency-by-type stream: strictly-prior registers across " +
+      "batches equal the batch recencyByType carries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(
+      StreamingOps.TypeEvent(1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      StreamingOps.TypeEvent(1L, 2L, ts("2024-01-01 10:00:10"), "purchase"),
+      StreamingOps.TypeEvent(1L, 3L, ts("2024-01-01 10:00:20"), "view"),
+      StreamingOps.TypeEvent(1L, 4L, ts("2024-01-01 10:00:30"), "purchase"),
+      StreamingOps.TypeEvent(1L, 5L, ts("2024-01-01 10:00:40"), "other"),
+      StreamingOps.TypeEvent(2L, 6L, ts("2024-01-01 10:00:00"), "view"))
+    val input = MemoryStream[StreamingOps.TypeEvent]
+    val q = StreamingOps.recencyByTypeStream(input.toDS(),
+      Seq("view", "purchase"))
+      .writeStream.format("memory").queryName("rec_s")
+      .outputMode("append").start()
+    try {
+      Seq(ev.take(2), ev.slice(2, 5), ev.drop(5)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val got = spark.table("rec_s").orderBy("eventId").collect()
+        .map { r =>
+          val s = r.getSeq[Any](3)
+          (r.getLong(0), Option(s(0)).map(_.asInstanceOf[Long]),
+            Option(s(1)).map(_.asInstanceOf[Long]))
+        }.toSeq
+      assert(got == Seq(
+        (1L, None, None),
+        (2L, Some(10000000L), None),
+        (3L, Some(20000000L), Some(10000000L)),
+        (4L, Some(10000000L), Some(20000000L)),
+        (5L, Some(20000000L), Some(10000000L)),
+        (6L, None, None)), got.toString)
+      val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, t STRING",
+        ev.map(e => Row(e.entity, e.ts, e.eventId, e.eventType)))
+      val batch = WindowOps.recencyByType(d, "e", "ts", "t",
+        Seq("view", "purchase"), tieBreak = Seq("id"))
+        .orderBy("id").collect()
+        .map(r => (r.getLong(2),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
 }
