@@ -39,6 +39,32 @@ object QueriesStreaming {
     } finally q.stop()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_stream_day_streak" -> ((s, dir) => {
+      // the ONLINE companion of q280: two longs of state per user
+      // (last day, streak) on the same integer day grid; the oracle
+      // is LITERALLY q280's SQL (thirteenth shared pair)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = tbl(s, dir, "events")
+        .select(col("user_id").cast("long"),
+          col("event_id").cast("long"), col("ts").cast("timestamp"))
+        .collect()
+        .map(r => StreamingOps.DayEvent(r.getLong(0), r.getLong(1),
+          r.getTimestamp(2)))
+        .sortBy(e => (StreamingOps.toMicros(e.ts), e.eventId)).toSeq
+      val input = MemoryStream[StreamingOps.DayEvent]
+      val sink = s"q298_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.activeDayStreakStream(input.toDS())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      drive(input, q, rows, nChunks = 3)
+      s.table(sink)
+        .select(col("eventId").as("event_id"),
+          col("streakDays").as("streak_days"))
+        .orderBy("event_id")
+    }),
+
     "q295_stream_monotone" -> ((s, dir) => {
       // the ONLINE companion of q292: sign vs prior observed reading
       // + same-direction streak as O(1) integer state per user,
@@ -1153,6 +1179,11 @@ object QueriesStreaming {
     // pairwise-complete corr/beta ring (seventh shared pair)
     "q257_stream_corr" ->
       QueriesTemporal.oracles("q256_rolling_corr"),
+
+    // the two-long day-streak register must land exactly the batch
+    // islands: literally the q280 oracle (thirteenth shared pair)
+    "q298_stream_day_streak" ->
+      QueriesTemporal.oracles("q280_day_streak"),
 
     // the O(1) sign/streak recurrence must land exactly the batch
     // carries: literally the q292 oracle (tenth shared pair)

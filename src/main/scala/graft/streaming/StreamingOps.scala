@@ -1504,6 +1504,53 @@ object StreamingOps {
       }
   }
 
+  case class DayEvent(entity: Long, eventId: Long, ts: Timestamp)
+  case class DayOut(eventId: Long, entity: Long, ts: Timestamp,
+    streakDays: Long)
+  /** Last active UTC day + current consecutive-day streak
+    * (state v1).
+    */
+  case class DayState(lastTsUs: Long, lastDay: Long, streak: Long)
+
+  /** ONLINE companion of
+    * [[graft.operators.Behavior.activeDayStreak]], certified against
+    * LITERALLY q280's oracle: the running consecutive-active-day
+    * streak on the exact integer `epoch_us div 86400e6` day grid —
+    * same day → same streak, next day → +1, any gap → reset to 1.
+    * TWO longs of state per entity (vs the batch op's distinct-day
+    * frame): the serve-time "day N of your streak" register.
+    */
+  def activeDayStreakStream(events: Dataset[DayEvent])
+      : Dataset[DayOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (entity: Long, rows: Iterator[DayEvent],
+         state: GroupState[DayState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.eventId))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[DayOut]
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            require(st == null || t >= st.lastTsUs,
+              s"activeDayStreakStream: entity $entity got ts $t " +
+                s"older than carried state ${st.lastTsUs} — source " +
+                "must be per-entity ts-nondecreasing (backfill " +
+                "late data with the batch activeDayStreak)")
+            val day = math.floorDiv(t, 86400000000L)
+            st = if (st == null) DayState(t, day, 1L)
+              else if (day == st.lastDay) st.copy(lastTsUs = t)
+              else if (day == st.lastDay + 1)
+                DayState(t, day, st.streak + 1)
+              else DayState(t, day, 1L)
+            out += DayOut(e.eventId, entity, e.ts, st.streak)
+          }
+          if (sorted.nonEmpty) state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class TypeEvent(entity: Long, eventId: Long, ts: Timestamp,
     eventType: String)
   case class TypeOut(eventId: Long, entity: Long, ts: Timestamp,

@@ -1337,6 +1337,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("day-streak stream: two-long register across batches equals " +
+      "the batch activeDayStreak islands") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(
+      StreamingOps.DayEvent(1L, 1L, ts("2024-01-01 10:00:00")),
+      StreamingOps.DayEvent(1L, 2L, ts("2024-01-02 09:00:00")),
+      StreamingOps.DayEvent(1L, 3L, ts("2024-01-02 23:00:00")),
+      StreamingOps.DayEvent(1L, 4L, ts("2024-01-03 00:30:00")),
+      StreamingOps.DayEvent(1L, 5L, ts("2024-01-05 10:00:00")),
+      StreamingOps.DayEvent(1L, 6L, ts("2024-01-06 10:00:00")),
+      StreamingOps.DayEvent(2L, 7L, ts("2024-01-04 10:00:00")))
+    val input = MemoryStream[StreamingOps.DayEvent]
+    val q = StreamingOps.activeDayStreakStream(input.toDS())
+      .writeStream.format("memory").queryName("day_s")
+      .outputMode("append").start()
+    try {
+      Seq(ev.take(3), ev.slice(3, 5), ev.drop(5)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val got = spark.table("day_s").orderBy("eventId").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSeq
+      assert(got == Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L),
+        (5L, 1L), (6L, 2L), (7L, 1L)), got.toString)
+      val d = df("e BIGINT, ts TIMESTAMP, id BIGINT",
+        ev.map(e => Row(e.entity, e.ts, e.eventId)))
+      val batch = graft.operators.Behavior
+        .activeDayStreak(d, "e", "ts").orderBy("id").collect()
+        .map(r => (r.getLong(2),
+          r.getLong(r.fieldIndex("streak_days")))).toSeq
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
   test("recency-by-type stream: strictly-prior registers across " +
       "batches equal the batch recencyByType carries") {
     import spark.implicits._
