@@ -39,6 +39,34 @@ object QueriesStreaming {
     } finally q.stop()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q300_stream_trend" -> ((s, dir) => {
+      // the ONLINE companion of q299: exact BigInt expanding OLS
+      // registers per user, batch-identical double conversion; the
+      // oracle is LITERALLY q299's SQL (fourteenth shared pair)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = tbl(s, dir, "events")
+        .select(col("user_id").cast("long"),
+          col("event_id").cast("long"),
+          col("ts").cast("timestamp"), col("value"))
+        .collect()
+        .map(r => StreamingOps.TrendEvent(r.getLong(0), r.getLong(1),
+          r.getTimestamp(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .sortBy(e => (StreamingOps.toMicros(e.ts), e.eventId)).toSeq
+      val input = MemoryStream[StreamingOps.TrendEvent]
+      val sink = s"q300_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.expandingTrendStream(input.toDS())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      drive(input, q, rows, nChunks = 3)
+      s.table(sink)
+        .select(col("eventId").as("event_id"),
+          round(col("trend") * 86400d, 6).as("trend_per_day"))
+        .orderBy("event_id")
+    }),
+
     "q298_stream_day_streak" -> ((s, dir) => {
       // the ONLINE companion of q280: two longs of state per user
       // (last day, streak) on the same integer day grid; the oracle
@@ -1179,6 +1207,11 @@ object QueriesStreaming {
     // pairwise-complete corr/beta ring (seventh shared pair)
     "q257_stream_corr" ->
       QueriesTemporal.oracles("q256_rolling_corr"),
+
+    // the BigInt OLS registers must land exactly the batch decimal
+    // window moments: literally the q299 oracle (fourteenth pair)
+    "q300_stream_trend" ->
+      QueriesTemporal.oracles("q299_expanding_trend"),
 
     // the two-long day-streak register must land exactly the batch
     // islands: literally the q280 oracle (thirteenth shared pair)

@@ -185,6 +185,18 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q299_expanding_trend" -> ((s, dir) => {
+      // PIT-safe running OLS slope per event: entity-first-instant
+      // centering keeps the five expanding decimal moments exact,
+      // one double division per row (surfaced per-day for round-6)
+      WindowOps.expandingTrend(tbl(s, dir, "events"), "user_id",
+        "ts", "value", tieBreak = Seq("event_id"))
+        .select(col("event_id"),
+          round(col("value_trend") * 86400d, 6)
+            .as("trend_per_day"))
+        .orderBy("event_id")
+    }),
+
     "q294_session_profile" -> ((s, dir) => {
       // engagement shape per user over the q39 gap sessions:
       // bounce share, mean events, exact mean dwell (zero-length
@@ -1129,6 +1141,35 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // identical first-instant centering, the same five expanding
+    // HUGEINT moments, and the same num/den*86400 chain inside ROUND
+    "q299_expanding_trend" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+        |    CASE WHEN value IS NOT NULL
+        |      THEN CAST(round(value * 1e6) AS BIGINT) END AS m
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |a AS (SELECT event_id, user_id, t, m,
+        |    t - FIRST_VALUE(t) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS ct
+        |  FROM e),
+        |b AS (SELECT event_id, m,
+        |    COUNT(CASE WHEN m IS NOT NULL THEN 1 END) OVER wr AS n,
+        |    SUM(CASE WHEN m IS NOT NULL
+        |      THEN CAST(ct AS HUGEINT) END) OVER wr AS st,
+        |    SUM(CAST(m AS HUGEINT)) OVER wr AS sv,
+        |    SUM(CASE WHEN m IS NOT NULL
+        |      THEN CAST(ct AS HUGEINT) * ct END) OVER wr AS stt,
+        |    SUM(CAST(ct AS HUGEINT) * m) OVER wr AS stv
+        |  FROM a WINDOW wr AS (PARTITION BY user_id
+        |    ORDER BY t, event_id ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id,
+        |  CASE WHEN m IS NOT NULL AND n >= 2
+        |      AND CAST(n AS HUGEINT) * stt - st * st > 0 THEN
+        |    ROUND(CAST(CAST(n AS HUGEINT) * stv - st * sv AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * stt - st * st AS DOUBLE)
+        |      * 86400.0, 6) END AS trend_per_day
+        |FROM b ORDER BY 1""".stripMargin,
 
     // q39's session SQL -> per-session counts/durations -> the
     // same exact per-user rollup and division chains inside ROUND

@@ -1551,6 +1551,78 @@ object StreamingOps {
       }
   }
 
+  case class TrendEvent(entity: Long, eventId: Long, ts: Timestamp,
+    value: Option[Double])
+  case class TrendOut(eventId: Long, entity: Long, ts: Timestamp,
+    trend: Option[Double])
+  /** Expanding OLS registers. `stt`/`stv` exceed a Long's range
+    * (Σct² reaches ~10^31 at year-long micro spans), so the four
+    * sums are exact BigInt DECIMAL STRINGS — schema-stable, exact
+    * at any magnitude, O(1) parse per event (state v1). `t0` is
+    * the entity's first instant (the centering constant).
+    */
+  case class TrendState(lastTsUs: Long, t0: Long, n: Long,
+    st: String, sv: String, stt: String, stv: String)
+
+  /** ONLINE companion of
+    * [[graft.temporal.WindowOps.expandingTrend]], certified against
+    * LITERALLY q299's oracle: the running OLS slope (value/second)
+    * over all observations so far, O(1) state per entity. The five
+    * moments are exact integers (BigInt), and the emitted double
+    * replays the batch path exactly: BigDecimal.doubleValue on the
+    * exact numerator/denominator (the same correctly-rounded
+    * conversion Spark's decimal(38,0)→double cast performs), then
+    * one double division.
+    */
+  def expandingTrendStream(events: Dataset[TrendEvent])
+      : Dataset[TrendOut] = {
+    import events.sparkSession.implicits._
+    def d(b: BigInt): Double =
+      new java.math.BigDecimal(b.bigInteger).doubleValue
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (entity: Long, rows: Iterator[TrendEvent],
+         state: GroupState[TrendState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.eventId))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[TrendOut]
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            require(st == null || t >= st.lastTsUs,
+              s"expandingTrendStream: entity $entity got ts $t " +
+                s"older than carried state ${st.lastTsUs} — source " +
+                "must be per-entity ts-nondecreasing (backfill " +
+                "late data with the batch expandingTrend)")
+            if (st == null)
+              st = TrendState(t, t, 0L, "0", "0", "0", "0")
+            val m = e.value.filterNot(_.isNaN)
+              .map(graft.temporal.StreamingRound.halfUp6)
+            m match {
+              case Some(mv) =>
+                val ct = BigInt(t - st.t0)
+                val n = st.n + 1
+                val sT = BigInt(st.st) + ct
+                val sV = BigInt(st.sv) + BigInt(mv)
+                val sTT = BigInt(st.stt) + ct * ct
+                val sTV = BigInt(st.stv) + ct * BigInt(mv)
+                st = TrendState(t, st.t0, n, sT.toString,
+                  sV.toString, sTT.toString, sTV.toString)
+                val num = BigInt(n) * sTV - sT * sV
+                val den = BigInt(n) * sTT - sT * sT
+                out += TrendOut(e.eventId, entity, e.ts,
+                  if (n >= 2 && den > 0) Some(d(num) / d(den))
+                  else None)
+              case None =>
+                st = st.copy(lastTsUs = t)
+                out += TrendOut(e.eventId, entity, e.ts, None)
+            }
+          }
+          if (sorted.nonEmpty) state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class TypeEvent(entity: Long, eventId: Long, ts: Timestamp,
     eventType: String)
   case class TypeOut(eventId: Long, entity: Long, ts: Timestamp,

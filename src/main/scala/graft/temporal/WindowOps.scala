@@ -496,6 +496,50 @@ object WindowOps {
       runLen.as(s"${valueCol}_dir_run")): _*)
   }
 
+  /** Per-event EXPANDING OLS trend — the running regression slope
+    * (`<value>_trend`, value units per SECOND) over ALL of the
+    * entity's observations up to and including this row: the
+    * PIT-safe "how fast is this account growing as of now" feature
+    * that [[trendFit]] reports once per entity at corpus close.
+    * Rows before the second observation, zero time spread, and
+    * missing readings read null.
+    *
+    * Exactness: time is centered on the entity's FIRST row's
+    * instant (a per-entity constant — slope-invariant, and it keeps
+    * Σt² inside decimal(38,0) where raw epoch micros would
+    * overflow); values are exact micro-units; the five expanding
+    * moments are exact decimal window sums and the slope is ONE
+    * double division. Scale shape: one entity exchange, all six
+    * running registers on the same sort.
+    */
+  def expandingTrend(df: DataFrame, entity: String, ts: String,
+      valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = (col(ts) +: tieBreak.map(col)).map(_.asc)
+    val running = Window.partitionBy(col(entity)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tus = unix_micros(col(ts).cast("timestamp"))
+    val m = microUnits(cleanDouble(valueCol))
+    val t0 = first(tus).over(running)
+    val ct = tus - t0
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val ok = m.isNotNull
+    val n = count(when(ok, lit(1))).over(running)
+    val st = sum(when(ok, d38(ct))).over(running)
+    val sv = sum(when(ok, d38(m))).over(running)
+    val stt = sum(when(ok,
+      (d19(ct) * d19(ct)).cast("decimal(38,0)"))).over(running)
+    val stv = sum(when(ok,
+      (d19(ct) * d19(m)).cast("decimal(38,0)"))).over(running)
+    val n38 = n.cast("decimal(38,0)")
+    val num = n38 * stv - st * sv
+    val den = n38 * stt - st * st
+    val slope = when(ok && n >= 2 && den > 0,
+      num.cast("double") / den.cast("double"))
+    df.select(df.columns.map(col).toIndexedSeq :+
+      slope.as(s"${valueCol}_trend"): _*)
+  }
+
   /** LEAKAGE-FREE expanding target mean: for each row, the mean of
     * `valueCol` over all STRICTLY EARLIER rows of the same `keyCol`
     * (frame ends at 1 PRECEDING — the row never sees its own label,

@@ -1371,6 +1371,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("expanding-trend stream: BigInt OLS registers across " +
+      "batches equal the batch expandingTrend, bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(
+      StreamingOps.TrendEvent(1L, 1L, ts("2024-01-01 10:00:00"), Some(1.0)),
+      StreamingOps.TrendEvent(1L, 2L, ts("2024-01-01 10:00:10"), Some(2.0)),
+      StreamingOps.TrendEvent(1L, 3L, ts("2024-01-01 10:00:20"), None),
+      StreamingOps.TrendEvent(1L, 4L, ts("2024-01-01 10:00:30"), Some(4.7)),
+      StreamingOps.TrendEvent(1L, 5L, ts("2024-01-01 10:00:40"), Some(3.3)),
+      StreamingOps.TrendEvent(2L, 6L, ts("2024-01-01 10:00:00"), Some(9.0)))
+    val input = MemoryStream[StreamingOps.TrendEvent]
+    val q = StreamingOps.expandingTrendStream(input.toDS())
+      .writeStream.format("memory").queryName("tr_s")
+      .outputMode("append").start()
+    try {
+      Seq(ev.take(2), ev.slice(2, 5), ev.drop(5)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val got = spark.table("tr_s").orderBy("eventId").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+      val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE",
+        ev.map(e => Row(e.entity, e.ts, e.eventId,
+          e.value.map(Double.box).orNull)))
+      val batch = WindowOps.expandingTrend(d, "e", "ts", "v",
+        tieBreak = Seq("id")).orderBy("id").collect()
+        .map(r => (r.getLong(2),
+          if (r.isNullAt(4)) null else r.getDouble(4))).toSeq
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(math.abs(got(1)._2.asInstanceOf[Double] - 0.1) < 1e-12)
+    } finally q.stop()
+  }
+
   test("recency-by-type stream: strictly-prior registers across " +
       "batches equal the batch recencyByType carries") {
     import spark.implicits._

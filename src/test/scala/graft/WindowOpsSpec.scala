@@ -744,6 +744,34 @@ class WindowOpsSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan.take(600))
   }
 
+  test("expandingTrend: running OLS slope from the second " +
+      "observation on, missing readings read null and don't " +
+      "count, one exchange") {
+    val d = df("e STRING, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
+      Row("a", ts("2024-01-01 10:00:00"), 1L, 1.0),
+      Row("a", ts("2024-01-01 10:00:10"), 2L, 2.0),
+      Row("a", ts("2024-01-01 10:00:20"), 3L, null),
+      Row("a", ts("2024-01-01 10:00:30"), 4L, 4.0),
+      Row("b", ts("2024-01-01 10:00:00"), 5L, 9.0)))
+    val out = WindowOps.expandingTrend(d, "e", "ts", "v",
+      tieBreak = Seq("id")).orderBy("id").collect()
+    def g(i: Int) = {
+      val j = out(i).fieldIndex("v_trend")
+      if (out(i).isNullAt(j)) null else out(i).getDouble(j)
+    }
+    assert(g(0) == null)                      // first observation
+    assert(math.abs(g(1).asInstanceOf[Double] - 0.1) < 1e-12)
+    assert(g(2) == null)                      // missing reading
+    // obs (0,1),(10,2),(30,4): exact line of slope 0.1/s
+    assert(math.abs(g(3).asInstanceOf[Double] - 0.1) < 1e-12)
+    assert(g(4) == null)                      // singleton entity
+    val plan = WindowOps.expandingTrend(d, "e", "ts", "v", Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan)
+    assert(!plan.contains("SinglePartition"), plan.take(600))
+  }
+
   test("trendFit runs on ONE exchange: the centering window and the " +
       "moment rollup share the entity partitioning") {
     val d = df("e BIGINT, ts TIMESTAMP, v DOUBLE", Seq(
