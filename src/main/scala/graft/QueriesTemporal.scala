@@ -185,6 +185,30 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q302_activation_profile" -> ((s, dir) => {
+      // onboarding-vs-retention split per user: strict integer
+      // first-window comparison, exact share, integer lifetime days
+      graft.operators.Behavior.activationProfile(
+        tbl(s, dir, "events"), "user_id", "ts", windowDays = 7)
+        .select(col("user_id"), col("n_total"),
+          col("n_first_window"),
+          round(col("first_window_share"), 6)
+            .as("first_window_share"),
+          col("lifetime_days"))
+        .orderBy("user_id")
+    }),
+
+    "q301_value_hhi" -> ((s, dir) => {
+      // wallet-share concentration per user: exact cross-multiplied
+      // HHI and top share over (user, type) micro sums
+      graft.operators.Behavior.valueConcentration(
+        tbl(s, dir, "events"), "user_id", "event_type", "value")
+        .select(col("user_id"), col("n_types"),
+          round(col("hhi"), 6).as("hhi"),
+          round(col("top_share"), 6).as("top_share"))
+        .orderBy("user_id")
+    }),
+
     "q299_expanding_trend" -> ((s, dir) => {
       // PIT-safe running OLS slope per event: entity-first-instant
       // centering keeps the five expanding decimal moments exact,
@@ -1141,6 +1165,49 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // identical strict t - t0 < 7d integer comparison, exact share
+    // division, and the same span/86400e6 truncation
+    "q302_activation_profile" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |a AS (SELECT user_id, t,
+        |    MIN(t) OVER (PARTITION BY user_id) AS t0 FROM e),
+        |g AS (SELECT user_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_total,
+        |    CAST(COUNT(CASE WHEN t - t0 < 604800000000 THEN 1 END)
+        |      AS BIGINT) AS n_first_window,
+        |    MAX(t) - MIN(t) AS span FROM a GROUP BY 1)
+        |SELECT user_id, n_total, n_first_window,
+        |  ROUND(CAST(n_first_window AS DOUBLE)
+        |    / CAST(n_total AS DOUBLE), 6) AS first_window_share,
+        |  CAST(trunc(CAST(span AS DOUBLE) / 86400000000.0)
+        |    AS BIGINT) AS lifetime_days
+        |FROM g ORDER BY 1""".stripMargin,
+
+    // identical (user, type) HUGEINT micro sums and the same
+    // cross-multiplied HHI / top-share double divisions
+    "q301_value_hhi" ->
+      """WITH e AS (SELECT user_id, event_type AS ty,
+        |    CASE WHEN value IS NOT NULL
+        |      THEN CAST(round(value * 1e6) AS BIGINT) END AS m
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |pt AS (SELECT user_id, ty, SUM(CAST(m AS HUGEINT)) AS s
+        |  FROM e GROUP BY 1, 2),
+        |pf AS (SELECT * FROM pt WHERE s IS NOT NULL),
+        |r AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    SUM(s) AS tot, SUM(s * s) AS ss,
+        |    MAX(s) AS top, MIN(s) AS mn
+        |  FROM pf GROUP BY 1)
+        |SELECT user_id, n_types,
+        |  CASE WHEN tot > 0 AND mn >= 0 THEN
+        |    ROUND(CAST(ss AS DOUBLE) / CAST(tot * tot AS DOUBLE), 6)
+        |    END AS hhi,
+        |  CASE WHEN tot > 0 AND mn >= 0 THEN
+        |    ROUND(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+        |    END AS top_share
+        |FROM r ORDER BY 1""".stripMargin,
 
     // identical first-instant centering, the same five expanding
     // HUGEINT moments, and the same num/den*86400 chain inside ROUND

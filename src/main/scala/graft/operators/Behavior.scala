@@ -748,6 +748,78 @@ object Behavior {
         .as("mean_duration_s"))
   }
 
+  /** Per-entity VALUE CONCENTRATION across a categorical dimension
+    * — the Herfindahl–Hirschman index of the entity's value shares
+    * by `typeCol` (`hhi` ∈ (1/k, 1]: 1 = everything in one
+    * category, 1/k = evenly spread over k) plus `n_types` and
+    * `top_share`: the "wallet share" block of spend-diversity
+    * features. Cross-multiplied exact integers —
+    * `hhi = Σs_d² / S²` with both sides exact decimal(38,0)
+    * products of micro-unit sums, one double division. Entities
+    * whose total is ≤ 0, or with any negative category sum (shares
+    * lose meaning), refuse with null.
+    *
+    * Scale shape: one (entity, type) micro-sum (map-side combined),
+    * one entity rollup of the ≤ |types|-row frame. Missing values
+    * (null/NaN) count nowhere.
+    */
+  def valueConcentration(df: DataFrame, entity: String,
+      typeCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val clean = when(isnan(v), lit(null)).otherwise(v)
+    val m = round(clean * lit(1e6), 0).cast("long")
+    val perT = df
+      .filter(col(entity).isNotNull && col(typeCol).isNotNull)
+      .groupBy(col(entity), col(typeCol))
+      .agg(sum(m).cast("decimal(38,0)").as("__s"))
+      .filter(col("__s").isNotNull)
+    val rolled = perT.groupBy(col(entity)).agg(
+      count(lit(1)).as("n_types"),
+      sum(col("__s")).cast("decimal(38,0)").as("__tot"),
+      sum((col("__s") * col("__s")).cast("decimal(38,0)"))
+        .as("__ss"),
+      max(col("__s")).as("__top"),
+      min(col("__s")).as("__min"))
+    val ok = col("__tot") > 0 && col("__min") >= 0
+    rolled.select(col(entity), col("n_types"),
+      when(ok, col("__ss").cast("double") /
+        (col("__tot") * col("__tot")).cast("double")).as("hhi"),
+      when(ok, col("__top").cast("double") /
+        col("__tot").cast("double")).as("top_share"))
+  }
+
+  /** Per-entity ACTIVATION PROFILE — how much of the entity's
+    * lifetime activity landed in its FIRST `windowDays` days:
+    * `n_total`, `n_first_window` (events with
+    * `t − first_t < windowDays·86400e6`, a pure integer
+    * comparison), `first_window_share`, and `lifetime_days`
+    * (integer `span div 86400e6`). The onboarding-vs-retention
+    * split growth models read. One entity exchange: the first-
+    * instant window min and the conditional rollup ride it.
+    */
+  def activationProfile(df: DataFrame, entity: String, ts: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1,
+      s"activationProfile: windowDays >= 1, got $windowDays")
+    val tus = unix_micros(col(ts).cast("timestamp"))
+    val w = Window.partitionBy(col(entity))
+    val base = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .select(col(entity), tus.as("__t"),
+        min(tus).over(w).as("__t0"))
+    val inWin = col("__t") - col("__t0") <
+      lit(windowDays.toLong * 86400000000L)
+    base.groupBy(col(entity)).agg(
+      count(lit(1)).as("n_total"),
+      count(when(inWin, lit(1))).as("n_first_window"),
+      ((max(col("__t")) - min(col("__t"))) / lit(86400000000L))
+        .cast("long").as("lifetime_days"))
+      .select(col(entity), col("n_total"), col("n_first_window"),
+        (col("n_first_window").cast("double") /
+          col("n_total").cast("double")).as("first_window_share"),
+        col("lifetime_days"))
+  }
+
   /** Per-event RUNNING consecutive-active-day streak — "day 7 of a
     * 7-day streak" as a point-in-time feature every event can read
     * without future leakage: the number of consecutive UTC days up

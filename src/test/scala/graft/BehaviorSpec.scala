@@ -522,6 +522,41 @@ class BehaviorSpec extends SparkSpec {
     assert(out(1).getDouble(3) == 1.0 && out(1).getDouble(5) == 0.0)
   }
 
+  test("valueConcentration: exact HHI off cross-multiplied micro " +
+      "sums, even split reads 1/k, refusals on zero totals") {
+    val d = df("u STRING, t STRING, v DOUBLE", Seq(
+      Row("u1", "A", 30.0), Row("u1", "B", 10.0),
+      Row("u1", "A", 20.0), Row("u1", "C", 40.0),
+      Row("u2", "X", 5.0), Row("u2", "Y", 5.0),
+      Row("u3", "Z", null)))
+    val out = Behavior.valueConcentration(d, "u", "t", "v")
+      .orderBy("u").collect()
+    val r = out(0) // sums A=50, B=10, C=40, S=100
+    assert(r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2) - 0.42) < 1e-12) // .25+.01+.16
+    assert(r.getDouble(3) == 0.5)
+    assert(out(1).getDouble(2) == 0.5) // even 2-way split
+    assert(out.length == 2)            // u3: no observed value rows
+  }
+
+  test("activationProfile: strict first-window comparison on exact " +
+      "micros, lifetime in integer days") {
+    val d = df("u STRING, ts TIMESTAMP", Seq(
+      Row("u1", ts("2024-01-01 10:00:00")),
+      Row("u1", ts("2024-01-05 09:00:00")),  // day 4: inside
+      Row("u1", ts("2024-01-08 09:59:59")),  // < 7d by 1s: inside
+      Row("u1", ts("2024-01-08 10:00:00")),  // exactly 7d: outside
+      Row("u1", ts("2024-02-01 10:00:00")),
+      Row("u2", ts("2024-01-01 10:00:00"))))
+    val out = Behavior.activationProfile(d, "u", "ts", 7)
+      .orderBy("u").collect()
+    val r = out(0)
+    assert(r.getLong(1) == 5L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.6)
+    assert(r.getLong(4) == 31L)
+    assert(out(1).getLong(2) == 1L && out(1).getLong(4) == 0L)
+  }
+
   test("activeDayStreak: per-event running streak, gaps reset, " +
       "UTC-day grid, repeat events on a day share its streak") {
     val d = df("u STRING, ts TIMESTAMP, id BIGINT", Seq(
