@@ -185,6 +185,24 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q303_feature_matrix" -> ((s, dir) => {
+      // the composed serve-time block: session position + per-type
+      // recency + momentum + expanding trend in ONE plan on ONE
+      // exchange; the oracle is literally the four per-op oracles
+      // joined on event_id
+      WindowOps.featureMatrix(tbl(s, dir, "events"), "user_id",
+        "ts", "value", "event_type",
+        types = Seq("purchase", "click", "error"),
+        gapSeconds = 1800L, tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("session_event_seq"),
+          col("us_into_session"), col("us_since_purchase"),
+          col("us_since_click"), col("us_since_error"),
+          col("value_dir"), col("value_dir_run"),
+          round(col("value_trend") * 86400d, 6)
+            .as("trend_per_day"))
+        .orderBy("event_id")
+    }),
+
     "q302_activation_profile" -> ((s, dir) => {
       // onboarding-vs-retention split per user: strict integer
       // first-window comparison, exact share, integer lifetime days
@@ -974,7 +992,7 @@ object QueriesTemporal {
     """SELECT user_id, ts, value AS purchase_value
       |FROM events WHERE event_type = 'purchase'""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "q30_asof_join" ->
       s"""SELECT l.event_id, r.purchase_value,
          |       r.ts AS matched_ts
@@ -2618,4 +2636,23 @@ object QueriesTemporal {
         |      AS session_id
         |FROM t ORDER BY 1""".stripMargin
   )
+
+  /** The feature-matrix oracle is LITERALLY the four per-op oracles
+    * (q283 / q285 / q292 / q299) joined on event_id — the composed
+    * plan must agree with each feature's already-proven definition,
+    * column for column.
+    */
+  val oracles: Map[String, String] = baseOracles +
+    ("q303_feature_matrix" ->
+      s"""SELECT a.event_id, a.session_event_seq, a.us_into_session,
+         |  b.us_since_purchase, b.us_since_click, b.us_since_error,
+         |  c.value_dir, c.value_dir_run, d.trend_per_day
+         |FROM (${baseOracles("q283_session_position")}) a
+         |JOIN (${baseOracles("q285_recency_by_type")}) b
+         |  USING (event_id)
+         |JOIN (${baseOracles("q292_monotone_run")}) c
+         |  USING (event_id)
+         |JOIN (${baseOracles("q299_expanding_trend")}) d
+         |  USING (event_id)
+         |ORDER BY 1""".stripMargin)
 }

@@ -772,6 +772,41 @@ class WindowOpsSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan.take(600))
   }
 
+  test("featureMatrix: the four composed feature blocks run on ONE " +
+      "exchange and agree with the ops applied individually") {
+    val d = df("e STRING, ts TIMESTAMP, id BIGINT, t STRING, " +
+      "v DOUBLE", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      Row("u1", ts("2024-01-01 10:00:10"), 2L, "purchase", 2.0),
+      Row("u1", ts("2024-01-01 10:00:20"), 3L, "view", null),
+      Row("u1", ts("2024-01-01 11:00:00"), 4L, "purchase", 5.0),
+      Row("u2", ts("2024-01-01 10:00:00"), 5L, "view", 7.0)))
+    val fm = WindowOps.featureMatrix(d, "e", "ts", "v", "t",
+      Seq("purchase"), gapSeconds = 1800L, tieBreak = Seq("id"))
+    val plan = fm.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"feature matrix must plan on ONE exchange:\n$plan")
+    assert(!plan.contains("SinglePartition"), plan.take(600))
+    val got = fm.orderBy("id").collect()
+    def gl(r: org.apache.spark.sql.Row, c: String) = {
+      val j = r.fieldIndex(c)
+      if (r.isNullAt(j)) null else r.get(j)
+    }
+    val single = WindowOps.expandingTrend(
+      WindowOps.monotoneRun(
+        WindowOps.recencyByType(
+          WindowOps.sessionPosition(d, "e", "ts", 1800L, Seq("id")),
+          "e", "ts", "t", Seq("purchase"), Seq("id")),
+        "e", "ts", "v", Seq("id")),
+      "e", "ts", "v", Seq("id")).orderBy("id").collect()
+    Seq("session_event_seq", "us_into_session",
+      "us_since_purchase", "v_dir", "v_dir_run", "v_trend")
+      .foreach { c =>
+        assert(got.map(gl(_, c)).toSeq ==
+          single.map(gl(_, c)).toSeq, c)
+      }
+  }
+
   test("trendFit runs on ONE exchange: the centering window and the " +
       "moment rollup share the entity partitioning") {
     val d = df("e BIGINT, ts TIMESTAMP, v DOUBLE", Seq(
