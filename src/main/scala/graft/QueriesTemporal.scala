@@ -185,6 +185,29 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q304_bucketed_matrix" -> ((s, dir) => {
+      // the SAME feature matrix over a user_id-bucketed copy of the
+      // event log: the bucketed scan's reported hashpartitioning
+      // satisfies every window, so the plan has ZERO exchanges
+      // (spec-pinned) — at 100 TB the difference between one
+      // full-log shuffle per backfill and none. Values must be
+      // bit-identical: literally q303's composite oracle.
+      graft.io.BucketedTable.write(tbl(s, dir, "events"),
+        "q304_events_bucketed", "user_id", 16)
+      WindowOps.featureMatrix(
+        graft.io.BucketedTable.read(s, "q304_events_bucketed"),
+        "user_id", "ts", "value", "event_type",
+        types = Seq("purchase", "click", "error"),
+        gapSeconds = 1800L, tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("session_event_seq"),
+          col("us_into_session"), col("us_since_purchase"),
+          col("us_since_click"), col("us_since_error"),
+          col("value_dir"), col("value_dir_run"),
+          round(col("value_trend") * 86400d, 6)
+            .as("trend_per_day"))
+        .orderBy("event_id")
+    }),
+
     "q303_feature_matrix" -> ((s, dir) => {
       // the composed serve-time block: session position + per-type
       // recency + momentum + expanding trend in ONE plan on ONE
@@ -2642,8 +2665,8 @@ object QueriesTemporal {
     * plan must agree with each feature's already-proven definition,
     * column for column.
     */
-  val oracles: Map[String, String] = baseOracles +
-    ("q303_feature_matrix" ->
+  val oracles: Map[String, String] = {
+    val matrix =
       s"""SELECT a.event_id, a.session_event_seq, a.us_into_session,
          |  b.us_since_purchase, b.us_since_click, b.us_since_error,
          |  c.value_dir, c.value_dir_run, d.trend_per_day
@@ -2654,5 +2677,10 @@ object QueriesTemporal {
          |  USING (event_id)
          |JOIN (${baseOracles("q299_expanding_trend")}) d
          |  USING (event_id)
-         |ORDER BY 1""".stripMargin)
+         |ORDER BY 1""".stripMargin
+    baseOracles +
+      ("q303_feature_matrix" -> matrix) +
+      // bucketing is a layout change, never a value change
+      ("q304_bucketed_matrix" -> matrix)
+  }
 }

@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // managed tables (bucketed-table queries) land in a temp
+      // warehouse, never the working directory
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-verify-wh")
+          .toUri.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

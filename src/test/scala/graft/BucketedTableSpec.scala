@@ -57,4 +57,31 @@ class BucketedTableSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bt_meta")
     }
   }
+
+  test("feature matrix over a bucketed event log plans with ZERO " +
+      "exchanges and agrees with the shuffled plan bit-for-bit") {
+    import spark.implicits._
+    val ev = (0L until 600L).map { i =>
+      (i % 37, i, new java.sql.Timestamp(
+        1704100000000L + (i / 37) * 701000L + (i % 7) * 13000L),
+        if (i % 11 == 0) "purchase" else "view",
+        if (i % 13 == 0) null else java.lang.Double.valueOf(
+          ((i * 37) % 500).toDouble / 7.0))
+    }.toDF("e", "id", "ts", "t", "v")
+    BucketedTable.write(ev, "bt_fm_events", "e", 8)
+    try {
+      val fm = graft.temporal.WindowOps.featureMatrix(
+        BucketedTable.read(spark, "bt_fm_events"),
+        "e", "ts", "v", "t", Seq("purchase"), 1800L, Seq("id"))
+      val plan = fm.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed feature matrix must not shuffle:\n$plan")
+      val shuffled = graft.temporal.WindowOps.featureMatrix(
+        ev, "e", "ts", "v", "t", Seq("purchase"), 1800L, Seq("id"))
+      assert(fm.orderBy("id").collect().toSeq ==
+        shuffled.orderBy("id").collect().toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bt_fm_events"); ()
+    }
+  }
 }
