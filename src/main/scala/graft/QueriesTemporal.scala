@@ -185,6 +185,17 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q305_inequality" -> ((s, dir) => {
+      // value-mass inequality per user: exact rank-form Gini and
+      // top-decile whale share, tie-order-invariant by construction
+      graft.operators.GroupOps.inequalityStats(
+        tbl(s, dir, "events"), "user_id", "value")
+        .select(col("user_id"), col("n_obs"),
+          round(col("gini"), 6).as("gini"),
+          round(col("top_decile_share"), 6).as("top_decile_share"))
+        .orderBy("user_id")
+    }),
+
     "q304_bucketed_matrix" -> ((s, dir) => {
       // the SAME feature matrix over a user_id-bucketed copy of the
       // event log: the bucketed scan's reported hashpartitioning
@@ -1206,6 +1217,37 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // identical ascending rank (tie-order-invariant sums), the same
+    // exact HUGEINT rank moments and ceil(n/10) integer whale cut
+    "q305_inequality" ->
+      """WITH e AS (SELECT user_id,
+        |    CASE WHEN value IS NOT NULL
+        |      THEN CAST(round(value * 1e6) AS BIGINT) END AS m
+        |  FROM events WHERE user_id IS NOT NULL),
+        |o AS (SELECT user_id, m FROM e WHERE m IS NOT NULL),
+        |r AS (SELECT user_id, m,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY m ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM o),
+        |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    SUM(CAST(m AS HUGEINT)) AS s,
+        |    SUM(CAST(rn AS HUGEINT) * m) AS si,
+        |    SUM(CASE WHEN rn > n - (n + 9) // 10
+        |      THEN CAST(m AS HUGEINT) END) AS stop,
+        |    MIN(m) AS mn
+        |  FROM r GROUP BY 1)
+        |SELECT user_id, n_obs,
+        |  CASE WHEN s > 0 AND mn >= 0 THEN
+        |    ROUND(CAST(2 * si - (CAST(n_obs AS HUGEINT) + 1) * s
+        |        AS DOUBLE)
+        |      / CAST(CAST(n_obs AS HUGEINT) * s AS DOUBLE), 6) END
+        |    AS gini,
+        |  CASE WHEN s > 0 AND mn >= 0 THEN
+        |    ROUND(CAST(stop AS DOUBLE) / CAST(s AS DOUBLE), 6) END
+        |    AS top_decile_share
+        |FROM a ORDER BY 1""".stripMargin,
 
     // identical strict t - t0 < 7d integer comparison, exact share
     // division, and the same span/86400e6 truncation

@@ -412,6 +412,60 @@ object GroupOps {
       .drop("__k", "__s", "__c")
   }
 
+  /** Per-group INEQUALITY stats — how concentrated a group's value
+    * mass is across its OBSERVATIONS (the per-event complement of
+    * [[graft.operators.Behavior.valueConcentration]]'s per-category
+    * HHI): `gini` (0 = perfectly equal, →1 = one event carries
+    * everything; the exact rank form
+    * `(2·Σ(i·vᵢ) − (n+1)·Σv) / (n·Σv)` over ascending ranks) and
+    * `top_decile_share` (value share of the top ⌈n/10⌉ events —
+    * the whale metric). Both are tie-order-invariant (tied values
+    * contribute identically wherever they rank), so no tie-break
+    * column is needed; groups with negative values or a zero total
+    * refuse with null (shares lose meaning).
+    *
+    * Exactness: one ascending rank window (the descending top-k is
+    * its exact complement `rank > n − k`, ONE sort), exact
+    * decimal(38,0) Σ(i·v) / conditional sums, integer
+    * `k = (n+9) div 10`, one double division each. One entity
+    * exchange; the rollup rides it.
+    */
+  def inequalityStats(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val clean = when(isnan(v), lit(null)).otherwise(v)
+    val m = round(clean * lit(1e6), 0).cast("long")
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val obs = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), m.as("__m"))
+      .filter(col("__m").isNotNull)
+    val win = org.apache.spark.sql.expressions.Window
+    val w = win.partitionBy(col(keyCol)).orderBy(col("__m").asc)
+    val wp = win.partitionBy(col(keyCol))
+    val ranked = obs.select(col(keyCol), col("__m"),
+      row_number().over(w).cast("long").as("__rn"),
+      count(lit(1)).over(wp).as("__n"))
+    val k = expr("(__n + 9) div 10")
+    val agg = ranked.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_obs"),
+      sum(col("__m")).cast("decimal(38,0)").as("__s"),
+      sum((d19(col("__rn")) * d19(col("__m")))
+        .cast("decimal(38,0)")).as("__si"),
+      sum(when(col("__rn") > col("__n") - k,
+        col("__m"))).cast("decimal(38,0)").as("__stop"),
+      min(col("__m")).as("__mn"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val n38 = d38(col("n_obs"))
+    val ok = col("__s") > 0 && col("__mn") >= 0
+    val gini = (lit(2).cast("decimal(38,0)") * col("__si") -
+      (n38 + 1) * col("__s")).cast("double") /
+      (n38 * col("__s")).cast("double")
+    agg.select(col(keyCol), col("n_obs"),
+      when(ok, gini).as("gini"),
+      when(ok, col("__stop").cast("double") /
+        col("__s").cast("double")).as("top_decile_share"))
+  }
+
   /** Per-group σ-EXCEEDANCE summary — one row per group with
     * `n_obs`, exact `mean`/`std` (population, from integer
     * micro-unit moments), `n_outliers` (observations with

@@ -316,6 +316,25 @@ class GroupOpsSpec extends SparkSpec {
     }
   }
 
+  test("inequalityStats: exact rank-form Gini and whale share, " +
+      "equal groups read 0, negatives refuse") {
+    val d = df("k STRING, v DOUBLE", Seq(
+      Row("a", 10.0), Row("a", 10.0), Row("a", 10.0), Row("a", 70.0),
+      Row("b", 5.0), Row("b", 5.0),
+      Row("c", -1.0), Row("c", 2.0),
+      Row("d", null)))
+    val out = GroupOps.inequalityStats(d, "k", "v")
+      .orderBy("k").collect()
+    val a = out(0)
+    assert(a.getLong(1) == 4L)
+    assert(math.abs(a.getDouble(2) - 0.45) < 1e-12)
+    assert(a.getDouble(3) == 0.7)      // top 1 of 4 = the whale
+    assert(out(1).getDouble(2) == 0.0) // perfect equality
+    assert(out(1).getDouble(3) == 0.5)
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3))
+    assert(out.length == 3)            // all-null group vanishes
+  }
+
   test("sigmaOutlierShare: exact micro moments, deterministic " +
       "exceedance, zero-variance groups report zero outliers") {
     // one spike among k flats sits at sqrt(k)*sigma, so k = 12
