@@ -185,6 +185,23 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q306_gains_table" -> ((s, dir) => {
+      // decile gains/lift scorecard for "value ranks purchases":
+      // two-phase global rank (no single-partition window), exact
+      // NTILE replica vs DuckDB's literal NTILE, bounded 10-row
+      // driver fold for the running totals
+      graft.operators.Eval.gainsTable(
+        tbl(s, dir, "events").withColumn("is_purchase",
+          (col("event_type") === "purchase").cast("int")),
+        "value", "is_purchase", "event_id", nBins = 10)
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("pos_rate"), 6).as("pos_rate"),
+          col("cum_n"), col("cum_pos"),
+          round(col("capture_rate"), 6).as("capture_rate"),
+          round(col("cum_lift"), 6).as("cum_lift"))
+        .orderBy("bin")
+    }),
+
     "q305_inequality" -> ((s, dir) => {
       // value-mass inequality per user: exact rank-form Gini and
       // top-decile whale share, tie-order-invariant by construction
@@ -1217,6 +1234,34 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // DuckDB's literal NTILE must agree with the integer replica
+    // bucket-for-bucket; identical cumulative sums and the same
+    // cross-multiplied lift divisions inside ROUND
+    "q306_gains_table" ->
+      """WITH e AS (SELECT event_id, value AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |b AS (SELECT NTILE(10) OVER (ORDER BY s DESC, event_id)
+        |    AS bin, y FROM e),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos FROM b GROUP BY 1),
+        |c AS (SELECT bin, n, n_pos,
+        |    SUM(n) OVER w AS cum_n, SUM(n_pos) OVER w AS cum_pos,
+        |    SUM(n) OVER () AS tot_n, SUM(n_pos) OVER () AS tot_p
+        |  FROM g WINDOW w AS (ORDER BY bin
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT CAST(bin AS INTEGER) AS bin, n, n_pos,
+        |  ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS pos_rate,
+        |  CAST(cum_n AS BIGINT) AS cum_n,
+        |  CAST(cum_pos AS BIGINT) AS cum_pos,
+        |  CASE WHEN tot_p > 0 THEN ROUND(CAST(cum_pos AS DOUBLE)
+        |    / CAST(tot_p AS DOUBLE), 6) END AS capture_rate,
+        |  CASE WHEN tot_p > 0 AND cum_n > 0 THEN
+        |    ROUND(CAST(cum_pos * tot_n AS DOUBLE)
+        |      / CAST(cum_n * tot_p AS DOUBLE), 6) END AS cum_lift
+        |FROM c ORDER BY 1""".stripMargin,
 
     // identical ascending rank (tie-order-invariant sums), the same
     // exact HUGEINT rank moments and ceil(n/10) integer whale cut

@@ -404,4 +404,79 @@ object Eval {
       adj.as(s"${metricCol}_cuped"),
       col("__theta").as(s"${metricCol}_theta")): _*)
   }
+
+  /** CUMULATIVE GAINS / decile-lift table — the scorecard every
+    * ranking model ships with: rows are ranked by score (desc, ties
+    * by `idCol`), cut into `nBins` NTILE deciles via the exact
+    * integer NTILE replica (the same
+    * [[graft.operators.Behavior.rfmScores]] rule DuckDB's literal
+    * NTILE reproduces bucket-for-bucket), and each decile reports
+    * `n`, `n_pos`, `pos_rate`, cumulative captures
+    * (`capture_rate` = share of ALL positives found so far) and
+    * `cum_lift` (cross-multiplied exact integers:
+    * `(cum_pos·N) / (cum_n·P)`).
+    *
+    * Scale shape: the global rank is the two-phase range-partitioned
+    * cumsum (no single-partition window anywhere on row-grain data);
+    * the per-bin rollup is map-side combined; ONLY the ≤ nBins
+    * aggregated rows come to the driver for the running totals — the
+    * same bounded-state pattern as every fitted map. Rows with a
+    * null/NaN score or null label are excluded (they can be neither
+    * ranked nor counted).
+    */
+  def gainsTable(df: DataFrame, scoreCol: String, labelCol: String,
+      idCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 100,
+      s"gainsTable: nBins in [2,100], got $nBins")
+    val s = col(scoreCol).cast("double")
+    val score = when(isnan(s), lit(null)).otherwise(s)
+    val y = col(labelCol).cast("long")
+    val base = df
+      .filter(score.isNotNull && y.isNotNull)
+      .select(score.as("__s"), y.as("__y"), col(idCol).as("__id"))
+    val (ranked, cleanup) = graft.text.Sharding.exclusiveCumSumRaw(
+      base, Seq(col("__s").desc, col("__id").asc), lit(1L), "__r0")
+    val binsRows = try {
+      val withN = ranked.crossJoin(
+        broadcast(ranked.agg(count(lit(1)).as("__N"))))
+      // SQL NTILE on 1-based rank r over N rows: the first N mod b
+      // bins take (N div b)+1 rows each (rfmScores' exact rule)
+      val q = floor(col("__N") / nBins).cast("long")
+      val rem = col("__N") - q * nBins
+      val r = col("__r0") + 1
+      val first = floor((r - 1) / (q + 1)).cast("long") + 1
+      val rest = rem + floor((r - 1 - rem * (q + 1)) / q)
+        .cast("long") + 1
+      val bin = when(r <= rem * (q + 1), first).otherwise(rest)
+        .cast("int")
+      withN.groupBy(bin.as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+        .orderBy("bin")
+        .collect() // bounded: <= nBins aggregated rows
+    } finally cleanup()
+    val totN = binsRows.map(_.getLong(1)).sum
+    val totP = binsRows.map(_.getLong(2)).sum
+    var cn = 0L; var cp = 0L
+    val out = binsRows.map { r =>
+      cn += r.getLong(1); cp += r.getLong(2)
+      (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(2).toDouble / r.getLong(1).toDouble,
+        cn, cp,
+        if (totP > 0) cp.toDouble / totP.toDouble else Double.NaN,
+        if (totP > 0 && cn > 0)
+          (BigInt(cp) * BigInt(totN)).toDouble /
+            (BigInt(cn) * BigInt(totP)).toDouble
+        else Double.NaN)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("bin", "n", "n_pos", "pos_rate", "cum_n",
+      "cum_pos", "capture_rate", "cum_lift")
+      .withColumn("capture_rate",
+        when(isnan(col("capture_rate")), lit(null))
+          .otherwise(col("capture_rate")))
+      .withColumn("cum_lift",
+        when(isnan(col("cum_lift")), lit(null))
+          .otherwise(col("cum_lift")))
+  }
 }

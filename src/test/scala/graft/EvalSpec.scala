@@ -201,4 +201,21 @@ class EvalSpec extends SparkSpec {
         "y", "x", "k")
     }
   }
+
+  test("gainsTable: exact NTILE replica bins, cumulative captures " +
+      "and cross-multiplied lift, golden 5-bin case") {
+    val d = df("id BIGINT, s DOUBLE, y INT",
+      (1 to 10).map(i =>
+        Row(i.toLong, (11 - i).toDouble, if (i <= 4) 1 else 0)))
+    val out = Eval.gainsTable(d, "s", "y", "id", nBins = 5)
+      .orderBy("bin").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4, 5))
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 2L, 2L, 2L, 2L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 2L, 0L, 0L, 0L))
+    assert(out(0).getDouble(6) == 0.5)   // capture after bin 1
+    assert(out(1).getDouble(6) == 1.0)
+    assert(out(0).getDouble(7) == 2.5)   // (2*10)/(2*4)
+    assert(math.abs(out(2).getDouble(7) - 40.0 / 24.0) < 1e-12)
+    assert(out(4).getDouble(7) == 1.0)   // full population lift
+  }
 }
