@@ -185,6 +185,23 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q307_brier" -> ((s, dir) => {
+      // per-type Brier + climatology skill for a value-derived
+      // probability: exact integer micro deviations, chains
+      // replayed verbatim (value/500 as the toy calibration)
+      graft.operators.Eval.brierByGroup(
+        tbl(s, dir, "events")
+          .withColumn("p", col("value") / lit(500.0))
+          .withColumn("y", (col("event_id") % 3 === 0).cast("int")),
+        "event_type", "p", "y")
+        .select(col("event_type"), col("n"),
+          round(col("base_rate"), 6).as("base_rate"),
+          round(col("brier"), 6).as("brier"),
+          round(col("brier_ref"), 6).as("brier_ref"),
+          round(col("brier_skill"), 6).as("brier_skill"))
+        .orderBy("event_type")
+    }),
+
     "q306_gains_table" -> ((s, dir) => {
       // decile gains/lift scorecard for "value ranks purchases":
       // two-phase global rank (no single-partition window), exact
@@ -1234,6 +1251,32 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // identical micro rounding of value/500, exact HUGEINT squared
+    // deviations, and the same base-rate/brier/skill double chains
+    "q307_brier" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    CAST(round(value / 500.0 * 1e6) AS BIGINT) AS mp,
+        |    CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |a AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(mp - y * 1000000 AS HUGEINT)
+        |      * (mp - y * 1000000)) AS sd2
+        |  FROM e GROUP BY 1),
+        |m AS (SELECT k, n,
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS br,
+        |    CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE) / 1e12 AS brier
+        |  FROM a)
+        |SELECT k AS event_type, n,
+        |  ROUND(br, 6) AS base_rate,
+        |  ROUND(brier, 6) AS brier,
+        |  ROUND(br * (1.0 - br), 6) AS brier_ref,
+        |  CASE WHEN br * (1.0 - br) > 0 THEN
+        |    ROUND(1.0 - brier / (br * (1.0 - br)), 6) END
+        |    AS brier_skill
+        |FROM m ORDER BY 1""".stripMargin,
 
     // DuckDB's literal NTILE must agree with the integer replica
     // bucket-for-bucket; identical cumulative sums and the same

@@ -405,6 +405,48 @@ object Eval {
       col("__theta").as(s"${metricCol}_theta")): _*)
   }
 
+  /** Per-group BRIER score with skill — probability-forecast
+    * quality per segment: `n`, `base_rate`,
+    * `brier = Σ(p − y)²/n` computed on EXACT integer micro-unit
+    * deviations (`round(p·1e6) − y·1e6`, so the sum is
+    * engine-exact decimal, not an order-dependent float fold), the
+    * climatology reference `base_rate·(1 − base_rate)` and the
+    * skill score `1 − brier/ref` (refused when the reference is 0 —
+    * a one-class segment has no skill to measure). Rows with a
+    * null/NaN score or null label count nowhere; scores must be
+    * probabilities in [0, 1] (loud failure otherwise — a silent
+    * clamp would hide a broken calibration upstream).
+    *
+    * Scale shape: one map-side-combined rollup; |groups| rows out.
+    */
+  def brierByGroup(df: DataFrame, keyCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val p = col(scoreCol).cast("double")
+    val clean = when(isnan(p), lit(null)).otherwise(p)
+    val y = col(labelCol).cast("long")
+    val base = df.filter(col(keyCol).isNotNull &&
+      clean.isNotNull && y.isNotNull)
+    val mp = round(clean * lit(1e6), 0).cast("long")
+    val d = mp - y * lit(1000000L)
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val agg = base.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(y).as("__sy"),
+      sum((d19(d) * d19(d)).cast("decimal(38,0)")).as("__sd2"),
+      min(mp).as("__mn"), max(mp).as("__mx"))
+    val nD = col("n").cast("double")
+    val br = col("__sy").cast("double") / nD
+    val brier = col("__sd2").cast("double") / nD / lit(1e12)
+    val ref = br * (lit(1.0) - br)
+    agg.select(col(keyCol), col("n"),
+      when(col("__mn") < 0 || col("__mx") > 1000000L,
+        raise_error(concat(lit("brierByGroup: score outside [0,1] " +
+          "for key "), col(keyCol).cast("string"))))
+        .otherwise(br).as("base_rate"),
+      brier.as("brier"), ref.as("brier_ref"),
+      when(ref > 0, lit(1.0) - brier / ref).as("brier_skill"))
+  }
+
   /** CUMULATIVE GAINS / decile-lift table — the scorecard every
     * ranking model ships with: rows are ranked by score (desc, ties
     * by `idCol`), cut into `nBins` NTILE deciles via the exact

@@ -202,6 +202,29 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("brierByGroup: exact micro-deviation Brier, climatology " +
+      "skill, one-class refusal, out-of-range scores fail loudly") {
+    val d = df("k STRING, p DOUBLE, y INT", Seq(
+      Row("a", 0.9, 1), Row("a", 0.1, 0),
+      Row("a", 0.5, 1), Row("a", 0.5, 0),
+      Row("b", 1.0, 1), Row("b", 1.0, 1)))
+    val out = Eval.brierByGroup(d, "k", "p", "y")
+      .orderBy("k").collect()
+    val a = out(0)
+    assert(a.getLong(1) == 4L && a.getDouble(2) == 0.5)
+    assert(a.getDouble(3) == 0.13)
+    assert(a.getDouble(4) == 0.25)
+    assert(math.abs(a.getDouble(5) - 0.48) < 1e-12)
+    assert(out(1).getDouble(3) == 0.0 && out(1).isNullAt(5))
+    val bad = df("k STRING, p DOUBLE, y INT", Seq(Row("c", 1.5, 0)))
+    val ex = intercept[Exception] {
+      Eval.brierByGroup(bad, "k", "p", "y").collect()
+    }
+    assert(ex.getMessage.contains("outside [0,1]") ||
+      Option(ex.getCause).exists(
+        _.getMessage.contains("outside [0,1]")))
+  }
+
   test("gainsTable: exact NTILE replica bins, cumulative captures " +
       "and cross-multiplied lift, golden 5-bin case") {
     val d = df("id BIGINT, s DOUBLE, y INT",
