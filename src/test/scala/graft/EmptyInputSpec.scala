@@ -243,4 +243,43 @@ class EmptyInputSpec extends SparkSpec {
     assert(Multimodal.captionBoilerplate(caps, "id", "cap", 2)
       .count() == 0)
   }
+
+  test("round-5 window/behavior feature ops on empty input") {
+    import graft.operators.Behavior
+    import graft.temporal.WindowOps
+    val ev = df("e BIGINT, ts TIMESTAMP, id BIGINT, t STRING, " +
+      "v DOUBLE", Seq.empty)
+    assert(WindowOps.trendFit(ev, "e", "ts", "v").count() == 0)
+    assert(WindowOps.rankNormalize(ev, "e", "v").count() == 0)
+    assert(WindowOps.sessionPosition(ev, "e", "ts", 1800L, Seq("id"))
+      .count() == 0)
+    assert(WindowOps.rollingRobustZ(ev, "e", "ts", "v", 5, Seq("id"))
+      .count() == 0)
+    assert(WindowOps.recencyByType(ev, "e", "ts", "t", Seq("x"),
+      Seq("id")).count() == 0)
+    assert(WindowOps.weekpartProfile(ev, "e", "ts", "v").count() == 0)
+    assert(WindowOps.lagAutocorr(ev, "e", "ts", "v", Seq(1),
+      Seq("id")).count() == 0)
+    assert(WindowOps.monotoneRun(ev, "e", "ts", "v", Seq("id"))
+      .count() == 0)
+    assert(WindowOps.expandingTrend(ev, "e", "ts", "v", Seq("id"))
+      .count() == 0)
+    assert(WindowOps.featureMatrix(ev, "e", "ts", "v", "t", Seq("x"),
+      1800L, Seq("id")).count() == 0)
+    assert(Behavior.interArrivalStats(ev, "e", "ts").count() == 0)
+    assert(Behavior.activeDayStreak(ev, "e", "ts").count() == 0)
+    assert(Behavior.hourLift(ev, "e", "ts").count() == 0)
+    assert(Behavior.dowSeasonalIndex(ev, "e", "ts", "v").count() == 0)
+    assert(Behavior.streakStats(ev, "e", "ts").count() == 0)
+    assert(Behavior.typeMix(ev, "e", "t").count() == 0)
+    assert(Behavior.volumeAnomaly(ev, "t", "ts").count() == 0)
+    assert(Behavior.sessionProfile(ev, "e", "ts", 1800L).count() == 0)
+    assert(Behavior.valueConcentration(ev, "e", "t", "v").count() == 0)
+    assert(Behavior.activationProfile(ev, "e", "ts").count() == 0)
+    assert(GroupOps.sigmaOutlierShare(ev, "e", "v").count() == 0)
+    assert(GroupOps.inequalityStats(ev, "e", "v").count() == 0)
+    import graft.operators.Eval
+    assert(Eval.gainsTable(ev, "v", "id", "e").count() == 0)
+    assert(Eval.brierByGroup(ev, "e", "v", "id").count() == 0)
+  }
 }
