@@ -185,6 +185,29 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q309_growth_accounting" -> ((s, dir) => {
+      // daily new/returning/resurrected ledger over the distinct
+      // (user, day) frame — dau decomposes exactly by construction
+      graft.operators.Behavior.growthAccounting(
+        tbl(s, dir, "events"), "user_id", "ts",
+        resurrectGapDays = 30)
+        .orderBy("day")
+    }),
+
+    "q308_corr_by_group" -> ((s, dir) => {
+      // per-type exact Pearson + OLS beta of value vs hour-of-day:
+      // six exact micro moments, the same sqrt chain as q288
+      graft.operators.GroupOps.corrByGroup(
+        tbl(s, dir, "events")
+          .withColumn("hh",
+            hour(col("ts").cast("timestamp")).cast("double")),
+        "event_type", "value", "hh")
+        .select(col("event_type"), col("n_pairs"),
+          round(col("corr"), 6).as("corr"),
+          round(col("beta_yx"), 6).as("beta_yx"))
+        .orderBy("event_type")
+    }),
+
     "q307_brier" -> ((s, dir) => {
       // per-type Brier + climatology skill for a value-derived
       // probability: exact integer micro deviations, chains
@@ -1251,6 +1274,62 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // identical distinct-day frame, the same lag/gap classification
+    // and per-day exact counts
+    "q309_growth_accounting" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |days AS (SELECT DISTINCT user_id, d FROM e),
+        |s AS (SELECT d,
+        |    CASE WHEN LAG(d) OVER w IS NULL THEN 'new'
+        |      WHEN d - LAG(d) OVER w > 30 THEN 'resurrected'
+        |      ELSE 'returning' END AS st
+        |  FROM days WINDOW w AS (PARTITION BY user_id ORDER BY d))
+        |SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau,
+        |  CAST(COUNT(CASE WHEN st = 'new' THEN 1 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(COUNT(CASE WHEN st = 'returning' THEN 1 END)
+        |    AS BIGINT) AS n_returning,
+        |  CAST(COUNT(CASE WHEN st = 'resurrected' THEN 1 END)
+        |    AS BIGINT) AS n_resurrected
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical pairwise-complete exact moments (q288's FILTER
+    // pattern) and the same corr/beta double chains inside ROUND
+    "q308_corr_by_group" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    CASE WHEN value IS NOT NULL
+        |      THEN CAST(round(value * 1e6) AS BIGINT) END AS x,
+        |    CASE WHEN ts IS NOT NULL
+        |      THEN CAST(round(CAST(hour(ts) AS DOUBLE) * 1e6)
+        |        AS BIGINT) END AS y
+        |  FROM events WHERE event_type IS NOT NULL),
+        |a AS (SELECT k,
+        |    CAST(COUNT(*) FILTER (x IS NOT NULL AND y IS NOT NULL)
+        |      AS BIGINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) FILTER (y IS NOT NULL) AS sx,
+        |    SUM(CAST(y AS HUGEINT)) FILTER (x IS NOT NULL) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x)
+        |      FILTER (y IS NOT NULL) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y)
+        |      FILTER (x IS NOT NULL) AS syy
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT k, n,
+        |    CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+        |    CAST(n AS HUGEINT) * sxx - sx * sx AS dx,
+        |    CAST(n AS HUGEINT) * syy - sy * sy AS dy
+        |  FROM a)
+        |SELECT k AS event_type, n AS n_pairs,
+        |  CASE WHEN n >= 2 AND dx > 0 AND dy > 0 THEN
+        |    ROUND(CAST(num AS DOUBLE) / (sqrt(CAST(dx AS DOUBLE))
+        |      * sqrt(CAST(dy AS DOUBLE))), 6) END AS corr,
+        |  CASE WHEN n >= 2 AND dx > 0 THEN
+        |    ROUND(CAST(num AS DOUBLE) / CAST(dx AS DOUBLE), 6) END
+        |    AS beta_yx
+        |FROM d ORDER BY 1""".stripMargin,
 
     // identical micro rounding of value/500, exact HUGEINT squared
     // deviations, and the same base-rate/brier/skill double chains

@@ -820,6 +820,45 @@ object Behavior {
         col("lifetime_days"))
   }
 
+  /** DAILY GROWTH ACCOUNTING — the new / returning / resurrected
+    * decomposition of every day's active entities (the standard
+    * growth-team ledger): an entity's day is `new` on its first-ever
+    * active day, `resurrected` when the gap since its previous
+    * active day exceeds `resurrectGapDays`, else `returning`.
+    * One row per UTC day with `dau` and the three exact counts
+    * (dau = new + returning + resurrected by construction).
+    *
+    * Scale shape: distinct (entity, day) — orders of magnitude
+    * smaller than the log — one entity-partitioned lag over it,
+    * then a per-day rollup (map-side combined). Pure integer math
+    * on the `epoch_us div 86400e6` grid.
+    */
+  def growthAccounting(df: DataFrame, entity: String, ts: String,
+      resurrectGapDays: Int = 30): DataFrame = {
+    require(resurrectGapDays >= 1,
+      s"growthAccounting: resurrectGapDays >= 1, got $resurrectGapDays")
+    val dayOf = expr(
+      s"unix_micros(cast($ts as timestamp)) div 86400000000")
+    val days = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .select(col(entity), dayOf.as("__day"))
+      .distinct()
+    val w = Window.partitionBy(col(entity)).orderBy(col("__day").asc)
+    val prev = lag(col("__day"), 1).over(w)
+    val status = when(prev.isNull, lit("new"))
+      .when(col("__day") - prev > resurrectGapDays.toLong,
+        lit("resurrected"))
+      .otherwise(lit("returning"))
+    days.select(col("__day").as("day"), status.as("__st"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        count(when(col("__st") === "new", lit(1))).as("n_new"),
+        count(when(col("__st") === "returning", lit(1)))
+          .as("n_returning"),
+        count(when(col("__st") === "resurrected", lit(1)))
+          .as("n_resurrected"))
+  }
+
   /** Per-event RUNNING consecutive-active-day streak — "day 7 of a
     * 7-day streak" as a point-in-time feature every event can read
     * without future leakage: the number of consecutive UTC days up

@@ -412,6 +412,52 @@ object GroupOps {
       .drop("__k", "__s", "__c")
   }
 
+  /** Per-group exact PEARSON correlation (and the y-on-x OLS beta)
+    * between two columns — the whole-group companion of
+    * [[graft.temporal.WindowOps.rollingCorr]]'s trailing window:
+    * pairwise-complete (a row counts only when BOTH sides are
+    * observed), exact integer micro-unit moments, and ONE
+    * `num / (√dx·√dy)` double chain per group, so an oracle
+    * replaying the chain agrees to the ulp. Groups with < 2
+    * complete pairs or a constant side refuse with null (beta
+    * refuses only on constant x).
+    *
+    * Scale shape: one map-side-combined rollup; |groups| rows out.
+    */
+  def corrByGroup(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    def micro(c: String) = {
+      val v = col(c).cast("double")
+      round(when(isnan(v), lit(null)).otherwise(v) * lit(1e6), 0)
+        .cast("long")
+    }
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val x = micro(xCol); val y = micro(yCol)
+    val ok = x.isNotNull && y.isNotNull
+    val agg = df.filter(col(keyCol).isNotNull).groupBy(col(keyCol))
+      .agg(count(when(ok, lit(1))).as("n_pairs"),
+        sum(when(ok, d38(x))).as("__sx"),
+        sum(when(ok, d38(y))).as("__sy"),
+        sum(when(ok, (d19(x) * d19(y)).cast("decimal(38,0)")))
+          .as("__sxy"),
+        sum(when(ok, (d19(x) * d19(x)).cast("decimal(38,0)")))
+          .as("__sxx"),
+        sum(when(ok, (d19(y) * d19(y)).cast("decimal(38,0)")))
+          .as("__syy"))
+    val n38 = col("n_pairs").cast("decimal(38,0)")
+    val num = n38 * col("__sxy") - col("__sx") * col("__sy")
+    val dx = n38 * col("__sxx") - col("__sx") * col("__sx")
+    val dy = n38 * col("__syy") - col("__sy") * col("__sy")
+    agg.select(col(keyCol), col("n_pairs"),
+      when(col("n_pairs") >= 2 && dx > 0 && dy > 0,
+        num.cast("double") /
+          (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+        .as("corr"),
+      when(col("n_pairs") >= 2 && dx > 0,
+        num.cast("double") / dx.cast("double")).as("beta_yx"))
+  }
+
   /** Per-group INEQUALITY stats — how concentrated a group's value
     * mass is across its OBSERVATIONS (the per-event complement of
     * [[graft.operators.Behavior.valueConcentration]]'s per-category

@@ -557,6 +557,25 @@ class BehaviorSpec extends SparkSpec {
     assert(out(1).getLong(2) == 1L && out(1).getLong(4) == 0L)
   }
 
+  test("growthAccounting: new / returning / resurrected ledger on " +
+      "the day grid, dau decomposes exactly") {
+    val d = df("u STRING, ts TIMESTAMP", Seq(
+      Row("u1", ts("2024-01-01 10:00:00")),
+      Row("u1", ts("2024-01-01 12:00:00")), // same day collapses
+      Row("u1", ts("2024-01-02 10:00:00")),
+      Row("u1", ts("2024-02-10 10:00:00")), // 39-day gap
+      Row("u2", ts("2024-01-02 10:00:00"))))
+    val out = Behavior.growthAccounting(d, "u", "ts", 30)
+      .orderBy("day").collect()
+    val got = out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 0L, 0L),   // Jan 1: u1 new
+      (2L, 1L, 1L, 0L),   // Jan 2: u2 new, u1 returning
+      (1L, 0L, 0L, 1L)))  // Feb 10: u1 resurrected
+    assert(got.forall(r => r._1 == r._2 + r._3 + r._4))
+  }
+
   test("activeDayStreak: per-event running streak, gaps reset, " +
       "UTC-day grid, repeat events on a day share its streak") {
     val d = df("u STRING, ts TIMESTAMP, id BIGINT", Seq(

@@ -335,6 +335,30 @@ class GroupOpsSpec extends SparkSpec {
     assert(out.length == 3)            // all-null group vanishes
   }
 
+  test("corrByGroup: exact pairwise-complete moments, perfect " +
+      "lines read ±1 with the right beta, degenerates refuse") {
+    val d = df("k STRING, x DOUBLE, y DOUBLE", Seq(
+      Row("a", 1.0, 2.0), Row("a", 2.0, 4.0), Row("a", 3.0, 6.0),
+      Row("b", 1.0, 5.0), Row("b", 2.0, 3.0),
+      Row("c", 7.0, 1.0), Row("c", 7.0, 9.0),
+      Row("d", 1.0, 1.0),
+      Row("e", 1.0, null), Row("e", null, 4.0), Row("e", 2.0, 8.0)))
+    val out = GroupOps.corrByGroup(d, "k", "x", "y")
+      .orderBy("k").collect()
+    def g(i: Int, c: String) = {
+      val j = out(i).fieldIndex(c)
+      if (out(i).isNullAt(j)) null else out(i).getDouble(j)
+    }
+    assert(math.abs(g(0, "corr").asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(math.abs(g(0, "beta_yx").asInstanceOf[Double] - 2.0)
+      < 1e-12)
+    assert(math.abs(g(1, "corr").asInstanceOf[Double] + 1.0) < 1e-12)
+    assert(g(2, "corr") == null)    // constant x refuses both
+    assert(g(2, "beta_yx") == null)
+    assert(g(3, "corr") == null)    // single pair
+    assert(out(4).getLong(1) == 1L) // only the complete pair counts
+  }
+
   test("sigmaOutlierShare: exact micro moments, deterministic " +
       "exceedance, zero-variance groups report zero outliers") {
     // one spike among k flats sits at sqrt(k)*sigma, so k = 12
