@@ -949,6 +949,33 @@ object QueriesData {
         .orderBy("image_id")
     }),
 
+    "q310_incremental_streaks" -> ((s, dir) => {
+      // incremental maintenance of the streak-stats view (q289):
+      // bootstrap on 3/4 of the log, absorb the rest via the
+      // changed-buckets-only commit — the final derived table must
+      // equal a full recompute (literally q289's oracle)
+      val ev = tbl(s, dir, "events")
+      val srcRoot = java.nio.file.Files
+        .createTempDirectory("graft_q310_src").toString
+      val dstRoot = java.nio.file.Files
+        .createTempDirectory("graft_q310_dst").toString
+      val bucket = SnapshotStore.byKey("user_id", 16)
+      def view(rows: DataFrame): DataFrame =
+        graft.operators.Behavior.streakStats(rows, "user_id", "ts")
+      SnapshotStore.write(ev.filter(col("event_id") % 4 =!= 0),
+        srcRoot, bucket)
+      graft.io.IncrementalView.maintainView(s, srcRoot, dstRoot,
+        bucket, view)
+      SnapshotStore.write(ev, srcRoot, bucket)
+      graft.io.IncrementalView.maintainView(s, srcRoot, dstRoot,
+        bucket, view)
+      SnapshotStore.read(s, dstRoot)
+        .select(col("user_id"), col("n_active_days"),
+          col("n_streaks"), col("max_streak_days"),
+          col("last_streak_days"))
+        .orderBy("user_id")
+    }),
+
     "q233_incremental_agg" -> ((s, dir) => {
       // the generalized maintenance: an incremental per-user
       // AGGREGATE view (counts + exact decimal sums) kept in sync by
@@ -4995,6 +5022,11 @@ object QueriesData {
 
     // the maintained aggregate view must equal a direct groupBy over
     // all events (decimal sums -> bit-identical doubles)
+    // whatever the incremental path absorbed, the derived streak
+    // table must equal the full recompute: literally q289's SQL
+    "q310_incremental_streaks" ->
+      QueriesTemporal.oracles("q289_streak_stats"),
+
     "q233_incremental_agg" ->
       """SELECT user_id, count(*) AS n_events,
         |  count(value) AS n_values,
