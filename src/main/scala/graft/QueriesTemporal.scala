@@ -185,6 +185,18 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q311_seasonal_residual" -> ((s, dir) => {
+      // de-seasonalized per-event anomaly: value minus the user's
+      // exact weekday mean, one double subtraction replayed by the
+      // oracle over the same (user, dow) micro-sum chain
+      graft.operators.Behavior.seasonalResidual(
+        tbl(s, dir, "events"), "user_id", "ts", "value")
+        .select(col("event_id"),
+          round(col("dow_mean"), 6).as("dow_mean"),
+          round(col("value_dow_resid"), 6).as("value_dow_resid"))
+        .orderBy("event_id")
+    }),
+
     "q309_growth_accounting" -> ((s, dir) => {
       // daily new/returning/resurrected ledger over the distinct
       // (user, day) frame — dau decomposes exactly by construction
@@ -1273,6 +1285,28 @@ object QueriesTemporal {
         |    AS INTEGER) AS funnel_depth
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
+        |ORDER BY 1""".stripMargin,
+
+    // q287's exact (user, dow) micro-sum chain, unrounded, joined
+    // back to events; the same value - mean double subtraction
+    "q311_seasonal_residual" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+        |    CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |    CASE WHEN value IS NOT NULL
+        |      THEN CAST(round(value * 1e6) AS BIGINT) END AS m
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |pd AS (SELECT user_id, dow,
+        |    CAST(COUNT(m) AS BIGINT) AS n_d,
+        |    SUM(CAST(m AS HUGEINT)) AS s_d
+        |  FROM e GROUP BY 1, 2),
+        |mm AS (SELECT user_id, dow,
+        |    CASE WHEN n_d > 0 THEN CAST(s_d AS DOUBLE)
+        |      / CAST(n_d AS DOUBLE) / 1e6 END AS dmean
+        |  FROM pd)
+        |SELECT e.event_id, ROUND(mm.dmean, 6) AS dow_mean,
+        |  ROUND(e.value - mm.dmean, 6) AS value_dow_resid
+        |FROM e JOIN mm ON e.user_id = mm.user_id
+        |  AND e.dow = mm.dow
         |ORDER BY 1""".stripMargin,
 
     // identical distinct-day frame, the same lag/gap classification

@@ -859,6 +859,36 @@ object Behavior {
           .as("n_resurrected"))
   }
 
+  /** Per-event SEASONAL RESIDUAL — each event's value minus its
+    * entity's [[dowSeasonalIndex]] weekday mean
+    * (`<value>_dow_resid`), with the unrounded `dow_mean` attached:
+    * the de-seasonalized anomaly signal an offline AUDIT reads
+    * ("this Tuesday purchase was large *for this user's
+    * Tuesdays*"). NOT a serve-time feature — the weekday mean reads
+    * the entity's whole history including the row's future; use
+    * [[graft.temporal.WindowOps.expandingTrend]]-style strictly-
+    * prior ops for leakage-free serving.
+    *
+    * Scale shape: the (entity, dow) mean frame (≤ 7 rows per
+    * entity) joins back on (entity, dow) — a shuffle of the log
+    * against a frame orders of magnitude smaller; the mean itself
+    * is the exact micro-sum chain, and the residual is ONE double
+    * subtraction an oracle replays.
+    */
+  def seasonalResidual(df: DataFrame, entity: String, ts: String,
+      valueCol: String): DataFrame = {
+    val means = dowSeasonalIndex(df, entity, ts, valueCol)
+      .select(col(entity), col("dow"), col("dow_mean"))
+    val withDow = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .withColumn("dow",
+        dayofweek(col(ts).cast("timestamp")).cast("long"))
+    val v = col(valueCol).cast("double")
+    val clean = when(isnan(v), lit(null)).otherwise(v)
+    withDow.join(means, Seq(entity, "dow"), "left")
+      .withColumn(s"${valueCol}_dow_resid", clean - col("dow_mean"))
+  }
+
   /** Per-event RUNNING consecutive-active-day streak — "day 7 of a
     * 7-day streak" as a point-in-time feature every event can read
     * without future leakage: the number of consecutive UTC days up

@@ -576,6 +576,25 @@ class BehaviorSpec extends SparkSpec {
     assert(got.forall(r => r._1 == r._2 + r._3 + r._4))
   }
 
+  test("seasonalResidual: value minus the entity's weekday mean, " +
+      "missing values read null residual") {
+    val d = df("u STRING, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
+      Row("u1", ts("2024-01-06 10:00:00"), 1L, 2.0),  // Sat
+      Row("u1", ts("2024-01-13 10:00:00"), 2L, 6.0),  // Sat
+      Row("u1", ts("2024-01-08 10:00:00"), 3L, 10.0), // Mon
+      Row("u1", ts("2024-01-15 10:00:00"), 4L, null))) // Mon
+    val out = Behavior.seasonalResidual(d, "u", "ts", "v")
+      .orderBy("id").collect()
+    def g(i: Int) = {
+      val j = out(i).fieldIndex("v_dow_resid")
+      if (out(i).isNullAt(j)) null else out(i).getDouble(j)
+    }
+    assert(g(0) == -2.0) // Sat mean 4
+    assert(g(1) == 2.0)
+    assert(g(2) == 0.0)  // Mon mean 10 (null excluded)
+    assert(g(3) == null)
+  }
+
   test("activeDayStreak: per-event running streak, gaps reset, " +
       "UTC-day grid, repeat events on a day share its streak") {
     val d = df("u STRING, ts TIMESTAMP, id BIGINT", Seq(
