@@ -185,6 +185,18 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q312_loo_seasonal" -> ((s, dir) => {
+      // encoding-safe seasonal residual: the weekday mean excludes
+      // the row's own value — exact (s_d - v)/(n_d - 1) integers,
+      // the same double chain on both engines
+      graft.operators.Behavior.looSeasonalResidual(
+        tbl(s, dir, "events"), "user_id", "ts", "value")
+        .select(col("event_id"),
+          round(col("dow_mean_loo"), 6).as("dow_mean_loo"),
+          round(col("value_loo_resid"), 6).as("value_loo_resid"))
+        .orderBy("event_id")
+    }),
+
     "q311_seasonal_residual" -> ((s, dir) => {
       // de-seasonalized per-event anomaly: value minus the user's
       // exact weekday mean, one double subtraction replayed by the
@@ -1286,6 +1298,31 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // identical self-exclusion arithmetic: (s_d - m)/(n_d - 1) on
+    // exact integers, then the same subtraction inside ROUND
+    "q312_loo_seasonal" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+        |    CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |    CASE WHEN value IS NOT NULL
+        |      THEN CAST(round(value * 1e6) AS BIGINT) END AS m
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |pd AS (SELECT user_id, dow,
+        |    CAST(COUNT(m) AS BIGINT) AS n_d,
+        |    SUM(CAST(m AS HUGEINT)) AS s_d
+        |  FROM e GROUP BY 1, 2),
+        |j AS (SELECT e.event_id, e.value, e.m, pd.n_d, pd.s_d
+        |  FROM e JOIN pd ON e.user_id = pd.user_id
+        |    AND e.dow = pd.dow),
+        |r AS (SELECT event_id, value, m,
+        |    n_d - (CASE WHEN m IS NOT NULL THEN 1 ELSE 0 END) AS den,
+        |    s_d - COALESCE(m, 0) AS rest FROM j)
+        |SELECT event_id,
+        |  ROUND(CASE WHEN den > 0 THEN CAST(rest AS DOUBLE)
+        |    / CAST(den AS DOUBLE) / 1e6 END, 6) AS dow_mean_loo,
+        |  ROUND(value - CASE WHEN den > 0 THEN CAST(rest AS DOUBLE)
+        |    / CAST(den AS DOUBLE) / 1e6 END, 6) AS value_loo_resid
+        |FROM r ORDER BY 1""".stripMargin,
 
     // q287's exact (user, dow) micro-sum chain, unrounded, joined
     // back to events; the same value - mean double subtraction

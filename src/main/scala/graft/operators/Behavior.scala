@@ -889,6 +889,41 @@ object Behavior {
       .withColumn(s"${valueCol}_dow_resid", clean - col("dow_mean"))
   }
 
+  /** LEAVE-ONE-OUT seasonal residual — [[seasonalResidual]] with
+    * the row BLINDED to itself: the weekday mean excludes the
+    * row's own value (`(s_d − v) / (n_d − 1)`, exact integers), so
+    * the residual never encodes the very value it scores — the same
+    * self-exclusion contract as
+    * [[graft.operators.GroupOps.looMeanResponse]], applied to the
+    * weekly-seasonality baseline. Rows whose weekday group holds no
+    * OTHER observation (den = 0), and missing values, read null.
+    */
+  def looSeasonalResidual(df: DataFrame, entity: String, ts: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val clean = when(isnan(v), lit(null)).otherwise(v)
+    val m = round(clean * lit(1e6), 0).cast("long")
+    val withDow = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .withColumn("dow",
+        dayofweek(col(ts).cast("timestamp")).cast("long"))
+      .withColumn("__m", m)
+    val sums = withDow.groupBy(col(entity), col("dow"))
+      .agg(count(col("__m")).as("__n_d"),
+        sum(col("__m")).cast("decimal(38,0)").as("__s_d"))
+    val joined = withDow.join(sums, Seq(entity, "dow"), "left")
+    val selfC = when(col("__m").isNotNull, lit(1L)).otherwise(lit(0L))
+    val den = col("__n_d") - selfC
+    val meanLoo = when(den > 0,
+      (col("__s_d") - coalesce(col("__m"), lit(0L))
+        .cast("decimal(38,0)")).cast("double") /
+        den.cast("double") / lit(1e6))
+    joined
+      .withColumn("dow_mean_loo", meanLoo)
+      .withColumn(s"${valueCol}_loo_resid", clean - meanLoo)
+      .drop("__m", "__n_d", "__s_d")
+  }
+
   /** Per-event RUNNING consecutive-active-day streak — "day 7 of a
     * 7-day streak" as a point-in-time feature every event can read
     * without future leakage: the number of consecutive UTC days up

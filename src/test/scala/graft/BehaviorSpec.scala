@@ -595,6 +595,29 @@ class BehaviorSpec extends SparkSpec {
     assert(g(3) == null)
   }
 
+  test("looSeasonalResidual: the row never sees itself, lone " +
+      "observations refuse, missing values blind nothing") {
+    val d = df("u STRING, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
+      Row("u1", ts("2024-01-06 10:00:00"), 1L, 2.0),  // Sat
+      Row("u1", ts("2024-01-13 10:00:00"), 2L, 6.0),  // Sat
+      Row("u1", ts("2024-01-20 10:00:00"), 3L, 10.0), // Sat
+      Row("u1", ts("2024-01-08 10:00:00"), 4L, 7.0),  // Mon: alone
+      Row("u1", ts("2024-01-15 10:00:00"), 5L, null))) // Mon
+    val out = Behavior.looSeasonalResidual(d, "u", "ts", "v")
+      .orderBy("id").collect()
+    def g(i: Int, c: String) = {
+      val j = out(i).fieldIndex(c)
+      if (out(i).isNullAt(j)) null else out(i).getDouble(j)
+    }
+    assert(g(0, "dow_mean_loo") == 8.0)  // (6+10)/2
+    assert(g(0, "v_loo_resid") == -6.0)
+    assert(g(1, "dow_mean_loo") == 6.0)  // (2+10)/2
+    assert(g(2, "dow_mean_loo") == 4.0)  // (2+6)/2
+    assert(g(3, "dow_mean_loo") == null) // no OTHER Monday value
+    assert(g(4, "dow_mean_loo") == 7.0)  // unobserved row: full mean
+    assert(g(4, "v_loo_resid") == null)  // but nothing to score
+  }
+
   test("activeDayStreak: per-event running streak, gaps reset, " +
       "UTC-day grid, repeat events on a day share its streak") {
     val d = df("u STRING, ts TIMESTAMP, id BIGINT", Seq(
