@@ -877,6 +877,8 @@ object Behavior {
     */
   def seasonalResidual(df: DataFrame, entity: String, ts: String,
       valueCol: String): DataFrame = {
+    graft.temporal.WindowOps.requireFresh(df, "seasonalResidual",
+      "dow", "dow_mean", s"${valueCol}_dow_resid")
     val means = dowSeasonalIndex(df, entity, ts, valueCol)
       .select(col(entity), col("dow"), col("dow_mean"))
     val withDow = df
@@ -900,6 +902,9 @@ object Behavior {
     */
   def looSeasonalResidual(df: DataFrame, entity: String, ts: String,
       valueCol: String): DataFrame = {
+    graft.temporal.WindowOps.requireFresh(df, "looSeasonalResidual",
+      "dow", "__m", "__n_d", "__s_d", "dow_mean_loo",
+      s"${valueCol}_loo_resid")
     val v = col(valueCol).cast("double")
     val clean = when(isnan(v), lit(null)).otherwise(v)
     val m = round(clean * lit(1e6), 0).cast("long")
@@ -942,6 +947,8 @@ object Behavior {
     */
   def activeDayStreak(df: DataFrame, entity: String, ts: String)
       : DataFrame = {
+    graft.temporal.WindowOps.requireFresh(df, "activeDayStreak",
+      "__day", "streak_days")
     val dayOf = expr(
       s"unix_micros(cast($ts as timestamp)) div 86400000000")
     val days = df

@@ -19,6 +19,20 @@ object WindowOps {
   private def w(entity: String, ts: String): WindowSpec =
     Window.partitionBy(col(entity)).orderBy(col(ts))
 
+  /** Output/intermediate column-collision guard (the same loud
+    * contract as Assemble.features): an op that ATTACHES fixed-name
+    * columns to the caller's frame must reject a frame already
+    * using those names — a silent duplicate column poisons every
+    * downstream by-name select.
+    */
+  private[graft] def requireFresh(df: DataFrame, op: String,
+      names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"$op: input already has column(s) ${clash.mkString(", ")} — " +
+        "rename them before applying the op")
+  }
+
   /** NaN-as-missing normalization: the one definition the micro-unit
     * window ops below share (NaN is a missing reading, never a zero
     * and never heap poison).
@@ -247,6 +261,8 @@ object WindowOps {
     */
   def sessionPosition(df: DataFrame, entity: String, ts: String,
       gapSeconds: Long, tieBreak: Seq[String] = Nil): DataFrame = {
+    requireFresh(df, "sessionPosition", "__is_new", "session_id",
+      "session_event_seq", "us_into_session")
     val sess = sessionize(df, entity, ts, gapSeconds)
     val ord = (col(ts) +: tieBreak.map(col)).map(_.asc)
     val sw = Window.partitionBy(col(entity), col("session_id"))
@@ -282,6 +298,8 @@ object WindowOps {
     require(k <= 10000,
       s"rollingRobustZ: per-row frame buffer is O(k); k=$k > 10000 " +
         "would balloon window state — use rollingRange aggs instead")
+    requireFresh(df, "rollingRobustZ", "__rz_arr", "__rz_med",
+      s"${valueCol}_rmed", s"${valueCol}_robust_z")
     val spec = Window.partitionBy(col(entity))
       .orderBy((col(ts) +: tieBreak.map(col)): _*)
       .rowsBetween(-(k - 1), 0)
@@ -334,6 +352,8 @@ object WindowOps {
     val slugs = types.map(t => t.toLowerCase.replaceAll("[^a-z0-9]+", "_"))
     require(slugs.distinct.size == types.size,
       s"recencyByType: types collide after slugging: $types")
+    requireFresh(df, "recencyByType",
+      slugs.map(sl => s"us_since_$sl"): _*)
     val spec = Window.partitionBy(col(entity))
       .orderBy((col(ts) +: tieBreak.map(col)).map(_.asc): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -470,6 +490,8 @@ object WindowOps {
     */
   def monotoneRun(df: DataFrame, entity: String, ts: String,
       valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    requireFresh(df, "monotoneRun", "__dir", "__run",
+      s"${valueCol}_dir", s"${valueCol}_dir_run")
     val ord = (col(ts) +: tieBreak.map(col)).map(_.asc)
     val prior = Window.partitionBy(col(entity)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -514,6 +536,7 @@ object WindowOps {
     */
   def expandingTrend(df: DataFrame, entity: String, ts: String,
       valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    requireFresh(df, "expandingTrend", s"${valueCol}_trend")
     val ord = (col(ts) +: tieBreak.map(col)).map(_.asc)
     val running = Window.partitionBy(col(entity)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -804,6 +827,7 @@ object WindowOps {
     */
   def rankNormalize(df: DataFrame, entity: String,
       valueCol: String): DataFrame = {
+    requireFresh(df, "rankNormalize", s"${valueCol}_pct")
     val v = cleanDouble(valueCol)
     val part = Window.partitionBy(col(entity))
     val ranked = rank().over(part.orderBy(v.asc_nulls_first))

@@ -807,6 +807,22 @@ class WindowOpsSpec extends SparkSpec {
       }
   }
 
+  test("attach-style ops reject a frame already using their output " +
+      "names instead of silently duplicating columns") {
+    val d = df("e STRING, ts TIMESTAMP, id BIGINT, v DOUBLE, " +
+      "v_trend DOUBLE", Seq(
+      Row("a", ts("2024-01-01 10:00:00"), 1L, 1.0, 0.0)))
+    val ex = intercept[IllegalArgumentException] {
+      WindowOps.expandingTrend(d, "e", "ts", "v", Seq("id"))
+    }
+    assert(ex.getMessage.contains("v_trend"))
+    val d2 = d.withColumnRenamed("v_trend", "session_id")
+    val ex2 = intercept[IllegalArgumentException] {
+      WindowOps.sessionPosition(d2, "e", "ts", 1800L, Seq("id"))
+    }
+    assert(ex2.getMessage.contains("session_id"))
+  }
+
   test("trendFit runs on ONE exchange: the centering window and the " +
       "moment rollup share the entity partitioning") {
     val d = df("e BIGINT, ts TIMESTAMP, v DOUBLE", Seq(
