@@ -39,6 +39,44 @@ object QueriesStreaming {
     } finally q.stop()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q313_stream_feature_matrix" -> ((s, dir) => {
+      // the ONE-STATE-ROW online feature matrix: session position +
+      // recency + momentum + expanding trend from a single
+      // flatMapGroupsWithState pass; the oracle is LITERALLY q303's
+      // composite (fifteenth shared pair)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = tbl(s, dir, "events")
+        .select(col("user_id").cast("long"),
+          col("event_id").cast("long"), col("ts").cast("timestamp"),
+          col("event_type"), col("value"))
+        .collect()
+        .map(r => StreamingOps.FmEvent(r.getLong(0), r.getLong(1),
+          r.getTimestamp(2), r.getString(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+        .sortBy(e => (StreamingOps.toMicros(e.ts), e.eventId)).toSeq
+      val input = MemoryStream[StreamingOps.FmEvent]
+      val sink = s"q313_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.featureMatrixStream(input.toDS(),
+        types = Seq("purchase", "click", "error"),
+        gapSeconds = 1800L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      drive(input, q, rows, nChunks = 3)
+      s.table(sink)
+        .select(col("eventId").as("event_id"),
+          col("seq").as("session_event_seq"),
+          col("usInto").as("us_into_session"),
+          element_at(col("since"), 1).as("us_since_purchase"),
+          element_at(col("since"), 2).as("us_since_click"),
+          element_at(col("since"), 3).as("us_since_error"),
+          col("dir").as("value_dir"),
+          col("run").as("value_dir_run"),
+          round(col("trend") * 86400d, 6).as("trend_per_day"))
+        .orderBy("event_id")
+    }),
+
     "q300_stream_trend" -> ((s, dir) => {
       // the ONLINE companion of q299: exact BigInt expanding OLS
       // registers per user, batch-identical double conversion; the
@@ -1207,6 +1245,11 @@ object QueriesStreaming {
     // pairwise-complete corr/beta ring (seventh shared pair)
     "q257_stream_corr" ->
       QueriesTemporal.oracles("q256_rolling_corr"),
+
+    // the one-state-row matrix must land exactly the composed batch
+    // plan: literally the q303 composite oracle (fifteenth pair)
+    "q313_stream_feature_matrix" ->
+      QueriesTemporal.oracles("q303_feature_matrix"),
 
     // the BigInt OLS registers must land exactly the batch decimal
     // window moments: literally the q299 oracle (fourteenth pair)

@@ -1623,6 +1623,109 @@ object StreamingOps {
       }
   }
 
+  case class FmEvent(entity: Long, eventId: Long, ts: Timestamp,
+    eventType: String, value: Option[Double])
+  case class FmOut(eventId: Long, entity: Long, ts: Timestamp,
+    seq: Long, usInto: Long, since: Seq[Option[Long]],
+    dir: Option[Int], run: Option[Long], trend: Option[Double])
+  /** The composed serve-time state: session counter + per-type
+    * registers + monotone streak + BigInt OLS registers — one state
+    * row per entity for the WHOLE feature matrix (state v1).
+    */
+  case class FmState(lastTsUs: Long, startUs: Long, seq: Long,
+    seen: Seq[Option[Long]], prevM: Option[Long],
+    prevDir: Option[Int], runLen: Long, t0: Long, n: Long,
+    st: String, sv: String, stt: String, stv: String)
+
+  /** ONE-PASS STREAMING FEATURE MATRIX — the online companion of
+    * [[graft.temporal.WindowOps.featureMatrix]], certified against
+    * LITERALLY q303's composite oracle: session position,
+    * recency-by-type, monotone-run momentum and the expanding OLS
+    * trend updated from a SINGLE state row per entity, one state
+    * read/write per event — the serve-time shape where four
+    * separate stateful operators would pay four state lookups and
+    * four shuffles. Each register updates exactly as its standalone
+    * op does ([[sessionPositionStream]], [[recencyByTypeStream]],
+    * [[monotoneRunStream]], [[expandingTrendStream]]).
+    */
+  def featureMatrixStream(events: Dataset[FmEvent],
+      types: Seq[String], gapSeconds: Long): Dataset[FmOut] = {
+    import events.sparkSession.implicits._
+    require(types.nonEmpty,
+      "featureMatrixStream: types must be non-empty")
+    require(gapSeconds > 0,
+      s"featureMatrixStream: gapSeconds > 0, got $gapSeconds")
+    val gapUs = gapSeconds * 1000000L
+    def d(b: BigInt): Double =
+      new java.math.BigDecimal(b.bigInteger).doubleValue
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (entity: Long, rows: Iterator[FmEvent],
+         state: GroupState[FmState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.eventId))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[FmOut]
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            require(st == null || t >= st.lastTsUs,
+              s"featureMatrixStream: entity $entity got ts $t " +
+                s"older than carried state ${st.lastTsUs} — source " +
+                "must be per-entity ts-nondecreasing (backfill " +
+                "late data with the batch featureMatrix)")
+            if (st == null)
+              st = FmState(t, t, 0L, types.map(_ => None), None,
+                None, 0L, t, 0L, "0", "0", "0", "0")
+            // session position (q283 gap rule; seq 0 marks "none")
+            val (startUs, seq) =
+              if (st.seq == 0L || t - st.lastTsUs > gapUs) (t, 1L)
+              else (st.startUs, st.seq + 1)
+            // recency: emit BEFORE the register update
+            val since = st.seen.map(_.map(t - _))
+            val ti = types.indexOf(e.eventType)
+            val seen = if (ti >= 0) st.seen.updated(ti, Some(t))
+              else st.seen
+            // monotone + trend share the half-up micro-units
+            val m = e.value.filterNot(_.isNaN)
+              .map(graft.temporal.StreamingRound.halfUp6)
+            var (prevM, prevDir, runLen) =
+              (st.prevM, st.prevDir, st.runLen)
+            var (n, sT, sV, sTT, sTV) = (st.n, BigInt(st.st),
+              BigInt(st.sv), BigInt(st.stt), BigInt(st.stv))
+            var dirOut: Option[Int] = None
+            var runOut: Option[Long] = None
+            var trendOut: Option[Double] = None
+            m.foreach { cur =>
+              prevM match {
+                case Some(pv) =>
+                  val dir = java.lang.Long.signum(cur - pv)
+                  runLen = if (prevDir.contains(dir)) runLen + 1
+                    else 1L
+                  prevDir = Some(dir)
+                  dirOut = Some(dir); runOut = Some(runLen)
+                case None => ()
+              }
+              prevM = Some(cur)
+              val ct = BigInt(t - st.t0)
+              n += 1
+              sT += ct; sV += BigInt(cur)
+              sTT += ct * ct; sTV += ct * BigInt(cur)
+              val num = BigInt(n) * sTV - sT * sV
+              val den = BigInt(n) * sTT - sT * sT
+              if (n >= 2 && den > 0)
+                trendOut = Some(d(num) / d(den))
+            }
+            out += FmOut(e.eventId, entity, e.ts, seq, t - startUs,
+              since, dirOut, runOut, trendOut)
+            st = FmState(t, startUs, seq, seen, prevM, prevDir,
+              runLen, st.t0, n, sT.toString, sV.toString,
+              sTT.toString, sTV.toString)
+          }
+          if (sorted.nonEmpty) state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class TypeEvent(entity: Long, eventId: Long, ts: Timestamp,
     eventType: String)
   case class TypeOut(eventId: Long, entity: Long, ts: Timestamp,

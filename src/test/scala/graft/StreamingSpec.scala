@@ -1405,6 +1405,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("feature-matrix stream: one state row per entity lands " +
+      "every register exactly on the composed batch matrix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(
+      StreamingOps.FmEvent(1L, 1L, ts("2024-01-01 10:00:00"), "view", Some(1.0)),
+      StreamingOps.FmEvent(1L, 2L, ts("2024-01-01 10:00:10"), "purchase", Some(2.0)),
+      StreamingOps.FmEvent(1L, 3L, ts("2024-01-01 10:00:20"), "view", None),
+      StreamingOps.FmEvent(1L, 4L, ts("2024-01-01 11:00:00"), "purchase", Some(5.0)),
+      StreamingOps.FmEvent(1L, 5L, ts("2024-01-01 11:00:05"), "view", Some(4.0)),
+      StreamingOps.FmEvent(2L, 6L, ts("2024-01-01 10:00:00"), "view", Some(7.0)))
+    val input = MemoryStream[StreamingOps.FmEvent]
+    val q = StreamingOps.featureMatrixStream(input.toDS(),
+      Seq("purchase"), gapSeconds = 1800L)
+      .writeStream.format("memory").queryName("fm_s")
+      .outputMode("append").start()
+    try {
+      Seq(ev.take(2), ev.slice(2, 5), ev.drop(5)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val got = spark.table("fm_s").orderBy("eventId").collect()
+        .map { r =>
+          val sinceArr = r.getSeq[Any](5)
+          (r.getLong(0), r.getLong(3), r.getLong(4),
+            Option(sinceArr(0)).map(_.asInstanceOf[Long]),
+            if (r.isNullAt(6)) null else r.getInt(6),
+            if (r.isNullAt(7)) null else r.getLong(7),
+            if (r.isNullAt(8)) null else r.getDouble(8))
+        }.toSeq
+      val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, t STRING, " +
+        "v DOUBLE", ev.map(e => Row(e.entity, e.ts, e.eventId,
+          e.eventType, e.value.map(Double.box).orNull)))
+      val batch = WindowOps.featureMatrix(d, "e", "ts", "v", "t",
+        Seq("purchase"), 1800L, Seq("id")).orderBy("id").collect()
+        .map { r =>
+          def gl(c: String) = r.fieldIndex(c)
+          (r.getLong(2), r.getLong(gl("session_event_seq")),
+            r.getLong(gl("us_into_session")),
+            if (r.isNullAt(gl("us_since_purchase"))) None
+            else Some(r.getLong(gl("us_since_purchase"))),
+            if (r.isNullAt(gl("v_dir"))) null
+            else r.getInt(gl("v_dir")),
+            if (r.isNullAt(gl("v_dir_run"))) null
+            else r.getLong(gl("v_dir_run")),
+            if (r.isNullAt(gl("v_trend"))) null
+            else r.getDouble(gl("v_trend")))
+        }.toSeq
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
   test("recency-by-type stream: strictly-prior registers across " +
       "batches equal the batch recencyByType carries") {
     import spark.implicits._
