@@ -185,6 +185,17 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q314_profile_neighbors" -> ((s, dir) => {
+      // schedule look-alikes: top-3 cosine neighbors over hour
+      // histograms via the inverted-index pair join — exact integer
+      // dot/norms, the same sqrt chain and (cos DESC, id ASC) rank
+      graft.operators.Behavior.profileNeighbors(
+        tbl(s, dir, "events"), "user_id", "ts", k = 3)
+        .select(col("user_id"), col("rank"), col("neighbor"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("user_id", "rank")
+    }),
+
     "q312_loo_seasonal" -> ((s, dir) => {
       // encoding-safe seasonal residual: the weekday mean excludes
       // the row's own value — exact (s_d - v)/(n_d - 1) integers,
@@ -1298,6 +1309,32 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // identical hour-bucket pair join, exact HUGEINT dot/norms, the
+    // same cosine chain, and the same (cos DESC, id ASC) row_number
+    "q314_profile_neighbors" ->
+      """WITH ph AS (SELECT user_id AS e,
+        |    CAST(hour(ts) AS BIGINT) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |nm AS (SELECT e, SUM(CAST(n AS HUGEINT) * n) AS nn
+        |  FROM ph GROUP BY 1),
+        |dt AS (SELECT a.e AS ea, b.e AS eb,
+        |    SUM(CAST(a.n AS HUGEINT) * b.n) AS num
+        |  FROM ph a JOIN ph b ON a.h = b.h AND a.e != b.e
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT ea, eb,
+        |    CAST(num AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+        |      * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
+        |  FROM dt JOIN nm na ON dt.ea = na.e
+        |    JOIN nm nb ON dt.eb = nb.e),
+        |r AS (SELECT ea, eb, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY ea
+        |      ORDER BY cosine DESC, eb ASC) AS rk FROM sc)
+        |SELECT ea AS user_id, CAST(rk AS INTEGER) AS rank,
+        |  eb AS neighbor, ROUND(cosine, 6) AS cosine
+        |FROM r WHERE rk <= 3 ORDER BY 1, 2""".stripMargin,
 
     // identical self-exclusion arithmetic: (s_d - m)/(n_d - 1) on
     // exact integers, then the same subtraction inside ROUND

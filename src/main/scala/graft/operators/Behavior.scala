@@ -929,6 +929,66 @@ object Behavior {
       .drop("__m", "__n_d", "__s_d")
   }
 
+  /** BEHAVIORAL-PROFILE nearest neighbors — for every entity, the
+    * top-k most similar OTHER entities by cosine over their
+    * hour-of-day activity histograms ("users who act on the same
+    * schedule"): the look-alike / anomaly-cohort primitive, built
+    * the way sparse similarity scales — an INVERTED-INDEX join on
+    * the hour (each hour bucket pairs only entities active that
+    * hour; the Σ aᵢ·bᵢ dot product is a groupBy over shared hours,
+    * never a dense |U|² × 24 sweep) — the TF-IDF-similarity shape,
+    * re-used on behavior.
+    *
+    * Exactness: counts are integers, the dot product and both
+    * norms are exact decimal(38,0), cosine is
+    * `num / (√na·√nb)` — one double chain both engines replay —
+    * and the top-k rank orders by (cosine DESC, neighbor ASC), so
+    * ties split identically. Entities sharing no active hour are
+    * never candidates (cosine 0 rows are absent by construction).
+    * At very large |U| with round-the-clock entities the hour
+    * index degrades toward |U|² — shard the profile (hour ×
+    * weekday = 168 keys) or LSH the vectors before pairing, as the
+    * ANN module does for embeddings.
+    */
+  def profileNeighbors(df: DataFrame, entity: String, ts: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"profileNeighbors: k >= 1, got $k")
+    val perH = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .groupBy(col(entity).as("__e"),
+        hour(col(ts).cast("timestamp")).cast("long").as("__h"))
+      .agg(count(lit(1)).as("__n"))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val norms = perH.groupBy(col("__e"))
+      .agg(sum((d19(col("__n")) * d19(col("__n")))
+        .cast("decimal(38,0)")).as("__nn"))
+    val a = perH.select(col("__e").as("__ea"), col("__h"),
+      col("__n").as("__na"))
+    val b = perH.select(col("__e").as("__eb"), col("__h"),
+      col("__n").as("__nb"))
+    val dots = a.join(b, Seq("__h"))
+      .filter(col("__ea") =!= col("__eb"))
+      .groupBy(col("__ea"), col("__eb"))
+      .agg(sum((d19(col("__na")) * d19(col("__nb")))
+        .cast("decimal(38,0)")).as("__num"))
+    val scored = dots
+      .join(norms.select(col("__e").as("__ea"),
+        col("__nn").as("__nna")), Seq("__ea"))
+      .join(norms.select(col("__e").as("__eb"),
+        col("__nn").as("__nnb")), Seq("__eb"))
+      .select(col("__ea"), col("__eb"),
+        (col("__num").cast("double") /
+          (sqrt(col("__nna").cast("double")) *
+            sqrt(col("__nnb").cast("double")))).as("cosine"))
+    val w = Window.partitionBy(col("__ea"))
+      .orderBy(col("cosine").desc, col("__eb").asc)
+    scored.select(col("__ea"), col("__eb"), col("cosine"),
+      row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+      .select(col("__ea").as(entity), col("rank"),
+        col("__eb").as("neighbor"), col("cosine"))
+  }
+
   /** Per-event RUNNING consecutive-active-day streak — "day 7 of a
     * 7-day streak" as a point-in-time feature every event can read
     * without future leakage: the number of consecutive UTC days up

@@ -618,6 +618,30 @@ class BehaviorSpec extends SparkSpec {
     assert(g(4, "v_loo_resid") == null)  // but nothing to score
   }
 
+  test("profileNeighbors: inverted-index cosine over hour " +
+      "histograms, no-shared-hour pairs absent, ties by neighbor") {
+    val d = df("u STRING, ts TIMESTAMP", Seq(
+      Row("u1", ts("2024-01-01 10:00:00")),
+      Row("u1", ts("2024-01-02 10:10:00")),
+      Row("u1", ts("2024-01-03 10:20:00")),
+      Row("u2", ts("2024-01-01 10:00:00")),
+      Row("u3", ts("2024-01-01 05:00:00")),
+      Row("u4", ts("2024-01-01 10:00:00")),
+      Row("u4", ts("2024-01-01 05:30:00"))))
+    val out = Behavior.profileNeighbors(d, "u", "ts", k = 2)
+      .orderBy("u", "rank").collect()
+    val got = out.map(r => (r.getString(0), r.getInt(1),
+      r.getString(2))).toSeq
+    assert(got == Seq(
+      ("u1", 1, "u2"), ("u1", 2, "u4"),
+      ("u2", 1, "u1"), ("u2", 2, "u4"),
+      ("u3", 1, "u4"),
+      ("u4", 1, "u1"), ("u4", 2, "u2"))) // all-tie -> id order
+    assert(out(0).getDouble(3) == 1.0)
+    assert(math.abs(out(1).getDouble(3) - 1.0 / math.sqrt(2.0))
+      < 1e-12)
+  }
+
   test("activeDayStreak: per-event running streak, gaps reset, " +
       "UTC-day grid, repeat events on a day share its streak") {
     val d = df("u STRING, ts TIMESTAMP, id BIGINT", Seq(
