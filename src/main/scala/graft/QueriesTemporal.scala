@@ -185,6 +185,30 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q316_pacf2" -> ((s, dir) => {
+      // partial autocorrelation at lag 2 per user: the
+      // Durbin-Levinson combination of q288's exact unrounded ACF
+      // chains, one more double expression both engines replay
+      WindowOps.pacf2(tbl(s, dir, "events"), "user_id", "ts",
+        "value", tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("n_pairs2"),
+          round(col("acf1"), 6).as("acf1"),
+          round(col("acf2"), 6).as("acf2"),
+          round(col("pacf2"), 6).as("pacf2"))
+        .orderBy("user_id")
+    }),
+
+    "q315_type_novelty" -> ((s, dir) => {
+      // per-event action novelty: n-th occurrence of this type for
+      // this user + exact micros since the habit began — PIT-safe
+      // running windows, pure integer math
+      WindowOps.typeNovelty(tbl(s, dir, "events"), "user_id", "ts",
+        "event_type", tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("type_ordinal"),
+          col("us_since_first_of_type"))
+        .orderBy("event_id")
+    }),
+
     "q314_profile_neighbors" -> ((s, dir) => {
       // schedule look-alikes: top-3 cosine neighbors over hour
       // histograms via the inverted-index pair join — exact integer
@@ -1309,6 +1333,74 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // q288's exact UNROUNDED chains for lags 1 and 2, pivoted, then
+    // the same (r2 - r1^2)/(1 - r1^2) expression inside ROUND
+    "q316_pacf2" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    CASE WHEN value IS NOT NULL
+        |      THEN CAST(round(value * 1e6) AS BIGINT) END AS m
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |l AS (SELECT user_id, m AS y,
+        |    LAG(m, 1) OVER w AS x1, LAG(m, 2) OVER w AS x2
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY t, event_id)),
+        |a AS (
+        |  SELECT user_id, 1 AS lag,
+        |    CAST(COUNT(*) FILTER (x1 IS NOT NULL AND y IS NOT NULL)
+        |      AS BIGINT) AS n,
+        |    SUM(CAST(x1 AS HUGEINT)) FILTER (y IS NOT NULL) AS sx,
+        |    SUM(CAST(y AS HUGEINT)) FILTER (x1 IS NOT NULL) AS sy,
+        |    SUM(CAST(x1 AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x1 AS HUGEINT) * x1)
+        |      FILTER (y IS NOT NULL) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y)
+        |      FILTER (x1 IS NOT NULL) AS syy
+        |  FROM l GROUP BY 1
+        |  UNION ALL
+        |  SELECT user_id, 2 AS lag,
+        |    CAST(COUNT(*) FILTER (x2 IS NOT NULL AND y IS NOT NULL)
+        |      AS BIGINT) AS n,
+        |    SUM(CAST(x2 AS HUGEINT)) FILTER (y IS NOT NULL) AS sx,
+        |    SUM(CAST(y AS HUGEINT)) FILTER (x2 IS NOT NULL) AS sy,
+        |    SUM(CAST(x2 AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x2 AS HUGEINT) * x2)
+        |      FILTER (y IS NOT NULL) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y)
+        |      FILTER (x2 IS NOT NULL) AS syy
+        |  FROM l GROUP BY 1),
+        |d AS (SELECT user_id, lag, n,
+        |    CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+        |    CAST(n AS HUGEINT) * sxx - sx * sx AS dx,
+        |    CAST(n AS HUGEINT) * syy - sy * sy AS dy
+        |  FROM a),
+        |rr AS (SELECT user_id, lag, n,
+        |    CASE WHEN n >= 2 AND dx > 0 AND dy > 0 THEN
+        |      CAST(num AS DOUBLE) / (sqrt(CAST(dx AS DOUBLE))
+        |        * sqrt(CAST(dy AS DOUBLE))) END AS r
+        |  FROM d),
+        |p AS (SELECT user_id,
+        |    MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+        |    MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+        |    MAX(CASE WHEN lag = 2 THEN n END) AS n2
+        |  FROM rr GROUP BY 1)
+        |SELECT user_id, CAST(n2 AS BIGINT) AS n_pairs2,
+        |  ROUND(r1, 6) AS acf1, ROUND(r2, 6) AS acf2,
+        |  CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+        |      AND 1.0 - r1 * r1 > 0 THEN
+        |    ROUND((r2 - r1 * r1) / (1.0 - r1 * r1), 6) END AS pacf2
+        |FROM p ORDER BY 1""".stripMargin,
+
+    // identical per-(user, type) running ordinal and first-instant
+    // difference — BIGINT end to end
+    "q315_type_novelty" ->
+      """SELECT event_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS BIGINT) AS type_ordinal,
+        |  epoch_us(ts) - MIN(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS us_since_first_of_type
+        |FROM events ORDER BY 1""".stripMargin,
 
     // identical hour-bucket pair join, exact HUGEINT dot/norms, the
     // same cosine chain, and the same (cos DESC, id ASC) row_number

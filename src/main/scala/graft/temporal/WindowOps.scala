@@ -589,6 +589,56 @@ object WindowOps {
       entity, ts, valueCol, tieBreak)
   }
 
+  /** Per-event TYPE NOVELTY — `type_ordinal` (1-based: this is the
+    * entity's n-th event of THIS type, counting itself) and
+    * `us_since_first_of_type` (exact integer micros since the
+    * entity's first event of this type; 0 on the first): the
+    * "is this action new for this user" bit plus how long the
+    * habit has existed — PIT-safe by construction (both read only
+    * the running past). One exchange; the (entity, type) windows
+    * hash-satisfy on the entity partitioning.
+    */
+  def typeNovelty(df: DataFrame, entity: String, ts: String,
+      typeCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    requireFresh(df, "typeNovelty", "type_ordinal",
+      "us_since_first_of_type")
+    val ord = (col(ts) +: tieBreak.map(col)).map(_.asc)
+    val wt = Window.partitionBy(col(entity), col(typeCol))
+      .orderBy(ord: _*)
+    val running = wt.rowsBetween(Window.unboundedPreceding, 0)
+    val tus = unix_micros(col(ts).cast("timestamp"))
+    df.select(df.columns.map(col).toIndexedSeq ++ Seq(
+      row_number().over(wt).cast("long").as("type_ordinal"),
+      (tus - min(tus).over(running))
+        .as("us_since_first_of_type")): _*)
+  }
+
+  /** Per-entity PARTIAL autocorrelation at lag 2 — the
+    * Durbin–Levinson step over [[lagAutocorr]]'s exact moments:
+    * `pacf2 = (r₂ − r₁²) / (1 − r₁²)`, the "is there genuine
+    * two-step memory once one-step momentum is removed" feature
+    * that separates AR(1) processes (pacf2 ≈ 0) from AR(2).
+    * Refuses (null) when either ACF refused or r₁² = 1 (a
+    * perfectly one-step-correlated series has no residual to
+    * explain). Both r's ride the exact decimal moment chains, so
+    * the combined double expression is engine-exact.
+    */
+  def pacf2(df: DataFrame, entity: String, ts: String,
+      valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val acf = lagAutocorr(df, entity, ts, valueCol, Seq(1, 2),
+      tieBreak)
+    val rolled = acf.groupBy(col(entity)).agg(
+      max(when(col("lag") === 1, col("acf"))).as("acf1"),
+      max(when(col("lag") === 2, col("acf"))).as("acf2"),
+      max(when(col("lag") === 2, col("n_pairs"))).as("n_pairs2"))
+    val r1 = col("acf1"); val r2 = col("acf2")
+    val den = lit(1.0) - r1 * r1
+    rolled.select(col(entity), col("n_pairs2"),
+      r1, r2,
+      when(r1.isNotNull && r2.isNotNull && den > 0,
+        (r2 - r1 * r1) / den).as("pacf2"))
+  }
+
   /** LEAKAGE-FREE expanding target mean: for each row, the mean of
     * `valueCol` over all STRICTLY EARLIER rows of the same `keyCol`
     * (frame ends at 1 PRECEDING — the row never sees its own label,

@@ -823,6 +823,38 @@ class WindowOpsSpec extends SparkSpec {
     assert(ex2.getMessage.contains("session_id"))
   }
 
+  test("typeNovelty: 1-based per-type ordinal and exact micros " +
+      "since the type's first occurrence") {
+    val d = df("e STRING, ts TIMESTAMP, id BIGINT, t STRING", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), 1L, "view"),
+      Row("u1", ts("2024-01-01 10:00:10"), 2L, "purchase"),
+      Row("u1", ts("2024-01-01 10:00:20"), 3L, "view"),
+      Row("u1", ts("2024-01-01 10:00:30"), 4L, "view")))
+    val out = WindowOps.typeNovelty(d, "e", "ts", "t",
+      tieBreak = Seq("id")).orderBy("id").collect()
+    assert(out.map(_.getLong(4)).toSeq == Seq(1L, 1L, 2L, 3L))
+    assert(out.map(_.getLong(5)).toSeq ==
+      Seq(0L, 0L, 20000000L, 30000000L))
+  }
+
+  test("pacf2: Durbin-Levinson step off the exact ACF moments, " +
+      "golden period-3 series, degenerate r1 refuses") {
+    val mk = (e: String, vs: Seq[Double]) => vs.zipWithIndex.map {
+      case (v, i) => Row(e, ts(f"2024-01-01 10:00:0$i"), i.toLong, v)
+    }
+    val d = df("e STRING, ts TIMESTAMP, id BIGINT, v DOUBLE",
+      mk("a", Seq(1.0, 2.0, 3.0, 1.0, 2.0, 3.0)) ++
+        mk("b", Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)))
+    val out = WindowOps.pacf2(d, "e", "ts", "v",
+      tieBreak = Seq("id")).orderBy("e").collect()
+    val a = out(0)
+    val exp = -387.0 / 495.0
+    assert(math.abs(a.getDouble(a.fieldIndex("pacf2")) - exp)
+      < 1e-9)
+    // a perfect line has r1 = 1: nothing left for lag 2 to explain
+    assert(out(1).isNullAt(out(1).fieldIndex("pacf2")))
+  }
+
   test("trendFit runs on ONE exchange: the centering window and the " +
       "moment rollup share the entity partitioning") {
     val d = df("e BIGINT, ts TIMESTAMP, v DOUBLE", Seq(
