@@ -949,6 +949,30 @@ object QueriesData {
         .orderBy("image_id")
     }),
 
+    "q318_rfm_orders" -> ((s, dir) => {
+      // the SAME RFM operator over a different table shape (TPC-H
+      // orders): customer recency/frequency/monetary off
+      // o_orderdate/o_totalprice — operator generality, same exact
+      // NTILE replica vs the literal-NTILE oracle
+      graft.operators.Behavior.rfmScores(
+        tbl(s, dir, "orders"), "o_custkey", "o_orderdate",
+        "o_totalprice")
+        .orderBy("o_custkey")
+    }),
+
+    "q317_source_overlap" -> ((s, dir) => {
+      // source-pair vocabulary overlap: inverted-index pair join on
+      // distinct whitespace tokens, exact set sizes, Jaccard +
+      // containment double divisions replayed by the oracle
+      graft.text.TextOps.sourceOverlap(
+        tbl(s, dir, "documents"), "source", "text")
+        .select(col("key_a"), col("key_b"), col("n_a"), col("n_b"),
+          col("n_shared"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("key_a", "key_b")
+    }),
+
     "q310_incremental_streaks" -> ((s, dir) => {
       // incremental maintenance of the streak-stats view (q289):
       // bootstrap on 3/4 of the log, absorb the rest via the
@@ -5026,6 +5050,58 @@ object QueriesData {
     // table must equal the full recompute: literally q289's SQL
     "q310_incremental_streaks" ->
       QueriesTemporal.oracles("q289_streak_stats"),
+
+    // q272's literal-NTILE SQL re-keyed onto the orders table —
+    // bucket-for-bucket agreement on a second table shape
+    "q318_rfm_orders" ->
+      """WITH base AS (SELECT o_custkey,
+        |    MAX(epoch_us(o_orderdate)) AS last_us,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(COALESCE(SUM(CAST(round(o_totalprice * 1e6)
+        |      AS BIGINT)), 0) AS BIGINT) AS monetary_micros
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT MAX(last_us) AS asof FROM base),
+        |b AS (SELECT o_custkey, g.asof - last_us AS recency_us,
+        |    frequency, monetary_micros FROM base, g),
+        |sc AS (SELECT o_custkey, recency_us, frequency,
+        |    monetary_micros,
+        |  CAST(NTILE(5) OVER (ORDER BY recency_us DESC, o_custkey)
+        |    AS INTEGER) AS r_score,
+        |  CAST(NTILE(5) OVER (ORDER BY frequency ASC, o_custkey)
+        |    AS INTEGER) AS f_score,
+        |  CAST(NTILE(5) OVER (ORDER BY monetary_micros ASC,
+        |    o_custkey) AS INTEGER) AS m_score FROM b)
+        |SELECT o_custkey, recency_us, frequency, monetary_micros,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER)
+        |    AS rfm_score
+        |FROM sc ORDER BY 1""".stripMargin,
+
+    // identical distinct (source, token) sets (whitespace split
+    // keeps empties on both engines), the same pair join and
+    // Jaccard/containment divisions inside ROUND
+    "q317_source_overlap" ->
+      """WITH w AS (SELECT DISTINCT source AS k,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND text IS NOT NULL),
+        |sz AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM w GROUP BY 1),
+        |sh AS (SELECT a.k AS key_a, b.k AS key_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM w a JOIN w b ON a.tok = b.tok AND a.k < b.k
+        |  GROUP BY 1, 2)
+        |SELECT sh.key_a, sh.key_b, na.n AS n_a, nb.n AS n_b,
+        |  n_shared,
+        |  ROUND(CAST(n_shared AS DOUBLE)
+        |    / CAST(na.n + nb.n - n_shared AS DOUBLE), 6) AS jaccard,
+        |  ROUND(CAST(n_shared AS DOUBLE)
+        |    / CAST(least(na.n, nb.n) AS DOUBLE), 6) AS containment
+        |FROM sh JOIN sz na ON sh.key_a = na.k
+        |  JOIN sz nb ON sh.key_b = nb.k
+        |ORDER BY 1, 2""".stripMargin,
 
     "q233_incremental_agg" ->
       """SELECT user_id, count(*) AS n_events,

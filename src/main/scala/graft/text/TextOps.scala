@@ -662,4 +662,49 @@ object TextOps {
           col("n_tokens").cast("double"))
       .drop("__w")
   }
+
+  /** SOURCE VOCABULARY OVERLAP — for every pair of corpus sources,
+    * the Jaccard and containment of their DISTINCT whitespace-token
+    * vocabularies: the "are these two feeds the same text dressed
+    * differently" screen a mixture planner reads before weighting
+    * sources (near-identical vocabularies → one source in disguise;
+    * containment catches a feed that is a strict subset of a bigger
+    * one even when Jaccard looks small).
+    *
+    * Scale shape: the same inverted-index pair join as every sparse
+    * similarity here — (source, token) DISTINCT, pairs meet only on
+    * shared tokens (never |S|²·|V| dense), sizes attach by
+    * broadcast (|sources| rows). Exact integer set sizes, two
+    * double divisions at readout. Pairs sharing no token are absent
+    * (their Jaccard is 0 by construction).
+    */
+  def sourceOverlap(df: DataFrame, keyCol: String, textCol: String)
+      : DataFrame = {
+    val words = df
+      .filter(col(keyCol).isNotNull && col(textCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        explode(tokens(col(textCol))).as("__w"))
+      .distinct()
+    val sizes = words.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__sz"))
+    val a = words.select(col("__k").as("key_a"), col("__w"))
+    val b = words.select(col("__k").as("key_b"), col("__w"))
+    val shared = a.join(b, Seq("__w"))
+      .filter(col("key_a") < col("key_b"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("__k").as("key_a"),
+        col("__sz").as("n_a"))), Seq("key_a"))
+      .join(broadcast(sizes.select(col("__k").as("key_b"),
+        col("__sz").as("n_b"))), Seq("key_b"))
+      .select(col("key_a"), col("key_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("jaccard"),
+        (col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
+          .as("containment"))
+  }
 }

@@ -603,4 +603,21 @@ class TextMultimodalSpec extends SparkSpec {
       missing.isNullAt(4) && !missing.getBoolean(5) &&
       !missing.getBoolean(6))
   }
+
+  test("sourceOverlap: exact vocabulary Jaccard/containment, " +
+      "disjoint sources produce no pair row") {
+    val d = df("source STRING, text STRING", Seq(
+      Row("s1", "a b"), Row("s1", "b c"),
+      Row("s2", "b c d"),
+      Row("s3", "z")))
+    val out = graft.text.TextOps.sourceOverlap(d, "source", "text")
+      .orderBy("key_a", "key_b").collect()
+    assert(out.length == 1) // only s1-s2 share vocabulary
+    val r = out(0)
+    assert(r.getString(0) == "s1" && r.getString(1) == "s2")
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L &&
+      r.getLong(4) == 2L)
+    assert(r.getDouble(5) == 0.5)
+    assert(math.abs(r.getDouble(6) - 2.0 / 3.0) < 1e-12)
+  }
 }
