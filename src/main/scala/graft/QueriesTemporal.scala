@@ -185,6 +185,30 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q320_gap_cadence" -> ((s, dir) => {
+      // preferred cadence per user: log2 gap-mode bucket via the
+      // monotone integer encoding — smallest bucket on ties, zero
+      // gaps in bucket -1, pure integer decode on both engines
+      graft.operators.Behavior.gapCadence(
+        tbl(s, dir, "events"), "user_id", "ts")
+        .select(col("user_id"), col("n_gaps"), col("gap_bucket"),
+          round(col("mode_share"), 6).as("mode_share"))
+        .orderBy("user_id")
+    }),
+
+    "q319_gap_orders" -> ((s, dir) => {
+      // q279's burstiness operator over the TPC-H orders table —
+      // operator generality on a second (entity, ts) shape
+      graft.operators.Behavior.interArrivalStats(
+        tbl(s, dir, "orders"), "o_custkey", "o_orderdate")
+        .select(col("o_custkey"), col("n_gaps"),
+          round(col("mean_gap_s"), 6).as("mean_gap_s"),
+          round(col("std_gap_s"), 6).as("std_gap_s"),
+          round(col("cv_gap"), 6).as("cv_gap"),
+          round(col("burstiness"), 6).as("burstiness"))
+        .orderBy("o_custkey")
+    }),
+
     "q316_pacf2" -> ((s, dir) => {
       // partial autocorrelation at lag 2 per user: the
       // Durbin-Levinson combination of q288's exact unrounded ACF
@@ -1333,6 +1357,59 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // identical log2 bucketing (boundary-exact at powers of two),
+    // the same n*256 - b encoding and +63 integer decode
+    "q320_gap_cadence" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |g AS (SELECT user_id,
+        |    t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) AS dt
+        |  FROM e),
+        |f AS (SELECT user_id, CASE WHEN dt <= 0 THEN -1
+        |    ELSE CAST(floor(log2(CAST(dt AS DOUBLE))) AS BIGINT)
+        |    END AS b
+        |  FROM g WHERE dt IS NOT NULL),
+        |pb AS (SELECT user_id, b, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM f GROUP BY 1, 2),
+        |r AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_gaps,
+        |    CAST(MAX(n * 256 - b) AS BIGINT) AS e
+        |  FROM pb GROUP BY 1)
+        |SELECT user_id, n_gaps,
+        |  CAST(((e + 63) // 256) * 256 - e AS BIGINT) AS gap_bucket,
+        |  ROUND(CAST((e + 63) // 256 AS DOUBLE)
+        |    / CAST(n_gaps AS DOUBLE), 6) AS mode_share
+        |FROM r ORDER BY 1""".stripMargin,
+
+    // q279's gap-moment SQL re-keyed onto the orders table
+    "q319_gap_orders" ->
+      """WITH e AS (SELECT o_custkey, epoch_us(o_orderdate) AS t
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+        |g AS (SELECT o_custkey,
+        |    t - LAG(t) OVER (PARTITION BY o_custkey ORDER BY t)
+        |      AS dt
+        |  FROM e),
+        |a AS (SELECT o_custkey,
+        |    CAST(COUNT(dt) AS BIGINT) AS n_gaps,
+        |    SUM(CAST(dt AS HUGEINT)) AS sdt,
+        |    SUM(CAST(dt AS HUGEINT) * dt) AS sdd
+        |  FROM g GROUP BY 1),
+        |d AS (SELECT o_custkey, n_gaps,
+        |    CAST(sdt AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+        |    sqrt(CAST(CAST(n_gaps AS HUGEINT) * sdd - sdt * sdt
+        |        AS DOUBLE)) / CAST(n_gaps AS DOUBLE) AS sig
+        |  FROM a)
+        |SELECT o_custkey, n_gaps,
+        |  CASE WHEN n_gaps >= 1
+        |    THEN ROUND(mu / 1e6, 6) END AS mean_gap_s,
+        |  CASE WHEN n_gaps >= 1
+        |    THEN ROUND(sig / 1e6, 6) END AS std_gap_s,
+        |  CASE WHEN n_gaps >= 1 AND mu > 0
+        |    THEN ROUND(sig / mu, 6) END AS cv_gap,
+        |  CASE WHEN n_gaps >= 1 AND sig + mu > 0
+        |    THEN ROUND((sig - mu) / (sig + mu), 6) END AS burstiness
+        |FROM d ORDER BY 1""".stripMargin,
 
     // q288's exact UNROUNDED chains for lags 1 and 2, pivoted, then
     // the same (r2 - r1^2)/(1 - r1^2) expression inside ROUND

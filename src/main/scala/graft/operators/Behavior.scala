@@ -989,6 +989,51 @@ object Behavior {
         col("__eb").as("neighbor"), col("cosine"))
   }
 
+  /** Per-entity PREFERRED-CADENCE bucket — the MODE of the entity's
+    * inter-arrival gaps on a log₂ grid (`gap_bucket` =
+    * ⌊log₂ gap_us⌋: bucket 23 ≈ 8–16 s, 36 ≈ 19–38 h …), with the
+    * share of gaps landing in it: "this user acts roughly daily"
+    * as one integer — the cadence feature raw mean gaps blur when
+    * a user mixes bursts with a weekly rhythm. Ties take the
+    * SMALLEST bucket via the same monotone integer encoding as
+    * [[activityProfile]]'s peak hour (`max(n·256 − bucket)`), so
+    * the rule is engine-independent integer math. Zero gaps
+    * (simultaneous events) land in bucket −1; entities with no
+    * gaps refuse with nulls.
+    *
+    * Exactness: `log2` of an exact BIGINT is boundary-exact at
+    * powers of two (both engines' doubles represent 2^k exactly)
+    * and irrational elsewhere — `floor` cannot straddle engines.
+    * Scale shape: one entity exchange for the gap lag, one
+    * (entity, bucket) count, one entity rollup.
+    */
+  def gapCadence(df: DataFrame, entity: String, ts: String)
+      : DataFrame = {
+    val tus = unix_micros(col(ts).cast("timestamp"))
+    val w = Window.partitionBy(col(entity)).orderBy(col("__us").asc)
+    val gaps = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .select(col(entity), tus.as("__us"))
+      .select(col(entity),
+        (col("__us") - lag(col("__us"), 1).over(w)).as("__dt"))
+      .filter(col("__dt").isNotNull)
+    val bucket = when(col("__dt") <= 0, lit(-1L))
+      .otherwise(floor(log2(col("__dt").cast("double"))).cast("long"))
+    val perB = gaps.groupBy(col(entity), bucket.as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    perB.groupBy(col(entity))
+      .agg(sum(col("__n")).as("n_gaps"),
+        max(col("__n") * 256L - col("__b")).as("__e"))
+      // decode n = floor((e + 63)/256): buckets live in [-1, 63],
+      // so the +63 shift maps e = 256n - b back to exactly n
+      .select(col(entity), col("n_gaps"),
+        (floor((col("__e") + 63L) / 256L).cast("long") * 256L -
+          col("__e")).as("gap_bucket"),
+        (floor((col("__e") + 63L) / 256L).cast("long")
+          .cast("double") / col("n_gaps").cast("double"))
+          .as("mode_share"))
+  }
+
   /** Per-event RUNNING consecutive-active-day streak — "day 7 of a
     * 7-day streak" as a point-in-time feature every event can read
     * without future leakage: the number of consecutive UTC days up

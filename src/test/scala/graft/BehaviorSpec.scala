@@ -642,6 +642,32 @@ class BehaviorSpec extends SparkSpec {
       < 1e-12)
   }
 
+  test("gapCadence: log2 gap mode with smallest-bucket ties, zero " +
+      "gaps land in bucket -1, exact share") {
+    val d = df("u STRING, ts TIMESTAMP", Seq(
+      // u1: gaps 8s, 8s, 1000s -> bucket floor(log2(8e6)) = 22 x2
+      Row("u1", ts("2024-01-01 10:00:00")),
+      Row("u1", ts("2024-01-01 10:00:08")),
+      Row("u1", ts("2024-01-01 10:00:16")),
+      Row("u1", ts("2024-01-01 10:16:56")),
+      // u2: one zero gap (tie pair) and one 8s gap: tie on counts
+      // -> SMALLEST bucket wins (-1)
+      Row("u2", ts("2024-01-01 10:00:00")),
+      Row("u2", ts("2024-01-01 10:00:00")),
+      Row("u2", ts("2024-01-01 10:00:08")),
+      Row("u3", ts("2024-01-01 10:00:00")))) // no gaps
+    val out = Behavior.gapCadence(d, "u", "ts").orderBy("u")
+      .collect()
+    val a = out(0)
+    assert(a.getLong(1) == 3L)
+    assert(a.getLong(2) ==
+      math.floor(math.log(8e6) / math.log(2.0)).toLong)
+    assert(math.abs(a.getDouble(3) - 2.0 / 3.0) < 1e-12)
+    val b = out(1)
+    assert(b.getLong(2) == -1L && b.getDouble(3) == 0.5)
+    assert(out.length == 2) // u3 has no gap rows at all
+  }
+
   test("activeDayStreak: per-event running streak, gaps reset, " +
       "UTC-day grid, repeat events on a day share its streak") {
     val d = df("u STRING, ts TIMESTAMP, id BIGINT", Seq(
