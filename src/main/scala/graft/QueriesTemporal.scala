@@ -185,6 +185,28 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q322_session_gap_label" -> ((s, dir) => {
+      // session-grain churn target: exact micros from session end
+      // to the next session's start over the q39 gap rule
+      graft.operators.Behavior.sessionNextGap(
+        tbl(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull),
+        "user_id", "ts", gapSeconds = 1800L)
+        .orderBy("user_id", "session_id")
+    }),
+
+    "q321_priority_mix" -> ((s, dir) => {
+      // q290's typeMix operator over the orders table: action
+      // diversity of o_orderpriority per customer
+      graft.operators.Behavior.typeMix(
+        tbl(s, dir, "orders"), "o_custkey", "o_orderpriority")
+        .select(col("o_custkey"), col("n_events"), col("n_types"),
+          round(col("type_entropy"), 6).as("type_entropy"),
+          col("top_type"),
+          round(col("top_share"), 6).as("top_share"))
+        .orderBy("o_custkey")
+    }),
+
     "q320_gap_cadence" -> ((s, dir) => {
       // preferred cadence per user: log2 gap-mode bucket via the
       // monotone integer encoding — smallest bucket on ties, zero
@@ -1357,6 +1379,55 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // q294's session rollup + one LEAD over the session frame —
+    // BIGINT end to end
+    "q322_session_gap_label" ->
+      """WITH t AS (SELECT user_id, ts, epoch_us(ts) AS us,
+        |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         IS NULL
+        |    OR date_diff('microsecond',
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+        |       > 1800000000
+        |  THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s AS (SELECT user_id, us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM t),
+        |g AS (SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    MIN(us) AS st, MAX(us) AS en FROM s GROUP BY 1, 2)
+        |SELECT user_id, session_id, n_events,
+        |  en - st AS duration_us,
+        |  LEAD(st) OVER w - en AS us_to_next_session,
+        |  LEAD(st) OVER w IS NULL AS is_last_session
+        |FROM g WINDOW w AS (PARTITION BY user_id ORDER BY session_id)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q290's mix SQL re-keyed onto orders/o_orderpriority
+    "q321_priority_mix" ->
+      """WITH t AS (SELECT o_custkey, o_orderpriority AS ty
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL),
+        |pt AS (SELECT o_custkey, ty, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM t GROUP BY 1, 2),
+        |ro AS (SELECT o_custkey,
+        |    CAST(SUM(n) AS BIGINT) AS n_events,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS nl
+        |  FROM pt GROUP BY 1),
+        |tp AS (SELECT o_custkey, ty, n FROM (SELECT o_custkey, ty,
+        |    n, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY n DESC, ty ASC) AS rk FROM pt) WHERE rk = 1)
+        |SELECT ro.o_custkey, n_events, n_types,
+        |  ROUND(ln(CAST(n_events AS DOUBLE))
+        |    - nl / CAST(n_events AS DOUBLE), 6) AS type_entropy,
+        |  tp.ty AS top_type,
+        |  ROUND(CAST(tp.n AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+        |    AS top_share
+        |FROM ro JOIN tp USING (o_custkey) ORDER BY 1""".stripMargin,
 
     // identical log2 bucketing (boundary-exact at powers of two),
     // the same n*256 - b encoding and +63 integer decode

@@ -1034,6 +1034,34 @@ object Behavior {
           .as("mode_share"))
   }
 
+  /** Session-grain NEXT-GAP LABEL — one row per gap session with
+    * its stats plus `us_to_next_session` (exact integer micros from
+    * this session's END to the entity's next session START) and
+    * `is_last_session`: the churn-model TARGET at session grain.
+    * This is a LABEL, not a serve-time feature — the gap reads the
+    * entity's future by definition; training joins it onto
+    * PIT-safe features ([[graft.temporal.WindowOps.sessionPosition]]
+    * et al.), serving never computes it.
+    *
+    * Scale shape: [[graft.temporal.WindowOps.sessionStats]]'s
+    * rollup, then one lead window over the |sessions| frame
+    * (orders of magnitude smaller than the log).
+    */
+  def sessionNextGap(df: DataFrame, entity: String, ts: String,
+      gapSeconds: Long): DataFrame = {
+    val sess = graft.temporal.WindowOps
+      .sessionStats(df, entity, ts, gapSeconds)
+    val w = Window.partitionBy(col(entity))
+      .orderBy(col("session_id").asc)
+    val nextStart = lead(
+      unix_micros(col("started_at").cast("timestamp")), 1).over(w)
+    val endUs = unix_micros(col("ended_at").cast("timestamp"))
+    sess.select(col(entity), col("session_id"), col("n_events"),
+      col("duration_us"),
+      (nextStart - endUs).as("us_to_next_session"),
+      nextStart.isNull.as("is_last_session"))
+  }
+
   /** Per-event RUNNING consecutive-active-day streak — "day 7 of a
     * 7-day streak" as a point-in-time feature every event can read
     * without future leakage: the number of consecutive UTC days up

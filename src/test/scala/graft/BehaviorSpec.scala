@@ -668,6 +668,25 @@ class BehaviorSpec extends SparkSpec {
     assert(out.length == 2) // u3 has no gap rows at all
   }
 
+  test("sessionNextGap: exact end-to-next-start micros, the last " +
+      "session reads null and flags itself") {
+    val d = df("u STRING, ts TIMESTAMP", Seq(
+      Row("u1", ts("2024-01-01 10:00:00")),
+      Row("u1", ts("2024-01-01 10:01:00")),
+      Row("u1", ts("2024-01-01 12:00:00")),
+      Row("u2", ts("2024-01-01 09:00:00"))))
+    val out = Behavior.sessionNextGap(d, "u", "ts", 1800L)
+      .orderBy("u", "session_id").collect()
+    val a = out(0)
+    assert(a.getLong(2) == 2L)
+    assert(a.getLong(a.fieldIndex("us_to_next_session")) ==
+      7140000000L) // 12:00 - 10:01 = 119 min
+    assert(!a.getBoolean(a.fieldIndex("is_last_session")))
+    assert(out(1).isNullAt(out(1).fieldIndex("us_to_next_session")))
+    assert(out(1).getBoolean(out(1).fieldIndex("is_last_session")))
+    assert(out(2).getBoolean(out(2).fieldIndex("is_last_session")))
+  }
+
   test("activeDayStreak: per-event running streak, gaps reset, " +
       "UTC-day grid, repeat events on a day share its streak") {
     val d = df("u STRING, ts TIMESTAMP, id BIGINT", Seq(
