@@ -185,6 +185,18 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q323_gap_quantiles" -> ((s, dir) => {
+      // robust cadence: exact np.interp median/p90 of per-user gaps
+      // via the distributed weighted-CDF (q87's machinery on a
+      // derived temporal frame), read out in seconds
+      graft.operators.Behavior.gapQuantiles(
+        tbl(s, dir, "events"), "user_id", "ts", Seq(0.5, 0.9))
+        .select(col("user_id"),
+          round(col("gap_p50_s"), 6).as("gap_p50_s"),
+          round(col("gap_p90_s"), 6).as("gap_p90_s"))
+        .orderBy("user_id")
+    }),
+
     "q322_session_gap_label" -> ((s, dir) => {
       // session-grain churn target: exact micros from session end
       // to the next session's start over the q39 gap rule
@@ -1379,6 +1391,42 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // q87's weighted-CDF interp CTEs over the gap frame — the same
+    // exact-hit/bracket rules, then /1e6 inside ROUND
+    "q323_gap_quantiles" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |gp AS (SELECT user_id,
+        |    t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) AS v
+        |  FROM e),
+        |g AS (SELECT user_id AS k, CAST(v AS DOUBLE) AS v,
+        |    COUNT(*) AS w
+        |  FROM gp WHERE v IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT k, v,
+        |    SUM(w) OVER (PARTITION BY k ORDER BY v) * 1.0 /
+        |      SUM(w) OVER (PARTITION BY k) AS f
+        |  FROM g),
+        |b AS (SELECT k,
+        |  MAX(CASE WHEN f <= 0.5 THEN f END) AS flo_m,
+        |  MAX(CASE WHEN f <= 0.5 THEN v END) AS vlo_m,
+        |  MIN(CASE WHEN f >= 0.5 THEN f END) AS fhi_m,
+        |  MIN(CASE WHEN f >= 0.5 THEN v END) AS vhi_m,
+        |  MAX(CASE WHEN f <= 0.9 THEN f END) AS flo_9,
+        |  MAX(CASE WHEN f <= 0.9 THEN v END) AS vlo_9,
+        |  MIN(CASE WHEN f >= 0.9 THEN f END) AS fhi_9,
+        |  MIN(CASE WHEN f >= 0.9 THEN v END) AS vhi_9
+        |  FROM c GROUP BY k)
+        |SELECT k AS user_id,
+        |  ROUND((CASE WHEN flo_m IS NULL THEN vhi_m
+        |    WHEN fhi_m IS NULL OR fhi_m = flo_m THEN vlo_m
+        |    ELSE vlo_m + (0.5 - flo_m) / (fhi_m - flo_m)
+        |      * (vhi_m - vlo_m) END) / 1e6, 6) AS gap_p50_s,
+        |  ROUND((CASE WHEN flo_9 IS NULL THEN vhi_9
+        |    WHEN fhi_9 IS NULL OR fhi_9 = flo_9 THEN vlo_9
+        |    ELSE vlo_9 + (0.9 - flo_9) / (fhi_9 - flo_9)
+        |      * (vhi_9 - vlo_9) END) / 1e6, 6) AS gap_p90_s
+        |FROM b ORDER BY 1""".stripMargin,
 
     // q294's session rollup + one LEAD over the session frame —
     // BIGINT end to end

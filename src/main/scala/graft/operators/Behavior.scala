@@ -1062,6 +1062,39 @@ object Behavior {
       nextStart.isNull.as("is_last_session"))
   }
 
+  /** Per-entity GAP QUANTILES — the robust cadence companion of
+    * [[interArrivalStats]]: exact np.interp quantiles (median, p90
+    * by default) of the entity's inter-arrival gaps in SECONDS,
+    * computed by the same distributed weighted-CDF machinery as
+    * the capping fits ([[graft.core.Stats.groupedWeightedQuantiles]]
+    * — melted range-partitioned CDF, no per-entity buffering). A
+    * burst-heavy user's MEAN gap says "minutes" while the MEDIAN
+    * says "seconds"; models want both. Entities with no gaps are
+    * absent; output one row per entity with one `gap_p{NN}_s`
+    * column per requested quantile.
+    */
+  def gapQuantiles(df: DataFrame, entity: String, ts: String,
+      qs: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      s"gapQuantiles: quantiles must be in [0,1], got $qs")
+    val tus = unix_micros(col(ts).cast("timestamp"))
+    val w = Window.partitionBy(col(entity)).orderBy(col("__us").asc)
+    val gaps = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .select(col(entity), tus.as("__us"))
+      .select(col(entity),
+        (col("__us") - lag(col("__us"), 1).over(w)).as("__gap"))
+      .filter(col("__gap").isNotNull)
+    val qdf = graft.core.Stats.groupedWeightedQuantiles(
+      gaps, entity, "__gap", lit(1), qs)
+    val aggs = qs.map { q =>
+      val nn = math.round(q * 100).toInt
+      (max(when(col("q") === q, col("quantile"))) / lit(1e6))
+        .as(f"gap_p$nn%02d_s")
+    }
+    qdf.groupBy(col(entity)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-event RUNNING consecutive-active-day streak — "day 7 of a
     * 7-day streak" as a point-in-time feature every event can read
     * without future leakage: the number of consecutive UTC days up

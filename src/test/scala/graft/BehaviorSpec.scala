@@ -687,6 +687,26 @@ class BehaviorSpec extends SparkSpec {
     assert(out(2).getBoolean(out(2).fieldIndex("is_last_session")))
   }
 
+  test("gapQuantiles: exact weighted-CDF interp on the gap frame, " +
+      "seconds out, exact-hit takes the bracketing value") {
+    val d = df("u STRING, ts TIMESTAMP", Seq(
+      Row("u1", ts("2024-01-01 10:00:00")),
+      Row("u1", ts("2024-01-01 10:00:10")), // gaps 10,20,30,40 s
+      Row("u1", ts("2024-01-01 10:00:30")),
+      Row("u1", ts("2024-01-01 10:01:00")),
+      Row("u1", ts("2024-01-01 10:01:40")),
+      Row("u2", ts("2024-01-01 10:00:00")))) // no gaps: absent
+    val out = Behavior.gapQuantiles(d, "u", "ts").orderBy("u")
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    // cum-fracs .25/.5/.75/1: q=.5 hits exactly -> 20 s
+    assert(r.getDouble(r.fieldIndex("gap_p50_s")) == 20.0)
+    // p90 interpolates between .75 (30s) and 1.0 (40s) -> 36 s
+    assert(math.abs(r.getDouble(r.fieldIndex("gap_p90_s")) - 36.0)
+      < 1e-9)
+  }
+
   test("activeDayStreak: per-event running streak, gaps reset, " +
       "UTC-day grid, repeat events on a day share its streak") {
     val d = df("u STRING, ts TIMESTAMP, id BIGINT", Seq(
