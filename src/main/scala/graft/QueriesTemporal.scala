@@ -185,6 +185,41 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q326_bounce_by_hour" -> ((s, dir) => {
+      // when do visits fail: per-start-hour bounce decomposition
+      // over the q39 gap sessions — exact counts, one division
+      graft.operators.Behavior.bounceByHour(
+        tbl(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull),
+        "user_id", "ts", gapSeconds = 1800L)
+        .select(col("start_hour"), col("n_sessions"),
+          col("n_bounces"),
+          round(col("bounce_rate"), 6).as("bounce_rate"))
+        .orderBy("start_hour")
+    }),
+
+    "q325_transition_latency" -> ((s, dir) => {
+      // step-timing matrix per ordered type pair: exact decimal
+      // Σdt, integer min/max, one division at readout
+      graft.operators.Behavior.transitionLatency(
+        tbl(s, dir, "events"), "user_id", "ts", "event_type",
+        tieBreak = Seq("event_id"))
+        .select(col("prev_type"), col("cur_type"), col("n_steps"),
+          round(col("mean_gap_s"), 6).as("mean_gap_s"),
+          col("min_gap_us"), col("max_gap_us"))
+        .orderBy("prev_type", "cur_type")
+    }),
+
+    "q324_seasonal_z" -> ((s, dir) => {
+      // standardized weekday deviation per event: exact (user, dow)
+      // cell moments, the same (m - mu)/sigma chain on both engines
+      graft.operators.Behavior.seasonalZ(
+        tbl(s, dir, "events"), "user_id", "ts", "value")
+        .select(col("event_id"),
+          round(col("value_dow_z"), 6).as("value_dow_z"))
+        .orderBy("event_id")
+    }),
+
     "q323_gap_quantiles" -> ((s, dir) => {
       // robust cadence: exact np.interp median/p90 of per-user gaps
       // via the distributed weighted-CDF (q87's machinery on a
@@ -1390,6 +1425,80 @@ object QueriesTemporal {
         |    AS INTEGER) AS funnel_depth
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
+        |ORDER BY 1""".stripMargin,
+
+    // q39's sessions -> per-session counts keyed by start hour —
+    // exact counts, the same division inside ROUND
+    "q326_bounce_by_hour" ->
+      """WITH t AS (SELECT user_id, ts, epoch_us(ts) AS us,
+        |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         IS NULL
+        |    OR date_diff('microsecond',
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+        |       > 1800000000
+        |  THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s AS (SELECT user_id, ts, us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM t),
+        |g AS (SELECT user_id, sid,
+        |    CAST(COUNT(*) AS BIGINT) AS ne,
+        |    MIN(ts) AS started_at FROM s GROUP BY 1, 2)
+        |SELECT CAST(hour(started_at) AS BIGINT) AS start_hour,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(COUNT(CASE WHEN ne = 1 THEN 1 END) AS BIGINT)
+        |    AS n_bounces,
+        |  ROUND(CAST(COUNT(CASE WHEN ne = 1 THEN 1 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical bigram frame (lag of type and instant on one sort),
+    // exact HUGEINT gap sums, integer min/max, division in ROUND
+    "q325_transition_latency" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS t FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |b AS (SELECT event_type AS cur_type, t,
+        |    LAG(event_type) OVER w AS prev_type,
+        |    LAG(t) OVER w AS pt
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY t, event_id)),
+        |f AS (SELECT prev_type, cur_type, t - pt AS dt FROM b
+        |  WHERE prev_type IS NOT NULL)
+        |SELECT prev_type, cur_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_steps,
+        |  ROUND(CAST(SUM(CAST(dt AS HUGEINT)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) / 1e6, 6) AS mean_gap_s,
+        |  MIN(dt) AS min_gap_us, MAX(dt) AS max_gap_us
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical (user, dow) exact cell moments and the same
+    // (m - mu)/sigma chain inside ROUND
+    "q324_seasonal_z" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |    CASE WHEN value IS NOT NULL
+        |      THEN CAST(round(value * 1e6) AS BIGINT) END AS m
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |pd AS (SELECT user_id, dow,
+        |    CAST(COUNT(m) AS BIGINT) AS n_d,
+        |    SUM(CAST(m AS HUGEINT)) AS s_d,
+        |    SUM(CAST(m AS HUGEINT) * m) AS ss_d
+        |  FROM e GROUP BY 1, 2),
+        |mm AS (SELECT user_id, dow, n_d,
+        |    CAST(s_d AS DOUBLE) / CAST(n_d AS DOUBLE) AS mu,
+        |    sqrt(CAST(CAST(n_d AS HUGEINT) * ss_d - s_d * s_d
+        |      AS DOUBLE)) / CAST(n_d AS DOUBLE) AS sig
+        |  FROM pd)
+        |SELECT e.event_id,
+        |  ROUND(CASE WHEN e.m IS NOT NULL AND mm.n_d >= 2
+        |      AND mm.sig > 0
+        |    THEN (CAST(e.m AS DOUBLE) - mm.mu) / mm.sig END, 6)
+        |    AS value_dow_z
+        |FROM e JOIN mm ON e.user_id = mm.user_id
+        |  AND e.dow = mm.dow
         |ORDER BY 1""".stripMargin,
 
     // q87's weighted-CDF interp CTEs over the gap frame — the same

@@ -1095,6 +1095,102 @@ object Behavior {
     qdf.groupBy(col(entity)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-event SEASONAL Z-SCORE — [[seasonalResidual]] standardized
+    * by the weekday's own spread: `(v − μ_dow) / σ_dow` with both
+    * moments from exact (entity, dow) integer micro sums
+    * (population σ, IEEE sqrt). "2σ above their usual Tuesday" is
+    * comparable across entities where the raw residual is not.
+    * Same offline-AUDIT caveat as [[seasonalResidual]] (the moments
+    * read the whole history); thin (< 2 obs) or flat (σ = 0)
+    * weekday cells refuse with null.
+    */
+  def seasonalZ(df: DataFrame, entity: String, ts: String,
+      valueCol: String): DataFrame = {
+    graft.temporal.WindowOps.requireFresh(df, "seasonalZ",
+      "dow", "__m", "__n_d", "__s_d", "__ss_d",
+      s"${valueCol}_dow_z")
+    val v = col(valueCol).cast("double")
+    val clean = when(isnan(v), lit(null)).otherwise(v)
+    val m = round(clean * lit(1e6), 0).cast("long")
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val withDow = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .withColumn("dow",
+        dayofweek(col(ts).cast("timestamp")).cast("long"))
+      .withColumn("__m", m)
+    val sums = withDow.groupBy(col(entity), col("dow"))
+      .agg(count(col("__m")).as("__n_d"),
+        sum(col("__m")).cast("decimal(38,0)").as("__s_d"),
+        sum((d19(col("__m")) * d19(col("__m")))
+          .cast("decimal(38,0)")).as("__ss_d"))
+    val joined = withDow.join(sums, Seq(entity, "dow"), "left")
+    val n38 = col("__n_d").cast("decimal(38,0)")
+    val mu = col("__s_d").cast("double") / col("__n_d").cast("double")
+    val sig = sqrt((n38 * col("__ss_d") - col("__s_d") * col("__s_d"))
+      .cast("double")) / col("__n_d").cast("double")
+    val z = when(col("__m").isNotNull && col("__n_d") >= 2 &&
+      sig > 0, (col("__m").cast("double") - mu) / sig)
+    joined.withColumn(s"${valueCol}_dow_z", z)
+      .drop("__m", "__n_d", "__s_d", "__ss_d")
+  }
+
+  /** TRANSITION-LATENCY matrix — for every ordered pair of
+    * consecutive event types inside an entity's (ts, tie)-ordered
+    * sequence, the corpus-level timing of that step: `n_steps`,
+    * exact `mean_gap_s`, and the integer min/max gaps. The timing
+    * companion of [[transitionFeatures]]' probability matrix —
+    * "view→purchase takes minutes, error→error takes milliseconds"
+    * — feeding both anomaly rules and simulator calibration.
+    *
+    * Scale shape: one entity-partitioned window forms the bigram
+    * frame (lag of type and instant on the same sort), then a
+    * ≤ |types|²-row map-side-combined rollup. Σdt is an exact
+    * decimal; the one division happens at readout.
+    */
+  def transitionLatency(df: DataFrame, entity: String, ts: String,
+      typeCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = (col(ts) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(entity)).orderBy(ord: _*)
+    val tus = unix_micros(col(ts).cast("timestamp"))
+    val big = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(typeCol).as("cur_type"), tus.as("__t"),
+        lag(col(typeCol), 1).over(w).as("prev_type"),
+        lag(tus, 1).over(w).as("__pt"))
+      .filter(col("prev_type").isNotNull)
+    big.groupBy(col("prev_type"), col("cur_type"))
+      .agg(count(lit(1)).as("n_steps"),
+        sum((col("__t") - col("__pt")).cast("decimal(38,0)"))
+          .as("__sdt"),
+        min(col("__t") - col("__pt")).as("min_gap_us"),
+        max(col("__t") - col("__pt")).as("max_gap_us"))
+      .select(col("prev_type"), col("cur_type"), col("n_steps"),
+        (col("__sdt").cast("double") /
+          col("n_steps").cast("double") / lit(1e6))
+          .as("mean_gap_s"),
+        col("min_gap_us"), col("max_gap_us"))
+  }
+
+  /** BOUNCE RATE BY START HOUR — per hour-of-day, how many gap
+    * sessions STARTING that hour ended after a single event: the
+    * "when do visits fail" diagnostic (late-night bounces read very
+    * differently from lunch-hour ones). One row per start hour with
+    * exact counts and the one readout division.
+    */
+  def bounceByHour(df: DataFrame, entity: String, ts: String,
+      gapSeconds: Long): DataFrame = {
+    val sess = graft.temporal.WindowOps
+      .sessionStats(df, entity, ts, gapSeconds)
+    sess.groupBy(hour(col("started_at").cast("timestamp"))
+        .cast("long").as("start_hour"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when(col("n_events") === 1, lit(1))).as("n_bounces"))
+      .select(col("start_hour"), col("n_sessions"), col("n_bounces"),
+        (col("n_bounces").cast("double") /
+          col("n_sessions").cast("double")).as("bounce_rate"))
+  }
+
   /** Per-event RUNNING consecutive-active-day streak — "day 7 of a
     * 7-day streak" as a point-in-time feature every event can read
     * without future leakage: the number of consecutive UTC days up

@@ -707,6 +707,54 @@ class BehaviorSpec extends SparkSpec {
       < 1e-9)
   }
 
+  test("seasonalZ: standardized weekday deviation off exact cell " +
+      "moments, thin and flat cells refuse") {
+    val d = df("u STRING, ts TIMESTAMP, id BIGINT, v DOUBLE", Seq(
+      Row("u1", ts("2024-01-06 10:00:00"), 1L, 2.0), // Sat
+      Row("u1", ts("2024-01-13 10:00:00"), 2L, 6.0), // Sat
+      Row("u1", ts("2024-01-08 10:00:00"), 3L, 9.0), // Mon alone
+      Row("u1", ts("2024-01-15 10:00:00"), 4L, null)))
+    val out = Behavior.seasonalZ(d, "u", "ts", "v")
+      .orderBy("id").collect()
+    def g(i: Int) = {
+      val j = out(i).fieldIndex("v_dow_z")
+      if (out(i).isNullAt(j)) null else out(i).getDouble(j)
+    }
+    assert(g(0) == -1.0 && g(1) == 1.0)
+    assert(g(2) == null) // single observation
+    assert(g(3) == null) // missing value
+  }
+
+  test("transitionLatency: exact step timing per ordered type pair") {
+    val d = df("u STRING, ts TIMESTAMP, id BIGINT, t STRING", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), 1L, "A"),
+      Row("u1", ts("2024-01-01 10:00:10"), 2L, "B"),
+      Row("u1", ts("2024-01-01 10:00:15"), 3L, "B"),
+      Row("u1", ts("2024-01-01 10:01:40"), 4L, "A")))
+    val out = Behavior.transitionLatency(d, "u", "ts", "t",
+      tieBreak = Seq("id")).orderBy("prev_type", "cur_type")
+      .collect()
+    val got = out.map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("A", "B", 1L, 10.0, 10000000L),
+      ("B", "A", 1L, 85.0, 85000000L),
+      ("B", "B", 1L, 5.0, 5000000L)))
+  }
+
+  test("bounceByHour: per-start-hour bounce decomposition") {
+    val d = df("u STRING, ts TIMESTAMP", Seq(
+      Row("u1", ts("2024-01-01 10:00:00")),
+      Row("u1", ts("2024-01-01 10:05:00")),
+      Row("u1", ts("2024-01-01 12:00:00")),
+      Row("u2", ts("2024-01-01 10:30:00"))))
+    val out = Behavior.bounceByHour(d, "u", "ts", 1800L)
+      .orderBy("start_hour").collect()
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq
+    assert(got == Seq((10L, 2L, 1L, 0.5), (12L, 1L, 1L, 1.0)))
+  }
+
   test("activeDayStreak: per-event running streak, gaps reset, " +
       "UTC-day grid, repeat events on a day share its streak") {
     val d = df("u STRING, ts TIMESTAMP, id BIGINT", Seq(
