@@ -185,6 +185,66 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q331_gap_entropy_orders" -> ((s, dir) => {
+      // q328's regularity operator over the TPC-H orders table —
+      // generality on a second (entity, ts) shape, date-grain gaps
+      graft.operators.Behavior.gapEntropy(
+        tbl(s, dir, "orders"), "o_custkey", "o_orderdate")
+        .select(col("o_custkey"), col("n_gaps"), col("n_buckets"),
+          round(col("bucket_entropy"), 6).as("bucket_entropy"),
+          round(col("norm_entropy"), 6).as("norm_entropy"))
+        .orderBy("o_custkey")
+    }),
+
+    "q330_hour_vector" -> ((s, dir) => {
+      // circular hour-of-day profile: exact 24-register counts,
+      // shared-literal trig weights, one rollup
+      graft.operators.Behavior.hourVector(
+        tbl(s, dir, "events"), "user_id", "ts")
+        .select(col("user_id"), col("n_events"), col("peak_hour"),
+          round(col("peak_share"), 6).as("peak_share"),
+          round(col("hour_r"), 6).as("hour_r"),
+          round(col("mean_hour"), 6).as("mean_hour"))
+        .orderBy("user_id")
+    }),
+
+    "q329_session_jaccard" -> ((s, dir) => {
+      // behavioral drift at session grain: Jaccard of consecutive
+      // sessions' distinct type sets — integer set sizes, one
+      // division; first sessions absent
+      graft.operators.Behavior.sessionTypeJaccard(
+        tbl(s, dir, "events"), "user_id", "ts", "event_type",
+        gapSeconds = 1800L)
+        .select(col("user_id"), col("session_id"),
+          col("n_prev_types"), col("n_cur_types"), col("n_common"),
+          round(col("type_jaccard"), 6).as("type_jaccard"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    "q328_gap_entropy" -> ((s, dir) => {
+      // cadence regularity: Shannon entropy over q320's log2 gap
+      // buckets — the same exact one-pass rearrangement as q290's
+      // type entropy, plus the [0,1] normalized readout
+      graft.operators.Behavior.gapEntropy(
+        tbl(s, dir, "events"), "user_id", "ts")
+        .select(col("user_id"), col("n_gaps"), col("n_buckets"),
+          round(col("bucket_entropy"), 6).as("bucket_entropy"),
+          round(col("norm_entropy"), 6).as("norm_entropy"))
+        .orderBy("user_id")
+    }),
+
+    "q327_time_to_next_type" -> ((s, dir) => {
+      // q285's forward mirror as a LABEL op: exact integer micros
+      // until the user's next purchase / click / error, strictly
+      // later so an event never reads itself
+      WindowOps.timeToNextType(tbl(s, dir, "events"), "user_id",
+        "ts", "event_type", Seq("purchase", "click", "error"),
+        tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("us_until_purchase"),
+          col("us_until_click"), col("us_until_error"))
+        .orderBy("event_id")
+    }),
+
     "q326_bounce_by_hour" -> ((s, dir) => {
       // when do visits fail: per-start-hour bounce decomposition
       // over the q39 gap sessions — exact counts, one division
@@ -1425,6 +1485,162 @@ object QueriesTemporal {
         |    AS INTEGER) AS funnel_depth
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
+        |ORDER BY 1""".stripMargin,
+
+    // q328's bucket/entropy SQL re-keyed onto the orders table
+    "q331_gap_entropy_orders" ->
+      """WITH e AS (SELECT o_custkey, epoch_us(o_orderdate) AS t
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+        |g AS (SELECT o_custkey,
+        |    t - LAG(t) OVER (PARTITION BY o_custkey ORDER BY t)
+        |      AS dt
+        |  FROM e),
+        |f AS (SELECT o_custkey, CASE WHEN dt <= 0 THEN -1
+        |    ELSE CAST(floor(log2(CAST(dt AS DOUBLE))) AS BIGINT)
+        |    END AS b
+        |  FROM g WHERE dt IS NOT NULL),
+        |pb AS (SELECT o_custkey, b, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM f GROUP BY 1, 2),
+        |r AS (SELECT o_custkey, CAST(SUM(n) AS BIGINT) AS n_gaps,
+        |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS nl
+        |  FROM pb GROUP BY 1)
+        |SELECT o_custkey, n_gaps, n_buckets,
+        |  ROUND(ln(CAST(n_gaps AS DOUBLE))
+        |    - nl / CAST(n_gaps AS DOUBLE), 6) AS bucket_entropy,
+        |  CASE WHEN n_buckets > 1 THEN
+        |    ROUND((ln(CAST(n_gaps AS DOUBLE))
+        |      - nl / CAST(n_gaps AS DOUBLE))
+        |      / ln(CAST(n_buckets AS DOUBLE)), 6) END
+        |    AS norm_entropy
+        |FROM r ORDER BY 1""".stripMargin,
+
+    // 24 conditional-count registers, the SAME JVM cos/sin double
+    // literals as the Spark plan (never DuckDB's own trig of the
+    // angle), the q320 integer max-encode for the modal hour, and
+    // the one atan2 inside ROUND
+    "q330_hour_vector" -> {
+      val cs = (0 until 24).map(i =>
+        s"CAST(COUNT(CASE WHEN h = $i THEN 1 END) AS BIGINT) AS c$i")
+        .mkString(",\n    ")
+      val nSum = (0 until 24).map(i => s"c$i").mkString(" + ")
+      val xSum = (0 until 24).map(i =>
+        s"c$i * (${math.cos(2 * math.Pi * i / 24)})")
+        .mkString(" + ")
+      val ySum = (0 until 24).map(i =>
+        s"c$i * (${math.sin(2 * math.Pi * i / 24)})")
+        .mkString(" + ")
+      val enc = (0 until 24).map(i => s"c$i * 32 - $i")
+        .mkString(", ")
+      s"""WITH e AS (SELECT user_id, CAST(hour(ts) AS BIGINT) AS h
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |p AS (SELECT user_id,
+         |    $cs
+         |  FROM e GROUP BY 1),
+         |r AS (SELECT user_id,
+         |    $nSum AS n,
+         |    $xSum AS x,
+         |    $ySum AS y,
+         |    GREATEST($enc) AS enc
+         |  FROM p)
+         |SELECT user_id, n AS n_events,
+         |  CAST(((enc + 23) // 32) * 32 - enc AS BIGINT)
+         |    AS peak_hour,
+         |  ROUND(CAST((enc + 23) // 32 AS DOUBLE)
+         |    / CAST(n AS DOUBLE), 6) AS peak_share,
+         |  ROUND(sqrt(x * x + y * y) / CAST(n AS DOUBLE), 6)
+         |    AS hour_r,
+         |  CASE WHEN sqrt(x * x + y * y) > 0 THEN
+         |    ROUND(fmod(atan2(y, x) / (${2 * math.Pi}) * 24 + 24,
+         |      24), 6) END AS mean_hour
+         |FROM r ORDER BY 1""".stripMargin
+    },
+
+    // q39's session grid restricted to typed rows, per-session
+    // DISTINCT type sets, and the predecessor overlap via a self
+    // join on session_id - 1 — all-integer set sizes, one division
+    "q329_session_jaccard" ->
+      """WITH t AS (SELECT user_id, ts, event_type,
+        |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         IS NULL
+        |    OR date_diff('microsecond',
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+        |       > 1800000000
+        |  THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |s AS (SELECT user_id, event_type,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM t),
+        |pt AS (SELECT DISTINCT user_id, session_id, event_type
+        |  FROM s),
+        |pc AS (SELECT user_id, session_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types
+        |  FROM pt GROUP BY 1, 2),
+        |cm AS (SELECT a.user_id, a.session_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM pt a JOIN pt b ON a.user_id = b.user_id
+        |    AND b.session_id = a.session_id - 1
+        |    AND a.event_type = b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT c.user_id, c.session_id,
+        |  p.n_types AS n_prev_types, c.n_types AS n_cur_types,
+        |  COALESCE(m.n_common, 0) AS n_common,
+        |  ROUND(CAST(COALESCE(m.n_common, 0) AS DOUBLE)
+        |    / CAST(p.n_types + c.n_types - COALESCE(m.n_common, 0)
+        |        AS DOUBLE), 6) AS type_jaccard
+        |FROM pc c
+        |JOIN pc p ON p.user_id = c.user_id
+        |  AND p.session_id = c.session_id - 1
+        |LEFT JOIN cm m ON m.user_id = c.user_id
+        |  AND m.session_id = c.session_id
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q320's bucket frame, q290's exact entropy rearrangement
+    "q328_gap_entropy" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |g AS (SELECT user_id,
+        |    t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) AS dt
+        |  FROM e),
+        |f AS (SELECT user_id, CASE WHEN dt <= 0 THEN -1
+        |    ELSE CAST(floor(log2(CAST(dt AS DOUBLE))) AS BIGINT)
+        |    END AS b
+        |  FROM g WHERE dt IS NOT NULL),
+        |pb AS (SELECT user_id, b, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM f GROUP BY 1, 2),
+        |r AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_gaps,
+        |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS nl
+        |  FROM pb GROUP BY 1)
+        |SELECT user_id, n_gaps, n_buckets,
+        |  ROUND(ln(CAST(n_gaps AS DOUBLE))
+        |    - nl / CAST(n_gaps AS DOUBLE), 6) AS bucket_entropy,
+        |  CASE WHEN n_buckets > 1 THEN
+        |    ROUND((ln(CAST(n_gaps AS DOUBLE))
+        |      - nl / CAST(n_gaps AS DOUBLE))
+        |      / ln(CAST(n_buckets AS DOUBLE)), 6) END
+        |    AS norm_entropy
+        |FROM r ORDER BY 1""".stripMargin,
+
+    // q285's window mirrored forward: FIRST_VALUE IGNORE NULLS over
+    // the strictly-following frame on the same (ts, event_id) sort
+    "q327_time_to_next_type" ->
+      """WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+        |    event_type FROM events)
+        |SELECT event_id,
+        |  FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN t
+        |    END IGNORE NULLS) OVER w - t AS us_until_purchase,
+        |  FIRST_VALUE(CASE WHEN event_type = 'click' THEN t
+        |    END IGNORE NULLS) OVER w - t AS us_until_click,
+        |  FIRST_VALUE(CASE WHEN event_type = 'error' THEN t
+        |    END IGNORE NULLS) OVER w - t AS us_until_error
+        |FROM e WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
         |ORDER BY 1""".stripMargin,
 
     // q39's sessions -> per-session counts keyed by start hour —

@@ -1230,4 +1230,144 @@ object Behavior {
       .join(streaks, Seq(entity, "__day"))
       .drop("__day")
   }
+
+  /** Per-entity GAP-CADENCE ENTROPY — the regularity companion of
+    * [[gapCadence]] (which reports only the modal bucket): Shannon
+    * entropy over the entity's log2 gap-bucket distribution
+    * (`bucket_entropy`, nats) plus `n_buckets` and
+    * `norm_entropy = H / ln(n_buckets)` in [0,1] (null when only
+    * one bucket — a perfectly regular cadence). A clockwork
+    * heartbeat scores 0; a human mixing seconds-scale bursts with
+    * day-scale returns scores near 1. Bucket rule is IDENTICAL to
+    * [[gapCadence]] (dt ≤ 0 → −1, else floor(log2 dt)); entities
+    * with no gaps are absent.
+    *
+    * Exactness: bucket counts are integers and the entropy uses the
+    * same exact one-pass rearrangement as [[typeMix]]
+    * (`ln n − Σ n_b ln n_b / n`), the identical double chain on
+    * both engines. Scale shape: one entity exchange for the lag,
+    * one (entity, bucket) count (≤ 65 rows per entity), one rollup.
+    */
+  def gapEntropy(df: DataFrame, entity: String, ts: String)
+      : DataFrame = {
+    val tus = unix_micros(col(ts).cast("timestamp"))
+    val w = Window.partitionBy(col(entity)).orderBy(col("__us").asc)
+    val gaps = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .select(col(entity), tus.as("__us"))
+      .select(col(entity),
+        (col("__us") - lag(col("__us"), 1).over(w)).as("__dt"))
+      .filter(col("__dt").isNotNull)
+    val bucket = when(col("__dt") <= 0, lit(-1L))
+      .otherwise(floor(log2(col("__dt").cast("double"))).cast("long"))
+    val perB = gaps.groupBy(col(entity), bucket.as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    perB.groupBy(col(entity))
+      .agg(sum(col("__n")).as("n_gaps"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("__n").cast("double") *
+          log(col("__n").cast("double"))).as("__nl"))
+      .select(col(entity), col("n_gaps"), col("n_buckets"),
+        (log(col("n_gaps").cast("double")) -
+          col("__nl") / col("n_gaps").cast("double"))
+          .as("bucket_entropy"),
+        when(col("n_buckets") > 1,
+          (log(col("n_gaps").cast("double")) -
+            col("__nl") / col("n_gaps").cast("double")) /
+            log(col("n_buckets").cast("double")))
+          .as("norm_entropy"))
+  }
+
+  /** Per-entity CIRCULAR HOUR-OF-DAY profile — when does this
+    * entity act, treated on the clock CIRCLE so 23:00 and 01:00 are
+    * near (a plain mean would say noon): `n_events`, `peak_hour`
+    * (modal UTC hour, ties → smallest, via the same integer
+    * max-encode as [[gapCadence]]), `peak_share`, `hour_r` (mean
+    * resultant length in [0,1] — 1 = all activity at one hour,
+    * 0 = uniform) and `mean_hour` (circular mean in [0,24), null
+    * when the resultant is zero and the direction is undefined).
+    *
+    * Exactness: hour counts are exact integers; the resultant's
+    * x/y are fixed-order 24-term sums of count × a cos/sin weight
+    * embedded as the SAME compile-time double literal in the Spark
+    * plan and the oracle SQL (never each engine's own trig of the
+    * angle), so the sums are bit-identical; sqrt is IEEE-exact and
+    * the one atan2 sits inside the 6dp readout round.
+    * Scale shape: ONE map-side-combined entity rollup (24
+    * conditional-count registers, the [[graft.dedup.Dedup]] SimHash
+    * bit-vote shape) and a pure projection — no second pass, no
+    * window, no per-hour rows.
+    */
+  def hourVector(df: DataFrame, entity: String, ts: String)
+      : DataFrame = {
+    val h = hour(col(ts).cast("timestamp"))
+    val counts = (0 until 24).map(i =>
+      count(when(h === i, lit(1))).as(s"__c$i"))
+    val per = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .groupBy(col(entity))
+      .agg(counts.head, counts.tail: _*)
+    def c(i: Int) = col(s"__c$i")
+    val n = (0 until 24).map(c).reduce(_ + _)
+    // weights are JVM compile-time literals shared with the oracle
+    val x = (0 until 24).map(i => c(i).cast("double") *
+      lit(math.cos(2 * math.Pi * i / 24))).reduce(_ + _)
+    val y = (0 until 24).map(i => c(i).cast("double") *
+      lit(math.sin(2 * math.Pi * i / 24))).reduce(_ + _)
+    // peak: max over h of c_h*32 - h -> ties pick the smaller hour
+    val enc = greatest((0 until 24).map(i => c(i) * 32L - i): _*)
+    val nTop = floor((enc + 23L) / 32L).cast("long")
+    val r = sqrt(x * x + y * y) / n.cast("double")
+    val meanH = (atan2(y, x) / lit(2 * math.Pi) * 24 + 24) % 24
+    per.select(col(entity), n.as("n_events"),
+      (nTop * 32L - enc).as("peak_hour"),
+      (nTop.cast("double") / n.cast("double")).as("peak_share"),
+      r.as("hour_r"),
+      when(sqrt(x * x + y * y) > 0, meanH).as("mean_hour"))
+  }
+
+  /** Consecutive-session TYPE-SET JACCARD — behavioral drift at
+    * session grain: for every session with a predecessor (same
+    * entity, [[graft.temporal.WindowOps.sessionize]]'s gap rule),
+    * the Jaccard similarity of the two sessions' DISTINCT event-type
+    * sets (`n_prev_types`, `n_cur_types`, `n_common`,
+    * `type_jaccard = |∩| / |∪|`). A user whose sessions stop
+    * resembling each other is exploring or breaking — either way a
+    * feature; 1.0 = the same behavioral repertoire, 0.0 = disjoint.
+    * First sessions are absent (no predecessor). Exact: all four
+    * outputs derive from integer set sizes and one double division.
+    *
+    * Scale shape: sessionize's one entity exchange; the per-session
+    * type sets are a distinct + `collect_set` over the (entity,
+    * session, type) frame (bounded by |types| per session, NOT by
+    * events); the predecessor comparison is one lag window over the
+    * |sessions| frame with `array_intersect` on the two small
+    * sorted arrays. Never an event-grain self-join.
+    */
+  def sessionTypeJaccard(df: DataFrame, entity: String, ts: String,
+      typeCol: String, gapSeconds: Long): DataFrame = {
+    val sess = graft.temporal.WindowOps
+      .sessionize(df.filter(col(entity).isNotNull &&
+        col(ts).isNotNull && col(typeCol).isNotNull),
+        entity, ts, gapSeconds)
+    val perSess = sess
+      .select(col(entity), col("session_id"), col(typeCol).as("__t"))
+      .distinct()
+      .groupBy(col(entity), col("session_id"))
+      .agg(sort_array(collect_set(col("__t"))).as("__set"))
+    val w = Window.partitionBy(col(entity))
+      .orderBy(col("session_id").asc)
+    val prevSet = lag(col("__set"), 1).over(w)
+    val nCommon = size(array_intersect(col("__set"), prevSet))
+    perSess
+      .select(col(entity), col("session_id"),
+        size(prevSet).cast("long").as("n_prev_types"),
+        size(col("__set")).cast("long").as("n_cur_types"),
+        nCommon.cast("long").as("n_common"))
+      .filter(col("n_prev_types").isNotNull)
+      .withColumn("type_jaccard",
+        col("n_common").cast("double") /
+          (col("n_prev_types") + col("n_cur_types") -
+            col("n_common")).cast("double"))
+  }
 }

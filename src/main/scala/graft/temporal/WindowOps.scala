@@ -365,6 +365,40 @@ object WindowOps {
     df.select(df.columns.map(col).toIndexedSeq ++ outs: _*)
   }
 
+  /** Per-event TIME-TO-NEXT-TYPE — [[recencyByType]]'s forward
+    * mirror: for each requested event type, the exact integer
+    * microseconds until the entity's next STRICTLY LATER event of
+    * that type (`us_until_<type>`, null when none follows). This is
+    * a LABEL generator, not a serve-time feature — it reads the
+    * entity's future by definition ("time until next purchase" is
+    * the classic survival/propensity target); training joins it onto
+    * PIT-safe features, serving never computes it.
+    *
+    * Scale shape: the same ONE entity exchange + one sort as the
+    * backward op; all N type carries are `first(..ignoreNulls)`
+    * registers over one strictly-following frame, so N types cost N
+    * registers, not N passes. Integer micros end to end.
+    */
+  def timeToNextType(df: DataFrame, entity: String, ts: String,
+      typeCol: String, types: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(types.nonEmpty, "timeToNextType: types must be non-empty")
+    val slugs = types.map(t => t.toLowerCase.replaceAll("[^a-z0-9]+", "_"))
+    require(slugs.distinct.size == types.size,
+      s"timeToNextType: types collide after slugging: $types")
+    requireFresh(df, "timeToNextType",
+      slugs.map(sl => s"us_until_$sl"): _*)
+    val spec = Window.partitionBy(col(entity))
+      .orderBy((col(ts) +: tieBreak.map(col)).map(_.asc): _*)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val tus = unix_micros(col(ts).cast("timestamp"))
+    val outs = types.zip(slugs).map { case (t, slug) =>
+      (first(when(col(typeCol) === lit(t), tus),
+        ignoreNulls = true).over(spec) - tus).as(s"us_until_$slug")
+    }
+    df.select(df.columns.map(col).toIndexedSeq ++ outs: _*)
+  }
+
   /** Per-entity WEEKDAY/WEEKEND contrast profile — event counts,
     * exact-mean values and the weekend lift every engagement model
     * wants: `n_weekday`, `n_weekend`, `mean_weekday`,

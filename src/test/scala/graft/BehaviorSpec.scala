@@ -755,6 +755,81 @@ class BehaviorSpec extends SparkSpec {
     assert(got == Seq((10L, 2L, 1L, 0.5), (12L, 1L, 1L, 1.0)))
   }
 
+  test("gapEntropy: exact bucket counts, typeMix's entropy " +
+      "rearrangement, single-bucket refuses norm_entropy") {
+    val d = df("u STRING, ts TIMESTAMP", Seq(
+      Row("u1", ts("2024-01-01 10:00:00")),
+      Row("u1", ts("2024-01-01 10:00:01")), // 1s  -> bucket 19
+      Row("u1", ts("2024-01-01 10:00:02")), // 1s  -> bucket 19
+      Row("u1", ts("2024-01-01 10:00:10")), // 8s  -> bucket 22
+      Row("u2", ts("2024-01-01 10:00:00")),
+      Row("u2", ts("2024-01-01 10:00:01")), // 1s  -> bucket 19
+      Row("u2", ts("2024-01-01 10:00:02")), // 1s  -> only bucket
+      Row("u3", ts("2024-01-01 10:00:00")))) // no gaps: absent
+    val out = Behavior.gapEntropy(d, "u", "ts")
+      .orderBy("u").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("u1", "u2"))
+    val r1 = out(0)
+    assert(r1.getLong(1) == 3L && r1.getLong(2) == 2L)
+    val h = math.log(3.0) - 2.0 * math.log(2.0) / 3.0
+    assert(math.abs(r1.getDouble(3) - h) < 1e-12)
+    assert(math.abs(r1.getDouble(4) - h / math.log(2.0)) < 1e-12)
+    val r2 = out(1)
+    assert(r2.getLong(1) == 2L && r2.getLong(2) == 1L)
+    assert(r2.getDouble(3) == 0.0)
+    assert(r2.isNullAt(4)) // one bucket: perfectly regular
+  }
+
+  test("hourVector: wrap-around circular mean, modal-hour ties to " +
+      "smallest, R=1 for a single hour") {
+    val d = df("u STRING, ts TIMESTAMP", Seq(
+      Row("u1", ts("2024-01-01 23:10:00")),
+      Row("u1", ts("2024-01-02 23:50:00")),
+      Row("u1", ts("2024-01-03 01:00:00")), // 23,23,1: mean ~23.66
+      Row("u2", ts("2024-01-01 05:00:00")),
+      Row("u2", ts("2024-01-01 09:00:00")), // tie -> peak_hour 5
+      Row("u3", ts("2024-01-01 00:30:00"))))
+    val out = Behavior.hourVector(d, "u", "ts")
+      .orderBy("u").collect()
+    def th(h: Int) = 2 * math.Pi * h / 24
+    val r1 = out(0)
+    assert(r1.getLong(1) == 3L && r1.getLong(2) == 23L)
+    assert(math.abs(r1.getDouble(3) - 2.0 / 3.0) < 1e-12)
+    val x1 = 2 * math.cos(th(23)) + math.cos(th(1))
+    val y1 = 2 * math.sin(th(23)) + math.sin(th(1))
+    assert(math.abs(r1.getDouble(4) -
+      math.sqrt(x1 * x1 + y1 * y1) / 3.0) < 1e-12)
+    val m1 = (math.atan2(y1, x1) / (2 * math.Pi) * 24 + 24) % 24
+    assert(math.abs(r1.getDouble(5) - m1) < 1e-12)
+    assert(m1 > 23.0 && m1 < 24.0) // the wrap: NOT near noon
+    val r2 = out(1)
+    assert(r2.getLong(2) == 5L) // tie broken to the smaller hour
+    val r3 = out(2)
+    assert(r3.getLong(1) == 1L && r3.getLong(2) == 0L)
+    assert(r3.getDouble(3) == 1.0 && r3.getDouble(4) == 1.0)
+    assert(r3.getDouble(5) == 0.0)
+  }
+
+  test("sessionTypeJaccard: distinct type sets per gap session, " +
+      "predecessor overlap, first sessions absent") {
+    val d = df("u STRING, ts TIMESTAMP, t STRING", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), "A"),
+      Row("u1", ts("2024-01-01 10:00:10"), "B"),   // s1 {A,B}
+      Row("u1", ts("2024-01-01 11:00:00"), "B"),
+      Row("u1", ts("2024-01-01 11:00:05"), "C"),
+      Row("u1", ts("2024-01-01 11:00:06"), "B"),   // s2 {B,C}
+      Row("u1", ts("2024-01-01 12:30:00"), "D"),   // s3 {D}
+      Row("u2", ts("2024-01-01 10:00:00"), "A")))  // one session only
+    val out = Behavior.sessionTypeJaccard(d, "u", "ts", "t", 1800L)
+      .orderBy("u", "session_id").collect()
+    val got = out.map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toSeq
+    assert(got == Seq(
+      ("u1", 2L, 2L, 2L, 1L, 1.0 / 3.0),
+      ("u1", 3L, 2L, 1L, 0L, 0.0)))
+  }
+
   test("activeDayStreak: per-event running streak, gaps reset, " +
       "UTC-day grid, repeat events on a day share its streak") {
     val d = df("u STRING, ts TIMESTAMP, id BIGINT", Seq(

@@ -258,6 +258,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(WindowOps.recencyByType(ev, "e", "ts", "t", Seq("x"),
       Seq("id")).count() == 0)
     assert(WindowOps.weekpartProfile(ev, "e", "ts", "v").count() == 0)
+    assert(WindowOps.timeToNextType(ev, "e", "ts", "t", Seq("x"),
+      Seq("id")).count() == 0)
+    assert(Behavior.gapEntropy(ev, "e", "ts").count() == 0)
+    assert(Behavior.hourVector(ev, "e", "ts").count() == 0)
+    assert(Behavior.sessionTypeJaccard(ev, "e", "ts", "t", 1800L)
+      .count() == 0)
     assert(WindowOps.lagAutocorr(ev, "e", "ts", "v", Seq(1),
       Seq("id")).count() == 0)
     assert(WindowOps.monotoneRun(ev, "e", "ts", "v", Seq("id"))

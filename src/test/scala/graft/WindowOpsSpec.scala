@@ -650,6 +650,35 @@ class WindowOpsSpec extends SparkSpec {
       plan)
   }
 
+  test("timeToNextType: strictly-later per-type label, an event " +
+      "never reads itself, no follower reads null, one exchange") {
+    val d = df("e STRING, ts TIMESTAMP, id BIGINT, t STRING", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), 1L, "view"),
+      Row("u1", ts("2024-01-01 10:00:10"), 2L, "purchase"),
+      Row("u1", ts("2024-01-01 10:00:20"), 3L, "view"),
+      Row("u1", ts("2024-01-01 10:00:30"), 4L, "purchase")))
+    val out = WindowOps.timeToNextType(d, "e", "ts", "t",
+      Seq("view", "purchase"), tieBreak = Seq("id"))
+      .orderBy("id").collect()
+    def g(i: Int, c: String) = {
+      val j = out(i).fieldIndex(c)
+      if (out(i).isNullAt(j)) null else out(i).getLong(j)
+    }
+    assert(g(0, "us_until_view") == 20000000L)
+    assert(g(0, "us_until_purchase") == 10000000L)
+    assert(g(1, "us_until_view") == 10000000L)
+    assert(g(1, "us_until_purchase") == 20000000L) // not itself
+    assert(g(2, "us_until_view") == null)
+    assert(g(2, "us_until_purchase") == 10000000L)
+    assert(g(3, "us_until_view") == null)
+    assert(g(3, "us_until_purchase") == null)
+    val plan = WindowOps.timeToNextType(d, "e", "ts", "t",
+      Seq("view", "purchase"), Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan)
+  }
+
   test("weekpartProfile: exact conditional means on the dayofweek " +
       "grid, missing values count nowhere, one-sided refuses " +
       "contrast") {
