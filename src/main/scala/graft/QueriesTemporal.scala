@@ -185,6 +185,35 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q333_transition_entropy" -> ((s, dir) => {
+      // behavioral predictability: exact conditional entropy of the
+      // (prev -> cur) bigram grid per user — two typeMix-style
+      // rearranged entropies, one difference
+      graft.operators.Behavior.transitionEntropy(
+        tbl(s, dir, "events"), "user_id", "ts", "event_type",
+        tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("n_bigrams"), col("n_pairs"),
+          col("n_cur_types"),
+          round(col("cond_entropy"), 6).as("cond_entropy"),
+          round(col("norm_cond"), 6).as("norm_cond"))
+        .orderBy("user_id")
+    }),
+
+    "q332_gap_surprise" -> ((s, dir) => {
+      // PIT-safe per-event gap anomaly: the gap over the expanding
+      // exact mean of strictly prior gaps — one window pair on the
+      // shared (ts, event_id) sort
+      WindowOps.gapSurprise(tbl(s, dir, "events"), "user_id", "ts",
+        tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("gap_us"), col("n_prior_gaps"),
+          // RAW doubles: the whole chain is +-*/ on exact integers,
+          // bit-identical cross-engine — ROUND here would be the
+          // only divergence (half-way boundaries render differently)
+          (col("mean_prior_gap_us") / 1e6).as("mean_prior_gap_s"),
+          col("gap_surprise"))
+        .orderBy("event_id")
+    }),
+
     "q331_gap_entropy_orders" -> ((s, dir) => {
       // q328's regularity operator over the TPC-H orders table —
       // generality on a second (entity, ts) shape, date-grain gaps
@@ -1486,6 +1515,68 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // identical bigram grid on one sort, the same two rearranged
+    // entropy sums and their difference inside ROUND
+    "q333_transition_entropy" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |b AS (SELECT user_id, event_type AS cur,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM e),
+        |f AS (SELECT user_id, prev, cur FROM b
+        |  WHERE prev IS NOT NULL),
+        |pp AS (SELECT user_id, prev, cur,
+        |    CAST(COUNT(*) AS BIGINT) AS npq
+        |  FROM f GROUP BY 1, 2, 3),
+        |pr AS (SELECT user_id, CAST(SUM(npq) AS BIGINT) AS n_bigrams,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(COUNT(DISTINCT cur) AS BIGINT) AS n_cur_types,
+        |    SUM(CAST(npq AS DOUBLE) * ln(CAST(npq AS DOUBLE)))
+        |      AS nlpq
+        |  FROM pp GROUP BY 1),
+        |pv AS (SELECT user_id,
+        |    SUM(CAST(np AS DOUBLE) * ln(CAST(np AS DOUBLE))) AS nlp
+        |  FROM (SELECT user_id, prev,
+        |      CAST(SUM(npq) AS BIGINT) AS np
+        |    FROM pp GROUP BY 1, 2) GROUP BY 1)
+        |SELECT r.user_id, n_bigrams, n_pairs, n_cur_types,
+        |  ROUND((nlp - nlpq) / CAST(n_bigrams AS DOUBLE), 6)
+        |    AS cond_entropy,
+        |  CASE WHEN n_cur_types > 1 THEN
+        |    ROUND((nlp - nlpq) / CAST(n_bigrams AS DOUBLE)
+        |      / ln(CAST(n_cur_types AS DOUBLE)), 6) END
+        |    AS norm_cond
+        |FROM pr r JOIN pv USING (user_id) ORDER BY 1""".stripMargin,
+
+    // the same lag + strictly-prior HUGEINT/count window pair on
+    // one (ts, event_id) sort; divisions inside ROUND
+    "q332_gap_surprise" ->
+      """WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS t
+        |  FROM events),
+        |g AS (SELECT event_id, user_id, ts,
+        |    t - LAG(t) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS gap_us
+        |  FROM e),
+        |x AS (SELECT event_id, gap_us,
+        |    COUNT(gap_us) OVER w2 AS np,
+        |    SUM(CAST(gap_us AS HUGEINT)) OVER w2 AS s
+        |  FROM g WINDOW w2 AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, gap_us, CAST(np AS BIGINT) AS n_prior_gaps,
+        |  CASE WHEN np > 0 THEN
+        |    CAST(s AS DOUBLE) / CAST(np AS DOUBLE) END / 1e6
+        |    AS mean_prior_gap_s,
+        |  CASE WHEN np > 0
+        |      AND CAST(s AS DOUBLE) / CAST(np AS DOUBLE) > 0 THEN
+        |    CAST(gap_us AS DOUBLE)
+        |      / (CAST(s AS DOUBLE) / CAST(np AS DOUBLE)) END
+        |    AS gap_surprise
+        |FROM x ORDER BY 1""".stripMargin,
 
     // q328's bucket/entropy SQL re-keyed onto the orders table
     "q331_gap_entropy_orders" ->

@@ -1326,6 +1326,59 @@ object Behavior {
       when(sqrt(x * x + y * y) > 0, meanH).as("mean_hour"))
   }
 
+  /** Per-entity TRANSITION (conditional) ENTROPY — how predictable
+    * is the entity's NEXT action given its current one: over the
+    * (prev_type → cur_type) bigram frame ([[transitionFeatures]]'s
+    * grid, per entity), `cond_entropy = H(cur | prev) =
+    * H(prev, cur) − H(prev)` in nats, plus `n_bigrams`, `n_pairs`
+    * (distinct ordered pairs), `n_cur_types` and `norm_cond =
+    * cond / ln(n_cur_types)` in [0,1] (null when fewer than two
+    * distinct successor types — perfectly predictable). A bot
+    * cycling view→click→view scores 0; erratic behavior → 1.
+    *
+    * Exactness: both entropies use the [[typeMix]] exact
+    * rearrangement over integer counts, and the difference
+    * collapses to `(Σ n_p ln n_p − Σ n_pq ln n_pq) / n` — one
+    * double chain both engines replay. Scale shape: one entity
+    * exchange for the lag, then (entity, prev, cur) and
+    * (entity, prev) counts (map-side combined, bounded by |types|²
+    * rows per entity) and one rollup join.
+    */
+  def transitionEntropy(df: DataFrame, entity: String, ts: String,
+      typeCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(ts) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(entity)).orderBy(order: _*)
+    val bigrams = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(entity), col(typeCol).as("__cur"),
+        lag(col(typeCol), 1).over(w).as("__prev"))
+      .filter(col("__prev").isNotNull)
+    val perPair = bigrams
+      .groupBy(col(entity), col("__prev"), col("__cur"))
+      .agg(count(lit(1)).as("__npq"))
+    val pairRoll = perPair.groupBy(col(entity))
+      .agg(sum(col("__npq")).as("n_bigrams"),
+        count(lit(1)).as("n_pairs"),
+        count_distinct(col("__cur")).as("n_cur_types"),
+        sum(col("__npq").cast("double") *
+          log(col("__npq").cast("double"))).as("__nlpq"))
+    val prevRoll = perPair
+      .groupBy(col(entity), col("__prev"))
+      .agg(sum(col("__npq")).as("__np"))
+      .groupBy(col(entity))
+      .agg(sum(col("__np").cast("double") *
+        log(col("__np").cast("double"))).as("__nlp"))
+    val cond = (col("__nlp") - col("__nlpq")) /
+      col("n_bigrams").cast("double")
+    pairRoll.join(prevRoll, Seq(entity))
+      .select(col(entity), col("n_bigrams"), col("n_pairs"),
+        col("n_cur_types"), cond.as("cond_entropy"),
+        when(col("n_cur_types") > 1,
+          cond / log(col("n_cur_types").cast("double")))
+          .as("norm_cond"))
+  }
+
   /** Consecutive-session TYPE-SET JACCARD — behavioral drift at
     * session grain: for every session with a predecessor (same
     * entity, [[graft.temporal.WindowOps.sessionize]]'s gap rule),

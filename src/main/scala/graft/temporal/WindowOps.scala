@@ -399,6 +399,43 @@ object WindowOps {
     df.select(df.columns.map(col).toIndexedSeq ++ outs: _*)
   }
 
+  /** Per-event GAP SURPRISE — "this silence is 5× their usual": the
+    * event's inter-arrival gap scored against the expanding mean of
+    * the entity's STRICTLY PRIOR gaps. Emits `gap_us` (exact integer
+    * micros since the previous event, null at the first), `n_prior_gaps`,
+    * `mean_prior_gap_us` (exact decimal Σ over count, one double
+    * division) and `gap_surprise = gap / mean_prior` (null when no
+    * prior gap or the prior mean is 0). PIT-safe by construction —
+    * the frame ends at −1, so live scoring reproduces every
+    * backfilled value.
+    *
+    * Scale shape: ONE entity exchange + one sort shared by the lag
+    * and both expanding registers (decimal Σ + count); O(1) state
+    * per row, never a buffer.
+    */
+  def gapSurprise(df: DataFrame, entity: String, ts: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    requireFresh(df, "gapSurprise", "gap_us", "n_prior_gaps",
+      "mean_prior_gap_us", "gap_surprise")
+    val order = (col(ts) +: tieBreak.map(col)).map(_.asc)
+    val spec = Window.partitionBy(col(entity)).orderBy(order: _*)
+    val prior = spec.rowsBetween(Window.unboundedPreceding, -1)
+    val tus = unix_micros(col(ts).cast("timestamp"))
+    val gap = tus - lag(tus, 1).over(spec)
+    val base = df.select(
+      df.columns.map(col).toIndexedSeq :+ gap.as("gap_us"): _*)
+    val nPrior = count(col("gap_us")).over(prior)
+    val sPrior = sum(col("gap_us").cast("decimal(38,0)")).over(prior)
+    val meanPrior = when(nPrior > 0,
+      sPrior.cast("double") / nPrior.cast("double"))
+    base.select(base.columns.map(col).toIndexedSeq ++ Seq(
+      nPrior.as("n_prior_gaps"),
+      meanPrior.as("mean_prior_gap_us"),
+      when(meanPrior > 0,
+        col("gap_us").cast("double") / meanPrior)
+        .as("gap_surprise")): _*)
+  }
+
   /** Per-entity WEEKDAY/WEEKEND contrast profile — event counts,
     * exact-mean values and the weekend lift every engagement model
     * wants: `n_weekday`, `n_weekend`, `mean_weekday`,

@@ -780,6 +780,37 @@ class BehaviorSpec extends SparkSpec {
     assert(r2.isNullAt(4)) // one bucket: perfectly regular
   }
 
+  test("transitionEntropy: H(cur|prev) from exact bigram counts, " +
+      "deterministic chain refuses norm, mixed chain scores it") {
+    val d = df("u STRING, ts TIMESTAMP, id BIGINT, t STRING", Seq(
+      // u1: A->B, B->A, A->B — next type fully determined by prev
+      Row("u1", ts("2024-01-01 10:00:00"), 1L, "A"),
+      Row("u1", ts("2024-01-01 10:00:10"), 2L, "B"),
+      Row("u1", ts("2024-01-01 10:00:20"), 3L, "A"),
+      Row("u1", ts("2024-01-01 10:00:30"), 4L, "B"),
+      // u2: A->B, A->C — coin flip after A
+      Row("u2", ts("2024-01-01 10:00:00"), 5L, "A"),
+      Row("u2", ts("2024-01-01 10:00:10"), 6L, "B"),
+      Row("u2", ts("2024-01-01 10:00:20"), 7L, "A"),
+      Row("u2", ts("2024-01-01 10:00:30"), 8L, "C")))
+    val out = Behavior.transitionEntropy(d, "u", "ts", "t",
+      tieBreak = Seq("id")).orderBy("u").collect()
+    val r1 = out(0)
+    assert(r1.getLong(1) == 3L && r1.getLong(2) == 2L &&
+      r1.getLong(3) == 2L)
+    // perfectly predictable: joint = prev-marginal entropy
+    assert(math.abs(r1.getDouble(4)) < 1e-12)
+    assert(math.abs(r1.getDouble(5)) < 1e-12)
+    val r2 = out(1)
+    assert(r2.getLong(1) == 3L && r2.getLong(2) == 3L &&
+      r2.getLong(3) == 3L)
+    // bigrams AB, BA, AC all unique: joint H = ln3; prev counts
+    // A:2, B:1 -> H(prev) = ln3 - (2 ln2)/3; cond = (2 ln2)/3
+    val cond = 2.0 * math.log(2.0) / 3.0
+    assert(math.abs(r2.getDouble(4) - cond) < 1e-12)
+    assert(math.abs(r2.getDouble(5) - cond / math.log(3.0)) < 1e-12)
+  }
+
   test("hourVector: wrap-around circular mean, modal-hour ties to " +
       "smallest, R=1 for a single hour") {
     val d = df("u STRING, ts TIMESTAMP", Seq(

@@ -262,6 +262,10 @@ class EmptyInputSpec extends SparkSpec {
       Seq("id")).count() == 0)
     assert(Behavior.gapEntropy(ev, "e", "ts").count() == 0)
     assert(Behavior.hourVector(ev, "e", "ts").count() == 0)
+    assert(Behavior.transitionEntropy(ev, "e", "ts", "t", Seq("id"))
+      .count() == 0)
+    assert(WindowOps.gapSurprise(ev, "e", "ts", Seq("id"))
+      .count() == 0)
     assert(Behavior.sessionTypeJaccard(ev, "e", "ts", "t", 1800L)
       .count() == 0)
     assert(WindowOps.lagAutocorr(ev, "e", "ts", "v", Seq(1),

@@ -650,6 +650,32 @@ class WindowOpsSpec extends SparkSpec {
       plan)
   }
 
+  test("gapSurprise: expanding exact prior-gap mean, strictly " +
+      "prior frame, zero-history refuses, one exchange") {
+    val d = df("e STRING, ts TIMESTAMP, id BIGINT", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), 1L),
+      Row("u1", ts("2024-01-01 10:00:10"), 2L), // gap 10s, no prior
+      Row("u1", ts("2024-01-01 10:00:30"), 3L), // gap 20s, mean 10s
+      Row("u1", ts("2024-01-01 10:01:30"), 4L))) // gap 60s, mean 15s
+    val out = WindowOps.gapSurprise(d, "e", "ts", Seq("id"))
+      .orderBy("id").collect()
+    def g(r: Row, c: String): Any =
+      if (r.isNullAt(r.fieldIndex(c))) null else r.get(r.fieldIndex(c))
+    assert(g(out(0), "gap_us") == null)
+    assert(out(0).getLong(out(0).fieldIndex("n_prior_gaps")) == 0L)
+    assert(g(out(0), "gap_surprise") == null)
+    assert(g(out(1), "gap_us") == 10000000L)
+    assert(g(out(1), "gap_surprise") == null) // no prior gaps yet
+    assert(g(out(2), "mean_prior_gap_us") == 1e7)
+    assert(g(out(2), "gap_surprise") == 2.0)   // 20s vs mean 10s
+    assert(g(out(3), "mean_prior_gap_us") == 1.5e7)
+    assert(g(out(3), "gap_surprise") == 4.0)   // 60s vs mean 15s
+    val plan = WindowOps.gapSurprise(d, "e", "ts", Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan)
+  }
+
   test("timeToNextType: strictly-later per-type label, an event " +
       "never reads itself, no follower reads null, one exchange") {
     val d = df("e STRING, ts TIMESTAMP, id BIGINT, t STRING", Seq(
