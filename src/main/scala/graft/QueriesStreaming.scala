@@ -867,6 +867,36 @@ object QueriesStreaming {
         .orderBy("event_id")
     }),
 
+    "q334_stream_gap_surprise" -> ((s, dir) => {
+      // the ONLINE companion of q332: expanding prior-gap mean and
+      // surprise ratio carried as ONE (lastTs, n, Σ) triple per user
+      // across 3 REAL micro-batches; the oracle is LITERALLY q332's
+      // windowed SQL
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = tbl(s, dir, "events")
+        .select(col("user_id").cast("long"),
+          col("event_id").cast("long"), col("ts").cast("timestamp"))
+        .collect()
+        .map(r => StreamingOps.GapEvent(r.getLong(0), r.getLong(1),
+          r.getTimestamp(2)))
+        .sortBy(e => (StreamingOps.toMicros(e.ts), e.eventId)).toSeq
+      val input = MemoryStream[StreamingOps.GapEvent]
+      val sink = s"q334_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.gapSurpriseStream(input.toDS())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      drive(input, q, rows, nChunks = 3)
+      s.table(sink)
+        .select(col("eventId").as("event_id"),
+          col("gapUs").as("gap_us"),
+          col("nPriorGaps").as("n_prior_gaps"),
+          (col("meanPriorGapUs") / 1e6).as("mean_prior_gap_s"),
+          col("gapSurprise").as("gap_surprise"))
+        .orderBy("event_id")
+    }),
+
     "q201_stream_zscore" -> ((s, dir) => {
       // the ONLINE companion of q197: prior-20-rows z-score carried
       // as one bounded ring (<= 20 longs) per user across 3 REAL
@@ -1240,6 +1270,11 @@ object QueriesStreaming {
     // level carry (fourth shared batch/stream oracle pair)
     "q206_stream_ewm" ->
       QueriesTemporal.oracles("q193_ewm_mean"),
+
+    // likewise: q332's strictly-prior windowed SQL certifies the
+    // streaming (lastTs, n, Σ) gap-surprise carry
+    "q334_stream_gap_surprise" ->
+      QueriesTemporal.oracles("q332_gap_surprise"),
 
     // likewise: q256's windowed-moment SQL certifies the streaming
     // pairwise-complete corr/beta ring (seventh shared pair)

@@ -821,6 +821,66 @@ object StreamingOps {
       }
   }
 
+  case class GapEvent(entity: Long, eventId: Long, ts: Timestamp)
+  case class GapSurpriseState(lastTsUs: Long, hasLast: Boolean,
+    nGaps: Long, sumGapsUs: Long)
+  case class GapSurpriseOut(eventId: Long, entity: Long,
+    ts: Timestamp, gapUs: Option[Long], nPriorGaps: Long,
+    meanPriorGapUs: Option[Double], gapSurprise: Option[Double])
+
+  /** ONLINE gap surprise — the streaming companion of
+    * [[graft.temporal.WindowOps.gapSurprise]]: each arriving event's
+    * inter-arrival gap scored against the expanding mean of the
+    * entity's STRICTLY PRIOR gaps, carried as ONE (lastTs, n, Σ)
+    * triple per entity — O(1) state, never a buffer. The gap sum is
+    * exact integer micros (a Long holds > 290k years of gaps); the
+    * two readout divisions run in the batch operator's operand
+    * order, so stream, batch, and the shared DuckDB oracle agree on
+    * every value bit for bit (q334 certifies against LITERALLY
+    * q332's oracle).
+    *
+    * Same source contract as the other per-entity recurrences here:
+    * (event-time, id) order within a batch, per-entity
+    * ts-nondecreasing across batches (loud failure otherwise).
+    */
+  def gapSurpriseStream(events: Dataset[GapEvent])
+      : Dataset[GapSurpriseOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (entity: Long, rows: Iterator[GapEvent],
+         state: GroupState[GapSurpriseState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.eventId))
+          var st = state.getOption.getOrElse(
+            GapSurpriseState(Long.MinValue, hasLast = false, 0L, 0L))
+          val out = Seq.newBuilder[GapSurpriseOut]
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            require(!st.hasLast || t >= st.lastTsUs,
+              s"gapSurpriseStream: entity $entity got ts $t older " +
+                s"than carried state ${st.lastTsUs} — source must be " +
+                "per-entity ts-nondecreasing (backfill late data " +
+                "with the batch WindowOps.gapSurprise)")
+            val gap = if (st.hasLast) Some(t - st.lastTsUs) else None
+            // the batch chain: mean = Σ(double)/n(double), surprise
+            // = gap(double)/mean — identical operand order
+            val meanPrior = if (st.nGaps > 0)
+              Some(st.sumGapsUs.toDouble / st.nGaps.toDouble)
+            else None
+            val surprise = for {
+              g <- gap; m <- meanPrior if m > 0
+            } yield g.toDouble / m
+            out += GapSurpriseOut(e.eventId, entity, e.ts, gap,
+              st.nGaps, meanPrior, surprise)
+            st = GapSurpriseState(t, hasLast = true,
+              st.nGaps + gap.size, st.sumGapsUs + gap.getOrElse(0L))
+          }
+          if (sorted.nonEmpty) state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class ZEvent(entity: Long, eventId: Long, ts: Timestamp,
     value: Option[Double])
   case class ZOut(eventId: Long, entity: Long, ts: Timestamp,

@@ -809,6 +809,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gap surprise stream: one (lastTs, n, sum) triple carries " +
+      "across batches and equals the batch window op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(
+      StreamingOps.GapEvent(1L, 1L, ts("2024-01-01 10:00:00")),
+      StreamingOps.GapEvent(1L, 2L, ts("2024-01-01 10:00:10")),
+      StreamingOps.GapEvent(2L, 3L, ts("2024-01-01 10:00:00")),
+      StreamingOps.GapEvent(1L, 4L, ts("2024-01-01 10:00:30")),
+      StreamingOps.GapEvent(1L, 5L, ts("2024-01-01 10:01:30")))
+    val input = MemoryStream[StreamingOps.GapEvent]
+    val q = StreamingOps.gapSurpriseStream(input.toDS())
+      .writeStream.format("memory").queryName("gap_s")
+      .outputMode("append").start()
+    try {
+      Seq(ev.take(2), ev.slice(2, 4), ev.drop(4)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      def opt(r: org.apache.spark.sql.Row, i: Int): Any =
+        if (r.isNullAt(i)) null else r.get(i)
+      val got = spark.table("gap_s").orderBy("eventId").collect()
+        .map(r => (r.getLong(0), opt(r, 3), r.getLong(4), opt(r, 5),
+          opt(r, 6))).toSeq
+      assert(got == Seq(
+        (1L, null, 0L, null, null),
+        (2L, 10000000L, 0L, null, null), // a gap but no prior gaps
+        (3L, null, 0L, null, null),
+        (4L, 20000000L, 1L, 1e7, 2.0),
+        (5L, 60000000L, 2L, 1.5e7, 4.0)))
+      val d = df("e BIGINT, ts TIMESTAMP, id BIGINT",
+        ev.map(e => org.apache.spark.sql.Row(e.entity, e.ts,
+          e.eventId)))
+      val batch = graft.temporal.WindowOps
+        .gapSurprise(d, "e", "ts", Seq("id"))
+        .orderBy("id").collect()
+        .map(r => (r.getLong(2), opt(r, 3), r.getLong(4), opt(r, 5),
+          opt(r, 6))).toSeq
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("cusum stream fails loudly on per-entity time regression") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
