@@ -185,6 +185,29 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q335_training_v2" -> ((s, dir) => {
+      // training-table assembly from THREE already-proven ops
+      // stacked on one shared (user) exchange: PIT-safe session
+      // position + gap surprise features, plus the forward
+      // time-to-next-purchase label — the composed plan must agree
+      // with each op's own oracle column for column
+      val base = tbl(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val f = WindowOps.timeToNextType(
+        WindowOps.gapSurprise(
+          WindowOps.sessionPosition(base, "user_id", "ts",
+            gapSeconds = 1800L, tieBreak = Seq("event_id")),
+          "user_id", "ts", tieBreak = Seq("event_id")),
+        "user_id", "ts", "event_type", Seq("purchase"),
+        tieBreak = Seq("event_id"))
+      f.select(col("event_id"), col("session_event_seq"),
+          col("us_into_session"), col("gap_us"),
+          col("n_prior_gaps"),
+          (col("mean_prior_gap_us") / 1e6).as("mean_prior_gap_s"),
+          col("gap_surprise"), col("us_until_purchase"))
+        .orderBy("event_id")
+    }),
+
     "q333_transition_entropy" -> ((s, dir) => {
       // behavioral predictability: exact conditional entropy of the
       // (prev -> cur) bigram grid per user — two typeMix-style
@@ -3699,9 +3722,21 @@ object QueriesTemporal {
          |JOIN (${baseOracles("q299_expanding_trend")}) d
          |  USING (event_id)
          |ORDER BY 1""".stripMargin
+    val trainingV2 =
+      s"""SELECT a.event_id, a.session_event_seq, a.us_into_session,
+         |  b.gap_us, b.n_prior_gaps, b.mean_prior_gap_s,
+         |  b.gap_surprise, c.us_until_purchase
+         |FROM (${baseOracles("q283_session_position")}) a
+         |JOIN (${baseOracles("q332_gap_surprise")}) b
+         |  USING (event_id)
+         |JOIN (SELECT event_id, us_until_purchase
+         |  FROM (${baseOracles("q327_time_to_next_type")})) c
+         |  USING (event_id)
+         |ORDER BY 1""".stripMargin
     baseOracles +
       ("q303_feature_matrix" -> matrix) +
       // bucketing is a layout change, never a value change
-      ("q304_bucketed_matrix" -> matrix)
+      ("q304_bucketed_matrix" -> matrix) +
+      ("q335_training_v2" -> trainingV2)
   }
 }

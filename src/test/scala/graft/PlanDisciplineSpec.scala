@@ -129,6 +129,23 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(exchanges <= 5, s"unexpected exchange count $exchanges")
   }
 
+  test("stacked session-position + gap-surprise + forward-label ops " +
+      "share ONE entity exchange (hash(user) satisfies the " +
+      "(user, session) clustering)") {
+    import graft.temporal.WindowOps
+    val d = df("u STRING, ts TIMESTAMP, id BIGINT, t STRING", Seq(
+      org.apache.spark.sql.Row("u1",
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a")))
+    val composed = WindowOps.timeToNextType(
+      WindowOps.gapSurprise(
+        WindowOps.sessionPosition(d, "u", "ts", 1800L, Seq("id")),
+        "u", "ts", Seq("id")),
+      "u", "ts", "t", Seq("a"), Seq("id"))
+    val plan = composed.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan)
+  }
+
   test("payload query reads bytes only when asked") {
     val imgs = spark.read.parquet(imgPath)
     val q = imgs.select(col("image_id"), length(col("bytes")).as("len"))
