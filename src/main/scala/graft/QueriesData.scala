@@ -521,6 +521,38 @@ object QueriesData {
         .orderBy("id_a", "id_b")
     }),
 
+    "q336_crop_neardup" -> ((s, dir) => {
+      // exact crop provenance end to end: every 10th real-codec
+      // image's top-left quadrant is cropped out and re-encoded
+      // losslessly (the "stolen region" class full-image hashing
+      // misses); the tile-fingerprint equi-join must recover the
+      // (crop, source, tile 0) pairs — which, by the deterministic
+      // render, are exactly the sources sharing the crop's
+      // (w, h, id mod 7, id mod 11, fmt) pixel identity. The /tmp
+      // dump feeds the oracle those five columns; decoded content
+      // drives the Spark side
+      oracleImages(s, 300, "/tmp/graft_oracle_images_q336")
+      val base = ImageTable.imagesReal(s, 300)
+      val sources = Multimodal.tileFingerprint(base, grid = 2)
+        .select(col("image_id"), col("tile_fps"), col("tiles_ok"))
+      val cropPlan = base
+        .filter(expr("CAST(substring(image_id, 5) AS BIGINT) % 10 = 0"))
+        .withColumn("cx", lit(0)).withColumn("cy", lit(0))
+        .withColumn("cw", (col("w") / 2).cast("int"))
+        .withColumn("ch", (col("h") / 2).cast("int"))
+      val crops = Multimodal
+        .cropEncode(cropPlan, "cx", "cy", "cw", "ch")
+        .select(concat(col("image_id"), lit("_c")).as("image_id"),
+          col("bytes"), col("fmt"))
+      val hashed = Multimodal.tileFingerprint(crops, grid = 1)
+        .filter(col("tiles_ok"))
+        .select(col("image_id").as("crop_id"),
+          element_at(col("tile_fps"), 1).as("crop_fp"))
+      Multimodal.cropExactDups(sources, "image_id", hashed,
+        "crop_id", "crop_fp")
+        .orderBy("crop_id", "src_id", "tile_idx")
+    }),
+
     "q195_caption_consistency" -> ((s, dir) => {
       // "same pixels, different caption" audit: the q62 near-dup
       // twins carry three caption fates — identical (%10), case
@@ -4583,6 +4615,26 @@ object QueriesData {
         |FROM t a JOIN t b ON a.image_id < b.image_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY 1, 2""".stripMargin,
+
+    // the construction IS the truth: a crop of i matches tile 0 of
+    // exactly the sources with i's pixel identity — same (w, h),
+    // same render phases (id mod 7 / mod 11 — the pixelSeed offset
+    // 42*1000003 is ≡0 mod 7 and cancels mod 11), same codec path
+    // (jpeg loss differentiates png/jpeg twins). Any extra or
+    // missing pair fails the compare
+    "q336_crop_neardup" ->
+      """WITH base AS (SELECT
+        |    CAST(substring(image_id, 5) AS BIGINT) AS i, w, h,
+        |    CASE WHEN fmt = 'webp' THEN 'jpeg' ELSE fmt END AS fmt
+        |  FROM read_parquet('/tmp/graft_oracle_images_q336/*.parquet')),
+        |crops AS (SELECT * FROM base WHERE i % 10 = 0)
+        |SELECT printf('img_%010d', c.i) || '_c' AS crop_id,
+        |  printf('img_%010d', s.i) AS src_id,
+        |  CAST(0 AS INTEGER) AS tile_idx
+        |FROM crops c JOIN base s ON c.w = s.w AND c.h = s.h
+        |  AND c.i % 7 = s.i % 7 AND c.i % 11 = s.i % 11
+        |  AND c.fmt = s.fmt
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     // the q195 pair recovery; token sets = lowercase whitespace
     // split, empties filtered, distinct; |union| = |a|+|b|-|inter|

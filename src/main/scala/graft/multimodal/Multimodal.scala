@@ -334,6 +334,261 @@ object Multimodal {
     }
   }
 
+  /** Per-TILE average hash — [[averageHash]] computed independently
+    * on each cell of a `grid`×`grid` tiling of the decoded image
+    * (`tile_hashes: Array[Long]`, row-major, + `tiles_ok`). A crop of
+    * tile (i,j) re-encoded losslessly hashes IDENTICALLY to entry
+    * i·grid+j (the tile-relative cell bounds below replay
+    * [[averageHash]]'s integer bounds on the standalone crop), which
+    * is what makes crop-resistant near-dup possible: a quadrant
+    * steal, watermark crop, or thumbnail-of-a-region matches its
+    * source through [[cropNearDups]] even though the FULL-image
+    * hashes differ in ~half their bits.
+    *
+    * Same partition discipline as every codec op here: one
+    * partition-reused codec, payload bytes and pixels die inside the
+    * partition, grid² longs + ok flag leave.
+    */
+  def tileAverageHash(df: DataFrame, grid: Int = 2): DataFrame = {
+    require(grid >= 1 && grid <= 8,
+      s"tileAverageHash: grid in [1,8], got $grid")
+    val inSchema = df.schema
+    val bytesIdx = inSchema.fieldIndex("bytes")
+    val fmtIdx = inSchema.fieldIndex("fmt")
+    val keptIdx = inSchema.fields.indices.filterNot(_ == bytesIdx)
+    val outSchema = StructType(keptIdx.map(inSchema.fields) ++ Seq(
+      StructField("tile_hashes", ArrayType(LongType, false)),
+      StructField("tiles_ok", BooleanType)))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      val codec = new PixelCheck.Codec
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => codec.close()))
+      it.map { r =>
+        val kept = keptIdx.map(r.get)
+        val out: Seq[Any] =
+          try {
+            val bytes = Option(r.getAs[Array[Byte]](bytesIdx))
+              .getOrElse(Array.emptyByteArray)
+            val img = if (bytes.isEmpty) null
+              else codec.decode(bytes, r.getString(fmtIdx))
+            if (img == null) Seq(Array.fill(grid * grid)(0L), false)
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              val hashes = new Array[Long](grid * grid)
+              var ty = 0
+              while (ty < grid) {
+                val ty0 = ty * h / grid
+                val ty1 = math.max((ty + 1) * h / grid, ty0 + 1)
+                val th = math.min(ty1, h) - ty0
+                var tx = 0
+                while (tx < grid) {
+                  val tx0 = tx * w / grid
+                  val tx1 = math.max((tx + 1) * w / grid, tx0 + 1)
+                  val tw = math.min(tx1, w) - tx0
+                  // [[averageHash]]'s exact integer cell bounds on a
+                  // standalone tw×th image, offset by the tile origin
+                  val cells = new Array[Double](64)
+                  var i = 0
+                  while (i < 8) {
+                    val y0 = i * th / 8
+                    val y1 = math.max((i + 1) * th / 8, y0 + 1)
+                    var j = 0
+                    while (j < 8) {
+                      val x0 = j * tw / 8
+                      val x1 = math.max((j + 1) * tw / 8, x0 + 1)
+                      var s = 0.0; var n = 0
+                      var y = y0
+                      while (y < math.min(y1, th)) {
+                        var x = x0
+                        while (x < math.min(x1, tw)) {
+                          val p = img.getRGB(tx0 + x, ty0 + y)
+                          s += 0.299 * ((p >> 16) & 0xff) +
+                            0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+                          n += 1; x += 1
+                        }
+                        y += 1
+                      }
+                      cells(i * 8 + j) = if (n > 0) s / n else 0.0
+                      j += 1
+                    }
+                    i += 1
+                  }
+                  val mean = cells.sum / 64
+                  var bits = 0L
+                  var k = 0
+                  while (k < 64) {
+                    if (cells(k) > mean) bits |= (1L << (63 - k))
+                    k += 1
+                  }
+                  hashes(ty * grid + tx) = bits
+                  tx += 1
+                }
+                ty += 1
+              }
+              Seq(hashes, true)
+            }
+          } catch { case _: Exception =>
+            Seq(Array.fill(grid * grid)(0L), false) }
+        Row.fromSeq(kept ++ out)
+      }
+    }
+  }
+
+  /** Per-TILE EXACT fingerprint — FNV-1a/64 over each tile's decoded
+    * RGB bytes (row-major, tile dims folded in first), the exact
+    * sibling of [[tileAverageHash]]: where the perceptual tile hash
+    * survives re-encoding noise but collides on low-texture content,
+    * the fingerprint is collision-free in practice (64-bit avalanche)
+    * and matches iff the DECODED tile pixels are bit-identical —
+    * the right tool for lossless-pipeline crop detection
+    * ([[cropExactDups]]): a losslessly re-encoded crop of tile
+    * (i,j) fingerprints identically to entry i·grid+j. Same
+    * partition discipline as every codec op here (grid² longs + ok
+    * flag leave the partition; pixels die inside).
+    */
+  def tileFingerprint(df: DataFrame, grid: Int = 2): DataFrame = {
+    require(grid >= 1 && grid <= 8,
+      s"tileFingerprint: grid in [1,8], got $grid")
+    val inSchema = df.schema
+    val bytesIdx = inSchema.fieldIndex("bytes")
+    val fmtIdx = inSchema.fieldIndex("fmt")
+    val keptIdx = inSchema.fields.indices.filterNot(_ == bytesIdx)
+    val outSchema = StructType(keptIdx.map(inSchema.fields) ++ Seq(
+      StructField("tile_fps", ArrayType(LongType, false)),
+      StructField("tiles_ok", BooleanType)))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      val codec = new PixelCheck.Codec
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => codec.close()))
+      it.map { r =>
+        val kept = keptIdx.map(r.get)
+        val out: Seq[Any] =
+          try {
+            val bytes = Option(r.getAs[Array[Byte]](bytesIdx))
+              .getOrElse(Array.emptyByteArray)
+            val img = if (bytes.isEmpty) null
+              else codec.decode(bytes, r.getString(fmtIdx))
+            if (img == null) Seq(Array.fill(grid * grid)(0L), false)
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              val fps = new Array[Long](grid * grid)
+              var ty = 0
+              while (ty < grid) {
+                val ty0 = ty * h / grid
+                val ty1 = math.max((ty + 1) * h / grid, ty0 + 1)
+                val th = math.min(ty1, h) - ty0
+                var tx = 0
+                while (tx < grid) {
+                  val tx0 = tx * w / grid
+                  val tx1 = math.max((tx + 1) * w / grid, tx0 + 1)
+                  val tw = math.min(tx1, w) - tx0
+                  var fp = 0xcbf29ce484222325L
+                  @inline def mix(b: Int): Unit = {
+                    fp ^= (b & 0xff); fp *= 0x100000001b3L
+                  }
+                  mix(tw); mix(tw >> 8); mix(th); mix(th >> 8)
+                  var y = 0
+                  while (y < th) {
+                    var x = 0
+                    while (x < tw) {
+                      val p = img.getRGB(tx0 + x, ty0 + y)
+                      mix(p >> 16); mix(p >> 8); mix(p)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  fps(ty * grid + tx) = fp
+                  tx += 1
+                }
+                ty += 1
+              }
+              Seq(fps, true)
+            }
+          } catch { case _: Exception =>
+            Seq(Array.fill(grid * grid)(0L), false) }
+        Row.fromSeq(kept ++ out)
+      }
+    }
+  }
+
+  /** EXACT crop provenance: pair every candidate (one 64-bit
+    * [[tileFingerprint]] of its WHOLE decoded frame, i.e. grid=1)
+    * with every source whose tile grid contains that exact
+    * fingerprint — "this image IS a tile of that image", the
+    * lossless-crop/shard-reuse detector. Output one row per
+    * (crop_id, src_id, tile_idx); failed decodes never match.
+    *
+    * Scale shape: sources explode to grid² (src, tile, fp) rows and
+    * the match is ONE fingerprint equi-join — hash-bucketed by the
+    * 64-bit key, never all-pairs, payload bytes long gone.
+    */
+  def cropExactDups(sources: DataFrame, srcIdCol: String,
+      crops: DataFrame, cropIdCol: String, cropFpCol: String)
+      : DataFrame = {
+    val srcTiles = sources
+      .filter(col("tiles_ok"))
+      .select(col(srcIdCol).as("src_id"),
+        posexplode(col("tile_fps")).as(Seq("tile_idx", "__fp")))
+    crops
+      .select(col(cropIdCol).as("crop_id"),
+        col(cropFpCol).as("__fp"))
+      .join(srcTiles, Seq("__fp"))
+      .select(col("crop_id"), col("src_id"), col("tile_idx"))
+      .distinct()
+  }
+
+  /** Crop-resistant near-dup: pair every CANDIDATE image (a
+    * suspected crop, carrying one 64-bit hash) with every SOURCE
+    * whose [[tileAverageHash]] grid contains a tile within `maxDist`
+    * Hamming of it — the "this thumbnail is a stolen quadrant of
+    * that image" detector that full-image hashing structurally
+    * misses. Output: one row per (crop, source, tile_idx) with the
+    * exact Hamming distance; sources whose decode failed
+    * (`tiles_ok = false`) never match.
+    *
+    * Scale shape: [[phashNearDups]]'s pigeonhole banding, cross-set
+    * — sources explode to grid² tile rows, both sides band into
+    * `bands` exact 16-bit keys, and a pair within `maxDist < bands`
+    * MUST agree on >= 1 band, so the join is band-bucketed, never
+    * all-pairs. Payload bytes are long gone (hash columns only).
+    */
+  def cropNearDups(sources: DataFrame, srcIdCol: String,
+      crops: DataFrame, cropIdCol: String, cropHashCol: String,
+      maxDist: Int, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    require(maxDist >= 0 && maxDist < bands,
+      s"pigeonhole guarantee needs maxDist < bands, got $maxDist/$bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    def bandCols(p: Column) = (0 until bands).map { i =>
+      struct(lit(i).as("band"),
+        shiftright(p, i * width).bitwiseAND(mask).as("bits"))
+    }
+    val srcTiles = sources
+      .filter(col("tiles_ok"))
+      .select(col(srcIdCol).as("src_id"),
+        posexplode(col("tile_hashes")).as(Seq("tile_idx", "__t")))
+    val srcBands = srcTiles
+      .select(col("src_id"), col("tile_idx"), col("__t"),
+        explode(array(bandCols(col("__t")): _*)).as("b"))
+      .select(col("src_id"), col("tile_idx"), col("__t"),
+        col("b.band"), col("b.bits"))
+    val cropBands = crops
+      .select(col(cropIdCol).as("crop_id"),
+        col(cropHashCol).as("__c"),
+        explode(array(bandCols(col(cropHashCol)): _*)).as("b"))
+      .select(col("crop_id"), col("__c"), col("b.band"),
+        col("b.bits"))
+    cropBands.join(srcBands, Seq("band", "bits"))
+      .select(col("crop_id"), col("src_id"), col("tile_idx"),
+        bit_count(col("__c").bitwiseXOR(col("__t"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   /** Gradient perceptual hash (dHash, 64-bit): decode, block-average
     * the luma plane onto an 8x9 grid (same deterministic integer
     * bounds as [[averageHash]], 9 columns), then bit (i,j) = cell

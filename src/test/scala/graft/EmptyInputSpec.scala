@@ -134,6 +134,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.multimodal.Multimodal.differenceHash(imgs)
       .count() == 0)
     assert(graft.multimodal.Multimodal.lumaStats(imgs).count() == 0)
+    val tiles = graft.multimodal.Multimodal.tileAverageHash(imgs)
+    val fps = graft.multimodal.Multimodal.tileFingerprint(imgs)
+    assert(tiles.count() == 0 && fps.count() == 0)
+    assert(graft.multimodal.Multimodal.cropNearDups(tiles, "image_id",
+      df("crop_id STRING, ahash BIGINT", Seq.empty), "crop_id",
+      "ahash", maxDist = 0).count() == 0)
+    assert(graft.multimodal.Multimodal.cropExactDups(fps, "image_id",
+      df("crop_id STRING, crop_fp BIGINT", Seq.empty), "crop_id",
+      "crop_fp").count() == 0)
   }
 
   test("lshTopK with default planes: empty / all-null-vector corpus " +

@@ -90,6 +90,64 @@ class PixelCheckSpec extends SparkSpec {
     assert(!bad)
   }
 
+  test("tile hashing: a lossless quadrant crop reproduces tile 0's " +
+      "perceptual hash AND exact fingerprint; cropExactDups recovers " +
+      "provenance; fingerprints discriminate") {
+    import graft.multimodal.Multimodal
+    import org.apache.spark.sql.functions._
+    val base = ImageTable.imagesReal(spark, 12)
+    val tiles = Multimodal.tileAverageHash(base, grid = 2)
+      .select("image_id", "tile_hashes", "tiles_ok")
+    val fps = Multimodal.tileFingerprint(base, grid = 2)
+      .select("image_id", "tile_fps", "tiles_ok")
+    val cropPlan = base
+      .withColumn("cx", lit(0)).withColumn("cy", lit(0))
+      .withColumn("cw", (col("w") / 2).cast("int"))
+      .withColumn("ch", (col("h") / 2).cast("int"))
+    val crops = Multimodal.cropEncode(cropPlan, "cx", "cy", "cw", "ch")
+      .select(concat(col("image_id"), lit("_c")).as("image_id"),
+        col("bytes"), col("fmt"))
+    val cropA = Multimodal.averageHash(crops)
+      .select("image_id", "ahash").collect()
+      .map(r => r.getString(0).stripSuffix("_c") -> r.getLong(1)).toMap
+    val cropF = Multimodal.tileFingerprint(crops, grid = 1)
+      .select("image_id", "tile_fps").collect()
+      .map(r => r.getString(0).stripSuffix("_c") ->
+        r.getSeq[Long](1).head).toMap
+    val tileMap = tiles.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val fpMap = fps.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    tileMap.keys.foreach { id =>
+      assert(cropA(id) == tileMap(id)(0),
+        s"$id: crop aHash != tile 0 perceptual hash")
+      assert(cropF(id) == fpMap(id)(0),
+        s"$id: crop fingerprint != tile 0 fingerprint")
+    }
+    // ids 0..11 all have distinct render identity -> distinct fps
+    assert(fpMap.values.map(_(0)).toSet.size == 12)
+    // exact provenance: each crop maps to exactly its source tile 0
+    val cropFps = Multimodal.tileFingerprint(crops, grid = 1)
+      .filter(col("tiles_ok"))
+      .select(col("image_id").as("crop_id"),
+        element_at(col("tile_fps"), 1).as("crop_fp"))
+    val pairs = Multimodal.cropExactDups(fps, "image_id",
+      cropFps, "crop_id", "crop_fp")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getInt(2))).toSet
+    val expected = tileMap.keys.map(id => (s"${id}_c", id, 0)).toSet
+    assert(pairs == expected, s"got $pairs")
+    // the perceptual banded join at least CONTAINS the true pairs
+    // (smooth synthetic renders collide perceptually by design)
+    val cropAh = Multimodal.averageHash(crops)
+      .select(col("image_id").as("crop_id"), col("ahash"))
+    val near = Multimodal.cropNearDups(tiles, "image_id", cropAh,
+      "crop_id", "ahash", maxDist = 0)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getInt(2))).toSet
+    assert(expected.subsetOf(near), s"missing: ${expected -- near}")
+  }
+
   test("audit flags corruption, truncation and null payloads " +
       "without throwing") {
     import org.apache.spark.sql.Row
