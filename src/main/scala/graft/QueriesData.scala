@@ -535,13 +535,22 @@ object QueriesData {
       val base = ImageTable.imagesReal(s, 300)
       val sources = Multimodal.tileFingerprint(base, grid = 2)
         .select(col("image_id"), col("tile_fps"), col("tiles_ok"))
-      val cropPlan = base
+      val cropPlan0 = base
         .filter(expr("CAST(substring(image_id, 5) AS BIGINT) % 10 = 0"))
         .withColumn("cx", lit(0)).withColumn("cy", lit(0))
         .withColumn("cw", (col("w") / 2).cast("int"))
         .withColumn("ch", (col("h") / 2).cast("int"))
+      // second class: bottom-right tile (idx 3) with its ceil-half
+      // dims — exercises the non-origin tile-bound math
+      val cropPlan3 = base
+        .filter(expr("CAST(substring(image_id, 5) AS BIGINT) % 10 = 5"))
+        .withColumn("cx", (col("w") / 2).cast("int"))
+        .withColumn("cy", (col("h") / 2).cast("int"))
+        .withColumn("cw", col("w") - col("cx"))
+        .withColumn("ch", col("h") - col("cy"))
       val crops = Multimodal
-        .cropEncode(cropPlan, "cx", "cy", "cw", "ch")
+        .cropEncode(cropPlan0.unionByName(cropPlan3),
+          "cx", "cy", "cw", "ch")
         .select(concat(col("image_id"), lit("_c")).as("image_id"),
           col("bytes"), col("fmt"))
       val hashed = Multimodal.tileFingerprint(crops, grid = 1)
@@ -1029,6 +1038,35 @@ object QueriesData {
         .select(col("user_id"), col("n_active_days"),
           col("n_streaks"), col("max_streak_days"),
           col("last_streak_days"))
+        .orderBy("user_id")
+    }),
+
+    "q339_incremental_entropy" -> ((s, dir) => {
+      // incremental maintenance of the transition-entropy view
+      // (q333): bootstrap on 3/4 of the log, absorb the rest via the
+      // changed-buckets-only commit — the maintained predictability
+      // table must equal a full recompute (literally q333's oracle)
+      val ev = tbl(s, dir, "events")
+      val srcRoot = java.nio.file.Files
+        .createTempDirectory("graft_q339_src").toString
+      val dstRoot = java.nio.file.Files
+        .createTempDirectory("graft_q339_dst").toString
+      val bucket = SnapshotStore.byKey("user_id", 16)
+      def view(rows: DataFrame): DataFrame =
+        graft.operators.Behavior.transitionEntropy(rows, "user_id",
+          "ts", "event_type", tieBreak = Seq("event_id"))
+      SnapshotStore.write(ev.filter(col("event_id") % 4 =!= 0),
+        srcRoot, bucket)
+      graft.io.IncrementalView.maintainView(s, srcRoot, dstRoot,
+        bucket, view)
+      SnapshotStore.write(ev, srcRoot, bucket)
+      graft.io.IncrementalView.maintainView(s, srcRoot, dstRoot,
+        bucket, view)
+      SnapshotStore.read(s, dstRoot)
+        .select(col("user_id"), col("n_bigrams"), col("n_pairs"),
+          col("n_cur_types"),
+          round(col("cond_entropy"), 6).as("cond_entropy"),
+          round(col("norm_cond"), 6).as("norm_cond"))
         .orderBy("user_id")
     }),
 
@@ -4627,10 +4665,12 @@ object QueriesData {
         |    CAST(substring(image_id, 5) AS BIGINT) AS i, w, h,
         |    CASE WHEN fmt = 'webp' THEN 'jpeg' ELSE fmt END AS fmt
         |  FROM read_parquet('/tmp/graft_oracle_images_q336/*.parquet')),
-        |crops AS (SELECT * FROM base WHERE i % 10 = 0)
+        |crops AS (SELECT *,
+        |    CASE WHEN i % 10 = 0 THEN 0 ELSE 3 END AS tile
+        |  FROM base WHERE i % 10 = 0 OR i % 10 = 5)
         |SELECT printf('img_%010d', c.i) || '_c' AS crop_id,
         |  printf('img_%010d', s.i) AS src_id,
-        |  CAST(0 AS INTEGER) AS tile_idx
+        |  CAST(c.tile AS INTEGER) AS tile_idx
         |FROM crops c JOIN base s ON c.w = s.w AND c.h = s.h
         |  AND c.i % 7 = s.i % 7 AND c.i % 11 = s.i % 11
         |  AND c.fmt = s.fmt
@@ -5102,6 +5142,11 @@ object QueriesData {
     // table must equal the full recompute: literally q289's SQL
     "q310_incremental_streaks" ->
       QueriesTemporal.oracles("q289_streak_stats"),
+
+    // likewise: the maintained predictability view must equal the
+    // full recompute — literally q333's SQL
+    "q339_incremental_entropy" ->
+      QueriesTemporal.oracles("q333_transition_entropy"),
 
     // q272's literal-NTILE SQL re-keyed onto the orders table —
     // bucket-for-bucket agreement on a second table shape

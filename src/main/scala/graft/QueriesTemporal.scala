@@ -185,6 +185,30 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q338_walk_forward" -> ((s, dir) => {
+      // expanding-window temporal CV: 4 equal micro-exact time
+      // blocks, per-fold train/purged/test/future roles as one
+      // codegen'd projection after a single min/max agg
+      graft.temporal.Splits.walkForward(
+        tbl(s, dir, "events"), "ts", k = 3, gapSeconds = 3600L)
+        .select(col("event_id"), col("block"),
+          col("role_f1"), col("role_f2"), col("role_f3"))
+        .orderBy("event_id")
+    }),
+
+    "q337_priority_entropy" -> ((s, dir) => {
+      // q333's predictability operator over the orders table:
+      // conditional entropy of the customer's priority sequence
+      graft.operators.Behavior.transitionEntropy(
+        tbl(s, dir, "orders"), "o_custkey", "o_orderdate",
+        "o_orderpriority", tieBreak = Seq("o_orderkey"))
+        .select(col("o_custkey"), col("n_bigrams"), col("n_pairs"),
+          col("n_cur_types"),
+          round(col("cond_entropy"), 6).as("cond_entropy"),
+          round(col("norm_cond"), 6).as("norm_cond"))
+        .orderBy("o_custkey")
+    }),
+
     "q335_training_v2" -> ((s, dir) => {
       // training-table assembly from THREE already-proven ops
       // stacked on one shared (user) exchange: PIT-safe session
@@ -1538,6 +1562,65 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // the same one-agg interval cuts: span = (hi-lo)//4 + 1, pure
+    // integer block math, CASE roles per fold
+    "q338_walk_forward" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS lo,
+        |    max(epoch_us(ts)) AS hi FROM events),
+        |s AS (SELECT lo, (hi - lo) // 4 + 1 AS span FROM b),
+        |e AS (SELECT event_id, epoch_us(ts) AS t FROM events)
+        |SELECT event_id,
+        |  CAST((t - lo) // span AS BIGINT) AS block,
+        |  CASE WHEN (t - lo) // span = 1 THEN 'test'
+        |    WHEN (t - lo) // span > 1 THEN 'future'
+        |    WHEN t >= lo + 1 * span - 3600000000 THEN 'purged'
+        |    ELSE 'train' END AS role_f1,
+        |  CASE WHEN (t - lo) // span = 2 THEN 'test'
+        |    WHEN (t - lo) // span > 2 THEN 'future'
+        |    WHEN t >= lo + 2 * span - 3600000000 THEN 'purged'
+        |    ELSE 'train' END AS role_f2,
+        |  CASE WHEN (t - lo) // span = 3 THEN 'test'
+        |    WHEN (t - lo) // span > 3 THEN 'future'
+        |    WHEN t >= lo + 3 * span - 3600000000 THEN 'purged'
+        |    ELSE 'train' END AS role_f3
+        |FROM e, s ORDER BY 1""".stripMargin,
+
+    // q333's bigram/entropy SQL re-keyed onto the orders table
+    "q337_priority_entropy" ->
+      """WITH e AS (SELECT o_custkey, o_orderkey,
+        |    o_orderpriority, o_orderdate FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL),
+        |b AS (SELECT o_custkey, o_orderpriority AS cur,
+        |    LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM e),
+        |f AS (SELECT o_custkey, prev, cur FROM b
+        |  WHERE prev IS NOT NULL),
+        |pp AS (SELECT o_custkey, prev, cur,
+        |    CAST(COUNT(*) AS BIGINT) AS npq
+        |  FROM f GROUP BY 1, 2, 3),
+        |pr AS (SELECT o_custkey,
+        |    CAST(SUM(npq) AS BIGINT) AS n_bigrams,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(COUNT(DISTINCT cur) AS BIGINT) AS n_cur_types,
+        |    SUM(CAST(npq AS DOUBLE) * ln(CAST(npq AS DOUBLE)))
+        |      AS nlpq
+        |  FROM pp GROUP BY 1),
+        |pv AS (SELECT o_custkey,
+        |    SUM(CAST(np AS DOUBLE) * ln(CAST(np AS DOUBLE))) AS nlp
+        |  FROM (SELECT o_custkey, prev,
+        |      CAST(SUM(npq) AS BIGINT) AS np
+        |    FROM pp GROUP BY 1, 2) GROUP BY 1)
+        |SELECT r.o_custkey, n_bigrams, n_pairs, n_cur_types,
+        |  ROUND((nlp - nlpq) / CAST(n_bigrams AS DOUBLE), 6)
+        |    AS cond_entropy,
+        |  CASE WHEN n_cur_types > 1 THEN
+        |    ROUND((nlp - nlpq) / CAST(n_bigrams AS DOUBLE)
+        |      / ln(CAST(n_cur_types AS DOUBLE)), 6) END
+        |    AS norm_cond
+        |FROM pr r JOIN pv USING (o_custkey) ORDER BY 1""".stripMargin,
 
     // identical bigram grid on one sort, the same two rearranged
     // entropy sums and their difference inside ROUND

@@ -70,4 +70,57 @@ object Splits {
     withT.withColumn("fold", fold).withColumn("role", role)
       .drop("__t_us")
   }
+
+  /** Walk-forward (expanding-window) split — the production
+    * counterpart of [[purgedKFold]] for models that only ever train
+    * on the PAST: the time axis `[min_ts, max_ts]` is cut into
+    * `k + 1` equal contiguous blocks (`block = (t − min) div span`,
+    * exact integer `div` — same > 2^53 rationale as above). Block 0
+    * is the seed-train block; block `f` (1..k) is fold f's TEST
+    * window. Output adds `block` plus one `role_f<f>` column per
+    * fold:
+    *
+    *   - `train`   block < f (strictly earlier history)
+    *   - `purged`  within `gapSeconds` BEFORE the test window (its
+    *               lookback feature window would straddle the cut)
+    *   - `test`    block == f
+    *   - `future`  block > f (never visible to fold f)
+    *
+    * Null timestamps fail loudly, like [[purgedKFold]]. The whole
+    * assignment is a codegen'd projection after ONE min/max agg —
+    * no shuffle, no per-row state, k roles = k CASE registers.
+    */
+  def walkForward(df: DataFrame, tsCol: String, k: Int,
+      gapSeconds: Long = 0L): DataFrame = {
+    require(k >= 1, s"walkForward: need k >= 1 folds, got $k")
+    require(gapSeconds >= 0, "walkForward: gap must be >= 0")
+    (1 to k).foreach(f => require(!df.columns.contains(s"role_f$f"),
+      s"walkForward: input already has a 'role_f$f' column"))
+    require(!df.columns.contains("block"),
+      "walkForward: input already has a 'block' column")
+    val tUs = unix_micros(col(tsCol).cast("timestamp"))
+    val b = df.agg(min(tUs).as("lo"), max(tUs).as("hi")).head()
+    require(!b.isNullAt(0),
+      s"walkForward: no non-null $tsCol values to split")
+    val lo = b.getLong(0)
+    val span = (b.getLong(1) - lo) / (k + 1) + 1
+    val t = when(tUs.isNotNull, tUs).otherwise(raise_error(
+      lit(s"walkForward: null $tsCol — temporal split needs a " +
+        "timestamp on every row")))
+    val withT = df.withColumn("__t_us", t)
+    val block = expr(s"(__t_us - ${lo}L) div ${span}L")
+    val tc = col("__t_us")
+    val roles = (1 to k).map { f =>
+      val testStart = lo + f.toLong * span
+      when(block === f, lit("test"))
+        .when(block > f, lit("future"))
+        .when(tc >= lit(testStart - gapSeconds * 1000000L),
+          lit("purged"))
+        .otherwise(lit("train"))
+        .as(s"role_f$f")
+    }
+    withT.withColumn("block", block)
+      .select(withT.columns.filterNot(_ == "__t_us").map(col)
+        .toIndexedSeq ++ (col("block") +: roles): _*)
+  }
 }

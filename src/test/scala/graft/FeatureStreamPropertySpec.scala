@@ -87,4 +87,54 @@ class FeatureStreamPropertySpec extends SparkSpec {
       "on 20 seeded random logs with ties, gaps, NaN and nulls") {
     (1 to 20).foreach(runCase)
   }
+
+  private def runGapCase(seed: Int): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(seed)
+    val nEnt = 1 + rnd.nextInt(4)
+    val n = 5 + rnd.nextInt(35)
+    val ev = (0 until n).map { i =>
+      StreamingOps.GapEvent(rnd.nextInt(nEnt).toLong, i.toLong,
+        ts(rnd.nextInt(40).toLong * 700L)) // coarse grid: real ties
+    }.sortBy(e => (StreamingOps.toMicros(e.ts), e.eventId))
+
+    val input = MemoryStream[StreamingOps.GapEvent]
+    val sink = s"gap_prop_$seed"
+    val q = StreamingOps.gapSurpriseStream(input.toDS())
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    val got = try {
+      val cuts = (Seq(0, ev.length) ++
+        Seq.fill(rnd.nextInt(3))(rnd.nextInt(ev.length + 1)))
+        .distinct.sorted
+      cuts.zip(cuts.tail).foreach { case (a, b) =>
+        if (b > a) { input.addData(ev.slice(a, b): _*) }
+        q.processAllAvailable()
+      }
+      spark.table(sink).orderBy("eventId").collect().map { r =>
+        def nl[T](i: Int, f: Int => T): Any =
+          if (r.isNullAt(i)) null else f(i)
+        (r.getLong(0), nl(3, r.getLong), r.getLong(4),
+          nl(5, r.getDouble), nl(6, r.getDouble))
+      }.toSeq
+    } finally q.stop()
+
+    val d = df("e BIGINT, ts TIMESTAMP, id BIGINT",
+      ev.map(e => Row(e.entity, e.ts, e.eventId)))
+    val batch = WindowOps.gapSurprise(d, "e", "ts", Seq("id"))
+      .orderBy("id").collect().map { r =>
+        def nl[T](i: Int, f: Int => T): Any =
+          if (r.isNullAt(i)) null else f(i)
+        (r.getLong(2), nl(3, r.getLong), r.getLong(4),
+          nl(5, r.getDouble), nl(6, r.getDouble))
+      }.toSeq
+    assert(got == batch,
+      s"seed $seed: stream\n$got\nvs batch\n$batch")
+  }
+
+  test("streaming gap surprise equals the batch window op on 12 " +
+      "seeded random logs with ties and random micro-batch splits") {
+    (1 to 12).foreach(runGapCase)
+  }
 }

@@ -8,6 +8,33 @@ class SplitsSpec extends SparkSpec {
 
   private def ts(sec: Long) = new Timestamp(sec * 1000L)
 
+  test("walkForward: expanding-window roles per fold, gap purge " +
+      "before each test window, future blocks never train") {
+    // 100 events at seconds 0..99: span = 99e6 div 4 + 1
+    val d = df("id BIGINT, t TIMESTAMP",
+      (0L to 99L).map(i => Row(i, ts(i))))
+    val out = Splits.walkForward(d, "t", k = 3, gapSeconds = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2),
+        r.getString(3), r.getString(4), r.getString(5))).toMap
+    val span = 99000000L / 4 + 1
+    def role(f: Int, i: Long): String = {
+      val t = i * 1000000L
+      val block = t / span
+      if (block == f) "test"
+      else if (block > f) "future"
+      else if (t >= f * span - 5000000L) "purged"
+      else "train"
+    }
+    (0L to 99L).foreach { i =>
+      val t = i * 1000000L
+      assert(out(i) == ((t / span, role(1, i), role(2, i),
+        role(3, i))), s"row $i: ${out(i)}")
+    }
+    // every role actually occurs for fold 1
+    val f1 = (0L to 99L).map(role(1, _)).toSet
+    assert(f1 == Set("train", "purged", "test", "future"))
+  }
+
   test("purgedKFold: exact fold boundaries, purge before and " +
       "embargo after the test interval") {
     // 100 events at seconds 0..99: lo=0, hi=99e6us,
