@@ -185,6 +185,31 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q341_dow_vector" -> ((s, dir) => {
+      // weekly circular profile: 7 count registers, shared-literal
+      // trig weights, one rollup — the weekly-ritual detector
+      graft.operators.Behavior.dowVector(
+        tbl(s, dir, "events"), "user_id", "ts")
+        .select(col("user_id"), col("n_events"), col("peak_dow"),
+          round(col("peak_share"), 6).as("peak_share"),
+          round(col("dow_r"), 6).as("dow_r"),
+          round(col("mean_dow"), 6).as("mean_dow"))
+        .orderBy("user_id")
+    }),
+
+    "q340_gap_surprise_orders" -> ((s, dir) => {
+      // q332's PIT gap anomaly over the orders table: how unusual
+      // is this customer's ordering silence — date-grain gaps,
+      // the same expanding exact mean
+      WindowOps.gapSurprise(tbl(s, dir, "orders"), "o_custkey",
+        "o_orderdate", tieBreak = Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("gap_us"),
+          col("n_prior_gaps"),
+          (col("mean_prior_gap_us") / 1e6).as("mean_prior_gap_s"),
+          col("gap_surprise"))
+        .orderBy("o_orderkey")
+    }),
+
     "q338_walk_forward" -> ((s, dir) => {
       // expanding-window temporal CV: 4 equal micro-exact time
       // blocks, per-fold train/purged/test/future roles as one
@@ -1562,6 +1587,73 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // 7 count registers, the q330 shared-literal trig/encode SQL on
+    // the weekly cycle (DuckDB dayofweek = Spark dayofweek - 1)
+    "q341_dow_vector" -> {
+      val cs = (0 until 7).map(i =>
+        s"CAST(COUNT(CASE WHEN h = $i THEN 1 END) AS BIGINT) AS c$i")
+        .mkString(",\n    ")
+      val nSum = (0 until 7).map(i => s"c$i").mkString(" + ")
+      val xSum = (0 until 7).map(i =>
+        s"c$i * (${math.cos(2 * math.Pi * i / 7)})")
+        .mkString(" + ")
+      val ySum = (0 until 7).map(i =>
+        s"c$i * (${math.sin(2 * math.Pi * i / 7)})")
+        .mkString(" + ")
+      val enc = (0 until 7).map(i => s"c$i * 32 - $i")
+        .mkString(", ")
+      s"""WITH e AS (SELECT user_id,
+         |    CAST(dayofweek(ts) AS BIGINT) AS h
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |p AS (SELECT user_id,
+         |    $cs
+         |  FROM e GROUP BY 1),
+         |r AS (SELECT user_id,
+         |    $nSum AS n,
+         |    $xSum AS x,
+         |    $ySum AS y,
+         |    GREATEST($enc) AS enc
+         |  FROM p)
+         |SELECT user_id, n AS n_events,
+         |  CAST(((enc + 6) // 32) * 32 - enc AS BIGINT)
+         |    AS peak_dow,
+         |  ROUND(CAST((enc + 6) // 32 AS DOUBLE)
+         |    / CAST(n AS DOUBLE), 6) AS peak_share,
+         |  ROUND(sqrt(x * x + y * y) / CAST(n AS DOUBLE), 6)
+         |    AS dow_r,
+         |  CASE WHEN sqrt(x * x + y * y) > 0 THEN
+         |    ROUND(fmod(atan2(y, x) / (${2 * math.Pi}) * 7 + 7,
+         |      7), 6) END AS mean_dow
+         |FROM r ORDER BY 1""".stripMargin
+    },
+
+    // q332's lag + strictly-prior window SQL re-keyed onto orders
+    "q340_gap_surprise_orders" ->
+      """WITH e AS (SELECT o_orderkey, o_custkey,
+        |    epoch_us(o_orderdate) AS t FROM orders),
+        |g AS (SELECT o_orderkey, o_custkey, t,
+        |    t - LAG(t) OVER (PARTITION BY o_custkey
+        |      ORDER BY t, o_orderkey) AS gap_us
+        |  FROM e),
+        |x AS (SELECT o_orderkey, gap_us,
+        |    COUNT(gap_us) OVER w2 AS np,
+        |    SUM(CAST(gap_us AS HUGEINT)) OVER w2 AS s
+        |  FROM g WINDOW w2 AS (PARTITION BY o_custkey
+        |    ORDER BY t, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT o_orderkey, gap_us, CAST(np AS BIGINT)
+        |    AS n_prior_gaps,
+        |  CASE WHEN np > 0 THEN
+        |    CAST(s AS DOUBLE) / CAST(np AS DOUBLE) END / 1e6
+        |    AS mean_prior_gap_s,
+        |  CASE WHEN np > 0
+        |      AND CAST(s AS DOUBLE) / CAST(np AS DOUBLE) > 0 THEN
+        |    CAST(gap_us AS DOUBLE)
+        |      / (CAST(s AS DOUBLE) / CAST(np AS DOUBLE)) END
+        |    AS gap_surprise
+        |FROM x ORDER BY 1""".stripMargin,
 
     // the same one-agg interval cuts: span = (hi-lo)//4 + 1, pure
     // integer block math, CASE roles per fold

@@ -1299,31 +1299,60 @@ object Behavior {
     * window, no per-hour rows.
     */
   def hourVector(df: DataFrame, entity: String, ts: String)
-      : DataFrame = {
-    val h = hour(col(ts).cast("timestamp"))
-    val counts = (0 until 24).map(i =>
-      count(when(h === i, lit(1))).as(s"__c$i"))
+      : DataFrame =
+    cycleVector(df, entity, hour(col(ts).cast("timestamp")), 24,
+      "peak_hour", "hour_r", "mean_hour")
+
+  /** Weekly twin of [[hourVector]]: the circular profile on the
+    * 7-day cycle (Sunday = phase 0, Spark's `dayofweek − 1` grid —
+    * the same one [[seasonalZ]]'s oracle aligns on). `dow_r` near 1
+    * = a strictly weekly ritual; `mean_dow` its phase. Same exact
+    * one-rollup shape and shared-literal trig weights.
+    */
+  def dowVector(df: DataFrame, entity: String, ts: String)
+      : DataFrame =
+    cycleVector(df, entity,
+      dayofweek(col(ts).cast("timestamp")) - 1, 7,
+      "peak_dow", "dow_r", "mean_dow")
+
+  /** The shared cyclic-profile rollup: `period` conditional-count
+    * registers in ONE map-side-combined entity agg, the
+    * [[gapCadence]]-style integer max-encode for the modal phase
+    * (ties → smallest; valid for period < 32), and resultant x/y as
+    * fixed-order sums of count × a cos/sin weight embedded as the
+    * SAME compile-time double literal in the Spark plan and the
+    * oracle SQL — bit-identical sums; the one atan2 sits inside the
+    * 6dp readout round.
+    */
+  private def cycleVector(df: DataFrame, entity: String,
+      phase: Column, period: Int, peakName: String, rName: String,
+      meanName: String): DataFrame = {
+    require(period >= 2 && period < 32,
+      s"cycleVector: period in [2,32), got $period")
+    val counts = (0 until period).map(i =>
+      count(when(phase === i, lit(1))).as(s"__c$i"))
     val per = df
-      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .filter(col(entity).isNotNull && phase.isNotNull)
       .groupBy(col(entity))
       .agg(counts.head, counts.tail: _*)
     def c(i: Int) = col(s"__c$i")
-    val n = (0 until 24).map(c).reduce(_ + _)
+    val n = (0 until period).map(c).reduce(_ + _)
     // weights are JVM compile-time literals shared with the oracle
-    val x = (0 until 24).map(i => c(i).cast("double") *
-      lit(math.cos(2 * math.Pi * i / 24))).reduce(_ + _)
-    val y = (0 until 24).map(i => c(i).cast("double") *
-      lit(math.sin(2 * math.Pi * i / 24))).reduce(_ + _)
-    // peak: max over h of c_h*32 - h -> ties pick the smaller hour
-    val enc = greatest((0 until 24).map(i => c(i) * 32L - i): _*)
-    val nTop = floor((enc + 23L) / 32L).cast("long")
+    val x = (0 until period).map(i => c(i).cast("double") *
+      lit(math.cos(2 * math.Pi * i / period))).reduce(_ + _)
+    val y = (0 until period).map(i => c(i).cast("double") *
+      lit(math.sin(2 * math.Pi * i / period))).reduce(_ + _)
+    // peak: max over i of c_i*32 - i -> ties pick the smaller phase
+    val enc = greatest((0 until period).map(i => c(i) * 32L - i): _*)
+    val nTop = floor((enc + (period - 1).toLong) / 32L).cast("long")
     val r = sqrt(x * x + y * y) / n.cast("double")
-    val meanH = (atan2(y, x) / lit(2 * math.Pi) * 24 + 24) % 24
+    val meanP = (atan2(y, x) / lit(2 * math.Pi) * period + period) %
+      period
     per.select(col(entity), n.as("n_events"),
-      (nTop * 32L - enc).as("peak_hour"),
+      (nTop * 32L - enc).as(peakName),
       (nTop.cast("double") / n.cast("double")).as("peak_share"),
-      r.as("hour_r"),
-      when(sqrt(x * x + y * y) > 0, meanH).as("mean_hour"))
+      r.as(rName),
+      when(sqrt(x * x + y * y) > 0, meanP).as(meanName))
   }
 
   /** Per-entity TRANSITION (conditional) ENTROPY — how predictable

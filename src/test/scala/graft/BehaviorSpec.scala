@@ -841,6 +841,26 @@ class BehaviorSpec extends SparkSpec {
     assert(r3.getDouble(5) == 0.0)
   }
 
+  test("dowVector: Sunday = phase 0, modal weekday with exact " +
+      "share, circular mean on the 7-cycle") {
+    val d = df("u STRING, ts TIMESTAMP", Seq(
+      Row("u1", ts("2024-01-07 10:00:00")),  // Sunday  -> 0
+      Row("u1", ts("2024-01-14 09:00:00")),  // Sunday  -> 0
+      Row("u1", ts("2024-01-10 12:00:00")))) // Wednesday -> 3
+    val out = Behavior.dowVector(d, "u", "ts").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 0L)
+    assert(math.abs(r.getDouble(3) - 2.0 / 3.0) < 1e-12)
+    def th(i: Int) = 2 * math.Pi * i / 7
+    val x = 2 * math.cos(th(0)) + math.cos(th(3))
+    val y = 2 * math.sin(th(0)) + math.sin(th(3))
+    assert(math.abs(r.getDouble(4) -
+      math.sqrt(x * x + y * y) / 3.0) < 1e-12)
+    val m = (math.atan2(y, x) / (2 * math.Pi) * 7 + 7) % 7
+    assert(math.abs(r.getDouble(5) - m) < 1e-12)
+  }
+
   test("sessionTypeJaccard: distinct type sets per gap session, " +
       "predecessor overlap, first sessions absent") {
     val d = df("u STRING, ts TIMESTAMP, t STRING", Seq(
