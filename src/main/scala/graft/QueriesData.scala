@@ -113,6 +113,15 @@ object QueriesData {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q342_fuzzy_pairs" -> ((s, dir) => {
+      // record linkage at edit distance <= 1 via deletion-
+      // neighborhood blocking; the oracle is the EXHAUSTIVE all-
+      // pairs Levenshtein join, so blocking recall is value-proven
+      graft.dedup.Dedup.editDistancePairs(
+        tbl(s, dir, "customer"), "c_custkey", "c_name")
+        .orderBy("id_a", "id_b")
+    }),
+
     "q40_dedup_exact" -> ((s, dir) => {
       Dedup.exact(docsWithExact(s, dir), Seq("text"), "doc_id")
         .select("doc_id", "text").orderBy("doc_id")
@@ -4086,6 +4095,16 @@ object QueriesData {
         |      ELSE STDDEV_POP(l_extendedprice)
         |        OVER (PARTITION BY l_returnflag) END), 6) AS price_z
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
+    // exhaustive truth: every pair within Levenshtein 1, no
+    // blocking — any candidate the neighborhood misses fails this
+    "q342_fuzzy_pairs" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY 1, 2""".stripMargin,
 
     "q40_dedup_exact" ->
       """WITH t AS (SELECT * FROM documents

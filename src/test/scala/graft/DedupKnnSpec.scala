@@ -14,6 +14,23 @@ class DedupKnnSpec extends SparkSpec {
     Row(4L, "completely different content about spark engines"),
     Row(5L, "short")))
 
+  test("editDistancePairs: substitution, insertion, deletion and " +
+      "equal pairs all recovered; distance-2 pairs never appear") {
+    val d = df("id BIGINT, s STRING", Seq(
+      Row(1L, "abc"), Row(2L, "abd"),   // substitution
+      Row(3L, "abcd"),                   // insertion vs abc/abd
+      Row(4L, "xyz"),                    // far from everything
+      Row(5L, "abc"),                    // exact duplicate of 1
+      Row(6L, ""), Row(7L, "a"),         // empty vs one-char
+      Row(null, "abc"), Row(8L, null)))  // null id/string excluded
+    val got = Dedup.editDistancePairs(d, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(got == Set(
+      (1L, 2L, 1), (1L, 3L, 1), (1L, 5L, 0),
+      (2L, 3L, 1), (2L, 5L, 1), (3L, 5L, 1), (6L, 7L, 1)))
+  }
+
   test("exact dedup keeps smallest id per content group") {
     val out = Dedup.exact(docs(), Seq("text"), "doc_id")
     assert(column(out.orderBy("doc_id"), "doc_id") ==

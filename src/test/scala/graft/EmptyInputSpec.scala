@@ -271,6 +271,9 @@ class EmptyInputSpec extends SparkSpec {
       Seq("id")).count() == 0)
     assert(Behavior.gapEntropy(ev, "e", "ts").count() == 0)
     assert(Behavior.hourVector(ev, "e", "ts").count() == 0)
+    assert(Behavior.dowVector(ev, "e", "ts").count() == 0)
+    assert(graft.dedup.Dedup.editDistancePairs(
+      df("id BIGINT, s STRING", Seq.empty), "id", "s").count() == 0)
     assert(Behavior.transitionEntropy(ev, "e", "ts", "t", Seq("id"))
       .count() == 0)
     assert(WindowOps.gapSurprise(ev, "e", "ts", Seq("id"))
