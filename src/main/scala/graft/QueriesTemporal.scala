@@ -185,6 +185,18 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q343_corr_matrix" -> ((s, dir) => {
+      // the whole feature-screening matrix in ONE scan: C(3,2)
+      // exact-moment Pearson pairs as registers of a single global
+      // rollup, restacked to rows
+      graft.operators.GroupOps.correlationMatrix(
+        tbl(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("col_a"), col("col_b"), col("n_pairs"),
+          round(col("corr"), 6).as("corr"))
+        .orderBy("col_a", "col_b")
+    }),
+
     "q341_dow_vector" -> ((s, dir) => {
       // weekly circular profile: 7 count registers, shared-literal
       // trig weights, one rollup — the weekly-ritual detector
@@ -1587,6 +1599,58 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // q308's six-moment chains, one aggregated CTE feeding three
+    // per-pair readouts (UNION ALL keeps each chain verbatim)
+    "q343_corr_matrix" -> {
+      def chain(p: String, a: String, b: String) =
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |  n$p AS n_pairs,
+           |  CASE WHEN n$p >= 2
+           |      AND CAST(n$p AS HUGEINT) * sxx$p - sx$p * sx$p > 0
+           |      AND CAST(n$p AS HUGEINT) * syy$p - sy$p * sy$p > 0
+           |    THEN ROUND(CAST(CAST(n$p AS HUGEINT) * sxy$p
+           |        - sx$p * sy$p AS DOUBLE)
+           |      / (sqrt(CAST(CAST(n$p AS HUGEINT) * sxx$p
+           |          - sx$p * sx$p AS DOUBLE))
+           |        * sqrt(CAST(CAST(n$p AS HUGEINT) * syy$p
+           |          - sy$p * sy$p AS DOUBLE))), 6) END AS corr
+           |FROM m""".stripMargin
+      def regs(p: String, x: String, y: String) =
+        s"""CAST(COUNT(*) FILTER ($x IS NOT NULL AND $y IS NOT NULL)
+           |      AS BIGINT) AS n$p,
+           |    SUM(CAST($x AS HUGEINT)) FILTER ($y IS NOT NULL)
+           |      AS sx$p,
+           |    SUM(CAST($y AS HUGEINT)) FILTER ($x IS NOT NULL)
+           |      AS sy$p,
+           |    SUM(CAST($x AS HUGEINT) * $y) AS sxy$p,
+           |    SUM(CAST($x AS HUGEINT) * $x) FILTER ($y IS NOT NULL)
+           |      AS sxx$p,
+           |    SUM(CAST($y AS HUGEINT) * $y) FILTER ($x IS NOT NULL)
+           |      AS syy$p""".stripMargin
+      s"""WITH e AS (SELECT
+         |    CASE WHEN l_quantity IS NOT NULL THEN
+         |      CAST(round(CAST(l_quantity AS DOUBLE) * 1e6)
+         |        AS BIGINT) END AS q,
+         |    CASE WHEN l_extendedprice IS NOT NULL THEN
+         |      CAST(round(CAST(l_extendedprice AS DOUBLE) * 1e6)
+         |        AS BIGINT) END AS ep,
+         |    CASE WHEN l_discount IS NOT NULL THEN
+         |      CAST(round(CAST(l_discount AS DOUBLE) * 1e6)
+         |        AS BIGINT) END AS dc
+         |  FROM lineitem),
+         |m AS (SELECT
+         |    ${regs("0", "q", "ep")},
+         |    ${regs("1", "q", "dc")},
+         |    ${regs("2", "ep", "dc")}
+         |  FROM e)
+         |${chain("0", "l_quantity", "l_extendedprice")}
+         |UNION ALL
+         |${chain("1", "l_quantity", "l_discount")}
+         |UNION ALL
+         |${chain("2", "l_extendedprice", "l_discount")}
+         |ORDER BY 1, 2""".stripMargin
+    },
 
     // 7 count registers, the q330 shared-literal trig/encode SQL on
     // the weekly cycle (DuckDB dayofweek = Spark dayofweek - 1)

@@ -458,6 +458,64 @@ object GroupOps {
         num.cast("double") / dx.cast("double")).as("beta_yx"))
   }
 
+  /** Full PAIRWISE CORRELATION MATRIX in ONE pass — every C(k,2)
+    * Pearson correlation among `cols`, computed as k(k−1)/2 × 6
+    * exact micro-moment registers inside a single map-side-combined
+    * global aggregation: at 100 TB this is the difference between
+    * one scan for the whole feature-screening matrix and k² scans.
+    * Same pairwise-complete / exact-moment / one-double-chain
+    * semantics as [[corrByGroup]] (each pair counts a row only when
+    * BOTH sides are observed; < 2 pairs or a constant side refuses
+    * with null). Output: one row per unordered pair
+    * `(col_a, col_b, n_pairs, corr)` in `cols` order.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String])
+      : DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got $cols")
+    require(cols.distinct.size == cols.size,
+      s"duplicate columns in $cols")
+    def micro(c: String) = {
+      val v = col(c).cast("double")
+      round(when(isnan(v), lit(null)).otherwise(v) * lit(1e6), 0)
+        .cast("long")
+    }
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val regs = pairs.zipWithIndex.flatMap { case ((a, b), p) =>
+      val x = micro(a); val y = micro(b)
+      val ok = x.isNotNull && y.isNotNull
+      Seq(count(when(ok, lit(1))).as(s"__n$p"),
+        sum(when(ok, d38(x))).as(s"__sx$p"),
+        sum(when(ok, d38(y))).as(s"__sy$p"),
+        sum(when(ok, (d19(x) * d19(y)).cast("decimal(38,0)")))
+          .as(s"__sxy$p"),
+        sum(when(ok, (d19(x) * d19(x)).cast("decimal(38,0)")))
+          .as(s"__sxx$p"),
+        sum(when(ok, (d19(y) * d19(y)).cast("decimal(38,0)")))
+          .as(s"__syy$p"))
+    }
+    val agg = df.agg(regs.head, regs.tail: _*)
+    val rows = pairs.zipWithIndex.map { case ((a, b), p) =>
+      val n38 = col(s"__n$p").cast("decimal(38,0)")
+      val num = n38 * col(s"__sxy$p") -
+        col(s"__sx$p") * col(s"__sy$p")
+      val dx = n38 * col(s"__sxx$p") -
+        col(s"__sx$p") * col(s"__sx$p")
+      val dy = n38 * col(s"__syy$p") -
+        col(s"__sy$p") * col(s"__sy$p")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__n$p").as("n_pairs"),
+        when(col(s"__n$p") >= 2 && dx > 0 && dy > 0,
+          num.cast("double") /
+            (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+          .as("corr"))
+    }
+    agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Per-group INEQUALITY stats — how concentrated a group's value
     * mass is across its OBSERVATIONS (the per-event complement of
     * [[graft.operators.Behavior.valueConcentration]]'s per-category

@@ -335,6 +335,25 @@ class GroupOpsSpec extends SparkSpec {
     assert(out.length == 3)            // all-null group vanishes
   }
 
+  test("correlationMatrix: all pairs in one pass, pairwise-complete " +
+      "counts, constant column refuses") {
+    val d = df("x DOUBLE, y DOUBLE, z DOUBLE, w DOUBLE", Seq(
+      Row(1.0, 2.0, 3.0, 5.0),
+      Row(2.0, 4.0, 1.0, 5.0),
+      Row(3.0, 6.0, null, 5.0)))
+    val out = GroupOps.correlationMatrix(d, Seq("x", "y", "z", "w"))
+      .orderBy("col_a", "col_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+    assert(out == Seq(
+      ("x", "w", 3L, null),          // constant side refuses
+      ("x", "y", 3L, 1.0),           // exact +1
+      ("x", "z", 2L, -1.0),          // pairwise-complete n=2
+      ("y", "w", 3L, null),
+      ("y", "z", 2L, -1.0),
+      ("z", "w", 2L, null)))
+  }
+
   test("corrByGroup: exact pairwise-complete moments, perfect " +
       "lines read ±1 with the right beta, degenerates refuse") {
     val d = df("k STRING, x DOUBLE, y DOUBLE", Seq(
