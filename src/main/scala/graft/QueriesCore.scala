@@ -190,6 +190,19 @@ object QueriesCore {
         .orderBy("c_custkey")
     }),
 
+    "q344_embedding_drift" -> ((s, dir) => {
+      // centroid drift between the even- and odd-id embedding
+      // slices: exact per-dim integer sums, the sum-vector cosine
+      // (1/n cancels) and the integer-exact shift numerator — one
+      // sqrt/divide tail on each readout
+      graft.operators.Drift.embeddingDrift(
+        tbl(s, dir, "embeddings"), "embedding",
+        col("vec_id") % 2 === 0)
+        .select(col("n_ref"), col("n_cur"),
+          round(col("cos_centroid"), 6).as("cos_centroid"),
+          round(col("shift_l2"), 6).as("shift_l2"))
+    }),
+
     "q153_l2_normalize" -> ((s, dir) => {
       // unit-L2 embedding normalization: the squared norm accumulates
       // through an explicit left fold, which DuckDB's list_reduce
@@ -1135,6 +1148,40 @@ object QueriesCore {
     // the identical left fold via list_reduce (DuckDB evaluates it
     // left-to-right, proven in the round-4 build notes), so norm and
     // quotient are bit-identical; zero/null-poisoned vectors drop
+    // same round(x*1000) quantization, exact HUGEINT per-dim sums,
+    // the same sum-vector cosine and integer shift chains
+    "q344_embedding_drift" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0
+        |    AND vec_id IS NOT NULL),
+        |n AS (SELECT
+        |    CAST(COUNT(*) FILTER (vec_id % 2 = 0) AS BIGINT) AS na,
+        |    CAST(COUNT(*) FILTER (vec_id % 2 <> 0) AS BIGINT) AS nb
+        |  FROM v),
+        |ex AS (SELECT vec_id,
+        |    CAST(t.i AS BIGINT) AS d,
+        |    CAST(round(CAST(embedding[t.i + 1] AS DOUBLE) * 1000)
+        |      AS BIGINT) AS q
+        |  FROM v, UNNEST(range(len(embedding))) AS t(i)),
+        |pd AS (SELECT d,
+        |    COALESCE(SUM(CAST(q AS HUGEINT))
+        |      FILTER (vec_id % 2 = 0), 0) AS sa,
+        |    COALESCE(SUM(CAST(q AS HUGEINT))
+        |      FILTER (vec_id % 2 <> 0), 0) AS sb
+        |  FROM ex GROUP BY d),
+        |m AS (SELECT na, nb, SUM(sa * sb) AS dot,
+        |    SUM(sa * sa) AS naa, SUM(sb * sb) AS nbb,
+        |    SUM((sa * nb - sb * na) * (sa * nb - sb * na)) AS sh
+        |  FROM pd, n GROUP BY na, nb)
+        |SELECT na AS n_ref, nb AS n_cur,
+        |  CASE WHEN na > 0 AND nb > 0 AND naa > 0 AND nbb > 0 THEN
+        |    ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(naa AS DOUBLE))
+        |      * sqrt(CAST(nbb AS DOUBLE))), 6) END AS cos_centroid,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    ROUND(sqrt(CAST(sh AS DOUBLE)) / (CAST(na AS DOUBLE)
+        |      * CAST(nb AS DOUBLE) * 1000), 6) END AS shift_l2
+        |FROM m""".stripMargin,
+
     "q153_l2_normalize" ->
       """WITH n AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,

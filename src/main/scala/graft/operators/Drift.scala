@@ -123,6 +123,64 @@ object Drift {
     * contract as every per-entity window op here. A key with rows on
     * only one side yields ks null (nothing to compare).
     */
+  /** EMBEDDING-space drift between a reference and a current slice
+    * of one vector column — the semantic companion of the scalar
+    * PSI/KS checks: when the encoder, the content mix, or an
+    * upstream preprocessing step moves, the centroid moves first.
+    * Emits ONE row: `n_ref`, `n_cur`, `cos_centroid` (cosine
+    * between the two slice centroids — 1 = same direction) and
+    * `shift_l2` (Euclidean distance between centroids, in the
+    * vector's own units).
+    *
+    * Exactness: vectors go through the shared round(x·1000)
+    * quantization ([[graft.dedup.Dedup.quantize]]); per-dimension
+    * sums are exact integers, the centroid cosine equals the
+    * SUM-vector cosine (the 1/n factors cancel), and the shift is
+    * computed as `√Σ(sa·n_cur − sb·n_ref)² / (n_ref·n_cur·1000)` —
+    * every Σ exact decimal, one sqrt/divide double tail. Scale
+    * shape: one |dims|-row map-side-combined aggregation over the
+    * exploded vectors plus a 2-register count agg; no window, no
+    * join, no all-pairs anything.
+    */
+  def embeddingDrift(df: DataFrame, vecCol: String, isRef: Column)
+      : DataFrame = {
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(col(vecCol).isNotNull &&
+      size(col(vecCol)) > 0 && isRef.isNotNull)
+    val ns = base.agg(
+      count(when(isRef, lit(1))).as("na"),
+      count(when(!isRef, lit(1))).as("nb")).head()
+    val (na, nb) = (ns.getLong(0), ns.getLong(1))
+    val perDim = base
+      .select(isRef.as("__r"),
+        posexplode(graft.dedup.Dedup.quantize(col(vecCol)))
+          .as(Seq("__d", "__q")))
+      .groupBy(col("__d"))
+      .agg(sum(when(col("__r"), d38(col("__q")))).as("__sa"),
+        sum(when(!col("__r"), d38(col("__q")))).as("__sb"))
+    val sa = coalesce(col("__sa"), lit(0).cast("decimal(38,0)"))
+    val sb = coalesce(col("__sb"), lit(0).cast("decimal(38,0)"))
+    val agg = perDim.agg(
+      sum((d19(sa) * d19(sb)).cast("decimal(38,0)")).as("__dot"),
+      sum((d19(sa) * d19(sa)).cast("decimal(38,0)")).as("__naa"),
+      sum((d19(sb) * d19(sb)).cast("decimal(38,0)")).as("__nbb"),
+      sum(((d19(sa) * lit(nb) - d19(sb) * lit(na)) *
+        (d19(sa) * lit(nb) - d19(sb) * lit(na)))
+        .cast("decimal(38,0)")).as("__shift2"))
+    agg.select(lit(na).as("n_ref"), lit(nb).as("n_cur"),
+      when(lit(na) > 0 && lit(nb) > 0 &&
+          col("__naa") > 0 && col("__nbb") > 0,
+        col("__dot").cast("double") /
+          (sqrt(col("__naa").cast("double")) *
+            sqrt(col("__nbb").cast("double"))))
+        .as("cos_centroid"),
+      when(lit(na) > 0 && lit(nb) > 0,
+        sqrt(col("__shift2").cast("double")) /
+          (lit(na.toDouble) * lit(nb.toDouble) * lit(1000.0)))
+        .as("shift_l2"))
+  }
+
   def ksDrift(ref: DataFrame, cur: DataFrame, keyCol: String,
       valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

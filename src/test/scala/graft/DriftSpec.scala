@@ -70,6 +70,30 @@ class DriftSpec extends SparkSpec {
       r.getDouble(2) > 0))
   }
 
+  test("embeddingDrift: orthogonal centroids score cos 0 and " +
+      "shift sqrt(2); identical slices score cos 1, shift 0") {
+    val d = df("id BIGINT, v ARRAY<FLOAT>", Seq(
+      Row(0L, Seq(1.0f, 0.0f)), Row(2L, Seq(1.0f, 0.0f)),
+      Row(1L, Seq(0.0f, 1.0f)),
+      Row(null, Seq(9.0f, 9.0f)),      // null side flag excluded
+      Row(4L, null)))                   // null vector excluded
+    val out = Drift.embeddingDrift(d, "v", col("id") % 2 === 0)
+      .collect()(0)
+    assert(out.getLong(0) == 2L && out.getLong(1) == 1L)
+    assert(out.getDouble(2) == 0.0)
+    assert(math.abs(out.getDouble(3) - math.sqrt(2.0)) < 1e-9)
+    val same = Drift.embeddingDrift(d.filter(col("id").isin(0L, 1L)),
+      "v", col("id") === 0).collect()(0)
+    // centroids (1,0) vs (0,1): per-construction check of both ends
+    assert(same.getLong(0) == 1L && same.getLong(1) == 1L)
+    val ident = Drift.embeddingDrift(
+      df("id BIGINT, v ARRAY<FLOAT>", Seq(
+        Row(0L, Seq(3.0f, 4.0f)), Row(1L, Seq(3.0f, 4.0f)))),
+      "v", col("id") === 0).collect()(0)
+    assert(math.abs(ident.getDouble(2) - 1.0) < 1e-12)
+    assert(ident.getDouble(3) == 0.0)
+  }
+
   test("ksDrift: exact cross-multiplied CDF max, ties step together, " +
       "one-sided key refuses, null/NaN excluded") {
     val ref = df("k STRING, x DOUBLE", Seq(
