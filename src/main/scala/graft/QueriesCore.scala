@@ -190,6 +190,18 @@ object QueriesCore {
         .orderBy("c_custkey")
     }),
 
+    "q345_drift_by_label" -> ((s, dir) => {
+      // q344's exact centroid-drift chains per label — the sliced
+      // audit that localizes WHICH class moved
+      graft.operators.Drift.embeddingDriftByKey(
+        tbl(s, dir, "embeddings"), "label", "embedding",
+        col("vec_id") % 2 === 0)
+        .select(col("label"), col("n_ref"), col("n_cur"),
+          round(col("cos_centroid"), 6).as("cos_centroid"),
+          round(col("shift_l2"), 6).as("shift_l2"))
+        .orderBy("label")
+    }),
+
     "q344_embedding_drift" -> ((s, dir) => {
       // centroid drift between the even- and odd-id embedding
       // slices: exact per-dim integer sums, the sum-vector cosine
@@ -1148,6 +1160,40 @@ object QueriesCore {
     // the identical left fold via list_reduce (DuckDB evaluates it
     // left-to-right, proven in the round-4 build notes), so norm and
     // quotient are bit-identical; zero/null-poisoned vectors drop
+    // q344's SQL with label joined through every grouping
+    "q345_drift_by_label" ->
+      """WITH v AS (SELECT label, vec_id, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0
+        |    AND vec_id IS NOT NULL AND label IS NOT NULL),
+        |n AS (SELECT label,
+        |    CAST(COUNT(*) FILTER (vec_id % 2 = 0) AS BIGINT) AS na,
+        |    CAST(COUNT(*) FILTER (vec_id % 2 <> 0) AS BIGINT) AS nb
+        |  FROM v GROUP BY label),
+        |ex AS (SELECT label, vec_id,
+        |    CAST(t.i AS BIGINT) AS d,
+        |    CAST(round(CAST(embedding[t.i + 1] AS DOUBLE) * 1000)
+        |      AS BIGINT) AS q
+        |  FROM v, UNNEST(range(len(embedding))) AS t(i)),
+        |pd AS (SELECT label, d,
+        |    COALESCE(SUM(CAST(q AS HUGEINT))
+        |      FILTER (vec_id % 2 = 0), 0) AS sa,
+        |    COALESCE(SUM(CAST(q AS HUGEINT))
+        |      FILTER (vec_id % 2 <> 0), 0) AS sb
+        |  FROM ex GROUP BY label, d),
+        |m AS (SELECT pd.label, na, nb, SUM(sa * sb) AS dot,
+        |    SUM(sa * sa) AS naa, SUM(sb * sb) AS nbb,
+        |    SUM((sa * nb - sb * na) * (sa * nb - sb * na)) AS sh
+        |  FROM pd JOIN n ON pd.label = n.label
+        |  GROUP BY pd.label, na, nb)
+        |SELECT label, na AS n_ref, nb AS n_cur,
+        |  CASE WHEN na > 0 AND nb > 0 AND naa > 0 AND nbb > 0 THEN
+        |    ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(naa AS DOUBLE))
+        |      * sqrt(CAST(nbb AS DOUBLE))), 6) END AS cos_centroid,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    ROUND(sqrt(CAST(sh AS DOUBLE)) / (CAST(na AS DOUBLE)
+        |      * CAST(nb AS DOUBLE) * 1000), 6) END AS shift_l2
+        |FROM m ORDER BY 1""".stripMargin,
+
     // same round(x*1000) quantization, exact HUGEINT per-dim sums,
     // the same sum-vector cosine and integer shift chains
     "q344_embedding_drift" ->

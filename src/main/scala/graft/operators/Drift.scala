@@ -181,6 +181,57 @@ object Drift {
         .as("shift_l2"))
   }
 
+  /** Per-KEY [[embeddingDrift]] — one centroid-drift row per group
+    * (per encoder version, per source, per label): the slice counts
+    * ride a |keys|-row agg joined back onto the |keys|·|dims| sum
+    * frame, so the exact integer chains are identical to the global
+    * op with the count literals replaced by per-key columns. Keys
+    * with an empty side refuse the readouts with null (nothing to
+    * compare) but still report their counts.
+    */
+  def embeddingDriftByKey(df: DataFrame, keyCol: String,
+      vecCol: String, isRef: Column): DataFrame = {
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(col(keyCol).isNotNull &&
+      col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
+      isRef.isNotNull)
+    val counts = base.groupBy(col(keyCol))
+      .agg(count(when(isRef, lit(1))).as("n_ref"),
+        count(when(!isRef, lit(1))).as("n_cur"))
+    val perDim = base
+      .select(col(keyCol), isRef.as("__r"),
+        posexplode(graft.dedup.Dedup.quantize(col(vecCol)))
+          .as(Seq("__d", "__q")))
+      .groupBy(col(keyCol), col("__d"))
+      .agg(sum(when(col("__r"), d38(col("__q")))).as("__sa"),
+        sum(when(!col("__r"), d38(col("__q")))).as("__sb"))
+    val sa = coalesce(col("__sa"), lit(0).cast("decimal(38,0)"))
+    val sb = coalesce(col("__sb"), lit(0).cast("decimal(38,0)"))
+    val na = d19(col("n_ref")); val nb = d19(col("n_cur"))
+    val sd = d19(sa) * nb - d19(sb) * na
+    val agg = perDim.join(counts, Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(max(col("n_ref")).as("n_ref"),
+        max(col("n_cur")).as("n_cur"),
+        sum((d19(sa) * d19(sb)).cast("decimal(38,0)")).as("__dot"),
+        sum((d19(sa) * d19(sa)).cast("decimal(38,0)")).as("__naa"),
+        sum((d19(sb) * d19(sb)).cast("decimal(38,0)")).as("__nbb"),
+        sum((sd * sd).cast("decimal(38,0)")).as("__shift2"))
+    agg.select(col(keyCol), col("n_ref"), col("n_cur"),
+      when(col("n_ref") > 0 && col("n_cur") > 0 &&
+          col("__naa") > 0 && col("__nbb") > 0,
+        col("__dot").cast("double") /
+          (sqrt(col("__naa").cast("double")) *
+            sqrt(col("__nbb").cast("double"))))
+        .as("cos_centroid"),
+      when(col("n_ref") > 0 && col("n_cur") > 0,
+        sqrt(col("__shift2").cast("double")) /
+          (col("n_ref").cast("double") * col("n_cur").cast("double")
+            * lit(1000.0)))
+        .as("shift_l2"))
+  }
+
   def ksDrift(ref: DataFrame, cur: DataFrame, keyCol: String,
       valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

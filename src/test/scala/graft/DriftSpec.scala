@@ -94,6 +94,23 @@ class DriftSpec extends SparkSpec {
     assert(ident.getDouble(3) == 0.0)
   }
 
+  test("embeddingDriftByKey: per-key chains equal the global op on " +
+      "a single-key frame; empty side refuses readouts") {
+    val d = df("id BIGINT, k STRING, v ARRAY<FLOAT>", Seq(
+      Row(0L, "a", Seq(1.0f, 0.0f)), Row(2L, "a", Seq(1.0f, 0.0f)),
+      Row(1L, "a", Seq(0.0f, 1.0f)),
+      Row(0L, "b", Seq(2.0f, 2.0f)))) // only a ref side
+    val out = Drift.embeddingDriftByKey(d, "k", "v",
+      col("id") % 2 === 0).orderBy("k").collect()
+    assert(out(0).getString(0) == "a")
+    assert(out(0).getLong(1) == 2L && out(0).getLong(2) == 1L)
+    assert(out(0).getDouble(3) == 0.0)
+    assert(math.abs(out(0).getDouble(4) - math.sqrt(2.0)) < 1e-9)
+    assert(out(1).getString(0) == "b")
+    assert(out(1).getLong(1) == 1L && out(1).getLong(2) == 0L)
+    assert(out(1).isNullAt(3) && out(1).isNullAt(4))
+  }
+
   test("ksDrift: exact cross-multiplied CDF max, ties step together, " +
       "one-sided key refuses, null/NaN excluded") {
     val ref = df("k STRING, x DOUBLE", Seq(
