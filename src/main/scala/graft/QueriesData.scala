@@ -113,6 +113,15 @@ object QueriesData {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q346_vocab_growth" -> ((s, dir) => {
+      // Heaps-law saturation: new-vocabulary count per 100-doc
+      // slice — exact MIN first-sightings, integer div buckets
+      graft.text.TextOps.vocabularyGrowth(
+        tbl(s, dir, "documents"), "doc_id", "text",
+        bucketSize = 100L)
+        .orderBy("bucket")
+    }),
+
     "q342_fuzzy_pairs" -> ((s, dir) => {
       // record linkage at edit distance <= 1 via deletion-
       // neighborhood blocking; the oracle is the EXHAUSTIVE all-
@@ -4105,6 +4114,18 @@ object QueriesData {
         |  ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY 1, 2""".stripMargin,
+
+    // same whitespace token grid, exact MIN first-doc, integer
+    // division buckets
+    "q346_vocab_growth" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |fs AS (SELECT tok, MIN(doc_id) AS f FROM tk GROUP BY tok)
+        |SELECT CAST(f // 100 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_new_tokens
+        |FROM fs GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q40_dedup_exact" ->
       """WITH t AS (SELECT * FROM documents

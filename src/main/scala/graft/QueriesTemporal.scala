@@ -185,6 +185,19 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q347_wilson_ctr" -> ((s, dir) => {
+      // smoothed per-user purchase rate: exact (n, k) rollup, one
+      // fixed-operand Wilson chain with the z literal shared
+      // between engines
+      graft.operators.Eval.wilsonRate(
+        tbl(s, dir, "events"), "user_id",
+        col("event_type") === "purchase", z = 1.96)
+        .select(col("user_id"), col("n_obs"), col("n_success"),
+          round(col("rate"), 6).as("rate"),
+          round(col("wilson_lb"), 6).as("wilson_lb"))
+        .orderBy("user_id")
+    }),
+
     "q343_corr_matrix" -> ((s, dir) => {
       // the whole feature-screening matrix in ONE scan: C(3,2)
       // exact-moment Pearson pairs as registers of a single global
@@ -1599,6 +1612,28 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // exact (n, k), the identical Wilson chain with the same JVM
+    // z/z^2 literals, divisions inside ROUND
+    "q347_wilson_ctr" -> {
+      val z = 1.96; val z2 = z * z
+      s"""WITH a AS (SELECT user_id,
+         |    CAST(COUNT(CASE WHEN event_type IS NOT NULL THEN 1
+         |      END) AS BIGINT) AS n_obs,
+         |    CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1
+         |      END) AS BIGINT) AS n_success
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         |b AS (SELECT user_id, n_obs, n_success,
+         |    CAST(n_success AS DOUBLE) / CAST(n_obs AS DOUBLE)
+         |      AS p,
+         |    CAST(n_obs AS DOUBLE) AS n
+         |  FROM a WHERE n_obs > 0)
+         |SELECT user_id, n_obs, n_success, ROUND(p, 6) AS rate,
+         |  ROUND((p + $z2 / (n * 2) - $z *
+         |    sqrt(p * (1 - p) / n + $z2 / (n * n * 4))) /
+         |    (1 + $z2 / n), 6) AS wilson_lb
+         |FROM b ORDER BY 1""".stripMargin
+    },
 
     // q308's six-moment chains, one aggregated CTE feeding three
     // per-pair readouts (UNION ALL keeps each chain verbatim)

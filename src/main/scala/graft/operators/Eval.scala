@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Feature-evaluation metrics for screening candidate features before
@@ -520,5 +520,37 @@ object Eval {
       .withColumn("cum_lift",
         when(isnan(col("cum_lift")), lit(null))
           .otherwise(col("cum_lift")))
+  }
+
+  /** Per-group SMOOTHED success rate — the serve-safe CTR/CVR
+    * feature: raw `rate = k/n` plus the WILSON lower bound at
+    * confidence `z` (the ranking statistic that stops a 1/1 novice
+    * outranking a 980/1000 veteran). Emits `n_obs`, `n_success`,
+    * `rate`, `wilson_lb`; a group with zero observations of the
+    * success flag is absent (nothing to rate).
+    *
+    * Exactness: n and k are exact integers from one map-side-
+    * combined rollup; the bound is ONE fixed-operand-order double
+    * chain with z embedded as a compile-time literal, so any engine
+    * replays it to the ulp. Null success flags count in neither n
+    * nor k (an unlabeled impression is not a failure).
+    */
+  def wilsonRate(df: DataFrame, keyCol: String, successCol: Column,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0, s"wilsonRate: z > 0, got $z")
+    val agg = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(when(successCol.isNotNull, lit(1))).as("n_obs"),
+        count(when(successCol === true, lit(1))).as("n_success"))
+      .filter(col("n_obs") > 0)
+    val nD = col("n_obs").cast("double")
+    val kD = col("n_success").cast("double")
+    val p = kD / nD
+    val z2 = lit(z * z)
+    val lb = (p + z2 / (nD * 2) - lit(z) *
+      sqrt(p * (lit(1.0) - p) / nD + z2 / (nD * nD * 4))) /
+      (lit(1.0) + z2 / nD)
+    agg.select(col(keyCol), col("n_obs"), col("n_success"),
+      p.as("rate"), lb.as("wilson_lb"))
   }
 }

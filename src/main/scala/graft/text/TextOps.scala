@@ -277,6 +277,30 @@ object TextOps {
     try ranked.localCheckpoint(true) finally cleanup()
   }
 
+  /** VOCABULARY GROWTH curve (Heaps-law audit) — how many tokens
+    * appear for the FIRST time in each `bucketSize`-document slice of
+    * the corpus order: the saturation signal a curation pass reads
+    * before deciding more data still buys new language ("the last
+    * million docs contributed 0.1% new vocabulary — stop crawling
+    * this source"). Token grid = the same whitespace split as
+    * [[vocabulary]]; first sighting = exact MIN(doc id); bucket =
+    * integer `div` (2^53-safe). Output: one row per bucket that
+    * introduced anything — `bucket`, `n_new_tokens`.
+    *
+    * Scale shape: one (token) min-agg (map-side combined) and one
+    * |buckets|-row count — never a sort, never a window.
+    */
+  def vocabularyGrowth(df: DataFrame, idCol: String, textCol: String,
+      bucketSize: Long): DataFrame = {
+    require(bucketSize >= 1, s"bucketSize >= 1, got $bucketSize")
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(min(col("__id")).as("__first"))
+      .groupBy(expr(s"__first div ${bucketSize}L").as("bucket"))
+      .agg(count(lit(1)).as("n_new_tokens"))
+  }
+
   /** One-row corpus report card — the per-snapshot data-quality
     * summary: document and token volume, language spread (count +
     * Shannon entropy of the language distribution), and the exact

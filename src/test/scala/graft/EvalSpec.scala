@@ -2,11 +2,38 @@ package graft
 
 import graft.operators.Eval
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 class EvalSpec extends SparkSpec {
 
   private def auc(rows: Seq[Row]) =
     Eval.rankAuc(df("s DOUBLE, y INT", rows), "s", "y").head()
+
+  test("wilsonRate: exact counts, the 1/1 novice ranks below the " +
+      "98/100 veteran, null flags count nowhere") {
+    val d = df("k STRING, s BOOLEAN",
+      Seq(Row("a", true), Row("a", false), Row("a", null),
+        Row("b", true)) ++
+        (1 to 98).map(_ => Row("c", true)) ++
+        Seq(Row("c", false), Row("c", false)))
+    val out = Eval.wilsonRate(d, "k", col("s"), z = 1.96)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toList
+    val a = out(0); val b = out(1); val c = out(2)
+    assert(a._2 == 2L && a._3 == 1L && a._4 == 0.5)
+    def wilson(n: Double, k: Double): Double = {
+      val z = 1.96; val z2 = z * z; val p = k / n
+      (p + z2 / (n * 2) - z *
+        math.sqrt(p * (1 - p) / n + z2 / (n * n * 4))) /
+        (1 + z2 / n)
+    }
+    assert(math.abs(a._5 - wilson(2, 1)) < 1e-12)
+    assert(b._4 == 1.0 && math.abs(b._5 - wilson(1, 1)) < 1e-12)
+    assert(c._4 == 0.98)
+    // the motivating property: smoothed rank flips the raw one
+    assert(b._4 > c._4 && b._5 < c._5)
+  }
 
   test("rankAuc: perfect ordering -> 1.0, inverted -> 0.0, " +
       "ties count half") {

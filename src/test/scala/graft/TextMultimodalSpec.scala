@@ -143,6 +143,18 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(2)._3 == 0.0) // no bigrams -> 0, not null
   }
 
+  test("vocabularyGrowth: exact first sightings per doc bucket") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(0L, "a b"), Row(1L, "b c"),       // bucket 0: a, b, c new
+      Row(150L, "c d e"),                   // bucket 1: d, e new
+      Row(205L, "a e"),                     // nothing new
+      Row(null, "zz"), Row(7L, null)))      // null id/text excluded
+    val got = TextOps.vocabularyGrowth(d, "doc_id", "text", 100L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 3L), (1L, 2L)))
+  }
+
   test("vocabulary: dense freq-ranked ids, no single-partition stage") {
     val rnd = new scala.util.Random(13)
     val words = (0 until 40).map(i => s"w$i")
