@@ -185,6 +185,18 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q348_shrunken_rate" -> ((s, dir) => {
+      // empirical-Bayes purchase rate: micro-exact beta-binomial
+      // moment fit (bounded 3-register collect), one shrink chain
+      graft.operators.Eval.shrunkenRate(
+        tbl(s, dir, "events"), "user_id",
+        col("event_type") === "purchase")
+        .select(col("user_id"), col("n_obs"), col("n_success"),
+          round(col("rate"), 6).as("rate"),
+          round(col("shrunk_rate"), 6).as("shrunk_rate"))
+        .orderBy("user_id")
+    }),
+
     "q347_wilson_ctr" -> ((s, dir) => {
       // smoothed per-user purchase rate: exact (n, k) rollup, one
       // fixed-operand Wilson chain with the z literal shared
@@ -1612,6 +1624,43 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // the same micro-quantized moment fit (exact HUGEINT Σm, Σm²)
+    // and the identical alpha/beta/shrink double chains
+    "q348_shrunken_rate" ->
+      """WITH a AS (SELECT user_id,
+        |    CAST(COUNT(CASE WHEN event_type IS NOT NULL THEN 1
+        |      END) AS BIGINT) AS n_obs,
+        |    CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1
+        |      END) AS BIGINT) AS n_success
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |a2 AS (SELECT * FROM a WHERE n_obs > 0),
+        |q AS (SELECT *, CAST(round(CAST(n_success AS DOUBLE)
+        |    / CAST(n_obs AS DOUBLE) * 1e6) AS BIGINT) AS m
+        |  FROM a2),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS e,
+        |    SUM(CAST(m AS HUGEINT)) AS s1,
+        |    SUM(CAST(m AS HUGEINT) * m) AS s2 FROM q),
+        |g AS (SELECT e, CAST(s1 AS DOUBLE) / e AS aa,
+        |    CAST(s2 AS DOUBLE) / e AS bb FROM f),
+        |h AS (SELECT aa / 1e6 AS mean,
+        |    bb / 1e12 - (aa / 1e6) * (aa / 1e6) AS v FROM g),
+        |i AS (SELECT mean, v, CASE WHEN v > 0 THEN
+        |    mean * (1 - mean) / v - 1 ELSE -1 END AS ab FROM h),
+        |j AS (SELECT
+        |    CASE WHEN ab > 0 AND mean > 0 AND mean < 1
+        |      THEN mean * ab ELSE 0 END AS alpha,
+        |    CASE WHEN ab > 0 AND mean > 0 AND mean < 1
+        |      THEN ab - mean * ab ELSE 0 END AS beta FROM i)
+        |SELECT user_id, n_obs, n_success,
+        |  ROUND(CAST(n_success AS DOUBLE) / CAST(n_obs AS DOUBLE),
+        |    6) AS rate,
+        |  ROUND(CASE WHEN alpha > 0 AND beta > 0 THEN
+        |      (CAST(n_success AS DOUBLE) + alpha)
+        |        / (CAST(n_obs AS DOUBLE) + (alpha + beta))
+        |    ELSE CAST(n_success AS DOUBLE) / CAST(n_obs AS DOUBLE)
+        |    END, 6) AS shrunk_rate
+        |FROM a2, j ORDER BY 1""".stripMargin,
 
     // exact (n, k), the identical Wilson chain with the same JVM
     // z/z^2 literals, divisions inside ROUND

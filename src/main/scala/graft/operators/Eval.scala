@@ -535,6 +535,55 @@ object Eval {
     * replays it to the ulp. Null success flags count in neither n
     * nor k (an unlabeled impression is not a failure).
     */
+  /** Empirical-Bayes BETA-BINOMIAL shrinkage of per-group success
+    * rates — [[wilsonRate]]'s model-based sibling: fit (α, β) to the
+    * population of per-group rates by method of moments, then shrink
+    * every group toward the population mean with strength
+    * proportional to its evidence: `shrunk = (k + α) / (n + α + β)`.
+    * A 1/1 group lands near the prior; a 980/1000 group barely
+    * moves. Emits `n_obs`, `n_success`, `rate`, `shrunk_rate`.
+    *
+    * Exactness: per-group rates are quantized to exact integer
+    * MICRO-units for the moment fit (Σm, Σm² ride exact integer
+    * aggregation, so the fitted α/β are one deterministic double
+    * chain from integers — engine-reproducible, never a float-sum
+    * race); the fit is a bounded 3-register collect. A degenerate
+    * population (zero variance, or moments outside the beta family)
+    * falls back to no shrinkage (`shrunk = rate`).
+    */
+  def shrunkenRate(df: DataFrame, keyCol: String,
+      successCol: Column): DataFrame = {
+    val perKey = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(when(successCol.isNotNull, lit(1))).as("n_obs"),
+        count(when(successCol === true, lit(1))).as("n_success"))
+      .filter(col("n_obs") > 0)
+    val m = round(col("n_success").cast("double") /
+      col("n_obs").cast("double") * lit(1e6), 0).cast("long")
+    val fit = perKey.agg(count(lit(1)).as("e"),
+      sum(m.cast("decimal(38,0)")).as("s1"),
+      sum((m.cast("decimal(19,0)") * m.cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("s2")).head()
+    val e = fit.getLong(0)
+    val s1 = fit.getDecimal(1).doubleValue()
+    val s2 = fit.getDecimal(2).doubleValue()
+    val a = s1 / e; val b = s2 / e
+    val mean = a / 1e6
+    val v = b / 1e12 - (a / 1e6) * (a / 1e6)
+    val ab = if (v > 0) mean * (1 - mean) / v - 1 else -1.0
+    val (alpha, beta) =
+      if (ab > 0 && mean > 0 && mean < 1) (mean * ab, ab - mean * ab)
+      else (0.0, 0.0)
+    val nD = col("n_obs").cast("double")
+    val kD = col("n_success").cast("double")
+    val shrunk =
+      if (alpha > 0 && beta > 0)
+        (kD + lit(alpha)) / (nD + lit(alpha + beta))
+      else kD / nD
+    perKey.select(col(keyCol), col("n_obs"), col("n_success"),
+      (kD / nD).as("rate"), shrunk.as("shrunk_rate"))
+  }
+
   def wilsonRate(df: DataFrame, keyCol: String, successCol: Column,
       z: Double = 1.96): DataFrame = {
     require(z > 0, s"wilsonRate: z > 0, got $z")

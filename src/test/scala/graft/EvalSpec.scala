@@ -35,6 +35,31 @@ class EvalSpec extends SparkSpec {
     assert(b._4 > c._4 && b._5 < c._5)
   }
 
+  test("shrunkenRate: thin groups shrink hard toward the prior, " +
+      "heavy groups barely move, degenerate population falls back") {
+    val d = df("k STRING, s BOOLEAN",
+      (1 to 50).map(_ => Row("lo", false)) ++   // 0/50
+        (1 to 50).map(_ => Row("hi", true)) ++  // 50/50
+        Seq(Row("novice", true)) ++             // 1/1
+        (1 to 50).map(i => Row("mid", i <= 25))) // 25/50
+    val out = Eval.shrunkenRate(d, "k", col("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    val (nN, rawN, shrN) = out("novice")
+    assert(nN == 1L && rawN == 1.0)
+    // one observation: pulled visibly off its raw 1.0
+    assert(shrN < 0.95 && shrN > 0.0)
+    val (_, rawHi, shrHi) = out("hi")
+    assert(rawHi == 1.0 && shrHi > 0.9) // 50 obs: barely moves
+    assert(shrN < shrHi)
+    // degenerate population (all groups identical): no shrinkage
+    val flat = df("k STRING, s BOOLEAN",
+      Seq(Row("a", true), Row("a", false),
+        Row("b", true), Row("b", false)))
+    val fo = Eval.shrunkenRate(flat, "k", col("s")).collect()
+    fo.foreach(r => assert(r.getDouble(4) == r.getDouble(3)))
+  }
+
   test("rankAuc: perfect ordering -> 1.0, inverted -> 0.0, " +
       "ties count half") {
     val perfect = auc(Seq(Row(1.0, 0), Row(2.0, 0), Row(3.0, 1),
