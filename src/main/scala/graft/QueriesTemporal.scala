@@ -185,6 +185,14 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q349_session_paths" -> ((s, dir) => {
+      // empirical user journeys: ordered type sequence per gap
+      // session, exact counts, top-20 with deterministic ties
+      graft.operators.Behavior.sessionPaths(
+        tbl(s, dir, "events"), "user_id", "ts", "event_type",
+        gapSeconds = 1800L, k = 20)
+    }),
+
     "q348_shrunken_rate" -> ((s, dir) => {
       // empirical-Bayes purchase rate: micro-exact beta-binomial
       // moment fit (bounded 3-register collect), one shrink chain
@@ -1624,6 +1632,31 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // q39's session grid on typed rows, the same (ts, type) total
+    // order inside string_agg, exact counts, tie-broken LIMIT
+    "q349_session_paths" ->
+      """WITH t AS (SELECT user_id, ts, event_type,
+        |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         IS NULL
+        |    OR date_diff('microsecond',
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+        |       > 1800000000
+        |  THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |s AS (SELECT user_id, ts, event_type,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM t),
+        |p AS (SELECT user_id, sid,
+        |    string_agg(event_type, '>'
+        |      ORDER BY ts, event_type) AS path
+        |  FROM s GROUP BY 1, 2),
+        |c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |  FROM p GROUP BY 1)
+        |SELECT path, n_sessions FROM c
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
 
     // the same micro-quantized moment fit (exact HUGEINT Σm, Σm²)
     // and the identical alpha/beta/shrink double chains

@@ -1408,6 +1408,38 @@ object Behavior {
           .as("norm_cond"))
   }
 
+  /** TOP-K COMMON SESSION PATHS — the "user journeys" rollup: each
+    * gap session becomes its ordered event-type sequence
+    * (`view>view>click>purchase`), and the k most frequent
+    * sequences are reported with exact counts (ties → the
+    * lexicographically smaller path). The funnel you did not know
+    * to look for ([[funnelSteps]] checks a HYPOTHESIZED order; this
+    * surfaces the empirical ones).
+    *
+    * Determinism: the per-session sequence sorts an array of
+    * (ts, tieBreak, type) structs — total order, engine-exact; the
+    * top-k is an `ORDER BY (count DESC, path) LIMIT k`, which Spark
+    * executes as a distributed takeOrdered — no global-sort stage,
+    * no unpartitioned window. Scale shape: sessionize's entity
+    * exchange, a (entity, session) rollup, a |paths|-row count.
+    */
+  def sessionPaths(df: DataFrame, entity: String, ts: String,
+      typeCol: String, gapSeconds: Long, k: Int): DataFrame = {
+    require(k >= 1, s"sessionPaths: k >= 1, got $k")
+    val sess = graft.temporal.WindowOps.sessionize(
+      df.filter(col(entity).isNotNull && col(ts).isNotNull &&
+        col(typeCol).isNotNull), entity, ts, gapSeconds)
+    val arr = array_sort(collect_list(
+      struct(col(ts), col(typeCol).as("__t"))))
+    sess.groupBy(col(entity), col("session_id"))
+      .agg(concat_ws(">", transform(arr, x => x.getField("__t")))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Consecutive-session TYPE-SET JACCARD — behavioral drift at
     * session grain: for every session with a predecessor (same
     * entity, [[graft.temporal.WindowOps.sessionize]]'s gap rule),

@@ -565,9 +565,10 @@ object Eval {
       sum((m.cast("decimal(19,0)") * m.cast("decimal(19,0)"))
         .cast("decimal(38,0)")).as("s2")).head()
     val e = fit.getLong(0)
-    val s1 = fit.getDecimal(1).doubleValue()
-    val s2 = fit.getDecimal(2).doubleValue()
-    val a = s1 / e; val b = s2 / e
+    val s1 = if (fit.isNullAt(1)) 0.0 else fit.getDecimal(1).doubleValue()
+    val s2 = if (fit.isNullAt(2)) 0.0 else fit.getDecimal(2).doubleValue()
+    val a = if (e > 0) s1 / e else 0.0
+    val b = if (e > 0) s2 / e else 0.0
     val mean = a / 1e6
     val v = b / 1e12 - (a / 1e6) * (a / 1e6)
     val ab = if (v > 0) mean * (1 - mean) / v - 1 else -1.0

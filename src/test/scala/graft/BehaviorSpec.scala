@@ -841,6 +841,21 @@ class BehaviorSpec extends SparkSpec {
     assert(r3.getDouble(5) == 0.0)
   }
 
+  test("sessionPaths: ordered type sequences per gap session, " +
+      "exact counts, deterministic top-k ties") {
+    val d = df("u STRING, ts TIMESTAMP, t STRING", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), "view"),
+      Row("u1", ts("2024-01-01 10:00:10"), "click"),   // s1 v>c
+      Row("u1", ts("2024-01-01 12:00:00"), "view"),
+      Row("u1", ts("2024-01-01 12:00:05"), "click"),   // s2 v>c
+      Row("u2", ts("2024-01-01 10:00:00"), "view"),    // s3 v
+      Row("u2", ts("2024-01-01 13:00:00"), "buy")))    // s4 buy
+    val got = Behavior.sessionPaths(d, "u", "ts", "t", 1800L, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // ties at count 1 break lexicographically; only k=3 survive
+    assert(got == Seq(("view>click", 2L), ("buy", 1L), ("view", 1L)))
+  }
+
   test("dowVector: Sunday = phase 0, modal weekday with exact " +
       "share, circular mean on the 7-cycle") {
     val d = df("u STRING, ts TIMESTAMP", Seq(

@@ -274,6 +274,20 @@ class EmptyInputSpec extends SparkSpec {
     assert(Behavior.dowVector(ev, "e", "ts").count() == 0)
     assert(graft.dedup.Dedup.editDistancePairs(
       df("id BIGINT, s STRING", Seq.empty), "id", "s").count() == 0)
+    assert(Behavior.sessionPaths(ev, "e", "ts", "t", 1800L, 5)
+      .count() == 0)
+    import graft.operators.Eval
+    assert(Eval.wilsonRate(ev, "e", col("t") === "x").count() == 0)
+    assert(Eval.shrunkenRate(ev, "e", col("t") === "x").count() == 0)
+    assert(graft.text.TextOps.vocabularyGrowth(
+      df("doc_id BIGINT, text STRING", Seq.empty), "doc_id",
+      "text", 100L).count() == 0)
+    assert(graft.operators.GroupOps.correlationMatrix(
+      df("x DOUBLE, y DOUBLE", Seq.empty), Seq("x", "y"))
+      .collect().forall(_.isNullAt(3)))
+    assert(graft.operators.Drift.embeddingDriftByKey(
+      df("id BIGINT, k STRING, v ARRAY<FLOAT>", Seq.empty),
+      "k", "v", col("id") % 2 === 0).count() == 0)
     assert(Behavior.transitionEntropy(ev, "e", "ts", "t", Seq("id"))
       .count() == 0)
     assert(WindowOps.gapSurprise(ev, "e", "ts", Seq("id"))
