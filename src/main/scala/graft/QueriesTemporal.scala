@@ -185,6 +185,15 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q350_null_patterns" -> ((s, dir) => {
+      // which columns go missing TOGETHER: exact per-mask counts,
+      // <= 2^3 rows out of any input size
+      graft.operators.Profile.nullPatterns(
+        tbl(s, dir, "events"),
+        Seq("user_id", "event_type", "value"))
+        .orderBy("mask")
+    }),
+
     "q349_session_paths" -> ((s, dir) => {
       // empirical user journeys: ordered type sequence per gap
       // session, exact counts, top-20 with deterministic ties
@@ -1632,6 +1641,21 @@ object QueriesTemporal {
         |FROM s1 LEFT JOIN s2 ON s1.e = s2.e
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
+
+    // identical bit weights and concat_ws null-skipping
+    "q350_null_patterns" ->
+      """WITH m AS (SELECT
+        |    (CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |  + (CASE WHEN event_type IS NULL THEN 2 ELSE 0 END)
+        |  + (CASE WHEN value IS NULL THEN 4 ELSE 0 END) AS mask,
+        |  concat_ws(',',
+        |    CASE WHEN user_id IS NULL THEN 'user_id' END,
+        |    CASE WHEN event_type IS NULL THEN 'event_type' END,
+        |    CASE WHEN value IS NULL THEN 'value' END) AS null_cols
+        |  FROM events)
+        |SELECT CAST(mask AS BIGINT) AS mask, null_cols,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM m GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     // q39's session grid on typed rows, the same (ts, type) total
     // order inside string_agg, exact counts, tie-broken LIMIT

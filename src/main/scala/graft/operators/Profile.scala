@@ -237,6 +237,31 @@ object Profile {
   /** Two-name form for sides that spell the key differently
     * (fact `user_id` vs dim `c_custkey`).
     */
+  /** NULL-PATTERN profile — which COMBINATIONS of columns go
+    * missing together: one row per observed null-mask with its
+    * exact row count and the readable list of null columns. The
+    * data-quality primitive that distinguishes "5% of values are
+    * null" (fine) from "value and event_type are always null
+    * TOGETHER" (a broken producer). `mask` bit i = `cols(i)` is
+    * null — pure integer math; `null_cols` joins the names in
+    * `cols` order. One map-side-combined aggregation; at most
+    * 2^|cols| rows out regardless of input size.
+    */
+  def nullPatterns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.size <= 62,
+      s"nullPatterns: 1..62 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size,
+      s"duplicate columns in $cols")
+    val mask = cols.zipWithIndex.map { case (c, i) =>
+      when(col(c).isNull, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val nullList = concat_ws(",", cols.zipWithIndex.map {
+      case (c, i) => when(col(c).isNull, lit(c))
+    }: _*)
+    df.groupBy(mask.as("mask"), nullList.as("null_cols"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   def joinAudit(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String): DataFrame =
     joinAudit(left.select(col(leftKey)),

@@ -5,6 +5,19 @@ import org.apache.spark.sql.Row
 
 class ProfileSpec extends SparkSpec {
 
+  test("nullPatterns: exact per-mask counts, readable null lists") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.Row
+    val d = df("a STRING, b DOUBLE", Seq(
+      Row("x", 1.0), Row("x", 1.0),
+      Row(null, 2.0), Row("y", null), Row(null, null)))
+    val got = Profile.nullPatterns(d, Seq("a", "b"))
+      .orderBy("mask").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (0L, "", 2L), (1L, "a", 1L), (2L, "b", 1L), (3L, "a,b", 1L)))
+  }
+
   test("columnProfile: per-column coverage, null rate and exact " +
       "distinct cardinality in one melted pass") {
     val d = df("a STRING, b INT", Seq(
