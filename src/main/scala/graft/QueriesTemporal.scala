@@ -185,6 +185,19 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q351_funnel_report" -> ((s, dir) => {
+      // q261's funnel rolled to the dashboard grain: exact reach
+      // counts, conversion from step 1, exact-decimal mean latency
+      graft.operators.Behavior.funnelReport(
+        tbl(s, dir, "events"), "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase"),
+        horizonSeconds = 3L * 86400L)
+        .select(col("step_idx"), col("step_name"), col("n_reached"),
+          round(col("conv_from_first"), 6).as("conv_from_first"),
+          round(col("mean_latency_s"), 6).as("mean_latency_s"))
+        .orderBy("step_idx")
+    }),
+
     "q350_null_patterns" -> ((s, dir) => {
       // which columns go missing TOGETHER: exact per-mask counts,
       // <= 2^3 rows out of any input size
@@ -4113,10 +4126,34 @@ object QueriesTemporal {
          |  FROM (${baseOracles("q327_time_to_next_type")})) c
          |  USING (event_id)
          |ORDER BY 1""".stripMargin
+    // literally q261's funnel CTEs, melted to steps and rolled up
+    // with exact HUGEINT latency sums
+    val funnelReport = {
+      val funnel = baseOracles("q261_funnel_steps")
+      s"""WITH f AS ($funnel),
+         |m AS (
+         |  SELECT 1 AS step_idx, 'view' AS step_name,
+         |    t1_us AS t_us, t1_us AS t1 FROM f
+         |  UNION ALL SELECT 2, 'click', t2_us, t1_us FROM f
+         |  UNION ALL SELECT 3, 'purchase', t3_us, t1_us FROM f),
+         |a AS (SELECT step_idx, step_name,
+         |    CAST(COUNT(t_us) AS BIGINT) AS n_reached,
+         |    SUM(CAST(t_us - t1 AS HUGEINT)) AS slat
+         |  FROM m GROUP BY 1, 2),
+         |n1 AS (SELECT n_reached AS n1 FROM a WHERE step_idx = 1)
+         |SELECT step_idx, step_name, n_reached,
+         |  ROUND(CASE WHEN n1 > 0 THEN CAST(n_reached AS DOUBLE)
+         |    / CAST(n1 AS DOUBLE) END, 6) AS conv_from_first,
+         |  ROUND(CASE WHEN n_reached > 0 THEN
+         |    CAST(slat AS DOUBLE) / CAST(n_reached AS DOUBLE) / 1e6
+         |    END, 6) AS mean_latency_s
+         |FROM a, n1 ORDER BY 1""".stripMargin
+    }
     baseOracles +
       ("q303_feature_matrix" -> matrix) +
       // bucketing is a layout change, never a value change
       ("q304_bucketed_matrix" -> matrix) +
-      ("q335_training_v2" -> trainingV2)
+      ("q335_training_v2" -> trainingV2) +
+      ("q351_funnel_report" -> funnelReport)
   }
 }

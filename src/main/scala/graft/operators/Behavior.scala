@@ -1408,6 +1408,47 @@ object Behavior {
           .as("norm_cond"))
   }
 
+  /** FUNNEL REPORT — [[funnelSteps]] rolled up to the dashboard
+    * grain: one row per step with `n_reached` (exact), the
+    * conversion rate from step 1 and the mean latency from step 1
+    * in seconds (exact decimal Σ of integer micros, one division;
+    * step 1 reports 0.0). The per-entity step instants stay
+    * available via [[funnelSteps]]; this is the bounded
+    * |steps|-row readout a monitoring job actually ships.
+    *
+    * Scale shape: the funnel scan itself, then ONE explode to the
+    * (entity × steps) melt and one |steps|-row map-side-combined
+    * rollup; the step-1 denominator attaches as a broadcast 1-row
+    * aggregate. No window, no second scan.
+    */
+  def funnelReport(df: DataFrame, entity: String, ts: String,
+      typeCol: String, steps: Seq[String], horizonSeconds: Long)
+      : DataFrame = {
+    val fs = funnelSteps(df, entity, ts, typeCol, steps,
+      horizonSeconds)
+    val melt = steps.indices.map { i =>
+      struct(lit(i + 1).as("step_idx"),
+        lit(steps(i)).as("step_name"),
+        col(s"t${i + 1}_us").as("__t"), col("t1_us").as("__t1"))
+    }
+    val perStep = fs
+      .select(explode(array(melt: _*)).as("s")).select(col("s.*"))
+      .groupBy(col("step_idx"), col("step_name"))
+      .agg(count(col("__t")).as("n_reached"),
+        sum((col("__t") - col("__t1")).cast("decimal(38,0)"))
+          .as("__slat"))
+    val n1 = perStep.filter(col("step_idx") === 1)
+      .select(col("n_reached").as("__n1"))
+    perStep.crossJoin(broadcast(n1))
+      .select(col("step_idx"), col("step_name"), col("n_reached"),
+        when(col("__n1") > 0, col("n_reached").cast("double") /
+          col("__n1").cast("double")).as("conv_from_first"),
+        when(col("n_reached") > 0,
+          col("__slat").cast("double") /
+            col("n_reached").cast("double") / 1e6)
+          .as("mean_latency_s"))
+  }
+
   /** TOP-K COMMON SESSION PATHS — the "user journeys" rollup: each
     * gap session becomes its ordered event-type sequence
     * (`view>view>click>purchase`), and the k most frequent

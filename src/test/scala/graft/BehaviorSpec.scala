@@ -841,6 +841,29 @@ class BehaviorSpec extends SparkSpec {
     assert(r3.getDouble(5) == 0.0)
   }
 
+  test("funnelReport: exact reach counts, conversion from step 1, " +
+      "exact mean latencies") {
+    val d = df("u STRING, ts TIMESTAMP, t STRING", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), "A"),
+      Row("u1", ts("2024-01-01 10:00:05"), "B"),
+      Row("u1", ts("2024-01-01 10:00:08"), "C"),
+      Row("u2", ts("2024-01-01 10:00:00"), "A"),
+      Row("u3", ts("2024-01-01 10:00:00"), "A"),
+      Row("u4", ts("2024-01-01 10:00:00"), "A"),
+      Row("u4", ts("2024-01-01 10:00:05"), "B"),
+      Row("u4", ts("2024-01-01 10:00:07"), "C"),
+      Row("u5", ts("2024-01-01 10:00:00"), "B"))) // never reaches A
+    val got = Behavior.funnelReport(d, "u", "ts", "t",
+      Seq("A", "B", "C"), horizonSeconds = 10L)
+      .orderBy("step_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (1, "A", 4L, 1.0, 0.0),
+      (2, "B", 2L, 0.5, 5.0),
+      (3, "C", 2L, 0.5, 7.5)))
+  }
+
   test("sessionPaths: ordered type sequences per gap session, " +
       "exact counts, deterministic top-k ties") {
     val d = df("u STRING, ts TIMESTAMP, t STRING", Seq(
