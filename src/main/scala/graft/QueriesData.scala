@@ -113,6 +113,16 @@ object QueriesData {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q352_token_pmi" -> ((s, dir) => {
+      // far-beyond-chance co-occurrence: DF-pruned distinct token
+      // pairs, exact counts, one ln chain; deterministic top-25
+      graft.text.TextOps.tokenPmi(
+        tbl(s, dir, "documents"), "doc_id", "text",
+        minDf = 20L, maxDf = 400L, k = 25)
+        .select(col("tok_a"), col("tok_b"), col("n_ab"),
+          round(col("pmi"), 6).as("pmi"))
+    }),
+
     "q346_vocab_growth" -> ((s, dir) => {
       // Heaps-law saturation: new-vocabulary count per 100-doc
       // slice — exact MIN first-sightings, integer div buckets
@@ -4114,6 +4124,32 @@ object QueriesData {
         |  ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY 1, 2""".stripMargin,
+
+    // identical distinct token sets, the same DF window, pair join
+    // and the ln chain with N as the same value
+    "q352_token_pmi" ->
+      """WITH pt AS (SELECT DISTINCT doc_id, tok
+        |  FROM (SELECT doc_id,
+        |      unnest(string_split(text, ' ')) AS tok
+        |    FROM documents
+        |    WHERE doc_id IS NOT NULL AND text IS NOT NULL)),
+        |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+        |  FROM pt),
+        |dfc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM pt GROUP BY 1),
+        |kept AS (SELECT pt.doc_id, pt.tok, c
+        |  FROM pt JOIN dfc USING (tok) WHERE c >= 20 AND c <= 400),
+        |pr AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab,
+        |    MAX(a.c) AS na, MAX(b.c) AS nb
+        |  FROM kept a JOIN kept b ON a.doc_id = b.doc_id
+        |    AND a.tok < b.tok
+        |  GROUP BY 1, 2)
+        |SELECT tok_a, tok_b, n_ab,
+        |  ROUND(ln(CAST(n_ab AS DOUBLE) * n
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6) AS pmi
+        |FROM pr, nd
+        |ORDER BY n_ab DESC, tok_a, tok_b LIMIT 25""".stripMargin,
 
     // same whitespace token grid, exact MIN first-doc, integer
     // division buckets

@@ -301,6 +301,53 @@ object TextOps {
       .agg(count(lit(1)).as("n_new_tokens"))
   }
 
+  /** TOP-K TOKEN-PAIR PMI — which tokens co-occur in documents far
+    * beyond chance: pointwise mutual information
+    * `ln(n_ab · N / (n_a · n_b))` over per-document DISTINCT token
+    * pairs, restricted to tokens with document frequency in
+    * `[minDf, maxDf]` (the same DF pruning as the q143 containment
+    * index — hapaxes carry no statistics, boilerplate tokens would
+    * quadratically explode the pair join). Output: the k most
+    * frequent pairs (`tok_a < tok_b`, ties lexicographic) with
+    * exact `n_ab` and the PMI readout.
+    *
+    * Scale shape: pair join confined to documents' PRUNED token
+    * sets (each doc contributes ≤ |kept|² pairs with |kept| bounded
+    * by maxDf pruning), one (pair) count, a takeOrdered k — never
+    * a corpus-wide cross join. N is a bounded 1-register collect.
+    */
+  def tokenPmi(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long, maxDf: Long, k: Int): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf && k >= 1,
+      s"tokenPmi: need 1 <= minDf <= maxDf and k >= 1")
+    val pt = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        explode(tokens(col(textCol))).as("__tok"))
+      .distinct()
+    val nDocs = pt.select(count_distinct(col("__doc"))).head().getLong(0)
+    val dfc = pt.groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minDf && col("__c") <= maxDf)
+    val kept = pt.join(dfc, Seq("__tok"))
+    val a = kept.select(col("__doc"), col("__tok").as("tok_a"),
+      col("__c").as("__ca"))
+    val b = kept.select(col("__doc"), col("__tok").as("tok_b"),
+      col("__c").as("__cb"))
+    a.join(b, Seq("__doc"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("n_ab"),
+        max(col("__ca")).as("__na"), max(col("__cb")).as("__nb"))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        log(col("n_ab").cast("double") * lit(nDocs.toDouble) /
+          (col("__na").cast("double") * col("__nb").cast("double")))
+          .as("pmi"))
+      .orderBy(col("n_ab").desc, col("tok_a").asc,
+        col("tok_b").asc)
+      .limit(k)
+  }
+
   /** One-row corpus report card — the per-snapshot data-quality
     * summary: document and token volume, language spread (count +
     * Shannon entropy of the language distribution), and the exact

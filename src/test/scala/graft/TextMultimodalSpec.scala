@@ -143,6 +143,20 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(2)._3 == 0.0) // no bigrams -> 0, not null
   }
 
+  test("tokenPmi: DF-pruned distinct pairs, exact counts, ln chain, " +
+      "deterministic tie order") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "a b c"), Row(2L, "a b"), Row(3L, "a c"),
+      Row(4L, "b c x"))) // x has df 1: pruned
+    val got = TextOps.tokenPmi(d, "doc_id", "text", 2L, 3L, 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    val pmi = math.log(2.0 * 4.0 / (3.0 * 3.0))
+    assert(got.map(t => (t._1, t._2, t._3)) == Seq(
+      ("a", "b", 2L), ("a", "c", 2L), ("b", "c", 2L)))
+    got.foreach(t => assert(math.abs(t._4 - pmi) < 1e-12))
+  }
+
   test("vocabularyGrowth: exact first sightings per doc bucket") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       Row(0L, "a b"), Row(1L, "b c"),       // bucket 0: a, b, c new
