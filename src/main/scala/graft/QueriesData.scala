@@ -113,6 +113,23 @@ object QueriesData {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q353_template_groups" -> ((s, dir) => {
+      // permutation boilerplate: every 10th doc re-appears with its
+      // tokens REVERSED (a pure permutation — invisible to exact
+      // dedup); the sorted-multiset signature must group each twin
+      // with its source. md5 of the sorted tokens, groups >= 2,
+      // top-20 by exact size
+      val docs = tbl(s, dir, "documents")
+      val shuffled = docs
+        .filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), " ")))
+            .as("text"))
+      graft.text.TextOps.templateGroups(
+        docs.select("doc_id", "text").unionByName(shuffled),
+        "doc_id", "text", k = 20)
+    }),
+
     "q352_token_pmi" -> ((s, dir) => {
       // far-beyond-chance co-occurrence: DF-pruned distinct token
       // pairs, exact counts, one ln chain; deterministic top-25
@@ -4124,6 +4141,28 @@ object QueriesData {
         |  ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY 1, 2""".stripMargin,
+
+    // identical sorted-multiset signature (list_sort + md5), exact
+    // counts, the same tie-broken LIMIT
+    "q353_template_groups" ->
+      """WITH t AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(list_reverse(string_split(text, ' ')),
+        |      ' ')
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |s AS (SELECT doc_id,
+        |    md5(array_to_string(list_sort(string_split(text, ' ')),
+        |      ' ')) AS template_sig
+        |  FROM t
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |g AS (SELECT template_sig,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    MIN(doc_id) AS min_doc_id
+        |  FROM s GROUP BY 1)
+        |SELECT template_sig, n_docs, min_doc_id FROM g
+        |WHERE n_docs >= 2
+        |ORDER BY n_docs DESC, template_sig LIMIT 20""".stripMargin,
 
     // identical distinct token sets, the same DF window, pair join
     // and the ln chain with N as the same value

@@ -301,6 +301,33 @@ object TextOps {
       .agg(count(lit(1)).as("n_new_tokens"))
   }
 
+  /** TEMPLATE GROUPS — documents that are token PERMUTATIONS of one
+    * another (slot-filled boilerplate, shuffled spam variants): the
+    * signature is md5 of the space-joined SORTED token multiset, so
+    * word order vanishes but counts matter ("a a b" ≠ "a b b").
+    * Output: one row per group with ≥ 2 members — `template_sig`,
+    * exact `n_docs`, `min_doc_id` (the canonical representative) —
+    * top-k by size (ties → smaller sig). The exact-dup detector
+    * misses these (different byte strings); MinHash blurs them into
+    * near-dups; this names them precisely.
+    *
+    * Scale shape: one projection (sort + hash per doc), one
+    * |groups|-row count, a takeOrdered k. Never a pair join.
+    */
+  def templateGroups(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"templateGroups: k >= 1, got $k")
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        md5(concat_ws(" ", sort_array(tokens(col(textCol)))))
+          .as("template_sig"))
+      .groupBy(col("template_sig"))
+      .agg(count(lit(1)).as("n_docs"), min(col("__id")).as("min_doc_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("template_sig").asc)
+      .limit(k)
+  }
+
   /** TOP-K TOKEN-PAIR PMI — which tokens co-occur in documents far
     * beyond chance: pointwise mutual information
     * `ln(n_ab · N / (n_a · n_b))` over per-document DISTINCT token

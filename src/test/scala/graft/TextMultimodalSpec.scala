@@ -143,6 +143,19 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(2)._3 == 0.0) // no bigrams -> 0, not null
   }
 
+  test("templateGroups: permutations group, multisets distinguish, " +
+      "singletons drop") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "buy now cheap"), Row(2L, "cheap buy now"),
+      Row(3L, "now cheap buy"),            // 3 permutations
+      Row(4L, "a a b"), Row(5L, "b a a"),  // multiset {a,a,b}
+      Row(6L, "a b b"),                    // different multiset
+      Row(7L, "unique text here")))        // singleton drops
+    val got = TextOps.templateGroups(d, "doc_id", "text", 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((3L, 1L), (2L, 4L)))
+  }
+
   test("tokenPmi: DF-pruned distinct pairs, exact counts, ln chain, " +
       "deterministic tie order") {
     val d = df("doc_id BIGINT, text STRING", Seq(
