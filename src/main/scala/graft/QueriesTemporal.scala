@@ -185,6 +185,15 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q354_type_pivot" -> ((s, dir) => {
+      // fixed-width behavioral count vector: exact conditional
+      // counts, one rollup
+      graft.operators.Behavior.typePivot(
+        tbl(s, dir, "events"), "user_id", "event_type",
+        Seq("view", "click", "purchase", "error"))
+        .orderBy("user_id")
+    }),
+
     "q351_funnel_report" -> ((s, dir) => {
       // q261's funnel rolled to the dashboard grain: exact reach
       // counts, conversion from step 1, exact-decimal mean latency
@@ -4126,6 +4135,24 @@ object QueriesTemporal {
          |  FROM (${baseOracles("q327_time_to_next_type")})) c
          |  USING (event_id)
          |ORDER BY 1""".stripMargin
+    // identical conditional counts
+    val typePivotSql =
+      """SELECT user_id,
+        |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+        |    AS BIGINT) AS n_view,
+        |  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+        |    AS BIGINT) AS n_click,
+        |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |    AS BIGINT) AS n_purchase,
+        |  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+        |    AS BIGINT) AS n_error,
+        |  CAST(COUNT(CASE WHEN event_type IS NOT NULL
+        |    AND event_type NOT IN ('view', 'click', 'purchase',
+        |      'error') THEN 1 END) AS BIGINT) AS n_other,
+        |  CAST(COUNT(event_type) AS BIGINT) AS n_total
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+
     // literally q261's funnel CTEs, melted to steps and rolled up
     // with exact HUGEINT latency sums
     val funnelReport = {
@@ -4154,6 +4181,7 @@ object QueriesTemporal {
       // bucketing is a layout change, never a value change
       ("q304_bucketed_matrix" -> matrix) +
       ("q335_training_v2" -> trainingV2) +
-      ("q351_funnel_report" -> funnelReport)
+      ("q351_funnel_report" -> funnelReport) +
+      ("q354_type_pivot" -> typePivotSql)
   }
 }

@@ -1408,6 +1408,32 @@ object Behavior {
           .as("norm_cond"))
   }
 
+  /** Per-entity TYPE-COUNT PIVOT — the fixed-width behavioral
+    * count vector every downstream model joins first:
+    * `n_<type>` for each REQUESTED type plus `n_other` (non-null
+    * types outside the list) and `n_total`. Exact integers, one
+    * map-side-combined rollup, |types|+2 registers; the slug/
+    * collision rules mirror
+    * [[graft.temporal.WindowOps.recencyByType]].
+    */
+  def typePivot(df: DataFrame, entity: String, typeCol: String,
+      types: Seq[String]): DataFrame = {
+    require(types.nonEmpty, "typePivot: types must be non-empty")
+    val slugs = types.map(t => t.toLowerCase.replaceAll("[^a-z0-9]+", "_"))
+    require(slugs.distinct.size == types.size,
+      s"typePivot: types collide after slugging: $types")
+    val counts = types.zip(slugs).map { case (t, slug) =>
+      count(when(col(typeCol) === lit(t), lit(1))).as(s"n_$slug")
+    }
+    val other = count(when(col(typeCol).isNotNull &&
+      !col(typeCol).isin(types: _*), lit(1))).as("n_other")
+    val total = count(when(col(typeCol).isNotNull, lit(1)))
+      .as("n_total")
+    df.filter(col(entity).isNotNull)
+      .groupBy(col(entity))
+      .agg(counts.head, (counts.tail :+ other :+ total): _*)
+  }
+
   /** FUNNEL REPORT — [[funnelSteps]] rolled up to the dashboard
     * grain: one row per step with `n_reached` (exact), the
     * conversion rate from step 1 and the mean latency from step 1

@@ -841,6 +841,21 @@ class BehaviorSpec extends SparkSpec {
     assert(r3.getDouble(5) == 0.0)
   }
 
+  test("typePivot: exact conditional counts, other/total buckets, " +
+      "null types count only nowhere") {
+    val d = df("u STRING, t STRING", Seq(
+      Row("u1", "view"), Row("u1", "view"), Row("u1", "click"),
+      Row("u1", "scroll"), Row("u1", null), Row("u2", "purchase")))
+    val got = Behavior.typePivot(d, "u", "t",
+      Seq("view", "click", "purchase"))
+      .orderBy("u").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("u1", 2L, 1L, 0L, 1L, 4L),
+      ("u2", 0L, 0L, 1L, 0L, 1L)))
+  }
+
   test("funnelReport: exact reach counts, conversion from step 1, " +
       "exact mean latencies") {
     val d = df("u STRING, ts TIMESTAMP, t STRING", Seq(
