@@ -867,6 +867,40 @@ object QueriesStreaming {
         .orderBy("event_id")
     }),
 
+    "q356_stream_type_counts" -> ((s, dir) => {
+      // the ONLINE companion of q355: strictly-prior per-type
+      // counters carried as ONE register row per user across 3
+      // REAL micro-batches; the oracle is LITERALLY q355's
+      // windowed SQL
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = tbl(s, dir, "events")
+        .select(col("user_id").cast("long"),
+          col("event_id").cast("long"), col("ts").cast("timestamp"),
+          col("event_type"))
+        .collect()
+        .map(r => StreamingOps.TcEvent(r.getLong(0), r.getLong(1),
+          r.getTimestamp(2),
+          if (r.isNullAt(3)) None else Some(r.getString(3))))
+        .sortBy(e => (StreamingOps.toMicros(e.ts), e.eventId)).toSeq
+      val input = MemoryStream[StreamingOps.TcEvent]
+      val sink = s"q356_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.typeCountsStream(input.toDS(),
+        Seq("view", "click", "purchase", "error"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      drive(input, q, rows, nChunks = 3)
+      s.table(sink)
+        .select(col("eventId").as("event_id"),
+          element_at(col("priorCounts"), 1).as("prior_n_view"),
+          element_at(col("priorCounts"), 2).as("prior_n_click"),
+          element_at(col("priorCounts"), 3).as("prior_n_purchase"),
+          element_at(col("priorCounts"), 4).as("prior_n_error"),
+          col("priorTotal").as("prior_n_total"))
+        .orderBy("event_id")
+    }),
+
     "q334_stream_gap_surprise" -> ((s, dir) => {
       // the ONLINE companion of q332: expanding prior-gap mean and
       // surprise ratio carried as ONE (lastTs, n, Σ) triple per user
@@ -1275,6 +1309,11 @@ object QueriesStreaming {
     // streaming (lastTs, n, Σ) gap-surprise carry
     "q334_stream_gap_surprise" ->
       QueriesTemporal.oracles("q332_gap_surprise"),
+
+    // likewise: q355's strictly-prior conditional-count SQL
+    // certifies the streaming counter registers
+    "q356_stream_type_counts" ->
+      QueriesTemporal.oracles("q355_expanding_counts"),
 
     // likewise: q256's windowed-moment SQL certifies the streaming
     // pairwise-complete corr/beta ring (seventh shared pair)

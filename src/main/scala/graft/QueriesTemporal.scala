@@ -185,6 +185,20 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q355_expanding_counts" -> ((s, dir) => {
+      // PIT-safe count features: strictly-prior per-type counters
+      // on one shared (ts, event_id) sort — an event never counts
+      // itself
+      WindowOps.expandingTypeCounts(tbl(s, dir, "events"),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase", "error"),
+        tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("prior_n_view"),
+          col("prior_n_click"), col("prior_n_purchase"),
+          col("prior_n_error"), col("prior_n_total"))
+        .orderBy("event_id")
+    }),
+
     "q354_type_pivot" -> ((s, dir) => {
       // fixed-width behavioral count vector: exact conditional
       // counts, one rollup
@@ -2184,6 +2198,23 @@ object QueriesTemporal {
         |  ROUND(CAST(COUNT(CASE WHEN ne = 1 THEN 1 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the identical strictly-prior conditional-count window frame
+    "q355_expanding_counts" ->
+      """SELECT event_id,
+        |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+        |    OVER w AS BIGINT) AS prior_n_view,
+        |  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+        |    OVER w AS BIGINT) AS prior_n_click,
+        |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |    OVER w AS BIGINT) AS prior_n_purchase,
+        |  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+        |    OVER w AS BIGINT) AS prior_n_error,
+        |  CAST(COUNT(event_type) OVER w AS BIGINT) AS prior_n_total
+        |FROM events WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |ORDER BY 1""".stripMargin,
 
     // identical bigram frame (lag of type and instant on one sort),
     // exact HUGEINT gap sums, integer min/max, division in ROUND

@@ -881,6 +881,58 @@ object StreamingOps {
       }
   }
 
+  case class TcEvent(entity: Long, eventId: Long, ts: Timestamp,
+    eventType: Option[String])
+  case class TcState(lastTsUs: Long, hasLast: Boolean,
+    counts: Seq[Long], total: Long)
+  case class TcOut(eventId: Long, entity: Long, ts: Timestamp,
+    priorCounts: Seq[Long], priorTotal: Long)
+
+  /** ONLINE expanding type counts — the streaming companion of
+    * [[graft.temporal.WindowOps.expandingTypeCounts]]: each arriving
+    * event reads its entity's strictly-prior per-type counters
+    * (emitted BEFORE the update, so an event never counts itself),
+    * carried as ONE |types|+1-long register row per entity. Exact
+    * integers; q356 certifies against LITERALLY the batch op's
+    * oracle. Same source contract as the other recurrences here
+    * (per-entity ts-nondecreasing across batches, loud failure
+    * otherwise); a null/unknown type still advances `priorTotal`
+    * only if non-null, exactly like the batch conditional counts.
+    */
+  def typeCountsStream(events: Dataset[TcEvent],
+      types: Seq[String]): Dataset[TcOut] = {
+    import events.sparkSession.implicits._
+    require(types.nonEmpty, "typeCountsStream: types non-empty")
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (entity: Long, rows: Iterator[TcEvent],
+         state: GroupState[TcState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.eventId))
+          var st = state.getOption.getOrElse(TcState(Long.MinValue,
+            hasLast = false, Seq.fill(types.size)(0L), 0L))
+          val out = Seq.newBuilder[TcOut]
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            require(!st.hasLast || t >= st.lastTsUs,
+              s"typeCountsStream: entity $entity got ts $t older " +
+                s"than carried state ${st.lastTsUs} — source must " +
+                "be per-entity ts-nondecreasing (backfill late data " +
+                "with the batch WindowOps.expandingTypeCounts)")
+            out += TcOut(e.eventId, entity, e.ts, st.counts, st.total)
+            val i = e.eventType.map(types.indexOf).getOrElse(-1)
+            val counts =
+              if (i >= 0) st.counts.updated(i, st.counts(i) + 1L)
+              else st.counts
+            val total =
+              if (e.eventType.isDefined) st.total + 1L else st.total
+            st = TcState(t, hasLast = true, counts, total)
+          }
+          if (sorted.nonEmpty) state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class ZEvent(entity: Long, eventId: Long, ts: Timestamp,
     value: Option[Double])
   case class ZOut(eventId: Long, entity: Long, ts: Timestamp,

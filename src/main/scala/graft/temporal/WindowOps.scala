@@ -365,6 +365,38 @@ object WindowOps {
     df.select(df.columns.map(col).toIndexedSeq ++ outs: _*)
   }
 
+  /** Per-event EXPANDING TYPE COUNTS — the "how many purchases /
+    * clicks / errors had this user made BEFORE this event" block,
+    * strictly prior so an event never counts itself:
+    * `prior_n_<type>` per requested type plus `prior_n_total`
+    * (all non-null types). With [[recencyByType]] (when) and these
+    * (how many), the classic count-feature vector is complete and
+    * PIT-safe by construction.
+    *
+    * Scale shape: ONE entity exchange + one sort; N+1 conditional
+    * count registers over the same strictly-prior frame. Exact
+    * integers end to end.
+    */
+  def expandingTypeCounts(df: DataFrame, entity: String, ts: String,
+      typeCol: String, types: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(types.nonEmpty, "expandingTypeCounts: types non-empty")
+    val slugs = types.map(t => t.toLowerCase.replaceAll("[^a-z0-9]+", "_"))
+    require(slugs.distinct.size == types.size,
+      s"expandingTypeCounts: types collide after slugging: $types")
+    requireFresh(df, "expandingTypeCounts",
+      slugs.map(sl => s"prior_n_$sl") :+ "prior_n_total": _*)
+    val spec = Window.partitionBy(col(entity))
+      .orderBy((col(ts) +: tieBreak.map(col)).map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val outs = types.zip(slugs).map { case (t, slug) =>
+      count(when(col(typeCol) === lit(t), lit(1))).over(spec)
+        .as(s"prior_n_$slug")
+    } :+ count(when(col(typeCol).isNotNull, lit(1))).over(spec)
+      .as("prior_n_total")
+    df.select(df.columns.map(col).toIndexedSeq ++ outs: _*)
+  }
+
   /** Per-event TIME-TO-NEXT-TYPE — [[recencyByType]]'s forward
     * mirror: for each requested event type, the exact integer
     * microseconds until the entity's next STRICTLY LATER event of

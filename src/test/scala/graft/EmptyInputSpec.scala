@@ -269,6 +269,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(WindowOps.weekpartProfile(ev, "e", "ts", "v").count() == 0)
     assert(WindowOps.timeToNextType(ev, "e", "ts", "t", Seq("x"),
       Seq("id")).count() == 0)
+    assert(WindowOps.expandingTypeCounts(ev, "e", "ts", "t",
+      Seq("x"), Seq("id")).count() == 0)
+    assert(Behavior.typePivot(ev, "e", "t", Seq("x")).count() == 0)
+    assert(Behavior.funnelReport(ev, "e", "ts", "t", Seq("x", "y"),
+      60L).count() == 0)
     assert(Behavior.gapEntropy(ev, "e", "ts").count() == 0)
     assert(Behavior.hourVector(ev, "e", "ts").count() == 0)
     assert(Behavior.dowVector(ev, "e", "ts").count() == 0)

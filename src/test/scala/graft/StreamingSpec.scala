@@ -809,6 +809,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("type counts stream: counter registers carry across " +
+      "batches and equal the batch window op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(
+      StreamingOps.TcEvent(1L, 1L, ts("2024-01-01 10:00:00"),
+        Some("view")),
+      StreamingOps.TcEvent(1L, 2L, ts("2024-01-01 10:00:10"),
+        Some("purchase")),
+      StreamingOps.TcEvent(2L, 3L, ts("2024-01-01 10:00:00"), None),
+      StreamingOps.TcEvent(1L, 4L, ts("2024-01-01 10:00:20"),
+        Some("scroll")),
+      StreamingOps.TcEvent(1L, 5L, ts("2024-01-01 10:00:30"),
+        Some("view")))
+    val input = MemoryStream[StreamingOps.TcEvent]
+    val q = StreamingOps.typeCountsStream(input.toDS(),
+      Seq("view", "purchase"))
+      .writeStream.format("memory").queryName("tc_s")
+      .outputMode("append").start()
+    try {
+      Seq(ev.take(2), ev.slice(2, 4), ev.drop(4)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val got = spark.table("tc_s").orderBy("eventId").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](3).toList,
+          r.getLong(4))).toSeq
+      assert(got == Seq(
+        (1L, List(0L, 0L), 0L),
+        (2L, List(1L, 0L), 1L),
+        (3L, List(0L, 0L), 0L),
+        (4L, List(1L, 1L), 2L),
+        (5L, List(1L, 1L), 3L))) // scroll advanced total only
+      val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, t STRING",
+        ev.map(e => org.apache.spark.sql.Row(e.entity, e.ts,
+          e.eventId, e.eventType.orNull)))
+      val batch = graft.temporal.WindowOps.expandingTypeCounts(
+        d, "e", "ts", "t", Seq("view", "purchase"), Seq("id"))
+        .orderBy("id").collect()
+        .map(r => (r.getLong(2), List(r.getLong(4), r.getLong(5)),
+          r.getLong(6))).toSeq
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("gap surprise stream: one (lastTs, n, sum) triple carries " +
       "across batches and equals the batch window op") {
     import spark.implicits._

@@ -650,6 +650,33 @@ class WindowOpsSpec extends SparkSpec {
       plan)
   }
 
+  test("expandingTypeCounts: strictly-prior conditional counters, " +
+      "an event never counts itself, null types feed nothing, " +
+      "one exchange") {
+    val d = df("e STRING, ts TIMESTAMP, id BIGINT, t STRING", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), 1L, "view"),
+      Row("u1", ts("2024-01-01 10:00:10"), 2L, "purchase"),
+      Row("u1", ts("2024-01-01 10:00:20"), 3L, null),
+      Row("u1", ts("2024-01-01 10:00:30"), 4L, "scroll"),
+      Row("u1", ts("2024-01-01 10:00:40"), 5L, "view")))
+    val out = WindowOps.expandingTypeCounts(d, "e", "ts", "t",
+      Seq("view", "purchase"), tieBreak = Seq("id"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(2), r.getLong(4), r.getLong(5),
+        r.getLong(6))).toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 0L),
+      (2L, 1L, 0L, 1L),
+      (3L, 1L, 1L, 2L),
+      (4L, 1L, 1L, 2L),  // null type added nothing
+      (5L, 1L, 1L, 3L))) // scroll counted in total only
+    val plan = WindowOps.expandingTypeCounts(d, "e", "ts", "t",
+      Seq("view", "purchase"), Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan)
+  }
+
   test("gapSurprise: expanding exact prior-gap mean, strictly " +
       "prior frame, zero-history refuses, one exchange") {
     val d = df("e STRING, ts TIMESTAMP, id BIGINT", Seq(
