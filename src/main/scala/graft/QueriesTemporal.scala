@@ -185,6 +185,34 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q358_dwell_shares" -> ((s, dir) => {
+      // where the TIME went: duration-weighted type mix off exact
+      // decimal dwell sums; raw /1e6 total (pure-division chain)
+      WindowOps.dwellShares(tbl(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        tieBreak = Seq("event_id"))
+        .select(col("user_id"),
+          round(col("dwell_share_view"), 6).as("dwell_share_view"),
+          round(col("dwell_share_click"), 6)
+            .as("dwell_share_click"),
+          round(col("dwell_share_purchase"), 6)
+            .as("dwell_share_purchase"),
+          round(col("dwell_share_other"), 6)
+            .as("dwell_share_other"),
+          col("total_dwell_s"))
+        .orderBy("user_id")
+    }),
+
+    "q357_expanding_distinct" -> ((s, dir) => {
+      // PIT-safe repertoire breadth: distinct types seen strictly
+      // before, first-of-type flags + one running sum on ONE
+      // entity exchange
+      WindowOps.expandingDistinctTypes(tbl(s, dir, "events"),
+        "user_id", "ts", "event_type", tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("prior_n_types"))
+        .orderBy("event_id")
+    }),
+
     "q355_expanding_counts" -> ((s, dir) => {
       // PIT-safe count features: strictly-prior per-type counters
       // on one shared (ts, event_id) sort — an event never counts
@@ -2198,6 +2226,64 @@ object QueriesTemporal {
         |  ROUND(CAST(COUNT(CASE WHEN ne = 1 THEN 1 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical lead-dwell frame, exact HUGEINT bucket sums, share
+    // divisions inside ROUND, raw /1e6 total
+    "q358_dwell_shares" ->
+      """WITH e AS (SELECT user_id, event_type AS t,
+        |    epoch_us(ts) AS us, event_id FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |d AS (SELECT user_id, t,
+        |    LEAD(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) - us AS dw
+        |  FROM e),
+        |f AS (SELECT user_id, t, dw FROM d WHERE dw IS NOT NULL),
+        |r AS (SELECT user_id,
+        |    SUM(CASE WHEN t = 'view' THEN CAST(dw AS HUGEINT) END)
+        |      AS dv,
+        |    SUM(CASE WHEN t = 'click' THEN CAST(dw AS HUGEINT) END)
+        |      AS dc,
+        |    SUM(CASE WHEN t = 'purchase'
+        |      THEN CAST(dw AS HUGEINT) END) AS dp,
+        |    SUM(CASE WHEN t IS NULL
+        |      OR t NOT IN ('view', 'click', 'purchase')
+        |      THEN CAST(dw AS HUGEINT) END) AS dother,
+        |    SUM(CAST(dw AS HUGEINT)) AS dtotal
+        |  FROM f GROUP BY 1)
+        |SELECT user_id,
+        |  ROUND(CASE WHEN dtotal > 0 THEN
+        |    CAST(COALESCE(dv, 0) AS DOUBLE)
+        |      / CAST(dtotal AS DOUBLE) END, 6) AS dwell_share_view,
+        |  ROUND(CASE WHEN dtotal > 0 THEN
+        |    CAST(COALESCE(dc, 0) AS DOUBLE)
+        |      / CAST(dtotal AS DOUBLE) END, 6)
+        |    AS dwell_share_click,
+        |  ROUND(CASE WHEN dtotal > 0 THEN
+        |    CAST(COALESCE(dp, 0) AS DOUBLE)
+        |      / CAST(dtotal AS DOUBLE) END, 6)
+        |    AS dwell_share_purchase,
+        |  ROUND(CASE WHEN dtotal > 0 THEN
+        |    CAST(COALESCE(dother, 0) AS DOUBLE)
+        |      / CAST(dtotal AS DOUBLE) END, 6)
+        |    AS dwell_share_other,
+        |  CAST(dtotal AS DOUBLE) / 1e6 AS total_dwell_s
+        |FROM r ORDER BY 1""".stripMargin,
+
+    // first-of-type ordinal flags + the strictly-prior running sum
+    // on the same (ts, event_id) order
+    "q357_expanding_distinct" ->
+      """WITH f AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type IS NOT NULL AND ROW_NUMBER()
+        |      OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts, event_id) = 1
+        |    THEN 1 ELSE 0 END AS isf
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(COALESCE(SUM(isf) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS prior_n_types
+        |FROM f ORDER BY 1""".stripMargin,
 
     // the identical strictly-prior conditional-count window frame
     "q355_expanding_counts" ->

@@ -397,6 +397,97 @@ object WindowOps {
     df.select(df.columns.map(col).toIndexedSeq ++ outs: _*)
   }
 
+  /** Per-event EXPANDING DISTINCT-TYPE count — how many DISTINCT
+    * action types the entity had exhibited strictly BEFORE this
+    * event (`prior_n_types`): the repertoire-breadth companion of
+    * [[typeNovelty]] (which says whether THIS event is novel) and
+    * [[expandingTypeCounts]] (which counts per requested type —
+    * this one needs no type list). PIT-safe: first-of-type flags
+    * come from a (entity, type) ordinal and the running sum ends at
+    * −1, so an event introducing a new type reads the count WITHOUT
+    * itself.
+    *
+    * Scale shape: hash(entity) satisfies BOTH window clusterings,
+    * so the (entity, type) ordinal and the (entity) running sum
+    * ride ONE exchange (two sorts). Pure integer math.
+    */
+  def expandingDistinctTypes(df: DataFrame, entity: String,
+      ts: String, typeCol: String, tieBreak: Seq[String] = Nil)
+      : DataFrame = {
+    requireFresh(df, "expandingDistinctTypes", "__first_of_type",
+      "prior_n_types")
+    val ord = (col(ts) +: tieBreak.map(col)).map(_.asc)
+    val wt = Window.partitionBy(col(entity), col(typeCol))
+      .orderBy(ord: _*)
+    val isFirst = when(col(typeCol).isNotNull &&
+      row_number().over(wt) === 1, lit(1L)).otherwise(lit(0L))
+    val spec = Window.partitionBy(col(entity)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // pre-partition on the entity alone: hash(entity) satisfies the
+    // (entity, type) ordinal's clustering AND the running sum's, so
+    // both windows ride THIS one exchange (bottom-up planning would
+    // otherwise exchange on (entity, type) first, then again)
+    df.repartition(col(entity))
+      .select(df.columns.map(col).toIndexedSeq :+
+        isFirst.as("__first_of_type"): _*)
+      .select(df.columns.map(col).toIndexedSeq :+
+        coalesce(sum(col("__first_of_type")).over(spec), lit(0L))
+          .as("prior_n_types"): _*)
+  }
+
+  /** Per-entity DWELL-TIME shares — the TIME-weighted type mix:
+    * each event's state lasts until the entity's next event (exact
+    * integer micros; the final event has no dwell), and the share
+    * of total dwell spent in each REQUESTED type is reported
+    * (`dwell_share_<type>`, plus `dwell_share_other` for null or
+    * unlisted types and `total_dwell_s`). Count mixes
+    * ([[graft.operators.Behavior.typeMix]]) overweight rapid-fire
+    * clicks; dwell shares say where the TIME went. Entities with a
+    * single event contribute no dwell rows and are absent; an
+    * all-simultaneous entity (total dwell 0) refuses the shares
+    * with null.
+    *
+    * Exactness: exact decimal Σ of integer micros per bucket, one
+    * double division per share; `total_dwell_s` is a pure /1e6
+    * readout (bit-identical cross-engine, deliberately un-rounded).
+    * Scale shape: one entity exchange for the lead, one map-side-
+    * combined rollup with |types|+2 registers.
+    */
+  def dwellShares(df: DataFrame, entity: String, ts: String,
+      typeCol: String, types: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(types.nonEmpty, "dwellShares: types non-empty")
+    val slugs = types.map(t => t.toLowerCase.replaceAll("[^a-z0-9]+", "_"))
+    require(slugs.distinct.size == types.size,
+      s"dwellShares: types collide after slugging: $types")
+    val ord = (col(ts) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(entity)).orderBy(ord: _*)
+    val tus = unix_micros(col(ts).cast("timestamp"))
+    val base = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .select(col(entity), col(typeCol).as("__t"),
+        (lead(tus, 1).over(w) - tus).as("__dwell"))
+      .filter(col("__dwell").isNotNull)
+    def dsum(cond: Column) =
+      sum(when(cond, col("__dwell")).cast("decimal(38,0)"))
+    val aggs = types.zip(slugs).map { case (t, slug) =>
+      dsum(col("__t") === lit(t)).as(s"__d_$slug")
+    } ++ Seq(
+      dsum(col("__t").isNull || !col("__t").isin(types: _*))
+        .as("__d_other"),
+      sum(col("__dwell").cast("decimal(38,0)")).as("__d_total"))
+    val rolled = base.groupBy(col(entity))
+      .agg(aggs.head, aggs.tail: _*)
+    val total = col("__d_total")
+    val shares = (slugs.map(sl => s"__d_$sl" -> s"dwell_share_$sl")
+      :+ ("__d_other" -> "dwell_share_other")).map { case (in, out) =>
+      when(total > 0, coalesce(col(in), lit(0).cast("decimal(38,0)"))
+        .cast("double") / total.cast("double")).as(out)
+    }
+    rolled.select(col(entity) +: shares :+
+      (total.cast("double") / 1e6).as("total_dwell_s"): _*)
+  }
+
   /** Per-event TIME-TO-NEXT-TYPE — [[recencyByType]]'s forward
     * mirror: for each requested event type, the exact integer
     * microseconds until the entity's next STRICTLY LATER event of

@@ -650,6 +650,43 @@ class WindowOpsSpec extends SparkSpec {
       plan)
   }
 
+  test("expandingDistinctTypes: strictly-prior repertoire size, " +
+      "null types introduce nothing, one exchange") {
+    val d = df("e STRING, ts TIMESTAMP, id BIGINT, t STRING", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), 1L, "view"),
+      Row("u1", ts("2024-01-01 10:00:10"), 2L, "purchase"),
+      Row("u1", ts("2024-01-01 10:00:20"), 3L, "view"),
+      Row("u1", ts("2024-01-01 10:00:30"), 4L, null),
+      Row("u1", ts("2024-01-01 10:00:40"), 5L, "scroll")))
+    val out = WindowOps.expandingDistinctTypes(d, "e", "ts", "t",
+      Seq("id")).orderBy("id").collect()
+      .map(r => r.getLong(r.fieldIndex("prior_n_types"))).toSeq
+    assert(out == Seq(0L, 1L, 2L, 2L, 2L))
+    val plan = WindowOps.expandingDistinctTypes(d, "e", "ts", "t",
+      Seq("id")).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan)
+  }
+
+  test("dwellShares: lead-dwell attribution, exact decimal sums, " +
+      "other bucket catches null and unlisted types") {
+    val d = df("e STRING, ts TIMESTAMP, id BIGINT, t STRING", Seq(
+      Row("u1", ts("2024-01-01 10:00:00"), 1L, "view"),   // 10s
+      Row("u1", ts("2024-01-01 10:00:10"), 2L, "click"),  // 30s
+      Row("u1", ts("2024-01-01 10:00:40"), 3L, null),     // 20s other
+      Row("u1", ts("2024-01-01 10:01:00"), 4L, "view"),   // 40s
+      Row("u1", ts("2024-01-01 10:01:40"), 5L, "click"),  // no dwell
+      Row("u2", ts("2024-01-01 10:00:00"), 6L, "view")))  // absent
+    val out = WindowOps.dwellShares(d, "e", "ts", "t",
+      Seq("view", "click"), Seq("id")).collect()
+    assert(out.length == 1 && out(0).getString(0) == "u1")
+    val r = out(0)
+    assert(r.getDouble(1) == 0.5)   // view (10+40)/100
+    assert(r.getDouble(2) == 0.3)   // click 30/100
+    assert(r.getDouble(3) == 0.2)   // null-type dwell
+    assert(r.getDouble(4) == 100.0) // total seconds
+  }
+
   test("expandingTypeCounts: strictly-prior conditional counters, " +
       "an event never counts itself, null types feed nothing, " +
       "one exchange") {
