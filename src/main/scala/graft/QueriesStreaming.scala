@@ -867,6 +867,34 @@ object QueriesStreaming {
         .orderBy("event_id")
     }),
 
+    "q359_stream_distinct_types" -> ((s, dir) => {
+      // the ONLINE companion of q357: the entity's seen-type set
+      // carried across 3 REAL micro-batches, size emitted before
+      // the update; the oracle is LITERALLY q357's windowed SQL
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = tbl(s, dir, "events")
+        .select(col("user_id").cast("long"),
+          col("event_id").cast("long"), col("ts").cast("timestamp"),
+          col("event_type"))
+        .collect()
+        .map(r => StreamingOps.DtEvent(r.getLong(0), r.getLong(1),
+          r.getTimestamp(2),
+          if (r.isNullAt(3)) None else Some(r.getString(3))))
+        .sortBy(e => (StreamingOps.toMicros(e.ts), e.eventId)).toSeq
+      val input = MemoryStream[StreamingOps.DtEvent]
+      val sink = s"q359_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.distinctTypesStream(input.toDS())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      drive(input, q, rows, nChunks = 3)
+      s.table(sink)
+        .select(col("eventId").as("event_id"),
+          col("priorNTypes").as("prior_n_types"))
+        .orderBy("event_id")
+    }),
+
     "q356_stream_type_counts" -> ((s, dir) => {
       // the ONLINE companion of q355: strictly-prior per-type
       // counters carried as ONE register row per user across 3
@@ -1314,6 +1342,11 @@ object QueriesStreaming {
     // certifies the streaming counter registers
     "q356_stream_type_counts" ->
       QueriesTemporal.oracles("q355_expanding_counts"),
+
+    // likewise: q357's first-of-type running-sum SQL certifies the
+    // streaming seen-set carry
+    "q359_stream_distinct_types" ->
+      QueriesTemporal.oracles("q357_expanding_distinct"),
 
     // likewise: q256's windowed-moment SQL certifies the streaming
     // pairwise-complete corr/beta ring (seventh shared pair)

@@ -933,6 +933,61 @@ object StreamingOps {
       }
   }
 
+  case class DtEvent(entity: Long, eventId: Long, ts: Timestamp,
+    eventType: Option[String])
+  case class DtState(lastTsUs: Long, hasLast: Boolean,
+    seen: Seq[String])
+  case class DtOut(eventId: Long, entity: Long, ts: Timestamp,
+    priorNTypes: Long)
+
+  /** ONLINE expanding distinct-type count — the streaming companion
+    * of [[graft.temporal.WindowOps.expandingDistinctTypes]]: each
+    * arriving event reads how many DISTINCT types its entity had
+    * shown strictly before (emitted BEFORE the update), carried as
+    * the entity's seen-type set. State is O(|distinct types seen|)
+    * per entity — bounded in any real taxonomy, and guarded by
+    * `maxTypes` with a loud failure so a corrupt high-cardinality
+    * type column cannot balloon the state store silently. q359
+    * certifies against LITERALLY the batch op's oracle. Same source
+    * contract as the other recurrences here.
+    */
+  def distinctTypesStream(events: Dataset[DtEvent],
+      maxTypes: Int = 10000): Dataset[DtOut] = {
+    import events.sparkSession.implicits._
+    require(maxTypes >= 1, s"maxTypes >= 1, got $maxTypes")
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (entity: Long, rows: Iterator[DtEvent],
+         state: GroupState[DtState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.eventId))
+          var st = state.getOption.getOrElse(
+            DtState(Long.MinValue, hasLast = false, Seq.empty))
+          val out = Seq.newBuilder[DtOut]
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            require(!st.hasLast || t >= st.lastTsUs,
+              s"distinctTypesStream: entity $entity got ts $t " +
+                s"older than carried state ${st.lastTsUs} — source " +
+                "must be per-entity ts-nondecreasing (backfill late " +
+                "data with the batch expandingDistinctTypes)")
+            out += DtOut(e.eventId, entity, e.ts, st.seen.size.toLong)
+            val seen = e.eventType match {
+              case Some(tp) if !st.seen.contains(tp) =>
+                require(st.seen.size < maxTypes,
+                  s"distinctTypesStream: entity $entity exceeded " +
+                    s"$maxTypes distinct types — state would grow " +
+                    "unbounded; raise maxTypes only deliberately")
+                st.seen :+ tp
+              case _ => st.seen
+            }
+            st = DtState(t, hasLast = true, seen)
+          }
+          if (sorted.nonEmpty) state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class ZEvent(entity: Long, eventId: Long, ts: Timestamp,
     value: Option[Double])
   case class ZOut(eventId: Long, entity: Long, ts: Timestamp,

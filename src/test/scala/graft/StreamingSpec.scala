@@ -809,6 +809,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("distinct types stream: seen-set carries across batches, " +
+      "equals the batch op, maxTypes guard fails loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(
+      StreamingOps.DtEvent(1L, 1L, ts("2024-01-01 10:00:00"),
+        Some("view")),
+      StreamingOps.DtEvent(1L, 2L, ts("2024-01-01 10:00:10"),
+        Some("click")),
+      StreamingOps.DtEvent(1L, 3L, ts("2024-01-01 10:00:20"), None),
+      StreamingOps.DtEvent(1L, 4L, ts("2024-01-01 10:00:30"),
+        Some("view")),
+      StreamingOps.DtEvent(1L, 5L, ts("2024-01-01 10:00:40"),
+        Some("buy")))
+    val input = MemoryStream[StreamingOps.DtEvent]
+    val q = StreamingOps.distinctTypesStream(input.toDS())
+      .writeStream.format("memory").queryName("dt_s")
+      .outputMode("append").start()
+    try {
+      Seq(ev.take(2), ev.slice(2, 4), ev.drop(4)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val got = spark.table("dt_s").orderBy("eventId").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSeq
+      assert(got == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 2L),
+        (5L, 2L)))
+      val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, t STRING",
+        ev.map(e => org.apache.spark.sql.Row(e.entity, e.ts,
+          e.eventId, e.eventType.orNull)))
+      val batch = graft.temporal.WindowOps.expandingDistinctTypes(
+        d, "e", "ts", "t", Seq("id")).orderBy("id").collect()
+        .map(r => (r.getLong(2),
+          r.getLong(r.fieldIndex("prior_n_types")))).toSeq
+      assert(batch == got)
+    } finally q.stop()
+    // the guard: a 3rd distinct type with maxTypes = 2 fails loudly
+    val input2 = MemoryStream[StreamingOps.DtEvent]
+    val q2 = StreamingOps.distinctTypesStream(input2.toDS(),
+      maxTypes = 2)
+      .writeStream.format("memory").queryName("dt_s2")
+      .outputMode("append").start()
+    try {
+      input2.addData(ev: _*)
+      val err = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { q2.processAllAvailable() }
+      assert(err.getMessage.contains("distinct types") ||
+        Option(err.getCause).exists(
+          _.getMessage.contains("distinct types")))
+    } finally q2.stop()
+  }
+
   test("type counts stream: counter registers carry across " +
       "batches and equal the batch window op") {
     import spark.implicits._
