@@ -867,6 +867,49 @@ object QueriesStreaming {
         .orderBy("event_id")
     }),
 
+    "q360_stream_markov" -> ((s, dir) => {
+      // the SERVING side of q267: the batch-fitted transition
+      // matrix ships broadcast, one prev-type register per user
+      // carries across 3 REAL micro-batches; the oracle is
+      // LITERALLY q267's SQL
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val typed = tbl(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+      val m = graft.operators.Behavior.transitionFeatures(typed,
+          "user_id", "ts", "event_type", tieBreak = Seq("event_id"))
+        .filter(col("trans_n").isNotNull)
+        .select(col("prev_event_type"), col("event_type"),
+          col("trans_n"), col("prev_n"))
+        .distinct().collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val rows = typed
+        .select(col("user_id").cast("long"),
+          col("event_id").cast("long"), col("ts").cast("timestamp"),
+          col("event_type"))
+        .collect()
+        .map(r => StreamingOps.TrEvent(r.getLong(0), r.getLong(1),
+          r.getTimestamp(2), r.getString(3)))
+        .sortBy(e => (StreamingOps.toMicros(e.ts), e.eventId)).toSeq
+      val input = MemoryStream[StreamingOps.TrEvent]
+      val sink = s"q360_out_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = StreamingOps.transitionScoreStream(input.toDS(), m)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      drive(input, q, rows, nChunks = 3)
+      s.table(sink)
+        .select(col("eventId").as("event_id"),
+          col("prevType").as("prev_event_type"),
+          col("eventType").as("event_type"),
+          col("transN").as("trans_n"), col("prevN").as("prev_n"),
+          round(col("transP"), 6).as("trans_p"),
+          round(col("transSurprisal"), 6).as("trans_surprisal"))
+        .orderBy("event_id")
+    }),
+
     "q359_stream_distinct_types" -> ((s, dir) => {
       // the ONLINE companion of q357: the entity's seen-type set
       // carried across 3 REAL micro-batches, size emitted before
@@ -1347,6 +1390,11 @@ object QueriesStreaming {
     // streaming seen-set carry
     "q359_stream_distinct_types" ->
       QueriesTemporal.oracles("q357_expanding_distinct"),
+
+    // likewise: q267's broadcast-matrix SQL certifies the streaming
+    // prev-type register + fitted-matrix scoring
+    "q360_stream_markov" ->
+      QueriesTemporal.oracles("q267_markov_transitions"),
 
     // likewise: q256's windowed-moment SQL certifies the streaming
     // pairwise-complete corr/beta ring (seventh shared pair)

@@ -988,6 +988,60 @@ object StreamingOps {
       }
   }
 
+  case class TrEvent(entity: Long, eventId: Long, ts: Timestamp,
+    eventType: String)
+  case class TrState(lastTsUs: Long, hasLast: Boolean,
+    prevType: Option[String])
+  case class TrOut(eventId: Long, entity: Long, ts: Timestamp,
+    prevType: Option[String], eventType: String,
+    transN: Option[Long], prevN: Option[Long],
+    transP: Option[Double], transSurprisal: Option[Double])
+
+  /** ONLINE Markov transition scoring — the serving side of
+    * [[graft.operators.Behavior.transitionFeatures]]: a FITTED
+    * corpus transition matrix (the batch op's own
+    * (prev, cur) → (trans_n, prev_n) rows, bounded by |types|²)
+    * ships in the closure, and the stream carries ONE register per
+    * entity — its previous type — scoring each arriving event with
+    * the batch operand order (`n/prev_n`, `−ln p`). An entity's
+    * first event scores null (no pseudo-start), and a (prev, cur)
+    * pair the matrix never saw scores null — late-data honesty, not
+    * a crash. q360 certifies against LITERALLY q267's oracle.
+    */
+  def transitionScoreStream(events: Dataset[TrEvent],
+      matrix: Map[(String, String), (Long, Long)])
+      : Dataset[TrOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (entity: Long, rows: Iterator[TrEvent],
+         state: GroupState[TrState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.eventId))
+          var st = state.getOption.getOrElse(
+            TrState(Long.MinValue, hasLast = false, None))
+          val out = Seq.newBuilder[TrOut]
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            require(!st.hasLast || t >= st.lastTsUs,
+              s"transitionScoreStream: entity $entity got ts $t " +
+                s"older than carried state ${st.lastTsUs} — source " +
+                "must be per-entity ts-nondecreasing (backfill late " +
+                "data with the batch transitionFeatures)")
+            val hit = st.prevType.flatMap(p =>
+              matrix.get((p, e.eventType)))
+            val p = hit.map { case (n, pn) =>
+              n.toDouble / pn.toDouble }
+            out += TrOut(e.eventId, entity, e.ts, st.prevType,
+              e.eventType, hit.map(_._1), hit.map(_._2), p,
+              p.map(x => -math.log(x)))
+            st = TrState(t, hasLast = true, Some(e.eventType))
+          }
+          if (sorted.nonEmpty) state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class ZEvent(entity: Long, eventId: Long, ts: Timestamp,
     value: Option[Double])
   case class ZOut(eventId: Long, entity: Long, ts: Timestamp,

@@ -809,6 +809,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transition score stream: fitted matrix scoring with one " +
+      "prev-type register equals the batch broadcast join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(
+      StreamingOps.TrEvent(1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      StreamingOps.TrEvent(1L, 2L, ts("2024-01-01 10:00:10"), "b"),
+      StreamingOps.TrEvent(2L, 3L, ts("2024-01-01 10:00:00"), "a"),
+      StreamingOps.TrEvent(2L, 4L, ts("2024-01-01 10:00:10"), "a"),
+      StreamingOps.TrEvent(1L, 5L, ts("2024-01-01 10:00:20"), "a"))
+    val d = df("e BIGINT, ts TIMESTAMP, id BIGINT, t STRING",
+      ev.map(x => org.apache.spark.sql.Row(x.entity, x.ts,
+        x.eventId, x.eventType)))
+    val batchDf = graft.operators.Behavior.transitionFeatures(
+      d, "e", "ts", "t", Seq("id"))
+    val m = batchDf.filter(col("trans_n").isNotNull)
+      .select("prev_t", "t", "trans_n", "prev_n").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val input = MemoryStream[StreamingOps.TrEvent]
+    val q = StreamingOps.transitionScoreStream(input.toDS(), m)
+      .writeStream.format("memory").queryName("tr_s")
+      .outputMode("append").start()
+    try {
+      Seq(ev.take(2), ev.slice(2, 4), ev.drop(4)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      def opt(r: org.apache.spark.sql.Row, i: Int): Any =
+        if (r.isNullAt(i)) null else r.get(i)
+      val got = spark.table("tr_s").orderBy("eventId").collect()
+        .map(r => (r.getLong(0), opt(r, 3), r.getString(4),
+          opt(r, 5), opt(r, 6), opt(r, 7))).toSeq
+      // matrix: a->b 1/2, a->a 1/2, b->a 1/1
+      assert(got == Seq(
+        (1L, null, "a", null, null, null),
+        (2L, "a", "b", 1L, 2L, 0.5),
+        (3L, null, "a", null, null, null),
+        (4L, "a", "a", 1L, 2L, 0.5),
+        (5L, "b", "a", 1L, 1L, 1.0)))
+      val batch = batchDf.orderBy("id").collect()
+        .map(r => (r.getLong(2), opt(r, r.fieldIndex("prev_t")),
+          r.getString(r.fieldIndex("t")),
+          opt(r, r.fieldIndex("trans_n")),
+          opt(r, r.fieldIndex("prev_n")),
+          opt(r, r.fieldIndex("trans_p")))).toSeq
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("distinct types stream: seen-set carries across batches, " +
       "equals the batch op, maxTypes guard fails loudly") {
     import spark.implicits._
