@@ -185,6 +185,17 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q361_retention_curve" -> ((s, dir) => {
+      // the launch-review numbers: day-1/2/3/7 retention off the
+      // exact integer day grid, one membership rollup
+      graft.operators.Behavior.retentionCurve(
+        tbl(s, dir, "events"), "user_id", "ts", Seq(1, 2, 3, 7))
+        .select(col("offset_days"), col("n_cohort"),
+          col("n_retained"),
+          round(col("retention_rate"), 6).as("retention_rate"))
+        .orderBy("offset_days")
+    }),
+
     "q358_dwell_shares" -> ((s, dir) => {
       // where the TIME went: duration-weighted type mix off exact
       // decimal dwell sums; raw /1e6 total (pure-division chain)
@@ -2226,6 +2237,37 @@ object QueriesTemporal {
         |  ROUND(CAST(COUNT(CASE WHEN ne = 1 THEN 1 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical day grid, distinct (entity, day) membership, exact
+    // counts, division inside ROUND
+    "q361_retention_curve" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT user_id, MIN(day) AS fd FROM d GROUP BY 1),
+        |o AS (SELECT d.user_id, d.day - f.fd AS off
+        |  FROM d JOIN f ON d.user_id = f.user_id),
+        |a AS (SELECT
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort,
+        |    CAST(COUNT(CASE WHEN off = 1 THEN 1 END) AS BIGINT)
+        |      AS r1,
+        |    CAST(COUNT(CASE WHEN off = 2 THEN 1 END) AS BIGINT)
+        |      AS r2,
+        |    CAST(COUNT(CASE WHEN off = 3 THEN 1 END) AS BIGINT)
+        |      AS r3,
+        |    CAST(COUNT(CASE WHEN off = 7 THEN 1 END) AS BIGINT)
+        |      AS r7
+        |  FROM o)
+        |SELECT CAST(t.o AS INTEGER) AS offset_days,
+        |  cohort AS n_cohort,
+        |  CASE t.o WHEN 1 THEN r1 WHEN 2 THEN r2 WHEN 3 THEN r3
+        |    ELSE r7 END AS n_retained,
+        |  ROUND(CASE WHEN cohort > 0 THEN
+        |    CAST(CASE t.o WHEN 1 THEN r1 WHEN 2 THEN r2
+        |      WHEN 3 THEN r3 ELSE r7 END AS DOUBLE)
+        |      / CAST(cohort AS DOUBLE) END, 6) AS retention_rate
+        |FROM a, UNNEST([1, 2, 3, 7]) AS t(o)
+        |ORDER BY 1""".stripMargin,
 
     // identical lead-dwell frame, exact HUGEINT bucket sums, share
     // divisions inside ROUND, raw /1e6 total

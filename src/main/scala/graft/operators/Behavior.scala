@@ -1278,6 +1278,46 @@ object Behavior {
           .as("norm_entropy"))
   }
 
+  /** RETENTION CURVE — the headline "day-N retention" numbers:
+    * for each requested day offset, the share of ALL entities
+    * active (≥ 1 event) exactly N UTC days after their OWN first
+    * active day. [[cohortRetention]] slices this per cohort; this
+    * is the aggregate curve a launch review quotes. Exact integer
+    * day grid (`epoch_us div 86400e6`), exact counts, one division.
+    *
+    * Scale shape: one distinct (entity, day) frame, a per-entity
+    * min, one membership rollup with |offsets| conditional
+    * registers — |offsets|-row output at any input size.
+    */
+  def retentionCurve(df: DataFrame, entity: String, ts: String,
+      offsets: Seq[Int]): DataFrame = {
+    require(offsets.nonEmpty && offsets.forall(_ >= 1),
+      s"retentionCurve: offsets must be >= 1, got $offsets")
+    require(offsets.distinct.size == offsets.size,
+      s"duplicate offsets in $offsets")
+    val dayOf = expr(
+      s"unix_micros(cast($ts as timestamp)) div 86400000000")
+    val days = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .select(col(entity).as("__e"), dayOf.as("__day"))
+      .distinct()
+    val first = days.groupBy(col("__e"))
+      .agg(min(col("__day")).as("__f"))
+    val offs = days.join(first, Seq("__e"))
+      .select(col("__e"), (col("__day") - col("__f")).as("__off"))
+    val regs = offsets.map(o =>
+      count(when(col("__off") === o, lit(1))).as(s"__r$o")) :+
+      count_distinct(col("__e")).as("__cohort")
+    val agg = offs.agg(regs.head, regs.tail: _*)
+    val rows = offsets.map { o =>
+      struct(lit(o).as("offset_days"), col("__cohort").as("n_cohort"),
+        col(s"__r$o").as("n_retained"),
+        when(col("__cohort") > 0, col(s"__r$o").cast("double") /
+          col("__cohort").cast("double")).as("retention_rate"))
+    }
+    agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Per-entity CIRCULAR HOUR-OF-DAY profile — when does this
     * entity act, treated on the clock CIRCLE so 23:00 and 01:00 are
     * near (a plain mean would say noon): `n_events`, `peak_hour`

@@ -841,6 +841,25 @@ class BehaviorSpec extends SparkSpec {
     assert(r3.getDouble(5) == 0.0)
   }
 
+  test("retentionCurve: day-N membership off each entity's own " +
+      "first day, exact counts") {
+    val d = df("u STRING, ts TIMESTAMP", Seq(
+      Row("u1", ts("2024-01-01 10:00:00")),
+      Row("u1", ts("2024-01-02 09:00:00")),  // day 1
+      Row("u1", ts("2024-01-02 23:00:00")),  // still day 1
+      Row("u1", ts("2024-01-04 10:00:00")),  // day 3
+      Row("u2", ts("2024-01-03 10:00:00")),
+      Row("u2", ts("2024-01-04 10:00:00")),  // day 1 for u2
+      Row("u3", ts("2024-01-01 10:00:00")))) // never returns
+    val got = Behavior.retentionCurve(d, "u", "ts", Seq(1, 3))
+      .orderBy("offset_days").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1, 3L, 2L, 2.0 / 3.0),
+      (3, 3L, 1L, 1.0 / 3.0)))
+  }
+
   test("typePivot: exact conditional counts, other/total buckets, " +
       "null types count only nowhere") {
     val d = df("u STRING, t STRING", Seq(
