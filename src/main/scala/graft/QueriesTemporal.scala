@@ -185,6 +185,26 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q362_assisted_conversion" -> ((s, dir) => {
+      // marketing attribution readout COMPOSED from the proven
+      // q285 recency op: a purchase is "assisted" when a click
+      // happened within the prior 30 minutes — exact counts, one
+      // division
+      WindowOps.recencyByType(tbl(s, dir, "events"), "user_id",
+        "ts", "event_type", Seq("click"), tieBreak = Seq("event_id"))
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(when(col("us_since_click") <= 1800000000L, lit(1)))
+            .as("n_assisted"))
+        .select(col("user_id"), col("n_purchases"),
+          col("n_assisted"),
+          round(col("n_assisted").cast("double") /
+            col("n_purchases").cast("double"), 6)
+            .as("assisted_rate"))
+        .orderBy("user_id")
+    }),
+
     "q361_retention_curve" -> ((s, dir) => {
       // the launch-review numbers: day-1/2/3/7 retention off the
       // exact integer day grid, one membership rollup
@@ -2237,6 +2257,28 @@ object QueriesTemporal {
         |  ROUND(CAST(COUNT(CASE WHEN ne = 1 THEN 1 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q285's IGNORE NULLS carry restricted to purchases, exact
+    // conditional counts, division inside ROUND
+    "q362_assisted_conversion" ->
+      """WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+        |    event_type FROM events),
+        |w AS (SELECT user_id, event_type,
+        |    t - LAST_VALUE(CASE WHEN event_type = 'click' THEN t
+        |      END IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS us_since_click
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(COUNT(CASE WHEN us_since_click <= 1800000000
+        |    THEN 1 END) AS BIGINT) AS n_assisted,
+        |  ROUND(CAST(COUNT(CASE WHEN us_since_click <= 1800000000
+        |      THEN 1 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS assisted_rate
+        |FROM w WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical day grid, distinct (entity, day) membership, exact
     // counts, division inside ROUND
