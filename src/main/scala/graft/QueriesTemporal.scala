@@ -185,6 +185,34 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q363_behavior_profile" -> ((s, dir) => {
+      // the entity-grain profile matrix: burstiness + action
+      // diversity + cadence regularity + predictability, each
+      // already proven alone (q279/q290/q328/q333) — the composed
+      // join must agree with every oracle column for column
+      val ev = tbl(s, dir, "events")
+      val a = graft.operators.Behavior
+        .interArrivalStats(ev, "user_id", "ts")
+        .select(col("user_id"), col("n_gaps"),
+          round(col("burstiness"), 6).as("burstiness"))
+      val b = graft.operators.Behavior
+        .typeMix(ev, "user_id", "event_type")
+        .select(col("user_id"), col("n_types"),
+          round(col("type_entropy"), 6).as("type_entropy"))
+      val c = graft.operators.Behavior
+        .gapEntropy(ev, "user_id", "ts")
+        .select(col("user_id"),
+          round(col("norm_entropy"), 6).as("cadence_norm_entropy"))
+      val d = graft.operators.Behavior
+        .transitionEntropy(ev, "user_id", "ts", "event_type",
+          tieBreak = Seq("event_id"))
+        .select(col("user_id"),
+          round(col("norm_cond"), 6).as("predictability_norm"))
+      a.join(b, Seq("user_id")).join(c, Seq("user_id"))
+        .join(d, Seq("user_id"))
+        .orderBy("user_id")
+    }),
+
     "q362_assisted_conversion" -> ((s, dir) => {
       // marketing attribution readout COMPOSED from the proven
       // q285 recency op: a purchase is "assisted" when a click
@@ -4377,7 +4405,23 @@ object QueriesTemporal {
          |    END, 6) AS mean_latency_s
          |FROM a, n1 ORDER BY 1""".stripMargin
     }
+    // the entity-profile matrix is LITERALLY the four per-op
+    // oracles joined on user_id
+    val behaviorProfile =
+      s"""SELECT a.user_id, a.n_gaps, a.burstiness,
+         |  b.n_types, b.type_entropy,
+         |  c.norm_entropy AS cadence_norm_entropy,
+         |  d.norm_cond AS predictability_norm
+         |FROM (${baseOracles("q279_burstiness")}) a
+         |JOIN (${baseOracles("q290_type_mix")}) b
+         |  USING (user_id)
+         |JOIN (${baseOracles("q328_gap_entropy")}) c
+         |  USING (user_id)
+         |JOIN (${baseOracles("q333_transition_entropy")}) d
+         |  USING (user_id)
+         |ORDER BY 1""".stripMargin
     baseOracles +
+      ("q363_behavior_profile" -> behaviorProfile) +
       ("q303_feature_matrix" -> matrix) +
       // bucketing is a layout change, never a value change
       ("q304_bucketed_matrix" -> matrix) +
