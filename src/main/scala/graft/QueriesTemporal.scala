@@ -17,6 +17,19 @@ object QueriesTemporal {
     tbl(s, dir, "events").filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
 
+  /** Shared 6dp readout for q363/q364 (identical columns, one
+    * composite oracle). */
+  private def profileReadout(m: DataFrame): DataFrame =
+    m.select(col("user_id"), col("n_gaps"),
+      round(col("burstiness"), 6).as("burstiness"),
+      col("n_types"),
+      round(col("type_entropy"), 6).as("type_entropy"),
+      round(col("cadence_norm_entropy"), 6)
+        .as("cadence_norm_entropy"),
+      round(col("predictability_norm"), 6)
+        .as("predictability_norm"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_asof_join" -> ((s, dir) => {
       AsOfJoin.join(tbl(s, dir, "events"), purchases(s, dir),
@@ -185,32 +198,26 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q364_bucketed_profile" -> ((s, dir) => {
+      // the SAME profile matrix over a user_id-bucketed copy of
+      // the log: four rollups + three joins, ZERO exchanges
+      // (spec-pinned) — values bit-identical: literally q363's
+      // composite oracle
+      graft.io.BucketedTable.write(tbl(s, dir, "events"),
+        "q364_events_bucketed", "user_id", 16)
+      profileReadout(graft.operators.Behavior.profileMatrix(
+        graft.io.BucketedTable.read(s, "q364_events_bucketed"),
+        "user_id", "ts", "event_type", tieBreak = Seq("event_id")))
+    }),
+
     "q363_behavior_profile" -> ((s, dir) => {
       // the entity-grain profile matrix: burstiness + action
       // diversity + cadence regularity + predictability, each
       // already proven alone (q279/q290/q328/q333) — the composed
       // join must agree with every oracle column for column
-      val ev = tbl(s, dir, "events")
-      val a = graft.operators.Behavior
-        .interArrivalStats(ev, "user_id", "ts")
-        .select(col("user_id"), col("n_gaps"),
-          round(col("burstiness"), 6).as("burstiness"))
-      val b = graft.operators.Behavior
-        .typeMix(ev, "user_id", "event_type")
-        .select(col("user_id"), col("n_types"),
-          round(col("type_entropy"), 6).as("type_entropy"))
-      val c = graft.operators.Behavior
-        .gapEntropy(ev, "user_id", "ts")
-        .select(col("user_id"),
-          round(col("norm_entropy"), 6).as("cadence_norm_entropy"))
-      val d = graft.operators.Behavior
-        .transitionEntropy(ev, "user_id", "ts", "event_type",
-          tieBreak = Seq("event_id"))
-        .select(col("user_id"),
-          round(col("norm_cond"), 6).as("predictability_norm"))
-      a.join(b, Seq("user_id")).join(c, Seq("user_id"))
-        .join(d, Seq("user_id"))
-        .orderBy("user_id")
+      profileReadout(graft.operators.Behavior.profileMatrix(
+        tbl(s, dir, "events"), "user_id", "ts", "event_type",
+        tieBreak = Seq("event_id")))
     }),
 
     "q362_assisted_conversion" -> ((s, dir) => {
@@ -4422,6 +4429,8 @@ object QueriesTemporal {
          |ORDER BY 1""".stripMargin
     baseOracles +
       ("q363_behavior_profile" -> behaviorProfile) +
+      // bucketing is a layout change, never a value change
+      ("q364_bucketed_profile" -> behaviorProfile) +
       ("q303_feature_matrix" -> matrix) +
       // bucketing is a layout change, never a value change
       ("q304_bucketed_matrix" -> matrix) +

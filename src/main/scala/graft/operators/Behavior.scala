@@ -1278,6 +1278,36 @@ object Behavior {
           .as("norm_entropy"))
   }
 
+  /** Entity BEHAVIORAL-PROFILE matrix — the four temperament
+    * features every account-grain model starts from, each already a
+    * proven standalone op, composed on one frame: burstiness
+    * ([[interArrivalStats]]), action diversity ([[typeMix]]),
+    * cadence regularity ([[gapEntropy]]'s normalized entropy) and
+    * next-action predictability ([[transitionEntropy]]'s normalized
+    * conditional entropy). Inner joins on the entity: a profile row
+    * exists where every feature does (≥ 2 typed events).
+    *
+    * Scale shape: four map-side-combined entity rollups + three
+    * entity equi-joins — over an entity-bucketed log the WHOLE plan
+    * is exchange-free (q364 pins zero exchanges), which at 100 TB
+    * is the difference between four full-log shuffles per profile
+    * refresh and none.
+    */
+  def profileMatrix(df: DataFrame, entity: String, ts: String,
+      typeCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val a = interArrivalStats(df, entity, ts)
+      .select(col(entity), col("n_gaps"), col("burstiness"))
+    val b = typeMix(df, entity, typeCol)
+      .select(col(entity), col("n_types"), col("type_entropy"))
+    val c = gapEntropy(df, entity, ts)
+      .select(col(entity),
+        col("norm_entropy").as("cadence_norm_entropy"))
+    val d = transitionEntropy(df, entity, ts, typeCol, tieBreak)
+      .select(col(entity),
+        col("norm_cond").as("predictability_norm"))
+    a.join(b, Seq(entity)).join(c, Seq(entity)).join(d, Seq(entity))
+  }
+
   /** RETENTION CURVE — the headline "day-N retention" numbers:
     * for each requested day offset, the share of ALL entities
     * active (≥ 1 event) exactly N UTC days after their OWN first

@@ -129,6 +129,25 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(exchanges <= 5, s"unexpected exchange count $exchanges")
   }
 
+  test("behavioral profile matrix over an entity-bucketed log " +
+      "plans ZERO shuffle exchanges (four rollups + three joins " +
+      "all ride the bucket partitioning)") {
+    val d = df("user_id STRING, ts TIMESTAMP, event_id BIGINT, " +
+      "event_type STRING", Seq(
+      org.apache.spark.sql.Row("u1",
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a"),
+      org.apache.spark.sql.Row("u1",
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:10"), 2L, "b")))
+    val name = s"plan_profile_bucketed_${System.nanoTime()}"
+    graft.io.BucketedTable.write(d, name, "user_id", 4)
+    val plan = graft.operators.Behavior.profileMatrix(
+      graft.io.BucketedTable.read(spark, name),
+      "user_id", "ts", "event_type", Seq("event_id"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      plan)
+  }
+
   test("stacked session-position + gap-surprise + forward-label ops " +
       "share ONE entity exchange (hash(user) satisfies the " +
       "(user, session) clustering)") {
