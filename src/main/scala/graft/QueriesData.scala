@@ -1086,6 +1086,40 @@ object QueriesData {
         .orderBy("user_id")
     }),
 
+    "q365_incremental_profile" -> ((s, dir) => {
+      // incremental maintenance of the WHOLE behavioral-profile
+      // matrix (q363, per-entity-local by construction): bootstrap
+      // on 3/4 of the log, absorb the rest changed-buckets-only —
+      // the maintained table must equal the full recompute
+      // (literally q363's composite oracle)
+      val ev = tbl(s, dir, "events")
+      val srcRoot = java.nio.file.Files
+        .createTempDirectory("graft_q365_src").toString
+      val dstRoot = java.nio.file.Files
+        .createTempDirectory("graft_q365_dst").toString
+      val bucket = SnapshotStore.byKey("user_id", 16)
+      def view(rows: DataFrame): DataFrame =
+        graft.operators.Behavior.profileMatrix(rows, "user_id",
+          "ts", "event_type", tieBreak = Seq("event_id"))
+      SnapshotStore.write(ev.filter(col("event_id") % 4 =!= 0),
+        srcRoot, bucket)
+      graft.io.IncrementalView.maintainView(s, srcRoot, dstRoot,
+        bucket, view)
+      SnapshotStore.write(ev, srcRoot, bucket)
+      graft.io.IncrementalView.maintainView(s, srcRoot, dstRoot,
+        bucket, view)
+      SnapshotStore.read(s, dstRoot)
+        .select(col("user_id"), col("n_gaps"),
+          round(col("burstiness"), 6).as("burstiness"),
+          col("n_types"),
+          round(col("type_entropy"), 6).as("type_entropy"),
+          round(col("cadence_norm_entropy"), 6)
+            .as("cadence_norm_entropy"),
+          round(col("predictability_norm"), 6)
+            .as("predictability_norm"))
+        .orderBy("user_id")
+    }),
+
     "q339_incremental_entropy" -> ((s, dir) => {
       // incremental maintenance of the transition-entropy view
       // (q333): bootstrap on 3/4 of the log, absorb the rest via the
@@ -5262,6 +5296,11 @@ object QueriesData {
     // full recompute — literally q333's SQL
     "q339_incremental_entropy" ->
       QueriesTemporal.oracles("q333_transition_entropy"),
+
+    // likewise: the maintained profile matrix must equal the full
+    // recompute — literally q363's composite SQL
+    "q365_incremental_profile" ->
+      QueriesTemporal.oracles("q363_behavior_profile"),
 
     // q272's literal-NTILE SQL re-keyed onto the orders table —
     // bucket-for-bucket agreement on a second table shape
