@@ -198,6 +198,25 @@ object QueriesTemporal {
         .orderBy("event_id")
     }),
 
+    "q366_profile_orders" -> ((s, dir) => {
+      // the profile matrix's generality on the second (entity, ts,
+      // type) shape: customer ordering temperament over TPC-H
+      // orders — the composed join must agree with the four
+      // orders-generality oracles (q319/q321/q331/q337)
+      graft.operators.Behavior.profileMatrix(
+        tbl(s, dir, "orders"), "o_custkey", "o_orderdate",
+        "o_orderpriority", tieBreak = Seq("o_orderkey"))
+        .select(col("o_custkey"), col("n_gaps"),
+          round(col("burstiness"), 6).as("burstiness"),
+          col("n_types"),
+          round(col("type_entropy"), 6).as("type_entropy"),
+          round(col("cadence_norm_entropy"), 6)
+            .as("cadence_norm_entropy"),
+          round(col("predictability_norm"), 6)
+            .as("predictability_norm"))
+        .orderBy("o_custkey")
+    }),
+
     "q364_bucketed_profile" -> ((s, dir) => {
       // the SAME profile matrix over a user_id-bucketed copy of
       // the log: four rollups + three joins, ZERO exchanges
@@ -4427,8 +4446,24 @@ object QueriesTemporal {
          |JOIN (${baseOracles("q333_transition_entropy")}) d
          |  USING (user_id)
          |ORDER BY 1""".stripMargin
+    // the orders twin: the same composition over the four
+    // orders-generality oracles
+    val ordersProfile =
+      s"""SELECT a.o_custkey, a.n_gaps, a.burstiness,
+         |  b.n_types, b.type_entropy,
+         |  c.norm_entropy AS cadence_norm_entropy,
+         |  d.norm_cond AS predictability_norm
+         |FROM (${baseOracles("q319_gap_orders")}) a
+         |JOIN (${baseOracles("q321_priority_mix")}) b
+         |  USING (o_custkey)
+         |JOIN (${baseOracles("q331_gap_entropy_orders")}) c
+         |  USING (o_custkey)
+         |JOIN (${baseOracles("q337_priority_entropy")}) d
+         |  USING (o_custkey)
+         |ORDER BY 1""".stripMargin
     baseOracles +
       ("q363_behavior_profile" -> behaviorProfile) +
+      ("q366_profile_orders" -> ordersProfile) +
       // bucketing is a layout change, never a value change
       ("q364_bucketed_profile" -> behaviorProfile) +
       ("q303_feature_matrix" -> matrix) +
