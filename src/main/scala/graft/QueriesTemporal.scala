@@ -330,6 +330,7 @@ object QueriesTemporal {
         horizonSeconds = 3L * 86400L)
         .select(col("step_idx"), col("step_name"), col("n_reached"),
           round(col("conv_from_first"), 6).as("conv_from_first"),
+          round(col("conv_from_prev"), 6).as("conv_from_prev"),
           round(col("mean_latency_s"), 6).as("mean_latency_s"))
         .orderBy("step_idx")
     }),
@@ -4423,13 +4424,18 @@ object QueriesTemporal {
          |    SUM(CAST(t_us - t1 AS HUGEINT)) AS slat
          |  FROM m GROUP BY 1, 2),
          |n1 AS (SELECT n_reached AS n1 FROM a WHERE step_idx = 1)
-         |SELECT step_idx, step_name, n_reached,
-         |  ROUND(CASE WHEN n1 > 0 THEN CAST(n_reached AS DOUBLE)
+         |SELECT x.step_idx, x.step_name, x.n_reached,
+         |  ROUND(CASE WHEN n1 > 0 THEN CAST(x.n_reached AS DOUBLE)
          |    / CAST(n1 AS DOUBLE) END, 6) AS conv_from_first,
-         |  ROUND(CASE WHEN n_reached > 0 THEN
-         |    CAST(slat AS DOUBLE) / CAST(n_reached AS DOUBLE) / 1e6
-         |    END, 6) AS mean_latency_s
-         |FROM a, n1 ORDER BY 1""".stripMargin
+         |  ROUND(CASE WHEN p.n_reached > 0 THEN
+         |    CAST(x.n_reached AS DOUBLE)
+         |      / CAST(p.n_reached AS DOUBLE) END, 6)
+         |    AS conv_from_prev,
+         |  ROUND(CASE WHEN x.n_reached > 0 THEN
+         |    CAST(x.slat AS DOUBLE) / CAST(x.n_reached AS DOUBLE)
+         |      / 1e6 END, 6) AS mean_latency_s
+         |FROM a x LEFT JOIN a p ON x.step_idx = p.step_idx + 1,
+         |  n1 ORDER BY 1""".stripMargin
     }
     // the entity-profile matrix is LITERALLY the four per-op
     // oracles joined on user_id

@@ -1535,10 +1535,18 @@ object Behavior {
           .as("__slat"))
     val n1 = perStep.filter(col("step_idx") === 1)
       .select(col("n_reached").as("__n1"))
+    // step-to-step conversion: the |steps|-row frame self-joins on
+    // idx-1 (broadcast), never an unpartitioned window
+    val prevC = perStep.select(
+      (col("step_idx") + 1).as("step_idx"),
+      col("n_reached").as("__nprev"))
     perStep.crossJoin(broadcast(n1))
+      .join(broadcast(prevC), Seq("step_idx"), "left")
       .select(col("step_idx"), col("step_name"), col("n_reached"),
         when(col("__n1") > 0, col("n_reached").cast("double") /
           col("__n1").cast("double")).as("conv_from_first"),
+        when(col("__nprev") > 0, col("n_reached").cast("double") /
+          col("__nprev").cast("double")).as("conv_from_prev"),
         when(col("n_reached") > 0,
           col("__slat").cast("double") /
             col("n_reached").cast("double") / 1e6)

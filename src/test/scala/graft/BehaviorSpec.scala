@@ -891,11 +891,13 @@ class BehaviorSpec extends SparkSpec {
       Seq("A", "B", "C"), horizonSeconds = 10L)
       .orderBy("step_idx").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4))).toSeq
+        r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        r.getDouble(5))).toSeq
     assert(got == Seq(
-      (1, "A", 4L, 1.0, 0.0),
-      (2, "B", 2L, 0.5, 5.0),
-      (3, "C", 2L, 0.5, 7.5)))
+      (1, "A", 4L, 1.0, null, 0.0),   // no previous step
+      (2, "B", 2L, 0.5, 0.5, 5.0),
+      (3, "C", 2L, 0.5, 1.0, 7.5)))   // everyone who clicked bought
   }
 
   test("sessionPaths: ordered type sequences per gap session, " +
