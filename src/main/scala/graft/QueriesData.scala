@@ -607,6 +607,64 @@ object QueriesData {
         .orderBy("crop_id", "src_id", "tile_idx")
     }),
 
+    "q367_image_funnel" -> ((s, dir) => {
+      // the end-to-end IMAGE curation funnel, the image twin of
+      // q73's text funnel, as ONE composed pipeline over planted
+      // classes: every 13th payload corrupted (quarantined by the
+      // decode gate), every 20th flattened to constant gray
+      // (dropped by the luma gate), every 10th survivor duplicated
+      // as a lossless PNG transcode (dropped by exact pixel-
+      // fingerprint dedup, keep-smallest-id). The oracle predicts
+      // the surviving set from the construction alone — including
+      // genuinely identical renders, which it detects from the
+      // dumped (w, h, phase, fmt) identity
+      oracleImages(s, 400, "/tmp/graft_oracle_images_q367")
+      val base = ImageTable.imagesReal(s, 400)
+      val schema = base.schema
+      implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+      val idIdx = schema.fieldIndex("image_id")
+      val bIdx = schema.fieldIndex("bytes")
+      val fIdx = schema.fieldIndex("fmt")
+      val wIdx = schema.fieldIndex("w")
+      val hIdx = schema.fieldIndex("h")
+      val injected = base.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getString(idIdx).drop(4).toLong
+          if (id % 13 == 0)
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq.updated(bIdx, Array[Byte](9, 9)))
+          else if (id % 20 == 0) {
+            val w = r.getInt(wIdx); val h = r.getInt(hIdx)
+            val px = Array.fill(w * h)(0xFF808080)
+            val bytes = graft.validate.PixelCheck.encode(
+              graft.validate.PixelCheck.toImage(px, w, h), "png")
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq.updated(bIdx, bytes).updated(fIdx, "png"))
+          } else r
+        }
+      }
+      val dupClass = expr("CAST(substring(image_id, 5) AS BIGINT)")
+      val copies = Multimodal.transcode(
+        base.filter(dupClass % 13 =!= 0 && dupClass % 20 =!= 0 &&
+          dupClass % 10 === 0), "png")
+        .withColumn("image_id", format_string("img_%010d",
+          expr("CAST(substring(image_id, 5) AS BIGINT) + 1000000")))
+      val pool = injected.unionByName(copies)
+      // gates 1+2: ONE decode pass flags undecodable and flat
+      val audited = Multimodal.lumaStats(pool, flatStd = 2.0)
+      val aliveIds = audited
+        .filter(col("luma_ok") && !col("flat")).select("image_id")
+      // gate 3: exact pixel dedup among survivors only (the second
+      // decode is semi-join-restricted, the q93 pattern)
+      val alive = pool.join(aliveIds, Seq("image_id"))
+      val fp = Multimodal.tileFingerprint(alive, grid = 1)
+        .filter(col("tiles_ok"))
+        .select(col("image_id"),
+          element_at(col("tile_fps"), 1).as("fp"))
+      graft.dedup.Dedup.exact(fp, Seq("fp"), "image_id")
+        .select("image_id").orderBy("image_id")
+    }),
+
     "q195_caption_consistency" -> ((s, dir) => {
       // "same pixels, different caption" audit: the q62 near-dup
       // twins carry three caption fates — identical (%10), case
@@ -4824,6 +4882,24 @@ object QueriesData {
         |  AND c.i % 7 = s.i % 7 AND c.i % 11 = s.i % 11
         |  AND c.fmt = s.fmt
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // the construction IS the truth: survivors = not corrupt, not
+    // flat, and no smaller-id alive twin with the same pixel
+    // identity (w, h, id mod 7 / mod 11 phases, codec path); the
+    // planted transcode copies always lose keep-smallest to their
+    // own originals
+    "q367_image_funnel" ->
+      """WITH base AS (SELECT
+        |    CAST(substring(image_id, 5) AS BIGINT) AS i, w, h,
+        |    CASE WHEN fmt = 'webp' THEN 'jpeg' ELSE fmt END AS fmt
+        |  FROM read_parquet('/tmp/graft_oracle_images_q367/*.parquet')),
+        |alive AS (SELECT * FROM base
+        |  WHERE i % 13 <> 0 AND i % 20 <> 0)
+        |SELECT printf('img_%010d', a.i) AS image_id FROM alive a
+        |WHERE NOT EXISTS (SELECT 1 FROM alive b WHERE b.i < a.i
+        |  AND b.w = a.w AND b.h = a.h AND b.i % 7 = a.i % 7
+        |  AND b.i % 11 = a.i % 11 AND b.fmt = a.fmt)
+        |ORDER BY 1""".stripMargin,
 
     // the q195 pair recovery; token sets = lowercase whitespace
     // split, empties filtered, distinct; |union| = |a|+|b|-|inter|
