@@ -337,9 +337,18 @@ object QueriesTemporal {
 
     "q350_null_patterns" -> ((s, dir) => {
       // which columns go missing TOGETHER: exact per-mask counts,
-      // <= 2^3 rows out of any input size
-      graft.operators.Profile.nullPatterns(
-        tbl(s, dir, "events"),
+      // <= 2^3 rows out of any input size. Deterministic null
+      // planting (every 7th value, every 11th type — co-missing at
+      // multiples of 77) exercises the mask combinations the clean
+      // synthetic table lacks
+      val planted = tbl(s, dir, "events")
+        .withColumn("value",
+          when(col("event_id") % 7 === 0, lit(null))
+            .otherwise(col("value")))
+        .withColumn("event_type",
+          when(col("event_id") % 11 === 0, lit(null))
+            .otherwise(col("event_type")))
+      graft.operators.Profile.nullPatterns(planted,
         Seq("user_id", "event_type", "value"))
         .orderBy("mask")
     }),
@@ -1792,9 +1801,16 @@ object QueriesTemporal {
         |  LEFT JOIN s3 ON s1.e = s3.e
         |ORDER BY 1""".stripMargin,
 
-    // identical bit weights and concat_ws null-skipping
+    // identical bit weights, planting predicates and concat_ws
+    // null-skipping
     "q350_null_patterns" ->
-      """WITH m AS (SELECT
+      """WITH p AS (SELECT user_id,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL
+        |      ELSE event_type END AS event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL
+        |      ELSE value END AS value
+        |  FROM events),
+        |m AS (SELECT
         |    (CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
         |  + (CASE WHEN event_type IS NULL THEN 2 ELSE 0 END)
         |  + (CASE WHEN value IS NULL THEN 4 ELSE 0 END) AS mask,
@@ -1802,7 +1818,7 @@ object QueriesTemporal {
         |    CASE WHEN user_id IS NULL THEN 'user_id' END,
         |    CASE WHEN event_type IS NULL THEN 'event_type' END,
         |    CASE WHEN value IS NULL THEN 'value' END) AS null_cols
-        |  FROM events)
+        |  FROM p)
         |SELECT CAST(mask AS BIGINT) AS mask, null_cols,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM m GROUP BY 1, 2 ORDER BY 1""".stripMargin,
