@@ -142,10 +142,17 @@ object QueriesData {
 
     "q346_vocab_growth" -> ((s, dir) => {
       // Heaps-law saturation: new-vocabulary count per 100-doc
-      // slice — exact MIN first-sightings, integer div buckets
-      graft.text.TextOps.vocabularyGrowth(
-        tbl(s, dir, "documents"), "doc_id", "text",
-        bucketSize = 100L)
+      // slice — exact MIN first-sightings, integer div buckets.
+      // The tiny synthetic vocabulary saturates in bucket 0, so
+      // every 50th doc plants one genuinely new token to give the
+      // curve a tail the oracle reproduces
+      val planted = tbl(s, dir, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 50 === 0,
+            concat(col("text"), lit(" uniq"), col("doc_id")))
+            .otherwise(col("text")))
+      graft.text.TextOps.vocabularyGrowth(planted, "doc_id",
+        "text", bucketSize = 100L)
         .orderBy("bucket")
     }),
 
@@ -4285,9 +4292,14 @@ object QueriesData {
     // same whitespace token grid, exact MIN first-doc, integer
     // division buckets
     "q346_vocab_growth" ->
-      """WITH tk AS (SELECT doc_id,
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 50 = 0 THEN
+        |      text || ' uniq' || CAST(doc_id AS VARCHAR)
+        |    ELSE text END AS text
+        |  FROM documents),
+        |tk AS (SELECT doc_id,
         |    unnest(string_split(text, ' ')) AS tok
-        |  FROM documents
+        |  FROM p
         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
         |fs AS (SELECT tok, MIN(doc_id) AS f FROM tk GROUP BY tok)
         |SELECT CAST(f // 100 AS BIGINT) AS bucket,
