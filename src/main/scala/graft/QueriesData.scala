@@ -672,6 +672,65 @@ object QueriesData {
         .select("image_id").orderBy("image_id")
     }),
 
+    "q368_image_funnel_report" -> ((s, dir) => {
+      // q367's dashboard row: exact stage attrition counts from
+      // the same composed pipeline — pool, quarantined (decode
+      // gate), flat (luma gate), dedup-dropped, kept
+      oracleImages(s, 400, "/tmp/graft_oracle_images_q368")
+      val base = ImageTable.imagesReal(s, 400)
+      val schema = base.schema
+      implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+      val idIdx = schema.fieldIndex("image_id")
+      val bIdx = schema.fieldIndex("bytes")
+      val fIdx = schema.fieldIndex("fmt")
+      val wIdx = schema.fieldIndex("w")
+      val hIdx = schema.fieldIndex("h")
+      val injected = base.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getString(idIdx).drop(4).toLong
+          if (id % 13 == 0)
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq.updated(bIdx, Array[Byte](9, 9)))
+          else if (id % 20 == 0) {
+            val w = r.getInt(wIdx); val h = r.getInt(hIdx)
+            val px = Array.fill(w * h)(0xFF808080)
+            val bytes = graft.validate.PixelCheck.encode(
+              graft.validate.PixelCheck.toImage(px, w, h), "png")
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq.updated(bIdx, bytes).updated(fIdx, "png"))
+          } else r
+        }
+      }
+      val dupClass = expr("CAST(substring(image_id, 5) AS BIGINT)")
+      val copies = Multimodal.transcode(
+        base.filter(dupClass % 13 =!= 0 && dupClass % 20 =!= 0 &&
+          dupClass % 10 === 0), "png")
+        .withColumn("image_id", format_string("img_%010d",
+          expr("CAST(substring(image_id, 5) AS BIGINT) + 1000000")))
+      val pool = injected.unionByName(copies)
+      val audited = Multimodal.lumaStats(pool, flatStd = 2.0)
+      val stageCounts = audited.agg(
+        count(lit(1)).as("n_pool"),
+        count(when(!col("luma_ok"), lit(1))).as("n_quarantined"),
+        count(when(col("luma_ok") && col("flat"), lit(1)))
+          .as("n_flat"),
+        count(when(col("luma_ok") && !col("flat"), lit(1)))
+          .as("__n_alive"))
+      val aliveIds = audited
+        .filter(col("luma_ok") && !col("flat")).select("image_id")
+      val alive = pool.join(aliveIds, Seq("image_id"))
+      val fp = Multimodal.tileFingerprint(alive, grid = 1)
+        .filter(col("tiles_ok"))
+        .select(col("image_id"),
+          element_at(col("tile_fps"), 1).as("fp"))
+      val kept = graft.dedup.Dedup.exact(fp, Seq("fp"), "image_id")
+        .agg(count(lit(1)).as("n_kept"))
+      stageCounts.crossJoin(broadcast(kept))
+        .select(col("n_pool"), col("n_quarantined"), col("n_flat"),
+          (col("__n_alive") - col("n_kept")).as("n_dedup_dropped"),
+          col("n_kept"))
+    }),
+
     "q195_caption_consistency" -> ((s, dir) => {
       // "same pixels, different caption" audit: the q62 near-dup
       // twins carry three caption fates — identical (%10), case
@@ -4912,6 +4971,33 @@ object QueriesData {
         |  AND b.w = a.w AND b.h = a.h AND b.i % 7 = a.i % 7
         |  AND b.i % 11 = a.i % 11 AND b.fmt = a.fmt)
         |ORDER BY 1""".stripMargin,
+
+    // the same construction algebra at count grain: pool = 400 +
+    // copies; each stage's predicate counts; kept = the q367
+    // NOT-EXISTS survivor rule
+    "q368_image_funnel_report" ->
+      """WITH base AS (SELECT
+        |    CAST(substring(image_id, 5) AS BIGINT) AS i, w, h,
+        |    CASE WHEN fmt = 'webp' THEN 'jpeg' ELSE fmt END AS fmt
+        |  FROM read_parquet('/tmp/graft_oracle_images_q368/*.parquet')),
+        |copies AS (SELECT COUNT(*) AS nc FROM base
+        |  WHERE i % 13 <> 0 AND i % 20 <> 0 AND i % 10 = 0),
+        |alive AS (SELECT * FROM base
+        |  WHERE i % 13 <> 0 AND i % 20 <> 0),
+        |kept AS (SELECT COUNT(*) AS nk FROM alive a
+        |  WHERE NOT EXISTS (SELECT 1 FROM alive b WHERE b.i < a.i
+        |    AND b.w = a.w AND b.h = a.h AND b.i % 7 = a.i % 7
+        |    AND b.i % 11 = a.i % 11 AND b.fmt = a.fmt))
+        |SELECT
+        |  CAST(400 + nc AS BIGINT) AS n_pool,
+        |  CAST((SELECT COUNT(*) FROM base WHERE i % 13 = 0)
+        |    AS BIGINT) AS n_quarantined,
+        |  CAST((SELECT COUNT(*) FROM base
+        |    WHERE i % 13 <> 0 AND i % 20 = 0) AS BIGINT) AS n_flat,
+        |  CAST((SELECT COUNT(*) FROM alive) + nc - nk AS BIGINT)
+        |    AS n_dedup_dropped,
+        |  CAST(nk AS BIGINT) AS n_kept
+        |FROM copies, kept""".stripMargin,
 
     // the q195 pair recovery; token sets = lowercase whitespace
     // split, empties filtered, distinct; |union| = |a|+|b|-|inter|
