@@ -239,6 +239,14 @@ object QueriesTemporal {
         tieBreak = Seq("event_id")))
     }),
 
+    "q369_dense_daily" -> ((s, dir) => {
+      // the zero-filled forecasting calendar: every day in each
+      // user's span, exact counts, silent days included
+      graft.operators.Behavior.denseDailyCounts(
+        tbl(s, dir, "events"), "user_id", "ts")
+        .orderBy("user_id", "day")
+    }),
+
     "q362_assisted_conversion" -> ((s, dir) => {
       // marketing attribution readout COMPOSED from the proven
       // q285 recency op: a purchase is "assisted" when a click
@@ -2328,6 +2336,23 @@ object QueriesTemporal {
         |  ROUND(CAST(COUNT(CASE WHEN ne = 1 THEN 1 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical day grid, range() dense expansion, zero COALESCE
+    "q369_dense_daily" ->
+      """WITH d AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |s AS (SELECT user_id, MIN(day) AS f, MAX(day) AS l
+        |  FROM d GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(f, l + 1)) AS day
+        |  FROM s)
+        |SELECT g.user_id, CAST(g.day AS BIGINT) AS day,
+        |  CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+        |FROM g LEFT JOIN d ON g.user_id = d.user_id
+        |  AND g.day = d.day
+        |ORDER BY 1, 2""".stripMargin,
 
     // q285's IGNORE NULLS carry restricted to purchases, exact
     // conditional counts, division inside ROUND

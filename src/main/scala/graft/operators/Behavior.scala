@@ -1308,6 +1308,37 @@ object Behavior {
     a.join(b, Seq(entity)).join(c, Seq(entity)).join(d, Seq(entity))
   }
 
+  /** DENSE DAILY COUNT grid — per entity, one row for EVERY UTC day
+    * between its first and last activity with the exact event count
+    * (zero-filled gaps included): the dense calendar every
+    * forecasting / seasonality model needs, where the raw log's
+    * silent days are exactly the signal a sparse groupBy loses.
+    * Exact integer day grid (`epoch_us div 86400e6`).
+    *
+    * Scale shape: a (entity, day) count, a per-entity span rollup,
+    * one `sequence` explode (output is |entity × span-days| BY
+    * DESIGN — that IS the deliverable) and a left join back on the
+    * same keys. Callers who fear pathological spans should cap
+    * upstream; the op itself adds no unbounded state.
+    */
+  def denseDailyCounts(df: DataFrame, entity: String, ts: String)
+      : DataFrame = {
+    val dayOf = expr(
+      s"unix_micros(cast($ts as timestamp)) div 86400000000")
+    val days = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .select(col(entity), dayOf.as("day"))
+      .groupBy(col(entity), col("day"))
+      .agg(count(lit(1)).as("__n"))
+    val grid = days.groupBy(col(entity))
+      .agg(min(col("day")).as("__f"), max(col("day")).as("__l"))
+      .select(col(entity),
+        explode(sequence(col("__f"), col("__l"))).as("day"))
+    grid.join(days, Seq(entity, "day"), "left")
+      .select(col(entity), col("day"),
+        coalesce(col("__n"), lit(0L)).as("n_events"))
+  }
+
   /** RETENTION CURVE — the headline "day-N retention" numbers:
     * for each requested day offset, the share of ALL entities
     * active (≥ 1 event) exactly N UTC days after their OWN first

@@ -841,6 +841,22 @@ class BehaviorSpec extends SparkSpec {
     assert(r3.getDouble(5) == 0.0)
   }
 
+  test("denseDailyCounts: zero-filled span grid with exact counts") {
+    val d = df("u STRING, ts TIMESTAMP", Seq(
+      Row("u1", ts("2024-01-01 10:00:00")),
+      Row("u1", ts("2024-01-01 23:00:00")),  // day 0: 2 events
+      Row("u1", ts("2024-01-04 10:00:00")),  // days 1,2 silent
+      Row("u2", ts("2024-01-02 10:00:00")))) // single-day span
+    val day0 = 1704067200000000L / 86400000000L
+    val got = Behavior.denseDailyCounts(d, "u", "ts")
+      .orderBy("u", "day").collect()
+      .map(r => (r.getString(0), r.getLong(1) - day0,
+        r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("u1", 0L, 2L), ("u1", 1L, 0L), ("u1", 2L, 0L),
+      ("u1", 3L, 1L), ("u2", 1L, 1L)))
+  }
+
   test("retentionCurve: day-N membership off each entity's own " +
       "first day, exact counts") {
     val d = df("u STRING, ts TIMESTAMP", Seq(
