@@ -239,6 +239,27 @@ object QueriesTemporal {
         tieBreak = Seq("event_id")))
     }),
 
+    "q370_seasonal_naive" -> ((s, dir) => {
+      // the forecasting baseline every model must beat, COMPOSED on
+      // q369's dense grid (lag-7 is only week-over-week because the
+      // silent days are materialized): per-user exact sum of
+      // |count − count 7 days earlier| and its MAE
+      val dense = graft.operators.Behavior.denseDailyCounts(
+        tbl(s, dir, "events"), "user_id", "ts")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day").asc)
+      dense
+        .withColumn("__pred", lag(col("n_events"), 7).over(w))
+        .filter(col("__pred").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("n_events") - col("__pred"))).as("sae"))
+        .select(col("user_id"), col("n_days"), col("sae"),
+          round(col("sae").cast("double") /
+            col("n_days").cast("double"), 6).as("mae"))
+        .orderBy("user_id")
+    }),
+
     "q369_dense_daily" -> ((s, dir) => {
       // the zero-filled forecasting calendar: every day in each
       // user's span, exact counts, silent days included
@@ -2336,6 +2357,33 @@ object QueriesTemporal {
         |  ROUND(CAST(COUNT(CASE WHEN ne = 1 THEN 1 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the dense CTE + LAG(7), exact integer absolute errors,
+    // division inside ROUND
+    "q370_seasonal_naive" ->
+      """WITH d AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |s AS (SELECT user_id, MIN(day) AS f, MAX(day) AS l
+        |  FROM d GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(f, l + 1)) AS day
+        |  FROM s),
+        |dense AS (SELECT g.user_id, g.day,
+        |    CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+        |  FROM g LEFT JOIN d ON g.user_id = d.user_id
+        |    AND g.day = d.day),
+        |p AS (SELECT user_id, n,
+        |    LAG(n, 7) OVER (PARTITION BY user_id ORDER BY day)
+        |      AS pred
+        |  FROM dense)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(abs(n - pred)) AS BIGINT) AS sae,
+        |  ROUND(CAST(SUM(abs(n - pred)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mae
+        |FROM p WHERE pred IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical day grid, range() dense expansion, zero COALESCE
     "q369_dense_daily" ->
