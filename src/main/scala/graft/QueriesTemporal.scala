@@ -239,6 +239,25 @@ object QueriesTemporal {
         tieBreak = Seq("event_id")))
     }),
 
+    "q371_weekday_activity" -> ((s, dir) => {
+      // which weekdays is this user alive: active-day RATE per
+      // weekday over the dense span (silent days in the
+      // denominator — the sparse groupBy can't see them). Weekday
+      // = pure integer (day + 4) % 7 on both engines, no calendar
+      // functions
+      graft.operators.Behavior.denseDailyCounts(
+        tbl(s, dir, "events"), "user_id", "ts")
+        .groupBy(col("user_id"),
+          ((col("day") + 4) % 7).as("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          count(when(col("n_events") > 0, lit(1))).as("n_active"))
+        .select(col("user_id"), col("dow"), col("n_days"),
+          col("n_active"),
+          round(col("n_active").cast("double") /
+            col("n_days").cast("double"), 6).as("active_rate"))
+        .orderBy("user_id", "dow")
+    }),
+
     "q370_seasonal_naive" -> ((s, dir) => {
       // the forecasting baseline every model must beat, COMPOSED on
       // q369's dense grid (lag-7 is only week-over-week because the
@@ -2357,6 +2376,29 @@ object QueriesTemporal {
         |  ROUND(CAST(COUNT(CASE WHEN ne = 1 THEN 1 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the dense CTE grouped by the same integer weekday
+    "q371_weekday_activity" ->
+      """WITH d AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |s AS (SELECT user_id, MIN(day) AS f, MAX(day) AS l
+        |  FROM d GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(f, l + 1)) AS day
+        |  FROM s),
+        |dense AS (SELECT g.user_id, g.day,
+        |    CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+        |  FROM g LEFT JOIN d ON g.user_id = d.user_id
+        |    AND g.day = d.day)
+        |SELECT user_id, CAST((day + 4) % 7 AS BIGINT) AS dow,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(COUNT(CASE WHEN n > 0 THEN 1 END) AS BIGINT)
+        |    AS n_active,
+        |  ROUND(CAST(COUNT(CASE WHEN n > 0 THEN 1 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS active_rate
+        |FROM dense GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the dense CTE + LAG(7), exact integer absolute errors,
     // division inside ROUND
