@@ -239,6 +239,18 @@ object QueriesTemporal {
         tieBreak = Seq("event_id")))
     }),
 
+    "q372_expanding_orders" -> ((s, dir) => {
+      // q355's PIT count features on the orders shape: how many
+      // urgent / high-priority orders had this customer placed
+      // strictly before this one
+      WindowOps.expandingTypeCounts(tbl(s, dir, "orders"),
+        "o_custkey", "o_orderdate", "o_orderpriority",
+        Seq("1-URGENT", "2-HIGH"), tieBreak = Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("prior_n_1_urgent"),
+          col("prior_n_2_high"), col("prior_n_total"))
+        .orderBy("o_orderkey")
+    }),
+
     "q371_weekday_activity" -> ((s, dir) => {
       // which weekdays is this user alive: active-day RATE per
       // weekday over the dense span (silent days in the
@@ -2376,6 +2388,21 @@ object QueriesTemporal {
         |  ROUND(CAST(COUNT(CASE WHEN ne = 1 THEN 1 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the identical strictly-prior conditional-count frame on the
+    // orders sort
+    "q372_expanding_orders" ->
+      """SELECT o_orderkey,
+        |  CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN 1 END) OVER w AS BIGINT) AS prior_n_1_urgent,
+        |  CAST(COUNT(CASE WHEN o_orderpriority = '2-HIGH'
+        |    THEN 1 END) OVER w AS BIGINT) AS prior_n_2_high,
+        |  CAST(COUNT(o_orderpriority) OVER w AS BIGINT)
+        |    AS prior_n_total
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |ORDER BY 1""".stripMargin,
 
     // the dense CTE grouped by the same integer weekday
     "q371_weekday_activity" ->
