@@ -239,6 +239,23 @@ object QueriesTemporal {
         tieBreak = Seq("event_id")))
     }),
 
+    "q373_weekly_rhythm" -> ((s, dir) => {
+      // how weekly IS this user: lag-7 autocorrelation of the
+      // DENSE daily counts (q369's grid — on the sparse frame
+      // "lag 7" would mean 7 active days, not 7 calendar days),
+      // through q288's exact moment machinery
+      val dense = graft.operators.Behavior.denseDailyCounts(
+        tbl(s, dir, "events"), "user_id", "ts")
+        .withColumn("__ts",
+          timestamp_micros(col("day") * 86400000000L))
+        .withColumn("__v", col("n_events").cast("double"))
+      WindowOps.lagAutocorr(dense, "user_id", "__ts", "__v",
+        lags = Seq(7), tieBreak = Seq("day"))
+        .select(col("user_id"), col("lag"), col("n_pairs"),
+          round(col("acf"), 6).as("acf"))
+        .orderBy("user_id")
+    }),
+
     "q372_expanding_orders" -> ((s, dir) => {
       // q355's PIT count features on the orders shape: how many
       // urgent / high-priority orders had this customer placed
@@ -2388,6 +2405,49 @@ object QueriesTemporal {
         |  ROUND(CAST(COUNT(CASE WHEN ne = 1 THEN 1 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the dense CTE, the same micro quantization of counts, and
+    // q288's six-moment num/(sqrt*sqrt) chain at lag 7
+    "q373_weekly_rhythm" ->
+      """WITH d AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |s AS (SELECT user_id, MIN(day) AS f, MAX(day) AS l
+        |  FROM d GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(f, l + 1)) AS day
+        |  FROM s),
+        |dense AS (SELECT g.user_id, g.day,
+        |    CAST(round(CAST(COALESCE(d.n, 0) AS DOUBLE) * 1e6)
+        |      AS BIGINT) AS m
+        |  FROM g LEFT JOIN d ON g.user_id = d.user_id
+        |    AND g.day = d.day),
+        |l AS (SELECT user_id, m AS y,
+        |    LAG(m, 7) OVER (PARTITION BY user_id ORDER BY day)
+        |      AS x
+        |  FROM dense),
+        |a AS (SELECT user_id,
+        |    CAST(COUNT(*) FILTER (x IS NOT NULL AND y IS NOT NULL)
+        |      AS BIGINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) FILTER (y IS NOT NULL) AS sx,
+        |    SUM(CAST(y AS HUGEINT)) FILTER (x IS NOT NULL) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) FILTER (y IS NOT NULL)
+        |      AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) FILTER (x IS NOT NULL)
+        |      AS syy
+        |  FROM l GROUP BY 1),
+        |dd AS (SELECT user_id, n,
+        |    CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+        |    CAST(n AS HUGEINT) * sxx - sx * sx AS dx,
+        |    CAST(n AS HUGEINT) * syy - sy * sy AS dy
+        |  FROM a)
+        |SELECT user_id, CAST(7 AS INTEGER) AS lag, n AS n_pairs,
+        |  CASE WHEN n >= 2 AND dx > 0 AND dy > 0 THEN
+        |    ROUND(CAST(num AS DOUBLE) / (sqrt(CAST(dx AS DOUBLE))
+        |      * sqrt(CAST(dy AS DOUBLE))), 6) END AS acf
+        |FROM dd ORDER BY 1""".stripMargin,
 
     // the identical strictly-prior conditional-count frame on the
     // orders sort
