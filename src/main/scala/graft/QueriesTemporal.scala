@@ -239,6 +239,37 @@ object QueriesTemporal {
         tieBreak = Seq("event_id")))
     }),
 
+    "q374_daily_dispersion" -> ((s, dir) => {
+      // the intermittency profile on q369's dense grid: silent-day
+      // share and the Fano factor (var/mean of daily counts —
+      // ~1 Poisson, >1 bursty, <1 clockwork); exact integer
+      // Σn/Σn², one double chain
+      graft.operators.Behavior.denseDailyCounts(
+        tbl(s, dir, "events"), "user_id", "ts")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days"),
+          count(when(col("n_events") > 0, lit(1))).as("n_active"),
+          sum(col("n_events")).as("__s1"),
+          sum((col("n_events").cast("decimal(19,0)") *
+            col("n_events").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")).as("__s2"))
+        .select(col("user_id"), col("n_days"), col("n_active"),
+          round((col("n_days") - col("n_active")).cast("double") /
+            col("n_days").cast("double"), 6).as("silent_share"),
+          round(col("__s1").cast("double") /
+            col("n_days").cast("double"), 6).as("mean_daily"),
+          round(when(col("__s1") > 0,
+            (col("__s2").cast("double") /
+              col("n_days").cast("double") -
+              (col("__s1").cast("double") /
+                col("n_days").cast("double")) *
+              (col("__s1").cast("double") /
+                col("n_days").cast("double"))) /
+              (col("__s1").cast("double") /
+                col("n_days").cast("double"))), 6).as("fano"))
+        .orderBy("user_id")
+    }),
+
     "q373_weekly_rhythm" -> ((s, dir) => {
       // how weekly IS this user: lag-7 autocorrelation of the
       // DENSE daily counts (q369's grid — on the sparse frame
@@ -2405,6 +2436,42 @@ object QueriesTemporal {
         |  ROUND(CAST(COUNT(CASE WHEN ne = 1 THEN 1 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the dense CTE, exact HUGEINT S1/S2, the identical
+    // mean/var/fano double chain inside ROUND
+    "q374_daily_dispersion" ->
+      """WITH d AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |s AS (SELECT user_id, MIN(day) AS f, MAX(day) AS l
+        |  FROM d GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(f, l + 1)) AS day
+        |  FROM s),
+        |dense AS (SELECT g.user_id,
+        |    CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+        |  FROM g LEFT JOIN d ON g.user_id = d.user_id
+        |    AND g.day = d.day),
+        |a AS (SELECT user_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(COUNT(CASE WHEN n > 0 THEN 1 END) AS BIGINT)
+        |      AS n_active,
+        |    SUM(CAST(n AS HUGEINT)) AS s1,
+        |    SUM(CAST(n AS HUGEINT) * n) AS s2
+        |  FROM dense GROUP BY 1)
+        |SELECT user_id, n_days, n_active,
+        |  ROUND(CAST(n_days - n_active AS DOUBLE)
+        |    / CAST(n_days AS DOUBLE), 6) AS silent_share,
+        |  ROUND(CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+        |    AS mean_daily,
+        |  ROUND(CASE WHEN s1 > 0 THEN
+        |    (CAST(s2 AS DOUBLE) / CAST(n_days AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)))
+        |      / (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    END, 6) AS fano
+        |FROM a ORDER BY 1""".stripMargin,
 
     // the dense CTE, the same micro quantization of counts, and
     // q288's six-moment num/(sqrt*sqrt) chain at lag 7
