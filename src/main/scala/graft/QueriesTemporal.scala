@@ -239,6 +239,29 @@ object QueriesTemporal {
         tieBreak = Seq("event_id")))
     }),
 
+    "q375_alarm_recency" -> ((s, dir) => {
+      // regime-change monitoring rollup COMPOSED on q185's proven
+      // CUSUM scan: per user, how many alarms ever fired and how
+      // stale the last one is at the user's final event — exact
+      // integer micros
+      val c = graft.temporal.Sequential.cusum(
+        tbl(s, dir, "events"), "user_id", "ts", "event_id",
+        "value", target = 35.0, slack = 10.0, threshold = 1000.0)
+        .select(col("event_id"), col("alarm"))
+      tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("__us"))
+        .join(c, Seq("event_id"))
+        .groupBy(col("user_id"))
+        .agg(count(when(col("alarm"), lit(1))).as("n_alarms"),
+          max(when(col("alarm"), col("__us"))).as("__last_alarm"),
+          max(col("__us")).as("__last_event"))
+        .select(col("user_id"), col("n_alarms"),
+          (col("__last_event") - col("__last_alarm"))
+            .as("us_since_last_alarm"))
+        .orderBy("user_id")
+    }),
+
     "q374_daily_dispersion" -> ((s, dir) => {
       // the intermittency profile on q369's dense grid: silent-day
       // share and the Fano factor (var/mean of daily counts —
@@ -4752,7 +4775,21 @@ object QueriesTemporal {
          |JOIN (${baseOracles("q337_priority_entropy")}) d
          |  USING (o_custkey)
          |ORDER BY 1""".stripMargin
+    // q185's recursive-CTE alarms joined back to events for the
+    // per-user recency rollup
+    val alarmRecency =
+      s"""WITH c AS (${baseOracles("q185_cusum_changepoint")}),
+         |e AS (SELECT event_id, user_id, epoch_us(ts) AS us
+         |  FROM events)
+         |SELECT e.user_id,
+         |  CAST(COUNT(CASE WHEN c.alarm THEN 1 END) AS BIGINT)
+         |    AS n_alarms,
+         |  MAX(e.us) - MAX(CASE WHEN c.alarm THEN e.us END)
+         |    AS us_since_last_alarm
+         |FROM c JOIN e ON c.event_id = e.event_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     baseOracles +
+      ("q375_alarm_recency" -> alarmRecency) +
       ("q363_behavior_profile" -> behaviorProfile) +
       ("q366_profile_orders" -> ordersProfile) +
       // bucketing is a layout change, never a value change
