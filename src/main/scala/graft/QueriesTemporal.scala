@@ -239,6 +239,31 @@ object QueriesTemporal {
         tieBreak = Seq("event_id")))
     }),
 
+    "q376_engagement_trend" -> ((s, dir) => {
+      // is this user's engagement growing: q278's exact OLS
+      // machinery over WEEKLY session counts (q39's gap sessions →
+      // integer week grid → counts), slope read out per week
+      val sess = WindowOps.sessionStats(
+        tbl(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull),
+        "user_id", "ts", gapSeconds = 1800L)
+      val weekly = sess
+        .groupBy(col("user_id"),
+          expr("unix_micros(cast(started_at as timestamp)) div " +
+            "604800000000").as("__week"))
+        .agg(count(lit(1)).as("__n"))
+        .select(col("user_id"),
+          timestamp_micros(col("__week") * 604800000000L)
+            .as("__ts"),
+          col("__n").cast("double").as("__v"))
+      WindowOps.trendFit(weekly, "user_id", "__ts", "__v")
+        .select(col("user_id"), col("n_obs"),
+          round(col("trend_slope") * 604800d, 6)
+            .as("slope_per_week"),
+          round(col("r2"), 6).as("r2"))
+        .orderBy("user_id")
+    }),
+
     "q375_alarm_recency" -> ((s, dir) => {
       // regime-change monitoring rollup COMPOSED on q185's proven
       // CUSUM scan: per user, how many alarms ever fired and how
@@ -4775,6 +4800,58 @@ object QueriesTemporal {
          |JOIN (${baseOracles("q337_priority_entropy")}) d
          |  USING (o_custkey)
          |ORDER BY 1""".stripMargin
+    // q39's session grid → weekly counts → q278's exact centered
+    // OLS chain, slope read out per week
+    val engagementTrend =
+      """WITH t AS (SELECT user_id, ts,
+        |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         IS NULL
+        |    OR date_diff('microsecond',
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+        |       > 1800000000
+        |  THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s AS (SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM t),
+        |sess AS (SELECT user_id, sid, MIN(ts) AS started_at
+        |  FROM s GROUP BY 1, 2),
+        |wk AS (SELECT user_id,
+        |    epoch_us(started_at) // 604800000000 AS week,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM sess GROUP BY 1, 2),
+        |e AS (SELECT user_id, week * 604800000000 AS t,
+        |    CAST(round(CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS m
+        |  FROM wk),
+        |c AS (SELECT user_id, m,
+        |    t - MIN(t) OVER (PARTITION BY user_id) AS ct
+        |  FROM e),
+        |a AS (SELECT user_id,
+        |    CAST(COUNT(m) AS BIGINT) AS n_obs,
+        |    SUM(CASE WHEN m IS NOT NULL
+        |      THEN CAST(ct AS HUGEINT) END) AS st,
+        |    SUM(CAST(m AS HUGEINT)) AS sv,
+        |    SUM(CASE WHEN m IS NOT NULL
+        |      THEN CAST(ct AS HUGEINT) * ct END) AS stt,
+        |    SUM(CAST(ct AS HUGEINT) * m) AS stv,
+        |    SUM(CAST(m AS HUGEINT) * m) AS svv
+        |  FROM c GROUP BY 1),
+        |d AS (SELECT user_id, n_obs, st, sv,
+        |    CAST(n_obs AS HUGEINT) * stv - st * sv AS num,
+        |    CAST(n_obs AS HUGEINT) * stt - st * st AS den,
+        |    CAST(n_obs AS HUGEINT) * svv - sv * sv AS dvv
+        |  FROM a)
+        |SELECT user_id, n_obs,
+        |  CASE WHEN n_obs >= 2 AND den > 0 THEN
+        |    ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |      * 604800.0, 6) END AS slope_per_week,
+        |  CASE WHEN n_obs >= 2 AND den > 0 AND dvv > 0 THEN
+        |    ROUND(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        |      / (CAST(den AS DOUBLE) * CAST(dvv AS DOUBLE)), 6) END
+        |    AS r2
+        |FROM d ORDER BY 1""".stripMargin
+
     // q185's recursive-CTE alarms joined back to events for the
     // per-user recency rollup
     val alarmRecency =
@@ -4789,6 +4866,7 @@ object QueriesTemporal {
          |FROM c JOIN e ON c.event_id = e.event_id
          |GROUP BY 1 ORDER BY 1""".stripMargin
     baseOracles +
+      ("q376_engagement_trend" -> engagementTrend) +
       ("q375_alarm_recency" -> alarmRecency) +
       ("q363_behavior_profile" -> behaviorProfile) +
       ("q366_profile_orders" -> ordersProfile) +
