@@ -239,6 +239,24 @@ object QueriesTemporal {
         tieBreak = Seq("event_id")))
     }),
 
+    "q377_account_health" -> ((s, dir) => {
+      // the account-health table a churn model trains on: q363's
+      // temperament profile + q376's engagement slope + q375's
+      // alarm recency, one entity join spine — the composed plan
+      // must agree with all three proven oracles
+      val profile = profileReadout(
+        graft.operators.Behavior.profileMatrix(
+          tbl(s, dir, "events"), "user_id", "ts", "event_type",
+          tieBreak = Seq("event_id")))
+      val trend = queries("q376_engagement_trend")(s, dir)
+        .select(col("user_id"),
+          col("slope_per_week"), col("r2"))
+      val alarms = queries("q375_alarm_recency")(s, dir)
+      profile.join(trend, Seq("user_id"))
+        .join(alarms, Seq("user_id"))
+        .orderBy("user_id")
+    }),
+
     "q376_engagement_trend" -> ((s, dir) => {
       // is this user's engagement growing: q278's exact OLS
       // machinery over WEEKLY session counts (q39's gap sessions →
@@ -4865,7 +4883,18 @@ object QueriesTemporal {
          |    AS us_since_last_alarm
          |FROM c JOIN e ON c.event_id = e.event_id
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    // the account-health spine: three composite oracles joined
+    val accountHealth =
+      s"""SELECT p.user_id, p.n_gaps, p.burstiness, p.n_types,
+         |  p.type_entropy, p.cadence_norm_entropy,
+         |  p.predictability_norm, t.slope_per_week, t.r2,
+         |  a.n_alarms, a.us_since_last_alarm
+         |FROM ($behaviorProfile) p
+         |JOIN ($engagementTrend) t USING (user_id)
+         |JOIN ($alarmRecency) a USING (user_id)
+         |ORDER BY 1""".stripMargin
     baseOracles +
+      ("q377_account_health" -> accountHealth) +
       ("q376_engagement_trend" -> engagementTrend) +
       ("q375_alarm_recency" -> alarmRecency) +
       ("q363_behavior_profile" -> behaviorProfile) +
