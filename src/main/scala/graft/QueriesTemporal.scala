@@ -239,6 +239,30 @@ object QueriesTemporal {
         tieBreak = Seq("event_id")))
     }),
 
+    "q378_naive_skill" -> ((s, dir) => {
+      // does weekly seasonality beat persistence: exact SAE of the
+      // lag-7 vs lag-1 naive on the dense grid over the SAME
+      // comparable days, skill = 1 − sae7/sae1
+      val dense = graft.operators.Behavior.denseDailyCounts(
+        tbl(s, dir, "events"), "user_id", "ts")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day").asc)
+      dense
+        .withColumn("__p7", lag(col("n_events"), 7).over(w))
+        .withColumn("__p1", lag(col("n_events"), 1).over(w))
+        .filter(col("__p7").isNotNull && col("__p1").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("n_events") - col("__p7"))).as("sae7"),
+          sum(abs(col("n_events") - col("__p1"))).as("sae1"))
+        .select(col("user_id"), col("n_days"), col("sae7"),
+          col("sae1"),
+          round(when(col("sae1") > 0,
+            lit(1.0) - col("sae7").cast("double") /
+              col("sae1").cast("double")), 6).as("skill"))
+        .orderBy("user_id")
+    }),
+
     "q377_account_health" -> ((s, dir) => {
       // the account-health table a churn model trains on: q363's
       // temperament profile + q376's engagement slope + q375's
@@ -4883,6 +4907,34 @@ object QueriesTemporal {
          |    AS us_since_last_alarm
          |FROM c JOIN e ON c.event_id = e.event_id
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    // the dense CTE + both naive lags on comparable days
+    val naiveSkill =
+      """WITH d AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |s AS (SELECT user_id, MIN(day) AS f, MAX(day) AS l
+        |  FROM d GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(f, l + 1)) AS day
+        |  FROM s),
+        |dense AS (SELECT g.user_id, g.day,
+        |    CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+        |  FROM g LEFT JOIN d ON g.user_id = d.user_id
+        |    AND g.day = d.day),
+        |p AS (SELECT user_id, n,
+        |    LAG(n, 7) OVER w AS p7, LAG(n, 1) OVER w AS p1
+        |  FROM dense WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY day))
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(abs(n - p7)) AS BIGINT) AS sae7,
+        |  CAST(SUM(abs(n - p1)) AS BIGINT) AS sae1,
+        |  ROUND(CASE WHEN SUM(abs(n - p1)) > 0 THEN
+        |    1.0 - CAST(SUM(abs(n - p7)) AS DOUBLE)
+        |      / CAST(SUM(abs(n - p1)) AS DOUBLE) END, 6) AS skill
+        |FROM p WHERE p7 IS NOT NULL AND p1 IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+
     // the account-health spine: three composite oracles joined
     val accountHealth =
       s"""SELECT p.user_id, p.n_gaps, p.burstiness, p.n_types,
@@ -4894,6 +4946,7 @@ object QueriesTemporal {
          |JOIN ($alarmRecency) a USING (user_id)
          |ORDER BY 1""".stripMargin
     baseOracles +
+      ("q378_naive_skill" -> naiveSkill) +
       ("q377_account_health" -> accountHealth) +
       ("q376_engagement_trend" -> engagementTrend) +
       ("q375_alarm_recency" -> alarmRecency) +
