@@ -239,6 +239,16 @@ object QueriesTemporal {
         tieBreak = Seq("event_id")))
     }),
 
+    "q379_peak_slot" -> ((s, dir) => {
+      // the modal weekday×hour cell per user: 168-slot integer
+      // grid, the q320 max-encode, ties to the smaller slot
+      graft.operators.Behavior.peakSlot(
+        tbl(s, dir, "events"), "user_id", "ts")
+        .select(col("user_id"), col("n_events"), col("peak_slot"),
+          round(col("peak_share"), 6).as("peak_share"))
+        .orderBy("user_id")
+    }),
+
     "q378_naive_skill" -> ((s, dir) => {
       // does weekly seasonality beat persistence: exact SAE of the
       // lag-7 vs lag-1 naive on the dense grid over the SAME
@@ -4907,6 +4917,25 @@ object QueriesTemporal {
          |    AS us_since_last_alarm
          |FROM c JOIN e ON c.event_id = e.event_id
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    // identical 168-slot grid (DuckDB dayofweek = Spark − 1) and
+    // the same integer max-encode/decode
+    val peakSlotSql =
+      """WITH e AS (SELECT user_id,
+        |    CAST(dayofweek(ts) * 24 + hour(ts) AS BIGINT) AS s
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |p AS (SELECT user_id, s, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+        |    CAST(MAX(n * 256 - s) AS BIGINT) AS e
+        |  FROM p GROUP BY 1)
+        |SELECT user_id, n_events,
+        |  CAST(((e + 167) // 256) * 256 - e AS BIGINT)
+        |    AS peak_slot,
+        |  ROUND(CAST((e + 167) // 256 AS DOUBLE)
+        |    / CAST(n_events AS DOUBLE), 6) AS peak_share
+        |FROM r ORDER BY 1""".stripMargin
+
     // the dense CTE + both naive lags on comparable days
     val naiveSkill =
       """WITH d AS (SELECT user_id,
@@ -4946,6 +4975,7 @@ object QueriesTemporal {
          |JOIN ($alarmRecency) a USING (user_id)
          |ORDER BY 1""".stripMargin
     baseOracles +
+      ("q379_peak_slot" -> peakSlotSql) +
       ("q378_naive_skill" -> naiveSkill) +
       ("q377_account_health" -> accountHealth) +
       ("q376_engagement_trend" -> engagementTrend) +

@@ -1308,6 +1308,33 @@ object Behavior {
     a.join(b, Seq(entity)).join(c, Seq(entity)).join(d, Seq(entity))
   }
 
+  /** PEAK WEEKLY SLOT — the modal (weekday × hour) cell of the
+    * entity's activity on the 168-slot week grid
+    * (`slot = (dayofweek − 1) · 24 + hour`, Sunday 0h = 0): the
+    * "Friday 8pm user" signal that [[hourVector]] and [[dowVector]]
+    * marginalize away. Ties → the smallest slot via the
+    * [[gapCadence]] integer max-encode (slot < 256). Exact integer
+    * counts, one (entity, slot) rollup + one entity rollup.
+    */
+  def peakSlot(df: DataFrame, entity: String, ts: String)
+      : DataFrame = {
+    val t = col(ts).cast("timestamp")
+    val slot = (dayofweek(t) - 1) * 24 + hour(t)
+    val per = df
+      .filter(col(entity).isNotNull && col(ts).isNotNull)
+      .groupBy(col(entity), slot.cast("long").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+    per.groupBy(col(entity))
+      .agg(sum(col("__n")).as("n_events"),
+        max(col("__n") * 256L - col("__s")).as("__e"))
+      .select(col(entity), col("n_events"),
+        (floor((col("__e") + 167L) / 256L).cast("long") * 256L -
+          col("__e")).as("peak_slot"),
+        (floor((col("__e") + 167L) / 256L).cast("long")
+          .cast("double") / col("n_events").cast("double"))
+          .as("peak_share"))
+  }
+
   /** DENSE DAILY COUNT grid — per entity, one row for EVERY UTC day
     * between its first and last activity with the exact event count
     * (zero-filled gaps included): the dense calendar every

@@ -841,6 +841,22 @@ class BehaviorSpec extends SparkSpec {
     assert(r3.getDouble(5) == 0.0)
   }
 
+  test("peakSlot: modal weekday-hour cell, ties to smaller slot") {
+    val d = df("u STRING, ts TIMESTAMP", Seq(
+      Row("u1", ts("2024-01-07 20:00:00")),  // Sunday 20h: slot 20
+      Row("u1", ts("2024-01-14 20:30:00")),  // Sunday 20h again
+      Row("u1", ts("2024-01-10 09:00:00")),  // Wednesday 9h: 3*24+9
+      Row("u2", ts("2024-01-08 05:00:00")),  // Monday 5h: 29
+      Row("u2", ts("2024-01-10 07:00:00")))) // Wednesday 7h: 79 tie
+    val out = Behavior.peakSlot(d, "u", "ts")
+      .orderBy("u").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out == Seq(
+      ("u1", 3L, 20L, 2.0 / 3.0),
+      ("u2", 2L, 29L, 0.5))) // tie broken to the smaller slot
+  }
+
   test("denseDailyCounts: zero-filled span grid with exact counts") {
     val d = df("u STRING, ts TIMESTAMP", Seq(
       Row("u1", ts("2024-01-01 10:00:00")),
