@@ -113,6 +113,15 @@ object QueriesData {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q380_lang_pivot" -> ((s, dir) => {
+      // q354's pivot generality on the corpus shape: the per-source
+      // language-mix matrix a curation dashboard reads first
+      graft.operators.Behavior.typePivot(
+        tbl(s, dir, "documents"), "source", "lang",
+        Seq("en", "es", "de", "fr", "zh"))
+        .orderBy("source")
+    }),
+
     "q353_template_groups" -> ((s, dir) => {
       // permutation boilerplate: every 10th doc re-appears with its
       // tokens REVERSED (a pure permutation — invisible to exact
@@ -4299,6 +4308,26 @@ object QueriesData {
         |  ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY 1, 2""".stripMargin,
+
+    // identical conditional counts on the corpus shape
+    "q380_lang_pivot" ->
+      """SELECT source,
+        |  CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT)
+        |    AS n_en,
+        |  CAST(COUNT(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT)
+        |    AS n_es,
+        |  CAST(COUNT(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT)
+        |    AS n_de,
+        |  CAST(COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT)
+        |    AS n_fr,
+        |  CAST(COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT)
+        |    AS n_zh,
+        |  CAST(COUNT(CASE WHEN lang IS NOT NULL AND lang NOT IN
+        |    ('en', 'es', 'de', 'fr', 'zh') THEN 1 END) AS BIGINT)
+        |    AS n_other,
+        |  CAST(COUNT(lang) AS BIGINT) AS n_total
+        |FROM documents WHERE source IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical sorted-multiset signature (list_sort + md5), exact
     // counts, the same tie-broken LIMIT
