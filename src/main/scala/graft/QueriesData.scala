@@ -113,6 +113,36 @@ object QueriesData {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q381_template_rate" -> ((s, dir) => {
+      // which SOURCE ships boilerplate: share of each source's docs
+      // whose sorted-token multiset re-occurs corpus-wide, over the
+      // q353 reversed-twin construction — exact counts, one
+      // division
+      val docs = tbl(s, dir, "documents")
+      val shuffled = docs
+        .filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("source"),
+          concat_ws(" ", reverse(split(col("text"), " ")))
+            .as("text"))
+      val pool = docs.select("doc_id", "source", "text")
+        .unionByName(shuffled)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("source").isNotNull)
+        .withColumn("__sig",
+          md5(concat_ws(" ", sort_array(split(col("text"), " ")))))
+      val groups = pool.groupBy(col("__sig"))
+        .agg(count(lit(1)).as("__gn"))
+      pool.join(groups, Seq("__sig"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("__gn") >= 2, lit(1))).as("n_templated"))
+        .select(col("source"), col("n_docs"), col("n_templated"),
+          round(col("n_templated").cast("double") /
+            col("n_docs").cast("double"), 6).as("templated_share"))
+        .orderBy("source")
+    }),
+
     "q380_lang_pivot" -> ((s, dir) => {
       // q354's pivot generality on the corpus shape: the per-source
       // language-mix matrix a curation dashboard reads first
@@ -4308,6 +4338,31 @@ object QueriesData {
         |  ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY 1, 2""".stripMargin,
+
+    // the q353 construction + signature, group sizes joined back,
+    // per-source exact share
+    "q381_template_rate" ->
+      """WITH t AS (SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source,
+        |    array_to_string(list_reverse(string_split(text, ' ')),
+        |      ' ')
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |p AS (SELECT doc_id, source,
+        |    md5(array_to_string(list_sort(string_split(text, ' ')),
+        |      ' ')) AS sig
+        |  FROM t WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND source IS NOT NULL),
+        |g AS (SELECT sig, CAST(COUNT(*) AS BIGINT) AS gn
+        |  FROM p GROUP BY 1)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(CASE WHEN gn >= 2 THEN 1 END) AS BIGINT)
+        |    AS n_templated,
+        |  ROUND(CAST(COUNT(CASE WHEN gn >= 2 THEN 1 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS templated_share
+        |FROM p JOIN g ON p.sig = g.sig
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical conditional counts on the corpus shape
     "q380_lang_pivot" ->
