@@ -195,6 +195,17 @@ object QueriesData {
         .orderBy("bucket")
     }),
 
+    "q382_fuzzy_clusters" -> ((s, dir) => {
+      // entity RESOLUTION: q342's edit-distance-1 pairs closed
+      // into clusters by min-label propagation; the oracle replays
+      // the closure with a recursive CTE over the EXHAUSTIVE
+      // Levenshtein edge set
+      val edges = graft.dedup.Dedup.editDistancePairs(
+        tbl(s, dir, "customer"), "c_custkey", "c_name")
+      Components.connectedComponents(edges, "id_a", "id_b")
+        .orderBy("id")
+    }),
+
     "q342_fuzzy_pairs" -> ((s, dir) => {
       // record linkage at edit distance <= 1 via deletion-
       // neighborhood blocking; the oracle is the EXHAUSTIVE all-
@@ -4328,6 +4339,22 @@ object QueriesData {
         |      ELSE STDDEV_POP(l_extendedprice)
         |        OVER (PARTITION BY l_returnflag) END), 6) AS price_z
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
+    // the exhaustive edge set closed by the q76 recursive CTE
+    "q382_fuzzy_clusters" ->
+      """WITH RECURSIVE e AS (SELECT a.c_custkey AS ia,
+        |    b.c_custkey AS ib
+        |  FROM customer a JOIN customer b
+        |    ON a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |u AS (SELECT ia AS a, ib AS b FROM e
+        |      UNION SELECT ib, ia FROM e),
+        |cc(id, comp) AS (
+        |  SELECT a, a FROM u
+        |  UNION
+        |  SELECT u.a, cc.comp FROM u JOIN cc ON u.b = cc.id)
+        |SELECT id, MIN(comp) AS component FROM cc
+        |GROUP BY id ORDER BY id""".stripMargin,
 
     // exhaustive truth: every pair within Levenshtein 1, no
     // blocking — any candidate the neighborhood misses fails this
