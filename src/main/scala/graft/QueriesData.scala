@@ -195,6 +195,19 @@ object QueriesData {
         .orderBy("bucket")
     }),
 
+    "q383_resolved_entities" -> ((s, dir) => {
+      // the resolution table: one canonical id per fuzzy cluster
+      // (the min label IS the canonical) with its alias count
+      val edges = graft.dedup.Dedup.editDistancePairs(
+        tbl(s, dir, "customer"), "c_custkey", "c_name")
+      Components.connectedComponents(edges, "id_a", "id_b")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_aliases"))
+        .select(col("component").as("canonical_id"),
+          col("n_aliases"))
+        .orderBy("canonical_id")
+    }),
+
     "q382_fuzzy_clusters" -> ((s, dir) => {
       // entity RESOLUTION: q342's edit-distance-1 pairs closed
       // into clusters by min-label propagation; the oracle replays
@@ -4339,6 +4352,25 @@ object QueriesData {
         |      ELSE STDDEV_POP(l_extendedprice)
         |        OVER (PARTITION BY l_returnflag) END), 6) AS price_z
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
+    // the same closure rolled to clusters: comp = min label =
+    // canonical id
+    "q383_resolved_entities" ->
+      """WITH RECURSIVE e AS (SELECT a.c_custkey AS ia,
+        |    b.c_custkey AS ib
+        |  FROM customer a JOIN customer b
+        |    ON a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |u AS (SELECT ia AS a, ib AS b FROM e
+        |      UNION SELECT ib, ia FROM e),
+        |cc(id, comp) AS (
+        |  SELECT a, a FROM u
+        |  UNION
+        |  SELECT u.a, cc.comp FROM u JOIN cc ON u.b = cc.id),
+        |r AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id)
+        |SELECT comp AS canonical_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_aliases
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the exhaustive edge set closed by the q76 recursive CTE
     "q382_fuzzy_clusters" ->
