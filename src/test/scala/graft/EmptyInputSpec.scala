@@ -274,6 +274,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(Behavior.typePivot(ev, "e", "t", Seq("x")).count() == 0)
     assert(Behavior.funnelReport(ev, "e", "ts", "t", Seq("x", "y"),
       60L).count() == 0)
+    assert(Behavior.denseDailyCounts(ev, "e", "ts").count() == 0)
+    assert(Behavior.peakSlot(ev, "e", "ts").count() == 0)
+    assert(Behavior.retentionCurve(ev, "e", "ts", Seq(1))
+      .collect().forall(_.getLong(1) == 0L))
+    assert(Behavior.profileMatrix(ev, "e", "ts", "t", Seq("id"))
+      .count() == 0)
     assert(Behavior.gapEntropy(ev, "e", "ts").count() == 0)
     assert(Behavior.hourVector(ev, "e", "ts").count() == 0)
     assert(Behavior.dowVector(ev, "e", "ts").count() == 0)
