@@ -113,6 +113,19 @@ object QueriesData {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q384_brand_type_mix" -> ((s, dir) => {
+      // q290's diversity operator on a FOURTH shape: catalog
+      // breadth per brand over the part table
+      graft.operators.Behavior.typeMix(
+        tbl(s, dir, "part"), "p_brand", "p_type")
+        .select(col("p_brand"), col("n_events").as("n_parts"),
+          col("n_types"),
+          round(col("type_entropy"), 6).as("type_entropy"),
+          col("top_type"),
+          round(col("top_share"), 6).as("top_share"))
+        .orderBy("p_brand")
+    }),
+
     "q381_template_rate" -> ((s, dir) => {
       // which SOURCE ships boilerplate: share of each source's docs
       // whose sorted-token multiset re-occurs corpus-wide, over the
@@ -4397,6 +4410,29 @@ object QueriesData {
         |  ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY 1, 2""".stripMargin,
+
+    // q290's entropy/rank SQL re-keyed onto the part table
+    "q384_brand_type_mix" ->
+      """WITH t AS (SELECT p_brand, p_type AS ty FROM part
+        |  WHERE p_brand IS NOT NULL AND p_type IS NOT NULL),
+        |pt AS (SELECT p_brand, ty, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM t GROUP BY 1, 2),
+        |ro AS (SELECT p_brand, CAST(SUM(n) AS BIGINT) AS n_parts,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS nl
+        |  FROM pt GROUP BY 1),
+        |tp AS (SELECT p_brand, ty, n FROM (SELECT p_brand, ty, n,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand
+        |      ORDER BY n DESC, ty) AS rk FROM pt)
+        |  WHERE rk = 1)
+        |SELECT ro.p_brand, n_parts, n_types,
+        |  ROUND(ln(CAST(n_parts AS DOUBLE))
+        |    - nl / CAST(n_parts AS DOUBLE), 6) AS type_entropy,
+        |  tp.ty AS top_type,
+        |  ROUND(CAST(tp.n AS DOUBLE) / CAST(n_parts AS DOUBLE), 6)
+        |    AS top_share
+        |FROM ro JOIN tp ON ro.p_brand = tp.p_brand
+        |ORDER BY 1""".stripMargin,
 
     // the q353 construction + signature, group sizes joined back,
     // per-source exact share
