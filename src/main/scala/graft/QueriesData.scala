@@ -113,6 +113,17 @@ object QueriesData {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q385_brand_price_gini" -> ((s, dir) => {
+      // q305's exact rank-form inequality on the part shape:
+      // price concentration within each brand's catalog
+      graft.operators.GroupOps.inequalityStats(
+        tbl(s, dir, "part"), "p_brand", "p_retailprice")
+        .select(col("p_brand"), col("n_obs"),
+          round(col("gini"), 6).as("gini"),
+          round(col("top_decile_share"), 6).as("top_decile_share"))
+        .orderBy("p_brand")
+    }),
+
     "q384_brand_type_mix" -> ((s, dir) => {
       // q290's diversity operator on a FOURTH shape: catalog
       // breadth per brand over the part table
@@ -4410,6 +4421,37 @@ object QueriesData {
         |  ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY 1, 2""".stripMargin,
+
+    // q305's rank-form Gini SQL re-keyed onto the part table
+    "q385_brand_price_gini" ->
+      """WITH e AS (SELECT p_brand,
+        |    CASE WHEN p_retailprice IS NOT NULL
+        |      THEN CAST(round(p_retailprice * 1e6) AS BIGINT)
+        |    END AS m
+        |  FROM part WHERE p_brand IS NOT NULL),
+        |o AS (SELECT p_brand, m FROM e WHERE m IS NOT NULL),
+        |r AS (SELECT p_brand, m,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand
+        |      ORDER BY m ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY p_brand) AS n
+        |  FROM o),
+        |a AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    SUM(CAST(m AS HUGEINT)) AS s,
+        |    SUM(CAST(rn AS HUGEINT) * m) AS si,
+        |    SUM(CASE WHEN rn > n - (n + 9) // 10
+        |      THEN CAST(m AS HUGEINT) END) AS stop,
+        |    MIN(m) AS mn
+        |  FROM r GROUP BY 1)
+        |SELECT p_brand, n_obs,
+        |  CASE WHEN s > 0 AND mn >= 0 THEN
+        |    ROUND(CAST(2 * si - (CAST(n_obs AS HUGEINT) + 1) * s
+        |        AS DOUBLE)
+        |      / CAST(CAST(n_obs AS HUGEINT) * s AS DOUBLE), 6) END
+        |    AS gini,
+        |  CASE WHEN s > 0 AND mn >= 0 THEN
+        |    ROUND(CAST(stop AS DOUBLE) / CAST(s AS DOUBLE), 6) END
+        |    AS top_decile_share
+        |FROM a ORDER BY 1""".stripMargin,
 
     // q290's entropy/rank SQL re-keyed onto the part table
     "q384_brand_type_mix" ->
