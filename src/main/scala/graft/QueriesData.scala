@@ -113,6 +113,19 @@ object QueriesData {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q386_supplier_gap_surprise" -> ((s, dir) => {
+      // q332's PIT gap anomaly on a FIFTH shape: supplier shipping
+      // cadence over lineitem, two-column tie-break
+      graft.temporal.WindowOps.gapSurprise(
+        tbl(s, dir, "lineitem"), "l_suppkey", "l_shipdate",
+        tieBreak = Seq("l_orderkey", "l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("gap_us"), col("n_prior_gaps"),
+          (col("mean_prior_gap_us") / 1e6).as("mean_prior_gap_s"),
+          col("gap_surprise"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "q385_brand_price_gini" -> ((s, dir) => {
       // q305's exact rank-form inequality on the part shape:
       // price concentration within each brand's catalog
@@ -4421,6 +4434,32 @@ object QueriesData {
         |  ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY 1, 2""".stripMargin,
+
+    // q332's lag + strictly-prior window SQL on the lineitem sort
+    "q386_supplier_gap_surprise" ->
+      """WITH e AS (SELECT l_orderkey, l_linenumber, l_suppkey,
+        |    epoch_us(l_shipdate) AS t FROM lineitem),
+        |g AS (SELECT l_orderkey, l_linenumber, l_suppkey, t,
+        |    t - LAG(t) OVER (PARTITION BY l_suppkey
+        |      ORDER BY t, l_orderkey, l_linenumber) AS gap_us
+        |  FROM e),
+        |x AS (SELECT l_orderkey, l_linenumber, gap_us,
+        |    COUNT(gap_us) OVER w2 AS np,
+        |    SUM(CAST(gap_us AS HUGEINT)) OVER w2 AS s
+        |  FROM g WINDOW w2 AS (PARTITION BY l_suppkey
+        |    ORDER BY t, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT l_orderkey, l_linenumber, gap_us,
+        |  CAST(np AS BIGINT) AS n_prior_gaps,
+        |  CASE WHEN np > 0 THEN
+        |    CAST(s AS DOUBLE) / CAST(np AS DOUBLE) END / 1e6
+        |    AS mean_prior_gap_s,
+        |  CASE WHEN np > 0
+        |      AND CAST(s AS DOUBLE) / CAST(np AS DOUBLE) > 0 THEN
+        |    CAST(gap_us AS DOUBLE)
+        |      / (CAST(s AS DOUBLE) / CAST(np AS DOUBLE)) END
+        |    AS gap_surprise
+        |FROM x ORDER BY 1, 2""".stripMargin,
 
     // q305's rank-form Gini SQL re-keyed onto the part table
     "q385_brand_price_gini" ->
