@@ -113,6 +113,19 @@ object QueriesData {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q387_supplier_burstiness" -> ((s, dir) => {
+      // q279's gap-moment operator on the lineitem shape: supplier
+      // shipping temperament
+      graft.operators.Behavior.interArrivalStats(
+        tbl(s, dir, "lineitem"), "l_suppkey", "l_shipdate")
+        .select(col("l_suppkey"), col("n_gaps"),
+          round(col("mean_gap_s"), 6).as("mean_gap_s"),
+          round(col("std_gap_s"), 6).as("std_gap_s"),
+          round(col("cv_gap"), 6).as("cv_gap"),
+          round(col("burstiness"), 6).as("burstiness"))
+        .orderBy("l_suppkey")
+    }),
+
     "q386_supplier_gap_surprise" -> ((s, dir) => {
       // q332's PIT gap anomaly on a FIFTH shape: supplier shipping
       // cadence over lineitem, two-column tie-break
@@ -4434,6 +4447,37 @@ object QueriesData {
         |  ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY 1, 2""".stripMargin,
+
+    // q319's gap-moment SQL re-keyed onto lineitem
+    "q387_supplier_burstiness" ->
+      """WITH e AS (SELECT l_suppkey, epoch_us(l_shipdate) AS t
+        |  FROM lineitem
+        |  WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL),
+        |g AS (SELECT l_suppkey,
+        |    t - LAG(t) OVER (PARTITION BY l_suppkey ORDER BY t)
+        |      AS dt
+        |  FROM e),
+        |a AS (SELECT l_suppkey,
+        |    CAST(COUNT(dt) AS BIGINT) AS n_gaps,
+        |    SUM(CAST(dt AS HUGEINT)) AS sdt,
+        |    SUM(CAST(dt AS HUGEINT) * dt) AS sdd
+        |  FROM g GROUP BY 1),
+        |d AS (SELECT l_suppkey, n_gaps,
+        |    CAST(sdt AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+        |    sqrt(CAST(CAST(n_gaps AS HUGEINT) * sdd - sdt * sdt
+        |        AS DOUBLE)) / CAST(n_gaps AS DOUBLE) AS sig
+        |  FROM a)
+        |SELECT l_suppkey, n_gaps,
+        |  CASE WHEN n_gaps >= 1
+        |    THEN ROUND(mu / 1e6, 6) END AS mean_gap_s,
+        |  CASE WHEN n_gaps >= 1
+        |    THEN ROUND(sig / 1e6, 6) END AS std_gap_s,
+        |  CASE WHEN n_gaps >= 1 AND mu > 0
+        |    THEN ROUND(sig / mu, 6) END AS cv_gap,
+        |  CASE WHEN n_gaps >= 1 AND sig + mu > 0
+        |    THEN ROUND((sig - mu) / (sig + mu), 6) END
+        |    AS burstiness
+        |FROM d ORDER BY 1""".stripMargin,
 
     // q332's lag + strictly-prior window SQL on the lineitem sort
     "q386_supplier_gap_surprise" ->
