@@ -113,6 +113,25 @@ object QueriesData {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q388_supplier_profile" -> ((s, dir) => {
+      // the behavioral-profile matrix's THIRD shape: supplier
+      // temperament over lineitem — shipping burstiness, return-
+      // flag mix, cadence regularity, flag-sequence predictability
+      graft.operators.Behavior.profileMatrix(
+        tbl(s, dir, "lineitem"), "l_suppkey", "l_shipdate",
+        "l_returnflag",
+        tieBreak = Seq("l_orderkey", "l_linenumber"))
+        .select(col("l_suppkey"), col("n_gaps"),
+          round(col("burstiness"), 6).as("burstiness"),
+          col("n_types"),
+          round(col("type_entropy"), 6).as("type_entropy"),
+          round(col("cadence_norm_entropy"), 6)
+            .as("cadence_norm_entropy"),
+          round(col("predictability_norm"), 6)
+            .as("predictability_norm"))
+        .orderBy("l_suppkey")
+    }),
+
     "q387_supplier_burstiness" -> ((s, dir) => {
       // q279's gap-moment operator on the lineitem shape: supplier
       // shipping temperament
@@ -4447,6 +4466,93 @@ object QueriesData {
         |  ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY 1, 2""".stripMargin,
+
+    // four re-keyed chains (gap moments, type mix, bucket entropy,
+    // bigram conditional entropy) joined on the supplier
+    "q388_supplier_profile" ->
+      """WITH e AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    l_returnflag, epoch_us(l_shipdate) AS t FROM lineitem
+        |  WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL),
+        |g AS (SELECT l_suppkey,
+        |    t - LAG(t) OVER (PARTITION BY l_suppkey ORDER BY t)
+        |      AS dt
+        |  FROM e),
+        |ga AS (SELECT l_suppkey,
+        |    CAST(COUNT(dt) AS BIGINT) AS n_gaps,
+        |    SUM(CAST(dt AS HUGEINT)) AS sdt,
+        |    SUM(CAST(dt AS HUGEINT) * dt) AS sdd
+        |  FROM g GROUP BY 1),
+        |gb AS (SELECT l_suppkey, n_gaps,
+        |    CAST(sdt AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+        |    sqrt(CAST(CAST(n_gaps AS HUGEINT) * sdd - sdt * sdt
+        |        AS DOUBLE)) / CAST(n_gaps AS DOUBLE) AS sig
+        |  FROM ga WHERE n_gaps >= 1),
+        |burst AS (SELECT l_suppkey, n_gaps,
+        |    CASE WHEN sig + mu > 0
+        |      THEN ROUND((sig - mu) / (sig + mu), 6) END
+        |      AS burstiness
+        |  FROM gb),
+        |tmc AS (SELECT l_suppkey, l_returnflag AS ty,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem
+        |  WHERE l_suppkey IS NOT NULL AND l_returnflag IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tmix AS (SELECT l_suppkey,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    ROUND(ln(CAST(SUM(n) AS DOUBLE))
+        |      - SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
+        |        / CAST(SUM(n) AS DOUBLE), 6) AS type_entropy
+        |  FROM tmc GROUP BY 1),
+        |fb AS (SELECT l_suppkey, CASE WHEN dt <= 0 THEN -1
+        |    ELSE CAST(floor(log2(CAST(dt AS DOUBLE))) AS BIGINT)
+        |    END AS b
+        |  FROM g WHERE dt IS NOT NULL),
+        |pb AS (SELECT l_suppkey, b, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM fb GROUP BY 1, 2),
+        |ce AS (SELECT l_suppkey,
+        |    CAST(SUM(n) AS BIGINT) AS ng,
+        |    CAST(COUNT(*) AS BIGINT) AS nb,
+        |    SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS nl
+        |  FROM pb GROUP BY 1),
+        |cad AS (SELECT l_suppkey,
+        |    CASE WHEN nb > 1 THEN
+        |      ROUND((ln(CAST(ng AS DOUBLE))
+        |        - nl / CAST(ng AS DOUBLE))
+        |        / ln(CAST(nb AS DOUBLE)), 6) END
+        |      AS cadence_norm_entropy
+        |  FROM ce),
+        |bi AS (SELECT l_suppkey, l_returnflag AS cur,
+        |    LAG(l_returnflag) OVER (PARTITION BY l_suppkey
+        |      ORDER BY t, l_orderkey, l_linenumber) AS prev
+        |  FROM e WHERE l_returnflag IS NOT NULL),
+        |pp AS (SELECT l_suppkey, prev, cur,
+        |    CAST(COUNT(*) AS BIGINT) AS npq
+        |  FROM bi WHERE prev IS NOT NULL GROUP BY 1, 2, 3),
+        |pr AS (SELECT l_suppkey,
+        |    CAST(SUM(npq) AS BIGINT) AS n_bigrams,
+        |    CAST(COUNT(DISTINCT cur) AS BIGINT) AS n_cur_types,
+        |    SUM(CAST(npq AS DOUBLE) * ln(CAST(npq AS DOUBLE)))
+        |      AS nlpq
+        |  FROM pp GROUP BY 1),
+        |pv AS (SELECT l_suppkey,
+        |    SUM(CAST(np AS DOUBLE) * ln(CAST(np AS DOUBLE))) AS nlp
+        |  FROM (SELECT l_suppkey, prev,
+        |      CAST(SUM(npq) AS BIGINT) AS np
+        |    FROM pp GROUP BY 1, 2) GROUP BY 1),
+        |pred AS (SELECT pr.l_suppkey,
+        |    CASE WHEN n_cur_types > 1 THEN
+        |      ROUND((nlp - nlpq) / CAST(n_bigrams AS DOUBLE)
+        |        / ln(CAST(n_cur_types AS DOUBLE)), 6) END
+        |      AS predictability_norm
+        |  FROM pr JOIN pv ON pr.l_suppkey = pv.l_suppkey)
+        |SELECT b.l_suppkey, b.n_gaps, b.burstiness,
+        |  t.n_types, t.type_entropy, c.cadence_norm_entropy,
+        |  p.predictability_norm
+        |FROM burst b
+        |JOIN tmix t ON b.l_suppkey = t.l_suppkey
+        |JOIN cad c ON b.l_suppkey = c.l_suppkey
+        |JOIN pred p ON b.l_suppkey = p.l_suppkey
+        |ORDER BY 1""".stripMargin,
 
     // q319's gap-moment SQL re-keyed onto lineitem
     "q387_supplier_burstiness" ->
