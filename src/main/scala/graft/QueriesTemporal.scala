@@ -239,6 +239,17 @@ object QueriesTemporal {
         tieBreak = Seq("event_id")))
     }),
 
+    "q389_walk_forward_orders" -> ((s, dir) => {
+      // q338's expanding-window CV on the orders timeline, one-day
+      // gap purge
+      graft.temporal.Splits.walkForward(
+        tbl(s, dir, "orders"), "o_orderdate", k = 3,
+        gapSeconds = 86400L)
+        .select(col("o_orderkey"), col("block"),
+          col("role_f1"), col("role_f2"), col("role_f3"))
+        .orderBy("o_orderkey")
+    }),
+
     "q379_peak_slot" -> ((s, dir) => {
       // the modal weekday×hour cell per user: 168-slot integer
       // grid, the q320 max-encode, ties to the smaller slot
@@ -4917,6 +4928,29 @@ object QueriesTemporal {
          |    AS us_since_last_alarm
          |FROM c JOIN e ON c.event_id = e.event_id
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    // q338's interval-cut SQL re-keyed onto the orders timeline
+    val walkForwardOrders =
+      """WITH b AS (SELECT min(epoch_us(o_orderdate)) AS lo,
+        |    max(epoch_us(o_orderdate)) AS hi FROM orders),
+        |s AS (SELECT lo, (hi - lo) // 4 + 1 AS span FROM b),
+        |e AS (SELECT o_orderkey, epoch_us(o_orderdate) AS t
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CAST((t - lo) // span AS BIGINT) AS block,
+        |  CASE WHEN (t - lo) // span = 1 THEN 'test'
+        |    WHEN (t - lo) // span > 1 THEN 'future'
+        |    WHEN t >= lo + 1 * span - 86400000000 THEN 'purged'
+        |    ELSE 'train' END AS role_f1,
+        |  CASE WHEN (t - lo) // span = 2 THEN 'test'
+        |    WHEN (t - lo) // span > 2 THEN 'future'
+        |    WHEN t >= lo + 2 * span - 86400000000 THEN 'purged'
+        |    ELSE 'train' END AS role_f2,
+        |  CASE WHEN (t - lo) // span = 3 THEN 'test'
+        |    WHEN (t - lo) // span > 3 THEN 'future'
+        |    WHEN t >= lo + 3 * span - 86400000000 THEN 'purged'
+        |    ELSE 'train' END AS role_f3
+        |FROM e, s ORDER BY 1""".stripMargin
+
     // identical 168-slot grid (DuckDB dayofweek = Spark − 1) and
     // the same integer max-encode/decode
     val peakSlotSql =
@@ -4975,6 +5009,7 @@ object QueriesTemporal {
          |JOIN ($alarmRecency) a USING (user_id)
          |ORDER BY 1""".stripMargin
     baseOracles +
+      ("q389_walk_forward_orders" -> walkForwardOrders) +
       ("q379_peak_slot" -> peakSlotSql) +
       ("q378_naive_skill" -> naiveSkill) +
       ("q377_account_health" -> accountHealth) +
