@@ -145,6 +145,17 @@ object QueriesData {
         .orderBy("l_suppkey")
     }),
 
+    "q390_length_drift" -> ((s, dir) => {
+      // q258's exact KS on the corpus shape: per-language document-
+      // length drift between the even- and odd-id slices
+      val d = tbl(s, dir, "documents")
+      Drift.ksDrift(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), "lang", "n_chars")
+        .select(col("key"), col("n_ref"), col("n_cur"),
+          col("ks_num"), round(col("ks"), 6).as("ks"))
+        .orderBy("key")
+    }),
+
     "q386_supplier_gap_surprise" -> ((s, dir) => {
       // q332's PIT gap anomaly on a FIFTH shape: supplier shipping
       // cadence over lineitem, two-column tie-break
@@ -4584,6 +4595,35 @@ object QueriesData {
         |    THEN ROUND((sig - mu) / (sig + mu), 6) END
         |    AS burstiness
         |FROM d ORDER BY 1""".stripMargin,
+
+    // q258's cross-multiplied CDF SQL re-keyed onto documents
+    "q390_length_drift" ->
+      """WITH u AS (SELECT lang AS key,
+        |    CAST(n_chars AS DOUBLE) AS v,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS r
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |    AND NOT isnan(CAST(n_chars AS DOUBLE))),
+        |c AS (SELECT key,
+        |    SUM(r) OVER (PARTITION BY key ORDER BY v) AS cum_ref,
+        |    SUM(1 - r) OVER (PARTITION BY key ORDER BY v)
+        |      AS cum_cur,
+        |    SUM(r) OVER (PARTITION BY key) AS n_ref,
+        |    SUM(1 - r) OVER (PARTITION BY key) AS n_cur
+        |  FROM u),
+        |m AS (SELECT key,
+        |    MAX(ABS(CAST(cum_ref AS HUGEINT) * n_cur
+        |      - CAST(cum_cur AS HUGEINT) * n_ref)) AS ks_num,
+        |    MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur
+        |  FROM c GROUP BY key)
+        |SELECT key, CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  CAST(ks_num AS BIGINT) AS ks_num,
+        |  ROUND(CASE WHEN n_ref > 0 AND n_cur > 0
+        |    THEN CAST(ks_num AS DOUBLE)
+        |      / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))
+        |    END, 6) AS ks
+        |FROM m ORDER BY key""".stripMargin,
 
     // q332's lag + strictly-prior window SQL on the lineitem sort
     "q386_supplier_gap_surprise" ->
