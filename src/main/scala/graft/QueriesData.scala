@@ -145,6 +145,16 @@ object QueriesData {
         .orderBy("l_suppkey")
     }),
 
+    "q391_segment_pivot" -> ((s, dir) => {
+      // q354's pivot on the customer shape: market-segment mix per
+      // nation
+      graft.operators.Behavior.typePivot(
+        tbl(s, dir, "customer"), "c_nationkey", "c_mktsegment",
+        Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+          "MACHINERY"))
+        .orderBy("c_nationkey")
+    }),
+
     "q390_length_drift" -> ((s, dir) => {
       // q258's exact KS on the corpus shape: per-language document-
       // length drift between the even- and odd-id slices
@@ -4595,6 +4605,27 @@ object QueriesData {
         |    THEN ROUND((sig - mu) / (sig + mu), 6) END
         |    AS burstiness
         |FROM d ORDER BY 1""".stripMargin,
+
+    // identical conditional counts on the customer shape
+    "q391_segment_pivot" ->
+      """SELECT c_nationkey,
+        |  CAST(COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1
+        |    END) AS BIGINT) AS n_automobile,
+        |  CAST(COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1
+        |    END) AS BIGINT) AS n_building,
+        |  CAST(COUNT(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1
+        |    END) AS BIGINT) AS n_furniture,
+        |  CAST(COUNT(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1
+        |    END) AS BIGINT) AS n_household,
+        |  CAST(COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1
+        |    END) AS BIGINT) AS n_machinery,
+        |  CAST(COUNT(CASE WHEN c_mktsegment IS NOT NULL
+        |    AND c_mktsegment NOT IN ('AUTOMOBILE', 'BUILDING',
+        |      'FURNITURE', 'HOUSEHOLD', 'MACHINERY') THEN 1 END)
+        |    AS BIGINT) AS n_other,
+        |  CAST(COUNT(c_mktsegment) AS BIGINT) AS n_total
+        |FROM customer WHERE c_nationkey IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q258's cross-multiplied CDF SQL re-keyed onto documents
     "q390_length_drift" ->
