@@ -145,6 +145,20 @@ object QueriesData {
         .orderBy("l_suppkey")
     }),
 
+    "q392_segment_screen" -> ((s, dir) => {
+      // q176's chi2/MI screen on the customer shape: does market
+      // segment carry signal about the deterministic even-key label
+      Eval.chiSqMutualInfo(
+        tbl(s, dir, "customer")
+          .withColumn("y", (col("c_custkey") % 2 === 0).cast("int")),
+        "c_mktsegment", "y")
+        .select(col("level"), col("n_pos"), col("n_neg"),
+          round(col("chi2_term"), 6).as("chi2_term"),
+          round(col("mi_term"), 6).as("mi_term"),
+          col("chi2_total_nano"), col("mi_total_nano"))
+        .orderBy("level")
+    }),
+
     "q391_segment_pivot" -> ((s, dir) => {
       // q354's pivot on the customer shape: market-segment mix per
       // nation
@@ -4605,6 +4619,49 @@ object QueriesData {
         |    THEN ROUND((sig - mu) / (sig + mu), 6) END
         |    AS burstiness
         |FROM d ORDER BY 1""".stripMargin,
+
+    // q176's per-level chi2/MI SQL re-keyed onto customer
+    "q392_segment_screen" ->
+      """WITH d AS (SELECT c_mktsegment AS level,
+        |    CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM customer),
+        |g AS (SELECT level, CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(SUM(1 - y) AS BIGINT) AS n_neg FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS np,
+        |    CAST(SUM(n_neg) AS BIGINT) AS nn FROM g),
+        |x AS (SELECT level, n_pos, n_neg,
+        |    CAST(n_pos + n_neg AS DOUBLE) AS nl,
+        |    CAST((SELECT np + nn FROM t) AS DOUBLE) AS n,
+        |    CAST((SELECT np FROM t) AS DOUBLE) AS cp,
+        |    CAST((SELECT nn FROM t) AS DOUBLE) AS cn
+        |  FROM g),
+        |c AS (SELECT level, n_pos, n_neg,
+        |    CASE WHEN nl * cp / n > 0 THEN
+        |      (CAST(n_pos AS DOUBLE) - nl * cp / n) *
+        |      (CAST(n_pos AS DOUBLE) - nl * cp / n) / (nl * cp / n)
+        |      ELSE 0 END
+        |  + CASE WHEN nl * cn / n > 0 THEN
+        |      (CAST(n_neg AS DOUBLE) - nl * cn / n) *
+        |      (CAST(n_neg AS DOUBLE) - nl * cn / n) / (nl * cn / n)
+        |      ELSE 0 END AS chi2_term,
+        |    CASE WHEN n_pos > 0 THEN (CAST(n_pos AS DOUBLE) / n) *
+        |      ln((CAST(n_pos AS DOUBLE) / n) / ((nl / n) * (cp / n)))
+        |      ELSE 0 END
+        |  + CASE WHEN n_neg > 0 THEN (CAST(n_neg AS DOUBLE) / n) *
+        |      ln((CAST(n_neg AS DOUBLE) / n) / ((nl / n) * (cn / n)))
+        |      ELSE 0 END AS mi_term
+        |  FROM x),
+        |tot AS (SELECT
+        |    CAST(SUM(CAST(ROUND(chi2_term * 1e9, 0) AS BIGINT))
+        |      AS BIGINT) AS ctn,
+        |    CAST(SUM(CAST(ROUND(mi_term * 1e9, 0) AS BIGINT))
+        |      AS BIGINT) AS mtn FROM c)
+        |SELECT level, n_pos, n_neg,
+        |  ROUND(chi2_term, 6) AS chi2_term,
+        |  ROUND(mi_term, 6) AS mi_term,
+        |  (SELECT ctn FROM tot) AS chi2_total_nano,
+        |  (SELECT mtn FROM tot) AS mi_total_nano
+        |FROM c ORDER BY 1""".stripMargin,
 
     // identical conditional counts on the customer shape
     "q391_segment_pivot" ->
