@@ -239,6 +239,18 @@ object QueriesTemporal {
         tieBreak = Seq("event_id")))
     }),
 
+    "q393_urgent_wilson" -> ((s, dir) => {
+      // q347's Wilson smoothing on the orders shape: per-customer
+      // urgent-order propensity that a 1/1 fluke cannot dominate
+      graft.operators.Eval.wilsonRate(
+        tbl(s, dir, "orders"), "o_custkey",
+        col("o_orderpriority") === "1-URGENT", z = 1.96)
+        .select(col("o_custkey"), col("n_obs"), col("n_success"),
+          round(col("rate"), 6).as("rate"),
+          round(col("wilson_lb"), 6).as("wilson_lb"))
+        .orderBy("o_custkey")
+    }),
+
     "q389_walk_forward_orders" -> ((s, dir) => {
       // q338's expanding-window CV on the orders timeline, one-day
       // gap purge
@@ -4928,6 +4940,28 @@ object QueriesTemporal {
          |    AS us_since_last_alarm
          |FROM c JOIN e ON c.event_id = e.event_id
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    // q347's Wilson chain re-keyed onto orders (same JVM z/z^2
+    // literals)
+    val urgentWilson = {
+      val z = 1.96; val z2 = z * z
+      s"""WITH a AS (SELECT o_custkey,
+         |    CAST(COUNT(CASE WHEN o_orderpriority IS NOT NULL
+         |      THEN 1 END) AS BIGINT) AS n_obs,
+         |    CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT'
+         |      THEN 1 END) AS BIGINT) AS n_success
+         |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+         |b AS (SELECT o_custkey, n_obs, n_success,
+         |    CAST(n_success AS DOUBLE) / CAST(n_obs AS DOUBLE)
+         |      AS p,
+         |    CAST(n_obs AS DOUBLE) AS n
+         |  FROM a WHERE n_obs > 0)
+         |SELECT o_custkey, n_obs, n_success, ROUND(p, 6) AS rate,
+         |  ROUND((p + $z2 / (n * 2) - $z *
+         |    sqrt(p * (1 - p) / n + $z2 / (n * n * 4))) /
+         |    (1 + $z2 / n), 6) AS wilson_lb
+         |FROM b ORDER BY 1""".stripMargin
+    }
+
     // q338's interval-cut SQL re-keyed onto the orders timeline
     val walkForwardOrders =
       """WITH b AS (SELECT min(epoch_us(o_orderdate)) AS lo,
@@ -5009,6 +5043,7 @@ object QueriesTemporal {
          |JOIN ($alarmRecency) a USING (user_id)
          |ORDER BY 1""".stripMargin
     baseOracles +
+      ("q393_urgent_wilson" -> urgentWilson) +
       ("q389_walk_forward_orders" -> walkForwardOrders) +
       ("q379_peak_slot" -> peakSlotSql) +
       ("q378_naive_skill" -> naiveSkill) +
