@@ -239,6 +239,18 @@ object QueriesTemporal {
         tieBreak = Seq("event_id")))
     }),
 
+    "q394_urgent_shrunken" -> ((s, dir) => {
+      // q348's empirical-Bayes shrinkage on the same orders rate:
+      // the beta-binomial prior fitted over customers
+      graft.operators.Eval.shrunkenRate(
+        tbl(s, dir, "orders"), "o_custkey",
+        col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"), col("n_obs"), col("n_success"),
+          round(col("rate"), 6).as("rate"),
+          round(col("shrunk_rate"), 6).as("shrunk_rate"))
+        .orderBy("o_custkey")
+    }),
+
     "q393_urgent_wilson" -> ((s, dir) => {
       // q347's Wilson smoothing on the orders shape: per-customer
       // urgent-order propensity that a 1/1 fluke cannot dominate
@@ -4940,6 +4952,42 @@ object QueriesTemporal {
          |    AS us_since_last_alarm
          |FROM c JOIN e ON c.event_id = e.event_id
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    // q348's moment-fit/shrink chains re-keyed onto orders
+    val urgentShrunken =
+      """WITH a AS (SELECT o_custkey,
+        |    CAST(COUNT(CASE WHEN o_orderpriority IS NOT NULL
+        |      THEN 1 END) AS BIGINT) AS n_obs,
+        |    CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN 1 END) AS BIGINT) AS n_success
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |a2 AS (SELECT * FROM a WHERE n_obs > 0),
+        |q AS (SELECT *, CAST(round(CAST(n_success AS DOUBLE)
+        |    / CAST(n_obs AS DOUBLE) * 1e6) AS BIGINT) AS m
+        |  FROM a2),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS e,
+        |    SUM(CAST(m AS HUGEINT)) AS s1,
+        |    SUM(CAST(m AS HUGEINT) * m) AS s2 FROM q),
+        |g AS (SELECT e, CAST(s1 AS DOUBLE) / e AS aa,
+        |    CAST(s2 AS DOUBLE) / e AS bb FROM f),
+        |h AS (SELECT aa / 1e6 AS mean,
+        |    bb / 1e12 - (aa / 1e6) * (aa / 1e6) AS v FROM g),
+        |i AS (SELECT mean, v, CASE WHEN v > 0 THEN
+        |    mean * (1 - mean) / v - 1 ELSE -1 END AS ab FROM h),
+        |j AS (SELECT
+        |    CASE WHEN ab > 0 AND mean > 0 AND mean < 1
+        |      THEN mean * ab ELSE 0 END AS alpha,
+        |    CASE WHEN ab > 0 AND mean > 0 AND mean < 1
+        |      THEN ab - mean * ab ELSE 0 END AS beta FROM i)
+        |SELECT o_custkey, n_obs, n_success,
+        |  ROUND(CAST(n_success AS DOUBLE) / CAST(n_obs AS DOUBLE),
+        |    6) AS rate,
+        |  ROUND(CASE WHEN alpha > 0 AND beta > 0 THEN
+        |      (CAST(n_success AS DOUBLE) + alpha)
+        |        / (CAST(n_obs AS DOUBLE) + (alpha + beta))
+        |    ELSE CAST(n_success AS DOUBLE) / CAST(n_obs AS DOUBLE)
+        |    END, 6) AS shrunk_rate
+        |FROM a2, j ORDER BY 1""".stripMargin
+
     // q347's Wilson chain re-keyed onto orders (same JVM z/z^2
     // literals)
     val urgentWilson = {
@@ -5043,6 +5091,7 @@ object QueriesTemporal {
          |JOIN ($alarmRecency) a USING (user_id)
          |ORDER BY 1""".stripMargin
     baseOracles +
+      ("q394_urgent_shrunken" -> urgentShrunken) +
       ("q393_urgent_wilson" -> urgentWilson) +
       ("q389_walk_forward_orders" -> walkForwardOrders) +
       ("q379_peak_slot" -> peakSlotSql) +
