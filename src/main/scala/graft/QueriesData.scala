@@ -2678,15 +2678,25 @@ object QueriesData {
     }),
 
     "q128_cms_heavy_hitters" -> ((s, dir) => {
-      // Count-Min sketch heavy hitters: 4x512 counter matrix over the
-      // token stream (bounded shuffle regardless of corpus size),
+      // Count-Min sketch heavy hitters: 4x512 counter matrix,
       // point-queried for every distinct token; top-25 by estimate
       // with the exact count alongside (est >= true always — CMS only
       // over-counts). Oracle recomputes the same matrix + min-readout.
-      val toks = tbl(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("token"))
+      //
+      // Round 6: this query also needs EXACT per-token counts (the
+      // `true_cnt` column), so the counters are built from the count
+      // table through cmsCounters' documented weighted path — counter
+      // values are bit-identical (both sides sum exact integer-valued
+      // doubles; cnt[d][b] = Σ_{tokens in bucket} count(token) either
+      // way) but the 4 md5 bucket hashes are paid per DISTINCT token
+      // instead of per occurrence, and the count aggregation subtree
+      // is shared with the truth/probe sides of cmsTop25 (one
+      // ReusedExchange instead of three token-stream scans).
+      // cmsCounters over the raw stream stays the production path
+      // when exact counts are NOT otherwise needed (q133 streams it).
       cmsTop25(s, dir, graft.core.Sketch.cmsCounters(
-        toks, "token", depth = 4, width = 512))
+        tokenCounts(s, dir), "token", depth = 4, width = 512,
+        weight = col("true_cnt")))
     }),
 
     "q150_hll_distinct" -> ((s, dir) => {
@@ -3020,13 +3030,26 @@ object QueriesData {
     * documents token, attach exact counts, top-25 by (est desc,
     * token).
     */
+  /** Exact per-token counts over the document token stream — the ONE
+    * token-explode pass q128/q133's readout derives everything from
+    * (truth column, CMS probe candidates, and — in q128 — the
+    * weighted counter build): identical subtrees collapse to a single
+    * aggregation + ReusedExchange in the final plan.
+    */
+  private[graft] def tokenCounts(s: SparkSession, dir: String)
+      : DataFrame =
+    tbl(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("true_cnt"))
+
   private[graft] def cmsTop25(s: SparkSession, dir: String,
       counters: DataFrame): DataFrame = {
-    val toks = tbl(s, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("token"))
-    val truth = toks.groupBy(col("token"))
-      .agg(count(lit(1)).as("true_cnt"))
-    graft.core.Sketch.cmsEstimate(counters, toks, "token",
+    val truth = tokenCounts(s, dir)
+    // probes are DISTINCT tokens = exactly the truth keys (round 6:
+    // probing the raw occurrence stream re-hashed every occurrence;
+    // cmsEstimate's internal distinct makes the candidate set equal)
+    graft.core.Sketch.cmsEstimate(counters, truth, "token",
       depth = 4, width = 512)
       .join(truth, col("item") === col("token"))
       .select(col("token"), col("est"), col("true_cnt"))

@@ -1,7 +1,7 @@
 package graft
 
 import graft.temporal.{AsOfJoin, WindowOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Temporal / windowed feature ops over the events table
@@ -16,6 +16,26 @@ object QueriesTemporal {
   private def purchases(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events").filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+
+  /** DuckDB-faithful 6dp round (round 6, driver-red q263/q277/q393):
+    * Spark's `round` goes through BigDecimal, which has no signed
+    * zero, so a tiny NEGATIVE value (or an exact -0.0) rounds to
+    * +0.0 — while DuckDB's C-style round preserves the sign and
+    * emits -0.0. The driver's hash gate distinguishes the two. This
+    * helper restores the pre-round signbit on zero results; every
+    * non-zero result, null and NaN pass through `round` untouched.
+    * (The pre-round double chains in these queries are replayed
+    * bit-exactly by the oracle, so signbit parity of the INPUT is
+    * already certified by the value gate.)
+    */
+  private def roundSignedZero(c: Column, scale: Int): Column = {
+    val r = round(c, scale)
+    // signbit(c): strictly negative, or exactly -0.0 (cast to string
+    // preserves the sign — "-0.0"; a 1/x probe would trip ANSI
+    // DIVIDE_BY_ZERO)
+    val negZero = c === lit(0.0) && c.cast("string") === lit("-0.0")
+    when(r === lit(0.0) && (c < 0 || negZero), lit(-0.0)).otherwise(r)
+  }
 
   /** Shared 6dp readout for q363/q364 (identical columns, one
     * composite oracle). */
@@ -143,7 +163,7 @@ object QueriesTemporal {
       WindowOps.rollingCorr(e, "user_id", "ts", "elapsed", "value",
         k = 20, tieBreak = Seq("event_id"))
         .select(col("event_id"),
-          round(col("elapsed_value_beta"), 6).as("trend"),
+          roundSignedZero(col("elapsed_value_beta"), 6).as("trend"),
           round(col("elapsed_value_corr"), 6).as("strength"))
         .orderBy("event_id")
     }),
@@ -259,7 +279,7 @@ object QueriesTemporal {
         col("o_orderpriority") === "1-URGENT", z = 1.96)
         .select(col("o_custkey"), col("n_obs"), col("n_success"),
           round(col("rate"), 6).as("rate"),
-          round(col("wilson_lb"), 6).as("wilson_lb"))
+          roundSignedZero(col("wilson_lb"), 6).as("wilson_lb"))
         .orderBy("o_custkey")
     }),
 
@@ -1317,8 +1337,8 @@ object QueriesTemporal {
       WindowOps.rateOfChange(tbl(s, dir, "events"), "user_id", "ts",
         "value", tieBreak = Seq("event_id"))
         .select(col("event_id"),
-          round(col("value_d1"), 6).as("value_d1"),
-          round(col("value_d2"), 6).as("value_d2"))
+          roundSignedZero(col("value_d1"), 6).as("value_d1"),
+          roundSignedZero(col("value_d2"), 6).as("value_d2"))
         .orderBy("event_id")
     }),
 

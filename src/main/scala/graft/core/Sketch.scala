@@ -49,13 +49,18 @@ object Sketch {
     val cols = perCol.keys.toSeq.sorted
     val pair = explode(array(cols.map(c =>
       struct(lit(c).as("k"), col(c).cast("double").as("v"))): _*))
+    // NOT persisted (round 6): the two passes are plain map-side-
+    // combined aggregations over a column-pruned projection — at
+    // 100 TB caching the full (k, v, w) pair stream would materialize
+    // the input a second time just to save one pruned re-scan, and at
+    // bench scale the cache build dominated the whole fit. Two scans
+    // of the pruned columns is the honest cost of a two-pass sketch.
     val pairs = df.filter(weight.cast("double") =!= 0)
       .select(pair.as("p"), weight.cast("double").as("__w"))
       .filter(col("p.v").isNotNull && !isnan(col("p.v")))
       .select(col("p.k").as("k"), col("p.v").as("v"),
         col("__w").as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    locally {
       // pass 1 — bounded collect: one row per fitted column
       val mm = pairs.groupBy(col("k"))
         .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
@@ -101,7 +106,7 @@ object Sketch {
             }
         })
       }
-    } finally { pairs.unpersist(false); () }
+    }
   }
 
   /** Per-GROUP histogram quantiles, fully distributed end to end — the

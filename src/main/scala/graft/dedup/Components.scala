@@ -71,25 +71,42 @@ object Components {
         _.checkpoint(true)
       else _.localCheckpoint(true)
     try {
-      var labels = ckpt(und.select(col("u").as("id")).distinct()
-        .withColumn("comp", col("id")))
-      var iter = 0
+      // seed labels with ROUND ONE's result directly: from comp=id,
+      // the first propagation's min over {id, neighbors' ids, id's
+      // label's label=id} is exactly min(id, min neighbor) — one
+      // map-side-combined groupBy over the edge list instead of a
+      // full join round (round-6 optimization; saves one join + one
+      // convergence action per call)
+      var labels = ckpt(und.groupBy(col("u").as("id"))
+        .agg(least(min(col("v")), first(col("u"))).as("comp")))
+      var iter = 1
       var converged = false
       while (!converged && iter < maxIter) {
-        // neighbor messages: for edge (u,v), u hears v's label
-        val viaEdges = und.join(labels, und("v") === labels("id"))
-          .select(und("u").as("id"), col("comp"))
-        // pointer jump: my label's label
-        val l2 = labels.select(col("id").as("jid"), col("comp").as("jcomp"))
-        val viaJump = labels.join(l2, col("comp") === col("jid"))
-          .select(col("id"), col("jcomp").as("comp"))
-        val next = ckpt(labels.unionByName(viaEdges)
-          .unionByName(viaJump)
-          .groupBy(col("id")).agg(min(col("comp")).as("comp")))
-        val changed = next.join(labels.withColumnRenamed("comp", "old"),
-            "id")
-          .filter(col("comp") =!= col("old")).count()
-        labels = next
+        // ONE message relation per round (round-6 optimization: the
+        // neighbor and jump propagations used to be two separate
+        // joins — 2 exchanges + a third convergence join per round):
+        // a row (x, y) means "x hears label(y)". Graph edges (u, v)
+        // give neighbor messages; pointer edges (id, comp) give the
+        // label-of-label jump (join comp -> labels yields
+        // comp(comp(id))). Both resolve through a SINGLE equi-join
+        // against the label table.
+        val msgs = und.unionByName(
+          labels.select(col("id").as("u"), col("comp").as("v")))
+        val heard = msgs
+          .join(labels.select(col("id").as("v"), col("comp")), Seq("v"))
+          .select(col("u").as("id"), col("comp"))
+        // fold the OLD label into the same aggregation so convergence
+        // needs no join: every aggregated id appears in the labels
+        // branch exactly once (edge endpoints and pointer sources are
+        // all labeled), so max(old) recovers its previous label.
+        val next = ckpt(heard
+          .select(col("id"), col("comp"), lit(null).cast("long").as("old"))
+          .unionByName(labels.select(col("id"), col("comp"),
+            col("comp").as("old")))
+          .groupBy(col("id"))
+          .agg(min(col("comp")).as("comp"), max(col("old")).as("old")))
+        val changed = next.filter(col("comp") =!= col("old")).count()
+        labels = next.select(col("id"), col("comp"))
         converged = changed == 0
         iter += 1
       }

@@ -502,10 +502,15 @@ class DataFrameMethodTransformer(
         // then r + n when r's nonzero sign differs from n's
         // (-3 % 2 == 1, 3 % -2 == -1). Spark's pmod is NOT this — it
         // only lifts negative remainders, so pmod(3, -2) stays 1.
+        // The final + 0.0 canonicalizes IEEE negative zero (Java's %
+        // yields -0.0 for e.g. -21.0 % 7.0; Python's float % yields
+        // +0.0 there, and the q140 oracle's ((x%n)+n)%n chain always
+        // lands on +0.0) — it changes no other value: x + 0.0 == x
+        // for every non-zero x, NaN and null propagate.
         case "mod" => c => {
           val r = c % other
           val needsShift = if (other < 0) r > 0 else r < 0
-          when(needsShift, r + other).otherwise(r)
+          when(needsShift, r + other).otherwise(r) + lit(0.0)
         }
       }
       columns.map(c => op(d(c)))

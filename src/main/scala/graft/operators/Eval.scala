@@ -596,7 +596,18 @@ object Eval {
     val nD = col("n_obs").cast("double")
     val kD = col("n_success").cast("double")
     val p = kD / nD
-    val z2 = lit(z * z)
+    // z^2 routed through the shortest-decimal-repr DECIMAL conversion
+    // (unscaled / 10^scale, two double roundings) instead of fl(z*z):
+    // SQL engines that parse a bare numeric literal as DECIMAL (DuckDB
+    // — the certifying oracle) land on THIS double for the emitted
+    // literal, 1 ulp above fl(1.96*1.96). The bound shifts by <1e-16
+    // (statistically nothing), and the whole chain becomes
+    // bit-reproducible against such engines — with fl(z*z) the n=5/10
+    // zero-success rows land an ulp below zero and round to -0.0
+    // while the oracle's land exactly on +0.0 (driver-red q393, r5).
+    val zBd = new java.math.BigDecimal(java.lang.Double.toString(z * z))
+    val z2 = lit(zBd.unscaledValue.doubleValue() /
+      math.pow(10, zBd.scale))
     val lb = (p + z2 / (nD * 2) - lit(z) *
       sqrt(p * (lit(1.0) - p) / nD + z2 / (nD * nD * 4))) /
       (lit(1.0) + z2 / nD)

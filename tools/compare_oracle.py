@@ -58,12 +58,30 @@ for name in sorted(os.listdir(out_dir)):
         for c in sorted(got.columns):
             gc, ec = g[c], e[c]
             if str(gc.dtype) != str(ec.dtype):
-                print(f"{name}: dtype diff col {c}: {gc.dtype} vs {ec.dtype}")
+                # driver-faithful (round 6): a dtype mismatch FAILS —
+                # the driver's hash distinguishes representations that
+                # pandas == silently coerces
+                print(f"{name}: DTYPE DIFF col {c}: {gc.dtype} vs {ec.dtype}")
+                ok = False
             neq = ~((gc == ec) | (gc.isna() & ec.isna()))
             if neq.any():
                 i = neq.idxmax()
                 print(f"{name}: VALUE DIFF col {c} at row {i}: got={gc[i]!r} exp={ec[i]!r} ({int(neq.sum())} diffs)")
                 ok = False
+            # driver-faithful (round 6): pandas == treats -0.0 == 0.0,
+            # but the driver hashes bit patterns — fail on any signbit
+            # asymmetry between value-equal float zeros (this exact
+            # class shipped red driver rows in rounds 4 and 5)
+            if str(gc.dtype).startswith("float"):
+                import numpy as np
+                sb = (np.signbit(gc.to_numpy()) ^ np.signbit(ec.to_numpy())) \
+                    & ~(gc.isna() | ec.isna()).to_numpy()
+                if sb.any():
+                    i = int(np.argmax(sb))
+                    print(f"{name}: SIGNBIT DIFF col {c} at row {i}: "
+                          f"got={gc[i]!r} exp={ec[i]!r} "
+                          f"({int(sb.sum())} rows)")
+                    ok = False
     print(f"{name}: {'OK' if ok else 'FAIL'} ({len(got)} rows)")
     if not ok: fails.append(name)
 
