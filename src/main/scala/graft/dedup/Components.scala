@@ -66,10 +66,20 @@ object Components {
     val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ckpt: DataFrame => DataFrame =
-      if (edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        _.checkpoint(true)
-      else _.localCheckpoint(true)
+    // Durable checkpoint dir set -> durable per-round checkpoints
+    // (executor-loss recovery, as documented above). Otherwise the
+    // round-6 LOCAL strategy: LAZY localCheckpoint — the plan is
+    // truncated immediately (a lazily-checkpointed Dataset is already
+    // a LogicalRDD, so the 3-way label self-reference cannot nest
+    // round over round) and the round's ONE convergence count both
+    // materializes the blocks and decides convergence, where the
+    // previous eager localCheckpoint + count paid two actions per
+    // round.
+    val durable =
+      edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def round(df: DataFrame): DataFrame =
+      if (durable) df.checkpoint(true) // eager durable write, as before
+      else df.localCheckpoint(false)
     try {
       // seed labels with ROUND ONE's result directly: from comp=id,
       // the first propagation's min over {id, neighbors' ids, id's
@@ -77,7 +87,7 @@ object Components {
       // map-side-combined groupBy over the edge list instead of a
       // full join round (round-6 optimization; saves one join + one
       // convergence action per call)
-      var labels = ckpt(und.groupBy(col("u").as("id"))
+      var labels = round(und.groupBy(col("u").as("id"))
         .agg(least(min(col("v")), first(col("u"))).as("comp")))
       var iter = 1
       var converged = false
@@ -99,12 +109,14 @@ object Components {
         // needs no join: every aggregated id appears in the labels
         // branch exactly once (edge endpoints and pointer sources are
         // all labeled), so max(old) recovers its previous label.
-        val next = ckpt(heard
+        val next = round(heard
           .select(col("id"), col("comp"), lit(null).cast("long").as("old"))
           .unionByName(labels.select(col("id"), col("comp"),
             col("comp").as("old")))
           .groupBy(col("id"))
           .agg(min(col("comp")).as("comp"), max(col("old")).as("old")))
+        // the ONE action of the round: materializes the lazily-
+        // checkpointed round and decides convergence
         val changed = next.filter(col("comp") =!= col("old")).count()
         labels = next.select(col("id"), col("comp"))
         converged = changed == 0

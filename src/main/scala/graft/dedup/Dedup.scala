@@ -66,42 +66,135 @@ object Dedup {
   }
 
   /** `(__id, __sh)` distinct shingle SETS per document (for exact
-    * Jaccard verification) — [[shingleRowsOf]] + a map-side-combined
-    * collect_set on the partitioning the window already established.
+    * Jaccard verification) — computed by the per-partition JVM kernel
+    * (round 6): each document's shingles are built and deduped inside
+    * one tight loop in its scan task, so the op is a MAP-ONLY pass
+    * with no posexplode, no window exchange/sort, and no collect_set
+    * shuffle at all (the previous shape shuffled every token row).
+    * Same output: one row per document with >= 1 shingle; set order
+    * is unspecified (all consumers are order-insensitive
+    * array_intersect/size).
     */
   private[graft] def shingleSetsOf(df: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame =
-    shingleRowsOf(df, idCol, textCol, n)
-      .groupBy(col("__id"))
-      .agg(collect_set(col("__s")).as("__sh"))
+      textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val in = df.select(col(idCol), col(textCol).cast("string"))
+    val idf = in.schema.head
+    val schema = StructType(Seq(
+      StructField("__id", idf.dataType, idf.nullable),
+      StructField("__sh", ArrayType(StringType, containsNull = false))))
+    in.mapPartitions { it =>
+      it.flatMap { r =>
+        val text = if (r.isNullAt(1)) null else r.getString(1)
+        if (text == null) Iterator.empty
+        else {
+          val toks = text.split(" ", -1)
+          if (toks.length < n) Iterator.empty
+          else {
+            val seen = new java.util.LinkedHashSet[String]
+            val sb = new java.lang.StringBuilder
+            var p = 0
+            while (p <= toks.length - n) {
+              sb.setLength(0)
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(p + j)); j += 1
+              }
+              seen.add(sb.toString); p += 1
+            }
+            val arr = new Array[String](seen.size)
+            seen.toArray(arr)
+            Iterator.single(Row(r.get(0), arr.toSeq))
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
 
   /** Per-document MinHash signature table `(id, mh0..mh{numHashes-1})`,
-    * computed RELATIONALLY: explode shingles to rows, then one
-    * `groupBy(id)` carrying `numHashes` small codegen'd min aggregates.
+    * computed by a PER-PARTITION JVM KERNEL (round 6): each document's
+    * shingles, hashes and running minima are produced in one tight
+    * loop inside its scan task — a map-only stage with a |docs|-row
+    * output and NO shuffle at all.
     *
-    * Each shingle STRING is hashed exactly once (`xxhash64(shingle)`);
-    * the `numHashes` signature slots re-hash that fixed-width 64-bit
-    * value with the slot seed (`xxhash64(u, seed)` over 8 bytes), which
-    * costs a few mixing rounds instead of a full string hash — the
-    * string-hash-per-seed variant spent ~32x the CPU here and was the
-    * slowest query in the bench.
+    * Bit-compatibility: each shingle STRING is hashed exactly once
+    * with the evaluator behind the SQL `xxhash64` (`XxHash64Function`,
+    * seed 42); the `numHashes` slots re-hash that 64-bit value with
+    * the slot seed exactly as `xxhash64(u, lit(seed))` folds
+    * (`hashInt(seed, hashLong(u, 42))`), so the signatures equal the
+    * previous relational `min(xxhash64(xxhash64(shingle), seed))`
+    * aggregation digit-for-digit (spec-asserted).
     *
-    * Why not a single projection with nested lambdas: higher-order
-    * functions are interpreted (no whole-stage codegen, no
-    * subexpression elimination inside the lambda), and a
-    * 32-seed-inlined expression tree compiles to a pathologically large
-    * plan. The explode + hash-aggregate shape keeps every expression
-    * tiny and codegen'd, and partial aggregation collapses each map
-    * partition to one row per id BEFORE the exchange — the shuffle
-    * carries signatures, not shingles.
+    * Why a kernel and not expressions: the relational shape paid a
+    * full posexplode + per-doc window exchange/sort just to assemble
+    * shingles (~0.5 s of the 1.0 s q41 at sf0.1 — measured round 6),
+    * and the higher-order-function projection alternative is
+    * interpreted per element (no codegen, no subexpression
+    * elimination — measured 20-40% SLOWER than the window). The
+    * kernel does the same O(tokens * n) work with zero exchanges;
+    * per-task memory is bounded by one document's tokens.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 32): DataFrame = {
-    val rows = shingleRowsOf(df, idCol, textCol, shingleSize)
-      .select(col("__id"), xxhash64(col("__s")).as("__u"))
-    val mins = (0 until numHashes).map(seed =>
-      min(xxhash64(col("__u"), lit(seed))).as(s"mh$seed"))
-    rows.groupBy(col("__id")).agg(mins.head, mins.tail: _*)
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.{XXH64, XxHash64Function}
+    import org.apache.spark.unsafe.types.UTF8String
+    val in = df.select(col(idCol), col(textCol).cast("string"))
+    val idf = in.schema.head
+    val schema = StructType(
+      StructField("__id", idf.dataType, idf.nullable) +:
+        (0 until numHashes).map(s =>
+          StructField(s"mh$s", LongType, nullable = false)))
+    val (n, k) = (shingleSize, numHashes)
+    in.mapPartitions { it =>
+      it.flatMap { r =>
+        val text = if (r.isNullAt(1)) null else r.getString(1)
+        if (text == null) Iterator.empty
+        else {
+          val toks = text.split(" ", -1)
+          if (toks.length < n) Iterator.empty
+          else {
+            // per-document kernel (round 6): shingle strings, one
+            // xxhash64 per shingle, k seed-rehashes folding into
+            // running minima — bit-identical to the relational
+            // min(xxhash64(xxhash64(shingle), seed)) aggregation
+            // (XxHash64Function/XXH64 are the exact evaluators behind
+            // the SQL xxhash64), but with no posexplode, no window
+            // exchange/sort, and a |docs|-row output instead of a
+            // token-row shuffle.
+            val mins = Array.fill(k)(Long.MaxValue)
+            val sb = new java.lang.StringBuilder
+            var p = 0
+            while (p <= toks.length - n) {
+              sb.setLength(0)
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(p + j)); j += 1
+              }
+              val u = XxHash64Function.hash(
+                UTF8String.fromString(sb.toString), StringType, 42L)
+              val hu = XXH64.hashLong(u, 42L)
+              var s = 0
+              while (s < k) {
+                val h = XXH64.hashInt(s, hu)
+                if (h < mins(s)) mins(s) = h
+                s += 1
+              }
+              p += 1
+            }
+            val vals = new Array[Any](1 + k)
+            vals(0) = r.get(0)
+            var s = 0
+            while (s < k) { vals(1 + s) = mins(s); s += 1 }
+            Iterator.single(Row.fromSeq(vals.toIndexedSeq))
+          }
+        }
+      }
+    }(Encoders.row(schema))
   }
 
   /** `(__id, band, bh)` LSH band-bucket rows: each `rows`-wide

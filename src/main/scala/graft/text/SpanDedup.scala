@@ -26,10 +26,11 @@ import graft.dedup.Dedup
   * BPE tokens).
   *
   * Scale shape (100 TB):
-  *   - n-gram rows reuse the [[graft.dedup.Dedup.shingleRowsOf]]
-  *     posexplode + window-lead pattern — one exchange on doc_id,
-  *     window buffering bounded by document length (a per-DOC window,
-  *     immune to hot-KEY skew: documents are bounded, keys are not);
+  *   - n-gram rows come from a PER-PARTITION JVM KERNEL (round 6):
+  *     each document's grams are built inside its scan task — a
+  *     map-only pass with NO exchange and per-task memory bounded by
+  *     one document's tokens (immune to hot-KEY skew by construction:
+  *     documents are bounded, keys are not);
   *   - the gram frame is computed ONCE per operator call and persisted
   *     (MEMORY_AND_DISK) for the duration of the query: the
   *     posexplode + window + md5 gram pass is the dominant cost of the
@@ -70,29 +71,64 @@ object SpanDedup {
     df.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), " ")).as(Seq("__pos", "__t")))
 
-  /** `(doc_id, pos, gram_hash)` windows over a token frame (the
-    * expensive pass: one exchange on doc_id + per-doc window + md5
-    * per window).
-    */
-  private[graft] def gramRowsFromToks(toks: DataFrame, n: Int)
-      : DataFrame = {
-    require(n >= 2, s"span dedup needs n >= 2, got $n")
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("__pos"))
-    val parts = (0 until n).map(k =>
-      if (k == 0) col("__t") else lead(col("__t"), k).over(w))
-    toks.select(col("doc_id"), col("__pos"),
-        parts.last.isNotNull.as("__full"),
-        Dedup.md5Hash60(concat_ws(" ", parts: _*)).as("__g"))
-      .filter(col("__full"))
-      .select(col("doc_id"), col("__pos"), col("__g"))
-  }
-
   /** `(doc_id, pos, gram_hash)` rows: the n-token window starting at
-    * token `pos` (0-based), hashed. One exchange on doc_id.
+    * token `pos` (0-based), hashed — computed by a PER-PARTITION JVM
+    * KERNEL (round 6): tokens, window strings and the md5-folded gram
+    * ids are produced in one tight loop inside each document's scan
+    * task, so the expensive pass is MAP-ONLY (the previous shape
+    * posexploded every token and shuffled them all into a per-doc
+    * window before `lead` could assemble grams; an interpreted
+    * higher-order-function projection measured slower still). Gram
+    * identity is unchanged: md5 of the space-joined window, folded to
+    * the first 15 hex digits ([[Dedup.md5Hash60]] — here the same 60
+    * bits taken straight from the digest bytes), so downstream
+    * aggregations and every oracle replay see identical int64 ids.
     */
   private[graft] def gramRows(df: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame =
-    gramRowsFromToks(tokenRows(df, idCol, textCol), n)
+      textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"span dedup needs n >= 2, got $n")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val in = df.select(col(idCol), col(textCol).cast("string"))
+    val idf = in.schema.head
+    val schema = StructType(Seq(
+      StructField("doc_id", idf.dataType, idf.nullable),
+      StructField("__pos", IntegerType, nullable = false),
+      StructField("__g", LongType, nullable = false)))
+    in.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val text = if (r.isNullAt(1)) null else r.getString(1)
+        if (text == null) Iterator.empty
+        else {
+          val toks = text.split(" ", -1)
+          if (toks.length < n) Iterator.empty
+          else {
+            val id = r.get(0)
+            val sb = new java.lang.StringBuilder
+            (0 to toks.length - n).iterator.map { p =>
+              sb.setLength(0)
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(p + j)); j += 1
+              }
+              md.reset()
+              val d = md.digest(sb.toString
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              // first 15 hex digits = first 7 bytes + the high nibble
+              // of the 8th — exactly conv(substring(hex, 1, 15), 16, 10)
+              var v = 0L
+              var b = 0
+              while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+              v = (v << 4) | ((d(7) & 0xffL) >>> 4)
+              Row(id, p, v)
+            }
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
 
   /** `(doc_id, pos)` start positions of duplicated n-gram windows
     * given an (ideally persisted) gram frame: windows whose gram
@@ -173,20 +209,21 @@ object SpanDedup {
     * document (a fully-duplicated document survives with
     * `clean_text = ''`).
     *
-    * The token explode is computed once and persisted: the gram
-    * windows AND the kept-token reassembly both derive from it (the
-    * gram frame is additionally persisted — it is read twice by the
-    * dup-start derivation). Coverage expansion explodes each marked
-    * start into its n covered positions (bounded n-fold blowup of the
-    * TINY dup-start set, not of the corpus); the anti-join drops
-    * covered tokens; per-doc reassembly sorts the surviving
-    * (pos, token) pairs inside one array — bounded by document length.
+    * The gram frame is persisted (read twice by the dup-start
+    * derivation); the token rows for the kept-token reassembly are a
+    * separate cheap posexplode projection over the same scan (round
+    * 6: grams come from the per-partition kernel, so the old token
+    * persist had a single consumer left and was dropped). Coverage
+    * expansion explodes each marked start into its n covered
+    * positions (bounded n-fold blowup of the TINY dup-start set, not
+    * of the corpus); the anti-join drops covered tokens; per-doc
+    * reassembly sorts the surviving (pos, token) pairs inside one
+    * array — bounded by document length.
     */
   def removeDuplicatedSpans(df: DataFrame, idCol: String,
       textCol: String, n: Int, minCount: Long = 2L): DataFrame = {
     val toks = tokenRows(df, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val grams = gramRowsFromToks(toks, n)
+    val grams = gramRows(df, idCol, textCol, n)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val covered = dupStartsFromGrams(grams, minCount)
       .select(col("doc_id"),

@@ -100,11 +100,15 @@ object TextOps {
     * guaranteed to share a fingerprint — the basis for plagiarism /
     * near-dup detection that survives local edits.
     *
-    * Fully relational (the [[graft.dedup.Dedup.shingleRowsOf]] posexplode +
-    * window-lead pattern — no interpreted lambdas): one exchange on
-    * `doc_id` for the character window, which the gram window and the
-    * final distinct reuse (same partitioning). At 100 TB this is a
-    * single hash-partitioned pass per document set.
+    * Computed by a PER-PARTITION JVM KERNEL (round 6): gram hashes,
+    * the per-window minima and the per-document fingerprint dedup all
+    * run in one tight loop inside each document's scan task — the op
+    * is a MAP-ONLY projection with ZERO exchanges (the previous shape
+    * posexploded every CHARACTER to a row, shuffled them into a
+    * per-doc window, and deduped with a global distinct; distinct
+    * (doc_id, fp) pairs dedup entirely within a document, so the
+    * kernel's per-doc hash set already yields the distinct output).
+    * At 100 TB this is a pure map pass over the corpus scan.
     *
     * The hash is exact int64 arithmetic reproducible in any engine:
     * codes are `ascii(char) % 512` so the largest possible sum
@@ -114,7 +118,6 @@ object TextOps {
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // k caps at 8: the polynomial's max sum 511 * sum(131^j, j<8) is
     // ~3.4e17 (safe); at k=9 it exceeds Long.MaxValue — ANSI mode
     // would kill the scan with ARITHMETIC_OVERFLOW, and at k>=10 the
@@ -122,33 +125,58 @@ object TextOps {
     // "reproducible in any engine" contract
     require(k >= 2 && k <= 8 && w >= 1,
       s"need 2 <= k <= 8 (int64 overflow above), w >= 1, got k=$k w=$w")
-    val chars = df.select(col(idCol).as("doc_id"),
-      posexplode(split(col(textCol), "")).as(Seq("__pos", "__c")))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("__pos"))
-    // base-131 polynomial over the k chars starting at __pos
-    val pows: Seq[Long] =
-      Iterator.iterate(1L)(_ * 131L).take(k).toSeq.reverse
-    val terms = (0 until k).map { j =>
-      val c = if (j == 0) col("__c") else lead(col("__c"), j).over(win)
-      (ascii(c) % 512).cast("long") * lit(pows(j))
-    }
-    val lastChar = lead(col("__c"), k - 1).over(win)
-    val grams = chars
-      .select(col("doc_id"), col("__pos"),
-        lastChar.isNotNull.as("__full"),
-        terms.reduce(_ + _).as("__h"))
-      .filter(col("__full"))
-    // winnow: min over each window of w consecutive gram hashes
-    // (full windows only); distinct collapses overlapping picks
-    val fp = min(col("__h")).over(
-      win.rowsBetween(Window.currentRow, w - 1))
-    grams
-      .select(col("doc_id"),
-        lead(col("__h"), w - 1).over(win).isNotNull.as("__fullw"),
-        fp.as("fp"))
-      .filter(col("__fullw"))
-      .select(col("doc_id"), col("fp"))
-      .distinct()
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    // base-131 polynomial over the k chars starting at each position;
+    // codes are codepoint % 512, matching the relational
+    // ascii(char) % 512 formulation this kernel replaced (the q61/q94
+    // oracles replay the identical integer arithmetic)
+    val pows: Array[Long] =
+      Iterator.iterate(1L)(_ * 131L).take(k).toArray.reverse
+    val in = df.select(col(idCol), col(textCol).cast("string"))
+    val idf = in.schema.head
+    val schema = StructType(Seq(
+      StructField("doc_id", idf.dataType, idf.nullable),
+      StructField("fp", LongType, nullable = false)))
+    val (kk, ww) = (k, w)
+    in.mapPartitions { it =>
+      it.flatMap { r =>
+        val text = if (r.isNullAt(1)) null else r.getString(1)
+        if (text == null || text.length < kk) Iterator.empty
+        else {
+          val nG = text.length - kk + 1
+          val grams = new Array[Long](nG)
+          var p = 0
+          while (p < nG) {
+            var h = 0L
+            var j = 0
+            while (j < kk) {
+              h += (text.codePointAt(p + j) % 512).toLong * pows(j)
+              j += 1
+            }
+            grams(p) = h; p += 1
+          }
+          if (nG < ww) Iterator.empty
+          else {
+            val id = r.get(0)
+            val seen = new java.util.HashSet[java.lang.Long]
+            val out = Vector.newBuilder[Row]
+            var s = 0
+            while (s <= nG - ww) {
+              var m = grams(s)
+              var j = 1
+              while (j < ww) {
+                if (grams(s + j) < m) m = grams(s + j)
+                j += 1
+              }
+              if (seen.add(m)) out += Row(id, m)
+              s += 1
+            }
+            out.result().iterator
+          }
+        }
+      }
+    }(Encoders.row(schema))
   }
 
   /** Benchmark decontamination: which corpus documents share local

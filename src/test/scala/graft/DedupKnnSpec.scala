@@ -96,6 +96,26 @@ class DedupKnnSpec extends SparkSpec {
     assert(!sets.contains(5L)) // "short" has no 3-gram
   }
 
+  test("kernel minhash signatures match the relational " +
+      "min(xxhash64(xxhash64(shingle), seed)) formulation bit-for-bit") {
+    // the round-6 per-partition kernel must reproduce the previous
+    // relational aggregation exactly — the banding (and so the
+    // candidate pair set) is derived from these longs
+    val rel = Dedup.shingleRowsOf(docs(), "doc_id", "text", 3)
+      .select(col("__id"), xxhash64(col("__s")).as("__u"))
+      .groupBy(col("__id"))
+      .agg((0 until 32).map(s =>
+        min(xxhash64(col("__u"), lit(s))).as(s"mh$s")).head,
+        (0 until 32).map(s =>
+          min(xxhash64(col("__u"), lit(s))).as(s"mh$s")).tail: _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 32).map(r.getLong).toVector).toMap
+    val ker = Dedup.minhashSignatures(docs(), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 32).map(r.getLong).toVector).toMap
+    assert(ker == rel)
+  }
+
   test("minhash LSH finds exact and near duplicates") {
     val pairs = Dedup.minhashNearDups(docs(), "doc_id", "text", 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0),

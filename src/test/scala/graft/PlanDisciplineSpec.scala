@@ -181,9 +181,7 @@ class PlanDisciplineSpec extends SparkSpec {
       s"image dedup must move only the phash column:\n$plan")
   }
 
-  test("winnowing windows share one exchange per document set") {
-    // parquet-backed input (a range input would satisfy the window
-    // distribution via RangePartitioning and hide the exchange)
+  test("winnowing is a map-only kernel pass: zero exchanges") {
     val p = Files.createTempDirectory("plan_docs").toString + "/docs"
     spark.range(0, 50)
       .selectExpr("id AS doc_id",
@@ -192,14 +190,13 @@ class PlanDisciplineSpec extends SparkSpec {
     val q = graft.text.TextOps.winnowFingerprints(
       spark.read.parquet(p), "doc_id", "text")
     val plan = q.queryExecution.executedPlan.toString
-    // char window + gram window + winnow window all partition by
-    // doc_id: exactly ONE hash exchange on doc_id may appear (the
-    // final distinct adds its own on (doc_id, fp))
-    val docExchanges = plan.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning(doc_id") &&
-        !l.contains("fp"))
-    assert(docExchanges == 1,
-      s"expected one doc_id exchange, got $docExchanges:\n$plan")
+    // round 6: the per-partition kernel computes gram hashes, window
+    // minima AND the per-doc fingerprint dedup inside the scan task —
+    // distinct (doc_id, fp) pairs dedup entirely within a document,
+    // so NO exchange of any kind may appear
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges == 0,
+      s"expected zero exchanges, got $exchanges:\n$plan")
   }
 
   test("columns-over-row horizontal aggregates stay codegen'd and " +
