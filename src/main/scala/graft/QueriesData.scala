@@ -70,17 +70,36 @@ object QueriesData {
     (512, 512), (576, 448), (448, 576), (640, 384), (384, 640),
     (704, 320), (320, 704), (768, 256), (256, 768))
 
+  /** Write-once (round 6): the fixture is the DETERMINISTIC shared
+    * input both engines read — a pure function of (n, generator
+    * version) — so re-materializing byte-identical parquet on every
+    * bench rep timed the test scaffold, not the operator under test.
+    * The marker records (n, version); any parameter or generator
+    * change rewrites the fixture (the same content-keyed build-once
+    * contract as the q93 minhash index). Nothing derived from the
+    * query inputs or results is ever stored — only the generated
+    * INPUT the oracle must also see.
+    */
+  private val OracleImagesVersion = "v1"
   private[graft] def oracleImages(s: SparkSession, n: Long,
       path: String): DataFrame = {
-    val pngMagic = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47,
-      0x0D, 0x0A, 0x1A, 0x0A)
-    val jpegMagic = Array[Byte](0xFF.toByte, 0xD8.toByte)
-    ImageTable.images(s, n)
-      .withColumn("bytes",
-        when(col("fmt") === "png", concat(lit(pngMagic), col("bytes")))
-          .when(col("fmt") === "jpeg", concat(lit(jpegMagic), col("bytes")))
-          .otherwise(col("bytes")))
-      .write.mode("overwrite").parquet(path)
+    val key = s"$OracleImagesVersion:n=$n"
+    val marker = java.nio.file.Paths.get(path, "_GRAFT_FIXTURE")
+    val upToDate = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker).trim == key
+    if (!upToDate) {
+      val pngMagic = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47,
+        0x0D, 0x0A, 0x1A, 0x0A)
+      val jpegMagic = Array[Byte](0xFF.toByte, 0xD8.toByte)
+      ImageTable.images(s, n)
+        .withColumn("bytes",
+          when(col("fmt") === "png", concat(lit(pngMagic), col("bytes")))
+            .when(col("fmt") === "jpeg",
+              concat(lit(jpegMagic), col("bytes")))
+            .otherwise(col("bytes")))
+        .write.mode("overwrite").parquet(path)
+      java.nio.file.Files.writeString(marker, key)
+    }
     s.read.parquet(path)
   }
 
@@ -507,29 +526,38 @@ object QueriesData {
       val d = docsWithExact(s, dir)
         .withColumn("fp", TextOps.fingerprintMd5(col("text")))
       val deduped = Dedup.exact(d, Seq("fp"), "doc_id")
-      val scored = deduped
-        .withColumn("lang_pred", TextOps.langId(col("text")))
-        .withColumn("quality",
-          TextOps.qualityExprs(col("text")).last._2)
-      scored
-        .filter(col("lang_pred") =!= "unknown" && col("quality") >= 0.5)
-        .select(col("doc_id"), col("lang_pred"),
-          round(col("quality"), 6).as("quality"),
-          TextOps.tokenCount(col("text")).as("ws_tokens"),
-          TextOps.bpeishCount(col("text")).as("bpeish_tokens"))
+      // round 6: ALL text signals (lang, quality, both token counts)
+      // from the one-pass kernel — the Column formulation re-split
+      // each surviving text ~20x once filter pushdown duplicated the
+      // interpreted stopword HOFs above and below the quality gate
+      TextOps.withTextSignals(deduped, "text")
+        .filter(col("__ts_lang_pred") =!= "unknown" &&
+          col("__ts_quality") >= 0.5)
+        .select(col("doc_id"), col("__ts_lang_pred").as("lang_pred"),
+          round(col("__ts_quality"), 6).as("quality"),
+          col("__ts_ws_tokens").as("ws_tokens"),
+          col("__ts_bpeish_tokens").as("bpeish_tokens"))
         .orderBy("doc_id")
     }),
 
     "q47_lang_id" -> ((s, dir) => {
+      // stays on the Column langId: a single-consumer projection has
+      // no duplication to save, and the kernel's Row round-trip
+      // measured slower here (round 6)
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     }),
 
     "q48_quality_score" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
-      val exprs = TextOps.qualityExprs(col("text"))
-      d.select(col("doc_id") +: exprs.map { case (n, e) => e.as(n) }: _*)
+      TextOps.withTextSignals(tbl(s, dir, "documents"), "text")
+        .select(col("doc_id"),
+          col("__ts_n_chars_q").as("n_chars_q"),
+          col("__ts_n_tokens").as("n_tokens"),
+          col("__ts_punct_ratio").as("punct_ratio"),
+          col("__ts_stopword_ratio").as("stopword_ratio"),
+          col("__ts_mean_token_len").as("mean_token_len"),
+          col("__ts_quality").as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -538,10 +566,10 @@ object QueriesData {
       // quartile by the q48 composite score — a per-group threshold so
       // no language's distribution sets the bar for another. Exact
       // per-group np.interp thresholds, broadcast-join filter
-      val scored = tbl(s, dir, "documents").select(
-        col("doc_id"), col("lang"),
-        TextOps.qualityExprs(col("text"))
-          .collect { case ("quality", e) => e }.head.as("quality"))
+      val scored = TextOps.withTextSignals(
+        tbl(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("lang"),
+          col("__ts_quality").as("quality"))
       graft.operators.GroupOps.filterByGroupQuantile(
         scored, "lang", "quality", prob = 0.75)
         .select(col("doc_id"), col("lang"),
@@ -550,6 +578,8 @@ object QueriesData {
     }),
 
     "q49_token_count" -> ((s, dir) => {
+      // stays on the Column counters (no HOFs, no duplication — the
+      // kernel's Row round-trip measured slower here, round 6)
       tbl(s, dir, "documents").select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("ws_tokens"),
         TextOps.bpeishCount(col("text")).as("bpeish_tokens"))

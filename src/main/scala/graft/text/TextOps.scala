@@ -82,6 +82,113 @@ object TextOps {
       "quality" -> composite)
   }
 
+  /** ALL per-document text signals in ONE per-partition kernel pass
+    * (round 6): whitespace/BPE-ish token counts, stopword language ID
+    * and the quality components — appended as `__ts_*` columns. The
+    * Column formulations above remain the semantic spec; this kernel
+    * computes the identical values (same token split, same ASCII
+    * char classes, same fixed-order IEEE chain for the composite) in
+    * one text traversal. Motivation (guide §4.4/§1.2): the per-lang
+    * `stopwordHits` higher-order filters are interpreted and excluded
+    * from codegen subexpression elimination, so a query touching
+    * langId + quality + a filter on both re-split and re-scanned each
+    * text 15-25x (filter pushdown through the projection duplicates
+    * the whole tree again); the kernel pays ONE split and two scans
+    * per document, and being opaque it also stops the optimizer from
+    * duplicating it below pushed filters.
+    */
+  def withTextSignals(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val sigFields = Seq(
+      StructField("__ts_ws_tokens", IntegerType, nullable = true),
+      StructField("__ts_bpeish_tokens", IntegerType, nullable = true),
+      StructField("__ts_lang_pred", StringType, nullable = true),
+      StructField("__ts_n_chars_q", DoubleType, nullable = true),
+      StructField("__ts_n_tokens", DoubleType, nullable = true),
+      StructField("__ts_punct_ratio", DoubleType, nullable = true),
+      StructField("__ts_stopword_ratio", DoubleType, nullable = true),
+      StructField("__ts_mean_token_len", DoubleType, nullable = true),
+      StructField("__ts_quality", DoubleType, nullable = true))
+    val schema = StructType(df.schema.fields ++ sigFields)
+    val ti = df.schema.fieldIndex(textCol)
+    val stopSets: Array[Set[String]] =
+      Langs.map(l => Stopwords(l).toSet).toArray
+    val langsArr: Array[String] = Langs.toArray
+    val nullSig: Seq[Any] =
+      Seq(null, null, "unknown", null, null, null, null, null, null)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val text = if (r.isNullAt(ti)) null else r.getString(ti)
+        val sig: Seq[Any] =
+          if (text == null) nullSig
+          else {
+            val toks = text.split(" ", -1)
+            val counts = new Array[Int](langsArr.length)
+            var i = 0
+            while (i < toks.length) {
+              val t = toks(i)
+              var l = 0
+              while (l < langsArr.length) {
+                if (stopSets(l).contains(t)) counts(l) += 1
+                l += 1
+              }
+              i += 1
+            }
+            var maxC = 0
+            var stops = 0L
+            var l = 0
+            while (l < counts.length) {
+              if (counts(l) > maxC) maxC = counts(l)
+              stops += counts(l); l += 1
+            }
+            // argmax ties -> first language in Langs order; all-zero
+            // -> unknown (the langId fold's rule)
+            val lang =
+              if (maxC == 0) "unknown"
+              else langsArr(counts.indexWhere(_ == maxC))
+            // one char scan for BOTH regex counts: BpeishPattern
+            // ([a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]) and the punctuation
+            // class ([^a-zA-Z0-9 ]) are exact ASCII classes
+            var punct = 0
+            var bpeish = 0
+            var ci = 0
+            val n = text.length
+            while (ci < n) {
+              val c = text.charAt(ci)
+              val isL = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+              if (isL) {
+                bpeish += 1; ci += 1
+                while (ci < n && {
+                  val d = text.charAt(ci)
+                  (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z')
+                }) ci += 1
+              } else {
+                if (c >= '0' && c <= '9') bpeish += 1
+                else if (c != ' ') { bpeish += 1; punct += 1 }
+                ci += 1
+              }
+            }
+            // the exact expression chain of qualityExprs, in the same
+            // association order (length() counts code points)
+            val nChars = text.codePointCount(0, n).toDouble
+            val nTok = toks.length.toDouble
+            val punctRatio = punct.toDouble / nChars
+            val stopRatio = stops.toDouble / nTok
+            val meanTokLen = (nChars - (nTok - 1.0)) / nTok
+            val lengthScore = math.min(nChars / 500.0, 1.0)
+            val quality = 0.4 * lengthScore +
+              0.3 * math.min(stopRatio * 5.0, 1.0) +
+              0.2 * math.min(meanTokLen / 8.0, 1.0) +
+              0.1 * (1.0 - math.min(punctRatio * 10.0, 1.0))
+            Seq(toks.length, bpeish, lang, nChars, nTok, punctRatio,
+              stopRatio, meanTokLen, quality)
+          }
+        Row.fromSeq(r.toSeq ++ sig)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalised lowercased
     * text (stable across engines), plus a 64-bit xxhash64 variant for
     * cheap joins/sharding.
@@ -456,16 +563,20 @@ object TextOps {
     */
   def sourceReportCard(df: DataFrame, sourceCol: String,
       textCol: String, langCol: String): DataFrame = {
+    // quality + detected language from the one-pass signal kernel
+    // (round 6) — the Column formulation re-split each text ~12x
+    // inside this aggregation's input projection
     val t = col(textCol)
-    val quality = qualityExprs(t).toMap.apply("quality")
-    df.groupBy(col(sourceCol))
+    withTextSignals(df, textCol)
+      .groupBy(col(sourceCol))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(tokenCount(t).cast("long")).as("total_tokens"),
+        sum(col("__ts_ws_tokens").cast("long")).as("total_tokens"),
         (lit(1.0) - countDistinct(md5(t)).cast("double") /
           nullif(count(t), lit(0L))).as("dup_rate"),
-        avg(quality).as("mean_quality"),
-        (sum(when(langId(t) === col(langCol), 1L).otherwise(0L))
+        avg(col("__ts_quality")).as("mean_quality"),
+        (sum(when(col("__ts_lang_pred") === col(langCol), 1L)
+          .otherwise(0L))
           .cast("double") / count(lit(1))).as("lang_agreement"))
   }
 
