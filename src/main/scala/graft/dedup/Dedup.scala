@@ -248,6 +248,38 @@ object Dedup {
     verifyJaccard(cands, df, idCol, textCol, threshold, shingleSize)
   }
 
+  /** Per-pair exact Jaccard from two shingle-set columns — the shared
+    * PAIR-VERIFY KERNEL (round 6): the per-pair intersection runs as a
+    * JVM hash-set probe inside `mapPartitions` instead of the
+    * `array_intersect` expression (which builds its set per evaluation
+    * and dominated the blocked all-pairs paths). Arithmetic identical:
+    * `|inter| / (|a| + |b| - |inter|)` over distinct sets, the |union|
+    * rearrangement, same IEEE order. Input must expose
+    * (id_a, sh_a, id_b, sh_b); output (id_a, id_b, jaccard).
+    */
+  private def jaccardOfPairs(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val in = pairs.select(col("id_a"), col("id_b"),
+      col("sh_a"), col("sh_b"))
+    val schema = StructType(Seq(
+      in.schema("id_a"), in.schema("id_b"),
+      StructField("jaccard", DoubleType, nullable = true)))
+    in.mapPartitions { it =>
+      it.map { r =>
+        val a = r.getSeq[String](2)
+        val b = r.getSeq[String](3)
+        val (small, large) = if (a.size <= b.size) (a, b) else (b, a)
+        val set = new java.util.HashSet[String](small.size * 2)
+        small.foreach(set.add)
+        var inter = 0
+        large.foreach(t => if (set.contains(t)) inter += 1)
+        val i = inter.toDouble
+        Row(r.get(0), r.get(1), i / ((a.size + b.size) - i))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Exact shingle-Jaccard verification of candidate pairs against a
     * `(id, text)` source; shared by the one-shot near-dup path and the
     * incremental index.
@@ -256,24 +288,17 @@ object Dedup {
       textCol: String, threshold: Double, shingleSize: Int)
       : DataFrame = {
     val sh = shingleSetsOf(texts, idCol, textCol, shingleSize)
-    cands
+    jaccardOfPairs(cands
       .join(sh.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("__id", "id_b")
         .withColumnRenamed("__sh", "sh_b"), Seq("id_b"))
-      // verification is CPU-bound (interpreted set intersection), and
-      // AQE coalesces/broadcasts by DATA size, which would funnel all
-      // pairs into one task on modest inputs — spread pairs explicitly
+      // verification is CPU-bound, and AQE coalesces/broadcasts by
+      // DATA size, which would funnel all pairs into one task on
+      // modest inputs — spread pairs explicitly
       .repartition(
-        texts.sparkSession.sessionState.conf.numShufflePartitions)
-      // |union| = |a|+|b|-|inter| (shingle arrays are distinct sets):
-      // one set operation instead of two
-      .withColumn("__i",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", col("__i") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("__i")))
+        texts.sparkSession.sessionState.conf.numShufflePartitions))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** Pairwise token-set Jaccard within candidate blocks (same
@@ -289,17 +314,12 @@ object Dedup {
       col("__sh").as("sh_a"))
     val b = sh.select(col("__blk"), col("__id").as("id_b"),
       col("__sh").as("sh_b"))
-    a.join(b, Seq("__blk"))
+    jaccardOfPairs(a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
       // same AQE-vs-CPU consideration as minhashNearDups: pair
       // verification must not collapse onto one task
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
-      .withColumn("__i",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .select(col("id_a"), col("id_b"),
-        (col("__i") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("__i")))
-          .as("jaccard"))
+      .repartition(
+        df.sparkSession.sessionState.conf.numShufflePartitions))
   }
 
   /** Per-document SimHash table `(id, simhash)`, computed relationally
@@ -372,9 +392,10 @@ object Dedup {
     *     missed, and such pairs are boilerplate matches by definition;
     *   - verification is EXACT and restricted to candidates: shingle
     *     sets are joined to candidate ids only (never all-pairs), the
-    *     true intersection comes from one codegen'd `array_intersect`
-    *     per pair, and both directions are derived from the one shared
-    *     count — integer/integer division, engine-portable.
+    *     true intersection comes from ONE JVM hash-set probe per pair
+    *     (the round-6 pair-verify kernel), and both directions are
+    *     derived from the one shared count — integer/integer division,
+    *     engine-portable.
     *
     * Returns `(src_id, dst_id, containment)`, both directions of every
     * candidate pair passing `threshold`.
@@ -382,10 +403,10 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDf: Long = 100L): DataFrame = {
     require(maxDf >= 2, s"containment: maxDf >= 2 required, got $maxDf")
-    // persisted: the shingle-set build (posexplode + window + one
-    // collect_set agg) is the dominant cost and has THREE consumers
-    // (the inverted index + both verify joins) — same contract as
-    // SpanDedup's gram cache: registered until clearCache()
+    // persisted: the shingle-set kernel pass is the dominant scan cost
+    // and has THREE consumers (the inverted index + both verify joins)
+    // — same contract as SpanDedup's gram cache: registered until
+    // clearCache()
     val sets = shingleSetsOf(df, idCol, textCol, n) // (__id, __sh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rows = sets.select(col("__id"), explode(col("__sh")).as("__g"))
@@ -398,22 +419,46 @@ object Dedup {
       .join(pruned.select(col("__g"), col("__id").as("id_b")), Seq("__g"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val both = cand
+    // per-pair intersection via the JVM pair-verify kernel (round 6 —
+    // see jaccardOfPairs; array_intersect rebuilt its set per
+    // evaluation and dominated the verify stage)
+    val joined = cand
       .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sa")),
         Seq("id_a"))
       .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sb")),
         Seq("id_b"))
-      .withColumn("__shared",
-        size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
+    val both = locally {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val in = joined.select(col("id_a"), col("id_b"),
+        col("__sa"), col("__sb"))
+      val schema = StructType(Seq(
+        in.schema("id_a"), in.schema("id_b"),
+        StructField("__shared", DoubleType, nullable = false),
+        StructField("__na", IntegerType, nullable = false),
+        StructField("__nb", IntegerType, nullable = false)))
+      in.mapPartitions { it =>
+        it.map { r =>
+          val a = r.getSeq[String](2)
+          val b = r.getSeq[String](3)
+          val (small, large) = if (a.size <= b.size) (a, b) else (b, a)
+          val set = new java.util.HashSet[String](small.size * 2)
+          small.foreach(set.add)
+          var inter = 0
+          large.foreach(t => if (set.contains(t)) inter += 1)
+          Row(r.get(0), r.get(1), inter.toDouble, a.size, b.size)
+        }
+      }(Encoders.row(schema))
+    }
     // ONE verify-join pass emits BOTH directions (a 2-array explode),
     // instead of a union of two selects that would execute the join —
     // and the array_intersect per pair — twice
     both.select(explode(array(
         struct(col("id_a").as("src_id"), col("id_b").as("dst_id"),
-          (col("__shared") / size(col("__sa")).cast("double"))
+          (col("__shared") / col("__na").cast("double"))
             .as("containment")),
         struct(col("id_b").as("src_id"), col("id_a").as("dst_id"),
-          (col("__shared") / size(col("__sb")).cast("double"))
+          (col("__shared") / col("__nb").cast("double"))
             .as("containment")))).as("__d"))
       .select(col("__d.src_id"), col("__d.dst_id"),
         col("__d.containment"))
