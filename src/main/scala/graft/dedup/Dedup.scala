@@ -17,6 +17,28 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
+  /** Ensure a kernel input has enough partitions to use the cluster:
+    * the per-partition kernels are MAP-ONLY, so they inherit the
+    * scan's split count — a generated or single-file input can arrive
+    * in one partition and serialize a hashing-heavy pass on one core
+    * (the old window shapes were immune only because their exchange
+    * incidentally spread the rows). Round-robin repartition to
+    * defaultParallelism ONLY when the input is clearly narrower —
+    * scale-adaptive (derived from the session's parallelism, never a
+    * constant) and a no-op on real multi-split tables. Use ONLY on
+    * plain scan/projection inputs: the `.rdd` partition probe builds
+    * (and under AQE can partially execute) the physical plan, so
+    * probing a join subtree costs more than it saves — the cheap
+    * kernels (minhash/shingle-set/winnow/signals) therefore skip it;
+    * the md5-heavy span gram kernel is the one measured to need it
+    * (sf1 span 4.8 s single-core -> 2.5 s spread).
+    */
+  private[graft] def spreadForKernel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target)
+    else df
+  }
+
   /** Exact dedup by content columns, keeping the smallest `idCol` per
     * duplicate group.
     *

@@ -89,12 +89,18 @@ object SpanDedup {
     require(n >= 2, s"span dedup needs n >= 2, got $n")
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
-    val in = df.select(col(idCol), col(textCol).cast("string"))
+    val in = Dedup.spreadForKernel(
+      df.select(col(idCol), col(textCol).cast("string")))
     val idf = in.schema.head
+    // ONE row per document carrying the primitive gram-hash array;
+    // the codegen'd posexplode below expands it to (pos, hash) rows —
+    // emitting gram ROWS straight from the kernel paid a per-row
+    // encoder round trip that showed up at the 10x scale (sf1 span
+    // kernel), while a long[] encodes as one primitive-array copy
     val schema = StructType(Seq(
       StructField("doc_id", idf.dataType, idf.nullable),
-      StructField("__pos", IntegerType, nullable = false),
-      StructField("__g", LongType, nullable = false)))
+      StructField("__gs", ArrayType(LongType, containsNull = false),
+        nullable = false)))
     in.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { r =>
@@ -104,9 +110,10 @@ object SpanDedup {
           val toks = text.split(" ", -1)
           if (toks.length < n) Iterator.empty
           else {
-            val id = r.get(0)
+            val gs = new Array[Long](toks.length - n + 1)
             val sb = new java.lang.StringBuilder
-            (0 to toks.length - n).iterator.map { p =>
+            var p = 0
+            while (p < gs.length) {
               sb.setLength(0)
               var j = 0
               while (j < n) {
@@ -121,13 +128,16 @@ object SpanDedup {
               var v = 0L
               var b = 0
               while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-              v = (v << 4) | ((d(7) & 0xffL) >>> 4)
-              Row(id, p, v)
+              gs(p) = (v << 4) | ((d(7) & 0xffL) >>> 4)
+              p += 1
             }
+            Iterator.single(Row(r.get(0), gs.toSeq))
           }
         }
       }
     }(Encoders.row(schema))
+      .select(col("doc_id"),
+        posexplode(col("__gs")).as(Seq("__pos", "__g")))
   }
 
   /** `(doc_id, pos)` start positions of duplicated n-gram windows
