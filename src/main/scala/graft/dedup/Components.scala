@@ -48,6 +48,64 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Edge-count bound (rows of the deduped undirected relation) below
+    * which components are finished on the DRIVER by union-find instead
+    * of iterative rounds — the standard endgame of the MapReduce CC
+    * algorithms (Kiveris et al., SoCC'14: iterate while the graph is
+    * large, finish locally once it fits in one machine). Near-dup pair
+    * graphs are SPARSE relative to the corpus (most documents are in
+    * no pair), so in practice the whole graph is often already below
+    * the bound and every per-round driver round-trip (2 exchanges + an
+    * action) is pure overhead. 2M rows of two longs is ~32 MB packed —
+    * broadcast-scale, the same order as a routine auto-broadcast
+    * build side. Override with `spark.graft.cc.localEdgeLimit`
+    * (0 disables the local finish; raise it on drivers with room, the
+    * collect is packed primitive arrays, 16 bytes/edge).
+    */
+  private val LocalEdgeLimitDefault = 2000000L
+
+  /** Driver union-find over a packed edge list: id -> min component
+    * id, exactly the fixpoint the iterative rounds converge to. Dense
+    * indices come from a sorted-distinct id array (binary search), so
+    * union by smaller INDEX root == smaller ID root; path halving
+    * keeps finds near-constant.
+    */
+  private def localComponents(us: Array[Long], vs: Array[Long])
+      : (Array[Long], Array[Int]) = {
+    val m = us.length
+    val ids = new Array[Long](2 * m)
+    System.arraycopy(us, 0, ids, 0, m)
+    System.arraycopy(vs, 0, ids, m, m)
+    java.util.Arrays.sort(ids)
+    var nn = 0
+    var i = 0
+    while (i < ids.length) {
+      if (nn == 0 || ids(nn - 1) != ids(i)) { ids(nn) = ids(i); nn += 1 }
+      i += 1
+    }
+    val nodes = java.util.Arrays.copyOf(ids, nn)
+    val parent = Array.tabulate(nn)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    i = 0
+    while (i < m) {
+      val a = find(java.util.Arrays.binarySearch(nodes, us(i)))
+      val b = find(java.util.Arrays.binarySearch(nodes, vs(i)))
+      if (a != b) {
+        if (a < b) parent(b) = a else parent(a) = b
+      }
+      i += 1
+    }
+    val comp = Array.tabulate(nn)(find)
+    (nodes, comp)
+  }
+
   /** Connected components of the undirected graph given as an edge
     * list. Returns one row per node: (`id`, `component`) with
     * `component` = the minimum node id in the component. Isolated
@@ -66,6 +124,50 @@ object Components {
     val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // size probe doubles as the persist materializer (the first round
+    // would otherwise materialize it); decides local finish vs rounds
+    val localLimit = edges.sparkSession.conf
+      .get("spark.graft.cc.localEdgeLimit", LocalEdgeLimitDefault.toString)
+      .toLong
+    val undCount = und.count()
+    if (undCount <= localLimit && localLimit > 0) {
+      try {
+        // pack per-partition primitive arrays so the collect moves
+        // 16 bytes/edge, not boxed Rows
+        val packed = und.rdd.mapPartitions { it =>
+          val us = scala.collection.mutable.ArrayBuilder.make[Long]
+          val vs = scala.collection.mutable.ArrayBuilder.make[Long]
+          it.foreach { r => us += r.getLong(0); vs += r.getLong(1) }
+          Iterator.single((us.result(), vs.result()))
+        }.collect()
+        val m = packed.map(_._1.length).sum
+        val allU = new Array[Long](m)
+        val allV = new Array[Long](m)
+        var off = 0
+        packed.foreach { case (u, v) =>
+          System.arraycopy(u, 0, allU, off, u.length)
+          System.arraycopy(v, 0, allV, off, v.length)
+          off += u.length
+        }
+        val (nodes, comp) = localComponents(allU, allV)
+        val spark = edges.sparkSession
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row](
+          nodes.length)
+        var i = 0
+        while (i < nodes.length) {
+          rows.add(org.apache.spark.sql.Row(nodes(i), nodes(comp(i))))
+          i += 1
+        }
+        // nullable mirrors the iterative path's output schema exactly
+        // (dump/readout schemas must not depend on which path ran)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("component",
+            org.apache.spark.sql.types.LongType, nullable = true)))
+        return spark.createDataFrame(rows, schema)
+      } finally { und.unpersist(false); () }
+    }
     // Durable checkpoint dir set -> durable per-round checkpoints
     // (executor-loss recovery, as documented above). Otherwise the
     // round-6 LOCAL strategy: LAZY localCheckpoint — the plan is

@@ -279,7 +279,7 @@ object Dedup {
     * rearrangement, same IEEE order. Input must expose
     * (id_a, sh_a, id_b, sh_b); output (id_a, id_b, jaccard).
     */
-  private def jaccardOfPairs(pairs: DataFrame): DataFrame = {
+  private[graft] def jaccardOfPairs(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val in = pairs.select(col("id_a"), col("id_b"),

@@ -63,14 +63,6 @@ import graft.dedup.Dedup
   */
 object SpanDedup {
 
-  /** `(doc_id, __pos, __t)` token rows: one posexplode projection,
-    * no shuffle.
-    */
-  private[graft] def tokenRows(df: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__t")))
-
   /** `(doc_id, pos, gram_hash)` rows: the n-token window starting at
     * token `pos` (0-based), hashed — computed by a PER-PARTITION JVM
     * KERNEL (round 6): tokens, window strings and the md5-folded gram
@@ -197,9 +189,20 @@ object SpanDedup {
       n: Int, minCount: Long = 2L): DataFrame = {
     val grams = gramRows(df, idCol, textCol, n)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val totals = grams
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"))
+    // per-doc window total is a PROJECTION off the document row, not
+    // an aggregation over gram rows (round 6): the kernel emits
+    // exactly `len(split(text)) - n + 1` windows for every non-null
+    // text with >= n tokens and none otherwise, so the groupBy that
+    // used to shuffle one row per (doc, partition) is a closed-form
+    // length expression. Ids are unique by the operator contract
+    // (same contract the per-doc window relies on); equivalence is
+    // spec-pinned against the aggregation form.
+    val totals = df
+      .filter(col(textCol).isNotNull &&
+        size(split(col(textCol), " ")) >= n)
+      .select(col(idCol).as("doc_id"),
+        (size(split(col(textCol), " ")) - (n - 1)).cast("long")
+          .as("n_windows"))
     val dups = dupStartsFromGrams(grams, minCount)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_windows"))
@@ -232,35 +235,75 @@ object SpanDedup {
     */
   def removeDuplicatedSpans(df: DataFrame, idCol: String,
       textCol: String, n: Int, minCount: Long = 2L): DataFrame = {
-    val toks = tokenRows(df, idCol, textCol)
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
     val grams = gramRows(df, idCol, textCol, n)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val covered = dupStartsFromGrams(grams, minCount)
-      .select(col("doc_id"),
-        explode(sequence(col("__pos"), col("__pos") + n - 1))
-          .as("__pos"))
-      .distinct()
-    val kept = toks.join(covered, Seq("doc_id", "__pos"), "left_anti")
+    // round 6: the reassembly no longer explodes the corpus into
+    // token rows at all. The old shape anti-joined EVERY token against
+    // the covered-position set and re-sorted each document's survivors
+    // through a collect_list aggregation — two corpus-sized exchanges
+    // to delete a handful of spans. The duplicated-start set is tiny
+    // (true duplication is rare), so: aggregate each doc's start
+    // positions into one sorted array (exchange bounded by MARKED
+    // windows only), join that to the document row (null-safe — the
+    // gram relation groups a null doc_id too), and cut spans in a
+    // per-row kernel walk over the text's tokens. Output values are
+    // bit-identical: same split(" ", -1) tokens, survivors re-joined
+    // with single spaces in position order, `total - kept` arithmetic.
+    val starts = dupStartsFromGrams(grams, minCount)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("__kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("__pos"), col("__t")))),
-          e => e.getField("__t"))).as("clean_text"))
+      .agg(sort_array(collect_set(col("__pos"))).as("__starts"))
       .withColumnRenamed("doc_id", "__kd")
-    // NULL-SAFE join back (<=>): the window partitioning above treats
-    // a null doc_id as one group, so the accounting must too — a
-    // plain === would never match it and silently report the doc
-    // fully removed. Null TEXT contributes no tokens: total 0,
-    // clean "" (the split of a null text is null, whose size is not a
-    // count).
-    df.select(col(idCol).as("doc_id"),
-        when(col(textCol).isNull, lit(0L))
-          .otherwise(size(split(col(textCol), " ")).cast("long"))
-          .as("__total"))
-      .join(kept, col("doc_id") <=> col("__kd"), "left")
-      .select(col("doc_id"),
-        (col("__total") - coalesce(col("__kept"), lit(0L)))
-          .as("n_tokens_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+    // plain === (NOT <=>): a null doc_id never matches its starts, so
+    // a null-id document keeps every token — exactly the old
+    // anti-join's null-key semantics (equi anti-join on a null key
+    // matches nothing, so no token of a null-id doc was ever covered);
+    // the left join still carries the row through, so it is accounted
+    // (n_tokens_removed = 0), not reported fully-removed
+    val joined = df
+      .select(col(idCol).as("doc_id"),
+        col(textCol).cast("string").as("__text"))
+      .join(starts, col("doc_id") === col("__kd"), "left")
+      .select(col("doc_id"), col("__text"), col("__starts"))
+    val idf = joined.schema.head
+    val schema = StructType(Seq(
+      StructField("doc_id", idf.dataType, idf.nullable),
+      StructField("n_tokens_removed", LongType, nullable = true),
+      StructField("clean_text", StringType, nullable = false)))
+    joined.mapPartitions { it =>
+      it.map { r =>
+        val text = if (r.isNullAt(1)) null else r.getString(1)
+        if (text == null) Row(r.get(0), 0L, "")
+        else {
+          val toks = text.split(" ", -1)
+          if (r.isNullAt(2)) {
+            // no duplicated window in this doc: all tokens survive
+            Row(r.get(0), 0L, String.join(" ", toks: _*))
+          } else {
+            val st = r.getSeq[Int](2)
+            val sb = new java.lang.StringBuilder
+            var idx = 0
+            var coverEnd = -1L
+            var kept = 0
+            var p = 0
+            while (p < toks.length) {
+              while (idx < st.length && st(idx) <= p) {
+                val e = st(idx).toLong + (n - 1)
+                if (e > coverEnd) coverEnd = e
+                idx += 1
+              }
+              if (p > coverEnd) {
+                if (kept > 0) sb.append(' ')
+                sb.append(toks(p))
+                kept += 1
+              }
+              p += 1
+            }
+            Row(r.get(0), (toks.length - kept).toLong, sb.toString)
+          }
+        }
+      }
+    }(Encoders.row(schema))
   }
 }

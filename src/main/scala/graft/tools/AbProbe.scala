@@ -1,0 +1,142 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Round-6 interleaved A/B probe for the CC local finish and the
+  * span-dedup reassembly rewrites (dev tool; same interleaving
+  * rationale as [[VerifyProbe]] — the sandbox's external CPU steal
+  * makes back-to-back binary comparisons meaningless).
+  *
+  * Pairs for the CC comparison are materialized to a probe-local
+  * parquet ONCE so the timed region is the component computation, not
+  * the MinHash pair generation (guide §1.4 isolation).
+  */
+object AbProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "5").toInt
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.dedup.{Components, Dedup}
+    import graft.text.SpanDedup
+
+    def docs = {
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      d.unionByName(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    }
+
+    // one-time pair materialization (untimed scaffold)
+    val pairPath = s"/tmp/graft_abprobe_pairs_$$${cpus}"
+    Dedup.minhashNearDups(docs, "doc_id", "text", 0.5)
+      .write.mode("overwrite").parquet(pairPath)
+    def pairs = spark.read.parquet(pairPath)
+
+    def ccBody(): Long = {
+      val d = docs
+      val n = Components.dedupByComponents(d, "doc_id", pairs,
+        "id_a", "id_b").count()
+      spark.catalog.clearCache(); n
+    }
+
+    def span127New(): Long = {
+      val n = SpanDedup.removeDuplicatedSpans(docs, "doc_id", "text", 8)
+        .count()
+      spark.catalog.clearCache(); n
+    }
+    // the pre-round-6 reassembly, inlined (anti-join + collect_list)
+    def span127Old(): Long = {
+      val d = docs
+      val toks = d.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("__pos", "__t")))
+      val grams = SpanDedup.gramRows(d, "doc_id", "text", 8)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val covered = SpanDedup.dupStartsFromGrams(grams, 2L)
+        .select(col("doc_id"),
+          explode(sequence(col("__pos"), col("__pos") + 7)).as("__pos"))
+        .distinct()
+      val kept = toks.join(covered, Seq("doc_id", "__pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("__kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("__pos"), col("__t")))),
+            e => e.getField("__t"))).as("clean_text"))
+        .withColumnRenamed("doc_id", "__kd")
+      val out = d.select(col("doc_id"),
+          when(col("text").isNull, lit(0L))
+            .otherwise(size(split(col("text"), " ")).cast("long"))
+            .as("__total"))
+        .join(kept, col("doc_id") <=> col("__kd"), "left")
+        .select(col("doc_id"),
+          (col("__total") - coalesce(col("__kept"), lit(0L)))
+            .as("n_tokens_removed"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+      val n = out.count()
+      spark.catalog.clearCache(); n
+    }
+
+    def span139New(): Long = {
+      val n = SpanDedup.duplicationRatio(docs, "doc_id", "text", 8)
+        .count()
+      spark.catalog.clearCache(); n
+    }
+    // pre-round-6 totals: aggregation over the gram frame
+    def span139Old(): Long = {
+      val grams = SpanDedup.gramRows(docs, "doc_id", "text", 8)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val totals = grams.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"))
+      val dups = SpanDedup.dupStartsFromGrams(grams, 2L)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_windows"))
+        .withColumnRenamed("doc_id", "__dd")
+      val n = totals
+        .join(dups, col("doc_id") <=> col("__dd"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          (coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
+            col("n_windows")).as("dup_ratio"))
+        .count()
+      spark.catalog.clearCache(); n
+    }
+
+    def withIter[T](body: => T): T = {
+      spark.conf.set("spark.graft.cc.localEdgeLimit", "0")
+      try body finally spark.conf.unset("spark.graft.cc.localEdgeLimit")
+    }
+
+    val variants: Seq[(String, () => Long)] = Seq(
+      ("cc local-finish", () => ccBody()),
+      ("cc iterative", () => withIter(ccBody())),
+      ("q127 new kernel", () => span127New()),
+      ("q127 old antijoin", () => span127Old()),
+      ("q139 new projection", () => span139New()),
+      ("q139 old aggregation", () => span139Old()))
+    variants.foreach { case (n, f) =>
+      val c = f(); System.err.println(s"[abprobe] warmup $n count=$c") }
+    val times = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    (1 to reps).foreach { _ =>
+      variants.foreach { case (n, f) =>
+        val t0 = System.nanoTime()
+        f()
+        times(n) = times(n) :+ (System.nanoTime() - t0) / 1e9
+      }
+    }
+    variants.foreach { case (n, _) =>
+      val ts = times(n)
+      println(f"[abprobe] $n%-22s min=${ts.min}%6.3f s raw=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -47,7 +47,16 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L))
   }
 
-  test("random graphs match union-find") {
+  /** Run `body` with the driver local finish disabled, forcing the
+    * distributed iterative rounds (the 100-TB path).
+    */
+  private def forcingIterative[T](body: => T): T = {
+    spark.conf.set("spark.graft.cc.localEdgeLimit", "0")
+    try body
+    finally spark.conf.unset("spark.graft.cc.localEdgeLimit")
+  }
+
+  test("random graphs match union-find (local-finish path)") {
     (1 to 8).foreach { seed =>
       val rnd = new scala.util.Random(seed)
       val n = 2 + rnd.nextInt(59)
@@ -59,21 +68,47 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("iterative rounds match union-find AND the local finish " +
+      "(both strategies, same fixpoint)") {
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      val n = 2 + rnd.nextInt(59)
+      val pairs = Seq.fill(1 + rnd.nextInt(80))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      if (pairs.nonEmpty) {
+        val local = ccMap(pairs)
+        val iterative = forcingIterative(ccMap(pairs))
+        assert(iterative == unionFind(pairs), s"seed=$seed")
+        assert(local == iterative, s"seed=$seed")
+      }
+    }
+    // path + star, the two adversarial diameters
+    val path = (1L until 64L).map(i => (i, i + 1))
+    assert(forcingIterative(ccMap(path)) == ccMap(path))
+    val star = (2L to 40L).map(i => (i, 1L))
+    assert(forcingIterative(ccMap(star)) == ccMap(star))
+  }
+
   test("non-convergence inside maxIter fails loudly, not silently") {
+    // force the iterative rounds: the driver local finish (which small
+    // graphs take by default) has no convergence loop to exhaust
     val path = (1L until 50L).map(i => (i, i + 1))
     val e = intercept[IllegalArgumentException] {
-      Components.connectedComponents(edgesDf(path), "a", "b",
-        maxIter = 2)
+      forcingIterative {
+        Components.connectedComponents(edgesDf(path), "a", "b",
+          maxIter = 2).collect()
+      }
     }
     assert(e.getMessage.contains("converge"))
   }
 
-  test("reliable checkpoint dir is used when configured") {
+  test("reliable checkpoint dir is used when configured (iterative path)") {
     val dir = java.nio.file.Files
       .createTempDirectory("cc-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
     try {
-      val got = ccMap(Seq((5L, 3L), (3L, 9L)))
+      val got = forcingIterative(ccMap(Seq((5L, 3L), (3L, 9L))))
       assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
       // durable round states actually landed in the checkpoint dir
       val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))

@@ -310,9 +310,10 @@ class PlanDisciplineSpec extends SparkSpec {
       s"no map-side combine on the gram counts:\n$plan")
   }
 
-  test("span dedup duplicationRatio: ONE gram scan feeds all " +
-      "aggregates (totals + dup count + join-back read the persisted " +
-      "gram frame; no Generate outside the cache)") {
+  test("span dedup duplicationRatio: ONE gram scan feeds the dup " +
+      "aggregates (dup count + join-back read the persisted gram " +
+      "frame; totals is a length projection; no Generate outside " +
+      "the cache)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.GenerateExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
@@ -320,8 +321,10 @@ class PlanDisciplineSpec extends SparkSpec {
     val q = graft.text.SpanDedup.duplicationRatio(
       spark.read.parquet(docPath), "doc_id", "text", 8)
     // count nodes WITHOUT descending into the cached relation: every
-    // consumer must be an InMemoryTableScan of the gram cache, and
-    // the expensive posexplode (Generate) must live ONLY inside it
+    // gram consumer must be an InMemoryTableScan of the gram cache,
+    // and the expensive posexplode (Generate) must live ONLY inside
+    // it (round 6: the per-doc totals no longer read grams at all —
+    // they are a closed-form length projection off the document row)
     def count(p: SparkPlan)(f: SparkPlan => Boolean): Int = p match {
       case _: InMemoryTableScanExec => if (f(p)) 1 else 0
       case n => (if (f(n)) 1 else 0) + n.children.map(count(_)(f)).sum
@@ -329,7 +332,7 @@ class PlanDisciplineSpec extends SparkSpec {
     val plan = q.queryExecution.sparkPlan
     val scans = count(plan)(_.isInstanceOf[InMemoryTableScanExec])
     val gens = count(plan)(_.isInstanceOf[GenerateExec])
-    assert(scans >= 3, s"expected >=3 cache reads, got $scans:\n$plan")
+    assert(scans >= 2, s"expected >=2 cache reads, got $scans:\n$plan")
     assert(gens == 0,
       s"gram posexplode recomputed outside the cache:\n$plan")
     // and the values still agree with a from-scratch recompute

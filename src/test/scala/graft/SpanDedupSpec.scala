@@ -148,6 +148,67 @@ class SpanDedupSpec extends SparkSpec {
       removed(id) == covByDoc.getOrElse(id, 0L) })
   }
 
+  test("round-6 rewrites match the relational reference forms: " +
+      "removeDuplicatedSpans kernel == anti-join+collect_list, " +
+      "duplicationRatio totals projection == gram aggregation") {
+    // generated corpus with real duplication + every edge shape the
+    // old forms handled: null id, null text, empty text, short doc,
+    // doc with consecutive spaces, fully-duplicated doc
+    val shared = (1 to 12).map(i => s"m$i").mkString(" ")
+    val base: Seq[Row] = (0 until 30).map { i =>
+      Row(i.toLong, (0 until 25).map(j => s"t${(i * 5 + j * 3) % 40}")
+        .mkString(" "))
+    } ++ Seq(
+      Row(100L, shared), Row(101L, s"pre1 pre2 $shared post"),
+      Row(102L, null), Row(103L, ""), Row(104L, "short doc"),
+      Row(105L, s"a  b $shared"), Row(null, s"x y $shared z"))
+    val d = df("doc_id BIGINT, text STRING", base)
+    val n = 8
+    // --- reference: the pre-round-6 removeDuplicatedSpans ---
+    val toks = d.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("__pos", "__t")))
+    val spans = SpanDedup.duplicatedSpans(d, "doc_id", "text", n)
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("__pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "__pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__t")))),
+          e => e.getField("__t"))).as("clean_text"))
+      .withColumnRenamed("doc_id", "__kd")
+    val refRemove = d.select(col("doc_id"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(split(col("text"), " ")).cast("long"))
+          .as("__total"))
+      .join(kept, col("doc_id") <=> col("__kd"), "left")
+      .select(col("doc_id"),
+        (col("__total") - coalesce(col("__kept"), lit(0L)))
+          .as("n_tokens_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(1), r.getString(2))).toSet
+    val gotRemove = SpanDedup
+      .removeDuplicatedSpans(d, "doc_id", "text", n)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(1), r.getString(2))).toSet
+    assert(gotRemove == refRemove)
+    // --- reference: per-doc totals as a gram aggregation ---
+    val refTotals = d.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("__pos", "__t")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+      .filter(col("n_toks") >= n)
+      .select(col("doc_id"), (col("n_toks") - (n - 1)).as("n_windows"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        r.getLong(1)).toMap
+    val gotRatio = SpanDedup.duplicationRatio(d, "doc_id", "text", n)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        r.getLong(1)).toMap
+    assert(gotRatio == refTotals)
+  }
+
   test("cms: estimate >= true count always, exact when width kills " +
       "collisions, and null items are skipped") {
     val items = df("item STRING",
