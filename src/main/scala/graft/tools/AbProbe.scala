@@ -110,12 +110,65 @@ object AbProbe {
       spark.catalog.clearCache(); n
     }
 
+    // gram-id hash cost: md5-fold (current) vs xxhash64 over the same
+    // gram strings — identical dup-window relation absent collisions
+    def gramKernelMd5(): Long = {
+      val n = SpanDedup.gramRows(docs, "doc_id", "text", 8)
+        .agg(expr("bit_xor(__g)")).head(); spark.catalog.clearCache(); 1L
+    }
+    def gramKernelXx(): Long = {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      import org.apache.spark.unsafe.types.UTF8String
+      val in = Dedup.spreadForKernel(
+        docs.select(col("doc_id"), col("text").cast("string")))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = true),
+        StructField("__gs", ArrayType(LongType, containsNull = false),
+          nullable = false)))
+      val k = in.mapPartitions { it =>
+        it.flatMap { r =>
+          val text = if (r.isNullAt(1)) null else r.getString(1)
+          if (text == null) Iterator.empty
+          else {
+            val toks = text.split(" ", -1)
+            if (toks.length < 8) Iterator.empty
+            else {
+              val gs = new Array[Long](toks.length - 7)
+              val sb = new java.lang.StringBuilder
+              var p = 0
+              while (p < gs.length) {
+                sb.setLength(0)
+                var j = 0
+                while (j < 8) {
+                  if (j > 0) sb.append(' ')
+                  sb.append(toks(p + j)); j += 1
+                }
+                gs(p) = XxHash64Function.hash(
+                  UTF8String.fromString(sb.toString), StringType, 42L)
+                p += 1
+              }
+              Iterator.single(Row(r.get(0), gs.toSeq))
+            }
+          }
+        }
+      }(Encoders.row(schema))
+        .select(col("doc_id"),
+          posexplode(col("__gs")).as(Seq("__pos", "__g")))
+      k.agg(expr("bit_xor(__g)")).head(); spark.catalog.clearCache(); 1L
+    }
+
     def withIter[T](body: => T): T = {
       spark.conf.set("spark.graft.cc.localEdgeLimit", "0")
       try body finally spark.conf.unset("spark.graft.cc.localEdgeLimit")
     }
 
-    val variants: Seq[(String, () => Long)] = Seq(
+    val variants: Seq[(String, () => Long)] =
+      if (sys.env.get("SPARK_GRAFT_AB_SET").contains("gram")) Seq(
+        ("gram kernel md5", () => gramKernelMd5()),
+        ("gram kernel xxhash", () => gramKernelXx()))
+      else Seq(
       ("cc local-finish", () => ccBody()),
       ("cc iterative", () => withIter(ccBody())),
       ("q127 new kernel", () => span127New()),
