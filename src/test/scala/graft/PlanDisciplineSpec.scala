@@ -310,6 +310,30 @@ class PlanDisciplineSpec extends SparkSpec {
       s"no map-side combine on the gram counts:\n$plan")
   }
 
+  test("span dedup removeDuplicatedSpans: reassembly is a per-row " +
+      "kernel, not a token explode (round 6: no Generate and no " +
+      "anti-join outside the gram cache)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    spark.catalog.clearCache()
+    val q = graft.text.SpanDedup.removeDuplicatedSpans(
+      spark.read.parquet(docPath), "doc_id", "text", 8)
+    def count(p: SparkPlan)(f: SparkPlan => Boolean): Int = p match {
+      case _: InMemoryTableScanExec => if (f(p)) 1 else 0
+      case n => (if (f(n)) 1 else 0) + n.children.map(count(_)(f)).sum
+    }
+    val plan = q.queryExecution.sparkPlan
+    assert(count(plan)(_.isInstanceOf[GenerateExec]) == 0,
+      s"token/coverage explode resurfaced outside the gram cache:\n$plan")
+    val planStr = plan.toString
+    assert(!planStr.contains("LeftAnti"),
+      s"anti-join reassembly resurfaced:\n$planStr")
+    assert(planStr.contains("MapPartitions"),
+      s"kernel reassembly missing:\n$planStr")
+    spark.catalog.clearCache()
+  }
+
   test("span dedup duplicationRatio: ONE gram scan feeds the dup " +
       "aggregates (dup count + join-back read the persisted gram " +
       "frame; totals is a length projection; no Generate outside " +
