@@ -159,6 +159,49 @@ object AbProbe {
       k.agg(expr("bit_xor(__g)")).head(); spark.catalog.clearCache(); 1L
     }
 
+    // exact-quantile spine: does persisting the (k,v)-agg output save
+    // the duplicated subtree execution that repartitionByRange's
+    // sampling pass causes? (guide §2.4: an orderBy/range exchange
+    // executes its child twice — once to sample bounds, once to move)
+    def quantInput = {
+      val n = 1000000L
+      spark.range(0, n).select(
+        (expr("xxhash64(id)").cast("double") / 1e18).as("a"),
+        (expr("xxhash64(id, 7)").cast("double") / 1e18).as("b"))
+    }
+    def quantBody(persistAgg: Boolean): Long = {
+      val df = quantInput
+      val cols = Seq("a", "b")
+      val pair = explode(array(cols.map(c =>
+        struct(lit(c).as("k"), col(c).cast("double").as("v"))): _*))
+      val pairs = df.select(pair.as("p"), lit(1.0).as("w"))
+        .filter(col("p.v").isNotNull && !isnan(col("p.v")))
+        .select(col("p.k").as("k"), col("p.v").as("v"), col("w"))
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val agg0 = pairs.groupBy(col("k"), col("v"))
+        .agg(sum(col("w")).as("w"))
+      val agg = if (persistAgg)
+        agg0.persist(StorageLevel.MEMORY_AND_DISK) else agg0
+      val ranged = agg
+        .repartitionByRange(parts, col("k"), col("v"))
+        .withColumn("__pid", spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val partTotals = ranged.groupBy(col("k"), col("__pid"))
+        .agg(sum(col("w")).as("pw"))
+        .collect()
+      val wPart = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k"), col("__pid")).orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val fv = ranged.select(col("k"), col("v"),
+        sum(col("w")).over(wPart).as("f"))
+      val r = fv.agg(max(when(col("f") <= 500000.0, col("v"))))
+        .head()
+      spark.catalog.clearCache()
+      partTotals.length.toLong
+    }
+
     def withIter[T](body: => T): T = {
       spark.conf.set("spark.graft.cc.localEdgeLimit", "0")
       try body finally spark.conf.unset("spark.graft.cc.localEdgeLimit")
@@ -168,6 +211,9 @@ object AbProbe {
       if (sys.env.get("SPARK_GRAFT_AB_SET").contains("gram")) Seq(
         ("gram kernel md5", () => gramKernelMd5()),
         ("gram kernel xxhash", () => gramKernelXx()))
+      else if (sys.env.get("SPARK_GRAFT_AB_SET").contains("quant")) Seq(
+        ("quant agg-twice (old)", () => quantBody(false)),
+        ("quant agg-persist", () => quantBody(true)))
       else Seq(
       ("cc local-finish", () => ccBody()),
       ("cc iterative", () => withIter(ccBody())),
